@@ -1,0 +1,45 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the engine.
+  *
+  * The reference (manticoresoftware/columnar) reads one columnar file per
+  * table segment (columnar/columnar.cpp:408-440, 769-789); our segments are
+  * Parquet files/directories — Spark's vectorized Parquet reader supplies the
+  * per-block adaptive decoding, zone-map (row-group/page stats) pruning and
+  * late materialization that the reference hand-rolls per packing
+  * (columnar/accessor/accessorint.cpp:137-276, builderminmax.h:138-164).
+  *
+  * Scale notes (100 TB): every knob here is set so the same code runs on a
+  * real cluster — AQE on (runtime re-plan + skew-join handling), shuffle
+  * partitions sized for the local harness via constructor arg (a cluster
+  * deployment overrides `spark.sql.shuffle.partitions` per job), and
+  * broadcast joins left to Catalyst + AQE thresholds.
+  */
+object Graft {
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def session(appName: String = "graft", master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+      // type for; read as Long nanoseconds (event-time ops use epoch math).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one table of the star schema from a scale-factor directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

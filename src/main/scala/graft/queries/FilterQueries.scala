@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.filters._
+
+/** Oracle-checked corpus for the filter algebra (SURVEY.md §2.2, F1-F11).
+  * Every query routes through the [[graft.filters.GFilter]] compiler so the
+  * e2e gate exercises the library code path, not ad-hoc predicates. */
+object FilterQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // F1 VALUES (IN-list) — accessorint.cpp:920-1027
+    "q_values_in" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(Values("l_linenumber", Seq(1L, 3L, 5L, 7L)).toColumn)
+        .select(col("l_orderkey"), col("l_linenumber")),
+      Some("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_linenumber IN (1,3,5,7)")),
+
+    // F1 single-value fast path — accessorint.cpp:930
+    "q_values_single" -> QueryDef(
+      (s, d) => t(s, d, "part")
+        .filter(Values("p_size", Seq(25L)).toColumn)
+        .select(col("p_partkey"), col("p_size")),
+      Some("SELECT p_partkey, p_size FROM part WHERE p_size = 25")),
+
+    // F1 + F8 exclude (NOT IN) — accessorint.cpp:506, blockreader.cpp:563-573
+    "q_values_excl" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(Values("l_linenumber", Seq(1L, 2L), exclude = true).toColumn)
+        .select(col("l_orderkey"), col("l_linenumber")),
+      Some("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_linenumber NOT IN (1,2)")),
+
+    // F2 RANGE half-open — interval.h:24-67
+    "q_range_int" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .filter(IntRange("o_custkey", lo = Some(100L), hi = Some(500L),
+          loIncl = true, hiIncl = false).toColumn)
+        .select(col("o_orderkey"), col("o_custkey")),
+      Some("SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_custkey >= 100 AND o_custkey < 500")),
+
+    // F2 RANGE right-unbounded, open
+    "q_range_open" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(FloatRange("l_extendedprice", lo = Some(50000.0),
+          loIncl = false).toColumn)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Some("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "WHERE l_extendedprice > 50000.0")),
+
+    // F2 RANGE on timestamps (reference treats TIMESTAMP as UINT32 —
+    // common/filter.cpp:29-31)
+    "q_ts_range" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(TsRange("l_shipdate", lo = Some("1996-01-01T00:00:00"),
+          hi = Some("1997-01-01T00:00:00"), hiIncl = false).toColumn)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, count(*) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l_returnflag")),
+
+    // F3 FLOATRANGE incl. negative bound — common/filter.cpp:48-63
+    "q_floatrange" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .filter(FloatRange("c_acctbal", lo = Some(-500.5), hi = Some(2000.25),
+          loIncl = true, hiIncl = false).toColumn)
+        .select(col("c_custkey"), col("c_acctbal")),
+      Some("SELECT c_custkey, c_acctbal FROM customer " +
+        "WHERE c_acctbal >= -500.5 AND c_acctbal < 2000.25")),
+
+    // F4 STRINGS set equality — accessorstr.cpp:599-642
+    "q_strings_in" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .filter(Strings("c_mktsegment", Seq("BUILDING", "AUTOMOBILE")).toColumn)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      Some("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')")),
+
+    // F4 + F8 STRINGS exclude
+    "q_strings_excl" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .filter(Strings("o_orderpriority", Seq("1-URGENT", "2-HIGH"),
+          exclude = true).toColumn)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Some("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')")),
+
+    // F5 NOTNULL (non-empty string; empty ≠ missing — filter.h:35)
+    "q_notnull" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .filter(NotNullF("props", NotNull.Str).toColumn)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT event_type, count(*) AS n FROM events " +
+        "WHERE props IS NOT NULL AND length(props) > 0 GROUP BY event_type")),
+
+    // F6 MVA ANY membership over a sorted set column — accessormva.cpp:71-139.
+    // The star schema has no array column, so we derive one (sorted distinct
+    // linenumber set per order) — same shape as the reference's UINT32SET.
+    "q_mva_any" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+        .filter(MvaValues("tags", Seq(6L, 7L), AnyQ).toColumn)
+        .select(col("l_orderkey")),
+      Some("WITH tagged AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT l_orderkey FROM tagged WHERE list_has_any(tags, [6,7])")),
+
+    // F7 MVA ALL (empty array never matches include — accessormva.cpp:38-45)
+    "q_mva_all" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+        .filter(MvaValues("tags", Seq(1L, 2L, 3L), AllQ).toColumn)
+        .select(col("l_orderkey")),
+      Some("WITH tagged AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT l_orderkey FROM tagged " +
+        "WHERE len(tags) > 0 AND list_has_all([1,2,3], tags)")),
+
+    // F6 MVA ANY-range (binary-search range overlap in the reference)
+    "q_mva_any_range" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+        .filter(MvaRange("tags", lo = Some(5L), hi = Some(6L),
+          quant = AnyQ).toColumn)
+        .select(col("l_orderkey")),
+      Some("WITH tagged AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT l_orderkey FROM tagged " +
+        "WHERE len(list_filter(tags, x -> x >= 5 AND x <= 6)) > 0")),
+
+    // F7 + F8 MVA ALL exclude (XOR composition — accessormva.cpp:61-62)
+    "q_mva_all_excl" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+        .filter(MvaValues("tags", Seq(1L, 2L), AllQ, exclude = true).toColumn)
+        .select(col("l_orderkey")),
+      Some("WITH tagged AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT l_orderkey FROM tagged " +
+        "WHERE NOT (len(tags) > 0 AND list_has_all([1,2], tags))")),
+
+    // F9 rowid-window pseudo-filter — columnar.cpp:575-611
+    "q_rowid_window" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(RowidWindow("l_orderkey", 1000L, 2000L).toColumn)
+        .groupBy()
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem " +
+        "WHERE l_orderkey >= 1000 AND l_orderkey < 2000")),
+
+    // F11 multi-filter conjunction in one scan — columnar.cpp:721-746
+    "q_conj" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(Filters.compileAll(Seq(
+          TsRange("l_shipdate", lo = Some("1996-01-01T00:00:00")),
+          FloatRange("l_discount", lo = Some(0.05), hi = Some(0.07)),
+          Values("l_linenumber", Seq(1L, 2L, 3L)))))
+        .select(col("l_orderkey"), col("l_linenumber")),
+      Some("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 " +
+        "AND l_linenumber IN (1,2,3)"))
+  )
+}
