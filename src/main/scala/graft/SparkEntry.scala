@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val families: Seq[Map[String, QueryDef]] = Seq(
     FilterQueries.defs,
-    AggQueries.defs
+    AggQueries.defs,
+    VectorQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,63 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact top-k vector search (K1/K3/K7) and the index-vs-fullscan cost rule
+  * (K4) — ref knn/knn.cpp:455-537 (Search), knn/knn.h:87-94 (filtered),
+  * knn/knn.cpp:613-620 (ShouldUseFullscan), knn/iterator.cpp:27-146 (result
+  * stream).
+  *
+  * Plan shape (the 100 TB story): score is a codegen'd expression evaluated
+  * inside the scan stage; `orderBy(score).limit(k)` lowers to
+  * `TakeOrderedAndProject` — a per-partition bounded heap + single k-row
+  * merge at the driver. No shuffle of the fact table, no global sort, and
+  * the scan prunes to (id, vec) columns only. Filtered search is a plain
+  * pre-filter, which Spark pushes into the scan — the analog of the
+  * reference bypassing HNSW for selective filters (knn.cpp:613-620), except
+  * exact by construction.
+  */
+object Knn {
+
+  sealed trait Metric
+  case object L2 extends Metric
+  case object IP extends Metric
+  case object Cosine extends Metric
+
+  /** Score column for a metric, oriented so that ASC = best-first (the
+    * reference's "distance": L2 as-is; IP/cosine as `1 - similarity`,
+    * matching hnswlib's IP/cosine distance). */
+  def distCol(metric: Metric, vec: Column, query: Column): Column = metric match {
+    case L2     => distances.l2Dist(vec, query)
+    case IP     => lit(1.0) - distances.ipScore(vec, query)
+    case Cosine => lit(1.0) - distances.cosineSim(vec, query)
+  }
+
+  /** Exact k-nearest-neighbors of `query` in `df(vecCol)`.
+    *
+    * Returns (idCol, dist) rows, best-first, ties broken by id — the
+    * deterministic analog of the reference's rowid-sorted result iterator.
+    * Attribute-filtered search (K3) = `knn(df.filter(p), …)`.
+    */
+  def knn(df: DataFrame, vecCol: String, idCol: String,
+          query: Array[Float], k: Int, metric: Metric = L2): DataFrame = {
+    val d = distCol(metric, col(vecCol), typedLit(query))
+    df.select(col(idCol), d.as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Index-vs-fullscan cost rule (K4) — mirrors the shape of the reference's
+    * ShouldUseFullscan (knn/knn.cpp:613-620): with a filter of selectivity
+    * `sel` over `n` rows, brute-forcing the `sel*n` survivors beats an ANN
+    * index walk once the survivor count is within `costFactor * k * ef` of
+    * the work the graph search would do anyway. Until a partitioned ANN
+    * index lands this always recommends fullscan for the exact path; it is
+    * the seam the planner rule will consult.
+    */
+  def shouldUseFullscan(selectivity: Double, n: Long, k: Int, ef: Int,
+                        costFactor: Double = 2.0): Boolean = {
+    val survivors = selectivity * n
+    survivors <= costFactor * k.toDouble * ef.toDouble
+  }
+}
