@@ -7,17 +7,36 @@ import graft.vector.Knn
 /** Oracle-checked corpus for vector search (SURVEY.md §2.5, K1-K4+K7) over
   * the `embeddings` fixture (vec_id BIGINT, embedding FLOAT[64], label INT).
   *
-  * The query vector is the stored embedding of vec_id=0 — fetched driver-side
-  * (a one-row pushed-filter lookup; in real use the query vector is user
-  * input). Distances are computed float-read/double-accumulate in both
-  * engines (oracle casts to DOUBLE[]), ordered by exact distance with vec_id
-  * tiebreak, and emitted rounded so the hash compare is byte-stable.
+  * The query vector is the stored embedding of vec_id=0 — fetched once per
+  * (session, sfDir) and memoized, so repeated query builds (bench warmup +
+  * timed runs) don't pay a lookup job per run; in real use the query vector
+  * is user input.
+  *
+  * Numerics contract with the oracle: both engines read float, accumulate in
+  * double sequentially (verified bit-identical against DuckDB's
+  * list_* kernels on the fixture), round half-up to 6 digits. The oracle adds
+  * `+ 0.0` to the rounded distance because DuckDB's FP round preserves the
+  * sign of a negative zero (the self-match row computes `1.0 - dot` as a tiny
+  * negative number → `-0.0`) while Spark's BigDecimal-based round returns
+  * unsigned zero; `-0.0 + 0.0 = +0.0` normalizes the encodings without
+  * changing any other value.
+  *
+  * Fixture invariant: `embeddings.embedding` contains no all-zero vectors
+  * (min pairwise cosine on the fixture is ~0.0003), so the engine's
+  * defined-zero cosine convention (CosineSimilarity: zero vector → 0.0) and
+  * DuckDB's NaN never diverge; the oracle additionally maps a NaN similarity
+  * to 0.0 so the contract holds even if the fixture ever changes.
   */
 object VectorQueries {
 
+  // Memoized query vectors, keyed by sfDir (sessions in this harness share
+  // the fixture; the vector is tiny and immutable).
+  private val qvCache = scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
+
   private def queryVec(s: SparkSession, d: String): Array[Float] =
-    t(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    qvCache.getOrElseUpdate(d,
+      t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray)
 
   private def topK(s: SparkSession, d: String, metric: Knn.Metric,
                    filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
@@ -30,8 +49,13 @@ object VectorQueries {
   private val qSub = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
   private def oracleFor(metricExpr: String, where: String = ""): String =
-    s"SELECT vec_id, round($metricExpr, 6) AS dist FROM embeddings $where" +
+    s"SELECT vec_id, round($metricExpr, 6) + 0.0 AS dist FROM embeddings $where" +
       s"ORDER BY $metricExpr, vec_id LIMIT 10"
+
+  // NaN-safe cosine similarity (zero vector → 0.0, the engine's convention).
+  private val cosSim =
+    s"(CASE WHEN isnan(list_cosine_similarity(embedding::DOUBLE[], $qSub)) THEN 0.0 " +
+      s"ELSE list_cosine_similarity(embedding::DOUBLE[], $qSub) END)"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -48,7 +72,7 @@ object VectorQueries {
     // K2 cosine metric (distance = 1 - cosine similarity)
     "q_knn_cosine" -> QueryDef(
       (s, d) => topK(s, d, Knn.Cosine),
-      Some(oracleFor(s"1.0 - list_cosine_similarity(embedding::DOUBLE[], $qSub)"))),
+      Some(oracleFor(s"1.0 - $cosSim"))),
 
     // K3 filtered search — attribute pre-filter, pushed to the scan
     // (ref knn/knn.h:87-94; exact-cost by construction in Spark's model)

@@ -52,13 +52,20 @@ abstract class FloatVecBinary extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val n = ctx.freshName("n")
+      // The whole block is braced: in the non-nullable path nullSafeCodeGen
+      // emits this code unwrapped into the enclosing scope, so two distance
+      // expressions in one projection would otherwise redeclare genLoop's
+      // fixed-name locals (acc/dot/…) and break Janino compilation.
+      // ev.value is declared outside, so assigning it inside braces is fine.
       s"""
+         |{
          |int $n = $l.numElements();
          |if ($n != $r.numElements()) {
          |  throw new IllegalArgumentException(
          |    "vector dimensions differ: " + $n + " vs " + $r.numElements());
          |}
          |${genLoop(l, r, n, ev.value.toString)}
+         |}
        """.stripMargin
     })
 }

@@ -49,11 +49,12 @@ object Knn {
 
   /** Index-vs-fullscan cost rule (K4) — mirrors the shape of the reference's
     * ShouldUseFullscan (knn/knn.cpp:613-620): with a filter of selectivity
-    * `sel` over `n` rows, brute-forcing the `sel*n` survivors beats an ANN
-    * index walk once the survivor count is within `costFactor * k * ef` of
-    * the work the graph search would do anyway. Until a partitioned ANN
-    * index lands this always recommends fullscan for the exact path; it is
-    * the seam the planner rule will consult.
+    * `sel` over `n` rows, it recommends brute force exactly when the filter
+    * is selective enough that scoring the `sel*n` survivors costs no more
+    * than `costFactor * k * ef` distance evaluations — the work an ANN graph
+    * walk would do anyway. Currently an unused seam: the exact path always
+    * fullscans regardless; a future partitioned-ANN planner rule consults
+    * this to route `ORDER BY dist LIMIT k` between the two paths.
     */
   def shouldUseFullscan(selectivity: Double, n: Long, k: Int, ef: Int,
                         costFactor: Double = 2.0): Boolean = {
