@@ -1,0 +1,93 @@
+package graft.vector
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distance kernels: codegen'd DataFrame evaluation must be bit-identical to
+  * the scalar reference loop (same float-read/double-accumulate order), and
+  * multiple distance expressions must coexist in one projection (regression:
+  * fixed-name locals leaked into the enclosing codegen scope).
+  * SparkT sets codegen.fallback=false, so any Janino failure is fatal here.
+  */
+class DistancesSpec extends AnyFunSuite with graft.GenCheck {
+
+  import SparkT.spark.implicits._
+
+  private def scalarL2(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+  private def scalarIp(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def scalarCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  private val genVecPair: Gen[(Array[Float], Array[Float])] = for {
+    n <- Gen.chooseNum(1, 12)
+    a <- Gen.listOfN(n, Gen.chooseNum(-8.0f, 8.0f))
+    b <- Gen.listOfN(n, Gen.chooseNum(-8.0f, 8.0f))
+  } yield (a.toArray, b.toArray)
+
+  test("codegen evaluation is bit-identical to the scalar reference loops") {
+    forAll(genVecPair, 20) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        distances.l2Dist(col("a"), col("b")).as("l2"),
+        distances.ipScore(col("a"), col("b")).as("ip"),
+        distances.cosineSim(col("a"), col("b")).as("cos")
+      ).head()
+      // Three expressions in one projection: also the codegen-scope regression.
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(scalarL2(a, b)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(scalarIp(a, b)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(scalarCos(a, b)))
+    }
+  }
+
+  test("cosine of a zero vector is 0.0 (defined, not NaN)") {
+    val z = Array(0.0f, 0.0f, 0.0f)
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val r = Seq((z, v)).toDF("a", "b")
+      .select(distances.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    assert(r === 0.0)
+  }
+
+  test("NULL input yields NULL, not an error") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val r = df.select(distances.l2Dist(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("dimension mismatch raises a descriptive error") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(distances.l2Dist(col("a"), col("b"))).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vector dimensions differ")))
+  }
+
+  test("knn returns k best-first with id tiebreak") {
+    val vecs = (0L until 50L).map(i => (i, Array(i.toFloat, 0.0f)))
+    val df = vecs.toDF("id", "v")
+    val got = Knn.knn(df, "v", "id", Array(10.0f, 0.0f), 5, Knn.L2)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(10L, 9L, 11L, 8L, 12L))
+  }
+}
