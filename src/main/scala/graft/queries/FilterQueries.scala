@@ -100,12 +100,12 @@ object FilterQueries {
         "WHERE props IS NOT NULL AND length(props) > 0 GROUP BY event_type")),
 
     // F6 MVA ANY membership over a sorted set column — accessormva.cpp:71-139.
-    // The star schema has no array column, so we derive one (sorted distinct
-    // linenumber set per order) — same shape as the reference's UINT32SET.
+    // The array column is STORED (engine-written mcl_attrs table, the analog
+    // of UINT32SET storage, accessormva.cpp:615-659): derivation is billed
+    // once to the writer, and the filter here pushes into a plain scan of a
+    // table sorted by l_orderkey. The oracle derives the same table as a CTE.
     "q_mva_any" -> QueryDef(
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+      (s, d) => graft.tables.Derived.table(s, d, "mcl_attrs")
         .filter(MvaValues("tags", Seq(6L, 7L), AnyQ).toColumn)
         .select(col("l_orderkey")),
       Some("WITH tagged AS (SELECT l_orderkey, " +
@@ -115,9 +115,7 @@ object FilterQueries {
 
     // F7 MVA ALL (empty array never matches include — accessormva.cpp:38-45)
     "q_mva_all" -> QueryDef(
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+      (s, d) => graft.tables.Derived.table(s, d, "mcl_attrs")
         .filter(MvaValues("tags", Seq(1L, 2L, 3L), AllQ).toColumn)
         .select(col("l_orderkey")),
       Some("WITH tagged AS (SELECT l_orderkey, " +
@@ -128,9 +126,7 @@ object FilterQueries {
 
     // F6 MVA ANY-range (binary-search range overlap in the reference)
     "q_mva_any_range" -> QueryDef(
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+      (s, d) => graft.tables.Derived.table(s, d, "mcl_attrs")
         .filter(MvaRange("tags", lo = Some(5L), hi = Some(6L),
           quant = AnyQ).toColumn)
         .select(col("l_orderkey")),
@@ -142,9 +138,7 @@ object FilterQueries {
 
     // F7 + F8 MVA ALL exclude (XOR composition — accessormva.cpp:61-62)
     "q_mva_all_excl" -> QueryDef(
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+      (s, d) => graft.tables.Derived.table(s, d, "mcl_attrs")
         .filter(MvaValues("tags", Seq(1L, 2L), AllQ, exclude = true).toColumn)
         .select(col("l_orderkey")),
       Some("WITH tagged AS (SELECT l_orderkey, " +
@@ -173,6 +167,39 @@ object FilterQueries {
       Some("SELECT l_orderkey, l_linenumber FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 " +
-        "AND l_linenumber IN (1,2,3)"))
+        "AND l_linenumber IN (1,2,3)")),
+
+    // S3 write -> re-read round trip: the stored mcl_attrs table must carry
+    // exactly the data the oracle derives from lineitem (ref build path,
+    // columnar/builder.cpp:149-249).
+    "q_roundtrip" -> QueryDef(
+      (s, d) => graft.tables.Derived.table(s, d, "mcl_attrs")
+        .groupBy()
+        .agg(count(lit(1)).as("n_orders"),
+          sum(size(col("tags"))).as("n_tags"),
+          sum(expr("aggregate(tags, 0L, (a, x) -> a + x)")).as("tag_sum")),
+      Some("WITH tagged AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT count(*) AS n_orders, sum(len(tags)) AS n_tags, " +
+        "sum(list_sum(tags)) AS tag_sum FROM tagged")),
+
+    // F4 hash-companion fast path: filter runs against the engine-written
+    // xxhash64 companion column (ref hidden $name_HASH, columnar.cpp:465-473
+    // + rewrite common/filter.cpp:77-90); the oracle filters the string
+    // directly — results agree modulo 2^-64 collision odds.
+    "q_strings_hash" -> QueryDef(
+      (s, d) => {
+        val c = graft.tables.Derived.table(s, d, "customer_h")
+        val hc = col("c_mktsegment" + graft.tables.Writer.HashSuffix)
+        // xxhash64(lit) is constant-folded by Catalyst, so the predicate
+        // reaches the scan as a literal IN — pushdown-friendly.
+        c.filter(Seq("BUILDING", "AUTOMOBILE")
+            .map(v => hc === graft.tables.Writer.companionHash(lit(v)))
+            .reduce(_ || _))
+          .select(col("c_custkey"), col("c_mktsegment"))
+      },
+      Some("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')"))
   )
 }

@@ -1,0 +1,94 @@
+package graft.tables
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** Storage integrity check (S4) — the analog of `CheckColumnarStorage`
+  * (columnar/columnar.h:102, columnar/accessor/check.cpp:1-322) and
+  * `CheckSecondaryIndex` (secondary/secondary.h:97): structural validation
+  * of every file of a stored table, plus a read-back consistency pass.
+  *
+  * Checks, per file: Parquet footer parses (magic, metadata), schema is
+  * identical across files, every row group has sane column metadata
+  * (non-negative counts, min <= max where stats are comparable). Then
+  * globally: footer row counts sum to the count a real scan returns.
+  *
+  * A truncated/corrupted file fails the footer parse; a file whose data
+  * pages are damaged but footer intact fails the scan pass (Parquet page
+  * CRCs / decode errors). Both surface as `issues`.
+  */
+object Check {
+
+  final case class Report(path: String, files: Int, footerRows: Long,
+                          scanRows: Long, issues: Seq[String]) {
+    def ok: Boolean = issues.isEmpty
+  }
+
+  def check(spark: SparkSession, path: String): Report = {
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    val conf = new Configuration()
+    val dir = new java.io.File(path)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    if (parts.isEmpty) issues += s"no parquet files under $path"
+
+    var schemaRepr: Option[String] = None
+    var footerRows = 0L
+    parts.foreach { f =>
+      try {
+        val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val fmd = reader.getFooter
+          val schema = fmd.getFileMetaData.getSchema.toString
+          schemaRepr match {
+            case None => schemaRepr = Some(schema)
+            case Some(s0) if s0 != schema =>
+              issues += s"schema mismatch in ${f.getName}"
+            case _ =>
+          }
+          fmd.getBlocks.asScala.zipWithIndex.foreach { case (block, bi) =>
+            if (block.getRowCount < 0)
+              issues += s"${f.getName} rowgroup $bi: negative row count"
+            footerRows += block.getRowCount
+            block.getColumns.asScala.foreach { cc =>
+              if (cc.getValueCount < 0)
+                issues += s"${f.getName} rowgroup $bi ${cc.getPath}: negative value count"
+              val st = cc.getStatistics
+              if (st != null && st.hasNonNullValue && st.isNumNullsSet) {
+                val cmp = st.comparator
+                  .asInstanceOf[java.util.Comparator[AnyRef]]
+                if (cmp.compare(st.genericGetMin.asInstanceOf[AnyRef],
+                                st.genericGetMax.asInstanceOf[AnyRef]) > 0)
+                  issues += s"${f.getName} rowgroup $bi ${cc.getPath}: min > max"
+              }
+            }
+          }
+        } finally reader.close()
+      } catch {
+        case e: Exception =>
+          issues += s"${f.getName}: footer unreadable (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)})"
+      }
+    }
+
+    // Read-back pass: a full scan must succeed and agree with the footers.
+    val scanRows =
+      try {
+        val n = spark.read.parquet(path).count()
+        if (issues.isEmpty && n != footerRows)
+          issues += s"scan count $n != footer count $footerRows"
+        n
+      } catch {
+        case e: Exception =>
+          issues += s"scan failed (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)})"
+          -1L
+      }
+
+    Report(path, parts.length, footerRows, scanRows, issues.toSeq)
+  }
+}

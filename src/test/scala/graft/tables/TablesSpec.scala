@@ -1,0 +1,90 @@
+package graft.tables
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+/** Writer (S3) + integrity check (S4): sorted round trip, hash-companion
+  * convention (empty string → 0, common/filter.cpp:87), corruption detection
+  * (≈ CheckColumnarStorage, accessor/check.cpp:1-322). */
+class TablesSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-tables")
+
+  test("write -> re-read round trip preserves data, sorted layout") {
+    val dir = tmpDir().resolve("t1").toString
+    val df = (1 to 1000).map(i => (i.toLong * 7 % 997, s"v$i")).toDF("k", "s")
+    Writer.write(df, dir, sortBy = Seq("k"))
+    val back = SparkT.spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    assert(back.select(sum($"k")).head.getLong(0) ===
+      df.select(sum($"k")).head.getLong(0))
+    // sorted within the (single) file: first rows are the minimum keys
+    val keys = back.select("k").as[Long].collect()
+    assert(keys.toSeq === keys.sorted.toSeq)
+  }
+
+  test("hash companion column: xxhash64, empty string = 0, NULL stays NULL") {
+    val dir = tmpDir().resolve("t2").toString
+    val df = Seq(Some("abc"), Some(""), None).toDF("s")
+    Writer.write(df, dir, sortBy = Nil, hashCompanions = Seq("s"))
+    val back = SparkT.spark.read.parquet(dir)
+    val rows = back.select("s", "s" + Writer.HashSuffix).collect()
+    val byVal = rows.map(r => Option(r.getString(0)) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byVal(Some("")) === Some(0L))
+    assert(byVal(None) === None)
+    val expected = Seq("abc").toDF("s")
+      .select(xxhash64($"s")).head.getLong(0)
+    assert(byVal(Some("abc")) === Some(expected))
+  }
+
+  test("integrity check passes on a healthy table") {
+    val dir = tmpDir().resolve("t3").toString
+    Writer.write((1 to 500).map(i => (i, s"x$i")).toDF("a", "b"), dir, Seq("a"))
+    val r = Check.check(SparkT.spark, dir)
+    assert(r.ok, r.issues.mkString("; "))
+    assert(r.footerRows === 500 && r.scanRows === 500)
+  }
+
+  test("integrity check flags a truncated file") {
+    val dir = tmpDir().resolve("t4")
+    Writer.write((1 to 500).map(i => (i, s"x$i")).toDF("a", "b"),
+      dir.toString, Seq("a"))
+    val part = Files.list(dir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val bytes = Files.readAllBytes(part)
+    Files.write(part, bytes.take(bytes.length / 2).toArray,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    val r = Check.check(SparkT.spark, dir.toString)
+    assert(!r.ok)
+    assert(r.issues.exists(_.contains("footer unreadable")))
+  }
+
+  test("integrity check flags missing files") {
+    val r = Check.check(SparkT.spark, tmpDir().resolve("nope").toString)
+    assert(!r.ok)
+  }
+
+  test("derived mcl_attrs matches a direct derivation (sf0.001)") {
+    val sfDir = "/root/testdata/sf0.001"
+    System.setProperty("graft.derived.root",
+      tmpDir().resolve("derived").toString)
+    try {
+      val stored = Derived.table(SparkT.spark, sfDir, "mcl_attrs")
+      val direct = graft.engine.Graft.table(SparkT.spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
+      assert(stored.count() === direct.count())
+      assert(stored.exceptAll(direct).count() === 0)
+      assert(direct.exceptAll(stored).count() === 0)
+      val rep = Check.check(SparkT.spark,
+        Derived.tablePath(SparkT.spark, sfDir, "mcl_attrs"))
+      assert(rep.ok, rep.issues.mkString("; "))
+    } finally System.clearProperty("graft.derived.root")
+  }
+}
