@@ -16,7 +16,8 @@ object SparkEntry {
   private val families: Seq[Map[String, QueryDef]] = Seq(
     FilterQueries.defs,
     AggQueries.defs,
-    VectorQueries.defs
+    VectorQueries.defs,
+    RelationalQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = {

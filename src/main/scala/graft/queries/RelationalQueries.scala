@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-layer corpus (SURVEY.md §2.6, H7): joins, semi/anti joins,
+  * windows, set ops, grouping sets. The reference library returns rowid
+  * streams and leaves these to the host daemon; our engine exposes them
+  * natively through the DataFrame surface — this corpus proves them against
+  * the oracle and pins the 100 TB plan shapes:
+  *
+  *  - dimension⋈fact joins broadcast the small side (no fact shuffle);
+  *  - fact⋈fact joins shuffle both sides on the join key once (SMJ/SHJ,
+  *    AQE re-plans and handles skew);
+  *  - semi/anti joins are the relational form of the reference's rowid
+  *    postings intersection (secondary/iterator.cpp HintRowID path) and
+  *    inverted-bitmap exclude (blockreader.cpp:563-573);
+  *  - windows shuffle once on the partition key;
+  *  - set ops are shuffle dedup — the analog of bitmap-union iterators (I5).
+  *
+  * Double sums are rounded in both engines (see AggQueries); running sums
+  * use an integer surrogate (floor(value*1000)) because cumulative float
+  * addition order is an engine implementation detail.
+  */
+object RelationalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // H7 broadcast join: customer is the small dimension — explicit
+    // broadcast() pins the no-shuffle plan at any scale.
+    "q_join_broadcast" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("rev")),
+      Some("SELECT c_mktsegment, count(*) AS n, " +
+        "round(sum(o_totalprice),2) AS rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment")),
+
+    // H7 large fact⋈fact join: one shuffle on the join key; AQE picks
+    // SMJ/SHJ (or broadcast at toy scale) at runtime.
+    "q_join_large" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price")),
+      Some("SELECT o_orderpriority, l_returnflag, count(*) AS n, " +
+        "round(sum(l_extendedprice),2) AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority, l_returnflag")),
+
+    // I4 analog: semi join = rowid-postings intersection as a relational op.
+    "q_join_semi" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")),
+      Some("SELECT c_custkey FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')")),
+
+    // F8/I5 analog at the relational level: anti join = inverted bitmap.
+    "q_join_anti" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")),
+      Some("SELECT c_custkey FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")),
+
+    // H7 window: top-3 orders per customer (one shuffle on o_custkey,
+    // deterministic via the o_orderkey tiebreak).
+    "q_window" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      },
+      Some("SELECT o_custkey, o_orderkey, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey" +
+        ") AS rn FROM orders) WHERE rn <= 3")),
+
+    // H7 running aggregate per key over event time. The events fixture's
+    // TIMESTAMP(NANOS) column is read as Long nanoseconds in Spark (see
+    // Graft.session) and as TIMESTAMP in DuckDB — same total order, and it
+    // is not projected, so the outputs still align. Integer surrogate sum
+    // keeps cumulative addition exact in both engines.
+    "q_window_running" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("running_milli",
+            sum(floor(col("value") * 1000).cast("long")).over(w))
+          .select(col("event_id"), col("running_milli"))
+      },
+      Some("SELECT event_id, sum(CAST(floor(value*1000) AS BIGINT)) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_milli " +
+        "FROM events")),
+
+    // H7 set ops = shuffle dedup (the engine-side analog of the
+    // bitmap-union iterator, blockreader.cpp:105-230).
+    "q_union" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+        .union(t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("key")))
+        .distinct(),
+      Some("SELECT c_custkey AS key FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "UNION " +
+        "SELECT o_custkey AS key FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT'")),
+
+    "q_except" -> QueryDef(
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("key"))),
+      Some("SELECT c_custkey AS key FROM customer " +
+        "EXCEPT SELECT o_custkey AS key FROM orders")),
+
+    "q_intersect" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey").as("key"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("key"))),
+      Some("SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000.0 " +
+        "INTERSECT SELECT o_custkey AS key FROM orders")),
+
+    // H7 grouping sets: rollup + cube (host-side facets over hierarchies).
+    "q_rollup" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)")),
+
+    "q_cube" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"))
+  )
+}
