@@ -17,7 +17,8 @@ object SparkEntry {
     FilterQueries.defs,
     AggQueries.defs,
     VectorQueries.defs,
-    RelationalQueries.defs
+    RelationalQueries.defs,
+    TextQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = {

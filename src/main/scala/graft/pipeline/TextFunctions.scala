@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the LLM-pipeline surface (BASELINE
+  * brief; no reference implementation to cite — designed Spark-first):
+  * tokenization, n-gram shingles, language ID, quality scoring, and a
+  * rolling-hash document fingerprint.
+  *
+  * All functions are pure Catalyst expression trees (functions.* only — no
+  * UDFs), so they stay inside whole-stage codegen and scale linearly with
+  * executors; every one has an exactly-equivalent DuckDB SQL form used by
+  * the oracle gate (TextQueries).
+  *
+  * Determinism conventions: float scores are emitted as floor(score * 1e6)
+  * micro-units (floor of identical IEEE doubles is engine-stable, unlike
+  * round), and the rolling hash is computed mod 1e9+7 at every step so the
+  * accumulator never overflows (Spark 4 runs ANSI mode: Long overflow
+  * throws).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text. Empty/whitespace-only text
+    * yields an empty array (the raw split would yield [""]). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish lexer tokens: alphanumeric runs or single punctuation marks. */
+  def byteishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Distinct word n-gram shingles (the MinHash input). Documents shorter
+    * than n tokens yield an empty array. */
+  def shingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Language-marker stopword sets (tiny, deterministic n-gram-free
+    * heuristic — scorable identically in SQL). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es")
+  )
+
+  /** Predicted language: argmax of marker hits over distinct tokens with a
+    * fixed tie order (en > de > fr > es), 'und' when nothing matches. */
+  def langId(c: Column): Column = {
+    val w = array_distinct(tokens(c))
+    val s = langMarkers.map { case (lang, ms) =>
+      lang -> size(array_intersect(w, lit(ms.toArray)))
+    }.toMap
+    when(s.values.map(_ === 0).reduce(_ && _), lit("und"))
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), lit("en"))
+      .when(s("de") >= s("fr") && s("de") >= s("es"), lit("de"))
+      .when(s("fr") >= s("es"), lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** English stopword set used by the quality score. */
+  val stopwords: Seq[String] = langMarkers.head._2
+
+  /** Heuristic quality score in [0,1] scaled to micro-units:
+    * 0.4·stopword-ratio + 0.4·alpha-char-ratio + 0.2·min(tokens/100, 1). */
+  def qualityMicros(c: Column): Column = {
+    val w = tokens(c)
+    val stopRatio = size(filter(w, t => array_contains(lit(stopwords.toArray), t)))
+      .cast("double") / size(w)
+    val alphaRatio = length(regexp_replace(c, "[^A-Za-z]", ""))
+      .cast("double") / length(c)
+    val lenNorm = least(size(w).cast("double") / 100.0, lit(1.0))
+    // Empty/whitespace-only text scores 0 (also keeps the divisions
+    // ANSI-safe — Spark 4 raises DIVIDE_BY_ZERO instead of returning NULL).
+    when(length(c) === 0 || size(w) === 0, lit(0L))
+      .otherwise(floor((lit(0.4) * stopRatio + lit(0.4) * alphaRatio
+        + lit(0.2) * lenNorm) * 1000000).cast("long"))
+  }
+
+  /** Rolling polynomial hash over characters, mod 1e9+7 per step:
+    * fp = fold(chars, 0, (acc, ch) -> (acc*31 + codepoint(ch)) mod p).
+    * The per-step mod keeps the accumulator ANSI-safe and matches the
+    * DuckDB list_reduce form exactly. */
+  def fingerprint(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)), i =>
+      ascii(c.substr(i, lit(1))).cast("long"))
+    // Empty text is pinned to 0: Spark's sequence(1,0) would run DESCENDING
+    // and DuckDB's unicode('') is -1 — both artifacts, neither a hash.
+    when(length(c) === 0, lit(0L))
+      .otherwise(aggregate(codes, lit(0L), (acc, ch) => (acc * 31 + ch) % 1000000007L))
+  }
+
+  /** Exact token count (whitespace). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextFunctions._
+
+/** Oracle-checked corpus for the text-analysis pipeline functions over the
+  * `documents` fixture (doc_id, text, lang, source, n_chars). Each oracle is
+  * the exact DuckDB expression form of the Spark function — same operation
+  * tree, same determinism conventions (floor-micros, per-step mod).
+  */
+object TextQueries {
+
+  private val stopList = "['the','a','of','and','to','in','is']"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Tokenization: whitespace tokens + BPE-ish lexer tokens.
+    "q_text_tokens" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          size(byteishTokens(col("text"))).as("n_btokens")),
+      Some(raw"SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens, " +
+        raw"len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_btokens " +
+        "FROM documents")),
+
+    // Distinct 3-word shingles per document (the MinHash input).
+    "q_text_shingles" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(shingles(col("text"), 3)).as("n_shingles")),
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents) " +
+        "SELECT doc_id, len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] " +
+        "for i in generate_series(1, len(w)-2)])) AS n_shingles FROM dd")),
+
+    // Language-ID heuristic, aggregated to predicted-language counts.
+    "q_text_lang" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n")),
+      Some(raw"WITH dd AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '')) w " +
+        "FROM documents), sc AS (SELECT doc_id, " +
+        s"len(list_intersect(w, $stopList)) s_en, " +
+        "len(list_intersect(w, ['der','die','das','und','ist'])) s_de, " +
+        "len(list_intersect(w, ['le','les','et','est'])) s_fr, " +
+        "len(list_intersect(w, ['el','los','y','es'])) s_es FROM dd) " +
+        "SELECT CASE WHEN s_en=0 AND s_de=0 AND s_fr=0 AND s_es=0 THEN 'und' " +
+        "WHEN s_en>=s_de AND s_en>=s_fr AND s_en>=s_es THEN 'en' " +
+        "WHEN s_de>=s_fr AND s_de>=s_es THEN 'de' " +
+        "WHEN s_fr>=s_es THEN 'fr' ELSE 'es' END AS lang_pred, " +
+        "count(*) AS n FROM sc GROUP BY 1")),
+
+    // Quality score (floor-micros determinism convention).
+    "q_text_quality" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), qualityMicros(col("text")).as("quality_micros")),
+      Some(raw"WITH dd AS (SELECT doc_id, text, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents) SELECT doc_id, CASE WHEN length(text)=0 OR len(w)=0 THEN 0 ELSE floor((" +
+        s"0.4 * (len(list_filter(w, t -> list_contains($stopList, t)))::DOUBLE / len(w)) " +
+        "+ 0.4 * (length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE / length(text)) " +
+        "+ 0.2 * least(len(w)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END " +
+        "AS quality_micros FROM dd")),
+
+    // Rolling-hash fingerprint (per-step mod 1e9+7).
+    "q_text_fingerprint" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, CASE WHEN length(text)=0 THEN 0 ELSE " +
+        "list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(text,''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007) END AS fp FROM documents"))
+  )
+}
