@@ -18,7 +18,8 @@ object SparkEntry {
     AggQueries.defs,
     VectorQueries.defs,
     RelationalQueries.defs,
-    TextQueries.defs
+    TextQueries.defs,
+    DedupQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = {

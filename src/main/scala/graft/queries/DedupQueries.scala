@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Oracle-checked corpus for the dedup operators over `documents` and
+  * `embeddings`. The oracles are brute-force formulations (group-by-text,
+  * all-pairs jaccard / cosine) — fine for DuckDB at sf0.01; the engine side
+  * uses the scale-correct shapes (hash group-by, LSH bucket join + verify).
+  * The fixture plants 25 document pairs at jaccard >= 0.8 (next pair down
+  * is < 0.3, so the LSH miss probability ~5e-8 is the only noise source)
+  * and has 14 embedding pairs at cosine >= 0.45.
+  */
+object DedupQueries {
+
+  private val shingleCte =
+    raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+      "FROM documents), sh AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] " +
+      "for i in generate_series(1, len(w)-2)]) s FROM dd) "
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup: one survivor per identical text (hash group-by — the
+    // shuffle carries 8-byte keys, not documents).
+    "q_dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exactKeepers(t(s, d, "documents"), "text", "doc_id"),
+      Some("SELECT min(doc_id) AS keep_id FROM documents GROUP BY text")),
+
+    // MinHash(128) + 32-band LSH candidates + exact jaccard >= 0.8 verify.
+    // Oracle: brute-force all-pairs jaccard (n=500 at sf0.01).
+    "q_dedup_near" -> QueryDef(
+      (s, d) => Dedup.nearPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8),
+      Some(shingleCte +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "floor((len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(a.s || b.s))) * 1000000)::BIGINT AS jac_micros " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(a.s || b.s)) >= 0.8")),
+
+    // Embedding-cosine near-dup, exact self-join (the gate-scale path; the
+    // LSH blocking path is exercised in DedupSpec where the cosine gap is
+    // controlled — this fixture's embeddings are unclustered, so blocking
+    // would degenerate to all-pairs anyway).
+    "q_dedup_embed" -> QueryDef(
+      (s, d) => Dedup.cosinePairsExact(t(s, d, "embeddings"),
+        "vec_id", "embedding", 0.45),
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) " +
+        "SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "floor(list_cosine_similarity(a.v, b.v) * 1000000)::BIGINT AS cos_micros " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.v, b.v) >= 0.45")),
+
+    // SimHash fingerprint dedup: hamming<=3 pairs via the exact pigeonhole
+    // chunk join. No SQL oracle (xxhash64 is not expressible in DuckDB);
+    // the driver records a rows-only check and DedupSpec pins semantics.
+    "q_dedup_simhash" -> QueryDef(
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, maxHamming = 3),
+      None)
+  )
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators: LSH completeness/candidate economics on controlled
+  * data, SimHash semantics, exact dedup survivors. */
+class DedupSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  test("exactKeepers keeps min id per duplicate group") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "bbb"))
+      .toDF("id", "text")
+    val keep = Dedup.exactKeepers(df, "text", "id").as[Long].collect().toSet
+    assert(keep === Set(1L, 2L, 4L))
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    val nearDup = base.replace("lazy", "sleepy")      // high jaccard
+    val other = "completely different words about databases and storage engines " * 6
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base + " extra"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts → hamming 0; near texts close; disjoint texts far") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b = a.replace("kappa", "lambda")
+    val c = "one two three four five six seven eight nine ten " * 4
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "text")
+    val fp = df.select(col("id"),
+      Dedup.simhash64(TextFunctions.shingles(col("text"), 3)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("simhash pigeonhole pairs include every hamming<=3 pair (exact blocking)") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val df = Seq((1L, a), (2L, a), (3L, a + " tail"), (4L, "x y z w v u t s r q " * 4))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute-force reference over the same fingerprints
+    val fp = df.select(col("doc_id"),
+      Dedup.simhash64(TextFunctions.shingles(col("text"), 3)).as("fp"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (i, fi) <- fp; (j, fj) <- fp
+      if i < j && java.lang.Long.bitCount(fi ^ fj) <= 3
+    } yield (i, j)).toSet
+    assert(got === want)
+  }
+
+  test("embedding LSH blocking: 100% recall on clustered data, far fewer candidates than all-pairs") {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 20 cluster centers; 3 members each at cosine ~0.98; members of
+    // different clusters are near-orthogonal in 32 dims.
+    val rows = for {
+      c <- 0 until 20
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      m <- 0 until 3
+    } yield ((c * 3 + m).toLong,
+      unit(center.zipWithIndex.map { case (x, i) =>
+        x + 0.08f * rnd.nextGaussian().toFloat }))
+    val df = rows.toDF("vec_id", "embedding")
+    val cands = Dedup.embedCandidates(df, "vec_id", "embedding", dim,
+      planes = 128, bands = 16)
+    val truth = Dedup.cosinePairsExact(df, "vec_id", "embedding", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val candSet = cands.as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(candSet),
+      s"missed ${truth.diff(candSet).size} of ${truth.size} true pairs")
+    val allPairs = rows.size * (rows.size - 1) / 2
+    assert(candSet.size < allPairs / 4,
+      s"blocking degenerated: ${candSet.size} of $allPairs pairs")
+  }
+}
