@@ -19,7 +19,8 @@ object SparkEntry {
     VectorQueries.defs,
     RelationalQueries.defs,
     TextQueries.defs,
-    DedupQueries.defs
+    DedupQueries.defs,
+    StatsQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,199 @@
+package graft.stats
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Metadata-only statistics (SURVEY §2.3/2.4): the analogs of the
+  * reference's EstimateMinMax (Z4, columnar/columnar.cpp:649-675), CalcCount
+  * (I6, secondary/secondary.cpp:774-812), stored ndv (I7,
+  * secondary.cpp:380-388), whole-segment EarlyReject (Z2,
+  * columnar.cpp:695-704), and min/max tree roots (Z1,
+  * builderminmax.h:166-178) — all answered from Parquet footers without
+  * scanning a single data page.
+  *
+  * 100 TB design: footer reads are per-file driver work and do NOT scale to
+  * millions of files — that is what the file-stats CATALOG is for: one
+  * engine-written table holding (file, rows, bytes, per-column min/max),
+  * built once per table (distributed) and consulted for pruning/estimates
+  * ever after — the true analog of the reference's per-segment header block
+  * (SURVEY M6). `buildCatalog` is that builder; `pruneFiles`/`earlyReject`
+  * are the consumers.
+  */
+object Stats {
+
+  final case class ColStats(min: Option[Any], max: Option[Any],
+                            nulls: Option[Long])
+  final case class FileStats(path: String, rows: Long, bytes: Long,
+                             cols: Map[String, ColStats])
+
+  private def footer(f: java.io.File, conf: Configuration): ParquetMetadata = {
+    val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf)
+    val r = ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
+
+  private def parquetFiles(path: String): Seq[java.io.File] = {
+    val p = new java.io.File(path)
+    if (p.isFile) Seq(p)
+    else Option(p.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+  }
+
+  private def normalize(v: Any): Any = v match {
+    case b: Binary => b.toStringUsingUTF8
+    case x => x
+  }
+
+  /** Per-file footer statistics (driver-side; for the catalog path at scale
+    * use [[buildCatalog]], which distributes this). */
+  def fileStats(path: String, conf: Configuration = new Configuration()): Seq[FileStats] =
+    parquetFiles(path).map { f =>
+      val fmd = footer(f, conf)
+      val blocks = fmd.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val bytes = f.length()
+      val cols = scala.collection.mutable.Map.empty[String, (Option[Any], Option[Any], Long)]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            val cmp = st.comparator.asInstanceOf[java.util.Comparator[AnyRef]]
+            val (mn, mx, nl) = cols.getOrElse(name, (None, None, 0L))
+            val nmn = mn match {
+              case Some(m) if cmp.compare(m.asInstanceOf[AnyRef], st.genericGetMin.asInstanceOf[AnyRef]) <= 0 => mn
+              case _ => Some(st.genericGetMin)
+            }
+            val nmx = mx match {
+              case Some(m) if cmp.compare(m.asInstanceOf[AnyRef], st.genericGetMax.asInstanceOf[AnyRef]) >= 0 => mx
+              case _ => Some(st.genericGetMax)
+            }
+            cols(name) = (nmn, nmx, nl + (if (st.isNumNullsSet) st.getNumNulls else 0L))
+          }
+        }
+      }
+      FileStats(f.getAbsolutePath, rows, bytes,
+        cols.map { case (k, (mn, mx, nl)) =>
+          k -> ColStats(mn.map(normalize), mx.map(normalize), Some(nl))
+        }.toMap)
+    }
+
+  /** I6 CalcCount analog: exact row count from footers — no scan. */
+  def rowCount(path: String): Long = fileStats(path).map(_.rows).sum
+
+  /** Z1 min/max tree root analog: column min/max from footers — no scan.
+    * Exact for numeric columns (Parquet numeric stats are not truncated). */
+  def minMax(path: String, column: String): Option[(Any, Any)] = {
+    val per = fileStats(path).flatMap(_.cols.get(column))
+    val mins = per.flatMap(_.min)
+    val maxs = per.flatMap(_.max)
+    if (mins.isEmpty) None
+    else (mins.head, maxs.head) match {
+      case (_: java.lang.Long, _) =>
+        Some((mins.map(_.asInstanceOf[Long]).min, maxs.map(_.asInstanceOf[Long]).max))
+      case (_: java.lang.Integer, _) =>
+        Some((mins.map(_.asInstanceOf[Int]).min, maxs.map(_.asInstanceOf[Int]).max))
+      case (_: java.lang.Double, _) =>
+        Some((mins.map(_.asInstanceOf[Double]).min, maxs.map(_.asInstanceOf[Double]).max))
+      case (_: java.lang.Float, _) =>
+        Some((mins.map(_.asInstanceOf[Float]).min, maxs.map(_.asInstanceOf[Float]).max))
+      case (_: String, _) =>
+        Some((mins.map(_.asInstanceOf[String]).min, maxs.map(_.asInstanceOf[String]).max))
+      case _ => None
+    }
+  }
+
+  /** Z4 EstimateMinMax analog: upper-bound cardinality of `lo <= col <= hi`
+    * — sum of row counts of ROW GROUPS whose [min,max] intersects the range
+    * (the reference walks its min/max tree at reduced depth; the row group
+    * is our tree level). Footer-only. */
+  def estimateRange(path: String, column: String, lo: Double, hi: Double): Long = {
+    val conf = new Configuration()
+    parquetFiles(path).map { f =>
+      footer(f, conf).getBlocks.asScala.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case Some(cc) if cc.getStatistics != null && cc.getStatistics.hasNonNullValue =>
+            val st = cc.getStatistics
+            val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, b2: java.lang.Long) => (a.toDouble, b2.toDouble)
+              case (a: java.lang.Integer, b2: java.lang.Integer) => (a.toDouble, b2.toDouble)
+              case (a: java.lang.Double, b2: java.lang.Double) => (a.toDouble, b2.toDouble)
+              case (a: java.lang.Float, b2: java.lang.Float) => (a.toDouble, b2.toDouble)
+              case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
+            }
+            if (mx < lo || mn > hi) 0L else b.getRowCount
+          case _ => b.getRowCount // no stats → cannot prune, count it
+        }
+      }.sum
+    }.sum
+  }
+
+  /** Z2 whole-segment EarlyReject analog: true iff NO file can contain a row
+    * in [lo, hi] — the query can skip the table without touching data. */
+  def earlyReject(path: String, column: String, lo: Double, hi: Double): Boolean =
+    estimateRange(path, column, lo, hi) == 0L
+
+  // ---- file-stats catalog (the 100 TB pruning seam, SURVEY M6) ----
+
+  /** Build the file-stats catalog AS A SPARK JOB (footer reads distributed
+    * across executors — this is what scales to millions of files): one row
+    * per file with rows/bytes and min/max per requested numeric column. */
+  def buildCatalog(spark: SparkSession, tableDir: String,
+                   columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val files = parquetFiles(tableDir).map(_.getAbsolutePath)
+    val colsB = spark.sparkContext.broadcast(columns)
+    val rows = spark.sparkContext.parallelize(files, math.max(1, files.size))
+      .map { p =>
+        val conf = new Configuration()
+        val fmd = footer(new java.io.File(p), conf)
+        val blocks = fmd.getBlocks.asScala
+        val nRows = blocks.map(_.getRowCount).sum
+        val stats = colsB.value.map { c =>
+          val per = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c))
+            .filter(cc => cc.getStatistics != null && cc.getStatistics.hasNonNullValue)
+            .map { cc =>
+              val st = cc.getStatistics
+              def d(v: Any): Double = v match {
+                case x: java.lang.Long => x.toDouble
+                case x: java.lang.Integer => x.toDouble
+                case x: java.lang.Double => x
+                case x: java.lang.Float => x.toDouble
+                case _ => Double.NaN
+              }
+              (d(st.genericGetMin), d(st.genericGetMax))
+            }
+          if (per.isEmpty) (c, Double.NaN, Double.NaN)
+          else (c, per.map(_._1).min, per.map(_._2).max)
+        }
+        (p, nRows, stats.map { case (c, mn, _) => c -> mn }.toMap,
+          stats.map { case (c, _, mx) => c -> mx }.toMap)
+      }
+    rows.toDF("file", "rows", "col_min", "col_max")
+  }
+
+  /** Consult the catalog: files that may contain rows with col in [lo, hi].
+    * At 100 TB this runs BEFORE any footer is opened. */
+  def pruneFiles(catalog: DataFrame, column: String,
+                 lo: Double, hi: Double): DataFrame =
+    catalog.filter(
+      element_at(col("col_max"), column) >= lo &&
+      element_at(col("col_min"), column) <= hi)
+      .select(col("file"), col("rows"))
+
+  /** I7 GetCountDistinct analog: the exact path is `countDistinct` (one
+    * shuffle); the stored-metadata path is the catalog + HLL sketch. This
+    * helper gives the approximate answer with Spark's HLL++ — the same
+    * sketch family the reference would consult precomputed. */
+  def approxNdv(df: DataFrame, column: String, rsd: Double = 0.05): Long =
+    df.select(approx_count_distinct(col(column), rsd)).head.getLong(0)
+}
