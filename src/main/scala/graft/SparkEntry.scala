@@ -20,7 +20,8 @@ object SparkEntry {
     RelationalQueries.defs,
     TextQueries.defs,
     DedupQueries.defs,
-    StatsQueries.defs
+    StatsQueries.defs,
+    PipelineQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.embed.Embeddings
+import graft.pipeline.Multimodal
+
+/** Oracle-checked corpus for the embedding stage (K8) and the multimodal
+  * column convention — both run their REAL distributed path (mapPartitions
+  * with per-partition provider/decoder instances); the oracles replicate the
+  * deterministic stub math in SQL.
+  */
+object PipelineQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // K8 text→embedding stage. normalize=false keeps exact integer counts,
+    // so the feature-hash embedding is SQL-checkable: c0 = tokens hashing
+    // to bucket 0, norm2 = Σ count². The bucket function is the same
+    // rolling hash as TextFunctions.fingerprint, mod dim=16.
+    "q_embed_stub" -> QueryDef(
+      (s, d) => {
+        val emb = Embeddings.embedStage(t(s, d, "documents"), "text", "emb",
+          () => Embeddings.HashingProvider(16, normalize = false))
+        val counts = transform(col("emb"), x => x.cast("long"))
+        emb.select(col("doc_id"),
+          element_at(counts, 1).as("c0"),
+          aggregate(counts, lit(0L), (a, x) => a + x * x).as("norm2"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
+        "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007) % 16 AS bucket FROM tok), " +
+        "counts AS (SELECT doc_id, bucket, count(*)::BIGINT n FROM hashed GROUP BY 1, 2) " +
+        "SELECT doc_id, coalesce(sum(n) FILTER (bucket = 0), 0)::BIGINT AS c0, " +
+        "sum(n*n)::BIGINT AS norm2 FROM counts GROUP BY doc_id")),
+
+    // Multimodal round trip: engine-written binary payload + metadata
+    // struct, decoded by the (stub) per-partition decode stage. The oracle
+    // recomputes payload byte statistics from the text (fixture is ASCII,
+    // so codepoints == UTF-8 bytes).
+    "q_multimodal" -> QueryDef(
+      (s, d) => {
+        val mm = graft.tables.Derived.table(s, d, "documents_mm")
+        Multimodal.decodeStage(mm, "blob", "feat", Multimodal.ByteStatsDecoder)
+          .select(col("doc_id"),
+            col("blob.meta.format").as("format"),
+            col("blob.meta.size_bytes").as("size_bytes"),
+            col("feat.byte_sum").as("byte_sum"))
+      },
+      Some("SELECT doc_id, 'txt' AS format, " +
+        "strlen(text)::BIGINT AS size_bytes, " +
+        "list_reduce(list_transform(string_split(text,''), " +
+        "c -> unicode(c)::BIGINT), (a, b) -> a + b) AS byte_sum " +
+        "FROM documents"))
+  )
+}

@@ -58,6 +58,17 @@ object Derived {
       val c = graft.engine.Graft.table(spark, sfDir, "customer")
       Writer.write(c, path, sortBy = Seq("c_custkey"),
         hashCompanions = Seq("c_mktsegment"))
+    }),
+
+    // Multimodal table: documents with a packed binary payload + metadata
+    // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
+    // for image/audio bytes; the schema/plumbing is the real convention).
+    "documents_mm" -> ((spark, sfDir, path) => {
+      val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+      val mm = docs.withColumn("blob",
+        graft.pipeline.Multimodal.packBlob(
+          col("text").cast("binary"), lit("txt"), col("n_chars"), lit(1)))
+      Writer.write(mm, path, sortBy = Seq("doc_id"))
     })
   )
 
