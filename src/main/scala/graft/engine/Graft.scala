@@ -27,6 +27,9 @@ object Graft {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // Engine planner rules (hash-companion rewrite) — same registration a
+      // cluster deployment uses via --conf spark.sql.extensions.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native

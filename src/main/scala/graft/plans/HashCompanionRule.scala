@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, In, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Catalyst optimizer rule: string-equality → hash-companion fast path.
+  *
+  * The reference rewrites STRINGS filters into VALUES filters over the
+  * hidden `$name_HASH` column when one exists (common/filter.cpp:77-90,
+  * columnar/columnar.cpp:524-532) so equality never touches string payloads.
+  * Our engine writes `<name>__hash` companions (tables/Writer); this rule
+  * makes the rewrite automatic: any `Filter` with `col = 'lit'` or
+  * `col IN (lits)` over a relation that also exposes `col__hash` gains the
+  * equivalent xxhash64 predicate, which Parquet can evaluate against
+  * dictionary/stats of a fixed-width long column.
+  *
+  * The original string predicate is KEPT (collision safety: the conjunction
+  * is exact while the hash predicate prunes row groups/pages) — same shape
+  * as the reference keeping the analyzer as final verifier. Registered via
+  * [[GraftExtensions]]: `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object HashCompanionRule extends Rule[LogicalPlan] {
+
+  private def companionOf(a: Attribute, plan: LogicalPlan): Option[Attribute] =
+    plan.output.find(o => o.name == a.name + graft.tables.Writer.HashSuffix
+      && o.dataType == LongType)
+
+  private def hashLit(s: Any): Literal = s match {
+    case u: org.apache.spark.unsafe.types.UTF8String if u.numBytes == 0 =>
+      Literal(0L) // empty-string hash pinned to 0 (common/filter.cpp:87)
+    case other =>
+      Literal(XxHash64(Seq(Literal(other, StringType)), 42L).eval(null), LongType)
+  }
+
+  private def rewrite(cond: Expression, child: LogicalPlan): Expression = cond match {
+    case eq @ EqualTo(a: Attribute, l @ Literal(v, StringType)) if v != null =>
+      companionOf(a, child)
+        .map(h => And(EqualTo(h, hashLit(v)), eq)).getOrElse(eq)
+    case eq @ EqualTo(l @ Literal(v, StringType), a: Attribute) if v != null =>
+      companionOf(a, child)
+        .map(h => And(EqualTo(h, hashLit(v)), eq)).getOrElse(eq)
+    case in @ In(a: Attribute, vs) if a.dataType == StringType &&
+        vs.nonEmpty && vs.forall {
+          case Literal(v, StringType) => v != null
+          case _ => false } =>
+      companionOf(a, child).map { h =>
+        And(In(h, vs.map { case Literal(v, _) => hashLit(v) }), in)
+      }.getOrElse(in)
+    case And(l, r) => And(rewrite(l, child), rewrite(r, child))
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Fixpoint guard: skip filters that already reference a companion column
+    // (either user-written or added by a previous pass of this rule).
+    case f @ Filter(cond, child)
+        if !cond.references.exists(_.name.endsWith(graft.tables.Writer.HashSuffix)) =>
+      val next = rewrite(cond, child)
+      if (next.fastEquals(cond)) f else Filter(next, child)
+  }
+}
+
+/** Session extension registration point (SparkSessionExtensions — the
+  * engine's planner-integration seam). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => HashCompanionRule)
+  }
+}

@@ -145,6 +145,19 @@ object RelationalQueries {
       Some("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP (l_returnflag, l_linestatus)")),
 
+    // Grouped top-k via the custom bounded-merge Aggregator (map-side
+    // partial aggregation ships at most k rows per group through the
+    // shuffle; a window function would shuffle every row). Oracle is the
+    // equivalent window formulation.
+    "q_topk_group" -> QueryDef(
+      (s, d) => graft.vector.TopK.perGroup(
+        t(s, d, "orders"), "o_orderpriority", "o_orderkey", "o_totalprice", 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("rn")),
+      Some("SELECT o_orderpriority, o_orderkey, rn FROM (" +
+        "SELECT o_orderpriority, o_orderkey, row_number() OVER (" +
+        "PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey" +
+        ") AS rn FROM orders) WHERE rn <= 3")),
+
     "q_cube" -> QueryDef(
       (s, d) => t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.vector.Knn
+import graft.vector.{Ivf, Knn}
 
 /** Oracle-checked corpus for vector search (SURVEY.md §2.5, K1-K4+K7) over
   * the `embeddings` fixture (vec_id BIGINT, embedding FLOAT[64], label INT).
@@ -79,6 +79,32 @@ object VectorQueries {
     "q_knn_filtered" -> QueryDef(
       (s, d) => topK(s, d, Knn.L2, Some(col("label") === 3)),
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
-        "WHERE label = 3 ")))
+        "WHERE label = 3 "))),
+
+    // K1/K6 index path: IVF coarse-quantizer search. Probing ALL lists is
+    // exact by construction, so the index path shares the fullscan oracle —
+    // proving the index loses nothing; nprobe<nlist recall/pruning is
+    // spec-tested (IvfTopKSpec) where the data is clustered.
+    "q_knn_ivf" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfIndex(s, d)
+        Ivf.search(s, path, m, "vec_id", "embedding", queryVec(s, d),
+            k = 10, nprobe = m.nlist)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)")))
   )
+
+  // Memoized IVF index per sfDir (train + clustered write happen once —
+  // the reference's CreateKNNBuilder path, knn/knn.cpp:638-786).
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Ivf.Model, String)]
+
+  private def ivfIndex(s: SparkSession, d: String): (Ivf.Model, String) =
+    ivfCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings"
+      val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 16)
+      Ivf.buildIndex(t(s, d, "embeddings"), "embedding", m, path)
+      (m, path)
+    })
 }

@@ -1,0 +1,121 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** IVF (inverted-file) ANN index — the partitioned scale path behind the
+  * exact scoreAndTopK (SURVEY §2.5 K1/K6 design space; the reference ships
+  * HNSW, knn/knn.cpp:221 — IVF is the Spark-shaped equivalent because its
+  * two phases map onto Spark primitives: a coarse quantizer assigns each
+  * vector to a centroid list, and search scans only the `nprobe` closest
+  * lists).
+  *
+  * Layout: the index is the base table + an `ivf_cluster` column, written
+  * range-clustered by cluster id (tables/Writer) — so a probe of p of n
+  * lists reads ~p/n of the files (file/row-group pruning on a long column),
+  * the exact analog of the reference reading one HNSW layer instead of the
+  * flat store.
+  *
+  * Search cost model: fullscan evaluates N distances; IVF evaluates
+  * nlist + N*nprobe/nlist. [[Knn.shouldUseFullscan]] stays the routing seam
+  * (knn/knn.cpp:613-620): selective attribute filters bypass the index.
+  *
+  * Exactness contract: nprobe = nlist degenerates to an exact (but
+  * file-pruned) scan — the oracle-checked configuration; recall at
+  * nprobe < nlist is data-dependent and spec-tested on clustered data.
+  */
+object Ivf {
+
+  final case class Model(centroids: Seq[Array[Float]], metric: Knn.Metric) {
+    def nlist: Int = centroids.size
+    /** Driver-side centroid distances for a query (nlist is small). */
+    def probeOrder(q: Array[Float]): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (Ivf.scalarDist(metric, q, c), i)
+      }.sortBy(_._1).map(_._2)
+  }
+
+  private[vector] def scalarDist(metric: Knn.Metric, a: Array[Float],
+                                 b: Array[Float]): Double = metric match {
+    case Knn.L2 =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      math.sqrt(acc)
+    case Knn.IP =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      1.0 - acc
+    case Knn.Cosine =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      1.0 - (if (den == 0.0) 0.0 else dot / den)
+  }
+
+  /** Distance from a vector column to each centroid (expression tree over a
+    * broadcast literal centroid table). */
+  private def distArray(vec: org.apache.spark.sql.Column, m: Model) = {
+    val cents = typedLit(m.centroids.map(_.toSeq))
+    transform(sequence(lit(1), lit(m.nlist)), i =>
+      Knn.distCol(m.metric, vec, element_at(cents, i).cast("array<float>")))
+  }
+
+  /** Nearest-centroid id (0-based) for each row. */
+  def assign(df: DataFrame, vecCol: String, m: Model): DataFrame = {
+    val d = distArray(col(vecCol), m)
+    df.withColumn("ivf_cluster",
+      (array_position(d, array_min(d)) - 1).cast("long"))
+  }
+
+  /** Train a coarse quantizer: deterministic seed pick (smallest
+    * xxhash64(vector) rows) + Lloyd iterations executed as DataFrame jobs
+    * (assign = expression argmin; update = per-dimension mean via
+    * posexplode — both scale-out, no driver data loops). */
+  def train(df: DataFrame, vecCol: String, nlist: Int,
+            metric: Knn.Metric = Knn.L2, iters: Int = 2): Model = {
+    val seeds = df.select(col(vecCol)).orderBy(xxhash64(col(vecCol)))
+      .limit(nlist).collect().map(_.getSeq[Float](0).toArray).toSeq
+    var m = Model(seeds, metric)
+    (0 until iters).foreach { _ =>
+      val assigned = assign(df, vecCol, m)
+      val means = assigned
+        .select(col("ivf_cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("ivf_cluster", "pos").agg(avg("v").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getLong(0))
+      val next = m.centroids.indices.map { c =>
+        byCluster.get(c.toLong) match {
+          case Some(rows) =>
+            val dim = rows.length
+            val arr = new Array[Float](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            arr
+          case None => m.centroids(c) // empty list keeps its centroid
+        }
+      }
+      m = Model(next, metric)
+    }
+    m
+  }
+
+  /** Write the index: assigned rows range-clustered by list id, so probes
+    * prune files. */
+  def buildIndex(df: DataFrame, vecCol: String, m: Model, path: String,
+                 files: Int = 4): Unit =
+    graft.tables.Writer.write(assign(df, vecCol, m), path,
+      sortBy = Seq("ivf_cluster"), files = files)
+
+  /** Top-k search probing the `nprobe` lists closest to the query.
+    * nprobe = nlist ⇒ exact. */
+  def search(spark: SparkSession, indexPath: String, m: Model,
+             idCol: String, vecCol: String, query: Array[Float],
+             k: Int, nprobe: Int): DataFrame = {
+    val probes = m.probeOrder(query).take(nprobe).map(_.toLong)
+    val scanned = spark.read.parquet(indexPath)
+      .filter(col("ivf_cluster").isin(probes: _*))
+    Knn.knn(scanned, vecCol, idCol, query, k, m.metric)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.SparkT
+import graft.tables.Writer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The automatic string→hash-companion rewrite: plan gains the pushable
+  * long predicate, results stay exact (collision-safe conjunction). */
+class HashCompanionRuleSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  // Inject on the shared test session via the public experimental hook —
+  // equivalent to spark.sql.extensions at session build time.
+  SparkT.spark.experimental.extraOptimizations =
+    Seq(HashCompanionRule)
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-hc").resolve("t").toString
+    val df = (1 to 2000).map(i => (i.toLong, Seq("alpha", "beta", "gamma", "")(i % 4)))
+      .toDF("id", "seg")
+    Writer.write(df, d, sortBy = Seq("id"), hashCompanions = Seq("seg"))
+    d
+  }
+
+  test("equality filter gains the hash predicate and stays exact") {
+    val df = SparkT.spark.read.parquet(dir).filter($"seg" === "alpha")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("seg__hash"), physical)
+    assert(df.count() === 500)
+  }
+
+  test("IN filter gains the hash predicate and stays exact") {
+    val df = SparkT.spark.read.parquet(dir).filter($"seg".isin("alpha", "beta"))
+    assert(df.queryExecution.executedPlan.toString.contains("seg__hash"))
+    assert(df.count() === 1000)
+  }
+
+  test("empty-string literal uses the pinned hash 0") {
+    val df = SparkT.spark.read.parquet(dir).filter($"seg" === "")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("seg__hash"), plan)
+    assert(plan.contains("= 0)") || plan.contains("0 ="), plan)
+    assert(df.count() === 500)
+  }
+
+  test("tables without a companion are untouched") {
+    val df = Seq((1L, "x")).toDF("id", "seg").filter($"seg" === "x")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("__hash"))
+    assert(df.count() === 1)
+  }
+
+  test("rule is idempotent (no predicate stacking at fixpoint)") {
+    val df = SparkT.spark.read.parquet(dir).filter($"seg" === "alpha")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert("seg__hash".r.findAllIn(plan).size <= 2, plan)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.vector
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** IVF index: exactness at nprobe=nlist, recall/pruning at nprobe<nlist on
+  * clustered data; grouped top-k Aggregator vs a window-function reference. */
+class IvfTopKSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  // 8 well-separated clusters of 40 vectors each in 16 dims.
+  private lazy val (df, queryVec) = {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      m <- 0 until 40
+    } yield ((ci * 40 + m).toLong,
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    (rows.toDF("vec_id", "embedding"), rows.head._2)
+  }
+
+  test("IVF with nprobe=nlist returns exactly the fullscan top-k") {
+    val m = Ivf.train(df, "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivf").resolve("ix").toString
+    Ivf.buildIndex(df, "embedding", m, dir)
+    val exact = Knn.knn(df, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaIndex = Ivf.search(SparkT.spark, dir, m, "vec_id", "embedding",
+      queryVec, 10, nprobe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex === exact)
+  }
+
+  test("IVF with nprobe=1 on clustered data: full recall, scans a fraction of rows") {
+    val m = Ivf.train(df, "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivf2").resolve("ix").toString
+    Ivf.buildIndex(df, "embedding", m, dir)
+    val exact = Knn.knn(df, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val probed = Ivf.search(SparkT.spark, dir, m, "vec_id", "embedding",
+      queryVec, 10, nprobe = 1)
+    assert(probed.select("vec_id").as[Long].collect().toSet === exact)
+    // the probe reads only the one list (~40 rows of 320)
+    val probes = m.probeOrder(queryVec).take(1).map(_.toLong)
+    val scanned = SparkT.spark.read.parquet(dir)
+      .filter($"ivf_cluster".isin(probes: _*)).count()
+    assert(scanned <= 80, s"probe scanned $scanned of 320 rows")
+  }
+
+  test("grouped top-k Aggregator matches the window-function reference") {
+    val data = (1 to 500).map(i =>
+      (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))
+    val d = data.toDF("grp", "id", "v")
+    val got = TopK.perGroup(d, "grp", "id", "v", 3)
+      .select("grp", "id", "rn").as[(String, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").asc, col("id").asc)
+    val want = d.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select("grp", "id", "rn").as[(String, Long, Int)].collect().toSet
+    assert(got === want)
+  }
+}
