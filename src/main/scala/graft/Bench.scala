@@ -23,6 +23,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      .config("spark.sql.files.minPartitionNum", (cpus.toInt * 2).toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

