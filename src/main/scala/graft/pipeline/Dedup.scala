@@ -27,11 +27,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"))
       .select("keep_id")
 
-  /** MinHash signature: k independent hash functions = xxhash64 seeded by
-    * the function index, min over the shingle set. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** MinHash signature: each shingle STRING is hashed exactly once
+    * (xxhash64 over the bytes), and the k functions re-hash that 8-byte
+    * value seeded by the function index — a min-wise family at 1/len(s) of
+    * the cost of re-hashing strings k times (the higher-order-function
+    * lambdas evaluate interpreted, so per-element cost is the wall clock). */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val base = transform(shingles, s => xxhash64(s))
     transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, s => xxhash64(i, s))))
+      array_min(transform(base, h => xxhash64(i, h))))
+  }
 
   /** LSH band keys: signature split into `bands` runs of k/bands rows; each
     * band hashed to one 64-bit key. Two sets with jaccard j share at least
@@ -40,15 +45,72 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(b, slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
 
+  /** The k-functions × shingles signature loop is the one COMPUTE-BOUND
+    * kernel of the pipeline (k·|shingles| hash evaluations per document).
+    * As an expression tree it runs through interpreted higher-order-function
+    * lambdas (~µs per element — boxing + InternalRow per call); as a plain
+    * Scala loop it is JIT'd primitive arithmetic (~ns per element). This is
+    * the sanctioned "mapPartitions for genuine per-partition imperative
+    * logic" case — the same reason the reference hand-writes its kernels
+    * (knn/space.cpp). Spark's own XXH64 is used with functions.xxhash64's
+    * seed, so values match the expression path bit-for-bit.
+    */
+  /** Scala twin of TextFunctions.shingles — same token/shingle definition
+    * (DedupSpec asserts equality). The expression form inlines the split()
+    * subtree into every lambda element (tokenization recomputed per shingle
+    * per element_at), so the pipeline uses this instead. */
+  private[pipeline] def shinglesScala(text: String, n: Int): Seq[String] = {
+    val toks = Option(text).getOrElse("").trim
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Vector.empty
+    else toks.sliding(n).map(_.mkString(" ")).toVector.distinct
+  }
+
+  private def shingleHash(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  private def bandKeysScala(sh: Seq[String], k: Int, bands: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val r = k / bands
+    val mins = Array.fill(k)(Long.MaxValue)
+    sh.foreach { s =>
+      val h = shingleHash(s)
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashLong(h, i); if (v < mins(i)) mins(i) = v; i += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      var acc = XXH64.hashLong(b, 7777L)
+      var j = 0
+      while (j < r) { acc = XXH64.hashLong(mins(b * r + j) ^ acc, 91L); j += 1 }
+      acc
+    }
+  }
+
   /** Candidate pairs (a < b) from banded MinHash LSH over a shingle-set
-    * column. Rows with empty shingle sets never pair. */
+    * column. Rows with empty shingle sets never pair. The id column must be
+    * integral (cast to long). */
   def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
                         k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val sig = minhashSignature(col(shingleCol), k)
+    import df.sparkSession.implicits._
+    // Repartition before the signature stage: compute-bound, so width must
+    // come from cores, not from however few file splits the input had;
+    // round-robin also balances document-length skew.
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val banded = df.filter(size(col(shingleCol)) > 0)
-      .select(col(idCol).as("mid"),
-        posexplode(bandKeys(sig, bands, k / bands)).as(Seq("band", "key")))
+      .repartition(width)
+      .select(col(idCol).cast("long").as("mid"), col(shingleCol).as("sh"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        bandKeysScala(sh, k, bands).iterator.zipWithIndex
+          .map { case (key, b) => (id, b, key) }
+      }
+      .toDF("mid", "band", "key")
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
@@ -80,8 +142,12 @@ object Dedup {
   def nearPairs(df: DataFrame, idCol: String, textCol: String,
                 shingleN: Int = 3, threshold: Double = 0.8,
                 k: Int = 128, bands: Int = 32): DataFrame = {
-    val withSh = df.select(col(idCol),
-      TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+    import df.sparkSession.implicits._
+    val withSh = df
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shinglesScala(t, shingleN)) }
+      .toDF(idCol, "sh")
     val cands = minhashCandidates(withSh, idCol, "sh", k, bands)
     jaccardVerify(cands, withSh, idCol, "sh", threshold)
   }
@@ -94,11 +160,14 @@ object Dedup {
   private val pow2: Column = typedLit((0 until 64).map(j => 1L << j).toArray)
 
   def simhash64(shingles: Column): Column = {
-    val counters = aggregate(shingles,
+    // Hash each shingle once; all 64 bit tests run on the same long value
+    // (same fingerprints as re-hashing per bit, 64x cheaper).
+    val hashes = transform(shingles, s => xxhash64(s))
+    val counters = aggregate(hashes,
       array_repeat(lit(0), 64),
-      (acc, s) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(1), lit(64)), j =>
-          when(xxhash64(s).bitwiseAND(element_at(pow2, j)) =!= 0, 1).otherwise(-1)),
+          when(h.bitwiseAND(element_at(pow2, j)) =!= 0, 1).otherwise(-1)),
         (x, y) => x + y))
     aggregate(zip_with(counters, sequence(lit(1), lit(64)),
         (cnt, j) => when(cnt >= 0, element_at(pow2, j)).otherwise(0L)),
@@ -110,11 +179,34 @@ object Dedup {
     * pair within hamming distance 3 shares at least one identical chunk, so
     * the chunk equi-join misses nothing (this blocking is deterministic,
     * unlike probabilistic LSH). */
+  /** Scala twin of [[simhash64]] — identical fingerprints (same xxhash64
+    * values, same sign rule), JIT'd loop speed; used by the pair pipeline.
+    * DedupSpec asserts the two stay bit-equal. */
+  def simhash64Scala(sh: Seq[String]): Long = {
+    val counters = new Array[Int](64)
+    sh.foreach { s =>
+      val h = shingleHash(s)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (counters(j) >= 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    import df.sparkSession.implicits._
     val withFp = df
-      .select(col(idCol).as("sid"),
-        simhash64(TextFunctions.shingles(col(textCol), shingleN)).as("fp"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("sid"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64Scala(shinglesScala(t, shingleN))) }
+      .toDF("sid", "fp")
     // Chunk key = fp masked to the chunk's 16 bits (position-shifted values
     // are unnecessary: the join also matches on the chunk index).
     val chunkMasks = typedLit((0 until 4).map(c => 0xFFFFL << (c * 16)).toArray)
@@ -139,7 +231,9 @@ object Dedup {
     */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    // The streamed side of the nested-loop join sets the parallelism.
+    val a = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("a") < col("b"))
       .withColumn("cos", graft.vector.distances.cosineSim(col("va"), col("vb")))

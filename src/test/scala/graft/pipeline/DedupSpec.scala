@@ -42,6 +42,33 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("shinglesScala matches the TextFunctions.shingles expression") {
+    val texts = Seq("the quick brown fox jumps", "a b", "", "  x  y  z  w  ",
+      "dup dup dup dup dup")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val expr = df.select(col("id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.indices.foreach { i =>
+      assert(Dedup.shinglesScala(texts(i), 3).toSet === expr(i.toLong).toSet, s"doc $i")
+    }
+  }
+
+  test("simhash64Scala is bit-equal to the expression simhash64") {
+    val texts = Seq("alpha beta gamma delta epsilon zeta",
+      "one two three four five six seven", "x y z w v u t s r q p o n m")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val expr = df.select(col("id"),
+      Dedup.simhash64(TextFunctions.shingles(col("text"), 3)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val sh3 = df.select(col("id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.indices.foreach { i =>
+      assert(Dedup.simhash64Scala(sh3(i.toLong)) === expr(i.toLong), s"doc $i")
+    }
+  }
+
   test("simhash pigeonhole pairs include every hamming<=3 pair (exact blocking)") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     val df = Seq((1L, a), (2L, a), (3L, a + " tail"), (4L, "x y z w v u t s r q " * 4))
