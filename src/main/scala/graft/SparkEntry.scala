@@ -21,7 +21,8 @@ object SparkEntry {
     TextQueries.defs,
     DedupQueries.defs,
     StatsQueries.defs,
-    PipelineQueries.defs
+    PipelineQueries.defs,
+    IndexQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = {

@@ -31,14 +31,19 @@ object TextFunctions {
     regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Distinct word n-gram shingles (the MinHash input). Documents shorter
-    * than n tokens yield an empty array. */
-  def shingles(c: Column, n: Int): Column = {
-    val w = tokens(c)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * than n tokens yield an empty array.
+    *
+    * The token array is BOUND to a lambda variable (transform over a
+    * 1-element array) so tokenization runs once per row — naively
+    * referencing `tokens(c)` inside the per-shingle lambda would re-inline
+    * the split() subtree into every element evaluation (measured 20x+ cost
+    * on the shingle corpus query). */
+  def shingles(c: Column, n: Int): Column =
+    element_at(transform(array(tokens(c)), w =>
+      when(size(w) >= n,
+        array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Language-marker stopword sets (tiny, deterministic n-gram-free
     * heuristic — scorable identically in SQL). */

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.index.SecondaryIndex
+import graft.tables.Derived
+
+/** Oracle-checked corpus for the secondary-index access paths (I1-I4, I6):
+  * lookups answered THROUGH the engine-written index table, compared to the
+  * oracle's direct filters over the base table.
+  */
+object IndexQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // I3+I4: point lookup via index postings, semi-joined back to the fact
+    // table (the rowid-stream path of SURVEY §3.2).
+    "q_index_lookup" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_prio_idx")
+        val keys = SecondaryIndex.lookupKeys(s, idxPath, Seq("1-URGENT", "2-HIGH"))
+        SecondaryIndex.semiJoin(t(s, d, "orders"), "o_orderkey", keys)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+      },
+      Some("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority IN ('1-URGENT','2-HIGH')")),
+
+    // I6: CalcCount from stored postings counts — index-only, the fact
+    // table is never scanned.
+    "q_index_count" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val idxPath = Derived.tablePath(s, d, "orders_prio_idx")
+        Seq(SecondaryIndex.calcCount(s, idxPath, Seq("3-MEDIUM"))).toDF("cnt")
+      },
+      Some("SELECT count(*) AS cnt FROM orders WHERE o_orderpriority = '3-MEDIUM'"))
+  )
+}

@@ -60,6 +60,14 @@ object Derived {
         hashCompanions = Seq("c_mktsegment"))
     }),
 
+    // Secondary index on orders.o_orderpriority with o_orderkey postings
+    // (I1-I4: value-sorted index table; o_orderkey is unique per row, the
+    // engine's rowid).
+    "orders_prio_idx" -> ((spark, sfDir, path) => {
+      val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      graft.index.SecondaryIndex.build(o, "o_orderpriority", "o_orderkey", path)
+    }),
+
     // Multimodal table: documents with a packed binary payload + metadata
     // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
     // for image/audio bytes; the schema/plumbing is the real convention).
