@@ -158,6 +158,36 @@ object RelationalQueries {
         "PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey" +
         ") AS rn FROM orders) WHERE rn <= 3")),
 
+    // H6: WHERE over general expressions — the host-side expression library
+    // the reference delegates to its daemon (SURVEY §2.6); Catalyst's
+    // string/date functions evaluated inside the scan stage.
+    "q_expr_strdate" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .filter(upper(col("o_orderpriority")).like("1-%") &&
+          year(col("o_orderdate")) === 1996 &&
+          substring(col("o_orderstatus"), 1, 1).isin("F", "O"))
+        .select(col("o_orderkey"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          month(col("o_orderdate")).as("m")),
+      Some("SELECT o_orderkey, o_orderstatus || '|' || o_orderpriority AS tag, " +
+        "month(o_orderdate) AS m FROM orders " +
+        "WHERE upper(o_orderpriority) LIKE '1-%' AND year(o_orderdate) = 1996 " +
+        "AND substring(o_orderstatus, 1, 1) IN ('F','O')")),
+
+    // H6: math expressions (floor-micros keeps sqrt/ln engine-stable).
+    "q_expr_math" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(sqrt(col("l_extendedprice")) * 1000).cast("long").as("sqrt_milli"),
+          floor(log(col("l_extendedprice")) * 1000000).cast("long").as("ln_micros"),
+          floor(abs(col("l_discount") - 0.05) * 1000000).cast("long").as("absd_micros")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "floor(sqrt(l_extendedprice) * 1000)::BIGINT AS sqrt_milli, " +
+        "floor(ln(l_extendedprice) * 1000000)::BIGINT AS ln_micros, " +
+        "floor(abs(l_discount - 0.05) * 1000000)::BIGINT AS absd_micros " +
+        "FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0")),
+
     "q_cube" -> QueryDef(
       (s, d) => t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.vector.{Ivf, Knn}
+import graft.vector.{Ivf, Knn, Quantize}
 
 /** Oracle-checked corpus for vector search (SURVEY.md §2.5, K1-K4+K7) over
   * the `embeddings` fixture (vec_id BIGINT, embedding FLOAT[64], label INT).
@@ -92,6 +92,19 @@ object VectorQueries {
             k = 10, nprobe = m.nlist)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // K6 scalar quantization: coarse int8 pass + exact rescore. Everything
+    // is deterministic (training, codes, rescore), and the int8 error bound
+    // over this fixture keeps the true top-10 inside the top-80 coarse set,
+    // so the result equals the exact fullscan — shared oracle.
+    "q_knn_quant" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantIndex(s, d)
+        Quantize.searchRescore(s.read.parquet(path), "embedding", "qvec",
+            "vec_id", m, queryVec(s, d), k = 10)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)")))
   )
 
@@ -105,6 +118,22 @@ object VectorQueries {
       val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings"
       val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 16)
       Ivf.buildIndex(t(s, d, "embeddings"), "embedding", m, path)
+      (m, path)
+    })
+
+  // Memoized quantized table per sfDir (training is deterministic, so a
+  // table written by a previous process pairs with a freshly-derived model).
+  private val quantCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.QModel, String)]
+
+  private def quantIndex(s: SparkSession, d: String): (Quantize.QModel, String) =
+    quantCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quant_embeddings"
+      val m = Quantize.train(t(s, d, "embeddings"), "embedding")
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantizeTable(t(s, d, "embeddings"), "embedding", "qvec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
       (m, path)
     })
 }

@@ -1,0 +1,101 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.{BinaryType, StructField}
+
+/** Scalar (int8) vector quantization with exact rescoring (K6 — ref
+  * knn/quantizer.cpp:45-700, QuantizationSettings_t quantizer.h:28-60).
+  *
+  * Shape: per-dimension min/max train → 8-bit codes stored as a BinaryType
+  * column (4x smaller scans than float32) → coarse top-(k·refine) on
+  * dequantized distance → EXACT rescore of the survivors on the float
+  * column. The reference rescans original vectors for rescoring the same
+  * way; our coarse error bound (≤ range/255 per dim) makes `refine` a small
+  * constant.
+  *
+  * 100 TB story: the coarse pass scans only (id, qvec) — a quarter of the
+  * vector bytes; the rescore touches k·refine rows. Training is one
+  * posexplode aggregation (distributed).
+  */
+object Quantize {
+
+  final case class QModel(mins: Array[Float], maxs: Array[Float]) {
+    def dim: Int = mins.length
+    def scale(i: Int): Float = {
+      val r = maxs(i) - mins(i)
+      if (r == 0.0f) 1.0f else r / 255.0f
+    }
+    def quantize(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](dim)
+      var i = 0
+      while (i < dim) {
+        val q = math.round((v(i) - mins(i)) / scale(i)).toInt
+        out(i) = (math.max(0, math.min(255, q)) - 128).toByte
+        i += 1
+      }
+      out
+    }
+    def dequantize(code: Byte, i: Int): Float =
+      (((code & 0xFF) + 128) & 0xFF) * scale(i) + mins(i) // undo the -128 shift
+    /** L2 between a quantized vector and a float query (dequantize inline). */
+    def l2(codes: Array[Byte], q: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < codes.length) {
+        val d = dequantize(codes(i), i).toDouble - q(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  /** Train per-dimension min/max (one distributed pass). */
+  def train(df: DataFrame, vecCol: String): QModel = {
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect()
+    val dim = rows.length
+    val mins = new Array[Float](dim)
+    val maxs = new Array[Float](dim)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getFloat(1); maxs(r.getInt(0)) = r.getFloat(2)
+    }
+    QModel(mins, maxs)
+  }
+
+  /** Append `qCol: binary` with the int8 codes. */
+  def quantizeTable(df: DataFrame, vecCol: String, qCol: String,
+                    m: QModel): DataFrame = {
+    val schema = df.schema.add(StructField(qCol, BinaryType))
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](vecIdx).toArray
+        Row.fromSeq(r.toSeq :+ m.quantize(v))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Top-k search: coarse pass on the quantized codes (k·refine survivors),
+    * exact rescore on the float vectors. Returns (idCol, dist) best-first,
+    * ties by id — same contract as [[Knn.knn]]. */
+  def searchRescore(qdf: DataFrame, vecCol: String, qCol: String,
+                    idCol: String, m: QModel, query: Array[Float], k: Int,
+                    metric: Knn.Metric = Knn.L2, refine: Int = 8): DataFrame = {
+    import qdf.sparkSession.implicits._
+    val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
+    val coarse = qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, codes) =>
+        val (mm, qv) = qB.value
+        (id, mm.l2(codes, qv))
+      }
+      .toDF("cid", "adist")
+      .orderBy(col("adist").asc, col("cid").asc)
+      .limit(k * refine)
+    val survivors = qdf.join(coarse.select(col("cid").as(idCol)), Seq(idCol))
+    Knn.knn(survivors, vecCol, idCol, query, k, metric)
+  }
+}
