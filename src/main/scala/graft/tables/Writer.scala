@@ -55,4 +55,17 @@ object Writer {
         .sortWithinPartitions(sortBy.map(col): _*)
     clustered.write.mode("overwrite").parquet(path)
   }
+
+  /** Bucketed managed table: rows hash-partitioned into `numBuckets` files
+    * by `bucketCols` and sorted within each. Two tables bucketed the same
+    * way join WITHOUT a shuffle (co-located join) — the layout-level answer
+    * to repeated fact⋈fact joins on a stable key, which at 100 TB converts
+    * every such join from a full two-sided shuffle into a local merge.
+    * (Managed-table API: bucket metadata lives in the session catalog.) */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(tableName)
 }
