@@ -31,11 +31,18 @@ sealed trait GFilter {
   /** Include-form predicate, before NOT-composition. */
   protected def include: Column
 
-  /** Final Catalyst predicate (null-safe, exclude-composed). */
-  final def toColumn: Column = {
-    val inc = coalesce(include, lit(false))
-    if (exclude) !inc else inc
-  }
+  /** Final Catalyst predicate (null-safe, exclude-composed).
+    *
+    * The include form is emitted RAW: in a Filter, a NULL predicate drops
+    * the row exactly like false, and wrapping it in `coalesce(p, false)`
+    * would make the whole predicate untranslatable for Parquet pushdown —
+    * zone maps would never fire for any filter (caught by PruningSpec Z1).
+    * Only the exclude form needs the null guard, because there NULL must
+    * flip to TRUE (the reference's empty-matches-exclude rule,
+    * accessormva.cpp:61-62) — excludes are engine-evaluated, as they are in
+    * the reference (inverted bitmaps, blockreader.cpp:563-573). */
+  final def toColumn: Column =
+    if (exclude) !coalesce(include, lit(false)) else include
 }
 
 /** MVA quantifier (MvaAggr_e NONE/ALL/ANY — common/filter.h:39-44). */

@@ -90,6 +90,26 @@ object FilterQueries {
       Some("SELECT o_orderkey, o_orderpriority FROM orders " +
         "WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')")),
 
+    // F5 NOTNULL, Arr kind: non-empty array over the stored MVA table
+    // (empty ≠ missing — filter.h:35; accessormva empty-set semantics).
+    "q_notnull_arr" -> QueryDef(
+      (s, d) => graft.tables.Derived.table(s, d, "mcl_attrs")
+        .filter(NotNullF("tags", NotNull.Arr).toColumn)
+        .groupBy().agg(count(lit(1)).as("n")),
+      Some("WITH tagged AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT count(*) AS n FROM tagged " +
+        "WHERE tags IS NOT NULL AND len(tags) > 0")),
+
+    // F5 NOTNULL, Scalar kind (plain IS NOT NULL).
+    "q_notnull_scalar" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .filter(NotNullF("value", NotNull.Scalar).toColumn)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      Some("SELECT event_type, count(*) AS n FROM events " +
+        "WHERE value IS NOT NULL GROUP BY event_type")),
+
     // F5 NOTNULL (non-empty string; empty ≠ missing — filter.h:35)
     "q_notnull" -> QueryDef(
       (s, d) => t(s, d, "events")
