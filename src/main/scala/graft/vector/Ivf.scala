@@ -118,4 +118,62 @@ object Ivf {
       .filter(col("ivf_cluster").isin(probes: _*))
     Knn.knn(scanned, vecCol, idCol, query, k, m.metric)
   }
+
+  /** Per-list radius (max L2 distance of a member to its centroid) — the
+    * metadata early termination needs; one aggregation over the index. */
+  def listRadii(spark: SparkSession, indexPath: String, m: Model,
+                vecCol: String): Map[Long, Double] = {
+    val cents = typedLit(m.centroids.map(_.toSeq))
+    spark.read.parquet(indexPath)
+      .select(col("ivf_cluster"),
+        distances.l2Dist(col(vecCol),
+          element_at(cents, col("ivf_cluster").cast("int") + 1)
+            .cast("array<float>")).as("d"))
+      .groupBy("ivf_cluster").agg(max("d").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** EXACT early-terminating search (K5 analog — the reference streams ANN
+    * candidates and stops when a P² quantile of improvements stalls,
+    * knn/termination.h:23-52; with an IVF layout the same goal is met
+    * EXACTLY via the triangle inequality): probe lists in centroid-distance
+    * order, doubling the probe set per round, and stop as soon as the next
+    * unprobed list's lower bound `dist(q, c_j) − radius_j` exceeds the
+    * current kth-best distance — no member of that list (or any later one)
+    * can enter the top-k. L2 only (the bound needs a metric).
+    *
+    * Returns the same rows as a full scan; typically touches a few lists
+    * on clustered data (spec-asserted).
+    */
+  def searchAdaptive(spark: SparkSession, indexPath: String, m: Model,
+                     radii: Map[Long, Double], idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): (DataFrame, Int) = {
+    require(m.metric == Knn.L2, "early-terminating search is defined for L2")
+    val order = m.probeOrder(query)
+    val centDist = order.map(j => j -> scalarDist(Knn.L2, query, m.centroids(j))).toMap
+    // Lower bound of any member of list j: dist(q, c_j) - radius_j.
+    def bound(j: Int): Double =
+      centDist(j) - radii.getOrElse(j.toLong, Double.PositiveInfinity)
+    var probed = 0
+    var batch = 1
+    var bestK: Seq[(Double, Long)] = Nil // (dist, id) ascending
+    // Stop once EVERY unprobed list's lower bound exceeds the kth best
+    // (bounds are not monotone in probe order — radii differ per list).
+    def remainingRelevant: Boolean =
+      bestK.size < k ||
+        order.drop(probed).exists(j => bound(j) < bestK.last._1)
+    while (probed < order.size && remainingRelevant) {
+      val probes = order.slice(probed, probed + batch).map(_.toLong)
+      val rows = Knn.knn(
+          spark.read.parquet(indexPath)
+            .filter(col("ivf_cluster").isin(probes: _*)),
+          vecCol, idCol, query, k, Knn.L2)
+        .collect().map(r => (r.getDouble(1), r.getLong(0)))
+      bestK = (bestK ++ rows).sorted.take(k)
+      probed += probes.size
+      batch *= 2
+    }
+    import spark.implicits._
+    (bestK.map { case (dist, id) => (id, dist) }.toDF(idCol, "dist"), probed)
+  }
 }

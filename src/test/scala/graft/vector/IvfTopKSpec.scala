@@ -56,6 +56,19 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(scanned <= 80, s"probe scanned $scanned of 320 rows")
   }
 
+  test("adaptive early-terminating search is exact and probes few lists (K5)") {
+    val m = Ivf.train(df, "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivf3").resolve("ix").toString
+    Ivf.buildIndex(df, "embedding", m, dir)
+    val radii = Ivf.listRadii(SparkT.spark, dir, m, "embedding")
+    val exact = Knn.knn(df, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res, probed) = Ivf.searchAdaptive(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10)
+    assert(res.as[(Long, Double)].collect().toSeq === exact)
+    assert(probed < 8, s"terminated after $probed of 8 lists")
+  }
+
   test("grouped top-k Aggregator matches the window-function reference") {
     val data = (1 to 500).map(i =>
       (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))
