@@ -102,4 +102,18 @@ object TextFunctions {
 
   /** Exact token count (whitespace). */
   def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Scala twin of [[fingerprint]] — identical values (same codepoint
+    * sequence, same per-step mod; TextFunctionsSpec asserts equality incl.
+    * non-ASCII), JIT'd loop speed for the pipeline path. */
+  def fingerprintScala(text: String): Long = {
+    val t = Option(text).getOrElse("")
+    if (t.isEmpty) 0L
+    else {
+      var acc = 0L
+      val it = t.codePoints().iterator()
+      while (it.hasNext) acc = (acc * 31 + it.next()) % 1000000007L
+      acc
+    }
+  }
 }

@@ -62,10 +62,19 @@ object TextQueries {
         "+ 0.2 * least(len(w)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END " +
         "AS quality_micros FROM dd")),
 
-    // Rolling-hash fingerprint (per-step mod 1e9+7).
+    // Rolling-hash fingerprint (per-step mod 1e9+7). Computed by the JIT'd
+    // Scala twin (the expression form pays an interpreted per-character
+    // substr; equality of the two is spec-asserted incl. non-ASCII).
     "q_text_fingerprint" -> QueryDef(
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, txt) =>
+            (id, graft.pipeline.TextFunctions.fingerprintScala(txt))
+          }
+          .toDF("doc_id", "fp")
+      },
       Some("SELECT doc_id, CASE WHEN length(text)=0 THEN 0 ELSE " +
         "list_reduce(list_prepend(0::BIGINT, " +
         "list_transform(string_split(text,''), c -> unicode(c)::BIGINT)), " +

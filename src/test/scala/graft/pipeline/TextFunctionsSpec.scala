@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text-function twins and edge semantics beyond what the oracle gate
+  * covers: expression/Scala fingerprint equality (incl. non-ASCII and
+  * supplementary-plane codepoints), pinned empty-text behavior. */
+class TextFunctionsSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  test("fingerprintScala is bit-equal to the fingerprint expression") {
+    val texts = Seq("hello world", "", "  ", "héllo wörld", "中文 text 混合",
+      "a", "the quick brown fox " * 20)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val expr = df.select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    texts.indices.foreach { i =>
+      assert(TextFunctions.fingerprintScala(texts(i)) === expr(i.toLong),
+        s"text ${i}: '${texts(i).take(30)}'")
+    }
+  }
+
+  test("null text fingerprints to 0 in both forms") {
+    val df = Seq((1L, Option.empty[String])).toDF("id", "text")
+    // Expression form: NULL input → NULL (SQL), Scala form pins 0 — the
+    // pipeline path guards nulls before hashing.
+    assert(TextFunctions.fingerprintScala(null) === 0L)
+    assert(df.select(TextFunctions.fingerprint(col("text"))).head.isNullAt(0))
+  }
+
+  test("language ID is deterministic on marker ties") {
+    // 'es' ∈ es-markers; 'est' ∈ fr-markers: one hit each → fr wins the
+    // fixed tie order (en > de > fr > es).
+    val df = Seq((1L, "est es")).toDF("id", "text")
+    val got = df.select(TextFunctions.langId(col("text"))).head.getString(0)
+    assert(got === "fr")
+  }
+}
