@@ -103,6 +103,19 @@ object AggQueries {
         "round(avg(o_totalprice),4) AS avg_price " +
         "FROM orders GROUP BY o_orderstatus, o_orderpriority")),
 
+    // Ordered-set aggregates: exact interpolated percentiles (both engines
+    // use linear interpolation; rounding absorbs the last-ulp arithmetic).
+    "q_percentile" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+          count(lit(1)).as("n")),
+      Some("SELECT o_orderstatus, " +
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS median_price, " +
+        "round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price, " +
+        "count(*) AS n FROM orders GROUP BY o_orderstatus")),
+
     // Cutoff / top-k pushdown (Z6): ORDER BY + LIMIT lowers to a heap
     // (TakeOrderedAndProject) — no global sort, no full shuffle.
     "q_topk" -> QueryDef(
