@@ -198,11 +198,14 @@ object FilterQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(size(col("tags"))).as("n_tags"),
           sum(expr("aggregate(tags, 0L, (a, x) -> a + x)")).as("tag_sum")),
+      // sums are cast to BIGINT: DuckDB sum(BIGINT) returns HUGEINT, which
+      // lands in pandas as float64 and string-normalizes as "45832.0" vs the
+      // Spark long's "45832" — same value, failed hash (r3 gate).
       Some("WITH tagged AS (SELECT l_orderkey, " +
         "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
         "GROUP BY l_orderkey) " +
-        "SELECT count(*) AS n_orders, sum(len(tags)) AS n_tags, " +
-        "sum(list_sum(tags)) AS tag_sum FROM tagged")),
+        "SELECT count(*) AS n_orders, CAST(sum(len(tags)) AS BIGINT) AS n_tags, " +
+        "CAST(sum(list_sum(tags)) AS BIGINT) AS tag_sum FROM tagged")),
 
     // F4 hash-companion fast path: filter runs against the engine-written
     // xxhash64 companion column (ref hidden $name_HASH, columnar.cpp:465-473

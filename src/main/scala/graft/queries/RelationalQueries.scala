@@ -102,9 +102,12 @@ object RelationalQueries {
             sum(floor(col("value") * 1000).cast("long")).over(w))
           .select(col("event_id"), col("running_milli"))
       },
-      Some("SELECT event_id, sum(CAST(floor(value*1000) AS BIGINT)) OVER (" +
+      // outer CAST: DuckDB's window sum over BIGINT yields HUGEINT, which
+      // pandas renders as float64 ("49380.0" vs Spark's "49380") and the
+      // driver's value hash then mismatches (r3 gate).
+      Some("SELECT event_id, CAST(sum(CAST(floor(value*1000) AS BIGINT)) OVER (" +
         "PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_milli " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_milli " +
         "FROM events")),
 
     // H7 set ops = shuffle dedup (the engine-side analog of the

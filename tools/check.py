@@ -48,8 +48,21 @@ def main(sf_dir, out_dir):
             fail += 1
             continue
         g, w = norm_df(got), norm_df(want)
+        # int-vs-float dtype mismatches (e.g. DuckDB HUGEINT -> pandas
+        # float64 vs Spark int64) stringify differently under the driver's
+        # str()-based normalization even when values are equal — treat as
+        # failure here so they never reach the driver gate.
+        kind_clash = [
+            c for c in got.columns if c in want.columns
+            and {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
+        ]
         if sorted(got.columns) != sorted(want.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+            fail += 1
+        elif kind_clash:
+            print(f"FAIL {name}: int/float dtype clash on {kind_clash} "
+                  f"(spark {[str(got[c].dtype) for c in kind_clash]} vs "
+                  f"oracle {[str(want[c].dtype) for c in kind_clash]})")
             fail += 1
         elif g == w:
             print(f"ok   {name} ({len(g)} rows)")
