@@ -198,20 +198,18 @@ object Dedup {
     fp
   }
 
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
-    import df.sparkSession.implicits._
-    val withFp = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).cast("long").as("sid"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, simhash64Scala(shinglesScala(t, shingleN))) }
-      .toDF("sid", "fp")
-    // Chunk key = fp masked to the chunk's 16 bits (position-shifted values
-    // are unnecessary: the join also matches on the chunk index).
-    val chunkMasks = typedLit((0 until 4).map(c => 0xFFFFL << (c * 16)).toArray)
+  /** Pairs (a < b) within `maxHamming` of each other over a fingerprint
+    * frame (sid, fp), blocked by the pigeonhole chunk join: with more chunks
+    * than maxHamming, any qualifying pair shares at least one identical
+    * chunk — deterministic completeness, unlike probabilistic LSH. Chunk
+    * key = fp masked to the chunk's bits (position-shifted values are
+    * unnecessary: the join also matches on the chunk index). */
+  private def hammingPairs(withFp: DataFrame, masks: Seq[Long],
+                           maxHamming: Int): DataFrame = {
+    require(masks.size > maxHamming, "pigeonhole needs chunks > maxHamming")
+    val chunkMasks = typedLit(masks.toArray)
     val chunked = withFp.select(col("sid"), col("fp"),
-        posexplode(transform(sequence(lit(1), lit(4)), c =>
+        posexplode(transform(sequence(lit(1), lit(masks.size)), c =>
           col("fp").bitwiseAND(element_at(chunkMasks, c))))
           .as(Seq("chunk", "ckey")))
     val l = chunked.as("l")
@@ -222,6 +220,55 @@ object Dedup {
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    import df.sparkSession.implicits._
+    val withFp = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("sid"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64Scala(shinglesScala(t, shingleN))) }
+      .toDF("sid", "fp")
+    hammingPairs(withFp, (0 until 4).map(c => 0xFFFFL << (c * 16)), maxHamming)
+  }
+
+  /** 30-bit SimHash over the ORACLE-EXPRESSIBLE rolling-hash family
+    * (TextFunctions.fingerprintScala per shingle — values < 1e9+7 < 2^30):
+    * same majority-vote rule as [[simhash64Scala]] (tie → bit set). This
+    * variant exists so the corpus simhash query has an exact DuckDB oracle
+    * (xxhash64 is not expressible there; the rolling hash is, via
+    * list_reduce — the convention q_text_fingerprint already pins). */
+  def simhash30Scala(sh: Seq[String]): Long = {
+    val counters = new Array[Int](30)
+    sh.foreach { s =>
+      val h = TextFunctions.fingerprintScala(s)
+      var j = 0
+      while (j < 30) {
+        if (((h >>> j) & 1L) != 0L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 30) { if (counters(j) >= 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  /** [[simhashPairs]] on the 30-bit rolling-hash fingerprints; 4 chunks
+    * (8+8+8+6 bits) keep the pigeonhole guarantee for maxHamming <= 3. */
+  def simhashPairsRolling(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    import df.sparkSession.implicits._
+    val withFp = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("sid"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash30Scala(shinglesScala(t, shingleN))) }
+      .toDF("sid", "fp")
+    hammingPairs(withFp,
+      Seq(0xFFL, 0xFF00L, 0xFF0000L, 0x3F000000L), maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs, exact: inequality self-join + codegen

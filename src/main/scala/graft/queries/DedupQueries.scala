@@ -53,11 +53,26 @@ object DedupQueries {
         "WHERE list_cosine_similarity(a.v, b.v) >= 0.45")),
 
     // SimHash fingerprint dedup: hamming<=3 pairs via the exact pigeonhole
-    // chunk join. No SQL oracle (xxhash64 is not expressible in DuckDB);
-    // the driver records a rows-only check and DedupSpec pins semantics.
+    // chunk join. The rolling-hash family (per-shingle fingerprint, 30-bit
+    // majority vote) is used here because it IS expressible in DuckDB, so
+    // the oracle recomputes the fingerprints bit-for-bit and brute-forces
+    // all pairs; the production xxhash64 family (simhashPairs) is pinned by
+    // DedupSpec against the same semantics.
     "q_dedup_simhash" -> QueryDef(
-      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+      (s, d) => Dedup.simhashPairsRolling(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, maxHamming = 3),
-      None)
+      Some(shingleCte +
+        ", hs AS (SELECT doc_id, list_transform(s, sg -> " +
+        "list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(sg,''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007)) hl FROM sh), " +
+        "fp AS (SELECT doc_id, list_sum([CASE WHEN " +
+        "2*len(list_filter(hl, h -> ((h >> j) & 1) = 1)) >= len(hl) " +
+        "THEN (1::BIGINT << j) ELSE 0 END " +
+        "for j in generate_series(0, 29)])::BIGINT f FROM hs) " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "bit_count(xor(a.f, b.f))::INT AS hamming " +
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.f, b.f)) <= 3"))
   )
 }

@@ -86,6 +86,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("simhashPairsRolling matches brute force over simhash30Scala fingerprints") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val texts = Seq((1L, a), (2L, a), (3L, a + " tail"),
+      (4L, "x y z w v u t s r q " * 4), (5L, "one two"))
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.simhashPairsRolling(df, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val fp = texts.map { case (i, t) =>
+      (i, Dedup.simhash30Scala(Dedup.shinglesScala(t, 3)))
+    }
+    val want = (for {
+      (i, fi) <- fp; (j, fj) <- fp
+      if i < j && java.lang.Long.bitCount(fi ^ fj) <= 3
+    } yield (i, j)).toSet
+    assert(got === want)
+    // 30-bit range: every fingerprint fits the oracle's BIGINT bit algebra
+    fp.foreach { case (_, f) => assert(f >= 0L && f < (1L << 30)) }
+  }
+
   test("embedding LSH blocking: 100% recall on clustered data, far fewer candidates than all-pairs") {
     val rnd = new scala.util.Random(7)
     val dim = 32
