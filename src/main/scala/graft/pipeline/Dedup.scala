@@ -52,8 +52,10 @@ object Dedup {
     * Scala loop it is JIT'd primitive arithmetic (~ns per element). This is
     * the sanctioned "mapPartitions for genuine per-partition imperative
     * logic" case — the same reason the reference hand-writes its kernels
-    * (knn/space.cpp). Spark's own XXH64 is used with functions.xxhash64's
-    * seed, so values match the expression path bit-for-bit.
+    * (knn/space.cpp). [[bandKeysScala]] replays the exact hash composition
+    * Spark's XxHash64 expression applies (hashInt for Int inputs, hashLong
+    * with the running hash as seed, element-wise over arrays), so it is
+    * bit-equal to [[minhashSignature]]+[[bandKeys]] — DedupSpec asserts it.
     */
   /** Scala twin of TextFunctions.shingles — same token/shingle definition
     * (DedupSpec asserts equality). The expression form inlines the split()
@@ -72,21 +74,27 @@ object Dedup {
       b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
-  private def bandKeysScala(sh: Seq[String], k: Int, bands: Int): Array[Long] = {
+  private[pipeline] def bandKeysScala(sh: Seq[String], k: Int,
+                                      bands: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val r = k / bands
+    // xxhash64(i, h) in the expression path = hashLong(h, hashInt(i, 42)):
+    // XxHash64 folds inputs left-to-right with the running hash as seed.
+    val seeds = Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
     val mins = Array.fill(k)(Long.MaxValue)
     sh.foreach { s =>
       val h = shingleHash(s)
       var i = 0
       while (i < k) {
-        val v = XXH64.hashLong(h, i); if (v < mins(i)) mins(i) = v; i += 1
+        val v = XXH64.hashLong(h, seeds(i)); if (v < mins(i)) mins(i) = v; i += 1
       }
     }
+    // xxhash64(b, slice(sig, …)) = fold of the band's longs starting from
+    // hashInt(b, 42) — arrays hash element-wise with no length mixing.
     Array.tabulate(bands) { b =>
-      var acc = XXH64.hashLong(b, 7777L)
+      var acc = XXH64.hashInt(b, 42L)
       var j = 0
-      while (j < r) { acc = XXH64.hashLong(mins(b * r + j) ^ acc, 91L); j += 1 }
+      while (j < r) { acc = XXH64.hashLong(mins(b * r + j), acc); j += 1 }
       acc
     }
   }

@@ -58,12 +58,13 @@ object PipelineQueries {
     // unification: backfill = replay of the same pipeline) — the streaming
     // semantics (watermark closes windows, state across micro-batches) are
     // driven in StreamingSpec with real micro-batches. The events fixture's
-    // TIMESTAMP(NANOS) is read as Long nanos; truncation to micros cannot
-    // move an event across an hour boundary, so buckets match DuckDB's.
+    // TIMESTAMP(NANOS) is read as Long nanos; `div` keeps the nanos→micros
+    // truncation in exact integer arithmetic (epoch nanos ~1.7e18 exceed
+    // double's 2^53 range, so `/` could flip a bucket at a window edge).
     "q_stream_window" -> QueryDef(
       (s, d) => {
         val ev = t(s, d, "events").withColumn("ts",
-          timestamp_micros((col("ts") / 1000).cast("long")))
+          timestamp_micros(expr("ts div 1000")))
         graft.streaming.EventStreams.windowedCounts(ev, "1 hour", "0 seconds")
           .select(col("w_start"), col("event_type"), col("n"),
             round(col("sum_value"), 2).as("sum_value"))

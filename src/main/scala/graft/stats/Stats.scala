@@ -182,13 +182,21 @@ object Stats {
   }
 
   /** Consult the catalog: files that may contain rows with col in [lo, hi].
-    * At 100 TB this runs BEFORE any footer is opened. */
+    * At 100 TB this runs BEFORE any footer is opened. Files WITHOUT usable
+    * stats for the column (missing key → null, non-numeric/absent stats →
+    * NaN from buildCatalog) cannot be pruned and are kept — the same
+    * "no stats → count it" rule estimateRange applies; NaN comparisons
+    * evaluate false, so without the escape such files would silently
+    * vanish from the scan set. */
   def pruneFiles(catalog: DataFrame, column: String,
-                 lo: Double, hi: Double): DataFrame =
+                 lo: Double, hi: Double): DataFrame = {
+    val mn = element_at(col("col_min"), column)
+    val mx = element_at(col("col_max"), column)
     catalog.filter(
-      element_at(col("col_max"), column) >= lo &&
-      element_at(col("col_min"), column) <= hi)
+      mn.isNull || mx.isNull || isnan(mn) || isnan(mx) ||
+      (mx >= lo && mn <= hi))
       .select(col("file"), col("rows"))
+  }
 
   /** I7 GetCountDistinct analog: the exact path is `countDistinct` (one
     * shuffle); the stored-metadata path is the catalog + HLL sketch. This

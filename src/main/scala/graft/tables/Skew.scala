@@ -27,9 +27,12 @@ object Skew {
       pmod(monotonically_increasing_id(), lit(parts.toLong)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(lit((0 until parts).toArray)))
+    // Keys qualified via the DataFrame handles: unqualified col(...) raises
+    // an ambiguous-reference AnalysisException whenever the two sides share
+    // the key name (the common case) or any column name.
     salted.join(replicated,
         salted("__salt") === replicated("__salt") &&
-        col(bigKey) === col(smallKey))
+        salted(bigKey) === replicated(smallKey))
       .drop("__salt")
   }
 }

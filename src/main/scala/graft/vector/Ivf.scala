@@ -159,9 +159,12 @@ object Ivf {
     var bestK: Seq[(Double, Long)] = Nil // (dist, id) ascending
     // Stop once EVERY unprobed list's lower bound exceeds the kth best
     // (bounds are not monotone in probe order — radii differ per list).
+    // <= because ties matter: a candidate at EXACTLY the kth distance with
+    // a smaller id would displace the kth under the asc-(dist, id) tie
+    // convention, so equal-bound lists must still be probed.
     def remainingRelevant: Boolean =
       bestK.size < k ||
-        order.drop(probed).exists(j => bound(j) < bestK.last._1)
+        order.drop(probed).exists(j => bound(j) <= bestK.last._1)
     while (probed < order.size && remainingRelevant) {
       val probes = order.slice(probed, probed + batch).map(_.toLong)
       val rows = Knn.knn(

@@ -86,6 +86,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("bandKeysScala is bit-equal to the expression minhashSignature+bandKeys") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog and more words",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val k = 16; val bands = 4
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val expr = df.select(col("id"),
+      Dedup.bandKeys(
+        Dedup.minhashSignature(TextFunctions.shingles(col("text"), 3), k),
+        bands, k / bands).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.indices.foreach { i =>
+      val sh = Dedup.shinglesScala(texts(i), 3)
+      assert(Dedup.bandKeysScala(sh, k, bands).toSeq === expr(i.toLong), s"doc $i")
+    }
+  }
+
   test("simhashPairsRolling matches brute force over simhash30Scala fingerprints") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     val texts = Seq((1L, a), (2L, a), (3L, a + " tail"),

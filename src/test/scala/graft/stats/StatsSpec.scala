@@ -65,6 +65,16 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("pruneFiles keeps files without usable column stats (no stats -> no pruning)") {
+    // string column: buildCatalog cannot numify its stats -> NaN min/max;
+    // a missing column -> null. Neither may be pruned (ADVICE r3: NaN
+    // comparisons are false, so these files used to vanish silently).
+    val catNaN = Stats.buildCatalog(SparkT.spark, dir, Seq("s"))
+    assert(Stats.pruneFiles(catNaN, "s", 0, 1).count() === 4)
+    val catMissing = Stats.buildCatalog(SparkT.spark, dir, Seq("k"))
+    assert(Stats.pruneFiles(catMissing, "nope", 0, 1).count() === 4)
+  }
+
   test("approxNdv is within rsd of exact ndv (I7)") {
     val df = SparkT.spark.read.parquet(dir)
     val exact = df.select(countDistinct($"v")).head.getLong(0)
