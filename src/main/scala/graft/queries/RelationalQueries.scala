@@ -196,6 +196,89 @@ object RelationalQueries {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n")),
       Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
-        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"))
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)")),
+
+    // Backward as-of join (pipeline op; Spark has no native as-of): each
+    // purchase event picks up the most recent prior view of the same user.
+    // One shuffle, union+window — the oracle is the O(n²)-shaped LEFT JOIN +
+    // max, which only the small fixture can afford; the engine plan is the
+    // one that survives 100 TB. Timestamps compare in nanos and are emitted
+    // as micros (integer div; both engines floor positive epochs).
+    "q_join_asof" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.relational.AsofJoin.backward(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            "user_id", "user_id", "ts", "ts", "event_id")
+          .select(col("event_id"), expr("asof_ts div 1000").as("asof_micros"))
+      },
+      Some("SELECT p.event_id, max(epoch_us(v.ts)) AS asof_micros " +
+        "FROM events p LEFT JOIN events v ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND v.ts <= p.ts " +
+        "WHERE p.event_type = 'purchase' GROUP BY p.event_id")),
+
+    // Banded range join (pipeline op): events within ±10 min of each other,
+    // no equality key. The engine buckets by floor(ts/width) and probes
+    // {b-1,b,b+1} — an ordinary shuffled hash join; the oracle states the
+    // raw inequality join (DuckDB IEJoin handles fixture scale).
+    "q_join_range" -> QueryDef(
+      (s, d) => graft.relational.RangeJoin.selfNeighborCounts(
+        t(s, d, "events"), "event_id", "ts", 600000000000L),
+      Some("SELECT a.event_id, count(*) AS n_neighbors " +
+        "FROM events a JOIN events b " +
+        "ON abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 600000000000 " +
+        "AND a.event_id <> b.event_id GROUP BY a.event_id")),
+
+    // TPC-H Q3-shaped headliner: broadcast dimension filter + fact⋈fact
+    // shuffle join + grouped agg + top-k heap. Revenue is rounded to exact
+    // integer cents PER ROW (identical IEEE double ops in both engines),
+    // so the sum is order-independent — parallel aggregation safe.
+    "q_mjoin_pricing" -> QueryDef(
+      (s, d) => {
+        val cut = to_timestamp(lit("1996-03-15"))
+        t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, d, "orders").filter(col("o_orderdate") < cut),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem").filter(col("l_shipdate") > cut),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100 + 0.5).cast("long")).as("rev_cents"))
+          .orderBy(col("rev_cents").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("SELECT l_orderkey, o_orderdate, CAST(sum(CAST(floor(" +
+        "l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS rev_cents FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1996-03-15' " +
+        "AND l_shipdate > TIMESTAMP '1996-03-15' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY rev_cents DESC, l_orderkey LIMIT 10")),
+
+    // TPC-H Q5-shaped headliner: a 5-table snowflake — region/nation
+    // broadcast down the chain, customer⋈orders and orders⋈lineitem shuffle
+    // on their keys once each; AQE re-plans small sides to broadcast.
+    "q_mjoin_region" -> QueryDef(
+      (s, d) => t(s, d, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100 + 0.5).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n")),
+      Some("SELECT n_name, CAST(sum(CAST(floor(" +
+        "l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS rev_cents, count(*) AS n FROM region " +
+        "JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name"))
   )
 }

@@ -1,0 +1,73 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Backward as-of join — for each left row, the single right row with the
+  * greatest `rightTs <= leftTs` for the same key.
+  *
+  * The reference library has no as-of operator (joins are the host daemon's
+  * job, SURVEY §2.6); this is one of the training-data-pipeline operators the
+  * engine adds first-class (align a fact stream to the latest upstream state:
+  * model-version-at-event-time, latest-profile-before-interaction, …).
+  *
+  * Spark has no native as-of join, and the naive encoding
+  * (`JOIN ON key AND rts <= lts` + groupBy max) explodes to O(|L|·|R|/keys)
+  * intermediate rows. This implementation is the union+window form:
+  *
+  *   1. tag both inputs and UNION them (no join at all);
+  *   2. one shuffle: window partitioned by key, ordered by
+  *      (ts, side, rightId) — right rows sort BEFORE left rows at equal ts,
+  *      so `<=` semantics fall out of the ordering;
+  *   3. `last(payload, ignoreNulls)` over rows UNBOUNDED PRECEDING..CURRENT
+  *      carries the most recent right payload forward onto each left row.
+  *
+  * Cost at 100 TB: exactly one hash shuffle of |L|+|R| rows + a per-partition
+  * sort — the same plan shape as any window aggregate; no intermediate blowup,
+  * no driver involvement. Skewed keys behave like any window (salt upstream
+  * via [[graft.tables.Skew]] if one key dominates).
+  *
+  * Determinism: ties on (key, ts) among right rows resolve to the greatest
+  * `rightId` (the window order makes it the last seen), so the result is a
+  * function of the data, not of partitioning.
+  */
+object AsofJoin {
+
+  /** @param payload right-side columns to carry onto each left row
+    *                (emitted as `asof_<name>`); the matched right timestamp
+    *                is always emitted as `asof_ts`.
+    * @param rightId a unique, deterministic right-side tiebreak column.
+    */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               rightId: String, payload: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payStruct = struct(
+      col(rightTs).as("asof_ts") +: payload.map(c => col(c).as(s"asof_$c")): _*)
+    val payType = right.select(payStruct).schema.head.dataType
+    val lStruct = struct(leftCols.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"), lit(null).cast("long").as("__rid"),
+      lStruct.as("__l"), lit(null).cast(payType).as("__p"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), col(rightId).cast("long").as("__rid"),
+      lit(null).cast(lType).as("__l"), payStruct.as("__p"))
+
+    // Right rows order before left rows at equal ts (asc on __side), giving
+    // inclusive <= match; among equal-ts right rows the greatest __rid wins.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__rid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("__asof.*"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.relational
+
+import graft.{GenCheck, SparkT}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** As-of and banded range joins vs brute-force row evaluation on random
+  * data — the engine plan (union+window / bucket join) must agree with the
+  * O(n²) definition, including ties and no-match rows. */
+class JoinOpsSpec extends AnyFunSuite with GenCheck {
+
+  import SparkT.spark
+  import spark.implicits._
+
+  private val rowsGen = for {
+    n <- Gen.choose(0, 60)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 40L)
+      v <- Gen.choose(-100L, 100L)
+    } yield (key, ts, v))
+  } yield rows.zipWithIndex.map { case ((k, ts, v), i) => (i.toLong, k, ts, v) }
+
+  test("asof backward matches brute force (ties: <=, greatest ts, greatest id)") {
+    forAll(Gen.zip(rowsGen, rowsGen), n = 25) { case (lRows, rRows) =>
+      val left = lRows.toDF("id", "key", "ts", "v")
+      val right = rRows.toDF("id", "key", "ts", "v")
+      val got = AsofJoin.backward(left, right, "key", "key", "ts", "ts",
+          "id", payload = Seq("v"))
+        .select("id", "asof_ts", "asof_v")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+        .toMap
+      val want = lRows.map { case (lid, lk, lts, _) =>
+        val cands = rRows.filter { case (_, rk, rts, _) => rk == lk && rts <= lts }
+        val best = cands.sortBy { case (rid, _, rts, _) => (rts, rid) }.lastOption
+        lid -> best.map { case (_, _, rts, rv) => (rts, rv) }
+      }.toMap
+      assert(got == want, s"L=$lRows R=$rRows")
+    }
+  }
+
+  test("band join matches brute force |dt| <= width exactly once per pair") {
+    forAll(rowsGen, n = 25) { rows =>
+      val df = rows.toDF("id", "key", "ts", "v")
+      val width = 7L
+      val got = RangeJoin.selfNeighborCounts(df, "id", "ts", width)
+        .as[(Long, Long)].collect().toMap
+      val want = rows.map { case (aid, _, ats, _) =>
+        aid -> rows.count { case (bid, _, bts, _) =>
+          bid != aid && math.abs(ats - bts) <= width }.toLong
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
+  test("asof plan shape: one shuffle window, no join operator") {
+    val left = Seq((1L, 1L, 10L, 0L)).toDF("id", "key", "ts", "v")
+    val right = Seq((2L, 1L, 5L, 9L)).toDF("id", "key", "ts", "v")
+    val p = AsofJoin.backward(left, right, "key", "key", "ts", "ts", "id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("band join plan shape: hash join on bucket, never cartesian") {
+    val df = Seq((1L, 1L, 10L, 0L), (2L, 2L, 12L, 0L)).toDF("id", "key", "ts", "v")
+    val p = RangeJoin.selfNeighborCounts(df, "id", "ts", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+  }
+}
