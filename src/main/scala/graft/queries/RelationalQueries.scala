@@ -279,6 +279,80 @@ object RelationalQueries {
         "JOIN customer ON c_nationkey = n_nationkey " +
         "JOIN orders ON o_custkey = c_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
-        "WHERE r_name = 'ASIA' GROUP BY n_name"))
+        "WHERE r_name = 'ASIA' GROUP BY n_name")),
+
+    // H6 semi-structured: the reference stores JSON attributes host-side and
+    // filters on extracted paths; our engine evaluates typed extraction in
+    // the scan stage via from_json (codegen'd, no UDF). The JSON parse runs
+    // ONCE per row and the extracted field is filter + aggregate input.
+    "q_json_agg" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+        .filter(col("k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum")),
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum " +
+        "FROM events WHERE CAST(props->>'k' AS BIGINT) >= 50 " +
+        "GROUP BY event_type")),
+
+    // H6 semi-structured, row-level: extract + range-filter + project. At
+    // 100 TB the parse cost dominates — from_json extracts all needed
+    // fields in one schema'd parse (get_json_object per path would
+    // re-tokenize the document for each field).
+    "q_json_filter" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+        .filter(col("k") >= 95 && col("event_type") === "click")
+        .select(col("event_id"), col("k")),
+      Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events " +
+        "WHERE CAST(props->>'k' AS BIGINT) >= 95 AND event_type = 'click'")),
+
+    // H7 window breadth: lag/lead over event time. The per-row delta is the
+    // same IEEE double subtraction in both engines, floored to exact micro
+    // units; first row per user yields NULL in both.
+    "q_window_lag" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .select(col("event_id"),
+            floor((col("value") - lag(col("value"), 1).over(w)) * 1000000)
+              .cast("long").as("delta_micros"))
+      },
+      Some("SELECT event_id, CAST(floor((value - lag(value) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id)) * 1000000) AS BIGINT) " +
+        "AS delta_micros FROM events")),
+
+    // H7 RANGE frame: trailing 1-hour sum per user keyed by event-time
+    // VALUE (not row position) — frame membership is a pure function of ts,
+    // so ties need no tiebreak. Integer milli surrogate keeps the in-frame
+    // sum order-independent.
+    "q_window_range" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+          .rangeBetween(-3600000000000L, 0)
+        t(s, d, "events")
+          .select(col("event_id"),
+            sum(floor(col("value") * 1000).cast("long")).over(w)
+              .as("trail_milli"))
+      },
+      Some("SELECT event_id, CAST(sum(CAST(floor(value*1000) AS BIGINT)) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) " +
+        "RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS trail_milli FROM events")),
+
+    // H7 grouping sets beyond rollup/cube: explicit set list through the
+    // SQL surface (same Expand-based plan as cube — one scan, one shuffle).
+    "q_grouping_sets" -> QueryDef(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
+          "FROM orders GROUP BY GROUPING SETS " +
+          "((o_orderstatus), (o_orderpriority), ())")
+      },
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
+        "FROM orders GROUP BY GROUPING SETS " +
+        "((o_orderstatus), (o_orderpriority), ())"))
   )
 }

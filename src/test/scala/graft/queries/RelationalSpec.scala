@@ -41,4 +41,30 @@ class RelationalSpec extends AnyFunSuite {
     val p = plan("q_union")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("multi-join headliners: no cartesian/nested-loop anywhere in the chain") {
+    Seq("q_mjoin_pricing", "q_mjoin_region").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q_mjoin_pricing ends in a top-k heap, not a global sort") {
+    assert(plan("q_mjoin_pricing").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_mjoin_region broadcasts the filtered dimension chain") {
+    assert(plan("q_mjoin_region").contains("BroadcastHashJoin"))
+  }
+
+  test("json extraction is a codegen'd expression in the scan stage, not a UDF") {
+    val p = plan("q_json_agg")
+    assert(p.contains("from_json"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q_window_range frame is value-bounded (RANGE), not row-bounded") {
+    assert(plan("q_window_range").contains("RangeFrame"))
+  }
 }

@@ -9,6 +9,7 @@ import java.sql.Timestamp
 
 // Top-level: Spark encoders cannot instantiate suite-inner case classes.
 case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class EvId(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 
 /** Streaming operators driven through real micro-batches (MemoryStream →
   * memory sink): watermark closes windows, sessions split on the gap,
@@ -84,5 +85,41 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_type", "n", "sum_value")
       .as[(String, Long, Double)].collect().toSet
     assert(out === Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+  }
+
+  test("streaming dedup drops re-deliveries across micro-batches") {
+    val in = MemoryStream[EvId]
+    val q = EventStreams.dedupWithinWatermark(in.toDF(), "10 seconds",
+        Seq("event_id"))
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(EvId(100, 1, ts(1), 1.0), EvId(101, 1, ts(2), 2.0))
+      q.processAllAvailable()
+      // same event_id re-delivered in a later micro-batch, inside horizon
+      in.addData(EvId(100, 1, ts(1), 1.0), EvId(102, 2, ts(3), 3.0))
+      q.processAllAvailable()
+      val ids = SparkT.spark.table("dd").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(100L, 101L, 102L))
+    } finally q.stop()
+  }
+
+  test("stream-stream join pairs purchases with in-window views only") {
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.purchaseViewJoin(views.toDF(), purchases.toDF(),
+        watermark = "5 seconds", lookback = "10 seconds")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(Ev(1, ts(1), "view", 0.0), Ev(1, ts(20), "view", 0.0),
+        Ev(2, ts(2), "view", 0.0))
+      purchases.addData(Ev(1, ts(8), "purchase", 9.0)) // matches ts(1) only
+      q.processAllAvailable()
+      val got = SparkT.spark.table("ssj")
+        .select($"p_user", $"v_ts").as[(Long, Timestamp)].collect().toSet
+      assert(got === Set((1L, ts(1)))) // user 2's view and ts(20) excluded
+    } finally q.stop()
   }
 }

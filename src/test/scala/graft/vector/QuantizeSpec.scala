@@ -33,6 +33,35 @@ class QuantizeSpec extends AnyFunSuite {
     assert(quant === exact)
   }
 
+  test("binarize packs the sign bits exactly; hamming matches brute force") {
+    val m = Quantize.BModel(Array.fill(70)(0.0f)) // dim > 64 → 2 words
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val a = Array.fill(70)((rnd.nextFloat() - 0.5f) * 4)
+      val b = Array.fill(70)((rnd.nextFloat() - 0.5f) * 4)
+      val ca = m.binarize(a)
+      val cb = m.binarize(b)
+      assert(ca.length === 2)
+      a.indices.foreach { i =>
+        val bit = (ca(i >> 6) >>> (i & 63)) & 1L
+        assert(bit === (if (a(i) > 0.0f) 1L else 0L), s"dim $i")
+      }
+      val want = a.indices.count(i => (a(i) > 0.0f) != (b(i) > 0.0f))
+      assert(m.hamming(ca, cb) === want)
+    }
+  }
+
+  test("hamming screen + rescore equals the exact fullscan top-k on the fixture") {
+    val m = Quantize.trainBinary(emb, "embedding")
+    val bdf = Quantize.binarizeTable(emb, "embedding", "bvec", m)
+    val q = emb.where($"vec_id" === 0).select("embedding").as[Seq[Float]].head().toArray
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val bin = Quantize.searchHammingRescore(bdf, "embedding", "bvec", "vec_id", m, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(bin === exact)
+  }
+
   test("zero-range dimensions quantize without dividing by zero") {
     val df = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(1.0f, 7.0f))).toDF("id", "v")
     val m = Quantize.train(df, "v")
