@@ -71,6 +71,28 @@ object PipelineQueries {
       },
       Some("SELECT date_trunc('hour', ts)::TIMESTAMP AS w_start, event_type, " +
         "count(*) AS n, round(sum(value),2) AS sum_value " +
-        "FROM events GROUP BY 1, 2"))
+        "FROM events GROUP BY 1, 2")),
+
+    // Gap-based sessionization in BATCH mode via the same session_window
+    // operator the stream uses. The oracle is the independent relational
+    // formulation (lag + boundary count): a new session starts when the gap
+    // since the previous event is >= 1 hour — exactly session_window's
+    // [start, last+gap) semantics. Both sides compare event time in
+    // truncated micros so the boundary test is identical.
+    "q_sessionize" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("tsm",
+          timestamp_micros(expr("ts div 1000")))
+        ev.groupBy(session_window(col("tsm"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_ev"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+      },
+      Some("WITH d AS (SELECT user_id, epoch_us(ts) AS tus, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) " +
+        "AS pus FROM events) " +
+        "SELECT user_id, CAST(sum(CASE WHEN pus IS NULL " +
+        "OR tus - pus >= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_sessions, count(*) AS n_events FROM d GROUP BY user_id"))
   )
 }

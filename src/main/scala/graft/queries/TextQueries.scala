@@ -78,6 +78,49 @@ object TextQueries {
       Some("SELECT doc_id, CASE WHEN length(text)=0 THEN 0 ELSE " +
         "list_reduce(list_prepend(0::BIGINT, " +
         "list_transform(string_split(text,''), c -> unicode(c)::BIGINT)), " +
-        "(a, b) -> (a*31 + b) % 1000000007) END AS fp FROM documents"))
+        "(a, b) -> (a*31 + b) % 1000000007) END AS fp FROM documents")),
+
+    // Corpus vocabulary: global token frequencies, top-20 (explode →
+    // partial-agg'd count; the shuffle carries (token, partial count), not
+    // documents — the shape that holds at corpus scale).
+    "q_text_vocab" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      Some(raw"SELECT token, count(*) AS n FROM (SELECT unnest(" +
+        raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '')) " +
+        "AS token FROM documents) GROUP BY token " +
+        "ORDER BY n DESC, token LIMIT 20")),
+
+    // TF-IDF: per-(doc, token) term frequency × ln(N/df). One explode +
+    // two hash aggs + a broadcast join of the (token, df) side — no
+    // all-pairs anything. Both engines evaluate the identical IEEE double
+    // expression tree (tf·ln(N/df)·1e6, floored), so micro-units compare
+    // exactly.
+    "q_text_tfidf" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token"))
+          .agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "token")
+          .select(col("doc_id"), col("token"),
+            floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000000)
+              .cast("long").as("tfidf_micros"))
+      },
+      Some(raw"WITH tok AS (SELECT doc_id, unnest(" +
+        raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '')) " +
+        "AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1) " +
+        "SELECT doc_id, token, CAST(floor(tf * ln(" +
+        "(SELECT count(*) FROM documents)::DOUBLE / df) * 1000000) AS BIGINT) " +
+        "AS tfidf_micros FROM tf JOIN dfreq USING (token)"))
   )
 }
