@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for the LLM-pipeline surface: exact hash dedup,
   * MinHash + banded LSH near-dup with exact-jaccard verification, SimHash
@@ -74,8 +75,17 @@ object Dedup {
       b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
+  /** Test seam: JVM-wide count of signature-kernel invocations. In local
+    * mode (executors in-process) DedupSpec reads this to assert the
+    * compute-bound stage runs ONCE per document — i.e. the persist points
+    * below actually hold (VERDICT r4 #4: un-persisted lineage re-ran the
+    * kernel ~4× per pipeline). */
+  private[pipeline] val bandKernelInvocations =
+    new java.util.concurrent.atomic.AtomicLong
+
   private[pipeline] def bandKeysScala(sh: Seq[String], k: Int,
                                       bands: Int): Array[Long] = {
+    bandKernelInvocations.incrementAndGet()
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val r = k / bands
     // xxhash64(i, h) in the expression path = hashLong(h, hashInt(i, 42)):
@@ -99,18 +109,18 @@ object Dedup {
     }
   }
 
-  /** Candidate pairs (a < b) from banded MinHash LSH over a shingle-set
-    * column. Rows with empty shingle sets never pair. The id column must be
-    * integral (cast to long). */
-  def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
-                        k: Int = 128, bands: Int = 32): DataFrame = {
+  /** The (id, band, key) frame the LSH join runs on — the output of the
+    * compute-bound signature kernel. Callers MUST persist this before
+    * self-joining it, or the kernel runs once per join side. */
+  private def bandedFrame(df: DataFrame, idCol: String, shingleCol: String,
+                          k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     import df.sparkSession.implicits._
     // Repartition before the signature stage: compute-bound, so width must
     // come from cores, not from however few file splits the input had;
     // round-robin also balances document-length skew.
     val width = df.sparkSession.sparkContext.defaultParallelism
-    val banded = df.filter(size(col(shingleCol)) > 0)
+    df.filter(size(col(shingleCol)) > 0)
       .repartition(width)
       .select(col(idCol).cast("long").as("mid"), col(shingleCol).as("sh"))
       .as[(Long, Seq[String])]
@@ -119,12 +129,33 @@ object Dedup {
           .map { case (key, b) => (id, b, key) }
       }
       .toDF("mid", "band", "key")
+  }
+
+  /** Self-join of a banded frame on (band, key) → candidate pairs a < b. */
+  private def bandSelfJoin(banded: DataFrame): DataFrame = {
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
         && col("l.mid") < col("r.mid"))
       .select(col("l.mid").as("a"), col("r.mid").as("b"))
       .distinct()
+  }
+
+  /** Candidate pairs (a < b) from banded MinHash LSH over a shingle-set
+    * column. Rows with empty shingle sets never pair. The id column must be
+    * integral (cast to long). The banded frame is persisted across the
+    * self-join (signature kernel runs once per row, not once per side) and
+    * freed after the eager materialization. */
+  def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
+                        k: Int = 128, bands: Int = 32): DataFrame = {
+    val banded = bandedFrame(df, idCol, shingleCol, k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count() // materialize BEFORE the self-join: a lazy persist lets
+    // the join's two stages first-touch the same partitions concurrently
+    // and compute the kernel twice anyway
+    val out = bandSelfJoin(banded).localCheckpoint(true)
+    banded.unpersist(false)
+    out
   }
 
   /** Exact jaccard verification of candidate pairs against the shingle sets.
@@ -151,13 +182,28 @@ object Dedup {
                 shingleN: Int = 3, threshold: Double = 0.8,
                 k: Int = 128, bands: Int = 32): DataFrame = {
     import df.sparkSession.implicits._
+    // Persist the two recompute points of this DAG (VERDICT r4 #4): withSh
+    // feeds the band kernel AND both jaccardVerify sides; banded is
+    // self-joined. Un-persisted, the shingle+signature stages re-ran ~4×.
+    // The pipeline is materialized eagerly (localCheckpoint) so the
+    // intermediates can be freed here — the returned pairs frame is small
+    // (candidates that survived exact verification).
     val withSh = df
       .select(col(idCol).cast("long").as(idCol), col(textCol))
       .as[(Long, String)]
       .map { case (id, t) => (id, shinglesScala(t, shingleN)) }
       .toDF(idCol, "sh")
-    val cands = minhashCandidates(withSh, idCol, "sh", k, bands)
-    jaccardVerify(cands, withSh, idCol, "sh", threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedFrame(withSh, idCol, "sh", k, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count() // one job materializes BOTH caches (banded reads withSh);
+    // downstream stages then only ever hit cache — no concurrent first-touch
+    val cands = bandSelfJoin(banded)
+    val out = jaccardVerify(cands, withSh, idCol, "sh", threshold)
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    withSh.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash over a shingle set: bit j is the sign of the sum over
@@ -215,19 +261,29 @@ object Dedup {
   private def hammingPairs(withFp: DataFrame, masks: Seq[Long],
                            maxHamming: Int): DataFrame = {
     require(masks.size > maxHamming, "pigeonhole needs chunks > maxHamming")
+    // Persist the fingerprint frame across the self-join: the simhash
+    // kernel (k·|shingles| hashes per doc) otherwise runs once per side
+    // (VERDICT r4 #4). Eager materialization lets us free it here.
+    val fp = withFp.persist(StorageLevel.MEMORY_AND_DISK)
+    fp.count() // materialize before the self-join (concurrent first-touch
+    // of a lazy persist would run the kernel once per side anyway)
     val chunkMasks = typedLit(masks.toArray)
-    val chunked = withFp.select(col("sid"), col("fp"),
+    val chunked = fp.select(col("sid"), col("fp"),
         posexplode(transform(sequence(lit(1), lit(masks.size)), c =>
           col("fp").bitwiseAND(element_at(chunkMasks, c))))
           .as(Seq("chunk", "ckey")))
     val l = chunked.as("l")
     val r = chunked.as("r")
-    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey")
+    val out = l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey")
         && col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("a"), col("r.sid").as("b"),
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    fp.unpersist(false)
+    out
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -321,13 +377,14 @@ object Dedup {
                       planes: Int = 128, bands: Int = 16,
                       seed: Long = 42L): DataFrame = {
     val keys = embedBandKeys(col(vecCol), dim, planes, bands, seed)
+    // Persist across the self-join: the `planes` hyperplane dot products
+    // per row otherwise evaluate once per join side.
     val banded = df.select(col(idCol).as("mid"),
-      posexplode(array(keys: _*)).as(Seq("band", "key")))
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
-        && col("l.mid") < col("r.mid"))
-      .select(col("l.mid").as("a"), col("r.mid").as("b"))
-      .distinct()
+        posexplode(array(keys: _*)).as(Seq("band", "key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count() // materialize before the self-join
+    val out = bandSelfJoin(banded).localCheckpoint(true)
+    banded.unpersist(false)
+    out
   }
 }

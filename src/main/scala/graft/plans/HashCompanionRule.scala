@@ -35,31 +35,39 @@ object HashCompanionRule extends Rule[LogicalPlan] {
       Literal(XxHash64(Seq(Literal(other, StringType)), 42L).eval(null), LongType)
   }
 
-  private def rewrite(cond: Expression, child: LogicalPlan): Expression = cond match {
-    case eq @ EqualTo(a: Attribute, l @ Literal(v, StringType)) if v != null =>
-      companionOf(a, child)
-        .map(h => And(EqualTo(h, hashLit(v)), eq)).getOrElse(eq)
-    case eq @ EqualTo(l @ Literal(v, StringType), a: Attribute) if v != null =>
-      companionOf(a, child)
-        .map(h => And(EqualTo(h, hashLit(v)), eq)).getOrElse(eq)
-    case in @ In(a: Attribute, vs) if a.dataType == StringType &&
+  /** The hash predicate a single conjunct earns, if any. */
+  private def hashPredFor(c: Expression,
+                          child: LogicalPlan): Option[Expression] = c match {
+    case EqualTo(a: Attribute, Literal(v, StringType)) if v != null =>
+      companionOf(a, child).map(h => EqualTo(h, hashLit(v)))
+    case EqualTo(Literal(v, StringType), a: Attribute) if v != null =>
+      companionOf(a, child).map(h => EqualTo(h, hashLit(v)))
+    case In(a: Attribute, vs) if a.dataType == StringType &&
         vs.nonEmpty && vs.forall {
           case Literal(v, StringType) => v != null
           case _ => false } =>
-      companionOf(a, child).map { h =>
-        And(In(h, vs.map { case Literal(v, _) => hashLit(v) }), in)
-      }.getOrElse(in)
-    case And(l, r) => And(rewrite(l, child), rewrite(r, child))
-    case other => other
+      companionOf(a, child)
+        .map(h => In(h, vs.map { case Literal(v, _) => hashLit(v) }))
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // Fixpoint guard: skip filters that already reference a companion column
-    // (either user-written or added by a previous pass of this rule).
-    case f @ Filter(cond, child)
-        if !cond.references.exists(_.name.endsWith(graft.tables.Writer.HashSuffix)) =>
-      val next = rewrite(cond, child)
-      if (next.fastEquals(cond)) f else Filter(next, child)
+    case f @ Filter(cond, child) =>
+      // Per-conjunct fixpoint guard (VERDICT r4 #7): each string-equality
+      // conjunct earns its hash predicate independently, and one is added
+      // only if not already semantically present — so a filter mixing an
+      // already-rewritten predicate with a NEW string predicate still gets
+      // the new rewrite, while repeated optimizer passes reach a fixpoint.
+      val conjuncts = splitConjuncts(cond)
+      val additions = conjuncts.flatMap(c => hashPredFor(c, child))
+        .filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+      if (additions.isEmpty) f
+      else Filter((additions ++ conjuncts).reduceLeft(And), child)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 }
 

@@ -283,8 +283,13 @@ object RelationalQueries {
 
     // H6 semi-structured: the reference stores JSON attributes host-side and
     // filters on extracted paths; our engine evaluates typed extraction in
-    // the scan stage via from_json (codegen'd, no UDF). The JSON parse runs
-    // ONCE per row and the extracted field is filter + aggregate input.
+    // the scan stage via from_json (codegen'd, no UDF). Note the physical
+    // plan evaluates from_json in the Filter and AGAIN in the Project for
+    // surviving rows — bounded cost (survivors only), accepted; a single
+    // parse would need a pre-projection below the filter, trading pushdown.
+    // Oracle uses TRY_CAST twice (string→JSON, extraction→BIGINT) so a
+    // malformed props row nulls out exactly like Spark's from_json instead
+    // of aborting the oracle (ADVICE r4).
     "q_json_agg" -> QueryDef(
       (s, d) => t(s, d, "events")
         .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
@@ -292,8 +297,8 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum")),
       Some("SELECT event_type, count(*) AS n, " +
-        "CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum " +
-        "FROM events WHERE CAST(props->>'k' AS BIGINT) >= 50 " +
+        "CAST(sum(TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT)) AS BIGINT) AS k_sum " +
+        "FROM events WHERE TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) >= 50 " +
         "GROUP BY event_type")),
 
     // H6 semi-structured, row-level: extract + range-filter + project. At
@@ -305,8 +310,8 @@ object RelationalQueries {
         .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
         .filter(col("k") >= 95 && col("event_type") === "click")
         .select(col("event_id"), col("k")),
-      Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events " +
-        "WHERE CAST(props->>'k' AS BIGINT) >= 95 AND event_type = 'click'")),
+      Some("SELECT event_id, TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) AS k FROM events " +
+        "WHERE TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) >= 95 AND event_type = 'click'")),
 
     // H7 window breadth: lag/lead over event time. The per-row delta is the
     // same IEEE double subtraction in both engines, floored to exact micro

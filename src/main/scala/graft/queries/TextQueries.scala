@@ -98,11 +98,12 @@ object TextQueries {
     // two hash aggs + a broadcast join of the (token, df) side — no
     // all-pairs anything. Both engines evaluate the identical IEEE double
     // expression tree (tf·ln(N/df)·1e6, floored), so micro-units compare
-    // exactly.
+    // exactly. N comes from Parquet footers (Stats.rowCount, I6 CalcCount
+    // path) — no extra scan job for a scalar (VERDICT r4 #5).
     "q_text_tfidf" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val n = docs.count()
+        val n = graft.stats.Stats.rowCount(s"$d/documents.parquet")
         val tf = docs
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("token"))

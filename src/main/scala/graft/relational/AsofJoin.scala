@@ -43,6 +43,15 @@ object AsofJoin {
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
                rightId: String, payload: Seq[String] = Nil): DataFrame = {
+    // Fail fast on a non-integral tiebreak column: the long cast below would
+    // silently null it out, quietly destroying the documented deterministic
+    // tie resolution instead of erroring (ADVICE r4).
+    val ridType = right.schema(rightId).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(ridType),
+      s"rightId '$rightId' must be an integral column, found $ridType")
     val leftCols = left.columns.toSeq
     val payStruct = struct(
       col(rightTs).as("asof_ts") +: payload.map(c => col(c).as(s"asof_$c")): _*)

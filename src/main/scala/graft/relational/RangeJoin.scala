@@ -20,6 +20,13 @@ import org.apache.spark.sql.DataFrame
   */
 object RangeJoin {
 
+  /** True floor-division bucket, exact in long arithmetic: `ts - pmod` is an
+    * exact multiple of `width`, so truncating `div` on it IS floor division —
+    * negative timestamps bucket correctly (plain `div` truncates toward zero,
+    * which made bucket 0 double-width around the origin — ADVICE r4). */
+  private def bucket(ts: String, width: Long): org.apache.spark.sql.Column =
+    expr(s"($ts - pmod($ts, $width)) div $width")
+
   /** Join rows of `left` and `right` whose `tsL`/`tsR` (integral, e.g. epoch
     * nanos) lie within `width` of each other. Output = left columns + right
     * columns; callers ensure the names are disjoint. */
@@ -27,9 +34,9 @@ object RangeJoin {
                tsL: String, tsR: String, width: Long): DataFrame = {
     require(width > 0, "band width must be positive")
     val l = left
-      .withColumn("__lb", expr(s"$tsL div $width"))
+      .withColumn("__lb", bucket(tsL, width))
       .withColumn("__probe", explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1)))
-    val r = right.withColumn("__rb", expr(s"$tsR div $width"))
+    val r = right.withColumn("__rb", bucket(tsR, width))
     l.join(r, l("__probe") === r("__rb") &&
         abs(col(tsL) - col(tsR)) <= lit(width))
       .drop("__lb", "__probe", "__rb")

@@ -31,17 +31,30 @@ object Check {
 
   def check(spark: SparkSession, path: String): Report = {
     val issues = scala.collection.mutable.ArrayBuffer.empty[String]
-    val conf = new Configuration()
-    val dir = new java.io.File(path)
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    // Enumerate through the Hadoop FileSystem API (not java.io.File) so the
+    // checker sees the table wherever it lives — local, HDFS, S3A, ABFS
+    // (VERDICT r4 #3: java.io.File silently lists zero files off-local).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val parts =
+      try {
+        val fs = root.getFileSystem(conf)
+        if (!fs.exists(root)) Array.empty[Path]
+        else fs.listStatus(root)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).map(_.getPath)
+      } catch {
+        case e: Exception =>
+          issues += s"listing failed (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)})"
+          Array.empty[Path]
+      }
     if (parts.isEmpty) issues += s"no parquet files under $path"
 
     var schemaRepr: Option[String] = None
     var footerRows = 0L
     parts.foreach { f =>
       try {
-        val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf)
+        val in = HadoopInputFile.fromPath(f, conf)
         val reader = ParquetFileReader.open(in)
         try {
           val fmd = reader.getFooter

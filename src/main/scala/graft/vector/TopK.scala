@@ -15,17 +15,42 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  /** Bounded top-k merge over (id, value) pairs, smallest values first. */
+  /** Bounded top-k merge over (id, value) pairs, smallest values first.
+    *
+    * The buffer invariant is "sorted ascending, at most k elements", so the
+    * map-side `reduce` is a bounded insertion: the common case (row worse
+    * than the kth best) is ONE comparison and no allocation — not a
+    * sort-per-row (VERDICT r4 #8; matters once groups are billions of rows).
+    */
   final case class TopKAgg(k: Int)
       extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord = Ordering[(Double, Long)]
     override def zero: Seq[(Double, Long)] = Nil
-    private def bound(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sorted.take(k)
-    override def reduce(b: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] =
-      bound(b :+ ((a._2, a._1)))
-    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      bound(a ++ b)
-    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = bound(r)
+    /** Insert into a sorted bounded buffer: O(1) reject, O(k) insert. */
+    override def reduce(b: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] = {
+      val item = (a._2, a._1)
+      if (b.size >= k && ord.gteq(item, b.last)) b
+      else {
+        val pos = b.indexWhere(e => ord.lt(item, e)) match {
+          case -1 => b.size
+          case i => i
+        }
+        val (lo, hi) = b.splitAt(pos)
+        (lo ++ (item +: hi)).take(k)
+      }
+    }
+    /** Merge two sorted bounded buffers: linear two-pointer merge. */
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      val (ia, ib) = (a.iterator.buffered, b.iterator.buffered)
+      while (out.size < k && (ia.hasNext || ib.hasNext)) {
+        if (!ib.hasNext || (ia.hasNext && ord.lteq(ia.head, ib.head)))
+          out += ia.next()
+        else out += ib.next()
+      }
+      out.toSeq
+    }
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
     override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder

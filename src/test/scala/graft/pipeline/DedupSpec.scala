@@ -29,6 +29,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearPairs runs the signature kernel exactly once per document") {
+    // VERDICT r4 #4: un-persisted lineage re-ran the shingle+minhash stage
+    // ~4× (band flatMap self-join + two jaccardVerify sides). The persisted
+    // pipeline must invoke the band kernel once per doc — counted via the
+    // JVM-wide seam (local mode: executors in-process).
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    val df = Seq((1L, base), (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely different words about databases and engines " * 6),
+      (4L, base + " extra")).toDF("doc_id", "text")
+    Dedup.bandKernelInvocations.set(0L)
+    val n = Dedup.nearPairs(df, "doc_id", "text", threshold = 0.5).count()
+    assert(n >= 3)
+    assert(Dedup.bandKernelInvocations.get() === 4L,
+      s"kernel ran ${Dedup.bandKernelInvocations.get()} times for 4 docs")
+  }
+
   test("simhash: identical texts → hamming 0; near texts close; disjoint texts far") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     val b = a.replace("kappa", "lambda")

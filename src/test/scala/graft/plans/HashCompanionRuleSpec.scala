@@ -53,6 +53,19 @@ class HashCompanionRuleSpec extends AnyFunSuite {
     assert(df.count() === 1)
   }
 
+  test("mixed conjunction: companion-referencing filter still rewrites the new string conjunct") {
+    // VERDICT r4 #7: the old filter-granular guard skipped the whole Filter
+    // if ANY conjunct referenced a __hash column, so a fresh string
+    // predicate in the same conjunction never got its fast path.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val alphaHash = XxHash64(Seq(Literal("alpha")), 42L).eval(null)
+    val df = SparkT.spark.read.parquet(dir)
+      .filter($"seg__hash".isNotNull && $"seg" === "alpha")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains(alphaHash.toString), plan)
+    assert(df.count() === 500)
+  }
+
   test("rule is idempotent (no predicate stacking at fixpoint)") {
     val df = SparkT.spark.read.parquet(dir).filter($"seg" === "alpha")
     val plan = df.queryExecution.optimizedPlan.toString

@@ -52,9 +52,14 @@ def main(sf_dir, out_dir):
         # float64 vs Spark int64) stringify differently under the driver's
         # str()-based normalization even when values are equal — treat as
         # failure here so they never reach the driver gate.
+        # "i" and "u" are both integer-like (pandas may infer uint64 from
+        # parquet); flag whenever one side is integer-like and the other
+        # is float (ADVICE r4: a u-vs-f clash slipped the old {i,f} test).
+        int_kinds = {"i", "u"}
         kind_clash = [
             c for c in got.columns if c in want.columns
-            and {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
+            and len({got[c].dtype.kind, want[c].dtype.kind} & int_kinds) > 0
+            and "f" in {got[c].dtype.kind, want[c].dtype.kind}
         ]
         if sorted(got.columns) != sorted(want.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
