@@ -1,0 +1,73 @@
+package graft.index
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Chunked postings layout (I2/I4 — ref ROW_BLOCKS_LIST,
+  * secondary/blockreader.h:82-89, ROWIDS_PER_BLOCK=1024): on a skewed
+  * (low-ndv) column NO index row may exceed the chunk bound, and the
+  * lookup/count paths stay exact on the chunked layout. */
+class SecondaryIndexSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  // Heavily skewed fixture: one value owns 5000 of 5060 rows (unique keys —
+  // the engine's rowid contract); a second value has sparse keys; a third
+  // has negative keys (floor-division chunking must hold there too).
+  private lazy val (dir: String, df: org.apache.spark.sql.DataFrame) = {
+    val d = Files.createTempDirectory("graft-sidx").resolve("idx").toString
+    val hot = (0 until 5000).map(i => ("hot", i.toLong))
+    val sparse = (0 until 50).map(i => ("sparse", 100000L + i * 7919L))
+    val neg = (1 to 10).map(i => ("neg", -i.toLong))
+    val base = (hot ++ sparse ++ neg).toDF("value", "key")
+    SecondaryIndex.build(base, "value", "key", d)
+    (d, base)
+  }
+
+  test("no posting row exceeds the 1024-rowid chunk bound on a skewed column") {
+    val idx = SparkT.spark.read.parquet(dir)
+    val maxLen = idx.agg(max(size(col("rowids")))).head.getInt(0)
+    assert(maxLen <= SecondaryIndex.RowidsPerChunk,
+      s"unchunked posting row of $maxLen rowids")
+    // the hot value really did split into multiple chunks
+    val hotChunks = idx.filter(col("value") === "hot").count()
+    assert(hotChunks === 5)  // 5000 keys / 1024-wide chunks
+    // chunk min/max bracket their rowids
+    val bad = idx.filter(
+      col("chunk_min") > array_min(col("rowids")) ||
+      col("chunk_max") < array_max(col("rowids"))).count()
+    assert(bad === 0)
+  }
+
+  test("lookup over the chunked layout returns exactly the matching keys") {
+    val keys = SecondaryIndex.lookupKeys(SparkT.spark, dir, Seq("hot"))
+      .as[Long].collect().toSet
+    assert(keys === (0 until 5000).map(_.toLong).toSet)
+    val negKeys = SecondaryIndex.lookupKeys(SparkT.spark, dir, Seq("neg"))
+      .as[Long].collect().toSet
+    assert(negKeys === (1 to 10).map(i => -i.toLong).toSet)
+  }
+
+  test("keyRange probe prunes chunks by min/max and filters exactly") {
+    val got = SecondaryIndex.lookupKeys(SparkT.spark, dir, Seq("hot"),
+      keyRange = Some((2000L, 2100L))).as[Long].collect().toSet
+    assert(got === (2000L to 2100L).toSet)
+  }
+
+  test("calcCount sums per-chunk counts exactly, index-only") {
+    assert(SecondaryIndex.calcCount(SparkT.spark, dir, Seq("hot")) === 5000L)
+    assert(SecondaryIndex.calcCount(SparkT.spark, dir, Seq("hot", "sparse")) === 5050L)
+    assert(SecondaryIndex.calcCount(SparkT.spark, dir, Seq("nope")) === 0L)
+  }
+
+  test("semiJoin restores exactly the filtered fact rows") {
+    val keys = SecondaryIndex.lookupKeys(SparkT.spark, dir, Seq("sparse"))
+    val fact = df.withColumnRenamed("key", "fk")
+    val got = SecondaryIndex.semiJoin(fact, "fk", keys)
+    assert(got.count() === 50)
+    assert(got.filter(col("value") =!= "sparse").count() === 0)
+  }
+}
