@@ -107,6 +107,21 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K6 4-bit quantization (the reference's third variant, knn/
+    // quantizer.cpp 4-bit transposed rep): 2 dims/byte packed-nibble codes,
+    // 8x smaller scans, coarse pass + exact rescore. Deterministic end to
+    // end; measured worst-case true-top-10 coarse rank on these fixtures is
+    // 14 (sf0.01) / 13 (sf0.1), so refine=12 (120 survivors) keeps the
+    // rescored result equal to the exact fullscan — shared oracle.
+    "q_knn_quant4" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quant4Index(s, d)
+        Quantize.searchRescore4(s.read.parquet(path), "embedding", "q4vec",
+            "vec_id", m, queryVec(s, d), k = 10, refine = 12)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K6 binary (1-bit) quantization: Hamming screen over packed sign bits
     // (64x smaller scans) + exact rescore. Binary screening is approximate
     // by nature; refine=40 is sized from the measured worst case on these
@@ -147,6 +162,22 @@ object VectorQueries {
       val m = Quantize.train(t(s, d, "embeddings"), "embedding")
       if (!new java.io.File(path, "_SUCCESS").isFile) {
         val qdf = Quantize.quantizeTable(t(s, d, "embeddings"), "embedding", "qvec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // Memoized 4-bit-quantized table per sfDir (same derivation contract as
+  // quantIndex: deterministic training, rebuild only if absent).
+  private val quant4Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.Q4Model, String)]
+
+  private def quant4Index(s: SparkSession, d: String): (Quantize.Q4Model, String) =
+    quant4Cache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quant4_embeddings"
+      val m = Quantize.train4(t(s, d, "embeddings"), "embedding")
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantize4Table(t(s, d, "embeddings"), "embedding", "q4vec", m)
         graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
       }
       (m, path)

@@ -99,6 +99,94 @@ object Quantize {
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
   }
 
+  /** 4-bit scalar quantization (the reference's third variant — the 4-bit
+    * query-side representation of knn/quantizer.cpp:45-700, quantizer.h:
+    * 28-60): per-dimension min/max train, 16 levels, TWO dims packed per
+    * byte (even dim = low nibble, odd dim = high nibble). 8x smaller than
+    * float32 — between int8 (4x) and 1-bit (64x) on the scan-bytes /
+    * coarse-precision tradeoff. Same coarse + exact-rescore contract as
+    * the int8 path.
+    */
+  final case class Q4Model(mins: Array[Float], maxs: Array[Float]) {
+    def dim: Int = mins.length
+    def bytes: Int = (dim + 1) >> 1
+    def scale(i: Int): Float = {
+      val r = maxs(i) - mins(i)
+      if (r == 0.0f) 1.0f else r / 15.0f
+    }
+    def quantize(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](bytes)
+      var i = 0
+      while (i < dim) {
+        val q = math.round((v(i) - mins(i)) / scale(i)).toInt
+        val c = math.max(0, math.min(15, q))
+        if ((i & 1) == 0) out(i >> 1) = c.toByte
+        else out(i >> 1) = (out(i >> 1) | (c << 4)).toByte
+        i += 1
+      }
+      out
+    }
+    def dequantize(codes: Array[Byte], i: Int): Float = {
+      val b = codes(i >> 1) & 0xFF
+      val c = if ((i & 1) == 0) b & 0x0F else b >>> 4
+      c * scale(i) + mins(i)
+    }
+    /** L2 between a packed 4-bit vector and a float query. */
+    def l2(codes: Array[Byte], q: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = dequantize(codes, i).toDouble - q(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  /** Train per-dimension min/max (one distributed pass — shared stats shape
+    * with the int8 trainer). */
+  def train4(df: DataFrame, vecCol: String): Q4Model = {
+    val m = train(df, vecCol)
+    Q4Model(m.mins, m.maxs)
+  }
+
+  /** Append `qCol: binary` with the packed 4-bit codes (2 dims/byte). */
+  def quantize4Table(df: DataFrame, vecCol: String, qCol: String,
+                     m: Q4Model): DataFrame = {
+    val schema = df.schema.add(StructField(qCol, BinaryType))
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](vecIdx).toArray
+        Row.fromSeq(r.toSeq :+ m.quantize(v))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Top-k search over the 4-bit codes: coarse pass (k·refine survivors,
+    * deterministic (adist, id) order), exact rescore on the float column.
+    * Same (idCol, dist) best-first contract as [[Knn.knn]]. 4-bit is
+    * coarser than int8, so `refine` defaults between the int8 and binary
+    * settings. */
+  def searchRescore4(qdf: DataFrame, vecCol: String, qCol: String,
+                     idCol: String, m: Q4Model, query: Array[Float], k: Int,
+                     metric: Knn.Metric = Knn.L2, refine: Int = 12): DataFrame = {
+    import qdf.sparkSession.implicits._
+    val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
+    val coarse = qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, codes) =>
+        val (mm, qv) = qB.value
+        (id, mm.l2(codes, qv))
+      }
+      .toDF("cid", "adist")
+      .orderBy(col("adist").asc, col("cid").asc)
+      .limit(k * refine)
+    val survivors = qdf.join(coarse.select(col("cid").as(idCol)), Seq(idCol))
+    Knn.knn(survivors, vecCol, idCol, query, k, metric)
+  }
+
   /** 1-bit binary quantization (the reference's binary path with centroid
     * residual thresholds — knn/quantizer.cpp:45-700, `BQ` in
     * quantizer.h:28-60): bit i = (v(i) > threshold(i)) with per-dimension

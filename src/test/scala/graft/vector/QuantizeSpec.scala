@@ -62,6 +62,36 @@ class QuantizeSpec extends AnyFunSuite {
     assert(bin === exact)
   }
 
+  test("4-bit packing roundtrips within half a step per dim (odd dim too)") {
+    val rnd = new scala.util.Random(11)
+    // odd dimension exercises the dangling low nibble of the last byte
+    val dim = 33
+    val vecs = Seq.fill(40)(Array.fill(dim)((rnd.nextFloat() - 0.5f) * 8))
+    val mins = Array.tabulate(dim)(i => vecs.map(_(i)).min)
+    val maxs = Array.tabulate(dim)(i => vecs.map(_(i)).max)
+    val m = Quantize.Q4Model(mins, maxs)
+    assert(m.bytes === 17)
+    vecs.foreach { v =>
+      val codes = m.quantize(v)
+      assert(codes.length === 17)
+      v.indices.foreach { i =>
+        val err = math.abs(m.dequantize(codes, i) - v(i))
+        assert(err <= m.scale(i) * 0.5 + 1e-5, s"dim $i err $err")
+      }
+    }
+  }
+
+  test("4-bit coarse+rescore equals the exact fullscan top-k on the fixture") {
+    val m = Quantize.train4(emb, "embedding")
+    val qdf = Quantize.quantize4Table(emb, "embedding", "q4vec", m)
+    val q = emb.where($"vec_id" === 0).select("embedding").as[Seq[Float]].head().toArray
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val q4 = Quantize.searchRescore4(qdf, "embedding", "q4vec", "vec_id", m, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(q4 === exact)
+  }
+
   test("zero-range dimensions quantize without dividing by zero") {
     val df = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(1.0f, 7.0f))).toDF("id", "v")
     val m = Quantize.train(df, "v")
