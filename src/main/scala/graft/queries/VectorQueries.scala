@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.vector.{Ivf, Knn, Quantize}
+import graft.vector.{Hnsw, Ivf, Knn, Quantize}
 
 /** Oracle-checked corpus for vector search (SURVEY.md §2.5, K1-K4+K7) over
   * the `embeddings` fixture (vec_id BIGINT, embedding FLOAT[64], label INT).
@@ -94,6 +94,20 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K1 graph path: partitioned NSW graph search (the reference's headline
+    // hnswlib index, knn/knn.cpp:221,455-537 — per-partition sub-graphs +
+    // top-k merge here). ef >= sub-graph size is an EXACT exhaustive walk
+    // (chain edges keep each sub-graph connected), so the graph path shares
+    // the fullscan oracle — proving the index loses nothing; small-ef
+    // recall is spec-tested (HnswSpec) on clustered data.
+    "q_knn_graph" -> QueryDef(
+      (s, d) => {
+        val path = hnswIndex(s, d)
+        Hnsw.search(s, path, "vec_id", queryVec(s, d), k = 10, ef = 1 << 20)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K6 scalar quantization: coarse int8 pass + exact rescore. Everything
     // is deterministic (training, codes, rescore), and the int8 error bound
     // over this fixture keeps the true top-10 inside the top-80 coarse set,
@@ -165,6 +179,19 @@ object VectorQueries {
         graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
       }
       (m, path)
+    })
+
+  // Memoized partitioned NSW graph index per sfDir (deterministic build:
+  // id-ordered insertion, id tiebreaks; rebuild only if absent).
+  private val hnswCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def hnswIndex(s: SparkSession, d: String): String =
+    hnswCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnsw_embeddings"
+      if (!new java.io.File(path, "_SUCCESS").isFile)
+        Hnsw.buildIndex(t(s, d, "embeddings"), "embedding", "vec_id", path)
+      path
     })
 
   // Memoized 4-bit-quantized table per sfDir (same derivation contract as

@@ -1,0 +1,182 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+
+/** Partitioned graph ANN — the Spark shape of the reference's headline HNSW
+  * index (hnswlib: knn/knn.cpp:221 build, :455-537 search; SURVEY M4).
+  *
+  * The reference holds ONE navigable-small-world graph per segment in
+  * mmap'd memory. A 100 TB vector column cannot be one graph; the engine's
+  * analog is graph-per-partition: vectors are deterministically sharded
+  * into P sub-graphs, each built independently inside `mapPartitions`
+  * (genuine per-partition imperative logic — the sanctioned RDD-style
+  * escape), stored as an ordinary Parquet table `(pid, id, vec, neighbors)`.
+  * Search fans the query to every sub-graph, takes top-k per graph with a
+  * beam search, and merges with the same `orderBy(dist, id).limit(k)`
+  * contract as [[Knn.knn]] — a k-row-per-partition driver merge, no
+  * shuffle of the vectors themselves.
+  *
+  * Graph shape: single-layer NSW (the reference's layer-0 with a fixed
+  * entry point instead of the layer hierarchy — at sub-graph sizes of
+  * 10^5-10^6 rows the hierarchy buys one hop). Insertion in ascending-id
+  * order; each node links to its `m` nearest among the ef-construction
+  * beam plus an UNPRUNED chain edge to its insertion predecessor, which
+  * keeps every sub-graph connected — so `ef >= |partition|` degenerates to
+  * an EXACT exhaustive walk (the oracle-checked configuration, same move
+  * as IVF's nprobe=nlist), while small ef gives the usual logarithmic
+  * search with spec-tested recall.
+  *
+  * Determinism: insertion order, distance ties, beam membership and the
+  * final merge all tie-break on id, so results are a function of the data
+  * and parameters only.
+  */
+object Hnsw {
+
+  /** @param m          max non-chain edges kept per node (hnswlib M)
+    * @param efC        construction beam width (hnswlib efConstruction)
+    * @param partitions sub-graph count; pid = id mod partitions */
+  final case class Params(m: Int = 8, efC: Int = 64, partitions: Int = 4)
+
+  private val graphSchema = StructType(Seq(
+    StructField("pid", IntegerType),
+    StructField("id", LongType),
+    StructField("vec", ArrayType(FloatType)),
+    StructField("neighbors", ArrayType(LongType))))
+
+  /** One partition's nodes, id-ascending. */
+  private final class SubGraph(val ids: Array[Long],
+                               val vecs: Array[Array[Float]],
+                               metric: Knn.Metric) {
+    val n: Int = ids.length
+    val adj: Array[scala.collection.mutable.ArrayBuffer[Int]] =
+      Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+
+    private def d(i: Int, q: Array[Float]): Double =
+      Ivf.scalarDist(metric, vecs(i), q)
+
+    /** Beam search over the first `upTo` inserted nodes (the graph so far
+      * during build; the whole graph when upTo = n). Returns (dist, idx)
+      * ascending, at most ef entries — every reachable node when ef >= upTo
+      * (the chain edges make all of them reachable). */
+    def searchBeam(q: Array[Float], ef: Int, upTo: Int): Seq[(Double, Int)] = {
+      if (upTo == 0) return Nil
+      val ord = Ordering.Tuple2[Double, Int]
+      // candidates: min-first by (dist, id-idx); results: max-first
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+      val visited = new java.util.BitSet(upTo)
+      val e0 = (d(0, q), 0)
+      cand.enqueue(e0); res.enqueue(e0); visited.set(0)
+      while (cand.nonEmpty) {
+        val c = cand.dequeue()
+        if (res.size >= ef && ord.gt(c, res.head)) { cand.clear() }
+        else {
+          adj(c._2).foreach { e =>
+            if (e < upTo && !visited.get(e)) {
+              visited.set(e)
+              val de = (d(e, q), e)
+              if (res.size < ef || ord.lt(de, res.head)) {
+                cand.enqueue(de)
+                res.enqueue(de)
+                if (res.size > ef) res.dequeue()
+              }
+            }
+          }
+        }
+      }
+      res.dequeueAll.reverse.toSeq
+    }
+
+    /** NSW insert-all: id-ascending, m-nearest links from the construction
+      * beam + an unpruned chain edge to the predecessor (connectivity). */
+    def build(m: Int, efC: Int): Unit = {
+      var i = 1
+      while (i < n) {
+        val near = searchBeam(vecs(i), efC, i)
+        val links = near.take(m).map(_._2)
+        val chain = i - 1
+        val mine = (links :+ chain).distinct
+        adj(i) ++= mine
+        mine.foreach { j =>
+          adj(j) += i
+          // prune j's NON-chain edges back to m by distance (chain edges
+          // j-1 and j+1 are load-bearing for connectivity — never pruned)
+          if (adj(j).size > m + 2) {
+            val (chainE, rest) = adj(j).partition(e => e == j - 1 || e == j + 1)
+            val kept = rest.map(e => (Ivf.scalarDist(metric, vecs(j), vecs(e)), e))
+              .sorted.take(m).map(_._2)
+            adj(j).clear()
+            adj(j) ++= (chainE ++ kept).distinct
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  private def buildOne(rows: Seq[(Long, Array[Float])], pid: Int,
+                       p: Params, metric: Knn.Metric): Iterator[Row] = {
+    val sorted = rows.sortBy(_._1).toArray
+    val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), metric)
+    g.build(p.m, p.efC)
+    (0 until g.n).iterator.map { i =>
+      Row(pid, g.ids(i), g.vecs(i).toSeq, g.adj(i).map(g.ids(_)).sorted.toSeq)
+    }
+  }
+
+  /** Build the partitioned graph index and write it as a Parquet table,
+    * range-clustered by (pid, id). One shuffle of (id, vec); the graph
+    * construction is per-partition CPU work with no driver involvement. */
+  def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+                 p: Params = Params(), metric: Knn.Metric = Knn.L2): Unit = {
+    import df.sparkSession.implicits._
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("pid", pmod(col("id"), lit(p.partitions)).cast("int"))
+      .repartition(p.partitions, col("pid"))
+    val graph = base.select(col("pid"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (pid, rows) =>
+          buildOne(rows.map(r => (r._2, r._3)), pid, p, metric)
+        }
+      }(Encoders.row(graphSchema))
+    graft.tables.Writer.write(graph, path, sortBy = Seq("pid", "id"),
+      files = p.partitions)
+  }
+
+  /** Top-k search: beam-search every sub-graph (ef >= k), merge per-graph
+    * top-k with the [[Knn.knn]] (dist asc, id asc) contract. `ef` at least
+    * the sub-graph size ⇒ exact. At scale the graph table is written
+    * clustered by pid; the repartition below is then layout-aligned (AQE
+    * elides none of the correctness — each sub-graph must be searched
+    * whole, so the shuffle moves only the index table, never the facts). */
+  def search(spark: SparkSession, indexPath: String, idCol: String,
+             query: Array[Float], k: Int, ef: Int,
+             metric: Knn.Metric = Knn.L2): DataFrame = {
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(query)
+    val graph = spark.read.parquet(indexPath)
+      .select(col("pid"), col("id"), col("vec"), col("neighbors"))
+    val perPart = graph
+      .repartition(col("pid"))
+      .as[(Int, Long, Array[Float], Array[Long])]
+      .mapPartitions { it =>
+        val q = qB.value
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._2).toArray
+          val g = new SubGraph(sorted.map(_._2), sorted.map(_._3), metric)
+          val idx = sorted.map(_._2).zipWithIndex.toMap
+          sorted.indices.foreach { i =>
+            g.adj(i) ++= sorted(i)._4.iterator.map(idx)
+          }
+          g.searchBeam(q, math.max(ef, k), g.n).take(k)
+            .map { case (dist, i) => (g.ids(i), dist) }
+        }
+      }
+      .toDF(idCol, "dist")
+    perPart.orderBy(col("dist").asc, col(idCol).asc).limit(k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.vector
+
+import graft.SparkT
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Partitioned NSW graph index (SURVEY M4, ref hnswlib knn/knn.cpp:221,
+  * 455-537): exact at ef >= sub-graph size (connectivity via chain edges),
+  * high recall at small ef on clustered data. */
+class HnswSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = graft.engine.Graft.table(SparkT.spark, sfDir, "embeddings")
+
+  private def queryVec: Array[Float] =
+    emb.where($"vec_id" === 0).select("embedding").as[Seq[Float]].head().toArray
+
+  test("ef >= sub-graph size is exact: equals the fullscan top-k (tiny m too)") {
+    val d = Files.createTempDirectory("graft-hnsw").resolve("g").toString
+    // m=2 stresses connectivity: pruning is aggressive, so exactness here
+    // proves the chain edges really keep every sub-graph connected.
+    Hnsw.buildIndex(emb, "embedding", "vec_id", d, Hnsw.Params(m = 2, efC = 8))
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val graph = Hnsw.search(SparkT.spark, d, "vec_id", queryVec, 10, ef = 1 << 20)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(graph === exact)
+  }
+
+  test("recall@10 >= 0.95 at small ef on clustered vectors") {
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    // 30 clusters x 20 members — the data shape a graph index navigates well
+    val rows = for {
+      c <- 0 until 30
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 3)
+      i <- 0 until 20
+    } yield ((c * 20 + i).toLong,
+      center.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnsw2").resolve("g").toString
+    Hnsw.buildIndex(df, "embedding", "vec_id", d, Hnsw.Params(m = 8, efC = 64))
+
+    val queries = Seq(3L, 117L, 284L, 451L, 599L)
+    val recalls = queries.map { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = Hnsw.search(SparkT.spark, d, "vec_id", q, 10, ef = 32)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
+  test("search result keeps the (dist asc, id asc) contract") {
+    val d = Files.createTempDirectory("graft-hnsw3").resolve("g").toString
+    Hnsw.buildIndex(emb, "embedding", "vec_id", d)
+    val rows = Hnsw.search(SparkT.spark, d, "vec_id", queryVec, 10, ef = 1 << 20)
+      .collect().map(r => (r.getDouble(1), r.getLong(0)))
+    assert(rows.sameElements(rows.sorted))
+    assert(rows.length === 10)
+  }
+}
