@@ -1,0 +1,229 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.vector.{CosineSimilarity, InnerProduct, Ivf, Knn, L2Distance}
+
+/** K4 finished: the automatic index-vs-fullscan route (ref ShouldUseFullscan,
+  * knn/knn.cpp:613-620 — the host daemon consults it per query and the
+  * library then serves either the HNSW walk or a filtered brute-force scan).
+  *
+  * [[AnnRouting]] is the registry (the analog of the reference's "this
+  * column has a KNN index" table metadata, knn/knn.h:167-175);
+  * [[AnnRoutingRule]] is the Catalyst optimizer rule (injected by
+  * [[GraftExtensions]]) that recognizes the exact-knn plan shape
+  *
+  *   Limit k ∘ Sort [dist asc, …] ∘ … ∘ (Filter?) ∘ ParquetRelation(base)
+  *
+  * where `dist` is one of the engine's distance expressions over a
+  * registered vector column and a literal query vector, and REWRITES the
+  * base-table scan into a scan of the IVF index table restricted to the
+  * `nprobe` lists nearest the query — Parquet file/row-group pruning on the
+  * range-clustered `ivf_cluster` column then skips the untouched lists.
+  * The Sort/Limit above is untouched (it still lowers to
+  * TakeOrderedAndProject), so with nprobe = nlist the routed plan is
+  * bit-identical to the fullscan — the oracle-checked configuration.
+  *
+  * Routing decision, mirroring the reference:
+  *  - no attribute filter → use the index (an unfiltered top-k is what the
+  *    index exists for);
+  *  - attribute filter present → estimate its selectivity from Parquet
+  *    footer stats ([[graft.stats.Stats.estimateRange]], the Z4 seam) and
+  *    consult [[Knn.shouldUseFullscan]]: few enough survivors → leave the
+  *    plan alone (exact filtered fullscan, the reference's brute-force
+  *    bypass); un-estimable filter shapes stay on the fullscan path too
+  *    (conservative: the unrouted plan is always exact).
+  *
+  * 100 TB note: the decision consumes only registry metadata and footer
+  * stats already cached at registration — no data scan happens at plan
+  * time. The rewrite itself is a metadata swap of one leaf.
+  */
+object AnnRouting {
+
+  final case class Registered(basePath: String, indexPath: String,
+                              model: Ivf.Model, vecCol: String, nprobe: Int,
+                              rows: Long, ef: Int,
+                              indexPlan: LogicalPlan)
+
+  private val reg =
+    scala.collection.concurrent.TrieMap.empty[String, Registered]
+
+  private def qualify(spark: SparkSession, p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(path).toString
+  }
+
+  /** Register an IVF index for `basePath`: every ORDER BY dist LIMIT k over
+    * that table is then a routing candidate. Row count comes from footers
+    * (no scan); the index relation is analyzed once here. */
+  def register(spark: SparkSession, basePath: String, indexPath: String,
+               model: Ivf.Model, vecCol: String, nprobe: Int,
+               ef: Int = 64): Unit = {
+    val q = qualify(spark, basePath)
+    val rows = graft.stats.Stats.rowCount(basePath)
+    val idxPlan = spark.read.parquet(indexPath).queryExecution.analyzed
+    reg.put(q, Registered(q, indexPath, model, vecCol, nprobe, rows, ef, idxPlan))
+  }
+
+  def unregister(spark: SparkSession, basePath: String): Unit =
+    reg.remove(qualify(spark, basePath))
+
+  def clear(): Unit = reg.clear()
+
+  private[plans] def lookup(qualifiedPath: String): Option[Registered] =
+    reg.get(qualifiedPath)
+}
+
+class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import AnnRouting.Registered
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // PushProjectionThroughLimit may interpose Projects between the Limit
+    // and the Sort — peel them; the rewrite only swaps the scan leaf, so
+    // projections above the Sort are unaffected.
+    case gl @ Limit(IntegerLiteral(k), body) =>
+      stripProjects(body) match {
+        case Sort(order, true, child, _)
+            if order.nonEmpty && order.head.direction == Ascending =>
+          tryRoute(gl, k, order.head.child, child).getOrElse(gl)
+        case _ => gl
+      }
+  }
+
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(_, c) => stripProjects(c)
+    case o => o
+  }
+
+  private def tryRoute(gl: LogicalPlan, k: Int, sortExpr: Expression,
+                       child: LogicalPlan): Option[LogicalPlan] = {
+    // exactly one parquet relation under the sort, with a registered index
+    val rels = child.collect { case lr: LogicalRelation => lr }
+    if (rels.size != 1) return None
+    val lr = rels.head
+    val reg = lr.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.toList match {
+          case p :: Nil => AnnRouting.lookup(p.toString)
+          case _ => None
+        }
+      case _ => None
+    }
+    reg.flatMap { r =>
+      // resolve the sort key through intermediate Project aliases
+      val aliases = child.collect { case Project(pl, _) => pl }.flatten
+        .collect { case a: Alias => a.exprId -> a.child }.toMap
+      def resolve(e: Expression, depth: Int = 0): Expression = e match {
+        case ar: AttributeReference if depth < 8 =>
+          aliases.get(ar.exprId).map(resolve(_, depth + 1)).getOrElse(ar)
+        case other => other
+      }
+      matchDist(resolve(sortExpr)) match {
+        case Some((metric, vecAttr, qvec))
+            if metric == r.model.metric && r.rows > 0 &&
+              vecAttr.name == r.vecCol && lr.outputSet.contains(vecAttr) &&
+              shouldRoute(child, r, k) =>
+          buildRouted(gl, lr, r, qvec)
+        case _ => None
+      }
+    }
+  }
+
+  /** (metric, vector attribute, query vector) of a distance sort key. */
+  private def matchDist(e: Expression)
+      : Option[(Knn.Metric, AttributeReference, Array[Float])] = {
+    def vec(l: Literal): Option[Array[Float]] = l.dataType match {
+      case ArrayType(FloatType, _) if l.value != null =>
+        Some(l.value.asInstanceOf[ArrayData].toFloatArray())
+      case _ => None
+    }
+    e match {
+      case L2Distance(a: AttributeReference, l: Literal) =>
+        vec(l).map((Knn.L2, a, _))
+      case L2Distance(l: Literal, a: AttributeReference) =>
+        vec(l).map((Knn.L2, a, _))
+      case Subtract(Literal(one, _), InnerProduct(a: AttributeReference, l: Literal), _)
+          if one == 1.0 => vec(l).map((Knn.IP, a, _))
+      case Subtract(Literal(one, _), CosineSimilarity(a: AttributeReference, l: Literal), _)
+          if one == 1.0 => vec(l).map((Knn.Cosine, a, _))
+      case _ => None
+    }
+  }
+
+  /** Reference routing semantics: unfiltered → index; filtered → fullscan
+    * iff the estimated survivor count is small (knn/knn.cpp:613-620). */
+  private def shouldRoute(child: LogicalPlan, r: Registered, k: Int): Boolean = {
+    val conds = child.collect { case Filter(c, _) => c }
+    if (conds.isEmpty) true
+    else estimateSelectivity(conds, r) match {
+      case Some(sel) => !Knn.shouldUseFullscan(sel, r.rows, k, r.ef)
+      case None => false // un-estimable filter: stay exact on the fullscan
+    }
+  }
+
+  /** Upper-bound selectivity from footer stats: min over the range-shaped
+    * conjuncts (an upper bound on survivors is conservative toward routing,
+    * the same direction the reference errs). */
+  private def estimateSelectivity(conds: Seq[Expression],
+                                  r: Registered): Option[Double] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
+      case o => Seq(o)
+    }
+    def num(l: Literal): Option[Double] = l.value match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def range(e: Expression): Option[(String, Double, Double)] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, v, v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        num(l).map(v => (a.name, v, v))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, v, Double.PositiveInfinity))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, v, Double.PositiveInfinity))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, Double.NegativeInfinity, v))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        num(l).map(v => (a.name, Double.NegativeInfinity, v))
+      case _ => None
+    }
+    val sels = conds.flatMap(conjuncts).flatMap(range).map {
+      case (col, lo, hi) =>
+        graft.stats.Stats.estimateRange(r.basePath, col, lo, hi).toDouble /
+          r.rows.toDouble
+    }
+    if (sels.isEmpty) None else Some(math.min(1.0, sels.min))
+  }
+
+  /** Swap the base relation for the probe-filtered index relation, keeping
+    * the original output attribute ids via aliases. */
+  private def buildRouted(gl: LogicalPlan, lr: LogicalRelation,
+                          r: Registered,
+                          qvec: Array[Float]): Option[LogicalPlan] = {
+    val byName = r.indexPlan.output.map(a => a.name -> a).toMap
+    if (!lr.output.forall(a => byName.contains(a.name))) return None
+    val clusterAttr = byName.get("ivf_cluster") match {
+      case Some(a) => a
+      case None => return None
+    }
+    val probes = r.model.probeOrder(qvec).take(r.nprobe).map(_.toLong)
+    val filtered = Filter(
+      In(clusterAttr, probes.map(p => Literal(p))), r.indexPlan)
+    val mapped = Project(
+      lr.output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId)),
+      filtered)
+    Some(gl.transformUp {
+      case l: LogicalRelation if l eq lr => mapped
+    })
+  }
+}

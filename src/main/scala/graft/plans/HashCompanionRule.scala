@@ -76,5 +76,6 @@ object HashCompanionRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HashCompanionRule)
+    ext.injectOptimizerRule(session => new AnnRoutingRule(session))
   }
 }

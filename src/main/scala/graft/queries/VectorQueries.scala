@@ -81,15 +81,25 @@ object VectorQueries {
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
         "WHERE label = 3 "))),
 
-    // K1/K6 index path: IVF coarse-quantizer search. Probing ALL lists is
-    // exact by construction, so the index path shares the fullscan oracle —
-    // proving the index loses nothing; nprobe<nlist recall/pruning is
-    // spec-tested (IvfTopKSpec) where the data is clustered.
+    // K1/K6/K4 index path, AUTOMATICALLY ROUTED: the query is written as a
+    // plain exact top-k over the BASE table; registering the IVF index
+    // makes AnnRoutingRule rewrite the scan to the probe-filtered index
+    // table at plan time (the reference's host-side auto-route,
+    // knn/knn.cpp:613-620). nprobe = nlist is exact by construction, so
+    // the routed plan shares the fullscan oracle — proving the route loses
+    // nothing; nprobe<nlist recall/pruning is spec-tested (IvfTopKSpec),
+    // and the routed-vs-bypassed plan shapes are pinned by AnnRoutingSpec.
+    // (Registration is table-level state, as in the reference: any later
+    // unfiltered L2 top-k over this base table in the same session — e.g.
+    // q_knn_l2 when built after this query — routes too, with identical
+    // rows at nprobe = nlist.)
     "q_knn_ivf" -> QueryDef(
       (s, d) => {
         val (m, path) = ivfIndex(s, d)
-        Ivf.search(s, path, m, "vec_id", "embedding", queryVec(s, d),
-            k = 10, nprobe = m.nlist)
+        graft.plans.AnnRouting.register(s, s"$d/embeddings.parquet", path, m,
+          vecCol = "embedding", nprobe = m.nlist)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),

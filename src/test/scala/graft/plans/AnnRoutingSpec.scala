@@ -1,0 +1,111 @@
+package graft.plans
+
+import graft.SparkT
+import graft.tables.Writer
+import graft.vector.{Ivf, Knn}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** K4 automatic ANN routing: `ORDER BY dist LIMIT k` over a table with a
+  * registered IVF index swaps its scan for the probe-filtered index table
+  * (routed); selective filters, unregistered tables and metric mismatches
+  * leave the exact fullscan plan untouched (bypassed). */
+class AnnRoutingSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  SparkT.spark.experimental.extraOptimizations =
+    Seq(HashCompanionRule, new AnnRoutingRule(SparkT.spark))
+
+  private val dim = 8
+  private lazy val (baseDir: String, idxDir: String,
+      model: Ivf.Model, vectors: Seq[(Long, Array[Float], Int)]) = {
+    val rnd = new scala.util.Random(5)
+    val rows = for {
+      c <- 0 until 6
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 2)
+      i <- 0 until 50
+    } yield ((c * 50 + i).toLong,
+      center.map(x => x + 0.2f * rnd.nextGaussian().toFloat), c % 4)
+    val tmp = Files.createTempDirectory("graft-annroute")
+    val base = tmp.resolve("base").toString
+    val idx = tmp.resolve("idx").toString
+    val df = rows.toDF("vec_id", "embedding", "label")
+    Writer.write(df, base, sortBy = Seq("vec_id"))
+    val m = Ivf.train(SparkT.spark.read.parquet(base), "embedding", nlist = 6)
+    Ivf.buildIndex(SparkT.spark.read.parquet(base), "embedding", m, idx)
+    AnnRouting.register(SparkT.spark, base, idx, m,
+      vecCol = "embedding", nprobe = m.nlist)
+    (base, idx, m, rows)
+  }
+
+  private def query: Array[Float] = vectors.head._2
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  private def exactTop10: Seq[Long] =
+    vectors.map { case (id, v, _) => (l2(v, query), id) }
+      .sorted.take(10).map(_._2)
+
+  test("unfiltered exact top-k over a registered table routes to the index scan") {
+    val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
+      "embedding", "vec_id", query, 10)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("idx")), s"not routed: $paths")
+    assert(!paths.exists(_.contains("base")), s"base still scanned: $paths")
+    // the probe filter reached the index scan
+    assert(df.queryExecution.optimizedPlan.toString.contains("ivf_cluster"))
+    // nprobe = nlist: identical rows to the exact fullscan
+    assert(df.select("vec_id").as[Long].collect().toSeq === exactTop10)
+  }
+
+  test("selective attribute filter bypasses: few survivors → exact fullscan") {
+    // sel*n is tiny vs costFactor*k*ef at this scale, so shouldUseFullscan
+    // says brute force — the plan must keep scanning the BASE table.
+    val df = Knn.knn(SparkT.spark.read.parquet(baseDir).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("base")), s"filtered knn was routed: $paths")
+    assert(!paths.exists(_.contains("idx")))
+  }
+
+  test("unregistered tables and mismatched metrics never route") {
+    // same data written elsewhere — no registry entry
+    val other = Files.createTempDirectory("graft-annroute2").resolve("t").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), other,
+      sortBy = Seq("vec_id"))
+    val un = Knn.knn(SparkT.spark.read.parquet(other),
+      "embedding", "vec_id", query, 10)
+    assert(!scanPaths(un).exists(_.contains("idx")))
+    // registered table, but cosine query vs an L2-metric index
+    val cos = Knn.knn(SparkT.spark.read.parquet(baseDir),
+      "embedding", "vec_id", query, 10, Knn.Cosine)
+    assert(!scanPaths(cos).exists(_.contains("idx")))
+  }
+
+  test("routing preserves downstream projections (round/select shapes)") {
+    val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
+        "embedding", "vec_id", query, 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    assert(scanPaths(df).exists(_.contains("idx")))
+    assert(df.count() === 10)
+  }
+}

@@ -14,9 +14,11 @@ class HashCompanionRuleSpec extends AnyFunSuite {
   import SparkT.spark.implicits._
 
   // Inject on the shared test session via the public experimental hook —
-  // equivalent to spark.sql.extensions at session build time.
+  // equivalent to spark.sql.extensions at session build time. Both engine
+  // rules are set (same value AnnRoutingSpec sets), so concurrent suites
+  // never strip each other's rule.
   SparkT.spark.experimental.extraOptimizations =
-    Seq(HashCompanionRule)
+    Seq(HashCompanionRule, new AnnRoutingRule(SparkT.spark))
 
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-hc").resolve("t").toString
