@@ -79,6 +79,18 @@ object AnnRouting {
 
   private[plans] def lookup(qualifiedPath: String): Option[Registered] =
     reg.get(qualifiedPath)
+
+  // Plan-time selectivity estimates hit Parquet footers; the optimizer
+  // batch runs to fixpoint and queries re-optimize per action, so cache
+  // per (table, column, range) — footer stats are immutable per table
+  // version, and re-registration is the refresh point.
+  private val selCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double, Double), Double]
+
+  private[plans] def cachedRangeEstimate(basePath: String, col: String,
+                                         lo: Double, hi: Double): Double =
+    selCache.getOrElseUpdate((basePath, col, lo, hi),
+      graft.stats.Stats.estimateRange(basePath, col, lo, hi).toDouble)
 }
 
 class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
@@ -199,8 +211,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val sels = conds.flatMap(conjuncts).flatMap(range).map {
       case (col, lo, hi) =>
-        graft.stats.Stats.estimateRange(r.basePath, col, lo, hi).toDouble /
-          r.rows.toDouble
+        AnnRouting.cachedRangeEstimate(r.basePath, col, lo, hi) / r.rows.toDouble
     }
     if (sels.isEmpty) None else Some(math.min(1.0, sels.min))
   }

@@ -24,6 +24,21 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_orderpriority FROM orders " +
         "WHERE o_orderpriority IN ('1-URGENT','2-HIGH')")),
 
+    // I2/I3: rowid-window range probe — the per-chunk (chunk_min, chunk_max)
+    // stats skip whole posting chunks before exploding anything (the
+    // reference's block-level seek, secondary/blockreader.h:82-89).
+    "q_index_range" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_prio_idx")
+        val keys = SecondaryIndex.lookupKeys(s, idxPath, Seq("1-URGENT"),
+          keyRange = Some((1000L, 30000L)))
+        SecondaryIndex.semiJoin(t(s, d, "orders"), "o_orderkey", keys)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+      },
+      Some("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "AND o_orderkey BETWEEN 1000 AND 30000")),
+
     // I6: CalcCount from stored postings counts — index-only, the fact
     // table is never scanned.
     "q_index_count" -> QueryDef(

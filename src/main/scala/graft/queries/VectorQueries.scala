@@ -118,6 +118,21 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K5 adaptive early termination: probe lists in centroid-distance order,
+    // stop when the triangle-inequality lower bound of every unprobed list
+    // exceeds the kth best — EXACT by construction (the reference's
+    // quantile-based termination is approximate; the IVF layout buys an
+    // exact bound). Shares the fullscan oracle; the probes-touched economy
+    // is spec-tested on clustered data (IvfTopKSpec).
+    "q_knn_adaptive" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfIndex(s, d)
+        val (df, _) = Ivf.searchAdaptive(s, path, m, ivfRadii(s, d),
+          "vec_id", "embedding", queryVec(s, d), k = 10)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K6 scalar quantization: coarse int8 pass + exact rescore. Everything
     // is deterministic (training, codes, rescore), and the int8 error bound
     // over this fixture keeps the true top-10 inside the top-80 coarse set,
@@ -189,6 +204,17 @@ object VectorQueries {
         graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
       }
       (m, path)
+    })
+
+  // Memoized per-list radii for the adaptive search (one aggregation over
+  // the index table, reused across bench repetitions).
+  private val radiiCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Long, Double]]
+
+  private def ivfRadii(s: SparkSession, d: String): Map[Long, Double] =
+    radiiCache.getOrElseUpdate(d, {
+      val (m, path) = ivfIndex(s, d)
+      Ivf.listRadii(s, path, m, "embedding")
     })
 
   // Memoized partitioned NSW graph index per sfDir (deterministic build:
