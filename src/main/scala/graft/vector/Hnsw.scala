@@ -147,21 +147,42 @@ object Hnsw {
       files = p.partitions)
   }
 
+  // Resident graphs (the reference keeps its HNSW mmap'd for the life of
+  // the daemon — knn/knn.cpp Load; re-shuffling the index table per query
+  // would be the 100 TB defect): first search of an index pays ONE
+  // pid-shuffle and pins the grouped graph in executor storage
+  // (MEMORY_AND_DISK); every later query scans cache partition-locally and
+  // ships k rows per sub-graph to the driver.
+  private val resident =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Grouped, persisted graph table for `indexPath` (one sub-graph never
+    * spans Spark partitions). Rebuilding an index at the same path within
+    * a session requires [[invalidate]]. */
+  private def loadGraph(spark: SparkSession, indexPath: String): DataFrame =
+    resident.getOrElseUpdate(indexPath, {
+      val g = spark.read.parquet(indexPath)
+        .select(col("pid"), col("id"), col("vec"), col("neighbors"))
+        .repartition(col("pid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g.count() // materialize: later queries must never race the shuffle
+      g
+    })
+
+  /** Drop the resident copy of an index (call after rebuilding it). */
+  def invalidate(indexPath: String): Unit =
+    resident.remove(indexPath).foreach(_.unpersist(false))
+
   /** Top-k search: beam-search every sub-graph (ef >= k), merge per-graph
     * top-k with the [[Knn.knn]] (dist asc, id asc) contract. `ef` at least
-    * the sub-graph size ⇒ exact. At scale the graph table is written
-    * clustered by pid; the repartition below is then layout-aligned (AQE
-    * elides none of the correctness — each sub-graph must be searched
-    * whole, so the shuffle moves only the index table, never the facts). */
+    * the sub-graph size ⇒ exact. Each sub-graph must be searched whole, so
+    * the (first-query-only) shuffle moves the index table, never facts. */
   def search(spark: SparkSession, indexPath: String, idCol: String,
              query: Array[Float], k: Int, ef: Int,
              metric: Knn.Metric = Knn.L2): DataFrame = {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(query)
-    val graph = spark.read.parquet(indexPath)
-      .select(col("pid"), col("id"), col("vec"), col("neighbors"))
-    val perPart = graph
-      .repartition(col("pid"))
+    val perPart = loadGraph(spark, indexPath)
       .as[(Int, Long, Array[Float], Array[Long])]
       .mapPartitions { it =>
         val q = qB.value
