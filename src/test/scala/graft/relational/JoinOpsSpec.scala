@@ -13,11 +13,14 @@ class JoinOpsSpec extends AnyFunSuite with GenCheck {
   import SparkT.spark
   import spark.implicits._
 
+  // Timestamps span negative values: floor-division bucketing must stay
+  // complete around the origin (plain `div` truncation made bucket 0
+  // double-width there — ADVICE r4).
   private val rowsGen = for {
     n <- Gen.choose(0, 60)
     rows <- Gen.listOfN(n, for {
       key <- Gen.choose(0L, 3L)
-      ts <- Gen.choose(0L, 40L)
+      ts <- Gen.choose(-40L, 40L)
       v <- Gen.choose(-100L, 100L)
     } yield (key, ts, v))
   } yield rows.zipWithIndex.map { case ((k, ts, v), i) => (i.toLong, k, ts, v) }
@@ -54,6 +57,15 @@ class JoinOpsSpec extends AnyFunSuite with GenCheck {
       }.filter(_._2 > 0).toMap
       assert(got == want, s"rows=$rows")
     }
+  }
+
+  test("asof rejects a non-integral rightId tiebreak column (fail fast)") {
+    val left = Seq((1L, 1L, 10L)).toDF("id", "key", "ts")
+    val right = Seq(("x", 1L, 5L)).toDF("sid", "key", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, right, "key", "key", "ts", "ts", "sid")
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("asof plan shape: one shuffle window, no join operator") {
