@@ -71,28 +71,44 @@ object Ivf {
   }
 
   /** Train a coarse quantizer: deterministic seed pick (smallest
-    * xxhash64(vector) rows) + Lloyd iterations executed as DataFrame jobs
-    * (assign = expression argmin; update = per-dimension mean via
-    * posexplode — both scale-out, no driver data loops). */
+    * xxhash64(vector) rows, a bounded TakeOrdered) + Lloyd iterations
+    * executed as DataFrame jobs. The update step accumulates per-(cluster)
+    * sum/count ARRAYS per partition and folds numPartitions×nlist small
+    * rows on the driver — never a posexplode, which would shuffle
+    * n×dim rows (a 64-1024× blowup at 100 TB) per iteration. */
   def train(df: DataFrame, vecCol: String, nlist: Int,
             metric: Knn.Metric = Knn.L2, iters: Int = 2): Model = {
+    import df.sparkSession.implicits._
     val seeds = df.select(col(vecCol)).orderBy(xxhash64(col(vecCol)))
       .limit(nlist).collect().map(_.getSeq[Float](0).toArray).toSeq
     var m = Model(seeds, metric)
     (0 until iters).foreach { _ =>
-      val assigned = assign(df, vecCol, m)
-      val means = assigned
-        .select(col("ivf_cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("ivf_cluster", "pos").agg(avg("v").as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getLong(0))
+      val partials = assign(df, vecCol, m)
+        .select(col("ivf_cluster"), col(vecCol))
+        .as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val acc = scala.collection.mutable.LongMap.empty[(Array[Double], Long)]
+          it.foreach { case (c, v) =>
+            val (s, n) = acc.getOrElseUpdate(c, (new Array[Double](v.length), 0L))
+            var i = 0
+            while (i < s.length) { s(i) += v(i); i += 1 }
+            acc(c) = (s, n + 1)
+          }
+          acc.iterator.map { case (c, (s, n)) => (pid, c, s, n) }
+        }.collect().sortBy(p => (p._2, p._1)) // (cluster, partition): fixed fold order
+      val byCluster = partials.groupBy(_._2)
       val next = m.centroids.indices.map { c =>
         byCluster.get(c.toLong) match {
           case Some(rows) =>
-            val dim = rows.length
-            val arr = new Array[Float](dim)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
-            arr
+            val dim = rows.head._3.length
+            val sum = new Array[Double](dim)
+            rows.foreach { case (_, _, s, _) =>
+              var i = 0
+              while (i < dim) { sum(i) += s(i); i += 1 }
+            }
+            val n = rows.map(_._4).sum
+            sum.map(x => (x / n).toFloat)
           case None => m.centroids(c) // empty list keeps its centroid
         }
       }

@@ -51,17 +51,37 @@ object Quantize {
     }
   }
 
-  /** Train per-dimension min/max (one distributed pass). */
+  /** Train per-dimension min/max: ONE pass with per-partition array
+    * accumulators — the shuffle-free shape (a posexplode would multiply the
+    * row count by `dim` — a 64-1024× shuffle blowup at 100 TB — to compute
+    * the same 2×dim floats). Each partition emits one (mins, maxs) pair;
+    * the driver folds numPartitions pairs. min/max are order-independent,
+    * so the model is bit-reproducible across partitionings. */
   def train(df: DataFrame, vecCol: String): QModel = {
-    val rows = df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
-      .collect()
-    val dim = rows.length
-    val mins = new Array[Float](dim)
-    val maxs = new Array[Float](dim)
-    rows.foreach { r =>
-      mins(r.getInt(0)) = r.getFloat(1); maxs(r.getInt(0)) = r.getFloat(2)
-    }
+    import df.sparkSession.implicits._
+    val partials = df.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        var mn: Array[Float] = null
+        var mx: Array[Float] = null
+        it.foreach { v =>
+          if (mn == null) { mn = v.toArray; mx = v.toArray }
+          else {
+            var i = 0
+            while (i < mn.length) {
+              val x = v(i)
+              if (x < mn(i)) mn(i) = x
+              if (x > mx(i)) mx(i) = x
+              i += 1
+            }
+          }
+        }
+        if (mn == null) Iterator.empty else Iterator.single((mn, mx))
+      }.collect()
+    require(partials.nonEmpty, "cannot train on an empty table")
+    val mins = partials.map(_._1).reduce { (a, b) =>
+      Array.tabulate(a.length)(i => math.min(a(i), b(i))) }
+    val maxs = partials.map(_._2).reduce { (a, b) =>
+      Array.tabulate(a.length)(i => math.max(a(i), b(i))) }
     QModel(mins, maxs)
   }
 
@@ -217,14 +237,33 @@ object Quantize {
     }
   }
 
-  /** Train per-dimension mean thresholds (one distributed pass). */
+  /** Train per-dimension mean thresholds: per-partition (sum, count) array
+    * accumulators, folded on the driver in partition order (deterministic
+    * for a fixed partitioning; same shuffle-free rationale as [[train]]). */
   def trainBinary(df: DataFrame, vecCol: String): BModel = {
-    val rows = df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("pos").agg(avg("v").as("mean"))
-      .collect()
-    val th = new Array[Float](rows.length)
-    rows.foreach(r => th(r.getInt(0)) = r.getDouble(1).toFloat)
-    BModel(th)
+    import df.sparkSession.implicits._
+    val partials = df.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var sums: Array[Double] = null
+        var n = 0L
+        it.foreach { v =>
+          if (sums == null) sums = new Array[Double](v.length)
+          var i = 0
+          while (i < sums.length) { sums(i) += v(i); i += 1 }
+          n += 1
+        }
+        if (sums == null) Iterator.empty else Iterator.single((pid, sums, n))
+      }.collect().sortBy(_._1)
+    require(partials.nonEmpty, "cannot train on an empty table")
+    val dim = partials.head._2.length
+    val total = new Array[Double](dim)
+    partials.foreach { case (_, s, _) =>
+      var i = 0
+      while (i < dim) { total(i) += s(i); i += 1 }
+    }
+    val n = partials.map(_._3).sum
+    BModel(total.map(s => (s / n).toFloat))
   }
 
   /** Append `bCol: array<bigint>` with the packed sign bits. */
