@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{BinaryType, StructField}
   * constant.
   *
   * 100 TB story: the coarse pass scans only (id, qvec) — a quarter of the
-  * vector bytes; the rescore touches k·refine rows. Training is one
-  * posexplode aggregation (distributed).
+  * vector bytes; the rescore touches k·refine rows. Training is one pass
+  * with per-partition array accumulators (numPartitions rows to the
+  * driver, no shuffle).
   */
 object Quantize {
 
