@@ -32,8 +32,10 @@ object Bench {
     try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
-  /** queries map of a prior clean bench artifact, if one is readable. */
-  private def reference(): Map[String, Double] =
+  /** queries map of a prior clean bench artifact, if one is readable AND
+    * was recorded at the same scale factor — cross-scale comparison would
+    * flag the whole corpus as "noisy" and waste retries. */
+  private def reference(sfDir: String): Map[String, Double] =
     try {
       val p = Paths.get("bench_ref.json")
       if (!Files.isReadable(p)) Map.empty
@@ -41,7 +43,8 @@ object Bench {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(Files.readString(p))
         val qs = root.get("queries")
-        if (qs == null) Map.empty
+        val refSf = Option(root.get("sf")).map(_.asText)
+        if (qs == null || !refSf.contains(sfDir)) Map.empty
         else {
           val it = qs.fields()
           val b = Map.newBuilder[String, Double]
@@ -70,7 +73,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val ref = reference()
+    val ref = reference(sfDir)
     val loadStart = loadavg()
 
     def timeOne(name: String): Double = {

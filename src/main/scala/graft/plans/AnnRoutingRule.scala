@@ -67,8 +67,10 @@ object AnnRouting {
                model: Ivf.Model, vecCol: String, nprobe: Int,
                ef: Int = 64): Unit = {
     val q = qualify(spark, basePath)
-    val rows = graft.stats.Stats.rowCount(basePath)
+    val rows = graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
     val idxPlan = spark.read.parquet(indexPath).queryExecution.analyzed
+    selCache.keys.filter(_._1 == q).foreach(selCache.remove) // refresh point
     reg.put(q, Registered(q, indexPath, model, vecCol, nprobe, rows, ef, idxPlan))
   }
 
@@ -87,10 +89,20 @@ object AnnRouting {
   private val selCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double, Double), Double]
 
+  /** None on any IO failure — the rule then takes its documented
+    * conservative exact-fullscan bypass instead of aborting the query from
+    * inside the optimizer. */
   private[plans] def cachedRangeEstimate(basePath: String, col: String,
-                                         lo: Double, hi: Double): Double =
-    selCache.getOrElseUpdate((basePath, col, lo, hi),
-      graft.stats.Stats.estimateRange(basePath, col, lo, hi).toDouble)
+                                         lo: Double, hi: Double): Option[Double] =
+    selCache.get((basePath, col, lo, hi)).orElse {
+      try {
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration
+        val est = graft.stats.Stats.estimateRange(basePath, col, lo, hi, conf).toDouble
+        selCache.put((basePath, col, lo, hi), est)
+        Some(est)
+      } catch { case _: Exception => None }
+    }
 }
 
 class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
@@ -209,9 +221,10 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         num(l).map(v => (a.name, Double.NegativeInfinity, v))
       case _ => None
     }
-    val sels = conds.flatMap(conjuncts).flatMap(range).map {
+    val sels = conds.flatMap(conjuncts).flatMap(range).flatMap {
       case (col, lo, hi) =>
-        AnnRouting.cachedRangeEstimate(r.basePath, col, lo, hi) / r.rows.toDouble
+        AnnRouting.cachedRangeEstimate(r.basePath, col, lo, hi)
+          .map(_ / r.rows.toDouble)
     }
     if (sels.isEmpty) None else Some(math.min(1.0, sels.min))
   }

@@ -59,7 +59,13 @@ object VectorQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // K1 exact top-k, L2 — ref knn/knn.cpp:455-537, space.cpp L2 kernels
+    // K1 exact top-k, L2 — ref knn/knn.cpp:455-537, space.cpp L2 kernels.
+    // NOTE: index registration (q_knn_ivf) is table-level session state, so
+    // when this query is BUILT after q_knn_ivf in the same process (e.g.
+    // Bench's sorted order) it is auto-routed to the index scan — identical
+    // rows at nprobe = nlist and ~identical bytes read (all lists probed);
+    // in a fresh process it is the pure fullscan. bench_ref.json was
+    // recorded with routing active.
     "q_knn_l2" -> QueryDef(
       (s, d) => topK(s, d, Knn.L2),
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),

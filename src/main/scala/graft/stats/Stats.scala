@@ -34,6 +34,14 @@ object Stats {
   final case class FileStats(path: String, rows: Long, bytes: Long,
                              cols: Map[String, ColStats])
 
+  /** Default Hadoop conf: the active session's (carries `spark.hadoop.*`
+    * settings — credentials/impls for s3a/abfs/...), else a bare one. A bare
+    * `new Configuration()` would see none of the session's store config. */
+  private def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   private def footer(p: Path, conf: Configuration): ParquetMetadata = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try r.getFooter finally r.close()
@@ -63,7 +71,12 @@ object Stats {
 
   /** Per-file footer statistics (driver-side; for the catalog path at scale
     * use [[buildCatalog]], which distributes this). */
-  def fileStats(path: String, conf: Configuration = new Configuration()): Seq[FileStats] =
+  def fileStats(path: String, conf: Configuration = null): Seq[FileStats] = {
+    val c = if (conf != null) conf else sessionConf()
+    fileStatsWith(path, c)
+  }
+
+  private def fileStatsWith(path: String, conf: Configuration): Seq[FileStats] =
     parquetFiles(path, conf).map { case (f, len) =>
       val fmd = footer(f, conf)
       val blocks = fmd.getBlocks.asScala
@@ -96,7 +109,8 @@ object Stats {
     }
 
   /** I6 CalcCount analog: exact row count from footers — no scan. */
-  def rowCount(path: String): Long = fileStats(path).map(_.rows).sum
+  def rowCount(path: String, conf: Configuration = null): Long =
+    fileStats(path, conf).map(_.rows).sum
 
   /** Z1 min/max tree root analog: column min/max from footers — no scan.
     * Exact for numeric columns (Parquet numeric stats are not truncated). */
@@ -124,8 +138,9 @@ object Stats {
     * — sum of row counts of ROW GROUPS whose [min,max] intersects the range
     * (the reference walks its min/max tree at reduced depth; the row group
     * is our tree level). Footer-only. */
-  def estimateRange(path: String, column: String, lo: Double, hi: Double): Long = {
-    val conf = new Configuration()
+  def estimateRange(path: String, column: String, lo: Double, hi: Double,
+                    hconf: Configuration = null): Long = {
+    val conf = if (hconf != null) hconf else sessionConf()
     parquetFiles(path, conf).map { case (f, _) =>
       footer(f, conf).getBlocks.asScala.map { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column) match {
@@ -161,11 +176,15 @@ object Stats {
     val hconf = spark.sparkContext.hadoopConfiguration
     val files = parquetFiles(tableDir, hconf).map(_._1.toString)
     val colsB = spark.sparkContext.broadcast(columns)
+    // Ship the session's Hadoop settings (spark.hadoop.* — store creds,
+    // fs impls) to the executors: a bare Configuration there would lose
+    // them and fail on s3a/abfs despite the qualified paths.
+    val confB = spark.sparkContext.broadcast(
+      hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray)
     val rows = spark.sparkContext.parallelize(files, math.max(1, files.size))
       .map { p =>
-        // Executor-side footer read through the same FileSystem resolver —
-        // the path strings are fully qualified, so any store works.
         val conf = new Configuration()
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
         val fmd = footer(new Path(p), conf)
         val blocks = fmd.getBlocks.asScala
         val nRows = blocks.map(_.getRowCount).sum

@@ -21,17 +21,30 @@ object Derived {
   def root: String =
     sys.props.getOrElse("graft.derived.root", "/root/repo/data/derived")
 
+  /** Layout version of the derived tables. Bump whenever any builder's
+    * OUTPUT SCHEMA changes: a cached table from an older layout (identified
+    * by a missing/mismatched `_GRAFT_LAYOUT` marker) is rebuilt instead of
+    * being read with the wrong schema ("r5" = chunked index postings). */
+  val LayoutVersion = "r5"
+
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def sfKey(sfDir: String): String =
     new java.io.File(sfDir).getName // "sf0.01" etc.
 
-  /** Path of derived table `name` for `sfDir`, building it if absent. */
+  /** Path of derived table `name` for `sfDir`, building it if absent or
+    * built under an older layout version. */
   def tablePath(spark: SparkSession, sfDir: String, name: String): String =
     built.getOrElseUpdate(s"${sfKey(sfDir)}/$name", {
       val path = s"$root/${sfKey(sfDir)}/$name"
       val success = new java.io.File(path, "_SUCCESS")
-      if (!success.isFile) builders(name)(spark, sfDir, path)
+      val marker = new java.io.File(path, "_GRAFT_LAYOUT")
+      val current = success.isFile && marker.isFile &&
+        java.nio.file.Files.readString(marker.toPath).trim == LayoutVersion
+      if (!current) {
+        builders(name)(spark, sfDir, path)
+        java.nio.file.Files.writeString(marker.toPath, LayoutVersion + "\n")
+      }
       path
     })
 

@@ -116,6 +116,15 @@ object Hnsw {
     }
   }
 
+  /** Identity partitioner over pid ∈ [0, n): exactly ONE sub-graph per
+    * Spark partition. A hash `repartition(n, col)` maps pids by
+    * murmur3 % n, colliding sub-graphs into the same task (2x task memory
+    * and build time) while leaving others empty. */
+  private final class PidPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
   private def buildOne(rows: Seq[(Long, Array[Float])], pid: Int,
                        p: Params, metric: Knn.Metric): Iterator[Row] = {
     val sorted = rows.sortBy(_._1).toArray
@@ -128,21 +137,24 @@ object Hnsw {
 
   /** Build the partitioned graph index and write it as a Parquet table,
     * range-clustered by (pid, id). One shuffle of (id, vec); the graph
-    * construction is per-partition CPU work with no driver involvement. */
+    * construction is per-partition CPU work with no driver involvement.
+    * A sub-graph (ids, vectors, adjacency) must fit one task's memory —
+    * the same residency assumption as the reference's mmap'd hnswlib. */
   def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
                  p: Params = Params(), metric: Knn.Metric = Knn.L2): Unit = {
     import df.sparkSession.implicits._
-    val base = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("pid", pmod(col("id"), lit(p.partitions)).cast("int"))
-      .repartition(p.partitions, col("pid"))
-    val graph = base.select(col("pid"), col("id"), col("vec"))
+    val keyed = df
+      .select(pmod(col(idCol).cast("long"), lit(p.partitions)).cast("int").as("pid"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Int, Long, Array[Float])]
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (pid, rows) =>
-          buildOne(rows.map(r => (r._2, r._3)), pid, p, metric)
-        }
-      }(Encoders.row(graphSchema))
+      .rdd.map(t => (t._1, (t._2, t._3)))
+      .partitionBy(new PidPartitioner(p.partitions))
+    val rowRdd = keyed.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.map(_._2).toSeq
+      if (rows.isEmpty) Iterator.empty
+      else buildOne(rows, pid, p, metric)
+    }
+    val graph = df.sparkSession.createDataFrame(rowRdd, graphSchema)
     graft.tables.Writer.write(graph, path, sortBy = Seq("pid", "id"),
       files = p.partitions)
   }
@@ -153,17 +165,24 @@ object Hnsw {
   // pid-shuffle and pins the grouped graph in executor storage
   // (MEMORY_AND_DISK); every later query scans cache partition-locally and
   // ships k rows per sub-graph to the driver.
+  private type GraphRow = (Long, Array[Float], Array[Long])
   private val resident =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.rdd.RDD[(Int, GraphRow)]]
 
-  /** Grouped, persisted graph table for `indexPath` (one sub-graph never
-    * spans Spark partitions). Rebuilding an index at the same path within
-    * a session requires [[invalidate]]. */
-  private def loadGraph(spark: SparkSession, indexPath: String): DataFrame =
+  /** Grouped, persisted graph for `indexPath`: identity-partitioned by pid
+    * (one sub-graph per Spark partition, never split or doubled-up).
+    * Rebuilding an index at the same path within a session requires
+    * [[invalidate]]. */
+  private def loadGraph(spark: SparkSession,
+                        indexPath: String): org.apache.spark.rdd.RDD[(Int, GraphRow)] =
     resident.getOrElseUpdate(indexPath, {
-      val g = spark.read.parquet(indexPath)
+      import spark.implicits._
+      val df = spark.read.parquet(indexPath)
         .select(col("pid"), col("id"), col("vec"), col("neighbors"))
-        .repartition(col("pid"))
+      val nPids = df.agg(max(col("pid"))).head.getInt(0) + 1
+      val g = df.as[(Int, Long, Array[Float], Array[Long])]
+        .rdd.map(t => (t._1, (t._2, t._3, t._4)))
+        .partitionBy(new PidPartitioner(nPids))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       g.count() // materialize: later queries must never race the shuffle
       g
@@ -183,21 +202,21 @@ object Hnsw {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(query)
     val perPart = loadGraph(spark, indexPath)
-      .as[(Int, Long, Array[Float], Array[Long])]
       .mapPartitions { it =>
         val q = qB.value
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val sorted = rows.sortBy(_._2).toArray
-          val g = new SubGraph(sorted.map(_._2), sorted.map(_._3), metric)
-          val idx = sorted.map(_._2).zipWithIndex.toMap
+        val sorted = it.map(_._2).toArray.sortBy(_._1)
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), metric)
+          val idx = sorted.map(_._1).zipWithIndex.toMap
           sorted.indices.foreach { i =>
-            g.adj(i) ++= sorted(i)._4.iterator.map(idx)
+            g.adj(i) ++= sorted(i)._3.iterator.map(idx)
           }
           g.searchBeam(q, math.max(ef, k), g.n).take(k)
-            .map { case (dist, i) => (g.ids(i), dist) }
+            .map { case (dist, i) => (g.ids(i), dist) }.iterator
         }
       }
-      .toDF(idCol, "dist")
-    perPart.orderBy(col("dist").asc, col(idCol).asc).limit(k)
+    spark.createDataset(perPart).toDF(idCol, "dist")
+      .orderBy(col("dist").asc, col(idCol).asc).limit(k)
   }
 }

@@ -24,6 +24,7 @@ object TopK {
     */
   final case class TopKAgg(k: Int)
       extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, s"top-k needs k > 0, got $k") // k=0 would hit Nil.last
     private val ord = Ordering[(Double, Long)]
     override def zero: Seq[(Double, Long)] = Nil
     /** Insert into a sorted bounded buffer: O(1) reject, O(k) insert. */
