@@ -101,6 +101,29 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(!scanPaths(cos).exists(_.contains("idx")))
   }
 
+  test("filtered query that routes keeps the filter on the index scan (exact rows)") {
+    // ef=1 shrinks the fullscan threshold (2*k*ef = 20 survivors) below the
+    // estimated ~75, so the filtered query ROUTES — and must apply the
+    // attribute filter to the index table (which carries all base columns).
+    val tmp = Files.createTempDirectory("graft-annroute3")
+    val base2 = tmp.resolve("base2").toString
+    val idx2 = tmp.resolve("idx2").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), base2,
+      sortBy = Seq("vec_id"))
+    val m2 = Ivf.train(SparkT.spark.read.parquet(base2), "embedding", nlist = 6)
+    Ivf.buildIndex(SparkT.spark.read.parquet(base2), "embedding", m2, idx2)
+    AnnRouting.register(SparkT.spark, base2, idx2, m2,
+      vecCol = "embedding", nprobe = m2.nlist, ef = 1)
+
+    val df = Knn.knn(SparkT.spark.read.parquet(base2).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("idx2")), s"not routed: $paths")
+    val want = vectors.filter(_._3 == 2)
+      .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+    assert(df.select("vec_id").as[Long].collect().toSeq === want)
+  }
+
   test("routing preserves downstream projections (round/select shapes)") {
     val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
         "embedding", "vec_id", query, 10)
