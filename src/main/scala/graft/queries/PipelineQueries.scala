@@ -73,6 +73,31 @@ object PipelineQueries {
         "count(*) AS n, round(sum(value),2) AS sum_value " +
         "FROM events GROUP BY 1, 2")),
 
+    // Event-time-bounded stream-stream join in BATCH mode (same operator
+    // the stream runs; watermarks are a batch no-op). Each purchase pairs
+    // with the same user's views in the 10 minutes before it. Both engines
+    // compare event time in truncated micros, and the emitted timestamps
+    // are exact integer micros — hash-stable.
+    "q_stream_join" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("tsm",
+          timestamp_micros(expr("ts div 1000")))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tsm").as("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsm").as("ts"))
+        graft.streaming.EventStreams
+          .purchaseViewJoin(views, purchases, "0 seconds", "10 minutes")
+          .select(col("p_user").as("user_id"),
+            unix_micros(col("p_ts")).as("p_us"),
+            unix_micros(col("v_ts")).as("v_us"))
+      },
+      Some("SELECT p.user_id AS user_id, epoch_us(p.ts) AS p_us, " +
+        "epoch_us(v.ts) AS v_us FROM events p JOIN events v " +
+        "ON v.user_id = p.user_id " +
+        "AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 600000000 AND epoch_us(p.ts) " +
+        "WHERE p.event_type = 'purchase' AND v.event_type = 'view'")),
+
     // Gap-based sessionization in BATCH mode via the same session_window
     // operator the stream uses. The oracle is the independent relational
     // formulation (lag + boundary count): a new session starts when the gap
