@@ -73,6 +73,22 @@ object PipelineQueries {
         "count(*) AS n, round(sum(value),2) AS sum_value " +
         "FROM events GROUP BY 1, 2")),
 
+    // Streaming exact dedup in BATCH mode: the input is the events stream
+    // doubled (at-least-once redelivery), the operator is the same
+    // dropDuplicatesWithinWatermark the always-on pipeline runs. Key-only
+    // projection keeps the result deterministic (which duplicate survives
+    // is arbitrary; the key set is exact).
+    "q_stream_dedup" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        val redelivered = ev.unionAll(ev)
+        graft.streaming.EventStreams
+          .dedupWithinWatermark(redelivered, "0 seconds", Seq("event_id"))
+          .select(col("event_id"))
+      },
+      Some("SELECT DISTINCT event_id FROM events")),
+
     // Event-time-bounded stream-stream join in BATCH mode (same operator
     // the stream runs; watermarks are a batch no-op). Each purchase pairs
     // with the same user's views in the 10 minutes before it. Both engines

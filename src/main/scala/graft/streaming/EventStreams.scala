@@ -46,12 +46,17 @@ object EventStreams {
   /** Streaming exact dedup: drop re-deliveries of the same key arriving
     * within the watermark horizon (at-least-once ingestion → exactly-once
     * rows). State holds one entry per key seen in the horizon and is freed
-    * as the watermark advances — bounded regardless of stream length. */
+    * as the watermark advances — bounded regardless of stream length.
+    * On a BATCH input (backfill = replay) Spark rejects the watermark
+    * variant outright, and no state bound is needed — the same dedup is a
+    * plain full-history dropDuplicates. */
   def dedupWithinWatermark(events: DataFrame, watermark: String,
                            keys: Seq[String]): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
 
   /** Event-time-bounded stream-stream inner join: each purchase pairs with
     * the same user's views inside [p_ts - lookback, p_ts]. Both sides are
