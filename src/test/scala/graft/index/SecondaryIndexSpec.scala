@@ -63,6 +63,33 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(SecondaryIndex.calcCount(SparkT.spark, dir, Seq("nope")) === 0L)
   }
 
+  test("property: lookup/count over random key sets equal brute-force filters") {
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      val n = 200 + rnd.nextInt(800)
+      // unique keys (the rowid contract), values skewed over 3 choices
+      val keys = rnd.shuffle((0 until 20000).map(_.toLong - 5000)).take(n)
+      val rows = keys.map(k => (Seq("a", "a", "a", "b", "c")(rnd.nextInt(5)), k))
+      val d = Files.createTempDirectory(s"graft-sidx-p$trial").resolve("i").toString
+      SecondaryIndex.build(rows.toDF("value", "key"), "value", "key", d)
+      val idx = SparkT.spark.read.parquet(d)
+      assert(idx.agg(max(size(col("rowids")))).head.getInt(0) <=
+        SecondaryIndex.RowidsPerChunk)
+      Seq(Seq("a"), Seq("b", "c"), Seq("nope")).foreach { vs =>
+        val got = SecondaryIndex.lookupKeys(SparkT.spark, d, vs)
+          .as[Long].collect().toSet
+        val want = rows.filter(r => vs.contains(r._1)).map(_._2).toSet
+        assert(got === want, s"trial $trial values $vs")
+        assert(SecondaryIndex.calcCount(SparkT.spark, d, vs) === want.size.toLong)
+      }
+      val (lo, hi) = (-2000L, 3000L)
+      val ranged = SecondaryIndex.lookupKeys(SparkT.spark, d, Seq("a"),
+        keyRange = Some((lo, hi))).as[Long].collect().toSet
+      assert(ranged ===
+        rows.filter(r => r._1 == "a" && r._2 >= lo && r._2 <= hi).map(_._2).toSet)
+    }
+  }
+
   test("semiJoin restores exactly the filtered fact rows") {
     val keys = SecondaryIndex.lookupKeys(SparkT.spark, dir, Seq("sparse"))
     val fact = df.withColumnRenamed("key", "fk")

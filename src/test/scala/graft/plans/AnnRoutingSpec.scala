@@ -124,6 +124,27 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(df.select("vec_id").as[Long].collect().toSeq === want)
   }
 
+  test("cosine-metric index routes cosine queries (1 - similarity sort key)") {
+    val tmp = Files.createTempDirectory("graft-annroute4")
+    val baseC = tmp.resolve("basec").toString
+    val idxC = tmp.resolve("idxc").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), baseC,
+      sortBy = Seq("vec_id"))
+    val mc = Ivf.train(SparkT.spark.read.parquet(baseC), "embedding",
+      nlist = 6, metric = Knn.Cosine)
+    Ivf.buildIndex(SparkT.spark.read.parquet(baseC), "embedding", mc, idxC)
+    AnnRouting.register(SparkT.spark, baseC, idxC, mc,
+      vecCol = "embedding", nprobe = mc.nlist)
+    val df = Knn.knn(SparkT.spark.read.parquet(baseC),
+      "embedding", "vec_id", query, 10, Knn.Cosine)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("idxc")), s"cosine not routed: $paths")
+    // but an L2 query over the cosine-metric index must NOT route
+    val l2q = Knn.knn(SparkT.spark.read.parquet(baseC),
+      "embedding", "vec_id", query, 10, Knn.L2)
+    assert(!scanPaths(l2q).exists(_.contains("idxc")))
+  }
+
   test("routing preserves downstream projections (round/select shapes)") {
     val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
         "embedding", "vec_id", query, 10)
