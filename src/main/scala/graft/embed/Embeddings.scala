@@ -56,10 +56,56 @@ object Embeddings {
     }
   }
 
+  /** Deterministic offline provider #2: seeded random-projection embeddings
+    * — a dense, model-like vector space (the Johnson-Lindenstrauss classic:
+    * token-count vectors over `vocabDim` hash buckets projected through a
+    * seeded Gaussian matrix into `dim` dims, unit-normalized). The matrix
+    * is the "model weights": built lazily ONCE per provider instance — i.e.
+    * once per partition in [[embedStage]], the same model-handle lifecycle
+    * a real ONNX/remote provider needs (ref model/mod.rs:65-70). Cosine
+    * structure of the sparse token space is approximately preserved, so
+    * downstream similarity search behaves like it would with a real model.
+    */
+  final case class RandomProjectionProvider(dim: Int, vocabDim: Int = 4096,
+                                            seed: Long = 42L)
+      extends TextToEmbeddings {
+    @transient private lazy val proj: Array[Array[Float]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(vocabDim)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    private def bucket(token: String): Int = {
+      var acc = 0L
+      var i = 0
+      while (i < token.length) {
+        acc = (acc * 31 + token.charAt(i).toLong) % 1000000007L
+        i += 1
+      }
+      (acc % vocabDim).toInt
+    }
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val counts = scala.collection.mutable.LongMap.empty[Int]
+      t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val b = bucket(tok)
+        counts(b) = counts.getOrElse(b.toLong, 0) + 1
+      }
+      val v = new Array[Float](dim)
+      counts.foreach { case (b, c) =>
+        val row = proj(b.toInt)
+        var i = 0
+        while (i < dim) { v(i) += c * row(i); i += 1 }
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
+      v
+    }
+  }
+
   /** Provider registry — the seam where remote/local model providers plug in
-    * (ref ffi.rs GetLibFuncs). Offline container ships only the stub. */
+    * (ref ffi.rs GetLibFuncs). Offline container ships the deterministic
+    * stubs; a real provider registers here unchanged. */
   val providers: Map[String, (Int, Boolean) => TextToEmbeddings] = Map(
-    "hash" -> ((dim, norm) => HashingProvider(dim, norm))
+    "hash" -> ((dim, norm) => HashingProvider(dim, norm)),
+    "randproj" -> ((dim, _) => RandomProjectionProvider(dim))
   )
 
   /** Append `outCol: array<float>` by embedding `textCol`. One provider per
