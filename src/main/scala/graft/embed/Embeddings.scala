@@ -29,24 +29,28 @@ object Embeddings {
     def embedBatch(texts: Seq[String]): Seq[Array[Float]]
   }
 
+  /** Shared token→bucket kernel: the same rolling polynomial hash as
+    * TextFunctions.fingerprint (and the q_embed_stub oracle SQL replays it)
+    * — one definition so providers and oracle can never silently diverge. */
+  private[embed] def hashBucket(token: String, buckets: Int): Int = {
+    var acc = 0L
+    var i = 0
+    while (i < token.length) {
+      acc = (acc * 31 + token.charAt(i).toLong) % 1000000007L
+      i += 1
+    }
+    (acc % buckets).toInt
+  }
+
   /** Deterministic offline provider: feature-hashed token counts.
     * `normalize=false` keeps exact integer counts (oracle-comparable);
     * `normalize=true` gives unit vectors (similarity-ready). */
   final case class HashingProvider(dim: Int, normalize: Boolean = true)
       extends TextToEmbeddings {
-    private def bucket(token: String): Int = {
-      var acc = 0L
-      var i = 0
-      while (i < token.length) {
-        acc = (acc * 31 + token.charAt(i).toLong) % 1000000007L
-        i += 1
-      }
-      (acc % dim).toInt
-    }
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
       val v = new Array[Float](dim)
       t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-        v(bucket(tok)) += 1.0f
+        v(hashBucket(tok, dim)) += 1.0f
       }
       if (normalize) {
         val n = math.sqrt(v.map(x => x.toDouble * x).sum)
@@ -67,25 +71,17 @@ object Embeddings {
     * downstream similarity search behaves like it would with a real model.
     */
   final case class RandomProjectionProvider(dim: Int, vocabDim: Int = 4096,
-                                            seed: Long = 42L)
+                                            seed: Long = 42L,
+                                            normalize: Boolean = true)
       extends TextToEmbeddings {
     @transient private lazy val proj: Array[Array[Float]] = {
       val rnd = new scala.util.Random(seed)
       Array.fill(vocabDim)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     }
-    private def bucket(token: String): Int = {
-      var acc = 0L
-      var i = 0
-      while (i < token.length) {
-        acc = (acc * 31 + token.charAt(i).toLong) % 1000000007L
-        i += 1
-      }
-      (acc % vocabDim).toInt
-    }
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
       val counts = scala.collection.mutable.LongMap.empty[Int]
       t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-        val b = bucket(tok)
+        val b = hashBucket(tok, vocabDim)
         counts(b) = counts.getOrElse(b.toLong, 0) + 1
       }
       val v = new Array[Float](dim)
@@ -94,8 +90,10 @@ object Embeddings {
         var i = 0
         while (i < dim) { v(i) += c * row(i); i += 1 }
       }
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
+      if (normalize) {
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
+      }
       v
     }
   }
@@ -105,7 +103,7 @@ object Embeddings {
     * stubs; a real provider registers here unchanged. */
   val providers: Map[String, (Int, Boolean) => TextToEmbeddings] = Map(
     "hash" -> ((dim, norm) => HashingProvider(dim, norm)),
-    "randproj" -> ((dim, _) => RandomProjectionProvider(dim))
+    "randproj" -> ((dim, norm) => RandomProjectionProvider(dim, normalize = norm))
   )
 
   /** Append `outCol: array<float>` by embedding `textCol`. One provider per

@@ -73,11 +73,13 @@ object PipelineQueries {
         "count(*) AS n, round(sum(value),2) AS sum_value " +
         "FROM events GROUP BY 1, 2")),
 
-    // Streaming exact dedup in BATCH mode: the input is the events stream
-    // doubled (at-least-once redelivery), the operator is the same
-    // dropDuplicatesWithinWatermark the always-on pipeline runs. Key-only
-    // projection keeps the result deterministic (which duplicate survives
-    // is arbitrary; the key set is exact).
+    // Streaming dedup, BATCH-REPLAY branch: the input is the events stream
+    // doubled (at-least-once redelivery). Batch replay dedups full-history
+    // (a strictly stronger guarantee than the stream's within-watermark
+    // state — see EventStreams.dedupWithinWatermark); the within-watermark
+    // streaming branch itself is driven with real micro-batches in
+    // StreamingSpec. Key-only projection keeps the result deterministic
+    // (which duplicate survives is arbitrary; the key set is exact).
     "q_stream_dedup" -> QueryDef(
       (s, d) => {
         val ev = t(s, d, "events").withColumn("ts",

@@ -47,9 +47,14 @@ object EventStreams {
     * within the watermark horizon (at-least-once ingestion → exactly-once
     * rows). State holds one entry per key seen in the horizon and is freed
     * as the watermark advances — bounded regardless of stream length.
-    * On a BATCH input (backfill = replay) Spark rejects the watermark
-    * variant outright, and no state bound is needed — the same dedup is a
-    * plain full-history dropDuplicates. */
+    * On a BATCH input Spark rejects the watermark variant outright; the
+    * fallback is full-history dropDuplicates — a STRICTLY STRONGER
+    * guarantee, not an identical one: a re-delivery arriving beyond the
+    * watermark horizon is emitted again by the stream (its key's state
+    * expired) but deduped by the batch replay. The two agree exactly under
+    * the at-least-once delivery model this operator exists for
+    * (re-deliveries arrive within the horizon); a backfill additionally
+    * collapses late duplicates the live stream could not have caught. */
   def dedupWithinWatermark(events: DataFrame, watermark: String,
                            keys: Seq[String]): DataFrame =
     if (events.isStreaming)
