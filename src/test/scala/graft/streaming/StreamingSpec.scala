@@ -105,6 +105,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup re-emits a key re-delivered BEYOND the watermark horizon") {
+    // Pins the semantic boundary with the batch-replay branch (which dedups
+    // full-history): the stream's state for a key is freed once the
+    // watermark passes, so a far-late re-delivery is emitted again.
+    val in = MemoryStream[EvId]
+    val q = EventStreams.dedupWithinWatermark(in.toDF(), "10 seconds",
+        Seq("event_id"))
+      .writeStream.format("memory").queryName("ddfar")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(EvId(100, 1, ts(1), 1.0))
+      q.processAllAvailable()
+      in.addData(EvId(999, 9, ts(60), 0.0)) // watermark → 50s; key 100 expired
+      q.processAllAvailable()
+      in.addData(EvId(100, 1, ts(55), 1.0)) // same key, far beyond horizon
+      q.processAllAvailable()
+      val ids = SparkT.spark.table("ddfar").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(100L, 100L, 999L))
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs purchases with in-window views only") {
     val views = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
