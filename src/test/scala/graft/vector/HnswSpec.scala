@@ -57,6 +57,20 @@ class HnswSpec extends AnyFunSuite {
     assert(mean >= 0.95, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("cosine and inner-product metrics are exact at full ef too") {
+    Seq(Knn.Cosine, Knn.IP).foreach { metric =>
+      val d = Files.createTempDirectory(s"graft-hnsw-$metric").resolve("g").toString
+      Hnsw.buildIndex(emb, "embedding", "vec_id", d,
+        Hnsw.Params(m = 4, efC = 16), metric)
+      val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10, metric)
+        .select("vec_id").as[Long].collect().toSeq
+      val graph = Hnsw.search(SparkT.spark, d, "vec_id", queryVec, 10,
+        ef = 1 << 20, metric = metric)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(graph === exact, s"metric $metric")
+    }
+  }
+
   test("search result keeps the (dist asc, id asc) contract") {
     val d = Files.createTempDirectory("graft-hnsw3").resolve("g").toString
     Hnsw.buildIndex(emb, "embedding", "vec_id", d)
