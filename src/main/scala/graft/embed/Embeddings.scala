@@ -31,13 +31,15 @@ object Embeddings {
 
   /** Shared token→bucket kernel: the same rolling polynomial hash as
     * TextFunctions.fingerprint (and the q_embed_stub oracle SQL replays it)
-    * — one definition so providers and oracle can never silently diverge. */
+    * — one definition so providers and oracle can never silently diverge.
+    * Hashes CODEPOINTS (not UTF-16 code units): DuckDB's `unicode(c)` and
+    * fingerprintScala both see codepoints, so a supplementary-plane
+    * character (emoji) must not split into two surrogate units here. */
   private[embed] def hashBucket(token: String, buckets: Int): Int = {
     var acc = 0L
-    var i = 0
-    while (i < token.length) {
-      acc = (acc * 31 + token.charAt(i).toLong) % 1000000007L
-      i += 1
+    val it = token.codePoints().iterator()
+    while (it.hasNext) {
+      acc = (acc * 31 + it.next().toLong) % 1000000007L
     }
     (acc % buckets).toInt
   }

@@ -75,17 +75,19 @@ object Dedup {
       b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
-  /** Test seam: JVM-wide count of signature-kernel invocations. In local
-    * mode (executors in-process) DedupSpec reads this to assert the
-    * compute-bound stage runs ONCE per document — i.e. the persist points
-    * below actually hold (VERDICT r4 #4: un-persisted lineage re-ran the
-    * kernel ~4× per pipeline). */
+  /** Test seam: JVM-wide count of signature-kernel invocations, active
+    * only when [[instrumented]] is set (a volatile read per document in
+    * production, no contended atomic). In local mode (executors
+    * in-process) DedupSpec enables it to assert the compute-bound stage
+    * runs ONCE per document — i.e. the persist points below actually hold
+    * (VERDICT r4 #4: un-persisted lineage re-ran the kernel ~4×). */
   private[pipeline] val bandKernelInvocations =
     new java.util.concurrent.atomic.AtomicLong
+  @volatile private[pipeline] var instrumented = false
 
   private[pipeline] def bandKeysScala(sh: Seq[String], k: Int,
                                       bands: Int): Array[Long] = {
-    bandKernelInvocations.incrementAndGet()
+    if (instrumented) bandKernelInvocations.incrementAndGet()
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val r = k / bands
     // xxhash64(i, h) in the expression path = hashLong(h, hashInt(i, 42)):
@@ -131,6 +133,24 @@ object Dedup {
       .toDF("mid", "band", "key")
   }
 
+  /** Persist + materialize a frame that is about to be read by multiple
+    * downstream branches (self-join sides, verify joins). The count() is
+    * load-bearing: a lazy persist lets two stages first-touch the same
+    * partitions concurrently and compute the lineage once per side anyway. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  /** Run `result` eagerly (localCheckpoint), then free the cached
+    * intermediates — the returned frame is small and checkpoint-backed. */
+  private def eagerly(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Self-join of a banded frame on (band, key) → candidate pairs a < b. */
   private def bandSelfJoin(banded: DataFrame): DataFrame = {
     val l = banded.as("l")
@@ -148,14 +168,8 @@ object Dedup {
     * freed after the eager materialization. */
   def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
                         k: Int = 128, bands: Int = 32): DataFrame = {
-    val banded = bandedFrame(df, idCol, shingleCol, k, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    banded.count() // materialize BEFORE the self-join: a lazy persist lets
-    // the join's two stages first-touch the same partitions concurrently
-    // and compute the kernel twice anyway
-    val out = bandSelfJoin(banded).localCheckpoint(true)
-    banded.unpersist(false)
-    out
+    val banded = materialized(bandedFrame(df, idCol, shingleCol, k, bands))
+    eagerly(bandSelfJoin(banded), banded)
   }
 
   /** Exact jaccard verification of candidate pairs against the shingle sets.
@@ -194,16 +208,12 @@ object Dedup {
       .map { case (id, t) => (id, shinglesScala(t, shingleN)) }
       .toDF(idCol, "sh")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedFrame(withSh, idCol, "sh", k, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    banded.count() // one job materializes BOTH caches (banded reads withSh);
-    // downstream stages then only ever hit cache — no concurrent first-touch
+    // one materializing job fills BOTH caches (banded reads withSh);
+    // downstream stages then only ever hit cache
+    val banded = materialized(bandedFrame(withSh, idCol, "sh", k, bands))
     val cands = bandSelfJoin(banded)
-    val out = jaccardVerify(cands, withSh, idCol, "sh", threshold)
-      .localCheckpoint(true)
-    banded.unpersist(false)
-    withSh.unpersist(false)
-    out
+    eagerly(jaccardVerify(cands, withSh, idCol, "sh", threshold),
+      banded, withSh)
   }
 
   /** 64-bit SimHash over a shingle set: bit j is the sign of the sum over
@@ -264,9 +274,7 @@ object Dedup {
     // Persist the fingerprint frame across the self-join: the simhash
     // kernel (k·|shingles| hashes per doc) otherwise runs once per side
     // (VERDICT r4 #4). Eager materialization lets us free it here.
-    val fp = withFp.persist(StorageLevel.MEMORY_AND_DISK)
-    fp.count() // materialize before the self-join (concurrent first-touch
-    // of a lazy persist would run the kernel once per side anyway)
+    val fp = materialized(withFp)
     val chunkMasks = typedLit(masks.toArray)
     val chunked = fp.select(col("sid"), col("fp"),
         posexplode(transform(sequence(lit(1), lit(masks.size)), c =>
@@ -274,16 +282,15 @@ object Dedup {
           .as(Seq("chunk", "ckey")))
     val l = chunked.as("l")
     val r = chunked.as("r")
-    val out = l.join(r,
-        col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey")
-        && col("l.sid") < col("r.sid"))
-      .select(col("l.sid").as("a"), col("r.sid").as("b"),
-        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true)
-    fp.unpersist(false)
-    out
+    eagerly(
+      l.join(r,
+          col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey")
+          && col("l.sid") < col("r.sid"))
+        .select(col("l.sid").as("a"), col("r.sid").as("b"),
+          bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming),
+      fp)
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -379,12 +386,8 @@ object Dedup {
     val keys = embedBandKeys(col(vecCol), dim, planes, bands, seed)
     // Persist across the self-join: the `planes` hyperplane dot products
     // per row otherwise evaluate once per join side.
-    val banded = df.select(col(idCol).as("mid"),
-        posexplode(array(keys: _*)).as(Seq("band", "key")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    banded.count() // materialize before the self-join
-    val out = bandSelfJoin(banded).localCheckpoint(true)
-    banded.unpersist(false)
-    out
+    val banded = materialized(df.select(col(idCol).as("mid"),
+      posexplode(array(keys: _*)).as(Seq("band", "key"))))
+    eagerly(bandSelfJoin(banded), banded)
   }
 }

@@ -62,7 +62,13 @@ object AnnRouting {
 
   /** Register an IVF index for `basePath`: every ORDER BY dist LIMIT k over
     * that table is then a routing candidate. Row count comes from footers
-    * (no scan); the index relation is analyzed once here. */
+    * (no scan); the index relation is analyzed once here.
+    *
+    * Registration is TABLE-LEVEL state, exactly like the reference daemon's
+    * "this column has a KNN index": with nprobe < nlist, EVERY matching
+    * top-k over the table in this session is served at that accuracy — the
+    * declared serving contract for the table, not a per-query hint. Use
+    * nprobe = nlist for exact routed plans, or [[unregister]] to scope. */
   def register(spark: SparkSession, basePath: String, indexPath: String,
                model: Ivf.Model, vecCol: String, nprobe: Int,
                ef: Int = 64): Unit = {

@@ -56,6 +56,9 @@ object Stats {
                            conf: Configuration): Seq[(Path, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // Missing path → no files (0 rows, nothing to prune) — the same
+    // behavior the java.io.File version had; getFileStatus would throw.
+    if (!fs.exists(p)) return Seq.empty
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq((st.getPath, st.getLen))
     else fs.listStatus(p).toSeq

@@ -175,18 +175,29 @@ object Hnsw {
     * [[invalidate]]. */
   private def loadGraph(spark: SparkSession,
                         indexPath: String): org.apache.spark.rdd.RDD[(Int, GraphRow)] =
-    resident.getOrElseUpdate(indexPath, {
-      import spark.implicits._
-      val df = spark.read.parquet(indexPath)
-        .select(col("pid"), col("id"), col("vec"), col("neighbors"))
-      val nPids = df.agg(max(col("pid"))).head.getInt(0) + 1
-      val g = df.as[(Int, Long, Array[Float], Array[Long])]
-        .rdd.map(t => (t._1, (t._2, t._3, t._4)))
-        .partitionBy(new PidPartitioner(nPids))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      g.count() // materialize: later queries must never race the shuffle
-      g
-    })
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the loader twice
+    // under concurrent first searches, and the loser would leak a
+    // persisted, counted RDD for the life of the session. Loads are rare;
+    // the coarse lock only guards them.
+    resident.synchronized {
+      resident.getOrElseUpdate(indexPath, {
+        import spark.implicits._
+        val df = spark.read.parquet(indexPath)
+          .select(col("pid"), col("id"), col("vec"), col("neighbors"))
+        val maxPid = df.agg(max(col("pid"))).head
+        if (maxPid.isNullAt(0)) {
+          // empty index table: empty search results, nothing to persist
+          spark.sparkContext.emptyRDD[(Int, GraphRow)]
+        } else {
+          val g = df.as[(Int, Long, Array[Float], Array[Long])]
+            .rdd.map(t => (t._1, (t._2, t._3, t._4)))
+            .partitionBy(new PidPartitioner(maxPid.getInt(0) + 1))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          g.count() // materialize: later queries must never race the shuffle
+          g
+        }
+      })
+    }
 
   /** Drop the resident copy of an index (call after rebuilding it). */
   def invalidate(indexPath: String): Unit =

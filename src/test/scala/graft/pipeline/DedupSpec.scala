@@ -38,11 +38,14 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq((1L, base), (2L, base.replace("lazy", "sleepy")),
       (3L, "completely different words about databases and engines " * 6),
       (4L, base + " extra")).toDF("doc_id", "text")
-    Dedup.bandKernelInvocations.set(0L)
-    val n = Dedup.nearPairs(df, "doc_id", "text", threshold = 0.5).count()
-    assert(n >= 3)
-    assert(Dedup.bandKernelInvocations.get() === 4L,
-      s"kernel ran ${Dedup.bandKernelInvocations.get()} times for 4 docs")
+    Dedup.instrumented = true
+    try {
+      Dedup.bandKernelInvocations.set(0L)
+      val n = Dedup.nearPairs(df, "doc_id", "text", threshold = 0.5).count()
+      assert(n >= 3)
+      assert(Dedup.bandKernelInvocations.get() === 4L,
+        s"kernel ran ${Dedup.bandKernelInvocations.get()} times for 4 docs")
+    } finally Dedup.instrumented = false
   }
 
   test("simhash: identical texts → hamming 0; near texts close; disjoint texts far") {
