@@ -40,6 +40,35 @@ object RelationalQueries {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment")),
 
+    // H7/S3 bucketed co-located join: both facts are written bucketed by
+    // the join key into the session catalog (Writer.writeBucketed — the
+    // layout that converts every repeated fact⋈fact join at 100 TB from a
+    // two-sided shuffle into a local merge; exchange-free plan asserted in
+    // LayoutSpec). Tables are built once per (session, sf) and reused.
+    "q_join_bucketed" -> QueryDef(
+      (s, d) => {
+        val sfx = new java.io.File(d).getName.replace(".", "_")
+        val ot = s"b_orders_$sfx"
+        val lt = s"b_lineitem_$sfx"
+        if (!s.catalog.tableExists(ot))
+          graft.tables.Writer.writeBucketed(
+            t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+            ot, Seq("o_orderkey"), numBuckets = 8)
+        if (!s.catalog.tableExists(lt))
+          graft.tables.Writer.writeBucketed(
+            t(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+            lt, Seq("l_orderkey"), numBuckets = 8)
+        s.table(ot)
+          .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderpriority")),
+
     // H7 large fact⋈fact join: one shuffle on the join key; AQE picks
     // SMJ/SHJ (or broadcast at toy scale) at runtime.
     "q_join_large" -> QueryDef(
