@@ -63,9 +63,21 @@ object Writer {
     * every such join from a full two-sided shuffle into a local merge.
     * (Managed-table API: bucket metadata lives in the session catalog.) */
   def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // The in-memory catalog dies with the session but a managed table's
+    // warehouse directory survives on disk; a fresh session would then hit
+    // LOCATION_ALREADY_EXISTS on create. If the catalog does not know the
+    // table, the leftover location is stale — remove it first.
+    if (!spark.catalog.tableExists(tableName)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(tableName)
+  }
 }
