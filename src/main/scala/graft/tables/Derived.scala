@@ -33,17 +33,28 @@ object Derived {
     new java.io.File(sfDir).getName // "sf0.01" etc.
 
   /** Path of derived table `name` for `sfDir`, building it if absent or
-    * built under an older layout version. */
+    * built under an older layout version. Existence/marker checks go
+    * through the Hadoop FileSystem API, so a derived root on HDFS/S3A
+    * works the same as the local default. */
   def tablePath(spark: SparkSession, sfDir: String, name: String): String =
     built.getOrElseUpdate(s"${sfKey(sfDir)}/$name", {
       val path = s"$root/${sfKey(sfDir)}/$name"
-      val success = new java.io.File(path, "_SUCCESS")
-      val marker = new java.io.File(path, "_GRAFT_LAYOUT")
-      val current = success.isFile && marker.isFile &&
-        java.nio.file.Files.readString(marker.toPath).trim == LayoutVersion
-      if (!current) {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_LAYOUT")
+      def markerCurrent: Boolean = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim == LayoutVersion
+        finally in.close()
+      }
+      if (!(fs.exists(success) && markerCurrent)) {
         builders(name)(spark, sfDir, path)
-        java.nio.file.Files.writeString(marker.toPath, LayoutVersion + "\n")
+        val out = fs.create(marker, true)
+        try out.write((LayoutVersion + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
       path
     })
