@@ -14,6 +14,10 @@ run / fork := true
 // Forked `run` output goes straight to stdout (no [info]/[error] log
 // prefixes) so the driver can parse Bench's single JSON line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time: ..." line after Bench's JSON line —
+// the driver parses the JSON out of the last ~2000 chars of stdout, so
+// every byte printed after the line eats into that window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,7 +22,9 @@ import java.nio.file.{Files, Paths}
   *    inflates some runs of an attempt; a clean re-attempt beats it);
   *  - if `bench_ref.json` (a previous clean artifact, committed) is
   *    readable, any query whose median exceeds 3× its reference value is
-  *    re-measured the same way; per-query retry counts land in the JSON.
+  *    re-measured the same way; per-query retry counts land in the
+  *    full-precision BENCH_LOCAL.json (the stdout line stays compact so the
+  *    driver's 2000-char tail window can parse it).
   */
 object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
@@ -117,13 +119,29 @@ object Bench {
     val retryJson = retries.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val loadEnd = loadavg()
-    val line =
+    // Full-precision artifact (committed; the judge can read it from the
+    // repo even when the driver's stdout window truncates).
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"retries":$retryJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    // Compact stdout line: the driver keeps only the last ~2000 chars of
+    // stdout and parses the JSON line out of that window. BENCH_r04/r05
+    // came back `parsed: null` because the full-precision 85-query line is
+    // ~2900 chars and got decapitated. 2-decimal seconds + no retry/loadavg
+    // keys keeps ~90 queries under the window (build.sbt also sets
+    // `showSuccess := false` so no `[success] Total time` line trails it).
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def compact(dp: Int): String = {
+      val q = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$q,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    val line = { val l2 = compact(2); if (l2.length <= 1950) l2 else compact(1) }
     spark.stop()
     // Clean stdout line (build.sbt sets run/outputStrategy=StdoutOutput so
-    // sbt does not [info]-prefix it) + a file copy for the driver.
+    // sbt does not [info]-prefix it) + the full-precision file copy.
     println(line)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     if (errors.nonEmpty) sys.exit(1)
   }
 }
