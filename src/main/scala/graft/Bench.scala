@@ -88,11 +88,18 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         var runs = attempt()
+        // The driver's gate is 2x the committed per-query minimum, so the
+        // retry trigger must be 2x as well (VERDICT r6 #1: a 3x trigger let
+        // q_stream_join commit a 2.9x reading untouched). Under detected
+        // contention (loadavg above half the worker count) a single retry
+        // pair often lands inside the same noisy window, so the retry
+        // budget doubles there.
         def noisy: Boolean =
           (runs(0) > 0.05 && runs(2) > 3 * runs(0)) ||
-            ref.get(name).exists(r => r > 0 && runs(1) > 3 * r)
+            ref.get(name).exists(r => r > 0 && runs(1) > 2 * r)
+        def maxTries: Int = if (loadavg() > cpus.toInt / 2.0) 4 else 2
         var tries = 0
-        while (noisy && tries < 2) {
+        while (noisy && tries < maxTries) {
           val again = attempt()
           if (again(1) < runs(1)) runs = again
           tries += 1
