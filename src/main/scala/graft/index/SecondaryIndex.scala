@@ -71,15 +71,12 @@ object SecondaryIndex {
       files = files)
   }
 
-  /** I3/I4: point/range lookup → postings → distinct keys (the rowid
-    * stream). `values` = IN-list semantics (F1 via index). `keyRange`
-    * optionally restricts the rowid window — chunks whose [chunk_min,
-    * chunk_max] miss the window are skipped BEFORE exploding (the
-    * reference's per-block min/max seek, blockreader.h:82-89). */
-  def lookupKeys(spark: SparkSession, indexPath: String, values: Seq[Any],
-                 keyRange: Option[(Long, Long)] = None): DataFrame = {
-    val base = spark.read.parquet(indexPath)
-      .filter(col("value").isin(values: _*))
+  /** Postings rows → distinct keys, with the optional rowid-window seek:
+    * chunks whose [chunk_min, chunk_max] miss the window are skipped BEFORE
+    * exploding (the reference's per-block min/max seek,
+    * blockreader.h:82-89). */
+  private def postingsToKeys(base: DataFrame,
+                             keyRange: Option[(Long, Long)]): DataFrame = {
     val pruned = keyRange match {
       case Some((lo, hi)) =>
         base.filter(col("chunk_max") >= lo && col("chunk_min") <= hi)
@@ -89,6 +86,44 @@ object SecondaryIndex {
     }
     pruned.distinct()
   }
+
+  /** Index-table predicate for a value interval; None = open bound (the
+    * reference's half-open RANGE forms, common/filter.h LeftUnbounded /
+    * RightUnbounded). */
+  private def valueRangePred(lo: Option[Any], hi: Option[Any],
+                             loInclusive: Boolean, hiInclusive: Boolean) = {
+    val loP = lo.map(v => if (loInclusive) col("value") >= lit(v)
+                          else col("value") > lit(v))
+    val hiP = hi.map(v => if (hiInclusive) col("value") <= lit(v)
+                          else col("value") < lit(v))
+    (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** I3/I4: point lookup → postings → distinct keys (the rowid stream).
+    * `values` = IN-list semantics (F1 via index). */
+  def lookupKeys(spark: SparkSession, indexPath: String, values: Seq[Any],
+                 keyRange: Option[(Long, Long)] = None): DataFrame =
+    postingsToKeys(
+      spark.read.parquet(indexPath).filter(col("value").isin(values: _*)),
+      keyRange)
+
+  /** I3: VALUE-range lookup — RANGE/FLOATRANGE filters served from the
+    * index (ref FixupFilter, secondary/secondary.cpp:680-744; the PGM
+    * searches both interval bounds, pgm.h:105-155). The index table is
+    * written range-clustered by value, so the interval predicate prunes to
+    * the files/row-groups whose value min/max intersect it — the storage
+    * layout supplies the bound search the learned index does natively.
+    * `None` bounds give the reference's half-open forms; inclusivity flags
+    * cover its open-interval variants. Composes with the rowid-window seek
+    * like the point lookup. */
+  def lookupRangeKeys(spark: SparkSession, indexPath: String,
+                      lo: Option[Any], hi: Option[Any],
+                      loInclusive: Boolean = true, hiInclusive: Boolean = true,
+                      keyRange: Option[(Long, Long)] = None): DataFrame =
+    postingsToKeys(
+      spark.read.parquet(indexPath)
+        .filter(valueRangePred(lo, hi, loInclusive, hiInclusive)),
+      keyRange)
 
   /** Index-accelerated filter: semi-join the fact table against the
     * postings (the host-side rowid-stream intersection, SURVEY §3.2). */
@@ -101,5 +136,17 @@ object SecondaryIndex {
                 values: Seq[Any]): Long =
     spark.read.parquet(indexPath)
       .filter(col("value").isin(values: _*))
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+
+  /** I6 over a VALUE range (ref CalcCount walks the same block list the
+    * range FixupFilter selects, secondary.cpp:774-812) — sums stored
+    * per-chunk counts under the interval predicate; the fact table is
+    * never scanned. */
+  def calcCountRange(spark: SparkSession, indexPath: String,
+                     lo: Option[Any], hi: Option[Any],
+                     loInclusive: Boolean = true,
+                     hiInclusive: Boolean = true): Long =
+    spark.read.parquet(indexPath)
+      .filter(valueRangePred(lo, hi, loInclusive, hiInclusive))
       .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
 }

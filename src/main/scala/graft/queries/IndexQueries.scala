@@ -39,6 +39,34 @@ object IndexQueries {
         "WHERE o_orderpriority = '1-URGENT' " +
         "AND o_orderkey BETWEEN 1000 AND 30000")),
 
+    // I3: VALUE-range lookup served from the index (ref range FixupFilter,
+    // secondary/secondary.cpp:680-744) — the interval predicate runs on the
+    // value-clustered index table (file/row-group pruning on `value`), the
+    // postings semi-join back to the fact table. Oracle filters the base
+    // table directly.
+    "q_index_vrange" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        val keys = SecondaryIndex.lookupRangeKeys(s, idxPath,
+          lo = Some(500L), hi = Some(1500L))
+        SecondaryIndex.semiJoin(t(s, d, "orders"), "o_orderkey", keys)
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_custkey BETWEEN 500 AND 1500")),
+
+    // I3+I6: half-open EXCLUSIVE value range, count served index-only from
+    // the stored per-chunk counts (the reference's CalcCount over the
+    // range-selected block list, secondary.cpp:774-812).
+    "q_index_vrange_count" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        Seq(SecondaryIndex.calcCountRange(s, idxPath,
+          lo = Some(1000L), hi = None, loInclusive = false)).toDF("cnt")
+      },
+      Some("SELECT count(*) AS cnt FROM orders WHERE o_custkey > 1000")),
+
     // I6: CalcCount from stored postings counts — index-only, the fact
     // table is never scanned.
     "q_index_count" -> QueryDef(

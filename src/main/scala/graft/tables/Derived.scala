@@ -92,6 +92,16 @@ object Derived {
       graft.index.SecondaryIndex.build(o, "o_orderpriority", "o_orderkey", path)
     }),
 
+    // Numeric secondary index on orders.o_custkey (I3 value-RANGE lookups:
+    // the value-sorted layout lets an interval predicate prune files/row
+    // groups by value min/max). 4 files so the range actually skips whole
+    // files, not just row groups.
+    "orders_ckey_idx" -> ((spark, sfDir, path) => {
+      val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      graft.index.SecondaryIndex.build(o, "o_custkey", "o_orderkey", path,
+        files = 4)
+    }),
+
     // Multimodal table: documents with a packed binary payload + metadata
     // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
     // for image/audio bytes; the schema/plumbing is the real convention).

@@ -90,6 +90,49 @@ class SecondaryIndexSpec extends AnyFunSuite {
     }
   }
 
+  // Numeric-value fixture for the I3 value-range paths: skewed duplicate
+  // values, unique keys.
+  private lazy val numDir: String = {
+    val d = Files.createTempDirectory("graft-sidx-num").resolve("idx").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map(i => (rnd.nextInt(100).toLong * 10, i.toLong))
+    numRows = rows
+    SecondaryIndex.build(rows.toDF("value", "key"), "value", "key", d, files = 3)
+    d
+  }
+  private var numRows: Seq[(Long, Long)] = Nil
+
+  test("value-range lookup matches brute-force filters for every bound shape") {
+    val cases = Seq(
+      (Some(200L), Some(600L), true, true),   // closed
+      (Some(200L), Some(600L), false, false), // open
+      (Some(200L), Some(600L), false, true),  // half-open left
+      (None, Some(300L), true, true),         // unbounded below
+      (Some(700L), None, false, true),        // unbounded above, exclusive
+      (Some(455L), Some(455L), true, true),   // empty (no such value)
+      (None, None, true, true))               // unbounded = all keys
+    cases.foreach { case (lo, hi, loInc, hiInc) =>
+      def in(v: Long): Boolean =
+        lo.forall(l => if (loInc) v >= l else v > l) &&
+          hi.forall(h => if (hiInc) v <= h else v < h)
+      val got = SecondaryIndex.lookupRangeKeys(SparkT.spark, numDir, lo, hi,
+        loInc, hiInc).as[Long].collect().toSet
+      val want = numRows.filter(r => in(r._1)).map(_._2).toSet
+      assert(got === want, s"range $lo..$hi inc=($loInc,$hiInc)")
+      assert(SecondaryIndex.calcCountRange(SparkT.spark, numDir, lo, hi,
+        loInc, hiInc) === want.size.toLong, s"count $lo..$hi")
+    }
+  }
+
+  test("value-range lookup composes with the rowid-window seek") {
+    val got = SecondaryIndex.lookupRangeKeys(SparkT.spark, numDir,
+      Some(0L), Some(400L), keyRange = Some((1000L, 2000L)))
+      .as[Long].collect().toSet
+    val want = numRows.filter(r => r._1 <= 400 && r._2 >= 1000 && r._2 <= 2000)
+      .map(_._2).toSet
+    assert(got === want)
+  }
+
   test("semiJoin restores exactly the filtered fact rows") {
     val keys = SecondaryIndex.lookupKeys(SparkT.spark, dir, Seq("sparse"))
     val fact = df.withColumnRenamed("key", "fk")
