@@ -139,6 +139,22 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K5 for cosine (the reference parameterizes termination by metric,
+    // knn/termination.h:23-52): probe in normalized-space centroid order,
+    // bound unprobed lists via max(0, ||q̂−c||−r−ε)²/2 (cosine distance of
+    // a unit pair is half its squared L2 distance), score probed lists with
+    // the exact cosine kernel on RAW vectors — exact by construction, so it
+    // shares the cosine fullscan oracle. Pruning economy is spec-tested
+    // (IvfTopKSpec).
+    "q_knn_adaptive_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path, radii) = ivfCosIndex(s, d)
+        val (df, _) = Ivf.searchAdaptiveCosine(s, path, m, radii,
+          "vec_id", "embedding", queryVec(s, d), k = 10)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
     // K6 scalar quantization: coarse int8 pass + exact rescore. Everything
     // is deterministic (training, codes, rescore), and the int8 error bound
     // over this fixture keeps the true top-10 inside the top-80 coarse set,
@@ -194,6 +210,23 @@ object VectorQueries {
       val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 16)
       Ivf.buildIndex(t(s, d, "embeddings"), "embedding", m, path)
       (m, path)
+    })
+
+  // Memoized cosine-adaptive IVF index per sfDir: base vectors + a
+  // unit-normalized companion column; model trained L2 over the normalized
+  // space (the cosine bound's metric space), radii over the same column.
+  private val ivfCosCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Ivf.Model, String, Map[Long, Double])]
+
+  private def ivfCosIndex(s: SparkSession, d: String): (Ivf.Model, String, Map[Long, Double]) =
+    ivfCosCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings_cos"
+      val base = t(s, d, "embeddings")
+        .withColumn("embedding_n", Ivf.normalized(col("embedding")))
+      val m = Ivf.train(base, "embedding_n", nlist = 16)
+      Ivf.buildIndex(base, "embedding_n", m, path)
+      val radii = Ivf.listRadii(s, path, m, "embedding_n")
+      (m, path, radii)
     })
 
   // Memoized quantized table per sfDir (training is deterministic, so a

@@ -168,8 +168,56 @@ object Ivf {
     val order = m.probeOrder(query)
     val centDist = order.map(j => j -> scalarDist(Knn.L2, query, m.centroids(j))).toMap
     // Lower bound of any member of list j: dist(q, c_j) - radius_j.
-    def bound(j: Int): Double =
-      centDist(j) - radii.getOrElse(j.toLong, Double.PositiveInfinity)
+    adaptiveLoop(spark, indexPath, idCol, vecCol, query, k, Knn.L2, order,
+      j => centDist(j) - radii.getOrElse(j.toLong, Double.PositiveInfinity))
+  }
+
+  /** K5 for the COSINE metric (ref knn/termination.h:23-52 parameterizes
+    * termination by metric; the exact-bound analog): cosine distance is
+    * scale-invariant and for unit vectors equals ||q̂−x̂||²/2, so the L2
+    * triangle inequality over the NORMALIZED copies bounds it:
+    * `cosDist(q, x) ≥ max(0, ||q̂−c_j|| − r_j − ε)² / 2` for every member x
+    * of list j, where r_j is the list's max normalized-space L2 radius.
+    * ε (default 1e-4) covers float32 rounding of the stored normalized
+    * column — the true normalization error is ≤ ~1e-6 at dim 64, so the
+    * slack costs no measurable pruning while keeping the bound SAFE (the
+    * reported distances themselves come from the exact cosine kernel over
+    * the RAW vectors, so results are bit-identical to a full scan).
+    *
+    * Contract: `m` is trained with metric L2 over the unit-normalized
+    * vector column `vecNCol` of the index table, `radii` comes from
+    * [[listRadii]] over that same column, and `query` is RAW (normalized
+    * internally). IP on unit-normalized corpora is the same distance
+    * (1 − q·x = cosDist), so this path serves it too. */
+  def searchAdaptiveCosine(spark: SparkSession, indexPath: String, m: Model,
+                           radii: Map[Long, Double], idCol: String,
+                           vecCol: String, query: Array[Float], k: Int,
+                           eps: Double = 1e-4): (DataFrame, Int) = {
+    require(m.metric == Knn.L2,
+      "cosine early termination bounds through L2 over normalized vectors")
+    val qn = {
+      val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+      if (n == 0.0) query else query.map(x => (x / n).toFloat)
+    }
+    val order = m.probeOrder(qn)
+    val centDist = order.map(j => j -> scalarDist(Knn.L2, qn, m.centroids(j))).toMap
+    def bound(j: Int): Double = {
+      val b = centDist(j) - radii.getOrElse(j.toLong, Double.PositiveInfinity) - eps
+      if (b <= 0.0) 0.0 else b * b / 2.0
+    }
+    adaptiveLoop(spark, indexPath, idCol, vecCol, query, k, Knn.Cosine,
+      order, bound)
+  }
+
+  /** Shared early-termination loop: probe lists in `order`, doubling the
+    * batch per round, scoring probed lists with the EXACT `metric` kernel;
+    * stop as soon as every unprobed list's lower `bound` exceeds the
+    * current kth-best distance — no member of those lists can enter the
+    * top-k, so the result equals a full scan. */
+  private def adaptiveLoop(spark: SparkSession, indexPath: String,
+                           idCol: String, vecCol: String, query: Array[Float],
+                           k: Int, metric: Knn.Metric, order: Seq[Int],
+                           bound: Int => Double): (DataFrame, Int) = {
     var probed = 0
     var batch = 1
     var bestK: Seq[(Double, Long)] = Nil // (dist, id) ascending
@@ -186,7 +234,7 @@ object Ivf {
       val rows = Knn.knn(
           spark.read.parquet(indexPath)
             .filter(col("ivf_cluster").isin(probes: _*)),
-          vecCol, idCol, query, k, Knn.L2)
+          vecCol, idCol, query, k, metric)
         .collect().map(r => (r.getDouble(1), r.getLong(0)))
       bestK = (bestK ++ rows).sorted.take(k)
       probed += probes.size
@@ -194,5 +242,16 @@ object Ivf {
     }
     import spark.implicits._
     (bestK.map { case (dist, id) => (id, dist) }.toDF(idCol, "dist"), probed)
+  }
+
+  /** Unit-normalized copy of `vecCol` (double accumulation, float32
+    * storage) — the stored companion column the cosine adaptive path
+    * bounds through. Zero vectors pass through unchanged (the engine's
+    * defined-zero cosine convention). */
+  def normalized(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm === 0.0, vec)
+      .otherwise(transform(vec, x => (x.cast("double") / norm).cast("float")))
   }
 }

@@ -69,6 +69,29 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(probed < 8, s"terminated after $probed of 8 lists")
   }
 
+  test("cosine adaptive search is exact vs the cosine fullscan and prunes lists (K5)") {
+    // Cosine cares about direction: shift clusters off the origin so their
+    // directions separate, then bound through the normalized companion.
+    val base = df.withColumn("embedding_n", Ivf.normalized($"embedding"))
+    val m = Ivf.train(base, "embedding_n", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivfc").resolve("ix").toString
+    Ivf.buildIndex(base, "embedding_n", m, dir)
+    val radii = Ivf.listRadii(SparkT.spark, dir, m, "embedding_n")
+    val exact = Knn.knn(df, "embedding", "vec_id", queryVec, 10, Knn.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res, probed) = Ivf.searchAdaptiveCosine(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10)
+    assert(res.as[(Long, Double)].collect().toSeq === exact)
+    assert(probed < 8, s"terminated after $probed of 8 lists")
+    // un-normalized query gives the same result (scale invariance); a
+    // power-of-two scale is an exact float exponent shift, so even the
+    // distances are bit-identical, not just the ordering
+    val scaled = queryVec.map(_ * 8.0f)
+    val (res2, _) = Ivf.searchAdaptiveCosine(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", scaled, 10)
+    assert(res2.as[(Long, Double)].collect().toSeq === exact)
+  }
+
   test("grouped top-k Aggregator matches the window-function reference") {
     val data = (1 to 500).map(i =>
       (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))
