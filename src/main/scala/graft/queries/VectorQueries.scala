@@ -139,6 +139,20 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K1+K5 routed graph path (ADVICE r7): cluster-sharded sub-graphs with
+    // a centroid/radius sidecar; probe in centroid order, triangle-bound
+    // termination — O(probed sub-graphs) work instead of beaming all of
+    // them, exact at full ef, so it shares the fullscan oracle. Probe
+    // economy is spec-tested (HnswSpec).
+    "q_knn_graph_routed" -> QueryDef(
+      (s, d) => {
+        val path = hnswcIndex(s, d)
+        val (df, _) = Hnsw.searchRouted(s, path, "vec_id", queryVec(s, d),
+          k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K5 for cosine (the reference parameterizes termination by metric,
     // knn/termination.h:23-52): probe in normalized-space centroid order,
     // bound unprobed lists via max(0, ||q̂−c||−r−ε)²/2 (cosine distance of
@@ -210,6 +224,20 @@ object VectorQueries {
       val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 16)
       Ivf.buildIndex(t(s, d, "embeddings"), "embedding", m, path)
       (m, path)
+    })
+
+  // Memoized CLUSTERED graph index per sfDir (routed search); the sidecar
+  // is written last, so its _SUCCESS implies the graph table completed.
+  private val hnswcCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def hnswcIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_embeddings"
+      if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
+          path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
     })
 
   // Memoized cosine-adaptive IVF index per sfDir: base vectors + a

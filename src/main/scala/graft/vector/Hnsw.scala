@@ -135,16 +135,15 @@ object Hnsw {
     }
   }
 
-  /** Build the partitioned graph index and write it as a Parquet table,
-    * range-clustered by (pid, id). One shuffle of (id, vec); the graph
-    * construction is per-partition CPU work with no driver involvement.
-    * A sub-graph (ids, vectors, adjacency) must fit one task's memory —
-    * the same residency assumption as the reference's mmap'd hnswlib. */
-  def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
-                 p: Params = Params(), metric: Knn.Metric = Knn.L2): Unit = {
+  /** Shuffle `(pid, id, vec)` rows into one Spark partition per pid, build
+    * each sub-graph there, write the graph table range-clustered by
+    * (pid, id). */
+  private def writeGraph(df: DataFrame, pidCol: org.apache.spark.sql.Column,
+                         vecCol: String, idCol: String, path: String,
+                         p: Params, metric: Knn.Metric): Unit = {
     import df.sparkSession.implicits._
     val keyed = df
-      .select(pmod(col(idCol).cast("long"), lit(p.partitions)).cast("int").as("pid"),
+      .select(pidCol.cast("int").as("pid"),
         col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Int, Long, Array[Float])]
       .rdd.map(t => (t._1, (t._2, t._3)))
@@ -158,6 +157,52 @@ object Hnsw {
     graft.tables.Writer.write(graph, path, sortBy = Seq("pid", "id"),
       files = p.partitions)
   }
+
+  /** Build the partitioned graph index and write it as a Parquet table,
+    * range-clustered by (pid, id). One shuffle of (id, vec); the graph
+    * construction is per-partition CPU work with no driver involvement.
+    * A sub-graph (ids, vectors, adjacency) must fit one task's memory —
+    * the same residency assumption as the reference's mmap'd hnswlib. */
+  def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+                 p: Params = Params(), metric: Knn.Metric = Knn.L2): Unit =
+    writeGraph(df, pmod(col(idCol).cast("long"), lit(p.partitions)),
+      vecCol, idCol, path, p, metric)
+
+  /** CLUSTERED build + centroid routing sidecar (ADVICE r7: plain
+    * [[search]] beams every sub-graph — O(total N) work per query; the
+    * reference's single mmap'd HNSW descends through entry points in
+    * O(log N), knn/knn.cpp:455-537. With id-mod sharding nothing better is
+    * possible — every shard looks like the whole dataset — so the routed
+    * path shards by a k-means coarse quantizer instead: pid = nearest of
+    * `partitions` trained centroids, making sub-graphs spatially coherent).
+    * A sidecar table `<path>_route` stores each sub-graph's (pid, centroid,
+    * L2 radius); [[searchRouted]] probes sub-graphs in centroid-distance
+    * order and stops via the triangle bound — typically touching O(1)
+    * sub-graphs on clustered data while staying EXACT.
+    *
+    * Returns the trained coarse model (callers that also want IVF-style
+    * probing can reuse it; searchRouted itself reads the sidecar). */
+  def buildIndexClustered(df: DataFrame, vecCol: String, idCol: String,
+                          path: String, p: Params = Params(),
+                          metric: Knn.Metric = Knn.L2): Ivf.Model = {
+    val m = Ivf.train(df, vecCol, nlist = p.partitions, metric = Knn.L2)
+    val assigned = Ivf.assign(df, vecCol, m)
+    writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, path, p, metric)
+    val cents = typedLit(m.centroids.map(_.toSeq))
+    val route = assigned
+      .select(col("ivf_cluster").cast("int").as("pid"),
+        distances.l2Dist(col(vecCol),
+          element_at(cents, col("ivf_cluster").cast("int") + 1)
+            .cast("array<float>")).as("d"))
+      .groupBy("pid").agg(max(col("d")).as("radius"))
+      .withColumn("centroid",
+        element_at(cents, col("pid") + 1).cast("array<float>"))
+    graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
+    m
+  }
+
+  /** Sidecar location for the routing table of a clustered graph index. */
+  def routePath(indexPath: String): String = indexPath + "_route"
 
   // Resident graphs (the reference keeps its HNSW mmap'd for the life of
   // the daemon — knn/knn.cpp Load; re-shuffling the index table per query
@@ -200,34 +245,102 @@ object Hnsw {
     }
 
   /** Drop the resident copy of an index (call after rebuilding it). */
-  def invalidate(indexPath: String): Unit =
+  def invalidate(indexPath: String): Unit = {
     resident.remove(indexPath).foreach(_.unpersist(false))
+    routeCache.remove(indexPath)
+  }
 
   /** Top-k search: beam-search every sub-graph (ef >= k), merge per-graph
     * top-k with the [[Knn.knn]] (dist asc, id asc) contract. `ef` at least
     * the sub-graph size ⇒ exact. Each sub-graph must be searched whole, so
     * the (first-query-only) shuffle moves the index table, never facts. */
+  /** Rehydrate one partition's sub-graph and beam-search it: the shared
+    * task body of [[search]] and [[searchRouted]]. */
+  private def searchSubGraph(it: Iterator[(Int, GraphRow)], q: Array[Float],
+                             k: Int, ef: Int,
+                             metric: Knn.Metric): Iterator[(Long, Double)] = {
+    val sorted = it.map(_._2).toArray.sortBy(_._1)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), metric)
+      val idx = sorted.map(_._1).zipWithIndex.toMap
+      sorted.indices.foreach { i =>
+        g.adj(i) ++= sorted(i)._3.iterator.map(idx)
+      }
+      g.searchBeam(q, math.max(ef, k), g.n).take(k)
+        .map { case (dist, i) => (g.ids(i), dist) }.iterator
+    }
+  }
+
   def search(spark: SparkSession, indexPath: String, idCol: String,
              query: Array[Float], k: Int, ef: Int,
              metric: Knn.Metric = Knn.L2): DataFrame = {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(query)
     val perPart = loadGraph(spark, indexPath)
-      .mapPartitions { it =>
-        val q = qB.value
-        val sorted = it.map(_._2).toArray.sortBy(_._1)
-        if (sorted.isEmpty) Iterator.empty
-        else {
-          val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), metric)
-          val idx = sorted.map(_._1).zipWithIndex.toMap
-          sorted.indices.foreach { i =>
-            g.adj(i) ++= sorted(i)._3.iterator.map(idx)
-          }
-          g.searchBeam(q, math.max(ef, k), g.n).take(k)
-            .map { case (dist, i) => (g.ids(i), dist) }.iterator
-        }
-      }
+      .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric))
     spark.createDataset(perPart).toDF(idCol, "dist")
       .orderBy(col("dist").asc, col(idCol).asc).limit(k)
+  }
+
+  // Memoized routing sidecars: (pid, centroid, radius) per sub-graph —
+  // a few rows per index, read once per session.
+  private val routeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Float], Double)]]
+
+  private def routes(spark: SparkSession,
+                     indexPath: String): Array[(Int, Array[Float], Double)] =
+    routeCache.getOrElseUpdate(indexPath,
+      spark.read.parquet(routePath(indexPath))
+        .select(col("pid"), col("centroid"), col("radius"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .sortBy(_._1))
+
+  /** ROUTED top-k over a [[buildIndexClustered]] index — the partitioned
+    * analog of the reference's routed HNSW descent (knn/knn.cpp:455-537
+    * walks entry points toward the query instead of scanning every node):
+    * probe sub-graphs in centroid-distance order, doubling the probe set
+    * per round, and stop once every unprobed sub-graph's triangle-
+    * inequality lower bound `||q−c|| − radius` exceeds the current kth-best
+    * distance. EXACT for L2 when `ef` >= sub-graph size (the bound is a
+    * true lower bound, and equal-bound sub-graphs are still probed under
+    * the tie rule) — the oracle-checked configuration; with small `ef` it
+    * inherits beam-search recall within the probed sub-graphs.
+    *
+    * Scale shape: selected sub-graphs run as tasks of a
+    * PartitionPruningRDD over the resident graph — unprobed partitions are
+    * never scheduled (0 tasks, not "tasks that return nothing"), and each
+    * probe round ships k rows per sub-graph to the driver.
+    *
+    * Returns (top-k DataFrame, sub-graphs probed). */
+  def searchRouted(spark: SparkSession, indexPath: String, idCol: String,
+                   query: Array[Float], k: Int, ef: Int): (DataFrame, Int) = {
+    import spark.implicits._
+    val rts = routes(spark, indexPath)
+    val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, query, r._2)).toMap
+    val radius = rts.map(r => r._1 -> r._3).toMap
+    val order = rts.map(_._1).sortBy(centDist)
+    def bound(pid: Int): Double = centDist(pid) - radius(pid)
+    val graph = loadGraph(spark, indexPath)
+    val qB = spark.sparkContext.broadcast(query)
+    var probed = 0
+    var batch = 1
+    var bestK: Seq[(Double, Long)] = Nil // (dist, id) ascending
+    def remainingRelevant: Boolean =
+      bestK.size < k ||
+        order.drop(probed).exists(j => bound(j) <= bestK.last._1)
+    while (probed < order.length && remainingRelevant) {
+      val probes = order.slice(probed, probed + batch).toSet
+      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+        graph, probes.contains)
+      val rows = pruned
+        .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, Knn.L2))
+        .collect().map { case (id, d) => (d, id) }
+      bestK = (bestK ++ rows).sorted.take(k)
+      probed += probes.size
+      batch *= 2
+    }
+    (bestK.map { case (dist, id) => (id, dist) }.toDF(idCol, "dist"), probed)
   }
 }

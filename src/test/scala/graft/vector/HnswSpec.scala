@@ -71,6 +71,37 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("routed search is exact and schedules only a few sub-graphs (ADVICE r7)") {
+    val rnd = new scala.util.Random(17)
+    val dim = 32
+    val rows = for {
+      c <- 0 until 8
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5)
+      i <- 0 until 50
+    } yield ((c * 50 + i).toLong,
+      center.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswr").resolve("g").toString
+    Hnsw.buildIndexClustered(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8))
+    val queries = Seq(3L, 117L, 284L, 399L)
+    var probedTotal = 0
+    queries.foreach { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, probed) = Hnsw.searchRouted(SparkT.spark, d, "vec_id",
+        q, 10, ef = 1 << 20)
+      assert(res.as[(Long, Double)].collect().toSeq === exact, s"query $qid")
+      probedTotal += probed
+    }
+    // well-separated clusters: each query should resolve in 1-2 sub-graphs,
+    // never all 8 — the routing economy the sidecar exists for
+    assert(probedTotal < queries.size * 8,
+      s"routing probed $probedTotal of ${queries.size * 8} sub-graphs")
+    assert(probedTotal <= queries.size * 3, s"probed $probedTotal")
+  }
+
   test("search result keeps the (dist asc, id asc) contract") {
     val d = Files.createTempDirectory("graft-hnsw3").resolve("g").toString
     Hnsw.buildIndex(emb, "embedding", "vec_id", d)
