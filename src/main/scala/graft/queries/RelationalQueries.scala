@@ -342,6 +342,49 @@ object RelationalQueries {
       Some("SELECT event_id, TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) AS k FROM events " +
         "WHERE TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) >= 95 AND event_type = 'click'")),
 
+    // H6 storage-side JSON: the same filter as q_json_filter served from
+    // the write-time FLATTENED sibling column (tables/JsonFlatten — parse
+    // billed once to the writer; the table is clustered by props_k, so the
+    // range predicate prunes files via zone maps instead of parsing JSON
+    // per row). Oracle still extracts from the raw document.
+    "q_json_flat_filter" -> QueryDef(
+      (s, d) => graft.tables.Derived.table(s, d, "events_flat")
+        .filter(col("props_k") >= 95 && col("event_type") === "click")
+        .select(col("event_id"), col("props_k")),
+      Some("SELECT event_id, TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) " +
+        "AS props_k FROM events " +
+        "WHERE TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) >= 95 " +
+        "AND event_type = 'click'")),
+
+    // H6 flattened aggregation: group/sum straight over the typed sibling —
+    // no JSON tokenizer anywhere in the query plan.
+    "q_json_flat_agg" -> QueryDef(
+      (s, d) => graft.tables.Derived.table(s, d, "events_flat")
+        .filter(col("props_k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("props_k")).as("k_sum")),
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT)) AS BIGINT) AS k_sum " +
+        "FROM events WHERE TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) >= 50 " +
+        "GROUP BY event_type")),
+
+    // H6 + I3: the flattened JSON field's secondary-index SIBLING serves a
+    // value-range lookup (ref secondary.cpp:426-433 — JSON fields index
+    // like any attribute), postings semi-joined back to the flattened
+    // table.
+    "q_json_flat_idx" -> QueryDef(
+      (s, d) => {
+        val base = graft.tables.Derived.tablePath(s, d, "events_flat")
+        val keys = graft.index.SecondaryIndex.lookupRangeKeys(s,
+          base + "_kidx", lo = Some(90L), hi = None)
+        graft.index.SecondaryIndex.semiJoin(
+            graft.tables.Derived.table(s, d, "events_flat"), "event_id", keys)
+          .select(col("event_id"), col("props_k"))
+      },
+      Some("SELECT event_id, TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) " +
+        "AS props_k FROM events " +
+        "WHERE TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) >= 90")),
+
     // H7 window breadth: lag/lead over event time. The per-row delta is the
     // same IEEE double subtraction in both engines, floored to exact micro
     // units; first row per user yields NULL in both.

@@ -92,6 +92,21 @@ object Derived {
       graft.index.SecondaryIndex.build(o, "o_orderpriority", "o_orderkey", path)
     }),
 
+    // JSON-flattened events (H6 storage convention, ref blockreader.h:96
+    // m_sJsonParentName): props.k parsed ONCE at write time into a typed
+    // sibling column props_k, table range-clustered by it (predicates on
+    // the hot JSON field prune files/row groups), plus a secondary-index
+    // sibling on props_k — JSON fields get the same index machinery as any
+    // attribute (secondary/secondary.cpp:426-433).
+    "events_flat" -> ((spark, sfDir, path) => {
+      val ev = graft.engine.Graft.table(spark, sfDir, "events")
+      val flat = JsonFlatten.flatten(ev, "props", "k",
+        org.apache.spark.sql.types.LongType)
+      Writer.write(flat, path, sortBy = Seq("props_k"), files = 4)
+      graft.index.SecondaryIndex.build(flat, "props_k", "event_id",
+        path + "_kidx")
+    }),
+
     // Numeric secondary index on orders.o_custkey (I3 value-RANGE lookups:
     // the value-sorted layout lets an interval predicate prune files/row
     // groups by value min/max). 4 files so the range actually skips whole
