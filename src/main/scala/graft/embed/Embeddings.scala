@@ -100,9 +100,106 @@ object Embeddings {
     }
   }
 
+  /** Remote HTTP embedding provider — the reference treats remote models as
+    * first-class providers (embeddings/src/model/mod.rs:65-70:
+    * OpenAI/Voyage/Jina behind the same trait; batch/retry logic tested
+    * in-crate, error_handling_test.rs). Speaks the common embeddings wire
+    * shape those services share:
+    * {{{
+    *   POST endpoint   {"model": m, "input": [text, ...]}
+    *   200             {"data": [{"embedding": [f, ...]}, ...]}   // input order
+    * }}}
+    * Lifecycle matches [[embedStage]]'s model-handle contract: the case
+    * class (config only) is shipped to executors; the HttpClient is built
+    * lazily ONCE per instance — i.e. once per partition — and every batch
+    * reuses it (connection pooling).
+    *
+    * Failure policy (ref error_handling_test.rs shapes):
+    *  - 429 / 5xx / transport errors: exponential backoff
+    *    (`baseBackoffMs << attempt`), up to `maxRetries` retries, then the
+    *    last error propagates and FAILS THE TASK — a silent zero-vector
+    *    would poison every downstream similarity join;
+    *  - other 4xx: fail fast, no retry (a malformed request never succeeds
+    *    on retry);
+    *  - a 200 whose vector count or dimension disagrees with the request
+    *    is a protocol error, not retried.
+    */
+  final case class HttpProvider(endpoint: String, model: String, dim: Int,
+                                maxRetries: Int = 3, baseBackoffMs: Long = 50,
+                                timeoutMs: Long = 10000)
+      extends TextToEmbeddings {
+
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+        .build()
+    @transient private lazy val om =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      if (texts.isEmpty) return Nil
+      val body = {
+        val root = om.createObjectNode()
+        root.put("model", model)
+        val arr = root.putArray("input")
+        texts.foreach(arr.add)
+        om.writeValueAsString(root)
+      }
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      var attempt = 0
+      var lastErr: Throwable = null
+      while (attempt <= maxRetries) {
+        if (attempt > 0) Thread.sleep(baseBackoffMs << (attempt - 1))
+        try {
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() match {
+            case 200 =>
+              return parse(resp.body(), texts.size)
+            case code if code == 429 || code >= 500 =>
+              lastErr = new java.io.IOException(
+                s"embedding endpoint $endpoint returned $code (attempt ${attempt + 1})")
+            case code =>
+              throw new IllegalArgumentException(
+                s"embedding endpoint $endpoint rejected request: $code ${resp.body().take(200)}")
+          }
+        } catch {
+          case e: java.io.IOException => lastErr = e
+          case e: InterruptedException => throw e
+        }
+        attempt += 1
+      }
+      throw new java.io.IOException(
+        s"embedding request failed after ${maxRetries + 1} attempts", lastErr)
+    }
+
+    private def parse(body: String, expected: Int): Seq[Array[Float]] = {
+      val data = om.readTree(body).get("data")
+      if (data == null || !data.isArray || data.size() != expected)
+        throw new IllegalStateException(
+          s"embedding response has ${if (data == null) "no" else data.size()} " +
+            s"vectors for $expected inputs")
+      (0 until expected).map { i =>
+        val emb = data.get(i).get("embedding")
+        if (emb == null || !emb.isArray || emb.size() != dim)
+          throw new IllegalStateException(
+            s"embedding $i has dimension ${if (emb == null) "none" else emb.size()}, expected $dim")
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) { v(j) = emb.get(j).floatValue(); j += 1 }
+        v
+      }
+    }
+  }
+
   /** Provider registry — the seam where remote/local model providers plug in
     * (ref ffi.rs GetLibFuncs). Offline container ships the deterministic
-    * stubs; a real provider registers here unchanged. */
+    * stubs; [[HttpProvider]] is constructed explicitly (it needs endpoint
+    * config, not just (dim, normalize)). */
   val providers: Map[String, (Int, Boolean) => TextToEmbeddings] = Map(
     "hash" -> ((dim, norm) => HashingProvider(dim, norm)),
     "randproj" -> ((dim, norm) => RandomProjectionProvider(dim, normalize = norm))
