@@ -1,0 +1,96 @@
+package graft.index
+
+import graft.SparkT
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** CheckSecondaryIndex analog: a healthy index passes; each layout
+  * invariant, corrupted in isolation, is caught by name. */
+class IndexCheckSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  private lazy val (dir: String, fact: DataFrame) = {
+    val d = Files.createTempDirectory("graft-icheck").resolve("idx").toString
+    val rows = (0 until 4000).map(i => (s"v${i % 5}", i.toLong))
+    val df = rows.toDF("value", "key")
+    SecondaryIndex.build(df, "value", "key", d, files = 3)
+    (d, df)
+  }
+
+  private def corrupt(mutate: DataFrame => DataFrame): String = {
+    val out = Files.createTempDirectory("graft-icheck-bad").resolve("idx").toString
+    mutate(SparkT.spark.read.parquet(dir))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  test("healthy index passes, including fact reconciliation") {
+    val r = IndexCheck.check(SparkT.spark, dir,
+      fact = Some((fact, "value", "key")))
+    assert(r.ok, r.issues.mkString("; "))
+    assert(r.keys === 4000)
+    assert(r.chunks > 0)
+  }
+
+  test("cnt != len(rowids) is caught") {
+    val bad = corrupt(_.withColumn("cnt",
+      when(col("chunk") === 0 && col("value") === "v0", col("cnt") + 1)
+        .otherwise(col("cnt"))))
+    val r = IndexCheck.check(SparkT.spark, bad)
+    assert(r.issues.exists(_.contains("cnt != len(rowids)")), r.issues)
+  }
+
+  test("unsorted / duplicated rowids are caught") {
+    val bad = corrupt(_.withColumn("rowids",
+      when(col("chunk") === 1 && col("value") === "v1", reverse(col("rowids")))
+        .otherwise(col("rowids"))))
+    val r = IndexCheck.check(SparkT.spark, bad)
+    assert(r.issues.exists(_.contains("not strictly ascending")), r.issues)
+  }
+
+  test("wrong chunk_min/chunk_max stats are caught (the seek would skip postings)") {
+    val bad = corrupt(_.withColumn("chunk_max",
+      when(col("chunk") === 2 && col("value") === "v2", col("chunk_max") - 1)
+        .otherwise(col("chunk_max"))))
+    val r = IndexCheck.check(SparkT.spark, bad)
+    assert(r.issues.exists(_.contains("chunk_min/chunk_max disagree")), r.issues)
+  }
+
+  test("a rowid outside its chunk window is caught") {
+    val bad = corrupt(_.withColumn("rowids",
+      when(col("chunk") === 0 && col("value") === "v3",
+        concat(col("rowids"), array(lit(999999L))))
+        .otherwise(col("rowids"))))
+    val r = IndexCheck.check(SparkT.spark, bad)
+    assert(r.issues.exists(_.contains("outside its chunk's key window")), r.issues)
+    // the appended rowid also breaks cnt == len and the max stat
+    assert(r.issues.exists(_.contains("cnt != len(rowids)")), r.issues)
+  }
+
+  test("duplicate (value, chunk) posting rows are caught") {
+    val bad = corrupt(d => d.union(d.filter(col("chunk") === 1 && col("value") === "v4")))
+    val r = IndexCheck.check(SparkT.spark, bad)
+    assert(r.issues.exists(_.contains("duplicate (value, chunk)")), r.issues)
+    // the duplicated keys also violate global key uniqueness
+    assert(r.issues.exists(_.contains("key in multiple postings")), r.issues)
+  }
+
+  test("a stale index (fact rewritten) is caught by reconciliation") {
+    val staleFact = fact.filter(col("key") < 3000)
+    val r = IndexCheck.check(SparkT.spark, dir,
+      fact = Some((staleFact, "value", "key")))
+    assert(r.issues.exists(_.contains("disagree with fact table")), r.issues)
+  }
+
+  test("unreadable / non-index tables produce issues, not exceptions") {
+    assert(!IndexCheck.check(SparkT.spark, "/nonexistent/idx").ok)
+    val notIdx = Files.createTempDirectory("graft-icheck-n").resolve("t").toString
+    Seq((1, "a")).toDF("x", "y").write.parquet(notIdx)
+    val r = IndexCheck.check(SparkT.spark, notIdx)
+    assert(r.issues.exists(_.contains("missing index columns")), r.issues)
+  }
+}
