@@ -125,6 +125,23 @@ object SecondaryIndex {
         .filter(valueRangePred(lo, hi, loInclusive, hiInclusive)),
       keyRange)
 
+  /** F5 via index: NOTNULL served from the postings (ref fullscan-limits
+    * path, secondary/secondary.cpp:50-76 — the index enumerates rows per
+    * value, so "has any value" is the union of every non-null posting;
+    * rows whose indexed column is NULL sit in the null-value group and are
+    * excluded). Composes with the rowid-window seek. */
+  def lookupNotNullKeys(spark: SparkSession, indexPath: String,
+                        keyRange: Option[(Long, Long)] = None): DataFrame =
+    postingsToKeys(
+      spark.read.parquet(indexPath).filter(col("value").isNotNull), keyRange)
+
+  /** I6 for NOTNULL: count rows with a non-null indexed value from stored
+    * per-chunk counts — index-only. */
+  def calcCountNotNull(spark: SparkSession, indexPath: String): Long =
+    spark.read.parquet(indexPath)
+      .filter(col("value").isNotNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+
   /** Index-accelerated filter: semi-join the fact table against the
     * postings (the host-side rowid-stream intersection, SURVEY §3.2). */
   def semiJoin(fact: DataFrame, factKey: String,

@@ -67,6 +67,37 @@ object IndexQueries {
       },
       Some("SELECT count(*) AS cnt FROM orders WHERE o_custkey > 1000")),
 
+    // F5 via index: NOTNULL answered from the postings (ref fullscan-limits
+    // path, secondary.cpp:50-76) — union of the non-null value groups,
+    // semi-joined back; rows whose indexed value is NULL live in the null
+    // group and are excluded. The fixture's NULLs are real: customers with
+    // no orders (LEFT JOIN derivation).
+    "q_index_notnull" -> QueryDef(
+      (s, d) => {
+        val base = Derived.tablePath(s, d, "cust_last")
+        val keys = SecondaryIndex.lookupNotNullKeys(s, base + "_idx")
+        SecondaryIndex.semiJoin(Derived.table(s, d, "cust_last"),
+            "c_custkey", keys)
+          .select(col("c_custkey"), col("last_odate"))
+      },
+      Some("WITH cust_last AS (SELECT c_custkey, max(o_orderdate) AS last_odate " +
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey) " +
+        "SELECT c_custkey, last_odate FROM cust_last " +
+        "WHERE last_odate IS NOT NULL")),
+
+    // F5+I6: NOTNULL count from stored per-chunk counts — index-only.
+    "q_index_notnull_count" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val base = Derived.tablePath(s, d, "cust_last")
+        Seq(SecondaryIndex.calcCountNotNull(s, base + "_idx")).toDF("cnt")
+      },
+      Some("WITH cust_last AS (SELECT c_custkey, max(o_orderdate) AS last_odate " +
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey) " +
+        "SELECT count(*) AS cnt FROM cust_last WHERE last_odate IS NOT NULL")),
+
     // I6: CalcCount from stored postings counts — index-only, the fact
     // table is never scanned.
     "q_index_count" -> QueryDef(

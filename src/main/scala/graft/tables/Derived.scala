@@ -92,6 +92,21 @@ object Derived {
       graft.index.SecondaryIndex.build(o, "o_orderpriority", "o_orderkey", path)
     }),
 
+    // Nullable derived table: last order timestamp per customer via LEFT
+    // JOIN (NULL for the ~1/3 of TPC-H customers with no orders) — the
+    // NOTNULL-via-index fixture — plus its index sibling on last_odate
+    // (c_custkey is unique: the rowid contract).
+    "cust_last" -> ((spark, sfDir, path) => {
+      val c = graft.engine.Graft.table(spark, sfDir, "customer")
+      val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      val last = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(max(col("o_orderdate")).as("last_odate"))
+      Writer.write(last, path, sortBy = Seq("c_custkey"))
+      graft.index.SecondaryIndex.build(last, "last_odate", "c_custkey",
+        path + "_idx")
+    }),
+
     // JSON-flattened events (H6 storage convention, ref blockreader.h:96
     // m_sJsonParentName): props.k parsed ONCE at write time into a typed
     // sibling column props_k, table range-clustered by it (predicates on

@@ -124,6 +124,22 @@ class SecondaryIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("NOTNULL lookup/count exclude the null-value group exactly (F5 via index)") {
+    val d = Files.createTempDirectory("graft-sidx-nn").resolve("idx").toString
+    val rows: Seq[(Option[Long], Long)] =
+      (0 until 900).map(i => (if (i % 3 == 0) None else Some(i.toLong % 40), i.toLong))
+    SecondaryIndex.build(rows.toDF("value", "key"), "value", "key", d)
+    val got = SecondaryIndex.lookupNotNullKeys(SparkT.spark, d)
+      .as[Long].collect().toSet
+    val want = rows.filter(_._1.isDefined).map(_._2).toSet
+    assert(got === want)
+    assert(SecondaryIndex.calcCountNotNull(SparkT.spark, d) === want.size.toLong)
+    // composes with the rowid window
+    val windowed = SecondaryIndex.lookupNotNullKeys(SparkT.spark, d,
+      keyRange = Some((100L, 200L))).as[Long].collect().toSet
+    assert(windowed === want.filter(k => k >= 100 && k <= 200))
+  }
+
   test("value-range lookup composes with the rowid-window seek") {
     val got = SecondaryIndex.lookupRangeKeys(SparkT.spark, numDir,
       Some(0L), Some(400L), keyRange = Some((1000L, 2000L)))
