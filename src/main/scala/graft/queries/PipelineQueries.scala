@@ -13,6 +13,54 @@ object PipelineQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // FLAGSHIP composition — the canonical training-data curation pipeline
+    // over `documents`, every stage an engine operator: language-ID filter
+    // (en) → quality-score filter → MinHash+LSH near-dup removal (drop the
+    // larger id of each verified pair — the same rule on both sides) →
+    // token accounting of the survivors. The oracle replays the whole
+    // pipeline in SQL from the stage oracles of q_text_lang/_quality,
+    // q_dedup_near and q_text_tokens. 100 TB shape: two codegen'd filter
+    // scans, one banded-LSH equi-join on (id, band-key) longs, one
+    // broadcast anti-join of the (small) drop list — no stage shuffles
+    // documents except the LSH candidate join.
+    "q_pipeline_e2e" -> QueryDef(
+      (s, d) => {
+        import graft.pipeline.TextFunctions
+        val docs = t(s, d, "documents")
+          .filter(TextFunctions.langId(col("text")) === "en" &&
+            TextFunctions.qualityMicros(col("text")) >= 400000L)
+        val pairs = graft.pipeline.Dedup.nearPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        val dropIds = pairs.select(col("b").as("doc_id")).distinct()
+        docs.join(dropIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, text, " +
+        raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
+        "scored AS (SELECT doc_id, text, w, " +
+        "len(list_intersect(list_distinct(w), ['the','a','of','and','to','in','is'])) s_en, " +
+        "len(list_intersect(list_distinct(w), ['der','die','das','und','ist'])) s_de, " +
+        "len(list_intersect(list_distinct(w), ['le','les','et','est'])) s_fr, " +
+        "len(list_intersect(list_distinct(w), ['el','los','y','es'])) s_es, " +
+        "CASE WHEN length(text)=0 OR len(w)=0 THEN 0 ELSE floor((" +
+        "0.4 * (len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE / len(w)) " +
+        "+ 0.4 * (length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE / length(text)) " +
+        "+ 0.2 * least(len(w)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END AS qm FROM dd), " +
+        "filt AS (SELECT doc_id, text, w FROM scored " +
+        "WHERE (CASE WHEN s_en=0 AND s_de=0 AND s_fr=0 AND s_es=0 THEN 'und' " +
+        "WHEN s_en>=s_de AND s_en>=s_fr AND s_en>=s_es THEN 'en' " +
+        "WHEN s_de>=s_fr AND s_de>=s_es THEN 'de' " +
+        "WHEN s_fr>=s_es THEN 'fr' ELSE 'es' END) = 'en' AND qm >= 400000), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] " +
+        "for i in generate_series(1, len(w)-2)]) s FROM filt), " +
+        "drop_ids AS (SELECT DISTINCT b.doc_id AS doc_id FROM sh a " +
+        "JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(a.s || b.s)) >= 0.8) " +
+        "SELECT f.doc_id, len(f.w) AS n_tokens FROM filt f " +
+        "WHERE f.doc_id NOT IN (SELECT doc_id FROM drop_ids)")),
+
     // K8 text→embedding stage. normalize=false keeps exact integer counts,
     // so the feature-hash embedding is SQL-checkable: c0 = tokens hashing
     // to bucket 0, norm2 = Σ count². The bucket function is the same
