@@ -153,6 +153,19 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // Routed graph path under COSINE (the reference's HNSW serves all
+    // three metrics, knn/knn.h:32-37): cluster-shard over the normalized
+    // companion space, bound in it, score raw vectors with the exact
+    // cosine kernel — exact at full ef, shares the cosine fullscan oracle.
+    "q_knn_graph_routed_cos" -> QueryDef(
+      (s, d) => {
+        val path = hnswcCosIndex(s, d)
+        val (df, _) = Hnsw.searchRouted(s, path, "vec_id", queryVec(s, d),
+          k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
     // K5 for cosine (the reference parameterizes termination by metric,
     // knn/termination.h:23-52): probe in normalized-space centroid order,
     // bound unprobed lists via max(0, ||q̂−c||−r−ε)²/2 (cosine distance of
@@ -237,6 +250,15 @@ object VectorQueries {
       if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
         Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
           path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
+
+  private def hnswcCosIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#cos", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_embeddings_cos"
+      if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
+          path, Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.Cosine)
       path
     })
 

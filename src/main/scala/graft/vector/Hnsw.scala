@@ -185,18 +185,29 @@ object Hnsw {
   def buildIndexClustered(df: DataFrame, vecCol: String, idCol: String,
                           path: String, p: Params = Params(),
                           metric: Knn.Metric = Knn.L2): Ivf.Model = {
-    val m = Ivf.train(df, vecCol, nlist = p.partitions, metric = Knn.L2)
-    val assigned = Ivf.assign(df, vecCol, m)
+    require(metric == Knn.L2 || metric == Knn.Cosine,
+      "routed graph indexes bound through L2 or cosine (IP over a " +
+        "normalized corpus IS cosine — build with Cosine)")
+    // The routing bound lives in an L2 space: raw vectors for L2, the
+    // unit-normalized companion for cosine (cosDist of a unit pair is half
+    // its squared L2 distance — same move as Ivf.searchAdaptiveCosine).
+    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    val base = if (metric == Knn.L2) df
+               else df.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+    val m = Ivf.train(base, boundCol, nlist = p.partitions, metric = Knn.L2)
+    val assigned = Ivf.assign(base, boundCol, m)
+    // sub-graphs store and beam-search the RAW vectors under `metric`
     writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, path, p, metric)
     val cents = typedLit(m.centroids.map(_.toSeq))
     val route = assigned
       .select(col("ivf_cluster").cast("int").as("pid"),
-        distances.l2Dist(col(vecCol),
+        distances.l2Dist(col(boundCol),
           element_at(cents, col("ivf_cluster").cast("int") + 1)
             .cast("array<float>")).as("d"))
       .groupBy("pid").agg(max(col("d")).as("radius"))
       .withColumn("centroid",
         element_at(cents, col("pid") + 1).cast("array<float>"))
+      .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
     graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
     m
   }
@@ -283,30 +294,45 @@ object Hnsw {
       .orderBy(col("dist").asc, col(idCol).asc).limit(k)
   }
 
-  // Memoized routing sidecars: (pid, centroid, radius) per sub-graph —
-  // a few rows per index, read once per session.
+  // Memoized routing sidecars: metric + (pid, centroid, radius) per
+  // sub-graph — a few rows per index, read once per session.
   private val routeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Float], Double)]]
+    scala.collection.concurrent.TrieMap.empty[String, (Knn.Metric, Array[(Int, Array[Float], Double)])]
 
   private def routes(spark: SparkSession,
-                     indexPath: String): Array[(Int, Array[Float], Double)] =
-    routeCache.getOrElseUpdate(indexPath,
-      spark.read.parquet(routePath(indexPath))
-        .select(col("pid"), col("centroid"), col("radius"))
+                     indexPath: String): (Knn.Metric, Array[(Int, Array[Float], Double)]) =
+    routeCache.getOrElseUpdate(indexPath, {
+      val raw = spark.read.parquet(routePath(indexPath))
+      // sidecars written before the metric column default to L2
+      val withMetric = if (raw.columns.contains("metric")) raw
+                       else raw.withColumn("metric", lit("l2"))
+      val rows = withMetric
+        .select(col("pid"), col("centroid"), col("radius"), col("metric"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-        .sortBy(_._1))
+      val metric = rows.headOption.map(_.getString(3)) match {
+        case Some("cosine") => Knn.Cosine
+        case _              => Knn.L2
+      }
+      (metric,
+        rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+          .sortBy(_._1))
+    })
 
   /** ROUTED top-k over a [[buildIndexClustered]] index — the partitioned
     * analog of the reference's routed HNSW descent (knn/knn.cpp:455-537
     * walks entry points toward the query instead of scanning every node):
     * probe sub-graphs in centroid-distance order, doubling the probe set
     * per round, and stop once every unprobed sub-graph's triangle-
-    * inequality lower bound `||q−c|| − radius` exceeds the current kth-best
-    * distance. EXACT for L2 when `ef` >= sub-graph size (the bound is a
-    * true lower bound, and equal-bound sub-graphs are still probed under
-    * the tie rule) — the oracle-checked configuration; with small `ef` it
-    * inherits beam-search recall within the probed sub-graphs.
+    * inequality lower bound exceeds the current kth-best distance. The
+    * metric comes from the sidecar: L2 bounds with `||q−c|| − radius`
+    * directly; cosine bounds in the normalized space with
+    * `max(0, ||q̂−c|| − r − ε)² / 2` while sub-graphs score the exact
+    * cosine kernel on raw vectors (same construction as
+    * [[Ivf.searchAdaptiveCosine]]). EXACT when `ef` >= sub-graph size (the
+    * bound is a true lower bound, and equal-bound sub-graphs are still
+    * probed under the tie rule) — the oracle-checked configuration; with
+    * small `ef` it inherits beam-search recall within the probed
+    * sub-graphs.
     *
     * Scale shape: selected sub-graphs run as tasks of a
     * PartitionPruningRDD over the resident graph — unprobed partitions are
@@ -315,13 +341,25 @@ object Hnsw {
     *
     * Returns (top-k DataFrame, sub-graphs probed). */
   def searchRouted(spark: SparkSession, indexPath: String, idCol: String,
-                   query: Array[Float], k: Int, ef: Int): (DataFrame, Int) = {
+                   query: Array[Float], k: Int, ef: Int,
+                   eps: Double = 1e-4): (DataFrame, Int) = {
     import spark.implicits._
-    val rts = routes(spark, indexPath)
-    val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, query, r._2)).toMap
+    val (metric, rts) = routes(spark, indexPath)
+    val boundQ = metric match {
+      case Knn.Cosine =>
+        val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+        if (n == 0.0) query else query.map(x => (x / n).toFloat)
+      case _ => query
+    }
+    val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, boundQ, r._2)).toMap
     val radius = rts.map(r => r._1 -> r._3).toMap
     val order = rts.map(_._1).sortBy(centDist)
-    def bound(pid: Int): Double = centDist(pid) - radius(pid)
+    def bound(pid: Int): Double = metric match {
+      case Knn.Cosine =>
+        val b = centDist(pid) - radius(pid) - eps
+        if (b <= 0.0) 0.0 else b * b / 2.0
+      case _ => centDist(pid) - radius(pid)
+    }
     val graph = loadGraph(spark, indexPath)
     val qB = spark.sparkContext.broadcast(query)
     var probed = 0
@@ -335,7 +373,7 @@ object Hnsw {
       val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
         graph, probes.contains)
       val rows = pruned
-        .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, Knn.L2))
+        .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric))
         .collect().map { case (id, d) => (d, id) }
       bestK = (bestK ++ rows).sorted.take(k)
       probed += probes.size

@@ -102,6 +102,33 @@ class HnswSpec extends AnyFunSuite {
     assert(probedTotal <= queries.size * 3, s"probed $probedTotal")
   }
 
+  test("routed search under the COSINE metric is exact and prunes sub-graphs") {
+    val rnd = new scala.util.Random(23)
+    val dim = 32
+    // directionally separated clusters (cosine cares about direction)
+    val rows = for {
+      c <- 0 until 8
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5)
+      i <- 0 until 50
+    } yield ((c * 50 + i).toLong,
+      center.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswrc").resolve("g").toString
+    Hnsw.buildIndexClustered(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.Cosine)
+    var probedTotal = 0
+    Seq(7L, 152L, 333L).foreach { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10, Knn.Cosine)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, probed) = Hnsw.searchRouted(SparkT.spark, d, "vec_id",
+        q, 10, ef = 1 << 20)
+      assert(res.as[(Long, Double)].collect().toSeq === exact, s"query $qid")
+      probedTotal += probed
+    }
+    assert(probedTotal <= 3 * 3, s"probed $probedTotal of 24 sub-graphs")
+  }
+
   test("search result keeps the (dist asc, id asc) contract") {
     val d = Files.createTempDirectory("graft-hnsw3").resolve("g").toString
     Hnsw.buildIndex(emb, "embedding", "vec_id", d)
