@@ -156,7 +156,9 @@ object Ivf {
     * order, doubling the probe set per round, and stop as soon as the next
     * unprobed list's lower bound `dist(q, c_j) − radius_j` exceeds the
     * current kth-best distance — no member of that list (or any later one)
-    * can enter the top-k. L2 only (the bound needs a metric).
+    * can enter the top-k. This entry point is the L2 bound;
+    * [[searchAdaptiveCosine]] carries the same construction to cosine/IP
+    * through the normalized companion space.
     *
     * Returns the same rows as a full scan; typically touches a few lists
     * on clustered data (spec-asserted).
