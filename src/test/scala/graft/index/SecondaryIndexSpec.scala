@@ -140,6 +140,21 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(windowed === want.filter(k => k >= 100 && k <= 200))
   }
 
+  test("value-range predicate reaches the index scan as pushed filters (prunes files)") {
+    val q = SparkT.spark.read.parquet(numDir)
+      .filter(col("value") >= 200L && col("value") <= 600L)
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(value,200)") &&
+      pushed.contains("LessThanOrEqual(value,600)"), pushed)
+    // the lookupRangeKeys plan carries the same pushed predicate
+    val lk = SecondaryIndex.lookupRangeKeys(SparkT.spark, numDir,
+      Some(200L), Some(600L))
+    val lkPushed = lk.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(lkPushed.contains("GreaterThanOrEqual(value,200)"), lkPushed)
+  }
+
   test("value-range lookup composes with the rowid-window seek") {
     val got = SecondaryIndex.lookupRangeKeys(SparkT.spark, numDir,
       Some(0L), Some(400L), keyRange = Some((1000L, 2000L)))
