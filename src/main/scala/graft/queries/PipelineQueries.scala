@@ -20,9 +20,11 @@ object PipelineQueries {
     // token accounting of the survivors. The oracle replays the whole
     // pipeline in SQL from the stage oracles of q_text_lang/_quality,
     // q_dedup_near and q_text_tokens. 100 TB shape: two codegen'd filter
-    // scans, one banded-LSH equi-join on (id, band-key) longs, one
-    // broadcast anti-join of the (small) drop list — no stage shuffles
-    // documents except the LSH candidate join.
+    // scans, one banded-LSH equi-join on (id, band-key) longs, and an
+    // ids-only anti-join — token counts are computed BEFORE it, so its
+    // shuffle carries (doc_id, n_tokens) pairs, never documents (at corpus
+    // scale the drop list is as big as the duplicate population, so an
+    // id-keyed shuffle join, not a broadcast, is the durable shape).
     "q_pipeline_e2e" -> QueryDef(
       (s, d) => {
         import graft.pipeline.TextFunctions
@@ -32,9 +34,9 @@ object PipelineQueries {
         val pairs = graft.pipeline.Dedup.nearPairs(docs, "doc_id", "text",
           shingleN = 3, threshold = 0.8)
         val dropIds = pairs.select(col("b").as("doc_id")).distinct()
-        docs.join(dropIds, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"),
+        docs.select(col("doc_id"),
             TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .join(dropIds, Seq("doc_id"), "left_anti")
       },
       Some(raw"WITH dd AS (SELECT doc_id, text, " +
         raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
