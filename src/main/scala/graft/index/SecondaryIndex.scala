@@ -53,11 +53,12 @@ object SecondaryIndex {
     * `df`, exactly as the reference's rowid does — otherwise the semi-join
     * widens the result to all rows sharing a key, and the <=1024 chunk
     * bound no longer holds. */
-  def build(df: DataFrame, valueCol: String, keyCol: String,
-            path: String, files: Int = 1): Unit = {
+  /** Chunked-postings aggregation shared by [[build]] and
+    * [[appendSegment]]. */
+  private def postings(df: DataFrame, valueCol: String,
+                       keyCol: String): DataFrame = {
     val key = col(keyCol).cast("long")
-    val idx = df
-      .select(col(valueCol).as("value"), key.as("k"),
+    df.select(col(valueCol).as("value"), key.as("k"),
         // floor division (exact in long arithmetic) so negative keys chunk
         // correctly; for the common non-negative key this is `div`.
         expr(s"(CAST($keyCol AS BIGINT) - pmod(CAST($keyCol AS BIGINT), $RowidsPerChunk)) div $RowidsPerChunk")
@@ -67,8 +68,53 @@ object SecondaryIndex {
         sort_array(collect_list(col("k"))).as("rowids"),
         min(col("k")).as("chunk_min"),
         max(col("k")).as("chunk_max"))
-    graft.tables.Writer.write(idx, path, sortBy = Seq("value", "chunk"),
-      files = files)
+  }
+
+  def build(df: DataFrame, valueCol: String, keyCol: String,
+            path: String, files: Int = 1): Unit =
+    graft.tables.Writer.write(postings(df, valueCol, keyCol), path,
+      sortBy = Seq("value", "chunk"), files = files)
+
+  /** I9: incremental maintenance, the reference's SEGMENT model — each
+    * ingested batch carries its own secondary index, and OPTIMIZE merges
+    * segments (RT segments each hold per-segment indexes; merge compacts
+    * them). Appends `newRows`' postings as additional files of the index
+    * dir, range-clustered within the segment. Every read path (lookups,
+    * range lookups, NOTNULL, CalcCount) is correct IMMEDIATELY: a (value,
+    * chunk) group split across segments unions at explode time, and counts
+    * sum. `newRows` keys must be new (the unique-rowid contract — enforced
+    * after the fact by [[IndexCheck]]'s sum(cnt)==distinct-keys pass).
+    *
+    * Cost model at 100 TB: an append touches ONLY the new batch (one
+    * aggregation of its rows) — never the existing index; pruning economy
+    * degrades gradually as segments accumulate until [[compact]] restores
+    * the canonical layout (the reference's segment-merge trade). */
+  def appendSegment(newRows: DataFrame, valueCol: String, keyCol: String,
+                    indexPath: String, files: Int = 1): Unit =
+    postings(newRows, valueCol, keyCol)
+      .repartitionByRange(files, col("value"), col("chunk"))
+      .sortWithinPartitions(col("value"), col("chunk"))
+      .write.mode("append").parquet(indexPath)
+
+  /** I9: OPTIMIZE — merge all segments back to the canonical
+    * one-row-per-(value, chunk) clustered layout (the reference's segment
+    * merge): re-aggregate from the exploded postings into a sibling dir,
+    * then atomically swap directories. After compaction [[IndexCheck]]'s
+    * full invariant set (incl. (value, chunk) uniqueness and cross-file
+    * clustering) holds again. */
+  def compact(spark: SparkSession, indexPath: String, files: Int = 1): Unit = {
+    val tmp = indexPath + "_compacting"
+    val exploded = spark.read.parquet(indexPath)
+      .select(col("value"), explode(col("rowids")).as("k"))
+    build(exploded, "value", "k", tmp, files)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(conf)
+    if (!fs.delete(dst, true))
+      throw new java.io.IOException(s"could not remove $indexPath for swap")
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"could not swap $tmp into $indexPath")
   }
 
   /** Postings rows → distinct keys, with the optional rowid-window seek:

@@ -67,6 +67,20 @@ object IndexQueries {
       },
       Some("SELECT count(*) AS cnt FROM orders WHERE o_custkey > 1000")),
 
+    // I9: lookup over a SEGMENTED index (initial build + appended batch,
+    // never compacted) — a (value, chunk) group split across segments
+    // unions at explode time, so reads are correct immediately after an
+    // append (the reference's per-segment indexes before merge).
+    "q_index_seg_lookup" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_prio_idx_seg")
+        val keys = SecondaryIndex.lookupKeys(s, idxPath, Seq("2-HIGH"))
+        SecondaryIndex.semiJoin(t(s, d, "orders"), "o_orderkey", keys)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+      },
+      Some("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority = '2-HIGH'")),
+
     // F5 via index: NOTNULL answered from the postings (ref fullscan-limits
     // path, secondary.cpp:50-76) — union of the non-null value groups,
     // semi-joined back; rows whose indexed value is NULL live in the null

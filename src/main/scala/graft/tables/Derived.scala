@@ -122,6 +122,19 @@ object Derived {
         path + "_kidx")
     }),
 
+    // SEGMENTED secondary index (I9): the same orders priority index built
+    // as an initial segment + an appended batch (the reference's RT
+    // segment model) — read paths must be correct without compaction.
+    "orders_prio_idx_seg" -> ((spark, sfDir, path) => {
+      val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      graft.index.SecondaryIndex.build(
+        o.filter(col("o_orderkey") % 2 === 0),
+        "o_orderpriority", "o_orderkey", path)
+      graft.index.SecondaryIndex.appendSegment(
+        o.filter(col("o_orderkey") % 2 === 1),
+        "o_orderpriority", "o_orderkey", path)
+    }),
+
     // Numeric secondary index on orders.o_custkey (I3 value-RANGE lookups:
     // the value-sorted layout lets an interval predicate prune files/row
     // groups by value min/max). 4 files so the range actually skips whole

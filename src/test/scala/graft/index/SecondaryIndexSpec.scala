@@ -164,6 +164,50 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("segment append + compact: reads correct at every stage, canonical after merge (I9)") {
+    val rnd = new scala.util.Random(41)
+    val all = (0 until 3000).map(i => (rnd.nextInt(20).toLong * 5, i.toLong))
+    val (b0, rest) = all.splitAt(1000)
+    val (b1, b2) = rest.splitAt(1000)
+    val seg = Files.createTempDirectory("graft-sidx-seg").resolve("idx").toString
+    val full = Files.createTempDirectory("graft-sidx-full").resolve("idx").toString
+    SecondaryIndex.build(b0.toDF("value", "key"), "value", "key", seg, files = 2)
+    SecondaryIndex.appendSegment(b1.toDF("value", "key"), "value", "key", seg)
+    SecondaryIndex.appendSegment(b2.toDF("value", "key"), "value", "key", seg)
+    SecondaryIndex.build(all.toDF("value", "key"), "value", "key", full, files = 2)
+
+    def readPaths(path: String): (Set[Long], Set[Long], Long) = (
+      SecondaryIndex.lookupKeys(SparkT.spark, path, Seq(25L, 60L))
+        .as[Long].collect().toSet,
+      SecondaryIndex.lookupRangeKeys(SparkT.spark, path, Some(10L), Some(45L))
+        .as[Long].collect().toSet,
+      SecondaryIndex.calcCount(SparkT.spark, path, Seq(25L)))
+
+    // segmented reads == canonical reads, immediately after append
+    assert(readPaths(seg) === readPaths(full))
+    // the check's canonical-layout invariant correctly flags segment overlap
+    val segReport = IndexCheck.check(SparkT.spark, seg)
+    assert(segReport.issues.exists(_.contains("duplicate (value, chunk)")),
+      segReport.issues)
+    // ... and fact reconciliation still holds on the segmented dir
+    assert(!segReport.issues.exists(_.contains("disagree with fact")),
+      segReport.issues)
+
+    // OPTIMIZE: compact restores the canonical layout bit-for-bit
+    SecondaryIndex.compact(SparkT.spark, seg, files = 2)
+    assert(readPaths(seg) === readPaths(full))
+    val r = IndexCheck.check(SparkT.spark, seg,
+      fact = Some((all.toDF("value", "key"), "value", "key")))
+    assert(r.ok, r.issues.mkString("; "))
+    val canon = SparkT.spark.read.parquet(full)
+      .select("value", "chunk", "cnt", "rowids").collect()
+      .map(_.toSeq).toSet
+    val compacted = SparkT.spark.read.parquet(seg)
+      .select("value", "chunk", "cnt", "rowids").collect()
+      .map(_.toSeq).toSet
+    assert(compacted === canon)
+  }
+
   test("semiJoin restores exactly the filtered fact rows") {
     val keys = SecondaryIndex.lookupKeys(SparkT.spark, dir, Seq("sparse"))
     val fact = df.withColumnRenamed("key", "fk")
