@@ -124,6 +124,21 @@ object Ivf {
     graft.tables.Writer.write(assign(df, vecCol, m), path,
       sortBy = Seq("ivf_cluster"), files = files)
 
+  /** I9 for the vector index (ref RT segments share the trained quantizer
+    * until a merge retrains): append a new batch under the EXISTING coarse
+    * model — assign + write as additional files clustered by list id. The
+    * append never reads the existing index; probes prune the new files the
+    * same way, and [[listRadii]] stays current because it scans the index.
+    * Model drift (a batch far from every centroid) degrades pruning
+    * economy, not correctness — retrain + [[buildIndex]] is the compaction
+    * analog. */
+  def appendToIndex(df: DataFrame, vecCol: String, m: Model, path: String,
+                    files: Int = 1): Unit =
+    assign(df, vecCol, m)
+      .repartitionByRange(files, col("ivf_cluster"))
+      .sortWithinPartitions(col("ivf_cluster"))
+      .write.mode("append").parquet(path)
+
   /** Top-k search probing the `nprobe` lists closest to the query.
     * nprobe = nlist ⇒ exact. */
   def search(spark: SparkSession, indexPath: String, m: Model,

@@ -69,6 +69,32 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(probed < 8, s"terminated after $probed of 8 lists")
   }
 
+  test("appended index batches search identically to a fresh build (I9)") {
+    val m = Ivf.train(df, "embedding", nlist = 8)
+    val rows = df.collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    import org.apache.spark.sql.Row
+    def toDF(rs: Array[Row]) = SparkT.spark.createDataFrame(
+      SparkT.spark.sparkContext.parallelize(rs.toSeq), df.schema)
+    val dir = Files.createTempDirectory("graft-ivf-seg").resolve("ix").toString
+    Ivf.buildIndex(toDF(h1), "embedding", m, dir)
+    Ivf.appendToIndex(toDF(h2), "embedding", m, dir)
+    val exact = Knn.knn(df, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    // exact probe set over the segmented index
+    val viaIndex = Ivf.search(SparkT.spark, dir, m, "vec_id", "embedding",
+        queryVec, 10, nprobe = 8)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(viaIndex === exact)
+    // adaptive early termination stays exact: radii rescan the index, so
+    // they already cover the appended rows
+    val radii = Ivf.listRadii(SparkT.spark, dir, m, "embedding")
+    val (res, probed) = Ivf.searchAdaptive(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10)
+    assert(res.as[(Long, Double)].collect().toSeq === exact)
+    assert(probed <= 8)
+  }
+
   test("cosine adaptive search is exact vs the cosine fullscan and prunes lists (K5)") {
     // Cosine cares about direction: shift clusters off the origin so their
     // directions separate, then bound through the normalized companion.
