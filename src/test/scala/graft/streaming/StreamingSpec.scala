@@ -127,6 +127,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest maintains a secondary index via per-batch segment appends (I9)") {
+    // The RT-index flow: every micro-batch appends its postings as an
+    // index segment (foreachBatch = the engine's ingest hook); lookups are
+    // correct after each batch without compaction.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx")
+      .resolve("idx").toString
+    val in = MemoryStream[EvId]
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.index.SecondaryIndex.appendSegment(batch, "user_id",
+            "event_id", dir)
+      }
+      .start()
+    try {
+      in.addData(EvId(1, 10, ts(1), 1.0), EvId(2, 20, ts(2), 1.0))
+      q.processAllAvailable()
+      in.addData(EvId(3, 10, ts(3), 1.0), EvId(4, 30, ts(4), 1.0))
+      q.processAllAvailable()
+      val got = graft.index.SecondaryIndex.lookupKeys(SparkT.spark, dir,
+        Seq(10L)).as[Long].collect().toSet
+      assert(got === Set(1L, 3L)) // user 10's events across both batches
+      assert(graft.index.SecondaryIndex.calcCount(SparkT.spark, dir,
+        Seq(10L, 30L)) === 3L)
+      // compaction restores the canonical layout under the checker
+      graft.index.SecondaryIndex.compact(SparkT.spark, dir)
+      assert(graft.index.IndexCheck.check(SparkT.spark, dir).ok)
+      assert(graft.index.SecondaryIndex.lookupKeys(SparkT.spark, dir,
+        Seq(10L)).as[Long].collect().toSet === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs purchases with in-window views only") {
     val views = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
