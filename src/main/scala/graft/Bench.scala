@@ -169,7 +169,10 @@ object Bench {
     // came back `parsed: null` because the full-precision 85-query line is
     // ~2900 chars and got decapitated. 2-decimal seconds + no retry/loadavg
     // keys keeps ~90 queries under the window (build.sbt also sets
-    // `showSuccess := false` so no `[success] Total time` line trails it).
+    // `showSuccess := false` so no `[success] Total time` line trails it);
+    // past ~95 queries even that overflows and the line drops to 1 decimal
+    // — BENCH_LOCAL.json (written every run, committed after clean runs)
+    // is the full-precision record from then on.
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     def compact(dp: Int): String = {
