@@ -40,8 +40,14 @@ object IndexCheck {
   /** Cap on per-invariant violation samples surfaced in the report. */
   private val SampleN = 5
 
+  /** `segmented = true` validates a pre-compaction segment dir
+    * ([[SecondaryIndex.appendSegment]]): the per-chunk invariants, global
+    * key uniqueness and fact reconciliation still hold there, but (value,
+    * chunk) uniqueness and cross-file value clustering only apply to the
+    * canonical post-[[SecondaryIndex.compact]] layout and are skipped. */
   def check(spark: SparkSession, indexPath: String,
-            fact: Option[(DataFrame, String, String)] = None): Report = {
+            fact: Option[(DataFrame, String, String)] = None,
+            segmented: Boolean = false): Report = {
     val issues = scala.collection.mutable.ArrayBuffer.empty[String]
     val idx =
       try {
@@ -94,11 +100,14 @@ object IndexCheck {
           }
         }
 
-      // 5: (value, chunk) uniqueness
-      val dups = flagged.groupBy(col("value"), col("chunk"))
-        .count().filter(col("count") > 1)
-      val dupN = dups.count()
-      if (dupN > 0) issues += s"duplicate (value, chunk) posting rows: $dupN"
+      // 5: (value, chunk) uniqueness — canonical layout only (segments
+      // legitimately split a group across files)
+      if (!segmented) {
+        val dups = flagged.groupBy(col("value"), col("chunk"))
+          .count().filter(col("count") > 1)
+        val dupN = dups.count()
+        if (dupN > 0) issues += s"duplicate (value, chunk) posting rows: $dupN"
+      }
 
       // 6: global key uniqueness (sum of counts == distinct keys)
       val total = flagged.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
@@ -108,8 +117,10 @@ object IndexCheck {
         issues += s"sum(cnt)=$total != distinct keys=$keys (key in multiple postings)"
 
       // 7: cross-file value clustering (non-null values only; a violation
-      // breaks pruning economy, not lookup correctness)
-      val perFile = idx.filter(col("value").isNotNull)
+      // breaks pruning economy, not lookup correctness; segments are
+      // clustered within themselves, not across each other)
+      val perFile = if (segmented) Array.empty[org.apache.spark.sql.Row]
+      else idx.filter(col("value").isNotNull)
         .groupBy(input_file_name().as("f"))
         .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
         .collect()

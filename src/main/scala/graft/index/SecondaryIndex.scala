@@ -3,11 +3,16 @@ package graft.index
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Secondary-index analog (SURVEY §2.4, I1-I4/I6): a value-sorted index
-  * table with CHUNKED rowid postings per indexed column — the Spark shape of
-  * the reference's PGM-over-distinct-values + compressed rowid posting
-  * BLOCKS (`ROW_BLOCKS_LIST`, secondary/blockreader.h:82-89;
-  * builder.cpp:43-44 `ROWIDS_PER_BLOCK 1024`; iterator.cpp:30-334).
+/** Secondary-index analog (SURVEY §2.4, I1-I4/I6/I9 + F5-via-index): a
+  * value-sorted index table with CHUNKED rowid postings per indexed column
+  * — the Spark shape of the reference's PGM-over-distinct-values +
+  * compressed rowid posting BLOCKS (`ROW_BLOCKS_LIST`,
+  * secondary/blockreader.h:82-89; builder.cpp:43-44 `ROWIDS_PER_BLOCK
+  * 1024`; iterator.cpp:30-334). Serves point (`lookupKeys`), value-range
+  * (`lookupRangeKeys`) and NOTNULL (`lookupNotNullKeys`) filters plus
+  * index-only counts of all three shapes; maintained incrementally via
+  * the segment model (`appendSegment`/`compact`); validated by
+  * [[IndexCheck]].
   *
   * Layout: one row per (value, chunk) where `chunk = key div 1024`:
   * `(value, chunk, cnt, rowids[<=1024], chunk_min, chunk_max)`. Because the

@@ -159,4 +159,39 @@ object Derived {
 
   /** Derived table names (for integrity sweeps). */
   def names: Seq[String] = builders.keys.toSeq.sorted
+
+  /** S4 catalog sweep — the CheckColumnarStorage/CheckSecondaryIndex pass
+    * over every engine-written artifact of `sfDir` (building absent ones):
+    * structural [[Check]] for each table INCLUDING index siblings, plus
+    * [[graft.index.IndexCheck]] with fact reconciliation for the
+    * index-layout artifacts (segment dirs validated under the relaxed
+    * pre-compaction invariants). Returns per-artifact issue lists; an
+    * empty map means the whole derived catalog is healthy. */
+  def checkAll(spark: SparkSession,
+               sfDir: String): Map[String, Seq[String]] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    def add(name: String, issues: Seq[String]): Unit =
+      if (issues.nonEmpty) out(name) = issues
+    names.foreach { n =>
+      add(n, Check.check(spark, tablePath(spark, sfDir, n)).issues)
+    }
+    lazy val orders = graft.engine.Graft.table(spark, sfDir, "orders")
+    val indexArtifacts: Seq[(String, String, DataFrame, String, String, Boolean)] = Seq(
+      ("orders_prio_idx", tablePath(spark, sfDir, "orders_prio_idx"),
+        orders, "o_orderpriority", "o_orderkey", false),
+      ("orders_prio_idx_seg", tablePath(spark, sfDir, "orders_prio_idx_seg"),
+        orders, "o_orderpriority", "o_orderkey", true),
+      ("orders_ckey_idx", tablePath(spark, sfDir, "orders_ckey_idx"),
+        orders, "o_custkey", "o_orderkey", false),
+      ("cust_last_idx", tablePath(spark, sfDir, "cust_last") + "_idx",
+        table(spark, sfDir, "cust_last"), "last_odate", "c_custkey", false),
+      ("events_flat_kidx", tablePath(spark, sfDir, "events_flat") + "_kidx",
+        table(spark, sfDir, "events_flat"), "props_k", "event_id", false))
+    indexArtifacts.foreach { case (label, dir, fact, v, k, segmented) =>
+      add(label, Check.check(spark, dir).issues ++
+        graft.index.IndexCheck.check(spark, dir, Some((fact, v, k)),
+          segmented = segmented).issues)
+    }
+    out.toMap
+  }
 }

@@ -70,6 +70,16 @@ class TablesSpec extends AnyFunSuite {
     assert(!r.ok)
   }
 
+  test("checkAll: the whole derived catalog (incl. index siblings) is healthy (sf0.001)") {
+    System.setProperty("graft.derived.root",
+      tmpDir().resolve("derived-sweep").toString)
+    try {
+      val issues = Derived.checkAll(SparkT.spark, "/root/testdata/sf0.001")
+      assert(issues.isEmpty, issues.map { case (n, is) =>
+        s"$n: ${is.mkString("; ")}" }.mkString(" | "))
+    } finally System.clearProperty("graft.derived.root")
+  }
+
   test("derived mcl_attrs matches a direct derivation (sf0.001)") {
     val sfDir = "/root/testdata/sf0.001"
     System.setProperty("graft.derived.root",
