@@ -72,10 +72,28 @@ object HashCompanionRule extends Rule[LogicalPlan] {
 }
 
 /** Session extension registration point (SparkSessionExtensions — the
-  * engine's planner-integration seam). */
+  * engine's planner-integration seam). Besides the optimizer rules, the
+  * distance kernels register as SQL FUNCTIONS, so `spark.sql` users get
+  * the same codegen'd expressions the Column API builds (H8 surface — the
+  * reference exposes its distance functions to the daemon's SQL layer,
+  * knn/knn.h:32-37). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String, build: (Expression, Expression) => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      "graft.vector", name),
+    (args: Seq[Expression]) => {
+      if (args.length != 2) throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${args.length}")
+      build(args(0), args(1))
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HashCompanionRule)
     ext.injectOptimizerRule(session => new AnnRoutingRule(session))
+    ext.injectFunction(binary("l2_dist", graft.vector.L2Distance(_, _)))
+    ext.injectFunction(binary("ip_score", graft.vector.InnerProduct(_, _)))
+    ext.injectFunction(binary("cosine_sim", graft.vector.CosineSimilarity(_, _)))
   }
 }

@@ -153,6 +153,26 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // H8/K1 SQL surface: the same exact top-k written as a spark.sql
+    // query — `l2_dist` is the registered codegen'd expression
+    // (GraftExtensions.injectFunction), so the SQL text lowers to the
+    // identical TakeOrderedAndProject plan as the Column API and shares
+    // the fullscan oracle. Float literals round-trip: a Float's shortest
+    // decimal repr parses to a double within half an ulp of the float, so
+    // the elementwise CAST back to float restores the original bits.
+    "q_knn_sql" -> QueryDef(
+      (s, d) => {
+        t(s, d, "embeddings").createOrReplaceTempView("embeddings_sqlv")
+        val vecSql = queryVec(s, d)
+          .map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+        s.sql(
+          s"""SELECT vec_id, round(l2_dist(embedding, $vecSql), 6) AS dist
+             |FROM embeddings_sqlv
+             |ORDER BY l2_dist(embedding, $vecSql) ASC, vec_id ASC
+             |LIMIT 10""".stripMargin)
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // Routed graph path under COSINE (the reference's HNSW serves all
     // three metrics, knn/knn.h:32-37): cluster-shard over the normalized
     // companion space, bound in it, score raw vectors with the exact

@@ -71,6 +71,12 @@ class HashCompanionRuleSpec extends AnyFunSuite {
   test("rule is idempotent (no predicate stacking at fixpoint)") {
     val df = SparkT.spark.read.parquet(dir).filter($"seg" === "alpha")
     val plan = df.queryExecution.optimizedPlan.toString
-    assert("seg__hash".r.findAllIn(plan).size <= 2, plan)
+    // EXACTLY one added hash-equality conjunct, no matter how many
+    // optimizer batches run the rule (the session extensions and this
+    // suite's extraOptimizations both do). Constraint inference may add a
+    // benign isnotnull(seg__hash), so count equality predicates, not every
+    // mention of the column.
+    assert("seg__hash#\\d+L? = ".r.findAllIn(plan).size === 1, plan)
+    assert(df.count() === 500)
   }
 }

@@ -90,4 +90,19 @@ class DistancesSpec extends AnyFunSuite with graft.GenCheck {
       .select("id").as[Long].collect().toSeq
     assert(got === Seq(10L, 9L, 11L, 8L, 12L))
   }
+
+  test("distance kernels are registered as SQL functions (H8 SQL surface)") {
+    val a = Array(1f, 2f, 3f); val b = Array(4f, 5f, 6f)
+    Seq((a, b)).toDF("a", "b").createOrReplaceTempView("vecs_sqlfn")
+    val row = SparkT.spark.sql(
+      "SELECT l2_dist(a, b), ip_score(a, b), cosine_sim(a, b) FROM vecs_sqlfn")
+      .head
+    assert(row.getDouble(0) === scalarL2(a, b))
+    assert(row.getDouble(1) === scalarIp(a, b))
+    assert(row.getDouble(2) === scalarCos(a, b))
+    // wrong arity is rejected at registration, not evaluated wrongly
+    intercept[Exception] {
+      SparkT.spark.sql("SELECT l2_dist(a) FROM vecs_sqlfn").head
+    }
+  }
 }
