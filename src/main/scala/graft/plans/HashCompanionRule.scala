@@ -92,6 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HashCompanionRule)
     ext.injectOptimizerRule(session => new AnnRoutingRule(session))
+    // Only the genuine catalyst Expressions register as SQL functions; the
+    // text-analysis ops are Column COMPOSITIONS of SQL built-ins, so
+    // spark.sql users already have their vocabulary (the oracle replays
+    // them in SQL verbatim), and Spark 4's Column AST cannot be embedded
+    // unresolved inside a FunctionBuilder result.
     ext.injectFunction(binary("l2_dist", graft.vector.L2Distance(_, _)))
     ext.injectFunction(binary("ip_score", graft.vector.InnerProduct(_, _)))
     ext.injectFunction(binary("cosine_sim", graft.vector.CosineSimilarity(_, _)))

@@ -38,4 +38,5 @@ class TextFunctionsSpec extends AnyFunSuite {
     val got = df.select(TextFunctions.langId(col("text"))).head.getString(0)
     assert(got === "fr")
   }
+
 }
