@@ -55,6 +55,21 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey BETWEEN 500 AND 1500")),
 
+    // I3/F3: FLOATRANGE through the index — double-valued interval with an
+    // exclusive upper bound (the reference's float range block readers;
+    // bounds are exact double literals on both sides, so the predicates
+    // agree bit-for-bit).
+    "q_index_frange" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_price_idx")
+        val keys = SecondaryIndex.lookupRangeKeys(s, idxPath,
+          lo = Some(50000.0), hi = Some(100000.0), hiInclusive = false)
+        SecondaryIndex.semiJoin(t(s, d, "orders"), "o_orderkey", keys)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice >= 50000.0 AND o_totalprice < 100000.0")),
+
     // I3+I6: half-open EXCLUSIVE value range, count served index-only from
     // the stored per-chunk counts (the reference's CalcCount over the
     // range-selected block list, secondary.cpp:774-812).

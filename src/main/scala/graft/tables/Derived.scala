@@ -145,6 +145,14 @@ object Derived {
         files = 4)
     }),
 
+    // Double-valued secondary index on orders.o_totalprice (FLOATRANGE
+    // served from the index — ref secondary.cpp float range block readers).
+    "orders_price_idx" -> ((spark, sfDir, path) => {
+      val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      graft.index.SecondaryIndex.build(o, "o_totalprice", "o_orderkey", path,
+        files = 4)
+    }),
+
     // Multimodal table: documents with a packed binary payload + metadata
     // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
     // for image/audio bytes; the schema/plumbing is the real convention).
@@ -183,6 +191,8 @@ object Derived {
         orders, "o_orderpriority", "o_orderkey", true),
       ("orders_ckey_idx", tablePath(spark, sfDir, "orders_ckey_idx"),
         orders, "o_custkey", "o_orderkey", false),
+      ("orders_price_idx", tablePath(spark, sfDir, "orders_price_idx"),
+        orders, "o_totalprice", "o_orderkey", false),
       ("cust_last_idx", tablePath(spark, sfDir, "cust_last") + "_idx",
         table(spark, sfDir, "cust_last"), "last_odate", "c_custkey", false),
       ("events_flat_kidx", tablePath(spark, sfDir, "events_flat") + "_kidx",
