@@ -65,10 +65,78 @@ object Multimodal {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val feats = decoder.decodeBatch(batch.map { r =>
-          val blob = r.getStruct(blobIdx)
-          Option(blob.getAs[Array[Byte]]("payload")).getOrElse(Array.empty)
+          payloadOf(r.getStruct(blobIdx))
         })
         batch.lazyZip(feats).map { (r, f) => Row.fromSeq(r.toSeq :+ f) }
+      }
+    }(Encoders.row(schema))
+  }
+
+  // Positional accessors into the packBlob struct layout (payload=0,
+  // meta=1; meta: format=0, width=1, height=2, size_bytes=3): rows built
+  // inside a stage (plain GenericRow) carry no schema, so chained stages
+  // must not rely on name lookup.
+  private def payloadOf(blob: Row): Array[Byte] =
+    Option(blob.get(0)).map(_.asInstanceOf[Array[Byte]])
+      .getOrElse(Array.empty[Byte])
+  private def metaOf(blob: Row): Row = blob.getStruct(1)
+
+  /** Resizer contract (the brief's resize stage): payload + old meta →
+    * resized payload + new (width, height). Real deployments plug an image
+    * scaler; the shipped stub is a deterministic byte-stride downsample. */
+  trait BlobResizer extends Serializable {
+    def resize(payload: Array[Byte], width: Int,
+               height: Int): (Array[Byte], Int, Int)
+  }
+
+  /** STUB resizer — keeps every `stride`-th byte and divides the declared
+    * dimensions by `stride` (ceil). Deterministic stand-in for a pixel
+    * scaler (media libs absent in this container); the schema/meta
+    * bookkeeping is the real convention. */
+  final case class StrideResizer(stride: Int) extends BlobResizer {
+    require(stride >= 1)
+    def resize(payload: Array[Byte], width: Int, height: Int): (Array[Byte], Int, Int) = {
+      val out = new Array[Byte]((payload.length + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+      (out, (width + stride - 1) / stride, (height + stride - 1) / stride)
+    }
+  }
+
+  /** Resize stage: rewrite `blobCol` IN PLACE (payload + meta.width/height/
+    * size_bytes) through `resizer` — partition-local, no shuffle, schema
+    * unchanged, so downstream stages and metadata pushdown are oblivious
+    * to whether they run pre- or post-resize. */
+  def resizeStage(df: DataFrame, blobCol: String,
+                  resizer: BlobResizer): DataFrame = {
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val blob = r.getStruct(blobIdx)
+        val meta = metaOf(blob)
+        val (p2, w2, h2) = resizer.resize(payloadOf(blob),
+          meta.getInt(1), meta.getInt(2))
+        val newBlob = Row(p2, Row(meta.getString(0), w2, h2, p2.length.toLong))
+        Row.fromSeq(r.toSeq.updated(blobIdx, newBlob))
+      }
+    }(Encoders.row(df.schema))
+  }
+
+  /** Frame-sample stage (the brief's video stand-in): split the payload
+    * into fixed `frameBytes` chunks ("frames") and keep every `every`-th
+    * one, appending `outCol: array<binary>`. Deterministic, partition-
+    * local; a real deployment plugs a container demuxer in front. */
+  def frameSampleStage(df: DataFrame, blobCol: String, outCol: String,
+                       frameBytes: Int, every: Int): DataFrame = {
+    require(frameBytes >= 1 && every >= 1)
+    val schema = df.schema.add(StructField(outCol, ArrayType(BinaryType)))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = payloadOf(r.getStruct(blobIdx))
+        val frames = payload.grouped(frameBytes).zipWithIndex
+          .collect { case (f, i) if i % every == 0 => f }.toSeq
+        Row.fromSeq(r.toSeq :+ frames)
       }
     }(Encoders.row(schema))
   }

@@ -104,6 +104,38 @@ object PipelineQueries {
         "c -> unicode(c)::BIGINT), (a, b) -> a + b) AS byte_sum " +
         "FROM documents")),
 
+    // Multimodal stage chain (the brief's decode / resize / frame-sample
+    // stations): stride-2 resize rewrites payload+meta in place, frame
+    // sampling keeps every 3rd 16-byte chunk, decode recomputes byte
+    // stats on the RESIZED payload — all partition-local, no shuffle. The
+    // media ops are the documented deterministic stubs; schema, meta
+    // bookkeeping and stage composition are the real convention, and the
+    // oracle replays every count from the text (ASCII fixture: codepoint
+    // == byte, odd 1-indexed chars == stride-2 bytes).
+    "q_multimodal_resize" -> QueryDef(
+      (s, d) => {
+        val mm = graft.tables.Derived.table(s, d, "documents_mm")
+        val resized = Multimodal.resizeStage(mm, "blob",
+          Multimodal.StrideResizer(2))
+        val framed = Multimodal.frameSampleStage(resized, "blob", "frames",
+          frameBytes = 16, every = 3)
+        Multimodal.decodeStage(framed, "blob", "feat",
+            Multimodal.ByteStatsDecoder)
+          .select(col("doc_id"),
+            col("blob.meta.width").as("width"),
+            col("blob.meta.size_bytes").as("size_bytes"),
+            col("feat.byte_sum").as("byte_sum"),
+            size(col("frames")).as("n_frames"))
+      },
+      Some("SELECT doc_id, " +
+        "CAST(ceil(n_chars/2.0) AS INTEGER) AS width, " +
+        "CAST(ceil(strlen(text)/2.0) AS BIGINT) AS size_bytes, " +
+        "list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(generate_series(1, strlen(text), 2), " +
+        "i -> unicode(text[i])::BIGINT)), (a,b) -> a+b) AS byte_sum, " +
+        "CAST(ceil(ceil(ceil(strlen(text)/2.0)/16.0)/3.0) AS INTEGER) AS n_frames " +
+        "FROM documents")),
+
     // Streaming transform run in BATCH mode (Spark's batch/stream
     // unification: backfill = replay of the same pipeline) — the streaming
     // semantics (watermark closes windows, state across micro-batches) are
