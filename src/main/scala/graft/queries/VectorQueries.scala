@@ -153,6 +153,26 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K4 under COSINE: the automatic route is metric-aware (AnnRoutingRule
+    // matches the `1 - cosine_sim` sort key and requires the registered
+    // model's metric to agree) — registering a cosine-trained IVF index
+    // rewrites the plain cosine top-k to the probe-filtered index scan.
+    // nprobe = nlist ⇒ exact, sharing the cosine fullscan oracle.
+    // Registration is per base table (latest wins): a query under the
+    // OTHER metric simply stays on its exact fullscan (metric mismatch
+    // refuses the route) — correctness never depends on which index is
+    // currently registered.
+    "q_knn_ivf_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfCosRouteIndex(s, d)
+        graft.plans.AnnRouting.register(s, s"$d/embeddings.parquet", path, m,
+          vecCol = "embedding", nprobe = m.nlist)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
     // H8/K1 SQL surface: the same exact top-k written as a spark.sql
     // query — `l2_dist` is the registered codegen'd expression
     // (GraftExtensions.injectFunction), so the SQL text lowers to the
@@ -280,6 +300,22 @@ object VectorQueries {
         Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
           path, Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.Cosine)
       path
+    })
+
+  // Memoized cosine-METRIC IVF index per sfDir (for the automatic route):
+  // trained and clustered under cosine assignments over the RAW vectors —
+  // distinct from ivfCosIndex, whose L2-over-normalized layout serves the
+  // adaptive bound.
+  private val ivfCosRouteCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Ivf.Model, String)]
+
+  private def ivfCosRouteIndex(s: SparkSession, d: String): (Ivf.Model, String) =
+    ivfCosRouteCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings_cosr"
+      val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 16,
+        metric = Knn.Cosine)
+      Ivf.buildIndex(t(s, d, "embeddings"), "embedding", m, path)
+      (m, path)
     })
 
   // Memoized cosine-adaptive IVF index per sfDir: base vectors + a
