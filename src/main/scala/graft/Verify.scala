@@ -48,6 +48,26 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Report-only integrity sweep over the derived catalog (S4): every
+    // engine-written table and index the gate queries just used gets the
+    // structural + index-layout validation pass; results land beside the
+    // dump. NEVER fails the run — the oracle compare is the gate, this is
+    // evidence. Skipped for subset runs (local iteration).
+    if (only.isEmpty) {
+      try {
+        val issues = graft.tables.Derived.checkAll(spark, sfDir)
+        val body =
+          if (issues.isEmpty) """{"ok": true, "issues": {}}"""
+          else {
+            val m = issues.map { case (n, is) =>
+              s"${q(n)}: [${is.map(q).mkString(",")}]" }.mkString("{", ",", "}")
+            s"""{"ok": false, "issues": $m}"""
+          }
+        Files.writeString(Paths.get(s"$outDir/INTEGRITY.json"), body)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] integrity sweep failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
