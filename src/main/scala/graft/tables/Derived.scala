@@ -50,7 +50,7 @@ object Derived {
         finally in.close()
       }
       if (!(fs.exists(success) && markerCurrent)) {
-        builders(name)(spark, sfDir, path)
+        builders(name).build(spark, sfDir, path)
         val out = fs.create(marker, true)
         try out.write((LayoutVersion + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -65,11 +65,24 @@ object Derived {
 
   // ---- derivations ----
 
-  private val builders: Map[String, (SparkSession, String, String) => Unit] = Map(
+  /** Index artifact attached to a derived entry, declared NEXT TO the
+    * builder that writes it so the integrity sweep can never drift from
+    * the catalog: `dirSuffix` "" means the entry's own directory IS the
+    * index; the fact side is a base table name or (factIsDerived) another
+    * derived entry. */
+  private final case class IndexMeta(dirSuffix: String, factTable: String,
+                                     factIsDerived: Boolean, valueCol: String,
+                                     keyCol: String, segmented: Boolean = false)
+
+  private final case class Entry(
+      build: (SparkSession, String, String) => Unit,
+      indexes: Seq[IndexMeta] = Nil)
+
+  private val builders: Map[String, Entry] = Map(
     // Stored-MVA table (ref UINT32SET storage): sorted distinct linenumber
     // set per order, clustered by l_orderkey. One shuffle at build time;
     // every MVA query afterwards is a scan + array predicate.
-    "mcl_attrs" -> ((spark, sfDir, path) => {
+    "mcl_attrs" -> Entry((spark, sfDir, path) => {
       val li = graft.engine.Graft.table(spark, sfDir, "lineitem")
       val tagged = li.groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_linenumber"))).as("tags"))
@@ -78,7 +91,7 @@ object Derived {
 
     // customer with a c_mktsegment hash companion (F4 fast-path parity;
     // ref columnar.cpp:465-473 + common/filter.cpp:77-90 rewrite).
-    "customer_h" -> ((spark, sfDir, path) => {
+    "customer_h" -> Entry((spark, sfDir, path) => {
       val c = graft.engine.Graft.table(spark, sfDir, "customer")
       Writer.write(c, path, sortBy = Seq("c_custkey"),
         hashCompanions = Seq("c_mktsegment"))
@@ -87,16 +100,17 @@ object Derived {
     // Secondary index on orders.o_orderpriority with o_orderkey postings
     // (I1-I4: value-sorted index table; o_orderkey is unique per row, the
     // engine's rowid).
-    "orders_prio_idx" -> ((spark, sfDir, path) => {
+    "orders_prio_idx" -> Entry((spark, sfDir, path) => {
       val o = graft.engine.Graft.table(spark, sfDir, "orders")
       graft.index.SecondaryIndex.build(o, "o_orderpriority", "o_orderkey", path)
-    }),
+    }, Seq(IndexMeta("", "orders", factIsDerived = false,
+      "o_orderpriority", "o_orderkey"))),
 
     // Nullable derived table: last order timestamp per customer via LEFT
     // JOIN (NULL for the ~1/3 of TPC-H customers with no orders) — the
     // NOTNULL-via-index fixture — plus its index sibling on last_odate
     // (c_custkey is unique: the rowid contract).
-    "cust_last" -> ((spark, sfDir, path) => {
+    "cust_last" -> Entry((spark, sfDir, path) => {
       val c = graft.engine.Graft.table(spark, sfDir, "customer")
       val o = graft.engine.Graft.table(spark, sfDir, "orders")
       val last = c.join(o, col("c_custkey") === col("o_custkey"), "left")
@@ -105,7 +119,8 @@ object Derived {
       Writer.write(last, path, sortBy = Seq("c_custkey"))
       graft.index.SecondaryIndex.build(last, "last_odate", "c_custkey",
         path + "_idx")
-    }),
+    }, Seq(IndexMeta("_idx", "cust_last", factIsDerived = true,
+      "last_odate", "c_custkey"))),
 
     // JSON-flattened events (H6 storage convention, ref blockreader.h:96
     // m_sJsonParentName): props.k parsed ONCE at write time into a typed
@@ -113,19 +128,20 @@ object Derived {
     // the hot JSON field prune files/row groups), plus a secondary-index
     // sibling on props_k — JSON fields get the same index machinery as any
     // attribute (secondary/secondary.cpp:426-433).
-    "events_flat" -> ((spark, sfDir, path) => {
+    "events_flat" -> Entry((spark, sfDir, path) => {
       val ev = graft.engine.Graft.table(spark, sfDir, "events")
       val flat = JsonFlatten.flatten(ev, "props", "k",
         org.apache.spark.sql.types.LongType)
       Writer.write(flat, path, sortBy = Seq("props_k"), files = 4)
       graft.index.SecondaryIndex.build(flat, "props_k", "event_id",
         path + "_kidx")
-    }),
+    }, Seq(IndexMeta("_kidx", "events_flat", factIsDerived = true,
+      "props_k", "event_id"))),
 
     // SEGMENTED secondary index (I9): the same orders priority index built
     // as an initial segment + an appended batch (the reference's RT
     // segment model) — read paths must be correct without compaction.
-    "orders_prio_idx_seg" -> ((spark, sfDir, path) => {
+    "orders_prio_idx_seg" -> Entry((spark, sfDir, path) => {
       val o = graft.engine.Graft.table(spark, sfDir, "orders")
       graft.index.SecondaryIndex.build(
         o.filter(col("o_orderkey") % 2 === 0),
@@ -133,30 +149,33 @@ object Derived {
       graft.index.SecondaryIndex.appendSegment(
         o.filter(col("o_orderkey") % 2 === 1),
         "o_orderpriority", "o_orderkey", path)
-    }),
+    }, Seq(IndexMeta("", "orders", factIsDerived = false,
+      "o_orderpriority", "o_orderkey", segmented = true))),
 
     // Numeric secondary index on orders.o_custkey (I3 value-RANGE lookups:
     // the value-sorted layout lets an interval predicate prune files/row
     // groups by value min/max). 4 files so the range actually skips whole
     // files, not just row groups.
-    "orders_ckey_idx" -> ((spark, sfDir, path) => {
+    "orders_ckey_idx" -> Entry((spark, sfDir, path) => {
       val o = graft.engine.Graft.table(spark, sfDir, "orders")
       graft.index.SecondaryIndex.build(o, "o_custkey", "o_orderkey", path,
         files = 4)
-    }),
+    }, Seq(IndexMeta("", "orders", factIsDerived = false,
+      "o_custkey", "o_orderkey"))),
 
     // Double-valued secondary index on orders.o_totalprice (FLOATRANGE
     // served from the index — ref secondary.cpp float range block readers).
-    "orders_price_idx" -> ((spark, sfDir, path) => {
+    "orders_price_idx" -> Entry((spark, sfDir, path) => {
       val o = graft.engine.Graft.table(spark, sfDir, "orders")
       graft.index.SecondaryIndex.build(o, "o_totalprice", "o_orderkey", path,
         files = 4)
-    }),
+    }, Seq(IndexMeta("", "orders", factIsDerived = false,
+      "o_totalprice", "o_orderkey"))),
 
     // Multimodal table: documents with a packed binary payload + metadata
     // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
     // for image/audio bytes; the schema/plumbing is the real convention).
-    "documents_mm" -> ((spark, sfDir, path) => {
+    "documents_mm" -> Entry((spark, sfDir, path) => {
       val docs = graft.engine.Graft.table(spark, sfDir, "documents")
       val mm = docs.withColumn("blob",
         graft.pipeline.Multimodal.packBlob(
@@ -179,28 +198,26 @@ object Derived {
                sfDir: String): Map[String, Seq[String]] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     def add(name: String, issues: Seq[String]): Unit =
-      if (issues.nonEmpty) out(name) = issues
+      if (issues.nonEmpty) out(name) = out.getOrElse(name, Nil) ++ issues
     names.foreach { n =>
       add(n, Check.check(spark, tablePath(spark, sfDir, n)).issues)
     }
-    lazy val orders = graft.engine.Graft.table(spark, sfDir, "orders")
-    val indexArtifacts: Seq[(String, String, DataFrame, String, String, Boolean)] = Seq(
-      ("orders_prio_idx", tablePath(spark, sfDir, "orders_prio_idx"),
-        orders, "o_orderpriority", "o_orderkey", false),
-      ("orders_prio_idx_seg", tablePath(spark, sfDir, "orders_prio_idx_seg"),
-        orders, "o_orderpriority", "o_orderkey", true),
-      ("orders_ckey_idx", tablePath(spark, sfDir, "orders_ckey_idx"),
-        orders, "o_custkey", "o_orderkey", false),
-      ("orders_price_idx", tablePath(spark, sfDir, "orders_price_idx"),
-        orders, "o_totalprice", "o_orderkey", false),
-      ("cust_last_idx", tablePath(spark, sfDir, "cust_last") + "_idx",
-        table(spark, sfDir, "cust_last"), "last_odate", "c_custkey", false),
-      ("events_flat_kidx", tablePath(spark, sfDir, "events_flat") + "_kidx",
-        table(spark, sfDir, "events_flat"), "props_k", "event_id", false))
-    indexArtifacts.foreach { case (label, dir, fact, v, k, segmented) =>
-      add(label, Check.check(spark, dir).issues ++
-        graft.index.IndexCheck.check(spark, dir, Some((fact, v, k)),
-          segmented = segmented).issues)
+    // Index artifacts come from the builders' own metadata, declared next
+    // to the code that writes them — a new index cannot be forgotten here.
+    names.foreach { n =>
+      builders(n).indexes.foreach { m =>
+        val dir = tablePath(spark, sfDir, n) + m.dirSuffix
+        val fact =
+          if (m.factIsDerived) table(spark, sfDir, m.factTable)
+          else graft.engine.Graft.table(spark, sfDir, m.factTable)
+        val structural =
+          if (m.dirSuffix.isEmpty) Nil // already checked as the table above
+          else Check.check(spark, dir).issues
+        add(n + m.dirSuffix, structural ++
+          graft.index.IndexCheck.check(spark, dir,
+            Some((fact, m.valueCol, m.keyCol)),
+            segmented = m.segmented).issues)
+      }
     }
     out.toMap
   }
