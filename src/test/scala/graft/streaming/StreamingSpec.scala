@@ -10,6 +10,7 @@ import java.sql.Timestamp
 // Top-level: Spark encoders cannot instantiate suite-inner case classes.
 case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class EvId(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+case class Doc(doc_id: Long, text: String)
 
 /** Streaming operators driven through real micro-batches (MemoryStream →
   * memory sink): watermark closes windows, sessions split on the gap,
@@ -157,6 +158,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(graft.index.IndexCheck.check(SparkT.spark, dir).ok)
       assert(graft.index.SecondaryIndex.lookupKeys(SparkT.spark, dir,
         Seq(10L)).as[Long].collect().toSet === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("embedding stage runs inside a stream (stateless mapPartitions per micro-batch)") {
+    val in = MemoryStream[Doc]
+    val p = graft.embed.Embeddings.HashingProvider(8, normalize = false)
+    val q = graft.embed.Embeddings.embedStage(in.toDF(), "text", "emb",
+        () => p, batchSize = 2)
+      .writeStream.format("memory").queryName("embst")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Doc(1, "alpha beta"), Doc(2, "gamma"))
+      q.processAllAvailable()
+      in.addData(Doc(3, "alpha alpha"))
+      q.processAllAvailable()
+      val got = SparkT.spark.table("embst")
+        .select($"doc_id", $"emb").as[(Long, Seq[Float])]
+        .collect().toMap
+      val want = Map(
+        1L -> p.embedBatch(Seq("alpha beta")).head.toSeq,
+        2L -> p.embedBatch(Seq("gamma")).head.toSeq,
+        3L -> p.embedBatch(Seq("alpha alpha")).head.toSeq)
+      assert(got === want)
     } finally q.stop()
   }
 
