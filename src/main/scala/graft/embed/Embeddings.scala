@@ -159,7 +159,16 @@ object Embeddings {
             java.net.http.HttpResponse.BodyHandlers.ofString())
           resp.statusCode() match {
             case 200 =>
-              return parse(resp.body(), texts.size)
+              // a 200 whose body does not parse is a PROTOCOL error like
+              // the wrong-count/wrong-dim cases — Jackson's exceptions
+              // extend IOException, so without this rewrap the retry loop
+              // below would burn the whole backoff budget re-sending a
+              // request whose response will never parse
+              return try parse(resp.body(), texts.size) catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  throw new IllegalStateException(
+                    s"malformed embedding response: ${String.valueOf(e.getMessage).take(200)}", e)
+              }
             case code if code == 429 || code >= 500 =>
               lastErr = new java.io.IOException(
                 s"embedding endpoint $endpoint returned $code (attempt ${attempt + 1})")

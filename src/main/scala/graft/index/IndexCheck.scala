@@ -141,14 +141,18 @@ object IndexCheck {
 
       // 8: reconcile against the fact table
       fact.foreach { case (df, valueCol, keyCol) =>
-        val factCounts = df.groupBy(col(valueCol).as("value"))
+        val factCounts = df.groupBy(col(valueCol).as("fv"))
           .agg(count(lit(1)).as("fact_cnt"))
-        val idxCounts = flagged.groupBy(col("value"))
+        val idxCounts = flagged.groupBy(col("value").as("iv"))
           .agg(sum(col("cnt")).as("idx_cnt"))
-        val diff = factCounts.join(idxCounts, Seq("value"), "full_outer")
+        // null-safe join key: the NULL value group is a legitimate posting
+        // row (rows whose indexed column is NULL) and must reconcile too —
+        // a plain equi-join would split it into two spurious diff rows.
+        val diff = factCounts.join(idxCounts, col("fv") <=> col("iv"),
+            "full_outer")
           .filter(coalesce(col("fact_cnt"), lit(0L)) =!=
             coalesce(col("idx_cnt"), lit(0L)))
-        val bad = diff.select(col("value").cast("string"),
+        val bad = diff.select(coalesce(col("fv"), col("iv")).cast("string"),
           col("fact_cnt"), col("idx_cnt")).take(SampleN + 1)
         if (bad.nonEmpty) {
           val n = diff.count()

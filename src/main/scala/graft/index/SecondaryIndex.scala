@@ -104,9 +104,13 @@ object SecondaryIndex {
   /** I9: OPTIMIZE — merge all segments back to the canonical
     * one-row-per-(value, chunk) clustered layout (the reference's segment
     * merge): re-aggregate from the exploded postings into a sibling dir,
-    * then atomically swap directories. After compaction [[IndexCheck]]'s
-    * full invariant set (incl. (value, chunk) uniqueness and cross-file
-    * clustering) holds again. */
+    * then swap via rename-to-backup + rename-in. The swap is two renames,
+    * not one atomic op, but the index data exists at SOME path at every
+    * instant: a crash between the renames leaves the old index intact at
+    * `<path>_old` (manual recovery = rename it back), never a destroyed
+    * index. The backup is removed only after the new layout is in place.
+    * After compaction [[IndexCheck]]'s full invariant set (incl. (value,
+    * chunk) uniqueness and cross-file clustering) holds again. */
   def compact(spark: SparkSession, indexPath: String, files: Int = 1): Unit = {
     val tmp = indexPath + "_compacting"
     val exploded = spark.read.parquet(indexPath)
@@ -115,11 +119,16 @@ object SecondaryIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(indexPath)
     val src = new org.apache.hadoop.fs.Path(tmp)
+    val bak = new org.apache.hadoop.fs.Path(indexPath + "_old")
     val fs = dst.getFileSystem(conf)
-    if (!fs.delete(dst, true))
-      throw new java.io.IOException(s"could not remove $indexPath for swap")
-    if (!fs.rename(src, dst))
+    fs.delete(bak, true) // leftover backup from an interrupted prior swap
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"could not back up $indexPath for swap")
+    if (!fs.rename(src, dst)) {
+      fs.rename(bak, dst) // restore; the compacted dir stays at _compacting
       throw new java.io.IOException(s"could not swap $tmp into $indexPath")
+    }
+    fs.delete(bak, true)
   }
 
   /** Postings rows → distinct keys, with the optional rowid-window seek:
@@ -140,14 +149,17 @@ object SecondaryIndex {
 
   /** Index-table predicate for a value interval; None = open bound (the
     * reference's half-open RANGE forms, common/filter.h LeftUnbounded /
-    * RightUnbounded). */
+    * RightUnbounded). A RANGE matches VALUES, so the NULL posting group is
+    * always excluded — including the fully-unbounded form, which would
+    * otherwise diverge from every one-sided spelling (SQL comparisons
+    * already reject NULL there). */
   private def valueRangePred(lo: Option[Any], hi: Option[Any],
                              loInclusive: Boolean, hiInclusive: Boolean) = {
     val loP = lo.map(v => if (loInclusive) col("value") >= lit(v)
                           else col("value") > lit(v))
     val hiP = hi.map(v => if (hiInclusive) col("value") <= lit(v)
                           else col("value") < lit(v))
-    (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    (loP.toSeq ++ hiP.toSeq).foldLeft(col("value").isNotNull)(_ && _)
   }
 
   /** I3/I4: point lookup → postings → distinct keys (the rowid stream).

@@ -195,21 +195,27 @@ object Hnsw {
     val base = if (metric == Knn.L2) df
                else df.withColumn(boundCol, Ivf.normalized(col(vecCol)))
     val m = Ivf.train(base, boundCol, nlist = p.partitions, metric = Knn.L2)
+    // persisted: the graph write and the radius aggregation are separate
+    // actions, and the assignment (normalize + nearest-of-nlist per row)
+    // is a full corpus pass that must not run twice
     val assigned = Ivf.assign(base, boundCol, m)
-    // sub-graphs store and beam-search the RAW vectors under `metric`
-    writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, path, p, metric)
-    val cents = typedLit(m.centroids.map(_.toSeq))
-    val route = assigned
-      .select(col("ivf_cluster").cast("int").as("pid"),
-        distances.l2Dist(col(boundCol),
-          element_at(cents, col("ivf_cluster").cast("int") + 1)
-            .cast("array<float>")).as("d"))
-      .groupBy("pid").agg(max(col("d")).as("radius"))
-      .withColumn("centroid",
-        element_at(cents, col("pid") + 1).cast("array<float>"))
-      .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
-    graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
-    m
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // sub-graphs store and beam-search the RAW vectors under `metric`
+      writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, path, p, metric)
+      val cents = typedLit(m.centroids.map(_.toSeq))
+      val route = assigned
+        .select(col("ivf_cluster").cast("int").as("pid"),
+          distances.l2Dist(col(boundCol),
+            element_at(cents, col("ivf_cluster").cast("int") + 1)
+              .cast("array<float>")).as("d"))
+        .groupBy("pid").agg(max(col("d")).as("radius"))
+        .withColumn("centroid",
+          element_at(cents, col("pid") + 1).cast("array<float>"))
+        .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
+      graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
+      m
+    } finally assigned.unpersist(false)
   }
 
   /** Sidecar location for the routing table of a clustered graph index. */
@@ -345,19 +351,13 @@ object Hnsw {
                    eps: Double = 1e-4): (DataFrame, Int) = {
     import spark.implicits._
     val (metric, rts) = routes(spark, indexPath)
-    val boundQ = metric match {
-      case Knn.Cosine =>
-        val n = math.sqrt(query.map(x => x.toDouble * x).sum)
-        if (n == 0.0) query else query.map(x => (x / n).toFloat)
-      case _ => query
-    }
+    val boundQ =
+      if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
     val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, boundQ, r._2)).toMap
     val radius = rts.map(r => r._1 -> r._3).toMap
     val order = rts.map(_._1).sortBy(centDist)
     def bound(pid: Int): Double = metric match {
-      case Knn.Cosine =>
-        val b = centDist(pid) - radius(pid) - eps
-        if (b <= 0.0) 0.0 else b * b / 2.0
+      case Knn.Cosine => Ivf.cosineLowerBound(centDist(pid), radius(pid), eps)
       case _ => centDist(pid) - radius(pid)
     }
     val graph = loadGraph(spark, indexPath)

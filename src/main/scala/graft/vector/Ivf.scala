@@ -212,18 +212,32 @@ object Ivf {
                            eps: Double = 1e-4): (DataFrame, Int) = {
     require(m.metric == Knn.L2,
       "cosine early termination bounds through L2 over normalized vectors")
-    val qn = {
-      val n = math.sqrt(query.map(x => x.toDouble * x).sum)
-      if (n == 0.0) query else query.map(x => (x / n).toFloat)
-    }
+    val qn = normalizeQuery(query)
     val order = m.probeOrder(qn)
     val centDist = order.map(j => j -> scalarDist(Knn.L2, qn, m.centroids(j))).toMap
-    def bound(j: Int): Double = {
-      val b = centDist(j) - radii.getOrElse(j.toLong, Double.PositiveInfinity) - eps
-      if (b <= 0.0) 0.0 else b * b / 2.0
-    }
+    def bound(j: Int): Double = cosineLowerBound(
+      centDist(j), radii.getOrElse(j.toLong, Double.PositiveInfinity), eps)
     adaptiveLoop(spark, indexPath, idCol, vecCol, query, k, Knn.Cosine,
       order, bound)
+  }
+
+  /** Unit-normalized copy of a query vector (driver-side; a zero vector
+    * passes through — the defined-zero cosine convention). ONE definition
+    * shared by every cosine-bounded search path. */
+  private[vector] def normalizeQuery(q: Array[Float]): Array[Float] = {
+    val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+    if (n == 0.0) q else q.map(x => (x / n).toFloat)
+  }
+
+  /** Cosine-distance lower bound for a list/sub-graph from its
+    * normalized-space L2 centroid distance and radius:
+    * `max(0, d − r − ε)² / 2` (cosine distance of a unit pair is half its
+    * squared L2 distance; ε covers float32 rounding of the stored
+    * normalized vectors). Exactness-bearing — keep the single copy. */
+  private[vector] def cosineLowerBound(centDist: Double, radius: Double,
+                                       eps: Double): Double = {
+    val b = centDist - radius - eps
+    if (b <= 0.0) 0.0 else b * b / 2.0
   }
 
   /** Shared early-termination loop: probe lists in `order`, doubling the

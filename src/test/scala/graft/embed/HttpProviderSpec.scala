@@ -87,6 +87,11 @@ class HttpProviderSpec extends AnyFunSuite with BeforeAndAfterAll {
       readTexts(ex)
       respond(ex, 400, "bad request")
     })
+    server.createContext("/garbage", (ex: HttpExchange) => {
+      requestCount.incrementAndGet()
+      readTexts(ex)
+      respond(ex, 200, "definitely }{ not json")
+    })
     server.createContext("/shortdim", (ex: HttpExchange) => {
       val texts = readTexts(ex)
       val root = om.createObjectNode()
@@ -150,6 +155,17 @@ class HttpProviderSpec extends AnyFunSuite with BeforeAndAfterAll {
       provider("/reject").embedBatch(Seq("x"))
     }
     assert(e.getMessage.contains("400"), e.getMessage)
+    assert(requestCount.get() === 1)
+  }
+
+  test("a 200 with a malformed body is a protocol error, not retried") {
+    // Jackson's parse exceptions extend IOException — without the rewrap
+    // they would be retried as transport errors and burn the backoff budget
+    requestCount.set(0)
+    val e = intercept[IllegalStateException] {
+      provider("/garbage").embedBatch(Seq("x"))
+    }
+    assert(e.getMessage.contains("malformed"), e.getMessage)
     assert(requestCount.get() === 1)
   }
 

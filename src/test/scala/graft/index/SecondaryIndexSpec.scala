@@ -110,7 +110,7 @@ class SecondaryIndexSpec extends AnyFunSuite {
       (None, Some(300L), true, true),         // unbounded below
       (Some(700L), None, false, true),        // unbounded above, exclusive
       (Some(455L), Some(455L), true, true),   // empty (no such value)
-      (None, None, true, true))               // unbounded = all keys
+      (None, None, true, true))               // unbounded = all NON-NULL keys
     cases.foreach { case (lo, hi, loInc, hiInc) =>
       def in(v: Long): Boolean =
         lo.forall(l => if (loInc) v >= l else v > l) &&
@@ -138,6 +138,18 @@ class SecondaryIndexSpec extends AnyFunSuite {
     val windowed = SecondaryIndex.lookupNotNullKeys(SparkT.spark, d,
       keyRange = Some((100L, 200L))).as[Long].collect().toSet
     assert(windowed === want.filter(k => k >= 100 && k <= 200))
+    // a RANGE matches VALUES: the fully-unbounded range also excludes the
+    // NULL group, agreeing with every one-sided bound spelling
+    val unbounded = SecondaryIndex.lookupRangeKeys(SparkT.spark, d,
+      None, None).as[Long].collect().toSet
+    assert(unbounded === want)
+    assert(SecondaryIndex.calcCountRange(SparkT.spark, d, None, None)
+      === want.size.toLong)
+    // ... and the integrity reconciliation handles the NULL group (a plain
+    // equi-join would split it into two spurious diff rows)
+    val rep = IndexCheck.check(SparkT.spark, d,
+      fact = Some((rows.toDF("value", "key"), "value", "key")))
+    assert(rep.ok, rep.issues.mkString("; "))
   }
 
   test("value-range predicate reaches the index scan as pushed filters (prunes files)") {
