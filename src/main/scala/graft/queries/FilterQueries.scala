@@ -207,6 +207,20 @@ object FilterQueries {
         "SELECT count(*) AS n_orders, CAST(sum(len(tags)) AS BIGINT) AS n_tags, " +
         "CAST(sum(list_sum(tags)) AS BIGINT) AS tag_sum FROM tagged")),
 
+    // S1/S3 source-format breadth: the same filter+project served from the
+    // engine's ORC copy of orders (range-clustered sorted ORC write; the
+    // predicate pushes into the ORC reader and prunes on stripe/file
+    // stats). Oracle reads the parquet fixture — matching rows prove the
+    // ORC round trip end to end.
+    "q_source_orc" -> QueryDef(
+      (s, d) => graft.tables.Derived.table(s, d, "orders_orc")
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") <= 5000 &&
+          col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey BETWEEN 1000 AND 5000 " +
+        "AND o_orderpriority = '1-URGENT'")),
+
     // F4 hash-companion fast path: filter runs against the engine-written
     // xxhash64 companion column (ref hidden $name_HASH, columnar.cpp:465-473
     // + rewrite common/filter.cpp:77-90); the oracle filters the string

@@ -59,9 +59,11 @@ object Derived {
       path
     })
 
-  /** Read derived table `name`, building it on first access. */
+  /** Read derived table `name` in its declared format, building it on
+    * first access. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(tablePath(spark, sfDir, name))
+    spark.read.format(builders(name).format)
+      .load(tablePath(spark, sfDir, name))
 
   // ---- derivations ----
 
@@ -76,7 +78,8 @@ object Derived {
 
   private final case class Entry(
       build: (SparkSession, String, String) => Unit,
-      indexes: Seq[IndexMeta] = Nil)
+      indexes: Seq[IndexMeta] = Nil,
+      format: String = "parquet")
 
   private val builders: Map[String, Entry] = Map(
     // Stored-MVA table (ref UINT32SET storage): sorted distinct linenumber
@@ -175,6 +178,16 @@ object Derived {
     // Multimodal table: documents with a packed binary payload + metadata
     // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
     // for image/audio bytes; the schema/plumbing is the real convention).
+    // ORC copy of orders (S1/S3 source-format breadth): the same
+    // range-clustered sorted write through the ORC writer — zone-map
+    // pruning rides ORC's own stripe/file statistics, so the layout
+    // conventions are format-portable.
+    "orders_orc" -> Entry((spark, sfDir, path) => {
+      val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      Writer.write(o, path, sortBy = Seq("o_orderkey"), files = 4,
+        format = "orc")
+    }, format = "orc"),
+
     "documents_mm" -> Entry((spark, sfDir, path) => {
       val docs = graft.engine.Graft.table(spark, sfDir, "documents")
       val mm = docs.withColumn("blob",
@@ -200,7 +213,17 @@ object Derived {
     def add(name: String, issues: Seq[String]): Unit =
       if (issues.nonEmpty) out(name) = out.getOrElse(name, Nil) ++ issues
     names.foreach { n =>
-      add(n, Check.check(spark, tablePath(spark, sfDir, n)).issues)
+      // the structural checker walks Parquet footers; other formats get a
+      // read-back sanity scan (their own readers validate stripe footers)
+      if (builders(n).format == "parquet")
+        add(n, Check.check(spark, tablePath(spark, sfDir, n)).issues)
+      else
+        try {
+          if (table(spark, sfDir, n).count() <= 0)
+            add(n, Seq("empty table"))
+        } catch { case e: Exception =>
+          add(n, Seq(s"scan failed (${e.getClass.getSimpleName})"))
+        }
     }
     // Index artifacts come from the builders' own metadata, declared next
     // to the code that writes them — a new index cannot be forgotten here.

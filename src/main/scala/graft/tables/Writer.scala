@@ -42,9 +42,15 @@ object Writer {
     *                       produces for DELTA-packed keys.
     * @param hashCompanions string columns that get an `<name>__hash`
     *                       companion column (F4 fast-path parity).
+    * @param format         output source format — "parquet" (default) or
+    *                       any stats-bearing columnar format Spark ships
+    *                       ("orc"): the clustering conventions carry over
+    *                       unchanged because zone-map pruning rides the
+    *                       format's own file/stripe statistics.
     */
   def write(df: DataFrame, path: String, sortBy: Seq[String],
-            hashCompanions: Seq[String] = Nil, files: Int = 1): Unit = {
+            hashCompanions: Seq[String] = Nil, files: Int = 1,
+            format: String = "parquet"): Unit = {
     val withHashes = hashCompanions.foldLeft(df) { (d, name) =>
       d.withColumn(name + HashSuffix, companionHash(col(name)))
     }
@@ -53,7 +59,7 @@ object Writer {
       else withHashes
         .repartitionByRange(files, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
-    clustered.write.mode("overwrite").parquet(path)
+    clustered.write.mode("overwrite").format(format).save(path)
   }
 
   /** Bucketed managed table: rows hash-partitioned into `numBuckets` files

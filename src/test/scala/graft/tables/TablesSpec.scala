@@ -70,6 +70,22 @@ class TablesSpec extends AnyFunSuite {
     assert(!r.ok)
   }
 
+  test("ORC write: sorted round trip, pushed filters reach the ORC scan") {
+    val dir = tmpDir().resolve("orc1").toString
+    val df = (1 to 1000).map(i => (i.toLong * 7 % 997, s"v$i")).toDF("k", "s")
+    Writer.write(df, dir, sortBy = Seq("k"), files = 2, format = "orc")
+    val back = SparkT.spark.read.orc(dir)
+    assert(back.count() === 1000)
+    assert(back.select(sum($"k")).head.getLong(0) ===
+      df.select(sum($"k")).head.getLong(0))
+    val q = back.filter($"k" >= 100 && $"k" <= 200)
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(k,100)") &&
+      pushed.contains("LessThanOrEqual(k,200)"), pushed)
+    assert(plan.contains("Format: ORC") || plan.contains("orc"), plan)
+  }
+
   test("checkAll: the whole derived catalog (incl. index siblings) is healthy (sf0.001)") {
     System.setProperty("graft.derived.root",
       tmpDir().resolve("derived-sweep").toString)
