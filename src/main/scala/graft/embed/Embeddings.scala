@@ -199,7 +199,15 @@ object Embeddings {
             s"embedding $i has dimension ${if (emb == null) "none" else emb.size()}, expected $dim")
         val v = new Array[Float](dim)
         var j = 0
-        while (j < dim) { v(j) = emb.get(j).floatValue(); j += 1 }
+        while (j < dim) {
+          val el = emb.get(j)
+          // JsonNode.floatValue() returns 0.0 for non-numeric nodes — the
+          // silent zero-vector this whole error policy exists to prevent
+          if (el == null || !el.isNumber)
+            throw new IllegalStateException(
+              s"embedding $i element $j is not numeric: ${String.valueOf(el).take(40)}")
+          v(j) = el.floatValue(); j += 1
+        }
         v
       }
     }

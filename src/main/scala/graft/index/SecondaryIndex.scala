@@ -113,19 +113,27 @@ object SecondaryIndex {
     * chunk) uniqueness and cross-file clustering) holds again. */
   def compact(spark: SparkSession, indexPath: String, files: Int = 1): Unit = {
     val tmp = indexPath + "_compacting"
-    val exploded = spark.read.parquet(indexPath)
-      .select(col("value"), explode(col("rowids")).as("k"))
-    build(exploded, "value", "k", tmp, files)
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(indexPath)
     val src = new org.apache.hadoop.fs.Path(tmp)
     val bak = new org.apache.hadoop.fs.Path(indexPath + "_old")
     val fs = dst.getFileSystem(conf)
+    // self-heal from a crash between the two renames of a prior compact:
+    // the index then lives at _old and dst is missing — restore first
+    if (!fs.exists(dst) && fs.exists(bak) && !fs.rename(bak, dst))
+      throw new java.io.IOException(
+        s"index missing at $indexPath and backup restore from $bak failed")
+    val exploded = spark.read.parquet(indexPath)
+      .select(col("value"), explode(col("rowids")).as("k"))
+    build(exploded, "value", "k", tmp, files)
     fs.delete(bak, true) // leftover backup from an interrupted prior swap
     if (!fs.rename(dst, bak))
       throw new java.io.IOException(s"could not back up $indexPath for swap")
     if (!fs.rename(src, dst)) {
-      fs.rename(bak, dst) // restore; the compacted dir stays at _compacting
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"swap of $tmp into $indexPath failed AND the restore failed: " +
+            s"the index data is at $bak — rename it back manually")
       throw new java.io.IOException(s"could not swap $tmp into $indexPath")
     }
     fs.delete(bak, true)

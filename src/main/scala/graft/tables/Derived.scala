@@ -175,9 +175,6 @@ object Derived {
     }, Seq(IndexMeta("", "orders", factIsDerived = false,
       "o_totalprice", "o_orderkey"))),
 
-    // Multimodal table: documents with a packed binary payload + metadata
-    // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
-    // for image/audio bytes; the schema/plumbing is the real convention).
     // ORC copy of orders (S1/S3 source-format breadth): the same
     // range-clustered sorted write through the ORC writer — zone-map
     // pruning rides ORC's own stripe/file statistics, so the layout
@@ -188,6 +185,9 @@ object Derived {
         format = "orc")
     }, format = "orc"),
 
+    // Multimodal table: documents with a packed binary payload + metadata
+    // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
+    // for image/audio bytes; the schema/plumbing is the real convention).
     "documents_mm" -> Entry((spark, sfDir, path) => {
       val docs = graft.engine.Graft.table(spark, sfDir, "documents")
       val mm = docs.withColumn("blob",
@@ -214,15 +214,20 @@ object Derived {
       if (issues.nonEmpty) out(name) = out.getOrElse(name, Nil) ++ issues
     names.foreach { n =>
       // the structural checker walks Parquet footers; other formats get a
-      // read-back sanity scan (their own readers validate stripe footers)
+      // FULL-DECODE read-back pass — hashing every column of every row
+      // forces the reader through the data streams (a bare count() would
+      // be satisfied from stripe row-count metadata and miss corrupt data)
       if (builders(n).format == "parquet")
         add(n, Check.check(spark, tablePath(spark, sfDir, n)).issues)
       else
         try {
-          if (table(spark, sfDir, n).count() <= 0)
-            add(n, Seq("empty table"))
+          val rows = table(spark, sfDir, n)
+            .selectExpr("xxhash64(struct(*)) AS h")
+            .agg(count(col("h"))).head.getLong(0)
+          if (rows <= 0) add(n, Seq("empty table"))
         } catch { case e: Exception =>
-          add(n, Seq(s"scan failed (${e.getClass.getSimpleName})"))
+          add(n, Seq(s"scan failed (${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(120)})"))
         }
     }
     // Index artifacts come from the builders' own metadata, declared next

@@ -92,6 +92,16 @@ class HttpProviderSpec extends AnyFunSuite with BeforeAndAfterAll {
       readTexts(ex)
       respond(ex, 200, "definitely }{ not json")
     })
+    server.createContext("/nonnumeric", (ex: HttpExchange) => {
+      val texts = readTexts(ex)
+      val root = om.createObjectNode()
+      val data = root.putArray("data")
+      texts.foreach { _ =>
+        val emb = data.addObject().putArray("embedding")
+        (1 to Dim).foreach(i => emb.add(s"x$i")) // right dim, wrong type
+      }
+      respond(ex, 200, om.writeValueAsString(root))
+    })
     server.createContext("/shortdim", (ex: HttpExchange) => {
       val texts = readTexts(ex)
       val root = om.createObjectNode()
@@ -167,6 +177,15 @@ class HttpProviderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("malformed"), e.getMessage)
     assert(requestCount.get() === 1)
+  }
+
+  test("a 200 with non-numeric embedding elements is a protocol error, not a zero vector") {
+    // JsonNode.floatValue() returns 0.0 for non-numeric nodes — accepting
+    // them would emit exactly the silent zero vectors the policy forbids
+    val e = intercept[IllegalStateException] {
+      provider("/nonnumeric").embedBatch(Seq("x"))
+    }
+    assert(e.getMessage.contains("not numeric"), e.getMessage)
   }
 
   test("a 200 with the wrong dimension is a protocol error, not retried") {

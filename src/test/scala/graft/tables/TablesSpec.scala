@@ -83,7 +83,9 @@ class TablesSpec extends AnyFunSuite {
     val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pushed.contains("GreaterThanOrEqual(k,100)") &&
       pushed.contains("LessThanOrEqual(k,200)"), pushed)
-    assert(plan.contains("Format: ORC") || plan.contains("orc"), plan)
+    // exact format marker only — a bare "orc" substring would always match
+    // via the scan's file path and make the assertion vacuous
+    assert(plan.contains("Format: ORC"), plan)
   }
 
   test("checkAll: the whole derived catalog (incl. index siblings) is healthy (sf0.001)") {
