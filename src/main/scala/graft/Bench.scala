@@ -133,12 +133,16 @@ object Bench {
     // corpus (minutes of unrelated work later) gets one fresh measurement;
     // smaller median wins. A genuine regression reproduces here; a
     // transient interference burst does not (VERDICT r7 #1).
+    val secondPassErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.filter(n => !errors.contains(n) && overRef(n, firstPass(n)))
       .foreach { n =>
         val again = timeOne(n, warm = false)
         if (errors.contains(n)) {
           // a transient second-pass failure must not fail a bench whose
-          // first pass succeeded — keep the first-pass reading
+          // first pass succeeded — keep the first-pass reading, but leave
+          // a trace in the artifact: an intermittent failure that only
+          // surfaces here is still evidence worth attributing (ADVICE r8)
+          secondPassErrors(n) = errors(n)
           errors.remove(n)
         } else {
           secondPass(n) = again
@@ -157,13 +161,16 @@ object Bench {
       m.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val spErrJson = secondPassErrors
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val retryJson = retries.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val loadEnd = loadavg()
     // Full-precision artifact (committed; the judge can read it from the
     // repo even when the driver's stdout window truncates).
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"retries":$retryJson,"second_pass":${numJson(secondPass)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_per_query":${numJson(qLoad)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"retries":$retryJson,"second_pass":${numJson(secondPass)},"second_pass_errors":$spErrJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_per_query":${numJson(qLoad)},"sf":"$sfDir"}"""
     // Compact stdout line: the driver keeps only the last ~2000 chars of
     // stdout and parses the JSON line out of that window. BENCH_r04/r05
     // came back `parsed: null` because the full-precision 85-query line is

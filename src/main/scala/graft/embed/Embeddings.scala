@@ -124,9 +124,15 @@ object Embeddings {
     *  - a 200 whose vector count or dimension disagrees with the request
     *    is a protocol error, not retried.
     */
+  /** `headers` carries authentication (`Authorization: Bearer …` /
+    * `x-api-key: …` — the OpenAI/Voyage/Jina wire shapes all authenticate
+    * via a request header, ref embeddings/src/model/mod.rs provider
+    * configs); Content-Type is always set by the provider itself and
+    * cannot be overridden. */
   final case class HttpProvider(endpoint: String, model: String, dim: Int,
                                 maxRetries: Int = 3, baseBackoffMs: Long = 50,
-                                timeoutMs: Long = 10000)
+                                timeoutMs: Long = 10000,
+                                headers: Map[String, String] = Map.empty)
       extends TextToEmbeddings {
 
     @transient private lazy val client: java.net.http.HttpClient =
@@ -145,15 +151,22 @@ object Embeddings {
         texts.foreach(arr.add)
         om.writeValueAsString(root)
       }
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
+      headers.toSeq.sortBy(_._1)
+        .filterNot(_._1.equalsIgnoreCase("Content-Type"))
+        .foreach { case (k, v) => builder.header(k, v) }
+      val req = builder
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build()
       var attempt = 0
       var lastErr: Throwable = null
       while (attempt <= maxRetries) {
-        if (attempt > 0) Thread.sleep(baseBackoffMs << (attempt - 1))
+        // cap the shift: a pathological maxRetries would overflow the long
+        // shift (attempt-1 >= 64 wraps) into a negative sleep (ADVICE r8)
+        if (attempt > 0)
+          Thread.sleep(baseBackoffMs << math.min(attempt - 1, 20))
         try {
           val resp = client.send(req,
             java.net.http.HttpResponse.BodyHandlers.ofString())

@@ -44,10 +44,18 @@ object IndexCheck {
     * ([[SecondaryIndex.appendSegment]]): the per-chunk invariants, global
     * key uniqueness and fact reconciliation still hold there, but (value,
     * chunk) uniqueness and cross-file value clustering only apply to the
-    * canonical post-[[SecondaryIndex.compact]] layout and are skipped. */
+    * canonical post-[[SecondaryIndex.compact]] layout and are skipped.
+    *
+    * `mva = true` validates a multi-valued index
+    * ([[SecondaryIndex.buildMva]]): a key legitimately appears under every
+    * distinct element of its row's set, so invariant 6 relaxes from
+    * sum(cnt) == distinct keys to sum(cnt) == distinct (value, key) PAIRS
+    * (per-value containment — a key still may not repeat within one
+    * value's postings), and fact reconciliation explodes the fact table's
+    * array column before grouping. */
   def check(spark: SparkSession, indexPath: String,
             fact: Option[(DataFrame, String, String)] = None,
-            segmented: Boolean = false): Report = {
+            segmented: Boolean = false, mva: Boolean = false): Report = {
     val issues = scala.collection.mutable.ArrayBuffer.empty[String]
     val idx =
       try {
@@ -109,12 +117,22 @@ object IndexCheck {
         if (dupN > 0) issues += s"duplicate (value, chunk) posting rows: $dupN"
       }
 
-      // 6: global key uniqueness (sum of counts == distinct keys)
+      // 6: global key uniqueness (sum of counts == distinct keys); for an
+      // MVA index the unit of uniqueness is the (value, key) pair instead
       val total = flagged.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
-      val keys = flagged.select(explode(col("rowids")).as("k"))
-        .agg(count_distinct(col("k"))).head.getLong(0)
+      val keys =
+        if (mva)
+          flagged.select(col("value"), explode(col("rowids")).as("k"))
+            .agg(count_distinct(col("value"), col("k"))).head.getLong(0)
+        else
+          flagged.select(explode(col("rowids")).as("k"))
+            .agg(count_distinct(col("k"))).head.getLong(0)
       if (total != keys)
-        issues += s"sum(cnt)=$total != distinct keys=$keys (key in multiple postings)"
+        issues += (if (mva)
+          s"sum(cnt)=$total != distinct (value, key) pairs=$keys " +
+            "(key repeated within one value's postings)"
+        else
+          s"sum(cnt)=$total != distinct keys=$keys (key in multiple postings)")
 
       // 7: cross-file value clustering (non-null values only; a violation
       // breaks pruning economy, not lookup correctness; segments are
@@ -139,9 +157,14 @@ object IndexCheck {
         }
       }
 
-      // 8: reconcile against the fact table
+      // 8: reconcile against the fact table (MVA: post each distinct set
+      // element, exactly like the build — empty/NULL sets post nothing)
       fact.foreach { case (df, valueCol, keyCol) =>
-        val factCounts = df.groupBy(col(valueCol).as("fv"))
+        val factVals =
+          if (mva) df.select(
+            explode(array_distinct(col(valueCol))).as("fv"))
+          else df.select(col(valueCol).as("fv"))
+        val factCounts = factVals.groupBy(col("fv"))
           .agg(count(lit(1)).as("fact_cnt"))
         val idxCounts = flagged.groupBy(col("value").as("iv"))
           .agg(sum(col("cnt")).as("idx_cnt"))

@@ -80,6 +80,30 @@ object SecondaryIndex {
     graft.tables.Writer.write(postings(df, valueCol, keyCol), path,
       sortBy = Seq("value", "chunk"), files = files)
 
+  /** MVA variant — the reference's secondary index covers UINT32SET /
+    * INT64SET columns (common/schema.h:29-44): the builder posts EACH set
+    * element, so an `ANY(col)` filter gets index acceleration like a
+    * scalar VALUES filter. Explodes `arrayCol` (through `array_distinct`,
+    * mirroring the reference builder's sort+dedup of MVA sets) so each
+    * element becomes a postings value; NULL/empty arrays produce no
+    * postings (the empty-set convention — NOTNULL-via-index then means
+    * "non-empty", the reference's F5 semantics).
+    *
+    * A key now legitimately appears under SEVERAL values (one per distinct
+    * element of its row's set), so the scalar layout's invariant 6
+    * (sum(cnt) == distinct keys) relaxes to per-(value, key) uniqueness —
+    * [[IndexCheck]] validates with `mva = true`. Lookups/counts work
+    * unchanged for single values; multi-value lookups may repeat keys in
+    * the stream ([[semiJoin]] is duplicate-insensitive) and [[calcCount]]
+    * over several values counts row-OCCURRENCES, not rows — the same
+    * semantics as the reference's per-value postings counts. */
+  def buildMva(df: DataFrame, arrayCol: String, keyCol: String,
+               path: String, files: Int = 1): Unit =
+    build(
+      df.select(explode(array_distinct(col(arrayCol))).as("__mva_value"),
+        col(keyCol)),
+      "__mva_value", keyCol, path, files)
+
   /** I9: incremental maintenance, the reference's SEGMENT model — each
     * ingested batch carries its own secondary index, and OPTIMIZE merges
     * segments (RT segments each hold per-segment indexes; merge compacts
@@ -139,20 +163,44 @@ object SecondaryIndex {
     fs.delete(bak, true)
   }
 
-  /** Postings rows → distinct keys, with the optional rowid-window seek:
-    * chunks whose [chunk_min, chunk_max] miss the window are skipped BEFORE
+  /** Postings rows → keys, with the optional rowid-window seek: chunks
+    * whose [chunk_min, chunk_max] miss the window are skipped BEFORE
     * exploding (the reference's per-block min/max seek,
-    * blockreader.h:82-89). */
+    * blockreader.h:82-89).
+    *
+    * The key stream is NOT deduplicated: for scalar indexes keys are unique
+    * by layout invariant 6 (sum(cnt) == distinct keys, enforced by
+    * [[IndexCheck]]; [[appendSegment]]'s contract requires new keys), so a
+    * defensive distinct would be a second full shuffle of every matched key
+    * — at 100 TB it roughly doubles a broad range lookup's shuffle volume
+    * for nothing (VERDICT r8). A MULTI-VALUED index ([[buildMva]]) may
+    * repeat a key across several matched values; [[semiJoin]] (left_semi)
+    * is duplicate-insensitive, so every consumer stays correct there too. */
   private def postingsToKeys(base: DataFrame,
-                             keyRange: Option[(Long, Long)]): DataFrame = {
-    val pruned = keyRange match {
+                             keyRange: Option[(Long, Long)]): DataFrame =
+    keyRange match {
       case Some((lo, hi)) =>
         base.filter(col("chunk_max") >= lo && col("chunk_min") <= hi)
           .select(explode(col("rowids")).as("key"))
           .filter(col("key") >= lo && col("key") <= hi)
       case None => base.select(explode(col("rowids")).as("key"))
     }
-    pruned.distinct()
+
+  /** Open the index table for reading, surviving the crash window of
+    * [[compact]]'s two-rename swap: if `<path>` is momentarily absent but
+    * the `<path>_old` backup exists, read the backup — the data the
+    * interrupted compaction was re-clustering (ADVICE r8: self-heal lived
+    * only in compact(), so every read path failed until another compact
+    * ran). Purely a read-side fallback; the next [[compact]] performs the
+    * actual restore-rename. */
+  private def openIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = if (!fs.exists(dst) &&
+                fs.exists(new org.apache.hadoop.fs.Path(indexPath + "_old")))
+      indexPath + "_old"
+    else indexPath
+    spark.read.parquet(p)
   }
 
   /** Index-table predicate for a value interval; None = open bound (the
@@ -175,7 +223,7 @@ object SecondaryIndex {
   def lookupKeys(spark: SparkSession, indexPath: String, values: Seq[Any],
                  keyRange: Option[(Long, Long)] = None): DataFrame =
     postingsToKeys(
-      spark.read.parquet(indexPath).filter(col("value").isin(values: _*)),
+      openIndex(spark, indexPath).filter(col("value").isin(values: _*)),
       keyRange)
 
   /** I3: VALUE-range lookup — RANGE/FLOATRANGE filters served from the
@@ -192,7 +240,7 @@ object SecondaryIndex {
                       loInclusive: Boolean = true, hiInclusive: Boolean = true,
                       keyRange: Option[(Long, Long)] = None): DataFrame =
     postingsToKeys(
-      spark.read.parquet(indexPath)
+      openIndex(spark, indexPath)
         .filter(valueRangePred(lo, hi, loInclusive, hiInclusive)),
       keyRange)
 
@@ -204,12 +252,12 @@ object SecondaryIndex {
   def lookupNotNullKeys(spark: SparkSession, indexPath: String,
                         keyRange: Option[(Long, Long)] = None): DataFrame =
     postingsToKeys(
-      spark.read.parquet(indexPath).filter(col("value").isNotNull), keyRange)
+      openIndex(spark, indexPath).filter(col("value").isNotNull), keyRange)
 
   /** I6 for NOTNULL: count rows with a non-null indexed value from stored
     * per-chunk counts — index-only. */
   def calcCountNotNull(spark: SparkSession, indexPath: String): Long =
-    spark.read.parquet(indexPath)
+    openIndex(spark, indexPath)
       .filter(col("value").isNotNull)
       .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
 
@@ -222,7 +270,7 @@ object SecondaryIndex {
   /** I6 CalcCount from stored per-chunk counts — index-only, no fact scan. */
   def calcCount(spark: SparkSession, indexPath: String,
                 values: Seq[Any]): Long =
-    spark.read.parquet(indexPath)
+    openIndex(spark, indexPath)
       .filter(col("value").isin(values: _*))
       .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
 
@@ -234,7 +282,7 @@ object SecondaryIndex {
                      lo: Option[Any], hi: Option[Any],
                      loInclusive: Boolean = true,
                      hiInclusive: Boolean = true): Long =
-    spark.read.parquet(indexPath)
+    openIndex(spark, indexPath)
       .filter(valueRangePred(lo, hi, loInclusive, hiInclusive))
       .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
 }

@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HashCompanionRule)
     ext.injectOptimizerRule(session => new AnnRoutingRule(session))
+    ext.injectOptimizerRule(session => new IndexRoutingRule(session))
     // Only the genuine catalyst Expressions register as SQL functions; the
     // text-analysis ops are Column COMPOSITIONS of SQL built-ins, so
     // spark.sql users already have their vocabulary (the oracle replays

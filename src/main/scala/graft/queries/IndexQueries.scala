@@ -127,6 +127,58 @@ object IndexQueries {
         "GROUP BY c_custkey) " +
         "SELECT count(*) AS cnt FROM cust_last WHERE last_odate IS NOT NULL")),
 
+    // I1-I4 AUTOMATICALLY ROUTED (VERDICT r8 #1 — the reference host's
+    // automatic access-path choice, columnar.cpp:649-675 +
+    // secondary.cpp:745-812): the query is a PLAIN filter() over the BASE
+    // orders table; registering the o_custkey index makes IndexRoutingRule
+    // rewrite it into the postings semi-join at plan time, cost-gated on
+    // the registration-time ndv estimate (1/ndv ≪ threshold here). The
+    // routed-vs-bypassed plan shapes at both ends of the selectivity gate
+    // are pinned by IndexRoutingSpec. Registration is table-level session
+    // state, exactly like the ANN side (q_knn_ivf).
+    "q_index_auto" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders").filter(col("o_custkey") === 421)
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 421")),
+
+    // I6 AUTOMATICALLY ROUTED: a plain count() over a filtered base table
+    // lowers to the index-only sum(cnt) (the reference's CalcCount
+    // short-circuit is host-automatic, secondary.cpp:774-812) — the fact
+    // table never appears in the plan (IndexRoutingSpec pins this).
+    "q_index_auto_count" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders").filter(col("o_custkey") === 421)
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("SELECT count(*) AS cnt FROM orders WHERE o_custkey = 421")),
+
+    // F6 via index: MVA ANY served from the postings (ref: the secondary
+    // index covers UINT32SET columns, common/schema.h:29-44 — each set
+    // element is posted). The IN-list lookup may repeat a key across the
+    // two matched values (an order whose tag set holds both 5 and 7); the
+    // left-semi join is duplicate-insensitive, so the result equals the
+    // plain ANY filter the oracle runs.
+    "q_index_mva" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "mcl_attrs_idx")
+        val keys = SecondaryIndex.lookupKeys(s, idxPath, Seq(5L, 7L))
+        SecondaryIndex.semiJoin(Derived.table(s, d, "mcl_attrs"),
+            "l_orderkey", keys)
+          .select(col("l_orderkey"))
+      },
+      Some("WITH tagged AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_linenumber)) AS tags FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT l_orderkey FROM tagged WHERE list_has_any(tags, [5,7])")),
+
     // I6: CalcCount from stored postings counts — index-only, the fact
     // table is never scanned.
     "q_index_count" -> QueryDef(

@@ -87,6 +87,26 @@ object VectorQueries {
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
         "WHERE label = 3 "))),
 
+    // K3 through the INDEX path (VERDICT r8 #2 — the reference evaluates
+    // the attribute filter inside graph traversal, knn/knn.h:87-94, and
+    // bypasses to brute force only when selectivity favors it,
+    // ShouldUseFullscan knn.cpp:613-620): the predicate rides inside every
+    // probe scan (`label = 3 AND ivf_cluster IN probes`) and the adaptive
+    // loop over-probes until k survivors accumulate or the triangle bound
+    // closes — exact over the filtered corpus, so it shares
+    // q_knn_filtered's oracle. Probe economy and the selectivity-crossover
+    // routing (Ivf.searchFiltered) are spec-tested (IvfTopKSpec).
+    "q_knn_filtered_ivf" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfIndex(s, d)
+        val (df, _) = Ivf.searchAdaptive(s, path, m, ivfRadii(s, d),
+          "vec_id", "embedding", queryVec(s, d), k = 10,
+          filter = Some(col("label") === 3))
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
+        "WHERE label = 3 "))),
+
     // K1/K6/K4 index path, AUTOMATICALLY ROUTED: the query is written as a
     // plain exact top-k over the BASE table; registering the IVF index
     // makes AnnRoutingRule rewrite the scan to the probe-filtered index

@@ -74,7 +74,8 @@ object Derived {
     * derived entry. */
   private final case class IndexMeta(dirSuffix: String, factTable: String,
                                      factIsDerived: Boolean, valueCol: String,
-                                     keyCol: String, segmented: Boolean = false)
+                                     keyCol: String, segmented: Boolean = false,
+                                     mva: Boolean = false)
 
   private final case class Entry(
       build: (SparkSession, String, String) => Unit,
@@ -175,6 +176,18 @@ object Derived {
     }, Seq(IndexMeta("", "orders", factIsDerived = false,
       "o_totalprice", "o_orderkey"))),
 
+    // MVA secondary index (ref: UINT32SET/INT64SET columns are indexable,
+    // common/schema.h:29-44 — the builder posts each set element): every
+    // element of mcl_attrs.tags posts its l_orderkey, so ANY(tags) filters
+    // get index acceleration. l_orderkey is unique in mcl_attrs (one row
+    // per order): the rowid contract holds; per-(value, key) containment
+    // replaces global key uniqueness (IndexCheck mva = true).
+    "mcl_attrs_idx" -> Entry((spark, sfDir, path) => {
+      val attrs = table(spark, sfDir, "mcl_attrs")
+      graft.index.SecondaryIndex.buildMva(attrs, "tags", "l_orderkey", path)
+    }, Seq(IndexMeta("", "mcl_attrs", factIsDerived = true,
+      "tags", "l_orderkey", mva = true))),
+
     // ORC copy of orders (S1/S3 source-format breadth): the same
     // range-clustered sorted write through the ORC writer — zone-map
     // pruning rides ORC's own stripe/file statistics, so the layout
@@ -244,7 +257,7 @@ object Derived {
         add(n + m.dirSuffix, structural ++
           graft.index.IndexCheck.check(spark, dir,
             Some((fact, m.valueCol, m.keyCol)),
-            segmented = m.segmented).issues)
+            segmented = m.segmented, mva = m.mva).issues)
       }
     }
     out.toMap

@@ -315,7 +315,14 @@ object Hnsw {
       val rows = withMetric
         .select(col("pid"), col("centroid"), col("radius"), col("metric"))
         .collect()
-      val metric = rows.headOption.map(_.getString(3)) match {
+      // a mixed-metric sidecar is corrupt: collect() order is undefined, so
+      // inferring from "the first row" would silently pick an arbitrary
+      // metric and mis-bound the routing (ADVICE r8) — fail loudly instead
+      val metrics = rows.map(_.getString(3)).distinct
+      require(metrics.length <= 1,
+        s"corrupt route sidecar at ${routePath(indexPath)}: " +
+          s"mixed metrics ${metrics.mkString(", ")}")
+      val metric = metrics.headOption match {
         case Some("cosine") => Knn.Cosine
         case _              => Knn.L2
       }
@@ -362,14 +369,21 @@ object Hnsw {
     }
     val graph = loadGraph(spark, indexPath)
     val qB = spark.sparkContext.broadcast(query)
+    var remaining: Seq[Int] = order.toSeq
     var probed = 0
     var batch = 1
     var bestK: Seq[(Double, Long)] = Nil // (dist, id) ascending
-    def remainingRelevant: Boolean =
-      bestK.size < k ||
-        order.drop(probed).exists(j => bound(j) <= bestK.last._1)
-    while (probed < order.length && remainingRelevant) {
-      val probes = order.slice(probed, probed + batch).toSet
+    // Once k hits are held, sub-graphs whose lower bound exceeds the kth
+    // best are dropped from the schedule permanently (ADVICE r8: the kth
+    // best only improves, so they can never re-enter) — the next round
+    // schedules only still-relevant sub-graphs, not the blind prefix.
+    // <= keeps equal-bound sub-graphs probed (the tie rule).
+    while ({
+      if (bestK.size >= k)
+        remaining = remaining.filter(j => bound(j) <= bestK.last._1)
+      remaining.nonEmpty
+    }) {
+      val probes = remaining.take(batch).toSet
       val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
         graph, probes.contains)
       val rows = pruned
@@ -377,6 +391,7 @@ object Hnsw {
         .collect().map { case (id, d) => (d, id) }
       bestK = (bestK ++ rows).sorted.take(k)
       probed += probes.size
+      remaining = remaining.drop(batch)
       batch *= 2
     }
     (bestK.map { case (dist, id) => (id, dist) }.toDF(idCol, "dist"), probed)

@@ -180,13 +180,16 @@ object Ivf {
     */
   def searchAdaptive(spark: SparkSession, indexPath: String, m: Model,
                      radii: Map[Long, Double], idCol: String, vecCol: String,
-                     query: Array[Float], k: Int): (DataFrame, Int) = {
+                     query: Array[Float], k: Int,
+                     filter: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, Int) = {
     require(m.metric == Knn.L2, "early-terminating search is defined for L2")
     val order = m.probeOrder(query)
     val centDist = order.map(j => j -> scalarDist(Knn.L2, query, m.centroids(j))).toMap
     // Lower bound of any member of list j: dist(q, c_j) - radius_j.
     adaptiveLoop(spark, indexPath, idCol, vecCol, query, k, Knn.L2, order,
-      j => centDist(j) - radii.getOrElse(j.toLong, Double.PositiveInfinity))
+      j => centDist(j) - radii.getOrElse(j.toLong, Double.PositiveInfinity),
+      filter)
   }
 
   /** K5 for the COSINE metric (ref knn/termination.h:23-52 parameterizes
@@ -209,7 +212,9 @@ object Ivf {
   def searchAdaptiveCosine(spark: SparkSession, indexPath: String, m: Model,
                            radii: Map[Long, Double], idCol: String,
                            vecCol: String, query: Array[Float], k: Int,
-                           eps: Double = 1e-4): (DataFrame, Int) = {
+                           eps: Double = 1e-4,
+                           filter: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, Int) = {
     require(m.metric == Knn.L2,
       "cosine early termination bounds through L2 over normalized vectors")
     val qn = normalizeQuery(query)
@@ -218,7 +223,47 @@ object Ivf {
     def bound(j: Int): Double = cosineLowerBound(
       centDist(j), radii.getOrElse(j.toLong, Double.PositiveInfinity), eps)
     adaptiveLoop(spark, indexPath, idCol, vecCol, query, k, Knn.Cosine,
-      order, bound)
+      order, bound, filter)
+  }
+
+  /** K3 through the index path (VERDICT r8 #2 — the reference evaluates
+    * the attribute filter INSIDE graph traversal, KNNFilter_i
+    * knn/knn.h:87-94 / HNSWFilterWrapper_c knn.cpp:90-97, and bypasses to
+    * brute force only when selectivity makes that cheaper, ShouldUseFullscan
+    * knn.cpp:613-620): route between
+    *  - the exact filtered FULLSCAN (selective filter: few survivors, score
+    *    them all — the pre-r9 path), and
+    *  - the adaptive probe loop with the predicate pushed into every probe
+    *    scan (`pred AND ivf_cluster IN probes`): lists are probed in
+    *    centroid order and the loop naturally OVER-PROBES until k survivors
+    *    accumulate or every remaining list's triangle bound exceeds the kth
+    *    best — exact over the filtered corpus by the same argument as the
+    *    unfiltered loop (the bound holds for every member of a list, so a
+    *    fortiori for the filtered subset).
+    *
+    * `selectivity` is the estimated match fraction (footer stats / Z4 seam
+    * at the call site); None = unknown, which conservatively takes the
+    * always-exact fullscan. Returns (top-k, lists probed, routed-to-index).
+    * nlist probes on the index path == filtered fullscan, so both arms are
+    * exact — the routing only moves cost. */
+  def searchFiltered(spark: SparkSession, indexPath: String, m: Model,
+                     radii: Map[Long, Double], idCol: String, vecCol: String,
+                     query: Array[Float], k: Int,
+                     pred: org.apache.spark.sql.Column,
+                     selectivity: Option[Double], rows: Long,
+                     ef: Int = 64): (DataFrame, Int, Boolean) = {
+    val fullscan = selectivity match {
+      case Some(sel) => Knn.shouldUseFullscan(sel, rows, k, ef)
+      case None => true
+    }
+    if (fullscan) {
+      val scanned = spark.read.parquet(indexPath).filter(pred)
+      (Knn.knn(scanned, vecCol, idCol, query, k, m.metric), m.nlist, false)
+    } else {
+      val (df, probed) = searchAdaptive(spark, indexPath, m, radii, idCol,
+        vecCol, query, k, Some(pred))
+      (df, probed, true)
+    }
   }
 
   /** Unit-normalized copy of a query vector (driver-side; a zero vector
@@ -248,7 +293,10 @@ object Ivf {
   private def adaptiveLoop(spark: SparkSession, indexPath: String,
                            idCol: String, vecCol: String, query: Array[Float],
                            k: Int, metric: Knn.Metric, order: Seq[Int],
-                           bound: Int => Double): (DataFrame, Int) = {
+                           bound: Int => Double,
+                           pred: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, Int) = {
+    var remaining = order
     var probed = 0
     var batch = 1
     var bestK: Seq[(Double, Long)] = Nil // (dist, id) ascending
@@ -256,19 +304,28 @@ object Ivf {
     // (bounds are not monotone in probe order — radii differ per list).
     // <= because ties matter: a candidate at EXACTLY the kth distance with
     // a smaller id would displace the kth under the asc-(dist, id) tie
-    // convention, so equal-bound lists must still be probed.
-    def remainingRelevant: Boolean =
-      bestK.size < k ||
-        order.drop(probed).exists(j => bound(j) <= bestK.last._1)
-    while (probed < order.size && remainingRelevant) {
-      val probes = order.slice(probed, probed + batch).map(_.toLong)
-      val rows = Knn.knn(
-          spark.read.parquet(indexPath)
-            .filter(col("ivf_cluster").isin(probes: _*)),
-          vecCol, idCol, query, k, metric)
+    // convention, so equal-bound lists must still be probed. Once k hits
+    // are held, lists whose bound exceeds the kth best are dropped from
+    // the schedule PERMANENTLY (ADVICE r8: the kth best only improves, so
+    // they can never become relevant again) — the next batch then probes
+    // only still-relevant lists instead of the blind centroid-order prefix.
+    while ({
+      if (bestK.size >= k)
+        remaining = remaining.filter(j => bound(j) <= bestK.last._1)
+      remaining.nonEmpty
+    }) {
+      val probes = remaining.take(batch).map(_.toLong)
+      val base = spark.read.parquet(indexPath)
+        .filter(col("ivf_cluster").isin(probes: _*))
+      // K3: the attribute predicate rides INSIDE the probe scan (the
+      // reference's in-traversal filter callback, knn/knn.h:87-94); if a
+      // probed list yields < k survivors the loop naturally over-probes.
+      val scanned = pred.map(base.filter).getOrElse(base)
+      val rows = Knn.knn(scanned, vecCol, idCol, query, k, metric)
         .collect().map(r => (r.getDouble(1), r.getLong(0)))
       bestK = (bestK ++ rows).sorted.take(k)
       probed += probes.size
+      remaining = remaining.drop(batch)
       batch *= 2
     }
     import spark.implicits._

@@ -71,6 +71,14 @@ class HttpProviderSpec extends AnyFunSuite with BeforeAndAfterAll {
       batchSizes.add(texts.size)
       respond(ex, 200, okResponse(texts))
     })
+    server.createContext("/auth", (ex: HttpExchange) => {
+      val texts = readTexts(ex)
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      val extra = ex.getRequestHeaders.getFirst("x-api-key")
+      if (auth == "Bearer sk-test" && extra == "k2")
+        respond(ex, 200, okResponse(texts))
+      else respond(ex, 401, "unauthorized")
+    })
     server.createContext("/flaky", (ex: HttpExchange) => {
       requestCount.incrementAndGet()
       val texts = readTexts(ex)
@@ -118,6 +126,19 @@ class HttpProviderSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def provider(path: String, retries: Int = 3) =
     Embeddings.HttpProvider(endpoint(path), "test-model", Dim,
       maxRetries = retries, baseBackoffMs = 1)
+
+  test("configured headers reach the request (authenticated endpoints, ADVICE r8)") {
+    // without credentials: 401 is a non-retryable 4xx → fails fast
+    intercept[IllegalArgumentException] {
+      provider("/auth").embedBatch(Seq("x"))
+    }
+    // with headers: authenticated round-trip; Content-Type stays ours
+    val p = Embeddings.HttpProvider(endpoint("/auth"), "test-model", Dim,
+      maxRetries = 0, baseBackoffMs = 1,
+      headers = Map("Authorization" -> "Bearer sk-test", "x-api-key" -> "k2",
+        "content-type" -> "text/evil"))
+    assert(p.embedBatch(Seq("alpha")).head.toSeq === refVec("alpha").toSeq)
+  }
 
   test("embedBatch round-trips the wire shape and preserves input order") {
     val texts = Seq("alpha", "beta gamma", "", "Ω emoji 😀")

@@ -1,0 +1,128 @@
+package graft.plans
+
+import graft.SparkT
+import graft.index.SecondaryIndex
+import graft.tables.Writer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Automatic secondary-index access-path routing (the reference host's
+  * choice between secondary index and columnar analyzer,
+  * columnar.cpp:649-675 + secondary.cpp:745-812): plain filter()/count()
+  * over a registered table routes through the postings when the estimate
+  * says selective, and stays on the pushdown scan when it doesn't — both
+  * plan shapes pinned here, with results equal either way. */
+class IndexRoutingSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  // id unique (the rowid contract); v high-ndv (500), w low-ndv (5 strings),
+  // x an unindexed residual column.
+  private lazy val (baseDir: String, idxVDir: String) = {
+    val tmp = Files.createTempDirectory("graft-idxroute")
+    val base = tmp.resolve("base").toString
+    val idxV = tmp.resolve("idxv").toString
+    val idxW = tmp.resolve("idxw").toString
+    val df = (0L until 1000L).map(i => (i, i / 2, (i % 5).toString, i % 100))
+      .toDF("id", "v", "w", "x")
+    Writer.write(df, base, sortBy = Seq("id"))
+    val rd = SparkT.spark.read.parquet(base)
+    SecondaryIndex.build(rd, "v", "id", idxV)
+    SecondaryIndex.build(rd, "w", "id", idxW)
+    IndexRouting.register(SparkT.spark, base, idxV, "v", "id")
+    IndexRouting.register(SparkT.spark, base, idxW, "w", "id")
+    (base, idxV)
+  }
+
+  private def base: DataFrame = SparkT.spark.read.parquet(baseDir)
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def semiJoins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.size
+
+  test("selective equality routes: postings semi-join, correct rows") {
+    val df = base.filter($"v" === 10L).select($"id", $"v")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(scanPaths(df).exists(_.contains("idxv")))
+    assert(df.as[(Long, Long)].collect().toSet === Set((20L, 10L), (21L, 10L)))
+  }
+
+  test("selective IN-list and narrow range route; results match brute force") {
+    val in = base.filter($"v".isin(3L, 7L)).select($"id")
+    assert(semiJoins(in) == 1)
+    assert(in.as[Long].collect().toSet === Set(6L, 7L, 14L, 15L))
+
+    val rng = base.filter($"v" >= 10L && $"v" <= 14L).select($"id")
+    assert(semiJoins(rng) == 1, rng.queryExecution.optimizedPlan.toString)
+    assert(rng.as[Long].collect().toSet === (20L to 29L).toSet)
+  }
+
+  test("non-selective predicates stay on the pushdown scan (the gate's other end)") {
+    // low-ndv equality: 1/5 = 0.2 > threshold 0.1
+    val w = base.filter($"w" === "3").select($"id")
+    assert(semiJoins(w) == 0, w.queryExecution.optimizedPlan.toString)
+    assert(!scanPaths(w).exists(_.contains("idxw")))
+    // broad range: span fraction ~0.98
+    val broad = base.filter($"v" >= 5L).select($"id")
+    assert(semiJoins(broad) == 0)
+    assert(broad.count() === 990)
+  }
+
+  test("plain count() lowers to the index-only sum(cnt): no fact scan at all") {
+    val cnt = base.filter($"v" === 10L).agg(count(lit(1)).as("cnt"))
+    val paths = scanPaths(cnt)
+    assert(paths.exists(_.contains("idxv")), cnt.queryExecution.optimizedPlan.toString)
+    assert(!paths.exists(_.contains("base")), s"fact table still scanned: $paths")
+    assert(cnt.as[Long].head() === 2L)
+    // range-shaped count takes the same short-circuit
+    val rcnt = base.filter($"v" >= 10L && $"v" < 13L).agg(count(lit(1)).as("cnt"))
+    assert(!scanPaths(rcnt).exists(_.contains("base")))
+    assert(rcnt.as[Long].head() === 6L)
+  }
+
+  test("residual conjuncts survive as a filter above the semi-join") {
+    val df = base.filter($"v" === 10L && $"x" > 20L).select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(df.as[Long].collect().toSeq === Seq(21L))
+    // count with a residual cannot take the index-only path — but the
+    // filter route still applies underneath, and the count stays correct
+    val cnt = base.filter($"v" === 10L && $"x" > 20L).agg(count(lit(1)).as("cnt"))
+    assert(scanPaths(cnt).exists(_.contains("base")))
+    assert(cnt.as[Long].head() === 1L)
+  }
+
+  test("unregistered tables and unindexed columns never route") {
+    val tmp = Files.createTempDirectory("graft-idxroute2").resolve("t").toString
+    Writer.write((0L until 100L).map(i => (i, i / 2)).toDF("id", "v"), tmp,
+      sortBy = Seq("id"))
+    val un = SparkT.spark.read.parquet(tmp).filter($"v" === 10L)
+    assert(semiJoins(un) == 0)
+    val x = base.filter($"x" === 3L)
+    assert(semiJoins(x) == 0)
+  }
+
+  test("threshold config moves the gate") {
+    val conf = SparkT.spark.conf
+    conf.set("spark.graft.index.routeThreshold", "0.5")
+    try {
+      val w = base.filter($"w" === "3").select($"id")
+      assert(semiJoins(w) == 1, "0.2 <= 0.5 should route now")
+      assert(w.count() === 200)
+    } finally conf.unset("spark.graft.index.routeThreshold")
+  }
+}

@@ -118,6 +118,55 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(res2.as[(Long, Double)].collect().toSeq === exact)
   }
 
+  test("filtered adaptive search: predicate inside the probe scan, exact, over-probes to k survivors (K3)") {
+    // label: cluster parity — a 50% filter, the medium-selectivity middle
+    // ground where neither brute force nor unfiltered probing is right.
+    val labeled = df.withColumn("label", ($"vec_id" / 40).cast("int") % 2)
+    val m = Ivf.train(labeled, "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivff").resolve("ix").toString
+    Ivf.buildIndex(labeled, "embedding", m, dir)
+    val radii = Ivf.listRadii(SparkT.spark, dir, m, "embedding")
+    val exact = Knn.knn(labeled.filter($"label" === 1), "embedding", "vec_id",
+      queryVec, 10).select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res, probed) = Ivf.searchAdaptive(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10, filter = Some($"label" === 1))
+    assert(res.as[(Long, Double)].collect().toSeq === exact)
+    // query sits in cluster 0 (label 0): its own list yields ZERO survivors,
+    // so the loop must over-probe past it — but still not scan every list
+    assert(probed >= 2 && probed < 8, s"probed $probed of 8 lists")
+    // filter matching nothing: fewer than k survivors, empty result, loop
+    // terminates after probing everything relevant
+    val (none, _) = Ivf.searchAdaptive(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10, filter = Some($"vec_id" < 0))
+    assert(none.count() === 0)
+  }
+
+  test("searchFiltered routes by selectivity: fullscan for selective, index for broad (K4)") {
+    val labeled = df.withColumn("label", ($"vec_id" / 40).cast("int") % 2)
+    val m = Ivf.train(labeled, "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivff2").resolve("ix").toString
+    Ivf.buildIndex(labeled, "embedding", m, dir)
+    val radii = Ivf.listRadii(SparkT.spark, dir, m, "embedding")
+    val exact = Knn.knn(labeled.filter($"label" === 1), "embedding", "vec_id",
+      queryVec, 10).select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    // selective (sel*n = 3.2 << 2*k*ef): brute force, exact
+    val (bf, _, routedBf) = Ivf.searchFiltered(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10, $"label" === 1,
+      selectivity = Some(0.01), rows = 320, ef = 2)
+    assert(!routedBf && bf.as[(Long, Double)].collect().toSeq === exact)
+    // broad (sel*n = 160 > 2*k*ef = 40): index path, exact, probes pruned
+    val (ix, probed, routedIx) = Ivf.searchFiltered(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10, $"label" === 1,
+      selectivity = Some(0.5), rows = 320, ef = 2)
+    assert(routedIx && ix.as[(Long, Double)].collect().toSeq === exact)
+    assert(probed < 8, s"index arm probed $probed of 8")
+    // unknown selectivity: conservative always-exact fullscan
+    val (un, _, routedUn) = Ivf.searchFiltered(SparkT.spark, dir, m, radii,
+      "vec_id", "embedding", queryVec, 10, $"label" === 1,
+      selectivity = None, rows = 320, ef = 2)
+    assert(!routedUn && un.as[(Long, Double)].collect().toSeq === exact)
+  }
+
   test("grouped top-k Aggregator matches the window-function reference") {
     val data = (1 to 500).map(i =>
       (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))
