@@ -123,7 +123,9 @@ object SecondaryIndex {
     postings(newRows, valueCol, keyCol)
       .repartitionByRange(files, col("value"), col("chunk"))
       .sortWithinPartitions(col("value"), col("chunk"))
-      .write.mode("append").parquet(indexPath)
+      // resolve: on a manifest-managed index the live data sits in the
+      // current generation dir, not at the base path
+      .write.mode("append").parquet(resolve(newRows.sparkSession, indexPath))
 
   /** I9: OPTIMIZE — merge all segments back to the canonical
     * one-row-per-(value, chunk) clustered layout (the reference's segment
@@ -142,6 +144,10 @@ object SecondaryIndex {
     val src = new org.apache.hadoop.fs.Path(tmp)
     val bak = new org.apache.hadoop.fs.Path(indexPath + "_old")
     val fs = dst.getFileSystem(conf)
+    require(manifestVersions(fs, indexPath).isEmpty,
+      s"$indexPath is manifest-managed (${manifestDir(indexPath)} exists): " +
+        "use compactManifest — mixing the rename and manifest commit " +
+        "schemes would strand readers on a stale generation")
     // self-heal from a crash between the two renames of a prior compact:
     // the index then lives at _old and dst is missing — restore first
     if (!fs.exists(dst) && fs.exists(bak) && !fs.rename(bak, dst))
@@ -186,22 +192,125 @@ object SecondaryIndex {
       case None => base.select(explode(col("rowids")).as("key"))
     }
 
-  /** Open the index table for reading, surviving the crash window of
-    * [[compact]]'s two-rename swap: if `<path>` is momentarily absent but
-    * the `<path>_old` backup exists, read the backup — the data the
-    * interrupted compaction was re-clustering (ADVICE r8: self-heal lived
-    * only in compact(), so every read path failed until another compact
-    * ran). Purely a read-side fallback; the next [[compact]] performs the
-    * actual restore-rename. */
-  private def openIndex(spark: SparkSession, indexPath: String): DataFrame = {
+  /** Resolve the CURRENT data directory of an index — the single read-side
+    * entry point every lookup/count path and [[IndexCheck]] go through.
+    * Resolution order:
+    *
+    *  1. manifest log (`<path>_manifest/v<N>`, highest N whose content
+    *     names an existing generation dir — [[compactManifest]]'s commit
+    *     protocol; a partially-written newest version is skipped, falling
+    *     back to the previous one);
+    *  2. `<path>` itself (plain builds and the rename-based [[compact]]);
+    *  3. `<path>_old` when `<path>` is missing — the crash window between
+    *     [[compact]]'s two renames (ADVICE r8: self-heal previously lived
+    *     only in compact(), so reads failed until another compact ran).
+    *
+    * Cost: one existence probe on the manifest dir per query build —
+    * metadata-only, no data IO. */
+  def resolve(spark: SparkSession, indexPath: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = if (!fs.exists(dst) &&
-                fs.exists(new org.apache.hadoop.fs.Path(indexPath + "_old")))
+    val fs = dst.getFileSystem(conf)
+    val mdir = new org.apache.hadoop.fs.Path(manifestDir(indexPath))
+    if (fs.exists(mdir)) {
+      manifestVersions(fs, indexPath).foreach { case (_, vfile) =>
+        val content = readSmallFile(fs, vfile)
+        if (content.nonEmpty) {
+          val gen = new org.apache.hadoop.fs.Path(dst.getParent, content)
+          if (fs.exists(gen)) return gen.toString
+        }
+      }
+    }
+    if (!fs.exists(dst) &&
+        fs.exists(new org.apache.hadoop.fs.Path(indexPath + "_old")))
       indexPath + "_old"
     else indexPath
-    spark.read.parquet(p)
   }
+
+  private def manifestDir(indexPath: String): String = indexPath + "_manifest"
+
+  /** Manifest versions, newest first. */
+  private[index] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                      indexPath: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val mdir = new org.apache.hadoop.fs.Path(manifestDir(indexPath))
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> p) else None
+      }
+      .sortBy(-_._1)
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  private[index] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                   indexPath: String, version: Long,
+                                   genDirName: String): Unit = {
+    val vfile = new org.apache.hadoop.fs.Path(manifestDir(indexPath),
+      s"v$version")
+    val out = fs.create(vfile, false) // no overwrite: versions are immutable
+    try out.write((genDirName + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** I9 OPTIMIZE with an OBJECT-STORE-SAFE commit (VERDICT r8 #7): the
+    * rename-based [[compact]] is correct where rename is atomic (HDFS,
+    * local FS), but on object stores a directory rename is a per-file
+    * copy+delete — a crash mid-rename leaves PARTIAL directories at both
+    * paths. This variant never renames data: it re-aggregates the current
+    * generation into a NEW immutable generation dir `<path>__g<N>` and
+    * commits by writing ONE new manifest object `<path>_manifest/v<N>`
+    * naming it — a single small-object PUT, the only atomicity an object
+    * store guarantees (the Delta/Iceberg commit shape). [[resolve]] reads
+    * the highest valid manifest version, so every crash interleaving
+    * leaves a readable, checkable index:
+    *
+    *  - crash while writing the new generation: manifest untouched,
+    *    readers stay on the old generation; the half-written dir is
+    *    garbage that the next compact deletes first;
+    *  - crash while writing `v<N>` (partial/empty object): resolve skips
+    *    invalid versions and falls back to `v<N-1>` / the base dir;
+    *  - crash after commit, before cleanup: both generations exist,
+    *    readers already see the new one; cleanup re-runs next compact.
+    *
+    * First call migrates a legacy (rename-scheme or plain-build) dir:
+    * the base dir keeps the gen-0 data until the commit lands, then is
+    * superseded (and deleted by cleanup — [[resolve]] prefers the
+    * manifest). Mixing schemes afterwards is rejected by [[compact]].
+    * [[appendSegment]] composes: it writes into the RESOLVED generation. */
+  def compactManifest(spark: SparkSession, indexPath: String,
+                      files: Int = 1): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    val cur = resolve(spark, indexPath)
+    val curVersion = manifestVersions(fs, indexPath).headOption.map(_._1).getOrElse(0L)
+    val nextVersion = curVersion + 1
+    val next = s"${indexPath}__g$nextVersion"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true) // crashed attempt
+    val exploded = spark.read.parquet(cur)
+      .select(col("value"), explode(col("rowids")).as("k"))
+    build(exploded, "value", "k", next, files)
+    // COMMIT: one new immutable manifest object
+    writeManifest(fs, indexPath, nextVersion,
+      new org.apache.hadoop.fs.Path(next).getName)
+    // cleanup of the superseded generation (crash-safe: resolve already
+    // prefers v<nextVersion>; re-running compact re-cleans)
+    if (cur != next) fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+  }
+
+  /** Open the index table for reading through [[resolve]]. */
+  private def openIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(resolve(spark, indexPath))
 
   /** Index-table predicate for a value interval; None = open bound (the
     * reference's half-open RANGE forms, common/filter.h LeftUnbounded /
