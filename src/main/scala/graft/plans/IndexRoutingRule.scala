@@ -65,11 +65,16 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   */
 object IndexRouting {
 
+  /** `mva = true` marks a [[graft.index.SecondaryIndex.buildMva]] index:
+    * postings repeat keys across element values, so it serves
+    * `array_contains` / `arrays_overlap` filters via the duplicate-
+    * insensitive semi-join but is excluded from the count and facet
+    * rewrites (sum(cnt) counts element occurrences, not rows). */
   final case class Registered(basePath: String, indexPath: String,
                               valueCol: String, keyCol: String,
                               rows: Long, ndv: Long, totalCnt: Long,
                               vMin: Option[Double], vMax: Option[Double],
-                              indexPlan: LogicalPlan)
+                              indexPlan: LogicalPlan, mva: Boolean)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, List[Registered]]
@@ -97,7 +102,7 @@ object IndexRouting {
     * filter over the table in this session routes. */
   def register(spark: SparkSession, basePath: String, indexPath: String,
                valueCol: String, keyCol: String,
-               force: Boolean = false): Unit = {
+               force: Boolean = false, mva: Boolean = false): Unit = {
     val q = qualify(spark, basePath)
     val existing = reg.getOrElse(q, Nil)
     if (!force && existing.exists(r =>
@@ -112,7 +117,7 @@ object IndexRouting {
       min(col("value")), max(col("value"))).head()
     val entry = Registered(q, indexPath, valueCol, keyCol, rows,
       math.max(1L, s.getLong(1)), s.getLong(0),
-      numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed)
+      numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva)
     reg.put(q, entry :: existing.filterNot(r =>
       r.indexPath == indexPath && r.valueCol == valueCol))
   }
@@ -148,11 +153,77 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }).getOrElse(agg)
 
+    // Index-served facet: GROUP BY indexed-col + COUNT(*) over the bare
+    // (or fully-servable-filtered) relation → (value, sum(cnt)) over the
+    // index, no fact scan — the reference's dictionary-backed facet
+    // acceleration (TABLE packing makes low-card group-by cheap,
+    // builderint.cpp:218-219; the postings counts ARE that dictionary).
+    case agg @ Aggregate(Seq(g: AttributeReference), aggs, child, _)
+        if aggs.size == 2 =>
+      tryFacet(g, aggs, child).getOrElse(agg)
+
     // Access-path choice: servable conjuncts → postings semi-join.
     case f @ Filter(cond, lr: LogicalRelation) =>
       relationOf(lr).flatMap { case (_, regs) =>
         tryFilter(cond, lr, regs)
       }.getOrElse(f)
+  }
+
+  /** GROUP BY valueCol + count(*) → index-only facet. The NULL group
+    * reconciles too: the postings keep a NULL-value group whose counts sum
+    * to the fact table's NULL rows, matching SQL GROUP BY semantics. MVA
+    * indexes are excluded (their counts are element occurrences). */
+  private def tryFacet(g: AttributeReference, aggs: Seq[NamedExpression],
+                       child: LogicalPlan): Option[LogicalPlan] = {
+    val cntAlias = aggs.collectFirst {
+      case a @ Alias(ae: AggregateExpression, _) if isCountStar(ae) => a
+    }
+    val groupOut = aggs.find {
+      case ar: AttributeReference => ar.semanticEquals(g)
+      case Alias(ar: AttributeReference, _) => ar.semanticEquals(g)
+      case _ => false
+    }
+    if (cntAlias.isEmpty || groupOut.isEmpty) return None
+    val (inner, lrOpt) = stripPrune(child) match {
+      case Filter(cond, c) => (Some(cond), relationOf(stripPrune(c)))
+      case other => (None, relationOf(other))
+    }
+    lrOpt.flatMap { case (lr, regs) =>
+      regs.filterNot(_.mva)
+        .find(r => r.valueCol == g.name &&
+          lr.output.exists(a => a.name == g.name && a.semanticEquals(g)))
+        .flatMap { r =>
+          for {
+            idxValue <- r.indexPlan.output.find(_.name == "value")
+            cnt <- r.indexPlan.output.find(_.name == "cnt")
+            v <- lr.output.find(_.name == r.valueCol)
+            // a filter under the facet must be fully servable by this index
+            idxChild <- inner match {
+              case None => Some(r.indexPlan)
+              case Some(cond) =>
+                val conjuncts = splitConjuncts(cond)
+                if (conjuncts.forall(servable(_, v)))
+                  Some(Filter(
+                    conjuncts.map(substitute(_, v, idxValue)).reduce(And),
+                    r.indexPlan): LogicalPlan)
+                else None
+            }
+          } yield {
+            val sum = Coalesce(Seq(
+              Sum(cnt).toAggregateExpression(), Literal(0L)))
+            // keep the original output ORDER and exprIds
+            val outs = aggs.map {
+              case a @ Alias(ae: AggregateExpression, _) if isCountStar(ae) =>
+                Alias(sum, a.name)(exprId = a.exprId)
+              case ar: AttributeReference =>
+                Alias(idxValue, ar.name)(exprId = ar.exprId)
+              case al: Alias =>
+                Alias(idxValue, al.name)(exprId = al.exprId)
+            }
+            Aggregate(Seq(idxValue), outs, idxChild, None)
+          }
+        }
+    }
   }
 
   private def isCountStar(ae: AggregateExpression): Boolean =
@@ -186,6 +257,28 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case o => Seq(o)
+  }
+
+  /** Literal elements of a non-null array literal, or None. */
+  private def arrayLits(l: Literal): Option[Seq[Literal]] = l.dataType match {
+    case org.apache.spark.sql.types.ArrayType(et, _) if l.value != null =>
+      val arr = l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(et)
+      if (arr.contains(null)) None else Some(arr.toSeq.map(Literal(_, et)))
+    case _ => None
+  }
+
+  /** Servable shapes over an MVA index (ref: `ANY(col)` filters on
+    * UINT32SET columns are index-accelerated — each set element is posted):
+    * membership and overlap against literals. ALL/exclude quantifiers and
+    * IS NOT NULL are NOT servable (empty arrays have no postings but are
+    * not null). */
+  private def servableMva(e: Expression, v: Attribute): Boolean = e match {
+    case ArrayContains(a: AttributeReference, l: Literal) =>
+      a.semanticEquals(v) && l.value != null
+    case ArraysOverlap(a: AttributeReference, l: Literal) =>
+      a.semanticEquals(v) && arrayLits(l).exists(_.nonEmpty)
+    case _ => false
   }
 
   /** Is `e` answerable from the postings of index `r` over `v`?
@@ -254,6 +347,11 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
            EqualTo(_: Literal, _: AttributeReference) => points(1)
       case In(_, vs) => points(vs.size)
       case InSet(_, hset) => points(hset.size)
+      // MVA: totalCnt counts element occurrences >= matching rows, so the
+      // points estimate is an upper bound — conservative against routing
+      case ArrayContains(_, _) => points(1)
+      case ArraysOverlap(_, l: Literal) =>
+        arrayLits(l).flatMap(ls => points(ls.size))
       case GreaterThan(_: AttributeReference, l: Literal) =>
         num(l).flatMap(v => span(v, Double.MaxValue))
       case GreaterThanOrEqual(_: AttributeReference, l: Literal) =>
@@ -275,12 +373,21 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Rewrite predicate conjuncts from the fact column to the index table's
-    * `value` column. */
+    * `value` column. MVA shapes lower to their element-wise postings form:
+    * `array_contains(col, x)` → `value = x`, `arrays_overlap(col, xs)` →
+    * `value IN xs` (each set element was posted, so a row matches iff one
+    * of its elements' postings holds its key). */
   private def substitute(e: Expression, factCol: Attribute,
-                         idxValue: Attribute): Expression =
-    e.transform {
+                         idxValue: Attribute): Expression = e match {
+    case ArrayContains(a: AttributeReference, l: Literal)
+        if a.semanticEquals(factCol) => EqualTo(idxValue, l)
+    case ArraysOverlap(a: AttributeReference, l: Literal)
+        if a.semanticEquals(factCol) =>
+      In(idxValue, arrayLits(l).get)
+    case _ => e.transform {
       case a: AttributeReference if a.semanticEquals(factCol) => idxValue
     }
+  }
 
   /** The postings key stream as a logical sub-plan:
     * Project(key, Explode(rowids, Filter(pred, indexRelation))). */
@@ -315,7 +422,8 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     val conjuncts = splitConjuncts(cond)
     val candidates = regs.flatMap { r =>
       lr.output.find(_.name == r.valueCol).flatMap { v =>
-        val (s, rest) = conjuncts.partition(servable(_, v))
+        val (s, rest) = conjuncts.partition(c =>
+          if (r.mva) servableMva(c, v) else servable(c, v))
         if (s.forall(isNotNullPred)) None
         else {
           val ests = s.map(estimate(_, r))
@@ -354,7 +462,7 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def tryCount(a: Alias, cond: Expression, lr: LogicalRelation,
                        regs: List[Registered]): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(cond)
-    regs.flatMap { r =>
+    regs.filterNot(_.mva).flatMap { r =>
       lr.output.find(_.name == r.valueCol).flatMap { v =>
         if (!conjuncts.forall(servable(_, v))) None
         else for {

@@ -160,6 +160,43 @@ object IndexQueries {
       },
       Some("SELECT count(*) AS cnt FROM orders WHERE o_custkey = 421")),
 
+    // H4 via index, AUTOMATICALLY ROUTED: a plain groupBy(col).count()
+    // over the registered table lowers to the index-only (value, sum(cnt))
+    // facet — the postings counts ARE the dictionary the reference's
+    // TABLE-packed columns hand their host for cheap facets
+    // (builderint.cpp:218-219); the fact table never appears in the plan
+    // (IndexRoutingSpec pins this).
+    "q_index_auto_facet" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_prio_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_orderpriority", "o_orderkey")
+        t(s, d, "orders").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY o_orderpriority")),
+
+    // F6 via index, AUTOMATICALLY ROUTED: a plain array_contains() filter
+    // over a registered MVA index routes through the element postings
+    // (the reference accelerates ANY(col) on UINT32SET columns the same
+    // way). mcl_parts' element ndv ~ the part table, so one element is
+    // far below the gate; the tags index (ndv 7) correctly stays on the
+    // scan (IndexRoutingSpec pins both ends).
+    "q_index_mva_auto" -> QueryDef(
+      (s, d) => {
+        val base = Derived.tablePath(s, d, "mcl_parts")
+        graft.plans.IndexRouting.register(s, base, base + "_idx",
+          "parts", "l_orderkey", mva = true)
+        Derived.table(s, d, "mcl_parts")
+          .filter(array_contains(col("parts"), lit(50L)))
+          .select(col("l_orderkey"))
+      },
+      Some("WITH parts AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_partkey)) AS parts FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT l_orderkey FROM parts WHERE list_contains(parts, 50)")),
+
     // F6 via index: MVA ANY served from the postings (ref: the secondary
     // index covers UINT32SET columns, common/schema.h:29-44 — each set
     // element is posted). The IN-list lookup may repeat a key across the

@@ -176,6 +176,21 @@ object Derived {
     }, Seq(IndexMeta("", "orders", factIsDerived = false,
       "o_totalprice", "o_orderkey"))),
 
+    // High-element-ndv stored MVA (the reference's canonical UINT32SET use
+    // case: attribute-id sets): the distinct part keys of each order.
+    // Element ndv tracks the part table (~200k x sf), so a single-element
+    // membership filter is highly selective — the shape the MVA
+    // auto-routing gate exercises.
+    "mcl_parts" -> Entry((spark, sfDir, path) => {
+      val li = graft.engine.Graft.table(spark, sfDir, "lineitem")
+      val parts = li.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      Writer.write(parts, path, sortBy = Seq("l_orderkey"))
+      graft.index.SecondaryIndex.buildMva(parts, "parts", "l_orderkey",
+        path + "_idx")
+    }, Seq(IndexMeta("_idx", "mcl_parts", factIsDerived = true,
+      "parts", "l_orderkey", mva = true))),
+
     // MVA secondary index (ref: UINT32SET/INT64SET columns are indexable,
     // common/schema.h:29-44 — the builder posts each set element): every
     // element of mcl_attrs.tags posts its l_orderkey, so ANY(tags) filters

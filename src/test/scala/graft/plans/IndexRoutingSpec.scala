@@ -116,6 +116,54 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(semiJoins(x) == 0)
   }
 
+  test("groupBy(indexed col).count() lowers to the index-only facet") {
+    val facet = base.groupBy($"v").agg(count(lit(1)).as("n"))
+    val paths = scanPaths(facet)
+    assert(paths.exists(_.contains("idxv")),
+      facet.queryExecution.optimizedPlan.toString)
+    assert(!paths.exists(_.contains("base")), s"fact table scanned: $paths")
+    val got = facet.as[(Long, Long)].collect().toMap
+    assert(got === (0L until 500L).map(_ -> 2L).toMap)
+    // filtered facet: the (servable) filter rides on the index scan
+    val ff = base.filter($"v" < 3L).groupBy($"v").agg(count(lit(1)).as("n"))
+    assert(!scanPaths(ff).exists(_.contains("base")))
+    assert(ff.as[(Long, Long)].collect().toMap ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // unindexed group column: untouched
+    val ux = base.groupBy($"x").agg(count(lit(1)).as("n"))
+    assert(scanPaths(ux).exists(_.contains("base")))
+    assert(ux.count() === 100)
+  }
+
+  test("MVA index routes array_contains / arrays_overlap, never the count path") {
+    val tmp = Files.createTempDirectory("graft-idxroute-mva")
+    val mbase = tmp.resolve("mbase").toString
+    val midx = tmp.resolve("midx").toString
+    val rows = (0L until 1000L).map(i => (i, Seq(i / 2, i / 2 + 600)))
+    Writer.write(rows.toDF("id", "arr"), mbase, sortBy = Seq("id"))
+    SecondaryIndex.buildMva(SparkT.spark.read.parquet(mbase), "arr", "id", midx)
+    IndexRouting.register(SparkT.spark, mbase, midx, "arr", "id", mva = true)
+
+    val mdf = SparkT.spark.read.parquet(mbase)
+    val c = mdf.filter(array_contains($"arr", 10L)).select($"id")
+    assert(semiJoins(c) == 1, c.queryExecution.optimizedPlan.toString)
+    assert(c.as[Long].collect().toSet === Set(20L, 21L))
+    // overlap: keys may repeat across the two matched elements — the
+    // semi-join dedups (element 10 and 610 share rows 20/21)
+    val o = mdf.filter(arrays_overlap($"arr", typedlit(Seq(10L, 610L, 11L))))
+      .select($"id")
+    assert(semiJoins(o) == 1, o.queryExecution.optimizedPlan.toString)
+    assert(o.as[Long].collect().toSet === Set(20L, 21L, 22L, 23L))
+    // ALL-shaped predicates are not servable from element postings
+    val all = mdf.filter(forall($"arr", e => e > 100L))
+    assert(semiJoins(all) == 0)
+    // the count path never uses an MVA index (sum(cnt) counts element
+    // occurrences, not rows) — but the semi-join route underneath is fine
+    val cnt = mdf.filter(array_contains($"arr", 10L)).agg(count(lit(1)).as("n"))
+    assert(scanPaths(cnt).exists(_.contains("mbase")))
+    assert(cnt.as[Long].head() === 2L)
+  }
+
   test("threshold config moves the gate") {
     val conf = SparkT.spark.conf
     conf.set("spark.graft.index.routeThreshold", "0.5")
