@@ -164,6 +164,18 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(cnt.as[Long].head() === 2L)
   }
 
+  test("routed semi-join broadcasts the key set: no shuffle of fact rows") {
+    // the 100 TB shape: a selective route ships the exploded keys to the
+    // executors and probes the fact side locally — the fact table is
+    // neither shuffled nor sorted
+    val df = base.filter($"v" === 10L).select($"id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("threshold config moves the gate") {
     val conf = SparkT.spark.conf
     conf.set("spark.graft.index.routeThreshold", "0.5")
