@@ -27,7 +27,8 @@ object Graft {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
-      // Engine planner rules (hash-companion rewrite) — same registration a
+      // Engine planner rules (hash-companion rewrite, ANN routing,
+      // secondary-index access-path routing) — same registration a
       // cluster deployment uses via --conf spark.sql.extensions.
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

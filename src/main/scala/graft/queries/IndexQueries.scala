@@ -146,6 +146,22 @@ object IndexQueries {
       },
       Some("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 421")),
 
+    // I3 AUTOMATICALLY ROUTED, value-range shape: a narrow BETWEEN routes
+    // through the postings (the span estimate against the index's value
+    // bounds — the EstimateMinMax seam); a broad range stays on the scan
+    // (IndexRoutingSpec pins the bypass end).
+    "q_index_auto_range" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") >= 100 && col("o_custkey") <= 140)
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_custkey BETWEEN 100 AND 140")),
+
     // I6 AUTOMATICALLY ROUTED: a plain count() over a filtered base table
     // lowers to the index-only sum(cnt) (the reference's CalcCount
     // short-circuit is host-automatic, secondary.cpp:774-812) — the fact

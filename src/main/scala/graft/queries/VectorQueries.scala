@@ -96,6 +96,28 @@ object VectorQueries {
     // closes — exact over the filtered corpus, so it shares
     // q_knn_filtered's oracle. Probe economy and the selectivity-crossover
     // routing (Ivf.searchFiltered) are spec-tested (IvfTopKSpec).
+    // K3 on the GRAPH path — the reference's per-candidate filter callback
+    // (KNNFilter_i knn/knn.h:87-94, HNSWFilterWrapper_c knn.cpp:90-97):
+    // the beam walk expands through disallowed nodes (connectivity) and
+    // admits only allowed ids into the result beam. The allowed set comes
+    // from a selective attribute filter (the callback contract — broad
+    // filters take the IVF path, whose index table carries attributes);
+    // ef >= sub-graph size ⇒ exact over the allowed subset, so it shares
+    // q_knn_filtered's oracle.
+    "q_knn_filtered_graph" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val path = hnswIndex(s, d)
+        val ids = t(s, d, "embeddings").filter(col("label") === 3)
+          .select(col("vec_id")).as[Long].collect().toSet
+        val idsB = s.sparkContext.broadcast(ids)
+        Hnsw.search(s, path, "vec_id", queryVec(s, d), k = 10, ef = 1 << 20,
+            allowed = Some(id => idsB.value.contains(id)))
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
+        "WHERE label = 3 "))),
+
     "q_knn_filtered_ivf" -> QueryDef(
       (s, d) => {
         val (m, path) = ivfIndex(s, d)

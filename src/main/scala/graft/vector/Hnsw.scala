@@ -59,8 +59,17 @@ object Hnsw {
     /** Beam search over the first `upTo` inserted nodes (the graph so far
       * during build; the whole graph when upTo = n). Returns (dist, idx)
       * ascending, at most ef entries — every reachable node when ef >= upTo
-      * (the chain edges make all of them reachable). */
-    def searchBeam(q: Array[Float], ef: Int, upTo: Int): Seq[(Double, Int)] = {
+      * (the chain edges make all of them reachable).
+      *
+      * `allowed` is K3's in-traversal filter (ref KNNFilter_i::IsAllowed,
+      * knn/knn.h:87-94 wrapped for hnswlib by HNSWFilterWrapper_c,
+      * knn.cpp:90-97): traversal EXPANDS through disallowed nodes (they
+      * keep the graph connected) but only allowed ones enter the result
+      * beam. With ef >= upTo the result is exactly the allowed subset —
+      * the bound never prunes, because the result heap holds at most the
+      * allowed count <= ef entries. */
+    def searchBeam(q: Array[Float], ef: Int, upTo: Int,
+                   allowed: Int => Boolean = _ => true): Seq[(Double, Int)] = {
       if (upTo == 0) return Nil
       val ord = Ordering.Tuple2[Double, Int]
       // candidates: min-first by (dist, id-idx); results: max-first
@@ -68,7 +77,8 @@ object Hnsw {
       val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
       val visited = new java.util.BitSet(upTo)
       val e0 = (d(0, q), 0)
-      cand.enqueue(e0); res.enqueue(e0); visited.set(0)
+      cand.enqueue(e0); visited.set(0)
+      if (allowed(0)) res.enqueue(e0)
       while (cand.nonEmpty) {
         val c = cand.dequeue()
         if (res.size >= ef && ord.gt(c, res.head)) { cand.clear() }
@@ -79,8 +89,10 @@ object Hnsw {
               val de = (d(e, q), e)
               if (res.size < ef || ord.lt(de, res.head)) {
                 cand.enqueue(de)
-                res.enqueue(de)
-                if (res.size > ef) res.dequeue()
+                if (allowed(e)) {
+                  res.enqueue(de)
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
           }
@@ -274,8 +286,9 @@ object Hnsw {
   /** Rehydrate one partition's sub-graph and beam-search it: the shared
     * task body of [[search]] and [[searchRouted]]. */
   private def searchSubGraph(it: Iterator[(Int, GraphRow)], q: Array[Float],
-                             k: Int, ef: Int,
-                             metric: Knn.Metric): Iterator[(Long, Double)] = {
+                             k: Int, ef: Int, metric: Knn.Metric,
+                             allowed: Long => Boolean = _ => true)
+      : Iterator[(Long, Double)] = {
     val sorted = it.map(_._2).toArray.sortBy(_._1)
     if (sorted.isEmpty) Iterator.empty
     else {
@@ -284,18 +297,30 @@ object Hnsw {
       sorted.indices.foreach { i =>
         g.adj(i) ++= sorted(i)._3.iterator.map(idx)
       }
-      g.searchBeam(q, math.max(ef, k), g.n).take(k)
+      g.searchBeam(q, math.max(ef, k), g.n, i => allowed(g.ids(i))).take(k)
         .map { case (dist, i) => (g.ids(i), dist) }.iterator
     }
   }
 
+  /** `allowed` is K3 on the graph path — the reference's per-candidate
+    * filter callback (KNNFilter_i, knn/knn.h:87-94): traversal expands
+    * through disallowed nodes, only allowed ids enter the beam; exact over
+    * the allowed subset at ef >= sub-graph size. The caller supplies the
+    * predicate (typically a broadcast id set from a selective attribute
+    * filter, or a pure function of the id) — for BROAD attribute filters
+    * prefer [[Ivf.searchFiltered]], whose index table carries the
+    * attribute columns so the predicate rides the probe scan instead of a
+    * driver-built set (the reference host hands its filter bitmaps to the
+    * callback the same way). */
   def search(spark: SparkSession, indexPath: String, idCol: String,
              query: Array[Float], k: Int, ef: Int,
-             metric: Knn.Metric = Knn.L2): DataFrame = {
+             metric: Knn.Metric = Knn.L2,
+             allowed: Option[Long => Boolean] = None): DataFrame = {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(query)
+    val f = allowed.getOrElse((_: Long) => true)
     val perPart = loadGraph(spark, indexPath)
-      .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric))
+      .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric, f))
     spark.createDataset(perPart).toDF(idCol, "dist")
       .orderBy(col("dist").asc, col(idCol).asc).limit(k)
   }
@@ -355,7 +380,8 @@ object Hnsw {
     * Returns (top-k DataFrame, sub-graphs probed). */
   def searchRouted(spark: SparkSession, indexPath: String, idCol: String,
                    query: Array[Float], k: Int, ef: Int,
-                   eps: Double = 1e-4): (DataFrame, Int) = {
+                   eps: Double = 1e-4,
+                   allowed: Option[Long => Boolean] = None): (DataFrame, Int) = {
     import spark.implicits._
     val (metric, rts) = routes(spark, indexPath)
     val boundQ =
@@ -369,6 +395,10 @@ object Hnsw {
     }
     val graph = loadGraph(spark, indexPath)
     val qB = spark.sparkContext.broadcast(query)
+    // K3: the filter callback rides inside each probed sub-graph's beam
+    // walk; the triangle bound still holds a fortiori for the allowed
+    // subset, and < k survivors keeps the loop probing (over-probe)
+    val f = allowed.getOrElse((_: Long) => true)
     var remaining: Seq[Int] = order.toSeq
     var probed = 0
     var batch = 1
@@ -387,7 +417,7 @@ object Hnsw {
       val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
         graph, probes.contains)
       val rows = pruned
-        .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric))
+        .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric, f))
         .collect().map { case (id, d) => (d, id) }
       bestK = (bestK ++ rows).sorted.take(k)
       probed += probes.size

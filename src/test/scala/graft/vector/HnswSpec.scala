@@ -71,6 +71,64 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("filter callback: exact over the allowed subset, traversal crosses disallowed nodes (K3)") {
+    val d = Files.createTempDirectory("graft-hnswf").resolve("g").toString
+    // m=2 again: the walk MUST pass through disallowed nodes to reach
+    // allowed ones — admitting-only-allowed must not disconnect anything
+    Hnsw.buildIndex(emb, "embedding", "vec_id", d, Hnsw.Params(m = 2, efC = 8))
+    val allowedIds = emb.filter($"label" === 3).select("vec_id")
+      .as[Long].collect().toSet
+    val exact = Knn.knn(emb.filter($"label" === 3), "embedding", "vec_id",
+      queryVec, 10).select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val got = Hnsw.search(SparkT.spark, d, "vec_id", queryVec, 10,
+        ef = 1 << 20, allowed = Some(allowedIds.contains))
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(got === exact)
+    // nothing allowed → empty result, no crash
+    assert(Hnsw.search(SparkT.spark, d, "vec_id", queryVec, 10,
+      ef = 1 << 20, allowed = Some(_ => false)).count() === 0)
+  }
+
+  test("routed search honors the filter callback and over-probes to k survivors (K3)") {
+    val rnd = new scala.util.Random(19)
+    val dim = 32
+    val rows = for {
+      c <- 0 until 8
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5)
+      i <- 0 until 50
+    } yield ((c * 50 + i).toLong,
+      center.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswrf").resolve("g").toString
+    Hnsw.buildIndexClustered(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8))
+    val q = rows(3)._2 // query in cluster 0
+    // allow only ODD ids: about half of every cluster survives
+    val allowed: Long => Boolean = _ % 2 == 1
+    val exact = Knn.knn(df.filter($"vec_id" % 2 === 1), "embedding", "vec_id",
+      q, 10).select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res, probed) = Hnsw.searchRouted(SparkT.spark, d, "vec_id", q, 10,
+      ef = 1 << 20, allowed = Some(allowed))
+    assert(res.as[(Long, Double)].collect().toSeq === exact)
+    assert(probed < 8, s"probed $probed of 8 sub-graphs")
+    // filter excluding EVERY member of the query's own sub-graph (as
+    // actually built — k-means may co-locate clusters): the loop must
+    // over-probe past the zero-survivor home sub-graph and still return
+    // the exact filtered top-k
+    val g = SparkT.spark.read.parquet(d)
+    val homePid = g.filter($"id" === 3L).select("pid").as[Int].head()
+    val homeIds = g.filter($"pid" === homePid).select("id")
+      .as[Long].collect().toSet
+    val far: Long => Boolean = id => !homeIds.contains(id)
+    val exactFar = Knn.knn(df.filter(!$"vec_id".isin(homeIds.toSeq: _*)),
+      "embedding", "vec_id", q, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (resFar, probedFar) = Hnsw.searchRouted(SparkT.spark, d, "vec_id",
+      q, 10, ef = 1 << 20, allowed = Some(far))
+    assert(resFar.as[(Long, Double)].collect().toSeq === exactFar)
+    assert(probedFar >= 2, s"must probe past the empty home sub-graph")
+  }
+
   test("routed search is exact and schedules only a few sub-graphs (ADVICE r7)") {
     val rnd = new scala.util.Random(17)
     val dim = 32
