@@ -50,7 +50,10 @@ object Graft {
     spark
   }
 
+  /** Storage location of one star-schema table in a scale-factor dir. */
+  def tablePath(dir: String, name: String): String = s"$dir/$name.parquet"
+
   /** Load one table of the star schema from a scale-factor directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(tablePath(dir, name))
 }

@@ -228,6 +228,28 @@ object Derived {
   /** Derived table names (for integrity sweeps). */
   def names: Seq[String] = builders.keys.toSeq.sorted
 
+  /** Register EVERY index artifact of `sfDir` with
+    * [[graft.plans.IndexRouting]] (building absent ones) — after this one
+    * call, plain filters / counts / facets over the indexed tables route
+    * automatically, which is the reference daemon's zero-config behavior
+    * (its table metadata carries the index list; the host consults it per
+    * query). Segmented index dirs register too: lookups union segments at
+    * explode time, so routed reads stay correct pre-compaction. Returns
+    * the (basePath, indexDir) pairs registered. */
+  def registerIndexes(spark: SparkSession,
+                      sfDir: String): Seq[(String, String)] =
+    names.flatMap { n =>
+      builders(n).indexes.map { m =>
+        val dir = tablePath(spark, sfDir, n) + m.dirSuffix
+        val basePath =
+          if (m.factIsDerived) tablePath(spark, sfDir, m.factTable)
+          else graft.engine.Graft.tablePath(sfDir, m.factTable)
+        graft.plans.IndexRouting.register(spark, basePath, dir,
+          m.valueCol, m.keyCol, mva = m.mva)
+        basePath -> dir
+      }
+    }
+
   /** S4 catalog sweep — the CheckColumnarStorage/CheckSecondaryIndex pass
     * over every engine-written artifact of `sfDir` (building absent ones):
     * structural [[Check]] for each table INCLUDING index siblings, plus

@@ -185,4 +185,27 @@ class IndexRoutingSpec extends AnyFunSuite {
       assert(w.count() === 200)
     } finally conf.unset("spark.graft.index.routeThreshold")
   }
+
+  // LAST in the suite: sweeps the real derived catalog into the registry,
+  // then clears ALL registrations (suites run sequentially in the forked
+  // test JVM, so no other suite observes the window).
+  test("Derived.registerIndexes: one call makes the whole catalog plan-automatic") {
+    val sfDir = "/root/testdata/sf0.001"
+    try {
+      val pairs = graft.tables.Derived.registerIndexes(SparkT.spark, sfDir)
+      assert(pairs.size >= 7, s"registered only: $pairs")
+      // a plain selective filter over the BASE orders table now routes —
+      // the reference daemon's zero-config behavior
+      val routed = graft.engine.Graft.table(SparkT.spark, sfDir, "orders")
+        .filter($"o_custkey" === 42L).select($"o_orderkey")
+      assert(semiJoins(routed) == 1,
+        routed.queryExecution.optimizedPlan.toString)
+      // same rows as a non-servable spelling of the same predicate
+      // (abs() keeps the optimizer from normalizing it into a route)
+      val want = graft.engine.Graft.table(SparkT.spark, sfDir, "orders")
+        .filter(abs($"o_custkey" - 42L) === 0).select($"o_orderkey")
+        .as[Long].collect().toSet
+      assert(routed.as[Long].collect().toSet === want)
+    } finally IndexRouting.clear()
+  }
 }
