@@ -186,6 +186,34 @@ class IndexRoutingSpec extends AnyFunSuite {
     } finally conf.unset("spark.graft.index.routeThreshold")
   }
 
+  test("property: routed plans agree with client-side evaluation for random predicates") {
+    // 40 random servable predicates across the gate (some route, some
+    // bypass — both must be correct); expected sets evaluated in plain
+    // Scala against the generator's own rows.
+    val rows = (0L until 1000L).map(i => (i, i / 2, (i % 5).toString, i % 100))
+    val rnd = new scala.util.Random(47)
+    (1 to 40).foreach { trial =>
+      val a = rnd.nextLong(600) - 50
+      val b = a + rnd.nextLong(200)
+      val (pred, want) = rnd.nextInt(6) match {
+        case 0 => ($"v" === a, rows.filter(_._2 == a))
+        case 1 => ($"v" < a, rows.filter(_._2 < a))
+        case 2 => ($"v" >= a, rows.filter(_._2 >= a))
+        case 3 =>
+          val vs = Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong(600) - 50)
+          ($"v".isin(vs: _*), rows.filter(r => vs.contains(r._2)))
+        case 4 => ($"v" >= a && $"v" <= b,
+          rows.filter(r => r._2 >= a && r._2 <= b))
+        case 5 => ($"v" === a && $"x" > 50L,
+          rows.filter(r => r._2 == a && r._4 > 50))
+      }
+      val got = base.filter(pred).select($"id").as[Long].collect().toSet
+      assert(got === want.map(_._1).toSet, s"trial $trial pred $pred")
+      val cnt = base.filter(pred).agg(count(lit(1))).as[Long].head()
+      assert(cnt === want.size.toLong, s"trial $trial count, pred $pred")
+    }
+  }
+
   // LAST in the suite: sweeps the real derived catalog into the registry,
   // then clears ALL registrations (suites run sequentially in the forked
   // test JVM, so no other suite observes the window).
