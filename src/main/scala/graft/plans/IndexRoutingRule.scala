@@ -153,13 +153,25 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }).getOrElse(agg)
 
-    // Index-served facet: GROUP BY indexed-col + COUNT(*) over the bare
-    // (or fully-servable-filtered) relation → (value, sum(cnt)) over the
-    // index, no fact scan — the reference's dictionary-backed facet
-    // acceleration (TABLE packing makes low-card group-by cheap,
-    // builderint.cpp:218-219; the postings counts ARE that dictionary).
+    // I7: COUNT(DISTINCT col) from the index's distinct-value stream (the
+    // reference precomputes per-column ndv in the index meta,
+    // secondary.cpp:380-388) — the distinct runs over index rows
+    // (ndv × chunks), never fact rows.
+    case agg @ Aggregate(ge, aggs, child, _) if ge.isEmpty && aggs.size == 1 &&
+        (aggs.head match {
+          case Alias(ae: AggregateExpression, _) => isCountDistinctOnCol(ae)
+          case _ => false
+        }) =>
+      tryCountDistinct(aggs.head.asInstanceOf[Alias], child).getOrElse(agg)
+
+    // Index-served facet / DISTINCT: GROUP BY indexed-col [+ COUNT(*)]
+    // over the bare (or fully-servable-filtered) relation → the index's
+    // (value [, sum(cnt)]) — no fact scan; the reference's
+    // dictionary-backed facet acceleration (TABLE packing makes low-card
+    // group-by cheap, builderint.cpp:218-219; the postings counts ARE
+    // that dictionary, and the value stream IS the distinct set).
     case agg @ Aggregate(Seq(g: AttributeReference), aggs, child, _)
-        if aggs.size == 2 =>
+        if aggs.size <= 2 =>
       tryFacet(g, aggs, child).getOrElse(agg)
 
     // Access-path choice: servable conjuncts → postings semi-join.
@@ -183,7 +195,8 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       case Alias(ar: AttributeReference, _) => ar.semanticEquals(g)
       case _ => false
     }
-    if (cntAlias.isEmpty || groupOut.isEmpty) return None
+    // size 1 = DISTINCT (the bare group column), size 2 = facet (+count)
+    if (groupOut.isEmpty || (aggs.size == 2 && cntAlias.isEmpty)) return None
     val (inner, lrOpt) = stripPrune(child) match {
       case Filter(cond, c) => (Some(cond), relationOf(stripPrune(c)))
       case other => (None, relationOf(other))
@@ -232,6 +245,53 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         l.value != null && !ae.isDistinct && ae.filter.isEmpty
       case _ => false
     }
+
+  private def isCountDistinctOnCol(ae: AggregateExpression): Boolean =
+    ae.aggregateFunction match {
+      case Count(Seq(_: AttributeReference)) =>
+        ae.isDistinct && ae.filter.isEmpty
+      case _ => false
+    }
+
+  /** COUNT(DISTINCT valueCol) [WHERE servable-pred] → the same aggregate
+    * over the index's value column: distinct shuffles index rows, never
+    * fact rows. NULL semantics match for free — SQL's COUNT(DISTINCT)
+    * ignores NULL, and Count-distinct over the index's value column skips
+    * its NULL posting group the same way. */
+  private def tryCountDistinct(a: Alias,
+                               child: LogicalPlan): Option[LogicalPlan] = {
+    val target = a.child.asInstanceOf[AggregateExpression]
+      .aggregateFunction.asInstanceOf[Count].children.head
+      .asInstanceOf[AttributeReference]
+    val (inner, lrOpt) = stripPrune(child) match {
+      case Filter(cond, c) => (Some(cond), relationOf(stripPrune(c)))
+      case other => (None, relationOf(other))
+    }
+    lrOpt.flatMap { case (lr, regs) =>
+      regs.filterNot(_.mva)
+        .find(r => r.valueCol == target.name &&
+          lr.output.exists(o => o.semanticEquals(target)))
+        .flatMap { r =>
+          for {
+            idxValue <- r.indexPlan.output.find(_.name == "value")
+            v <- lr.output.find(_.name == r.valueCol)
+            idxChild <- inner match {
+              case None => Some(r.indexPlan)
+              case Some(cond) =>
+                val conjuncts = splitConjuncts(cond)
+                if (conjuncts.forall(servable(_, v)))
+                  Some(Filter(
+                    conjuncts.map(substitute(_, v, idxValue)).reduce(And),
+                    r.indexPlan): LogicalPlan)
+                else None
+            }
+          } yield Aggregate(Nil,
+            Seq(Alias(Count(idxValue).toAggregateExpression(
+              isDistinct = true), a.name)(exprId = a.exprId)),
+            idxChild, None)
+        }
+    }
+  }
 
   /** Peel column-pruning Projects (attribute-only) off a subtree. */
   private def stripPrune(p: LogicalPlan): LogicalPlan = p match {

@@ -193,6 +193,28 @@ object IndexQueries {
       Some("SELECT o_orderpriority, count(*) AS n FROM orders " +
         "GROUP BY o_orderpriority")),
 
+    // I7 AUTOMATICALLY ROUTED: DISTINCT and COUNT(DISTINCT) over the
+    // indexed column served from the index's value stream (the reference
+    // precomputes per-column ndv in the index meta, secondary.cpp:380-388)
+    // — the distinct shuffles index rows, never fact rows.
+    "q_index_auto_distinct" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_prio_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_orderpriority", "o_orderkey")
+        t(s, d, "orders").select(col("o_orderpriority")).distinct()
+      },
+      Some("SELECT DISTINCT o_orderpriority FROM orders")),
+
+    "q_index_auto_ndv" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders").agg(count_distinct(col("o_custkey")).as("ndv"))
+      },
+      Some("SELECT count(DISTINCT o_custkey) AS ndv FROM orders")),
+
     // F6 via index, AUTOMATICALLY ROUTED: a plain array_contains() filter
     // over a registered MVA index routes through the element postings
     // (the reference accelerates ANY(col) on UINT32SET columns the same

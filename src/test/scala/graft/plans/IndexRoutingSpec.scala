@@ -186,6 +186,25 @@ class IndexRoutingSpec extends AnyFunSuite {
     } finally conf.unset("spark.graft.index.routeThreshold")
   }
 
+  test("DISTINCT and COUNT(DISTINCT) on the indexed column are index-only (I7)") {
+    val dv = base.select($"v").distinct()
+    assert(!scanPaths(dv).exists(_.contains("base")),
+      dv.queryExecution.optimizedPlan.toString)
+    assert(dv.as[Long].collect().toSet === (0L until 500L).toSet)
+    val ndv = base.agg(count_distinct($"v").as("ndv"))
+    assert(!scanPaths(ndv).exists(_.contains("base")),
+      ndv.queryExecution.optimizedPlan.toString)
+    assert(ndv.as[Long].head() === 500L)
+    // filtered ndv rides the index scan too
+    val fndv = base.filter($"v" < 10L).agg(count_distinct($"v").as("ndv"))
+    assert(!scanPaths(fndv).exists(_.contains("base")))
+    assert(fndv.as[Long].head() === 10L)
+    // count(distinct) over an UNINDEXED column is untouched
+    val ux = base.agg(count_distinct($"x").as("ndv"))
+    assert(scanPaths(ux).exists(_.contains("base")))
+    assert(ux.as[Long].head() === 100L)
+  }
+
   test("property: routed plans agree with client-side evaluation for random predicates") {
     // 40 random servable predicates across the gate (some route, some
     // bypass — both must be correct); expected sets evaluated in plain
