@@ -137,7 +137,7 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def threshold: Double =
     session.conf.getOption("spark.graft.index.routeThreshold")
-      .map(_.toDouble).getOrElse(0.1)
+      .flatMap(_.toDoubleOption).getOrElse(0.1)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // CalcCount short-circuit: COUNT(*) over a fully-servable filter.
@@ -175,7 +175,10 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       tryFacet(g, aggs, child).getOrElse(agg)
 
     // Access-path choice: servable conjuncts → postings semi-join.
-    case f @ Filter(cond, lr: LogicalRelation) =>
+    // Nondeterministic conditions are never split (evaluating the servable
+    // conjuncts ahead of a rand()-style residual would change semantics,
+    // the same reason PushDownPredicates refuses to reorder them).
+    case f @ Filter(cond, lr: LogicalRelation) if cond.deterministic =>
       relationOf(lr).flatMap { case (_, regs) =>
         tryFilter(cond, lr, regs)
       }.getOrElse(f)
