@@ -119,13 +119,17 @@ object SecondaryIndex {
     * degrades gradually as segments accumulate until [[compact]] restores
     * the canonical layout (the reference's segment-merge trade). */
   def appendSegment(newRows: DataFrame, valueCol: String, keyCol: String,
-                    indexPath: String, files: Int = 1): Unit =
+                    indexPath: String, files: Int = 1): Unit = {
     postings(newRows, valueCol, keyCol)
       .repartitionByRange(files, col("value"), col("chunk"))
       .sortWithinPartitions(col("value"), col("chunk"))
       // resolve: on a manifest-managed index the live data sits in the
       // current generation dir, not at the base path
       .write.mode("append").parquet(resolve(newRows.sparkSession, indexPath))
+    // routing entries cached an analyzed relation whose file listing
+    // predates this append — drop them (re-register to resume routing)
+    graft.plans.IndexRouting.onIndexMutated(indexPath)
+  }
 
   /** I9: OPTIMIZE — merge all segments back to the canonical
     * one-row-per-(value, chunk) clustered layout (the reference's segment
@@ -167,6 +171,7 @@ object SecondaryIndex {
       throw new java.io.IOException(s"could not swap $tmp into $indexPath")
     }
     fs.delete(bak, true)
+    graft.plans.IndexRouting.onIndexMutated(indexPath)
   }
 
   /** Postings rows → keys, with the optional rowid-window seek: chunks
@@ -291,7 +296,8 @@ object SecondaryIndex {
   def compactManifest(spark: SparkSession, indexPath: String,
                       files: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(conf)
     val cur = resolve(spark, indexPath)
     val curVersion = manifestVersions(fs, indexPath).headOption.map(_._1).getOrElse(0L)
     val nextVersion = curVersion + 1
@@ -303,9 +309,24 @@ object SecondaryIndex {
     // COMMIT: one new immutable manifest object
     writeManifest(fs, indexPath, nextVersion,
       new org.apache.hadoop.fs.Path(next).getName)
-    // cleanup of the superseded generation (crash-safe: resolve already
-    // prefers v<nextVersion>; re-running compact re-cleans)
-    if (cur != next) fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+    // cleanup: EVERY stale data dir — all generations but the committed
+    // one plus the legacy base dir. A crash between a past commit and its
+    // cleanup leaves orphans that `cur` alone would never revisit (review
+    // r9), so sweep by name; crash-safe because resolve() already prefers
+    // v<nextVersion>, and a re-run sweeps again.
+    val baseName = base.getName
+    if (fs.exists(base.getParent)) {
+      fs.listStatus(base.getParent).foreach { st =>
+        val n = st.getPath.getName
+        val stale =
+          n == baseName ||
+            (n.startsWith(baseName + "__g") &&
+              n.stripPrefix(baseName + "__g").toLongOption
+                .exists(_ != nextVersion))
+        if (stale) fs.delete(st.getPath, true)
+      }
+    }
+    graft.plans.IndexRouting.onIndexMutated(indexPath)
   }
 
   /** Open the index table for reading through [[resolve]]. */

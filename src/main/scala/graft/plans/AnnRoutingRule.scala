@@ -85,6 +85,14 @@ object AnnRouting {
 
   def clear(): Unit = reg.clear()
 
+  /** Invalidation hook for index maintenance ([[graft.vector.Ivf]] calls
+    * this from buildIndex / appendToIndex): the cached analyzed index
+    * relation froze its file listing at registration, so a mutated index
+    * would silently drop appended vectors from routed top-k results.
+    * Matching entries are removed; re-register to resume routing. */
+  def onIndexMutated(indexPath: String): Unit =
+    reg.filter(_._2.indexPath == indexPath).keys.foreach(reg.remove)
+
   private[plans] def lookup(qualifiedPath: String): Option[Registered] =
     reg.get(qualifiedPath)
 

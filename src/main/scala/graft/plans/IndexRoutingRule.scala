@@ -69,12 +69,18 @@ object IndexRouting {
     * postings repeat keys across element values, so it serves
     * `array_contains` / `arrays_overlap` filters via the duplicate-
     * insensitive semi-join but is excluded from the count and facet
-    * rewrites (sum(cnt) counts element occurrences, not rows). */
+    * rewrites (sum(cnt) counts element occurrences, not rows).
+    * `baseClustered` records whether the BASE table's row-group stats
+    * already prune on `valueCol` (the EstimateMinMax input): then the
+    * pushdown scan is the better plan and the filter route stands down —
+    * the index-only count/facet/distinct rewrites still apply (they skip
+    * the fact scan entirely, which clustering cannot match). */
   final case class Registered(basePath: String, indexPath: String,
                               valueCol: String, keyCol: String,
                               rows: Long, ndv: Long, totalCnt: Long,
                               vMin: Option[Double], vMax: Option[Double],
-                              indexPlan: LogicalPlan, mva: Boolean)
+                              indexPlan: LogicalPlan, mva: Boolean,
+                              baseClustered: Boolean)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, List[Registered]]
@@ -102,22 +108,33 @@ object IndexRouting {
     * filter over the table in this session routes. */
   def register(spark: SparkSession, basePath: String, indexPath: String,
                valueCol: String, keyCol: String,
-               force: Boolean = false, mva: Boolean = false): Unit = {
+               force: Boolean = false, mva: Boolean = false): Unit = reg.synchronized {
     val q = qualify(spark, basePath)
     val existing = reg.getOrElse(q, Nil)
-    if (!force && existing.exists(r =>
-        r.indexPath == indexPath && r.valueCol == valueCol)) return
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
-    val idx = spark.read.parquet(indexPath)
+    def same(r: Registered): Boolean =
+      r.indexPath == indexPath && r.valueCol == valueCol &&
+        r.keyCol == keyCol && r.mva == mva
+    // idempotency covers the FULL registration key: a re-register with a
+    // different keyCol or mva classification must replace, never be
+    // silently dropped (it describes a different index contract)
+    if (!force && existing.exists(same)) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rows = graft.stats.Stats.rowCount(basePath, hconf)
+    // the live data of a manifest-managed (or mid-compact) index sits in a
+    // generation dir — read through the same resolution every lookup uses
+    val idx = spark.read.parquet(
+      graft.index.SecondaryIndex.resolve(spark, indexPath))
     import org.apache.spark.sql.functions._
     val s = idx.agg(
       coalesce(sum(when(col("value").isNotNull, col("cnt"))), lit(0L)),
       count_distinct(col("value")),
       min(col("value")), max(col("value"))).head()
+    val clustered = !mva &&
+      graft.stats.Stats.clusteredBy(basePath, valueCol, hconf)
     val entry = Registered(q, indexPath, valueCol, keyCol, rows,
       math.max(1L, s.getLong(1)), s.getLong(0),
-      numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva)
+      numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva,
+      clustered)
     reg.put(q, entry :: existing.filterNot(r =>
       r.indexPath == indexPath && r.valueCol == valueCol))
   }
@@ -126,6 +143,23 @@ object IndexRouting {
     reg.remove(qualify(spark, basePath))
 
   def clear(): Unit = reg.clear()
+
+  /** Invalidation hook for index MAINTENANCE ([[graft.index.SecondaryIndex]]
+    * calls this from appendSegment / compact / compactManifest): the cached
+    * analyzed index relation froze its file listing at registration, so a
+    * mutated index would silently serve stale postings (or dangle on
+    * deleted files after a compaction). Entries for the mutated index are
+    * DROPPED — queries fall back to the always-correct scan until the
+    * caller re-registers (the reference disables indexes on column update
+    * the same way, secondary.cpp:414-434). */
+  def onIndexMutated(indexPath: String): Unit = reg.synchronized {
+    reg.foreach { case (base, entries) =>
+      val keep = entries.filterNot(_.indexPath == indexPath)
+      if (keep.size != entries.size) {
+        if (keep.isEmpty) reg.remove(base) else reg.put(base, keep)
+      }
+    }
+  }
 
   private[plans] def lookup(qualifiedPath: String): List[Registered] =
     reg.getOrElse(qualifiedPath, Nil)
@@ -485,8 +519,18 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     val conjuncts = splitConjuncts(cond)
     val candidates = regs.flatMap { r =>
       lr.output.find(_.name == r.valueCol).flatMap { v =>
-        val (s, rest) = conjuncts.partition(c =>
+        val (s0, rest0) = conjuncts.partition(c =>
           if (r.mva) servableMva(c, v) else servable(c, v))
+        // MVA: conjuncts are ROW predicates but postings rows hold ONE
+        // element — ANDing two onto the same postings row is unsatisfiable
+        // (value = 10 AND value = 610 matches nothing even when a row's
+        // set holds both). Route only the single most selective conjunct;
+        // the rest stay residual above the semi-join.
+        val (s, rest) =
+          if (r.mva && s0.size > 1) {
+            val best = s0.minBy(c => estimate(c, r).getOrElse(Double.MaxValue))
+            (Seq(best), rest0 ++ s0.filterNot(_ eq best))
+          } else (s0, rest0)
         if (s.forall(isNotNullPred)) None
         else {
           val ests = s.map(estimate(_, r))
@@ -498,9 +542,15 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (candidates.isEmpty) None else Some(candidates.minBy(_._4))
   }
 
+  /** The filter route stands down for indexes whose BASE table is already
+    * clustered by the value column: the pushdown scan prunes to the same
+    * few files/row groups WITHOUT the semi-join detour (and the routed
+    * plan would scan the whole unfiltered fact side) — the reference's
+    * EstimateMinMax-favors-the-columnar-analyzer case. */
   private def tryFilter(cond: Expression, lr: LogicalRelation,
                         regs: List[Registered]): Option[LogicalPlan] =
-    bestSplit(cond, lr, regs).flatMap { case (r, s, rest, est) =>
+    bestSplit(cond, lr, regs.filterNot(_.baseClustered)).flatMap {
+      case (r, s, rest, est) =>
       if (est > threshold) None
       else for {
         v <- lr.output.find(_.name == r.valueCol)

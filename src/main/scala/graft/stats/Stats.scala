@@ -168,6 +168,55 @@ object Stats {
   def earlyReject(path: String, column: String, lo: Double, hi: Double): Boolean =
     estimateRange(path, column, lo, hi) == 0L
 
+  /** Per-ROW-GROUP numeric [min, max] of `column` across all files
+    * (footer-only). Row groups without usable numeric stats contribute the
+    * full range — the conservative "cannot prune" reading. Used to decide
+    * whether a table is effectively CLUSTERED by a column (its row-group
+    * ranges barely overlap), i.e. whether min/max pruning already serves a
+    * predicate — the reference's EstimateMinMax-driven access-path input
+    * (columnar.cpp:649-675). */
+  def rowGroupRanges(path: String, column: String,
+                     hconf: Configuration = null): Seq[(Double, Double)] = {
+    val conf = if (hconf != null) hconf else sessionConf()
+    parquetFiles(path, conf).flatMap { case (f, _) =>
+      footer(f, conf).getBlocks.asScala.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case Some(cc) if cc.getStatistics != null &&
+              cc.getStatistics.hasNonNullValue =>
+            val st = cc.getStatistics
+            (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, b2: java.lang.Long) => (a.toDouble, b2.toDouble)
+              case (a: java.lang.Integer, b2: java.lang.Integer) => (a.toDouble, b2.toDouble)
+              case (a: java.lang.Double, b2: java.lang.Double) => (a.doubleValue, b2.doubleValue)
+              case (a: java.lang.Float, b2: java.lang.Float) => (a.toDouble, b2.toDouble)
+              case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
+            }
+          case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
+        }
+      }
+    }
+  }
+
+  /** Is the table effectively clustered by `column`? True when at least
+    * `frac` of the adjacent (min-sorted) row-group ranges are
+    * non-overlapping — then a point/range predicate already prunes at scan
+    * time and an index detour buys nothing. Fewer than two row groups give
+    * no pruning evidence → false. */
+  def clusteredBy(path: String, column: String, hconf: Configuration = null,
+                  frac: Double = 0.8): Boolean = {
+    val rs = try rowGroupRanges(path, column, hconf)
+             catch { case _: Exception => Nil }
+    if (rs.size < 2) false
+    else {
+      val sorted = rs.sortBy(r => (r._1, r._2))
+      val ok = sorted.sliding(2).count {
+        case Seq(a, b) => a._2 <= b._1
+        case _ => false
+      }
+      ok.toDouble / (sorted.size - 1) >= frac
+    }
+  }
+
   // ---- file-stats catalog (the 100 TB pruning seam, SURVEY M6) ----
 
   /** Build the file-stats catalog AS A SPARK JOB (footer reads distributed

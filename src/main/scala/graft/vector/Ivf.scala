@@ -120,9 +120,14 @@ object Ivf {
   /** Write the index: assigned rows range-clustered by list id, so probes
     * prune files. */
   def buildIndex(df: DataFrame, vecCol: String, m: Model, path: String,
-                 files: Int = 4): Unit =
+                 files: Int = 4): Unit = {
     graft.tables.Writer.write(assign(df, vecCol, m), path,
       sortBy = Seq("ivf_cluster"), files = files)
+    // a REBUILT index invalidates any routing entry that cached the old
+    // file listing (registration after build is the normal order; this
+    // covers in-place rebuilds)
+    graft.plans.AnnRouting.onIndexMutated(path)
+  }
 
   /** I9 for the vector index (ref RT segments share the trained quantizer
     * until a merge retrains): append a new batch under the EXISTING coarse
@@ -133,11 +138,15 @@ object Ivf {
     * economy, not correctness — retrain + [[buildIndex]] is the compaction
     * analog. */
   def appendToIndex(df: DataFrame, vecCol: String, m: Model, path: String,
-                    files: Int = 1): Unit =
+                    files: Int = 1): Unit = {
     assign(df, vecCol, m)
       .repartitionByRange(files, col("ivf_cluster"))
       .sortWithinPartitions(col("ivf_cluster"))
       .write.mode("append").parquet(path)
+    // routed queries cached the pre-append file listing — drop the entry
+    // so they fall back to the exact fullscan until re-registration
+    graft.plans.AnnRouting.onIndexMutated(path)
+  }
 
   /** Top-k search probing the `nprobe` lists closest to the query.
     * nprobe = nlist ⇒ exact. */

@@ -92,5 +92,19 @@ class CompactCommitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SecondaryIndex.compact(spark, d)
     }
+
+    // orphan sweep (review r9): a crash between a PAST commit and its
+    // cleanup leaves generations the next compact's `cur` would never
+    // revisit — recreate that state and verify the sweep clears ALL of it
+    val straleGen = new org.apache.hadoop.fs.Path(d + "__g2/part-stale")
+    val o1 = f.create(straleGen, true); o1.write(Array[Byte](9)); o1.close()
+    val straleBase = new org.apache.hadoop.fs.Path(d + "/part-stale")
+    val o2 = f.create(straleBase, true); o2.write(Array[Byte](9)); o2.close()
+    SecondaryIndex.compactManifest(spark, d)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(d + "__g2")),
+      "orphaned generation survived the sweep")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(d)),
+      "recreated base dir survived the sweep")
+    assert(lookup(d, 4L) === wantAll)
   }
 }

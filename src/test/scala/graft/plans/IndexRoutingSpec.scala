@@ -186,6 +186,93 @@ class IndexRoutingSpec extends AnyFunSuite {
     } finally conf.unset("spark.graft.index.routeThreshold")
   }
 
+  test("ANDed MVA conjuncts never share one postings filter (review r9)") {
+    // value=10 AND value=610 on one postings row is unsatisfiable even when
+    // a row's SET holds both — each conjunct must route separately (the
+    // residual re-enters the rule on the next fixpoint pass, yielding a
+    // CASCADE of semi-joins: the intersection of two postings lookups),
+    // never be ANDed into a single postings filter.
+    val tmp = Files.createTempDirectory("graft-idxroute-mvaand")
+    val mbase = tmp.resolve("mb").toString
+    val midx = tmp.resolve("mi").toString
+    val rows = (0L until 1000L).map(i => (i, Seq(i / 2, i / 2 + 600)))
+    Writer.write(rows.toDF("id", "arr"), mbase, sortBy = Seq("id"))
+    SecondaryIndex.buildMva(SparkT.spark.read.parquet(mbase), "arr", "id", midx)
+    IndexRouting.register(SparkT.spark, mbase, midx, "arr", "id", mva = true)
+    val mdf = SparkT.spark.read.parquet(mbase)
+    val both = mdf.filter(array_contains($"arr", 10L) &&
+      array_contains($"arr", 610L)).select($"id")
+    assert(both.as[Long].collect().toSet === Set(20L, 21L),
+      both.queryExecution.optimizedPlan.toString)
+    assert(semiJoins(both) == 2, both.queryExecution.optimizedPlan.toString)
+    // mixed shapes too: overlap AND contains
+    val mixed = mdf.filter(arrays_overlap($"arr", typedlit(Seq(10L, 11L))) &&
+      array_contains($"arr", 610L)).select($"id")
+    assert(mixed.as[Long].collect().toSet === Set(20L, 21L))
+  }
+
+  test("clustered base table: filter route stands down, index-only count still fires") {
+    // base written VALUE-clustered across 4 files: the pushdown scan
+    // already prunes, so the semi-join detour must not replace it — but
+    // count/facet/distinct still skip the fact scan entirely.
+    val tmp = Files.createTempDirectory("graft-idxroute-clust")
+    val cbase = tmp.resolve("cb").toString
+    val cidx = tmp.resolve("ci").toString
+    val rows = (0L until 4000L).map(i => (i, i % 1000, i % 7))
+    Writer.write(rows.toDF("id", "v", "x"), cbase, sortBy = Seq("v"), files = 4)
+    SecondaryIndex.build(SparkT.spark.read.parquet(cbase), "v", "id", cidx)
+    IndexRouting.register(SparkT.spark, cbase, cidx, "v", "id")
+    val cdf = SparkT.spark.read.parquet(cbase)
+    val f = cdf.filter($"v" === 10L).select($"id")
+    assert(semiJoins(f) == 0, f.queryExecution.optimizedPlan.toString)
+    assert(f.as[Long].collect().toSet === Set(10L, 1010L, 2010L, 3010L))
+    val cnt = cdf.filter($"v" === 10L).agg(count(lit(1)).as("n"))
+    assert(!scanPaths(cnt).exists(_.contains("cb")),
+      cnt.queryExecution.optimizedPlan.toString)
+    assert(cnt.as[Long].head() === 4L)
+  }
+
+  test("index maintenance invalidates routing; re-registration resumes it (review r9)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-inval")
+    val ibase = tmp.resolve("ib").toString
+    val iidx = tmp.resolve("ii").toString
+    val r1 = (0L until 1000L).map(i => (i, i % 500))
+    Writer.write(r1.toDF("id", "v"), ibase, sortBy = Seq("id"))
+    SecondaryIndex.build(SparkT.spark.read.parquet(ibase), "v", "id", iidx)
+    IndexRouting.register(SparkT.spark, ibase, iidx, "v", "id")
+    def q = SparkT.spark.read.parquet(ibase).filter($"v" === 10L).select($"id")
+    assert(semiJoins(q) == 1)
+    assert(q.as[Long].collect().toSet === Set(10L, 510L))
+    // grow the FACT table and append the matching index segment: the
+    // cached routing entry froze the old file listing, so the append must
+    // drop it — queries fall back to the (always-correct) scan
+    val r2 = (1000L until 1200L).map(i => (i, i % 500))
+    r2.toDF("id", "v").write.mode("append").parquet(ibase)
+    SecondaryIndex.appendSegment(r2.toDF("id", "v"), "v", "id", iidx)
+    assert(semiJoins(q) == 0, "stale routing entry survived an append")
+    assert(q.as[Long].collect().toSet === Set(10L, 510L, 1010L))
+    // re-registration snapshots the grown index and resumes routing
+    IndexRouting.register(SparkT.spark, ibase, iidx, "v", "id")
+    assert(semiJoins(q) == 1)
+    assert(q.as[Long].collect().toSet === Set(10L, 510L, 1010L))
+  }
+
+  test("registration resolves manifest-managed indexes (review r9)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-manif")
+    val mbase = tmp.resolve("fb").toString
+    val midx = tmp.resolve("fi").toString
+    val rows = (0L until 1000L).map(i => (i, i % 500))
+    Writer.write(rows.toDF("id", "v"), mbase, sortBy = Seq("id"))
+    SecondaryIndex.build(SparkT.spark.read.parquet(mbase), "v", "id", midx)
+    // migrate to the manifest scheme: live data now in <midx>__g1, base
+    // dir deleted — registration must read through resolve()
+    SecondaryIndex.compactManifest(SparkT.spark, midx)
+    IndexRouting.register(SparkT.spark, mbase, midx, "v", "id")
+    val q = SparkT.spark.read.parquet(mbase).filter($"v" === 7L).select($"id")
+    assert(semiJoins(q) == 1, q.queryExecution.optimizedPlan.toString)
+    assert(q.as[Long].collect().toSet === Set(7L, 507L))
+  }
+
   test("DISTINCT and COUNT(DISTINCT) on the indexed column are index-only (I7)") {
     val dv = base.select($"v").distinct()
     assert(!scanPaths(dv).exists(_.contains("base")),
