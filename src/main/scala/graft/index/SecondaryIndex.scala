@@ -76,9 +76,14 @@ object SecondaryIndex {
   }
 
   def build(df: DataFrame, valueCol: String, keyCol: String,
-            path: String, files: Int = 1): Unit =
+            path: String, files: Int = 1): Unit = {
     graft.tables.Writer.write(postings(df, valueCol, keyCol), path,
       sortBy = Seq("value", "chunk"), files = files)
+    // an in-place REBUILD invalidates any routing entry that cached the
+    // old file listing (registration normally follows the build; this
+    // covers rebuild-after-register, same as Ivf.buildIndex)
+    graft.plans.IndexRouting.onIndexMutated(df.sparkSession, path)
+  }
 
   /** MVA variant — the reference's secondary index covers UINT32SET /
     * INT64SET columns (common/schema.h:29-44): the builder posts EACH set
@@ -128,7 +133,7 @@ object SecondaryIndex {
       .write.mode("append").parquet(resolve(newRows.sparkSession, indexPath))
     // routing entries cached an analyzed relation whose file listing
     // predates this append — drop them (re-register to resume routing)
-    graft.plans.IndexRouting.onIndexMutated(indexPath)
+    graft.plans.IndexRouting.onIndexMutated(newRows.sparkSession, indexPath)
   }
 
   /** I9: OPTIMIZE — merge all segments back to the canonical
@@ -171,7 +176,7 @@ object SecondaryIndex {
       throw new java.io.IOException(s"could not swap $tmp into $indexPath")
     }
     fs.delete(bak, true)
-    graft.plans.IndexRouting.onIndexMutated(indexPath)
+    graft.plans.IndexRouting.onIndexMutated(spark, indexPath)
   }
 
   /** Postings rows → keys, with the optional rowid-window seek: chunks
@@ -320,13 +325,19 @@ object SecondaryIndex {
         val n = st.getPath.getName
         val stale =
           n == baseName ||
+            // rename-scheme leftovers a manifest migration supersedes (a
+            // crashed legacy compact may have left the live copy at _old
+            // — resolve() preferred it as `cur`, so its data is in the
+            // committed generation now and keeping it would let a later
+            // manifest-dir loss silently serve the stale copy)
+            n == baseName + "_old" || n == baseName + "_compacting" ||
             (n.startsWith(baseName + "__g") &&
               n.stripPrefix(baseName + "__g").toLongOption
                 .exists(_ != nextVersion))
         if (stale) fs.delete(st.getPath, true)
       }
     }
-    graft.plans.IndexRouting.onIndexMutated(indexPath)
+    graft.plans.IndexRouting.onIndexMutated(spark, indexPath)
   }
 
   /** Open the index table for reading through [[resolve]]. */

@@ -89,9 +89,13 @@ object AnnRouting {
     * this from buildIndex / appendToIndex): the cached analyzed index
     * relation froze its file listing at registration, so a mutated index
     * would silently drop appended vectors from routed top-k results.
-    * Matching entries are removed; re-register to resume routing. */
-  def onIndexMutated(indexPath: String): Unit =
-    reg.filter(_._2.indexPath == indexPath).keys.foreach(reg.remove)
+    * Matching entries are removed (paths compared QUALIFIED, so spelling
+    * differences cannot skip the invalidation); re-register to resume. */
+  def onIndexMutated(spark: SparkSession, indexPath: String): Unit = {
+    val q = qualify(spark, indexPath)
+    reg.filter(e => qualify(spark, e._2.indexPath) == q)
+      .keys.foreach(reg.remove)
+  }
 
   private[plans] def lookup(qualifiedPath: String): Option[Registered] =
     reg.get(qualifiedPath)

@@ -108,16 +108,19 @@ object IndexRouting {
     * filter over the table in this session routes. */
   def register(spark: SparkSession, basePath: String, indexPath: String,
                valueCol: String, keyCol: String,
-               force: Boolean = false, mva: Boolean = false): Unit = reg.synchronized {
+               force: Boolean = false, mva: Boolean = false): Unit = {
     val q = qualify(spark, basePath)
-    val existing = reg.getOrElse(q, Nil)
     def same(r: Registered): Boolean =
       r.indexPath == indexPath && r.valueCol == valueCol &&
         r.keyCol == keyCol && r.mva == mva
     // idempotency covers the FULL registration key: a re-register with a
     // different keyCol or mva classification must replace, never be
     // silently dropped (it describes a different index contract)
-    if (!force && existing.exists(same)) return
+    if (!force && reg.getOrElse(q, Nil).exists(same)) return
+    // stats jobs and footer sweeps run OUTSIDE the lock (they can take
+    // seconds on big tables; a concurrent maintenance invalidation must
+    // not block behind them) — a racing duplicate register just recomputes
+    // and last-write-wins on an identical entry
     val hconf = spark.sparkContext.hadoopConfiguration
     val rows = graft.stats.Stats.rowCount(basePath, hconf)
     // the live data of a manifest-managed (or mid-compact) index sits in a
@@ -135,8 +138,10 @@ object IndexRouting {
       math.max(1L, s.getLong(1)), s.getLong(0),
       numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva,
       clustered)
-    reg.put(q, entry :: existing.filterNot(r =>
-      r.indexPath == indexPath && r.valueCol == valueCol))
+    reg.synchronized {
+      reg.put(q, entry :: reg.getOrElse(q, Nil).filterNot(r =>
+        r.indexPath == indexPath && r.valueCol == valueCol))
+    }
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -145,18 +150,23 @@ object IndexRouting {
   def clear(): Unit = reg.clear()
 
   /** Invalidation hook for index MAINTENANCE ([[graft.index.SecondaryIndex]]
-    * calls this from appendSegment / compact / compactManifest): the cached
-    * analyzed index relation froze its file listing at registration, so a
-    * mutated index would silently serve stale postings (or dangle on
-    * deleted files after a compaction). Entries for the mutated index are
-    * DROPPED — queries fall back to the always-correct scan until the
-    * caller re-registers (the reference disables indexes on column update
-    * the same way, secondary.cpp:414-434). */
-  def onIndexMutated(indexPath: String): Unit = reg.synchronized {
-    reg.foreach { case (base, entries) =>
-      val keep = entries.filterNot(_.indexPath == indexPath)
-      if (keep.size != entries.size) {
-        if (keep.isEmpty) reg.remove(base) else reg.put(base, keep)
+    * calls this from build / appendSegment / compact / compactManifest):
+    * the cached analyzed index relation froze its file listing at
+    * registration, so a mutated index would silently serve stale postings
+    * (or dangle on deleted files after a compaction). Entries for the
+    * mutated index are DROPPED — queries fall back to the always-correct
+    * scan until the caller re-registers (the reference disables indexes on
+    * column update the same way, secondary.cpp:414-434). Paths are matched
+    * QUALIFIED, so a register/maintenance spelling difference
+    * ("file:/p" vs "/p", trailing slash) cannot skip the invalidation. */
+  def onIndexMutated(spark: SparkSession, indexPath: String): Unit = {
+    val q = qualify(spark, indexPath)
+    reg.synchronized {
+      reg.foreach { case (base, entries) =>
+        val keep = entries.filterNot(r => qualify(spark, r.indexPath) == q)
+        if (keep.size != entries.size) {
+          if (keep.isEmpty) reg.remove(base) else reg.put(base, keep)
+        }
       }
     }
   }

@@ -147,15 +147,8 @@ object Stats {
     parquetFiles(path, conf).map { case (f, _) =>
       footer(f, conf).getBlocks.asScala.map { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column) match {
-          case Some(cc) if cc.getStatistics != null && cc.getStatistics.hasNonNullValue =>
-            val st = cc.getStatistics
-            val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
-              case (a: java.lang.Long, b2: java.lang.Long) => (a.toDouble, b2.toDouble)
-              case (a: java.lang.Integer, b2: java.lang.Integer) => (a.toDouble, b2.toDouble)
-              case (a: java.lang.Double, b2: java.lang.Double) => (a.toDouble, b2.toDouble)
-              case (a: java.lang.Float, b2: java.lang.Float) => (a.toDouble, b2.toDouble)
-              case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
-            }
+          case Some(cc) =>
+            val (mn, mx) = numericRange(cc)
             if (mx < lo || mn > hi) 0L else b.getRowCount
           case _ => b.getRowCount // no stats → cannot prune, count it
         }
@@ -168,29 +161,31 @@ object Stats {
   def earlyReject(path: String, column: String, lo: Double, hi: Double): Boolean =
     estimateRange(path, column, lo, hi) == 0L
 
+  /** Numeric [min, max] of one column chunk's statistics, full range when
+    * the stats are absent or non-numeric — the conservative "cannot prune"
+    * reading shared by [[estimateRange]] and [[rowGroupRanges]]. */
+  private def numericRange(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): (Double, Double) =
+    if (cc.getStatistics == null || !cc.getStatistics.hasNonNullValue)
+      (Double.NegativeInfinity, Double.PositiveInfinity)
+    else (cc.getStatistics.genericGetMin, cc.getStatistics.genericGetMax) match {
+      case (a: java.lang.Long, b: java.lang.Long) => (a.toDouble, b.toDouble)
+      case (a: java.lang.Integer, b: java.lang.Integer) => (a.toDouble, b.toDouble)
+      case (a: java.lang.Double, b: java.lang.Double) => (a.doubleValue, b.doubleValue)
+      case (a: java.lang.Float, b: java.lang.Float) => (a.toDouble, b.toDouble)
+      case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
+    }
+
   /** Per-ROW-GROUP numeric [min, max] of `column` across all files
     * (footer-only). Row groups without usable numeric stats contribute the
-    * full range — the conservative "cannot prune" reading. Used to decide
-    * whether a table is effectively CLUSTERED by a column (its row-group
-    * ranges barely overlap), i.e. whether min/max pruning already serves a
-    * predicate — the reference's EstimateMinMax-driven access-path input
-    * (columnar.cpp:649-675). */
+    * full range. */
   def rowGroupRanges(path: String, column: String,
                      hconf: Configuration = null): Seq[(Double, Double)] = {
     val conf = if (hconf != null) hconf else sessionConf()
     parquetFiles(path, conf).flatMap { case (f, _) =>
       footer(f, conf).getBlocks.asScala.map { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column) match {
-          case Some(cc) if cc.getStatistics != null &&
-              cc.getStatistics.hasNonNullValue =>
-            val st = cc.getStatistics
-            (st.genericGetMin, st.genericGetMax) match {
-              case (a: java.lang.Long, b2: java.lang.Long) => (a.toDouble, b2.toDouble)
-              case (a: java.lang.Integer, b2: java.lang.Integer) => (a.toDouble, b2.toDouble)
-              case (a: java.lang.Double, b2: java.lang.Double) => (a.doubleValue, b2.doubleValue)
-              case (a: java.lang.Float, b2: java.lang.Float) => (a.toDouble, b2.toDouble)
-              case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
-            }
+          case Some(cc) => numericRange(cc)
           case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
         }
       }
@@ -198,23 +193,42 @@ object Stats {
   }
 
   /** Is the table effectively clustered by `column`? True when at least
-    * `frac` of the adjacent (min-sorted) row-group ranges are
+    * `frac` of the adjacent (min-sorted) row-group [min, max] ranges are
     * non-overlapping — then a point/range predicate already prunes at scan
-    * time and an index detour buys nothing. Fewer than two row groups give
-    * no pruning evidence → false. */
+    * time and an index detour buys nothing. Works for numeric AND string
+    * columns (string stats compare ordinally after the Binary→String
+    * normalization, matching Parquet's own pruning order). Fewer than two
+    * row groups, any row group without stats, or mixed stat types give no
+    * pruning evidence → false. This is the engine's input to the
+    * access-path choice — the reference's EstimateMinMax seam
+    * (columnar.cpp:649-675). */
   def clusteredBy(path: String, column: String, hconf: Configuration = null,
                   frac: Double = 0.8): Boolean = {
-    val rs = try rowGroupRanges(path, column, hconf)
-             catch { case _: Exception => Nil }
-    if (rs.size < 2) false
-    else {
-      val sorted = rs.sortBy(r => (r._1, r._2))
-      val ok = sorted.sliding(2).count {
-        case Seq(a, b) => a._2 <= b._1
-        case _ => false
-      }
-      ok.toDouble / (sorted.size - 1) >= frac
+    val conf = if (hconf != null) hconf else sessionConf()
+    val rs: Seq[Option[(Any, Any)]] =
+      try parquetFiles(path, conf).flatMap { case (f, _) =>
+        footer(f, conf).getBlocks.asScala.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case Some(cc) if cc.getStatistics != null &&
+                cc.getStatistics.hasNonNullValue =>
+              Some((normalize(cc.getStatistics.genericGetMin),
+                normalize(cc.getStatistics.genericGetMax)))
+            case _ => None
+          }
+        }
+      } catch { case _: Exception => Nil }
+    if (rs.size < 2 || rs.exists(_.isEmpty)) return false
+    val ranges = rs.flatten
+    if (ranges.map(_._1.getClass).distinct.size != 1 ||
+        !ranges.head._1.isInstanceOf[Comparable[_]]) return false
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val sorted = ranges.sortWith((x, y) => cmp(x._1, y._1) < 0)
+    val ok = sorted.sliding(2).count {
+      case Seq(a, b) => cmp(a._2, b._1) <= 0
+      case _ => false
     }
+    ok.toDouble / (sorted.size - 1) >= frac
   }
 
   // ---- file-stats catalog (the 100 TB pruning seam, SURVEY M6) ----

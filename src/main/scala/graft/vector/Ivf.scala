@@ -126,7 +126,7 @@ object Ivf {
     // a REBUILT index invalidates any routing entry that cached the old
     // file listing (registration after build is the normal order; this
     // covers in-place rebuilds)
-    graft.plans.AnnRouting.onIndexMutated(path)
+    graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
   }
 
   /** I9 for the vector index (ref RT segments share the trained quantizer
@@ -145,7 +145,7 @@ object Ivf {
       .write.mode("append").parquet(path)
     // routed queries cached the pre-append file listing — drop the entry
     // so they fall back to the exact fullscan until re-registration
-    graft.plans.AnnRouting.onIndexMutated(path)
+    graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
   }
 
   /** Top-k search probing the `nprobe` lists closest to the query.

@@ -100,11 +100,17 @@ class CompactCommitSpec extends AnyFunSuite {
     val o1 = f.create(straleGen, true); o1.write(Array[Byte](9)); o1.close()
     val straleBase = new org.apache.hadoop.fs.Path(d + "/part-stale")
     val o2 = f.create(straleBase, true); o2.write(Array[Byte](9)); o2.close()
+    // rename-scheme leftover: if it survived, a later manifest-dir loss
+    // would silently serve this stale copy through resolve()'s fallback
+    val straleOld = new org.apache.hadoop.fs.Path(d + "_old/part-stale")
+    val o3 = f.create(straleOld, true); o3.write(Array[Byte](9)); o3.close()
     SecondaryIndex.compactManifest(spark, d)
     assert(!f.exists(new org.apache.hadoop.fs.Path(d + "__g2")),
       "orphaned generation survived the sweep")
     assert(!f.exists(new org.apache.hadoop.fs.Path(d)),
       "recreated base dir survived the sweep")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(d + "_old")),
+      "rename-scheme _old leftover survived the sweep")
     assert(lookup(d, 4L) === wantAll)
   }
 }

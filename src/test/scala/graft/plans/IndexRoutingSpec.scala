@@ -255,6 +255,12 @@ class IndexRoutingSpec extends AnyFunSuite {
     IndexRouting.register(SparkT.spark, ibase, iidx, "v", "id")
     assert(semiJoins(q) == 1)
     assert(q.as[Long].collect().toSet === Set(10L, 510L, 1010L))
+    // invalidation matches QUALIFIED paths: a different spelling of the
+    // same dir ("file:" scheme) must still drop the entry (review r9)
+    IndexRouting.onIndexMutated(SparkT.spark, "file:" + iidx)
+    assert(semiJoins(q) == 0, "spelling variant skipped invalidation")
+    IndexRouting.register(SparkT.spark, ibase, iidx, "v", "id")
+    assert(semiJoins(q) == 1)
   }
 
   test("registration resolves manifest-managed indexes (review r9)") {
