@@ -230,6 +230,22 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(!scanPaths(cnt).exists(_.contains("cb")),
       cnt.queryExecution.optimizedPlan.toString)
     assert(cnt.as[Long].head() === 4L)
+
+    // STRING sort key: row-group stats compare ordinally, so the
+    // stand-down fires for string-clustered tables too (review r9)
+    val sbase = tmp.resolve("sb").toString
+    val sidx = tmp.resolve("si").toString
+    val srows = (0L until 4000L).map(i => (i, "k%04d".format(i % 1000)))
+    Writer.write(srows.toDF("id", "s"), sbase, sortBy = Seq("s"), files = 4)
+    SecondaryIndex.build(SparkT.spark.read.parquet(sbase), "s", "id", sidx)
+    IndexRouting.register(SparkT.spark, sbase, sidx, "s", "id")
+    // ndv 1000 → est 0.001, far under the gate — only the clustered
+    // stand-down keeps this on the (already-pruned) scan
+    val sf = SparkT.spark.read.parquet(sbase)
+      .filter($"s" === "k0010").select($"id")
+    assert(semiJoins(sf) == 0, sf.queryExecution.optimizedPlan.toString)
+    assert(sf.as[Long].collect().toSet ===
+      Set(10L, 1010L, 2010L, 3010L))
   }
 
   test("index maintenance invalidates routing; re-registration resumes it (review r9)") {
