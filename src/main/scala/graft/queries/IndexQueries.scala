@@ -254,6 +254,92 @@ object IndexQueries {
         "GROUP BY l_orderkey) " +
         "SELECT l_orderkey FROM tagged WHERE list_has_any(tags, [5,7])")),
 
+    // VERDICT r9 #1 — MULTI-INDEX INTERSECTION, automatically routed: a
+    // plain two-column AND filter where NEITHER side alone clears the
+    // selectivity gate (priority 1/5 = 0.2, custkey span ≈ 0.33 at
+    // sf0.01) but the PRODUCT does (≈ 0.067): the rule inner-joins the two
+    // postings key streams (both tiny) and probes the fact table ONCE —
+    // the reference host consumes every eligible filter and intersects
+    // the sorted rowid streams (columnar/columnar.cpp:721-746;
+    // common/blockiterator.h:39 HintRowID merges,
+    // secondary/iterator.cpp:102-143). Single-index fallback when one
+    // side is broad is pinned in IndexRoutingSpec.
+    "q_index_auto_multi" -> QueryDef(
+      (s, d) => {
+        val ckeyIdx = Derived.tablePath(s, d, "orders_ckey_idx")
+        val prioIdx = Derived.tablePath(s, d, "orders_prio_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", ckeyIdx,
+          "o_custkey", "o_orderkey")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", prioIdx,
+          "o_orderpriority", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_custkey") >= 1 && col("o_custkey") <= 500)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' AND o_custkey BETWEEN 1 AND 500")),
+
+    // VERDICT r9 #2 — OR-of-servable shapes route as ONE postings filter
+    // (the reference's native bitmap union: a disjunction on one column is
+    // one index pass, SpawnBitmapIterator, secondary/blockreader.cpp:
+    // 563-598): point OR range lowers to `value = x OR value BETWEEN a
+    // AND b` over the index; estimate = sum of branch estimates. The
+    // bypassed broad end is pinned in IndexRoutingSpec.
+    "q_index_auto_or" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") === 421 ||
+            (col("o_custkey") >= 100 && col("o_custkey") <= 120))
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_custkey = 421 OR o_custkey BETWEEN 100 AND 120")),
+
+    // VERDICT r9 #3 — MVA range-ANY served from the element postings (ref
+    // MvaAny_T range overlap, columnar/accessormva.cpp:71-139; the index
+    // posts each element, so the element-range block walk IS the filter):
+    // `exists(parts, x -> 50 <= x <= 60)` lowers to `value BETWEEN 50 AND
+    // 60` over the postings, semi-joined back (duplicate keys across
+    // matched elements collapse in the left-semi). Routed-plan pinned in
+    // IndexRoutingSpec; same oracle shape as q_mva_any_range.
+    "q_index_mva_range" -> QueryDef(
+      (s, d) => {
+        val base = Derived.tablePath(s, d, "mcl_parts")
+        graft.plans.IndexRouting.register(s, base, base + "_idx",
+          "parts", "l_orderkey", mva = true)
+        Derived.table(s, d, "mcl_parts")
+          .filter(graft.filters.MvaRange("parts", lo = Some(50L),
+            hi = Some(60L), quant = graft.filters.AnyQ).toColumn)
+          .select(col("l_orderkey"))
+      },
+      Some("WITH parts AS (SELECT l_orderkey, " +
+        "list_sort(list(DISTINCT l_partkey)) AS parts FROM lineitem " +
+        "GROUP BY l_orderkey) " +
+        "SELECT l_orderkey FROM parts " +
+        "WHERE len(list_filter(parts, x -> x >= 50 AND x <= 60)) > 0")),
+
+    // VERDICT r9 #6 — NON-NUMERIC range routing: a string BETWEEN has no
+    // numeric span, so the equi-depth histogram captured at registration
+    // estimates it (the reference's PGM orders any type — its range
+    // estimates never cared about numerics). The narrow range routes; the
+    // broad end's bypass is pinned in IndexRoutingSpec.
+    "q_index_auto_strrange" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "customer_name_idx")
+        graft.plans.IndexRouting.register(s, s"$d/customer.parquet", idxPath,
+          "c_name", "c_custkey")
+        t(s, d, "customer")
+          .filter(col("c_name") >= "Customer#000000100" &&
+            col("c_name") <= "Customer#000000149")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_name BETWEEN 'Customer#000000100' AND 'Customer#000000149'")),
+
     // I6: CalcCount from stored postings counts — index-only, the fact
     // table is never scanned.
     "q_index_count" -> QueryDef(

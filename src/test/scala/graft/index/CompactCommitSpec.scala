@@ -47,11 +47,13 @@ class CompactCommitSpec extends AnyFunSuite {
     assert(SecondaryIndex.resolve(spark, d) === d)
     healthy(d)
 
-    // first real compact: migrates the legacy dir into generation 1
+    // first real compact: migrates the legacy dir into generation 1. The
+    // superseded base dir is RETAINED one cycle (ADVICE r9: a reader that
+    // resolved it pre-commit must finish on a consistent snapshot)
     SecondaryIndex.compactManifest(spark, d)
     assert(SecondaryIndex.resolve(spark, d).endsWith("__g1"))
-    assert(!f.exists(new org.apache.hadoop.fs.Path(d)),
-      "superseded base dir not cleaned")
+    assert(f.exists(new org.apache.hadoop.fs.Path(d)),
+      "previous live generation (legacy base) swept too early")
     healthy(d)
 
     // crash B: partially-written newest manifest version (empty object) —
@@ -70,11 +72,14 @@ class CompactCommitSpec extends AnyFunSuite {
     healthy(d)
 
     // next compact: versions move past the junk (curVersion = 3 → gen 4),
-    // old generation cleaned, reads flip atomically
+    // reads flip atomically; g1 (live until this commit) is retained one
+    // cycle while the base dir (past its retention cycle) is swept
     SecondaryIndex.compactManifest(spark, d)
     assert(SecondaryIndex.resolve(spark, d).endsWith("__g4"))
-    assert(!f.exists(new org.apache.hadoop.fs.Path(d + "__g1")),
-      "superseded generation not cleaned")
+    assert(f.exists(new org.apache.hadoop.fs.Path(d + "__g1")),
+      "previous live generation swept too early")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(d)),
+      "base dir survived past its retention cycle")
     healthy(d)
 
     // appendSegment lands in the LIVE generation and compacts away
@@ -84,6 +89,8 @@ class CompactCommitSpec extends AnyFunSuite {
     assert(lookup(d, 4L) === wantAll)
     SecondaryIndex.compactManifest(spark, d)
     assert(lookup(d, 4L) === wantAll)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(d + "__g1")),
+      "generation survived past its one-cycle retention")
     val rep = IndexCheck.check(spark, d,
       fact = Some(((rows ++ extra).toDF("value", "key"), "value", "key")))
     assert(rep.ok, rep.issues.mkString("; "))

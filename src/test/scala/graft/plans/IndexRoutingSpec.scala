@@ -55,6 +55,11 @@ class IndexRoutingSpec extends AnyFunSuite {
       case j: Join if j.joinType == LeftSemi => j
     }.size
 
+  private def innerJoins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+    }.size
+
   test("selective equality routes: postings semi-join, correct rows") {
     val df = base.filter($"v" === 10L).select($"id", $"v")
     assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
@@ -293,6 +298,154 @@ class IndexRoutingSpec extends AnyFunSuite {
     val q = SparkT.spark.read.parquet(mbase).filter($"v" === 7L).select($"id")
     assert(semiJoins(q) == 1, q.queryExecution.optimizedPlan.toString)
     assert(q.as[Long].collect().toSet === Set(7L, 507L))
+  }
+
+  test("multi-index intersection: neither side routes alone, the product does (r10)") {
+    // w equality: 1/5 = 0.2 > threshold; v range [100, 240]: span ~0.28 >
+    // threshold — but the PRODUCT 0.056 clears the gate, so BOTH postings
+    // streams are consumed, inner-joined, and the fact table probed ONCE
+    // (the reference host intersects every eligible filter's rowid stream,
+    // columnar.cpp:721-746 + iterator.cpp:102-143)
+    val df = base.filter($"w" === "3" && $"v" >= 100L && $"v" <= 240L)
+      .select($"id")
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("idxv")) && paths.exists(_.contains("idxw")),
+      df.queryExecution.optimizedPlan.toString)
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(innerJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    val want = (0L until 1000L)
+      .filter(i => i % 5 == 3 && i / 2 >= 100 && i / 2 <= 240).toSet
+    assert(df.as[Long].collect().toSet === want)
+
+    // single-index fallback: when the primary clears the gate alone, the
+    // second index is NOT consulted — its predicate evaluates as a free
+    // residual on the few semi-joined rows
+    val single = base.filter($"v" === 10L && $"w" === "3").select($"id")
+    assert(semiJoins(single) == 1)
+    assert(!scanPaths(single).exists(_.contains("idxw")),
+      single.queryExecution.optimizedPlan.toString)
+    assert(single.as[Long].collect().toSet ===
+      Set(20L, 21L).filter(_ % 5 == 3))
+
+    // broad-side fallback: a side above multiSideCap never participates,
+    // and with only one candidate left (0.2 > threshold) nothing routes
+    val broad = base.filter($"w" === "3" && $"v" >= 5L).select($"id")
+    assert(semiJoins(broad) == 0, broad.queryExecution.optimizedPlan.toString)
+    assert(broad.count() ===
+      (0L until 1000L).count(i => i % 5 == 3 && i / 2 >= 5).toLong)
+  }
+
+  test("OR of servable shapes routes as one postings filter (r10)") {
+    // point OR range on the same column: one index pass (the reference's
+    // bitmap union, secondary/blockreader.cpp:563-598)
+    val df = base.filter($"v" === 300L || ($"v" >= 10L && $"v" <= 14L))
+      .select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(scanPaths(df).exists(_.contains("idxv")))
+    val want = (0L until 1000L)
+      .filter(i => i / 2 == 300 || (i / 2 >= 10 && i / 2 <= 14)).toSet
+    assert(df.as[Long].collect().toSet === want)
+
+    // a broad branch drags the union estimate over the gate: bypass
+    val broad = base.filter($"v" === 300L || $"v" >= 100L).select($"id")
+    assert(semiJoins(broad) == 0, broad.queryExecution.optimizedPlan.toString)
+    assert(broad.count() ===
+      (0L until 1000L).count(i => i / 2 == 300 || i / 2 >= 100).toLong)
+  }
+
+  test("MVA element-range ANY routes through the element postings (r10)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-mvarange")
+    val mbase = tmp.resolve("mb").toString
+    val midx = tmp.resolve("mi").toString
+    val rows = (0L until 1000L).map(i => (i, Seq(i / 2, i / 2 + 600)))
+    Writer.write(rows.toDF("id", "arr"), mbase, sortBy = Seq("id"))
+    SecondaryIndex.buildMva(SparkT.spark.read.parquet(mbase), "arr", "id", midx)
+    IndexRouting.register(SparkT.spark, mbase, midx, "arr", "id", mva = true)
+    val mdf = SparkT.spark.read.parquet(mbase)
+    // narrow element range: exists(arr, 10 <= x <= 11) → postings filter
+    // value BETWEEN 10 AND 11 (ref MvaAny_T range, accessormva.cpp:71-139)
+    val df = mdf.filter(exists($"arr", x => x >= 10L && x <= 11L))
+      .select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(df.as[Long].collect().toSet === Set(20L, 21L, 22L, 23L))
+    // broad element range: span estimate over element bounds blocks it
+    val broad = mdf.filter(exists($"arr", x => x >= 100L)).select($"id")
+    assert(semiJoins(broad) == 0, broad.queryExecution.optimizedPlan.toString)
+    assert(broad.count() ===
+      rows.count(r => r._2.exists(_ >= 100L)).toLong)
+    // a lambda touching an OUTER column is never servable
+    val outer = mdf.filter(exists($"arr", x => x === $"id")).select($"id")
+    assert(semiJoins(outer) == 0)
+  }
+
+  test("string BETWEEN routes through the equi-depth histogram (r10)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-hist")
+    val hbase = tmp.resolve("hb").toString
+    val hidx = tmp.resolve("hi").toString
+    // id-sorted single file: s correlates with id but there is only one
+    // row group, so the clustered stand-down has no pruning evidence
+    val rows = (0L until 1000L).map(i => (i, "k%04d".format(i)))
+    Writer.write(rows.toDF("id", "s"), hbase, sortBy = Seq("id"))
+    SecondaryIndex.build(SparkT.spark.read.parquet(hbase), "s", "id", hidx)
+    IndexRouting.register(SparkT.spark, hbase, hidx, "s", "id")
+    val hdf = SparkT.spark.read.parquet(hbase)
+    // the numeric span seam cannot estimate a string range — only the
+    // histogram routes this (merged-interval estimate ~2/32)
+    val df = hdf.filter($"s" >= "k0100" && $"s" <= "k0149").select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(df.as[Long].collect().toSet === (100L to 149L).toSet)
+    // broad string range: histogram rank difference ~0.9 → bypass
+    val broad = hdf.filter($"s" >= "k0100").select($"id")
+    assert(semiJoins(broad) == 0, broad.queryExecution.optimizedPlan.toString)
+    assert(broad.count() === 900L)
+  }
+
+  test("count picks the index with the fewest rows when two serve (r10)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-twocnt")
+    val cbase = tmp.resolve("cb").toString
+    val small = tmp.resolve("ismall").toString
+    val big = tmp.resolve("ibig").toString
+    val rows = (0L until 1000L).map(i => (i, i / 2))
+    val df = rows.toDF("id", "v")
+    Writer.write(df, cbase, sortBy = Seq("id"))
+    val rd = SparkT.spark.read.parquet(cbase)
+    // compacted index: one (value, chunk) row per value
+    SecondaryIndex.build(rd, "v", "id", small)
+    // segmented duplicate: every (value, chunk) group split across two
+    // segments → twice the index rows for the same answers
+    SecondaryIndex.build(rd.filter($"id" % 2 === 0), "v", "id", big)
+    SecondaryIndex.appendSegment(rd.filter($"id" % 2 === 1), "v", "id", big)
+    IndexRouting.register(SparkT.spark, cbase, big, "v", "id")
+    IndexRouting.register(SparkT.spark, cbase, small, "v", "id")
+    val cnt = SparkT.spark.read.parquet(cbase).filter($"v" === 10L)
+      .agg(count(lit(1)).as("n"))
+    val paths = scanPaths(cnt)
+    assert(paths.exists(_.contains("ismall")) &&
+      !paths.exists(_.contains("ibig")),
+      cnt.queryExecution.optimizedPlan.toString)
+    assert(cnt.as[Long].head() === 2L)
+  }
+
+  test("routing the same index twice yields distinct exprIds per injection (r10)") {
+    // ADVICE r9: the cached analyzed index plan must be newInstance()'d
+    // per injection — a self-join of two routed filters would otherwise
+    // carry duplicate exprIds across sibling subtrees
+    val l = base.filter($"v" === 10L).select($"id")
+    val r2 = base.filter($"v" === 11L).select($"id".as("id2"))
+    val j = l.join(r2, $"id" === $"id2" - 2L)
+    def isIdxV(lr: LogicalRelation): Boolean = lr.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("idxv"))
+      case _ => false
+    }
+    val idxOuts = j.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation if isIdxV(lr) => lr.output.map(_.exprId)
+    }
+    assert(idxOuts.size == 2, "expected two routed index scans")
+    assert(idxOuts.head.toSet.intersect(idxOuts(1).toSet).isEmpty,
+      s"duplicate exprIds across injections: $idxOuts")
+    assert(j.as[(Long, Long)].collect().toSet ===
+      Set((20L, 22L), (21L, 23L)))
   }
 
   test("DISTINCT and COUNT(DISTINCT) on the indexed column are index-only (I7)") {
