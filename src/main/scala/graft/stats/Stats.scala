@@ -42,10 +42,51 @@ object Stats {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
+  /** Driver-side footer reads since JVM start — test instrumentation for
+    * the catalog path's zero-footer-IO contract. */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def footer(p: Path, conf: Configuration): ParquetMetadata = {
+    footerReads.incrementAndGet()
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try r.getFooter finally r.close()
   }
+
+  // ---- registered catalogs: the 100 TB administrative path ----
+  //
+  // Driver footer sweeps are per-file IO: milliseconds at test scale,
+  // hours at millions of files. A table with a registered catalog
+  // (buildCatalog output — one row per file, built DISTRIBUTED) answers
+  // rowCount / clusteredBy from catalog aggregations instead, so index
+  // REGISTRATION (IndexRouting.register, the one administrative path that
+  // consumed footer sweeps) does zero footer reads. Unregistered tables
+  // fall back to the sweep unchanged.
+
+  private val catalogs =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def qualify(path: String, conf: Configuration): String = {
+    val p = new Path(path)
+    p.getFileSystem(conf).makeQualified(p).toString
+  }
+
+  /** Attach `catalog` as the stats source for `tableDir`. Register a
+    * PERSISTED copy (the [[buildCatalog]] output written to a table and
+    * re-read, or `.cache()`d) — a raw buildCatalog DataFrame re-runs its
+    * footer-reading job on every consultation, which is exactly the IO
+    * this seam exists to avoid. Re-register after appends/compactions —
+    * the catalog is a snapshot of one table version. */
+  def registerCatalog(spark: SparkSession, tableDir: String,
+                      catalog: DataFrame): Unit =
+    catalogs.put(
+      qualify(tableDir, spark.sparkContext.hadoopConfiguration), catalog)
+
+  def unregisterCatalog(spark: SparkSession, tableDir: String): Unit =
+    catalogs.remove(
+      qualify(tableDir, spark.sparkContext.hadoopConfiguration))
+
+  private def catalogFor(path: String, conf: Configuration): Option[DataFrame] =
+    catalogs.get(qualify(path, conf))
 
   /** Enumerate the table's parquet files through the Hadoop FileSystem API —
     * the same resolver Spark's scans use, so the stats/catalog path sees
@@ -111,9 +152,17 @@ object Stats {
         }.toMap)
     }
 
-  /** I6 CalcCount analog: exact row count from footers — no scan. */
-  def rowCount(path: String, conf: Configuration = null): Long =
-    fileStats(path, conf).map(_.rows).sum
+  /** I6 CalcCount analog: exact row count from footers — no scan. A
+    * registered catalog answers it with one tiny aggregation instead (no
+    * footer IO at all). */
+  def rowCount(path: String, conf: Configuration = null): Long = {
+    val c = if (conf != null) conf else sessionConf()
+    catalogFor(path, c) match {
+      case Some(cat) =>
+        cat.agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
+      case None => fileStats(path, conf).map(_.rows).sum
+    }
+  }
 
   /** Z1 min/max tree root analog: column min/max from footers — no scan.
     * Exact for numeric columns (Parquet numeric stats are not truncated). */
@@ -205,6 +254,31 @@ object Stats {
   def clusteredBy(path: String, column: String, hconf: Configuration = null,
                   frac: Double = 0.8): Boolean = {
     val conf = if (hconf != null) hconf else sessionConf()
+    // Registered catalog: answer from per-FILE ranges (one small Spark
+    // job, zero footer IO — the 100 TB registration path). File
+    // granularity is the right scale signal (pruning at 100 TB is file
+    // pruning), and engine-written files are internally sorted, so
+    // non-overlapping files imply non-overlapping row groups. The catalog
+    // stores numeric ranges only; NaN (string/no-stats) columns fall back
+    // to the footer sweep below.
+    catalogFor(path, conf).foreach { cat =>
+      val mn = element_at(col("col_min"), column)
+      val mx = element_at(col("col_max"), column)
+      val ranges = cat.select(mn.as("mn"), mx.as("mx"))
+      val clean = ranges.filter(col("mn").isNull || col("mx").isNull ||
+        isnan(col("mn")) || isnan(col("mx"))).isEmpty
+      if (clean) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("mn"))
+        val agg = ranges
+          .withColumn("prev_mx", lag(col("mx"), 1).over(w))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("prev_mx") <= col("mn"), 1L).otherwise(0L)).as("ok"))
+          .head()
+        val n = agg.getLong(0)
+        return n >= 2 && agg.getLong(1).toDouble / (n - 1) >= frac
+      }
+    }
     val rs: Seq[Option[(Any, Any)]] =
       try parquetFiles(path, conf).flatMap { case (f, _) =>
         footer(f, conf).getBlocks.asScala.map { b =>

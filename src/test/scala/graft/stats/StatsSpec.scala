@@ -75,6 +75,69 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.pruneFiles(catMissing, "nope", 0, 1).count() === 4)
   }
 
+  test("registered catalog answers registration stats with ZERO footer reads (r10)") {
+    // The 100 TB administrative path (VERDICT r9 #5): index registration
+    // consumed driver footer sweeps (rowCount + clusteredBy); with a
+    // registered catalog both answer from catalog aggregations, and the
+    // routing decisions are IDENTICAL to the sweep's.
+    val tmp = Files.createTempDirectory("graft-statcat")
+    val cb = tmp.resolve("clustered").toString   // v-clustered: stands down
+    val ub = tmp.resolve("unclustered").toString // id-sorted: routes
+    val ci = tmp.resolve("ci").toString
+    val ui = tmp.resolve("ui").toString
+    Writer.write((0L until 4000L).map(i => (i, i % 1000)).toDF("id", "v"),
+      cb, sortBy = Seq("v"), files = 4)
+    Writer.write((0L until 4000L).map(i => (i, i % 1000)).toDF("id", "v"),
+      ub, sortBy = Seq("id"), files = 4)
+    graft.index.SecondaryIndex.build(SparkT.spark.read.parquet(cb), "v", "id", ci)
+    graft.index.SecondaryIndex.build(SparkT.spark.read.parquet(ub), "v", "id", ui)
+    // sweep-based truth, before any catalog exists
+    assert(Stats.clusteredBy(cb, "v"))
+    assert(!Stats.clusteredBy(ub, "v"))
+    val sweepRows = Stats.rowCount(cb)
+    // build catalogs (distributed), PERSIST them, and register the
+    // persisted copies — an unpersisted catalog DF would re-run its
+    // footer-reading job on every consultation, which is exactly the IO
+    // the catalog exists to avoid
+    val ccat = tmp.resolve("ccat").toString
+    val ucat = tmp.resolve("ucat").toString
+    Stats.buildCatalog(SparkT.spark, cb, Seq("id", "v")).write.parquet(ccat)
+    Stats.buildCatalog(SparkT.spark, ub, Seq("id", "v")).write.parquet(ucat)
+    Stats.registerCatalog(SparkT.spark, cb, SparkT.spark.read.parquet(ccat))
+    Stats.registerCatalog(SparkT.spark, ub, SparkT.spark.read.parquet(ucat))
+    try {
+      val before = Stats.footerReads.get()
+      assert(Stats.rowCount(cb) === sweepRows)
+      assert(Stats.clusteredBy(cb, "v"))
+      assert(!Stats.clusteredBy(ub, "v"))
+      graft.plans.IndexRouting.register(SparkT.spark, cb, ci, "v", "id")
+      graft.plans.IndexRouting.register(SparkT.spark, ub, ui, "v", "id")
+      assert(Stats.footerReads.get() === before,
+        s"registration read ${Stats.footerReads.get() - before} footers " +
+          "despite a registered catalog")
+      // identical routing behavior: clustered base stands down, the
+      // unclustered one routes
+      val cq = SparkT.spark.read.parquet(cb).filter($"v" === 10L)
+      val uq = SparkT.spark.read.parquet(ub).filter($"v" === 10L)
+      def semiJoins(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }.size
+      assert(semiJoins(cq) == 0, cq.queryExecution.optimizedPlan.toString)
+      assert(semiJoins(uq) == 1, uq.queryExecution.optimizedPlan.toString)
+      assert(cq.select($"id").as[Long].collect().toSet ===
+        Set(10L, 1010L, 2010L, 3010L))
+      assert(uq.select($"id").as[Long].collect().toSet ===
+        Set(10L, 1010L, 2010L, 3010L))
+    } finally {
+      Stats.unregisterCatalog(SparkT.spark, cb)
+      Stats.unregisterCatalog(SparkT.spark, ub)
+      graft.plans.IndexRouting.unregister(SparkT.spark, cb)
+      graft.plans.IndexRouting.unregister(SparkT.spark, ub)
+    }
+  }
+
   test("approxNdv is within rsd of exact ndv (I7)") {
     val df = SparkT.spark.read.parquet(dir)
     val exact = df.select(countDistinct($"v")).head.getLong(0)
