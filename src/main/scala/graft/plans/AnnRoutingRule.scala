@@ -46,10 +46,22 @@ import graft.vector.{CosineSimilarity, InnerProduct, Ivf, Knn, L2Distance}
   */
 object AnnRouting {
 
+  /** Index family behind a registration — the reference's CreateIterator
+    * serves whatever index type the column has (knn/knn.cpp:600-610);
+    * the same recognizer here dispatches on the registered family. */
+  sealed trait Family
+  /** IVF: the routed plan is a probe-restricted scan of the clustered
+    * index table (a pure leaf swap — Parquet pruning does the skipping). */
+  final case class IvfFamily(model: Ivf.Model, nprobe: Int, ef: Int,
+                             indexPlan: LogicalPlan) extends Family
+  /** Clustered/routed graph ([[graft.vector.Hnsw.buildIndexClustered]]):
+    * the routed plan swaps the scan for [[GraphCandidates]] (the
+    * centroid-ordered triangle-bounded walk, exact at full ef). */
+  final case class GraphFamily(idCol: String, ef: Int,
+                               metric: Knn.Metric) extends Family
+
   final case class Registered(basePath: String, indexPath: String,
-                              model: Ivf.Model, vecCol: String, nprobe: Int,
-                              rows: Long, ef: Int,
-                              indexPlan: LogicalPlan)
+                              vecCol: String, rows: Long, family: Family)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Registered]
@@ -77,7 +89,27 @@ object AnnRouting {
       spark.sparkContext.hadoopConfiguration)
     val idxPlan = spark.read.parquet(indexPath).queryExecution.analyzed
     selCache.keys.filter(_._1 == q).foreach(selCache.remove) // refresh point
-    reg.put(q, Registered(q, indexPath, model, vecCol, nprobe, rows, ef, idxPlan))
+    reg.put(q, Registered(q, indexPath, vecCol, rows,
+      IvfFamily(model, nprobe, ef, idxPlan)))
+  }
+
+  /** Register a CLUSTERED GRAPH index
+    * ([[graft.vector.Hnsw.buildIndexClustered]]) for `basePath`: every
+    * matching `ORDER BY dist LIMIT k` over the table routes through the
+    * centroid-ordered sub-graph walk at accuracy `ef` (full ef ⇒ exact —
+    * the oracle-checked configuration). The sidecar metric is read ONCE
+    * here (a few rows) so plan time stays metadata-only; latest
+    * registration per base table wins, exactly like the IVF family. */
+  def registerGraph(spark: SparkSession, basePath: String, indexPath: String,
+                    vecCol: String, idCol: String,
+                    ef: Int = 1 << 20): Unit = {
+    val q = qualify(spark, basePath)
+    val rows = graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
+    val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
+    selCache.keys.filter(_._1 == q).foreach(selCache.remove)
+    reg.put(q, Registered(q, indexPath, vecCol, rows,
+      GraphFamily(idCol, ef, metric)))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -170,13 +202,27 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       matchDist(resolve(sortExpr)) match {
         case Some((metric, vecAttr, qvec))
-            if metric == r.model.metric && r.rows > 0 &&
-              vecAttr.name == r.vecCol && lr.outputSet.contains(vecAttr) &&
-              shouldRoute(child, r, k) =>
-          buildRouted(gl, lr, r, qvec)
+            if metric == familyMetric(r) && r.rows > 0 &&
+              vecAttr.name == r.vecCol && lr.outputSet.contains(vecAttr) =>
+          r.family match {
+            case ivf: AnnRouting.IvfFamily if shouldRoute(child, r, ivf, k) =>
+              buildRouted(gl, lr, ivf, qvec)
+            // graph family: route only the UNFILTERED top-k (the filtered
+            // graph walk is the explicit K3 callback API — an automatic
+            // filtered query stays on the always-exact fullscan)
+            case g: AnnRouting.GraphFamily
+                if child.collect { case f: Filter => f }.isEmpty =>
+              buildGraphRouted(gl, lr, r, g, qvec, k)
+            case _ => None
+          }
         case _ => None
       }
     }
+  }
+
+  private def familyMetric(r: Registered): Knn.Metric = r.family match {
+    case i: AnnRouting.IvfFamily => i.model.metric
+    case g: AnnRouting.GraphFamily => g.metric
   }
 
   /** (metric, vector attribute, query vector) of a distance sort key. */
@@ -202,11 +248,12 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** Reference routing semantics: unfiltered → index; filtered → fullscan
     * iff the estimated survivor count is small (knn/knn.cpp:613-620). */
-  private def shouldRoute(child: LogicalPlan, r: Registered, k: Int): Boolean = {
+  private def shouldRoute(child: LogicalPlan, r: Registered,
+                          ivf: AnnRouting.IvfFamily, k: Int): Boolean = {
     val conds = child.collect { case Filter(c, _) => c }
     if (conds.isEmpty) true
     else estimateSelectivity(conds, r) match {
-      case Some(sel) => !Knn.shouldUseFullscan(sel, r.rows, k, r.ef)
+      case Some(sel) => !Knn.shouldUseFullscan(sel, r.rows, k, ivf.ef)
       case None => false // un-estimable filter: stay exact on the fullscan
     }
   }
@@ -250,22 +297,52 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   /** Swap the base relation for the probe-filtered index relation, keeping
     * the original output attribute ids via aliases. */
   private def buildRouted(gl: LogicalPlan, lr: LogicalRelation,
-                          r: Registered,
+                          ivf: AnnRouting.IvfFamily,
                           qvec: Array[Float]): Option[LogicalPlan] = {
-    val byName = r.indexPlan.output.map(a => a.name -> a).toMap
+    val byName = ivf.indexPlan.output.map(a => a.name -> a).toMap
     if (!lr.output.forall(a => byName.contains(a.name))) return None
     val clusterAttr = byName.get("ivf_cluster") match {
       case Some(a) => a
       case None => return None
     }
-    val probes = r.model.probeOrder(qvec).take(r.nprobe).map(_.toLong)
+    val probes = ivf.model.probeOrder(qvec).take(ivf.nprobe).map(_.toLong)
     val filtered = Filter(
-      In(clusterAttr, probes.map(p => Literal(p))), r.indexPlan)
+      In(clusterAttr, probes.map(p => Literal(p))), ivf.indexPlan)
     val mapped = Project(
       lr.output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId)),
       filtered)
     Some(gl.transformUp {
       case l: LogicalRelation if l eq lr => mapped
     })
+  }
+
+  /** Swap the base relation for the graph family's routed-candidate leaf
+    * (same exprIds — the Sort/Limit above recomputes exact distances from
+    * the carried vectors). The graph table supplies only (id, vector), so
+    * the route refuses when anything ABOVE the scan references another
+    * column; unreferenced base columns ride along as nulls (they must be
+    * nullable — never read, but the schema contract stays honest). */
+  private def buildGraphRouted(gl: LogicalPlan, lr: LogicalRelation,
+                               r: Registered, g: AnnRouting.GraphFamily,
+                               qvec: Array[Float], k: Int): Option[LogicalPlan] = {
+    val referenced = AttributeSet(
+      gl.collect { case n if !(n eq lr) => n.expressions }
+        .flatten.flatMap(_.references))
+    val requiredNames = lr.output.filter(referenced.contains).map(_.name).toSet
+    val idOk = lr.output.find(_.name == g.idCol)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val vecOk = lr.output.find(_.name == r.vecCol).exists(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    val fillable = lr.output.forall(a =>
+      a.name == g.idCol || a.name == r.vecCol || a.nullable)
+    if (!requiredNames.subsetOf(Set(g.idCol, r.vecCol)) || !idOk || !vecOk ||
+        !fillable) None
+    else {
+      val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
+        qvec.toSeq, k, g.ef, lr.output)
+      Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
+    }
   }
 }

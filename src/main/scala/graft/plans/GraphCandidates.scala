@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Statistics}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+
+/** The graph family's routed-candidate leaf (K4 beyond IVF, VERDICT r9
+  * #4): [[AnnRoutingRule]] swaps a registered base-table scan under an
+  * `ORDER BY dist LIMIT k` for this node, which produces the top-k
+  * (id, vector) rows of [[graft.vector.Hnsw.searchRoutedRaw]] — the
+  * centroid-ordered, triangle-bounded routed walk over the clustered
+  * sub-graphs. The ORIGINAL Sort/Limit stays above and recomputes exact
+  * distances from the carried vectors, so the routed plan's results are
+  * identical to the explicit API's (and to the fullscan at full ef) —
+  * the same leaf-swap contract as the IVF route.
+  *
+  * The routed walk is a driver-orchestrated probe loop (bounds decide the
+  * next batch from the previous batch's results), which no static
+  * DataFrame composition can express — hence a custom leaf + strategy
+  * (the sanctioned (c) tier: LogicalPlan + SparkStrategy + SparkPlan),
+  * not a mapPartitions bolt-on. Execution happens in `doExecute` (the
+  * probe loop schedules jobs over the RESIDENT graph RDD — zero tasks for
+  * unprobed sub-graphs); plan time touches no data.
+  *
+  * `output` reuses the base relation's attributes verbatim (same exprIds),
+  * so every upstream expression rebinds without aliasing. */
+final case class GraphCandidates(indexPath: String, idName: String,
+                                 vecName: String, query: Seq[Float],
+                                 k: Int, ef: Int,
+                                 output: Seq[Attribute]) extends LeafNode {
+  override def maxRows: Option[Long] = Some(k.toLong)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = math.max(1L, k.toLong * 4L * (query.size + 2)))
+}
+
+final case class GraphCandidatesExec(node: GraphCandidates)
+    extends LeafExecNode {
+
+  override def output: Seq[Attribute] = node.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (rows, _) = graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
+      node.query.toArray, node.k, node.ef)
+    val byName = rows.map { case (id, _, vec) =>
+      Map[String, Any](node.idName -> id, node.vecName -> vec)
+    }
+    val schema = node.output.map(_.dataType).toArray
+    val names = node.output.map(_.name)
+    val data = byName.map { m =>
+      InternalRow.fromSeq(names.map {
+        case n if n == node.idName => m(node.idName)
+        case n if n == node.vecName =>
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            m(node.vecName).asInstanceOf[Array[Float]])
+        // unreferenced base columns (the route refuses otherwise): null
+        case _ => null
+      })
+    }.toSeq
+    sparkContext.parallelize(data, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map(proj)
+    }
+  }
+}
+
+/** Plans [[GraphCandidates]] → [[GraphCandidatesExec]]; injected by
+  * [[GraftExtensions]]. */
+class GraphCandidatesStrategy extends SparkStrategy {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[SparkPlan] = plan match {
+    case g: GraphCandidates => GraphCandidatesExec(g) :: Nil
+    case _ => Nil
+  }
+}

@@ -93,6 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => HashCompanionRule)
     ext.injectOptimizerRule(session => new AnnRoutingRule(session))
     ext.injectOptimizerRule(session => new IndexRoutingRule(session))
+    // plans the graph family's routed-candidate leaf (AnnRoutingRule's
+    // rewrite target for clustered graph indexes)
+    ext.injectPlannerStrategy(_ => new GraphCandidatesStrategy)
     // Only the genuine catalyst Expressions register as SQL functions; the
     // text-analysis ops are Column COMPOSITIONS of SQL built-ins, so
     // spark.sql users already have their vocabulary (the oracle replays

