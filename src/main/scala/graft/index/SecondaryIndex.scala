@@ -231,11 +231,30 @@ object SecondaryIndex {
         }
       }
     }
-    if (!fs.exists(dst) &&
-        fs.exists(new org.apache.hadoop.fs.Path(indexPath + "_old")))
-      indexPath + "_old"
-    else indexPath
+    // The fallbacks below serve the RENAME scheme's crash window only. A
+    // dir carrying the SUPERSEDED marker is a manifest compact's retained
+    // previous generation: reachable by in-flight readers that already
+    // resolved it, but never a valid fallback — if the manifest dir is
+    // lost, serving it would be silent stale data (review r10); fail
+    // loudly instead.
+    def superseded(p: org.apache.hadoop.fs.Path): Boolean =
+      try fs.exists(new org.apache.hadoop.fs.Path(p, SupersededMarker))
+      catch { case _: java.io.IOException => false }
+    val old = new org.apache.hadoop.fs.Path(indexPath + "_old")
+    if (!fs.exists(dst) && fs.exists(old) && !superseded(old))
+      return indexPath + "_old"
+    if (fs.exists(dst) && superseded(dst))
+      throw new IllegalStateException(
+        s"$indexPath is a superseded generation of a manifest-managed " +
+          s"index but no valid manifest version exists under " +
+          s"${manifestDir(indexPath)} — the manifest dir was lost; " +
+          "restore it or rebuild the index")
+    indexPath
   }
+
+  /** Marker written into a RETAINED superseded generation so
+    * [[resolve]]'s rename-scheme fallbacks never serve it as live data. */
+  private[index] val SupersededMarker = "_GRAFT_SUPERSEDED"
 
   private def manifestDir(indexPath: String): String = indexPath + "_manifest"
 
@@ -345,6 +364,19 @@ object SecondaryIndex {
                 .exists(_ != nextVersion)))
         if (stale) fs.delete(st.getPath, true)
       }
+    }
+    // The retained base/_old dir is also a resolve() FALLBACK target: mark
+    // it superseded so a later manifest-dir loss fails loudly instead of
+    // silently serving the stale copy (review r10). Retained __g dirs are
+    // reachable only through manifest versions, which a lost manifest
+    // cannot name — no marker needed there.
+    if (retained == baseName || retained == baseName + "_old") {
+      val mk = fs.create(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(base.getParent, retained),
+        SupersededMarker), true)
+      try mk.write("superseded by manifest commit\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mk.close()
     }
     graft.plans.IndexRouting.onIndexMutated(spark, indexPath)
   }

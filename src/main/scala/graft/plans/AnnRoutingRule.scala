@@ -299,7 +299,16 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def buildRouted(gl: LogicalPlan, lr: LogicalRelation,
                           ivf: AnnRouting.IvfFamily,
                           qvec: Array[Float]): Option[LogicalPlan] = {
-    val byName = ivf.indexPlan.output.map(a => a.name -> a).toMap
+    // fresh instance per injection: a query routing the same index twice
+    // (union of two top-ks) must not carry duplicate exprIds across
+    // sibling subtrees (review r10 — same fix as IndexRoutingRule's
+    // freshIndexPlan)
+    val idxPlan = ivf.indexPlan match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case p => p
+    }
+    val byName = idxPlan.output.map(a => a.name -> a).toMap
     if (!lr.output.forall(a => byName.contains(a.name))) return None
     val clusterAttr = byName.get("ivf_cluster") match {
       case Some(a) => a
@@ -307,7 +316,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val probes = ivf.model.probeOrder(qvec).take(ivf.nprobe).map(_.toLong)
     val filtered = Filter(
-      In(clusterAttr, probes.map(p => Literal(p))), ivf.indexPlan)
+      In(clusterAttr, probes.map(p => Literal(p))), idxPlan)
     val mapped = Project(
       lr.output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId)),
       filtered)
@@ -325,12 +334,17 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def buildGraphRouted(gl: LogicalPlan, lr: LogicalRelation,
                                r: Registered, g: AnnRouting.GraphFamily,
                                qvec: Array[Float], k: Int): Option[LogicalPlan] = {
+    // a base column is REQUIRED if any expression inside the matched
+    // subtree consumes it OR it escapes through the subtree's output (a
+    // bare orderBy().limit() with no pruning Project delivers every
+    // column to the user — null-filling those would be a visible wrong
+    // result, review r10)
     val referenced = AttributeSet(
       gl.collect { case n if !(n eq lr) => n.expressions }
-        .flatten.flatMap(_.references))
+        .flatten.flatMap(_.references)) ++ gl.outputSet
     val requiredNames = lr.output.filter(referenced.contains).map(_.name).toSet
     val idOk = lr.output.find(_.name == g.idCol)
-      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+      .exists(_.dataType == org.apache.spark.sql.types.LongType)
     val vecOk = lr.output.find(_.name == r.vecCol).exists(_.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false

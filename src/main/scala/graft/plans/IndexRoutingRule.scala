@@ -170,10 +170,16 @@ object IndexRouting {
       count(lit(1))).head()
     val clustered = !mva &&
       graft.stats.Stats.clusteredBy(basePath, valueCol, hconf)
+    // histogram only for NON-numeric values: rangeEst consults it only
+    // when the numeric span is unavailable, so sampling a numeric index
+    // would be a dead job per registration (review r10)
+    val hist =
+      if (numOpt(s.get(2)).isDefined) Array.empty[Any]
+      else histogram(idx, s.getLong(4))
     val entry = Registered(q, indexPath, valueCol, keyCol, rows,
       math.max(1L, s.getLong(1)), s.getLong(0),
       numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva,
-      clustered, s.getLong(4), histogram(idx, s.getLong(4)))
+      clustered, s.getLong(4), hist)
     reg.synchronized {
       if (epochs.getOrElse(qIdx, 0L) != epoch0) return // mutated mid-snapshot
       reg.put(q, entry :: reg.getOrElse(q, Nil).filterNot(r =>
@@ -805,8 +811,12 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         val picked = scala.collection.mutable.Buffer[Candidate]()
         cands.foreach { c =>
           // one candidate per value column; all streams must share the
-          // fact key or the intersection would merge different id spaces
-          if (c.est <= multiSideCap && c.r.keyCol == cands.head.r.keyCol &&
+          // fact key or the intersection would merge different id spaces.
+          // The key anchor is the first PICKED candidate, not cands.head —
+          // a broad primary excluded by the cap must not veto a valid
+          // narrower pair on a different key (review r10).
+          if (c.est <= multiSideCap &&
+              picked.headOption.forall(_.r.keyCol == c.r.keyCol) &&
               !picked.exists(_.r.valueCol == c.r.valueCol)) picked += c
         }
         if (picked.size >= 2 && picked.map(_.est).product <= threshold)
@@ -831,7 +841,14 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         idxValue <- idxPlan.output.find(_.name == "value")
         ks <- keysPlan(idxPlan,
           c.servables.map(substitute(_, v, idxValue)).reduce(And))
-      } yield ks
+      } yield
+        // an MVA stream may repeat a key across matched elements; inside
+        // an INTERSECTION inner join duplicates would multiply across
+        // sides (review r10 — the reference intersects UNIQUE sorted
+        // rowid streams), so dedup it first. Scalar streams are unique by
+        // layout invariant 6; the single-stream route stays dedup-free.
+        if (c.r.mva && chosen.size > 1) (Distinct(ks._1): LogicalPlan, ks._2)
+        else ks
     }
     if (streams.exists(_.isEmpty)) return None
     for {

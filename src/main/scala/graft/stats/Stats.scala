@@ -276,7 +276,11 @@ object Stats {
             sum(when(col("prev_mx") <= col("mn"), 1L).otherwise(0L)).as("ok"))
           .head()
         val n = agg.getLong(0)
-        return n >= 2 && agg.getLong(1).toDouble / (n - 1) >= frac
+        // a SINGLE file gives the catalog no adjacency evidence, but its
+        // row groups may still be clustered — fall through to the (one
+        // footer) sweep rather than diverging from its decision
+        // (review r10)
+        if (n >= 2) return agg.getLong(1).toDouble / (n - 1) >= frac
       }
     }
     val rs: Seq[Option[(Any, Any)]] =

@@ -54,6 +54,9 @@ class CompactCommitSpec extends AnyFunSuite {
     assert(SecondaryIndex.resolve(spark, d).endsWith("__g1"))
     assert(f.exists(new org.apache.hadoop.fs.Path(d)),
       "previous live generation (legacy base) swept too early")
+    // ...and marked, so resolve()'s fallback can never serve it as live
+    assert(f.exists(new org.apache.hadoop.fs.Path(d + "/_GRAFT_SUPERSEDED")),
+      "retained base dir not marked superseded")
     healthy(d)
 
     // crash B: partially-written newest manifest version (empty object) —
@@ -119,5 +122,22 @@ class CompactCommitSpec extends AnyFunSuite {
     assert(!f.exists(new org.apache.hadoop.fs.Path(d + "_old")),
       "rename-scheme _old leftover survived the sweep")
     assert(lookup(d, 4L) === wantAll)
+  }
+
+  test("manifest loss with a retained superseded base fails loudly, never stale reads") {
+    // review r10: retention keeps the pre-commit generation readable for
+    // in-flight readers, but it must NEVER become a resolve() fallback —
+    // losing the manifest dir then has to be an error, not silent stale
+    // postings.
+    val d = Files.createTempDirectory("graft-mloss").resolve("idx").toString
+    val f = fs(d)
+    SecondaryIndex.build(rows.toDF("value", "key"), "value", "key", d)
+    SecondaryIndex.compactManifest(spark, d) // migrates, retains marked base
+    assert(SecondaryIndex.resolve(spark, d).endsWith("__g1"))
+    f.delete(new org.apache.hadoop.fs.Path(d + "_manifest"), true)
+    val e = intercept[IllegalStateException] {
+      SecondaryIndex.resolve(spark, d)
+    }
+    assert(e.getMessage.contains("superseded"))
   }
 }

@@ -185,6 +185,22 @@ class AnnRoutingSpec extends AnyFunSuite {
       "embedding", "vec_id", query, 10)
     assert(graphLeaves(filt).isEmpty)
     assert(scanPaths(filt).exists(_.contains("baseg")))
+    // a BARE orderBy().limit() delivers every base column to the user —
+    // null-filling label would be a visible wrong result, so the route
+    // refuses (review r10); the exact fullscan keeps real label values
+    val bare = SparkT.spark.read.parquet(baseG)
+      .orderBy(Knn.distCol(Knn.L2, col("embedding"), typedLit(query)).asc)
+      .limit(10)
+    assert(graphLeaves(bare).isEmpty,
+      bare.queryExecution.optimizedPlan.toString)
+    assert(bare.collect().forall(r => !r.isNullAt(r.fieldIndex("label"))))
+    // a registration whose idCol is not a real column refuses the route
+    // instead of emitting null ids (review r10)
+    AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+      vecCol = "embedding", idCol = "nope")
+    val wrongId = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(wrongId).isEmpty)
     // family replacement: a later IVF registration for the same base
     // takes over (latest wins, like the reference's per-column index slot)
     val idxI = tmp.resolve("idxi").toString
