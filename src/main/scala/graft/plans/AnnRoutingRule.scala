@@ -59,6 +59,14 @@ object AnnRouting {
     * centroid-ordered triangle-bounded walk, exact at full ef). */
   final case class GraphFamily(idCol: String, ef: Int,
                                metric: Knn.Metric) extends Family
+  /** Quantized table ([[graft.vector.Quantize.quantizeTable]]): the
+    * routed plan splices the coarse int8 screen (top k·refine by code
+    * distance) + self-join under the original Sort/Limit — the exact
+    * rescore IS the untouched Sort recomputing float distances. Pure
+    * logical composition, no custom exec. */
+  final case class QuantFamily(model: graft.vector.Quantize.QModel,
+                               qCol: String, idCol: String,
+                               refine: Int) extends Family
 
   final case class Registered(basePath: String, indexPath: String,
                               vecCol: String, rows: Long, family: Family)
@@ -110,6 +118,27 @@ object AnnRouting {
     selCache.keys.filter(_._1 == q).foreach(selCache.remove)
     reg.put(q, Registered(q, indexPath, vecCol, rows,
       GraphFamily(idCol, ef, metric)))
+  }
+
+  /** Register a QUANTIZED table ([[graft.vector.Quantize.quantizeTable]]
+    * at `quantPath` — base columns + `qCol` codes) for `basePath`: a
+    * plain L2 top-k routes through the coarse int8 screen with `refine`
+    * as the accuracy contract (true top-k must sit in the top k·refine
+    * coarse set — the same serving contract the explicit `searchRescore`
+    * carries). The coarse screen is L2-code distance, so only L2 queries
+    * route (the reference's int8 path is likewise L2-trained,
+    * knn/quantizer.cpp). Typical use registers the quant table as its
+    * OWN base (it carries the original vectors). */
+  def registerQuant(spark: SparkSession, basePath: String, quantPath: String,
+                    model: graft.vector.Quantize.QModel, vecCol: String,
+                    idCol: String, qCol: String = "qvec",
+                    refine: Int = 8): Unit = {
+    val q = qualify(spark, basePath)
+    val rows = graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
+    selCache.keys.filter(_._1 == q).foreach(selCache.remove)
+    reg.put(q, Registered(q, quantPath, vecCol, rows,
+      QuantFamily(model, qCol, idCol, refine)))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -213,6 +242,12 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
             case g: AnnRouting.GraphFamily
                 if child.collect { case f: Filter => f }.isEmpty =>
               buildGraphRouted(gl, lr, r, g, qvec, k)
+            // quantized family: unfiltered L2 top-k only (the coarse
+            // screen is code-L2; a filter would break the k·refine
+            // accuracy contract — the explicit API is the filtered path)
+            case qf: AnnRouting.QuantFamily
+                if child.collect { case f: Filter => f }.isEmpty =>
+              buildQuantRouted(gl, lr, r, qf, qvec, k)
             case _ => None
           }
         case _ => None
@@ -223,6 +258,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def familyMetric(r: Registered): Knn.Metric = r.family match {
     case i: AnnRouting.IvfFamily => i.model.metric
     case g: AnnRouting.GraphFamily => g.metric
+    case _: AnnRouting.QuantFamily => Knn.L2
   }
 
   /** (metric, vector attribute, query vector) of a distance sort key. */
@@ -358,5 +394,30 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         qvec.toSeq, k, g.ef, lr.output)
       Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
     }
+  }
+
+  /** Swap the base relation for the quantized coarse-screen survivors:
+    * quantTable ⋈ coarse-top-(k·refine)(code L2), aliased back to the
+    * original exprIds — the untouched Sort/Limit above IS the exact
+    * rescore. The candidate sub-plan is built through the DataFrame API
+    * at plan time (analysis only, no jobs; a fresh read per injection
+    * keeps exprIds unique). Refuses when the scan needs a column the
+    * quant table lacks. */
+  private def buildQuantRouted(gl: LogicalPlan, lr: LogicalRelation,
+                               r: Registered, qf: AnnRouting.QuantFamily,
+                               qvec: Array[Float], k: Int): Option[LogicalPlan] = {
+    val qdf = try session.read.parquet(r.indexPath)
+      catch { case _: Exception => return None }
+    val cols = qdf.columns.toSet
+    if (!lr.output.forall(a => cols.contains(a.name))) return None
+    val survivors = qdf.join(
+      graft.vector.Quantize.coarseIds(qdf, qf.qCol, qf.idCol, qf.model,
+        qvec, k * qf.refine), Seq(qf.idCol))
+    val plan = survivors.queryExecution.analyzed
+    val byName = plan.output.map(a => a.name -> a).toMap
+    val mapped = Project(
+      lr.output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId)),
+      plan)
+    Some(gl.transformUp { case l: LogicalRelation if l eq lr => mapped })
   }
 }

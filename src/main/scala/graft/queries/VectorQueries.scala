@@ -287,6 +287,26 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K6+K4: the quantized family AUTOMATICALLY ROUTED (completing
+    // VERDICT r9 #4's family set): the quant table registers as its own
+    // base; a PLAIN exact top-k over it is rewritten into coarse int8
+    // screen (top k·refine by code distance) ⋈ self, and the untouched
+    // Sort/Limit above IS the exact rescore — a pure logical splice, no
+    // custom exec. refine=8 keeps the true top-10 inside the coarse set
+    // on these fixtures (same contract as q_knn_quant), so the routed
+    // result equals the exact fullscan — shared oracle. Family selection
+    // pinned in AnnRoutingSpec.
+    "q_knn_quant_auto" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantIndex(s, d)
+        graft.plans.AnnRouting.registerQuant(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id")
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K6 4-bit quantization (the reference's third variant, knn/
     // quantizer.cpp 4-bit transposed rep): 2 dims/byte packed-nibble codes,
     // 8x smaller scans, coarse pass + exact rescore. Deterministic end to

@@ -102,12 +102,15 @@ object Quantize {
   /** Top-k search: coarse pass on the quantized codes (k·refine survivors),
     * exact rescore on the float vectors. Returns (idCol, dist) best-first,
     * ties by id — same contract as [[Knn.knn]]. */
-  def searchRescore(qdf: DataFrame, vecCol: String, qCol: String,
-                    idCol: String, m: QModel, query: Array[Float], k: Int,
-                    metric: Knn.Metric = Knn.L2, refine: Int = 8): DataFrame = {
+  /** The coarse-screen candidate ids: top-`n` by int8-code L2 distance —
+    * a declarative sub-plan (typed map + TakeOrdered), shared by
+    * [[searchRescore]] and [[graft.plans.AnnRoutingRule]]'s automatic
+    * quantized route (which splices it under the original Sort/Limit). */
+  def coarseIds(qdf: DataFrame, qCol: String, idCol: String, m: QModel,
+                query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
     val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
-    val coarse = qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
+    qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .map { case (id, codes) =>
         val (mm, qv) = qB.value
@@ -115,8 +118,15 @@ object Quantize {
       }
       .toDF("cid", "adist")
       .orderBy(col("adist").asc, col("cid").asc)
-      .limit(k * refine)
-    val survivors = qdf.join(coarse.select(col("cid").as(idCol)), Seq(idCol))
+      .limit(n)
+      .select(col("cid").as(idCol))
+  }
+
+  def searchRescore(qdf: DataFrame, vecCol: String, qCol: String,
+                    idCol: String, m: QModel, query: Array[Float], k: Int,
+                    metric: Knn.Metric = Knn.L2, refine: Int = 8): DataFrame = {
+    val survivors = qdf.join(
+      coarseIds(qdf, qCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
   }
 

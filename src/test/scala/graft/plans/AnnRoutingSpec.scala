@@ -215,6 +215,35 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(df2.select("vec_id").as[Long].collect().toSeq === exactTop10)
   }
 
+  test("quant family: a registered quantized table routes through the coarse screen (r10)") {
+    val tmp = Files.createTempDirectory("graft-annroute-quant")
+    val qt = tmp.resolve("qt").toString
+    val m = graft.vector.Quantize.train(
+      vectors.toDF("vec_id", "embedding", "label"), "embedding")
+    Writer.write(graft.vector.Quantize.quantizeTable(
+      vectors.toDF("vec_id", "embedding", "label"), "embedding", "qvec", m),
+      qt, sortBy = Seq("vec_id"))
+    AnnRouting.registerQuant(SparkT.spark, qt, qt, m,
+      vecCol = "embedding", idCol = "vec_id")
+    val df = Knn.knn(SparkT.spark.read.parquet(qt),
+      "embedding", "vec_id", query, 10)
+    // routed: the plan holds the coarse-screen self-join (two scans of the
+    // quant table + a join), not the single-scan fullscan
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    // exact: refine=8 keeps the true top-10 inside the coarse set here
+    assert(df.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // filtered queries refuse the quant route (accuracy contract)
+    val filt = Knn.knn(SparkT.spark.read.parquet(qt).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(filt.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty)
+    AnnRouting.unregister(SparkT.spark, qt)
+  }
+
   test("routing preserves downstream projections (round/select shapes)") {
     val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
         "embedding", "vec_id", query, 10)
