@@ -56,9 +56,15 @@ object AnnRouting {
                              indexPlan: LogicalPlan) extends Family
   /** Clustered/routed graph ([[graft.vector.Hnsw.buildIndexClustered]]):
     * the routed plan swaps the scan for [[GraphCandidates]] (the
-    * centroid-ordered triangle-bounded walk, exact at full ef). */
+    * centroid-ordered triangle-bounded walk, exact at full ef).
+    * `maxFilterIds` gates the FILTERED route: an attribute filter is
+    * consumed into the walk's allowed-id callback only when footer stats
+    * bound its survivors by this many ids (the broadcast-set budget — the
+    * analog of the reference's filter-bitmap size, which is likewise
+    * O(rows) on one node). */
   final case class GraphFamily(idCol: String, ef: Int,
-                               metric: Knn.Metric) extends Family
+                               metric: Knn.Metric,
+                               maxFilterIds: Long) extends Family
   /** Quantized table ([[graft.vector.Quantize.quantizeTable]]): the
     * routed plan splices the coarse int8 screen (top k·refine by code
     * distance) + self-join under the original Sort/Limit — the exact
@@ -110,14 +116,15 @@ object AnnRouting {
     * registration per base table wins, exactly like the IVF family. */
   def registerGraph(spark: SparkSession, basePath: String, indexPath: String,
                     vecCol: String, idCol: String,
-                    ef: Int = 1 << 20): Unit = {
+                    ef: Int = 1 << 20,
+                    maxFilterIds: Long = 4L * 1000 * 1000): Unit = {
     val q = qualify(spark, basePath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
     val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
     selCache.keys.filter(_._1 == q).foreach(selCache.remove)
     reg.put(q, Registered(q, indexPath, vecCol, rows,
-      GraphFamily(idCol, ef, metric)))
+      GraphFamily(idCol, ef, metric, maxFilterIds)))
   }
 
   /** Register a QUANTIZED table ([[graft.vector.Quantize.quantizeTable]]
@@ -236,18 +243,21 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           r.family match {
             case ivf: AnnRouting.IvfFamily if shouldRoute(child, r, ivf, k) =>
               buildRouted(gl, lr, ivf, qvec)
-            // graph family: route only the UNFILTERED top-k (the filtered
-            // graph walk is the explicit K3 callback API — an automatic
-            // filtered query stays on the always-exact fullscan)
-            case g: AnnRouting.GraphFamily
-                if child.collect { case f: Filter => f }.isEmpty =>
-              buildGraphRouted(gl, lr, r, g, qvec, k)
-            // quantized family: unfiltered L2 top-k only (the coarse
-            // screen is code-L2; a filter would break the k·refine
-            // accuracy contract — the explicit API is the filtered path)
-            case qf: AnnRouting.QuantFamily
-                if child.collect { case f: Filter => f }.isEmpty =>
-              buildQuantRouted(gl, lr, r, qf, qvec, k)
+            // graph family: an attribute filter is CONSUMED into the beam
+            // walk's allowed-id callback when its survivors are bounded
+            // (ref KNNFilter_i — the host hands the iterator its filter
+            // bitmap, knn/knn.h:87-94); otherwise the plan stays on the
+            // always-exact filtered fullscan
+            case g: AnnRouting.GraphFamily =>
+              val filters = child.collect { case f: Filter => f }
+              if (filters.isEmpty) buildGraphRouted(gl, lr, r, g, qvec, k)
+              else buildGraphFilteredRouted(gl, lr, r, g, qvec, k, filters)
+            // quantized family: the filter rides INSIDE the coarse screen
+            // (the quant table carries the attribute columns), so the
+            // k·refine contract applies to the filtered corpus
+            case qf: AnnRouting.QuantFamily =>
+              buildQuantRouted(gl, lr, r, qf, qvec, k,
+                child.collect { case f: Filter => f })
             case _ => None
           }
         case _ => None
@@ -294,20 +304,19 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Upper-bound selectivity from footer stats: min over the range-shaped
-    * conjuncts (an upper bound on survivors is conservative toward routing,
-    * the same direction the reference errs). */
-  private def estimateSelectivity(conds: Seq[Expression],
-                                  r: Registered): Option[Double] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
-      case o => Seq(o)
-    }
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
+    case o => Seq(o)
+  }
+
+  /** (column, lo, hi) of a range-shaped comparison against a numeric
+    * literal — the footer-estimable (and `.sql`-round-trippable) shapes. */
+  private def rangeShape(e: Expression): Option[(String, Double, Double)] = {
     def num(l: Literal): Option[Double] = l.value match {
       case n: java.lang.Number => Some(n.doubleValue())
       case _ => None
     }
-    def range(e: Expression): Option[(String, Double, Double)] = e match {
+    e match {
       case EqualTo(a: AttributeReference, l: Literal) =>
         num(l).map(v => (a.name, v, v))
       case EqualTo(l: Literal, a: AttributeReference) =>
@@ -322,7 +331,14 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         num(l).map(v => (a.name, Double.NegativeInfinity, v))
       case _ => None
     }
-    val sels = conds.flatMap(conjuncts).flatMap(range).flatMap {
+  }
+
+  /** Upper-bound selectivity from footer stats: min over the range-shaped
+    * conjuncts (an upper bound on survivors is conservative toward routing,
+    * the same direction the reference errs). */
+  private def estimateSelectivity(conds: Seq[Expression],
+                                  r: Registered): Option[Double] = {
+    val sels = conds.flatMap(conjuncts).flatMap(rangeShape).flatMap {
       case (col, lo, hi) =>
         AnnRouting.cachedRangeEstimate(r.basePath, col, lo, hi)
           .map(_ / r.rows.toDouble)
@@ -396,22 +412,109 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** K3 automatic on the graph family: CONSUME the attribute filter into
+    * the routed walk's allowed-id callback (the reference host computes the
+    * filter bitmap and hands it to the KNN iterator, knn/knn.h:87-94;
+    * HNSWFilterWrapper_c knn.cpp:90-97 — traversal crosses disallowed
+    * nodes, only allowed enter the beam, over-probing keeps k survivors).
+    * Route only when
+    *  - every conjunct is range-shaped (footer-estimable, `.sql`
+    *    round-trips) or an inferred IsNotNull over a base column — the
+    *    whole condition is then re-evaluated DISTRIBUTED by the leaf's id
+    *    job, so consuming all of them is semantics-preserving;
+    *  - footer stats bound survivors by `maxFilterIds` (the broadcast-set
+    *    budget — unlike the reference there is no selective-end fullscan
+    *    bypass, because a Spark "fullscan" of few survivors still scans
+    *    every vector, not a rowid fetch);
+    *  - outside the consumed filters, only (id, vector) are referenced and
+    *    the filter columns do not escape the matched subtree's output
+    *    (they are pruned above the consumed Filter, else null-fill would
+    *    show). */
+  private def buildGraphFilteredRouted(gl: LogicalPlan, lr: LogicalRelation,
+                                       r: Registered, g: AnnRouting.GraphFamily,
+                                       qvec: Array[Float], k: Int,
+                                       filters: Seq[Filter]): Option[LogicalPlan] = {
+    val conds = filters.map(_.condition)
+    val parts = conds.flatMap(conjuncts)
+    val servable = parts.forall {
+      case IsNotNull(a: AttributeReference) => lr.outputSet.contains(a)
+      case e => rangeShape(e).isDefined &&
+        e.references.forall(lr.outputSet.contains)
+    }
+    if (!servable || !conds.forall(_.deterministic)) return None
+    val survivors = estimateSelectivity(conds, r).map(_ * r.rows.toDouble)
+    if (!survivors.exists(_ <= g.maxFilterIds.toDouble)) return None
+    // referenced set EXCLUDING the consumed filters: their columns are
+    // satisfied by the id job, everything else must come from the leaf
+    val referenced = AttributeSet(
+      gl.collect {
+        case n if !(n eq lr) && !filters.exists(_ eq n) => n.expressions
+      }.flatten.flatMap(_.references)) ++ gl.outputSet
+    val requiredNames = lr.output.filter(referenced.contains).map(_.name).toSet
+    val idOk = lr.output.find(_.name == g.idCol)
+      .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    val vecOk = lr.output.find(_.name == r.vecCol).exists(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    val fillable = lr.output.forall(a =>
+      a.name == g.idCol || a.name == r.vecCol || a.nullable)
+    if (!requiredNames.subsetOf(Set(g.idCol, r.vecCol)) || !idOk || !vecOk ||
+        !fillable) None
+    else {
+      val cond = conds.reduce(And)
+      val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
+        qvec.toSeq, k, g.ef, lr.output,
+        basePath = Some(r.basePath), filterSql = Some(cond.sql))
+      // transformUp rebuilds parents after the leaf swap, so the consumed
+      // Filter nodes are copies — match them by their (unchanged)
+      // condition, not by reference
+      Some(gl.transformUp {
+        case l: LogicalRelation if l eq lr => leaf
+        case f: Filter if conds.exists(_ fastEquals f.condition) => f.child
+      })
+    }
+  }
+
   /** Swap the base relation for the quantized coarse-screen survivors:
     * quantTable ⋈ coarse-top-(k·refine)(code L2), aliased back to the
     * original exprIds — the untouched Sort/Limit above IS the exact
     * rescore. The candidate sub-plan is built through the DataFrame API
     * at plan time (analysis only, no jobs; a fresh read per injection
     * keeps exprIds unique). Refuses when the scan needs a column the
-    * quant table lacks. */
+    * quant table lacks.
+    *
+    * FILTERED (K3): the quant table carries the base attribute columns, so
+    * an attribute filter rides INSIDE the coarse screen (`filter → code
+    * distance → top k·refine`) — the k·refine serving contract then holds
+    * over the FILTERED corpus, the in-traversal semantics (never a
+    * post-screen filter that could under-return). The original Filter
+    * nodes stay in the plan (they re-verify survivors — exact and free),
+    * only the screen input changes. Refused for non-range filter shapes
+    * (the condition must `.sql`-round-trip onto the fresh quant read). */
   private def buildQuantRouted(gl: LogicalPlan, lr: LogicalRelation,
                                r: Registered, qf: AnnRouting.QuantFamily,
-                               qvec: Array[Float], k: Int): Option[LogicalPlan] = {
+                               qvec: Array[Float], k: Int,
+                               filters: Seq[Filter]): Option[LogicalPlan] = {
+    val screenCond = if (filters.isEmpty) None else {
+      val conds = filters.map(_.condition)
+      val servable = conds.flatMap(conjuncts).forall {
+        case IsNotNull(a: AttributeReference) => lr.outputSet.contains(a)
+        case e => rangeShape(e).isDefined &&
+          e.references.forall(lr.outputSet.contains)
+      }
+      if (!servable || !conds.forall(_.deterministic)) return None
+      Some(conds.reduce(And))
+    }
     val qdf = try session.read.parquet(r.indexPath)
       catch { case _: Exception => return None }
     val cols = qdf.columns.toSet
     if (!lr.output.forall(a => cols.contains(a.name))) return None
+    val screenBase = screenCond
+      .map(c => qdf.filter(org.apache.spark.sql.functions.expr(c.sql)))
+      .getOrElse(qdf)
     val survivors = qdf.join(
-      graft.vector.Quantize.coarseIds(qdf, qf.qCol, qf.idCol, qf.model,
+      graft.vector.Quantize.coarseIds(screenBase, qf.qCol, qf.idCol, qf.model,
         qvec, k * qf.refine), Seq(qf.idCol))
     val plan = survivors.queryExecution.analyzed
     val byName = plan.output.map(a => a.name -> a).toMap

@@ -24,12 +24,26 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * probe loop schedules jobs over the RESIDENT graph RDD — zero tasks for
   * unprobed sub-graphs); plan time touches no data.
   *
+  * FILTERED route (K3 automatic, the reference host's flow: it builds the
+  * allowed-rowid bitmap from the query's other filters and hands it to the
+  * KNN iterator's callback, knn/knn.h:87-94): when [[AnnRoutingRule]]
+  * consumes an attribute `Filter`, the leaf carries the condition as SQL
+  * (`filterSql`) plus the base-table path. `doExecute` first runs a
+  * column-pruned distributed job — `read(base).filter(cond).select(id)` —
+  * sorts the surviving ids into a primitive array (8 bytes/id, the JVM
+  * analog of the reference's bitmap), broadcasts it, and passes a
+  * binary-search callback into the beam walk. The route is cost-gated at
+  * plan time (`AnnRouting.GraphFamily.maxFilterIds`) so the broadcast
+  * stays bounded; the id job itself never reads the vector column.
+  *
   * `output` reuses the base relation's attributes verbatim (same exprIds),
   * so every upstream expression rebinds without aliasing. */
 final case class GraphCandidates(indexPath: String, idName: String,
                                  vecName: String, query: Seq[Float],
                                  k: Int, ef: Int,
-                                 output: Seq[Attribute]) extends LeafNode {
+                                 output: Seq[Attribute],
+                                 basePath: Option[String] = None,
+                                 filterSql: Option[String] = None) extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = math.max(1L, k.toLong * 4L * (query.size + 2)))
@@ -42,8 +56,20 @@ final case class GraphCandidatesExec(node: GraphCandidates)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // K3: materialize the allowed-id set from the consumed filter — one
+    // column-pruned job over (id, filter columns), never the vectors. The
+    // plan-time maxFilterIds gate bounds the collect/broadcast.
+    val allowed = node.filterSql.map { sql =>
+      val ids = spark.read.parquet(node.basePath.get)
+        .filter(org.apache.spark.sql.functions.expr(sql))
+        .select(org.apache.spark.sql.functions.col(node.idName))
+        .collect().map(_.getLong(0))
+      java.util.Arrays.sort(ids)
+      val idsB = spark.sparkContext.broadcast(ids)
+      (id: Long) => java.util.Arrays.binarySearch(idsB.value, id) >= 0
+    }
     val (rows, _) = graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
-      node.query.toArray, node.k, node.ef)
+      node.query.toArray, node.k, node.ef, allowed = allowed)
     val byName = rows.map { case (id, _, vec) =>
       Map[String, Any](node.idName -> id, node.vecName -> vec)
     }

@@ -118,6 +118,48 @@ object VectorQueries {
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
         "WHERE label = 3 "))),
 
+    // K3+K4: filtered ANN, AUTOMATICALLY ROUTED through the graph family
+    // (the reference host consumes the query's other filters into a rowid
+    // bitmap and hands it to whatever KNN iterator the column has,
+    // knn/knn.h:87-94 + knn.cpp:600-610 — routing and filtering compose
+    // without the user choosing an API): the query is the PLAIN filtered
+    // top-k; AnnRoutingRule CONSUMES the `label = 3` Filter into the
+    // GraphCandidates leaf, whose execution first runs a column-pruned id
+    // job (never reading vectors), broadcasts the sorted survivor ids, and
+    // runs the routed walk with the allowed-id callback. Exact at full ef
+    // over the allowed subset, so it shares q_knn_filtered's oracle; the
+    // routed/bypassed plan shapes and the maxFilterIds gate are pinned in
+    // AnnRoutingSpec.
+    "q_knn_filtered_graph_auto" -> QueryDef(
+      (s, d) => {
+        val path = hnswcIndex(s, d)
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        topK(s, d, Knn.L2, Some(col("label") === 3))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
+        "WHERE label = 3 "))),
+
+    // K3+K4 on the QUANTIZED family: the quant table carries the attribute
+    // columns, so the automatic route slides the consumed filter INSIDE
+    // the coarse int8 screen — top k·refine by code distance over the
+    // FILTERED corpus (in-traversal semantics, never a post-screen filter
+    // that could under-return) — and the untouched Sort/Limit rescores
+    // exactly. refine=8 keeps the true filtered top-10 inside the filtered
+    // coarse set on these fixtures (same int8-error argument as
+    // q_knn_quant), so the result equals the exact filtered fullscan.
+    "q_knn_filtered_quant" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantIndex(s, d)
+        graft.plans.AnnRouting.registerQuant(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id")
+        Knn.knn(s.read.parquet(path).filter(col("label") === 3),
+            "embedding", "vec_id", queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
+        "WHERE label = 3 "))),
+
     "q_knn_filtered_ivf" -> QueryDef(
       (s, d) => {
         val (m, path) = ivfIndex(s, d)

@@ -178,13 +178,38 @@ class AnnRoutingSpec extends AnyFunSuite {
     val cos = Knn.knn(SparkT.spark.read.parquet(baseG),
       "embedding", "vec_id", query, 10, Knn.Cosine)
     assert(graphLeaves(cos).isEmpty)
-    // filtered: the automatic graph route refuses (the filtered walk is
-    // the explicit K3 callback API) — exact fullscan
+    // filtered (r10): the automatic route CONSUMES the attribute filter
+    // into the walk's allowed-id callback (ref KNNFilter_i) — the leaf
+    // carries the condition, no parquet relation remains under the sort,
+    // and the result is the exact filtered top-k
     val filt = Knn.knn(
       SparkT.spark.read.parquet(baseG).filter($"label" === 2),
       "embedding", "vec_id", query, 10)
-    assert(graphLeaves(filt).isEmpty)
-    assert(scanPaths(filt).exists(_.contains("baseg")))
+    assert(graphLeaves(filt).exists(_.filterSql.isDefined),
+      filt.queryExecution.optimizedPlan.toString)
+    assert(scanPaths(filt).isEmpty)
+    val wantFilt = vectors.filter(_._3 == 2)
+      .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+    assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    // the maxFilterIds budget gates the filtered route (the broadcast-set
+    // bound): a zero budget refuses — exact fullscan, unfiltered still routes
+    AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+      vecCol = "embedding", idCol = "vec_id", maxFilterIds = 0L)
+    val over = Knn.knn(
+      SparkT.spark.read.parquet(baseG).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(over).isEmpty)
+    assert(scanPaths(over).exists(_.contains("baseg")))
+    assert(graphLeaves(Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)).nonEmpty)
+    // a non-range filter shape is un-estimable → conservative fullscan
+    AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+      vecCol = "embedding", idCol = "vec_id")
+    val odd = Knn.knn(
+      SparkT.spark.read.parquet(baseG).filter($"label" % 2 === 0),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(odd).isEmpty)
+    assert(scanPaths(odd).exists(_.contains("baseg")))
     // a BARE orderBy().limit() delivers every base column to the user —
     // null-filling label would be a visible wrong result, so the route
     // refuses (review r10); the exact fullscan keeps real label values
@@ -235,10 +260,22 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(joins.nonEmpty, df.queryExecution.optimizedPlan.toString)
     // exact: refine=8 keeps the true top-10 inside the coarse set here
     assert(df.select("vec_id").as[Long].collect().toSeq === exactTop10)
-    // filtered queries refuse the quant route (accuracy contract)
+    // filtered (r10): the filter rides INSIDE the coarse screen (the quant
+    // table carries the attribute columns) — the plan still holds the
+    // screen join, and the result is the exact filtered top-k
     val filt = Knn.knn(SparkT.spark.read.parquet(qt).filter($"label" === 2),
       "embedding", "vec_id", query, 10)
     assert(filt.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, filt.queryExecution.optimizedPlan.toString)
+    val wantFilt = vectors.filter(_._3 == 2)
+      .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+    assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    // a non-range filter shape refuses (it cannot ride the screen) —
+    // single-scan exact fullscan
+    val odd = Knn.knn(SparkT.spark.read.parquet(qt).filter($"label" % 2 === 0),
+      "embedding", "vec_id", query, 10)
+    assert(odd.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.isEmpty)
     AnnRouting.unregister(SparkT.spark, qt)
