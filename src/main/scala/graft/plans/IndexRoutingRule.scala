@@ -437,6 +437,11 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     case o => Seq(o)
   }
 
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjuncts(l) ++ splitDisjuncts(r)
+    case o => Seq(o)
+  }
+
   /** Literal elements of a non-null array literal, or None. */
   private def arrayLits(l: Literal): Option[Seq[Literal]] = l.dataType match {
     case org.apache.spark.sql.types.ArrayType(et, _) if l.value != null =>
@@ -778,6 +783,92 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     session.conf.getOption("spark.graft.index.multiSideCap")
       .flatMap(_.toDoubleOption).getOrElse(0.5)
 
+  /** CROSS-INDEX OR UNION (r10, completing the bitmap-union story): a
+    * top-level `Or` conjunct whose every disjunct is FULLY served by some
+    * registered index — possibly a different index per disjunct
+    * (`a = x OR b < y` with indexes on `a` and `b`). The reference host
+    * ORs filter iterators into one rowid bitmap exactly like this
+    * (SpawnBitmapIterator unions per-value streams within one index,
+    * secondary/blockreader.cpp:563-598; the host's filter tree unions
+    * across iterators the same way). Per disjunct the cheapest serving
+    * index wins; the route unions the per-disjunct postings key streams
+    * (Distinct over Union — the bitmap), then ONE fact semi-join.
+    * Estimate = sum of branch estimates capped at 1 (a row may match
+    * several branches). All participating indexes must share the fact key
+    * column — one id space — and the disjuncts must be fully consumed
+    * (a partially-served branch would under-prune NOTHING but the
+    * consumed-Or residual bookkeeping; keep it simple and exact). */
+  private final case class OrRoute(conjunct: Expression,
+                                   parts: Seq[(Registered, Expression)],
+                                   est: Double)
+
+  private def orCandidate(o: Expression, lr: LogicalRelation,
+                          regs: List[Registered]): Option[OrRoute] = {
+    val disjuncts = splitDisjuncts(o)
+    if (disjuncts.size < 2) return None
+    val parts = disjuncts.map { d =>
+      val cands = regs.flatMap { r =>
+        lr.output.find(_.name == r.valueCol).toSeq
+          .filter(v => if (r.mva) servableMva(d, v) else servable(d, v))
+          .flatMap(_ => combinedEstimate(splitConjuncts(d), r)
+            .map(e => (r, d, e)))
+      }
+      // cheapest serving index per disjunct; idxRows breaks ties
+      if (cands.isEmpty) None
+      else Some(cands.minBy(t => (t._3, t._1.idxRows)))
+    }
+    if (parts.exists(_.isEmpty)) return None
+    val ps = parts.flatten
+    if (ps.map(_._1.keyCol).distinct.size != 1) return None
+    // single-column clustered stand-down still applies: when every branch
+    // lands on ONE baseClustered index, the pushdown scan prunes the whole
+    // Or on the base table's own stats — the better plan (a CROSS-column
+    // Or defeats single-column clustering, so those always qualify)
+    if (ps.map(_._1.valueCol).distinct.size == 1 && ps.head._1.baseClustered)
+      return None
+    Some(OrRoute(o, ps.map(p => (p._1, p._2)),
+      math.min(1.0, ps.map(_._3).sum)))
+  }
+
+  /** The routed plan for an OR union: per-disjunct key streams, unioned
+    * and deduped (the bitmap), one left-semi fact probe; the other
+    * conjuncts stay residual. */
+  private def buildOrRoute(or: OrRoute, conjuncts: Seq[Expression],
+                           lr: LogicalRelation): Option[LogicalPlan] = {
+    val streams = or.parts.map { case (r, d) =>
+      val idxPlan = freshIndexPlan(r)
+      for {
+        v <- lr.output.find(_.name == r.valueCol)
+        idxValue <- idxPlan.output.find(_.name == "value")
+        ks <- keysPlan(idxPlan, substitute(d, v, idxValue))
+      } yield ks
+    }
+    if (streams.exists(_.isEmpty)) return None
+    val ss = streams.flatten
+    // Union pairs columns by position: every stream must carry the same
+    // key element type (they do for indexes over one fact table, but a
+    // mis-registration must refuse, not mis-join)
+    if (ss.map(_._2.dataType).distinct.size != 1) return None
+    for {
+      factKey <- lr.output.find(_.name == or.parts.head._1.keyCol)
+    } yield {
+      val keyAttr = ss.head._2
+      // dedup via a group-by aggregate directly: the optimizer batch that
+      // lowers logical Distinct has already run by the time this rule fires
+      val keys =
+        if (ss.size == 1) ss.head._1
+        else Aggregate(Seq(keyAttr), Seq(keyAttr),
+          Union(ss.map(_._1).toSeq), None)
+      val joinKey: Expression =
+        if (factKey.dataType == keyAttr.dataType) factKey
+        else Cast(factKey, keyAttr.dataType)
+      val join = Join(lr, keys, LeftSemi,
+        Some(EqualTo(joinKey, keyAttr)), JoinHint.NONE)
+      val rest = conjuncts.filterNot(_ eq or.conjunct)
+      if (rest.isEmpty) join else Filter(rest.reduce(And), join)
+    }
+  }
+
   /** Access-path choice. The filter route stands down for indexes whose
     * BASE table is already clustered by the value column: the pushdown
     * scan prunes to the same few files/row groups WITHOUT the semi-join
@@ -803,11 +894,21 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     val conjuncts = splitConjuncts(cond)
     val cands = candidatesOf(conjuncts, lr, regs.filterNot(_.baseClustered))
       .sortBy(_.est)
-    if (cands.isEmpty) return None
-    val primary = cands.head
-    val chosen: Option[Seq[Candidate]] =
-      if (primary.est <= threshold) Some(Seq(primary))
-      else {
+    // cross-index OR union candidates (one per Or-shaped conjunct)
+    val orBest = conjuncts.filter(_.isInstanceOf[Or])
+      .flatMap(o => orCandidate(o, lr, regs))
+      .sortBy(_.est).headOption.filter(_.est <= threshold)
+    val singleBest = cands.headOption.filter(_.est <= threshold)
+    (singleBest, orBest) match {
+      // both servable: the cheaper broadcast set wins (the unchosen shape
+      // stays residual above the semi-join and still prunes for free)
+      case (Some(s), Some(o)) if s.est <= o.est =>
+        buildRoute(Seq(s), conjuncts, lr)
+      case (_, Some(o)) => buildOrRoute(o, conjuncts, lr)
+      case (Some(s), None) => buildRoute(Seq(s), conjuncts, lr)
+      case (None, None) =>
+        // multi-index intersection fallback
+        if (cands.isEmpty) return None
         val picked = scala.collection.mutable.Buffer[Candidate]()
         cands.foreach { c =>
           // one candidate per value column; all streams must share the
@@ -820,10 +921,9 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
               !picked.exists(_.r.valueCol == c.r.valueCol)) picked += c
         }
         if (picked.size >= 2 && picked.map(_.est).product <= threshold)
-          Some(picked.toSeq)
+          buildRoute(picked.toSeq, conjuncts, lr)
         else None
-      }
-    chosen.flatMap(buildRoute(_, conjuncts, lr))
+    }
   }
 
   /** The routed plan for one or more candidates: per-candidate postings
@@ -845,9 +945,12 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         // an MVA stream may repeat a key across matched elements; inside
         // an INTERSECTION inner join duplicates would multiply across
         // sides (review r10 — the reference intersects UNIQUE sorted
-        // rowid streams), so dedup it first. Scalar streams are unique by
-        // layout invariant 6; the single-stream route stays dedup-free.
-        if (c.r.mva && chosen.size > 1) (Distinct(ks._1): LogicalPlan, ks._2)
+        // rowid streams), so dedup it first — as a group-by aggregate,
+        // because the batch lowering logical Distinct has already run.
+        // Scalar streams are unique by layout invariant 6; the
+        // single-stream route stays dedup-free.
+        if (c.r.mva && chosen.size > 1)
+          (Aggregate(Seq(ks._2), Seq(ks._2), ks._1, None): LogicalPlan, ks._2)
         else ks
     }
     if (streams.exists(_.isEmpty)) return None

@@ -299,6 +299,30 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = 421 OR o_custkey BETWEEN 100 AND 120")),
 
+    // r10 — CROSS-INDEX OR UNION: a disjunction across TWO columns, each
+    // branch fully served by its own index (`o_custkey = 421 OR
+    // o_totalprice < 1500`), unions the per-branch postings key streams
+    // into one deduped key set (the reference's rowid-bitmap union across
+    // filter iterators — SpawnBitmapIterator unions within an index,
+    // secondary/blockreader.cpp:563-598, and the host's filter tree ORs
+    // across iterators the same way) and probes the fact table ONCE.
+    // Estimate = sum of the branch estimates; the broad end's bypass and
+    // the both-streams plan shape are pinned in IndexRoutingSpec.
+    "q_index_auto_or_cross" -> QueryDef(
+      (s, d) => {
+        val ckeyIdx = Derived.tablePath(s, d, "orders_ckey_idx")
+        val priceIdx = Derived.tablePath(s, d, "orders_price_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", ckeyIdx,
+          "o_custkey", "o_orderkey")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", priceIdx,
+          "o_totalprice", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") === 421 || col("o_totalprice") < 1500.0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = 421 OR o_totalprice < 1500.0")),
+
     // VERDICT r9 #3 — MVA range-ANY served from the element postings (ref
     // MvaAny_T range overlap, columnar/accessormva.cpp:71-139; the index
     // posts each element, so the element-range block walk IS the filter):

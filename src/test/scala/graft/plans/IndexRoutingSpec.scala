@@ -216,6 +216,39 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(mixed.as[Long].collect().toSet === Set(20L, 21L))
   }
 
+  test("MVA side inside a multi-index intersection dedups its key stream (r10)") {
+    // arrays_overlap posts a key once per MATCHED ELEMENT (here i%4==3
+    // rows match both 3 and 603), so the intersection's inner join must
+    // see a deduped stream — and the dedup must be the aggregate form
+    // (a logical Distinct emitted after its lowering batch has run would
+    // die in the planner with INTERNAL_ERROR, review r10-2).
+    val tmp = Files.createTempDirectory("graft-idxroute-mvaisect")
+    val mbase = tmp.resolve("mb").toString
+    val midxA = tmp.resolve("ma").toString
+    val midxV = tmp.resolve("mv").toString
+    val rows = (0L until 1000L).map(i => (i, Seq(i % 4, 600 + i % 4), i / 2))
+    Writer.write(rows.toDF("id", "arr", "v"), mbase, sortBy = Seq("id"))
+    SecondaryIndex.buildMva(SparkT.spark.read.parquet(mbase), "arr", "id", midxA)
+    SecondaryIndex.build(SparkT.spark.read.parquet(mbase), "v", "id", midxV)
+    IndexRouting.register(SparkT.spark, mbase, midxA, "arr", "id", mva = true)
+    IndexRouting.register(SparkT.spark, mbase, midxV, "v", "id")
+    val mdf = SparkT.spark.read.parquet(mbase)
+    // overlap est 2/8 = 0.25, v-range est ~0.28: neither clears 0.1 alone,
+    // the product 0.07 does → intersection with the MVA stream deduped
+    val df = mdf.filter(arrays_overlap($"arr", typedlit(Seq(3L, 603L))) &&
+      $"v" >= 100L && $"v" <= 240L).select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(innerJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(df.queryExecution.optimizedPlan.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.size == 1
+      case _ => false
+    }, df.queryExecution.optimizedPlan.toString)
+    val want = (0L until 1000L)
+      .filter(i => i % 4 == 3 && i / 2 >= 100 && i / 2 <= 240).toSet
+    assert(df.as[Long].collect().toSet === want)
+  }
+
   test("clustered base table: filter route stands down, index-only count still fires") {
     // base written VALUE-clustered across 4 files: the pushdown scan
     // already prunes, so the semi-join detour must not replace it — but
@@ -351,6 +384,40 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(semiJoins(broad) == 0, broad.queryExecution.optimizedPlan.toString)
     assert(broad.count() ===
       (0L until 1000L).count(i => i / 2 == 300 || i / 2 >= 100).toLong)
+  }
+
+  test("cross-index OR unions the per-branch key streams (r10)") {
+    // v = 300 (est 0.002, idxv) OR w = "3" (est 0.2, idxw): the branch sum
+    // 0.202 clears a 0.25 gate — the route unions BOTH postings key
+    // streams (the reference's rowid-bitmap union across filter
+    // iterators) and probes the fact table ONCE with no intersection join
+    SparkT.spark.conf.set("spark.graft.index.routeThreshold", "0.25")
+    try {
+      val df = base.filter($"v" === 300L || $"w" === "3").select($"id")
+      val paths = scanPaths(df)
+      assert(paths.exists(_.contains("idxv")) && paths.exists(_.contains("idxw")),
+        df.queryExecution.optimizedPlan.toString)
+      assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+      assert(innerJoins(df) == 0, df.queryExecution.optimizedPlan.toString)
+      // the union dedups before the probe (a row matching both branches
+      // must not need the semi-join's tolerance — the bitmap is a set)
+      assert(df.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      }, df.queryExecution.optimizedPlan.toString)
+      val want = (0L until 1000L).filter(i => i / 2 == 300 || i % 5 == 3).toSet
+      assert(df.as[Long].collect().toSet === want)
+      // a branch no index serves refuses the union (never a partial prune)
+      val part = base.filter($"v" === 300L || $"id" === 7L).select($"id")
+      assert(semiJoins(part) == 0, part.queryExecution.optimizedPlan.toString)
+    } finally SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
+    // default 0.1 gate: the same disjunction's branch sum 0.202 bypasses —
+    // the estimate is the SUM, never the min
+    val broad = base.filter($"v" === 300L || $"w" === "3").select($"id")
+    assert(semiJoins(broad) == 0, broad.queryExecution.optimizedPlan.toString)
+    assert(broad.count() ===
+      (0L until 1000L).count(i => i / 2 == 300 || i % 5 == 3).toLong)
   }
 
   test("MVA element-range ANY routes through the element postings (r10)") {
