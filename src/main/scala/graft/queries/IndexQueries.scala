@@ -299,6 +299,41 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = 421 OR o_custkey BETWEEN 100 AND 120")),
 
+    // r10 — routing COMPOSES UNDER JOINS: pushdown leaves the servable
+    // filter beside the fact relation inside the join, and the route fires
+    // there exactly as at top level (the reference host consumes per-table
+    // filters before its own join stage) — the routed fact side then
+    // broadcast-joins the dimension. Plan pinned in IndexRoutingSpec.
+    "q_index_auto_join" -> QueryDef(
+      (s, d) => {
+        val ckeyIdx = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", ckeyIdx,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders").filter(col("o_custkey") === 421)
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("o_totalprice"))
+      },
+      Some("SELECT o_orderkey, o_custkey, c_name, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey WHERE o_custkey = 421")),
+
+    // r10 — index-only FACET TOP-K: GROUP BY indexed col + count with an
+    // ORDER BY/LIMIT above lowers to the index facet (sum of stored
+    // counts, no fact scan) under an untouched TakeOrdered — the
+    // composition of H4's facet route with Z6's top-k pushdown. Plan
+    // pinned in IndexRoutingSpec.
+    "q_index_auto_facet_topk" -> QueryDef(
+      (s, d) => {
+        val prioIdx = Derived.tablePath(s, d, "orders_prio_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", prioIdx,
+          "o_orderpriority", "o_orderkey")
+        t(s, d, "orders").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("o_orderpriority").asc).limit(3)
+      },
+      Some("SELECT o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY 1 ORDER BY n DESC, o_orderpriority LIMIT 3")),
+
     // r10 — CROSS-INDEX OR UNION: a disjunction across TWO columns, each
     // branch fully served by its own index (`o_custkey = 421 OR
     // o_totalprice < 1500`), unions the per-branch postings key streams

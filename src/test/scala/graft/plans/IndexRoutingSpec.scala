@@ -216,6 +216,30 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(mixed.as[Long].collect().toSet === Set(20L, 21L))
   }
 
+  test("routing composes under joins and below sort/limit (r10)") {
+    // (a) pushdown leaves the servable filter beside the relation INSIDE a
+    // join — the route fires there exactly as at top level (the reference
+    // host consumes per-table filters before its own join stage)
+    val dim = Seq(("0", "zero"), ("1", "one")).toDF("wk", "wname")
+    val j = base.filter($"v" === 10L).join(dim, $"w" === $"wk")
+      .select($"id", $"wname")
+    assert(semiJoins(j) == 1, j.queryExecution.optimizedPlan.toString)
+    assert(scanPaths(j).exists(_.contains("idxv")),
+      j.queryExecution.optimizedPlan.toString)
+    assert(j.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((20L, "zero"), (21L, "one")))
+    // (b) facet top-k: GROUP BY indexed col + count with Sort/Limit above
+    // lowers to the index-only facet under an untouched TakeOrdered — the
+    // fact table is never scanned
+    val fk = base.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(3)
+    assert(!scanPaths(fk).exists(_.contains("base")),
+      fk.queryExecution.optimizedPlan.toString)
+    assert(scanPaths(fk).exists(_.contains("idxw")))
+    assert(fk.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("0", 200L), ("1", 200L), ("2", 200L)))
+  }
+
   test("MVA side inside a multi-index intersection dedups its key stream (r10)") {
     // arrays_overlap posts a key once per MATCHED ELEMENT (here i%4==3
     // rows match both 3 and 603), so the intersection's inner join must
