@@ -99,12 +99,13 @@ object AnnRouting {
                model: Ivf.Model, vecCol: String, nprobe: Int,
                ef: Int = 64): Unit = {
     val q = qualify(spark, basePath)
+    val epoch0 = epochOf(spark, indexPath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
     val idxPlan = spark.read.parquet(indexPath).queryExecution.analyzed
-    selCache.keys.filter(_._1 == q).foreach(selCache.remove) // refresh point
-    reg.put(q, Registered(q, indexPath, vecCol, rows,
-      IvfFamily(model, nprobe, ef, idxPlan)))
+    putUnlessMutated(spark, indexPath, epoch0, q,
+      Registered(q, indexPath, vecCol, rows,
+        IvfFamily(model, nprobe, ef, idxPlan)))
   }
 
   /** Register a CLUSTERED GRAPH index
@@ -119,12 +120,13 @@ object AnnRouting {
                     ef: Int = 1 << 20,
                     maxFilterIds: Long = 4L * 1000 * 1000): Unit = {
     val q = qualify(spark, basePath)
+    val epoch0 = epochOf(spark, indexPath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
     val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
-    selCache.keys.filter(_._1 == q).foreach(selCache.remove)
-    reg.put(q, Registered(q, indexPath, vecCol, rows,
-      GraphFamily(idCol, ef, metric, maxFilterIds)))
+    putUnlessMutated(spark, indexPath, epoch0, q,
+      Registered(q, indexPath, vecCol, rows,
+        GraphFamily(idCol, ef, metric, maxFilterIds)))
   }
 
   /** Register a QUANTIZED table ([[graft.vector.Quantize.quantizeTable]]
@@ -141,11 +143,12 @@ object AnnRouting {
                     idCol: String, qCol: String = "qvec",
                     refine: Int = 8): Unit = {
     val q = qualify(spark, basePath)
+    val epoch0 = epochOf(spark, quantPath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
-    selCache.keys.filter(_._1 == q).foreach(selCache.remove)
-    reg.put(q, Registered(q, quantPath, vecCol, rows,
-      QuantFamily(model, qCol, idCol, refine)))
+    putUnlessMutated(spark, quantPath, epoch0, q,
+      Registered(q, quantPath, vecCol, rows,
+        QuantFamily(model, qCol, idCol, refine)))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -161,8 +164,32 @@ object AnnRouting {
     * differences cannot skip the invalidation); re-register to resume. */
   def onIndexMutated(spark: SparkSession, indexPath: String): Unit = {
     val q = qualify(spark, indexPath)
-    reg.filter(e => qualify(spark, e._2.indexPath) == q)
-      .keys.foreach(reg.remove)
+    reg.synchronized {
+      epochs.put(q, epochs.getOrElse(q, 0L) + 1L)
+      reg.filter(e => qualify(spark, e._2.indexPath) == q)
+        .keys.foreach(reg.remove)
+    }
+  }
+
+  // Mutation epoch per QUALIFIED index path (same construction as
+  // IndexRouting's, ADVICE r9): register() snapshots it before its stats
+  // jobs and re-checks under the lock, so an invalidation racing the
+  // snapshot can never be undone by the late put.
+  private val epochs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def epochOf(spark: SparkSession, indexPath: String): Long =
+    reg.synchronized(epochs.getOrElse(qualify(spark, indexPath), 0L))
+
+  private def putUnlessMutated(spark: SparkSession, indexPath: String,
+                               epoch0: Long, base: String,
+                               entry: Registered): Unit = {
+    val qIdx = qualify(spark, indexPath)
+    reg.synchronized {
+      if (epochs.getOrElse(qIdx, 0L) != epoch0) return // mutated mid-snapshot
+      selCache.keys.filter(_._1 == base).foreach(selCache.remove) // refresh
+      reg.put(base, entry)
+    }
   }
 
   private[plans] def lookup(qualifiedPath: String): Option[Registered] =

@@ -830,11 +830,15 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       math.min(1.0, ps.map(_._3).sum)))
   }
 
-  /** The routed plan for an OR union: per-disjunct key streams, unioned
-    * and deduped (the bitmap), one left-semi fact probe; the other
-    * conjuncts stay residual. */
-  private def buildOrRoute(or: OrRoute, conjuncts: Seq[Expression],
-                           lr: LogicalRelation): Option[LogicalPlan] = {
+  /** The union of the per-branch postings key streams — the rowid bitmap.
+    * Deduped (as a group-by aggregate: the batch lowering logical Distinct
+    * has already run by the time this rule fires) when several streams
+    * union, or when `forceDedup` (the count path, where duplicates would
+    * overcount; the semi-join path tolerates a single MVA stream's
+    * per-element repeats). */
+  private def orKeysUnion(or: OrRoute, lr: LogicalRelation,
+                          forceDedup: Boolean)
+      : Option[(LogicalPlan, Attribute)] = {
     val streams = or.parts.map { case (r, d) =>
       val idxPlan = freshIndexPlan(r)
       for {
@@ -849,16 +853,24 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     // key element type (they do for indexes over one fact table, but a
     // mis-registration must refuse, not mis-join)
     if (ss.map(_._2.dataType).distinct.size != 1) return None
+    val keyAttr = ss.head._2
+    val union =
+      if (ss.size == 1) ss.head._1 else Union(ss.map(_._1).toSeq)
+    val keys =
+      if (ss.size > 1 || forceDedup)
+        Aggregate(Seq(keyAttr), Seq(keyAttr), union, None)
+      else union
+    Some((keys, keyAttr))
+  }
+
+  /** The routed plan for an OR union: the deduped key union, one
+    * left-semi fact probe; the other conjuncts stay residual. */
+  private def buildOrRoute(or: OrRoute, conjuncts: Seq[Expression],
+                           lr: LogicalRelation): Option[LogicalPlan] = {
     for {
+      (keys, keyAttr) <- orKeysUnion(or, lr, forceDedup = false)
       factKey <- lr.output.find(_.name == or.parts.head._1.keyCol)
     } yield {
-      val keyAttr = ss.head._2
-      // dedup via a group-by aggregate directly: the optimizer batch that
-      // lowers logical Distinct has already run by the time this rule fires
-      val keys =
-        if (ss.size == 1) ss.head._1
-        else Aggregate(Seq(keyAttr), Seq(keyAttr),
-          Union(ss.map(_._1).toSeq), None)
       val joinKey: Expression =
         if (factKey.dataType == keyAttr.dataType) factKey
         else Cast(factKey, keyAttr.dataType)
@@ -1000,5 +1012,30 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     // cost choice — it matters when two indexes on the same column coexist
     // (e.g. a compacted one next to a segmented one with split groups)
     }.sortBy(_._1.idxRows).headOption.map(_._2)
+      .orElse(tryOrCount(a, conjuncts, lr, regs))
   }
+
+  /** CalcCount over an OR spanning SEVERAL indexes (r10): no single index
+    * serves the condition, but the deduped union of the per-branch key
+    * streams IS the matching row set — COUNT(*) of it is the answer (the
+    * bitmap popcount), still zero fact IO. Unlike the single-index
+    * sum(cnt) this explodes the matching postings, so it carries the same
+    * selectivity gate as the filter route: at broad estimates the
+    * pushdown scan-count is the better plan. The whole WHERE must be that
+    * one Or conjunct — any other conjunct would need fact rows. */
+  private def tryOrCount(a: Alias, conjuncts: Seq[Expression],
+                         lr: LogicalRelation,
+                         regs: List[Registered]): Option[LogicalPlan] =
+    conjuncts match {
+      case Seq(o: Or) =>
+        orCandidate(o, lr, regs).filter(_.est <= threshold).flatMap { or =>
+          orKeysUnion(or, lr, forceDedup = true).map { case (keys, _) =>
+            Aggregate(Nil,
+              Seq(Alias(Count(Seq(Literal(1))).toAggregateExpression(),
+                a.name)(exprId = a.exprId)),
+              keys, None)
+          }
+        }
+      case _ => None
+    }
 }

@@ -358,6 +358,26 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_custkey = 421 OR o_totalprice < 1500.0")),
 
+    // r10 — CalcCount over the CROSS-INDEX OR: COUNT(*) WHERE a = x OR
+    // b < y has no single serving index, but the deduped union of the
+    // per-branch postings key streams IS the matching row set — counting
+    // it (the bitmap popcount) needs zero fact IO. Plan pinned in
+    // IndexRoutingSpec.
+    "q_index_auto_or_count" -> QueryDef(
+      (s, d) => {
+        val ckeyIdx = Derived.tablePath(s, d, "orders_ckey_idx")
+        val priceIdx = Derived.tablePath(s, d, "orders_price_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", ckeyIdx,
+          "o_custkey", "o_orderkey")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", priceIdx,
+          "o_totalprice", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") === 421 || col("o_totalprice") < 1500.0)
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT count(*) AS n FROM orders " +
+        "WHERE o_custkey = 421 OR o_totalprice < 1500.0")),
+
     // VERDICT r9 #3 — MVA range-ANY served from the element postings (ref
     // MvaAny_T range overlap, columnar/accessormva.cpp:71-139; the index
     // posts each element, so the element-range block walk IS the filter):

@@ -193,16 +193,33 @@ object Stats {
   def estimateRange(path: String, column: String, lo: Double, hi: Double,
                     hconf: Configuration = null): Long = {
     val conf = if (hconf != null) hconf else sessionConf()
-    parquetFiles(path, conf).map { case (f, _) =>
-      footer(f, conf).getBlocks.asScala.map { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
-          case Some(cc) =>
-            val (mn, mx) = numericRange(cc)
-            if (mx < lo || mn > hi) 0L else b.getRowCount
-          case _ => b.getRowCount // no stats → cannot prune, count it
-        }
-      }.sum
-    }.sum
+    // Registered catalog: file-granularity overlap sum, zero footer IO —
+    // the 100 TB plan-time path (AnnRoutingRule estimates selectivity per
+    // novel range; a footer sweep per estimate is a driver O(files) loop).
+    // Coarser than row groups, so it over-counts — conservative for every
+    // caller (estimates gate, never answer). NaN min/max (string/no-stats
+    // columns) must count as "cannot prune": Spark orders NaN ABOVE every
+    // number, so an unguarded mn > hi would wrongly prune those files.
+    catalogFor(path, conf) match {
+      case Some(cat) =>
+        val mn = element_at(col("col_min"), column)
+        val mx = element_at(col("col_max"), column)
+        val prunable = mn.isNotNull && mx.isNotNull &&
+          !isnan(mn) && !isnan(mx) && (mx < lit(lo) || mn > lit(hi))
+        cat.agg(coalesce(sum(when(prunable, 0L).otherwise(col("rows"))),
+          lit(0L))).head.getLong(0)
+      case None =>
+        parquetFiles(path, conf).map { case (f, _) =>
+          footer(f, conf).getBlocks.asScala.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case Some(cc) =>
+                val (mn, mx) = numericRange(cc)
+                if (mx < lo || mn > hi) 0L else b.getRowCount
+              case _ => b.getRowCount // no stats → cannot prune, count it
+            }
+          }.sum
+        }.sum
+    }
   }
 
   /** Z2 whole-segment EarlyReject analog: true iff NO file can contain a row

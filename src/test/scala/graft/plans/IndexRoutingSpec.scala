@@ -435,6 +435,13 @@ class IndexRoutingSpec extends AnyFunSuite {
       // a branch no index serves refuses the union (never a partial prune)
       val part = base.filter($"v" === 300L || $"id" === 7L).select($"id")
       assert(semiJoins(part) == 0, part.queryExecution.optimizedPlan.toString)
+      // CalcCount over the union: COUNT(*) of the deduped key streams —
+      // the fact table is never scanned (bitmap popcount, r10)
+      val cnt = base.filter($"v" === 300L || $"w" === "3")
+        .agg(count(lit(1)).as("n"))
+      assert(!scanPaths(cnt).exists(_.contains("base")),
+        cnt.queryExecution.optimizedPlan.toString)
+      assert(cnt.as[Long].head() === want.size.toLong)
     } finally SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
     // default 0.1 gate: the same disjunction's branch sum 0.202 bypasses —
     // the estimate is the SUM, never the min

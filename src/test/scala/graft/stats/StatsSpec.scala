@@ -95,6 +95,7 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.clusteredBy(cb, "v"))
     assert(!Stats.clusteredBy(ub, "v"))
     val sweepRows = Stats.rowCount(cb)
+    val sweepEstC = Stats.estimateRange(cb, "v", 10, 10)
     // build catalogs (distributed), PERSIST them, and register the
     // persisted copies — an unpersisted catalog DF would re-run its
     // footer-reading job on every consultation, which is exactly the IO
@@ -110,6 +111,14 @@ class StatsSpec extends AnyFunSuite {
       assert(Stats.rowCount(cb) === sweepRows)
       assert(Stats.clusteredBy(cb, "v"))
       assert(!Stats.clusteredBy(ub, "v"))
+      // estimateRange answers from the catalog too (the plan-time ANN
+      // routing estimate): file-granularity overlap — v-clustered files
+      // prune to the one covering file (~1/4 of rows), never under the
+      // row-group sweep; the id-sorted table cannot prune (every file
+      // spans all v)
+      val catEstC = Stats.estimateRange(cb, "v", 10, 10)
+      assert(catEstC >= sweepEstC && catEstC < 2000L, s"$catEstC")
+      assert(Stats.estimateRange(ub, "v", 10, 10) === 4000L)
       graft.plans.IndexRouting.register(SparkT.spark, cb, ci, "v", "id")
       graft.plans.IndexRouting.register(SparkT.spark, ub, ui, "v", "id")
       assert(Stats.footerReads.get() === before,
