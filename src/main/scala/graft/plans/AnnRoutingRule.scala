@@ -404,23 +404,43 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
-  /** Swap the base relation for the graph family's routed-candidate leaf
-    * (same exprIds — the Sort/Limit above recomputes exact distances from
-    * the carried vectors). The graph table supplies only (id, vector), so
-    * the route refuses when anything ABOVE the scan references another
-    * column; unreferenced base columns ride along as nulls (they must be
-    * nullable — never read, but the schema contract stays honest). */
-  private def buildGraphRouted(gl: LogicalPlan, lr: LogicalRelation,
-                               r: Registered, g: AnnRouting.GraphFamily,
-                               qvec: Array[Float], k: Int): Option[LogicalPlan] = {
-    // a base column is REQUIRED if any expression inside the matched
-    // subtree consumes it OR it escapes through the subtree's output (a
-    // bare orderBy().limit() with no pruning Project delivers every
-    // column to the user — null-filling those would be a visible wrong
-    // result, review r10)
+  /** The CONSUMABLE-filter check shared by the graph and quant filtered
+    * routes: every conjunct range-shaped (footer-estimable) or IsNotNull
+    * over a base column, all deterministic. Returns the combined condition
+    * with attribute QUALIFIERS STRIPPED — its `.sql` is re-parsed against a
+    * fresh unqualified `read.parquet(...)`, where a qualified rendering
+    * like ``t.`label` `` would not resolve (review r10-2: a temp view or
+    * `.alias("t")` plan would abort instead of staying on the fullscan). */
+  private def consumableCond(filters: Seq[Filter],
+                             lr: LogicalRelation): Option[Expression] = {
+    val conds = filters.map(_.condition)
+    val servable = conds.flatMap(conjuncts).forall {
+      case IsNotNull(a: AttributeReference) => lr.outputSet.contains(a)
+      case e => rangeShape(e).isDefined &&
+        e.references.forall(lr.outputSet.contains)
+    }
+    if (!servable || !conds.forall(_.deterministic)) None
+    else Some(conds.reduce(And).transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    })
+  }
+
+  /** The graph leaf-swap gate, shared by the unfiltered and filtered
+    * routes: a base column is REQUIRED if any expression inside the
+    * matched subtree consumes it — except inside `excluded` (consumed
+    * Filter nodes, satisfied by the id job) — OR it escapes through the
+    * subtree's output (a bare orderBy().limit() with no pruning Project
+    * delivers every column to the user; null-filling those would be a
+    * visible wrong result, review r10). Only (id, vector) may be
+    * required, the id must be a long, the vector a float array, and every
+    * other column nullable. */
+  private def graphGateOk(gl: LogicalPlan, lr: LogicalRelation,
+                          r: Registered, g: AnnRouting.GraphFamily,
+                          excluded: Seq[Filter]): Boolean = {
     val referenced = AttributeSet(
-      gl.collect { case n if !(n eq lr) => n.expressions }
-        .flatten.flatMap(_.references)) ++ gl.outputSet
+      gl.collect {
+        case n if !(n eq lr) && !excluded.exists(_ eq n) => n.expressions
+      }.flatten.flatMap(_.references)) ++ gl.outputSet
     val requiredNames = lr.output.filter(referenced.contains).map(_.name).toSet
     val idOk = lr.output.find(_.name == g.idCol)
       .exists(_.dataType == org.apache.spark.sql.types.LongType)
@@ -430,8 +450,19 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     })
     val fillable = lr.output.forall(a =>
       a.name == g.idCol || a.name == r.vecCol || a.nullable)
-    if (!requiredNames.subsetOf(Set(g.idCol, r.vecCol)) || !idOk || !vecOk ||
-        !fillable) None
+    requiredNames.subsetOf(Set(g.idCol, r.vecCol)) && idOk && vecOk && fillable
+  }
+
+  /** Swap the base relation for the graph family's routed-candidate leaf
+    * (same exprIds — the Sort/Limit above recomputes exact distances from
+    * the carried vectors). The graph table supplies only (id, vector), so
+    * the route refuses when anything ABOVE the scan references another
+    * column; unreferenced base columns ride along as nulls (they must be
+    * nullable — never read, but the schema contract stays honest). */
+  private def buildGraphRouted(gl: LogicalPlan, lr: LogicalRelation,
+                               r: Registered, g: AnnRouting.GraphFamily,
+                               qvec: Array[Float], k: Int): Option[LogicalPlan] = {
+    if (!graphGateOk(gl, lr, r, g, Nil)) None
     else {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output)
@@ -461,35 +492,15 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                                        r: Registered, g: AnnRouting.GraphFamily,
                                        qvec: Array[Float], k: Int,
                                        filters: Seq[Filter]): Option[LogicalPlan] = {
-    val conds = filters.map(_.condition)
-    val parts = conds.flatMap(conjuncts)
-    val servable = parts.forall {
-      case IsNotNull(a: AttributeReference) => lr.outputSet.contains(a)
-      case e => rangeShape(e).isDefined &&
-        e.references.forall(lr.outputSet.contains)
+    val cond = consumableCond(filters, lr) match {
+      case Some(c) => c
+      case None => return None
     }
-    if (!servable || !conds.forall(_.deterministic)) return None
+    val conds = filters.map(_.condition)
     val survivors = estimateSelectivity(conds, r).map(_ * r.rows.toDouble)
     if (!survivors.exists(_ <= g.maxFilterIds.toDouble)) return None
-    // referenced set EXCLUDING the consumed filters: their columns are
-    // satisfied by the id job, everything else must come from the leaf
-    val referenced = AttributeSet(
-      gl.collect {
-        case n if !(n eq lr) && !filters.exists(_ eq n) => n.expressions
-      }.flatten.flatMap(_.references)) ++ gl.outputSet
-    val requiredNames = lr.output.filter(referenced.contains).map(_.name).toSet
-    val idOk = lr.output.find(_.name == g.idCol)
-      .exists(_.dataType == org.apache.spark.sql.types.LongType)
-    val vecOk = lr.output.find(_.name == r.vecCol).exists(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    val fillable = lr.output.forall(a =>
-      a.name == g.idCol || a.name == r.vecCol || a.nullable)
-    if (!requiredNames.subsetOf(Set(g.idCol, r.vecCol)) || !idOk || !vecOk ||
-        !fillable) None
+    if (!graphGateOk(gl, lr, r, g, excluded = filters)) None
     else {
-      val cond = conds.reduce(And)
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output,
         basePath = Some(r.basePath), filterSql = Some(cond.sql))
@@ -524,22 +535,22 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                                qvec: Array[Float], k: Int,
                                filters: Seq[Filter]): Option[LogicalPlan] = {
     val screenCond = if (filters.isEmpty) None else {
-      val conds = filters.map(_.condition)
-      val servable = conds.flatMap(conjuncts).forall {
-        case IsNotNull(a: AttributeReference) => lr.outputSet.contains(a)
-        case e => rangeShape(e).isDefined &&
-          e.references.forall(lr.outputSet.contains)
+      consumableCond(filters, lr) match {
+        case Some(c) => Some(c)
+        case None => return None
       }
-      if (!servable || !conds.forall(_.deterministic)) return None
-      Some(conds.reduce(And))
     }
     val qdf = try session.read.parquet(r.indexPath)
       catch { case _: Exception => return None }
     val cols = qdf.columns.toSet
     if (!lr.output.forall(a => cols.contains(a.name))) return None
-    val screenBase = screenCond
+    // the Dataset analyzes eagerly, so a condition that fails to re-parse
+    // or resolve against the quant read must refuse the route (exact
+    // fullscan), never abort the query from inside the optimizer
+    val screenBase = try screenCond
       .map(c => qdf.filter(org.apache.spark.sql.functions.expr(c.sql)))
       .getOrElse(qdf)
+    catch { case _: Exception => return None }
     val survivors = qdf.join(
       graft.vector.Quantize.coarseIds(screenBase, qf.qCol, qf.idCol, qf.model,
         qvec, k * qf.refine), Seq(qf.idCol))

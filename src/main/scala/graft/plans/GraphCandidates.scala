@@ -58,18 +58,29 @@ final case class GraphCandidatesExec(node: GraphCandidates)
     val spark = org.apache.spark.sql.SparkSession.active
     // K3: materialize the allowed-id set from the consumed filter — one
     // column-pruned job over (id, filter columns), never the vectors. The
-    // plan-time maxFilterIds gate bounds the collect/broadcast.
-    val allowed = node.filterSql.map { sql =>
+    // plan-time maxFilterIds gate bounds the collect/broadcast. NULL ids
+    // are dropped, not NPE'd: such rows cannot be graph nodes anyway
+    // (review r10-2).
+    val allowedB = node.filterSql.map { sql =>
+      import org.apache.spark.sql.functions.{col, expr}
       val ids = spark.read.parquet(node.basePath.get)
-        .filter(org.apache.spark.sql.functions.expr(sql))
-        .select(org.apache.spark.sql.functions.col(node.idName))
+        .filter(expr(sql))
+        .filter(col(node.idName).isNotNull)
+        .select(col(node.idName))
         .collect().map(_.getLong(0))
       java.util.Arrays.sort(ids)
-      val idsB = spark.sparkContext.broadcast(ids)
-      (id: Long) => java.util.Arrays.binarySearch(idsB.value, id) >= 0
+      spark.sparkContext.broadcast(ids)
     }
-    val (rows, _) = graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
-      node.query.toArray, node.k, node.ef, allowed = allowed)
+    val allowed = allowedB.map { b =>
+      (id: Long) => java.util.Arrays.binarySearch(b.value, id) >= 0
+    }
+    val (rows, _) =
+      try graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
+        node.query.toArray, node.k, node.ef, allowed = allowed)
+      // the walk is fully driver-orchestrated, so the broadcast is dead
+      // once it returns — free the up-to-maxFilterIds*8 bytes instead of
+      // leaving them to the ContextCleaner (review r10-2)
+      finally allowedB.foreach(_.destroy())
     val byName = rows.map { case (id, _, vec) =>
       Map[String, Any](node.idName -> id, node.vecName -> vec)
     }

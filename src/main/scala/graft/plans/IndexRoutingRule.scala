@@ -911,16 +911,24 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(o => orCandidate(o, lr, regs))
       .sortBy(_.est).headOption.filter(_.est <= threshold)
     val singleBest = cands.headOption.filter(_.est <= threshold)
-    (singleBest, orBest) match {
-      // both servable: the cheaper broadcast set wins (the unchosen shape
-      // stays residual above the semi-join and still prunes for free)
-      case (Some(s), Some(o)) if s.est <= o.est =>
-        buildRoute(Seq(s), conjuncts, lr)
-      case (_, Some(o)) => buildOrRoute(o, conjuncts, lr)
-      case (Some(s), None) => buildRoute(Seq(s), conjuncts, lr)
-      case (None, None) =>
-        // multi-index intersection fallback
-        if (cands.isEmpty) return None
+    // both servable: the cheaper broadcast set is PREFERRED, but a refusal
+    // deep in the preferred build (missing index columns, mismatched key
+    // types from a mis-registration) falls back to the other — a viable
+    // gated candidate must never be dropped because the cheaper shape
+    // could not be built (review r10-2)
+    val attempts: Seq[() => Option[LogicalPlan]] = {
+      val s = singleBest.map(c => () => buildRoute(Seq(c), conjuncts, lr))
+      val o = orBest.map(r => () => buildOrRoute(r, conjuncts, lr))
+      (singleBest, orBest) match {
+        case (Some(sc), Some(oc)) if sc.est <= oc.est => Seq(s.get, o.get)
+        case (Some(_), Some(_)) => Seq(o.get, s.get)
+        case _ => s.toSeq ++ o.toSeq
+      }
+    }
+    attempts.view.flatMap(_()).headOption.orElse {
+      // multi-index intersection fallback
+      if (cands.isEmpty) None
+      else {
         val picked = scala.collection.mutable.Buffer[Candidate]()
         cands.foreach { c =>
           // one candidate per value column; all streams must share the
@@ -935,6 +943,7 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (picked.size >= 2 && picked.map(_.est).product <= threshold)
           buildRoute(picked.toSeq, conjuncts, lr)
         else None
+      }
     }
   }
 

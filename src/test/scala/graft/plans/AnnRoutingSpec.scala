@@ -191,6 +191,16 @@ class AnnRoutingSpec extends AnyFunSuite {
     val wantFilt = vectors.filter(_._3 == 2)
       .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
     assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    // qualified attributes (an aliased plan) still route: the consumed
+    // condition re-renders UNQUALIFIED for the id job — a qualified
+    // rendering would not resolve against the fresh base read and the
+    // query would abort instead of staying exact (review r10-2)
+    val aliased = Knn.knn(
+      SparkT.spark.read.parquet(baseG).alias("t").filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(aliased).exists(_.filterSql.isDefined),
+      aliased.queryExecution.optimizedPlan.toString)
+    assert(aliased.select("vec_id").as[Long].collect().toSeq === wantFilt)
     // the maxFilterIds budget gates the filtered route (the broadcast-set
     // bound): a zero budget refuses — exact fullscan, unfiltered still routes
     AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
