@@ -30,12 +30,16 @@ object BenchScale {
 
   /** The headline set: the most expensive queries of bench_ref.json,
     * spanning every heavy path — LSH dedup, the e2e curation pipeline,
-    * tf-idf, the TPC-H-shaped join pipelines, percentiles, and both
-    * ANN index families' search loops. */
+    * tf-idf, the TPC-H-shaped join pipelines, percentiles, both ANN
+    * index families' search loops, and (r10-2) the automatic routed
+    * paths whose driver-orchestrated pieces — the filtered graph walk's
+    * id job + broadcast, the cross-index OR's postings union — are
+    * exactly where a hidden super-linear cost would hide. */
   val Queries: Seq[String] = Seq(
     "q_pipeline_e2e", "q_dedup_near", "q_dedup_simhash", "q_text_tfidf",
     "q_mjoin_region", "q_mjoin_pricing", "q_join_large", "q_percentile",
-    "q_knn_adaptive", "q_knn_filtered_ivf")
+    "q_knn_adaptive", "q_knn_filtered_ivf",
+    "q_knn_filtered_graph_auto", "q_index_auto_or_cross")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

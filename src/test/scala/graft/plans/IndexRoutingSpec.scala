@@ -574,7 +574,7 @@ class IndexRoutingSpec extends AnyFunSuite {
     (1 to 40).foreach { trial =>
       val a = rnd.nextLong(600) - 50
       val b = a + rnd.nextLong(200)
-      val (pred, want) = rnd.nextInt(6) match {
+      val (pred, want) = rnd.nextInt(8) match {
         case 0 => ($"v" === a, rows.filter(_._2 == a))
         case 1 => ($"v" < a, rows.filter(_._2 < a))
         case 2 => ($"v" >= a, rows.filter(_._2 >= a))
@@ -585,6 +585,15 @@ class IndexRoutingSpec extends AnyFunSuite {
           rows.filter(r => r._2 >= a && r._2 <= b))
         case 5 => ($"v" === a && $"x" > 50L,
           rows.filter(r => r._2 == a && r._4 > 50))
+        // same-column OR (one postings filter) and CROSS-column OR (key
+        // union) — both ends of the sum-estimate gate show up across
+        // trials, and both must be correct (r10-2)
+        case 6 => ($"v" === a || ($"v" >= b && $"v" < b + 5),
+          rows.filter(r => r._2 == a || (r._2 >= b && r._2 < b + 5)))
+        case 7 =>
+          val w = rnd.nextInt(5).toString
+          ($"v" === a || $"w" === w,
+            rows.filter(r => r._2 == a || r._3 == w))
       }
       val got = base.filter(pred).select($"id").as[Long].collect().toSet
       assert(got === want.map(_._1).toSet, s"trial $trial pred $pred")
