@@ -222,6 +222,15 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   import AnnRouting.Registered
 
+  // The secondary-index router doubles as the estimator for filter shapes
+  // footer stats cannot judge (string equality/ranges, IN lists) — its
+  // registration-time ndv / equi-depth histogram stats answer them when
+  // the filtered column has a registered index on the SAME base table.
+  // One estimate source for both routers, the way the reference host's
+  // CalcCount/EstimateMinMax feed every access-path decision including
+  // the KNN bypass (knn.cpp:613-620 consumes the same iterator counts).
+  private lazy val idxEstimator = new IndexRoutingRule(session)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // PushProjectionThroughLimit may interpose Projects between the Limit
     // and the Sort — peel them; the rewrite only swaps the scan leaf, so
@@ -360,18 +369,36 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Upper-bound selectivity from footer stats: min over the range-shaped
-    * conjuncts (an upper bound on survivors is conservative toward routing,
-    * the same direction the reference errs). */
+  /** Upper-bound selectivity: min over the estimable conjuncts (an upper
+    * bound on survivors is conservative toward routing, the same direction
+    * the reference errs). Numeric range shapes answer from footer stats;
+    * anything else falls back to the secondary-index registration stats
+    * for that column when one exists ([[indexRegEstimate]]). */
   private def estimateSelectivity(conds: Seq[Expression],
                                   r: Registered): Option[Double] = {
-    val sels = conds.flatMap(conjuncts).flatMap(rangeShape).flatMap {
-      case (col, lo, hi) =>
+    val sels = conds.flatMap(conjuncts).flatMap { c =>
+      rangeShape(c).flatMap { case (col, lo, hi) =>
         AnnRouting.cachedRangeEstimate(r.basePath, col, lo, hi)
           .map(_ / r.rows.toDouble)
+      }.orElse(indexRegEstimate(c, r))
     }
     if (sels.isEmpty) None else Some(math.min(1.0, sels.min))
   }
+
+  /** Matching fraction of one conjunct from a REGISTERED SECONDARY INDEX
+    * on the same base table (ndv points / equi-depth histogram ranges) —
+    * the estimate source for string shapes. Restricted to single-column
+    * conjuncts whose column IS the index's value column: the underlying
+    * estimator judges shapes, not bindings. */
+  private def indexRegEstimate(c: Expression,
+                               r: Registered): Option[Double] =
+    c.references.toSeq match {
+      case Seq(a) =>
+        IndexRouting.lookup(r.basePath).filter(_.valueCol == a.name)
+          .flatMap(ir => idxEstimator.combinedEstimate(Seq(c), ir))
+          .minOption
+      case _ => None
+    }
 
   /** Swap the base relation for the probe-filtered index relation, keeping
     * the original output attribute ids via aliases. */
@@ -404,8 +431,38 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  /** Is `l` a literal whose `.sql` provably round-trips through the
+    * parser — non-null numeric (incl. date/timestamp internals, rendered
+    * as typed literals) or string (rendered single-quote-escaped)? */
+  private def simpleLit(l: Literal): Boolean =
+    l.value != null && (l.value.isInstanceOf[java.lang.Number] ||
+      l.dataType == org.apache.spark.sql.types.StringType)
+
+  /** Conjunct shapes whose `.sql` round-trips onto a fresh base read:
+    * numeric range shapes, plus string/typed-literal comparisons and
+    * literal IN lists (r10-2 — with the index-registration estimate
+    * fallback these are estimable too, so string-filtered ANN routes). */
+  private def sqlSafeShape(e: Expression): Boolean = e match {
+    case _ if rangeShape(e).isDefined => true
+    case EqualTo(_: AttributeReference, l: Literal) => simpleLit(l)
+    case EqualTo(l: Literal, _: AttributeReference) => simpleLit(l)
+    case GreaterThan(_: AttributeReference, l: Literal) => simpleLit(l)
+    case GreaterThan(l: Literal, _: AttributeReference) => simpleLit(l)
+    case GreaterThanOrEqual(_: AttributeReference, l: Literal) => simpleLit(l)
+    case GreaterThanOrEqual(l: Literal, _: AttributeReference) => simpleLit(l)
+    case LessThan(_: AttributeReference, l: Literal) => simpleLit(l)
+    case LessThan(l: Literal, _: AttributeReference) => simpleLit(l)
+    case LessThanOrEqual(_: AttributeReference, l: Literal) => simpleLit(l)
+    case LessThanOrEqual(l: Literal, _: AttributeReference) => simpleLit(l)
+    case In(_: AttributeReference, vs) => vs.nonEmpty && vs.forall {
+      case l: Literal => simpleLit(l)
+      case _ => false
+    }
+    case _ => false
+  }
+
   /** The CONSUMABLE-filter check shared by the graph and quant filtered
-    * routes: every conjunct range-shaped (footer-estimable) or IsNotNull
+    * routes: every conjunct an estimable SQL-safe shape or IsNotNull
     * over a base column, all deterministic. Returns the combined condition
     * with attribute QUALIFIERS STRIPPED — its `.sql` is re-parsed against a
     * fresh unqualified `read.parquet(...)`, where a qualified rendering
@@ -416,7 +473,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     val conds = filters.map(_.condition)
     val servable = conds.flatMap(conjuncts).forall {
       case IsNotNull(a: AttributeReference) => lr.outputSet.contains(a)
-      case e => rangeShape(e).isDefined &&
+      case e => sqlSafeShape(e) &&
         e.references.forall(lr.outputSet.contains)
     }
     if (!servable || !conds.forall(_.deterministic)) None

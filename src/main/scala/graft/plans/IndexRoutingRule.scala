@@ -677,9 +677,14 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * two conjuncts — estimating each side alone loses the intersection;
     * the reference's PGM searches both bounds together, pgm.h:105-155),
     * everything else contributes its own estimate; min over all parts.
-    * None when ANY part is un-estimable (conservative: stay exact). */
-  private def combinedEstimate(s: Seq[Expression],
-                               r: Registered): Option[Double] = {
+    * None when ANY part is un-estimable (conservative: stay exact).
+    * `private[plans]`: [[AnnRoutingRule]] consults the same estimator for
+    * filter shapes its footer-stats path cannot judge (string equality /
+    * ranges over an index-registered column) — one estimate source for
+    * both routers, the way the reference host's CalcCount/EstimateMinMax
+    * feed every access-path decision including the KNN bypass. */
+  private[plans] def combinedEstimate(s: Seq[Expression],
+                                      r: Registered): Option[Double] = {
     val (cmps, others) = s.partition(c => cmpBounds(c).isDefined)
     val ests = scala.collection.mutable.Buffer[Option[Double]]()
     ests ++= others.map(estimate(_, r))

@@ -250,6 +250,61 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(df2.select("vec_id").as[Long].collect().toSeq === exactTop10)
   }
 
+  test("string-filtered graph route estimates through a registered secondary index (r10-2)") {
+    // A string filter has no numeric footer estimate; with a secondary
+    // index registered on the column, the SAME registration stats that
+    // gate index routing (ndv points / histogram) judge the ANN bypass —
+    // one estimate source for both routers, as in the reference host.
+    // (If the filter were selective enough for IndexRouting's own gate,
+    // the postings semi-join would rewrite the plan first and ANN routing
+    // would stand down — exactly ShouldUseFullscan's preference for
+    // brute-forcing few survivors; at ndv=4 the 0.25 estimate bypasses the
+    // 0.1 filter gate but satisfies the maxFilterIds budget here.)
+    val tmp = Files.createTempDirectory("graft-annroute-strfilt")
+    val baseS = tmp.resolve("bases").toString
+    val idxG = tmp.resolve("idxg").toString
+    val idxS = tmp.resolve("idxs").toString
+    val rows2 = vectors.map { case (id, v, lab) => (id, v, "c" + lab) }
+    Writer.write(rows2.toDF("vec_id", "embedding", "cat"), baseS,
+      sortBy = Seq("vec_id"))
+    graft.vector.Hnsw.buildIndexClustered(
+      SparkT.spark.read.parquet(baseS), "embedding", "vec_id", idxG,
+      graft.vector.Hnsw.Params(m = 8, efC = 32, partitions = 4))
+    AnnRouting.registerGraph(SparkT.spark, baseS, idxG,
+      vecCol = "embedding", idCol = "vec_id")
+    def graphLeaves(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case g: GraphCandidates => g
+    }
+    // no index on cat: the string shape is un-estimable → exact fullscan
+    val un = Knn.knn(SparkT.spark.read.parquet(baseS).filter($"cat" === "c2"),
+      "embedding", "vec_id", query, 10)
+    assert(graphLeaves(un).isEmpty,
+      un.queryExecution.optimizedPlan.toString)
+    graft.index.SecondaryIndex.build(
+      SparkT.spark.read.parquet(baseS), "cat", "vec_id", idxS)
+    IndexRouting.register(SparkT.spark, baseS, idxS, "cat", "vec_id")
+    try {
+      val df = Knn.knn(
+        SparkT.spark.read.parquet(baseS).filter($"cat" === "c2"),
+        "embedding", "vec_id", query, 10)
+      assert(graphLeaves(df).exists(_.filterSql.isDefined),
+        df.queryExecution.optimizedPlan.toString)
+      val want = vectors.filter(_._3 == 2)
+        .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+      assert(df.select("vec_id").as[Long].collect().toSeq === want)
+      // IN lists ride the same path
+      val in = Knn.knn(
+        SparkT.spark.read.parquet(baseS).filter($"cat".isin("c2", "c9")),
+        "embedding", "vec_id", query, 10)
+      assert(graphLeaves(in).exists(_.filterSql.isDefined),
+        in.queryExecution.optimizedPlan.toString)
+      assert(in.select("vec_id").as[Long].collect().toSeq === want)
+    } finally {
+      IndexRouting.unregister(SparkT.spark, baseS)
+      AnnRouting.unregister(SparkT.spark, baseS)
+    }
+  }
+
   test("quant family: a registered quantized table routes through the coarse screen (r10)") {
     val tmp = Files.createTempDirectory("graft-annroute-quant")
     val qt = tmp.resolve("qt").toString
