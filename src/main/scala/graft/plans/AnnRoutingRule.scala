@@ -376,26 +376,33 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * for that column when one exists ([[indexRegEstimate]]). */
   private def estimateSelectivity(conds: Seq[Expression],
                                   r: Registered): Option[Double] = {
-    val sels = conds.flatMap(conjuncts).flatMap { c =>
+    val parts = conds.flatMap(conjuncts)
+    val footer = parts.flatMap { c =>
       rangeShape(c).flatMap { case (col, lo, hi) =>
         AnnRouting.cachedRangeEstimate(r.basePath, col, lo, hi)
           .map(_ / r.rows.toDouble)
-      }.orElse(indexRegEstimate(c, r))
+      }
     }
+    val sels = footer ++ indexRegEstimates(parts, r)
     if (sels.isEmpty) None else Some(math.min(1.0, sels.min))
   }
 
-  /** Matching fraction of one conjunct from a REGISTERED SECONDARY INDEX
-    * on the same base table (ndv points / equi-depth histogram ranges) —
-    * the estimate source for string shapes. Restricted to single-column
-    * conjuncts whose column IS the index's value column: the underlying
-    * estimator judges shapes, not bindings. */
-  private def indexRegEstimate(c: Expression,
-                               r: Registered): Option[Double] =
-    c.references.toSeq match {
-      case Seq(a) =>
-        IndexRouting.lookup(r.basePath).filter(_.valueCol == a.name)
-          .flatMap(ir => idxEstimator.combinedEstimate(Seq(c), ir))
+  /** Matching fractions from REGISTERED SECONDARY INDEXES on the same
+    * base table (ndv points / equi-depth histogram ranges) — the estimate
+    * source for string shapes. Same-column conjuncts are estimated as ONE
+    * group so a BETWEEN merges into a single interval (estimating each
+    * side alone loses the intersection — review r10-3); restricted to
+    * single-column conjuncts whose column IS an index's value column,
+    * because the underlying estimator judges shapes, not bindings. */
+  private def indexRegEstimates(parts: Seq[Expression],
+                                r: Registered): Seq[Double] =
+    parts.groupBy(_.references.toSeq match {
+      case Seq(a) => Some(a.name)
+      case _ => None
+    }).toSeq.flatMap {
+      case (Some(colName), group) =>
+        IndexRouting.lookup(r.basePath).filter(_.valueCol == colName)
+          .flatMap(ir => idxEstimator.combinedEstimate(group, ir))
           .minOption
       case _ => None
     }
@@ -476,7 +483,20 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       case e => sqlSafeShape(e) &&
         e.references.forall(lr.outputSet.contains)
     }
-    if (!servable || !conds.forall(_.deterministic)) None
+    // legacy escaped-string parsing changes what a rendered string literal
+    // re-parses to (backslashes stay literal): a consumed condition would
+    // silently evaluate a DIFFERENT predicate, so string shapes refuse
+    // under that conf instead of risking wrong top-k rows (review r10-3)
+    val legacyEscapes = session.conf
+      .getOption("spark.sql.parser.escapedStringLiterals")
+      .exists(_.equalsIgnoreCase("true"))
+    val hasString = conds.exists(_.exists {
+      case l: Literal =>
+        l.dataType == org.apache.spark.sql.types.StringType && l.value != null
+      case _ => false
+    })
+    if (!servable || !conds.forall(_.deterministic) ||
+        (hasString && legacyEscapes)) None
     else Some(conds.reduce(And).transform {
       case a: AttributeReference => a.withQualifier(Nil)
     })
@@ -533,14 +553,20 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * HNSWFilterWrapper_c knn.cpp:90-97 — traversal crosses disallowed
     * nodes, only allowed enter the beam, over-probing keeps k survivors).
     * Route only when
-    *  - every conjunct is range-shaped (footer-estimable, `.sql`
-    *    round-trips) or an inferred IsNotNull over a base column — the
-    *    whole condition is then re-evaluated DISTRIBUTED by the leaf's id
-    *    job, so consuming all of them is semantics-preserving;
-    *  - footer stats bound survivors by `maxFilterIds` (the broadcast-set
-    *    budget — unlike the reference there is no selective-end fullscan
-    *    bypass, because a Spark "fullscan" of few survivors still scans
-    *    every vector, not a rowid fetch);
+    *  - every conjunct is an SQL-safe estimable shape (numeric ranges from
+    *    footer stats; string/typed comparisons and IN lists from the
+    *    column's registered secondary-index stats) or an inferred
+    *    IsNotNull over a base column — the whole condition is then
+    *    re-evaluated DISTRIBUTED by the leaf's id job, so consuming all
+    *    of them is semantics-preserving;
+    *  - the estimate bounds survivors by `maxFilterIds` (the broadcast-set
+    *    budget; index-stat estimates are uniform-assumption, so the leaf
+    *    re-checks the ACTUAL cardinality at execution and falls back to
+    *    the exact distributed top-k when skew blows the budget — unlike
+    *    the reference there is no selective-end fullscan bypass here,
+    *    because a Spark "fullscan" of few survivors still scans every
+    *    vector, not a rowid fetch; the semi-join stand-down happens
+    *    upstream when IndexRoutingRule consumes the filter first);
     *  - outside the consumed filters, only (id, vector) are referenced and
     *    the filter columns do not escape the matched subtree's output
     *    (they are pruned above the consumed Filter, else null-fill would
@@ -560,7 +586,8 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     else {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output,
-        basePath = Some(r.basePath), filterSql = Some(cond.sql))
+        basePath = Some(r.basePath), filterSql = Some(cond.sql),
+        maxIds = g.maxFilterIds)
       // transformUp rebuilds parents after the leaf swap, so the consumed
       // Filter nodes are copies — match them by their (unchanged)
       // condition, not by reference

@@ -43,10 +43,17 @@ final case class GraphCandidates(indexPath: String, idName: String,
                                  k: Int, ef: Int,
                                  output: Seq[Attribute],
                                  basePath: Option[String] = None,
-                                 filterSql: Option[String] = None) extends LeafNode {
+                                 filterSql: Option[String] = None,
+                                 maxIds: Long = Long.MaxValue) extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = math.max(1L, k.toLong * 4L * (query.size + 2)))
+}
+
+object GraphCandidates {
+  /** Executions that took the over-budget exact distributed fallback —
+    * spec instrumentation only. */
+  val fallbackCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 final case class GraphCandidatesExec(node: GraphCandidates)
@@ -56,31 +63,58 @@ final case class GraphCandidatesExec(node: GraphCandidates)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    // K3: materialize the allowed-id set from the consumed filter — one
-    // column-pruned job over (id, filter columns), never the vectors. The
-    // plan-time maxFilterIds gate bounds the collect/broadcast. NULL ids
-    // are dropped, not NPE'd: such rows cannot be graph nodes anyway
-    // (review r10-2).
-    val allowedB = node.filterSql.map { sql =>
-      import org.apache.spark.sql.functions.{col, expr}
-      val ids = spark.read.parquet(node.basePath.get)
+    import org.apache.spark.sql.functions.{col, expr}
+    // K3: the consumed filter re-evaluates as a column-pruned job over
+    // (id, filter columns) — never the vectors. NULL ids are dropped, not
+    // NPE'd: such rows cannot be graph nodes anyway (review r10-2).
+    val filteredBase = node.filterSql.map { sql =>
+      spark.read.parquet(node.basePath.get)
         .filter(expr(sql))
         .filter(col(node.idName).isNotNull)
-        .select(col(node.idName))
-        .collect().map(_.getLong(0))
-      java.util.Arrays.sort(ids)
-      spark.sparkContext.broadcast(ids)
     }
-    val allowed = allowedB.map { b =>
-      (id: Long) => java.util.Arrays.binarySearch(b.value, id) >= 0
+    // The plan-time estimate gates the route, but only the ACTUAL
+    // cardinality bounds the broadcast: a uniform ndv estimate can be
+    // arbitrarily low under value skew (review r10-3). One cheap count
+    // decides; over budget → the exact DISTRIBUTED filtered top-k (never
+    // a huge driver collect) — identical rows through the Sort above,
+    // just without the graph walk's probe economy.
+    val rows: Array[(Long, Double, Array[Float])] = filteredBase match {
+      case Some(fdf) if fdf.count() > node.maxIds =>
+        GraphCandidates.fallbackCount.incrementAndGet()
+        val metric = graft.vector.Hnsw.indexMetric(spark, node.indexPath)
+        val qB = spark.sparkContext.broadcast(node.query.toArray)
+        // RDD takeOrdered, NOT a Dataset orderBy(dist).limit(k): that
+        // Dataset query is the exact shape the routing rule matches, so
+        // it would route back into a fresh GraphCandidates leaf and
+        // recurse without bound (review r10-3 hang). The RDD path cannot
+        // re-enter the optimizer; scalarDist orders identically to the
+        // sort key (sqrt/1-cos are monotone) and the Sort above
+        // recomputes the exact distances anyway.
+        fdf.select(col(node.idName), col(node.vecName)).rdd
+          .map { r =>
+            val v = r.getSeq[Float](1).toArray
+            (graft.vector.Ivf.scalarDist(metric, qB.value, v), r.getLong(0), v)
+          }
+          .takeOrdered(node.k)(
+            Ordering.by((t: (Double, Long, Array[Float])) => (t._1, t._2)))
+          .map { case (d, id, v) => (id, d, v) }
+      case _ =>
+        val allowedB = filteredBase.map { fdf =>
+          val ids = fdf.select(col(node.idName))
+            .collect().map(_.getLong(0))
+          java.util.Arrays.sort(ids)
+          spark.sparkContext.broadcast(ids)
+        }
+        val allowed = allowedB.map { b =>
+          (id: Long) => java.util.Arrays.binarySearch(b.value, id) >= 0
+        }
+        try graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
+          node.query.toArray, node.k, node.ef, allowed = allowed)._1
+        // the walk is fully driver-orchestrated, so the broadcast is dead
+        // once it returns — free the up-to-maxIds*8 bytes instead of
+        // leaving them to the ContextCleaner (review r10-2)
+        finally allowedB.foreach(_.destroy())
     }
-    val (rows, _) =
-      try graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
-        node.query.toArray, node.k, node.ef, allowed = allowed)
-      // the walk is fully driver-orchestrated, so the broadcast is dead
-      // once it returns — free the up-to-maxFilterIds*8 bytes instead of
-      // leaving them to the ContextCleaner (review r10-2)
-      finally allowedB.foreach(_.destroy())
     val byName = rows.map { case (id, _, vec) =>
       Map[String, Any](node.idName -> id, node.vecName -> vec)
     }

@@ -91,8 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HashCompanionRule)
-    ext.injectOptimizerRule(session => new AnnRoutingRule(session))
+    // IndexRoutingRule BEFORE AnnRoutingRule (both run in injection order
+    // within one fixpoint set): a filter selective enough for the index
+    // gate becomes the postings semi-join first, and the ANN rule then
+    // sees two relations under the sort and stands down — brute-forcing
+    // few survivors, the reference's ShouldUseFullscan preference. The
+    // reverse order would let the ANN rule consume the filter into a
+    // massively over-probing beam walk before the index rule ever ran
+    // (review r10-3).
     ext.injectOptimizerRule(session => new IndexRoutingRule(session))
+    ext.injectOptimizerRule(session => new AnnRoutingRule(session))
     // plans the graph family's routed-candidate leaf (AnnRoutingRule's
     // rewrite target for clustered graph indexes)
     ext.injectPlannerStrategy(_ => new GraphCandidatesStrategy)

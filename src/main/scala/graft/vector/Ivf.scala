@@ -35,8 +35,8 @@ object Ivf {
       }.sortBy(_._1).map(_._2)
   }
 
-  private[vector] def scalarDist(metric: Knn.Metric, a: Array[Float],
-                                 b: Array[Float]): Double = metric match {
+  private[graft] def scalarDist(metric: Knn.Metric, a: Array[Float],
+                                b: Array[Float]): Double = metric match {
     case Knn.L2 =>
       var acc = 0.0; var i = 0
       while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }

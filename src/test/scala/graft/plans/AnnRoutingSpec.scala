@@ -255,17 +255,20 @@ class AnnRoutingSpec extends AnyFunSuite {
     // index registered on the column, the SAME registration stats that
     // gate index routing (ndv points / histogram) judge the ANN bypass —
     // one estimate source for both routers, as in the reference host.
-    // (If the filter were selective enough for IndexRouting's own gate,
-    // the postings semi-join would rewrite the plan first and ANN routing
-    // would stand down — exactly ShouldUseFullscan's preference for
-    // brute-forcing few survivors; at ndv=4 the 0.25 estimate bypasses the
-    // 0.1 filter gate but satisfies the maxFilterIds budget here.)
+    // (A filter selective enough for IndexRouting's own gate rewrites to
+    // the postings semi-join FIRST — IndexRoutingRule is injected before
+    // the ANN rule — and ANN routing stands down: ShouldUseFullscan's
+    // preference for brute-forcing few survivors, pinned below on cat2;
+    // at ndv=4 `cat`'s 0.25 estimate bypasses the 0.1 filter gate but
+    // satisfies the maxFilterIds budget, so the graph route fires.)
     val tmp = Files.createTempDirectory("graft-annroute-strfilt")
     val baseS = tmp.resolve("bases").toString
     val idxG = tmp.resolve("idxg").toString
     val idxS = tmp.resolve("idxs").toString
-    val rows2 = vectors.map { case (id, v, lab) => (id, v, "c" + lab) }
-    Writer.write(rows2.toDF("vec_id", "embedding", "cat"), baseS,
+    val idxS2 = tmp.resolve("idxs2").toString
+    val rows2 = vectors.map { case (id, v, lab) =>
+      (id, v, "c" + lab, "k%03d".format(id % 100)) }
+    Writer.write(rows2.toDF("vec_id", "embedding", "cat", "cat2"), baseS,
       sortBy = Seq("vec_id"))
     graft.vector.Hnsw.buildIndexClustered(
       SparkT.spark.read.parquet(baseS), "embedding", "vec_id", idxG,
@@ -299,9 +302,73 @@ class AnnRoutingSpec extends AnyFunSuite {
       assert(graphLeaves(in).exists(_.filterSql.isDefined),
         in.queryExecution.optimizedPlan.toString)
       assert(in.select("vec_id").as[Long].collect().toSeq === want)
+      // a MORE selective string column (ndv 100, est 0.01 <= the filter
+      // gate): the postings semi-join rewrites FIRST and ANN stands down —
+      // few survivors brute-forced under the untouched Sort (review
+      // r10-3: this required IndexRoutingRule injected before the ANN
+      // rule; the reverse order consumed the filter into the walk)
+      graft.index.SecondaryIndex.build(
+        SparkT.spark.read.parquet(baseS), "cat2", "vec_id", idxS2)
+      IndexRouting.register(SparkT.spark, baseS, idxS2, "cat2", "vec_id")
+      val sel = Knn.knn(
+        SparkT.spark.read.parquet(baseS).filter($"cat2" === "k010"),
+        "embedding", "vec_id", query, 10)
+      assert(graphLeaves(sel).isEmpty,
+        sel.queryExecution.optimizedPlan.toString)
+      assert(sel.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.nonEmpty, sel.queryExecution.optimizedPlan.toString)
+      val wantSel = vectors.filter(_._1 % 100 == 10)
+        .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+      assert(sel.select("vec_id").as[Long].collect().toSeq === wantSel)
     } finally {
       IndexRouting.unregister(SparkT.spark, baseS)
       AnnRouting.unregister(SparkT.spark, baseS)
+    }
+  }
+
+  test("skew past the broadcast budget falls back to the exact distributed top-k (r10-3)") {
+    // The plan-time gate trusts a uniform ndv estimate (~2 survivors for
+    // sk='hot' at ndv 151), but the hot value actually holds 150 rows —
+    // 3x the registered 50-id budget. The leaf's execution-time count
+    // catches it and takes the exact distributed top-k instead of a huge
+    // driver collect; rows stay identical to the brute-force answer. The
+    // base is sk-clustered so IndexRouting's filter route stands down and
+    // the ANN rule genuinely owns the filter.
+    val tmp = Files.createTempDirectory("graft-annroute-skew")
+    val baseK = tmp.resolve("basek").toString
+    val idxG = tmp.resolve("idxg").toString
+    val idxS = tmp.resolve("idxs").toString
+    val rows2 = vectors.map { case (id, v, _) =>
+      (id, v, if (id < 150) "hot" else s"u$id") }
+    Writer.write(rows2.toDF("vec_id", "embedding", "sk"), baseK,
+      sortBy = Seq("sk"), files = 4)
+    graft.vector.Hnsw.buildIndexClustered(
+      SparkT.spark.read.parquet(baseK), "embedding", "vec_id", idxG,
+      graft.vector.Hnsw.Params(m = 8, efC = 32, partitions = 4))
+    graft.index.SecondaryIndex.build(
+      SparkT.spark.read.parquet(baseK), "sk", "vec_id", idxS)
+    IndexRouting.register(SparkT.spark, baseK, idxS, "sk", "vec_id")
+    AnnRouting.registerGraph(SparkT.spark, baseK, idxG,
+      vecCol = "embedding", idCol = "vec_id", maxFilterIds = 50L)
+    try {
+      val df = Knn.knn(
+        SparkT.spark.read.parquet(baseK).filter($"sk" === "hot"),
+        "embedding", "vec_id", query, 10)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case g: GraphCandidates => g
+      }.exists(_.maxIds == 50L), df.queryExecution.optimizedPlan.toString)
+      val before = GraphCandidates.fallbackCount.get()
+      val got = df.select("vec_id").as[Long].collect().toSeq
+      assert(GraphCandidates.fallbackCount.get() === before + 1,
+        "expected the over-budget fallback to run exactly once")
+      val want = vectors.filter(_._1 < 150)
+        .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+      assert(got === want)
+    } finally {
+      IndexRouting.unregister(SparkT.spark, baseK)
+      AnnRouting.unregister(SparkT.spark, baseK)
     }
   }
 

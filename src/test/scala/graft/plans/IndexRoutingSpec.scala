@@ -568,10 +568,18 @@ class IndexRoutingSpec extends AnyFunSuite {
   test("property: routed plans agree with client-side evaluation for random predicates") {
     // 40 random servable predicates across the gate (some route, some
     // bypass — both must be correct); expected sets evaluated in plain
-    // Scala against the generator's own rows.
+    // Scala against the generator's own rows. Half the trials run with a
+    // widened 0.3 gate so the broader shapes — the cross-column OR union
+    // in particular, whose w-branch alone estimates 0.2 — actually take
+    // their ROUTED path in some trials (review r10-3: at the default 0.1
+    // every cross-column OR bypassed and the union rewrite went untested
+    // here).
     val rows = (0L until 1000L).map(i => (i, i / 2, (i % 5).toString, i % 100))
     val rnd = new scala.util.Random(47)
     (1 to 40).foreach { trial =>
+      if (rnd.nextBoolean())
+        SparkT.spark.conf.set("spark.graft.index.routeThreshold", "0.3")
+      else SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
       val a = rnd.nextLong(600) - 50
       val b = a + rnd.nextLong(200)
       val (pred, want) = rnd.nextInt(8) match {
@@ -600,6 +608,7 @@ class IndexRoutingSpec extends AnyFunSuite {
       val cnt = base.filter(pred).agg(count(lit(1))).as[Long].head()
       assert(cnt === want.size.toLong, s"trial $trial count, pred $pred")
     }
+    SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
   }
 
   // LAST in the suite: sweeps the real derived catalog into the registry,
