@@ -881,7 +881,8 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         else Cast(factKey, keyAttr.dataType)
       val join = Join(lr, keys, LeftSemi,
         Some(EqualTo(joinKey, keyAttr)), JoinHint.NONE)
-      val rest = conjuncts.filterNot(_ eq or.conjunct)
+      val rest = stabilizeResidual(
+        conjuncts.filterNot(_ eq or.conjunct), Seq(or.conjunct))
       if (rest.isEmpty) join else Filter(rest.reduce(And), join)
     }
   }
@@ -952,6 +953,37 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Residual conjuncts that would RE-EARN a consumed hash-companion
+    * conjunct — a string equality/IN whose column's `__hash` companion we
+    * just routed — are rewritten to the null-safe form HashCompanionRule
+    * does not match. Semantically identical under a Filter (both reject
+    * NULL rows), but without it the cascade never terminates: pushdown
+    * re-lands the string residual beside the relation, HashCompanionRule
+    * re-adds the very hash conjunct this route consumed, and the route
+    * fires again every fixpoint pass (review r10-3: a 200-deep semi-join
+    * stack). Rewritten shapes mirror exactly what hashPredFor earns from,
+    * so no other predicate is ever touched. */
+  private def stabilizeResidual(rest: Seq[Expression],
+                                consumed: Seq[Expression]): Seq[Expression] = {
+    val suffix = graft.tables.Writer.HashSuffix
+    val hashCols = consumed.flatMap(_.references.toSeq.map(_.name))
+      .filter(_.endsWith(suffix)).toSet
+    def earner(a: AttributeReference, l: Literal): Boolean =
+      l.dataType == org.apache.spark.sql.types.StringType &&
+        l.value != null && hashCols.contains(a.name + suffix)
+    rest.map {
+      case EqualTo(a: AttributeReference, l: Literal) if earner(a, l) =>
+        EqualNullSafe(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) if earner(a, l) =>
+        EqualNullSafe(a, l)
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+            case l: Literal => earner(a, l)
+            case _ => false } =>
+        vs.map(v => EqualNullSafe(a, v): Expression).reduce(Or)
+      case o => o
+    }
+  }
+
   /** The routed plan for one or more candidates: per-candidate postings
     * key streams, inner-joined to their intersection when there are
     * several, then ONE left-semi fact probe; unconsumed conjuncts stay as
@@ -959,7 +991,8 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def buildRoute(chosen: Seq[Candidate], conjuncts: Seq[Expression],
                          lr: LogicalRelation): Option[LogicalPlan] = {
     val consumed = chosen.flatMap(_.servables)
-    val rest = conjuncts.filterNot(c => consumed.exists(_ eq c))
+    val rest = stabilizeResidual(
+      conjuncts.filterNot(c => consumed.exists(_ eq c)), consumed)
     val streams = chosen.map { c =>
       val idxPlan = freshIndexPlan(c.r)
       for {

@@ -358,6 +358,29 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_custkey = 421 OR o_totalprice < 1500.0")),
 
+    // r10 — STRINGS served FROM the secondary index through the HASH
+    // COMPANION, fully automatically (the reference's STRINGS secondary
+    // index posts string hashes and re-checks the strings on the matched
+    // rows): the plain string equality first earns its hash conjunct
+    // (HashCompanionRule), the hash conjunct routes through the
+    // companion-column index (IndexRoutingRule runs after it in the same
+    // batch), and the original string predicate rides residual on the few
+    // semi-joined rows — collision-safe, exact. Two optimizer rules
+    // composing into the reference's string-index design from one plain
+    // `filter(c_name === ...)`. Plan pinned in IndexRoutingSpec.
+    "q_index_auto_hash" -> QueryDef(
+      (s, d) => {
+        val base = Derived.tablePath(s, d, "customer_h")
+        graft.plans.IndexRouting.register(s, base,
+          Derived.tablePath(s, d, "customer_h_idx"),
+          "c_name" + graft.tables.Writer.HashSuffix, "c_custkey")
+        Derived.table(s, d, "customer_h")
+          .filter(col("c_name") === "Customer#000000421")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_name = 'Customer#000000421'")),
+
     // r10 — CalcCount over the CROSS-INDEX OR: COUNT(*) WHERE a = x OR
     // b < y has no single serving index, but the deduped union of the
     // per-branch postings key streams IS the matching row set — counting

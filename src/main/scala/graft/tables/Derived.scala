@@ -25,7 +25,7 @@ object Derived {
     * OUTPUT SCHEMA changes: a cached table from an older layout (identified
     * by a missing/mismatched `_GRAFT_LAYOUT` marker) is rebuilt instead of
     * being read with the wrong schema ("r5" = chunked index postings). */
-  val LayoutVersion = "r5"
+  val LayoutVersion = "r6"
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -93,13 +93,25 @@ object Derived {
       Writer.write(tagged, path, sortBy = Seq("l_orderkey"))
     }),
 
-    // customer with a c_mktsegment hash companion (F4 fast-path parity;
-    // ref columnar.cpp:465-473 + common/filter.cpp:77-90 rewrite).
+    // customer with c_mktsegment + c_name hash companions (F4 fast-path
+    // parity; ref columnar.cpp:465-473 + common/filter.cpp:77-90 rewrite).
     "customer_h" -> Entry((spark, sfDir, path) => {
       val c = graft.engine.Graft.table(spark, sfDir, "customer")
       Writer.write(c, path, sortBy = Seq("c_custkey"),
-        hashCompanions = Seq("c_mktsegment"))
+        hashCompanions = Seq("c_mktsegment", "c_name"))
     }),
+
+    // Secondary index over customer_h's c_name HASH COMPANION — the
+    // reference's STRINGS secondary index is a hash index (it posts
+    // string hashes, secondary/secondary.cpp string path), so serving a
+    // string equality = HashCompanionRule earns the hash conjunct, this
+    // index serves it, and the original string predicate rides residual.
+    "customer_h_idx" -> Entry((spark, sfDir, path) => {
+      val c = table(spark, sfDir, "customer_h")
+      graft.index.SecondaryIndex.build(c,
+        "c_name" + Writer.HashSuffix, "c_custkey", path)
+    }, Seq(IndexMeta("", "customer_h", factIsDerived = true,
+      "c_name" + Writer.HashSuffix, "c_custkey"))),
 
     // Secondary index on orders.o_orderpriority with o_orderkey postings
     // (I1-I4: value-sorted index table; o_orderkey is unique per row, the

@@ -216,6 +216,41 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(mixed.as[Long].collect().toSet === Set(20L, 21L))
   }
 
+  test("string equality routes through the hash companion's index (r10-3)") {
+    // HashCompanionRule earns `s__hash = H` next to the string predicate;
+    // the companion-column index serves the hash conjunct (this rule runs
+    // after it in the same batch) and the string equality rides residual
+    // on the semi-joined rows — the reference's STRINGS secondary index
+    // (hash postings + string re-check) from one plain filter().
+    val tmp = Files.createTempDirectory("graft-idxroute-hash")
+    val hbase = tmp.resolve("hb").toString
+    val hidx = tmp.resolve("hidx").toString
+    val rows = (0L until 1000L).map(i => (i, "s%04d".format(i % 500)))
+    Writer.write(rows.toDF("id", "s"), hbase, sortBy = Seq("id"),
+      hashCompanions = Seq("s"))
+    val hashCol = "s" + graft.tables.Writer.HashSuffix
+    SecondaryIndex.build(SparkT.spark.read.parquet(hbase), hashCol, "id", hidx)
+    IndexRouting.register(SparkT.spark, hbase, hidx, hashCol, "id")
+    try {
+      val df = SparkT.spark.read.parquet(hbase)
+        .filter($"s" === "s0010").select($"id")
+      assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+      assert(scanPaths(df).exists(_.contains("hidx")),
+        df.queryExecution.optimizedPlan.toString)
+      // the string predicate survives as the collision residual
+      assert(df.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+              l.value != null && l.value.toString == "s0010"
+            case _ => false
+          }
+        case _ => false
+      }, df.queryExecution.optimizedPlan.toString)
+      assert(df.as[Long].collect().toSet === Set(10L, 510L))
+    } finally IndexRouting.unregister(SparkT.spark, hbase)
+  }
+
   test("routing composes under joins and below sort/limit (r10)") {
     // (a) pushdown leaves the servable filter beside the relation INSIDE a
     // join — the route fires there exactly as at top level (the reference
