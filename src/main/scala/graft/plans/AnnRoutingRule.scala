@@ -402,7 +402,16 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }).toSeq.flatMap {
       case (Some(colName), group) =>
         IndexRouting.lookup(r.basePath).filter(_.valueCol == colName)
-          .flatMap(ir => idxEstimator.combinedEstimate(group, ir))
+          .flatMap { ir =>
+            // merged-group first (BETWEEN intersects); if an un-estimable
+            // member voids the group, fall back to the best single-conjunct
+            // estimate — still a valid upper bound, and a filter must not
+            // become un-estimable just because one extra conjunct on the
+            // same column is an unsupported shape (review r10-4)
+            idxEstimator.combinedEstimate(group, ir).orElse(
+              group.flatMap(c => idxEstimator.combinedEstimate(Seq(c), ir))
+                .minOption)
+          }
           .minOption
       case _ => None
     }

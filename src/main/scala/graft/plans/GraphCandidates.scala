@@ -74,12 +74,20 @@ final case class GraphCandidatesExec(node: GraphCandidates)
     }
     // The plan-time estimate gates the route, but only the ACTUAL
     // cardinality bounds the broadcast: a uniform ndv estimate can be
-    // arbitrarily low under value skew (review r10-3). One cheap count
-    // decides; over budget → the exact DISTRIBUTED filtered top-k (never
-    // a huge driver collect) — identical rows through the Sort above,
-    // just without the graph walk's probe economy.
-    val rows: Array[(Long, Double, Array[Float])] = filteredBase match {
-      case Some(fdf) if fdf.count() > node.maxIds =>
+    // arbitrarily low under value skew (review r10-3). ONE budget-limited
+    // id job decides (collect of at most maxIds+1 ids — bounded driver
+    // memory, no separate count pass): within budget the collected ids
+    // ARE the broadcast set; over budget → the exact DISTRIBUTED filtered
+    // top-k (never a huge driver collect) — identical rows through the
+    // Sort above, just without the graph walk's probe economy.
+    val overLimit =
+      (math.min(node.maxIds, Int.MaxValue.toLong - 2L) + 1L).toInt
+    val idsOpt = filteredBase.map { fdf =>
+      fdf.select(col(node.idName)).limit(overLimit)
+        .collect().map(_.getLong(0))
+    }
+    val rows: Array[(Long, Double, Array[Float])] = idsOpt match {
+      case Some(ids) if ids.length >= overLimit =>
         GraphCandidates.fallbackCount.incrementAndGet()
         val metric = graft.vector.Hnsw.indexMetric(spark, node.indexPath)
         val qB = spark.sparkContext.broadcast(node.query.toArray)
@@ -89,19 +97,23 @@ final case class GraphCandidatesExec(node: GraphCandidates)
         // recurse without bound (review r10-3 hang). The RDD path cannot
         // re-enter the optimizer; scalarDist orders identically to the
         // sort key (sqrt/1-cos are monotone) and the Sort above
-        // recomputes the exact distances anyway.
-        fdf.select(col(node.idName), col(node.vecName)).rdd
-          .map { r =>
-            val v = r.getSeq[Float](1).toArray
-            (graft.vector.Ivf.scalarDist(metric, qB.value, v), r.getLong(0), v)
-          }
-          .takeOrdered(node.k)(
-            Ordering.by((t: (Double, Long, Array[Float])) => (t._1, t._2)))
-          .map { case (d, id, v) => (id, d, v) }
+        // recomputes the exact distances anyway. NULL vectors are
+        // excluded exactly as the walk excludes them (not graph nodes).
+        try {
+          filteredBase.get
+            .filter(col(node.vecName).isNotNull)
+            .select(col(node.idName), col(node.vecName)).rdd
+            .map { r =>
+              val v = r.getSeq[Float](1).toArray
+              (graft.vector.Ivf.scalarDist(metric, qB.value, v),
+                r.getLong(0), v)
+            }
+            .takeOrdered(node.k)(
+              Ordering.by((t: (Double, Long, Array[Float])) => (t._1, t._2)))
+            .map { case (d, id, v) => (id, d, v) }
+        } finally qB.destroy()
       case _ =>
-        val allowedB = filteredBase.map { fdf =>
-          val ids = fdf.select(col(node.idName))
-            .collect().map(_.getLong(0))
+        val allowedB = idsOpt.map { ids =>
           java.util.Arrays.sort(ids)
           spark.sparkContext.broadcast(ids)
         }

@@ -611,7 +611,7 @@ class IndexRoutingSpec extends AnyFunSuite {
     // here).
     val rows = (0L until 1000L).map(i => (i, i / 2, (i % 5).toString, i % 100))
     val rnd = new scala.util.Random(47)
-    (1 to 40).foreach { trial =>
+    try (1 to 40).foreach { trial =>
       if (rnd.nextBoolean())
         SparkT.spark.conf.set("spark.graft.index.routeThreshold", "0.3")
       else SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
@@ -642,8 +642,9 @@ class IndexRoutingSpec extends AnyFunSuite {
       assert(got === want.map(_._1).toSet, s"trial $trial pred $pred")
       val cnt = base.filter(pred).agg(count(lit(1))).as[Long].head()
       assert(cnt === want.size.toLong, s"trial $trial count, pred $pred")
-    }
-    SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
+    // a failing trial must not leave the widened gate behind for the rest
+    // of the shared-session suite (review r10-4)
+    } finally SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
   }
 
   // LAST in the suite: sweeps the real derived catalog into the registry,
