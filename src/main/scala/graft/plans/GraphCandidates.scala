@@ -28,13 +28,17 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * allowed-rowid bitmap from the query's other filters and hands it to the
   * KNN iterator's callback, knn/knn.h:87-94): when [[AnnRoutingRule]]
   * consumes an attribute `Filter`, the leaf carries the condition as SQL
-  * (`filterSql`) plus the base-table path. `doExecute` first runs a
-  * column-pruned distributed job — `read(base).filter(cond).select(id)` —
-  * sorts the surviving ids into a primitive array (8 bytes/id, the JVM
-  * analog of the reference's bitmap), broadcasts it, and passes a
-  * binary-search callback into the beam walk. The route is cost-gated at
-  * plan time (`AnnRouting.GraphFamily.maxFilterIds`) so the broadcast
-  * stays bounded; the id job itself never reads the vector column.
+  * (`filterSql`) plus the base-table path. `doExecute` runs ONE
+  * budget-limited column-pruned job — `read(base).filter(cond).select(id)
+  * .limit(maxIds+1)` — never reading the vector column. Within budget the
+  * collected ids sort into a primitive array (8 bytes/id, the JVM analog
+  * of the reference's bitmap), broadcast, and gate the beam walk through
+  * a binary-search callback. The plan-time estimate (`GraphFamily
+  * .maxFilterIds`) is uniform-assumption, so a skewed hot value can blow
+  * it: the limit detects that at execution and the leaf falls back to the
+  * exact DISTRIBUTED filtered top-k (an RDD takeOrdered — deliberately
+  * NOT a Dataset orderBy/limit, which is the very shape the routing rule
+  * would re-route into this leaf, recursing unboundedly).
   *
   * `output` reuses the base relation's attributes verbatim (same exprIds),
   * so every upstream expression rebinds without aliasing. */
