@@ -643,8 +643,14 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       case IsNotNull(_) => Some(nonNullFrac(r))
       case EqualTo(_: AttributeReference, _: Literal) |
            EqualTo(_: Literal, _: AttributeReference) => points(1)
-      case In(_, vs) => points(vs.size)
-      case InSet(_, hset) => points(hset.size)
+      // literal guard mirrors servable(): AnnRoutingRule.indexRegEstimates
+      // feeds arbitrary single-column conjuncts here without the servable
+      // pre-check, and a non-literal IN is a shape the registration stats
+      // cannot judge (ADVICE r10)
+      case In(_, vs) if vs.nonEmpty && vs.forall {
+            case l: Literal => l.value != null
+            case _ => false } => points(vs.size)
+      case InSet(_, hset) if !hset.contains(null) => points(hset.size)
       // MVA: totalCnt counts element occurrences >= matching rows, so the
       // points estimate is an upper bound — conservative against routing
       case ArrayContains(_, _) => points(1)
@@ -976,10 +982,13 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         EqualNullSafe(a, l)
       case EqualTo(l: Literal, a: AttributeReference) if earner(a, l) =>
         EqualNullSafe(a, l)
+      // keep the set shape (Parquet still pushes InSet as a source IN;
+      // an Or-chain would lose that and build a deep tree — ADVICE r10),
+      // but as InSet, which HashCompanionRule does not earn from
       case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
             case l: Literal => earner(a, l)
             case _ => false } =>
-        vs.map(v => EqualNullSafe(a, v): Expression).reduce(Or)
+        InSet(a, vs.map { case l: Literal => l.value }.toSet)
       case o => o
     }
   }
@@ -1013,6 +1022,12 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         else ks
     }
     if (streams.exists(_.isEmpty)) return None
+    // intersection joins key streams pairwise on EqualTo: refuse the route
+    // if a mis-registered index pair carries different key element types —
+    // an ill-typed comparison injected post-analysis fails the whole query
+    // instead of just skipping the optimization (ADVICE r10; mirrors the
+    // orKeysUnion guard)
+    if (streams.flatten.map(_._2.dataType).distinct.size != 1) return None
     for {
       factKey <- lr.output.find(_.name == chosen.head.r.keyCol)
     } yield {

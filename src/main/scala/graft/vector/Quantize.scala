@@ -99,9 +99,6 @@ object Quantize {
     }(Encoders.row(schema))
   }
 
-  /** Top-k search: coarse pass on the quantized codes (k·refine survivors),
-    * exact rescore on the float vectors. Returns (idCol, dist) best-first,
-    * ties by id — same contract as [[Knn.knn]]. */
   /** The coarse-screen candidate ids: top-`n` by int8-code L2 distance —
     * a declarative sub-plan (typed map + TakeOrdered), shared by
     * [[searchRescore]] and [[graft.plans.AnnRoutingRule]]'s automatic
@@ -122,6 +119,9 @@ object Quantize {
       .select(col("cid").as(idCol))
   }
 
+  /** Top-k search: coarse pass on the quantized codes (k·refine survivors),
+    * exact rescore on the float vectors. Returns (idCol, dist) best-first,
+    * ties by id — same contract as [[Knn.knn]]. */
   def searchRescore(qdf: DataFrame, vecCol: String, qCol: String,
                     idCol: String, m: QModel, query: Array[Float], k: Int,
                     metric: Knn.Metric = Knn.L2, refine: Int = 8): DataFrame = {
