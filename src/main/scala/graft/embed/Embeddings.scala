@@ -230,10 +230,128 @@ object Embeddings {
     }
   }
 
+  /** The weights-artifact format behind [[LocalModelProvider]] — the
+    * engine's stand-in for an ONNX/safetensors file (the reference's local
+    * models load weight files from disk, embeddings/src/model/local.rs;
+    * real inference libs aren't in this container, so the "model" is a
+    * dense (vocabDim × dim) float32 projection with a validated header,
+    * making the LIFECYCLE — file artifact → load once per executor → warm
+    * handle — fully real). Layout: magic, version, vocabDim, dim, then
+    * vocabDim·dim big-endian float32 weights. */
+  object LocalModel {
+    private val Magic = 0x47524654 // "GRFT"
+
+    /** Loads performed in this JVM — the spec's load-once instrumentation
+      * (one increment per provider handle, i.e. per partition). */
+    val loadCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+    /** Serialize trained weights to `path` (driver-side, once). */
+    def writeArtifact(path: String, weights: Array[Array[Float]]): Unit = {
+      require(weights.nonEmpty, "empty weight matrix")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(path)))
+      try {
+        out.writeInt(Magic); out.writeInt(1)
+        out.writeInt(weights.length); out.writeInt(weights.head.length)
+        weights.foreach { row =>
+          require(row.length == weights.head.length, "ragged weight matrix")
+          row.foreach(out.writeFloat)
+        }
+      } finally out.close()
+    }
+
+    /** Seeded Gaussian init — the model-like weight distribution
+      * ([[RandomProjectionProvider]]'s matrix, persisted). */
+    def gaussianWeights(vocabDim: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(vocabDim)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+
+    /** Load + validate an artifact. `expectDim` is the provider's declared
+      * output dimension — a mismatched artifact fails HERE, at handle
+      * construction, not as silently-wrong vectors downstream (the same
+      * dim-validation contract as [[HttpProvider.parse]]). A relative
+      * `path` absent from the local FS falls back to
+      * `SparkFiles.get` — the idiomatic way a cluster ships a model
+      * artifact to every executor (`SparkContext.addFile`). */
+    private[embed] def load(path: String, expectDim: Int): Array[Array[Float]] = {
+      val f = new java.io.File(path)
+      val resolved =
+        if (f.isFile) f
+        else new java.io.File(org.apache.spark.SparkFiles.get(f.getName))
+      if (!resolved.isFile)
+        throw new java.io.FileNotFoundException(
+          s"model artifact not found at $path (also tried SparkFiles '${f.getName}')")
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(resolved)))
+      try {
+        val magic = in.readInt()
+        if (magic != Magic) throw new IllegalStateException(
+          s"$path is not a graft model artifact (magic ${magic.toHexString})")
+        val version = in.readInt()
+        if (version != 1) throw new IllegalStateException(
+          s"unsupported model artifact version $version at $path")
+        val vocabDim = in.readInt()
+        val dim = in.readInt()
+        if (dim != expectDim) throw new IllegalStateException(
+          s"model artifact $path has dim $dim, provider declared $expectDim")
+        if (vocabDim <= 0 || dim <= 0) throw new IllegalStateException(
+          s"corrupt model artifact $path: vocabDim=$vocabDim dim=$dim")
+        val w = Array.ofDim[Float](vocabDim, dim)
+        var b = 0
+        while (b < vocabDim) {
+          var i = 0
+          while (i < dim) { w(b)(i) = in.readFloat(); i += 1 }
+          b += 1
+        }
+        loadCount.incrementAndGet()
+        w
+      } finally in.close()
+    }
+  }
+
+  /** Local file-backed model provider — the reference's local-inference
+    * lifecycle (embeddings/src/model/local.rs behind the mod.rs:65-70
+    * trait): the case class ships CONFIG only (path + declared dim); the
+    * weight matrix is loaded lazily ONCE per provider instance — one
+    * warm handle per partition in [[embedStage]], reused across batches —
+    * with header/dimension validation at load. Inference is the token-
+    * count × projection kernel of [[RandomProjectionProvider]], reading
+    * the weights from the artifact instead of deriving them from a seed. */
+  final case class LocalModelProvider(modelPath: String, dim: Int,
+                                      normalize: Boolean = false)
+      extends TextToEmbeddings {
+    @transient private lazy val weights: Array[Array[Float]] =
+      LocalModel.load(modelPath, dim)
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val w = weights
+      val vocabDim = w.length
+      texts.map { t =>
+        val counts = scala.collection.mutable.LongMap.empty[Int]
+        t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          val b = hashBucket(tok, vocabDim)
+          counts(b) = counts.getOrElse(b.toLong, 0) + 1
+        }
+        val v = new Array[Float](dim)
+        counts.foreach { case (b, c) =>
+          val row = w(b.toInt)
+          var i = 0
+          while (i < dim) { v(i) += c * row(i); i += 1 }
+        }
+        if (normalize) {
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+          if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
+        }
+        v
+      }
+    }
+  }
+
   /** Provider registry — the seam where remote/local model providers plug in
     * (ref ffi.rs GetLibFuncs). Offline container ships the deterministic
-    * stubs; [[HttpProvider]] is constructed explicitly (it needs endpoint
-    * config, not just (dim, normalize)). */
+    * stubs; [[HttpProvider]] and [[LocalModelProvider]] are constructed
+    * explicitly (they need endpoint/artifact config, not just
+    * (dim, normalize)). */
   val providers: Map[String, (Int, Boolean) => TextToEmbeddings] = Map(
     "hash" -> ((dim, norm) => HashingProvider(dim, norm)),
     "randproj" -> ((dim, norm) => RandomProjectionProvider(dim, normalize = norm))

@@ -254,12 +254,12 @@ object SecondaryIndex {
 
   /** Marker written into a RETAINED superseded generation so
     * [[resolve]]'s rename-scheme fallbacks never serve it as live data. */
-  private[index] val SupersededMarker = "_GRAFT_SUPERSEDED"
+  private[graft] val SupersededMarker = "_GRAFT_SUPERSEDED"
 
   private def manifestDir(indexPath: String): String = indexPath + "_manifest"
 
   /** Manifest versions, newest first. */
-  private[index] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
                                       indexPath: String)
       : Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val mdir = new org.apache.hadoop.fs.Path(manifestDir(indexPath))
@@ -272,7 +272,7 @@ object SecondaryIndex {
       .sortBy(-_._1)
   }
 
-  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path): String =
     try {
       val in = fs.open(p)
@@ -281,7 +281,7 @@ object SecondaryIndex {
       finally in.close()
     } catch { case _: java.io.IOException => "" }
 
-  private[index] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                                    indexPath: String, version: Long,
                                    genDirName: String): Unit = {
     val vfile = new org.apache.hadoop.fs.Path(manifestDir(indexPath),

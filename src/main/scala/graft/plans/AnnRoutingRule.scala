@@ -73,6 +73,17 @@ object AnnRouting {
   final case class QuantFamily(model: graft.vector.Quantize.QModel,
                                qCol: String, idCol: String,
                                refine: Int) extends Family
+  /** 4-bit quantized table ([[graft.vector.Quantize.quantize4Table]]):
+    * same splice as int8 with the packed-nibble coarse screen. */
+  final case class Quant4Family(model: graft.vector.Quantize.Q4Model,
+                                qCol: String, idCol: String,
+                                refine: Int) extends Family
+  /** Binary (1-bit) quantized table
+    * ([[graft.vector.Quantize.binarizeTable]]): same splice with the
+    * Hamming (XOR+popcount) coarse screen. */
+  final case class BinaryFamily(model: graft.vector.Quantize.BModel,
+                                bCol: String, idCol: String,
+                                refine: Int) extends Family
 
   final case class Registered(basePath: String, indexPath: String,
                               vecCol: String, rows: Long, family: Family)
@@ -149,6 +160,39 @@ object AnnRouting {
     putUnlessMutated(spark, quantPath, epoch0, q,
       Registered(q, quantPath, vecCol, rows,
         QuantFamily(model, qCol, idCol, refine)))
+  }
+
+  /** Register a 4-BIT quantized table — the automatic route serves
+    * whatever quantization family the column has (ref CreateIterator
+    * dispatch, knn/knn.cpp:600-610); refine defaults match
+    * [[graft.vector.Quantize.searchRescore4]]'s. */
+  def registerQuant4(spark: SparkSession, basePath: String, quantPath: String,
+                     model: graft.vector.Quantize.Q4Model, vecCol: String,
+                     idCol: String, qCol: String = "q4vec",
+                     refine: Int = 12): Unit = {
+    val q = qualify(spark, basePath)
+    val epoch0 = epochOf(spark, quantPath)
+    val rows = graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
+    putUnlessMutated(spark, quantPath, epoch0, q,
+      Registered(q, quantPath, vecCol, rows,
+        Quant4Family(model, qCol, idCol, refine)))
+  }
+
+  /** Register a BINARY quantized table — the Hamming screen is the
+    * coarsest proxy, so refine defaults to
+    * [[graft.vector.Quantize.searchHammingRescore]]'s. */
+  def registerBinary(spark: SparkSession, basePath: String, binPath: String,
+                     model: graft.vector.Quantize.BModel, vecCol: String,
+                     idCol: String, bCol: String = "bvec",
+                     refine: Int = 16): Unit = {
+    val q = qualify(spark, basePath)
+    val epoch0 = epochOf(spark, binPath)
+    val rows = graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
+    putUnlessMutated(spark, binPath, epoch0, q,
+      Registered(q, binPath, vecCol, rows,
+        BinaryFamily(model, bCol, idCol, refine)))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -288,13 +332,27 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
               val filters = child.collect { case f: Filter => f }
               if (filters.isEmpty) buildGraphRouted(gl, lr, r, g, qvec, k)
               else buildGraphFilteredRouted(gl, lr, r, g, qvec, k, filters)
-            // quantized family: the filter rides INSIDE the coarse screen
-            // (the quant table carries the attribute columns), so the
-            // k·refine contract applies to the filtered corpus
+            // quantized families (int8 / 4-bit / binary — the reference
+            // serves whatever index type the column has, knn.cpp:600-610):
+            // the filter rides INSIDE the coarse screen (the quant table
+            // carries the attribute columns), so the k·refine contract
+            // applies to the filtered corpus
             case qf: AnnRouting.QuantFamily =>
-              buildQuantRouted(gl, lr, r, qf, qvec, k,
-                child.collect { case f: Filter => f })
-            case _ => None
+              buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
+                (df, n) => graft.vector.Quantize.coarseIds(
+                  df, qf.qCol, qf.idCol, qf.model, qvec, n),
+                k, child.collect { case f: Filter => f })
+            case qf: AnnRouting.Quant4Family =>
+              buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
+                (df, n) => graft.vector.Quantize.coarseIds4(
+                  df, qf.qCol, qf.idCol, qf.model, qvec, n),
+                k, child.collect { case f: Filter => f })
+            case qf: AnnRouting.BinaryFamily =>
+              buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
+                (df, n) => graft.vector.Quantize.coarseIdsBinary(
+                  df, qf.bCol, qf.idCol, qf.model, qvec, n),
+                k, child.collect { case f: Filter => f })
+            case _ => None // IVF whose bypass gate chose the fullscan
           }
         case _ => None
       }
@@ -304,7 +362,11 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def familyMetric(r: Registered): Knn.Metric = r.family match {
     case i: AnnRouting.IvfFamily => i.model.metric
     case g: AnnRouting.GraphFamily => g.metric
-    case _: AnnRouting.QuantFamily => Knn.L2
+    // every quantized coarse screen is L2-code/Hamming distance, so only
+    // L2 queries route (the reference's quantized paths are likewise
+    // L2-trained, knn/quantizer.cpp)
+    case _: AnnRouting.QuantFamily | _: AnnRouting.Quant4Family |
+         _: AnnRouting.BinaryFamily => Knn.L2
   }
 
   /** (metric, vector attribute, query vector) of a distance sort key. */
@@ -624,8 +686,10 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * only the screen input changes. Refused for non-range filter shapes
     * (the condition must `.sql`-round-trip onto the fresh quant read). */
   private def buildQuantRouted(gl: LogicalPlan, lr: LogicalRelation,
-                               r: Registered, qf: AnnRouting.QuantFamily,
-                               qvec: Array[Float], k: Int,
+                               r: Registered, idCol: String, refine: Int,
+                               coarse: (org.apache.spark.sql.DataFrame, Int) =>
+                                 org.apache.spark.sql.DataFrame,
+                               k: Int,
                                filters: Seq[Filter]): Option[LogicalPlan] = {
     val screenCond = if (filters.isEmpty) None else {
       consumableCond(filters, lr) match {
@@ -644,9 +708,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       .map(c => qdf.filter(org.apache.spark.sql.functions.expr(c.sql)))
       .getOrElse(qdf)
     catch { case _: Exception => return None }
-    val survivors = qdf.join(
-      graft.vector.Quantize.coarseIds(screenBase, qf.qCol, qf.idCol, qf.model,
-        qvec, k * qf.refine), Seq(qf.idCol))
+    val survivors = qdf.join(coarse(screenBase, k * refine), Seq(idCol))
     val plan = survivors.queryExecution.analyzed
     val byName = plan.output.map(a => a.name -> a).toMap
     val mapped = Project(

@@ -349,36 +349,145 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
-    // K6 4-bit quantization (the reference's third variant, knn/
-    // quantizer.cpp 4-bit transposed rep): 2 dims/byte packed-nibble codes,
-    // 8x smaller scans, coarse pass + exact rescore. Deterministic end to
-    // end; measured worst-case true-top-10 coarse rank on these fixtures is
-    // 14 (sf0.01) / 13 (sf0.1), so refine=12 (120 survivors) keeps the
-    // rescored result equal to the exact fullscan — shared oracle.
+    // K6+K4 4-bit quantization (the reference's third variant, knn/
+    // quantizer.cpp 4-bit transposed rep), AUTOMATICALLY ROUTED (r10
+    // VERDICT #3 — the reference serves whatever index type the column
+    // has, knn/knn.cpp:600-610): 2 dims/byte packed-nibble codes, 8x
+    // smaller scans; the registered Quant4Family splices the coarse
+    // nibble screen under the plain top-k's untouched Sort/Limit (the
+    // exact rescore). Deterministic end to end; measured worst-case
+    // true-top-10 coarse rank on these fixtures is 14 (sf0.01) /
+    // 13 (sf0.1), so refine=12 (120 survivors) keeps the routed result
+    // equal to the exact fullscan — shared oracle.
     "q_knn_quant4" -> QueryDef(
       (s, d) => {
         val (m, path) = quant4Index(s, d)
-        Quantize.searchRescore4(s.read.parquet(path), "embedding", "q4vec",
-            "vec_id", m, queryVec(s, d), k = 10, refine = 12)
+        graft.plans.AnnRouting.registerQuant4(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id")
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
-    // K6 binary (1-bit) quantization: Hamming screen over packed sign bits
-    // (64x smaller scans) + exact rescore. Binary screening is approximate
-    // by nature; refine=40 is sized from the measured worst case on these
-    // fixtures (deepest true-top-10 Hamming rank: 60 at sf0.01, 267 at
-    // sf0.1 — this fixture is uniform random, BQ's worst case), so the
-    // rescored result equals the exact fullscan — shared oracle.
+    // K6+K4 binary (1-bit) quantization, AUTOMATICALLY ROUTED (completes
+    // the five-family dispatch: IVF / graph / int8 / 4-bit / binary —
+    // knn/knn.cpp:600-610): Hamming screen over packed sign bits (64x
+    // smaller scans) spliced under the untouched Sort/Limit. Binary
+    // screening is approximate by nature; refine=40 is sized from the
+    // measured worst case on these fixtures (deepest true-top-10 Hamming
+    // rank: 60 at sf0.01, 267 at sf0.1 — this fixture is uniform random,
+    // BQ's worst case), so the routed result equals the exact fullscan —
+    // shared oracle.
     "q_knn_binary" -> QueryDef(
       (s, d) => {
         val (m, path) = binIndex(s, d)
-        Quantize.searchHammingRescore(s.read.parquet(path), "embedding",
-            "bvec", "vec_id", m, queryVec(s, d), k = 10, refine = 40)
+        graft.plans.AnnRouting.registerBinary(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", refine = 40)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // I9+K4 on the GRAPH family (r10 VERDICT #1 — the reference's RT flow
+    // rebuilds per-segment KNN indexes incrementally, knn/knn.cpp:638-786,
+    // knn/knn.h:135-144): the index is built clustered on ~90% of the
+    // corpus, the remaining ~10% arrives as an APPENDED SEGMENT
+    // (Hnsw.appendSegment: assigned to the existing sidecar centroids, new
+    // sub-graphs under new pids — the existing graph is never rewritten),
+    // and the plain top-k routes AUTOMATICALLY through the mid-segment
+    // index. The routed walk unions segment sub-graphs through the same
+    // triangle-bounded schedule, so at full ef it stays EXACT over the
+    // WHOLE corpus — shared fullscan oracle (the fresh-build result).
+    "q_knn_graph_seg" -> QueryDef(
+      (s, d) => {
+        val path = hnswSegIndex(s, d)
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // I9+K4 on the QUANTIZED family: the int8 table holds ~90% of the
+    // corpus at build, the rest arrives via Quantize.appendSegment —
+    // encoded with the EXISTING model (the reference's RT add-to-trained-
+    // builder lifecycle) — and the plain top-k routes through the
+    // mid-segment table. Appended vectors can drift outside the trained
+    // min/max (clamped codes → larger coarse error), so the registration
+    // doubles refine to 16; on these fixtures that keeps the true top-10
+    // inside the coarse set, making the routed result equal to the exact
+    // fullscan — shared oracle.
+    "q_knn_quant_seg" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantSegIndex(s, d)
+        graft.plans.AnnRouting.registerQuant(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", refine = 16)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)")))
   )
+
+  // ───── segmented-index fixtures (I9 maintenance gates) ─────
+
+  // The ~90% build / ~10% append split: deterministic, id-stable.
+  private def segSplit(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(col("vec_id") % 10 =!= 7), df.filter(col("vec_id") % 10 === 7))
+
+  private def fsDelete(s: SparkSession, paths: String*): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+  }
+
+  // Memoized SEGMENTED clustered graph index per sfDir: clustered build on
+  // the 90% split, appendSegment of the 10%. The marker file commits the
+  // append (a bare _SUCCESS only proves the initial build), so a crashed
+  // half-append is rebuilt from scratch.
+  private val hnswSegCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def hnswSegIndex(s: SparkSession, d: String): String =
+    hnswSegCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswseg_embeddings"
+      if (!new java.io.File(Hnsw.routePath(path), "_GRAFT_SEG_OK").isFile) {
+        fsDelete(s, path, Hnsw.routePath(path))
+        val (build, append) = segSplit(t(s, d, "embeddings"))
+        Hnsw.buildIndexClustered(build, "embedding", "vec_id", path,
+          Hnsw.Params(m = 8, efC = 64, partitions = 8))
+        Hnsw.appendSegment(append, "embedding", "vec_id", path)
+        new java.io.File(Hnsw.routePath(path), "_GRAFT_SEG_OK").createNewFile()
+      }
+      path
+    })
+
+  // Memoized SEGMENTED int8 table per sfDir: model trained on the 90%
+  // split (deterministic, so it re-derives across processes), table =
+  // build(90%) + appendSegment(10%) encoded with that model.
+  private val quantSegCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.QModel, String)]
+
+  private def quantSegIndex(s: SparkSession, d: String): (Quantize.QModel, String) =
+    quantSegCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quantseg_embeddings"
+      val (build, append) = segSplit(t(s, d, "embeddings"))
+      val m = Quantize.train(build, "embedding")
+      if (!new java.io.File(path, "_GRAFT_SEG_OK").isFile) {
+        fsDelete(s, path)
+        graft.tables.Writer.write(
+          Quantize.quantizeTable(build, "embedding", "qvec", m), path,
+          sortBy = Seq("vec_id"))
+        Quantize.appendSegment(append, "embedding", "qvec", path, m)
+        new java.io.File(path, "_GRAFT_SEG_OK").createNewFile()
+      }
+      (m, path)
+    })
 
   // Memoized IVF index per sfDir (train + clustered write happen once —
   // the reference's CreateKNNBuilder path, knn/knn.cpp:638-786).

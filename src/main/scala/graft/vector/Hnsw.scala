@@ -197,6 +197,30 @@ object Hnsw {
   def buildIndexClustered(df: DataFrame, vecCol: String, idCol: String,
                           path: String, p: Params = Params(),
                           metric: Knn.Metric = Knn.L2): Ivf.Model = {
+    // mixing build-at-base with the manifest commit scheme would strand
+    // readers on the committed generation (same guard as
+    // SecondaryIndex.compact) — a manifest-managed index is maintained
+    // through appendSegment/compactClustered
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    require(graft.index.SecondaryIndex.manifestVersions(fs, path).isEmpty,
+      s"$path is manifest-managed: use compactClustered, not a rebuild " +
+        "at the base path (readers resolve through the manifest)")
+    val m = buildClusteredTo(df, vecCol, idCol, path, routePath(path), p, metric)
+    // a rebuild at the same path invalidates the resident copy and any
+    // automatic-routing entry that froze the old graph (same contract as
+    // Ivf.buildIndex)
+    invalidate(path)
+    graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
+    m
+  }
+
+  /** The clustered build against explicit target dirs — shared by
+    * [[buildIndexClustered]] (base-path layout) and [[compactClustered]]
+    * (immutable generation dirs). */
+  private def buildClusteredTo(df: DataFrame, vecCol: String, idCol: String,
+                               graphDir: String, routeDir: String, p: Params,
+                               metric: Knn.Metric): Ivf.Model = {
     require(metric == Knn.L2 || metric == Knn.Cosine,
       "routed graph indexes bound through L2 or cosine (IP over a " +
         "normalized corpus IS cosine — build with Cosine)")
@@ -214,7 +238,7 @@ object Hnsw {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // sub-graphs store and beam-search the RAW vectors under `metric`
-      writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, path, p, metric)
+      writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, graphDir, p, metric)
       val cents = typedLit(m.centroids.map(_.toSeq))
       val route = assigned
         .select(col("ivf_cluster").cast("int").as("pid"),
@@ -225,18 +249,179 @@ object Hnsw {
         .withColumn("centroid",
           element_at(cents, col("pid") + 1).cast("array<float>"))
         .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
-      graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
-      // a rebuild at the same path invalidates the resident copy and any
-      // automatic-routing entry that froze the old graph (same contract as
-      // Ivf.buildIndex)
-      invalidate(path)
-      graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
+      graft.tables.Writer.write(route, routeDir, sortBy = Seq("pid"))
       m
     } finally assigned.unpersist(false)
   }
 
   /** Sidecar location for the routing table of a clustered graph index. */
   def routePath(indexPath: String): String = indexPath + "_route"
+
+  /** Current (graph dir, route dir) of a clustered index — the single
+    * read-side entry point ([[loadGraph]]/[[routes]]/[[appendSegment]] go
+    * through it; the same role as
+    * [[graft.index.SecondaryIndex.resolve]]). Resolution order: highest
+    * valid manifest version (`<path>_manifest/v<N>` naming an existing
+    * generation dir, which holds `graph/` + `route/` subdirs —
+    * [[compactClustered]]'s commit protocol); else the legacy base pair
+    * `(<path>, <path>_route)` — refusing a SUPERSEDED base loudly, because
+    * serving it after a manifest-dir loss would be silent stale data. */
+  def resolveDirs(spark: SparkSession, indexPath: String): (String, String) = {
+    import graft.index.SecondaryIndex.{manifestVersions, readSmallFile, SupersededMarker}
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestVersions(fs, indexPath).foreach { case (_, vfile) =>
+      val content = readSmallFile(fs, vfile)
+      if (content.nonEmpty) {
+        val gen = new org.apache.hadoop.fs.Path(base.getParent, content)
+        if (fs.exists(gen))
+          return (new org.apache.hadoop.fs.Path(gen, "graph").toString,
+            new org.apache.hadoop.fs.Path(gen, "route").toString)
+      }
+    }
+    val superseded =
+      try fs.exists(new org.apache.hadoop.fs.Path(base, SupersededMarker))
+      catch { case _: java.io.IOException => false }
+    if (superseded)
+      throw new IllegalStateException(
+        s"$indexPath is a superseded generation of a manifest-managed " +
+          s"graph index but no valid manifest version exists under " +
+          s"${indexPath}_manifest — the manifest dir was lost; restore " +
+          "it or rebuild the index")
+    (indexPath, routePath(indexPath))
+  }
+
+  /** I9 for the graph family — the reference's RT per-segment KNN build
+    * (each ingested segment gets its own index built under the shared
+    * settings: builder train/add/save, knn/knn.cpp:638-786,
+    * knn/knn.h:135-144): assign the new batch to the EXISTING sidecar
+    * centroids (no retrain — the coarse quantizer is the shared "model"),
+    * build fresh SEGMENT sub-graphs for the batch's non-empty clusters
+    * under NEW pids, and append their graph rows + route rows.
+    * [[searchRouted]] unions automatically: the schedule reads ALL route
+    * rows, several pids may share a centroid, and the triangle bound holds
+    * per pid — routed search stays EXACT (at full ef) mid-segment.
+    *
+    * Cost at 100 TB: ONE pass over the batch (assignment + per-cluster
+    * builds) — the existing graph is never read or rewritten; probe
+    * economy degrades gradually as segment sub-graphs accumulate until
+    * [[compactClustered]] re-clusters (the reference's segment-merge
+    * trade, same as [[graft.index.SecondaryIndex.appendSegment]]).
+    *
+    * `p.partitions` is ignored: segment sub-graph count = existing
+    * centroid count. `newRows` ids must be new (the unique-id contract). */
+  def appendSegment(newRows: DataFrame, vecCol: String, idCol: String,
+                    indexPath: String, p: Params = Params()): Unit = {
+    val spark = newRows.sparkSession
+    val (graphDir, routeDir) = resolveDirs(spark, indexPath)
+    val (metric, rts) = routes(spark, indexPath)
+    require(rts.nonEmpty,
+      s"no route sidecar rows at $routeDir — appendSegment maintains a " +
+        "buildIndexClustered index")
+    val maxPid = rts.map(_._1).max
+    // the ORIGINAL k-means centroids, deduped by content (prior appends
+    // re-used them under new pids)
+    val cents: Seq[Array[Float]] =
+      rts.map(_._2.toSeq).distinct.map(_.toArray)
+    val model = Ivf.Model(cents, Knn.L2)
+    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    val base = if (metric == Knn.L2) newRows
+               else newRows.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+    val assigned = Ivf.assign(base, boundCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      val offset = maxPid + 1
+      val keyed = assigned
+        .select(col("ivf_cluster").cast("int").as("ci"),
+          col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .as[(Int, Long, Array[Float])]
+        .rdd.map(t => (t._1, (t._2, t._3)))
+        .partitionBy(new PidPartitioner(cents.length))
+      val rowRdd = keyed.mapPartitionsWithIndex { (ci, it) =>
+        val rows = it.map(_._2).toSeq
+        if (rows.isEmpty) Iterator.empty
+        else buildOne(rows, offset + ci, p, metric)
+      }
+      spark.createDataFrame(rowRdd, graphSchema)
+        .write.mode("append").parquet(graphDir)
+      // route rows for the new pids — same column order as the sidecar
+      val centsLit = typedLit(cents.map(_.toSeq))
+      val route = assigned
+        .select((col("ivf_cluster").cast("int") + offset).as("pid"),
+          distances.l2Dist(col(boundCol),
+            element_at(centsLit, col("ivf_cluster").cast("int") + 1)
+              .cast("array<float>")).as("d"))
+        .groupBy("pid").agg(max(col("d")).as("radius"))
+        .withColumn("centroid",
+          element_at(centsLit, col("pid") - offset + 1).cast("array<float>"))
+        .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
+      route.write.mode("append").parquet(routeDir)
+    } finally assigned.unpersist(false)
+    invalidate(indexPath)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
+  }
+
+  /** I9 OPTIMIZE for the clustered graph, with the OBJECT-STORE-SAFE
+    * commit of [[graft.index.SecondaryIndex.compactManifest]]: re-cluster
+    * the full corpus — read from the index itself, whose (id, vec) rows
+    * ARE the dataset — into a NEW immutable generation dir `<path>__g<N>`
+    * holding `graph/` + `route/`, then commit by writing ONE manifest
+    * object naming it (the only atomicity an object store guarantees).
+    * [[resolveDirs]] prefers the manifest, so readers swap atomically and
+    * every crash interleaving leaves a readable index. The generation
+    * live until this commit is RETAINED for one compaction cycle
+    * (in-flight readers that resolved it pre-commit finish on a
+    * consistent snapshot); a retained legacy base pair gets the
+    * superseded marker so a later manifest-dir loss fails loudly instead
+    * of silently serving stale data; the next compact sweeps it. */
+  def compactClustered(spark: SparkSession, indexPath: String,
+                       p: Params = Params()): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(conf)
+    val (graphDir, _) = resolveDirs(spark, indexPath)
+    val (metric, _) = routes(spark, indexPath)
+    val curVersion = graft.index.SecondaryIndex.manifestVersions(fs, indexPath)
+      .headOption.map(_._1).getOrElse(0L)
+    val nextVersion = curVersion + 1
+    val nextPath = new org.apache.hadoop.fs.Path(s"${indexPath}__g$nextVersion")
+    fs.delete(nextPath, true) // a crashed prior attempt at this version
+    val corpus = spark.read.parquet(graphDir).select(col("id"), col("vec"))
+    buildClusteredTo(corpus, "vec", "id",
+      new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
+      new org.apache.hadoop.fs.Path(nextPath, "route").toString, p, metric)
+    // COMMIT: one new immutable manifest object
+    graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
+      nextPath.getName)
+    // sweep stale dirs by name (orphans from a crash between a past
+    // commit and its cleanup included), RETAINING the generation that was
+    // live until this commit for one cycle
+    val baseName = base.getName
+    val retained: Set[String] =
+      if (graphDir == indexPath) Set(baseName, baseName + "_route")
+      else Set(new org.apache.hadoop.fs.Path(graphDir).getParent.getName)
+    if (fs.exists(base.getParent)) {
+      fs.listStatus(base.getParent).foreach { st =>
+        val n = st.getPath.getName
+        val stale = !retained.contains(n) && (
+          n == baseName || n == baseName + "_route" ||
+            (n.startsWith(baseName + "__g") &&
+              n.stripPrefix(baseName + "__g").toLongOption
+                .exists(_ != nextVersion)))
+        if (stale) fs.delete(st.getPath, true)
+      }
+    }
+    if (retained.contains(baseName)) {
+      val mk = fs.create(new org.apache.hadoop.fs.Path(base,
+        graft.index.SecondaryIndex.SupersededMarker), true)
+      try mk.write("superseded by manifest commit\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mk.close()
+    }
+    invalidate(indexPath)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
+  }
 
   // Resident graphs (the reference keeps its HNSW mmap'd for the life of
   // the daemon — knn/knn.cpp Load; re-shuffling the index table per query
@@ -261,7 +446,7 @@ object Hnsw {
     resident.synchronized {
       resident.getOrElseUpdate(indexPath, {
         import spark.implicits._
-        val df = spark.read.parquet(indexPath)
+        val df = spark.read.parquet(resolveDirs(spark, indexPath)._1)
           .select(col("pid"), col("id"), col("vec"), col("neighbors"))
         val maxPid = df.agg(max(col("pid"))).head
         if (maxPid.isNullAt(0)) {
@@ -342,7 +527,7 @@ object Hnsw {
   private def routes(spark: SparkSession,
                      indexPath: String): (Knn.Metric, Array[(Int, Array[Float], Double)]) =
     routeCache.getOrElseUpdate(indexPath, {
-      val raw = spark.read.parquet(routePath(indexPath))
+      val raw = spark.read.parquet(resolveDirs(spark, indexPath)._2)
       // sidecars written before the metric column default to L2
       val withMetric = if (raw.columns.contains("metric")) raw
                        else raw.withColumn("metric", lit("l2"))

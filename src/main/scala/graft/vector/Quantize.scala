@@ -200,12 +200,14 @@ object Quantize {
     * Same (idCol, dist) best-first contract as [[Knn.knn]]. 4-bit is
     * coarser than int8, so `refine` defaults between the int8 and binary
     * settings. */
-  def searchRescore4(qdf: DataFrame, vecCol: String, qCol: String,
-                     idCol: String, m: Q4Model, query: Array[Float], k: Int,
-                     metric: Knn.Metric = Knn.L2, refine: Int = 12): DataFrame = {
+  /** The 4-bit coarse-screen candidate ids: top-`n` by packed-nibble code
+    * L2 distance — same shape and sharing contract as [[coarseIds]] (the
+    * automatic route splices it under the original Sort/Limit). */
+  def coarseIds4(qdf: DataFrame, qCol: String, idCol: String, m: Q4Model,
+                 query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
     val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
-    val coarse = qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
+    qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .map { case (id, codes) =>
         val (mm, qv) = qB.value
@@ -213,8 +215,15 @@ object Quantize {
       }
       .toDF("cid", "adist")
       .orderBy(col("adist").asc, col("cid").asc)
-      .limit(k * refine)
-    val survivors = qdf.join(coarse.select(col("cid").as(idCol)), Seq(idCol))
+      .limit(n)
+      .select(col("cid").as(idCol))
+  }
+
+  def searchRescore4(qdf: DataFrame, vecCol: String, qCol: String,
+                     idCol: String, m: Q4Model, query: Array[Float], k: Int,
+                     metric: Knn.Metric = Knn.L2, refine: Int = 12): DataFrame = {
+    val survivors = qdf.join(
+      coarseIds4(qdf, qCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
   }
 
@@ -295,13 +304,13 @@ object Quantize {
     * deterministic (hamming, id) order), exact rescore on the float column.
     * Same (idCol, dist) best-first contract as [[Knn.knn]]. Binary codes are
     * a coarser proxy than int8, so `refine` defaults higher. */
-  def searchHammingRescore(bdf: DataFrame, vecCol: String, bCol: String,
-                           idCol: String, m: BModel, query: Array[Float],
-                           k: Int, metric: Knn.Metric = Knn.L2,
-                           refine: Int = 16): DataFrame = {
+  /** The Hamming coarse-screen candidate ids: top-`n` by XOR+popcount over
+    * the packed sign bits — same sharing contract as [[coarseIds]]. */
+  def coarseIdsBinary(bdf: DataFrame, bCol: String, idCol: String, m: BModel,
+                      query: Array[Float], n: Int): DataFrame = {
     import bdf.sparkSession.implicits._
     val qB = bdf.sparkSession.sparkContext.broadcast((m, m.binarize(query)))
-    val coarse = bdf.select(col(idCol).cast("long").as("cid"), col(bCol))
+    bdf.select(col(idCol).cast("long").as("cid"), col(bCol))
       .as[(Long, Seq[Long])]
       .map { case (id, code) =>
         val (mm, qc) = qB.value
@@ -309,8 +318,92 @@ object Quantize {
       }
       .toDF("cid", "hd")
       .orderBy(col("hd").asc, col("cid").asc)
-      .limit(k * refine)
-    val survivors = bdf.join(coarse.select(col("cid").as(idCol)), Seq(idCol))
+      .limit(n)
+      .select(col("cid").as(idCol))
+  }
+
+  def searchHammingRescore(bdf: DataFrame, vecCol: String, bCol: String,
+                           idCol: String, m: BModel, query: Array[Float],
+                           k: Int, metric: Knn.Metric = Knn.L2,
+                           refine: Int = 16): DataFrame = {
+    val survivors = bdf.join(
+      coarseIdsBinary(bdf, bCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
+  }
+
+  // ───── I9 for the quantized families: segment maintenance ─────
+  //
+  // The reference's RT flow trains a quantizer once and then encodes every
+  // incoming segment with it (builder train/add/save lifecycle,
+  // knn/knn.cpp:638-786; knn/knn.h:135-144) — OPTIMIZE may retrain. The
+  // Spark analog: a quantized table is an ordinary Parquet dir, so append =
+  // encode ONLY the new batch with the existing model and add its files
+  // (the existing table is never touched — the 100 TB append cost is
+  // O(batch)); compact = re-sort to the canonical clustering and optionally
+  // re-fit the model to the full corpus. Every coarse screen reads all
+  // files, so search is correct IMMEDIATELY after an append; the routed
+  // plan's cached relation is invalidated via the AnnRouting epoch.
+
+  private def appendRaw(encoded: DataFrame, quantPath: String): Unit = {
+    encoded.write.mode("append").parquet(quantPath)
+    graft.plans.AnnRouting.onIndexMutated(encoded.sparkSession, quantPath)
+  }
+
+  /** Append `newRows` (base columns WITHOUT `qCol`, same order as the
+    * quantized table) encoded with the EXISTING int8 model. */
+  def appendSegment(newRows: DataFrame, vecCol: String, qCol: String,
+                    quantPath: String, m: QModel): Unit =
+    appendRaw(quantizeTable(newRows, vecCol, qCol, m), quantPath)
+
+  /** Append a new batch encoded with the EXISTING 4-bit model. */
+  def appendSegment4(newRows: DataFrame, vecCol: String, qCol: String,
+                     quantPath: String, m: Q4Model): Unit =
+    appendRaw(quantize4Table(newRows, vecCol, qCol, m), quantPath)
+
+  /** Append a new batch encoded with the EXISTING binary model. */
+  def appendSegmentBinary(newRows: DataFrame, vecCol: String, bCol: String,
+                          quantPath: String, m: BModel): Unit =
+    appendRaw(binarizeTable(newRows, vecCol, bCol, m), quantPath)
+
+  /** I9 OPTIMIZE for a quantized table: re-sort appended segments back to
+    * the canonical `sortBy` clustering and, with `retrain`, re-fit the
+    * model to the FULL corpus and re-encode (appended batches that drifted
+    * outside the trained min/max clamp until then — retraining restores
+    * the per-dim error bound). Swap is the rename-to-backup scheme of
+    * [[graft.index.SecondaryIndex.compact]]: the table exists at SOME path
+    * at every instant, and a crash between the renames leaves it intact at
+    * `<path>_old`. Returns the serving model — the caller re-registers the
+    * automatic route with it (the epoch bump already dropped the old
+    * entry). */
+  def compact(spark: org.apache.spark.sql.SparkSession, quantPath: String,
+              vecCol: String, qCol: String, sortBy: Seq[String],
+              m: QModel, retrain: Boolean = false): QModel = {
+    val tmp = quantPath + "_compacting"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(quantPath)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val bak = new org.apache.hadoop.fs.Path(quantPath + "_old")
+    val fs = dst.getFileSystem(conf)
+    // self-heal from a crash between a prior compact's two renames
+    if (!fs.exists(dst) && fs.exists(bak) && !fs.rename(bak, dst))
+      throw new java.io.IOException(
+        s"table missing at $quantPath and backup restore from $bak failed")
+    val base = spark.read.parquet(quantPath).drop(qCol)
+    val m2 = if (retrain) train(base, vecCol) else m
+    graft.tables.Writer.write(quantizeTable(base, vecCol, qCol, m2), tmp,
+      sortBy = sortBy)
+    fs.delete(bak, true)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"could not back up $quantPath for swap")
+    if (!fs.rename(src, dst)) {
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"swap of $tmp into $quantPath failed AND the restore failed: " +
+            s"the table data is at $bak — rename it back manually")
+      throw new java.io.IOException(s"could not swap $tmp into $quantPath")
+    }
+    fs.delete(bak, true)
+    graft.plans.AnnRouting.onIndexMutated(spark, quantPath)
+    m2
   }
 }

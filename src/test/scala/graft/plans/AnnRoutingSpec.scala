@@ -413,6 +413,54 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, qt)
   }
 
+  test("4-bit and binary quant families route; a segment append drops the entry until re-registration (r11)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val tmp = Files.createTempDirectory("graft-annroute-qb")
+    val df = vectors.toDF("vec_id", "embedding", "label")
+    def joins(d: DataFrame) =
+      d.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // refine sized past the fixture's row count: the screens pass every row
+    // through, so exactness is structural here — screen ECONOMY at honest
+    // refine is QuantizeSpec's subject
+    val q4 = tmp.resolve("q4").toString
+    val m4 = graft.vector.Quantize.train4(df, "embedding")
+    Writer.write(graft.vector.Quantize.quantize4Table(
+      df, "embedding", "q4vec", m4), q4, sortBy = Seq("vec_id"))
+    AnnRouting.registerQuant4(SparkT.spark, q4, q4, m4,
+      vecCol = "embedding", idCol = "vec_id", refine = 40)
+    val r4 = Knn.knn(SparkT.spark.read.parquet(q4),
+      "embedding", "vec_id", query, 10)
+    assert(joins(r4).nonEmpty, r4.queryExecution.optimizedPlan.toString)
+    assert(r4.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    val qb = tmp.resolve("qb").toString
+    val mb = graft.vector.Quantize.trainBinary(df, "embedding")
+    Writer.write(graft.vector.Quantize.binarizeTable(
+      df, "embedding", "bvec", mb), qb, sortBy = Seq("vec_id"))
+    AnnRouting.registerBinary(SparkT.spark, qb, qb, mb,
+      vecCol = "embedding", idCol = "vec_id", refine = 40)
+    val rb = Knn.knn(SparkT.spark.read.parquet(qb),
+      "embedding", "vec_id", query, 10)
+    assert(joins(rb).nonEmpty, rb.queryExecution.optimizedPlan.toString)
+    assert(rb.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // I9 epoch invalidation: an append mutates the file listing the cached
+    // relation froze, so the entry drops (exact fullscan) until the caller
+    // re-registers — then the route serves the appended corpus too
+    val extra = Seq((9001L, Array.fill(dim)(99f), 0))
+      .toDF("vec_id", "embedding", "label")
+    graft.vector.Quantize.appendSegment4(extra, "embedding", "q4vec", q4, m4)
+    val dropped = Knn.knn(SparkT.spark.read.parquet(q4),
+      "embedding", "vec_id", query, 10)
+    assert(joins(dropped).isEmpty, "stale entry must drop after append")
+    AnnRouting.registerQuant4(SparkT.spark, q4, q4, m4,
+      vecCol = "embedding", idCol = "vec_id", refine = 41)
+    val rerouted = Knn.knn(SparkT.spark.read.parquet(q4),
+      "embedding", "vec_id", query, 10)
+    assert(joins(rerouted).nonEmpty)
+    assert(rerouted.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    AnnRouting.unregister(SparkT.spark, q4)
+    AnnRouting.unregister(SparkT.spark, qb)
+  }
+
   test("routing preserves downstream projections (round/select shapes)") {
     val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
         "embedding", "vec_id", query, 10)

@@ -187,6 +187,68 @@ class HnswSpec extends AnyFunSuite {
     assert(probedTotal <= 3 * 3, s"probed $probedTotal of 24 sub-graphs")
   }
 
+  test("appendSegment: routed search exact mid-segment; compactClustered swaps generations with one-cycle retention (I9 r11)") {
+    val tmp = Files.createTempDirectory("graft-hnswseg")
+    val d = tmp.resolve("g").toString
+    val build = emb.filter($"vec_id" % 10 =!= 7)
+    val later = emb.filter($"vec_id" % 10 === 7)
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClustered(build, "embedding", "vec_id", d, p)
+    Hnsw.appendSegment(later, "embedding", "vec_id", d)
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    // mid-segment: appended sub-graphs (new pids, re-used centroids) union
+    // through the same triangle-bounded schedule — exact at full ef
+    val (mid, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id", queryVec,
+      10, ef = 1 << 20)
+    assert(mid.as[(Long, Double)].collect().toSeq === exact)
+    // sidecar grew past the original partition count (segment pids)
+    assert(SparkT.spark.read.parquet(Hnsw.resolveDirs(SparkT.spark, d)._2)
+      .count() > p.partitions)
+    // OPTIMIZE: re-cluster into generation 1, manifest-committed
+    Hnsw.compactClustered(SparkT.spark, d, p)
+    assert(Hnsw.resolveDirs(SparkT.spark, d)._1.endsWith("__g1/graph"))
+    val (post, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id", queryVec,
+      10, ef = 1 << 20)
+    // append ≡ fresh build post-compact: same corpus, canonical layout
+    assert(post.as[(Long, Double)].collect().toSeq === exact)
+    // canonical again: back to exactly `partitions` sub-graphs
+    assert(SparkT.spark.read.parquet(Hnsw.resolveDirs(SparkT.spark, d)._2)
+      .count() === p.partitions)
+    // one-cycle retention: the legacy pair survives this commit, marked
+    // superseded so a manifest-dir loss fails loudly instead of serving it
+    assert(new java.io.File(d).isDirectory)
+    assert(new java.io.File(d,
+      graft.index.SecondaryIndex.SupersededMarker).isFile)
+    // a rebuild at the base path is refused now — the manifest is the truth
+    intercept[IllegalArgumentException] {
+      Hnsw.buildIndexClustered(build, "embedding", "vec_id", d, p)
+    }
+    // second compact: sweeps the legacy pair, retains __g1, serves __g2
+    Hnsw.compactClustered(SparkT.spark, d, p)
+    assert(!new java.io.File(d).exists)
+    assert(new java.io.File(d + "__g1").isDirectory)
+    assert(Hnsw.resolveDirs(SparkT.spark, d)._1.endsWith("__g2/graph"))
+    val (post2, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id", queryVec,
+      10, ef = 1 << 20)
+    assert(post2.as[(Long, Double)].collect().toSeq === exact)
+  }
+
+  test("appendSegment under the COSINE metric bounds in the normalized space (I9 r11)") {
+    val tmp = Files.createTempDirectory("graft-hnswsegc")
+    val d = tmp.resolve("g").toString
+    Hnsw.buildIndexClustered(emb.filter($"vec_id" % 10 =!= 7),
+      "embedding", "vec_id", d, Hnsw.Params(m = 8, efC = 64, partitions = 4),
+      Knn.Cosine)
+    Hnsw.appendSegment(emb.filter($"vec_id" % 10 === 7),
+      "embedding", "vec_id", d)
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10, Knn.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (mid, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id", queryVec,
+      10, ef = 1 << 20)
+    assert(mid.as[(Long, Double)].collect().toSeq === exact)
+  }
+
   test("search result keeps the (dist asc, id asc) contract") {
     val d = Files.createTempDirectory("graft-hnsw3").resolve("g").toString
     Hnsw.buildIndex(emb, "embedding", "vec_id", d)

@@ -92,6 +92,48 @@ class QuantizeSpec extends AnyFunSuite {
     assert(q4 === exact)
   }
 
+  test("appendSegment encodes with the existing model; compact retrains to the full corpus (I9 r11)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quantseg")
+    val path = tmp.resolve("qt").toString
+    val build = emb.filter($"vec_id" % 10 =!= 7)
+    val later = emb.filter($"vec_id" % 10 === 7)
+    val m = Quantize.train(build, "embedding")
+    graft.tables.Writer.write(
+      Quantize.quantizeTable(build, "embedding", "qvec", m), path,
+      sortBy = Seq("vec_id"))
+    Quantize.appendSegment(later, "embedding", "qvec", path, m)
+    val q = emb.where($"vec_id" === 0).select("embedding").as[Seq[Float]]
+      .head().toArray
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // mid-segment: the coarse screen reads every file; refine=16 absorbs
+    // the clamp error of appended vectors outside the trained min/max
+    val mid = Quantize.searchRescore(SparkT.spark.read.parquet(path),
+        "embedding", "qvec", "vec_id", m, q, 10, refine = 16)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mid === exact)
+    // the appended files hold exactly the fresh-encode codes (same model)
+    val freshCodes = Quantize.quantizeTable(later, "embedding", "qvec", m)
+      .select("vec_id", "qvec").as[(Long, Array[Byte])].collect().toMap
+    val storedCodes = SparkT.spark.read.parquet(path)
+      .filter($"vec_id" % 10 === 7)
+      .select("vec_id", "qvec").as[(Long, Array[Byte])].collect().toMap
+    assert(storedCodes.keySet === freshCodes.keySet)
+    assert(storedCodes.forall { case (k, v) =>
+      java.util.Arrays.equals(v, freshCodes(k)) })
+    // OPTIMIZE with retrain: the model refits the FULL corpus (min/max now
+    // cover the appended rows — the per-dim error bound is restored)
+    val m2 = Quantize.compact(SparkT.spark, path, "embedding", "qvec",
+      Seq("vec_id"), m, retrain = true)
+    val full = Quantize.train(emb, "embedding")
+    assert(m2.mins.toSeq === full.mins.toSeq)
+    assert(m2.maxs.toSeq === full.maxs.toSeq)
+    val post = Quantize.searchRescore(SparkT.spark.read.parquet(path),
+        "embedding", "qvec", "vec_id", m2, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(post === exact)
+  }
+
   test("zero-range dimensions quantize without dividing by zero") {
     val df = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(1.0f, 7.0f))).toDF("id", "v")
     val m = Quantize.train(df, "v")
