@@ -85,6 +85,76 @@ object PipelineQueries {
         "SELECT doc_id, coalesce(sum(n) FILTER (bucket = 0), 0)::BIGINT AS c0, " +
         "sum(n*n)::BIGINT AS norm2 FROM counts GROUP BY doc_id")),
 
+    // K8 LOCAL-MODEL lifecycle (r10 VERDICT #5 — embeddings/src/model/
+    // local.rs semantics): the provider loads its weight matrix from a
+    // FILE ARTIFACT — once per partition, warm handle across batches,
+    // header + dimension validated at load (LocalModelSpec pins the
+    // lifecycle) — and embedStage runs it like any other provider. The
+    // artifact's weights are deterministic smallint/16 values, so every
+    // vector element is exact in float AND double: the oracle replays
+    // bucket→weight arithmetic in SQL and compares e0 + the squared norm.
+    "q_embed_local" -> QueryDef(
+      (s, d) => {
+        val art = localArtifact()
+        val emb = Embeddings.embedStage(t(s, d, "documents"), "text", "emb",
+          () => Embeddings.LocalModelProvider(art, dim = 16))
+        val dbl = transform(col("emb"), x => x.cast("double"))
+        emb.select(col("doc_id"),
+          round(element_at(dbl, 1), 6).as("e0"),
+          round(aggregate(dbl, lit(0.0), (a, x) => a + x * x), 6).as("norm2"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
+        "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007) % 64 AS bucket FROM tok), " +
+        "ei AS (SELECT d.doc_id, " +
+        (0 until 16).map(i =>
+          s"coalesce(sum(((h.bucket*31 + $i) % 97 - 48) / 16.0), 0) AS e$i")
+          .mkString(", ") +
+        " FROM dd d LEFT JOIN hashed h ON h.doc_id = d.doc_id GROUP BY d.doc_id) " +
+        "SELECT doc_id, round(e0, 6) + 0.0 AS e0, round(" +
+        (0 until 16).map(i => s"e$i*e$i").mkString(" + ") +
+        ", 6) + 0.0 AS norm2 FROM ei")),
+
+    // SEMANTIC SEARCH end-to-end (r10 VERDICT #2 — the reference wires
+    // embeddings directly into the KNN column: LoadEmbeddingsLib +
+    // GenerateEmbeddings feed the FLOATVEC build/search path,
+    // knn/knn.h:146-163, embeddings/src/ffi.rs:78): the corpus is embedded
+    // by the SAME K8 stage at derivation (documents_sem), a clustered
+    // graph index is built over the stored vectors, the QUERY TEXT is
+    // embedded with the SAME provider, and the plain top-k resolves
+    // through the AUTOMATIC ANN route (exact at full ef). The oracle
+    // replays the deterministic embedding and the exact top-k entirely in
+    // SQL — embed→index→search, one gate.
+    "q_semantic_e2e" -> QueryDef(
+      (s, d) => {
+        val semPath = graft.tables.Derived.tablePath(s, d, "documents_sem")
+        val idx = semIndex(s, d)
+        graft.plans.AnnRouting.registerGraph(s, semPath, idx,
+          vecCol = "emb", idCol = "doc_id", ef = 1 << 20)
+        val qtext = t(s, d, "documents").filter(col("doc_id") === 0)
+          .select(col("text")).head().getString(0)
+        val qv = Embeddings.HashingProvider(16, normalize = false)
+          .embedBatch(Seq(qtext)).head
+        graft.vector.Knn.knn(graft.tables.Derived.table(s, d, "documents_sem"),
+            "emb", "doc_id", qv, 10, graft.vector.Knn.L2)
+          .select(col("doc_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
+        "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007) % 16 AS bucket FROM tok), " +
+        "emb AS (SELECT d.doc_id, [" +
+        (0 until 16).map(i =>
+          s"coalesce(sum(CASE WHEN h.bucket=$i THEN 1 ELSE 0 END),0)::DOUBLE")
+          .mkString(", ") +
+        "] AS e FROM dd d LEFT JOIN hashed h ON h.doc_id = d.doc_id GROUP BY d.doc_id) " +
+        "SELECT e.doc_id, round(list_distance(e.e, q.qe), 6) + 0.0 AS dist " +
+        "FROM emb e CROSS JOIN (SELECT e AS qe FROM emb WHERE doc_id = 0) q " +
+        "ORDER BY list_distance(e.e, q.qe), e.doc_id LIMIT 10")),
+
     // Multimodal round trip: engine-written binary payload + metadata
     // struct, decoded by the (stub) per-partition decode stage. The oracle
     // recomputes payload byte statistics from the text (fixture is ASCII,
@@ -220,4 +290,35 @@ object PipelineQueries {
         "OR tus - pus >= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_sessions, count(*) AS n_events FROM d GROUP BY user_id"))
   )
+
+  // Local-model weight artifact (shared across scale factors — the model is
+  // data-independent): deterministic smallint/16 weights over 64 hash
+  // buckets × 16 dims, written once per process if absent. Every value is a
+  // small integer over a power-of-two denominator, so embeddings are exact
+  // in float32 and in the oracle's doubles.
+  private def localArtifact(): String = {
+    val f = new java.io.File(graft.tables.Derived.root, "model_lin16.bin")
+    if (!f.isFile) {
+      f.getParentFile.mkdirs()
+      val w = Array.tabulate(64, 16)((b, i) => (((b * 31 + i) % 97) - 48) / 16.0f)
+      Embeddings.LocalModel.writeArtifact(f.toString, w)
+    }
+    f.toString
+  }
+
+  // Memoized clustered-graph index over the semantic corpus (per sfDir) —
+  // the search side of the embed→index→search composition.
+  private val semIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def semIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    semIdxCache.getOrElseUpdate(d, {
+      val semPath = graft.tables.Derived.tablePath(s, d, "documents_sem")
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_documents_sem"
+      if (!new java.io.File(graft.vector.Hnsw.routePath(path), "_SUCCESS").isFile)
+        graft.vector.Hnsw.buildIndexClustered(s.read.parquet(semPath),
+          "emb", "doc_id", path,
+          graft.vector.Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
 }

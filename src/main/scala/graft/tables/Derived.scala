@@ -245,6 +245,20 @@ object Derived {
         graft.pipeline.Multimodal.packBlob(
           col("text").cast("binary"), lit("txt"), col("n_chars"), lit(1)))
       Writer.write(mm, path, sortBy = Seq("doc_id"))
+    }),
+
+    // Semantic-search corpus: documents embedded by the K8 stage at WRITE
+    // time — the reference's embeddings→FLOATVEC wiring, where ingest runs
+    // GenerateEmbeddings and KNN searches the stored column
+    // (knn/knn.h:146-163, embeddings/src/ffi.rs:78). Deterministic hashing
+    // provider, dim 16, raw counts (normalize=false): integer-exact in
+    // both the engine's floats and the oracle's doubles, so the semantic
+    // top-k is hash-comparable.
+    "documents_sem" -> Entry((spark, sfDir, path) => {
+      val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+      val emb = graft.embed.Embeddings.embedStage(docs, "text", "emb",
+        () => graft.embed.Embeddings.HashingProvider(16, normalize = false))
+      Writer.write(emb, path, sortBy = Seq("doc_id"))
     })
   )
 
