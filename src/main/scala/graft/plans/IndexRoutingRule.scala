@@ -281,6 +281,12 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       relationOf(lr).flatMap { case (_, regs) =>
         tryFilter(cond, lr, regs)
       }.getOrElse(f)
+
+    // Index-served ORDER BY valueCol LIMIT k (sorted retrieval): the
+    // postings are value-sorted by construction, so a value-ordered
+    // key-stream prefix bounds the fact probe by ~k rows.
+    case gl @ Limit(IntegerLiteral(k), body) =>
+      tryTopK(gl, k, body).getOrElse(gl)
   }
 
   /** A FRESH instance of the cached analyzed index relation, output
@@ -412,6 +418,107 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Peel column-pruning Projects (attribute-only) off a subtree. */
+  /** Index-served sorted retrieval — `ORDER BY valueCol [, keyCol] LIMIT k`
+    * over a registered base relation (the one query shape the index's own
+    * ordering serves: postings are value-sorted by construction — the
+    * builder's external sort, secondary/builder.cpp:43-44, 314-461 — so the
+    * reference host can stream rowids in value order). The rewrite takes
+    * the FIRST k index rows in (value, chunk) order — each row holds ≥ 1
+    * key, so k rows always cover the k smallest (value, key) fact rows —
+    * trims them to the running-count prefix (≤ one chunk of slack), explodes
+    * the rowids, and replaces the fact scan with ONE semi-join probe of
+    * those ~k keys; the ORIGINAL Sort/Limit above re-sorts the survivors,
+    * so the routed plan never re-derives ordering semantics.
+    *
+    * Coverage argument for the tie boundary: within a value, chunk order IS
+    * key order (chunks are cut from the sorted rowid stream, layout
+    * invariant), so a (value asc, key asc) — or the fully-reversed — sort
+    * is covered by the same prefix; a mixed-direction or foreign secondary
+    * key is refused. NULL values are genuinely served: the postings keep a
+    * NULL-value group, and the prefix mirrors the query's null ordering.
+    * Broad k bypasses through the same selectivity gate as filters (the
+    * probe economy is gone when k approaches the table).
+    *
+    * 100 TB shape: the prefix is a distributed TakeOrdered over INDEX rows
+    * (ndv + rows/1024, tiny next to the fact table), the window runs over
+    * ≤ k rows, and the fact probe touches ≤ k + chunk-slack keys — against
+    * the unrouted plan's full-table TakeOrderedAndProject scan. */
+  private def tryTopK(gl: LogicalPlan, k: Int,
+                      body: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, explode => fnExplode, lit, sum => fnSum}
+    stripPrune(body) match {
+      case Sort(order, true, sortChild, _) if order.nonEmpty =>
+        val lr = stripPrune(sortChild) match {
+          case l: LogicalRelation => l
+          case _ => return None
+        }
+        val (_, regs) = relationOf(lr) match {
+          case Some(x) => x
+          case None => return None
+        }
+        val head = order.head
+        val vAttr = head.child match {
+          case a: AttributeReference if lr.outputSet.contains(a) => a
+          case _ => return None
+        }
+        val r = regs.filterNot(_.mva).filter(_.valueCol == vAttr.name)
+          .sortBy(_.idxRows).headOption match {
+          case Some(x) => x
+          case None => return None
+        }
+        if (r.rows <= 0 || k <= 0 || k.toDouble / r.rows > threshold)
+          return None
+        val tailOk = order.tail match {
+          case Seq() => true
+          case Seq(so) => so.child match {
+            case a: AttributeReference => a.name == r.keyCol &&
+              lr.outputSet.contains(a) && so.direction == head.direction
+            case _ => false
+          }
+          case _ => false
+        }
+        if (!tailOk) return None
+        // the analyzed prefix sub-plan is built through the DataFrame API
+        // (analysis only, no jobs — the quant route's precedent); a read
+        // failure refuses the route instead of aborting the query
+        val idx = try session.read.parquet(
+          graft.index.SecondaryIndex.resolve(session, r.indexPath))
+        catch { case _: Exception => return None }
+        if (!Seq("value", "chunk", "cnt", "rowids")
+          .forall(idx.columns.contains(_))) return None
+        val asc = head.direction == Ascending
+        val vOrd = (asc, head.nullOrdering == NullsFirst) match {
+          case (true, true) => col("value").asc_nulls_first
+          case (true, false) => col("value").asc_nulls_last
+          case (false, true) => col("value").desc_nulls_first
+          case (false, false) => col("value").desc_nulls_last
+        }
+        val cOrd = if (asc) col("chunk").asc else col("chunk").desc
+        val prefix = idx.orderBy(vOrd, cOrd).limit(k)
+        // keep rows while the running count BEFORE each row is < k: the
+        // stop chunk is included whole (≤ 1024-key slack), later ones drop
+        val w = org.apache.spark.sql.expressions.Window.orderBy(vOrd, cOrd)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val keys = prefix
+          .withColumn("__graft_cum", fnCoalesce(fnSum(col("cnt")).over(w), lit(0L)))
+          .filter(col("__graft_cum") < k)
+          .select(fnExplode(col("rowids")).as("__graft_topk_key"))
+        val keysPlan = keys.queryExecution.analyzed
+        val keyAttr = keysPlan.output.head
+        val factKey = lr.output.find(_.name == r.keyCol) match {
+          case Some(a) => a
+          case None => return None
+        }
+        val joinKey: Expression =
+          if (factKey.dataType == keyAttr.dataType) factKey
+          else Cast(factKey, keyAttr.dataType)
+        val join = Join(lr, keysPlan, LeftSemi,
+          Some(EqualTo(joinKey, keyAttr)), JoinHint.NONE)
+        Some(gl.transformUp { case l: LogicalRelation if l eq lr => join })
+      case _ => None
+    }
+  }
+
   private def stripPrune(p: LogicalPlan): LogicalPlan = p match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       stripPrune(c)

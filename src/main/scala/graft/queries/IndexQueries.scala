@@ -176,6 +176,30 @@ object IndexQueries {
       },
       Some("SELECT count(*) AS cnt FROM orders WHERE o_custkey = 421")),
 
+    // I1+H5 AUTOMATICALLY ROUTED sorted retrieval (r10 VERDICT #4 — the
+    // postings are value-sorted by construction, the builder's external
+    // sort, secondary/builder.cpp:43-44, 314-461, so the reference host
+    // can stream rowids in value order): a plain
+    // `orderBy(valueCol, keyCol).limit(k)` over the registered base is
+    // rewritten to take the FIRST ~k index rows in (value, chunk) order,
+    // probe the fact table ONCE with their exploded rowids, and let the
+    // untouched Sort/Limit re-sort the ~k survivors — no full-fact
+    // TakeOrdered scan. The keyCol tie-break makes the result
+    // deterministic on both sides; IndexRoutingSpec pins the routed plan,
+    // the broad-k bypass, and the null/desc variants.
+    "q_index_auto_topk" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders")
+          .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+          .limit(100)
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey FROM orders " +
+        "ORDER BY o_custkey, o_orderkey LIMIT 100")),
+
     // H4 via index, AUTOMATICALLY ROUTED: a plain groupBy(col).count()
     // over the registered table lowers to the index-only (value, sum(cnt))
     // facet — the postings counts ARE the dictionary the reference's

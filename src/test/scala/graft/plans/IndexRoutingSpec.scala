@@ -650,6 +650,61 @@ class IndexRoutingSpec extends AnyFunSuite {
   // LAST in the suite: sweeps the real derived catalog into the registry,
   // then clears ALL registrations (suites run sequentially in the forked
   // test JVM, so no other suite observes the window).
+  test("ORDER BY value LIMIT k routes through the value-ordered postings prefix (r11)") {
+    val rows = (0L until 1000L).map(i => (i, i / 2))
+    val df = base.orderBy($"v".asc, $"id".asc).limit(10).select($"id", $"v")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(scanPaths(df).exists(_.contains("idxv")))
+    assert(df.as[(Long, Long)].collect().toSeq ===
+      rows.sortBy { case (id, v) => (v, id) }.take(10))
+    // fully-reversed ordering routes too (chunk order is key order, so the
+    // reversed prefix covers the largest (value, key) rows)
+    val dd = base.orderBy($"v".desc, $"id".desc).limit(10).select($"id", $"v")
+    assert(semiJoins(dd) == 1, dd.queryExecution.optimizedPlan.toString)
+    assert(dd.as[(Long, Long)].collect().toSeq ===
+      rows.sortBy { case (id, v) => (-v, -id) }.take(10))
+    // bare value ordering (no tie-break) routes; ties make row identity
+    // engine-chosen, so compare the value multiset
+    val bare = base.orderBy($"v".asc).limit(9).select($"v")
+    assert(semiJoins(bare) == 1)
+    assert(bare.as[Long].collect().toSeq.sorted ===
+      rows.map(_._2).sorted.take(9))
+    // broad k bypasses: the probe economy is gone near the table size
+    val broad = base.orderBy($"v".asc, $"id".asc).limit(500)
+    assert(semiJoins(broad) == 0, broad.queryExecution.optimizedPlan.toString)
+    // mixed-direction tie-break: the prefix cannot cover it — refused
+    assert(semiJoins(base.orderBy($"v".asc, $"id".desc).limit(10)) == 0)
+    // a secondary key that is not the rowid column — refused
+    assert(semiJoins(base.orderBy($"v".asc, $"x".asc).limit(10)) == 0)
+    // a filter under the sort is a different composition — refused (x is
+    // unindexed, so the filter route does not fire either)
+    assert(semiJoins(
+      base.filter($"x" > 1000).orderBy($"v".asc, $"id".asc).limit(10)) == 0)
+  }
+
+  test("value-ordered prefix serves NULL values under both null orderings (r11)") {
+    val tmp = Files.createTempDirectory("graft-idxtopk-null")
+    val b2 = tmp.resolve("base").toString
+    val i2 = tmp.resolve("idx").toString
+    val df = (0L until 100L)
+      .map(i => (i, if (i < 5) None else Some(i)))
+      .toDF("id", "v")
+    Writer.write(df, b2, sortBy = Seq("id"))
+    val rd = SparkT.spark.read.parquet(b2)
+    SecondaryIndex.build(rd, "v", "id", i2)
+    IndexRouting.register(SparkT.spark, b2, i2, "v", "id")
+    try {
+      // asc nulls-first (Spark's default): the postings' NULL-value group
+      // leads the prefix, so the null rows ARE served from the index
+      val nf = rd.orderBy($"v".asc, $"id".asc).limit(8).select($"id")
+      assert(semiJoins(nf) == 1, nf.queryExecution.optimizedPlan.toString)
+      assert(nf.as[Long].collect().toSeq === (0L to 7L))
+      val nl = rd.orderBy($"v".asc_nulls_last, $"id".asc).limit(3).select($"id")
+      assert(semiJoins(nl) == 1)
+      assert(nl.as[Long].collect().toSeq === Seq(5L, 6L, 7L))
+    } finally IndexRouting.clear()
+  }
+
   test("Derived.registerIndexes: one call makes the whole catalog plan-automatic") {
     val sfDir = "/root/testdata/sf0.001"
     try {
