@@ -647,6 +647,135 @@ class IndexRoutingSpec extends AnyFunSuite {
     } finally SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
   }
 
+  // --- arbitrary-arity composition (r11; the reference's filter trees
+  // nest arbitrarily, columnar/columnar.cpp:721-746) --------------------
+
+  // Seven indexes on one fact table: a/b/c low-ndv (8) and mutually
+  // independent by construction — each equality estimates 0.125, above
+  // the 0.1 gate, so only the INTERSECTION fallback can route a
+  // conjunction of them; p/q/r high-ndv (200) so OR branches over them
+  // estimate 0.005 and multi-branch unions clear the sum gate; m an MVA
+  // column (element ndv 800).
+  private lazy val mRows: Seq[(Long, Long, Long, Long, Long, Long, Long, Seq[Long])] =
+    (0L until 2000L).map(i => (i, i % 8, (i / 8) % 8, (i / 64) % 8,
+      i % 200, (i * 3) % 200, (i * 7) % 200,
+      Seq(i % 400, 400L + (i * 3) % 400)))
+
+  private lazy val mBaseDir: String = {
+    val tmp = Files.createTempDirectory("graft-idxarity")
+    val b = tmp.resolve("mbase").toString
+    val df = mRows.toDF("id", "a", "b", "c", "p", "q", "r", "m")
+    Writer.write(df, b, sortBy = Seq("id"))
+    val rd = SparkT.spark.read.parquet(b)
+    Seq("a", "b", "c", "p", "q", "r").foreach { cn =>
+      val ip = tmp.resolve(s"idx_$cn").toString
+      SecondaryIndex.build(rd, cn, "id", ip)
+      IndexRouting.register(SparkT.spark, b, ip, cn, "id")
+    }
+    val im = tmp.resolve("idx_m").toString
+    SecondaryIndex.buildMva(rd, "m", "id", im)
+    IndexRouting.register(SparkT.spark, b, im, "m", "id", mva = true)
+    b
+  }
+
+  private def mBase: DataFrame = SparkT.spark.read.parquet(mBaseDir)
+
+  test("three-index intersection: two inner joins reduce the streams before one fact probe (r11)") {
+    val df = mBase.filter($"a" === 3L && $"b" === 4L && $"c" === 5L)
+      .select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(innerJoins(df) == 2, df.queryExecution.optimizedPlan.toString)
+    val want = mRows.filter(t => t._2 == 3 && t._3 == 4 && t._4 == 5).map(_._1)
+    assert(df.as[Long].collect().toSet === want.toSet)
+    assert(want.nonEmpty)
+    // two of three servable (c replaced by a residual on id): still
+    // intersects the two, residual evaluates above
+    val two = mBase.filter($"a" === 3L && $"b" === 4L && $"id" % 10L === 1L)
+      .select($"id")
+    assert(semiJoins(two) == 1)
+    assert(innerJoins(two) == 1, two.queryExecution.optimizedPlan.toString)
+    assert(two.as[Long].collect().toSet ===
+      mRows.filter(t => t._2 == 3 && t._3 == 4 && t._1 % 10 == 1).map(_._1).toSet)
+  }
+
+  test("OR union across three indexes: one deduped key union, one fact probe (r11)") {
+    val df = mBase.filter($"p" === 7L || $"q" === 55L || $"r" === 133L)
+      .select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    val paths = scanPaths(df)
+    Seq("idx_p", "idx_q", "idx_r").foreach(n =>
+      assert(paths.exists(_.contains(n)), s"$n not in $paths"))
+    val want = mRows.filter(t => t._5 == 7 || t._6 == 55 || t._7 == 133).map(_._1)
+    assert(df.as[Long].collect().toSet === want.toSet)
+    // count over the same OR is answered from the key union alone
+    val cnt = mBase.filter($"p" === 7L || $"q" === 55L || $"r" === 133L)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!scanPaths(cnt).exists(_.contains("mbase")),
+      cnt.queryExecution.optimizedPlan.toString)
+    assert(cnt.as[Long].head() === want.size.toLong)
+  }
+
+  test("OR union mixing an MVA branch with scalar branches routes (r11)") {
+    val df = mBase.filter($"p" === 7L || array_contains($"m", 123L) ||
+        $"q" === 55L)
+      .select($"id")
+    assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+    val paths = scanPaths(df)
+    Seq("idx_p", "idx_m", "idx_q").foreach(n =>
+      assert(paths.exists(_.contains(n)), s"$n not in $paths"))
+    val want = mRows.filter(t =>
+      t._5 == 7 || t._8.contains(123L) || t._6 == 55).map(_._1)
+    assert(want.nonEmpty)
+    assert(df.as[Long].collect().toSet === want.toSet)
+  }
+
+  test("property: arbitrary-arity intersections and unions agree with brute force (r11)") {
+    type MRow = (Long, Long, Long, Long, Long, Long, Long, Seq[Long])
+    val getter = Map[String, MRow => Long](
+      "a" -> (_._2), "b" -> (_._3), "c" -> (_._4),
+      "p" -> (_._5), "q" -> (_._6), "r" -> (_._7))
+    val abc = Seq("a", "b", "c")
+    val pqr = Seq("p", "q", "r")
+    val rnd = new scala.util.Random(83)
+    try (1 to 30).foreach { trial =>
+      if (rnd.nextBoolean())
+        SparkT.spark.conf.set("spark.graft.index.routeThreshold", "0.3")
+      else SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
+      // each branch: a Column predicate + its Scala twin over a row
+      val shape = rnd.nextInt(3)
+      val branches: Seq[(org.apache.spark.sql.Column, MRow => Boolean)] =
+        shape match {
+          case 0 => // AND of 2..3 low-ndv equalities (intersection shape)
+            rnd.shuffle(abc).take(2 + rnd.nextInt(2)).map { n =>
+              val l = rnd.nextLong(8)
+              (col(n) === l, (t: MRow) => getter(n)(t) == l)
+            }
+          case 1 => // OR of 2..4 high-ndv branches (union shape)
+            (1 to 2 + rnd.nextInt(3)).map { _ =>
+              val n = pqr(rnd.nextInt(3))
+              val l = rnd.nextLong(220) - 10
+              (col(n) === l, (t: MRow) => getter(n)(t) == l)
+            }
+          case 2 => // OR mixing MVA contains with 1..2 scalar branches
+            val e = rnd.nextLong(800)
+            (1 to 1 + rnd.nextInt(2)).map { _ =>
+              val n = pqr(rnd.nextInt(3))
+              val l = rnd.nextLong(200)
+              (col(n) === l, (t: MRow) => getter(n)(t) == l)
+            } :+ ((array_contains($"m", e), (t: MRow) => t._8.contains(e)))
+        }
+      val conj = shape == 0 // shape 0 is the AND composition
+      val pred = if (conj) branches.map(_._1).reduce(_ && _)
+                 else branches.map(_._1).reduce(_ || _)
+      val want = mRows.filter(t =>
+        if (conj) branches.forall(_._2(t)) else branches.exists(_._2(t)))
+      val got = mBase.filter(pred).select($"id").as[Long].collect().toSet
+      assert(got === want.map(_._1).toSet, s"trial $trial pred $pred")
+      val cnt = mBase.filter(pred).agg(count(lit(1))).as[Long].head()
+      assert(cnt === want.size.toLong, s"trial $trial count, pred $pred")
+    } finally SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
+  }
+
   // LAST in the suite: sweeps the real derived catalog into the registry,
   // then clears ALL registrations (suites run sequentially in the forked
   // test JVM, so no other suite observes the window).
