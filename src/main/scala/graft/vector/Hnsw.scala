@@ -618,7 +618,15 @@ object Hnsw {
     val f = allowed.getOrElse((_: Long) => true)
     var remaining: Seq[Int] = order.toSeq
     var probed = 0
-    var batch = 1
+    // Initial probe batch (doubles each round). Locally a round costs
+    // ~1 ms, but on a real cluster every round is one job launch
+    // (~100 ms of scheduling), so a deployment can start at 2 or 4 and
+    // halve the round count. Exactness is unaffected: a larger batch only
+    // ever probes MORE sub-graphs per round than the schedule strictly
+    // needs, and the triangle-bound stop rule tolerates over-probing
+    // (HnswSpec pins identical exact results with fewer jobs).
+    var batch = spark.conf.getOption("spark.graft.graph.probeBatch")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     var bestK: Seq[(Double, Long, Array[Float])] = Nil // (dist, id, vec) asc
     // Once k hits are held, sub-graphs whose lower bound exceeds the kth
     // best are dropped from the schedule permanently (ADVICE r8: the kth

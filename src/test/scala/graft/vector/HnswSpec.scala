@@ -249,6 +249,50 @@ class HnswSpec extends AnyFunSuite {
     assert(mid.as[(Long, Double)].collect().toSeq === exact)
   }
 
+  test("probe batching: a larger initial batch gives identical exact results in fewer jobs (r11)") {
+    // UNIFORM vectors: every sub-graph's radius overlaps the query, so the
+    // schedule must probe all of them — the round structure is
+    // deterministic (default: 1+2+4+1 = 4 jobs over 8 sub-graphs;
+    // probeBatch=4: 4+4 = 2 jobs) and both configurations are exact.
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val rows = (0L until 400L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswbatch").resolve("g").toString
+    Hnsw.buildIndexClustered(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8))
+    val q = rows(3)._2
+    val sc = SparkT.spark.sparkContext
+    // warm the resident graph + route sidecar outside either measurement
+    Hnsw.searchRoutedRaw(SparkT.spark, d, q, 5, ef = 1 << 20)
+    // the status tracker is fed by the async listener bus: poll to stability
+    def jobsOf(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur; spins += 1
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    var r1: Array[(Long, Double, Array[Float])] = null
+    var r2: Array[(Long, Double, Array[Float])] = null
+    val n1 = jobsOf("graft-probe-default") {
+      r1 = Hnsw.searchRoutedRaw(SparkT.spark, d, q, 5, ef = 1 << 20)._1
+    }
+    SparkT.spark.conf.set("spark.graft.graph.probeBatch", "4")
+    val n2 =
+      try jobsOf("graft-probe-batched") {
+        r2 = Hnsw.searchRoutedRaw(SparkT.spark, d, q, 5, ef = 1 << 20)._1
+      } finally SparkT.spark.conf.unset("spark.graft.graph.probeBatch")
+    assert(r1.map(t => (t._1, t._2)).toSeq === r2.map(t => (t._1, t._2)).toSeq)
+    assert(n2 < n1, s"batched rounds $n2 !< default rounds $n1")
+  }
+
   test("search result keeps the (dist asc, id asc) contract") {
     val d = Files.createTempDirectory("graft-hnsw3").resolve("g").toString
     Hnsw.buildIndex(emb, "embedding", "vec_id", d)
