@@ -74,14 +74,20 @@ object IndexRouting {
     * already prune on `valueCol` (the EstimateMinMax input): then the
     * pushdown scan is the better plan and the filter route stands down —
     * the index-only count/facet/distinct rewrites still apply (they skip
-    * the fact scan entirely, which clustering cannot match). */
+    * the fact scan entirely, which clustering cannot match).
+    * `canonical` records whether the index had the one-row-per-(value,
+    * chunk) layout at registration: false after [[graft.index
+    * .SecondaryIndex.appendSegment]] until a compact (each segment restarts
+    * chunk numbering, so within a value chunk order no longer tracks key
+    * order) — the sorted-retrieval route requires it; every other route is
+    * duplicate-safe (semi-joins union at explode, counts sum). */
   final case class Registered(basePath: String, indexPath: String,
                               valueCol: String, keyCol: String,
                               rows: Long, ndv: Long, totalCnt: Long,
                               vMin: Option[Double], vMax: Option[Double],
                               indexPlan: LogicalPlan, mva: Boolean,
                               baseClustered: Boolean, idxRows: Long,
-                              hist: Array[Any])
+                              hist: Array[Any], canonical: Boolean)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, List[Registered]]
@@ -163,11 +169,18 @@ object IndexRouting {
     val idx = spark.read.parquet(
       graft.index.SecondaryIndex.resolve(spark, indexPath))
     import org.apache.spark.sql.functions._
-    val s = idx.agg(
+    // the (value, chunk)-uniqueness probe rides the same aggregation: it
+    // classifies the layout as canonical vs segmented for the sorted-
+    // retrieval route (appendSegment invalidates this entry, so the flag
+    // is re-derived from the actual files on every re-register)
+    val aggCols = Seq(
       coalesce(sum(when(col("value").isNotNull, col("cnt"))), lit(0L)),
       count_distinct(col("value")),
       min(col("value")), max(col("value")),
-      count(lit(1))).head()
+      count(lit(1))) ++
+      (if (idx.columns.contains("chunk"))
+        Seq(count_distinct(struct(col("value"), col("chunk")))) else Nil)
+    val s = idx.agg(aggCols.head, aggCols.tail: _*).head()
     val clustered = !mva &&
       graft.stats.Stats.clusteredBy(basePath, valueCol, hconf)
     // histogram only for NON-numeric values: rangeEst consults it only
@@ -179,7 +192,8 @@ object IndexRouting {
     val entry = Registered(q, indexPath, valueCol, keyCol, rows,
       math.max(1L, s.getLong(1)), s.getLong(0),
       numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva,
-      clustered, s.getLong(4), hist)
+      clustered, s.getLong(4), hist,
+      canonical = s.length > 5 && s.getLong(5) == s.getLong(4))
     reg.synchronized {
       if (epochs.getOrElse(qIdx, 0L) != epoch0) return // mutated mid-snapshot
       reg.put(q, entry :: reg.getOrElse(q, Nil).filterNot(r =>
@@ -439,13 +453,20 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * Broad k bypasses through the same selectivity gate as filters (the
     * probe economy is gone when k approaches the table).
     *
+    * A SEGMENTED index (post-[[graft.index.SecondaryIndex.appendSegment]])
+    * is refused via the registration-time `canonical` flag: each segment
+    * restarts chunk numbering from its own sorted key stream, so within a
+    * value chunk order no longer tracks key order and the running-count
+    * trim could drop the segment row holding the true smallest keys.
+    *
     * 100 TB shape: the prefix is a distributed TakeOrdered over INDEX rows
     * (ndv + rows/1024, tiny next to the fact table), the window runs over
     * ≤ k rows, and the fact probe touches ≤ k + chunk-slack keys — against
-    * the unrouted plan's full-table TakeOrderedAndProject scan. */
+    * the unrouted plan's full-table TakeOrderedAndProject scan. The whole
+    * sub-plan is built from the registration-cached analyzed relation —
+    * plan time touches no data and no file listings. */
   private def tryTopK(gl: LogicalPlan, k: Int,
                       body: LogicalPlan): Option[LogicalPlan] = {
-    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, explode => fnExplode, lit, sum => fnSum}
     stripPrune(body) match {
       case Sort(order, true, sortChild, _) if order.nonEmpty =>
         val lr = stripPrune(sortChild) match {
@@ -478,33 +499,40 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         }
         if (!tailOk) return None
-        // the analyzed prefix sub-plan is built through the DataFrame API
-        // (analysis only, no jobs — the quant route's precedent); a read
-        // failure refuses the route instead of aborting the query
-        val idx = try session.read.parquet(
-          graft.index.SecondaryIndex.resolve(session, r.indexPath))
-        catch { case _: Exception => return None }
-        if (!Seq("value", "chunk", "cnt", "rowids")
-          .forall(idx.columns.contains(_))) return None
-        val asc = head.direction == Ascending
-        val vOrd = (asc, head.nullOrdering == NullsFirst) match {
-          case (true, true) => col("value").asc_nulls_first
-          case (true, false) => col("value").asc_nulls_last
-          case (false, true) => col("value").desc_nulls_first
-          case (false, false) => col("value").desc_nulls_last
+        if (!r.canonical) return None
+        val idxPlan = freshIndexPlan(r)
+        val byName = idxPlan.output.map(a => a.name -> a).toMap
+        val (vCol, cCol, cntCol, rowids) =
+          (byName.get("value"), byName.get("chunk"),
+            byName.get("cnt"), byName.get("rowids")) match {
+            case (Some(v), Some(c), Some(n), Some(rw)) => (v, c, n, rw)
+            case _ => return None
+          }
+        val elemType = rowids.dataType match {
+          case ArrayType(et, _) => et
+          case _ => return None
         }
-        val cOrd = if (asc) col("chunk").asc else col("chunk").desc
-        val prefix = idx.orderBy(vOrd, cOrd).limit(k)
+        val ord = Seq(
+          SortOrder(vCol, head.direction, head.nullOrdering, Seq.empty),
+          SortOrder(cCol, head.direction))
+        val prefix = Limit(Literal(k), Sort(ord, global = true, idxPlan))
         // keep rows while the running count BEFORE each row is < k: the
         // stop chunk is included whole (≤ 1024-key slack), later ones drop
-        val w = org.apache.spark.sql.expressions.Window.orderBy(vOrd, cOrd)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val keys = prefix
-          .withColumn("__graft_cum", fnCoalesce(fnSum(col("cnt")).over(w), lit(0L)))
-          .filter(col("__graft_cum") < k)
-          .select(fnExplode(col("rowids")).as("__graft_topk_key"))
-        val keysPlan = keys.queryExecution.analyzed
-        val keyAttr = keysPlan.output.head
+        val cumAlias = Alias(WindowExpression(
+          Sum(cntCol).toAggregateExpression(),
+          WindowSpecDefinition(Nil, ord,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+          "__graft_cum")()
+        val keep = Filter(
+          LessThan(Coalesce(Seq(cumAlias.toAttribute, Literal(0L))),
+            Literal(k.toLong)),
+          Window(Seq(cumAlias), Nil, ord, prefix))
+        val keyAttr = AttributeReference("__graft_topk_key", elemType,
+          nullable = false)()
+        val keysPlan = Project(Seq(keyAttr),
+          Generate(Explode(rowids), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(keyAttr),
+            child = keep))
         val factKey = lr.output.find(_.name == r.keyCol) match {
           case Some(a) => a
           case None => return None

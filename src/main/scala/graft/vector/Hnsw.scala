@@ -318,7 +318,17 @@ object Hnsw {
     require(rts.nonEmpty,
       s"no route sidecar rows at $routeDir — appendSegment maintains a " +
         "buildIndexClustered index")
-    val maxPid = rts.map(_._1).max
+    // next free pid from BOTH sidecars: a crash between the graph append
+    // and the route append below leaves orphaned graph rows (invisible to
+    // routed search — no route rows), and deriving the offset from the
+    // route table alone would re-issue those pids, mixing two builds in
+    // one rehydrated sub-graph. Footer-only probe, no data IO.
+    val maxPid = math.max(
+      rts.map(_._1).max,
+      graft.stats.Stats.minMax(graphDir, "pid") match {
+        case Some((_, mx: Int)) => mx
+        case _ => Int.MinValue
+      })
     // the ORIGINAL k-means centroids, deduped by content (prior appends
     // re-used them under new pids)
     val cents: Seq[Array[Float]] =

@@ -57,16 +57,46 @@ object VectorIndexCheck {
     import spark.implicits._
     val issues = scala.collection.mutable.ArrayBuffer.empty[String]
     val (graphDir, routeDir) = Hnsw.resolveDirs(spark, indexPath)
-    val g = spark.read.parquet(graphDir)
+    val raw = spark.read.parquet(graphDir)
       .select(col("pid"), col("id"), col("vec"), col("neighbors"))
-    val rows = g.count()
+    val rows = raw.count()
+
+    // 0. NULL fields / NULL array elements are themselves corruption (a
+    // truncated or bit-rotted row): report them and run the remaining
+    // passes on the clean subset — a NULL vec would otherwise abort pass
+    // 3/4 with a task failure, and a NULL neighbors array would slip
+    // through pass 5 (explode drops it) and pass 6 (array_contains(NULL,
+    // prev) is NULL, filtered out) as a silent PASS
+    val corruptPred = col("pid").isNull || col("id").isNull ||
+      col("vec").isNull || col("neighbors").isNull ||
+      exists(col("vec"), x => x.isNull) ||
+      exists(col("neighbors"), x => x.isNull)
+    val corrupt = raw.filter(corruptPred)
+    val cc0 = corrupt.count()
+    if (cc0 > 0)
+      issues += s"$cc0 graph rows with NULL fields or NULL array elements: " +
+        s"ids ${sample(corrupt.select(coalesce(col("id"), lit(-1L)))
+          .as[Long].take(SampleN))}"
+    val g = raw.filter(!corruptPred)
 
     // 1. sidecar shape: single metric, one row per pid, sane radii
     val routeRaw = spark.read.parquet(routeDir)
-    val route = (if (routeRaw.columns.contains("metric")) routeRaw
-                 else routeRaw.withColumn("metric", lit("l2")))
+    val routeAll = (if (routeRaw.columns.contains("metric")) routeRaw
+                    else routeRaw.withColumn("metric", lit("l2")))
       .select(col("pid").cast("int"), col("radius").cast("double"),
-        col("centroid"), col("metric")).collect()
+        col("centroid"), col("metric"))
+    val routeCorrupt = routeAll.filter(col("pid").isNull ||
+      col("radius").isNull || col("centroid").isNull ||
+      col("metric").isNull || exists(col("centroid"), x => x.isNull))
+    val rc0 = routeCorrupt.count()
+    if (rc0 > 0)
+      issues += s"$rc0 sidecar rows with NULL fields: pids ${sample(
+        routeCorrupt.select(coalesce(col("pid"), lit(-1)))
+          .as[Int].take(SampleN))}"
+    val route = routeAll.filter(col("pid").isNotNull &&
+      col("radius").isNotNull && col("centroid").isNotNull &&
+      col("metric").isNotNull && !exists(col("centroid"), x => x.isNull))
+      .collect()
     val metrics = route.map(_.getString(3)).distinct
     if (metrics.length > 1)
       issues += s"mixed sidecar metrics: ${metrics.mkString(", ")}"
