@@ -40,8 +40,10 @@ object Graft {
       // cluster-scale behavior (large files still split by maxPartitionBytes).
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .config("spark.sql.files.minPartitionNum", (shufflePartitions * 2).toString)
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-      // type for; read as Long nanoseconds (event-time ops use epoch math).
+      // Historical fixtures carried TIMESTAMP(NANOS), which Spark has no
+      // native type for — read those as Long epoch nanos. Current fixtures
+      // ship timestamp[us] (→ TIMESTAMP_NTZ on read); event-time operators
+      // accept either via graft.relational.EventTime.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

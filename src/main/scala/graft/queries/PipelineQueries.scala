@@ -209,14 +209,13 @@ object PipelineQueries {
     // Streaming transform run in BATCH mode (Spark's batch/stream
     // unification: backfill = replay of the same pipeline) — the streaming
     // semantics (watermark closes windows, state across micro-batches) are
-    // driven in StreamingSpec with real micro-batches. The events fixture's
-    // TIMESTAMP(NANOS) is read as Long nanos; `div` keeps the nanos→micros
-    // truncation in exact integer arithmetic (epoch nanos ~1.7e18 exceed
-    // double's 2^53 range, so `/` could flip a bucket at a window edge).
+    // driven in StreamingSpec with real micro-batches. The events fixture
+    // ships ts as timestamp[us]; EventStreams normalizes any event-time
+    // representation (timestamp / NTZ / epoch-long) via EventTime, so the
+    // raw table feeds the operator directly.
     "q_stream_window" -> QueryDef(
       (s, d) => {
-        val ev = t(s, d, "events").withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
+        val ev = t(s, d, "events")
         graft.streaming.EventStreams.windowedCounts(ev, "1 hour", "0 seconds")
           .select(col("w_start"), col("event_type"), col("n"),
             round(col("sum_value"), 2).as("sum_value"))
@@ -234,8 +233,7 @@ object PipelineQueries {
     // (which duplicate survives is arbitrary; the key set is exact).
     "q_stream_dedup" -> QueryDef(
       (s, d) => {
-        val ev = t(s, d, "events").withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
+        val ev = t(s, d, "events")
         val redelivered = ev.unionAll(ev)
         graft.streaming.EventStreams
           .dedupWithinWatermark(redelivered, "0 seconds", Seq("event_id"))
@@ -250,12 +248,11 @@ object PipelineQueries {
     // are exact integer micros — hash-stable.
     "q_stream_join" -> QueryDef(
       (s, d) => {
-        val ev = t(s, d, "events").withColumn("tsm",
-          timestamp_micros(expr("ts div 1000")))
+        val ev = t(s, d, "events")
         val views = ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("tsm").as("ts"))
+          .select(col("user_id"), col("ts"))
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("tsm").as("ts"))
+          .select(col("user_id"), col("ts"))
         graft.streaming.EventStreams
           .purchaseViewJoin(views, purchases, "0 seconds", "10 minutes")
           .select(col("p_user").as("user_id"),
@@ -268,20 +265,19 @@ object PipelineQueries {
         "AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 600000000 AND epoch_us(p.ts) " +
         "WHERE p.event_type = 'purchase' AND v.event_type = 'view'")),
 
-    // Gap-based sessionization in BATCH mode via the same session_window
-    // operator the stream uses. The oracle is the independent relational
+    // Gap-based sessionization in BATCH mode via the same sessionWindows
+    // operator the stream uses (EventStreams normalizes the event-time
+    // column internally). The oracle is the independent relational
     // formulation (lag + boundary count): a new session starts when the gap
     // since the previous event is >= 1 hour — exactly session_window's
-    // [start, last+gap) semantics. Both sides compare event time in
-    // truncated micros so the boundary test is identical.
+    // [start, last+gap) semantics. Both sides compare event time in exact
+    // micros so the boundary test is identical.
     "q_sessionize" -> QueryDef(
       (s, d) => {
-        val ev = t(s, d, "events").withColumn("tsm",
-          timestamp_micros(expr("ts div 1000")))
-        ev.groupBy(session_window(col("tsm"), "1 hour"), col("user_id"))
-          .agg(count(lit(1)).as("n_ev"))
+        graft.streaming.EventStreams
+          .sessionWindows(t(s, d, "events"), "1 hour", "0 seconds")
           .groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
       },
       Some("WITH d AS (SELECT user_id, epoch_us(ts) AS tus, " +
         "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) " +

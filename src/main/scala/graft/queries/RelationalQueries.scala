@@ -231,16 +231,19 @@ object RelationalQueries {
     // purchase event picks up the most recent prior view of the same user.
     // One shuffle, union+window — the oracle is the O(n²)-shaped LEFT JOIN +
     // max, which only the small fixture can afford; the engine plan is the
-    // one that survives 100 TB. Timestamps compare in nanos and are emitted
-    // as micros (integer div; both engines floor positive epochs).
+    // one that survives 100 TB. The matched event time is emitted as exact
+    // epoch micros via EventTime (polymorphic over timestamp/NTZ/epoch-long
+    // ts columns — the fixture currently ships timestamp[us]).
     "q_join_asof" -> QueryDef(
       (s, d) => {
         val ev = t(s, d, "events")
-        graft.relational.AsofJoin.backward(
-            ev.filter(col("event_type") === "purchase"),
-            ev.filter(col("event_type") === "view"),
-            "user_id", "user_id", "ts", "ts", "event_id")
-          .select(col("event_id"), expr("asof_ts div 1000").as("asof_micros"))
+        val joined = graft.relational.AsofJoin.backward(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "user_id", "ts", "ts", "event_id")
+        joined.select(col("event_id"),
+          graft.relational.EventTime.epochMicros(joined, "asof_ts")
+            .as("asof_micros"))
       },
       Some("SELECT p.event_id, max(epoch_us(v.ts)) AS asof_micros " +
         "FROM events p LEFT JOIN events v ON v.user_id = p.user_id " +
@@ -407,16 +410,17 @@ object RelationalQueries {
     // sum order-independent.
     "q_window_range" -> QueryDef(
       (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
-          .rangeBetween(-3600000000000L, 0)
-        t(s, d, "events")
-          .select(col("event_id"),
-            sum(floor(col("value") * 1000).cast("long")).over(w)
-              .as("trail_milli"))
+        val ev = t(s, d, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(graft.relational.EventTime.epochMicros(ev, "ts").asc)
+          .rangeBetween(-3600000000L, 0)
+        ev.select(col("event_id"),
+          sum(floor(col("value") * 1000).cast("long")).over(w)
+            .as("trail_milli"))
       },
       Some("SELECT event_id, CAST(sum(CAST(floor(value*1000) AS BIGINT)) " +
-        "OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) " +
-        "RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
         "AS trail_milli FROM events")),
 
     // H7 grouping sets beyond rollup/cube: explicit set list through the

@@ -1,0 +1,78 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Event-time column normalization — the single place the engine decides
+  * what an event-time column IS.
+  *
+  * The reference treats TIMESTAMP as a first-class predicate type
+  * (common/filter.cpp:29-31); our event-time operators (as-of join, banded
+  * range join, sessionization, stream windows, RANGE frames) must accept
+  * every representation users actually store:
+  *
+  *   - `TimestampType` — Spark's instant type (micros precision);
+  *   - `TimestampNTZType` — what Parquet `timestamp[us], isAdjustedToUTC =
+  *     false` infers to on read. The engine pins
+  *     `spark.sql.session.timeZone=UTC` everywhere (Graft/Bench/Verify/
+  *     SparkT), so the NTZ→TZ cast is an exact micros-preserving relabel,
+  *     never a wall-clock shift;
+  *   - integral epoch columns (assumed NANOSECONDS for the conversions that
+  *     must pick a unit — the events fixture's historical encoding).
+  *
+  * All arithmetic stays in exact integer long math: epoch nanos (~1.7e18)
+  * exceed double's 2^53 range, so any float detour can flip a window/bucket
+  * boundary. Hence `expr(col div 1000)` instead of Column `/`.
+  */
+object EventTime {
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def unsupported(c: String, dt: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"event-time column '$c' must be TIMESTAMP, TIMESTAMP_NTZ or an " +
+        s"integral epoch column, found $dt")
+
+  /** Exact epoch-nanoseconds long. Timestamps carry micros precision, so
+    * `unix_micros * 1000` is exact; integral columns pass through in their
+    * own unit (callers state widths/frames in that unit). */
+  def epochNanos(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c)) * lit(1000L)
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)) * lit(1000L)
+      case dt if integral(dt) => col(c).cast(LongType)
+      case dt => unsupported(c, dt)
+    }
+
+  /** Exact epoch-microseconds long (integral inputs are epoch NANOS and
+    * truncate by integer division — never float). */
+  def epochMicros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case dt if integral(dt) => expr(s"`$c` div 1000")
+      case dt => unsupported(c, dt)
+    }
+
+  /** The column as a plain `TimestampType` instant (what `window`/
+    * `session_window`/`withWatermark`/stream-stream joins want). Integral
+    * inputs are epoch NANOS, truncated to micros in integer math. */
+  def asTimestamp(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => col(c)
+      case TimestampNTZType => col(c).cast(TimestampType)
+      case dt if integral(dt) => timestamp_micros(expr(s"`$c` div 1000"))
+      case dt => unsupported(c, dt)
+    }
+
+  /** `df` with column `c` replaced by its [[asTimestamp]] normalization —
+    * the one-liner the streaming operators open with. */
+  def normalized(df: DataFrame, c: String): DataFrame =
+    if (df.schema(c).dataType == TimestampType) df
+    else df.withColumn(c, asTimestamp(df, c))
+}

@@ -14,6 +14,11 @@ import org.apache.spark.sql.DataFrame
   * ordinary shuffled hash join — at 100 TB that is shuffle + hash probe,
   * never a cross product, and AQE handles bucket skew like any hot join key.
   *
+  * Event-time columns may be `TimestampType`, `TimestampNTZType`, or an
+  * integral epoch column ([[EventTime]]); timestamps normalize to exact
+  * epoch NANOS internally, so `width` is in nanoseconds for timestamp
+  * inputs and in the column's own unit for integral inputs.
+  *
   * (The reference library has no range-join operator — SURVEY §2.6; this is
   * part of the engine's pipeline surface, e.g. nearby-event correlation and
   * time-window audit joins.)
@@ -27,19 +32,22 @@ object RangeJoin {
   private def bucket(ts: String, width: Long): org.apache.spark.sql.Column =
     expr(s"($ts - pmod($ts, $width)) div $width")
 
-  /** Join rows of `left` and `right` whose `tsL`/`tsR` (integral, e.g. epoch
-    * nanos) lie within `width` of each other. Output = left columns + right
-    * columns; callers ensure the names are disjoint. */
+  /** Join rows of `left` and `right` whose `tsL`/`tsR` lie within `width`
+    * of each other. Output = left columns + right columns; callers ensure
+    * the names are disjoint. */
   def bandJoin(left: DataFrame, right: DataFrame,
                tsL: String, tsR: String, width: Long): DataFrame = {
     require(width > 0, "band width must be positive")
     val l = left
-      .withColumn("__lb", bucket(tsL, width))
+      .withColumn("__lns", EventTime.epochNanos(left, tsL))
+      .withColumn("__lb", bucket("__lns", width))
       .withColumn("__probe", explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1)))
-    val r = right.withColumn("__rb", bucket(tsR, width))
+    val r = right
+      .withColumn("__rns", EventTime.epochNanos(right, tsR))
+      .withColumn("__rb", bucket("__rns", width))
     l.join(r, l("__probe") === r("__rb") &&
-        abs(col(tsL) - col(tsR)) <= lit(width))
-      .drop("__lb", "__probe", "__rb")
+        abs(col("__lns") - col("__rns")) <= lit(width))
+      .drop("__lns", "__lb", "__probe", "__rns", "__rb")
   }
 
   /** Per-row neighbor counts within `±width` of each row of `df` (self band

@@ -16,14 +16,23 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * watermarked (state is bounded — late data beyond the watermark is
   * dropped, state for closed windows/sessions is freed), and incremental
   * (partial aggregation per micro-batch).
+  *
+  * Event-time polymorphism: the `ts` column may be `TimestampType`,
+  * `TimestampNTZType` (what Parquet `timestamp[us]` infers to), or an
+  * integral epoch-nanos column — every operator normalizes through
+  * [[graft.relational.EventTime]] before watermarking/windowing, so a
+  * data-shape change in the source never breaks the surface.
   */
 object EventStreams {
+
+  private def norm(df: DataFrame, c: String = "ts"): DataFrame =
+    graft.relational.EventTime.normalized(df, c)
 
   /** Tumbling-window counts/sums per event type with a late-data watermark.
     * State per (window × type) is freed once the watermark passes. */
   def windowedCounts(events: DataFrame, windowDur: String,
                      watermark: String): DataFrame =
-    events
+    norm(events)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -35,7 +44,7 @@ object EventStreams {
     * windows that extend while events keep arriving within `gap`). */
   def sessionWindows(events: DataFrame, gap: String,
                      watermark: String): DataFrame =
-    events
+    norm(events)
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -58,7 +67,7 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame, watermark: String,
                            keys: Seq[String]): DataFrame =
     if (events.isStreaming)
-      events
+      norm(events)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else events.dropDuplicates(keys)
@@ -71,9 +80,9 @@ object EventStreams {
     * an always-on 100 TB/day pipeline. */
   def purchaseViewJoin(views: DataFrame, purchases: DataFrame,
                        watermark: String, lookback: String): DataFrame = {
-    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val v = norm(views).select(col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", watermark)
-    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val p = norm(purchases).select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
     p.join(v, expr("v_user = p_user AND " +
       s"v_ts BETWEEN p_ts - INTERVAL $lookback AND p_ts"))
