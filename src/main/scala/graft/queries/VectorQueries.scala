@@ -429,6 +429,41 @@ object VectorQueries {
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // I9 OPTIMIZE gate, GRAPH family — the full reference lifecycle
+    // (CREATE → RT adds → OPTIMIZE merges segments, secondary/builder.cpp:
+    // 314-461): clustered build on 90%, appendSegment of 10%, then
+    // compactClustered re-clusters the corpus into a manifest-committed
+    // generation; the automatic route serves from the compacted
+    // generation and stays exact (ef ≥ sub-graph size) — shared fullscan
+    // oracle. Complements q_knn_graph_seg, which stops mid-segment.
+    "q_knn_graph_compact" -> QueryDef(
+      (s, d) => {
+        val path = hnswCompactIndex(s, d)
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // I9 OPTIMIZE gate, QUANT family: append with the frozen model (codes
+    // of drifted vectors clamp), then compact with retrain=true — the
+    // model re-fits to the FULL corpus and re-encodes, restoring the
+    // per-dim error bound — so the route re-registers at the default
+    // refine=8 (the appended-state gate needed 16) and the coarse screen
+    // + exact rescore equals the fullscan oracle.
+    "q_knn_quant_compact" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantCompactIndex(s, d)
+        graft.plans.AnnRouting.registerQuant(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id")
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)")))
   )
 
@@ -486,6 +521,65 @@ object VectorQueries {
         Quantize.appendSegment(append, "embedding", "qvec", path, m)
         new java.io.File(path, "_GRAFT_SEG_OK").createNewFile()
       }
+      (m, path)
+    })
+
+  // Memoized COMPACTED clustered graph per sfDir: build(90%) →
+  // appendSegment(10%) → compactClustered (manifest-committed generation
+  // swap). Lives in its own parent dir so a crashed half-state rebuilds
+  // cleanly with one recursive delete; the marker commits the WHOLE
+  // lifecycle (compactClustered's own manifest only proves a compact ran,
+  // not that the append preceded it).
+  private val hnswCompactCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def hnswCompactIndex(s: SparkSession, d: String): String =
+    hnswCompactCache.getOrElseUpdate(d, {
+      val parent = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswcomp"
+      val path = s"$parent/embeddings"
+      val marker = new java.io.File(parent, "_GRAFT_COMPACT_OK")
+      if (!marker.isFile) {
+        fsDelete(s, parent)
+        val (build, append) = segSplit(t(s, d, "embeddings"))
+        val p = Hnsw.Params(m = 8, efC = 64, partitions = 8)
+        Hnsw.buildIndexClustered(build, "embedding", "vec_id", path, p)
+        Hnsw.appendSegment(append, "embedding", "vec_id", path)
+        Hnsw.compactClustered(s, path, p)
+        marker.createNewFile()
+      }
+      path
+    })
+
+  // Memoized COMPACTED int8 table per sfDir: build(90%) with a model
+  // trained on the 90%, appendSegment(10%) with that frozen model, then
+  // compact(retrain = true) — re-fit to the full corpus + re-encode +
+  // re-sort to the canonical clustering. The retrained model is a
+  // deterministic function of the compacted table, so a later process
+  // re-derives it instead of persisting model state.
+  private val quantCompactCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.QModel, String)]
+
+  private def quantCompactIndex(s: SparkSession, d: String): (Quantize.QModel, String) =
+    quantCompactCache.getOrElseUpdate(d, {
+      val parent = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quantcomp"
+      val path = s"$parent/embeddings"
+      val marker = new java.io.File(parent, "_GRAFT_COMPACT_OK")
+      val m =
+        if (marker.isFile)
+          Quantize.train(s.read.parquet(path).drop("qvec"), "embedding")
+        else {
+          fsDelete(s, parent)
+          val (build, append) = segSplit(t(s, d, "embeddings"))
+          val m0 = Quantize.train(build, "embedding")
+          graft.tables.Writer.write(
+            Quantize.quantizeTable(build, "embedding", "qvec", m0), path,
+            sortBy = Seq("vec_id"))
+          Quantize.appendSegment(append, "embedding", "qvec", path, m0)
+          val m2 = Quantize.compact(s, path, "embedding", "qvec",
+            Seq("vec_id"), m0, retrain = true)
+          marker.createNewFile()
+          m2
+        }
       (m, path)
     })
 
