@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -77,10 +77,12 @@ object IndexRouting {
     * the fact scan entirely, which clustering cannot match).
     * `canonical` records whether the index had the one-row-per-(value,
     * chunk) layout at registration: false after [[graft.index
-    * .SecondaryIndex.appendSegment]] until a compact (each segment restarts
-    * chunk numbering, so within a value chunk order no longer tracks key
-    * order) — the sorted-retrieval route requires it; every other route is
-    * duplicate-safe (semi-joins union at explode, counts sum). */
+    * .SecondaryIndex.appendSegment]] until a compact (a (value, chunk)
+    * group may then be SPLIT across segment files). The sorted-retrieval
+    * route re-merges split groups with a pre-aggregation in that state
+    * (the reference's sorted runs survive segment merges,
+    * secondary/builder.cpp:314-461); every other route is duplicate-safe
+    * as-is (semi-joins union at explode, counts sum). */
   final case class Registered(basePath: String, indexPath: String,
                               valueCol: String, keyCol: String,
                               rows: Long, ndv: Long, totalCnt: Long,
@@ -454,10 +456,17 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * probe economy is gone when k approaches the table).
     *
     * A SEGMENTED index (post-[[graft.index.SecondaryIndex.appendSegment]])
-    * is refused via the registration-time `canonical` flag: each segment
-    * restarts chunk numbering from its own sorted key stream, so within a
-    * value chunk order no longer tracks key order and the running-count
-    * trim could drop the segment row holding the true smallest keys.
+    * may hold a (value, chunk) group SPLIT across segment files; a k-row
+    * prefix over the raw rows could then drop the split sibling holding
+    * needed keys at the prefix boundary (the rows strictly before the
+    * boundary group cover fewer than k keys, and part of the boundary
+    * chunk's keys live in the dropped sibling). The route stays available
+    * mid-segment by re-merging split groups first — an Aggregate over
+    * INDEX rows (chunk = key div 1024 is a pure key function, so merged
+    * groups ARE the canonical layout, sum(cnt) + unioned rowids). That
+    * pre-aggregation shuffles ndv + rows/1024 index rows instead of the
+    * canonical map-side TakeOrdered — the documented mid-segment economy
+    * trade until compact; a `canonical` index skips it entirely.
     *
     * 100 TB shape: the prefix is a distributed TakeOrdered over INDEX rows
     * (ndv + rows/1024, tiny next to the fact table), the window runs over
@@ -499,14 +508,26 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         }
         if (!tailOk) return None
-        if (!r.canonical) return None
-        val idxPlan = freshIndexPlan(r)
-        val byName = idxPlan.output.map(a => a.name -> a).toMap
-        val (vCol, cCol, cntCol, rowids) =
+        val idxPlan0 = freshIndexPlan(r)
+        val byName = idxPlan0.output.map(a => a.name -> a).toMap
+        val (vCol, cCol, cntCol0, rowids0) =
           (byName.get("value"), byName.get("chunk"),
             byName.get("cnt"), byName.get("rowids")) match {
             case (Some(v), Some(c), Some(n), Some(rw)) => (v, c, n, rw)
             case _ => return None
+          }
+        // segmented layout: merge split (value, chunk) groups back to the
+        // canonical invariant before taking the prefix (see Scaladoc)
+        val (idxPlan, cntCol, rowids) =
+          if (r.canonical) (idxPlan0, cntCol0, rowids0)
+          else {
+            val cntA = Alias(Sum(cntCol0).toAggregateExpression(), "cnt")()
+            val rwA = Alias(
+              Flatten(CollectList(rowids0).toAggregateExpression()),
+              "rowids")()
+            val agg: LogicalPlan = Aggregate(Seq(vCol, cCol),
+              Seq(vCol, cCol, cntA, rwA), idxPlan0, None)
+            (agg, cntA.toAttribute, rwA.toAttribute)
           }
         val elemType = rowids.dataType match {
           case ArrayType(et, _) => et

@@ -834,6 +834,38 @@ class IndexRoutingSpec extends AnyFunSuite {
     } finally IndexRouting.clear()
   }
 
+  test("sorted retrieval routes on a SEGMENTED index via split-group merge (r12)") {
+    val tmp = Files.createTempDirectory("graft-idxtopk-seg")
+    val b2 = tmp.resolve("base").toString
+    val i2 = tmp.resolve("idx").toString
+    // ONE hot value spanning 4 key-chunks, even keys in the build segment
+    // and odd keys appended: every (value, chunk) group is split across
+    // two segment files, and k=10 sits INSIDE the boundary group — a
+    // prefix over raw rows would keep one split sibling whole-chunk and
+    // drop the other, losing half of the 10 smallest keys. The merge
+    // restores the canonical groups, so the route must fire AND agree
+    // with the unrouted plan.
+    val all = (0L until 4096L).map(i => (i, 0L)) ++
+      (4096L until 4196L).map(i => (i, i))
+    val df = all.toDF("id", "v")
+    Writer.write(df, b2, sortBy = Seq("id"))
+    val rd = SparkT.spark.read.parquet(b2)
+    SecondaryIndex.build(rd.filter($"id" % 2 === 0), "v", "id", i2)
+    SecondaryIndex.appendSegment(rd.filter($"id" % 2 === 1), "v", "id", i2)
+    IndexRouting.register(SparkT.spark, b2, i2, "v", "id")
+    try {
+      val q = rd.orderBy($"v".asc, $"id".asc).limit(10).select($"id", $"v")
+      assert(semiJoins(q) == 1, q.queryExecution.optimizedPlan.toString)
+      assert(q.as[(Long, Long)].collect().toSeq ===
+        (0L until 10L).map(i => (i, 0L)))
+      // reversed ordering crosses the same split boundary from the top
+      val qd = rd.orderBy($"v".desc, $"id".desc).limit(10).select($"id", $"v")
+      assert(semiJoins(qd) == 1)
+      assert(qd.as[(Long, Long)].collect().toSeq ===
+        (4195L to 4186L by -1L).map(i => (i, i)))
+    } finally IndexRouting.clear()
+  }
+
   test("Derived.registerIndexes: one call makes the whole catalog plan-automatic") {
     val sfDir = "/root/testdata/sf0.001"
     try {
