@@ -533,6 +533,41 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(broad.count() === 900L)
   }
 
+  test("post-append re-register re-derives the histogram: borderline route flips (r12)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-histdrift")
+    val hbase = tmp.resolve("hb").toString
+    val hidx = tmp.resolve("hi").toString
+    val rows = (0L until 1000L).map(i => (i, "k%04d".format(i)))
+    Writer.write(rows.toDF("id", "s"), hbase, sortBy = Seq("id"))
+    SecondaryIndex.build(SparkT.spark.read.parquet(hbase), "s", "id", hidx)
+    IndexRouting.register(SparkT.spark, hbase, hidx, "s", "id")
+    try {
+      def hot = SparkT.spark.read.parquet(hbase)
+        .filter($"s" >= "k0100" && $"s" <= "k0149").select($"id")
+      // uniform distribution: the 50-value range estimates ~2/32 → routes
+      assert(semiJoins(hot) == 1, hot.queryExecution.optimizedPlan.toString)
+      assert(hot.count() === 50L)
+      // heavy append traffic lands INSIDE the range: 9000 new rows over
+      // the same 50 values (ids spread across many key-chunks, so the
+      // index-row distribution shifts with the data distribution)
+      val extra = (1000L until 10000L).map(i =>
+        (i, "k%04d".format(100L + i % 50L)))
+      extra.toDF("id", "s").write.mode("append").parquet(hbase)
+      SecondaryIndex.appendSegment(extra.toDF("id", "s"), "s", "id", hidx)
+      // the append invalidated the entry; re-registration re-derives ndv,
+      // bounds AND the equi-depth histogram from the live files — the
+      // formerly-borderline range now reads as hot and must stand down
+      IndexRouting.register(SparkT.spark, hbase, hidx, "s", "id")
+      assert(semiJoins(hot) == 0, hot.queryExecution.optimizedPlan.toString)
+      assert(hot.count() === 9050L)
+      // the entry itself is live: a narrow range in the cold zone routes
+      val cold = SparkT.spark.read.parquet(hbase)
+        .filter($"s" >= "k0500" && $"s" <= "k0509").select($"id")
+      assert(semiJoins(cold) == 1, cold.queryExecution.optimizedPlan.toString)
+      assert(cold.as[Long].collect().toSet === (500L to 509L).toSet)
+    } finally IndexRouting.clear()
+  }
+
   test("count picks the index with the fewest rows when two serve (r10)") {
     val tmp = Files.createTempDirectory("graft-idxroute-twocnt")
     val cbase = tmp.resolve("cb").toString
