@@ -113,7 +113,11 @@ object AnnRouting {
     val epoch0 = epochOf(spark, indexPath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
-    val idxPlan = spark.read.parquet(indexPath).queryExecution.analyzed
+    // resolve: a compact-managed index's live data sits in the committed
+    // generation dir — register must analyze THAT listing
+    val idxPlan = spark.read.parquet(
+      graft.index.SecondaryIndex.resolve(spark, indexPath))
+      .queryExecution.analyzed
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
         IvfFamily(model, nprobe, ef, idxPlan)))

@@ -117,6 +117,13 @@ object Ivf {
     m
   }
 
+  /** Manifest resolution shared with the secondary index and the graph
+    * family: the live data of a [[compact]]-managed index sits in the
+    * committed generation dir, not at the base path. Every reader and the
+    * segment append go through this. */
+  private def resolve(spark: SparkSession, indexPath: String): String =
+    graft.index.SecondaryIndex.resolve(spark, indexPath)
+
   /** Write the index: assigned rows range-clustered by list id, so probes
     * prune files. */
   def buildIndex(df: DataFrame, vecCol: String, m: Model, path: String,
@@ -135,17 +142,85 @@ object Ivf {
     * append never reads the existing index; probes prune the new files the
     * same way, and [[listRadii]] stays current because it scans the index.
     * Model drift (a batch far from every centroid) degrades pruning
-    * economy, not correctness — retrain + [[buildIndex]] is the compaction
-    * analog. */
+    * economy, not correctness — [[compact]] (optionally retraining) is the
+    * manifest-committed OPTIMIZE. */
   def appendToIndex(df: DataFrame, vecCol: String, m: Model, path: String,
                     files: Int = 1): Unit = {
     assign(df, vecCol, m)
       .repartitionByRange(files, col("ivf_cluster"))
       .sortWithinPartitions(col("ivf_cluster"))
-      .write.mode("append").parquet(path)
+      // resolve: on a manifest-managed index the live data sits in the
+      // current generation dir, not at the base path
+      .write.mode("append").parquet(resolve(df.sparkSession, path))
     // routed queries cached the pre-append file listing — drop the entry
     // so they fall back to the exact fullscan until re-registration
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
+  }
+
+  /** I9 OPTIMIZE for the IVF index, with the OBJECT-STORE-SAFE manifest
+    * commit the secondary index ([[graft.index.SecondaryIndex
+    * .compactManifest]]) and the graph family ([[Hnsw.compactClustered]])
+    * already use — closing the one family whose maintenance predated the
+    * protocol (an interrupted retrain + in-place rebuild could leave a
+    * mixed directory): re-assign the FULL corpus — read from the index
+    * itself, whose rows are the dataset — into a NEW immutable generation
+    * dir `<path>__gN`, optionally retraining the coarse model first
+    * (appended batches that drifted from every centroid degrade pruning
+    * economy until a retrain), then COMMIT by writing one manifest object
+    * naming the generation. Readers resolve through the manifest, so the
+    * swap is atomic and every crash interleaving leaves a readable index;
+    * the generation live until this commit is retained for one cycle, and
+    * a retained legacy base dir gets the superseded marker so a later
+    * manifest loss fails loudly instead of silently serving stale data.
+    *
+    * Returns the serving model — the caller re-registers the automatic
+    * route with it (the epoch bump already dropped the old entry), and
+    * derives fresh [[listRadii]] if the adaptive bound is in use. */
+  def compact(spark: SparkSession, indexPath: String, vecCol: String,
+              m: Model, retrain: Boolean = false, files: Int = 4): Model = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(conf)
+    val cur = resolve(spark, indexPath)
+    val curVersion = graft.index.SecondaryIndex.manifestVersions(fs, indexPath)
+      .headOption.map(_._1).getOrElse(0L)
+    val nextVersion = curVersion + 1
+    val next = s"${indexPath}__g$nextVersion"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true) // crashed attempt
+    val corpus = spark.read.parquet(cur).drop("ivf_cluster")
+    val m2 = if (retrain) train(corpus, vecCol, m.nlist, metric = m.metric)
+             else m
+    graft.tables.Writer.write(assign(corpus, vecCol, m2), next,
+      sortBy = Seq("ivf_cluster"), files = files)
+    // COMMIT: one new immutable manifest object
+    graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
+      new org.apache.hadoop.fs.Path(next).getName)
+    // sweep stale dirs by name (orphans from a crash between a past
+    // commit and its cleanup included), RETAINING the generation that was
+    // live until this commit for one cycle (in-flight readers that
+    // resolved it pre-commit finish on a consistent snapshot)
+    val baseName = base.getName
+    val retained = new org.apache.hadoop.fs.Path(cur).getName
+    if (fs.exists(base.getParent)) {
+      fs.listStatus(base.getParent).foreach { st =>
+        val n = st.getPath.getName
+        val stale = n != retained && (
+          n == baseName ||
+            (n.startsWith(baseName + "__g") &&
+              n.stripPrefix(baseName + "__g").toLongOption
+                .exists(_ != nextVersion)))
+        if (stale) fs.delete(st.getPath, true)
+      }
+    }
+    if (retained == baseName) {
+      val mk = fs.create(new org.apache.hadoop.fs.Path(base,
+        graft.index.SecondaryIndex.SupersededMarker), true)
+      try mk.write("superseded by manifest commit\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mk.close()
+    }
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
+    m2
   }
 
   /** Top-k search probing the `nprobe` lists closest to the query.
@@ -154,7 +229,7 @@ object Ivf {
              idCol: String, vecCol: String, query: Array[Float],
              k: Int, nprobe: Int): DataFrame = {
     val probes = m.probeOrder(query).take(nprobe).map(_.toLong)
-    val scanned = spark.read.parquet(indexPath)
+    val scanned = spark.read.parquet(resolve(spark, indexPath))
       .filter(col("ivf_cluster").isin(probes: _*))
     Knn.knn(scanned, vecCol, idCol, query, k, m.metric)
   }
@@ -164,7 +239,7 @@ object Ivf {
   def listRadii(spark: SparkSession, indexPath: String, m: Model,
                 vecCol: String): Map[Long, Double] = {
     val cents = typedLit(m.centroids.map(_.toSeq))
-    spark.read.parquet(indexPath)
+    spark.read.parquet(resolve(spark, indexPath))
       .select(col("ivf_cluster"),
         distances.l2Dist(col(vecCol),
           element_at(cents, col("ivf_cluster").cast("int") + 1)
@@ -266,7 +341,7 @@ object Ivf {
       case None => true
     }
     if (fullscan) {
-      val scanned = spark.read.parquet(indexPath).filter(pred)
+      val scanned = spark.read.parquet(resolve(spark, indexPath)).filter(pred)
       (Knn.knn(scanned, vecCol, idCol, query, k, m.metric), m.nlist, false)
     } else {
       val (df, probed) = searchAdaptive(spark, indexPath, m, radii, idCol,
@@ -318,13 +393,16 @@ object Ivf {
     // the schedule PERMANENTLY (ADVICE r8: the kth best only improves, so
     // they can never become relevant again) — the next batch then probes
     // only still-relevant lists instead of the blind centroid-order prefix.
+    // resolve ONCE: the whole adaptive schedule reads one consistent
+    // generation even if a concurrent compact commits mid-loop
+    val dataPath = resolve(spark, indexPath)
     while ({
       if (bestK.size >= k)
         remaining = remaining.filter(j => bound(j) <= bestK.last._1)
       remaining.nonEmpty
     }) {
       val probes = remaining.take(batch).map(_.toLong)
-      val base = spark.read.parquet(indexPath)
+      val base = spark.read.parquet(dataPath)
         .filter(col("ivf_cluster").isin(probes: _*))
       // K3: the attribute predicate rides INSIDE the probe scan (the
       // reference's in-traversal filter callback, knn/knn.h:87-94); if a
