@@ -449,6 +449,23 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // I9 OPTIMIZE gate, IVF family: build on 90%, appendToIndex of 10%
+    // under the frozen coarse model, then Ivf.compact(retrain = true) —
+    // re-assign the full corpus into a manifest-committed generation with
+    // a model re-fit to it. The automatic route registers against the
+    // resolved generation (the base dir is superseded) and nprobe = nlist
+    // keeps the routed scan exact — shared fullscan oracle.
+    "q_knn_ivf_compact" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfCompactIndex(s, d)
+        graft.plans.AnnRouting.register(s, s"$d/embeddings.parquet", path, m,
+          vecCol = "embedding", nprobe = m.nlist)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // I9 OPTIMIZE gate, QUANT family: append with the frozen model (codes
     // of drifted vectors clamp), then compact with retrain=true — the
     // model re-fits to the FULL corpus and re-encodes, restoring the
@@ -548,6 +565,41 @@ object VectorQueries {
         marker.createNewFile()
       }
       path
+    })
+
+  // Memoized COMPACTED IVF index per sfDir: build(90%) under a model
+  // trained on the 90%, appendToIndex(10%) with that frozen model, then
+  // Ivf.compact(retrain = true) into a manifest-committed generation. A
+  // marker records completion; a later process re-trains over the
+  // compacted corpus instead of redoing the lifecycle. The re-derived
+  // model may differ from the committed one in k-means fold order, but
+  // the gate registers nprobe = nlist, which probes EVERY list — exact
+  // for any model; model identity only moves probe economy.
+  private val ivfCompactCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Ivf.Model, String)]
+
+  private def ivfCompactIndex(s: SparkSession, d: String): (Ivf.Model, String) =
+    ivfCompactCache.getOrElseUpdate(d, {
+      val parent = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivfcomp"
+      val path = s"$parent/embeddings"
+      val marker = new java.io.File(parent, "_GRAFT_COMPACT_OK")
+      val m =
+        if (marker.isFile) {
+          // deterministic re-derivation: same corpus, same training path
+          val corpus = s.read.parquet(
+            graft.index.SecondaryIndex.resolve(s, path)).drop("ivf_cluster")
+          Ivf.train(corpus, "embedding", nlist = 16)
+        } else {
+          fsDelete(s, parent)
+          val (build, append) = segSplit(t(s, d, "embeddings"))
+          val m0 = Ivf.train(build, "embedding", nlist = 16)
+          Ivf.buildIndex(build, "embedding", m0, path)
+          Ivf.appendToIndex(append, "embedding", m0, path)
+          val m2 = Ivf.compact(s, path, "embedding", m0, retrain = true)
+          marker.createNewFile()
+          m2
+        }
+      (m, path)
     })
 
   // Memoized COMPACTED int8 table per sfDir: build(90%) with a model
