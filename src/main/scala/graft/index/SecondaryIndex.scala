@@ -77,6 +77,7 @@ object SecondaryIndex {
 
   def build(df: DataFrame, valueCol: String, keyCol: String,
             path: String, files: Int = 1): Unit = {
+    requireNotManifestManaged(df.sparkSession, path)
     graft.tables.Writer.write(postings(df, valueCol, keyCol), path,
       sortBy = Seq("value", "chunk"), files = files)
     // an in-place REBUILD invalidates any routing entry that cached the
@@ -257,6 +258,23 @@ object SecondaryIndex {
   private[graft] val SupersededMarker = "_GRAFT_SUPERSEDED"
 
   private def manifestDir(indexPath: String): String = indexPath + "_manifest"
+
+  /** Fail-fast guard for in-place REBUILDS: once an index is
+    * manifest-managed, its base dir is dead — [[resolve]] serves the
+    * committed generation, so a fresh build written at the base path would
+    * be silently INVISIBLE to every reader (worse than an error: queries
+    * keep answering from the pre-rebuild data). Shared by the secondary,
+    * IVF and clustered-graph builders. */
+  private[graft] def requireNotManifestManaged(
+      spark: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(manifestVersions(fs, indexPath).isEmpty,
+      s"$indexPath is manifest-managed (committed generations exist): an " +
+        "in-place rebuild at the base path would be invisible to readers. " +
+        "Use the family's compact (appendSegment/appendToIndex + compact) " +
+        "or build under a new path.")
+  }
 
   /** Manifest versions, newest first. */
   private[graft] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,

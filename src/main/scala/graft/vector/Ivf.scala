@@ -128,6 +128,9 @@ object Ivf {
     * prune files. */
   def buildIndex(df: DataFrame, vecCol: String, m: Model, path: String,
                  files: Int = 4): Unit = {
+    // a rebuild at the base path of a [[compact]]-managed index would be
+    // invisible to readers (they resolve to the committed generation)
+    graft.index.SecondaryIndex.requireNotManifestManaged(df.sparkSession, path)
     graft.tables.Writer.write(assign(df, vecCol, m), path,
       sortBy = Seq("ivf_cluster"), files = files)
     // a REBUILT index invalidates any routing entry that cached the old

@@ -103,6 +103,12 @@ class CompactCommitSpec extends AnyFunSuite {
       SecondaryIndex.compact(spark, d)
     }
 
+    // ...and so does an in-place rebuild at the dead base path (r12): it
+    // would be invisible to readers, who resolve to the live generation
+    intercept[IllegalArgumentException] {
+      SecondaryIndex.build(rows.toDF("value", "key"), "value", "key", d)
+    }
+
     // orphan sweep (review r9): a crash between a PAST commit and its
     // cleanup leaves generations the next compact's `cur` would never
     // revisit — recreate that state and verify the sweep clears ALL of it

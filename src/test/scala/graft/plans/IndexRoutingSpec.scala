@@ -565,7 +565,9 @@ class IndexRoutingSpec extends AnyFunSuite {
         .filter($"s" >= "k0500" && $"s" <= "k0509").select($"id")
       assert(semiJoins(cold) == 1, cold.queryExecution.optimizedPlan.toString)
       assert(cold.as[Long].collect().toSet === (500L to 509L).toSet)
-    } finally IndexRouting.clear()
+      // unregister ONLY this test's base — clear() would wipe the suite's
+      // shared registrations for every later test
+    } finally IndexRouting.unregister(SparkT.spark, hbase)
   }
 
   test("count picks the index with the fewest rows when two serve (r10)") {
@@ -898,7 +900,9 @@ class IndexRoutingSpec extends AnyFunSuite {
       assert(semiJoins(qd) == 1)
       assert(qd.as[(Long, Long)].collect().toSeq ===
         (4195L to 4186L by -1L).map(i => (i, i)))
-    } finally IndexRouting.clear()
+      // unregister ONLY this test's base (clear() is reserved for the
+      // suite-final tests — it wipes the shared registrations)
+    } finally IndexRouting.unregister(SparkT.spark, b2)
   }
 
   test("Derived.registerIndexes: one call makes the whole catalog plan-automatic") {

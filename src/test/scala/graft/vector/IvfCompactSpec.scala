@@ -101,5 +101,12 @@ class IvfCompactSpec extends AnyFunSuite {
       graft.plans.AnnRouting.register(spark, bdir, d, m3, "embedding",
         nprobe = m3.nlist)
     } finally graft.plans.AnnRouting.unregister(spark, bdir)
+
+    // an in-place rebuild at the dead base path must fail fast — it would
+    // be invisible to readers, who resolve to the committed generation
+    val e = intercept[IllegalArgumentException] {
+      Ivf.buildIndex(base.toDF("vec_id", "embedding"), "embedding", m3, d)
+    }
+    assert(e.getMessage.contains("manifest-managed"), e.getMessage)
   }
 }
