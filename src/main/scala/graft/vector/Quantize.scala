@@ -377,7 +377,43 @@ object Quantize {
     * entry). */
   def compact(spark: org.apache.spark.sql.SparkSession, quantPath: String,
               vecCol: String, qCol: String, sortBy: Seq[String],
-              m: QModel, retrain: Boolean = false): QModel = {
+              m: QModel, retrain: Boolean = false): QModel =
+    compactImpl(spark, quantPath, qCol, sortBy) { base =>
+      val m2 = if (retrain) train(base, vecCol) else m
+      (quantizeTable(base, vecCol, qCol, m2), m2)
+    }
+
+  /** [[compact]] for the 4-bit family (same swap + retrain semantics). */
+  def compact4(spark: org.apache.spark.sql.SparkSession, quantPath: String,
+               vecCol: String, qCol: String, sortBy: Seq[String],
+               m: Q4Model, retrain: Boolean = false): Q4Model =
+    compactImpl(spark, quantPath, qCol, sortBy) { base =>
+      val m2 = if (retrain) train4(base, vecCol) else m
+      (quantize4Table(base, vecCol, qCol, m2), m2)
+    }
+
+  /** [[compact]] for the binary family (same swap + retrain semantics —
+    * retraining re-centers the per-dim sign thresholds on the full
+    * corpus's means, restoring screen selectivity after drifted appends). */
+  def compactBinary(spark: org.apache.spark.sql.SparkSession,
+                    quantPath: String, vecCol: String, bCol: String,
+                    sortBy: Seq[String], m: BModel,
+                    retrain: Boolean = false): BModel =
+    compactImpl(spark, quantPath, bCol, sortBy) { base =>
+      val m2 = if (retrain) trainBinary(base, vecCol) else m
+      (binarizeTable(base, vecCol, bCol, m2), m2)
+    }
+
+  /** Shared rename-swap core of the three compacts: `reencode` maps the
+    * bare corpus (current table minus its code column) to the re-encoded
+    * table + serving model. The swap is the scheme of
+    * [[graft.index.SecondaryIndex.compact]]: the table exists at SOME path
+    * at every instant, and a crash between the renames leaves it intact
+    * at `<path>_old`. */
+  private def compactImpl[M](spark: org.apache.spark.sql.SparkSession,
+                             quantPath: String, qCol: String,
+                             sortBy: Seq[String])
+                            (reencode: DataFrame => (DataFrame, M)): M = {
     val tmp = quantPath + "_compacting"
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(quantPath)
@@ -388,10 +424,8 @@ object Quantize {
     if (!fs.exists(dst) && fs.exists(bak) && !fs.rename(bak, dst))
       throw new java.io.IOException(
         s"table missing at $quantPath and backup restore from $bak failed")
-    val base = spark.read.parquet(quantPath).drop(qCol)
-    val m2 = if (retrain) train(base, vecCol) else m
-    graft.tables.Writer.write(quantizeTable(base, vecCol, qCol, m2), tmp,
-      sortBy = sortBy)
+    val (encoded, m2) = reencode(spark.read.parquet(quantPath).drop(qCol))
+    graft.tables.Writer.write(encoded, tmp, sortBy = sortBy)
     fs.delete(bak, true)
     if (!fs.rename(dst, bak))
       throw new java.io.IOException(s"could not back up $quantPath for swap")

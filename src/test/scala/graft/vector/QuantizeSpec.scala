@@ -134,6 +134,58 @@ class QuantizeSpec extends AnyFunSuite {
     assert(post === exact)
   }
 
+  test("4-bit and binary families: append with frozen model, compact retrains (I9 r12)") {
+    val q = emb.where($"vec_id" === 0).select("embedding").as[Seq[Float]]
+      .head().toArray
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val build = emb.filter($"vec_id" % 10 =!= 7)
+    val later = emb.filter($"vec_id" % 10 === 7)
+
+    // 4-bit: build(90%) → appendSegment4 → compact4(retrain)
+    val p4 = java.nio.file.Files.createTempDirectory("graft-q4seg")
+      .resolve("q4t").toString
+    val m4 = Quantize.train4(build, "embedding")
+    graft.tables.Writer.write(
+      Quantize.quantize4Table(build, "embedding", "q4vec", m4), p4,
+      sortBy = Seq("vec_id"))
+    Quantize.appendSegment4(later, "embedding", "q4vec", p4, m4)
+    val mid4 = Quantize.searchRescore4(SparkT.spark.read.parquet(p4),
+        "embedding", "q4vec", "vec_id", m4, q, 10, refine = 24)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mid4 === exact)
+    val m4b = Quantize.compact4(SparkT.spark, p4, "embedding", "q4vec",
+      Seq("vec_id"), m4, retrain = true)
+    val full4 = Quantize.train4(emb, "embedding")
+    assert(m4b.mins.toSeq === full4.mins.toSeq)
+    assert(m4b.maxs.toSeq === full4.maxs.toSeq)
+    val post4 = Quantize.searchRescore4(SparkT.spark.read.parquet(p4),
+        "embedding", "q4vec", "vec_id", m4b, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(post4 === exact)
+
+    // binary: build(90%) → appendSegmentBinary → compactBinary(retrain)
+    val pb = java.nio.file.Files.createTempDirectory("graft-qbseg")
+      .resolve("qbt").toString
+    val mb = Quantize.trainBinary(build, "embedding")
+    graft.tables.Writer.write(
+      Quantize.binarizeTable(build, "embedding", "bvec", mb), pb,
+      sortBy = Seq("vec_id"))
+    Quantize.appendSegmentBinary(later, "embedding", "bvec", pb, mb)
+    val midB = Quantize.searchHammingRescore(SparkT.spark.read.parquet(pb),
+        "embedding", "bvec", "vec_id", mb, q, 10, refine = 32)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(midB === exact)
+    val mbb = Quantize.compactBinary(SparkT.spark, pb, "embedding", "bvec",
+      Seq("vec_id"), mb, retrain = true)
+    val fullB = Quantize.trainBinary(emb, "embedding")
+    assert(mbb.thresholds.toSeq === fullB.thresholds.toSeq)
+    val postB = Quantize.searchHammingRescore(SparkT.spark.read.parquet(pb),
+        "embedding", "bvec", "vec_id", mbb, q, 10, refine = 32)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(postB === exact)
+  }
+
   test("zero-range dimensions quantize without dividing by zero") {
     val df = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(1.0f, 7.0f))).toDF("id", "v")
     val m = Quantize.train(df, "v")
