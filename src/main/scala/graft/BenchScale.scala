@@ -39,7 +39,12 @@ object BenchScale {
     "q_pipeline_e2e", "q_dedup_near", "q_dedup_simhash", "q_text_tfidf",
     "q_mjoin_region", "q_mjoin_pricing", "q_join_large", "q_percentile",
     "q_knn_adaptive", "q_knn_filtered_ivf",
-    "q_knn_filtered_graph_auto", "q_index_auto_or_cross")
+    "q_knn_filtered_graph_auto", "q_index_auto_or_cross",
+    // r12: the event-time operators — the band join's bucket fanout and
+    // the as-of join's union+window are exactly the shapes that would go
+    // quadratic if mis-keyed (replicas are disjoint in user_id AND in
+    // event time, so per-replica join structure matches the original)
+    "q_join_asof", "q_join_range")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L
@@ -85,6 +90,29 @@ object BenchScale {
           else replicate(base, factor, keys, texts)
         graft.tables.Writer.write(scaled, path, sortBy = Seq(sortKey),
           files = files)
+      }
+    }
+    // events: ids shift like any key, and each replica's EVENT TIME shifts
+    // by a year — far beyond any band width or session gap — so the
+    // per-replica temporal structure (neighbor counts, as-of matches,
+    // windows, sessions) is identical to the original. Without the time
+    // shift, 10× density in the same span would grow band-join pairs
+    // quadratically — a property of replicated data, not of the engine
+    // (the Caesar-shift trick's temporal analog).
+    locally {
+      val path = s"$dst/events.parquet"
+      val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val base = spark.read.parquet(s"$src/events.parquet")
+        val scaled = (0 until factor).map { i =>
+          base
+            .withColumn("event_id", col("event_id") + lit(i * Off))
+            .withColumn("user_id", col("user_id") + lit(i * Off))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 366} DAYS"))
+        }.reduce(_ unionByName _)
+        graft.tables.Writer.write(scaled, path, sortBy = Seq("event_id"),
+          files = 4)
       }
     }
   }

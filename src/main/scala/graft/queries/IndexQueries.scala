@@ -200,6 +200,25 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_custkey FROM orders " +
         "ORDER BY o_custkey, o_orderkey LIMIT 100")),
 
+    // The same sorted-retrieval shape over a SEGMENTED index (r12): the
+    // route re-merges (value, chunk) groups split across segment files
+    // before taking the prefix (the reference's value-sorted runs survive
+    // segment merges, secondary/builder.cpp:314-461). events is the one
+    // base with no competing canonical index, so this gate exercises the
+    // merge path deterministically regardless of registration order.
+    "q_index_auto_topk_seg" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "events_uid_idx_seg")
+        graft.plans.IndexRouting.register(s, s"$d/events.parquet", idxPath,
+          "user_id", "event_id")
+        t(s, d, "events")
+          .orderBy(col("user_id").asc, col("event_id").asc)
+          .limit(100)
+          .select(col("event_id"), col("user_id"))
+      },
+      Some("SELECT event_id, user_id FROM events " +
+        "ORDER BY user_id, event_id LIMIT 100")),
+
     // H4 via index, AUTOMATICALLY ROUTED: a plain groupBy(col).count()
     // over the registered table lowers to the index-only (value, sum(cnt))
     // facet — the postings counts ARE the dictionary the reference's

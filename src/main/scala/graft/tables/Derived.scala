@@ -168,6 +168,20 @@ object Derived {
     }, Seq(IndexMeta("", "orders", factIsDerived = false,
       "o_orderpriority", "o_orderkey", segmented = true))),
 
+    // SEGMENTED numeric index on events.user_id (r12): the sorted-retrieval
+    // route must survive segment splits — events is the one base table
+    // with NO other registered index, so the topk gate deterministically
+    // exercises the split-group merge instead of the fewest-rows canonical
+    // sibling the registry would otherwise prefer.
+    "events_uid_idx_seg" -> Entry((spark, sfDir, path) => {
+      val ev = graft.engine.Graft.table(spark, sfDir, "events")
+      graft.index.SecondaryIndex.build(
+        ev.filter(col("event_id") % 2 === 0), "user_id", "event_id", path)
+      graft.index.SecondaryIndex.appendSegment(
+        ev.filter(col("event_id") % 2 === 1), "user_id", "event_id", path)
+    }, Seq(IndexMeta("", "events", factIsDerived = false,
+      "user_id", "event_id", segmented = true))),
+
     // Numeric secondary index on orders.o_custkey (I3 value-RANGE lookups:
     // the value-sorted layout lets an interval predicate prune files/row
     // groups by value min/max). 4 files so the range actually skips whole
