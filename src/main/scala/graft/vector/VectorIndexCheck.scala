@@ -36,6 +36,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * model after retrain-compact, a truncated row — shows as inequality),
   * plus id uniqueness and optional fact reconciliation.
   *
+  * IVF family (r12): stored assignments must equal a model re-assign
+  * through the same kernel, cluster ids in bounds, id uniqueness, fact
+  * reconciliation — resolved through the manifest so a compact-managed
+  * index checks its live generation.
+  *
   * All passes are distributed aggregations/joins over INDEX-sized data;
   * the driver sees counts and bounded samples.
   */
@@ -230,6 +235,63 @@ object VectorIndexCheck {
         issues += s"$ec quantized-table ids absent from the fact table: ${sample(extra.take(SampleN))}"
     }
     Report(path, rows, issues.toSeq)
+  }
+
+  /** IVF family ([[Ivf.buildIndex]] layout): every stored `ivf_cluster`
+    * must equal the model's nearest-centroid assignment of the stored
+    * vector, re-derived through the SAME [[Ivf.assign]] kernel (identical
+    * tie resolution) — a stale model after a retrain-compact, bit rot, or
+    * a mixed directory all surface as assignment drift, which silently
+    * mis-prunes probes; plus cluster-id bounds, id uniqueness, and
+    * optional fact reconciliation. Reads through the manifest resolution,
+    * so a [[Ivf.compact]]-managed index checks its LIVE generation. */
+  def checkIvf(spark: SparkSession, indexPath: String, vecCol: String,
+               idCol: String, m: Ivf.Model,
+               fact: Option[(DataFrame, String)] = None): Report = {
+    import spark.implicits._
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    val live = graft.index.SecondaryIndex.resolve(spark, indexPath)
+    val t = spark.read.parquet(live)
+    val rows = t.count()
+    val oob = t.filter(col("ivf_cluster") < 0 ||
+        col("ivf_cluster") >= m.nlist)
+      .select(col(idCol).cast("long")).as[Long]
+    val oc = oob.count()
+    if (oc > 0)
+      issues += s"$oc rows with ivf_cluster outside [0, ${m.nlist}): " +
+        s"ids ${sample(oob.take(SampleN))}"
+    val re = Ivf.assign(t.drop("ivf_cluster"), vecCol, m)
+      .select(col(idCol).cast("long").as("__id"),
+        col("ivf_cluster").as("__re"))
+    val drift = t.select(col(idCol).cast("long").as("__id"),
+        col("ivf_cluster").cast("long").as("__st"))
+      .join(re, Seq("__id"))
+      .filter(col("__st") =!= col("__re"))
+      .select(col("__id")).as[Long]
+    val dc = drift.count()
+    if (dc > 0)
+      issues += s"$dc stored ivf_cluster assignments disagree with the " +
+        s"model re-assign: ids ${sample(drift.take(SampleN))}"
+    val dupIds = t.groupBy(col(idCol)).count().filter(col("count") > 1)
+      .select(col(idCol).cast("long")).as[Long]
+    val dupc = dupIds.count()
+    if (dupc > 0)
+      issues += s"$dupc duplicate $idCol values: ${sample(dupIds.take(SampleN))}"
+    fact.foreach { case (f, fid) =>
+      val fids = f.select(col(fid).cast("long").as("__fid"))
+      val tids = t.select(col(idCol).cast("long").as("__fid"))
+      val missing = fids.join(tids, Seq("__fid"), "left_anti").as[Long]
+      val mc = missing.count()
+      if (mc > 0)
+        issues += s"$mc fact ids missing from the IVF index: " +
+          s"${sample(missing.take(SampleN))}"
+      val extra = tids.join(fids, Seq("__fid"), "left_anti").as[Long]
+      val ec = extra.count()
+      if (ec > 0)
+        issues += s"$ec IVF-index ids absent from the fact table: " +
+          s"${sample(extra.take(SampleN))}"
+    }
+    Report(live, rows, issues.toSeq)
   }
 
   /** int8 family ([[Quantize.quantizeTable]]). */

@@ -209,4 +209,53 @@ class VectorIndexCheckSpec extends AnyFunSuite {
     assert(r.issues.exists(_.contains("disagree with the model re-encode")),
       r.issues)
   }
+
+  test("IVF family: healthy passes; assignment drift, oob cluster, dup id, fact drift caught") {
+    val m = Ivf.train(emb, "embedding", nlist = 8)
+    val path = writeTable(Ivf.assign(emb, "embedding", m))
+    val ok = VectorIndexCheck.checkIvf(SparkT.spark, path, "embedding",
+      "vec_id", m, fact = Some((emb, "vec_id")))
+    assert(ok.ok, ok.issues.mkString("; "))
+    assert(ok.rows === 500)
+    val t = SparkT.spark.read.parquet(path)
+    // one row re-assigned to a DIFFERENT (in-bounds) cluster: the stale-
+    // model / bit-rot shape the re-assign pass exists for
+    val drift = writeTable(t.withColumn("ivf_cluster",
+      when(col("vec_id") === 3L,
+        pmod(col("ivf_cluster") + 1, lit(m.nlist.toLong)))
+        .otherwise(col("ivf_cluster"))))
+    val r1 = VectorIndexCheck.checkIvf(SparkT.spark, drift, "embedding",
+      "vec_id", m)
+    assert(r1.issues.exists(_.contains("disagree with the model re-assign")),
+      r1.issues)
+    // out-of-bounds cluster id (also drifts, but must be named as oob)
+    val oob = writeTable(t.withColumn("ivf_cluster",
+      when(col("vec_id") === 3L, lit(99L)).otherwise(col("ivf_cluster"))))
+    val r2 = VectorIndexCheck.checkIvf(SparkT.spark, oob, "embedding",
+      "vec_id", m)
+    assert(r2.issues.exists(_.contains("outside [0, 8)")), r2.issues)
+    // duplicated id
+    val dup = writeTable(t.union(t.filter(col("vec_id") === 3)))
+    val r3 = VectorIndexCheck.checkIvf(SparkT.spark, dup, "embedding",
+      "vec_id", m)
+    assert(r3.issues.exists(_.contains("duplicate")), r3.issues)
+    // stale vs fact, both directions
+    val part = writeTable(t.filter(col("vec_id") =!= 3))
+    val r4 = VectorIndexCheck.checkIvf(SparkT.spark, part, "embedding",
+      "vec_id", m, fact = Some((emb, "vec_id")))
+    assert(r4.issues.exists(_.contains("fact ids missing")), r4.issues)
+    val r5 = VectorIndexCheck.checkIvf(SparkT.spark, path, "embedding",
+      "vec_id", m, fact = Some((emb.filter($"vec_id" =!= 3), "vec_id")))
+    assert(r5.issues.exists(_.contains("absent from the fact table")), r5.issues)
+    // a compact-managed index is checked at its LIVE generation (the dead
+    // base path would throw on read)
+    val cdir = Files.createTempDirectory("graft-vcheck-ivfc").resolve("i").toString
+    Ivf.buildIndex(emb, "embedding", m, cdir)
+    val m2 = Ivf.compact(SparkT.spark, cdir, "embedding", m)
+    Ivf.compact(SparkT.spark, cdir, "embedding", m2) // sweeps the base dir
+    val r6 = VectorIndexCheck.checkIvf(SparkT.spark, cdir, "embedding",
+      "vec_id", m2, fact = Some((emb, "vec_id")))
+    assert(r6.ok, r6.issues.mkString("; "))
+    assert(r6.path.contains("__g"), r6.path)
+  }
 }
