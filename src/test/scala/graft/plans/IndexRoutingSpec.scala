@@ -905,6 +905,49 @@ class IndexRoutingSpec extends AnyFunSuite {
     } finally IndexRouting.unregister(SparkT.spark, b2)
   }
 
+  test("property: segmented top-k equals brute force over random splits/keys/k (r12)") {
+    val rnd = new scala.util.Random(907)
+    val tmp = Files.createTempDirectory("graft-idxtopk-prop")
+    try (1 to 8).foreach { trial =>
+      val b = tmp.resolve(s"b$trial").toString
+      val ix = tmp.resolve(s"i$trial").toString
+      val n = 500 + rnd.nextInt(1500)
+      // values skew-heavy (some hot values spanning chunks) + NULLs; keys
+      // spread over several 1024-chunks so splits cross chunk boundaries
+      val rows = (0 until n).map { i =>
+        val key = i.toLong * 8 + rnd.nextInt(8) // unique: disjoint ranges
+        val v = if (rnd.nextInt(20) == 0) None
+                else Some(rnd.nextInt(1 + rnd.nextInt(12)).toLong)
+        (key, v)
+      }
+      Writer.write(rows.toDF("id", "v"), b, sortBy = Seq("id"))
+      val rd = SparkT.spark.read.parquet(b)
+      val nSeg = 2 + rnd.nextInt(2)
+      SecondaryIndex.build(rd.filter($"id" % nSeg === 0), "v", "id", ix)
+      (1 until nSeg).foreach(s =>
+        SecondaryIndex.appendSegment(rd.filter($"id" % nSeg === s), "v", "id", ix))
+      IndexRouting.register(SparkT.spark, b, ix, "v", "id")
+      try {
+        val k = 1 + rnd.nextInt(20)
+        val asc = rnd.nextBoolean()
+        val q =
+          if (asc) rd.orderBy($"v".asc, $"id".asc).limit(k)
+          else rd.orderBy($"v".desc_nulls_last, $"id".desc).limit(k)
+        val got = q.select($"id").as[Long].collect().toSeq
+        implicit val ord: Ordering[Option[Long]] =
+          Ordering.Option(Ordering.Long) // None (NULL) first, Spark's asc default
+        val want =
+          if (asc) rows.sortBy { case (id, v) => (v, id) }.take(k).map(_._1)
+          else rows.sortBy { case (id, v) => (v, id) }.reverse
+            .sortBy { case (_, v) => v.isEmpty } // nulls last under desc
+            .take(k).map(_._1)
+        assert(semiJoins(q.select($"id")) == 1,
+          s"trial $trial k=$k asc=$asc did not route")
+        assert(got === want, s"trial $trial k=$k asc=$asc nSeg=$nSeg")
+      } finally IndexRouting.unregister(SparkT.spark, b)
+    } finally ()
+  }
+
   test("Derived.registerIndexes: one call makes the whole catalog plan-automatic") {
     val sfDir = "/root/testdata/sf0.001"
     try {
