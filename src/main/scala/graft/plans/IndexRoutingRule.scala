@@ -206,7 +206,31 @@ object IndexRouting {
   def unregister(spark: SparkSession, basePath: String): Unit =
     reg.remove(qualify(spark, basePath))
 
-  def clear(): Unit = reg.clear()
+  def clear(): Unit = { reg.clear(); droppedKeys.clear() }
+
+  // Registration keys whose entries a maintenance invalidation dropped —
+  // everything needed to replay the registration against the mutated
+  // files. Keyed by QUALIFIED index path so a second mutation just
+  // overwrites.
+  private val droppedKeys = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), (String, String, String, String, Boolean)]
+
+  /** Replay the registrations that maintenance invalidated — the
+    * reference daemon's behavior (RT inserts keep the column's index
+    * serving; each segment carries its postings): after
+    * `appendSegment`/`compact`, ONE call re-derives stats (ndv, bounds,
+    * histogram, canonical flag) from the live files and resumes routing.
+    * A streaming `foreachBatch` ingest calls this per batch to keep the
+    * automatic paths alive continuously. Safe to call at any time —
+    * replayed keys race mutations through the same epoch guard as any
+    * register, and a key whose replay is beaten by a newer mutation is
+    * simply re-dropped (and re-remembered) by that mutation. */
+  def reregisterDropped(spark: SparkSession): Unit =
+    droppedKeys.keys.toSeq.foreach { k =>
+      droppedKeys.remove(k).foreach { case (b, i, v, kc, mva) =>
+        register(spark, b, i, v, kc, mva = mva)
+      }
+    }
 
   /** Invalidation hook for index MAINTENANCE ([[graft.index.SecondaryIndex]]
     * calls this from build / appendSegment / compact / compactManifest):
@@ -227,8 +251,11 @@ object IndexRouting {
     reg.synchronized {
       epochs.put(q, epochs.getOrElse(q, 0L) + 1L)
       reg.foreach { case (base, entries) =>
-        val keep = entries.filterNot(r => qualify(spark, r.indexPath) == q)
-        if (keep.size != entries.size) {
+        val (gone, keep) =
+          entries.partition(r => qualify(spark, r.indexPath) == q)
+        gone.foreach(r => droppedKeys.put((base, q, r.valueCol),
+          (r.basePath, r.indexPath, r.valueCol, r.keyCol, r.mva)))
+        if (gone.nonEmpty) {
           if (keep.isEmpty) reg.remove(base) else reg.put(base, keep)
         }
       }

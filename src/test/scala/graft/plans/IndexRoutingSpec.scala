@@ -376,6 +376,44 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(semiJoins(q) == 1)
   }
 
+  test("reregisterDropped replays maintenance-invalidated registrations (r12)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-rereg")
+    val rbase = tmp.resolve("rb").toString
+    val ridx = tmp.resolve("ri").toString
+    val r1 = (0L until 1000L).map(i => (i, i % 500))
+    Writer.write(r1.toDF("id", "v"), rbase, sortBy = Seq("id"))
+    SecondaryIndex.build(SparkT.spark.read.parquet(rbase), "v", "id", ridx)
+    IndexRouting.register(SparkT.spark, rbase, ridx, "v", "id")
+    def q = SparkT.spark.read.parquet(rbase).filter($"v" === 10L).select($"id")
+    try {
+      assert(semiJoins(q) == 1)
+      // ingest batch: fact + index segment append → entry dropped
+      val r2 = (1000L until 1200L).map(i => (i, i % 500))
+      r2.toDF("id", "v").write.mode("append").parquet(rbase)
+      SecondaryIndex.appendSegment(r2.toDF("id", "v"), "v", "id", ridx)
+      assert(semiJoins(q) == 0)
+      // the reference-daemon behavior: one metadata-only call resumes
+      // routing with stats re-derived from the live files — no caller-side
+      // bookkeeping of (base, index, columns)
+      IndexRouting.reregisterDropped(SparkT.spark)
+      assert(semiJoins(q) == 1)
+      assert(q.as[Long].collect().toSet === Set(10L, 510L, 1010L))
+      // idempotent when nothing is pending
+      IndexRouting.reregisterDropped(SparkT.spark)
+      assert(semiJoins(q) == 1)
+      // a second maintenance round drops and replays again (the per-batch
+      // streaming-ingest loop shape)
+      val r3 = (1200L until 1300L).map(i => (i, i % 500))
+      r3.toDF("id", "v").write.mode("append").parquet(rbase)
+      SecondaryIndex.appendSegment(r3.toDF("id", "v"), "v", "id", ridx)
+      assert(semiJoins(q) == 0)
+      IndexRouting.reregisterDropped(SparkT.spark)
+      assert(semiJoins(q) == 1)
+      // r3's ids (1200-1299) all hash to v in 200-299 — no new v=10 row
+      assert(q.as[Long].collect().toSet === Set(10L, 510L, 1010L))
+    } finally IndexRouting.unregister(SparkT.spark, rbase)
+  }
+
   test("registration resolves manifest-managed indexes (review r9)") {
     val tmp = Files.createTempDirectory("graft-idxroute-manif")
     val mbase = tmp.resolve("fb").toString
