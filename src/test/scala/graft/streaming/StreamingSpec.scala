@@ -153,23 +153,39 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming ingest maintains a secondary index via per-batch segment appends (I9)") {
-    // The RT-index flow: every micro-batch appends its postings as an
-    // index segment (foreachBatch = the engine's ingest hook); lookups are
-    // correct after each batch without compaction.
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx")
-      .resolve("idx").toString
+    // The RT-index flow: every micro-batch appends the fact rows AND their
+    // postings as an index segment (foreachBatch = the engine's ingest
+    // hook), then replays any maintenance-dropped registration — so the
+    // AUTOMATIC routing stays live across batches, the reference daemon's
+    // RT-insert behavior. Lookups are correct after each batch without
+    // compaction.
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-idx")
+    val fact = root.resolve("fact").toString
+    val dir = root.resolve("idx").toString
     val in = MemoryStream[EvId]
     val q = in.toDF()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(fact)
           graft.index.SecondaryIndex.appendSegment(batch, "user_id",
             "event_id", dir)
+          graft.plans.IndexRouting.reregisterDropped(batch.sparkSession)
+        }
       }
       .start()
+    def semiJoins(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.size
+    }
     try {
       in.addData(EvId(1, 10, ts(1), 1.0), EvId(2, 20, ts(2), 1.0))
       q.processAllAvailable()
+      // register once after the first batch; later batches keep it alive
+      graft.plans.IndexRouting.register(SparkT.spark, fact, dir,
+        "user_id", "event_id")
       in.addData(EvId(3, 10, ts(3), 1.0), EvId(4, 30, ts(4), 1.0))
       q.processAllAvailable()
       val got = graft.index.SecondaryIndex.lookupKeys(SparkT.spark, dir,
@@ -177,12 +193,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Set(1L, 3L)) // user 10's events across both batches
       assert(graft.index.SecondaryIndex.calcCount(SparkT.spark, dir,
         Seq(10L, 30L)) === 3L)
+      // the batch-2 append dropped the entry; the in-stream replay
+      // re-registered it — a plain filter over the fact table ROUTES and
+      // sees both batches (threshold widened: at 4 rows the 1/ndv
+      // estimate is 1/3, above the production gate)
+      SparkT.spark.conf.set("spark.graft.index.routeThreshold", "0.5")
+      try {
+        val routed = SparkT.spark.read.parquet(fact)
+          .filter(org.apache.spark.sql.functions.col("user_id") === 10L)
+          .select("event_id")
+        assert(semiJoins(routed) == 1,
+          routed.queryExecution.optimizedPlan.toString)
+        assert(routed.as[Long].collect().toSet === Set(1L, 3L))
+      } finally SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
       // compaction restores the canonical layout under the checker
       graft.index.SecondaryIndex.compact(SparkT.spark, dir)
       assert(graft.index.IndexCheck.check(SparkT.spark, dir).ok)
       assert(graft.index.SecondaryIndex.lookupKeys(SparkT.spark, dir,
         Seq(10L)).as[Long].collect().toSet === Set(1L, 3L))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.plans.IndexRouting.unregister(SparkT.spark, fact)
+    }
   }
 
   test("embedding stage runs inside a stream (stateless mapPartitions per micro-batch)") {
