@@ -211,12 +211,16 @@ object Embeddings {
             s"vectors for $expected inputs")
       (0 until expected).map { i =>
         val emb = data.get(i).get("embedding")
-        if (emb == null || !emb.isArray || emb.size() != dim)
+        // dim <= 0 = UNPINNED (ModelRegistry's discovery probe): accept any
+        // per-vector dimension here; the registry infers + pins from the
+        // result and every later batch goes through a pinned instance.
+        if (emb == null || !emb.isArray || (dim > 0 && emb.size() != dim))
           throw new IllegalStateException(
             s"embedding $i has dimension ${if (emb == null) "none" else emb.size()}, expected $dim")
-        val v = new Array[Float](dim)
+        val width = if (dim > 0) dim else emb.size()
+        val v = new Array[Float](width)
         var j = 0
-        while (j < dim) {
+        while (j < width) {
           val el = emb.get(j)
           // JsonNode.floatValue() returns 0.0 for non-numeric nodes — the
           // silent zero-vector this whole error policy exists to prevent
@@ -318,15 +322,22 @@ object Embeddings {
     * with header/dimension validation at load. Inference is the token-
     * count × projection kernel of [[RandomProjectionProvider]], reading
     * the weights from the artifact instead of deriving them from a seed. */
+  /** `maxInputLen` (tokens), when set, pre-truncates each text to
+    * `maxInputLen * 8` UTF-8 bytes before the token loop — the reference's
+    * local models guard their tokenizer the same way
+    * (local.rs:1011 `pre_truncate_text`, utils.rs:4-19); None preserves the
+    * full text (the oracle-compared gate path). */
   final case class LocalModelProvider(modelPath: String, dim: Int,
-                                      normalize: Boolean = false)
+                                      normalize: Boolean = false,
+                                      maxInputLen: Option[Int] = None)
       extends TextToEmbeddings {
     @transient private lazy val weights: Array[Array[Float]] =
       LocalModel.load(modelPath, dim)
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
       val w = weights
       val vocabDim = w.length
-      texts.map { t =>
+      texts.map { t0 =>
+        val t = maxInputLen.fold(t0)(ModelRegistry.preTruncate(t0, _))
         val counts = scala.collection.mutable.LongMap.empty[Int]
         t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
           val b = hashBucket(tok, vocabDim)
