@@ -245,9 +245,36 @@ object Embeddings {
   object LocalModel {
     private val Magic = 0x47524654 // "GRFT"
 
-    /** Loads performed in this JVM — the spec's load-once instrumentation
-      * (one increment per provider handle, i.e. per partition). */
+    /** Disk loads performed in this JVM — the spec's load-once
+      * instrumentation (one increment per actual artifact read). */
     val loadCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+    /** JVM-wide weight cache: the reference daemon builds ONE model handle
+      * and every worker thread shares it (text_model_wrapper.rs hands a
+      * single `ModelHandle` across the FFI; threads fan in). The Spark
+      * analog is executor-scoped: the first partition to need an artifact
+      * loads it, the other `spark.executor.cores` partitions reuse the
+      * matrix — at 32 cores that is a 32× cut in both load IO and resident
+      * weight memory. `computeIfAbsent` holds concurrent partitions on the
+      * same key, so exactly one disk read happens per (path, dim) per JVM.
+      * Strong references by design (the daemon keeps its model for its
+      * lifetime); [[evictShared]] is the seam for artifact hot-swap. */
+    private val shared =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Float]]]()
+
+    private[embed] def sharedWeights(path: String, expectDim: Int): Array[Array[Float]] =
+      shared.computeIfAbsent((path, expectDim), _ => load(path, expectDim))
+
+    /** Drop a cached artifact (all dims) — call after overwriting the file
+      * so the next handle reloads. Returns how many entries were dropped. */
+    def evictShared(path: String): Int = {
+      val keys = shared.keySet().iterator()
+      var n = 0
+      while (keys.hasNext) {
+        if (keys.next()._1 == path) { keys.remove(); n += 1 }
+      }
+      n
+    }
 
     /** Serialize trained weights to `path` (driver-side, once). */
     def writeArtifact(path: String, weights: Array[Array[Float]]): Unit = {
@@ -317,11 +344,13 @@ object Embeddings {
   /** Local file-backed model provider — the reference's local-inference
     * lifecycle (embeddings/src/model/local.rs behind the mod.rs:65-70
     * trait): the case class ships CONFIG only (path + declared dim); the
-    * weight matrix is loaded lazily ONCE per provider instance — one
-    * warm handle per partition in [[embedStage]], reused across batches —
-    * with header/dimension validation at load. Inference is the token-
-    * count × projection kernel of [[RandomProjectionProvider]], reading
-    * the weights from the artifact instead of deriving them from a seed. */
+    * weight matrix resolves lazily through the EXECUTOR-SHARED cache
+    * ([[LocalModel.sharedWeights]] — one disk load per (path, dim) per
+    * JVM, every partition's handle reuses it, the daemon's
+    * one-model-many-threads shape) with header/dimension validation at
+    * load. Inference is the token-count × projection kernel of
+    * [[RandomProjectionProvider]], reading the weights from the artifact
+    * instead of deriving them from a seed. */
   /** `maxInputLen` (tokens), when set, pre-truncates each text to
     * `maxInputLen * 8` UTF-8 bytes before the token loop — the reference's
     * local models guard their tokenizer the same way
@@ -332,7 +361,7 @@ object Embeddings {
                                       maxInputLen: Option[Int] = None)
       extends TextToEmbeddings {
     @transient private lazy val weights: Array[Array[Float]] =
-      LocalModel.load(modelPath, dim)
+      LocalModel.sharedWeights(modelPath, dim)
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
       val w = weights
       val vocabDim = w.length

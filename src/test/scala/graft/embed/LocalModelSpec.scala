@@ -21,17 +21,27 @@ class LocalModelSpec extends AnyFunSuite {
     p
   }
 
-  test("weights load once per partition and the handle is reused across batches") {
+  test("weights load once per JVM and every partition's handle shares them") {
     val path = artifact()
     val df = (0 until 40).map(i => (i.toLong, s"tok$i alpha beta"))
-      .toDF("id", "text").repartition(2)
+      .toDF("id", "text").repartition(4)
     val before = Embeddings.LocalModel.loadCount.get()
-    // batchSize 4 over 40 rows in 2 partitions: ~10 batches total, but the
-    // lazy handle loads exactly once per partition
+    // batchSize 4 over 40 rows in 4 partitions: ~10 batches, 4 handles —
+    // but ONE disk load: the executor-shared cache is the daemon's
+    // one-model-many-threads lifecycle (text_model_wrapper.rs hands a
+    // single ModelHandle to every caller thread)
     val out = Embeddings.embedStage(df, "text", "e",
         () => Embeddings.LocalModelProvider(path, dim = 8), batchSize = 4)
       .select($"id", $"e").as[(Long, Seq[Float])].collect()
     assert(out.length === 40)
+    assert(Embeddings.LocalModel.loadCount.get() - before === 1L)
+    // a second job over the same artifact reloads nothing
+    Embeddings.embedStage(df, "text", "e",
+      () => Embeddings.LocalModelProvider(path, dim = 8)).collect()
+    assert(Embeddings.LocalModel.loadCount.get() - before === 1L)
+    // eviction (artifact hot-swap seam) forces the next handle to reload
+    assert(Embeddings.LocalModel.evictShared(path) === 1)
+    Embeddings.LocalModelProvider(path, dim = 8).embedBatch(Seq("x"))
     assert(Embeddings.LocalModel.loadCount.get() - before === 2L)
   }
 
