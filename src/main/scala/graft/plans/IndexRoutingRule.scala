@@ -109,10 +109,11 @@ object IndexRouting {
   val HistBuckets = 32
 
   /** Equi-depth histogram boundaries of the index's value stream, captured
-    * at registration for range shapes the numeric span seam cannot
-    * estimate — string/date BETWEEN (the reference's PGM orders ANY type,
-    * so its range estimates are type-generic; vMin/vMax are numeric-only
-    * here). Index-ROW sampling approximates the cnt-weighted distribution
+    * at registration for EVERY range shape — numeric columns too, where it
+    * replaces the uniform-span assumption with the actual distribution
+    * (the reference's PGM orders ANY type and estimates by rank, so its
+    * range estimates are distribution-aware and type-generic).
+    * Index-ROW sampling approximates the cnt-weighted distribution
     * (a value's index-row count tracks its chunk count ≈ its row count);
     * one bounded job, deterministic seed so plans never flip between
     * re-registers. Empty for non-Comparable values or samples too small to
@@ -185,12 +186,12 @@ object IndexRouting {
     val s = idx.agg(aggCols.head, aggCols.tail: _*).head()
     val clustered = !mva &&
       graft.stats.Stats.clusteredBy(basePath, valueCol, hconf)
-    // histogram only for NON-numeric values: rangeEst consults it only
-    // when the numeric span is unavailable, so sampling a numeric index
-    // would be a dead job per registration (review r10)
-    val hist =
-      if (numOpt(s.get(2)).isDefined) Array.empty[Any]
-      else histogram(idx, s.getLong(4))
+    // histogram for EVERY comparable value type: numeric ranges prefer the
+    // rank-based estimate too (the reference's PGM is a rank structure —
+    // its estimates track the actual distribution, not a uniform-span
+    // assumption that a zipfian column breaks), with the span as exact
+    // disjointness evidence and small-index fallback
+    val hist = histogram(idx, s.getLong(4))
     val entry = Registered(q, indexPath, valueCol, keyCol, rows,
       math.max(1L, s.getLong(1)), s.getLong(0),
       numOpt(s.get(2)), numOpt(s.get(3)), idx.queryExecution.analyzed, mva,
@@ -719,10 +720,12 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   //
   // The registration-time analog of EstimateMinMax (columnar.cpp:649-675)
   // + CalcCount (secondary.cpp:774-812): point shapes over stored ndv,
-  // numeric ranges over the value span, NON-numeric ranges over the
-  // equi-depth histogram captured at registration (the reference's PGM
-  // orders any type, so its estimates are type-generic too). None =
-  // un-estimable (conservative: no evidence of selectivity → no route).
+  // ranges over the equi-depth histogram captured at registration (the
+  // reference's PGM is a rank structure over ANY ordered type, so its
+  // estimates are distribution-aware and type-generic — so are these),
+  // with the numeric span supplying exact disjointness and the fallback
+  // for indexes too small to bucket. None = un-estimable (conservative:
+  // no evidence of selectivity → no route).
 
   private def nonNullFrac(r: Registered): Double =
     if (r.rows <= 0) 1.0 else math.min(1.0, r.totalCnt.toDouble / r.rows)
@@ -775,8 +778,15 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     } catch { case _: ClassCastException => None }
   }
 
-  /** Merged-interval range estimate: the numeric span when every present
-    * bound is numeric, else the histogram. */
+  /** Merged-interval range estimate. Preference order:
+    *  1. exact-zero from the span — vMin/vMax are EXACT aggregation
+    *     results, so a range disjoint from [vMin, vMax] matches nothing
+    *     regardless of distribution;
+    *  2. the equi-depth histogram — rank-based, so it tracks the actual
+    *     distribution the way the reference's PGM rank estimates do
+    *     (a zipfian column's hot range estimates high and correctly
+    *     refuses the route; the uniform span would claim it tiny);
+    *  3. the numeric span — small indexes whose sample couldn't bucket. */
   private def rangeEst(r: Registered, lo: Option[Literal],
                        hi: Option[Literal]): Option[Double] = {
     val loN = lo.map(numLit)
@@ -785,7 +795,10 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (loN.exists(_.isEmpty) || hiN.exists(_.isEmpty)) None
       else spanFrac(r, loN.flatten.getOrElse(-Double.MaxValue),
         hiN.flatten.getOrElse(Double.MaxValue))
-    numeric.orElse(histFrac(r, lo, hi))
+    numeric match {
+      case Some(0.0) => Some(0.0)
+      case sp => histFrac(r, lo, hi).orElse(sp)
+    }
   }
 
   /** (lo, hi) bound contributed by one comparison conjunct, if it is one. */

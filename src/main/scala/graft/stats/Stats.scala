@@ -259,14 +259,21 @@ object Stats {
   }
 
   /** Is the table effectively clustered by `column`? True when at least
-    * `frac` of the adjacent (min-sorted) row-group [min, max] ranges are
-    * non-overlapping — then a point/range predicate already prunes at scan
-    * time and an index detour buys nothing. Works for numeric AND string
-    * columns (string stats compare ordinally after the Binary→String
-    * normalization, matching Parquet's own pruning order). Fewer than two
-    * row groups, any row group without stats, or mixed stat types give no
-    * pruning evidence → false. This is the engine's input to the
-    * access-path choice — the reference's EstimateMinMax seam
+    * `frac` of the table's ROWS live in row groups whose [min, max] range
+    * starts at or after the previous range's max in (min, max) order —
+    * then a point/range predicate already prunes at scan time and an index
+    * detour buys nothing. ROW-weighted, not range-counted: after segment
+    * appends, dozens of tiny well-chained batch files must not outvote one
+    * fat unpruned file holding most of the data (a count-of-transitions
+    * metric says "clustered" there while a point probe still scans nearly
+    * everything). The (min, max) sort is also a DETERMINISTIC total order
+    * for the ok-count: ordering by min alone left ties to listing order,
+    * and a borderline fraction flipped between runs. Works for numeric AND
+    * string columns (string stats compare ordinally after the
+    * Binary→String normalization, matching Parquet's own pruning order).
+    * Fewer than two row groups, any row group without stats, or mixed stat
+    * types give no pruning evidence → false. This is the engine's input to
+    * the access-path choice — the reference's EstimateMinMax seam
     * (columnar.cpp:649-675). */
   def clusteredBy(path: String, column: String, hconf: Configuration = null,
                   frac: Double = 0.8): Boolean = {
@@ -281,33 +288,37 @@ object Stats {
     catalogFor(path, conf).foreach { cat =>
       val mn = element_at(col("col_min"), column)
       val mx = element_at(col("col_max"), column)
-      val ranges = cat.select(mn.as("mn"), mx.as("mx"))
+      val ranges = cat.select(mn.as("mn"), mx.as("mx"), col("rows").as("rw"))
       val clean = ranges.filter(col("mn").isNull || col("mx").isNull ||
         isnan(col("mn")) || isnan(col("mx"))).isEmpty
       if (clean) {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("mn"))
+        val w = Window.orderBy(col("mn"), col("mx"))
         val agg = ranges
           .withColumn("prev_mx", lag(col("mx"), 1).over(w))
           .agg(count(lit(1)).as("n"),
-            sum(when(col("prev_mx") <= col("mn"), 1L).otherwise(0L)).as("ok"))
+            coalesce(sum(when(col("prev_mx").isNull ||
+              col("prev_mx") <= col("mn"), col("rw")).otherwise(0L)),
+              lit(0L)).as("ok_rows"),
+            coalesce(sum(col("rw")), lit(0L)).as("tot_rows"))
           .head()
         val n = agg.getLong(0)
         // a SINGLE file gives the catalog no adjacency evidence, but its
         // row groups may still be clustered — fall through to the (one
         // footer) sweep rather than diverging from its decision
         // (review r10)
-        if (n >= 2) return agg.getLong(1).toDouble / (n - 1) >= frac
+        if (n >= 2)
+          return agg.getLong(1).toDouble / math.max(1L, agg.getLong(2)) >= frac
       }
     }
-    val rs: Seq[Option[(Any, Any)]] =
+    val rs: Seq[Option[(Any, Any, Long)]] =
       try parquetFiles(path, conf).flatMap { case (f, _) =>
         footer(f, conf).getBlocks.asScala.map { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == column) match {
             case Some(cc) if cc.getStatistics != null &&
                 cc.getStatistics.hasNonNullValue =>
               Some((normalize(cc.getStatistics.genericGetMin),
-                normalize(cc.getStatistics.genericGetMax)))
+                normalize(cc.getStatistics.genericGetMax), b.getRowCount))
             case _ => None
           }
         }
@@ -318,12 +329,12 @@ object Stats {
         !ranges.head._1.isInstanceOf[Comparable[_]]) return false
     def cmp(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
-    val sorted = ranges.sortWith((x, y) => cmp(x._1, y._1) < 0)
-    val ok = sorted.sliding(2).count {
-      case Seq(a, b) => cmp(a._2, b._1) <= 0
-      case _ => false
-    }
-    ok.toDouble / (sorted.size - 1) >= frac
+    val sorted = ranges.sortWith((x, y) =>
+      cmp(x._1, y._1) < 0 || (cmp(x._1, y._1) == 0 && cmp(x._2, y._2) < 0))
+    val okRows = sorted.head._3 + sorted.sliding(2).collect {
+      case Seq(a, b) if cmp(a._2, b._1) <= 0 => b._3
+    }.sum
+    okRows.toDouble / math.max(1L, sorted.map(_._3).sum) >= frac
   }
 
   // ---- file-stats catalog (the 100 TB pruning seam, SURVEY M6) ----

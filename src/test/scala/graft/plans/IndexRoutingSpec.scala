@@ -571,6 +571,40 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(broad.count() === 900L)
   }
 
+  test("NUMERIC skew: the histogram refuses a hot range the uniform span would route (r12)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-numskew")
+    val nbase = tmp.resolve("nb").toString
+    val nidx = tmp.resolve("ni").toString
+    // zipfian-ish layout: values 0..99 are HOT (205 fact rows each, so each
+    // spans 1-2 rowid chunks and posts multiple index rows — at scale a hot
+    // value's index-row count tracks its chunk count ≈ its row count);
+    // values 10000, 11000, …, 109000 are COLD singletons stretching the span
+    val hot = (0L until 20500L).map(i => (i, i / 205L))
+    val cold = (0L until 100L).map(k => (20500L + k, 10000L + k * 1000L))
+    Writer.write((hot ++ cold).toDF("id", "v"), nbase, sortBy = Seq("id"))
+    SecondaryIndex.build(SparkT.spark.read.parquet(nbase), "v", "id", nidx)
+    IndexRouting.register(SparkT.spark, nbase, nidx, "v", "id")
+    try {
+      val ndf = SparkT.spark.read.parquet(nbase)
+      // hot range [0, 99]: 99.5% of fact rows. The uniform span says
+      // 99/109000 ≈ 0.001 → would route a semi-join that keeps nearly the
+      // whole table; the rank-based histogram reads it hot → stands down
+      val hotRange = ndf.filter($"v" >= 0L && $"v" <= 99L).select($"id")
+      assert(semiJoins(hotRange) == 0, hotRange.queryExecution.optimizedPlan.toString)
+      assert(hotRange.count() === 20500L)
+      // cold narrow range still routes, and exactly
+      val coldRange = ndf.filter($"v" >= 50000L && $"v" <= 52000L).select($"id")
+      assert(semiJoins(coldRange) == 1, coldRange.queryExecution.optimizedPlan.toString)
+      assert(coldRange.as[Long].collect().toSet === Set(20540L, 20541L, 20542L))
+      // a range DISJOINT from [vMin, vMax] keeps the exact-zero span
+      // estimate (bounds are exact; the histogram's one-bucket padding
+      // must not defeat it)
+      val none = ndf.filter($"v" >= 200000L).select($"id")
+      assert(semiJoins(none) == 1, none.queryExecution.optimizedPlan.toString)
+      assert(none.count() === 0L)
+    } finally IndexRouting.unregister(SparkT.spark, nbase)
+  }
+
   test("post-append re-register re-derives the histogram: borderline route flips (r12)") {
     val tmp = Files.createTempDirectory("graft-idxroute-histdrift")
     val hbase = tmp.resolve("hb").toString

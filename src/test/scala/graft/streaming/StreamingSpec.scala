@@ -11,6 +11,7 @@ import java.sql.Timestamp
 case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class EvId(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 case class Doc(doc_id: Long, text: String)
+case class VecRow(vec_id: Long, embedding: Array[Float])
 
 /** Streaming operators driven through real micro-batches (MemoryStream →
   * memory sink): watermark closes windows, sessions split on the gap,
@@ -237,6 +238,52 @@ class StreamingSpec extends AnyFunSuite {
         2L -> p.embedBatch(Seq("gamma")).head.toSeq,
         3L -> p.embedBatch(Seq("alpha alpha")).head.toSeq)
       assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming ANN ingest: per-batch graph segment appends keep routed search exact") {
+    // The vector side of the RT-ingest flow (I9 × K1): a clustered graph
+    // index built once, then maintained from a stream — each micro-batch
+    // lands as a segment under the existing centroids (no rebuild), and
+    // routed search over the live index stays EXACT at full ef across
+    // batches. Mirrors the secondary-index streaming test one block up;
+    // together they pin the whole continuous-ingest story.
+    import graft.vector.{Hnsw, Knn}
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ann")
+    val d = root.resolve("g").toString
+    val emb = graft.engine.Graft.table(SparkT.spark,
+      "/root/testdata/sf0.001", "embeddings").select($"vec_id", $"embedding")
+    Hnsw.buildIndexClustered(emb.filter($"vec_id" < 400), "embedding",
+      "vec_id", d, Hnsw.Params(m = 8, efC = 64, partitions = 4))
+    val streamed = emb.filter($"vec_id" >= 400)
+      .as[(Long, Array[Float])].collect().map(VecRow.tupled.apply)
+    val in = MemoryStream[VecRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Hnsw.appendSegment(batch, "embedding", "vec_id", d)
+      }
+      .start()
+    try {
+      def exactTop(upTo: Long, query: Array[Float]): Seq[(Long, Double)] =
+        Knn.knn(emb.filter($"vec_id" < upTo), "embedding", "vec_id",
+          query, 10).select("vec_id", "dist").as[(Long, Double)]
+          .collect().toSeq
+      // a query vector that IS a streamed row: its own id must surface
+      // as the top hit once its batch lands
+      val qv = streamed.find(_.vec_id == 450L).get.embedding
+      in.addData(streamed.filter(_.vec_id < 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val (afterB1, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id",
+        qv, 10, ef = 1 << 20)
+      assert(afterB1.as[(Long, Double)].collect().toSeq === exactTop(450L, qv))
+      in.addData(streamed.filter(_.vec_id >= 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val (afterB2, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id",
+        qv, 10, ef = 1 << 20)
+      val got = afterB2.as[(Long, Double)].collect().toSeq
+      assert(got === exactTop(500L, qv))
+      assert(got.head._1 === 450L && got.head._2 === 0.0) // the streamed row itself
     } finally q.stop()
   }
 
