@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Sequence packing for pretraining-data preparation — beyond the
+  * reference's own operators (its library stops at storage/index/KNN;
+  * SURVEY §"beyond the reference"), this is the step that turns a curated
+  * document set into fixed-length training sequences: concatenate the
+  * token stream and cut every `budget` tokens (the standard
+  * pack-and-chunk used by GPT-style pretraining — documents straddle chunk
+  * boundaries rather than leaving padding).
+  *
+  * The engine computes pack OFFSETS, not token arrays: for each document,
+  * where its tokens land in the concatenated stream (`start_tok`) and
+  * which chunks it touches (`first_chunk`..`last_chunk`). The downstream
+  * tokenizer job can then materialize any chunk independently — each chunk
+  * knows exactly which documents overlap it.
+  *
+  * 100 TB design: one window aggregation partitioned by `shardCol` — the
+  * parallelism knob. A global concatenation order would serialize the
+  * cumulative sum through one partition; sharding (e.g. `pmod(id, 4096)`)
+  * gives independent token streams that pack in parallel, one shuffle
+  * total, and deterministic output (the order inside a shard is
+  * `orderCol`, a stated contract, not partition luck). Chunk ids are
+  * per-shard; (shard, chunk) is the global chunk key.
+  */
+object Pack {
+
+  /** Pack offsets of each document with `tokensCol > 0` (empty documents
+    * contribute nothing to the stream and are dropped, never emitted as
+    * zero-width rows).
+    *
+    * Emits the input columns plus:
+    *  - `start_tok`   — exclusive prefix sum of `tokensCol` within the
+    *    shard in `orderCol` order (the document's offset in the shard's
+    *    concatenated token stream);
+    *  - `first_chunk` / `last_chunk` — the budget-`budget` chunk range the
+    *    document's tokens span: `start_tok div budget` to
+    *    `(start_tok + tokens - 1) div budget`.
+    *
+    * All arithmetic is exact long math. `orderCol` must be unique within a
+    * shard for deterministic output (rowid/doc-id contract).
+    */
+  def sequenceOffsets(df: DataFrame, tokensCol: String, shardCol: String,
+                      orderCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("start_tok",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("first_chunk", expr(s"start_tok div $budget"))
+      .withColumn("last_chunk",
+        expr(s"(start_tok + `$tokensCol` - 1) div $budget"))
+  }
+}

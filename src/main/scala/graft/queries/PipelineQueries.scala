@@ -284,7 +284,58 @@ object PipelineQueries {
         "AS pus FROM events) " +
         "SELECT user_id, CAST(sum(CASE WHEN pus IS NULL " +
         "OR tus - pus >= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_sessions, count(*) AS n_events FROM d GROUP BY user_id"))
+        "AS n_sessions, count(*) AS n_events FROM d GROUP BY user_id")),
+
+    // SEQUENCE PACKING (pipeline op beyond the reference): concatenate each
+    // shard's token stream in doc_id order and cut every 256 tokens —
+    // emitted as per-document pack offsets (start position + chunk span).
+    // 100 TB shape: ONE window aggregation partitioned by the shard column
+    // (the parallelism knob — here pmod(doc_id, 8), at scale thousands of
+    // shards); no global sort, exact long arithmetic.
+    "q_pack_sequences" -> QueryDef(
+      (s, d) => {
+        import graft.pipeline.TextFunctions
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.pipeline.Pack.sequenceOffsets(toks, "n_tokens", "shard",
+            "doc_id", budget = 256)
+          .select(col("doc_id"), col("shard"), col("n_tokens").cast("long"),
+            col("start_tok"), col("first_chunk"), col("last_chunk"))
+      },
+      Some(raw"WITH tok AS (SELECT doc_id, doc_id % 8 AS shard, " +
+        raw"len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens " +
+        "FROM documents), " +
+        "nz AS (SELECT * FROM tok WHERE n_tokens > 0), " +
+        "packed AS (SELECT doc_id, shard, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok " +
+        "FROM nz) " +
+        "SELECT doc_id, shard, n_tokens, start_tok, " +
+        "start_tok // 256 AS first_chunk, " +
+        "(start_tok + n_tokens - 1) // 256 AS last_chunk FROM packed")),
+
+    // DETERMINISTIC MIXTURE SAMPLING (pipeline op beyond the reference):
+    // downsample each source to its recipe rate with a pure-function keep
+    // decision — reproducible across engines, reruns, task retries, and
+    // cluster sizes (an RNG-based sampleBy is none of those). Recipe here:
+    // src k keeps (k+1)/20 of its documents. The oracle replays the exact
+    // integer threshold arithmetic.
+    "q_mix_sample" -> QueryDef(
+      (s, d) => {
+        val rates = (0 until 20).map(k => s"src$k" -> (k + 1) / 20.0).toMap
+        graft.pipeline.Mix.bySource(t(s, d, "documents"), "doc_id",
+            "source", rates)
+          .select(col("doc_id"), col("source"))
+      },
+      Some {
+        val whens = (0 until 20).map(k =>
+          s"WHEN 'src$k' THEN ${graft.pipeline.Mix.threshold((k + 1) / 20.0)}")
+          .mkString(" ")
+        "SELECT doc_id, source FROM documents " +
+          s"WHERE (doc_id * 69069 + 12345) % ${graft.pipeline.Mix.Resolution} < " +
+          s"CASE source $whens ELSE -1 END"
+      })
   )
 
   // Local-model weight artifact (shared across scale factors — the model is

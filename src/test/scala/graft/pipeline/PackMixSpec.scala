@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing + deterministic mixture sampling — the two
+  * training-data preparation operators beyond the reference's own surface
+  * (pipeline §"beyond the reference"). */
+class PackMixSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  test("pack offsets: contiguous per-shard streams, budget-consistent chunk spans") {
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 500L).map(i => (i, i % 4, 1 + rnd.nextInt(100)))
+      .toDF("id", "shard", "n_tok")
+    val out = Pack.sequenceOffsets(docs, "n_tok", "shard", "id", budget = 64)
+      .select($"id", $"shard", $"n_tok", $"start_tok", $"first_chunk", $"last_chunk")
+      .as[(Long, Long, Int, Long, Long, Long)].collect()
+
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      // stream is contiguous: each doc starts where the previous ended
+      inOrder.foldLeft(0L) { case (expectStart, (_, _, n, start, first, last)) =>
+        assert(start === expectStart)
+        assert(first === start / 64)
+        assert(last === (start + n - 1) / 64)
+        assert(first <= last && (last - first) <= (n / 64) + 1)
+        start + n
+      }
+    }
+  }
+
+  test("pack drops zero-token documents and starts each shard at zero") {
+    val docs = Seq((1L, 0L, 0), (2L, 0L, 10), (3L, 0L, 0), (4L, 0L, 5),
+      (5L, 1L, 3)).toDF("id", "shard", "n_tok")
+    val out = Pack.sequenceOffsets(docs, "n_tok", "shard", "id", budget = 8)
+      .select($"id", $"start_tok", $"first_chunk", $"last_chunk")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(2L, 4L, 5L))
+    // doc 2: tokens [0,10) → chunks 0..1; doc 4: [10,15) → chunk 1
+    assert(out(0) === ((2L, 0L, 0L, 1L)))
+    assert(out(1) === ((4L, 10L, 1L, 1L)))
+    assert(out(2) === ((5L, 0L, 0L, 0L))) // shard 1 restarts at 0
+    intercept[IllegalArgumentException](
+      Pack.sequenceOffsets(docs, "n_tok", "shard", "id", budget = 0))
+  }
+
+  test("mixture sampling: deterministic, rate-accurate, recipe-exclusive") {
+    val docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val rates = Map("s0" -> 0.0, "s1" -> 0.25, "s2" -> 1.0)
+    val out = Mix.bySource(docs, "id", "src", rates)
+    val got = out.as[(Long, String)].collect().toSet
+    // deterministic: a second run selects the identical set
+    assert(Mix.bySource(docs, "id", "src", rates)
+      .as[(Long, String)].collect().toSet === got)
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!bySrc.contains("s0"))              // rate 0: none
+    assert(bySrc("s2") === 1000)               // rate 1: all
+    assert(!bySrc.contains("s3"))              // unlisted source: dropped
+    // rate 0.25 over 1000 uniform ids: within ±5 points
+    assert(math.abs(bySrc("s1") - 250) < 50, bySrc.toString)
+    // column order preserved, keep decision is the documented function
+    assert(out.columns.toSeq === Seq("id", "src"))
+    got.filter(_._2 == "s1").foreach { case (id, _) =>
+      assert((id * 69069L + 12345L) % Mix.Resolution < Mix.threshold(0.25))
+    }
+    intercept[IllegalArgumentException](
+      Mix.bySource(docs, "id", "src", Map("s1" -> 1.5)))
+    intercept[IllegalArgumentException](
+      Mix.bySource(docs, "id", "src", Map.empty))
+  }
+}
