@@ -96,8 +96,13 @@ object PipelineQueries {
     "q_embed_local" -> QueryDef(
       (s, d) => {
         val art = localArtifact()
+        // the provider resolves through the MODEL-ID DISPATCH layer (r12,
+        // ref create_model mod.rs:180-204): an unprefixed id is a local
+        // artifact path; pre-truncation (512-token budget = 4096 bytes)
+        // never fires on this corpus (n_chars <= 553), so the oracle's
+        // full-text replay stays exact
         val emb = Embeddings.embedStage(t(s, d, "documents"), "text", "emb",
-          () => Embeddings.LocalModelProvider(art, dim = 16))
+          () => graft.embed.ModelRegistry.create(art, dim = Some(16)))
         val dbl = transform(col("emb"), x => x.cast("double"))
         emb.select(col("doc_id"),
           round(element_at(dbl, 1), 6).as("e0"),
