@@ -103,6 +103,41 @@ object TextFunctions {
   /** Exact token count (whitespace). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** ALL word n-grams (with repeats — [[shingles]] is the deduped set).
+    * Shares the bind-tokens-once trick; < n tokens → empty array. */
+  private def allNgrams(c: Column, n: Int): Column =
+    element_at(transform(array(tokens(c)), w =>
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))), 1)
+
+  /** Duplicate-n-gram fraction in micro-units: 1 − distinct/total over the
+    * document's word n-grams — the Gopher/RefinedWeb repetition filter
+    * (boilerplate and template spam score high; clean prose near 0).
+    * Exact rational arithmetic only (integer counts, one IEEE division),
+    * so the DuckDB oracle reproduces every bit; < n tokens → 0. */
+  def dupNgramRatioMicros(c: Column, n: Int): Column = {
+    val bound = element_at(transform(array(allNgrams(c, n)), g =>
+      when(size(g) === 0, lit(0L))
+        .otherwise(floor((lit(1.0) -
+          size(array_distinct(g)).cast("double") / size(g)) * 1000000)
+          .cast("long"))), 1)
+    bound
+  }
+
+  /** Most-frequent-n-gram fraction in micro-units: count of the modal
+    * n-gram over the total — high when one phrase dominates the document
+    * (the other half of the repetition rule family). O(distinct × total)
+    * per row, all inside codegen; < n tokens → 0. */
+  def topNgramRatioMicros(c: Column, n: Int): Column =
+    element_at(transform(array(allNgrams(c, n)), g =>
+      when(size(g) === 0, lit(0L))
+        .otherwise(floor(
+          array_max(transform(array_distinct(g), d =>
+            size(filter(g, x => x === d)))).cast("double") / size(g)
+          * 1000000).cast("long"))), 1)
+
   /** Scala twin of [[fingerprint]] — identical values (same codepoint
     * sequence, same per-step mod; TextFunctionsSpec asserts equality incl.
     * non-ASCII), JIT'd loop speed for the pipeline path. */

@@ -122,6 +122,29 @@ object TextQueries {
         "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1) " +
         "SELECT doc_id, token, CAST(floor(tf * ln(" +
         "(SELECT count(*) FROM documents)::DOUBLE / df) * 1000000) AS BIGINT) " +
-        "AS tfidf_micros FROM tf JOIN dfreq USING (token)"))
+        "AS tfidf_micros FROM tf JOIN dfreq USING (token)")),
+
+    // REPETITION FILTERS (the Gopher/RefinedWeb rule family — boilerplate
+    // and template spam repeat phrases): duplicate-bigram fraction
+    // (1 − distinct/total) and modal-bigram fraction (top count/total),
+    // micro-floored exact rational arithmetic. Pure codegen expression
+    // trees, O(distinct × total) per row worst case.
+    "q_text_repetition" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          dupNgramRatioMicros(col("text"), 2).as("dup2_micros"),
+          topNgramRatioMicros(col("text"), 2).as("top2_micros")),
+      Some(raw"WITH dd AS (SELECT doc_id, " +
+        raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "gg AS (SELECT doc_id, [w[i]||' '||w[i+1] " +
+        "for i in generate_series(1, len(w)-1)] AS g FROM dd) " +
+        "SELECT doc_id, " +
+        "CASE WHEN len(g) = 0 THEN 0 ELSE CAST(floor((1.0 - " +
+        "len(list_distinct(g)) / len(g)) * 1000000) AS BIGINT) END AS dup2_micros, " +
+        "CASE WHEN len(g) = 0 THEN 0 ELSE CAST(floor(" +
+        "list_max(list_transform(list_distinct(g), " +
+        "d -> len(list_filter(g, x -> x = d)))) / len(g) * 1000000) AS BIGINT) " +
+        "END AS top2_micros FROM gg"))
   )
 }

@@ -31,6 +31,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(df.select(TextFunctions.fingerprint(col("text"))).head.isNullAt(0))
   }
 
+  test("repetition ratios match a brute-force Scala reimplementation") {
+    def brute(text: String): (Long, Long) = {
+      val w = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 2) (0L, 0L)
+      else {
+        val g = w.sliding(2).map(_.mkString(" ")).toSeq
+        val dup = math.floor((1.0 - g.distinct.size.toDouble / g.size) * 1e6).toLong
+        val top = math.floor(
+          g.groupBy(identity).values.map(_.size).max.toDouble / g.size * 1e6).toLong
+        (dup, top)
+      }
+    }
+    val texts = Seq(
+      "",                                   // empty → (0, 0)
+      "one",                                // < n tokens → (0, 0)
+      "a b c d e",                          // all distinct → dup 0, top 1/4
+      "spam spam spam spam spam",           // one bigram only → (750000, 1000000)
+      "buy now buy now limited offer buy now",
+      "the quick brown fox jumps over the lazy dog the quick brown fox")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.dupNgramRatioMicros(col("text"), 2).as("d"),
+        TextFunctions.topNgramRatioMicros(col("text"), 2).as("t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === brute(texts(i)), s"text: '${texts(i)}'")
+    }
+    assert(got(3L) === ((750000L, 1000000L))) // the spam doc, exact values
+  }
+
   test("language ID is deterministic on marker ties") {
     // 'es' ∈ es-markers; 'est' ∈ fr-markers: one hit each → fr wins the
     // fixed tie order (en > de > fr > es).
