@@ -47,6 +47,19 @@ class PackMixSpec extends AnyFunSuite {
       Pack.sequenceOffsets(docs, "n_tok", "shard", "id", budget = 0))
   }
 
+  test("plan shapes: mix broadcasts the recipe, pack shuffles once on the shard key") {
+    val docs = (0L until 1000L).map(i => (i, s"s${i % 3}", 5)).toDF("id", "src", "n_tok")
+    val mixPlan = Mix.bySource(docs, "id", "src", Map("s0" -> 0.5, "s1" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin") ||
+      mixPlan.contains("BroadcastExchange"), mixPlan)
+    val packPlan = Pack.sequenceOffsets(docs, "n_tok", "src", "id", budget = 16)
+      .queryExecution.executedPlan.toString
+    // exactly one data shuffle: the window's hash partitioning on the shard
+    assert("Exchange hashpartitioning".r.findAllIn(packPlan).size == 1, packPlan)
+    assert(packPlan.contains("Window"), packPlan)
+  }
+
   test("mixture sampling: deterministic, rate-accurate, recipe-exclusive") {
     val docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
     val rates = Map("s0" -> 0.0, "s1" -> 0.25, "s2" -> 1.0)
