@@ -216,6 +216,101 @@ object Dedup {
       banded, withSh)
   }
 
+  // ---- incremental dedup against a persisted signature store ----
+  //
+  // The 100 TB crawl-ingest shape: the historical corpus is NOT re-banded
+  // per batch — its (mid, band, key) LSH frame persists as a compact store
+  // (3 longs per band per doc; the shingle sets are NOT stored — exact
+  // verification recomputes shingles for candidate corpus rows only, and
+  // candidates are a vanishing fraction of the corpus). Each incoming
+  // batch bands itself, equi-joins the store on (band, key), and verifies
+  // the survivors exactly. Appends are segment-style (new files beside the
+  // old — the same continuous-ingest philosophy as the index families).
+
+  /** Shingle sets of (idCol, textCol) via the JIT'd kernel — one column
+    * named `sh`, id cast to long. */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shinglesScala(t, shingleN)) }
+      .toDF(idCol, "sh")
+  }
+
+  /** Write the corpus's banded LSH frame to `path` (overwrite). Sorted by
+    * (band, key) inside partitions so file/row-group stats cluster the key
+    * space — a selective probe (small batch) prunes store files instead of
+    * scanning all of them. */
+  def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                          path: String, shingleN: Int = 3,
+                          k: Int = 128, bands: Int = 32): Unit = {
+    val sh = shingleFrame(df, idCol, textCol, shingleN)
+    bandedFrame(sh, idCol, "sh", k, bands)
+      .repartitionByRange(col("band"), col("key"))
+      .sortWithinPartitions(col("band"), col("key"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Append a new batch's banded frame to an existing store — segment
+    * append (new files, resident files untouched); the store serves
+    * correctly immediately. Callers that also DEDUP the batch against the
+    * store should do so BEFORE appending it. */
+  def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                           path: String, shingleN: Int = 3,
+                           k: Int = 128, bands: Int = 32): Unit = {
+    val sh = shingleFrame(df, idCol, textCol, shingleN)
+    bandedFrame(sh, idCol, "sh", k, bands)
+      .repartitionByRange(col("band"), col("key"))
+      .sortWithinPartitions(col("band"), col("key"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Near-duplicates of `newDf` against the corpus behind a signature
+    * store: band the batch, equi-join the store on (band, key), verify
+    * candidates with EXACT jaccard (corpus shingles recomputed only for
+    * the candidate ids — an id-keyed join against the corpus table, which
+    * exists regardless; the store itself stays signature-compact).
+    *
+    * Returns (corpus_id, new_id, jac_micros) for pairs at
+    * jaccard >= threshold. Within-batch duplicates are [[nearPairs]]'s
+    * job — compose both for a full ingest step. Same recall arithmetic as
+    * [[nearPairs]] (k=128/bands=32 misses a 0.8-jaccard pair with
+    * p ≈ 5e-8).
+    */
+  def nearDupsAgainstStore(corpusDf: DataFrame, newDf: DataFrame,
+                           storePath: String, idCol: String, textCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.8,
+                           k: Int = 128, bands: Int = 32): DataFrame = {
+    val spark = newDf.sparkSession
+    val newSh = shingleFrame(newDf, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one materializing job fills BOTH caches (banded reads newSh)
+    val newBanded = materialized(bandedFrame(newSh, idCol, "sh", k, bands))
+    val store = spark.read.parquet(storePath)
+    // persisted: cands feeds BOTH the candidate-id fetch and the final
+    // verify join — unpersisted, the store join would run twice
+    val cands = materialized(store.as("s").join(newBanded.as("n"),
+        col("s.band") === col("n.band") && col("s.key") === col("n.key"))
+      .select(col("s.mid").as("a"), col("n.mid").as("b")).distinct())
+    // corpus shingles for candidate rows ONLY (inner join on unique ids =
+    // the semi-join, but keeps the text column for the kernel)
+    val corpusSh = shingleFrame(
+      corpusDf.select(col(idCol), col(textCol))
+        .join(cands.select(col("a").as(idCol)).distinct(), Seq(idCol)),
+      idCol, textCol, shingleN)
+      .select(col(idCol).as("a"), col("sh").as("sa"))
+    val sb = newSh.select(col(idCol).as("b"), col("sh").as("sb"))
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    eagerly(cands.join(corpusSh, "a").join(sb, "b")
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("a").as("corpus_id"), col("b").as("new_id"),
+        floor(col("jac") * 1000000).cast("long").as("jac_micros")),
+      newSh, newBanded, cands)
+  }
+
   /** 64-bit SimHash over a shingle set: bit j is the sign of the sum over
     * shingles of ±1 depending on bit j of xxhash64(shingle). Single pass:
     * an array-of-counters accumulator zipped per shingle. */

@@ -73,6 +73,33 @@ object DedupQueries {
         "SELECT a.doc_id AS a, b.doc_id AS b, " +
         "bit_count(xor(a.f, b.f))::INT AS hamming " +
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.f, b.f)) <= 3"))
+        "WHERE bit_count(xor(a.f, b.f)) <= 3")),
+
+    // INCREMENTAL dedup against a persisted signature store (r12 — the
+    // crawl-ingest shape: the corpus is banded ONCE into a compact
+    // (mid, band, key) store; each batch bands itself, probes the store,
+    // and exact-verifies candidates by joining texts back by id). Split:
+    // doc_id % 5 != 0 is the resident corpus, % 5 == 0 the incoming batch
+    // (scale-proportional at every sf). Oracle: brute-force cross-set
+    // jaccard.
+    "q_dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        val store = s"${graft.tables.Derived.root}/" +
+          s"${new java.io.File(d).getName}/sigstore_documents"
+        if (!new java.io.File(store, "_SUCCESS").isFile)
+          Dedup.writeSignatureStore(corpus, "doc_id", "text", store)
+        Dedup.nearDupsAgainstStore(corpus, batch, store, "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+      },
+      Some(shingleCte +
+        "SELECT a.doc_id AS corpus_id, b.doc_id AS new_id, " +
+        "floor((len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(a.s || b.s))) * 1000000)::BIGINT AS jac_micros " +
+        "FROM sh a JOIN sh b ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 " +
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(a.s || b.s)) >= 0.8"))
   )
 }

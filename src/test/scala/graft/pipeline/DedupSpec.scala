@@ -48,6 +48,39 @@ class DedupSpec extends AnyFunSuite {
     } finally Dedup.instrumented = false
   }
 
+  test("incremental dedup: store probe equals direct cross-set dedup; appends extend the corpus") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    val other = "completely different words about databases and storage engines " * 6
+    val third = "yet another body of text on compilers and type systems here " * 6
+    val corpus = Seq((1L, base), (2L, other), (3L, third)).toDF("doc_id", "text")
+    // batch: 10 dups base, 11 dups other (slightly), 12 unrelated
+    val batch = Seq((10L, base.replace("lazy", "sleepy")),
+      (11L, other + " extra"), (12L, "nothing like the corpus at all " * 8))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-sigstore")
+      .resolve("st").toString
+    Dedup.writeSignatureStore(corpus, "doc_id", "text", store)
+    val got = Dedup.nearDupsAgainstStore(corpus, batch, store, "doc_id",
+        "text", threshold = 0.5)
+      .select($"corpus_id", $"new_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 11L)))
+    // segment append: the batch joins the resident corpus; a later batch
+    // duplicating a FIRST-batch doc is caught through the store
+    Dedup.appendSignatureStore(batch, "doc_id", "text", store)
+    val corpus2 = corpus.unionByName(batch)
+    // doc 20 is an exact re-crawl of corpus doc 1: pairs with doc 1 at
+    // jaccard 1.0 and with batch-1's doc 10 at the same jaccard the
+    // (1, 10) assertion above already proved detectable (identical pair
+    // of shingle sets → identical banding)
+    val batch2 = Seq((20L, base),
+      (21L, "still nothing related to anything stored " * 8))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.nearDupsAgainstStore(corpus2, batch2, store, "doc_id",
+        "text", threshold = 0.5)
+      .select($"corpus_id", $"new_id").as[(Long, Long)].collect().toSet
+    assert(got2 === Set((1L, 20L), (10L, 20L))) // original AND batch-1 doc
+  }
+
   test("simhash: identical texts → hamming 0; near texts close; disjoint texts far") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     val b = a.replace("kappa", "lambda")
