@@ -221,6 +221,19 @@ object FilterQueries {
         "WHERE o_orderkey BETWEEN 1000 AND 5000 " +
         "AND o_orderpriority = '1-URGENT'")),
 
+    // Z-ORDERED layout (r12): the derived events copy is Morton-clustered
+    // by (user_id, value), so this two-dimensional predicate prunes files
+    // on BOTH columns (LayoutSpec pins the pruning economics; a sortBy
+    // layout prunes only its own column). Results are layout-independent —
+    // the oracle reads the original table.
+    "q_source_zorder" -> QueryDef(
+      (s, d) => graft.tables.Derived.table(s, d, "events_z")
+        .filter(col("user_id") >= 100 && col("user_id") <= 120 &&
+          col("value") >= 10.0 && col("value") <= 60.0)
+        .select(col("event_id"), col("user_id"), col("value")),
+      Some("SELECT event_id, user_id, value FROM events " +
+        "WHERE user_id BETWEEN 100 AND 120 AND value BETWEEN 10.0 AND 60.0")),
+
     // F4 hash-companion fast path: filter runs against the engine-written
     // xxhash64 companion column (ref hidden $name_HASH, columnar.cpp:465-473
     // + rewrite common/filter.cpp:77-90); the oracle filters the string

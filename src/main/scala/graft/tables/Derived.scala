@@ -250,6 +250,14 @@ object Derived {
         format = "orc")
     }, format = "orc"),
 
+    // Z-ordered events copy (r12): Morton-curve clustered by
+    // (user_id, value) so file/row-group stats prune predicates on EITHER
+    // dimension — the multi-column layout a sortBy cannot give.
+    "events_z" -> Entry((spark, sfDir, path) => {
+      val e = graft.engine.Graft.table(spark, sfDir, "events")
+      Writer.writeZOrdered(e, path, Seq("user_id", "value"), files = 8)
+    }),
+
     // Multimodal table: documents with a packed binary payload + metadata
     // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
     // for image/audio bytes; the schema/plumbing is the real convention).

@@ -46,4 +46,42 @@ class LayoutSpec extends AnyFunSuite {
       .select("payload", "attr").as[(Long, String)].collect().sorted.toSeq
     assert(salted === plain)
   }
+
+  test("z-ordered layout prunes files on EVERY z column; sortBy only on its own") {
+    val spark = SparkT.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val sortDir = tmp.resolve("bysort").toString
+    val zDir = tmp.resolve("byz").toString
+    // independent uniform grid: x = i div 256, y = i mod 256 over 64k rows
+    val df = (0 until 65536).map(i =>
+      (i.toLong, (i / 256).toLong, (i % 256).toLong)).toDF("id", "x", "y")
+    Writer.write(df, sortDir, sortBy = Seq("x"), files = 16)
+    Writer.writeZOrdered(df, zDir, Seq("x", "y"), files = 16)
+    val catS = graft.stats.Stats.buildCatalog(spark, sortDir, Seq("x", "y"))
+      .persist()
+    val catZ = graft.stats.Stats.buildCatalog(spark, zDir, Seq("x", "y"))
+      .persist()
+    import graft.stats.Stats.pruneFiles
+    // narrow x predicate: the x-sorted layout prunes to ~1 file; z-order
+    // keeps the files whose x bit-planes overlap (ideal ≈ 16^(1-1/2) = 4;
+    // RangePartitioner's sampled file boundaries can straddle bit
+    // patterns, so allow a straddle margin — the claim is "prunes more
+    // than half", not an exact cell count)
+    assert(pruneFiles(catS, "x", 0, 15).count() <= 2)
+    assert(pruneFiles(catZ, "x", 0, 15).count() <= 8)
+    // narrow y predicate: the x-sorted layout prunes NOTHING (every file
+    // spans all y); z-order still prunes most files
+    assert(pruneFiles(catS, "y", 0, 15).count() === 16L)
+    assert(pruneFiles(catZ, "y", 0, 15).count() <= 8)
+    // correctness: the z-ordered copy holds exactly the input rows
+    val got = spark.read.parquet(zDir).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === df.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq)
+    // string columns are not rank-sketchable: rejected loudly
+    intercept[IllegalArgumentException] {
+      Writer.writeZOrdered(Seq((1L, "s")).toDF("id", "s"),
+        tmp.resolve("bad").toString, Seq("id", "s"))
+    }
+    catS.unpersist(); catZ.unpersist()
+  }
 }
