@@ -55,4 +55,28 @@ object Pack {
       .withColumn("last_chunk",
         expr(s"(start_tok + `$tokensCol` - 1) div $budget"))
   }
+
+  /** The chunk manifest: one row per (document, chunk) overlap, with the
+    * document's token range INSIDE that chunk — the work list a tokenizer
+    * job consumes to materialize any chunk independently (fetch the
+    * overlapping documents, take each one's `[tok_from, tok_to)` token
+    * slice, concatenate in `orderCol` order).
+    *
+    * Emits [[sequenceOffsets]]'s columns (minus the chunk-span pair) plus
+    * `chunk`, `tok_from` (inclusive, chunk-local), `tok_to` (exclusive).
+    * Invariant: per (shard, chunk), the `[tok_from, tok_to)` ranges tile
+    * `[0, budget)` exactly (the final chunk of a shard may end early).
+    * The explode fans out ≤ 1 + tokens/budget rows per document — output
+    * size is Θ(chunks), the same scale as the training data itself. */
+  def chunkManifest(df: DataFrame, tokensCol: String, shardCol: String,
+                    orderCol: String, budget: Long): DataFrame =
+    sequenceOffsets(df, tokensCol, shardCol, orderCol, budget)
+      .withColumn("chunk",
+        explode(sequence(col("first_chunk"), col("last_chunk"))))
+      .withColumn("tok_from",
+        greatest(col("start_tok") - col("chunk") * lit(budget), lit(0L)))
+      .withColumn("tok_to",
+        least(col("start_tok") + col(tokensCol) - col("chunk") * lit(budget),
+          lit(budget)))
+      .drop("first_chunk", "last_chunk")
 }

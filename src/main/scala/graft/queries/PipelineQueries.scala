@@ -320,6 +320,36 @@ object PipelineQueries {
         "start_tok // 256 AS first_chunk, " +
         "(start_tok + n_tokens - 1) // 256 AS last_chunk FROM packed")),
 
+    // CHUNK MANIFEST (the consumer view of q_pack_sequences): one row per
+    // (document, chunk) overlap with the chunk-local token range — what a
+    // tokenizer job reads to materialize any chunk independently.
+    "q_pack_chunks" -> QueryDef(
+      (s, d) => {
+        import graft.pipeline.TextFunctions
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.pipeline.Pack.chunkManifest(toks, "n_tokens", "shard",
+            "doc_id", budget = 256)
+          .select(col("doc_id"), col("shard"), col("chunk"),
+            col("tok_from"), col("tok_to"))
+      },
+      Some(raw"WITH tok AS (SELECT doc_id, doc_id % 8 AS shard, " +
+        raw"len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens " +
+        "FROM documents), " +
+        "nz AS (SELECT * FROM tok WHERE n_tokens > 0), " +
+        "packed AS (SELECT doc_id, shard, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok " +
+        "FROM nz), " +
+        "manifest AS (SELECT doc_id, shard, n_tokens, start_tok, " +
+        "unnest(generate_series(start_tok // 256, " +
+        "(start_tok + n_tokens - 1) // 256)) AS chunk FROM packed) " +
+        "SELECT doc_id, shard, chunk, " +
+        "greatest(start_tok - chunk * 256, 0) AS tok_from, " +
+        "least(start_tok + n_tokens - chunk * 256, 256) AS tok_to " +
+        "FROM manifest")),
+
     // DETERMINISTIC MIXTURE SAMPLING (pipeline op beyond the reference):
     // downsample each source to its recipe rate with a pure-function keep
     // decision — reproducible across engines, reruns, task retries, and

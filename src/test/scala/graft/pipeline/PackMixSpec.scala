@@ -47,6 +47,36 @@ class PackMixSpec extends AnyFunSuite {
       Pack.sequenceOffsets(docs, "n_tok", "shard", "id", budget = 0))
   }
 
+  test("chunk manifest tiles every chunk exactly: contiguous [0, budget) coverage") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map(i => (i, i % 3, 1 + rnd.nextInt(90)))
+      .toDF("id", "shard", "n_tok")
+    val B = 64L
+    val rows = Pack.chunkManifest(docs, "n_tok", "shard", "id", budget = B)
+      .select($"id", $"shard", $"chunk", $"tok_from", $"tok_to")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (_, _, _, from, to) =>
+      assert(from >= 0 && from < to && to <= B)
+    }
+    // per (shard, chunk): ranges are disjoint, contiguous from 0, and sum
+    // to the budget for every chunk except possibly the shard's last
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((sh, ch), rs) =>
+      val lastChunk = rows.filter(_._2 == sh).map(_._3).max
+      val ordered = rs.sortBy(_._4)
+      assert(ordered.head._4 === 0L, s"chunk ($sh,$ch) does not start at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 === b._4,
+          s"gap/overlap in chunk ($sh,$ch): ${a._5} vs ${b._4}")
+        case _ =>
+      }
+      if (ch < lastChunk)
+        assert(ordered.last._5 === B, s"chunk ($sh,$ch) not full")
+    }
+    // total manifested tokens == total input tokens
+    val totalIn = docs.agg(sum($"n_tok")).as[Long].head()
+    assert(rows.map(r => r._5 - r._4).sum === totalIn)
+  }
+
   test("plan shapes: mix broadcasts the recipe, pack shuffles once on the shard key") {
     val docs = (0L until 1000L).map(i => (i, s"s${i % 3}", 5)).toDF("id", "src", "n_tok")
     val mixPlan = Mix.bySource(docs, "id", "src", Map("s0" -> 0.5, "s1" -> 0.5))
