@@ -63,6 +63,65 @@ object PipelineQueries {
         "SELECT f.doc_id, len(f.w) AS n_tokens FROM filt f " +
         "WHERE f.doc_id NOT IN (SELECT doc_id FROM drop_ids)")),
 
+    // FLAGSHIP v2 (r12) — the full curation chain with the round-12
+    // operators composed in: lang-ID → quality → REPETITION filter
+    // (duplicate-bigram fraction < 0.1) → MinHash+LSH near-dup removal →
+    // DETERMINISTIC MIXTURE SAMPLING (per-source recipe rates) → token
+    // accounting. One declarative plan; the oracle replays every stage in
+    // SQL including the exact integer mixing thresholds.
+    "q_pipeline_v2" -> QueryDef(
+      (s, d) => {
+        import graft.pipeline.{Dedup, Mix, TextFunctions}
+        val docs = t(s, d, "documents")
+          .filter(TextFunctions.langId(col("text")) === "en" &&
+            TextFunctions.qualityMicros(col("text")) >= 400000L &&
+            TextFunctions.dupNgramRatioMicros(col("text"), 2) < 100000L)
+        val pairs = Dedup.nearPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        val dropIds = pairs.select(col("b").as("doc_id")).distinct()
+        val deduped = docs.join(dropIds, Seq("doc_id"), "left_anti")
+        val rates = (0 until 20).map(k => s"src$k" -> (k + 1) / 20.0).toMap
+        Mix.bySource(deduped, "doc_id", "source", rates)
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      },
+      Some {
+        val whens = (0 until 20).map(k =>
+          s"WHEN 'src$k' THEN ${graft.pipeline.Mix.threshold((k + 1) / 20.0)}")
+          .mkString(" ")
+        raw"WITH dd AS (SELECT doc_id, text, source, " +
+          raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
+          "scored AS (SELECT doc_id, text, source, w, " +
+          "len(list_intersect(list_distinct(w), ['the','a','of','and','to','in','is'])) s_en, " +
+          "len(list_intersect(list_distinct(w), ['der','die','das','und','ist'])) s_de, " +
+          "len(list_intersect(list_distinct(w), ['le','les','et','est'])) s_fr, " +
+          "len(list_intersect(list_distinct(w), ['el','los','y','es'])) s_es, " +
+          "CASE WHEN length(text)=0 OR len(w)=0 THEN 0 ELSE floor((" +
+          "0.4 * (len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE / len(w)) " +
+          "+ 0.4 * (length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE / length(text)) " +
+          "+ 0.2 * least(len(w)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END AS qm, " +
+          "CASE WHEN len(w) < 2 THEN 0 ELSE floor((1.0 - " +
+          "len(list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)]))::DOUBLE " +
+          "/ len([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])) * 1000000)::BIGINT END AS dup2 " +
+          "FROM dd), " +
+          "filt AS (SELECT doc_id, text, source, w FROM scored " +
+          "WHERE (CASE WHEN s_en=0 AND s_de=0 AND s_fr=0 AND s_es=0 THEN 'und' " +
+          "WHEN s_en>=s_de AND s_en>=s_fr AND s_en>=s_es THEN 'en' " +
+          "WHEN s_de>=s_fr AND s_de>=s_es THEN 'de' " +
+          "WHEN s_fr>=s_es THEN 'fr' ELSE 'es' END) = 'en' " +
+          "AND qm >= 400000 AND dup2 < 100000), " +
+          "sh AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] " +
+          "for i in generate_series(1, len(w)-2)]) s FROM filt), " +
+          "drop_ids AS (SELECT DISTINCT b.doc_id AS doc_id FROM sh a " +
+          "JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE len(list_intersect(a.s, b.s))::DOUBLE / " +
+          "len(list_distinct(a.s || b.s)) >= 0.8) " +
+          "SELECT f.doc_id, len(f.w) AS n_tokens FROM filt f " +
+          "WHERE f.doc_id NOT IN (SELECT doc_id FROM drop_ids) " +
+          s"AND (f.doc_id * 69069 + 12345) % ${graft.pipeline.Mix.Resolution} < " +
+          s"CASE f.source $whens ELSE -1 END"
+      }),
+
     // K8 text→embedding stage. normalize=false keeps exact integer counts,
     // so the feature-hash embedding is SQL-checkable: c0 = tokens hashing
     // to bucket 0, norm2 = Σ count². The bucket function is the same
