@@ -138,6 +138,23 @@ object TextFunctions {
             size(filter(g, x => x === d)))).cast("double") / size(g)
           * 1000000).cast("long"))), 1)
 
+  /** PII scrubbing — the pre-training redaction pass (mask, don't drop:
+    * the surrounding prose keeps its training value). Three conservative
+    * patterns chosen to mean the same thing in Java regex (Spark codegen)
+    * and RE2 (DuckDB/ripgrep-class engines), applied URL-first so an
+    * address inside a URL masks as part of the URL:
+    *   - `https?://\S+`            → `<URL>`
+    *   - `local@domain.tld`        → `<EMAIL>`
+    *   - 7+ consecutive digits     → `<NUM>` (phone/account-number class;
+    *     short quantities and years survive)
+    * All three are `regexp_replace` chains — codegen'd, no UDF. */
+  def maskPii(c: Column): Column = {
+    val url = regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "[0-9]{7,}", "<NUM>")
+  }
+
   /** Scala twin of [[fingerprint]] — identical values (same codepoint
     * sequence, same per-step mod; TextFunctionsSpec asserts equality incl.
     * non-ASCII), JIT'd loop speed for the pipeline path. */

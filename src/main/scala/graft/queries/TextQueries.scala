@@ -145,6 +145,29 @@ object TextQueries {
         "CASE WHEN len(g) = 0 THEN 0 ELSE CAST(floor(" +
         "list_max(list_transform(list_distinct(g), " +
         "d -> len(list_filter(g, x -> x = d)))) / len(g) * 1000000) AS BIGINT) " +
-        "END AS top2_micros FROM gg"))
+        "END AS top2_micros FROM gg")),
+
+    // PII MASKING (r12): the redaction pass. The fixture texts carry no
+    // PII, so the gate plants a deterministic contact trailer per doc
+    // (same concatenation in both engines) — masking it back out checks
+    // the regex DIALECT parity (Java regex vs DuckDB's RE2) over the full
+    // corpus, not just the operator's own spec fixtures.
+    "q_text_pii" -> QueryDef(
+      (s, d) => {
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com visit https://site"), col("doc_id").cast("string"),
+          lit(".org/path?id="), col("doc_id").cast("string"),
+          lit(" ref 12345678"))
+        t(s, d, "documents")
+          .select(col("doc_id"), maskPii(planted).as("masked"))
+      },
+      Some("SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user' || doc_id || '@example.com visit " +
+        "https://site' || doc_id || '.org/path?id=' || doc_id || ' ref 12345678', " +
+        raw"'https?://[^\s]+', '<URL>', 'g'), " +
+        raw"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9]{7,}', '<NUM>', 'g') AS masked FROM documents"))
   )
 }

@@ -61,6 +61,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) === ((750000L, 1000000L))) // the spam doc, exact values
   }
 
+  test("maskPii: masks emails, urls, long digit runs; preserves everything else") {
+    val cases = Seq(
+      ("reach me at bob.smith+x@corp.example.io today",
+        "reach me at <EMAIL> today"),
+      ("docs at https://ex.org/a?b=c#frag and http://plain.net end",
+        "docs at <URL> and <URL> end"),
+      ("call 5551234567 or 123456 ok", "call <NUM> or 123456 ok"),
+      // an email inside a URL masks as part of the URL (url-first order)
+      ("see https://x.io/u@y.com/path done", "see <URL> done"),
+      ("year 2024 and price 99 survive", "year 2024 and price 99 survive"),
+      ("", ""))
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "text")
+    val got = df.select($"id", TextFunctions.maskPii($"text").as("m"))
+      .as[(Long, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) === want, s"case $i")
+    }
+  }
+
   test("language ID is deterministic on marker ties") {
     // 'es' ∈ es-markers; 'est' ∈ fr-markers: one hit each → fr wins the
     // fixed tie order (en > de > fr > es).
