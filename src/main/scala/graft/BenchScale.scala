@@ -44,7 +44,11 @@ object BenchScale {
     // the as-of join's union+window are exactly the shapes that would go
     // quadratic if mis-keyed (replicas are disjoint in user_id AND in
     // event time, so per-replica join structure matches the original)
-    "q_join_asof", "q_join_range")
+    "q_join_asof", "q_join_range",
+    // r12-2: the new heavy pipeline operators — incremental dedup (store
+    // build + probe join), the repetition expression sweep, and the v2
+    // flagship chain (every round-12 operator in one plan)
+    "q_dedup_incremental", "q_text_repetition", "q_pipeline_v2")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L
