@@ -287,6 +287,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: each batch probes the signature store, then joins it") {
+    // The crawl-ingest loop end-to-end: per micro-batch, (1) dedup the
+    // batch against everything ingested so far via the signature store,
+    // (2) append the batch's fact rows + signatures. The store is the only
+    // cross-batch state — no growing in-memory corpus anywhere.
+    import graft.pipeline.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup2")
+    val fact = root.resolve("fact").toString
+    val store = root.resolve("sigs").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    val other = "completely different words about databases and storage engines " * 6
+    val dupsSeen = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[Doc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          if (new java.io.File(fact, "_SUCCESS").isFile ||
+              new java.io.File(fact).isDirectory) {
+            val corpus = b.sparkSession.read.option("basePath", fact)
+              .parquet(fact)
+            if (new java.io.File(store).isDirectory) {
+              import b.sparkSession.implicits._
+              dupsSeen ++= Dedup.nearDupsAgainstStore(corpus, b, store,
+                  "doc_id", "text", threshold = 0.5)
+                .select($"corpus_id", $"new_id").as[(Long, Long)].collect()
+            }
+          }
+          b.write.mode("append").parquet(fact)
+          if (new java.io.File(store).isDirectory)
+            Dedup.appendSignatureStore(b, "doc_id", "text", store)
+          else Dedup.writeSignatureStore(b, "doc_id", "text", store)
+          b.unpersist()
+        }
+        ()
+      }
+      .start()
+    try {
+      in.addData(Doc(1, base), Doc(2, other))
+      q.processAllAvailable()
+      assert(dupsSeen.isEmpty) // first batch: nothing to dedup against
+      in.addData(Doc(10, base.replace("lazy", "sleepy")), Doc(11, "unrelated " * 20))
+      q.processAllAvailable()
+      assert(dupsSeen.toSet === Set((1L, 10L)))
+      // batch 3 dups BOTH an original and a batch-2 doc — cross-batch state
+      // flows only through the store
+      in.addData(Doc(20, base))
+      q.processAllAvailable()
+      assert(dupsSeen.toSet === Set((1L, 10L), (1L, 20L), (10L, 20L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs purchases with in-window views only") {
     val views = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
