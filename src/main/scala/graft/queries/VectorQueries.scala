@@ -70,6 +70,35 @@ object VectorQueries {
       (s, d) => topK(s, d, Knn.L2),
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // KNN JOIN (r12) — batch retrieval: the k nearest corpus vectors for
+    // EVERY query row in one plan (broadcast queries → codegen scoring per
+    // corpus partition → grouped top-k aggregator with map-side partials;
+    // the shuffle carries <= k rows per (query, partition), never the
+    // scored cross product). Oracle: windowed row_number over the full
+    // cross join.
+    "q_knn_join" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Knn.knnJoin(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          emb.filter(col("vec_id") >= 20)
+            .select(col("vec_id").as("corpus_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", "embedding", k = 3)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings WHERE vec_id >= 20), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
     // K2 inner-product metric (distance = 1 - dot, hnswlib convention)
     "q_knn_ip" -> QueryDef(
       (s, d) => topK(s, d, Knn.IP),

@@ -47,6 +47,52 @@ object Knn {
       .limit(k)
   }
 
+  /** KNN JOIN — the BATCH form of top-k search (retrieval for every row at
+    * once): for each row of `queries`, the k nearest rows of `corpus`.
+    * The single-query API serves interactive search; a data pipeline
+    * (batch retrieval, cross-corpus linking, embedding-space labeling)
+    * needs all queries answered in one distributed plan.
+    *
+    * Shape (the 100 TB story): the QUERY batch broadcasts (it is the small
+    * side by construction — thousands of rows vs a corpus of billions);
+    * each corpus partition scores its rows against every query with the
+    * codegen'd distance kernel, and the grouped top-k [[TopK.TopKAgg]]
+    * aggregator keeps map-side partials, so the one shuffle carries at
+    * most k rows per (query, corpus-partition) — never the scored cross
+    * product. Corpus-side attribute filters compose as plain pre-filters.
+    * For query batches too large to broadcast, run in broadcastable
+    * slices — each slice is one independent plan (the k-per-query result
+    * makes slices embarrassingly parallel).
+    *
+    * Returns (qIdCol, cIdCol, dist, rn) with rn in 1..k, best-first,
+    * ties broken by corpus id — [[knn]]'s result contract per query. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, qVecCol: String,
+              cIdCol: String, cVecCol: String,
+              k: Int, metric: Metric = L2): DataFrame = {
+    require(qIdCol != cIdCol,
+      s"query and corpus id columns must have distinct names ($qIdCol)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("__qid"),
+      col(qVecCol).as("__qv")))
+    val scored = corpus
+      .select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
+      .crossJoin(q)
+      .select(col("__qid"), col("__cid"),
+        distCol(metric, col("__cv"), col("__qv")).as("__dist"))
+    val agg = new TopK.TopKAgg(k).toColumn
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.name("topk"))
+      .toDF("__qid", "topk")
+      .select(col("__qid"),
+        posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("__qid").as(qIdCol), col("pair._2").as(cIdCol),
+        col("pair._1").as("dist"), (col("pos") + 1).as("rn"))
+  }
+
   /** Index-vs-fullscan cost rule (K4) — mirrors the shape of the reference's
     * ShouldUseFullscan (knn/knn.cpp:613-620): with a filter of selectivity
     * `sel` over `n` rows, it recommends brute force exactly when the filter

@@ -91,6 +91,28 @@ class DistancesSpec extends AnyFunSuite with graft.GenCheck {
     assert(got === Seq(10L, 9L, 11L, 8L, 12L))
   }
 
+  test("knnJoin equals per-query knn for every query row (batch retrieval)") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (100L until 300L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val queries = (0L until 12L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val cdf = corpus.toDF("cid", "v")
+    val qdf = queries.toDF("qid", "v")
+    for (metric <- Seq(Knn.L2, Knn.Cosine)) {
+      val joined = Knn.knnJoin(qdf, cdf, "qid", "v", "cid", "v", 5, metric)
+        .select($"qid", $"cid", $"rn").as[(Long, Long, Int)]
+        .collect().groupBy(_._1)
+      assert(joined.keySet === queries.map(_._1).toSet) // every query answered
+      queries.foreach { case (qid, qv) =>
+        val want = Knn.knn(cdf, "v", "cid", qv, 5, metric)
+          .select("cid").as[Long].collect().toSeq
+        val got = joined(qid).sortBy(_._3).map(_._2).toSeq
+        assert(got === want, s"query $qid ($metric)")
+      }
+    }
+  }
+
   test("distance kernels are registered as SQL functions (H8 SQL surface)") {
     val a = Array(1f, 2f, 3f); val b = Array(4f, 5f, 6f)
     Seq((a, b)).toDF("a", "b").createOrReplaceTempView("vecs_sqlfn")
