@@ -99,6 +99,34 @@ object VectorQueries {
         "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
         "FROM r WHERE rn <= 3")),
 
+    // KNN JOIN, IVF-ACCELERATED (r12) — batch retrieval over the INDEXED
+    // corpus: queries explode to their nprobe nearest lists, equi-join the
+    // index on the list id (broadcast hash join, never a cross product),
+    // grouped top-k merges. nprobe = nlist scores every pair, so this
+    // shares q_knn_join's brute-force oracle — the index loses nothing;
+    // probe economy at nprobe<nlist is IvfTopKSpec's job.
+    "q_knn_join_ivf" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfJoinIndex(s, d)
+        Ivf.knnJoin(s, path, m,
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "vec_id", "embedding",
+          k = 3, nprobe = m.nlist)
+          .select(col("query_id"), col("vec_id").as("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings WHERE vec_id >= 20), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
     // K2 inner-product metric (distance = 1 - dot, hnswlib convention)
     "q_knn_ip" -> QueryDef(
       (s, d) => topK(s, d, Knn.IP),
@@ -674,6 +702,19 @@ object VectorQueries {
       val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings"
       val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 16)
       Ivf.buildIndex(t(s, d, "embeddings"), "embedding", m, path)
+      (m, path)
+    })
+
+  // Memoized corpus-subset IVF index (vec_id >= 20) for the knn-join gates.
+  private val ivfJoinCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Ivf.Model, String)]
+
+  private def ivfJoinIndex(s: SparkSession, d: String): (Ivf.Model, String) =
+    ivfJoinCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings_corpus"
+      val corpus = t(s, d, "embeddings").filter(col("vec_id") >= 20)
+      val m = Ivf.train(corpus, "embedding", nlist = 16)
+      Ivf.buildIndex(corpus, "embedding", m, path)
       (m, path)
     })
 

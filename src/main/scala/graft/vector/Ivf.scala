@@ -237,6 +237,50 @@ object Ivf {
     Knn.knn(scanned, vecCol, idCol, query, k, m.metric)
   }
 
+  /** IVF-accelerated KNN JOIN — the scale path of [[Knn.knnJoin]] (batch
+    * retrieval over an indexed corpus): each query row explodes into its
+    * `nprobe` nearest list ids (one bound evaluation of the centroid
+    * distance array per query — the same coarse assignment the single-query
+    * path uses), the exploded batch EQUI-JOINS the index on the list id
+    * (broadcast hash join — never a cross product), and the bounded
+    * grouped top-k aggregator merges per-query results with map-side
+    * partials. Scored pairs shrink from |Q|·|C| to |Q|·nprobe/nlist·|C|;
+    * with AQE runtime filters the list-id join key also prunes index scan
+    * partitions.
+    *
+    * Exactness contract mirrors [[search]]: nprobe = nlist scores every
+    * pair (≡ [[Knn.knnJoin]] exactly, same tiebreak); smaller nprobe is
+    * the recall/cost trade, spec-tested on clustered data.
+    * Returns (qIdCol, cIdCol, dist, rn), rn in 1..k per query. */
+  def knnJoin(spark: SparkSession, indexPath: String, m: Model,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              cIdCol: String, cVecCol: String,
+              k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= m.nlist,
+      s"nprobe $nprobe out of [1, ${m.nlist}]")
+    // nprobe nearest centroid ids per query, as one expression: distance
+    // array bound ONCE via the single-element transform (re-inlining it
+    // into the per-centroid lambda would re-evaluate the whole centroid
+    // table per element — the shingles lesson), structs sorted by
+    // (distance, id), prefix sliced, ids extracted
+    val probeIds = element_at(transform(array(distArray(col(qVecCol), m)),
+      arr => transform(
+        slice(array_sort(transform(sequence(lit(0), lit(m.nlist - 1)),
+          i => struct(element_at(arr, i + 1).as("d"), i.as("i")))),
+          1, nprobe),
+        s => s.getField("i").cast("long"))), 1)
+    val q = broadcast(queries
+      .select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"),
+        explode(probeIds).as("__probe")))
+    val scored = spark.read.parquet(resolve(spark, indexPath))
+      .select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"),
+        col("ivf_cluster"))
+      .join(q, col("ivf_cluster") === col("__probe"))
+      .select(col("__qid"), col("__cid"),
+        Knn.distCol(m.metric, col("__cv"), col("__qv")).as("__dist"))
+    TopK.topKPairs(scored, qIdCol, cIdCol, k)
+  }
+
   /** Per-list radius (max L2 distance of a member to its centroid) — the
     * metadata early termination needs; one aggregation over the index. */
   def listRadii(spark: SparkSession, indexPath: String, m: Model,

@@ -72,8 +72,6 @@ object Knn {
               k: Int, metric: Metric = L2): DataFrame = {
     require(qIdCol != cIdCol,
       s"query and corpus id columns must have distinct names ($qIdCol)")
-    val spark = queries.sparkSession
-    import spark.implicits._
     val q = broadcast(queries.select(col(qIdCol).cast("long").as("__qid"),
       col(qVecCol).as("__qv")))
     val scored = corpus
@@ -81,16 +79,7 @@ object Knn {
       .crossJoin(q)
       .select(col("__qid"), col("__cid"),
         distCol(metric, col("__cv"), col("__qv")).as("__dist"))
-    val agg = new TopK.TopKAgg(k).toColumn
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(agg.name("topk"))
-      .toDF("__qid", "topk")
-      .select(col("__qid"),
-        posexplode(col("topk")).as(Seq("pos", "pair")))
-      .select(col("__qid").as(qIdCol), col("pair._2").as(cIdCol),
-        col("pair._1").as("dist"), (col("pos") + 1).as("rn"))
+    TopK.topKPairs(scored, qIdCol, cIdCol, k)
   }
 
   /** Index-vs-fullscan cost rule (K4) — mirrors the shape of the reference's

@@ -57,6 +57,27 @@ object TopK {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
   }
 
+  /** Shared tail of the KNN-join family: grouped top-k over a scored
+    * (`__qid`, `__cid`, `__dist`) frame via the bounded aggregator —
+    * map-side partials cap the shuffle at k rows per (query, partition).
+    * Returns (`qIdCol`, `cIdCol`, dist, rn) best-first, corpus-id
+    * tiebreak. */
+  private[vector] def topKPairs(scored: DataFrame, qIdCol: String,
+                                cIdCol: String, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val agg = new TopKAgg(k).toColumn
+    scored.select(col("__qid"), col("__cid"), col("__dist"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.name("topk"))
+      .toDF("__qid", "topk")
+      .select(col("__qid"),
+        posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("__qid").as(qIdCol), col("pair._2").as(cIdCol),
+        col("pair._1").as("dist"), (col("pos") + 1).as("rn"))
+  }
+
   /** Top-k rows per group: returns (group, id, value, rn) with rn in 1..k.
     * groupCol must be string-typed here (the corpus use case); the
     * Aggregator itself is type-agnostic over its (id, value) input. */

@@ -40,6 +40,44 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(viaIndex === exact)
   }
 
+  test("IVF knnJoin: exact at nprobe=nlist, high recall at nprobe=1 on clustered data") {
+    val m = Ivf.train(df, "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivfj").resolve("ix").toString
+    Ivf.buildIndex(df, "embedding", m, dir)
+    // 16 queries drawn near cluster centers (member vectors re-jittered)
+    val rnd = new scala.util.Random(29)
+    val queries = (0 until 16).map { qi =>
+      val base = df.where($"vec_id" === (qi * 17L) % 320L)
+        .select($"embedding").as[Array[Float]].head()
+      (qi.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }
+    val qdf = queries.toDF("qid", "qv")
+    def rows(r: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      r.select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)]
+        .collect().groupBy(_._1).view
+        .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val exact = rows(Knn.knnJoin(qdf, df, "qid", "qv", "vec_id", "embedding", 5))
+    // full probes score every (query, corpus) pair: identical to the
+    // brute-force join, same (dist, id) tiebreak
+    val full = rows(Ivf.knnJoin(SparkT.spark, dir, m, qdf, "qid", "qv",
+      "vec_id", "embedding", k = 5, nprobe = 8))
+    assert(full === exact)
+    // one probe per query: most queries keep their exact top-5 outright;
+    // aggregate recall stays high. NOT exact by contract — k-means may
+    // split a natural cluster across two lists, and a query near that
+    // boundary legitimately misses neighbors in the unprobed half (the
+    // recall/cost trade nprobe exists to tune).
+    val one = rows(Ivf.knnJoin(SparkT.spark, dir, m, qdf, "qid", "qv",
+      "vec_id", "embedding", k = 5, nprobe = 1))
+    assert(one.keySet === exact.keySet)
+    val hits = queries.map(_._1).map(q =>
+      one(q).toSet.intersect(exact(q).toSet).size).sum
+    val recall = hits.toDouble / (queries.size * 5)
+    assert(recall >= 0.85, s"recall@5 at nprobe=1: $recall")
+    assert(queries.map(_._1).count(q => one(q) == exact(q)) >= 12,
+      "most queries should keep their exact top-5 at one probe")
+  }
+
   test("IVF with nprobe=1 on clustered data: full recall, scans a fraction of rows") {
     val m = Ivf.train(df, "embedding", nlist = 8)
     val dir = Files.createTempDirectory("graft-ivf2").resolve("ix").toString
