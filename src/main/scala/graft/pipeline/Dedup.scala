@@ -311,6 +311,54 @@ object Dedup {
       newSh, newBanded, cands)
   }
 
+  /** DEDUP CLUSTERS — connected components over a near-dup pair set: the
+    * keep-one-per-GROUP step of a production dedup pass (pairs chain:
+    * A≈B, B≈C puts A,B,C in one cluster even when the A≈C pair was never
+    * emitted; the usual keep rule is then min-id per cluster).
+    *
+    * Min-label propagation, each round one equi-join + one min-aggregate:
+    * every node adopts the smallest label among itself and its neighbors;
+    * converges in O(component diameter) rounds. Near-dup components are
+    * shallow by nature (stars and short chains around a template), so at
+    * 100 TB this is a handful of shuffles over the PAIR set — which is
+    * orders of magnitude smaller than the corpus. Each round's frame is
+    * persisted and the previous freed; convergence is detected by an
+    * any-change probe (`limit(1)` — never a full count of a big diff).
+    *
+    * Returns one row per node that appears in `pairs`:
+    * (`idOut`, `clusterOut`) where cluster = min node id of the component.
+    * Nodes in no pair are their own singleton clusters — callers keep them
+    * unconditionally, so they are not emitted here. */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+               idOut: String = "doc_id", clusterOut: String = "cluster_id",
+               maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("s"),
+      col(bCol).cast("long").as("d"))
+    val edges = materialized(
+      e0.unionByName(e0.select(col("d").as("s"), col("s").as("d"))).distinct())
+    var labels = materialized(
+      edges.select(col("s").as("id")).distinct().withColumn("lbl", col("id")))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, edges("d") === labels("id"))
+        .select(edges("s").as("id"), col("lbl"))
+      val next = materialized(labels.select(col("id"), col("lbl"))
+        .unionByName(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
+      converged = labels.as("o").join(next.as("n"), "id")
+        .filter(col("o.lbl") =!= col("n.lbl")).limit(1).count() == 0
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound (raise maxIters)")
+    eagerly(labels.select(col("id").as(idOut), col("lbl").as(clusterOut)),
+      labels, edges)
+  }
+
   /** 64-bit SimHash over a shingle set: bit j is the sign of the sum over
     * shingles of ±1 depending on bit j of xxhash64(shingle). Single pass:
     * an array-of-counters accumulator zipped per shingle. */

@@ -75,6 +75,28 @@ object DedupQueries {
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.f, b.f)) <= 3")),
 
+    // DEDUP CLUSTERS (r12): connected components over the near-dup pairs —
+    // the keep-one-per-GROUP step (pairs chain transitively; the keep rule
+    // is min id per component). Engine: min-label propagation, one
+    // join+min-aggregate per round over the PAIR set. Oracle: recursive-CTE
+    // transitive closure with min over the reachable set.
+    "q_dedup_clusters" -> QueryDef(
+      (s, d) => {
+        val pairs = Dedup.nearPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        Dedup.clusters(pairs)
+      },
+      Some(shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pr AS (SELECT a.doc_id AS a, b.doc_id AS b " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(a.s || b.s)) >= 0.8), " +
+        "edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b, a FROM pr), " +
+        "rch AS (SELECT s AS src, s AS dst FROM edges " +
+        "UNION SELECT r.src, e.d FROM rch r JOIN edges e ON r.dst = e.s) " +
+        "SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id " +
+        "FROM rch GROUP BY src")),
+
     // INCREMENTAL dedup against a persisted signature store (r12 — the
     // crawl-ingest shape: the corpus is banded ONCE into a compact
     // (mid, band, key) store; each batch bands itself, probes the store,

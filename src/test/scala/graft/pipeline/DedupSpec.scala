@@ -48,6 +48,24 @@ class DedupSpec extends AnyFunSuite {
     } finally Dedup.instrumented = false
   }
 
+  test("clusters: min-label components over chained pairs, multi-round convergence") {
+    // components: a 5-long chain (diameter forces several propagation
+    // rounds), a triangle with one edge missing, and a pair
+    val pairs = Seq(
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), // chain → 30
+      (1L, 5L), (5L, 9L),                             // open triangle → 1
+      (20L, 21L))                                     // pair → 20
+      .toDF("a", "b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L,
+      1L -> 1L, 5L -> 1L, 9L -> 1L,
+      20L -> 20L, 21L -> 20L))
+    // keep rule: one survivor per component = the cluster label itself
+    assert(got.values.toSet === Set(30L, 1L, 20L))
+  }
+
   test("incremental dedup: store probe equals direct cross-set dedup; appends extend the corpus") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
     val other = "completely different words about databases and storage engines " * 6
