@@ -126,6 +126,23 @@ object TextFunctions {
     bound
   }
 
+  /** Both repetition metrics from ONE bound n-gram array — the corpus-sweep
+    * form ([[dupNgramRatioMicros]] + [[topNgramRatioMicros]] as separate
+    * columns would tokenize and build the n-gram list twice per row).
+    * Returns struct(dup_micros, top_micros). */
+  def repetitionMicros(c: Column, n: Int): Column =
+    element_at(transform(array(allNgrams(c, n)), g =>
+      struct(
+        when(size(g) === 0, lit(0L))
+          .otherwise(floor((lit(1.0) -
+            size(array_distinct(g)).cast("double") / size(g)) * 1000000)
+            .cast("long")).as("dup_micros"),
+        when(size(g) === 0, lit(0L))
+          .otherwise(floor(
+            array_max(transform(array_distinct(g), d =>
+              size(filter(g, x => x === d)))).cast("double") / size(g)
+            * 1000000).cast("long")).as("top_micros"))), 1)
+
   /** Most-frequent-n-gram fraction in micro-units: count of the modal
     * n-gram over the total — high when one phrase dominates the document
     * (the other half of the repetition rule family). O(distinct × total)

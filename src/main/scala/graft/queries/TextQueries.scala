@@ -130,10 +130,15 @@ object TextQueries {
     // micro-floored exact rational arithmetic. Pure codegen expression
     // trees, O(distinct × total) per row worst case.
     "q_text_repetition" -> QueryDef(
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"),
-          dupNgramRatioMicros(col("text"), 2).as("dup2_micros"),
-          topNgramRatioMicros(col("text"), 2).as("top2_micros")),
+      (s, d) => {
+        // one bound n-gram build per row; subexpression elimination keeps
+        // the shared struct single-evaluated across the two field reads
+        val rep = repetitionMicros(col("text"), 2)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            rep.getField("dup_micros").as("dup2_micros"),
+            rep.getField("top_micros").as("top2_micros"))
+      },
       Some(raw"WITH dd AS (SELECT doc_id, " +
         raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
         "FROM documents), " +

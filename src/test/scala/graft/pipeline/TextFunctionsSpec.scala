@@ -59,6 +59,12 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(got(i.toLong) === brute(texts(i)), s"text: '${texts(i)}'")
     }
     assert(got(3L) === ((750000L, 1000000L))) // the spam doc, exact values
+    // the combined single-binding form agrees with the separate columns
+    val combined = df.select(col("id"),
+        TextFunctions.repetitionMicros(col("text"), 2).as("r"))
+      .select(col("id"), col("r.dup_micros"), col("r.top_micros"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(combined === got)
   }
 
   test("maskPii: masks emails, urls, long digit runs; preserves everything else") {
