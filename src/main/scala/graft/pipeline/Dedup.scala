@@ -336,8 +336,13 @@ object Dedup {
       col(bCol).cast("long").as("d"))
     val edges = materialized(
       e0.unionByName(e0.select(col("d").as("s"), col("s").as("d"))).distinct())
-    var labels = materialized(
-      edges.select(col("s").as("id")).distinct().withColumn("lbl", col("id")))
+    // init = the first propagation round fused into one aggregate
+    // (lbl = min(id, min neighbor)): star and pair components — the bulk
+    // of a near-dup graph — are already at their fixpoint here, so the
+    // loop usually runs exactly one verification round
+    var labels = materialized(edges.groupBy(col("s"))
+      .agg(least(col("s"), min(col("d"))).as("lbl"))
+      .select(col("s").as("id"), col("lbl")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
