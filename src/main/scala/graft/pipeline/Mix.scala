@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -56,4 +57,67 @@ object Mix {
   /** The integer keep-threshold a rate quantizes to (rate 1.0 → 2^20,
     * above every hash value — keep all). */
   def threshold(rate: Double): Long = math.floor(rate * Resolution).toLong
+
+  /** TOKEN-BUDGET selection: within each `groupCol`, rank rows by
+    * (`scoreCol` DESC, `idCol` ASC) and keep rows while the running sum of
+    * `weightCol` (inclusive) stays within `budget` — "take the best
+    * documents up to N tokens per source". Appends `cum_weight` (the
+    * inclusive running sum, deciding column of the cut). Weights must be
+    * non-negative; a row is kept iff its inclusive running sum <= budget.
+    *
+    * 100 TB design — the naive form is ONE window partitioned by group,
+    * which serializes each source through a single task (a web-scale
+    * source is billions of rows). Instead the cut evaluates in two
+    * exact phases:
+    *  1. aggregate to per-(group, score) weight sums (map-side combined
+    *     — the frame is |distinct scores| per group, not |rows|), window
+    *     over THAT to get each score-run's starting offset, and prune
+    *     runs that start past the budget (for non-negative weights no
+    *     row of theirs can be kept);
+    *  2. join the surviving offsets back (equi-join on (group, score))
+    *     and window partitioned by (group, score) — orders of magnitude
+    *     finer than by group alone — adding the within-run prefix.
+    * Both decisions use exact integer arithmetic over the same total
+    * order, so the result is identical to the naive single window —
+    * MixSpec pins the equivalence on randomized data. */
+  def byBudget(df: DataFrame, idCol: String, groupCol: String,
+               weightCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val byScore = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val runs = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byScore
+      .withColumn("__off", coalesce(sum(col("__w")).over(runs), lit(0L)))
+      .filter(col("__off") <= budget)
+      .select(col(groupCol), col(scoreCol), col("__off"))
+    val inRun = Window.partitionBy(col(groupCol), col(scoreCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(offsets, Seq(groupCol, scoreCol))
+      .withColumn("cum_weight",
+        col("__off") + sum(col(weightCol)).over(inRun))
+      .filter(col("cum_weight") <= budget)
+      .select((df.columns :+ "cum_weight").map(col).toIndexedSeq: _*)
+  }
+
+  /** STRATIFIED sample: exactly `n` rows per `groupCol` value (fewer when
+    * the group is smaller), chosen as the n smallest [[hashScaled]] ids —
+    * deterministic across engines/reruns/cluster sizes, uniform within
+    * each group. One window partitioned by the group column; `n` is a
+    * sample size (small), so the per-group task processes the group's
+    * rows once and emits n — at extreme group sizes a hash-threshold
+    * prefilter (keep hash < ~4n/|group| of the space, then rank the
+    * survivors) bounds the window input first; the decision column is the
+    * same hash either way. */
+  def stratified(df: DataFrame, idCol: String, groupCol: String,
+                 n: Int): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1: $n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashScaled(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.Dedup
+import graft.pipeline.{Decontaminate, Dedup}
 
 /** Oracle-checked corpus for the dedup operators over `documents` and
   * `embeddings`. The oracles are brute-force formulations (group-by-text,
@@ -122,6 +122,29 @@ object DedupQueries {
         "len(list_distinct(a.s || b.s))) * 1000000)::BIGINT AS jac_micros " +
         "FROM sh a JOIN sh b ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 " +
         "WHERE len(list_intersect(a.s, b.s))::DOUBLE / " +
-        "len(list_distinct(a.s || b.s)) >= 0.8"))
+        "len(list_distinct(a.s || b.s)) >= 0.8")),
+
+    // BENCHMARK DECONTAMINATION (r12): flag corpus docs sharing >= 2
+    // distinct 3-gram shingles with an eval-set doc (doc_id % 97 == 0 —
+    // scale-proportional eval split), reporting the containment
+    // |S_c ∩ S_e| / |S_e|. Engine: explode + broadcast shingle equi-join,
+    // never all-pairs. Oracle: brute-force cross-set intersection.
+    "q_decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Decontaminate.overlaps(
+          docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+          "doc_id", "text", "doc_id", "text",
+          shingleN = 3, minOverlap = 2)
+      },
+      Some(shingleCte +
+        "SELECT co.doc_id AS corpus_id, ev.doc_id AS eval_id, " +
+        "len(list_intersect(co.s, ev.s))::BIGINT AS overlap, " +
+        "floor(len(list_intersect(co.s, ev.s))::DOUBLE / len(ev.s) " +
+        "* 1000000)::BIGINT AS containment_micros " +
+        "FROM sh co JOIN sh ev " +
+        "ON co.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0 " +
+        "WHERE len(ev.s) > 0 AND len(list_intersect(co.s, ev.s)) >= 2"))
   )
 }

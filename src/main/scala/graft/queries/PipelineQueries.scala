@@ -429,7 +429,48 @@ object PipelineQueries {
         "SELECT doc_id, source FROM documents " +
           s"WHERE (doc_id * 69069 + 12345) % ${graft.pipeline.Mix.Resolution} < " +
           s"CASE source $whens ELSE -1 END"
-      })
+      }),
+
+    // TOKEN-BUDGET selection (r12): per source, the best documents by
+    // quality score (ties broken by id) until a 2000-char budget fills —
+    // the "take the top N tokens per source" curation step. Engine: exact
+    // two-phase cut (per-(group, score) offsets + within-run prefix — no
+    // per-group serialization); oracle: the naive single window replayed
+    // in SQL (the equivalence the engine guarantees).
+    "q_mix_budget" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("quality_micros",
+            graft.pipeline.TextFunctions.qualityMicros(col("text")))
+        graft.pipeline.Mix.byBudget(docs, "doc_id", "source",
+            "n_chars", "quality_micros", budget = 2000L)
+          .select(col("doc_id"), col("source"),
+            col("cum_weight").as("cum_chars"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, source, n_chars, text, " +
+        raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), q AS (SELECT doc_id, source, n_chars, " +
+        "CASE WHEN length(text)=0 OR len(w)=0 THEN 0 ELSE floor((" +
+        "0.4 * (len(list_filter(w, t -> list_contains(" +
+        "['the','a','of','and','to','in','is'], t)))::DOUBLE / len(w)) " +
+        "+ 0.4 * (length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE / length(text)) " +
+        "+ 0.2 * least(len(w)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END " +
+        "AS quality_micros FROM dd), c AS (SELECT doc_id, source, " +
+        "sum(n_chars) OVER (PARTITION BY source " +
+        "ORDER BY quality_micros DESC, doc_id)::BIGINT AS cum_chars FROM q) " +
+        "SELECT doc_id, source, cum_chars FROM c WHERE cum_chars <= 2000")),
+
+    // STRATIFIED sample (r12): exactly 5 documents per source, chosen as
+    // the 5 smallest LCG-hashed ids — deterministic across engines and
+    // reruns where RNG sampling is not. Oracle replays the hash order.
+    "q_mix_stratified" -> QueryDef(
+      (s, d) => graft.pipeline.Mix.stratified(
+          t(s, d, "documents"), "doc_id", "source", n = 5)
+        .select(col("doc_id"), col("source")),
+      Some("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY " +
+        s"(doc_id * 69069 + 12345) % ${graft.pipeline.Mix.Resolution}, doc_id) rn " +
+        "FROM documents) WHERE rn <= 5"))
   )
 
   // Local-model weight artifact (shared across scale factors — the model is

@@ -114,4 +114,73 @@ class PackMixSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Mix.bySource(docs, "id", "src", Map.empty))
   }
+
+  test("byBudget: inclusive cut, score-desc id-asc order, per-group budgets") {
+    val docs = Seq(
+      // (id, group, weight, score)
+      (1L, "a", 10L, 5L), (2L, "a", 10L, 9L), (3L, "a", 10L, 9L),
+      (4L, "a", 15L, 7L), (5L, "b", 100L, 1L), (6L, "b", 1L, 2L)
+    ).toDF("id", "grp", "w", "q")
+    val out = Mix.byBudget(docs, "id", "grp", "w", "q", budget = 30L)
+      .select($"id", $"cum_weight").as[(Long, Long)].collect().sortBy(_._1)
+    // group a order: id2(q9,w10)→10, id3(q9,w10)→20, id4(q7,w15)→35 OUT,
+    // id1(q5,w10)→45 OUT; group b: id6(q2,w1)→1, id5(q1,w100)→101 OUT
+    assert(out.toSeq === Seq((2L, 10L), (3L, 20L), (6L, 1L)))
+    intercept[IllegalArgumentException](
+      Mix.byBudget(docs, "id", "grp", "w", "q", budget = -1L))
+  }
+
+  test("byBudget two-phase cut equals the naive single window (randomized, tied scores)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(19)
+    val docs = (0L until 2000L)
+      .map(i => (i, s"g${rnd.nextInt(6)}", rnd.nextInt(50).toLong,
+        rnd.nextInt(8).toLong))  // small score domain → heavy ties
+      .toDF("id", "grp", "w", "q")
+    val budget = 300L
+    val got = Mix.byBudget(docs, "id", "grp", "w", "q", budget)
+      .select($"id", $"cum_weight").as[(Long, Long)].collect().toSet
+    val naive = Window.partitionBy($"grp").orderBy($"q".desc, $"id".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = docs.withColumn("cum_weight", sum($"w").over(naive))
+      .filter($"cum_weight" <= budget)
+      .select($"id", $"cum_weight").as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("byBudget windows partition by (group, score), never by group alone") {
+    val docs = (0L until 100L).map(i => (i, s"g${i % 2}", 1L, i % 10))
+      .toDF("id", "grp", "w", "q")
+    val plan = Mix.byBudget(docs, "id", "grp", "w", "q", budget = 10L)
+      .queryExecution.optimizedPlan.toString
+    // the row-level window keys on both columns — the per-group
+    // serialization the two-phase design exists to avoid
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, plan)
+    assert(windowSpecs.exists(s => s.contains("grp") && s.contains("q")), plan)
+  }
+
+  test("stratified: exactly n per group, deterministic, small groups keep all") {
+    val docs = (0L until 900L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+      .union(Seq((9000L, "tiny"), (9001L, "tiny")).toDF("id", "grp"))
+    val out = Mix.stratified(docs, "id", "grp", n = 7)
+    val got = out.as[(Long, String)].collect().toSeq
+    val byGrp = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGrp("g0").size === 7 && byGrp("g1").size === 7 && byGrp("g2").size === 7)
+    assert(byGrp("tiny") === Set(9000L, 9001L))
+    // deterministic: repartitioned input selects the identical rows
+    val again = Mix.stratified(docs.repartition(13), "id", "grp", n = 7)
+      .as[(Long, String)].collect().toSet
+    assert(again === got.toSet)
+    // the selection is the n smallest scaled hashes per group
+    byGrp("g0").foreach { id =>
+      val h = (id * 69069L + 12345L) % Mix.Resolution
+      val better = (0L until 900L).filter(i => i % 3 == 0).map(i =>
+        (i * 69069L + 12345L) % Mix.Resolution).count(_ < h)
+      assert(better < 7, s"id $id hash $h has $better smaller hashes")
+    }
+    assert(out.columns.toSeq === Seq("id", "grp"))
+    intercept[IllegalArgumentException](Mix.stratified(docs, "id", "grp", 0))
+  }
 }
