@@ -48,7 +48,12 @@ object BenchScale {
     // r12-2: the new heavy pipeline operators — incremental dedup (store
     // build + probe join), the repetition expression sweep, and the v2
     // flagship chain (every round-12 operator in one plan)
-    "q_dedup_incremental", "q_text_repetition", "q_pipeline_v2")
+    "q_dedup_incremental", "q_text_repetition", "q_pipeline_v2",
+    // r12-3: decontamination (the broadcast eval side grows with the
+    // replicas — the probe must stay one corpus pass) and the two-phase
+    // budget cut (its windows must scale with (group, score) runs, not
+    // group sizes)
+    "q_decontaminate", "q_mix_budget")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

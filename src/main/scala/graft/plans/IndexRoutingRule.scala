@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -307,6 +307,19 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         }) =>
       tryCountDistinct(aggs.head.asInstanceOf[Alias], child).getOrElse(agg)
 
+    // Index-served MIN/MAX: min/max of the indexed column itself (with an
+    // optional fully-servable filter on the same column) read off the
+    // value-sorted index — the filtered EstimateMinMax made exact
+    // (columnar.cpp:649-675 estimates; the postings ANSWER). Zero fact IO;
+    // the unfiltered case the parquet footers already serve stays routed
+    // too (the index scan is ndv x chunks rows — strictly smaller).
+    case agg @ Aggregate(ge, aggs, child, _) if ge.isEmpty && aggs.nonEmpty &&
+        aggs.forall {
+          case Alias(ae: AggregateExpression, _) => isMinMaxOnCol(ae)
+          case _ => false
+        } =>
+      tryMinMax(aggs.map(_.asInstanceOf[Alias]), child).getOrElse(agg)
+
     // Index-served facet / DISTINCT: GROUP BY indexed-col [+ COUNT(*)]
     // over the bare (or fully-servable-filtered) relation → the index's
     // (value [, sum(cnt)]) — no fact scan; the reference's
@@ -457,6 +470,67 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
             Seq(Alias(Count(idxValue).toAggregateExpression(
               isDistinct = true), a.name)(exprId = a.exprId)),
             idxChild, None)
+        }
+    }
+  }
+
+  private def isMinMaxOnCol(ae: AggregateExpression): Boolean =
+    ae.aggregateFunction match {
+      case Min(_: AttributeReference) | Max(_: AttributeReference) =>
+        !ae.isDistinct && ae.filter.isEmpty
+      case _ => false
+    }
+
+  /** MIN/MAX(valueCol) [WHERE servable-pred on valueCol] → the same
+    * aggregates over the (filtered) index value stream. Every aggregate
+    * must target the one indexed column (mixed-column min/max would need
+    * the fact rows). NULL semantics match for free — SQL min/max skip
+    * NULLs and so does the aggregate over the index's NULL posting group;
+    * an empty match yields NULL on both paths. MVA indexes are excluded:
+    * their value stream holds array ELEMENTS, while min/max of an array
+    * column compares whole arrays. */
+  private def tryMinMax(aliases: Seq[Alias],
+                        child: LogicalPlan): Option[LogicalPlan] = {
+    val targets = aliases.map(_.child.asInstanceOf[AggregateExpression]
+      .aggregateFunction.children.head.asInstanceOf[AttributeReference])
+    if (targets.map(_.exprId).distinct.size != 1) return None
+    val target = targets.head
+    val (inner, lrOpt) = stripPrune(child) match {
+      case Filter(cond, c) => (Some(cond), relationOf(stripPrune(c)))
+      case other => (None, relationOf(other))
+    }
+    lrOpt.flatMap { case (lr, regs) =>
+      regs.filterNot(_.mva)
+        .filter(r => r.valueCol == target.name &&
+          lr.output.exists(o => o.semanticEquals(target)))
+        .sortBy(_.idxRows).headOption // fewest index rows when several serve
+        .flatMap { r =>
+          val idxPlan = freshIndexPlan(r)
+          for {
+            idxValue <- idxPlan.output.find(_.name == "value")
+              // the rewrite swaps the aggregate's input attribute, so the
+              // output type must be preserved exactly
+              .filter(_.dataType == target.dataType)
+            v <- lr.output.find(_.name == r.valueCol)
+            idxChild <- inner match {
+              case None => Some(idxPlan)
+              case Some(cond) =>
+                val conjuncts = splitConjuncts(cond)
+                if (conjuncts.forall(servable(_, v)))
+                  Some(Filter(
+                    conjuncts.map(substitute(_, v, idxValue)).reduce(And),
+                    idxPlan): LogicalPlan)
+                else None
+            }
+          } yield Aggregate(Nil,
+            aliases.map { a =>
+              val fn = a.child.asInstanceOf[AggregateExpression]
+                .aggregateFunction match {
+                case _: Min => Min(idxValue).toAggregateExpression()
+                case _ => Max(idxValue).toAggregateExpression()
+              }
+              Alias(fn, a.name)(exprId = a.exprId)
+            }, idxChild, None)
         }
     }
   }

@@ -258,6 +258,23 @@ object IndexQueries {
       },
       Some("SELECT count(DISTINCT o_custkey) AS ndv FROM orders")),
 
+    // Index-served MIN/MAX under a range filter (r12): the value-sorted
+    // postings answer min/max of the indexed column with zero fact IO —
+    // the reference's EstimateMinMax seam made exact (columnar.cpp:
+    // 649-675). IndexRoutingSpec pins the plan (no fact scan) and the
+    // unroutable mixed-column bypass.
+    "q_index_auto_minmax" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") > 100L && col("o_custkey") <= 1200L)
+          .agg(min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"))
+      },
+      Some("SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM orders " +
+        "WHERE o_custkey > 100 AND o_custkey <= 1200")),
+
     // F6 via index, AUTOMATICALLY ROUTED: a plain array_contains() filter
     // over a registered MVA index routes through the element postings
     // (the reference accelerates ANY(col) on UINT32SET columns the same

@@ -460,6 +460,53 @@ object PipelineQueries {
         "ORDER BY quality_micros DESC, doc_id)::BIGINT AS cum_chars FROM q) " +
         "SELECT doc_id, source, cum_chars FROM c WHERE cum_chars <= 2000")),
 
+    // FLAGSHIP v3 (r12): the round's curation additions composed in one
+    // declarative plan — benchmark DECONTAMINATION (drop corpus docs
+    // sharing >= 2 trigrams with the mod-97 eval split) → repetition
+    // filter → quality-ranked TOKEN-BUDGET selection per source. The
+    // oracle replays every stage, including the exact window cut.
+    "q_pipeline_v3" -> QueryDef(
+      (s, d) => {
+        import graft.pipeline.{Decontaminate, Mix, TextFunctions}
+        val docs = t(s, d, "documents")
+        val clean = Decontaminate.clean(
+          docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+          "doc_id", "text", "doc_id", "text",
+          shingleN = 3, minOverlap = 2)
+        val filt = clean
+          .filter(TextFunctions.dupNgramRatioMicros(col("text"), 2) < 100000L)
+          .withColumn("quality_micros",
+            TextFunctions.qualityMicros(col("text")))
+        Mix.byBudget(filt, "doc_id", "source", "n_chars",
+            "quality_micros", budget = 2000L)
+          .select(col("doc_id"), col("source"),
+            col("cum_weight").as("cum_chars"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, source, n_chars, text, " +
+        raw"list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] " +
+        "for i in generate_series(1, len(w)-2)]) s FROM dd), " +
+        "bad AS (SELECT DISTINCT co.doc_id FROM sh co JOIN sh ev " +
+        "ON co.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0 " +
+        "WHERE len(ev.s) > 0 AND len(list_intersect(co.s, ev.s)) >= 2), " +
+        "scored AS (SELECT doc_id, source, n_chars, " +
+        "CASE WHEN length(text)=0 OR len(w)=0 THEN 0 ELSE floor((" +
+        "0.4 * (len(list_filter(w, t -> list_contains(" +
+        "['the','a','of','and','to','in','is'], t)))::DOUBLE / len(w)) " +
+        "+ 0.4 * (length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE / length(text)) " +
+        "+ 0.2 * least(len(w)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END AS qm, " +
+        "CASE WHEN len(w) < 2 THEN 0 ELSE floor((1.0 - " +
+        "len(list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)]))::DOUBLE " +
+        "/ len([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])) * 1000000)::BIGINT END AS dup2 " +
+        "FROM dd WHERE doc_id % 97 <> 0), " +
+        "filt AS (SELECT doc_id, source, n_chars, qm FROM scored " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND dup2 < 100000), " +
+        "c AS (SELECT doc_id, source, sum(n_chars) OVER (PARTITION BY source " +
+        "ORDER BY qm DESC, doc_id)::BIGINT AS cum_chars FROM filt) " +
+        "SELECT doc_id, source, cum_chars FROM c WHERE cum_chars <= 2000")),
+
     // STRATIFIED sample (r12): exactly 5 documents per source, chosen as
     // the 5 smallest LCG-hashed ids — deterministic across engines and
     // reruns where RNG sampling is not. Oracle replays the hash order.

@@ -709,6 +709,35 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(ux.as[Long].head() === 100L)
   }
 
+  test("MIN/MAX of the indexed column is index-only, filtered or not (r12)") {
+    // unfiltered pair of aggregates
+    val mm = base.agg(min($"v").as("mn"), max($"v").as("mx"))
+    assert(!scanPaths(mm).exists(_.contains("base")),
+      mm.queryExecution.optimizedPlan.toString)
+    assert(mm.as[(Long, Long)].head() === ((0L, 499L)))
+    // servable range filter rides the index too
+    val fm = base.filter($"v" >= 100L && $"v" < 200L)
+      .agg(min($"v").as("mn"), max($"v").as("mx"))
+    assert(!scanPaths(fm).exists(_.contains("base")))
+    assert(fm.as[(Long, Long)].head() === ((100L, 199L)))
+    // empty match: NULL on the routed path, same as SQL
+    val em = base.filter($"v" > 5000L).agg(max($"v").as("mx"))
+    assert(!scanPaths(em).exists(_.contains("base")))
+    assert(em.select($"mx".isNull).as[Boolean].head())
+    // string-valued index routes the same way
+    val sm = base.agg(min($"w").as("mn"), max($"w").as("mx"))
+    assert(!scanPaths(sm).exists(_.contains("base")))
+    assert(sm.as[(String, String)].head() === (("0", "4")))
+    // mixed columns need fact rows: untouched
+    val mixed = base.agg(min($"v").as("mn"), max($"x").as("mx"))
+    assert(scanPaths(mixed).exists(_.contains("base")))
+    assert(mixed.as[(Long, Long)].head() === ((0L, 99L)))
+    // unservable residual filter (on x) keeps the fact scan
+    val resid = base.filter($"x" === 7L).agg(min($"v").as("mn"))
+    assert(scanPaths(resid).exists(_.contains("base")))
+    assert(resid.as[Long].head() === 3L)  // min(id/2) over ids 7,107,…
+  }
+
   test("property: routed plans agree with client-side evaluation for random predicates") {
     // 40 random servable predicates across the gate (some route, some
     // bypass — both must be correct); expected sets evaluated in plain

@@ -218,6 +218,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination: each micro-batch probes the static eval set") {
+    // The crawl-decontamination flow: incoming documents are checked
+    // against the (static, broadcast) benchmark set per micro-batch via
+    // foreachBatch — flagging is per-document, so no cross-batch state is
+    // needed and the probe stays the batch operator (one plan, audited
+    // broadcast shape), exactly like the signature-store probe loop.
+    val eval = Seq((900L, "the quick brown fox jumps high"))
+      .toDF("eid", "etext")
+    val in = MemoryStream[Doc]
+    val flagged = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val hits = graft.pipeline.Decontaminate.overlaps(
+              batch, eval, "doc_id", "text", "eid", "etext",
+              shingleN = 3, minOverlap = 2)
+            .select($"corpus_id", $"eval_id", $"overlap")
+            .as[(Long, Long, Long)].collect()
+          flagged.synchronized { flagged ++= hits }
+        }
+        ()
+      }
+      .start()
+    try {
+      in.addData(Doc(1, "prefix the quick brown fox jumps high suffix"),
+        Doc(2, "nothing shared here at all"))
+      q.processAllAvailable()
+      in.addData(Doc(3, "the quick brown words diverge now"))
+      q.processAllAvailable()
+      // doc 1 contains all 4 eval trigrams; doc 3 shares only 1 (< minOverlap)
+      assert(flagged.toSet === Set((1L, 900L, 4L)))
+    } finally q.stop()
+  }
+
   test("embedding stage runs inside a stream (stateless mapPartitions per micro-batch)") {
     val in = MemoryStream[Doc]
     val p = graft.embed.Embeddings.HashingProvider(8, normalize = false)
