@@ -434,6 +434,42 @@ object RelationalQueries {
       },
       Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
         "FROM orders GROUP BY GROUPING SETS " +
-        "((o_orderstatus), (o_orderpriority), ())"))
+        "((o_orderstatus), (o_orderpriority), ())")),
+
+    // FUNNEL (r12): earliest-completion view→click→purchase chain within
+    // 24h — per funnel step one aggregate of only that step's events plus
+    // a user-keyed join, never a window over full user histories. Oracle
+    // replays the greedy chain step by step.
+    "q_funnel" -> QueryDef(
+      (s, d) => graft.relational.Funnel.earliestChain(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        withinMicros = Some(86400000000L)),
+      Some("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us " +
+        "FROM events WHERE event_type='view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(s1.t1_us) AS t1_us, " +
+        "min(epoch_us(e.ts)) AS t2_us FROM events e JOIN s1 " +
+        "ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t1_us " +
+        "WHERE e.event_type='click' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(s2.t1_us) AS t1_us, " +
+        "min(s2.t2_us) AS t2_us, min(epoch_us(e.ts)) AS t3_us " +
+        "FROM events e JOIN s2 " +
+        "ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t2_us " +
+        "WHERE e.event_type='purchase' GROUP BY e.user_id) " +
+        "SELECT user_id, t1_us, t2_us, t3_us FROM s3 " +
+        "WHERE t3_us - t1_us <= 86400000000")),
+
+    // RETENTION (r12): cohort by first-seen UTC day, count distinct
+    // returning users per (cohort day, day offset). Two aggregates; the
+    // distinct collapses each user-day map-side.
+    "q_retention" -> QueryDef(
+      (s, d) => graft.relational.Funnel.retention(
+        t(s, d, "events"), "user_id", "ts"),
+      Some("WITH d AS (SELECT DISTINCT user_id, " +
+        "(epoch_us(ts) // 86400000000)::BIGINT AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1) " +
+        "SELECT c.cohort_day, d.day - c.cohort_day AS day_offset, " +
+        "count(*) AS n_users FROM d JOIN c ON d.user_id = c.user_id " +
+        "GROUP BY 1, 2"))
   )
 }

@@ -1,0 +1,84 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Event-sequence analytics over the events surface: funnel completion and
+  * cohort retention. (Beyond the reference's own operators — SURVEY
+  * §"beyond the reference"; these are the standard event-analytics shapes a
+  * user of the engine's event tables runs daily.)
+  *
+  * Both operators work on any [[EventTime]] representation (TIMESTAMP,
+  * TIMESTAMP_NTZ, integral epoch) and do all comparisons in exact long
+  * micros.
+  *
+  * 100 TB design:
+  *  - [[earliestChain]] never windows over a user's full history: each
+  *    step is one aggregate of ONLY that step's (user, ts) pairs
+  *    (map-side-combined min), then an equi-join back on the user key —
+  *    the join and the following aggregate share the user partitioning,
+  *    so each extra funnel step costs one shuffle of one event type's
+  *    pairs, not a pass over all events.
+  *  - [[retention]] is two aggregates keyed by user and (cohort, offset);
+  *    the distinct-before-count collapses each user's day to one row
+  *    map-side, so the final shuffle carries at most |users| × |active
+  *    days| rows.
+  */
+object Funnel {
+
+  /** Earliest-completion funnel: for each user, the greedy chain
+    * t1 = min ts of `steps(0)`, t_{i+1} = min ts of `steps(i)` AFTER t_i
+    * (strictly — same-micro events do not chain). Emits one row per user
+    * that completes ALL steps (optionally within `withinMicros` of t1,
+    * inclusive): `(userCol, t1_us, …, tk_us)` in epoch microseconds. */
+  def earliestChain(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    withinMicros: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    withinMicros.foreach(w => require(w > 0, s"window must be positive: $w"))
+    val base = df.select(col(userCol).as("__u"),
+      EventTime.epochMicros(df, tsCol).as("__tus"),
+      col(typeCol).as("__et"))
+    var cur = base.filter(col("__et") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__tus")).as("t1_us"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = s"t${i + 1}_us"
+      val keep: Seq[Column] = col("__u") +:
+        (1 to i + 1).map(j => col(s"t${j}_us"))
+      cur = base.filter(col("__et") === st)
+        .join(cur, "__u")
+        .filter(col("__tus") > col(prev))
+        .groupBy(keep: _*)
+        .agg(min(col("__tus")).as(s"t${i + 2}_us"))
+    }
+    withinMicros.foreach { w =>
+      cur = cur.filter(col(s"t${steps.size}_us") - col("t1_us") <= w)
+    }
+    cur.select(col("__u").as(userCol) +:
+      (1 to steps.size).map(j => col(s"t${j}_us")): _*)
+  }
+
+  private val DayMicros = 86400000000L
+
+  /** Cohort retention: users cohort by their first-seen UTC day; for every
+    * (cohort day, day offset) with activity, count the distinct returning
+    * users. Offset 0 is the cohort day itself (= cohort size iff every
+    * user is active on their first day, which holds by construction).
+    * Output: `(cohort_day, day_offset, n_users)` — cohort_day in epoch
+    * days, exact long math end to end. */
+  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val base = df.select(col(userCol).as("__u"),
+        EventTime.epochMicros(df, tsCol).as("__tus"))
+      .withColumn("__day", expr(s"__tus div $DayMicros"))
+      .drop("__tus")
+    val cohorts = base.groupBy(col("__u"))
+      .agg(min(col("__day")).as("cohort_day"))
+    base.join(cohorts, "__u")
+      .select(col("cohort_day"),
+        (col("__day") - col("cohort_day")).as("day_offset"), col("__u"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}
