@@ -307,18 +307,22 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         }) =>
       tryCountDistinct(aggs.head.asInstanceOf[Alias], child).getOrElse(agg)
 
-    // Index-served MIN/MAX: min/max of the indexed column itself (with an
-    // optional fully-servable filter on the same column) read off the
-    // value-sorted index — the filtered EstimateMinMax made exact
-    // (columnar.cpp:649-675 estimates; the postings ANSWER). Zero fact IO;
-    // the unfiltered case the parquet footers already serve stays routed
-    // too (the index scan is ndv x chunks rows — strictly smaller).
+    // Index-served column aggregates: MIN/MAX/SUM/COUNT of the indexed
+    // column itself (with an optional fully-servable filter on the same
+    // column) read off the postings — the filtered EstimateMinMax made
+    // exact (columnar.cpp:649-675 estimates; the postings ANSWER), plus
+    // SUM = Σ value·cnt and COUNT(col) = Σ cnt over non-null values.
+    // Zero fact IO; the unfiltered min/max the parquet footers already
+    // serve stays routed too (the index scan is ndv x chunks rows —
+    // strictly smaller). SUM routes only for integral columns: a float
+    // sum's addition order is an engine detail, and regrouping by value
+    // would perturb it.
     case agg @ Aggregate(ge, aggs, child, _) if ge.isEmpty && aggs.nonEmpty &&
         aggs.forall {
-          case Alias(ae: AggregateExpression, _) => isMinMaxOnCol(ae)
+          case Alias(ae: AggregateExpression, _) => isColServableAgg(ae)
           case _ => false
         } =>
-      tryMinMax(aggs.map(_.asInstanceOf[Alias]), child).getOrElse(agg)
+      tryColAggs(aggs.map(_.asInstanceOf[Alias]), child).getOrElse(agg)
 
     // Index-served facet / DISTINCT: GROUP BY indexed-col [+ COUNT(*)]
     // over the bare (or fully-servable-filtered) relation → the index's
@@ -474,23 +478,37 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def isMinMaxOnCol(ae: AggregateExpression): Boolean =
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => true
+      case _ => false
+    }
+
+  private def isColServableAgg(ae: AggregateExpression): Boolean =
     ae.aggregateFunction match {
       case Min(_: AttributeReference) | Max(_: AttributeReference) =>
+        !ae.isDistinct && ae.filter.isEmpty
+      case Sum(ar: AttributeReference, _) =>
+        !ae.isDistinct && ae.filter.isEmpty && integralType(ar.dataType)
+      case Count(Seq(_: AttributeReference)) =>
         !ae.isDistinct && ae.filter.isEmpty
       case _ => false
     }
 
-  /** MIN/MAX(valueCol) [WHERE servable-pred on valueCol] → the same
-    * aggregates over the (filtered) index value stream. Every aggregate
-    * must target the one indexed column (mixed-column min/max would need
-    * the fact rows). NULL semantics match for free — SQL min/max skip
-    * NULLs and so does the aggregate over the index's NULL posting group;
-    * an empty match yields NULL on both paths. MVA indexes are excluded:
-    * their value stream holds array ELEMENTS, while min/max of an array
-    * column compares whole arrays. */
-  private def tryMinMax(aliases: Seq[Alias],
-                        child: LogicalPlan): Option[LogicalPlan] = {
+  /** MIN/MAX/SUM/COUNT(valueCol) [WHERE servable-pred on valueCol] → the
+    * equivalent aggregates over the (filtered) index rows: min/max read
+    * the value stream, SUM = Σ value·cnt, COUNT(col) = Σ cnt where value
+    * is non-null. Every aggregate must target the one indexed column
+    * (mixed-column aggregates would need the fact rows). NULL semantics
+    * match for free — SQL min/max/sum skip NULLs (value NULL → value·cnt
+    * NULL → skipped), COUNT(col)'s non-null filter is explicit, and an
+    * empty match yields NULL (min/max/sum) / 0 (count) on both paths.
+    * MVA indexes are excluded: their value stream holds array ELEMENTS,
+    * while aggregates of an array column act on whole arrays. */
+  private def tryColAggs(aliases: Seq[Alias],
+                         child: LogicalPlan): Option[LogicalPlan] = {
     val targets = aliases.map(_.child.asInstanceOf[AggregateExpression]
       .aggregateFunction.children.head.asInstanceOf[AttributeReference])
     if (targets.map(_.exprId).distinct.size != 1) return None
@@ -511,6 +529,7 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
               // the rewrite swaps the aggregate's input attribute, so the
               // output type must be preserved exactly
               .filter(_.dataType == target.dataType)
+            cnt <- idxPlan.output.find(_.name == "cnt")
             v <- lr.output.find(_.name == r.valueCol)
             idxChild <- inner match {
               case None => Some(idxPlan)
@@ -527,7 +546,20 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
               val fn = a.child.asInstanceOf[AggregateExpression]
                 .aggregateFunction match {
                 case _: Min => Min(idxValue).toAggregateExpression()
-                case _ => Max(idxValue).toAggregateExpression()
+                case _: Max => Max(idxValue).toAggregateExpression()
+                case _: Sum =>
+                  // Σ value·cnt; NULL values null the product → Sum skips
+                  // them, matching SQL. Cast keeps the LongType output Sum
+                  // gives every integral input.
+                  Sum(Multiply(Cast(idxValue, LongType), cnt))
+                    .toAggregateExpression()
+                case _ =>
+                  // COUNT(col): non-null rows = Σ cnt outside the NULL
+                  // posting group; 0 (not NULL) on an empty match.
+                  Coalesce(Seq(
+                    Sum(If(IsNotNull(idxValue), cnt, Literal(0L)))
+                      .toAggregateExpression(),
+                    Literal(0L)))
               }
               Alias(fn, a.name)(exprId = a.exprId)
             }, idxChild, None)

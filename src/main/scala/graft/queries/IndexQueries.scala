@@ -275,6 +275,23 @@ object IndexQueries {
       Some("SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM orders " +
         "WHERE o_custkey > 100 AND o_custkey <= 1200")),
 
+    // Index-served SUM/COUNT of the indexed column (r12): the postings'
+    // (value, cnt) pairs answer Σ value·cnt and Σ cnt — zero fact IO,
+    // integral columns only (a float sum's addition order is an engine
+    // detail the regrouping would perturb).
+    "q_index_auto_sum" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") > 100L && col("o_custkey") <= 1200L)
+          .agg(sum(col("o_custkey")).as("sv"),
+            count(col("o_custkey")).as("cv"))
+      },
+      Some("SELECT sum(o_custkey)::BIGINT AS sv, count(o_custkey) AS cv " +
+        "FROM orders WHERE o_custkey > 100 AND o_custkey <= 1200")),
+
     // F6 via index, AUTOMATICALLY ROUTED: a plain array_contains() filter
     // over a registered MVA index routes through the element postings
     // (the reference accelerates ANY(col) on UINT32SET columns the same

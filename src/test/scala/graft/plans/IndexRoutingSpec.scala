@@ -738,6 +738,31 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(resid.as[Long].head() === 3L)  // min(id/2) over ids 7,107,…
   }
 
+  test("SUM/COUNT of the indexed column ride the postings: value*cnt, Σcnt (r12)") {
+    // v = id/2 over 1000 rows: Σv = 2*Σ(0..499) = 249500; all four
+    // aggregates in ONE rewritten plan
+    val all = base.filter($"v" >= 10L && $"v" < 20L)
+      .agg(sum($"v").as("sv"), count($"v").as("cv"),
+        min($"v").as("mn"), max($"v").as("mx"))
+    assert(!scanPaths(all).exists(_.contains("base")),
+      all.queryExecution.optimizedPlan.toString)
+    // each v in [10,20) appears twice: Σ = 2*(10+…+19) = 290, n = 20
+    assert(all.as[(Long, Long, Long, Long)].head() === ((290L, 20L, 10L, 19L)))
+    val us = base.agg(sum($"v").as("sv"))
+    assert(!scanPaths(us).exists(_.contains("base")))
+    assert(us.as[Long].head() === 249500L)
+    // empty match: SUM null, COUNT 0 — SQL parity on the routed path
+    val esc = base.filter($"v" > 5000L)
+      .agg(sum($"v").as("sv"), count($"v").as("cv"))
+    assert(!scanPaths(esc).exists(_.contains("base")))
+    val r = esc.select($"sv".isNull, $"cv").as[(Boolean, Long)].head()
+    assert(r === ((true, 0L)))
+    // a non-integral column would float-reorder: the STRING index never
+    // serves sum (and count over it still routes)
+    val ws = base.agg(sum($"w".cast("double")).as("sw"))
+    assert(scanPaths(ws).exists(_.contains("base")))
+  }
+
   test("property: routed plans agree with client-side evaluation for random predicates") {
     // 40 random servable predicates across the gate (some route, some
     // bypass — both must be correct); expected sets evaluated in plain
