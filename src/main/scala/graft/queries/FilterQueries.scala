@@ -234,6 +234,19 @@ object FilterQueries {
       Some("SELECT event_id, user_id, value FROM events " +
         "WHERE user_id BETWEEN 100 AND 120 AND value BETWEEN 10.0 AND 60.0")),
 
+    // HIVE-PARTITIONED layout (r12): the derived documents copy keeps one
+    // directory per language, so this predicate prunes whole directories
+    // from the listing alone — planning-time pruning before any footer or
+    // index (LayoutSpec pins the PartitionFilters plan + directory
+    // layout). Results are layout-independent: the oracle reads the
+    // original table.
+    "q_source_partitioned" -> QueryDef(
+      (s, d) => graft.tables.Derived.table(s, d, "documents_bylang")
+        .filter(col("lang") === "de" && col("n_chars") >= 100L)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Some("SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE lang = 'de' AND n_chars >= 100")),
+
     // F4 hash-companion fast path: filter runs against the engine-written
     // xxhash64 companion column (ref hidden $name_HASH, columnar.cpp:465-473
     // + rewrite common/filter.cpp:77-90); the oracle filters the string

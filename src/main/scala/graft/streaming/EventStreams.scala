@@ -108,4 +108,56 @@ object EventStreams {
           next
       }
   }
+
+  final case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+                              event_type: String)
+  final case class FunnelHit(user_id: Long, step_us: Seq[Long])
+
+  /** STREAMING funnel: the per-user greedy earliest-completion chain of
+    * [[graft.relational.Funnel.earliestChain]] as a live state machine —
+    * one row emitted the moment a user's final step lands (optionally
+    * within `withinMicros` of their first step, inclusive).
+    *
+    * State per user is just the chain times consumed so far (k longs) via
+    * flatMapGroupsWithState — bounded regardless of event volume. Each
+    * micro-batch's group is processed in event-time order; once a step
+    * time is consumed it is never revised, so a LATE event that would
+    * have chained earlier does not rewrite history (the documented
+    * streaming relaxation — with in-order delivery the output is exactly
+    * the batch operator's, which StreamingSpec pins; completed users
+    * clear their state and re-entering events start a fresh chain only
+    * after a completion, never duplicate one). */
+  def funnelState(events: Dataset[TypedEvent], steps: Seq[String],
+                  withinMicros: Option[Long] = None): Dataset[FunnelHit] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent], state: GroupState[Seq[Long]]) =>
+          var chain = state.getOption.getOrElse(Seq.empty[Long])
+          val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          batch.toSeq
+            .filter(e => stepIdx.contains(e.event_type))
+            .sortBy(e => (e.ts.getTime, e.event_type))
+            .foreach { e =>
+              val us = e.ts.getTime * 1000L +
+                (e.ts.getNanos / 1000) % 1000 // exact micros from Timestamp
+              val next = chain.size
+              if (next < steps.size && stepIdx(e.event_type) == next &&
+                  (chain.isEmpty || us > chain.last)) {
+                chain = chain :+ us
+                if (chain.size == steps.size) {
+                  if (withinMicros.forall(w => chain.last - chain.head <= w))
+                    hits += FunnelHit(uid, chain)
+                  chain = Seq.empty // completed: fresh chain may start
+                }
+              }
+            }
+          if (chain.nonEmpty) state.update(chain) else state.remove()
+          hits.iterator
+      }
+  }
 }

@@ -258,6 +258,15 @@ object Derived {
       Writer.writeZOrdered(e, path, Seq("user_id", "value"), files = 8)
     }),
 
+    // Hive-partitioned documents copy: one directory per language,
+    // doc_id-sorted within — partition-pruned scans for per-language
+    // slices (the date/tenant/source layout at 100 TB).
+    "documents_bylang" -> Entry((spark, sfDir, path) => {
+      val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+      Writer.writePartitioned(docs, path, partitionCols = Seq("lang"),
+        sortBy = Seq("doc_id"), files = 8)
+    }),
+
     // Multimodal table: documents with a packed binary payload + metadata
     // struct (the payload is the UTF-8 text bytes — a deterministic stand-in
     // for image/audio bytes; the schema/plumbing is the real convention).

@@ -154,4 +154,31 @@ object Writer {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(tableName)
   }
+
+  /** Hive-style PARTITIONED layout: one directory per `partitionCols`
+    * value combination (`col=value/…`), rows range-clustered over
+    * (partitionCols ++ sortBy) across `files` write tasks and sorted
+    * within each. Equality/IN predicates on a partition column prune whole
+    * DIRECTORIES at planning time from the listing alone — before any
+    * footer, stats, or index is consulted — which is the coarsest and
+    * cheapest pruning tier at 100 TB (the date/tenant/source layout every
+    * large table ships with). `sortBy` then gives file/row-group stats
+    * pruning WITHIN each partition, so the two tiers compose.
+    *
+    * Partition columns are stored in directory names, not data files
+    * (Spark's partitionBy contract) and come back typed via partition
+    * discovery. Keep their cardinality bounded (dates, sources, languages
+    * — not user ids): each value is a directory and a listing entry. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       sortBy: Seq[String] = Nil, files: Int = 1,
+                       format: String = "parquet"): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    val keys = (partitionCols ++ sortBy).map(col)
+    df.repartitionByRange(math.max(files, 1), keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").format(format)
+      .partitionBy(partitionCols: _*)
+      .save(path)
+  }
 }

@@ -763,6 +763,26 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(scanPaths(ws).exists(_.contains("base")))
   }
 
+  test("property: routed column aggregates equal brute force over random ranges (r12)") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 1000L).map(i => (i, i / 2))
+    (1 to 25).foreach { _ =>
+      val lo = rnd.nextInt(520).toLong
+      val hi = lo + rnd.nextInt(80).toLong
+      val q = base.filter($"v" >= lo && $"v" <= hi)
+        .agg(sum($"v").as("sv"), count($"v").as("cv"),
+          min($"v").as("mn"), max($"v").as("mx"))
+      assert(!scanPaths(q).exists(_.contains("base")))
+      val got = q.select(coalesce($"sv", lit(-1L)), $"cv",
+        coalesce($"mn", lit(-1L)), coalesce($"mx", lit(-1L)),
+        $"sv".isNull).as[(Long, Long, Long, Long, Boolean)].head()
+      val vs = rows.map(_._2).filter(v => v >= lo && v <= hi)
+      if (vs.isEmpty) assert(got._5 && got._2 === 0L && got._3 === -1L)
+      else assert((got._1, got._2, got._3, got._4) ===
+        ((vs.sum, vs.size.toLong, vs.min, vs.max)))
+    }
+  }
+
   test("property: routed plans agree with client-side evaluation for random predicates") {
     // 40 random servable predicates across the gate (some route, some
     // bypass — both must be correct); expected sets evaluated in plain

@@ -218,6 +218,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel state machine matches the batch operator under in-order delivery") {
+    import graft.streaming.EventStreams.TypedEvent
+    def ev(u: Long, us: Long, et: String) =
+      TypedEvent(u, new java.sql.Timestamp(us / 1000), et)
+    // users 1..4 with interleaved chains; all event times are whole millis
+    // so Timestamp carries them exactly
+    val batch1 = Seq(ev(1, 10000, "a"), ev(2, 11000, "a"), ev(1, 20000, "b"),
+      ev(3, 12000, "b"))                       // u3 starts mid-funnel: no chain
+    val batch2 = Seq(ev(2, 21000, "b"), ev(1, 30000, "c"),  // u1 completes
+      ev(4, 13000, "a"), ev(3, 22000, "a"))
+    val batch3 = Seq(ev(2, 31000, "c"),                      // u2 completes
+      ev(3, 32000, "b"), ev(4, 90000000000L, "b"))           // u4's b too late
+    val in = MemoryStream[TypedEvent]
+    val q = graft.streaming.EventStreams.funnelState(in.toDS(),
+        Seq("a", "b", "c"), withinMicros = Some(50000L))
+      .writeStream.format("memory").queryName("funnelst")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      in.addData(batch3: _*); q.processAllAvailable()
+      val got = SparkT.spark.table("funnelst")
+        .as[graft.streaming.EventStreams.FunnelHit]
+        .collect().map(h => (h.user_id, h.step_us)).toSet
+      assert(got === Set((1L, Seq(10000L, 20000L, 30000L)),
+        (2L, Seq(11000L, 21000L, 31000L))))
+      // parity: the batch funnel over the union of all batches
+      val all = (batch1 ++ batch2 ++ batch3)
+        .map(e => (e.user_id, e.ts, e.event_type))
+        .toDF("user_id", "ts", "event_type")
+      val viaBatch = graft.relational.Funnel.earliestChain(all, "user_id",
+          "ts", "event_type", Seq("a", "b", "c"), Some(50000L))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (u, t1, t2, t3) => (u, Seq(t1, t2, t3)) }.toSet
+      assert(viaBatch === got)
+    } finally q.stop()
+  }
+
   test("streaming decontamination: each micro-batch probes the static eval set") {
     // The crawl-decontamination flow: incoming documents are checked
     // against the (static, broadcast) benchmark set per micro-batch via

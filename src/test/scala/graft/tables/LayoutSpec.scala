@@ -84,4 +84,36 @@ class LayoutSpec extends AnyFunSuite {
     }
     catS.unpersist(); catZ.unpersist()
   }
+
+  test("hive-partitioned layout prunes whole directories at planning time") {
+    val spark = SparkT.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hivepart")
+    val dir = tmp.resolve("bypart").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"p${i % 4}", (i % 100).toLong))
+      .toDF("id", "part", "v")
+    Writer.writePartitioned(df, dir, partitionCols = Seq("part"),
+      sortBy = Seq("id"), files = 8)
+    // one directory per partition value
+    val dirs = new java.io.File(dir).listFiles
+      .map(_.getName).filter(_.startsWith("part=")).toSet
+    assert(dirs === Set("part=p0", "part=p1", "part=p2", "part=p3"))
+    val rd = spark.read.parquet(dir)
+    val q = rd.filter($"part" === "p1" && $"v" < 50L)
+    // the partition predicate becomes a PartitionFilter (planning-time
+    // listing prune), not a data filter
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("part"), planStr)
+    // every file actually read lives under the one matching directory
+    val files = q.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("part=p1")), files.toSeq)
+    // row parity with the unpartitioned frame, partition column typed back
+    val got = q.select($"id", $"v").as[(Long, Long)].collect().toSet
+    val want = df.filter($"part" === "p1" && $"v" < 50L)
+      .select($"id", $"v").as[(Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    intercept[IllegalArgumentException](
+      Writer.writePartitioned(df, tmp.resolve("bad2").toString, Nil))
+  }
 }
