@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Count, Max, Min, Percentile, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -494,6 +494,13 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         !ae.isDistinct && ae.filter.isEmpty && integralType(ar.dataType)
       case Count(Seq(_: AttributeReference)) =>
         !ae.isDistinct && ae.filter.isEmpty
+      case p: Percentile =>
+        // exact percentile with unit frequency → the index's (value, cnt)
+        // pairs are the identical multiset with cnt as the frequency
+        p.child.isInstanceOf[AttributeReference] &&
+          p.frequencyExpression == Literal(1L) &&
+          p.percentageExpression.foldable &&
+          !ae.isDistinct && ae.filter.isEmpty
       case _ => false
     }
 
@@ -552,6 +559,13 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                   // them, matching SQL. Cast keeps the LongType output Sum
                   // gives every integral input.
                   Sum(Multiply(Cast(idxValue, LongType), cnt))
+                    .toAggregateExpression()
+                case p: Percentile =>
+                  // the reference's PGM rank query: cnt IS the frequency,
+                  // so the weighted form over index rows expands to the
+                  // fact multiset exactly (nulls skipped on both paths;
+                  // copy preserves percentage + reverse)
+                  p.copy(child = idxValue, frequencyExpression = cnt)
                     .toAggregateExpression()
                 case _ =>
                   // COUNT(col): non-null rows = Σ cnt outside the NULL

@@ -292,6 +292,23 @@ object IndexQueries {
       Some("SELECT sum(o_custkey)::BIGINT AS sv, count(o_custkey) AS cv " +
         "FROM orders WHERE o_custkey > 100 AND o_custkey <= 1200")),
 
+    // Index-served exact PERCENTILE (r12): Spark's weighted percentile
+    // over the postings' (value, cnt) pairs expands to the fact multiset
+    // exactly — the PGM rank query answered from the index, zero fact IO.
+    "q_index_auto_percentile" -> QueryDef(
+      (s, d) => {
+        val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
+        graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
+          "o_custkey", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") > 100L && col("o_custkey") <= 1200L)
+          .agg(round(expr("percentile(o_custkey, 0.5)"), 2).as("med"),
+            round(expr("percentile(o_custkey, 0.9)"), 2).as("p90"))
+      },
+      Some("SELECT round(quantile_cont(o_custkey, 0.5), 2) AS med, " +
+        "round(quantile_cont(o_custkey, 0.9), 2) AS p90 FROM orders " +
+        "WHERE o_custkey > 100 AND o_custkey <= 1200")),
+
     // F6 via index, AUTOMATICALLY ROUTED: a plain array_contains() filter
     // over a registered MVA index routes through the element postings
     // (the reference accelerates ANY(col) on UINT32SET columns the same

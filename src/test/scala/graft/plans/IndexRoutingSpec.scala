@@ -763,6 +763,35 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(scanPaths(ws).exists(_.contains("base")))
   }
 
+  test("exact PERCENTILE of the indexed column rides the postings as frequencies (r12)") {
+    // v = id/2: 0,0,1,1,…,499,499 — a clean interpolation fixture
+    val q = base.agg(expr("percentile(v, 0.5)").as("med"),
+      expr("percentile(v, array(0.25, 0.75))").as("qs"))
+    assert(!scanPaths(q).exists(_.contains("base")),
+      q.queryExecution.optimizedPlan.toString)
+    val (med, qs) = q.as[(Double, Seq[Double])].head()
+    // brute force over the fact multiset
+    val vs = (0 until 1000).map(_ / 2).sorted
+    def pct(p: Double): Double = {
+      val rp = p * (vs.size - 1)
+      val (lo, hi) = (vs(rp.toInt), vs(math.ceil(rp).toInt))
+      lo + (hi - lo) * (rp - rp.toInt)
+    }
+    assert(med === pct(0.5))
+    assert(qs === Seq(pct(0.25), pct(0.75)))
+    // filtered: the servable range rides the index too
+    val fq = base.filter($"v" >= 100L && $"v" <= 199L)
+      .agg(expr("percentile(v, 0.9)").as("p90"))
+    assert(!scanPaths(fq).exists(_.contains("base")))
+    val fvs = vs.filter(v => v >= 100 && v <= 199)
+    val frp = 0.9 * (fvs.size - 1)
+    assert(fq.as[Double].head() ===
+      fvs(frp.toInt) + (fvs(math.ceil(frp).toInt) - fvs(frp.toInt)) * (frp - frp.toInt))
+    // explicit-frequency percentile is NOT the unit-frequency shape: bypass
+    val wf = base.agg(expr("percentile(v, 0.5, x)").as("m"))
+    assert(scanPaths(wf).exists(_.contains("base")))
+  }
+
   test("property: routed column aggregates equal brute force over random ranges (r12)") {
     val rnd = new scala.util.Random(41)
     val rows = (0L until 1000L).map(i => (i, i / 2))
