@@ -329,11 +329,50 @@ object Dedup {
     * (`idOut`, `clusterOut`) where cluster = min node id of the component.
     * Nodes in no pair are their own singleton clusters — callers keep them
     * unconditionally, so they are not emitted here. */
+  /** Pair-count ceiling for the driver union-find fast path of
+    * [[clusters]]: below it the whole pair set is ~MBs and exact
+    * union-find on the driver replaces O(diameter) tiny Spark jobs with
+    * one collect (the same bounded-collect-with-distributed-fallback
+    * contract the ANN side's GraphCandidates uses). Var as a test seam —
+    * DedupSpec forces the distributed path and pins both paths equal. */
+  @volatile private[pipeline] var clusterDriverCap: Long = 100000L
+
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                idOut: String = "doc_id", clusterOut: String = "cluster_id",
                maxIters: Int = 50): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("s"),
       col(bCol).cast("long").as("d"))
+    // Fast path: if the pair set is small (checked against the cap with a
+    // bounded probe, never a full count of a huge set), collect it and run
+    // exact union-find on the driver — near-dup pair sets are usually tiny
+    // next to the corpus, and the iterative path costs one Spark job per
+    // propagation round. Oversized pair sets take the distributed loop.
+    val cap = clusterDriverCap
+    val probe = if (cap > 0) e0.limit(cap.toInt + 1).count() else 1L
+    if (cap > 0 && probe <= cap) {
+      val es = e0.as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by smaller root: cluster id = min node id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF(idOut, clusterOut)
+    }
     val edges = materialized(
       e0.unionByName(e0.select(col("d").as("s"), col("s").as("d"))).distinct())
     // init = the first propagation round fused into one aggregate

@@ -64,6 +64,23 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
     // keep rule: one survivor per component = the cluster label itself
     assert(got.values.toSet === Set(30L, 1L, 20L))
+    // the distributed label-propagation path (pair sets over the driver
+    // cap) produces the identical clustering — forced via the test seam,
+    // also on a randomized pair soup
+    val rnd = new scala.util.Random(29)
+    val noisy = (0 until 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+    val fast = Dedup.clusters(noisy).as[(Long, Long)].collect().toMap
+    Dedup.clusterDriverCap = 0L
+    try {
+      val dist = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      assert(dist === got)
+      val distNoisy = Dedup.clusters(noisy).as[(Long, Long)].collect().toMap
+      assert(distNoisy === fast)
+    } finally Dedup.clusterDriverCap = 100000L
   }
 
   test("incremental dedup: store probe equals direct cross-set dedup; appends extend the corpus") {
