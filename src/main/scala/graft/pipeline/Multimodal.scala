@@ -55,6 +55,134 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder for the one raster format a bare JVM parses with
+    * no codec library: uncompressed 24-bpp BMP. Emits the parsed header
+    * dimensions and the exact mean channel value over the pixel area
+    * (integer milli-units — floor(1000·Σchannel / (w·h·3))). Payloads
+    * that are not uncompressed 24-bpp BMP decode to NULL features (the
+    * robust-at-scale contract: one bad blob must not kill a 100 TB job).
+    * Codec formats (JPEG/PNG/…) stay behind the documented pluggable
+    * seam. */
+  object BmpDecoder extends BlobDecoder {
+    val featureSchema: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bpp", IntegerType),
+      StructField("mean_channel_milli", LongType)))
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') Row(null, null, null, null)
+      else {
+        val off = le32(b, 10)
+        val w = le32(b, 18)
+        val hRaw = le32(b, 22)
+        val h = math.abs(hRaw)
+        val bpp = le16(b, 28)
+        val compression = le32(b, 30)
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (bpp != 24 || compression != 0 || w <= 0 || h == 0 ||
+            off + stride.toLong * h > b.length) Row(null, null, null, null)
+        else {
+          var sum = 0L
+          var row = 0
+          while (row < h) {
+            val base = off + row * stride
+            var i = 0
+            val rowBytes = w * 3
+            while (i < rowBytes) { sum += b(base + i) & 0xFF; i += 1 }
+            row += 1
+          }
+          Row(w, h, bpp, sum * 1000L / (w.toLong * h * 3))
+        }
+      }
+    }
+  }
+
+  /** Synthesize a real uncompressed 24-bpp BMP (standard 54-byte header,
+    * 4-byte-aligned rows, every channel byte = `fill`) — the deterministic
+    * generator the media gates use to exercise [[BmpDecoder]] end to end
+    * with bytes a stock image viewer would open. */
+  def syntheticBmp(w: Int, h: Int, fill: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && fill >= 0 && fill <= 255)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      var i = 0
+      while (i < stride) {
+        b.put(if (i < w * 3) fill.toByte else 0.toByte); i += 1
+      }
+      row += 1
+    }
+    b.array()
+  }
+
+  /** REAL audio decoder for the container a bare JVM parses with no codec
+    * library: RIFF/WAVE PCM. Emits the fmt-chunk fields, the exact data
+    * duration in milliseconds, and for 16-bit PCM the integer RMS over
+    * all samples (floor). Non-PCM / malformed payloads decode to NULL
+    * features; compressed audio stays behind the pluggable seam. */
+  object WavDecoder extends BlobDecoder {
+    val featureSchema: StructType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("rms", LongType)))
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private val NullRow = Row(null, null, null, null, null)
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") NullRow
+      else {
+        // chunk walk: fmt then data (any order, skip others)
+        var o = 12
+        var rate = -1; var ch = -1; var bits = -1; var byteRate = -1
+        var dataOff = -1; var dataLen = -1
+        while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+          val id = tag(b, o); val len = le32(b, o + 4)
+          if (id == "fmt " && o + 24 <= b.length) {
+            if (le16(b, o + 8) == 1) { // PCM only
+              ch = le16(b, o + 10); rate = le32(b, o + 12)
+              byteRate = le32(b, o + 16); bits = le16(b, o + 22)
+            }
+          } else if (id == "data") { dataOff = o + 8; dataLen = len }
+          if (len < 0) o = b.length // malformed length: stop the walk
+          else o += 8 + len + (len & 1) // chunks are word-aligned
+        }
+        if (rate <= 0 || byteRate <= 0 || dataOff < 0 ||
+            dataOff + dataLen > b.length) NullRow
+        else {
+          val durMs = dataLen.toLong * 1000L / byteRate
+          val rms =
+            if (bits == 16 && dataLen >= 2) {
+              var ss = 0.0; var i = dataOff; val end = dataOff + (dataLen & ~1)
+              while (i + 1 < end) {
+                val s = le16(b, i).toShort.toDouble; ss += s * s; i += 2
+              }
+              math.sqrt(ss / ((dataLen & ~1) / 2)).toLong
+            } else null
+          Row(rate, ch, bits, durMs, rms)
+        }
+      }
+    }
+  }
+
   /** Append `outCol: featureSchema` by decoding `blobCol.payload` in
     * partition-local batches (no shuffle; decoder instantiated per
     * partition). */

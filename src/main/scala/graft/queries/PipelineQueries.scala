@@ -460,6 +460,32 @@ object PipelineQueries {
         "ORDER BY quality_micros DESC, doc_id)::BIGINT AS cum_chars FROM q) " +
         "SELECT doc_id, source, cum_chars FROM c WHERE cum_chars <= 2000")),
 
+    // REAL media decode (r12): per document, build a REAL uncompressed
+    // 24-bpp BMP (dimensions/fill derived from the row), pack it into the
+    // multimodal blob convention, and run the REAL pure-JVM BMP parser —
+    // the oracle replays the expected header fields and exact pixel mean
+    // arithmetically. Codec formats (JPEG/PNG) stay behind the documented
+    // pluggable seam; this pins the parse path on bytes a stock viewer
+    // opens.
+    "q_multimodal_bmp" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.pipeline.Multimodal
+        val src = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            (id, Multimodal.syntheticBmp((id % 8 + 1).toInt, 2, (nc % 256).toInt))
+          }.toDF("doc_id", "payload")
+        val packed = src.withColumn("blob", Multimodal.packBlob(
+          col("payload"), lit("bmp"), lit(0), lit(0))).drop("payload")
+        Multimodal.decodeStage(packed, "blob", "img", Multimodal.BmpDecoder)
+          .select(col("doc_id"), col("img.width").as("width"),
+            col("img.height").as("height"),
+            col("img.mean_channel_milli").as("mean_channel_milli"))
+      },
+      Some("SELECT doc_id, (doc_id % 8 + 1)::INT AS width, 2::INT AS height, " +
+        "(n_chars % 256) * 1000 AS mean_channel_milli FROM documents")),
+
     // FLAGSHIP v3 (r12): the round's curation additions composed in one
     // declarative plan — benchmark DECONTAMINATION (drop corpus docs
     // sharing >= 2 trigrams with the mod-97 eval split) → repetition

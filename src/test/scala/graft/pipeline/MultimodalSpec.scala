@@ -54,4 +54,74 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sums(1L) === ('a'.toLong + 'c'.toLong))
   }
+
+  // --- real format decoders (pure-JVM parseable formats) ---
+
+  /** Synthesize an uncompressed 24-bpp BMP: w×h pixels, every channel byte
+    * = `fill`. Standard 54-byte header + 4-byte-aligned rows. */
+  private def bmpBytes(w: Int, h: Int, fill: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until h).foreach { _ =>
+      (0 until w * 3).foreach(_ => b.put(fill.toByte))
+      (w * 3 until stride).foreach(_ => b.put(0.toByte))
+    }
+    b.array()
+  }
+
+  /** Synthesize a PCM WAV: 16-bit mono square wave of constant amplitude
+    * (RMS = amplitude exactly). */
+  private def wavBytes(rate: Int, nSamples: Int, amp: Short): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    (0 until nSamples).foreach(i =>
+      b.putShort(if (i % 2 == 0) amp else (-amp).toShort))
+    b.array()
+  }
+
+  test("BMP decoder parses real headers and exact pixel means; rejects non-BMP") {
+    val rows = Seq(
+      (1L, bmpBytes(5, 3, 200)),           // real BMP, all channels 200
+      (2L, bmpBytes(7, 2, 0)),             // black image
+      (3L, "not an image".getBytes),       // garbage → NULL features
+      (4L, bmpBytes(4, 4, 255).patch(28, Seq(8.toByte), 1)) // 8bpp → NULL
+    ).toDF("id", "payload")
+      .withColumn("blob", Multimodal.packBlob(
+        col("payload"), lit("bmp"), lit(0), lit(0)))
+    val got = Multimodal.decodeStage(rows, "blob", "img", Multimodal.BmpDecoder)
+      .select($"id", $"img.width", $"img.height", $"img.mean_channel_milli")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) === ((Some(5), Some(3), Some(200000L))))
+    assert(got(2L) === ((Some(7), Some(2), Some(0L))))
+    assert(got(3L) === ((None, None, None)))
+    assert(got(4L) === ((None, None, None)))
+  }
+
+  test("WAV decoder parses fmt/data chunks, exact duration and RMS; rejects non-PCM") {
+    val rows = Seq(
+      (1L, wavBytes(8000, 8000, 1000)),    // 1 s, square amp 1000 → RMS 1000
+      (2L, wavBytes(16000, 4000, 0)),      // 250 ms of silence
+      (3L, "RIFFxxxxJUNK".getBytes)        // malformed → NULL features
+    ).toDF("id", "payload")
+      .withColumn("blob", Multimodal.packBlob(
+        col("payload"), lit("wav"), lit(0), lit(0)))
+    val got = Multimodal.decodeStage(rows, "blob", "au", Multimodal.WavDecoder)
+      .select($"id", $"au.sample_rate", $"au.channels", $"au.duration_ms", $"au.rms")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) === ((Some(8000), Some(1), Some(1000L), Some(1000L))))
+    assert(got(2L) === ((Some(16000), Some(1), Some(250L), Some(0L))))
+    assert(got(3L) === ((None, None, None, None)))
+  }
 }
