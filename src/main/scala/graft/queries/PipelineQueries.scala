@@ -486,6 +486,40 @@ object PipelineQueries {
       Some("SELECT doc_id, (doc_id % 8 + 1)::INT AS width, 2::INT AS height, " +
         "(n_chars % 256) * 1000 AS mean_channel_milli FROM documents")),
 
+    // REAL audio decode (r12): same contract as q_multimodal_bmp for the
+    // audio side — a real PCM WAV (square wave, so RMS = amplitude
+    // exactly) built per row, parsed by the real chunk walker, oracle
+    // replays the arithmetic.
+    "q_multimodal_wav" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.pipeline.Multimodal
+        val src = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val n = ((nc % 50) + 1).toInt * 2
+            val amp = (nc % 1000).toShort
+            val dataLen = n * 2
+            val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+            b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+              .putInt(8000).putInt(16000).putShort(2).putShort(16)
+            b.put("data".getBytes).putInt(dataLen)
+            (0 until n).foreach(i =>
+              b.putShort(if (i % 2 == 0) amp else (-amp).toShort))
+            (id, b.array())
+          }.toDF("doc_id", "payload")
+        val packed = src.withColumn("blob", Multimodal.packBlob(
+          col("payload"), lit("wav"), lit(0), lit(0))).drop("payload")
+        Multimodal.decodeStage(packed, "blob", "au", Multimodal.WavDecoder)
+          .select(col("doc_id"), col("au.sample_rate").as("sample_rate"),
+            col("au.duration_ms").as("duration_ms"), col("au.rms").as("rms"))
+      },
+      Some("SELECT doc_id, 8000::INT AS sample_rate, " +
+        "(((n_chars % 50) + 1) * 2 * 2 * 1000 // 16000) AS duration_ms, " +
+        "n_chars % 1000 AS rms FROM documents")),
+
     // FLAGSHIP v3 (r12): the round's curation additions composed in one
     // declarative plan — benchmark DECONTAMINATION (drop corpus docs
     // sharing >= 2 trigrams with the mod-97 eval split) → repetition
