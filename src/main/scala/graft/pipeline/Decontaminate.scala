@@ -38,11 +38,17 @@ object Decontaminate {
     * `overlap / |eval shingles|` in floor-micros (engine-stable). Eval
     * documents shorter than `shingleN` tokens have no shingles and never
     * match; id columns must be integral. */
+  /** @param broadcastEval hint the eval side into broadcast joins (the
+    *                      default — benchmark suites are small by
+    *                      definition). Pass false for an outsized eval
+    *                      corpus: the probe becomes a shuffled equi-join
+    *                      on the shingle key, same semantics. */
   def overlaps(corpus: DataFrame, evalSet: DataFrame,
                corpusIdCol: String, corpusTextCol: String,
                evalIdCol: String, evalTextCol: String,
                shingleN: Int = 3, minOverlap: Int = 1,
-               minContainment: Double = 0.0): DataFrame = {
+               minContainment: Double = 0.0,
+               broadcastEval: Boolean = true): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1: $shingleN")
     require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
 
@@ -51,12 +57,14 @@ object Decontaminate {
         TextFunctions.shingles(col(evalTextCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
-    // Both eval-side frames broadcast: the exploded postings feed the
-    // map-side probe; the sizes join resolves containment after the
-    // pair aggregate.
-    val evalPostings = broadcast(
+    // Both eval-side frames broadcast (by default): the exploded postings
+    // feed the map-side probe; the sizes join resolves containment after
+    // the pair aggregate.
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastEval) broadcast(df) else df
+    val evalPostings = hint(
       evalSh.select(col("eval_id"), explode(col("__sh")).as("__shingle")))
-    val evalSizes = broadcast(
+    val evalSizes = hint(
       evalSh.select(col("eval_id"), size(col("__sh")).as("__es")))
 
     val corpusPostings = corpus
@@ -82,9 +90,11 @@ object Decontaminate {
             corpusIdCol: String, corpusTextCol: String,
             evalIdCol: String, evalTextCol: String,
             shingleN: Int = 3, minOverlap: Int = 1,
-            minContainment: Double = 0.0): DataFrame = {
+            minContainment: Double = 0.0,
+            broadcastEval: Boolean = true): DataFrame = {
     val flagged = overlaps(corpus, evalSet, corpusIdCol, corpusTextCol,
-      evalIdCol, evalTextCol, shingleN, minOverlap, minContainment)
+      evalIdCol, evalTextCol, shingleN, minOverlap, minContainment,
+      broadcastEval)
       .select(col("corpus_id"))
       .distinct()
     corpus.join(flagged,

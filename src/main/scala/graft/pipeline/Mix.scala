@@ -83,7 +83,12 @@ object Mix {
   def byBudget(df: DataFrame, idCol: String, groupCol: String,
                weightCol: String, scoreCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
-    val byScore = df.groupBy(col(groupCol), col(scoreCol))
+    // NULL scores are EXCLUDED up front (explicitly, not as a join
+    // artifact): an unscored row has no rank in the quality order, and
+    // leaving the drop implicit in the (group, score) equi-join would
+    // make it look accidental.
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val byScore = scored.groupBy(col(groupCol), col(scoreCol))
       .agg(sum(col(weightCol)).as("__w"))
     val runs = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc)
@@ -95,7 +100,7 @@ object Mix {
     val inRun = Window.partitionBy(col(groupCol), col(scoreCol))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.join(offsets, Seq(groupCol, scoreCol))
+    scored.join(offsets, Seq(groupCol, scoreCol))
       .withColumn("cum_weight",
         col("__off") + sum(col(weightCol)).over(inRun))
       .filter(col("cum_weight") <= budget)

@@ -501,6 +501,10 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           p.frequencyExpression == Literal(1L) &&
           p.percentageExpression.foldable &&
           !ae.isDistinct && ae.filter.isEmpty
+      case Count(Seq(l: Literal)) =>
+        // count(*) MIXED with column aggregates: Σ cnt over ALL postings
+        // (the NULL-value group included, matching SQL row counting)
+        l.value != null && !ae.isDistinct && ae.filter.isEmpty
       case _ => false
     }
 
@@ -516,9 +520,14 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * while aggregates of an array column act on whole arrays. */
   private def tryColAggs(aliases: Seq[Alias],
                          child: LogicalPlan): Option[LogicalPlan] = {
-    val targets = aliases.map(_.child.asInstanceOf[AggregateExpression]
-      .aggregateFunction.children.head.asInstanceOf[AttributeReference])
-    if (targets.map(_.exprId).distinct.size != 1) return None
+    // every COLUMN-targeting aggregate must hit the one indexed column;
+    // count(*) entries carry no target (they count postings). All-star
+    // lists stand down — the dedicated CalcCount route owns that shape.
+    val targets = aliases
+      .map(_.child.asInstanceOf[AggregateExpression].aggregateFunction)
+      .flatMap(_.children.headOption)
+      .collect { case ar: AttributeReference => ar }
+    if (targets.isEmpty || targets.map(_.exprId).distinct.size != 1) return None
     val target = targets.head
     val (inner, lrOpt) = stripPrune(child) match {
       case Filter(cond, c) => (Some(cond), relationOf(stripPrune(c)))
@@ -567,6 +576,10 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                   // copy preserves percentage + reverse)
                   p.copy(child = idxValue, frequencyExpression = cnt)
                     .toAggregateExpression()
+                case Count(Seq(_: Literal)) =>
+                  // count(*) = Σ cnt over ALL postings (NULL group too)
+                  Coalesce(Seq(
+                    Sum(cnt).toAggregateExpression(), Literal(0L)))
                 case _ =>
                   // COUNT(col): non-null rows = Σ cnt outside the NULL
                   // posting group; 0 (not NULL) on an empty match.

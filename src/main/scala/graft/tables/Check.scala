@@ -40,9 +40,22 @@ object Check {
       try {
         val fs = root.getFileSystem(conf)
         if (!fs.exists(root)) Array.empty[Path]
-        else fs.listStatus(root)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName).map(_.getPath)
+        else {
+          // hive-style partition directories (col=value/…, possibly
+          // nested for multi-column partitioning) are part of the
+          // engine's own layout (Writer.writePartitioned) — descend;
+          // other subdirectories are not table data
+          def walk(ss: Array[org.apache.hadoop.fs.FileStatus])
+              : Array[org.apache.hadoop.fs.FileStatus] = {
+            val deeper = ss
+              .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+              .flatMap(d => fs.listStatus(d.getPath))
+            if (deeper.isEmpty) ss else ss ++ walk(deeper)
+          }
+          walk(fs.listStatus(root))
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.toString).map(_.getPath)
+        }
       } catch {
         case e: Exception =>
           issues += s"listing failed (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)})"

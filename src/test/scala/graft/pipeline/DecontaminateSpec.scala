@@ -61,6 +61,15 @@ class DecontaminateSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast shingle probe, got:\n$plan")
+    // broadcastEval=false: same rows through the shuffled probe
+    val unhinted = Decontaminate.overlaps(corpus, evalDocs,
+        "cid", "ctext", "eid", "etext", shingleN = 3,
+        broadcastEval = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val hinted = Decontaminate.overlaps(corpus, evalDocs,
+        "cid", "ctext", "eid", "etext", shingleN = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(unhinted === hinted)
   }
 
   test("brute-force twin on a randomized corpus") {

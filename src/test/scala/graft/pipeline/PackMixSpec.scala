@@ -128,6 +128,12 @@ class PackMixSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((2L, 10L), (3L, 20L), (6L, 1L)))
     intercept[IllegalArgumentException](
       Mix.byBudget(docs, "id", "grp", "w", "q", budget = -1L))
+    // NULL scores are excluded explicitly (no rank in the quality order)
+    val withNull = Seq((1L, "a", 5L, Some(3L)), (2L, "a", 5L, None))
+      .toDF("id", "grp", "w", "q")
+    val kept = Mix.byBudget(withNull, "id", "grp", "w", "q", budget = 100L)
+      .select($"id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
   }
 
   test("byBudget two-phase cut equals the naive single window (randomized, tied scores)") {

@@ -761,6 +761,13 @@ class IndexRoutingSpec extends AnyFunSuite {
     // serves sum (and count over it still routes)
     val ws = base.agg(sum($"w".cast("double")).as("sw"))
     assert(scanPaths(ws).exists(_.contains("base")))
+    // count(*) MIXED with column aggregates routes (Σ cnt over all
+    // postings — the common "min, max, count(*)" profile query)
+    val star = base.filter($"v" >= 10L && $"v" < 20L)
+      .agg(min($"v").as("mn"), count(lit(1)).as("n"))
+    assert(!scanPaths(star).exists(_.contains("base")),
+      star.queryExecution.optimizedPlan.toString)
+    assert(star.as[(Long, Long)].head() === ((10L, 20L)))
   }
 
   test("exact PERCENTILE of the indexed column rides the postings as frequencies (r12)") {
