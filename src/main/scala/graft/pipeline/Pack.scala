@@ -79,4 +79,21 @@ object Pack {
         least(col("start_tok") + col(tokensCol) - col("chunk") * lit(budget),
           lit(budget)))
       .drop("first_chunk", "last_chunk")
+
+  /** GLOBAL DETERMINISTIC SHUFFLE — the step before packing: spread
+    * documents across `nShards` shards and order them pseudo-randomly
+    * within each, as a pure function of the id (the same LCG family as
+    * [[Mix]] — reproducible across engines/reruns/cluster sizes where an
+    * RNG shuffle is not, and SQL-replayable). Emits the input columns
+    * plus `shard` and `pos` (0-based rank in the shard's shuffled
+    * order); feed `shard`/`pos` straight into [[sequenceOffsets]] as
+    * (shardCol, orderCol). nShards is the parallelism knob: one window
+    * per shard ranks ~|rows|/nShards rows. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = Mix.hashScaled(col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(h, col(idCol))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
 }

@@ -431,6 +431,19 @@ object PipelineQueries {
           s"CASE source $whens ELSE -1 END"
       }),
 
+    // GLOBAL DETERMINISTIC SHUFFLE (r12): hash documents into 8 shards
+    // with a pseudo-random within-shard order — the reproducible shuffle
+    // step before packing. Oracle replays the exact LCG arithmetic.
+    "q_pack_shuffle" -> QueryDef(
+      (s, d) => graft.pipeline.Pack.shuffleShards(
+          t(s, d, "documents"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos")),
+      Some(s"SELECT doc_id, ((doc_id*69069+12345) % ${graft.pipeline.Mix.Resolution}) % 8 AS shard, " +
+        "row_number() OVER (PARTITION BY " +
+        s"((doc_id*69069+12345) % ${graft.pipeline.Mix.Resolution}) % 8 " +
+        s"ORDER BY (doc_id*69069+12345) % ${graft.pipeline.Mix.Resolution}, doc_id) - 1 AS pos " +
+        "FROM documents")),
+
     // TOKEN-BUDGET selection (r12): per source, the best documents by
     // quality score (ties broken by id) until a 2000-char budget fills —
     // the "take the top N tokens per source" curation step. Engine: exact

@@ -115,6 +115,33 @@ class PackMixSpec extends AnyFunSuite {
       Mix.bySource(docs, "id", "src", Map.empty))
   }
 
+  test("shuffleShards: deterministic spread + order, feeds sequenceOffsets directly") {
+    val docs = (0L until 2000L).map(i => (i, 1 + (i % 50).toInt))
+      .toDF("id", "n_tok")
+    val out = Pack.shuffleShards(docs, "id", nShards = 8)
+    val rows = out.as[(Long, Int, Long, Long)].collect()
+    assert(rows.forall { case (_, _, sh, _) => sh >= 0 && sh < 8 })
+    // pos is a dense 0-based rank within each shard
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (0L until rs.size).toSeq)
+    }
+    // deterministic under repartition
+    val again = Pack.shuffleShards(docs.repartition(17), "id", 8)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(again === rows.toSet)
+    // within-shard order is the scaled-hash order (id tiebreak)
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_._4).map(_._1)
+      val byHash = rs.map(_._1).sortBy(id =>
+        ((id * 69069L + 12345L) % Mix.Resolution, id))
+      assert(byPos.toSeq === byHash.toSeq)
+    }
+    // the emitted (shard, pos) columns ARE a valid pack input
+    val packed = Pack.sequenceOffsets(out, "n_tok", "shard", "pos", budget = 64)
+    assert(packed.count() === 2000L)
+    intercept[IllegalArgumentException](Pack.shuffleShards(docs, "id", 0))
+  }
+
   test("byBudget: inclusive cut, score-desc id-asc order, per-group budgets") {
     val docs = Seq(
       // (id, group, weight, score)

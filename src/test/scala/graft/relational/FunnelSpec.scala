@@ -74,6 +74,16 @@ class FunnelSpec extends AnyFunSuite {
     assert(run(tsDf(rows)) === want)
   }
 
+  test("funnels generalize past three steps") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))   // no d
+    val out = Funnel.earliestChain(tsDf(rows), "user_id", "ts",
+        "event_type", Seq("a", "b", "c", "d"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 2L, 3L, 4L)))
+  }
+
   test("retention cohorts by first day and counts each user-day once") {
     val day = 86400000000L
     val rows = Seq(
