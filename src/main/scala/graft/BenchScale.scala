@@ -50,10 +50,11 @@ object BenchScale {
     // flagship chain (every round-12 operator in one plan)
     "q_dedup_incremental", "q_text_repetition", "q_pipeline_v2",
     // r12-3: decontamination (the broadcast eval side grows with the
-    // replicas — the probe must stay one corpus pass) and the two-phase
+    // replicas — the probe must stay one corpus pass), the two-phase
     // budget cut (its windows must scale with (group, score) runs, not
-    // group sizes)
-    "q_decontaminate", "q_mix_budget")
+    // group sizes), the v3 flagship chain, and the funnel (one aggregate
+    // per step, never a whole-history window)
+    "q_decontaminate", "q_mix_budget", "q_pipeline_v3", "q_funnel")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

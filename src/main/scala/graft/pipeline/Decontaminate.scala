@@ -52,6 +52,8 @@ object Decontaminate {
     require(shingleN >= 1, s"shingleN must be >= 1: $shingleN")
     require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
 
+    import corpus.sparkSession.implicits._
+
     val evalSh = evalSet
       .select(col(evalIdCol).cast("long").as("eval_id"),
         TextFunctions.shingles(col(evalTextCol), shingleN).as("__sh"))
@@ -67,10 +69,18 @@ object Decontaminate {
     val evalSizes = hint(
       evalSh.select(col("eval_id"), size(col("__sh")).as("__es")))
 
+    // Corpus-side shingling runs the JIT'd Scala twin of
+    // TextFunctions.shingles (bit-equal, DedupSpec-pinned): the corpus is
+    // the big side and the interpreted higher-order-function lambdas cost
+    // the wall clock there, exactly like the MinHash kernel.
     val corpusPostings = corpus
       .select(col(corpusIdCol).cast("long").as("corpus_id"),
-        TextFunctions.shingles(col(corpusTextCol), shingleN).as("__sh"))
-      .select(col("corpus_id"), explode(col("__sh")).as("__shingle"))
+        col(corpusTextCol).as("__text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Dedup.shinglesScala(text, shingleN).map(s => (id, s))
+      }
+      .toDF("corpus_id", "__shingle")
 
     corpusPostings
       .join(evalPostings, "__shingle")
