@@ -459,6 +459,29 @@ object RelationalQueries {
         "SELECT user_id, t1_us, t2_us, t3_us FROM s3 " +
         "WHERE t3_us - t1_us <= 86400000000")),
 
+    // FUNNEL CONVERSION (r12): users reaching each step of the greedy
+    // chain — the per-step report. Oracle replays every chain prefix.
+    "q_funnel_conversion" -> QueryDef(
+      (s, d) => graft.relational.Funnel.conversion(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        withinMicros = Some(86400000000L)),
+      Some("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us " +
+        "FROM events WHERE event_type='view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(s1.t1_us) AS t1_us, " +
+        "min(epoch_us(e.ts)) AS t2_us FROM events e JOIN s1 " +
+        "ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t1_us " +
+        "WHERE e.event_type='click' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(s2.t1_us) AS t1_us, " +
+        "min(epoch_us(e.ts)) AS t3_us FROM events e JOIN s2 " +
+        "ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t2_us " +
+        "WHERE e.event_type='purchase' GROUP BY e.user_id) " +
+        "SELECT 1::INT AS step, 'view' AS step_name, " +
+        "(SELECT count(*) FROM s1) AS n_users " +
+        "UNION ALL SELECT 2::INT, 'click', (SELECT count(*) FROM s2) " +
+        "UNION ALL SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3 " +
+        "WHERE t3_us - t1_us <= 86400000000)")),
+
     // RETENTION (r12): cohort by first-seen UTC day, count distinct
     // returning users per (cohort day, day offset). Two aggregates; the
     // distinct collapses each user-day map-side.

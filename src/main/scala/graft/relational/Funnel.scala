@@ -59,6 +59,36 @@ object Funnel {
       (1 to steps.size).map(j => col(s"t${j}_us")): _*)
   }
 
+  /** Funnel SUMMARY: how many users reach each step of the greedy chain —
+    * the conversion report every funnel ends with. One row per step
+    * prefix: `(step, step_name, n_users)` where `n_users` counts users
+    * whose chain reaches at least that step (within the window when one
+    * is given — the window gates only FULL completions, so intermediate
+    * steps count unconditionally, matching the batch operator's
+    * semantics). Computed from k runs of the chain prefix — each an
+    * aggregate-join chain over only its steps' events, so the whole
+    * summary costs the same shuffles the full funnel does, once per
+    * prefix length. */
+  def conversion(df: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String],
+                 withinMicros: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = (1 to steps.size).map { k =>
+      val prefix = steps.take(k)
+      val reached =
+        if (k == 1)
+          df.filter(col(typeCol) === steps.head)
+            .select(col(userCol)).distinct().count()
+        else
+          earliestChain(df, userCol, tsCol, typeCol, prefix,
+            if (k == steps.size) withinMicros else None).count()
+      (k, prefix.last, reached)
+    }
+    counts.toDF("step", "step_name", "n_users")
+  }
+
   private val DayMicros = 86400000000L
 
   /** Cohort retention: users cohort by their first-seen UTC day; for every

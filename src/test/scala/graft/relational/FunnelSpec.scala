@@ -84,6 +84,18 @@ class FunnelSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L, 2L, 3L, 4L)))
   }
 
+  test("conversion summary counts chain prefixes; window gates only full completions") {
+    val rows = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),  // completes fast
+      (2L, 10L, "a"), (2L, 20L, "b"), (2L, 999L, "c"), // c outside window
+      (3L, 10L, "a"),                                  // stops at a
+      (4L, 5L, "b"))                                   // never starts
+    val got = Funnel.conversion(tsDf(rows), "user_id", "ts", "event_type",
+        Seq("a", "b", "c"), withinMicros = Some(100L))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
+  }
+
   test("retention cohorts by first day and counts each user-day once") {
     val day = 86400000000L
     val rows = Seq(
