@@ -80,6 +80,36 @@ object Pack {
           lit(budget)))
       .drop("first_chunk", "last_chunk")
 
+  /** MATERIALIZE the packed sequences: from a token-ARRAY column, produce
+    * one row per (shard, chunk) holding the chunk's actual tokens — the
+    * training sequences themselves, not just offsets. Every chunk has
+    * exactly `budget` tokens except the final partial chunk of each
+    * shard.
+    *
+    * 100 TB design: the manifest already carries each document's token
+    * array through the offsets window (no second join); each manifest row
+    * slices its doc-local overlap, and one aggregate keyed by
+    * (shard, chunk) flattens the pieces in `orderCol` order. A chunk's
+    * pieces are at most `budget` tokens total, so groups are bounded by
+    * construction — the shuffle carries each token exactly once. */
+  def materializeChunks(df: DataFrame, tokensCol: String, shardCol: String,
+                        orderCol: String, budget: Long): DataFrame = {
+    val counted = df.withColumn("__n_tok", size(col(tokensCol)).cast("long"))
+    val manifest = chunkManifest(counted, "__n_tok", shardCol, orderCol,
+      budget)
+    // doc-local 0-based overlap start = chunk*budget + tok_from - start_tok
+    val from = col("chunk") * lit(budget) + col("tok_from") - col("start_tok")
+    val len = col("tok_to") - col("tok_from")
+    manifest
+      .select(col(shardCol), col("chunk"), col(orderCol).as("__o"),
+        slice(col(tokensCol), (from + 1L).cast("int"), len.cast("int"))
+          .as("__piece"))
+      .groupBy(col(shardCol), col("chunk"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__o"), col("__piece")))),
+        x => x("__piece"))).as("tokens"))
+  }
+
   /** GLOBAL DETERMINISTIC SHUFFLE — the step before packing: spread
     * documents across `nShards` shards and order them pseudo-randomly
     * within each, as a pure function of the id (the same LCG family as

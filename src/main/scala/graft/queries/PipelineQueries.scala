@@ -431,6 +431,44 @@ object PipelineQueries {
           s"CASE source $whens ELSE -1 END"
       }),
 
+    // MATERIALIZED packed sequences (r12): the actual training chunks —
+    // per (shard, chunk), the flattened tokens of every overlapping
+    // document slice in order. The gate emits each chunk's length and
+    // the rolling-hash fingerprint of its joined text, so the oracle
+    // hash-verifies the exact sequences cross-engine.
+    "q_pack_materialize" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.pipeline.{Pack, TextFunctions}
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        Pack.materializeChunks(toks, "toks", "shard", "doc_id", budget = 256)
+          .as[(Long, Long, Seq[String])]
+          .map { case (sh, ch, tk) =>
+            (sh, ch, tk.size.toLong,
+              TextFunctions.fingerprintScala(tk.mkString(" ")))
+          }
+          .toDF("shard", "chunk", "n_tok", "fp")
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, doc_id % 8 AS shard, " +
+        raw"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS w " +
+        "FROM documents), " +
+        "nz AS (SELECT *, len(w) AS n FROM dd WHERE len(w) > 0), " +
+        "packed AS (SELECT doc_id, shard, w, n, " +
+        "CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start FROM nz), " +
+        "m AS (SELECT doc_id, shard, w, n, start, " +
+        "unnest(generate_series(start // 256, (start + n - 1) // 256)) AS chunk FROM packed), " +
+        "pieces AS (SELECT shard, chunk, doc_id, " +
+        "w[(greatest(chunk*256, start) - start + 1):(least((chunk+1)*256, start + n) - start)] AS piece FROM m), " +
+        "chunks AS (SELECT shard, chunk, flatten(list(piece ORDER BY doc_id)) AS toks " +
+        "FROM pieces GROUP BY 1, 2) " +
+        "SELECT shard, chunk, len(toks)::BIGINT AS n_tok, " +
+        "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        "string_split(array_to_string(toks, ' '), ''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007) AS fp FROM chunks")),
+
     // GLOBAL DETERMINISTIC SHUFFLE (r12): hash documents into 8 shards
     // with a pseudo-random within-shard order — the reproducible shuffle
     // step before packing. Oracle replays the exact LCG arithmetic.

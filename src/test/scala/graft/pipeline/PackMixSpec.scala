@@ -115,6 +115,28 @@ class PackMixSpec extends AnyFunSuite {
       Mix.bySource(docs, "id", "src", Map.empty))
   }
 
+  test("materializeChunks reconstructs the exact concatenated stream per shard") {
+    val rnd = new scala.util.Random(31)
+    val docs = (0L until 200L).map { i =>
+      (i, i % 3, Vector.fill(1 + rnd.nextInt(40))(s"t${rnd.nextInt(100)}"))
+    }.toDF("id", "shard", "toks")
+    val B = 64L
+    val out = Pack.materializeChunks(docs, "toks", "shard", "id", B)
+      .as[(Long, Long, Seq[String])].collect()
+    val byShard = out.groupBy(_._1)
+    docs.as[(Long, Long, Seq[String])].collect().groupBy(_._2)
+      .foreach { case (shard, ds) =>
+        val stream = ds.sortBy(_._1).flatMap(_._3).toSeq
+        val chunks = byShard(shard).sortBy(_._2)
+        // chunk ids are dense from 0 and tile the stream exactly
+        assert(chunks.map(_._2).toSeq === (0L until chunks.size).toSeq)
+        assert(chunks.flatMap(_._3).toSeq === stream)
+        // every chunk is full except possibly the last
+        chunks.dropRight(1).foreach(c => assert(c._3.size === B))
+        assert(chunks.last._3.size === (stream.size - (chunks.size - 1) * B))
+      }
+  }
+
   test("shuffleShards: deterministic spread + order, feeds sequenceOffsets directly") {
     val docs = (0L until 2000L).map(i => (i, 1 + (i % 50).toInt))
       .toDF("id", "n_tok")
