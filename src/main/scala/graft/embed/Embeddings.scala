@@ -387,6 +387,49 @@ object Embeddings {
     }
   }
 
+  /** SAFETENSORS-backed provider: real inference against a real weight
+    * file in the public interchange format ([[Safetensors]] — pure-JVM
+    * parse, F32). The kernel is the same hash-bucket bag-of-tokens ×
+    * projection as [[LocalModelProvider]], with the matrix loaded ONCE per
+    * executor from the named tensor (vocab-buckets × dim, row-major).
+    * Dimension is validated against the tensor's second axis at load. */
+  final case class SafetensorsProvider(modelPath: String, tensor: String,
+                                       dim: Int, normalize: Boolean = false,
+                                       maxInputLen: Option[Int] = None)
+      extends TextToEmbeddings {
+    @transient private lazy val weights: Array[Array[Float]] = {
+      val w = Safetensors.sharedMatrix(modelPath, tensor)
+      require(w.length > 0 && w(0).length == dim,
+        s"safetensors '$modelPath' tensor '$tensor' is " +
+          s"${w.length}x${if (w.isEmpty) 0 else w(0).length}, " +
+          s"provider declared dim $dim")
+      w
+    }
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val w = weights
+      val vocabDim = w.length
+      texts.map { t0 =>
+        val t = maxInputLen.fold(t0)(ModelRegistry.preTruncate(t0, _))
+        val counts = scala.collection.mutable.LongMap.empty[Int]
+        t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          val b = hashBucket(tok, vocabDim)
+          counts(b) = counts.getOrElse(b.toLong, 0) + 1
+        }
+        val v = new Array[Float](dim)
+        counts.foreach { case (b, c) =>
+          val row = w(b.toInt)
+          var i = 0
+          while (i < dim) { v(i) += c * row(i); i += 1 }
+        }
+        if (normalize) {
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+          if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
+        }
+        v
+      }
+    }
+  }
+
   /** Provider registry — the seam where remote/local model providers plug in
     * (ref ffi.rs GetLibFuncs). Offline container ships the deterministic
     * stubs; [[HttpProvider]] and [[LocalModelProvider]] are constructed

@@ -169,6 +169,19 @@ object ModelRegistry {
              apiUrl: Option[String] = None,
              timeoutMs: Long = 10000,
              dim: Option[Int] = None): TextToEmbeddings = {
+    // `safetensors:<path>[#<tensor>]` — a real weight file in the public
+    // interchange format; tensor name defaults to "embedding".
+    if (modelId.startsWith("safetensors:")) {
+      val spec = modelId.stripPrefix("safetensors:")
+      val (path, tensor) = spec.indexOf('#') match {
+        case -1 => (spec, "embedding")
+        case i => (spec.take(i), spec.drop(i + 1))
+      }
+      return Embeddings.SafetensorsProvider(path, tensor,
+        dim.getOrElse(throw new IllegalArgumentException(
+          s"safetensors model '$modelId' needs an explicit dim")),
+        maxInputLen = Some(LocalDefaultMaxInputLen))
+    }
     val r = resolve(modelId)
     r.provider match {
       case None =>

@@ -1,0 +1,128 @@
+package graft.embed
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Minimal pure-JVM reader/writer for the PUBLIC safetensors format
+  * (huggingface/safetensors): an 8-byte little-endian header length, a JSON
+  * header mapping tensor names to `{dtype, shape, data_offsets}`, then the
+  * raw little-endian tensor bytes. The format is deliberately trivial to
+  * parse — that is its published design goal — so a real exported weight
+  * file loads here with NO native or Python dependency.
+  *
+  * Scope: F32 tensors (the dtype embedding matrices export to). Anything
+  * else fails loudly at load, never silently misreads.
+  *
+  * This closes the "real local model" seam as far as an offline JVM can:
+  * [[Embeddings.SafetensorsProvider]] runs real inference (hash-bucket
+  * bag-of-tokens × the file's real projection matrix) against a real model
+  * artifact in the real interchange format; transformer forward passes
+  * stay behind the provider trait (the documented divergence — no ONNX
+  * runtime in this container).
+  */
+object Safetensors {
+
+  /** One parsed tensor: row-major F32 data with its shape. */
+  final case class Tensor(shape: Seq[Int], data: Array[Float])
+
+  /** Write `tensors` as a valid safetensors file (F32, row-major). */
+  def write(path: String, tensors: Seq[(String, Tensor)]): Unit = {
+    require(tensors.nonEmpty, "no tensors to write")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val header = om.createObjectNode()
+    var off = 0L
+    tensors.foreach { case (name, t) =>
+      val n = t.shape.product
+      require(n == t.data.length,
+        s"tensor '$name': shape ${t.shape} != data length ${t.data.length}")
+      val node = header.putObject(name)
+      node.put("dtype", "F32")
+      val sh = node.putArray("shape")
+      t.shape.foreach(sh.add)
+      val offs = node.putArray("data_offsets")
+      offs.add(off); offs.add(off + n * 4L)
+      off += n * 4L
+    }
+    val headerBytes = om.writeValueAsBytes(header)
+    val buf = ByteBuffer.allocate(8 + headerBytes.length + off.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(headerBytes.length.toLong).put(headerBytes)
+    tensors.foreach { case (_, t) => t.data.foreach(buf.putFloat) }
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.write(f.toPath, buf.array())
+  }
+
+  /** Parse the file and return the named tensor. Validates the header
+    * length, dtype, shape/offset consistency, and that offsets stay inside
+    * the data section. */
+  def readTensor(path: String, name: String): Tensor = {
+    val all = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
+    require(all.length >= 8, s"$path: not a safetensors file (too short)")
+    val bb = ByteBuffer.wrap(all).order(ByteOrder.LITTLE_ENDIAN)
+    val headerLen = bb.getLong()
+    require(headerLen > 0 && headerLen <= all.length - 8,
+      s"$path: corrupt safetensors header length $headerLen")
+    val headerJson = new String(all, 8, headerLen.toInt, StandardCharsets.UTF_8)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val header = om.readTree(headerJson)
+    val node = header.get(name)
+    require(node != null && node.isObject, {
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      header.fieldNames().forEachRemaining(n =>
+        if (n != "__metadata__") names += n)
+      s"$path: no tensor '$name' (has: ${names.mkString(", ")})"
+    })
+    val dtype = node.get("dtype").asText()
+    require(dtype == "F32",
+      s"$path tensor '$name': dtype $dtype unsupported (F32 only)")
+    val shape = {
+      val it = node.get("shape").elements()
+      val b = Seq.newBuilder[Int]
+      it.forEachRemaining(e => b += e.asInt())
+      b.result()
+    }
+    val s = node.get("data_offsets").get(0).asLong()
+    val e = node.get("data_offsets").get(1).asLong()
+    val n = shape.product
+    val dataBase = 8 + headerLen
+    require(e - s == n * 4L && s >= 0 && dataBase + e <= all.length,
+      s"$path tensor '$name': offsets [$s,$e) inconsistent with shape $shape")
+    val fb = ByteBuffer.wrap(all, (dataBase + s).toInt, (e - s).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    val data = new Array[Float](n)
+    fb.get(data)
+    Tensor(shape, data)
+  }
+
+  /** The named tensor as a 2-D row-major matrix. */
+  def matrix(path: String, name: String): Array[Array[Float]] = {
+    val t = readTensor(path, name)
+    require(t.shape.length == 2,
+      s"tensor '$name' has shape ${t.shape}, expected a matrix")
+    val (rows, cols) = (t.shape(0), t.shape(1))
+    Array.tabulate(rows)(r => java.util.Arrays.copyOfRange(
+      t.data, r * cols, (r + 1) * cols))
+  }
+
+  // Executor-shared matrix cache — the same one-load-per-JVM lifecycle as
+  // LocalModel.sharedWeights (every partition's handle reuses the loaded
+  // matrix; loadCount instruments actual file reads for the spec).
+  private[embed] val loadCount = new java.util.concurrent.atomic.AtomicLong
+  private val shared =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[Array[Float]]]
+
+  private[embed] def sharedMatrix(path: String,
+                                  name: String): Array[Array[Float]] =
+    shared.getOrElseUpdate((path, name), {
+      loadCount.incrementAndGet()
+      matrix(path, name)
+    })
+
+  /** Drop a cached matrix (artifact hot-swap seam). */
+  def evictShared(path: String): Int = {
+    val keys = shared.keys.filter(_._1 == path).toSeq
+    keys.foreach(shared.remove)
+    keys.size
+  }
+}

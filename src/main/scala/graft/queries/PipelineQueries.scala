@@ -181,6 +181,36 @@ object PipelineQueries {
         (0 until 16).map(i => s"e$i*e$i").mkString(" + ") +
         ", 6) + 0.0 AS norm2 FROM ei")),
 
+    // K8 via SAFETENSORS (r12): the same deterministic weights exported
+    // to the PUBLIC interchange format (8-byte LE header len + JSON +
+    // raw F32 — parsed by the pure-JVM reader, no Python/native dep) and
+    // served through the `safetensors:` model-id dispatch. Same exact
+    // arithmetic as q_embed_local, so the same oracle replay.
+    "q_embed_safetensors" -> QueryDef(
+      (s, d) => {
+        val art = safetensorsArtifact()
+        val emb = Embeddings.embedStage(t(s, d, "documents"), "text", "emb",
+          () => graft.embed.ModelRegistry.create(
+            s"safetensors:$art#embedding", dim = Some(16)))
+        val dbl = transform(col("emb"), x => x.cast("double"))
+        emb.select(col("doc_id"),
+          round(element_at(dbl, 1), 6).as("e0"),
+          round(aggregate(dbl, lit(0.0), (a, x) => a + x * x), 6).as("norm2"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
+        "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007) % 64 AS bucket FROM tok), " +
+        "ei AS (SELECT d.doc_id, " +
+        (0 until 16).map(i =>
+          s"coalesce(sum(((h.bucket*31 + $i) % 97 - 48) / 16.0), 0) AS e$i")
+          .mkString(", ") +
+        " FROM dd d LEFT JOIN hashed h ON h.doc_id = d.doc_id GROUP BY d.doc_id) " +
+        "SELECT doc_id, round(e0, 6) + 0.0 AS e0, round(" +
+        (0 until 16).map(i => s"e$i*e$i").mkString(" + ") +
+        ", 6) + 0.0 AS norm2 FROM ei")),
+
     // SEMANTIC SEARCH end-to-end (r10 VERDICT #2 — the reference wires
     // embeddings directly into the KNN column: LoadEmbeddingsLib +
     // GenerateEmbeddings feed the FLOATVEC build/search path,
@@ -642,6 +672,19 @@ object PipelineQueries {
       f.getParentFile.mkdirs()
       val w = Array.tabulate(64, 16)((b, i) => (((b * 31 + i) % 97) - 48) / 16.0f)
       Embeddings.LocalModel.writeArtifact(f.toString, w)
+    }
+    f.toString
+  }
+
+  // The same weights exported to the public safetensors format (written
+  // once per process if absent) — the q_embed_safetensors artifact.
+  private def safetensorsArtifact(): String = {
+    val f = new java.io.File(graft.tables.Derived.root,
+      "model_lin16.safetensors")
+    if (!f.isFile) {
+      val w = Array.tabulate(64, 16)((b, i) => (((b * 31 + i) % 97) - 48) / 16.0f)
+      graft.embed.Safetensors.write(f.toString, Seq("embedding" ->
+        graft.embed.Safetensors.Tensor(Seq(64, 16), w.flatten)))
     }
     f.toString
   }

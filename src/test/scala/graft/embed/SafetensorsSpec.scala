@@ -1,0 +1,107 @@
+package graft.embed
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM safetensors reader/writer + the provider running real
+  * inference against the public interchange format. */
+class SafetensorsSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft-st")
+      .resolve(name).toString
+
+  test("byte layout matches the published format, not just our own round trip") {
+    val path = tmp("layout.safetensors")
+    val t = Safetensors.Tensor(Seq(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))
+    Safetensors.write(path, Seq("embedding" -> t))
+    val bytes = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
+    // first 8 bytes: LE header length; then the JSON header itself
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hlen = bb.getLong()
+    val json = new String(bytes, 8, hlen.toInt, "UTF-8")
+    assert(json.contains("\"dtype\":\"F32\""), json)
+    assert(json.contains("\"shape\":[2,3]"), json)
+    assert(json.contains("\"data_offsets\":[0,24]"), json)
+    assert(bytes.length === 8 + hlen + 24)
+    // first float after the header is 1.0, little-endian
+    val f0 = java.nio.ByteBuffer.wrap(bytes, 8 + hlen.toInt, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat()
+    assert(f0 === 1f)
+  }
+
+  test("write → read round trip, multiple tensors, matrix shape checks") {
+    val path = tmp("multi.safetensors")
+    val a = Safetensors.Tensor(Seq(2, 2), Array(1f, 2f, 3f, 4f))
+    val b = Safetensors.Tensor(Seq(3), Array(7f, 8f, 9f))
+    Safetensors.write(path, Seq("a" -> a, "b" -> b))
+    assert(Safetensors.readTensor(path, "a").data.toSeq === a.data.toSeq)
+    assert(Safetensors.readTensor(path, "b").data.toSeq === b.data.toSeq)
+    assert(Safetensors.matrix(path, "a").map(_.toSeq).toSeq ===
+      Seq(Seq(1f, 2f), Seq(3f, 4f)))
+    // 1-D tensor is not a matrix; unknown names name what IS there
+    val e1 = intercept[IllegalArgumentException](Safetensors.matrix(path, "b"))
+    assert(e1.getMessage.contains("expected a matrix"))
+    val e2 = intercept[IllegalArgumentException](
+      Safetensors.readTensor(path, "nope"))
+    assert(e2.getMessage.contains("a") && e2.getMessage.contains("b"))
+    // truncated file fails loudly
+    val trunc = tmp("trunc.safetensors")
+    java.nio.file.Files.write(new java.io.File(trunc).toPath,
+      java.nio.file.Files.readAllBytes(new java.io.File(path).toPath).take(20))
+    intercept[IllegalArgumentException](Safetensors.readTensor(trunc, "a"))
+  }
+
+  test("provider inference matches the in-memory kernel; loads once per JVM") {
+    val vocab = 32; val dim = 8
+    val w = Array.tabulate(vocab, dim)((b, i) => (((b * 31 + i) % 97) - 48) / 16.0f)
+    val path = tmp("model.safetensors")
+    Safetensors.write(path, Seq("embedding" ->
+      Safetensors.Tensor(Seq(vocab, dim), w.flatten)))
+    Safetensors.evictShared(path)
+    val before = Safetensors.loadCount.get()
+    val p = Embeddings.SafetensorsProvider(path, "embedding", dim)
+    val texts = Seq("alpha beta beta", "gamma", "")
+    val got = p.embedBatch(texts)
+    // manual kernel replay
+    val want = texts.map { t =>
+      val v = new Array[Float](dim)
+      t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val row = w(Embeddings.hashBucket(tok, vocab))
+        (0 until dim).foreach(i => v(i) += row(i))
+      }
+      v.toSeq
+    }
+    assert(got.map(_.toSeq) === want)
+    // a second provider instance on the same path reuses the loaded matrix
+    Embeddings.SafetensorsProvider(path, "embedding", dim)
+      .embedBatch(Seq("again"))
+    assert(Safetensors.loadCount.get() === before + 1)
+    // declared-dim mismatch fails at first use
+    intercept[IllegalArgumentException](
+      Embeddings.SafetensorsProvider(path, "embedding", dim + 1)
+        .embedBatch(Seq("x")))
+  }
+
+  test("model-id dispatch: safetensors:<path>#<tensor> routes to the provider") {
+    val vocab = 16; val dim = 4
+    val w = Array.tabulate(vocab, dim)((b, i) => (b + i).toFloat)
+    val path = tmp("route.safetensors")
+    Safetensors.write(path, Seq("emb" ->
+      Safetensors.Tensor(Seq(vocab, dim), w.flatten)))
+    val p = ModelRegistry.create(s"safetensors:$path#emb", dim = Some(dim))
+    assert(p.isInstanceOf[Embeddings.SafetensorsProvider])
+    assert(p.embedBatch(Seq("tok")).head.length === dim)
+    intercept[IllegalArgumentException](
+      ModelRegistry.create(s"safetensors:$path#emb")) // dim required
+    // and it runs inside embedStage like any provider
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val out = Embeddings.embedStage(df, "text", "emb",
+      () => ModelRegistry.create(s"safetensors:$path#emb", dim = Some(dim)))
+    assert(out.select(size(col("emb"))).as[Int].head() === dim)
+  }
+}
