@@ -393,9 +393,15 @@ object Embeddings {
     * projection as [[LocalModelProvider]], with the matrix loaded ONCE per
     * executor from the named tensor (vocab-buckets × dim, row-major).
     * Dimension is validated against the tensor's second axis at load. */
+  /** With `vocabPath` set, tokens come from the real [[WordPiece]]
+    * tokenizer and the token ID indexes the matrix row DIRECTLY — true
+    * embedding-table lookup over the exported artifact pair
+    * (vocab.txt + safetensors); without it, whitespace tokens hash into
+    * the rows (the bag-of-buckets kernel). */
   final case class SafetensorsProvider(modelPath: String, tensor: String,
                                        dim: Int, normalize: Boolean = false,
-                                       maxInputLen: Option[Int] = None)
+                                       maxInputLen: Option[Int] = None,
+                                       vocabPath: Option[String] = None)
       extends TextToEmbeddings {
     @transient private lazy val weights: Array[Array[Float]] = {
       val w = Safetensors.sharedMatrix(modelPath, tensor)
@@ -403,17 +409,31 @@ object Embeddings {
         s"safetensors '$modelPath' tensor '$tensor' is " +
           s"${w.length}x${if (w.isEmpty) 0 else w(0).length}, " +
           s"provider declared dim $dim")
+      vocabPath.foreach { vp =>
+        val v = WordPiece.sharedVocab(vp)
+        require(w.length >= v.size,
+          s"safetensors '$modelPath' has ${w.length} rows but vocab '$vp' " +
+            s"has ${v.size} tokens — every id must index a row")
+      }
       w
     }
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
       val w = weights
+      val vocab = vocabPath.map(WordPiece.sharedVocab)
       val vocabDim = w.length
       texts.map { t0 =>
         val t = maxInputLen.fold(t0)(ModelRegistry.preTruncate(t0, _))
         val counts = scala.collection.mutable.LongMap.empty[Int]
-        t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-          val b = hashBucket(tok, vocabDim)
-          counts(b) = counts.getOrElse(b.toLong, 0) + 1
+        vocab match {
+          case Some(v) =>
+            WordPiece.tokenize(t, v).foreach { id =>
+              counts(id) = counts.getOrElse(id.toLong, 0) + 1
+            }
+          case None =>
+            t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+              val b = hashBucket(tok, vocabDim)
+              counts(b) = counts.getOrElse(b.toLong, 0) + 1
+            }
         }
         val v = new Array[Float](dim)
         counts.foreach { case (b, c) =>

@@ -87,6 +87,48 @@ class SafetensorsSpec extends AnyFunSuite {
         .embedBatch(Seq("x")))
   }
 
+  test("WordPiece: greedy longest-match, ## continuations, all-or-nothing UNK") {
+    val v = WordPiece.parseVocab(Seq("[UNK]", "un", "##aff", "##able",
+      "aff", "hello", "##o"))
+    def toks(w: String) = WordPiece.tokenizeWord(w, v)
+    assert(toks("unaffable") === Seq(1, 2, 3))   // un ##aff ##able
+    assert(toks("affable") === Seq(4, 3))        // aff ##able
+    assert(toks("hello") === Seq(5))
+    assert(toks("helloo") === Seq(5, 6))         // hello ##o
+    assert(toks("xyz") === Seq(0))               // no prefix → [UNK]
+    assert(toks("unxyz") === Seq(0))             // dead end mid-word → [UNK]
+    assert(WordPiece.tokenize(" unaffable  hello ", v) === Seq(1, 2, 3, 5))
+    intercept[IllegalArgumentException](WordPiece.parseVocab(Seq("a", "b")))
+  }
+
+  test("vocab-backed provider: token id indexes the matrix row directly") {
+    val vocabLines = Seq("[UNK]", "un", "##aff", "##able", "hello")
+    val dim = 3
+    val w = Array.tabulate(vocabLines.size, dim)((r, c) => (r * 10 + c).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wp")
+    val mPath = dir.resolve("m.safetensors").toString
+    val vPath = dir.resolve("vocab.txt").toString
+    Safetensors.write(mPath, Seq("embedding" ->
+      Safetensors.Tensor(Seq(vocabLines.size, dim), w.flatten)))
+    java.nio.file.Files.write(new java.io.File(vPath).toPath,
+      vocabLines.mkString("\n").getBytes("UTF-8"))
+    val p = Embeddings.SafetensorsProvider(mPath, "embedding", dim,
+      vocabPath = Some(vPath))
+    // "unaffable hello" → rows 1+2+3+4 summed
+    val got = p.embedBatch(Seq("unaffable hello")).head.toSeq
+    val want = (0 until dim).map(c => Seq(1, 2, 3, 4).map(r => w(r)(c)).sum)
+    assert(got === want)
+    // out-of-vocab word contributes the [UNK] row
+    assert(p.embedBatch(Seq("zzz")).head.toSeq === w(0).toSeq)
+    // a vocab larger than the matrix is rejected at load
+    val small = dir.resolve("small.safetensors").toString
+    Safetensors.write(small, Seq("embedding" ->
+      Safetensors.Tensor(Seq(2, dim), w.flatten.take(2 * dim))))
+    intercept[IllegalArgumentException](
+      Embeddings.SafetensorsProvider(small, "embedding", dim,
+        vocabPath = Some(vPath)).embedBatch(Seq("x")))
+  }
+
   test("model-id dispatch: safetensors:<path>#<tensor> routes to the provider") {
     val vocab = 16; val dim = 4
     val w = Array.tabulate(vocab, dim)((b, i) => (b + i).toFloat)
