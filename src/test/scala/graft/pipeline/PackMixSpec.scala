@@ -137,6 +137,18 @@ class PackMixSpec extends AnyFunSuite {
       }
   }
 
+  test("materializeChunks plan: the offsets window and one bounded aggregate, two shuffles total") {
+    val docs = (0L until 100L).map(i => (i, i % 3, Vector("a", "b")))
+      .toDF("id", "shard", "toks")
+    val plan = Pack.materializeChunks(docs, "toks", "shard", "id", 16L)
+      .queryExecution.executedPlan.toString
+    // ONE shuffle total: the (shard, chunk) aggregate runs on the offsets
+    // window's shard partitioning ((shard, chunk) groups are co-located
+    // within shard partitions), so each token crosses the wire once
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("shuffleShards: deterministic spread + order, feeds sequenceOffsets directly") {
     val docs = (0L until 2000L).map(i => (i, 1 + (i % 50).toInt))
       .toDF("id", "n_tok")
