@@ -74,8 +74,8 @@ object Safetensors {
       s"$path: no tensor '$name' (has: ${names.mkString(", ")})"
     })
     val dtype = node.get("dtype").asText()
-    require(dtype == "F32",
-      s"$path tensor '$name': dtype $dtype unsupported (F32 only)")
+    require(dtype == "F32" || dtype == "F16",
+      s"$path tensor '$name': dtype $dtype unsupported (F32/F16 only)")
     val shape = {
       val it = node.get("shape").elements()
       val b = Seq.newBuilder[Int]
@@ -85,14 +85,46 @@ object Safetensors {
     val s = node.get("data_offsets").get(0).asLong()
     val e = node.get("data_offsets").get(1).asLong()
     val n = shape.product
+    val width = if (dtype == "F32") 4L else 2L
     val dataBase = 8 + headerLen
-    require(e - s == n * 4L && s >= 0 && dataBase + e <= all.length,
+    require(e - s == n * width && s >= 0 && dataBase + e <= all.length,
       s"$path tensor '$name': offsets [$s,$e) inconsistent with shape $shape")
-    val fb = ByteBuffer.wrap(all, (dataBase + s).toInt, (e - s).toInt)
-      .order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    val bytes = ByteBuffer.wrap(all, (dataBase + s).toInt, (e - s).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
     val data = new Array[Float](n)
-    fb.get(data)
+    if (dtype == "F32") bytes.asFloatBuffer().get(data)
+    else {
+      // IEEE 754 half → float, exact (every F16 value is representable).
+      // slice() rebases absolute indexing to the tensor's own bytes (a
+      // wrapped buffer's absolute gets address the BACKING ARRAY) — and
+      // resets the byte order, so reapply LE.
+      val hb = bytes.slice().order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        data(i) = halfToFloat(hb.getShort(i * 2))
+        i += 1
+      }
+    }
     Tensor(shape, data)
+  }
+
+  /** IEEE 754 binary16 → binary32, bit-exact (subnormals, ±inf, NaN).
+    * (Java 17 — `Float.float16ToFloat` arrives in 20.) */
+  private[embed] def halfToFloat(h: Short): Float = {
+    val bits = h & 0xFFFF
+    val sign = (bits & 0x8000) << 16
+    val exp = (bits >> 10) & 0x1F
+    val mant = bits & 0x3FF
+    if (exp == 0x1F) // inf / NaN
+      java.lang.Float.intBitsToFloat(sign | 0x7F800000 | (mant << 13))
+    else if (exp != 0) // normal
+      java.lang.Float.intBitsToFloat(sign | ((exp + 112) << 23) | (mant << 13))
+    else if (mant == 0) // signed zero
+      java.lang.Float.intBitsToFloat(sign)
+    else { // subnormal: mant × 2^-24
+      val v = mant * 5.9604645e-8f
+      if (sign != 0) -v else v
+    }
   }
 
   /** The named tensor as a 2-D row-major matrix. */

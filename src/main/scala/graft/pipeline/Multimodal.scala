@@ -231,6 +231,52 @@ object Multimodal {
     }
   }
 
+  /** REAL image resizer for uncompressed 24-bpp BMP payloads:
+    * nearest-neighbor sampling to `targetW`×`targetH`, re-emitting a VALID
+    * BMP (54-byte header, 4-byte-aligned rows) — a stock viewer opens the
+    * output. Non-BMP payloads pass through unchanged with their declared
+    * dimensions (the robust-at-scale contract); codec formats stay behind
+    * the pluggable seam. */
+  final case class BmpNearestResizer(targetW: Int, targetH: Int)
+      extends BlobResizer {
+    require(targetW >= 1 && targetH >= 1)
+    def resize(payload: Array[Byte], width: Int,
+               height: Int): (Array[Byte], Int, Int) = {
+      val b = payload
+      def le32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def le16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return (payload, width, height)
+      val off = le32(10); val w = le32(18); val h = math.abs(le32(22))
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0 ||
+          off + stride.toLong * h > b.length) return (payload, width, height)
+      val newStride = ((targetW * 3 + 3) / 4) * 4
+      val out = java.nio.ByteBuffer.allocate(54 + newStride * targetH)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + newStride * targetH)
+        .putInt(0).putInt(54)
+      out.putInt(40).putInt(targetW).putInt(targetH).putShort(1).putShort(24)
+      out.putInt(0).putInt(newStride * targetH).putInt(2835).putInt(2835)
+      out.putInt(0).putInt(0)
+      var y = 0
+      while (y < targetH) {
+        val sy = (y.toLong * h / targetH).toInt
+        var x = 0
+        while (x < targetW) {
+          val sx = (x.toLong * w / targetW).toInt
+          val sp = off + sy * stride + sx * 3
+          out.put(b(sp)).put(b(sp + 1)).put(b(sp + 2))
+          x += 1
+        }
+        var pad = targetW * 3
+        while (pad < newStride) { out.put(0.toByte); pad += 1 }
+        y += 1
+      }
+      (out.array(), targetW, targetH)
+    }
+  }
+
   /** Resize stage: rewrite `blobCol` IN PLACE (payload + meta.width/height/
     * size_bytes) through `resizer` — partition-local, no shuffle, schema
     * unchanged, so downstream stages and metadata pushdown are oblivious

@@ -172,6 +172,51 @@ object TextFunctions {
     regexp_replace(email, "[0-9]{7,}", "<NUM>")
   }
 
+  /** The Gopher/MassiveText "required words": a quality document contains
+    * at least 2 of these (the published rule's word list). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY STATS (the published MassiveText filter inputs, as
+    * exact integers): word count, mean word length (milli), fraction of
+    * words containing `#`/`...` (micro), fraction of words with an
+    * alphabetic character (micro), and how many of the required stopwords
+    * appear. One codegen expression tree — the downstream rules read the
+    * struct, so the stats compute once per document. */
+  def gopherStats(c: Column): Column = {
+    val w = tokens(c)
+    val n = size(w)
+    val totalLen = aggregate(w, lit(0L), (a, t) => a + length(t))
+    val alphaWords = size(filter(w, t => t.rlike("[A-Za-z]")))
+    val symbolWords = size(filter(w, t =>
+      t.contains("#") || t.contains("...")))
+    val stopHits = size(array_intersect(array_distinct(w),
+      lit(gopherStopwords.toArray)))
+    struct(
+      n.cast("long").as("n_words"),
+      when(n === 0, 0L).otherwise(
+        floor(lit(1000.0) * totalLen / n).cast("long"))
+        .as("mean_word_len_milli"),
+      when(n === 0, 0L).otherwise(
+        floor(lit(1000000.0) * symbolWords / n).cast("long"))
+        .as("symbol_ratio_micros"),
+      when(n === 0, 0L).otherwise(
+        floor(lit(1000000.0) * alphaWords / n).cast("long"))
+        .as("alpha_frac_micros"),
+      stopHits.cast("long").as("stop_hits"))
+  }
+
+  /** The published Gopher pass rule over [[gopherStats]] (integer
+    * thresholds only, so both engines decide identically): 50–100k words,
+    * mean word length 3–10 chars, symbol ratio ≤ 10%, ≥ 80% alphabetic
+    * words, ≥ 2 required stopwords. */
+  def gopherPass(stats: Column): Column =
+    stats("n_words").between(50L, 100000L) &&
+      stats("mean_word_len_milli").between(3000L, 10000L) &&
+      stats("symbol_ratio_micros") <= 100000L &&
+      stats("alpha_frac_micros") >= 800000L &&
+      stats("stop_hits") >= 2L
+
   /** Scala twin of [[fingerprint]] — identical values (same codepoint
     * sequence, same per-step mod; TextFunctionsSpec asserts equality incl.
     * non-ASCII), JIT'd loop speed for the pipeline path. */

@@ -157,6 +157,40 @@ object TextQueries {
     // (same concatenation in both engines) — masking it back out checks
     // the regex DIALECT parity (Java regex vs DuckDB's RE2) over the full
     // corpus, not just the operator's own spec fixtures.
+    // GOPHER QUALITY RULES (r12): the published MassiveText filter inputs
+    // as exact integers (word count, mean word length, symbol-word and
+    // alphabetic-word fractions, required-stopword hits) plus the pass
+    // decision over integer thresholds — both engines decide identically.
+    "q_text_gopher" -> QueryDef(
+      (s, d) => {
+        val st = gopherStats(col("text"))
+        t(s, d, "documents").select(col("doc_id"),
+            st.as("st"))
+          .select(col("doc_id"),
+            col("st.n_words").as("n_words"),
+            col("st.mean_word_len_milli").as("mean_word_len_milli"),
+            col("st.symbol_ratio_micros").as("symbol_ratio_micros"),
+            col("st.alpha_frac_micros").as("alpha_frac_micros"),
+            col("st.stop_hits").as("stop_hits"),
+            gopherPass(col("st")).as("pass"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), st AS (SELECT doc_id, len(w) AS n, " +
+        "coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS tl, " +
+        "len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS aw, " +
+        "len(list_filter(w, t -> contains(t, '#') OR contains(t, '...'))) AS sw, " +
+        "len(list_intersect(list_distinct(w), " +
+        "['the','be','to','of','and','that','have','with'])) AS sh FROM dd), " +
+        "ex AS (SELECT doc_id, n::BIGINT AS n_words, " +
+        "(CASE WHEN n=0 THEN 0 ELSE floor(1000.0*tl/n) END)::BIGINT AS mean_word_len_milli, " +
+        "(CASE WHEN n=0 THEN 0 ELSE floor(1000000.0*sw/n) END)::BIGINT AS symbol_ratio_micros, " +
+        "(CASE WHEN n=0 THEN 0 ELSE floor(1000000.0*aw/n) END)::BIGINT AS alpha_frac_micros, " +
+        "sh::BIGINT AS stop_hits FROM st) " +
+        "SELECT *, (n_words BETWEEN 50 AND 100000 " +
+        "AND mean_word_len_milli BETWEEN 3000 AND 10000 " +
+        "AND symbol_ratio_micros <= 100000 AND alpha_frac_micros >= 800000 " +
+        "AND stop_hits >= 2) AS pass FROM ex")),
+
     "q_text_pii" -> QueryDef(
       (s, d) => {
         val planted = concat(col("text"),

@@ -87,6 +87,27 @@ class SafetensorsSpec extends AnyFunSuite {
         .embedBatch(Seq("x")))
   }
 
+  test("F16 tensors decode bit-exactly (normals, subnormals, zero, inf, max)") {
+    val halves = Seq(0x3C00, 0xC000, 0x3800, 0x0001, 0x8000, 0x7C00,
+      0x7BFF).map(_.toShort)
+    val want = Seq(1.0f, -2.0f, 0.5f, 5.9604645e-8f, -0.0f,
+      Float.PositiveInfinity, 65504.0f)
+    val header = """{"h":{"dtype":"F16","shape":[7],""" +
+      s""""data_offsets":[0,14]}}"""
+    val hb = header.getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer.allocate(8 + hb.length + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(hb.length.toLong).put(hb)
+    halves.foreach(bb.putShort)
+    val path = tmp("half.safetensors")
+    java.nio.file.Files.write(new java.io.File(path).toPath, bb.array())
+    val got = Safetensors.readTensor(path, "h").data.toSeq
+    assert(got === want)
+    // -0.0 keeps its sign bit
+    assert(java.lang.Float.floatToIntBits(got(4)) ===
+      java.lang.Float.floatToIntBits(-0.0f))
+  }
+
   test("WordPiece: greedy longest-match, ## continuations, all-or-nothing UNK") {
     val v = WordPiece.parseVocab(Seq("[UNK]", "un", "##aff", "##able",
       "aff", "hello", "##o"))

@@ -108,6 +108,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) === ((None, None, None)))
   }
 
+  test("BMP resizer emits a valid BMP at the target size; non-BMP passes through") {
+    val rows = Seq(
+      (1L, bmpBytes(8, 6, 120)),
+      (2L, "plain text".getBytes))
+      .toDF("id", "payload")
+      .withColumn("blob", Multimodal.packBlob(
+        col("payload"), lit("bmp"), lit(8), lit(6)))
+    val resized = Multimodal.resizeStage(rows, "blob",
+      Multimodal.BmpNearestResizer(3, 2))
+    // decode the RESIZED payloads with the real parser: target dims, and
+    // a constant-fill image keeps its exact mean through resampling
+    val got = Multimodal.decodeStage(resized, "blob", "img",
+        Multimodal.BmpDecoder)
+      .select($"id", $"img.width", $"img.height", $"img.mean_channel_milli",
+        $"blob.meta.width", $"blob.meta.height")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getInt(4), r.getInt(5))).toMap
+    assert(got(1L) === ((Some(3), Some(2), Some(120000L), 3, 2)))
+    // non-BMP: payload untouched, meta dims preserved, decoder says NULL
+    assert(got(2L) === ((None, None, None, 8, 6)))
+    val passthrough = resized.filter($"id" === 2L)
+      .select($"blob.payload").as[Array[Byte]].head()
+    assert(new String(passthrough) === "plain text")
+  }
+
   test("WAV decoder parses fmt/data chunks, exact duration and RMS; rejects non-PCM") {
     val rows = Seq(
       (1L, wavBytes(8000, 8000, 1000)),    // 1 s, square amp 1000 → RMS 1000

@@ -95,4 +95,44 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got === "fr")
   }
 
+  test("gopher stats match a brute-force twin; pass rule uses integer thresholds") {
+    val cases = Seq(
+      "",                                     // empty → all-zero stats
+      "the cat sat",                          // short, 1 stopword
+      ("the of and " + Seq.fill(60)("word").mkString(" ")), // passes most
+      "### ... #tag normal",                  // symbol-heavy
+      "12345 67890 $$$ %%%")                  // no alphabetic words
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val st = TextFunctions.gopherStats(col("text"))
+    val got = df.select(col("id"), st.as("s"),
+        TextFunctions.gopherPass(st).as("p"))
+      .select(col("id"), col("s.n_words"), col("s.mean_word_len_milli"),
+        col("s.symbol_ratio_micros"), col("s.alpha_frac_micros"),
+        col("s.stop_hits"), col("p"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = w.size
+      def fl(x: Double) = math.floor(x).toLong
+      val want = (
+        i.toLong, n.toLong,
+        if (n == 0) 0L else fl(1000.0 * w.map(_.length).sum / n),
+        if (n == 0) 0L else fl(1e6 * w.count(x =>
+          x.contains("#") || x.contains("...")) / n),
+        if (n == 0) 0L else fl(1e6 * w.count(_.exists(ch =>
+          (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))) / n),
+        w.distinct.count(TextFunctions.gopherStopwords.contains).toLong)
+      val g = got(i.toLong)
+      assert((g._1, g._2, g._3, g._4, g._5, g._6) === want, s"case $i: '$t'")
+      // pass replay from the integer stats
+      val pass = g._2 >= 50 && g._2 <= 100000 &&
+        g._3 >= 3000 && g._3 <= 10000 && g._4 <= 100000 &&
+        g._5 >= 800000 && g._6 >= 2
+      assert(g._7 === pass, s"case $i")
+    }
+    // the long case actually passes; the short ones fail
+    assert(got(2L)._7 && !got(1L)._7 && !got(0L)._7)
+  }
 }
