@@ -250,6 +250,53 @@ object RelationalQueries {
         "AND v.event_type = 'view' AND v.ts <= p.ts " +
         "WHERE p.event_type = 'purchase' GROUP BY p.event_id")),
 
+    // FORWARD as-of (r12): the mirror direction — for each purchase, the
+    // next view at-or-after it (time scanned descending, same one-shuffle
+    // union+window plan).
+    "q_join_asof_fwd" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val joined = graft.relational.AsofJoin.forward(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "user_id", "ts", "ts", "event_id")
+        joined.select(col("event_id"),
+          graft.relational.EventTime.epochMicros(joined, "asof_ts")
+            .as("asof_micros"))
+      },
+      Some("SELECT p.event_id, min(epoch_us(v.ts)) AS asof_micros " +
+        "FROM events p LEFT JOIN events v ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND v.ts >= p.ts " +
+        "WHERE p.event_type = 'purchase' GROUP BY p.event_id")),
+
+    // NEAREST as-of (r12): closest view either side, exact ties backward.
+    // Oracle: pick the smaller |Δ| of the two directional matches.
+    "q_join_asof_near" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val joined = graft.relational.AsofJoin.nearest(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "user_id", "ts", "ts", "event_id", "event_id")
+        joined.select(col("event_id"),
+          graft.relational.EventTime.epochMicros(joined, "asof_ts")
+            .as("asof_micros"))
+      },
+      Some("WITH b AS (SELECT p.event_id, p.ts, max(epoch_us(v.ts)) AS bt " +
+        "FROM events p LEFT JOIN events v ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND v.ts <= p.ts " +
+        "WHERE p.event_type = 'purchase' GROUP BY p.event_id, p.ts), " +
+        "f AS (SELECT p.event_id, min(epoch_us(v.ts)) AS ft " +
+        "FROM events p LEFT JOIN events v ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND v.ts >= p.ts " +
+        "WHERE p.event_type = 'purchase' GROUP BY p.event_id) " +
+        "SELECT b.event_id, CASE " +
+        "WHEN b.bt IS NULL AND f.ft IS NULL THEN NULL " +
+        "WHEN b.bt IS NULL THEN f.ft WHEN f.ft IS NULL THEN b.bt " +
+        "WHEN epoch_us(b.ts) - b.bt <= f.ft - epoch_us(b.ts) THEN b.bt " +
+        "ELSE f.ft END AS asof_micros " +
+        "FROM b JOIN f ON b.event_id = f.event_id")),
+
     // Banded range join (pipeline op): events within ±10 min of each other,
     // no equality key. The engine buckets by floor(ts/width) and probes
     // {b-1,b,b+1} — an ordinary shuffled hash join; the oracle states the

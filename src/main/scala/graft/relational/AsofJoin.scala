@@ -42,7 +42,63 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               rightId: String, payload: Seq[String] = Nil): DataFrame = {
+               rightId: String, payload: Seq[String] = Nil): DataFrame =
+    directional(left, right, leftKey, rightKey, leftTs, rightTs, rightId,
+      payload, ascending = true)
+
+  /** FORWARD as-of: for each left row, the single right row with the
+    * SMALLEST `rightTs >= leftTs` for the same key — the mirror of
+    * [[backward]] (align to the next upcoming state: next-maintenance-
+    * window-after-event, first-response-after-request). Identical plan
+    * shape — the window scans time DESCENDING, so "last right seen" is
+    * the nearest future row; equal-(key, ts) right rows still resolve to
+    * the greatest `rightId`. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTs: String, rightTs: String,
+              rightId: String, payload: Seq[String] = Nil): DataFrame =
+    directional(left, right, leftKey, rightKey, leftTs, rightTs, rightId,
+      payload, ascending = false)
+
+  /** NEAREST as-of: the right row minimizing `|rightTs - leftTs|`; exact
+    * ties between the backward and forward candidates resolve BACKWARD
+    * (the conventional default). Two window passes + one equi-join on
+    * (`leftId`, every left column) — still no pair blowup; `leftId` must
+    * uniquely identify left rows. Event-time columns may be any
+    * [[EventTime]] representation; distances compare in exact micros. */
+  def nearest(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTs: String, rightTs: String,
+              rightId: String, leftId: String,
+              payload: Seq[String] = Nil): DataFrame = {
+    val b = backward(left, right, leftKey, rightKey, leftTs, rightTs,
+      rightId, payload)
+    val asofCols = "asof_ts" +: payload.map(c => s"asof_$c")
+    val f = forward(left, right, leftKey, rightKey, leftTs, rightTs,
+        rightId, payload)
+      .select(col(leftId) +: asofCols.map(c => col(c).as(s"__f_$c")): _*)
+    val joined = b.join(f, Seq(leftId))
+    // distances compare in epochNanos: exact for timestamps (micros×1000)
+    // AND for integral columns, which pass through in their own unit —
+    // epochMicros would integer-divide an integral (nanos-contract) column
+    // by 1000 and collapse sub-microsecond distances into false ties
+    val lNs = EventTime.epochNanos(joined, leftTs)
+    def dist(c: String) = when(col(c).isNull, lit(Long.MaxValue))
+      .otherwise(abs(EventTime.epochNanos(joined, c) - lNs))
+    val useB = dist("asof_ts") <= dist("__f_asof_ts")
+    val out = joined
+      .select((left.columns.map(col) ++ asofCols.map(c =>
+        when(col("asof_ts").isNull && col("__f_asof_ts").isNull,
+          lit(null).cast(b.schema(c).dataType))
+          .when(useB, col(c)).otherwise(col(s"__f_$c")).as(c))).toIndexedSeq: _*)
+    out
+  }
+
+  private def directional(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          rightId: String, payload: Seq[String],
+                          ascending: Boolean): DataFrame = {
     // Fail fast on a non-integral tiebreak column: the long cast below would
     // silently null it out, quietly destroying the documented deterministic
     // tie resolution instead of erroring (ADVICE r4).
@@ -69,9 +125,11 @@ object AsofJoin {
       lit(null).cast(lType).as("__l"), payStruct.as("__p"))
 
     // Right rows order before left rows at equal ts (asc on __side), giving
-    // inclusive <= match; among equal-ts right rows the greatest __rid wins.
+    // inclusive match on both directions; among equal-ts right rows the
+    // greatest __rid wins (it is the last right row the scan sees).
+    val tsOrd = if (ascending) col("__t").asc else col("__t").desc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__rid").asc)
+      .orderBy(tsOrd, col("__side").asc, col("__rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -45,6 +45,55 @@ class JoinOpsSpec extends AnyFunSuite with GenCheck {
     }
   }
 
+  test("asof forward matches brute force (>=, smallest ts, greatest id)") {
+    forAll(Gen.zip(rowsGen, rowsGen), n = 25) { case (lRows, rRows) =>
+      val left = lRows.toDF("id", "key", "ts", "v")
+      val right = rRows.toDF("id", "key", "ts", "v")
+      val got = AsofJoin.forward(left, right, "key", "key", "ts", "ts",
+          "id", payload = Seq("v"))
+        .select("id", "asof_ts", "asof_v")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+        .toMap
+      val want = lRows.map { case (lid, lk, lts, _) =>
+        val cands = rRows.filter { case (_, rk, rts, _) => rk == lk && rts >= lts }
+        // smallest ts wins; among equal smallest ts, greatest id
+        val best = cands.sortBy { case (rid, _, rts, _) => (-rts, rid) }.lastOption
+        lid -> best.map { case (_, _, rts, rv) => (rts, rv) }
+      }.toMap
+      assert(got == want, s"L=$lRows R=$rRows")
+    }
+  }
+
+  test("asof nearest picks the smaller |dt|, exact ties backward") {
+    forAll(Gen.zip(rowsGen, rowsGen), n = 25) { case (lRows, rRows) =>
+      val left = lRows.toDF("id", "key", "ts", "v")
+      val right = rRows.toDF("id", "key", "ts", "v")
+      val got = AsofJoin.nearest(left, right, "key", "key", "ts", "ts",
+          "id", "id", payload = Seq("v"))
+        .select("id", "asof_ts", "asof_v")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+        .toMap
+      val want = lRows.map { case (lid, lk, lts, _) =>
+        val back = rRows.filter { case (_, rk, rts, _) => rk == lk && rts <= lts }
+          .sortBy { case (rid, _, rts, _) => (rts, rid) }.lastOption
+        val fwd = rRows.filter { case (_, rk, rts, _) => rk == lk && rts >= lts }
+          .sortBy { case (rid, _, rts, _) => (-rts, rid) }.lastOption
+        val best = (back, fwd) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) =>
+            if (lts - b._3 <= f._3 - lts) Some(b) else Some(f)
+        }
+        lid -> best.map { case (_, _, rts, rv) => (rts, rv) }
+      }.toMap
+      assert(got == want, s"L=$lRows R=$rRows")
+    }
+  }
+
   test("band join matches brute force |dt| <= width exactly once per pair") {
     forAll(rowsGen, n = 25) { rows =>
       val df = rows.toDF("id", "key", "ts", "v")
