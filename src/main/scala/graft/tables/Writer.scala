@@ -48,9 +48,20 @@ object Writer {
     *                       unchanged because zone-map pruning rides the
     *                       format's own file/stripe statistics.
     */
+  /** @param bloomFor columns that get a parquet BLOOM FILTER per row
+    *                 group — the skipping tier for point predicates on
+    *                 HIGH-NDV columns the sort key does NOT cluster
+    *                 (min/max zone maps are useless there: every row
+    *                 group spans the whole value range, but the bloom
+    *                 answers "definitely absent" per row group). Parquet
+    *                 stores and serves them natively; readers that
+    *                 predate blooms just ignore the extra footer bytes. */
   def write(df: DataFrame, path: String, sortBy: Seq[String],
             hashCompanions: Seq[String] = Nil, files: Int = 1,
-            format: String = "parquet"): Unit = {
+            format: String = "parquet",
+            bloomFor: Seq[String] = Nil): Unit = {
+    require(bloomFor.isEmpty || format == "parquet",
+      s"bloom filters are a parquet feature, format is '$format'")
     val withHashes = hashCompanions.foldLeft(df) { (d, name) =>
       d.withColumn(name + HashSuffix, companionHash(col(name)))
     }
@@ -59,7 +70,11 @@ object Writer {
       else withHashes
         .repartitionByRange(files, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
-    clustered.write.mode("overwrite").format(format).save(path)
+    val writer = bloomFor.foldLeft(
+      clustered.write.mode("overwrite").format(format)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.save(path)
   }
 
   /** Z-ORDER (Morton-curve) clustered write: interleave the bit-planes of

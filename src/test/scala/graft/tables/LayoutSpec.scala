@@ -85,6 +85,41 @@ class LayoutSpec extends AnyFunSuite {
     catS.unpersist(); catZ.unpersist()
   }
 
+  test("bloom-filtered write records real bloom filters in the parquet footer") {
+    val spark = SparkT.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom")
+    val dir = tmp.resolve("t").toString
+    // u is high-ndv and NOT the sort key: every row group spans its whole
+    // range (zone maps useless), which is exactly the bloom's job
+    val df = (0L until 20000L).map(i => (i, (i * 2654435761L) % 1000000L))
+      .toDF("id", "u")
+    Writer.write(df, dir, sortBy = Seq("id"), bloomFor = Seq("u"))
+    val file = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = in.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(cols.get)
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("u").getBloomFilterOffset >= 0,
+        "no bloom filter recorded for 'u'")
+      assert(byName("id").getBloomFilterOffset < 0,
+        "unexpected bloom filter on the sort key")
+      // and the filter actually answers membership
+      val bloom = in.readBloomFilter(byName("u"))
+      assert(bloom != null)
+      val hit = bloom.findHash(bloom.hash(((5L * 2654435761L) % 1000000L)))
+      assert(hit, "present value must hit the bloom")
+    } finally in.close()
+    // a non-parquet format refuses the option loudly
+    intercept[IllegalArgumentException](Writer.write(df,
+      tmp.resolve("o").toString, Seq("id"), format = "orc",
+      bloomFor = Seq("u")))
+  }
+
   test("hive-partitioned layout prunes whole directories at planning time") {
     val spark = SparkT.spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-hivepart")
