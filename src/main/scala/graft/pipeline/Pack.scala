@@ -92,22 +92,35 @@ object Pack {
     * (shard, chunk) flattens the pieces in `orderCol` order. A chunk's
     * pieces are at most `budget` tokens total, so groups are bounded by
     * construction — the shuffle carries each token exactly once. */
+  /** @param withDocIds also emit `doc_ids: array<long>` aligned 1:1 with
+    *                   `tokens` — the provenance every trainer needs for
+    *                   cross-document ATTENTION/LOSS MASKING at chunk
+    *                   boundaries (token i of the chunk came from document
+    *                   `doc_ids(i)`). Same plan; the id rides the piece
+    *                   struct. */
   def materializeChunks(df: DataFrame, tokensCol: String, shardCol: String,
-                        orderCol: String, budget: Long): DataFrame = {
+                        orderCol: String, budget: Long,
+                        withDocIds: Boolean = false): DataFrame = {
     val counted = df.withColumn("__n_tok", size(col(tokensCol)).cast("long"))
     val manifest = chunkManifest(counted, "__n_tok", shardCol, orderCol,
       budget)
     // doc-local 0-based overlap start = chunk*budget + tok_from - start_tok
     val from = col("chunk") * lit(budget) + col("tok_from") - col("start_tok")
     val len = col("tok_to") - col("tok_from")
-    manifest
+    val pieces = manifest
       .select(col(shardCol), col("chunk"), col(orderCol).as("__o"),
         slice(col(tokensCol), (from + 1L).cast("int"), len.cast("int"))
           .as("__piece"))
+    val sorted = array_sort(collect_list(struct(col("__o"), col("__piece"))))
+    val base = pieces
       .groupBy(col(shardCol), col("chunk"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__o"), col("__piece")))),
-        x => x("__piece"))).as("tokens"))
+      .agg(sorted.as("__sorted"))
+      .withColumn("tokens", flatten(transform(col("__sorted"), x => x("__piece"))))
+    val out =
+      if (!withDocIds) base
+      else base.withColumn("doc_ids", flatten(transform(col("__sorted"),
+        x => array_repeat(x("__o").cast("long"), size(x("__piece"))))))
+    out.drop("__sorted")
   }
 
   /** GLOBAL DETERMINISTIC SHUFFLE — the step before packing: spread

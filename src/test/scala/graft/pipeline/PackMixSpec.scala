@@ -135,6 +135,19 @@ class PackMixSpec extends AnyFunSuite {
         chunks.dropRight(1).foreach(c => assert(c._3.size === B))
         assert(chunks.last._3.size === (stream.size - (chunks.size - 1) * B))
       }
+    // withDocIds: provenance array aligned 1:1 with tokens for loss masking
+    val withIds = Pack.materializeChunks(docs, "toks", "shard", "id", B,
+        withDocIds = true)
+      .as[(Long, Long, Seq[String], Seq[Long])].collect()
+    val docsById = docs.as[(Long, Long, Seq[String])].collect()
+      .map(d => d._1 -> d._3).toMap
+    withIds.foreach { case (_, _, toks, ids) =>
+      assert(toks.size === ids.size)
+      // every (token, doc) pair is consistent: the token appears in that doc
+      toks.lazyZip(ids).foreach { (t, id) => assert(docsById(id).contains(t)) }
+      // doc ids are non-decreasing within a chunk (order-col order)
+      assert(ids === ids.sorted)
+    }
   }
 
   test("materializeChunks plan: the offsets window and one bounded aggregate, two shuffles total") {
