@@ -411,9 +411,11 @@ object Embeddings {
           s"provider declared dim $dim")
       vocabPath.foreach { vp =>
         val v = WordPiece.sharedVocab(vp)
-        require(w.length >= v.size,
+        // ids are line numbers and can be SPARSE (blank vocab lines), so
+        // the bound is the greatest id, not the token count
+        require(w.length > v.maxId,
           s"safetensors '$modelPath' has ${w.length} rows but vocab '$vp' " +
-            s"has ${v.size} tokens — every id must index a row")
+            s"ids reach ${v.maxId} — every id must index a row")
       }
       w
     }

@@ -17,18 +17,22 @@ import java.nio.charset.StandardCharsets
 object WordPiece {
 
   final case class Vocab(ids: Map[String, Int], unkId: Int,
-                         maxTokenChars: Int) {
+                         maxTokenChars: Int, maxId: Int) {
     def size: Int = ids.size
   }
 
-  /** Parse a vocab.txt: line number = id. `[UNK]` must be present. */
+  /** Parse a vocab.txt: line number = id. `[UNK]` must be present. Blank
+    * lines keep their line number reserved (real vocab files ship them),
+    * so ids can be SPARSE — [[Vocab.maxId]] is the bound an embedding
+    * matrix must cover, NOT [[Vocab.size]] (review r12-3: a size-based
+    * bound under-allocates and a late token id indexes past the rows). */
   def parseVocab(lines: Seq[String]): Vocab = {
     val ids = lines.iterator.zipWithIndex
       .filter(_._1.nonEmpty).toMap
     require(ids.nonEmpty, "empty vocab")
     val unk = ids.getOrElse("[UNK]",
       throw new IllegalArgumentException("vocab has no [UNK] token"))
-    Vocab(ids, unk, ids.keysIterator.map(_.length).max)
+    Vocab(ids, unk, ids.keysIterator.map(_.length).max, ids.values.max)
   }
 
   def loadVocab(path: String): Vocab = {

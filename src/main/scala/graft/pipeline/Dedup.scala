@@ -348,11 +348,16 @@ object Dedup {
     // next to the corpus, and the iterative path costs one Spark job per
     // propagation round. Oversized pair sets take the distributed loop.
     val cap = clusterDriverCap
-    val probe = if (cap > 0) e0.limit(cap.toInt + 1).count() else 1L
-    if (cap > 0 && probe <= cap) {
-      val es = e0.as(org.apache.spark.sql.Encoders.tuple(
+    // ONE job decides AND delivers: collect up to cap+1 rows — if the
+    // extra row shows up, the set is over the cap and the distributed
+    // path runs (a separate count-probe would re-run the upstream LSH
+    // lineage a second time for the collect, review r12-3)
+    val es = if (cap > 0)
+      e0.limit(cap.toInt + 1).as(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong)).collect()
+    else Array.empty[(Long, Long)]
+    if (cap > 0 && es.length <= cap) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -110,12 +110,15 @@ object Mix {
   /** STRATIFIED sample: exactly `n` rows per `groupCol` value (fewer when
     * the group is smaller), chosen as the n smallest [[hashScaled]] ids —
     * deterministic across engines/reruns/cluster sizes, uniform within
-    * each group. One window partitioned by the group column; `n` is a
-    * sample size (small), so the per-group task processes the group's
-    * rows once and emits n — at extreme group sizes a hash-threshold
-    * prefilter (keep hash < ~4n/|group| of the space, then rank the
-    * survivors) bounds the window input first; the decision column is the
-    * same hash either way. */
+    * each group. ONE window partitioned by the group column: the shape is
+    * right when groups are many and moderate (the usual per-source case);
+    * a single billion-row group serializes its rank through one task — for
+    * that regime, pre-filter on `hashScaled(id) < threshold` (any
+    * threshold comfortably above n/|group| of the 2^20 space) before
+    * calling this, which preserves the selected set exactly because the
+    * decision column is the same hash. The prefilter is the CALLER's knob,
+    * not built in: it needs a |group| estimate this operator does not
+    * assume. */
   def stratified(df: DataFrame, idCol: String, groupCol: String,
                  n: Int): DataFrame = {
     require(n >= 1, s"sample size must be >= 1: $n")

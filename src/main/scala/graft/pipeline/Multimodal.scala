@@ -63,30 +63,42 @@ object Multimodal {
     * robust-at-scale contract: one bad blob must not kill a 100 TB job).
     * Codec formats (JPEG/PNG/…) stay behind the documented pluggable
     * seam. */
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+
+  /** Validated uncompressed-24bpp BMP geometry, or None for anything else
+    * — INCLUDING crafted headers (negative/huge offsets or dimensions):
+    * all arithmetic runs in Long before any index is trusted, so the
+    * "malformed → NULL, never a crash" contract holds against adversarial
+    * bytes, not just truncated ones (review r12-3). */
+  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    // cap dimensions so stride/pixel arithmetic cannot overflow Int
+    if (bpp != 24 || compression != 0 || off < 54 ||
+        w <= 0 || w > (1 << 20) || h <= 0 || h > (1 << 20)) return None
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    if (off.toLong + stride * h > b.length) None
+    else Some((off, w, h, stride.toInt))
+  }
+
   object BmpDecoder extends BlobDecoder {
     val featureSchema: StructType = StructType(Seq(
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("bpp", IntegerType),
       StructField("mean_channel_milli", LongType)))
-    private def le32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    private def le16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
-      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') Row(null, null, null, null)
-      else {
-        val off = le32(b, 10)
-        val w = le32(b, 18)
-        val hRaw = le32(b, 22)
-        val h = math.abs(hRaw)
-        val bpp = le16(b, 28)
-        val compression = le32(b, 30)
-        val stride = ((w * 3 + 3) / 4) * 4
-        if (bpp != 24 || compression != 0 || w <= 0 || h == 0 ||
-            off + stride.toLong * h > b.length) Row(null, null, null, null)
-        else {
+      parseBmp(b) match {
+        case None => Row(null, null, null, null)
+        case Some((off, w, h, stride)) =>
           var sum = 0L
           var row = 0
           while (row < h) {
@@ -96,8 +108,7 @@ object Multimodal {
             while (i < rowBytes) { sum += b(base + i) & 0xFF; i += 1 }
             row += 1
           }
-          Row(w, h, bpp, sum * 1000L / (w.toLong * h * 3))
-        }
+          Row(w, h, 24, sum * 1000L / (w.toLong * h * 3))
       }
     }
   }
@@ -139,43 +150,43 @@ object Multimodal {
       StructField("bits_per_sample", IntegerType),
       StructField("duration_ms", LongType),
       StructField("rms", LongType)))
-    private def le32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    private def le16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     private val NullRow = Row(null, null, null, null, null)
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
       if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") NullRow
       else {
-        // chunk walk: fmt then data (any order, skip others)
-        var o = 12
+        // chunk walk: fmt then data (any order, skip others). The cursor
+        // advances in LONG arithmetic — a crafted chunk length near
+        // Int.MaxValue must not wrap the offset negative and crash the
+        // task (review r12-3); any inconsistency → NullRow, never a throw.
+        var o = 12L
         var rate = -1; var ch = -1; var bits = -1; var byteRate = -1
-        var dataOff = -1; var dataLen = -1
+        var dataOff = -1L; var dataLen = -1L
         while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
-          val id = tag(b, o); val len = le32(b, o + 4)
+          val id = tag(b, o.toInt); val len = le32(b, o.toInt + 4).toLong
           if (id == "fmt " && o + 24 <= b.length) {
-            if (le16(b, o + 8) == 1) { // PCM only
-              ch = le16(b, o + 10); rate = le32(b, o + 12)
-              byteRate = le32(b, o + 16); bits = le16(b, o + 22)
+            if (le16(b, o.toInt + 8) == 1) { // PCM only
+              ch = le16(b, o.toInt + 10); rate = le32(b, o.toInt + 12)
+              byteRate = le32(b, o.toInt + 16); bits = le16(b, o.toInt + 22)
             }
           } else if (id == "data") { dataOff = o + 8; dataLen = len }
-          if (len < 0) o = b.length // malformed length: stop the walk
+          if (len < 0) o = b.length.toLong // malformed length: stop the walk
           else o += 8 + len + (len & 1) // chunks are word-aligned
         }
-        if (rate <= 0 || byteRate <= 0 || dataOff < 0 ||
+        if (rate <= 0 || byteRate <= 0 || dataOff < 0 || dataLen < 0 ||
             dataOff + dataLen > b.length) NullRow
         else {
-          val durMs = dataLen.toLong * 1000L / byteRate
+          val durMs = dataLen * 1000L / byteRate
           val rms =
             if (bits == 16 && dataLen >= 2) {
-              var ss = 0.0; var i = dataOff; val end = dataOff + (dataLen & ~1)
+              // offsets fit Int here: dataOff + dataLen <= b.length
+              var ss = 0.0; var i = dataOff.toInt
+              val end = (dataOff + (dataLen & ~1L)).toInt
               while (i + 1 < end) {
                 val s = le16(b, i).toShort.toDouble; ss += s * s; i += 2
               }
-              math.sqrt(ss / ((dataLen & ~1) / 2)).toLong
+              math.sqrt(ss / ((dataLen & ~1L) / 2)).toLong
             } else null
           Row(rate, ch, bits, durMs, rms)
         }
@@ -243,14 +254,10 @@ object Multimodal {
     def resize(payload: Array[Byte], width: Int,
                height: Int): (Array[Byte], Int, Int) = {
       val b = payload
-      def le32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-      def le16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return (payload, width, height)
-      val off = le32(10); val w = le32(18); val h = math.abs(le32(22))
-      val stride = ((w * 3 + 3) / 4) * 4
-      if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0 ||
-          off + stride.toLong * h > b.length) return (payload, width, height)
+      val (off, w, h, stride) = parseBmp(b) match {
+        case None => return (payload, width, height)
+        case Some(g) => g
+      }
       val newStride = ((targetW * 3 + 3) / 4) * 4
       val out = java.nio.ByteBuffer.allocate(54 + newStride * targetH)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)

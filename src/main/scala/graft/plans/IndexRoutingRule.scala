@@ -307,20 +307,27 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         }) =>
       tryCountDistinct(aggs.head.asInstanceOf[Alias], child).getOrElse(agg)
 
-    // Index-served column aggregates: MIN/MAX/SUM/COUNT of the indexed
-    // column itself (with an optional fully-servable filter on the same
-    // column) read off the postings — the filtered EstimateMinMax made
-    // exact (columnar.cpp:649-675 estimates; the postings ANSWER), plus
-    // SUM = Σ value·cnt and COUNT(col) = Σ cnt over non-null values.
-    // Zero fact IO; the unfiltered min/max the parquet footers already
-    // serve stays routed too (the index scan is ndv x chunks rows —
-    // strictly smaller). SUM routes only for integral columns: a float
-    // sum's addition order is an engine detail, and regrouping by value
-    // would perturb it.
+    // Index-served column aggregates: MIN/MAX/SUM/COUNT/PERCENTILE of the
+    // indexed column itself (with an optional fully-servable filter on
+    // the same column) read off the postings — the filtered
+    // EstimateMinMax made exact (columnar.cpp:649-675 estimates; the
+    // postings ANSWER), plus SUM = Σ value·cnt and COUNT(col) = Σ cnt
+    // over non-null values. Zero fact IO; the unfiltered min/max the
+    // parquet footers already serve stays routed too (the index scan is
+    // ndv x chunks rows — strictly smaller). SUM routes only for integral
+    // columns: a float sum's addition order is an engine detail, and
+    // regrouping by value would perturb it. Aliases may WRAP the
+    // aggregates in scalar expressions (`round(percentile(...))`,
+    // `max(v) - min(v)` — CollapseProject folds post-aggregate projects
+    // into the aggregate list, so the wrapped shape is what this rule
+    // actually sees, review r12-3); every embedded aggregate must be
+    // servable.
     case agg @ Aggregate(ge, aggs, child, _) if ge.isEmpty && aggs.nonEmpty &&
-        aggs.forall {
-          case Alias(ae: AggregateExpression, _) => isColServableAgg(ae)
-          case _ => false
+        aggs.forall(_.isInstanceOf[Alias]) && {
+          val embedded = aggs.flatMap(_.collect {
+            case ae: AggregateExpression => ae
+          })
+          embedded.nonEmpty && embedded.forall(isColServableAgg)
         } =>
       tryColAggs(aggs.map(_.asInstanceOf[Alias]), child).getOrElse(agg)
 
@@ -524,7 +531,8 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     // count(*) entries carry no target (they count postings). All-star
     // lists stand down — the dedicated CalcCount route owns that shape.
     val targets = aliases
-      .map(_.child.asInstanceOf[AggregateExpression].aggregateFunction)
+      .flatMap(_.collect { case ae: AggregateExpression => ae })
+      .map(_.aggregateFunction)
       .flatMap(_.children.headOption)
       .collect { case ar: AttributeReference => ar }
     if (targets.isEmpty || targets.map(_.exprId).distinct.size != 1) return None
@@ -557,10 +565,9 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                     idxPlan): LogicalPlan)
                 else None
             }
-          } yield Aggregate(Nil,
-            aliases.map { a =>
-              val fn = a.child.asInstanceOf[AggregateExpression]
-                .aggregateFunction match {
+          } yield {
+            def rewriteAe(ae: AggregateExpression): Expression =
+              ae.aggregateFunction match {
                 case _: Min => Min(idxValue).toAggregateExpression()
                 case _: Max => Max(idxValue).toAggregateExpression()
                 case _: Sum =>
@@ -588,8 +595,17 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                       .toAggregateExpression(),
                     Literal(0L)))
               }
-              Alias(fn, a.name)(exprId = a.exprId)
-            }, idxChild, None)
+            // rewrite every embedded aggregate IN PLACE, preserving any
+            // scalar wrapping (transformUp does not revisit replacements,
+            // so the Sums inside count rewrites survive)
+            Aggregate(Nil,
+              aliases.map { a =>
+                val body = a.child.transformUp {
+                  case ae: AggregateExpression => rewriteAe(ae)
+                }
+                Alias(body, a.name)(exprId = a.exprId)
+              }, idxChild, None)
+          }
         }
     }
   }

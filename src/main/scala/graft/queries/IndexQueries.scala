@@ -300,10 +300,16 @@ object IndexQueries {
         val idxPath = Derived.tablePath(s, d, "orders_ckey_idx")
         graft.plans.IndexRouting.register(s, s"$d/orders.parquet", idxPath,
           "o_custkey", "o_orderkey")
+        // round() applies ABOVE the aggregate: wrapping the percentile
+        // inside the agg alias (Alias(Round(AggregateExpression))) would
+        // not match the routing rule's aggregate pattern, silently
+        // benchmarking the unrouted plan (review r12-3; IndexRoutingSpec
+        // pins this exact shape as routed)
         t(s, d, "orders")
           .filter(col("o_custkey") > 100L && col("o_custkey") <= 1200L)
-          .agg(round(expr("percentile(o_custkey, 0.5)"), 2).as("med"),
-            round(expr("percentile(o_custkey, 0.9)"), 2).as("p90"))
+          .agg(expr("percentile(o_custkey, 0.5)").as("m0"),
+            expr("percentile(o_custkey, 0.9)").as("p0"))
+          .select(round(col("m0"), 2).as("med"), round(col("p0"), 2).as("p90"))
       },
       Some("SELECT round(quantile_cont(o_custkey, 0.5), 2) AS med, " +
         "round(quantile_cont(o_custkey, 0.9), 2) AS p90 FROM orders " +

@@ -65,28 +65,45 @@ object Funnel {
     * whose chain reaches at least that step (within the window when one
     * is given — the window gates only FULL completions, so intermediate
     * steps count unconditionally, matching the batch operator's
-    * semantics). Computed from k runs of the chain prefix — each an
-    * aggregate-join chain over only its steps' events, so the whole
-    * summary costs the same shuffles the full funnel does, once per
-    * prefix length. */
+    * semantics). The chain builds ONCE: each stage persists, counts, and
+    * feeds the next — k step-aggregations total, not the k² a
+    * run-per-prefix formulation would cost (review r12-3). */
   def conversion(df: DataFrame, userCol: String, tsCol: String,
                  typeCol: String, steps: Seq[String],
                  withinMicros: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = (1 to steps.size).map { k =>
-      val prefix = steps.take(k)
-      val reached =
-        if (k == 1)
-          df.filter(col(typeCol) === steps.head)
-            .select(col(userCol)).distinct().count()
-        else
-          earliestChain(df, userCol, tsCol, typeCol, prefix,
-            if (k == steps.size) withinMicros else None).count()
-      (k, prefix.last, reached)
+    val base = df.select(col(userCol).as("__u"),
+      EventTime.epochMicros(df, tsCol).as("__tus"),
+      col(typeCol).as("__et"))
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var cur = base.filter(col("__et") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__tus")).as("t1_us"))
+      .persist()
+    counts += ((1, steps.head, cur.count()))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = s"t${i + 1}_us"
+      val keep: Seq[Column] = col("__u") +:
+        (1 to i + 1).map(j => col(s"t${j}_us"))
+      val next = base.filter(col("__et") === st)
+        .join(cur, "__u")
+        .filter(col("__tus") > col(prev))
+        .groupBy(keep: _*)
+        .agg(min(col("__tus")).as(s"t${i + 2}_us"))
+        .persist()
+      val n =
+        if (i == steps.size - 2)
+          withinMicros.fold(next.count())(w =>
+            next.filter(col(s"t${steps.size}_us") - col("t1_us") <= w).count())
+        else next.count()
+      counts += ((i + 2, st, n))
+      cur.unpersist(false)
+      cur = next
     }
-    counts.toDF("step", "step_name", "n_users")
+    cur.unpersist(false)
+    counts.toSeq.toDF("step", "step_name", "n_users")
   }
 
   private val DayMicros = 86400000000L
@@ -98,9 +115,13 @@ object Funnel {
     * Output: `(cohort_day, day_offset, n_users)` — cohort_day in epoch
     * days, exact long math end to end. */
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // true FLOOR division (the `div`-only form truncates toward zero and
+    // cohorts a pre-1970 instant to the wrong day — the RangeJoin bucket
+    // lesson, review r12-3): __tus - pmod is an exact multiple of the day.
     val base = df.select(col(userCol).as("__u"),
         EventTime.epochMicros(df, tsCol).as("__tus"))
-      .withColumn("__day", expr(s"__tus div $DayMicros"))
+      .withColumn("__day",
+        expr(s"(__tus - pmod(__tus, $DayMicros)) div $DayMicros"))
       .drop("__tus")
     val cohorts = base.groupBy(col("__u"))
       .agg(min(col("__day")).as("cohort_day"))

@@ -139,12 +139,16 @@ object EventStreams {
         (uid: Long, batch: Iterator[TypedEvent], state: GroupState[Seq[Long]]) =>
           var chain = state.getOption.getOrElse(Seq.empty[Long])
           val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          // exact micros from Timestamp (getTime is MILLIS — sorting on it
+          // would reorder same-millisecond events and diverge from the
+          // batch operator, review r12-3)
+          def micros(e: TypedEvent): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
           batch.toSeq
             .filter(e => stepIdx.contains(e.event_type))
-            .sortBy(e => (e.ts.getTime, e.event_type))
+            .sortBy(e => (micros(e), e.event_type))
             .foreach { e =>
-              val us = e.ts.getTime * 1000L +
-                (e.ts.getNanos / 1000) % 1000 // exact micros from Timestamp
+              val us = micros(e)
               val next = chain.size
               if (next < steps.size && stepIdx(e.event_type) == next &&
                   (chain.isEmpty || us > chain.last)) {

@@ -108,6 +108,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) === ((None, None, None)))
   }
 
+  test("crafted media headers decode to NULL, never crash the task (review r12-3)") {
+    // BMP with 'BM' magic + pixel offset 0xFFFFFFFF (= -1 signed): the
+    // unguarded parse read b(-1); huge declared dims would overflow the
+    // Int stride arithmetic the same way
+    val badOff = bmpBytes(4, 2, 9).clone()
+    (10 until 14).foreach(i => badOff(i) = 0xFF.toByte)
+    val hugeDims = bmpBytes(4, 2, 9).clone()
+    (18 until 22).foreach(i => hugeDims(i) = 0x7F.toByte)
+    // WAV with a chunk length near Int.MaxValue: the Int cursor wrapped
+    // negative and tag() threw
+    val wrapWav = wavBytes(8000, 4, 100).clone()
+    wrapWav(16) = 0xF8.toByte; wrapWav(17) = 0xFF.toByte
+    wrapWav(18) = 0xFF.toByte; wrapWav(19) = 0x7F.toByte
+    val rows = Seq((1L, badOff), (2L, hugeDims), (3L, wrapWav))
+      .toDF("id", "payload")
+      .withColumn("blob", Multimodal.packBlob(
+        col("payload"), lit("?"), lit(0), lit(0)))
+    val bmp = Multimodal.decodeStage(rows, "blob", "img", Multimodal.BmpDecoder)
+      .select($"id", $"img.width").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(bmp(1L).isEmpty && bmp(2L).isEmpty)
+    val wav = Multimodal.decodeStage(rows, "blob", "au", Multimodal.WavDecoder)
+      .select($"id", $"au.sample_rate").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(wav(3L).isEmpty)
+    // the resizer passes the crafted payloads through untouched
+    val rz = Multimodal.resizeStage(rows, "blob",
+        Multimodal.BmpNearestResizer(2, 2))
+      .select($"id", length($"blob.payload")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rz(1L) === badOff.length && rz(2L) === hugeDims.length)
+  }
+
   test("BMP resizer emits a valid BMP at the target size; non-BMP passes through") {
     val rows = Seq(
       (1L, bmpBytes(8, 6, 120)),

@@ -797,6 +797,20 @@ class IndexRoutingSpec extends AnyFunSuite {
     // explicit-frequency percentile is NOT the unit-frequency shape: bypass
     val wf = base.agg(expr("percentile(v, 0.5, x)").as("m"))
     assert(scanPaths(wf).exists(_.contains("base")))
+    // scalar wrapping keeps the route — CollapseProject folds a
+    // post-aggregate round() INTO the aggregate list, so the rule must
+    // serve Alias(Round(percentile)) (r12-3; the gate's exact shape)
+    val above = base.filter($"v" >= 10L && $"v" < 20L)
+      .agg(expr("percentile(v, 0.5)").as("m0"))
+      .select(round($"m0", 2).as("med"))
+    assert(!scanPaths(above).exists(_.contains("base")),
+      above.queryExecution.optimizedPlan.toString)
+    assert(above.as[Double].head() === 14.5)
+    val spread = base.agg((max($"v") - min($"v")).as("range"),
+      round(expr("percentile(v, 0.5)"), 2).as("med"))
+    assert(!scanPaths(spread).exists(_.contains("base")),
+      spread.queryExecution.optimizedPlan.toString)
+    assert(spread.as[(Long, Double)].head() === ((499L, 249.5)))
   }
 
   test("property: routed column aggregates equal brute force over random ranges (r12)") {
