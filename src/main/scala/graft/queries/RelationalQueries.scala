@@ -309,6 +309,28 @@ object RelationalQueries {
         "ON abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 600000000000 " +
         "AND a.event_id <> b.event_id GROUP BY a.event_id")),
 
+    // POINT-IN-INTERVAL join (r12): events inside each user's first-30-
+    // minutes window — interval side explodes to its covered buckets
+    // (~2 rows) and containment is an ordinary hash join on
+    // (bucket, user); never a cartesian. Oracle states the raw
+    // containment join.
+    "q_join_interval" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val firsts = ev.groupBy(col("user_id").as("iv_user"))
+          .agg(min(col("ts")).as("lo"))
+          .withColumn("hi", col("lo") + expr("INTERVAL 30 MINUTES"))
+        graft.relational.RangeJoin.intervalJoin(ev, firsts,
+            "ts", "lo", "hi", typicalLen = 1800000000000L,
+            pointKey = Some("user_id"), intervalKey = Some("iv_user"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_in_window"))
+      },
+      Some("WITH f AS (SELECT user_id, min(ts) AS lo FROM events GROUP BY 1) " +
+        "SELECT e.user_id, count(*) AS n_in_window FROM events e JOIN f " +
+        "ON e.user_id = f.user_id AND e.ts >= f.lo " +
+        "AND e.ts <= f.lo + INTERVAL 30 MINUTE GROUP BY e.user_id")),
+
     // TPC-H Q3-shaped headliner: broadcast dimension filter + fact⋈fact
     // shuffle join + grouped agg + top-k heap. Revenue is rounded to exact
     // integer cents PER ROW (identical IEEE double ops in both engines),

@@ -50,6 +50,46 @@ object RangeJoin {
       .drop("__lns", "__lb", "__probe", "__rns", "__rb")
   }
 
+  /** POINT-IN-INTERVAL join: pairs each `points` row with every
+    * `intervals` row whose `[lo, hi]` contains its timestamp (inclusive
+    * both ends), optionally under an equality key.
+    *
+    * Scale shape: bucket width = `typicalLen`, and each interval explodes
+    * to EVERY bucket it touches (`sequence(bucket(lo), bucket(hi))` —
+    * ⌈len/width⌉+1 rows), so containment is an ordinary shuffled hash
+    * join on (bucket [, key]) — never a cartesian, and correctness never
+    * depends on interval lengths: an outsized interval costs
+    * proportionally more explode rows, it is never silently missed. Size
+    * `typicalLen` near the common interval length (≈2 rows per
+    * interval); empty/negative intervals (`hi < lo`) match nothing.
+    * Event-time columns may be any [[EventTime]] representation;
+    * `typicalLen` is nanos for timestamps, the column's own unit for
+    * integral inputs. Callers ensure point/interval column names are
+    * disjoint (the [[bandJoin]] contract). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointTs: String, loCol: String, hiCol: String,
+                   typicalLen: Long,
+                   pointKey: Option[String] = None,
+                   intervalKey: Option[String] = None): DataFrame = {
+    require(typicalLen > 0, "typicalLen must be positive")
+    require(pointKey.isDefined == intervalKey.isDefined,
+      "pointKey and intervalKey must be given together")
+    val p = points
+      .withColumn("__pns", EventTime.epochNanos(points, pointTs))
+      .withColumn("__pb", bucket("__pns", typicalLen))
+    val iv = intervals
+      .withColumn("__lons", EventTime.epochNanos(intervals, loCol))
+      .withColumn("__hins", EventTime.epochNanos(intervals, hiCol))
+      .filter(col("__hins") >= col("__lons"))
+      .withColumn("__b", explode(sequence(
+        bucket("__lons", typicalLen), bucket("__hins", typicalLen))))
+    val cond = p("__pb") === iv("__b") &&
+      p("__pns") >= iv("__lons") && p("__pns") <= iv("__hins") &&
+      pointKey.map(k => p(k) === iv(intervalKey.get)).getOrElse(lit(true))
+    p.join(iv, cond)
+      .drop("__pns", "__pb", "__lons", "__hins", "__b")
+  }
+
   /** Per-row neighbor counts within `±width` of each row of `df` (self band
     * join, excluding the row itself). Emits only rows with >= 1 neighbor. */
   def selfNeighborCounts(df: DataFrame, idCol: String, tsCol: String,

@@ -94,6 +94,41 @@ class JoinOpsSpec extends AnyFunSuite with GenCheck {
     }
   }
 
+  test("interval join matches brute force containment, outsized intervals included") {
+    val ivGen = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0L, 3L)
+        lo <- Gen.choose(-40L, 40L)
+        len <- Gen.choose(-3L, 25L) // negative → empty interval
+      } yield (key, lo, lo + len))
+    } yield rows.zipWithIndex.map { case ((k, lo, hi), i) => (i.toLong, k, lo, hi) }
+    forAll(Gen.zip(rowsGen, ivGen), n = 25) { case (pRows, ivRows) =>
+      val points = pRows.toDF("id", "key", "ts", "v")
+      val ivs = ivRows.toDF("iid", "ikey", "lo", "hi")
+      // typicalLen 8 < max interval length 25: outsized intervals explode
+      // more buckets but must still match exactly
+      val got = RangeJoin.intervalJoin(points, ivs, "ts", "lo", "hi",
+          typicalLen = 8L, pointKey = Some("key"), intervalKey = Some("ikey"))
+        .select($"id", $"iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (pid, pk, pts, _) <- pRows
+        (iid, ik, lo, hi) <- ivRows
+        if ik == pk && pts >= lo && pts <= hi
+      } yield (pid, iid)).toSet
+      assert(got === want, s"P=$pRows I=$ivRows")
+      // keyless form: same containment without the key conjunct
+      val gotAll = RangeJoin.intervalJoin(points, ivs, "ts", "lo", "hi", 8L)
+        .select($"id", $"iid").as[(Long, Long)].collect().toSet
+      val wantAll = (for {
+        (pid, _, pts, _) <- pRows
+        (iid, _, lo, hi) <- ivRows
+        if pts >= lo && pts <= hi
+      } yield (pid, iid)).toSet
+      assert(gotAll === wantAll)
+    }
+  }
+
   test("band join matches brute force |dt| <= width exactly once per pair") {
     forAll(rowsGen, n = 25) { rows =>
       val df = rows.toDF("id", "key", "ts", "v")
