@@ -54,7 +54,10 @@ object BenchScale {
     // budget cut (its windows must scale with (group, score) runs, not
     // group sizes), the v3 flagship chain, and the funnel (one aggregate
     // per step, never a whole-history window)
-    "q_decontaminate", "q_mix_budget", "q_pipeline_v3", "q_funnel")
+    "q_decontaminate", "q_mix_budget", "q_pipeline_v3", "q_funnel",
+    // r12-4: the interval join's bucket explode must stay ~2 rows per
+    // interval as both sides scale
+    "q_join_interval")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L
