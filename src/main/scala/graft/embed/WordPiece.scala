@@ -27,8 +27,14 @@ object WordPiece {
     * matrix must cover, NOT [[Vocab.size]] (review r12-3: a size-based
     * bound under-allocates and a late token id indexes past the rows). */
   def parseVocab(lines: Seq[String]): Vocab = {
-    val ids = lines.iterator.zipWithIndex
-      .filter(_._1.nonEmpty).toMap
+    val entries = lines.iterator.zipWithIndex.filter(_._1.nonEmpty).toSeq
+    // Fail loudly on duplicate tokens: toMap would silently keep the LAST
+    // line's id, shifting every lookup of the earlier occurrence — the
+    // same fail-loud contract as the other malformed-artifact checks here.
+    val dups = entries.groupBy(_._1).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty,
+      s"duplicate vocab token(s): ${dups.take(5).mkString(", ")}")
+    val ids = entries.toMap
     require(ids.nonEmpty, "empty vocab")
     val unk = ids.getOrElse("[UNK]",
       throw new IllegalArgumentException("vocab has no [UNK] token"))

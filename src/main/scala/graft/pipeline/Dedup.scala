@@ -340,8 +340,13 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                idOut: String = "doc_id", clusterOut: String = "cluster_id",
                maxIters: Int = 50): DataFrame = {
+    // Null-id edges (a failed cast of a bad aCol/bCol value) are dropped
+    // up front: the driver path's non-nullable Long encoder would NPE at
+    // collect where the distributed path silently degrades — both paths
+    // must see the same edge set.
     val e0 = pairs.select(col(aCol).cast("long").as("s"),
-      col(bCol).cast("long").as("d"))
+        col(bCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
     // Fast path: if the pair set is small (checked against the cap with a
     // bounded probe, never a full count of a huge set), collect it and run
     // exact union-find on the driver — near-dup pair sets are usually tiny
@@ -353,7 +358,8 @@ object Dedup {
     // path runs (a separate count-probe would re-run the upstream LSH
     // lineage a second time for the collect, review r12-3)
     val es = if (cap > 0)
-      e0.limit(cap.toInt + 1).as(org.apache.spark.sql.Encoders.tuple(
+      e0.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
+        .as(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong)).collect()
     else Array.empty[(Long, Long)]

@@ -88,8 +88,18 @@ object Mix {
     // leaving the drop implicit in the (group, score) equi-join would
     // make it look accidental.
     val scored = df.filter(col(scoreCol).isNotNull)
+    // The run-pruning phase is only exact for NON-NEGATIVE weights (a
+    // negative weight could pull a later run back under budget), so the
+    // precondition is ENFORCED, not just documented: the first pass over
+    // the rows fails loudly on a negative weight (raise_error is codegen'd
+    // into the same scan — no extra job). Every in-scope row flows through
+    // this aggregate, so one guard covers both phases.
+    val wGuard = when(col(weightCol) < 0, raise_error(concat(
+        lit(s"Mix.byBudget: negative $weightCol: "),
+        col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol))
     val byScore = scored.groupBy(col(groupCol), col(scoreCol))
-      .agg(sum(col(weightCol)).as("__w"))
+      .agg(sum(wGuard).as("__w"))
     val runs = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -97,21 +97,34 @@ object Pack {
     *                   cross-document ATTENTION/LOSS MASKING at chunk
     *                   boundaries (token i of the chunk came from document
     *                   `doc_ids(i)`). Same plan; the id rides the piece
-    *                   struct. */
+    *                   struct.
+    * @param idCol      the column whose value `doc_ids` carries. Defaults
+    *                   to `orderCol` — correct ONLY when the order column
+    *                   is itself the document id; under the
+    *                   [[shuffleShards]] recipe (orderCol = `pos`) pass the
+    *                   real id column here, or provenance would silently be
+    *                   the shuffled within-shard position. */
   def materializeChunks(df: DataFrame, tokensCol: String, shardCol: String,
                         orderCol: String, budget: Long,
-                        withDocIds: Boolean = false): DataFrame = {
+                        withDocIds: Boolean = false,
+                        idCol: String = null): DataFrame = {
     val counted = df.withColumn("__n_tok", size(col(tokensCol)).cast("long"))
     val manifest = chunkManifest(counted, "__n_tok", shardCol, orderCol,
       budget)
     // doc-local 0-based overlap start = chunk*budget + tok_from - start_tok
     val from = col("chunk") * lit(budget) + col("tok_from") - col("start_tok")
     val len = col("tok_to") - col("tok_from")
-    val pieces = manifest
-      .select(col(shardCol), col("chunk"), col(orderCol).as("__o"),
-        slice(col(tokensCol), (from + 1L).cast("int"), len.cast("int"))
-          .as("__piece"))
-    val sorted = array_sort(collect_list(struct(col("__o"), col("__piece"))))
+    val prov = Option(idCol).getOrElse(orderCol)
+    val pieceCols = Seq(col(shardCol), col("chunk"), col(orderCol).as("__o"),
+      slice(col(tokensCol), (from + 1L).cast("int"), len.cast("int"))
+        .as("__piece")) ++
+      (if (withDocIds) Seq(col(prov).cast("long").as("__did")) else Nil)
+    val pieces = manifest.select(pieceCols: _*)
+    // __o leads the struct and is unique within (shard, chunk), so the
+    // sort order is orderCol order regardless of the trailing fields
+    val sortFields = struct(Seq(col("__o"), col("__piece")) ++
+      (if (withDocIds) Seq(col("__did")) else Nil): _*)
+    val sorted = array_sort(collect_list(sortFields))
     val base = pieces
       .groupBy(col(shardCol), col("chunk"))
       .agg(sorted.as("__sorted"))
@@ -119,7 +132,7 @@ object Pack {
     val out =
       if (!withDocIds) base
       else base.withColumn("doc_ids", flatten(transform(col("__sorted"),
-        x => array_repeat(x("__o").cast("long"), size(x("__piece"))))))
+        x => array_repeat(x("__did"), size(x("__piece"))))))
     out.drop("__sorted")
   }
 

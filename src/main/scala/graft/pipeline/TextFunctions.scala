@@ -178,18 +178,25 @@ object TextFunctions {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** GOPHER QUALITY STATS (the published MassiveText filter inputs, as
-    * exact integers): word count, mean word length (milli), fraction of
-    * words containing `#`/`...` (micro), fraction of words with an
-    * alphabetic character (micro), and how many of the required stopwords
-    * appear. One codegen expression tree — the downstream rules read the
-    * struct, so the stats compute once per document. */
+    * exact integers): word count, mean word length (milli), symbol-to-word
+    * ratio (micro — the COUNT of `#` and `...` occurrences divided by the
+    * word count, the published definition, not the fraction of words
+    * containing one), fraction of words with an alphabetic character
+    * (micro), and how many of the required stopwords appear. One codegen
+    * expression tree — the downstream rules read the struct, so the stats
+    * compute once per document. */
   def gopherStats(c: Column): Column = {
     val w = tokens(c)
     val n = size(w)
     val totalLen = aggregate(w, lit(0L), (a, t) => a + length(t))
     val alphaWords = size(filter(w, t => t.rlike("[A-Za-z]")))
-    val symbolWords = size(filter(w, t =>
-      t.contains("#") || t.contains("...")))
+    // occurrences via length deltas (replace drops non-overlapping
+    // matches left-to-right in both Java and DuckDB, so the delta is
+    // engine-consistent); each removed `...` is exactly 3 chars
+    val symbolWords = aggregate(w, lit(0L), (a, t) =>
+      a + (length(t) - length(replace(t, lit("#"), lit("")))).cast("long") +
+        ((length(t) - length(replace(t, lit("..."), lit("")))) / lit(3))
+          .cast("long"))
     val stopHits = size(array_intersect(array_distinct(w),
       lit(gopherStopwords.toArray)))
     struct(

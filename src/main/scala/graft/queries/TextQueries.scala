@@ -178,7 +178,9 @@ object TextQueries {
         "FROM documents), st AS (SELECT doc_id, len(w) AS n, " +
         "coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS tl, " +
         "len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS aw, " +
-        "len(list_filter(w, t -> contains(t, '#') OR contains(t, '...'))) AS sw, " +
+        "coalesce(list_sum(list_transform(w, t -> " +
+        "(length(t) - length(replace(t, '#', ''))) + " +
+        "(length(t) - length(replace(t, '...', ''))) // 3)), 0) AS sw, " +
         "len(list_intersect(list_distinct(w), " +
         "['the','be','to','of','and','that','have','with'])) AS sh FROM dd), " +
         "ex AS (SELECT doc_id, n::BIGINT AS n_words, " +

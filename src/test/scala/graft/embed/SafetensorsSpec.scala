@@ -120,6 +120,10 @@ class SafetensorsSpec extends AnyFunSuite {
     assert(toks("unxyz") === Seq(0))             // dead end mid-word → [UNK]
     assert(WordPiece.tokenize(" unaffable  hello ", v) === Seq(1, 2, 3, 5))
     intercept[IllegalArgumentException](WordPiece.parseVocab(Seq("a", "b")))
+    // duplicate tokens fail loudly instead of silently keeping the last id
+    val dup = intercept[IllegalArgumentException](
+      WordPiece.parseVocab(Seq("[UNK]", "un", "un")))
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("vocab-backed provider: token id indexes the matrix row directly") {

@@ -81,6 +81,12 @@ class DedupSpec extends AnyFunSuite {
       val distNoisy = Dedup.clusters(noisy).as[(Long, Long)].collect().toMap
       assert(distNoisy === fast)
     } finally Dedup.clusterDriverCap = 100000L
+    // null ids (a failed cast of a bad id value) are dropped on BOTH
+    // paths — the driver path's non-nullable encoder must never see them
+    val withNulls = Seq((Some(30L), Some(31L)), (None, Some(9L)),
+      (Some(20L), None), (Some(20L), Some(21L))).toDF("a", "b")
+    val gotN = Dedup.clusters(withNulls).as[(Long, Long)].collect().toMap
+    assert(gotN === Map(30L -> 30L, 31L -> 30L, 20L -> 20L, 21L -> 20L))
   }
 
   test("incremental dedup: store probe equals direct cross-set dedup; appends extend the corpus") {

@@ -148,6 +148,26 @@ class PackMixSpec extends AnyFunSuite {
       // doc ids are non-decreasing within a chunk (order-col order)
       assert(ids === ids.sorted)
     }
+    // explicit idCol: under the shuffleShards recipe orderCol is `pos`
+    // (a position, NOT a doc id) — provenance must carry the real id
+    val shuffled = Pack.shuffleShards(docs, "id", nShards = 3)
+    val viaPos = Pack.materializeChunks(shuffled, "toks", "shard", "pos", B,
+        withDocIds = true, idCol = "id")
+      .select($"tokens", $"doc_ids")
+      .as[(Seq[String], Seq[Long])].collect()
+    viaPos.foreach { case (toks, ids) =>
+      assert(toks.size === ids.size)
+      toks.lazyZip(ids).foreach { (t, id) =>
+        assert(docsById(id).contains(t), s"token $t attributed to doc $id")
+      }
+    }
+    // and the full token multiset is preserved with real-id provenance
+    val gotPairs = viaPos.flatMap { case (t, i) => t.zip(i) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val wantPairs = docs.as[(Long, Long, Seq[String])].collect()
+      .flatMap(d => d._3.map(t => (t, d._1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(gotPairs === wantPairs)
   }
 
   test("materializeChunks plan: the offsets window and one bounded aggregate, two shuffles total") {
@@ -208,6 +228,16 @@ class PackMixSpec extends AnyFunSuite {
     val kept = Mix.byBudget(withNull, "id", "grp", "w", "q", budget = 100L)
       .select($"id").as[Long].collect().toSeq
     assert(kept === Seq(1L))
+    // negative weights break the run-pruning equivalence → fail loudly at
+    // execution, never silently drop rows the naive cut would keep
+    val neg = Seq((1L, "a", 5L, 3L), (2L, "a", -2L, 2L))
+      .toDF("id", "grp", "w", "q")
+    val ex = intercept[Exception](
+      Mix.byBudget(neg, "id", "grp", "w", "q", budget = 10L).collect())
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" ")
+    assert(chain.contains("negative"), chain)
   }
 
   test("byBudget two-phase cut equals the naive single window (randomized, tied scores)") {

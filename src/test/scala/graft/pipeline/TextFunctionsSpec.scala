@@ -119,8 +119,12 @@ class TextFunctionsSpec extends AnyFunSuite {
       val want = (
         i.toLong, n.toLong,
         if (n == 0) 0L else fl(1000.0 * w.map(_.length).sum / n),
-        if (n == 0) 0L else fl(1e6 * w.count(x =>
-          x.contains("#") || x.contains("...")) / n),
+        if (n == 0) 0L else fl(1e6 * w.map(x =>
+          x.count(_ == '#') +
+            x.sliding(3).toSeq.foldLeft((0, 0)) { case ((cnt, skip), s) =>
+              if (skip > 0) (cnt, skip - 1)
+              else if (s == "...") (cnt + 1, 2) else (cnt, 0)
+            }._1).sum / n),
         if (n == 0) 0L else fl(1e6 * w.count(_.exists(ch =>
           (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))) / n),
         w.distinct.count(TextFunctions.gopherStopwords.contains).toLong)
