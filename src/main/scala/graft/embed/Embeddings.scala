@@ -452,6 +452,70 @@ object Embeddings {
     }
   }
 
+  /** TRANSFORMER checkpoint provider — the reference's local-inference
+    * capability itself, not a stand-in (embeddings/src/model/local.rs:
+    * safetensors → tokenize → BERT forward → mean pool → L2 normalize),
+    * run by the pure-JVM [[Transformer]] encoder. `modelPath` is a
+    * checkpoint directory (model.safetensors + optional config.json +
+    * optional vocab.txt) or a .safetensors file. With a vocab the real
+    * [[WordPiece]] tokenizer runs, wrapped in `[CLS]`/`[SEP]` when the
+    * vocab carries them (the BERT input convention); without one,
+    * whitespace tokens hash into the embedding rows (the engine's
+    * oracle-replayable tokenizer family). Load-once-per-JVM handle
+    * lifecycle; sequences truncate to min(maxInputLen, position table). */
+  final case class TransformerProvider(modelPath: String,
+                                       normalize: Boolean = true,
+                                       maxInputLen: Option[Int] = None,
+                                       declaredDim: Option[Int] = None)
+      extends TextToEmbeddings {
+    @transient private lazy val loaded: Transformer.Loaded = {
+      val l = Transformer.sharedModel(modelPath)
+      declaredDim.foreach(d => require(d == l.model.hidden,
+        s"checkpoint $modelPath has hidden size ${l.model.hidden}, " +
+          s"caller declared $d"))
+      l
+    }
+    def dim: Int = loaded.model.hidden
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val m = loaded.model
+      val cap = math.min(
+        maxInputLen.getOrElse(ModelRegistry.LocalDefaultMaxInputLen),
+        m.maxPositions)
+      texts.map { t0 =>
+        val t = ModelRegistry.preTruncate(t0, cap)
+        val ids: Array[Int] = loaded.vocab match {
+          case Some(v) =>
+            val cls = v.ids.get("[CLS]")
+            val sep = v.ids.get("[SEP]")
+            val budget = cap - cls.size - sep.size
+            val core = WordPiece.tokenize(t, v).take(budget)
+            (cls.iterator ++ core.iterator ++ sep.iterator).toArray
+          case None =>
+            t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(cap)
+              .map(tok => hashBucket(tok, m.vocabRows)).toArray
+        }
+        val pooled = Transformer.forward(m, ids)
+        val out = new Array[Float](m.hidden)
+        if (normalize) {
+          var s = 0.0
+          var i = 0
+          while (i < pooled.length) { s += pooled(i) * pooled(i); i += 1 }
+          val nrm = math.sqrt(s)
+          if (nrm > 0) {
+            i = 0
+            while (i < pooled.length) {
+              out(i) = (pooled(i) / nrm).toFloat; i += 1
+            }
+          }
+        } else {
+          var i = 0
+          while (i < pooled.length) { out(i) = pooled(i).toFloat; i += 1 }
+        }
+        out
+      }
+    }
+  }
+
   /** Provider registry — the seam where remote/local model providers plug in
     * (ref ffi.rs GetLibFuncs). Offline container ships the deterministic
     * stubs; [[HttpProvider]] and [[LocalModelProvider]] are constructed

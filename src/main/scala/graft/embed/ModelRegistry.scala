@@ -169,6 +169,16 @@ object ModelRegistry {
              apiUrl: Option[String] = None,
              timeoutMs: Long = 10000,
              dim: Option[Int] = None): TextToEmbeddings = {
+    // `transformer:<path>` — a BERT-family checkpoint directory (or
+    // .safetensors file) run through the pure-JVM encoder forward
+    // (Transformer.scala; ref local.rs behind mod.rs:180-204's local
+    // fallthrough). dim, when given, is validated against the
+    // checkpoint's hidden size at load.
+    if (modelId.startsWith("transformer:")) {
+      return Embeddings.TransformerProvider(
+        modelId.stripPrefix("transformer:"),
+        maxInputLen = Some(LocalDefaultMaxInputLen), declaredDim = dim)
+    }
     // `safetensors:<path>[#<tensor>]` — a real weight file in the public
     // interchange format; tensor name defaults to "embedding".
     if (modelId.startsWith("safetensors:")) {
@@ -185,6 +195,14 @@ object ModelRegistry {
     val r = resolve(modelId)
     r.provider match {
       case None =>
+        // an unprefixed id naming a checkpoint DIRECTORY is a transformer
+        // checkpoint (the sentence-transformers on-disk layout: a folder
+        // with model.safetensors) — ref mod.rs:180-204 falls local paths
+        // through to candle the same way
+        val f = new java.io.File(r.model)
+        if (f.isDirectory && new java.io.File(f, "model.safetensors").isFile)
+          return Embeddings.TransformerProvider(r.model,
+            maxInputLen = Some(LocalDefaultMaxInputLen), declaredDim = dim)
         LocalModelProvider(r.model, dim.getOrElse(
           throw new IllegalArgumentException(
             s"local model '$modelId' needs an explicit dim (the artifact is " +

@@ -53,11 +53,44 @@ object Safetensors {
     java.nio.file.Files.write(f.toPath, buf.array())
   }
 
+  /** Every tensor name in the file (checkpoint introspection — e.g. how
+    * many encoder layers a BERT export carries). */
+  def tensorNames(path: String): Seq[String] =
+    namesOf(path,
+      java.nio.file.Files.readAllBytes(new java.io.File(path).toPath))
+
+  private def namesOf(path: String, all: Array[Byte]): Seq[String] = {
+    require(all.length >= 8, s"$path: not a safetensors file (too short)")
+    val bb = ByteBuffer.wrap(all).order(ByteOrder.LITTLE_ENDIAN)
+    val headerLen = bb.getLong()
+    require(headerLen > 0 && headerLen <= all.length - 8,
+      s"$path: corrupt safetensors header length $headerLen")
+    val headerJson = new String(all, 8, headerLen.toInt, StandardCharsets.UTF_8)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    om.readTree(headerJson).fieldNames().forEachRemaining(n =>
+      if (n != "__metadata__") names += n)
+    names.toSeq
+  }
+
+  /** Parse the file ONCE and return every tensor — the loader path for
+    * multi-tensor checkpoints (a transformer export is hundreds of tensors;
+    * per-tensor [[readTensor]] calls would re-read the whole file each
+    * time). */
+  def readAll(path: String): Map[String, Tensor] = {
+    val all = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
+    namesOf(path, all).map(n => n -> decode(path, all, n)).toMap
+  }
+
   /** Parse the file and return the named tensor. Validates the header
     * length, dtype, shape/offset consistency, and that offsets stay inside
     * the data section. */
   def readTensor(path: String, name: String): Tensor = {
     val all = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
+    decode(path, all, name)
+  }
+
+  private def decode(path: String, all: Array[Byte], name: String): Tensor = {
     require(all.length >= 8, s"$path: not a safetensors file (too short)")
     val bb = ByteBuffer.wrap(all).order(ByteOrder.LITTLE_ENDIAN)
     val headerLen = bb.getLong()

@@ -1,0 +1,355 @@
+package graft.embed
+
+/** Pure-JVM BERT-family encoder forward pass — the K8 capability the
+  * reference runs through candle (embeddings/src/model/local.rs: load a
+  * safetensors checkpoint, tokenize, run embeddings + N×(self-attention +
+  * FFN + LayerNorm), mean-pool, L2-normalize; local.rs:480-560 is the
+  * batched predict path, local.rs:903 selects the approximate GELU). Here
+  * the same computation is plain Scala double math over the tensors the
+  * pure-JVM [[Safetensors]] reader already loads — no ONNX/native runtime,
+  * no new dependency.
+  *
+  * Checkpoint layout (the public HuggingFace BERT export names, with or
+  * without a leading `bert.` prefix; legacy `gamma`/`beta` LayerNorm names
+  * accepted):
+  * {{{
+  *   embeddings.word_embeddings.weight            [vocab, hidden]
+  *   embeddings.position_embeddings.weight        [maxPos, hidden]
+  *   embeddings.token_type_embeddings.weight      [types, hidden] (optional)
+  *   embeddings.LayerNorm.{weight,bias}
+  *   encoder.layer.{i}.attention.self.{query,key,value}.{weight,bias}
+  *   encoder.layer.{i}.attention.output.dense.{weight,bias}
+  *   encoder.layer.{i}.attention.output.LayerNorm.{weight,bias}
+  *   encoder.layer.{i}.intermediate.dense.{weight,bias}
+  *   encoder.layer.{i}.output.dense.{weight,bias}
+  *   encoder.layer.{i}.output.LayerNorm.{weight,bias}
+  * }}}
+  * Linear weights are `[out, in]` (the torch `nn.Linear` convention):
+  * `y = W·x + b`.
+  *
+  * Config comes from a `config.json` beside the weights when present (the
+  * HF keys: `num_attention_heads`, `layer_norm_eps`,
+  * `max_position_embeddings`); otherwise heads default to hidden/64 (the
+  * BERT-family head width) and eps to 1e-12. Layer count and sizes are
+  * derived from the tensors themselves.
+  *
+  * Numerics: weights stay float32 (as stored); arithmetic runs in DOUBLE
+  * and the pooled vector rounds to float32 at the end — so outputs agree
+  * with an f32 pipeline (the reference's candle dtype) to float precision
+  * while being reproducible enough for an independent double-math replay
+  * (the q_embed_transformer oracle) to land on the same float32 bits.
+  * GELU is the published tanh approximation
+  * (0.5·x·(1+tanh(√(2/π)·(x+0.044715·x³)))) — the variant the reference
+  * opts into (local.rs:903 `with_approximate_gelu`).
+  *
+  * 100 TB design: the model is executor-shared state behind the same
+  * one-load-per-JVM cache as the other providers ([[sharedModel]]); the
+  * stage itself stays [[Embeddings.embedStage]]'s mapPartitions — no
+  * shuffle, no driver round-trips. Scalar JVM math bounds single-node
+  * throughput; the provider seam is where a SIMD/native kernel would slot
+  * in without touching the pipeline shape.
+  */
+object Transformer {
+
+  /** `y = W·x + b`, W stored `[out][in]` row-major float32. */
+  final case class Linear(w: Array[Array[Float]], b: Array[Float]) {
+    def outDim: Int = w.length
+    def apply(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](w.length)
+      var o = 0
+      while (o < w.length) {
+        val row = w(o)
+        var acc = b(o).toDouble
+        var i = 0
+        while (i < row.length) { acc += row(i).toDouble * x(i); i += 1 }
+        out(o) = acc
+        o += 1
+      }
+      out
+    }
+  }
+
+  final case class Norm(g: Array[Float], b: Array[Float])
+
+  final case class Layer(query: Linear, key: Linear, value: Linear,
+                         attnOut: Linear, lnAttn: Norm,
+                         inter: Linear, out: Linear, lnOut: Norm)
+
+  final case class Model(wordEmb: Array[Array[Float]],
+                         posEmb: Array[Array[Float]],
+                         typeEmb: Option[Array[Float]], // row 0 (type ids are all 0)
+                         lnEmb: Norm, layers: Array[Layer],
+                         heads: Int, eps: Double) {
+    val hidden: Int = wordEmb.headOption.map(_.length).getOrElse(0)
+    def vocabRows: Int = wordEmb.length
+    def maxPositions: Int = posEmb.length
+    require(hidden > 0, "empty word embedding matrix")
+    require(heads > 0 && hidden % heads == 0,
+      s"hidden $hidden not divisible by $heads heads")
+  }
+
+  // ---------------------------------------------------------------- load
+
+  /** Load a checkpoint from `model.safetensors` (+ optional `config.json`)
+    * in `dir`, or from a `.safetensors` file directly (config looked up
+    * beside it). Fails loudly on missing tensors or inconsistent shapes. */
+  def load(path: String): Model = {
+    val (weightsFile, dir) = resolveLayout(path)
+    val ts = Safetensors.readAll(weightsFile.toString)
+    val prefix =
+      if (ts.contains("embeddings.word_embeddings.weight")) ""
+      else if (ts.contains("bert.embeddings.word_embeddings.weight")) "bert."
+      else throw new IllegalStateException(
+        s"$weightsFile has no embeddings.word_embeddings.weight " +
+          s"(tensors: ${ts.keys.toSeq.sorted.take(8).mkString(", ")}…)")
+    def tensor(name: String): Safetensors.Tensor =
+      ts.getOrElse(prefix + name, throw new IllegalStateException(
+        s"$weightsFile: missing tensor '$prefix$name'"))
+    def mat(name: String): Array[Array[Float]] = {
+      val t = tensor(name)
+      require(t.shape.length == 2,
+        s"tensor '$name' has shape ${t.shape}, expected a matrix")
+      val (r, c) = (t.shape(0), t.shape(1))
+      Array.tabulate(r)(i =>
+        java.util.Arrays.copyOfRange(t.data, i * c, (i + 1) * c))
+    }
+    def vec(name: String): Array[Float] = {
+      val t = tensor(name)
+      require(t.shape.length == 1,
+        s"tensor '$name' has shape ${t.shape}, expected a vector")
+      t.data
+    }
+    // legacy exports name LayerNorm params gamma/beta instead of weight/bias
+    def norm(base: String): Norm = {
+      def pick(a: String, b: String) =
+        if (ts.contains(prefix + base + a)) base + a else base + b
+      Norm(vec(pick(".weight", ".gamma")), vec(pick(".bias", ".beta")))
+    }
+    def linear(base: String) = Linear(mat(base + ".weight"), vec(base + ".bias"))
+
+    val word = mat("embeddings.word_embeddings.weight")
+    val pos = mat("embeddings.position_embeddings.weight")
+    val hidden = word.head.length
+    require(pos.head.length == hidden,
+      s"position embeddings are ${pos.head.length}-wide, hidden is $hidden")
+    val typeRow = ts.get(prefix + "embeddings.token_type_embeddings.weight")
+      .map { t =>
+        require(t.shape.length == 2 && t.shape(1) == hidden,
+          s"token_type_embeddings shape ${t.shape} vs hidden $hidden")
+        java.util.Arrays.copyOfRange(t.data, 0, hidden)
+      }
+    val nLayers = Iterator.from(0)
+      .takeWhile(i => ts.contains(
+        s"${prefix}encoder.layer.$i.attention.self.query.weight"))
+      .size
+    require(nLayers > 0, s"$weightsFile has no encoder.layer.0 tensors")
+    val layers = Array.tabulate(nLayers) { i =>
+      val p = s"encoder.layer.$i"
+      val layer = Layer(
+        query = linear(s"$p.attention.self.query"),
+        key = linear(s"$p.attention.self.key"),
+        value = linear(s"$p.attention.self.value"),
+        attnOut = linear(s"$p.attention.output.dense"),
+        lnAttn = norm(s"$p.attention.output.LayerNorm"),
+        inter = linear(s"$p.intermediate.dense"),
+        out = linear(s"$p.output.dense"),
+        lnOut = norm(s"$p.output.LayerNorm"))
+      require(layer.attnOut.outDim == hidden && layer.out.outDim == hidden,
+        s"layer $i output dims disagree with hidden $hidden")
+      layer
+    }
+    val cfg = readConfig(dir)
+    val heads = cfg.flatMap(_.get("num_attention_heads"))
+      .map(_.toInt)
+      .getOrElse(if (hidden % 64 == 0) hidden / 64 else 1)
+    val eps = cfg.flatMap(_.get("layer_norm_eps")).map(_.toDouble)
+      .getOrElse(1e-12)
+    Model(word, pos, typeRow, norm("embeddings.LayerNorm"), layers, heads, eps)
+  }
+
+  /** `path` is a directory (containing model.safetensors) or a
+    * .safetensors file; absent paths fall back to `SparkFiles` (the
+    * `SparkContext.addFile` shipping pattern, same as LocalModel.load). */
+  private def resolveLayout(path: String): (java.io.File, java.io.File) = {
+    val f0 = new java.io.File(path)
+    val f =
+      if (f0.exists()) f0
+      else new java.io.File(org.apache.spark.SparkFiles.get(f0.getName))
+    if (f.isDirectory) {
+      val w = new java.io.File(f, "model.safetensors")
+      if (!w.isFile) throw new java.io.FileNotFoundException(
+        s"no model.safetensors under $path")
+      (w, f)
+    } else if (f.isFile) (f, f.getParentFile)
+    else throw new java.io.FileNotFoundException(
+      s"model checkpoint not found at $path (also tried SparkFiles '${f0.getName}')")
+  }
+
+  /** Flat numeric config (the HF config.json keys this loader reads). */
+  private def readConfig(dir: java.io.File): Option[Map[String, Double]] = {
+    val f = new java.io.File(dir, "config.json")
+    if (!f.isFile) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+    val keys = Seq("num_attention_heads", "num_hidden_layers",
+      "layer_norm_eps", "max_position_embeddings", "hidden_size")
+    Some(keys.flatMap { k =>
+      Option(root.get(k)).filter(_.isNumber).map(k -> _.asDouble())
+    }.toMap)
+  }
+
+  // ------------------------------------------------------------- forward
+
+  /** √(2/π) and the cubic coefficient of the published approximate GELU —
+    * fixed literals so any independent replay (the oracle SQL, the spec's
+    * scalar twin) uses bit-identical constants. */
+  val GeluC0: Double = 0.7978845608028654
+  val GeluC1: Double = 0.044715
+
+  @inline def gelu(x: Double): Double =
+    0.5 * x * (1.0 + math.tanh(GeluC0 * (x + GeluC1 * x * x * x)))
+
+  private def layerNorm(x: Array[Double], n: Norm, eps: Double): Array[Double] = {
+    val d = x.length
+    var mu = 0.0
+    var i = 0
+    while (i < d) { mu += x(i); i += 1 }
+    mu /= d
+    var v = 0.0
+    i = 0
+    while (i < d) { val c = x(i) - mu; v += c * c; i += 1 }
+    v /= d
+    val inv = 1.0 / math.sqrt(v + eps)
+    val out = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      out(i) = (x(i) - mu) * inv * n.g(i) + n.b(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Full encoder forward + mean pooling over positions (the reference's
+    * no-padding fast path, local.rs:497-512; per-sequence forward makes
+    * the batched mask-aware pooling of local.rs:532-551 arithmetically
+    * identical, so one code path serves both). Returns the UNnormalized
+    * pooled vector in double; empty input → zero vector. Token ids out of
+    * range or sequences longer than the position table fail loudly. */
+  def forward(m: Model, ids: Array[Int]): Array[Double] = {
+    val h = m.hidden
+    if (ids.isEmpty) return new Array[Double](h)
+    require(ids.length <= m.maxPositions,
+      s"sequence of ${ids.length} tokens exceeds ${m.maxPositions} positions" +
+        " — truncate before forward")
+    val n = ids.length
+    // embeddings + LayerNorm
+    var x = Array.tabulate(n) { p =>
+      val id = ids(p)
+      require(id >= 0 && id < m.vocabRows,
+        s"token id $id outside vocab rows ${m.vocabRows}")
+      val w = m.wordEmb(id)
+      val pe = m.posEmb(p)
+      val e = new Array[Double](h)
+      var i = 0
+      while (i < h) {
+        e(i) = w(i).toDouble + pe(i).toDouble +
+          m.typeEmb.map(_(i).toDouble).getOrElse(0.0)
+        i += 1
+      }
+      layerNorm(e, m.lnEmb, m.eps)
+    }
+    val headDim = h / m.heads
+    val scale = 1.0 / math.sqrt(headDim.toDouble)
+    m.layers.foreach { layer =>
+      val q = x.map(layer.query(_))
+      val k = x.map(layer.key(_))
+      val v = x.map(layer.value(_))
+      // self-attention, per head: softmax(QK^T/√d)·V
+      val ctx = Array.fill(n)(new Array[Double](h))
+      var head = 0
+      while (head < m.heads) {
+        val off = head * headDim
+        var p = 0
+        while (p < n) {
+          val scores = new Array[Double](n)
+          var mx = Double.NegativeInfinity
+          var j = 0
+          while (j < n) {
+            var s = 0.0
+            var d = 0
+            while (d < headDim) { s += q(p)(off + d) * k(j)(off + d); d += 1 }
+            s *= scale
+            scores(j) = s
+            if (s > mx) mx = s
+            j += 1
+          }
+          var z = 0.0
+          j = 0
+          while (j < n) { scores(j) = math.exp(scores(j) - mx); z += scores(j); j += 1 }
+          j = 0
+          while (j < n) {
+            val a = scores(j) / z
+            var d = 0
+            while (d < headDim) { ctx(p)(off + d) += a * v(j)(off + d); d += 1 }
+            j += 1
+          }
+          p += 1
+        }
+        head += 1
+      }
+      // attention output projection, residual, LayerNorm
+      val afterAttn = Array.tabulate(n) { p =>
+        val o = layer.attnOut(ctx(p))
+        var i = 0
+        while (i < h) { o(i) += x(p)(i); i += 1 }
+        layerNorm(o, layer.lnAttn, m.eps)
+      }
+      // FFN: gelu(inter)·out, residual, LayerNorm
+      x = Array.tabulate(n) { p =>
+        val mid = layer.inter(afterAttn(p))
+        var i = 0
+        while (i < mid.length) { mid(i) = gelu(mid(i)); i += 1 }
+        val o = layer.out(mid)
+        var j = 0
+        while (j < h) { o(j) += afterAttn(p)(j); j += 1 }
+        layerNorm(o, layer.lnOut, m.eps)
+      }
+    }
+    // mean pool
+    val pooled = new Array[Double](h)
+    var p = 0
+    while (p < n) {
+      var i = 0
+      while (i < h) { pooled(i) += x(p)(i); i += 1 }
+      p += 1
+    }
+    var i = 0
+    while (i < h) { pooled(i) /= n; i += 1 }
+    pooled
+  }
+
+  // ------------------------------------------------- executor-shared cache
+
+  /** One checkpoint + tokenizer load per (path) per JVM — the same
+    * warm-handle lifecycle as LocalModel/Safetensors/WordPiece caches. */
+  final case class Loaded(model: Model, vocab: Option[WordPiece.Vocab])
+
+  private[embed] val loadCount = new java.util.concurrent.atomic.AtomicLong
+  private val shared =
+    scala.collection.concurrent.TrieMap.empty[String, Loaded]
+
+  private[embed] def sharedModel(path: String): Loaded =
+    shared.getOrElseUpdate(path, {
+      loadCount.incrementAndGet()
+      val m = load(path)
+      val dir = resolveLayout(path)._2
+      val vf = new java.io.File(dir, "vocab.txt")
+      val vocab = if (vf.isFile) Some(WordPiece.loadVocab(vf.toString)) else None
+      vocab.foreach(v => require(m.vocabRows > v.maxId,
+        s"checkpoint $path has ${m.vocabRows} embedding rows but vocab ids " +
+          s"reach ${v.maxId}"))
+      Loaded(m, vocab)
+    })
+
+  def evictShared(path: String): Boolean = shared.remove(path).isDefined
+}
