@@ -9,11 +9,16 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
   * 100 TB image/audio corpus uses, with decode/feature-extraction running as
   * a batched mapPartitions stage next to the data.
   *
-  * The decode step itself is a pluggable `BlobDecoder`; this container has
-  * no image/audio libraries, so the shipped decoder is an explicitly-marked
-  * deterministic STUB (byte statistics) — the Spark-side plumbing (schema,
-  * partition-local batching, struct metadata, predicate pushdown on metadata
-  * fields) is real and oracle-tested.
+  * The decode step is a pluggable `BlobDecoder`. REAL decoders cover what
+  * the JDK itself parses: JPEG/PNG/GIF/BMP via `javax.imageio`
+  * ([[ImageIoDecoder]]), WAV/AIFF/AU via `javax.sound.sampled`
+  * ([[AudioIoDecoder]]), plus hand-rolled BMP/WAV parsers with hardened
+  * header validation ([[BmpDecoder]], [[WavDecoder]]). Exotic codecs
+  * (video containers, HEIC, Opus, …) stay behind the pluggable seam with
+  * [[ByteStatsDecoder]] as the explicitly-marked deterministic stand-in.
+  * The Spark-side plumbing (schema, partition-local batching, struct
+  * metadata, predicate pushdown on metadata fields) is real and
+  * oracle-tested throughout.
   */
 object Multimodal {
 
@@ -136,6 +141,159 @@ object Multimodal {
       row += 1
     }
     b.array()
+  }
+
+  /** REAL codec-format image decoder via the JDK's OWN codecs —
+    * `javax.imageio.ImageIO` ships JPEG/PNG/GIF/BMP readers in the bare
+    * JRE, so the real-corpus formats (JPEG-first) decode with NO new
+    * dependency. Emits the decoded dimensions and the exact mean channel
+    * value over the RGB pixel area (integer milli-units, same convention
+    * as [[BmpDecoder]]). Malformed/unsupported payloads → NULL features,
+    * never a task failure. Pixel loop reads via getRGB (sRGB ints), so
+    * indexed/gray sources normalize to the same 3-channel stats. */
+  object ImageIoDecoder extends BlobDecoder {
+    val featureSchema: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_channel_milli", LongType)))
+    private val NullRow = Row(null, null, null)
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = {
+      // no temp-file stream cache on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      payloads.map { b =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b))
+          if (img == null) NullRow
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            Row(w, h, sum * 1000L / (w.toLong * h * 3))
+          }
+        } catch { case scala.util.control.NonFatal(_) => NullRow }
+      }
+    }
+  }
+
+  /** Encode a solid-color image through the JDK's own writers ("png",
+    * "jpg", "gif", "bmp") — the deterministic generator the codec gates
+    * use. PNG/GIF/BMP are lossless here (solid color), so decoded stats
+    * replay exactly; JPEG is lossy, so gates bucket its means. */
+  def syntheticImage(w: Int, h: Int, r: Int, g: Int, b: Int,
+                     format: String): Array[Byte] = {
+    require(w >= 1 && h >= 1)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no JDK writer for image format '$format'")
+    out.toByteArray
+  }
+
+  /** REAL multi-container audio decoder via the JDK's own
+    * `javax.sound.sampled` readers (WAV, AIFF, AU in the bare JRE).
+    * Emits the parsed format fields, exact duration, and for 16-bit PCM
+    * the integer RMS (floor) — endianness-aware, so AIFF/AU (big-endian)
+    * and WAV (little-endian) payloads produce identical stats for the
+    * same samples. Malformed/unsupported → NULL features. */
+  object AudioIoDecoder extends BlobDecoder {
+    val featureSchema: StructType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("rms", LongType)))
+    private val NullRow = Row(null, null, null, null, null)
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = ais.getFormat
+          val rate = math.round(fmt.getSampleRate)
+          val frames = ais.getFrameLength
+          if (rate <= 0 || frames < 0) NullRow
+          else {
+            val durMs = frames * 1000L / rate
+            val pcm16 = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16
+            val rms =
+              if (!pcm16) null
+              else {
+                val data = ais.readAllBytes()
+                val n = data.length & ~1
+                if (n == 0) null
+                else {
+                  var ss = 0.0
+                  var i = 0
+                  if (fmt.isBigEndian)
+                    while (i + 1 < n) {
+                      val s = ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+                      ss += s.toDouble * s; i += 2
+                    }
+                  else
+                    while (i + 1 < n) {
+                      val s = ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+                      ss += s.toDouble * s; i += 2
+                    }
+                  math.sqrt(ss / (n / 2)).toLong
+                }
+              }
+            Row(rate, fmt.getChannels, fmt.getSampleSizeInBits, durMs, rms)
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => NullRow }
+    }
+  }
+
+  /** Encode mono 16-bit PCM samples into a real WAV/AIFF/AU container via
+    * the JDK's own writers — the generator for [[AudioIoDecoder]] gates.
+    * `container` ∈ {"wav", "aiff", "au"}. */
+  def syntheticAudio(samples: Array[Short], sampleRate: Int,
+                     container: String): Array[Byte] = {
+    import javax.sound.sampled._
+    val big = container != "wav" // AIFF/AU are big-endian containers
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      if (big) { bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = s.toByte }
+      else { bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte }
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, big)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val tpe = container match {
+      case "wav" => AudioFileFormat.Type.WAVE
+      case "aiff" => AudioFileFormat.Type.AIFF
+      case "au" => AudioFileFormat.Type.AU
+      case other => throw new IllegalArgumentException(
+        s"unknown audio container '$other'")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, tpe, out)
+    out.toByteArray
   }
 
   /** REAL audio decoder for the container a bare JVM parses with no codec

@@ -626,6 +626,60 @@ object PipelineQueries {
         "(((n_chars % 50) + 1) * 2 * 2 * 1000 // 16000) AS duration_ms, " +
         "n_chars % 1000 AS rms FROM documents")),
 
+    // CODEC-FORMAT image decode (r13): real JPEG/PNG through the JDK's OWN
+    // ImageIO codecs — the real-corpus formats, no new dependency. PNG is
+    // lossless, so the decoded mean channel replays EXACTLY from the fill
+    // formula; the oracle also replays the milli floor-division.
+    "q_multimodal_png" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.pipeline.Multimodal
+        val src = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            (id, Multimodal.syntheticImage((id % 6 + 2).toInt, (id % 4 + 1).toInt,
+              (nc * 3 % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt,
+              "png"))
+          }.toDF("doc_id", "payload")
+        val packed = src.withColumn("blob", Multimodal.packBlob(
+          col("payload"), lit("png"), lit(0), lit(0))).drop("payload")
+        Multimodal.decodeStage(packed, "blob", "img", Multimodal.ImageIoDecoder)
+          .select(col("doc_id"), col("img.width").as("width"),
+            col("img.height").as("height"),
+            col("img.mean_channel_milli").as("mean_channel_milli"))
+      },
+      Some("SELECT doc_id, (doc_id % 6 + 2)::INT AS width, " +
+        "(doc_id % 4 + 1)::INT AS height, " +
+        "((n_chars * 3 % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) " +
+        "* 1000 // 3 AS mean_channel_milli FROM documents")),
+
+    // JPEG is LOSSY, so the gate checks the decoded mean at bucket
+    // granularity: solid mid-bucket grays (16k+8) decode within ±2 units,
+    // far inside the 16-unit bucket — header dims stay exact. A real
+    // JDK JPEG encode→decode round trip runs distributed per document.
+    "q_multimodal_jpeg" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.pipeline.Multimodal
+        val src = t(s, d, "documents").select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val v = (id * 11 % 14).toInt * 16 + 8
+            (id, Multimodal.syntheticImage((id % 5 + 3).toInt, (id % 3 + 2).toInt,
+              v, v, v, "jpg"))
+          }.toDF("doc_id", "payload")
+        val packed = src.withColumn("blob", Multimodal.packBlob(
+          col("payload"), lit("jpeg"), lit(0), lit(0))).drop("payload")
+        Multimodal.decodeStage(packed, "blob", "img", Multimodal.ImageIoDecoder)
+          .select(col("doc_id"), col("img.width").as("width"),
+            col("img.height").as("height"),
+            floor(col("img.mean_channel_milli") / lit(16000L))
+              .cast("long").as("mean_bucket"))
+      },
+      Some("SELECT doc_id, (doc_id % 5 + 3)::INT AS width, " +
+        "(doc_id % 3 + 2)::INT AS height, " +
+        "(doc_id * 11 % 14)::BIGINT AS mean_bucket FROM documents")),
+
     // FLAGSHIP v3 (r12): the round's curation additions composed in one
     // declarative plan — benchmark DECONTAMINATION (drop corpus docs
     // sharing >= 2 trigrams with the mod-97 eval split) → repetition

@@ -183,4 +183,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) === ((Some(16000), Some(1), Some(250L), Some(0L))))
     assert(got(3L) === ((None, None, None, None)))
   }
+
+  test("ImageIO decoder: PNG/GIF/BMP exact means, JPEG within bucket, malformed → NULL") {
+    // lossless formats reproduce the fill exactly
+    Seq("png", "gif", "bmp").foreach { f =>
+      val img = Multimodal.syntheticImage(5, 3, 40, 80, 120, f)
+      val Row0 = Multimodal.ImageIoDecoder.decodeBatch(Seq(img)).head
+      assert(Row0.getInt(0) === 5 && Row0.getInt(1) === 3, f)
+      assert(Row0.getLong(2) === (40L + 80 + 120) * 1000 / 3, f)
+    }
+    // JPEG: every mid-bucket gray decodes inside its 16-unit bucket
+    (0 until 14).foreach { k =>
+      val v = k * 16 + 8
+      val img = Multimodal.syntheticImage(6, 4, v, v, v, "jpg")
+      val r = Multimodal.ImageIoDecoder.decodeBatch(Seq(img)).head
+      assert(r.getInt(0) === 6 && r.getInt(1) === 4)
+      assert(r.getLong(2) / 16000 === k.toLong,
+        s"gray $v decoded to ${r.getLong(2)} milli")
+    }
+    // malformed: truncated PNG, random bytes, empty — NULL, never a throw
+    val png = Multimodal.syntheticImage(4, 4, 1, 2, 3, "png")
+    Seq(png.take(10), Array.fill[Byte](64)(7), Array.empty[Byte])
+      .foreach { bad =>
+        val r = Multimodal.ImageIoDecoder.decodeBatch(Seq(bad)).head
+        assert(r.get(0) == null && r.get(1) == null && r.get(2) == null)
+      }
+  }
+
+  test("AudioIO decoder: WAV/AIFF/AU containers agree on the same samples; malformed → NULL") {
+    val samples = Array.tabulate(480)(i =>
+      (((i * 2657 + 991) % 8192) - 4096).toShort)
+    val expect = {
+      var ss = 0.0
+      samples.foreach(s => ss += s.toDouble * s)
+      math.sqrt(ss / samples.length).toLong
+    }
+    val stats = Seq("wav", "aiff", "au").map { c =>
+      val bytes = Multimodal.syntheticAudio(samples, 8000, c)
+      val r = Multimodal.AudioIoDecoder.decodeBatch(Seq(bytes)).head
+      (c, r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))
+    }
+    stats.foreach { case (c, rate, ch, bits, durMs, rms) =>
+      assert(rate === 8000 && ch === 1 && bits === 16, c)
+      assert(durMs === 480 * 1000L / 8000, c)
+      assert(rms === expect, c) // endianness-normalized: all three agree
+    }
+    // the hand-rolled WAV parser and the JDK reader agree on the same blob
+    val wav = Multimodal.syntheticAudio(samples, 8000, "wav")
+    val hand = Multimodal.WavDecoder.decodeBatch(Seq(wav)).head
+    assert(hand.getInt(0) === 8000 && hand.getLong(4) === expect)
+    // malformed/truncated → NULL
+    Seq(wav.take(12), Array.fill[Byte](32)(1), Array.empty[Byte]).foreach { bad =>
+      val r = Multimodal.AudioIoDecoder.decodeBatch(Seq(bad)).head
+      assert((0 until 5).forall(r.get(_) == null))
+    }
+  }
 }
