@@ -172,21 +172,24 @@ object Safetensors {
 
   // Executor-shared matrix cache — the same one-load-per-JVM lifecycle as
   // LocalModel.sharedWeights (every partition's handle reuses the loaded
-  // matrix; loadCount instruments actual file reads for the spec).
+  // matrix; loadCount instruments actual file reads for the spec;
+  // computeIfAbsent holds concurrent cold-starting partitions on the key
+  // so exactly one read happens).
   private[embed] val loadCount = new java.util.concurrent.atomic.AtomicLong
   private val shared =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Array[Array[Float]]]
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Array[Float]]]()
 
   private[embed] def sharedMatrix(path: String,
                                   name: String): Array[Array[Float]] =
-    shared.getOrElseUpdate((path, name), {
+    shared.computeIfAbsent((path, name), _ => {
       loadCount.incrementAndGet()
       matrix(path, name)
     })
 
   /** Drop a cached matrix (artifact hot-swap seam). */
   def evictShared(path: String): Int = {
-    val keys = shared.keys.filter(_._1 == path).toSeq
+    val keys = scala.jdk.CollectionConverters.EnumerationHasAsScala(
+      shared.keys()).asScala.filter(_._1 == path).toSeq
     keys.foreach(shared.remove)
     keys.size
   }

@@ -335,11 +335,13 @@ object Transformer {
   final case class Loaded(model: Model, vocab: Option[WordPiece.Vocab])
 
   private[embed] val loadCount = new java.util.concurrent.atomic.AtomicLong
+  // computeIfAbsent: concurrent cold-starting partitions block on the key
+  // and the checkpoint is read exactly once per JVM
   private val shared =
-    scala.collection.concurrent.TrieMap.empty[String, Loaded]
+    new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
 
   private[embed] def sharedModel(path: String): Loaded =
-    shared.getOrElseUpdate(path, {
+    shared.computeIfAbsent(path, _ => {
       loadCount.incrementAndGet()
       val m = load(path)
       val dir = resolveLayout(path)._2
@@ -351,5 +353,5 @@ object Transformer {
       Loaded(m, vocab)
     })
 
-  def evictShared(path: String): Boolean = shared.remove(path).isDefined
+  def evictShared(path: String): Boolean = shared.remove(path) != null
 }

@@ -48,15 +48,16 @@ object WordPiece {
       .reverse.dropWhile(_.isEmpty).reverse)
   }
 
-  // Executor-shared vocab cache (one parse per JVM per path).
+  // Executor-shared vocab cache (one parse per JVM per path —
+  // computeIfAbsent holds concurrent cold-starting partitions on the key).
   private[embed] val loadCount = new java.util.concurrent.atomic.AtomicLong
   private val shared =
-    scala.collection.concurrent.TrieMap.empty[String, Vocab]
+    new java.util.concurrent.ConcurrentHashMap[String, Vocab]()
   private[embed] def sharedVocab(path: String): Vocab =
-    shared.getOrElseUpdate(path, {
+    shared.computeIfAbsent(path, _ => {
       loadCount.incrementAndGet(); loadVocab(path)
     })
-  def evictShared(path: String): Boolean = shared.remove(path).isDefined
+  def evictShared(path: String): Boolean = shared.remove(path) != null
 
   /** Greedy longest-match-first WordPiece of ONE whitespace word: repeatedly
     * take the longest vocab prefix (continuations carry the `##` prefix);

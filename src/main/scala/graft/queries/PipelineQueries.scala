@@ -626,6 +626,40 @@ object PipelineQueries {
         "(((n_chars % 50) + 1) * 2 * 2 * 1000 // 16000) AS duration_ms, " +
         "n_chars % 1000 AS rms FROM documents")),
 
+    // SEQUENCE PACKING over REAL BPE token counts (r13): the same exact
+    // offsets/chunk assignment as q_pack_sequences, but the token
+    // accounting comes from the real GPT-2-format BPE tokenizer (regex
+    // pre-tokenize → byte encode → ranked merges → vocab ids) instead of
+    // whitespace counts. The oracle replays the merge chains' closed form
+    // and the packing window.
+    "q_pack_bpe" -> QueryDef(
+      (s, d) => {
+        val dir = bpeArtifact()
+        val toks = graft.embed.Bpe.tokenizeStage(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            "text", dir, countCol = "n_tokens")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+            col("n_tokens"))
+        graft.pipeline.Pack.sequenceOffsets(toks, "n_tokens", "shard",
+            "doc_id", budget = 256)
+          .select(col("doc_id"), col("shard"), col("n_tokens").cast("long"),
+            col("start_tok"), col("first_chunk"), col("last_chunk"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "wt AS (SELECT doc_id, unnest(range(len(w))) AS i, unnest(w) AS t FROM dd), " +
+        s"cnt AS (SELECT doc_id, sum($bpeCountSql)::BIGINT AS n_tokens " +
+        "FROM wt GROUP BY doc_id), " +
+        "nz AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM cnt " +
+        "WHERE n_tokens > 0), " +
+        "packed AS (SELECT doc_id, shard, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok " +
+        "FROM nz) " +
+        "SELECT doc_id, shard, n_tokens, start_tok, " +
+        "start_tok // 256 AS first_chunk, " +
+        "(start_tok + n_tokens - 1) // 256 AS last_chunk FROM packed")),
+
     // CODEC-FORMAT image decode (r13): real JPEG/PNG through the JDK's OWN
     // ImageIO codecs — the real-corpus formats, no new dependency. PNG is
     // lossless, so the decoded mean channel replays EXACTLY from the fill
@@ -767,6 +801,35 @@ object PipelineQueries {
     }
     f.toString
   }
+
+  /** The BPE gate artifact: a GPT-2-format vocab.json + merges.txt pair.
+    * Base symbols are the 256 byte-encoder chars (id = byte value); the
+    * merges are the ` the` and ` of` chains — chosen so the REAL merge
+    * loop's output has a closed form over this corpus (single-spaced
+    * lowercase words): per non-first word, merges applied = the length of
+    * its prefix match against the chains, which the oracle replays with
+    * LIKE cascades. Written once per process if absent. */
+  private[queries] def bpeArtifact(): String = {
+    import graft.embed.Bpe
+    val dir = new java.io.File(graft.tables.Derived.root, "bpe_chains_v1")
+    if (!new java.io.File(dir, "vocab.json").isFile) {
+      val base = (0 until 256).map(b => Bpe.byteEncoder(b).toString -> b).toMap
+      val extra = Map("Ġt" -> 256, "Ġth" -> 257, "Ġthe" -> 258,
+        "Ġo" -> 259, "Ġof" -> 260)
+      Bpe.writeModel(dir.toString, base ++ extra,
+        Seq(("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"), ("Ġ", "o"), ("Ġo", "f")))
+    }
+    dir.toString
+  }
+
+  /** The BPE token count of one corpus word, as oracle SQL (the closed
+    * form of the chain merges; `i` = word index, first word carries no
+    * leading space so no chain applies). */
+  private[queries] def bpeCountSql: String =
+    "CASE WHEN i = 0 THEN len(t) ELSE 1 + len(t) - " +
+      "(CASE WHEN t LIKE 'the%' THEN 3 WHEN t LIKE 'th%' THEN 2 " +
+      "WHEN t LIKE 't%' THEN 1 WHEN t LIKE 'of%' THEN 2 " +
+      "WHEN t LIKE 'o%' THEN 1 ELSE 0 END) END"
 
   /** The q_embed_transformer checkpoint: a real 2-layer/2-head BERT-layout
     * model whose every weight is a small DYADIC value (k/16 or k/32) from

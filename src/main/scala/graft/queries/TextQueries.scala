@@ -193,6 +193,30 @@ object TextQueries {
         "AND symbol_ratio_micros <= 100000 AND alpha_frac_micros >= 800000 " +
         "AND stop_hits >= 2) AS pass FROM ex")),
 
+    // REAL BPE tokenization (r13): the GPT-2-format tokenizer (published
+    // pre-tokenizer regex, bytes→unicode table, ranked merge loop,
+    // vocab.json ids) over the corpus, with the ` the`/` of` merge chains.
+    // The oracle replays the chains' closed form (single-spaced lowercase
+    // corpus, LIKE-cascade prefix match) and the id of the first token
+    // (first word carries no leading space → its first byte's id).
+    "q_text_bpe" -> QueryDef(
+      (s, d) => {
+        val dir = PipelineQueries.bpeArtifact()
+        graft.embed.Bpe.tokenizeStage(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            "text", dir, idsCol = "ids", countCol = "n")
+          .select(col("doc_id"), col("n").cast("long").as("n_bpe"),
+            element_at(col("ids"), 1).cast("long").as("t0"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, text, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "wt AS (SELECT doc_id, unnest(range(len(w))) AS i, unnest(w) AS t FROM dd), " +
+        s"cnt AS (SELECT doc_id, sum(${PipelineQueries.bpeCountSql})::BIGINT AS n_bpe " +
+        "FROM wt GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(c.n_bpe, 0)::BIGINT AS n_bpe, " +
+        "ascii(substr(d.text, 1, 1))::BIGINT AS t0 " +
+        "FROM dd d LEFT JOIN cnt c ON d.doc_id = c.doc_id")),
+
     "q_text_pii" -> QueryDef(
       (s, d) => {
         val planted = concat(col("text"),
