@@ -292,23 +292,60 @@ object Stats {
       val clean = ranges.filter(col("mn").isNull || col("mx").isNull ||
         isnan(col("mn")) || isnan(col("mx"))).isEmpty
       if (clean) {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("mn"), col("mx"))
-        val agg = ranges
-          .withColumn("prev_mx", lag(col("mx"), 1).over(w))
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum(when(col("prev_mx").isNull ||
-              col("prev_mx") <= col("mn"), col("rw")).otherwise(0L)),
-              lit(0L)).as("ok_rows"),
-            coalesce(sum(col("rw")), lit(0L)).as("tot_rows"))
-          .head()
-        val n = agg.getLong(0)
+        // Scalable adjacency scan (r13 VERDICT #4): the old form ran a
+        // global no-partition window — one task sorting the WHOLE file
+        // catalog, fine at metadata scale but a serialization point when
+        // a million-file lake registers. Same decision, scalable shape:
+        // range-partition the per-file ranges on (mn, mx), scan adjacency
+        // within each sorted partition, and stitch the P partition
+        // boundaries on the driver (P summary rows, never |files| rows).
+        // The lag() semantics are preserved exactly: each file compares
+        // against the IMMEDIATELY previous file's mx in (mn, mx) order;
+        // the first file overall is unconditionally ok.
+        val spark = cat.sparkSession
+        val par = math.max(1,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        val parted = ranges
+          .select(col("mn").cast("double"), col("mx").cast("double"),
+            col("rw").cast("long"))
+          .repartitionByRange(par, col("mn"), col("mx"))
+          .sortWithinPartitions(col("mn"), col("mx"))
+        val partStats = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val first = it.next()
+            val firstMn = first.getDouble(0)
+            val firstRw = first.getLong(2)
+            var prevMx = first.getDouble(1)
+            var pn = 1L
+            var ptot = firstRw
+            var pok = 0L // the first row's verdict needs the previous
+                         // partition's tail — decided on the driver
+            while (it.hasNext) {
+              val r = it.next()
+              if (prevMx <= r.getDouble(0)) pok += r.getLong(2)
+              prevMx = r.getDouble(1)
+              pn += 1
+              ptot += r.getLong(2)
+            }
+            Iterator.single((pid, pn, pok, ptot, firstMn, firstRw, prevMx))
+          }
+        }.collect().sortBy(_._1)
+        var n = 0L; var ok = 0L; var tot = 0L
+        var prevMx = Double.NegativeInfinity
+        var firstSeen = false
+        partStats.foreach { case (_, pn, pok, ptot, fMn, fRw, lastMx) =>
+          n += pn; ok += pok; tot += ptot
+          if (!firstSeen || prevMx <= fMn) ok += fRw
+          firstSeen = true
+          prevMx = lastMx
+        }
         // a SINGLE file gives the catalog no adjacency evidence, but its
         // row groups may still be clustered — fall through to the (one
         // footer) sweep rather than diverging from its decision
         // (review r10)
         if (n >= 2)
-          return agg.getLong(1).toDouble / math.max(1L, agg.getLong(2)) >= frac
+          return ok.toDouble / math.max(1L, tot) >= frac
       }
     }
     val rs: Seq[Option[(Any, Any, Long)]] =

@@ -147,6 +147,52 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusteredBy catalog scan: many-file scale shape, lag-exact vs brute force") {
+    // The adjacency scan must never serialize the catalog through one
+    // task (r13 VERDICT #4): it range-partitions and stitches partition
+    // boundaries on the driver. Decision must equal the naive
+    // sort-then-lag replica EXACTLY, boundaries included.
+    def register(name: String,
+                 rows: Seq[(String, Long, Map[String, Double], Map[String, Double])]): String = {
+      val path = s"/graft-synthetic-$name"
+      Stats.registerCatalog(SparkT.spark, path,
+        rows.toDF("file", "rows", "col_min", "col_max"))
+      path
+    }
+    def brute(rows: Seq[(Long, Double, Double)], frac: Double): Boolean = {
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val ok = sorted.zipWithIndex.collect {
+        case ((rw, mn, _), i) if i == 0 || sorted(i - 1)._3 <= mn => rw
+      }.sum
+      ok.toDouble / math.max(1L, rows.map(_._1).sum) >= frac
+    }
+    try {
+      // 10k files — dozens of range partitions at the 32-partition default
+      val n = 10000
+      val clustered = (0 until n).map(i =>
+        (s"f$i", 100L, Map("v" -> i * 10.0), Map("v" -> (i * 10 + 9).toDouble)))
+      val overlapped = (0 until n).map(i =>
+        (s"f$i", 100L, Map("v" -> 0.0), Map("v" -> 1e6)))
+      assert(Stats.clusteredBy(register("c", clustered), "v"))
+      assert(!Stats.clusteredBy(register("o", overlapped), "v"))
+      // randomized catalogs near the 0.8 threshold: decision == brute lag
+      val rnd = new scala.util.Random(41)
+      (0 until 6).foreach { c =>
+        val rows = (0 until 500).map { i =>
+          val mn = i * 10.0 + (if (rnd.nextDouble() < 0.15) -15.0 else 0.0)
+          (s"f$i", 50L + rnd.nextInt(100),
+            Map("v" -> mn), Map("v" -> (mn + 9 + rnd.nextInt(8))))
+        }
+        val want = brute(rows.map(r => (r._2, r._3("v"), r._4("v"))), 0.8)
+        assert(Stats.clusteredBy(register(s"r$c", rows), "v") === want,
+          s"case $c")
+      }
+    } finally {
+      (Seq("c", "o") ++ (0 until 6).map(i => s"r$i")).foreach(nm =>
+        Stats.unregisterCatalog(SparkT.spark, s"/graft-synthetic-$nm"))
+    }
+  }
+
   test("approxNdv is within rsd of exact ndv (I7)") {
     val df = SparkT.spark.read.parquet(dir)
     val exact = df.select(countDistinct($"v")).head.getLong(0)
