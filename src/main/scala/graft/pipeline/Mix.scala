@@ -117,25 +117,68 @@ object Mix {
       .select((df.columns :+ "cum_weight").map(col).toIndexedSeq: _*)
   }
 
+  /** Safety factor of the stratified prefilter: the filter keeps an
+    * expected `PrefilterMargin × n` rows per group of `minGroupRows`
+    * size, so losing a winner to the filter is a large-deviation event —
+    * and the rescue pass makes even that exact, not just likely. */
+  val PrefilterMargin: Long = 8L
+
   /** STRATIFIED sample: exactly `n` rows per `groupCol` value (fewer when
     * the group is smaller), chosen as the n smallest [[hashScaled]] ids —
     * deterministic across engines/reruns/cluster sizes, uniform within
-    * each group. ONE window partitioned by the group column: the shape is
-    * right when groups are many and moderate (the usual per-source case);
-    * a single billion-row group serializes its rank through one task — for
-    * that regime, pre-filter on `hashScaled(id) < threshold` (any
-    * threshold comfortably above n/|group| of the 2^20 space) before
-    * calling this, which preserves the selected set exactly because the
-    * decision column is the same hash. The prefilter is the CALLER's knob,
-    * not built in: it needs a |group| estimate this operator does not
-    * assume. */
+    * each group.
+    *
+    * The base shape is ONE window partitioned by the group column — right
+    * when groups are many and moderate (the usual per-source case). A
+    * single billion-row group would serialize its rank through one task;
+    * pass `minGroupRows` (a LOWER-bound estimate of the interesting group
+    * sizes — e.g. from the file-stats catalog) and the operator applies
+    * the hash prefilter AUTOMATICALLY (r13 VERDICT #7): only rows with
+    * `hashScaled(id) < PrefilterMargin·n/minGroupRows` of the hash space
+    * rank, cutting the window's input by orders of magnitude. The result
+    * is EXACT, not approximate: the decision column is the same hash, so
+    * a group with ≥ n surviving rows provably kept all n winners; groups
+    * with fewer survivors (small groups, or an over-estimate) are rescued
+    * by re-ranking their full rows — an equi-join-scoped second pass, not
+    * a full recompute. PackMixSpec pins selected-set identity with and
+    * without the prefilter on a skewed fixture. */
   def stratified(df: DataFrame, idCol: String, groupCol: String,
-                 n: Int): DataFrame = {
+                 n: Int, minGroupRows: Option[Long] = None): DataFrame = {
     require(n >= 1, s"sample size must be >= 1: $n")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(hashScaled(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    def pick(src: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(hashScaled(col(idCol)), col(idCol))
+      src.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    }
+    minGroupRows.foreach(est =>
+      require(est >= 1, s"minGroupRows must be >= 1: $est"))
+    minGroupRows.filter(est => est > PrefilterMargin * n) match {
+      case None => pick(df)
+      case Some(est) =>
+        // keep-threshold over the 2^20 hash space; +1 keeps it a strict
+        // over-estimate after the floor division
+        val keep = math.min(Resolution,
+          Resolution * PrefilterMargin * n / est + 1L)
+        val pre = df.filter(hashScaled(col(idCol)) < lit(keep))
+        // a group with >= n survivors provably kept all n winners (the
+        // winners are the n smallest hashes, all below any threshold that
+        // admits n rows). Everything else — few survivors, ZERO survivors
+        // (absent from pre's groups entirely), or a null group key (never
+        // equi-matched) — is rescued by re-ranking its full rows.
+        val bigEnough = pre.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= n)
+          .select(col(groupCol))
+        val sg = df.select(col(groupCol)).distinct()
+          .join(bigEnough, Seq(groupCol), "left_anti")
+          .withColumnRenamed(groupCol, "__g")
+        val confident = pick(
+          pre.join(sg, col(groupCol) <=> col("__g"), "left_anti"))
+        val rescued = pick(
+          df.join(sg, col(groupCol) <=> col("__g"), "left_semi"))
+        confident.unionByName(rescued)
+    }
   }
 }

@@ -293,4 +293,37 @@ class PackMixSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("id", "grp"))
     intercept[IllegalArgumentException](Mix.stratified(docs, "id", "grp", 0))
   }
+
+  test("stratified prefilter (minGroupRows): identical selection on a skewed fixture") {
+    // one huge group, one moderate, one tiny (< n), one with likely ZERO
+    // prefilter survivors, plus null group keys
+    val rows = (0L until 20000L).map(i => (i, Some("huge"))) ++
+      (30000L until 30400L).map(i => (i, Some("mid"))) ++
+      (40000L until 40003L).map(i => (i, Some("tiny"))) ++
+      Seq((50000L, Some("solo"))) ++
+      (60000L until 60005L).map(i => (i, None: Option[String]))
+    val docs = rows.toDF("id", "grp")
+    val base = Mix.stratified(docs, "id", "grp", n = 7)
+      .as[(Long, Option[String])].collect().toSet
+    // estimates both under and over the true huge-group size: the
+    // selected set must be EXACTLY the unfiltered one either way
+    Seq(1000L, 20000L, 500000L).foreach { est =>
+      val got = Mix.stratified(docs, "id", "grp", n = 7,
+          minGroupRows = Some(est))
+        .as[(Long, Option[String])].collect().toSet
+      assert(got === base, s"estimate $est")
+    }
+    // the prefilter actually gates the ranked input (plan shows the hash
+    // filter under the window when the estimate warrants it)
+    val plan = Mix.stratified(docs, "id", "grp", n = 7,
+        minGroupRows = Some(500000L))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("pmod"), plan)
+    // tiny estimates (prefilter would not cut anything) take the plain path
+    val small = Mix.stratified(docs, "id", "grp", n = 7,
+      minGroupRows = Some(8L))
+    assert(small.as[(Long, Option[String])].collect().toSet === base)
+    intercept[IllegalArgumentException](
+      Mix.stratified(docs, "id", "grp", 7, minGroupRows = Some(0L)))
+  }
 }
