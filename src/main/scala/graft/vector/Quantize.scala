@@ -2,7 +2,7 @@ package graft.vector
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.types.{BinaryType, StructField}
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
 /** Scalar (int8) vector quantization with exact rescoring (K6 — ref
   * knn/quantizer.cpp:45-700, QuantizationSettings_t quantizer.h:28-60).
@@ -255,6 +255,58 @@ object Quantize {
       }
       acc
     }
+
+    /** The two per-vector residual factors the sign bits discard (the
+      * reference's binary factor block, knn/quantizer.h:48-61: centroid
+      * distance + magnitude stored beside the 1-bit codes):
+      * `norm = ‖r‖` and `scale = Σ|rᵢ|/d` — the LEAST-SQUARES coefficient
+      * of the rank-1 model `r ≈ scale·sign(r)` (argmin_c ‖r − c·sgn‖ =
+      * ⟨r,sgn⟩/d = mean |rᵢ|), where r = v − thresholds. */
+    def residualFactors(v: Array[Float]): (Float, Float) = {
+      var s2 = 0.0
+      var s1 = 0.0
+      var i = 0
+      while (i < dim) {
+        val c = v(i).toDouble - thresholds(i)
+        s2 += c * c
+        s1 += math.abs(c)
+        i += 1
+      }
+      (math.sqrt(s2).toFloat, (s1 / dim).toFloat)
+    }
+
+    /** Residual-corrected L2 ESTIMATE from the compact columns only (bits
+      * + the two stored factors): reconstruct the candidate's residual as
+      * its least-squares rank-1 model `r ≈ scale·sign` (r_∥ = scale·sign
+      * EXACTLY, scale being ⟨r,sign⟩/d), giving
+      * `est² = ‖q−t‖² + ‖r‖² − 2·scale·dot` with `dot = (q−t)·sign`
+      * resolved from the popcount identity
+      * `2·Σ_{bit set}(q−t)ᵢ − Σ(q−t)ᵢ`. The energy term uses the TRUE
+      * residual norm, the cross term the exact parallel component; only
+      * ⟨qr_⊥, r_⊥⟩ is dropped. Magnitude-aware where raw Hamming is not:
+      * on the gate fixture the worst true-top-10 rank under this score is
+      * ~2–4× smaller per query than under Hamming (QuantizeSpec measures
+      * the aggregate), which is exactly the candidate-multiple saving.
+      * (A Cauchy–Schwarz lower-bound variant was probed and was NOT
+      * consistently tighter — the pessimism floods the top-n with
+      * high-orthogonal-energy candidates.) qr/sumQr are precomputed
+      * query-side. */
+    def estimateL2(code: Array[Long], rnorm: Float, rscale: Float,
+                   qr: Array[Double], qnorm2: Double, sumQr: Double): Double = {
+      var s1 = 0.0
+      var w = 0
+      while (w < code.length) {
+        var bits = code(w)
+        while (bits != 0) {
+          val i = (w << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+          if (i < dim) s1 += qr(i)
+          bits &= bits - 1
+        }
+        w += 1
+      }
+      val dot = 2.0 * s1 - sumQr
+      qnorm2 + rnorm.toDouble * rnorm - 2.0 * rscale * dot
+    }
   }
 
   /** Train per-dimension mean thresholds: per-partition (sum, count) array
@@ -329,6 +381,82 @@ object Quantize {
     val survivors = bdf.join(
       coarseIdsBinary(bdf, bCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
+  }
+
+  /** Binarize WITH the per-vector residual factor (`rCol: float` =
+    * ‖v − thresholds‖) stored beside the sign bits — the reference's
+    * binary-quantization factor block (knn/quantizer.h:48-61,
+    * knn/quantizer.cpp residual encode). Costs 4 bytes/vector and buys
+    * the residual-corrected screen below. */
+  def binarizeTableResidual(df: DataFrame, vecCol: String, bCol: String,
+                            rCol: String, m: BModel): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val factors = StructType(Seq(
+      StructField("norm", FloatType), StructField("scale", FloatType)))
+    val schema = df.schema
+      .add(StructField(bCol, ArrayType(LongType)))
+      .add(StructField(rCol, factors))
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](vecIdx).toArray
+        val (rn, rs) = m.residualFactors(v)
+        Row.fromSeq(r.toSeq :+ (m.binarize(v).toSeq: Seq[Long]) :+
+          Row(rn, rs))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Residual-corrected coarse screen: rank by [[BModel.estimateL2]] over
+    * (bits, residual norm) — reads ~(8·d/64 + 4) bytes per vector against
+    * the float column's 4·d, the same compact-screen economics as the
+    * plain Hamming pass, but magnitude-aware: QuantizeSpec shows it
+    * reaches exactness with a several-fold smaller candidate set. L2-family
+    * estimator (the fixture/gate metric); other metrics take the plain
+    * Hamming screen. */
+  def coarseIdsBinaryResidual(bdf: DataFrame, bCol: String, rCol: String,
+                              idCol: String, m: BModel, query: Array[Float],
+                              n: Int): DataFrame = {
+    import bdf.sparkSession.implicits._
+    val qr = new Array[Double](m.dim)
+    var qnorm2 = 0.0
+    var sumQr = 0.0
+    var i = 0
+    while (i < m.dim) {
+      qr(i) = query(i).toDouble - m.thresholds(i)
+      qnorm2 += qr(i) * qr(i)
+      sumQr += qr(i)
+      i += 1
+    }
+    val qB = bdf.sparkSession.sparkContext
+      .broadcast((m, qr, qnorm2, sumQr))
+    bdf.select(col(idCol).cast("long").as("cid"), col(bCol),
+        col(s"$rCol.norm"), col(s"$rCol.scale"))
+      .as[(Long, Seq[Long], Float, Float)]
+      .map { case (id, code, rnorm, rscale) =>
+        val (mm, q2, qn2, sq) = qB.value
+        (id, mm.estimateL2(code.toArray, rnorm, rscale, q2, qn2, sq))
+      }
+      .toDF("cid", "est")
+      .orderBy(col("est").asc, col("cid").asc)
+      .limit(n)
+      .select(col("cid").as(idCol))
+  }
+
+  /** [[searchHammingRescore]] with the residual-corrected screen: same
+    * exact-rescore contract. The default candidate multiple matches the
+    * plain screen's — at EQUAL refine the corrected score is strictly
+    * safer (its worst-case true-top-k rank is a fraction of Hamming's on
+    * the fixture), and equal exactness is reached at a several-fold
+    * smaller refine (QuantizeSpec). */
+  def searchHammingRescoreResidual(bdf: DataFrame, vecCol: String,
+                                   bCol: String, rCol: String, idCol: String,
+                                   m: BModel, query: Array[Float], k: Int,
+                                   refine: Int = 16): DataFrame = {
+    val survivors = bdf.join(
+      coarseIdsBinaryResidual(bdf, bCol, rCol, idCol, m, query, k * refine),
+      Seq(idCol))
+    Knn.knn(survivors, vecCol, idCol, query, k, Knn.L2)
   }
 
   // ───── I9 for the quantized families: segment maintenance ─────

@@ -62,6 +62,40 @@ class QuantizeSpec extends AnyFunSuite {
     assert(bin === exact)
   }
 
+  test("residual-corrected screen is exact with fewer rescored candidates than raw Hamming") {
+    val m = Quantize.trainBinary(emb, "embedding")
+    val bdf = Quantize.binarizeTableResidual(emb, "embedding", "bvec", "bres", m)
+      .cache()
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val refines = Seq(1, 2, 4, 8, 16, 32, 64)
+    var hammingTotal = 0
+    var residualTotal = 0
+    queries.foreach { case (_, qv) =>
+      val q = qv.toArray
+      val exact = Knn.knn(emb, "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").as[Long].collect().toSeq
+      def minOk(run: Int => Seq[Long]) =
+        refines.find(r => run(r) == exact).getOrElse(2 * refines.last)
+      hammingTotal += minOk(r => ids(Quantize.searchHammingRescore(
+        bdf, "embedding", "bvec", "vec_id", m, q, 10, refine = r)))
+      residualTotal += minOk(r => ids(Quantize.searchHammingRescoreResidual(
+        bdf, "embedding", "bvec", "bres", "vec_id", m, q, 10, refine = r)))
+    }
+    // equal exactness, strictly smaller total candidate multiple
+    assert(residualTotal < hammingTotal,
+      s"residual needed $residualTotal vs hamming $hammingTotal")
+    bdf.unpersist()
+    // the stored factors are exactly ‖r‖ and the least-squares scale Σ|rᵢ|/d
+    val v = emb.select("embedding").as[Seq[Float]].head().toArray
+    val rs = v.indices.map(i => v(i).toDouble - m.thresholds(i))
+    val (gotNorm, gotScale) = m.residualFactors(v)
+    assert(math.abs(gotNorm - math.sqrt(rs.map(c => c * c).sum)) < 1e-4)
+    assert(math.abs(gotScale - rs.map(math.abs).sum / v.length) < 1e-6)
+  }
+
   test("4-bit packing roundtrips within half a step per dim (odd dim too)") {
     val rnd = new scala.util.Random(11)
     // odd dimension exercises the dangling low nibble of the last byte
