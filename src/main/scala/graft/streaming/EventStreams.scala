@@ -164,4 +164,92 @@ object EventStreams {
           hits.iterator
       }
   }
+
+  /** STREAMING funnel under OUT-OF-ORDER delivery (r13 VERDICT #6): real
+    * streams are not in-order, and [[funnelState]]'s consume-irrevocably
+    * relaxation lets a late step event miss its chain. This variant
+    * BUFFERS the step events per user (bounded: the earliest `maxPerStep`
+    * distinct times per step — exactly the events the greedy chain can
+    * ever consume) and RE-RESOLVES the batch operator's greedy
+    * earliest-completion chain over the buffer each micro-batch.
+    *
+    * A completed chain is emitted only once it is WATERMARK-SEALED
+    * (completion time ≤ current watermark): any event still admissible
+    * has ts ≥ watermark ≥ every chain time, and the greedy chain is built
+    * from minima, so no admissible future event can alter it — under any
+    * arrival order the emitted chains equal the batch operator over the
+    * delivered events (StreamingSpec shuffles delivery and pins it). A
+    * chain that completes ahead of the watermark registers an event-time
+    * timeout at its completion instant, so it emits as soon as the
+    * watermark passes even if the user never sends another event.
+    * Consumed epochs clear their events; re-entering events chain afresh,
+    * the same re-entry contract as [[funnelState]].
+    *
+    * 100 TB note: state per user is ≤ steps·maxPerStep (step, micros)
+    * pairs — bounded regardless of volume; the watermark (`delay`) is the
+    * lateness SLA, applied here so callers pass the raw typed stream. */
+  def funnelStateBuffered(events: Dataset[TypedEvent], steps: Seq[String],
+                          withinMicros: Option[Long] = None,
+                          delay: String = "10 seconds",
+                          maxPerStep: Int = 256): Dataset[FunnelHit] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(maxPerStep >= 1, s"maxPerStep must be >= 1: $maxPerStep")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Int, Long)], FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent],
+         state: GroupState[Seq[(Int, Long)]]) =>
+          def micros(e: TypedEvent): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
+          var buf = state.getOption.getOrElse(Seq.empty[(Int, Long)])
+          batch.foreach { e =>
+            stepIdx.get(e.event_type).foreach(si => buf = buf :+ (si -> micros(e)))
+          }
+          buf = buf.distinct.groupBy(_._1).iterator.flatMap { case (_, es) =>
+            es.sortBy(_._2).take(maxPerStep)
+          }.toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // the batch operator's greedy chain over the buffered events
+          def resolve(): Option[Vector[Long]] = {
+            var chain = Vector.empty[Long]
+            var i = 0
+            while (i < k) {
+              val next = buf.iterator
+                .filter(e => e._1 == i && (chain.isEmpty || e._2 > chain.last))
+                .map(_._2)
+              if (next.isEmpty) return None
+              chain = chain :+ next.min
+              i += 1
+            }
+            Some(chain)
+          }
+          val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          var pendingTimeoutMs: Option[Long] = None
+          var done = false
+          while (!done) {
+            resolve() match {
+              case Some(chain) if chain.last <= wmUs =>
+                if (withinMicros.forall(w => chain.last - chain.head <= w))
+                  hits += FunnelHit(uid, chain)
+                buf = buf.filter(_._2 > chain.last) // consume the epoch
+              case Some(chain) =>
+                // complete but not sealed: wake up when the watermark
+                // passes the completion instant (ceil to ms)
+                pendingTimeoutMs = Some(chain.last / 1000L + 1L)
+                done = true
+              case None => done = true
+            }
+          }
+          if (buf.nonEmpty) {
+            state.update(buf)
+            pendingTimeoutMs.foreach(state.setTimeoutTimestamp)
+          } else state.remove()
+          hits.iterator
+      }
+  }
 }

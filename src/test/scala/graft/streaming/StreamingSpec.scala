@@ -256,6 +256,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("buffered streaming funnel matches the batch operator under SHUFFLED delivery") {
+    import graft.streaming.EventStreams.TypedEvent
+    def ev(u: Long, us: Long, et: String) =
+      TypedEvent(u, new java.sql.Timestamp(us / 1000), et)
+    // logical event set: 5 users, chains with decoys and out-of-order
+    // traps (u1's late 'a' that must still anchor the chain, u2's decoy
+    // later 'b', u3 incomplete, u5 window-fail)
+    val logical = Seq(
+      ev(1, 10000, "a"), ev(1, 20000, "b"), ev(1, 30000, "c"),
+      ev(2, 11000, "a"), ev(2, 21000, "b"), ev(2, 25000, "b"),
+      ev(2, 31000, "c"),
+      ev(3, 12000, "b"), ev(3, 22000, "a"), ev(3, 23000, "b"),
+      ev(4, 13000, "a"), ev(4, 14000, "b"), ev(4, 15000, "c"),
+      ev(5, 16000, "a"), ev(5, 26000, "b"), ev(5, 46000, "c"))
+    // deliver SHUFFLED across micro-batches — late events arrive after
+    // later ones; all event times sit inside one watermark SLA, so
+    // nothing is dropped, only reordered
+    val shuffled = new scala.util.Random(17).shuffle(logical)
+    val batches = shuffled.grouped(6).toSeq
+    val in = MemoryStream[TypedEvent]
+    val q = graft.streaming.EventStreams.funnelStateBuffered(in.toDS(),
+        Seq("a", "b", "c"), withinMicros = Some(25000L),
+        delay = "1 second")
+      .writeStream.format("memory").queryName("funnelbuf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // advance the watermark past every chain, then one more trigger so
+      // event-time timeouts fire
+      in.addData(ev(999, 200000000L, "a")); q.processAllAvailable()
+      in.addData(ev(999, 200100000L, "a")); q.processAllAvailable()
+      val got = SparkT.spark.table("funnelbuf")
+        .as[graft.streaming.EventStreams.FunnelHit]
+        .collect().map(h => (h.user_id, h.step_us)).toSet
+      val all = logical.map(e => (e.user_id, e.ts, e.event_type))
+        .toDF("user_id", "ts", "event_type")
+      val viaBatch = graft.relational.Funnel.earliestChain(all, "user_id",
+          "ts", "event_type", Seq("a", "b", "c"), Some(25000L))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (u, t1, t2, t3) => (u, Seq(t1, t2, t3)) }.toSet
+      assert(got === viaBatch)
+      // the traps actually exercised: u1/u2/u4 completed, u3/u5 did not
+      assert(got.map(_._1) === Set(1L, 2L, 4L))
+      assert(got.contains((2L, Seq(11000L, 21000L, 31000L)))) // decoy skipped
+    } finally q.stop()
+  }
+
   test("streaming decontamination: each micro-batch probes the static eval set") {
     // The crawl-decontamination flow: incoming documents are checked
     // against the (static, broadcast) benchmark set per micro-batch via
