@@ -101,24 +101,53 @@ object Hnsw {
       res.dequeueAll.reverse.toSeq
     }
 
-    /** NSW insert-all: id-ascending, m-nearest links from the construction
-      * beam + an unpruned chain edge to the predecessor (connectivity). */
+    /** The published HNSW neighbor-selection heuristic (Malkov & Yashunin
+      * Algorithm 4, with keepPrunedConnections): walk candidates ascending
+      * by distance to the base point and keep one only if it is STRICTLY
+      * closer to the base than to every already-kept neighbor; remaining
+      * slots fill from the rejected, nearest first. Plain m-nearest
+      * selection collapses on duplicate-heavy data — a group of identical
+      * vectors absorbs every link (all at distance 0), fragmenting the
+      * graph into cliques connected only by the chain path, and beam
+      * recall craters (the r13 BENCH_SF1 recall gate measured 0.69@ef=64
+      * on 10×-replicated vectors; the diversity rule is the published fix
+      * and restores it). */
+    private def selectDiverse(base: Array[Float], cands: Seq[(Double, Int)],
+                              m: Int): Seq[Int] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      val rejected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val it = cands.iterator
+      while (it.hasNext && kept.size < m) {
+        val (dc, c) = it.next()
+        if (kept.forall { case (_, s) =>
+            dc < Ivf.scalarDist(metric, vecs(c), vecs(s)) })
+          kept += ((dc, c))
+        else rejected += c
+      }
+      (kept.map(_._2) ++ rejected.take(m - kept.size)).toSeq
+    }
+
+    /** NSW insert-all: id-ascending, heuristic-selected links from the
+      * construction beam (diverse, not just nearest) + an unpruned chain
+      * edge to the predecessor (connectivity). */
     def build(m: Int, efC: Int): Unit = {
       var i = 1
       while (i < n) {
         val near = searchBeam(vecs(i), efC, i)
-        val links = near.take(m).map(_._2)
+        val links = selectDiverse(vecs(i), near, m)
         val chain = i - 1
         val mine = (links :+ chain).distinct
         adj(i) ++= mine
         mine.foreach { j =>
           adj(j) += i
-          // prune j's NON-chain edges back to m by distance (chain edges
-          // j-1 and j+1 are load-bearing for connectivity — never pruned)
+          // prune j's NON-chain edges back to m with the same diversity
+          // heuristic (chain edges j-1 and j+1 are load-bearing for
+          // connectivity — never pruned)
           if (adj(j).size > m + 2) {
             val (chainE, rest) = adj(j).partition(e => e == j - 1 || e == j + 1)
-            val kept = rest.map(e => (Ivf.scalarDist(metric, vecs(j), vecs(e)), e))
-              .sorted.take(m).map(_._2)
+            val cand = rest.map(e => (Ivf.scalarDist(metric, vecs(j), vecs(e)), e))
+              .sorted.toSeq
+            val kept = selectDiverse(vecs(j), cand, m)
             adj(j).clear()
             adj(j) ++= (chainE ++ kept).distinct
           }
