@@ -106,6 +106,17 @@ object BenchScale {
       ("embeddings", Seq("vec_id"), Nil, Seq("embedding"), "vec_id", 4),
       ("nation", Nil, Nil, Nil, "n_nationkey", 1),
       ("region", Nil, Nil, Nil, "r_regionkey", 1))
+    // Layout marker: the replication recipe changed in r13 (vector
+    // jitter) — a $dst built by an older recipe must be REBUILT, not
+    // silently reused through the per-table _SUCCESS memoization (the
+    // recall gate would then measure the old degenerate duplicate corpus).
+    val layout = new org.apache.hadoop.fs.Path(dst, "_SCALE_LAYOUT_r13")
+    val lfs = layout.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!lfs.exists(layout)) {
+      lfs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      lfs.mkdirs(new org.apache.hadoop.fs.Path(dst))
+      lfs.create(layout, true).close()
+    }
     specs.foreach { case (t, keys, texts, vecs, sortKey, files) =>
       val path = s"$dst/$t.parquet"
       val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -209,9 +220,10 @@ object BenchScale {
     // the "does the flat-NSW-per-sub-graph design hold recall at small
     // beam widths and real scale" question gets a pinned number: routed
     // recall@10 at ef=64 plus how many sub-graphs the triangle-bound
-    // schedule actually probes. Replicas are VERBATIM vector copies, so
-    // exact neighbors carry ties across replicas — recall is measured
-    // tie-inclusively (any id at ≤ the kth distance counts).
+    // schedule actually probes. Replica vectors carry a tiny deterministic
+    // jitter (see replicate()), so near-neighbors can still land within
+    // ~1e-9 of each other — recall is measured tie-inclusively (any id at
+    // ≤ the kth distance counts).
     locally {
       import graft.vector.{Hnsw, Knn}
       val embPath = s"$dst/embeddings.parquet"

@@ -148,10 +148,18 @@ object Bpe {
     m
   }
 
-  /** merges.txt: optional `#version` header, then one `A B` pair per line,
-    * line order = rank. Malformed lines fail loudly. */
+  /** merges.txt: an optional LEADING `#version` header line, then one
+    * `A B` pair per line, line order = rank. Only that first header line
+    * is skipped — real GPT-2 merge lines can legitimately START with `#`
+    * (the merges that build the `##`/`####` tokens), so a blanket
+    * comment-strip would silently delete them and shift every rank.
+    * Malformed lines fail loudly. */
   def parseMerges(lines: Seq[String]): Map[(String, String), Int] = {
-    val body = lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+    val noHeader = lines match {
+      case h +: t if h.startsWith("#version") => t
+      case other => other
+    }
+    val body = noHeader.filterNot(_.trim.isEmpty)
     body.zipWithIndex.map { case (l, rank) =>
       val parts = l.split(" ")
       require(parts.length == 2,

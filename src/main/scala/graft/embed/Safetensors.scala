@@ -73,13 +73,19 @@ object Safetensors {
     names.toSeq
   }
 
-  /** Parse the file ONCE and return every tensor — the loader path for
-    * multi-tensor checkpoints (a transformer export is hundreds of tensors;
-    * per-tensor [[readTensor]] calls would re-read the whole file each
-    * time). */
+  /** Parse the file (and its JSON header) ONCE and return every tensor —
+    * the loader path for multi-tensor checkpoints (a transformer export is
+    * hundreds of tensors; per-tensor [[readTensor]] calls would re-read
+    * the file, and per-tensor header parses would re-parse a ~25 KB JSON
+    * header hundreds of times). */
   def readAll(path: String): Map[String, Tensor] = {
     val all = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
-    namesOf(path, all).map(n => n -> decode(path, all, n)).toMap
+    val (header, headerLen) = parsedHeader(path, all)
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    header.fieldNames().forEachRemaining(n =>
+      if (n != "__metadata__") names += n)
+    names.iterator
+      .map(n => n -> decodeEntry(path, all, header, headerLen, n)).toMap
   }
 
   /** Parse the file and return the named tensor. Validates the header
@@ -90,7 +96,8 @@ object Safetensors {
     decode(path, all, name)
   }
 
-  private def decode(path: String, all: Array[Byte], name: String): Tensor = {
+  private def parsedHeader(path: String, all: Array[Byte])
+      : (com.fasterxml.jackson.databind.JsonNode, Long) = {
     require(all.length >= 8, s"$path: not a safetensors file (too short)")
     val bb = ByteBuffer.wrap(all).order(ByteOrder.LITTLE_ENDIAN)
     val headerLen = bb.getLong()
@@ -98,7 +105,17 @@ object Safetensors {
       s"$path: corrupt safetensors header length $headerLen")
     val headerJson = new String(all, 8, headerLen.toInt, StandardCharsets.UTF_8)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val header = om.readTree(headerJson)
+    (om.readTree(headerJson), headerLen)
+  }
+
+  private def decode(path: String, all: Array[Byte], name: String): Tensor = {
+    val (header, headerLen) = parsedHeader(path, all)
+    decodeEntry(path, all, header, headerLen, name)
+  }
+
+  private def decodeEntry(path: String, all: Array[Byte],
+                          header: com.fasterxml.jackson.databind.JsonNode,
+                          headerLen: Long, name: String): Tensor = {
     val node = header.get(name)
     require(node != null && node.isObject, {
       val names = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -242,7 +242,9 @@ object Transformer {
       s"sequence of ${ids.length} tokens exceeds ${m.maxPositions} positions" +
         " — truncate before forward")
     val n = ids.length
-    // embeddings + LayerNorm
+    // embeddings + LayerNorm (type row hoisted out of the hot loop — an
+    // Option probe per (token, dim) element is pure allocation pressure)
+    val typeRow = m.typeEmb.orNull
     var x = Array.tabulate(n) { p =>
       val id = ids(p)
       require(id >= 0 && id < m.vocabRows,
@@ -253,7 +255,7 @@ object Transformer {
       var i = 0
       while (i < h) {
         e(i) = w(i).toDouble + pe(i).toDouble +
-          m.typeEmb.map(_(i).toDouble).getOrElse(0.0)
+          (if (typeRow != null) typeRow(i).toDouble else 0.0)
         i += 1
       }
       layerNorm(e, m.lnEmb, m.eps)

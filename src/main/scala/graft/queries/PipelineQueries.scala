@@ -229,7 +229,19 @@ object PipelineQueries {
     "q_embed_transformer" -> QueryDef(
       (s, d) => {
         val dir = transformerArtifact()
-        val emb = Embeddings.embedStage(t(s, d, "documents"), "text", "emb",
+        val docs = t(s, d, "documents")
+        // The oracle replays the 128-position cap but NOT preTruncate's
+        // raw-byte cap (cap·8 = 1024 UTF-8 bytes, applied before
+        // tokenization on the engine side) — sound only while no document
+        // reaches it. PIN the invariant loudly instead of assuming the
+        // fixture: a corpus change that could make the two sides diverge
+        // fails here, not as a silent hash mismatch.
+        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
+          .head().getInt(0)
+        require(maxBytes < Tf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+          s"q_embed_transformer oracle assumes no pre-truncation; corpus has " +
+            s"a $maxBytes-byte document >= ${Tf.MaxPos * 8} — extend the oracle")
+        val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
         emb.select(col("doc_id") +:
           (0 until Tf.H).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)

@@ -169,8 +169,11 @@ object EventStreams {
     * streams are not in-order, and [[funnelState]]'s consume-irrevocably
     * relaxation lets a late step event miss its chain. This variant
     * BUFFERS the step events per user (bounded: the earliest `maxPerStep`
-    * distinct times per step — exactly the events the greedy chain can
-    * ever consume) and RE-RESOLVES the batch operator's greedy
+    * distinct times per step carry across batches, trimmed only AFTER the
+    * batch's epochs consume — enough for every chain the retained set can
+    * resolve; only a user cycling through more than maxPerStep
+    * completions inside one watermark window can lose later re-entry
+    * chains) and RE-RESOLVES the batch operator's greedy
     * earliest-completion chain over the buffer each micro-batch.
     *
     * A completed chain is emitted only once it is WATERMARK-SEALED
@@ -210,9 +213,7 @@ object EventStreams {
           batch.foreach { e =>
             stepIdx.get(e.event_type).foreach(si => buf = buf :+ (si -> micros(e)))
           }
-          buf = buf.distinct.groupBy(_._1).iterator.flatMap { case (_, es) =>
-            es.sortBy(_._2).take(maxPerStep)
-          }.toSeq
+          buf = buf.distinct
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           // the batch operator's greedy chain over the buffered events
           def resolve(): Option[Vector[Long]] = {
@@ -245,6 +246,18 @@ object EventStreams {
               case None => done = true
             }
           }
+          // Bound the CARRIED state only AFTER this batch's epochs have
+          // consumed (trimming first would throw away events a
+          // just-resolved epoch's successor needs). The earliest
+          // maxPerStep distinct times per step are sufficient for every
+          // chain resolvable from the retained set; a user who cycles
+          // through MORE than maxPerStep completions inside one watermark
+          // window can lose later re-entry chains — the documented
+          // bounded-state relaxation (the batch operator emits one chain
+          // per user, so batch parity is unaffected).
+          buf = buf.groupBy(_._1).iterator.flatMap { case (_, es) =>
+            es.sortBy(_._2).take(maxPerStep)
+          }.toSeq
           if (buf.nonEmpty) {
             state.update(buf)
             pendingTimeoutMs.foreach(state.setTimeoutTimestamp)

@@ -122,5 +122,11 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.loadCount.get() <= before + 1) // one artifact read per JVM
     // merges.txt with a malformed line fails loudly
     intercept[IllegalArgumentException](Bpe.parseMerges(Seq("a b c")))
+    // ONLY the leading #version header is skipped: real GPT-2 merge lines
+    // can start with '#' (the merges that build '##'-family tokens)
+    val m2 = Bpe.parseMerges(Seq("#version: 0.2", "# #", "## #"))
+    assert(m2 === Map(("#", "#") -> 0, ("##", "#") -> 1))
+    val hashModel = Bpe.Model(baseVocab ++ Map("##" -> 300, "###" -> 301), m2)
+    assert(hashModel.encode("###").toSeq === Seq(301))
   }
 }
