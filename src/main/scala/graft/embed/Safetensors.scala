@@ -124,8 +124,8 @@ object Safetensors {
       s"$path: no tensor '$name' (has: ${names.mkString(", ")})"
     })
     val dtype = node.get("dtype").asText()
-    require(dtype == "F32" || dtype == "F16",
-      s"$path tensor '$name': dtype $dtype unsupported (F32/F16 only)")
+    require(dtype == "F32" || dtype == "F16" || dtype == "BF16",
+      s"$path tensor '$name': dtype $dtype unsupported (F32/F16/BF16 only)")
     val shape = {
       val it = node.get("shape").elements()
       val b = Seq.newBuilder[Int]
@@ -144,14 +144,19 @@ object Safetensors {
     val data = new Array[Float](n)
     if (dtype == "F32") bytes.asFloatBuffer().get(data)
     else {
-      // IEEE 754 half → float, exact (every F16 value is representable).
+      // 16-bit floats → float32, exact (every F16/BF16 value is
+      // representable). BF16 is float32's top 16 bits — shift left 16.
       // slice() rebases absolute indexing to the tensor's own bytes (a
       // wrapped buffer's absolute gets address the BACKING ARRAY) — and
       // resets the byte order, so reapply LE.
       val hb = bytes.slice().order(ByteOrder.LITTLE_ENDIAN)
+      val bf16 = dtype == "BF16"
       var i = 0
       while (i < n) {
-        data(i) = halfToFloat(hb.getShort(i * 2))
+        val bits = hb.getShort(i * 2)
+        data(i) =
+          if (bf16) java.lang.Float.intBitsToFloat((bits & 0xFFFF) << 16)
+          else halfToFloat(bits)
         i += 1
       }
     }

@@ -248,6 +248,32 @@ object PipelineQueries {
       },
       Some(tfOracleSql())),
 
+    // The WORDPIECE + special-token variant (same weights, vocab.txt in
+    // the checkpoint dir): the provider tokenizes with the real WordPiece
+    // algorithm, wraps `[CLS]`…`[SEP]`, and token ids index the embedding
+    // rows DIRECTLY — the BERT input convention end to end. The vocab is
+    // the corpus's complete fixed word list, so the oracle replays the
+    // lookup as a CASE and shifts positions by the leading [CLS].
+    "q_embed_transformer_wp" -> QueryDef(
+      (s, d) => {
+        val dir = transformerArtifactWp()
+        val docs = t(s, d, "documents")
+        // same byte-cap pin as the hash gate, plus the [CLS]/[SEP] content
+        // budget (cap − 2): the oracle replays NO truncation
+        val stats = docs.select(
+          max(octet_length(col("text").cast("binary"))),
+          max(size(split(trim(col("text")), "\\s+")))).head()
+        require(stats.getInt(0) < Tf.MaxPos * 8 &&
+            stats.getInt(1) <= Tf.MaxPos - 2,
+          s"q_embed_transformer_wp oracle assumes no truncation; corpus " +
+            s"has ${stats.getInt(0)} bytes / ${stats.getInt(1)} words max")
+        val emb = Embeddings.embedStage(docs, "text", "emb",
+          () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
+        emb.select(col("doc_id") +:
+          (0 until Tf.H).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
+      },
+      Some(tfOracleSql(tfTokWpCte))),
+
     // SEMANTIC SEARCH end-to-end (r10 VERDICT #2 — the reference wires
     // embeddings directly into the KNN column: LoadEmbeddingsLib +
     // GenerateEmbeddings feed the FLOATVEC build/search path,
@@ -888,10 +914,20 @@ object PipelineQueries {
   }
 
   // The checkpoint directory (model.safetensors + config.json), written
-  // once per process if absent — the q_embed_transformer artifact.
-  private def transformerArtifact(): String = {
+  // once per process if absent — the q_embed_transformer artifact. The
+  // `_wp` twin adds vocab.txt ([PAD]/[UNK]/[CLS]/[SEP] + the corpus word
+  // list), which flips the provider into real WordPiece + special-token
+  // mode over the SAME weights.
+  private def transformerArtifact(): String =
+    transformerArtifactIn("model_tf4_v1", withVocab = false)
+
+  private def transformerArtifactWp(): String =
+    transformerArtifactIn("model_tf4wp_v1", withVocab = true)
+
+  private def transformerArtifactIn(name: String,
+                                    withVocab: Boolean): String = {
     import graft.embed.Safetensors
-    val dir = new java.io.File(graft.tables.Derived.root, "model_tf4_v1")
+    val dir = new java.io.File(graft.tables.Derived.root, name)
     val wf = new java.io.File(dir, "model.safetensors")
     if (!wf.isFile) {
       dir.mkdirs()
@@ -931,6 +967,10 @@ object PipelineQueries {
           s""""num_hidden_layers":${Tf.L},"hidden_size":${Tf.H},""" +
           s""""layer_norm_eps":1e-12,""" +
           s""""max_position_embeddings":${Tf.MaxPos}}""").getBytes("UTF-8"))
+      if (withVocab)
+        java.nio.file.Files.write(new java.io.File(dir, "vocab.txt").toPath,
+          (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ TfWords)
+            .mkString("\n").getBytes("UTF-8"))
     }
     dir.toString
   }
@@ -1034,14 +1074,42 @@ object PipelineQueries {
     Seq(qkv, sc, sm, ex, sx, ctx, ao, lnA, it, th, gl, fo, lnO).mkString(", ")
   }
 
-  private def tfOracleSql(): String = {
+  /** The corpus's complete (fixed) word list, sorted — the WordPiece gate
+    * vocab is `[PAD] [UNK] [CLS] [SEP]` + these, so id(word) = 4 + rank
+    * and the oracle replays the lookup as a CASE. */
+  // lazy: referenced from the `defs` map initializer above, which runs
+  // before this point of the object body
+  private lazy val TfWords = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Hash-tokenizer token CTE: (doc_id, pos, b) with b = rolling-hash
+    * bucket (the no-vocab mode's row addressing). */
+  private def tfTokHashCte: String =
+    "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tk FROM dd), " +
+      "tok AS (SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(tk,''), c -> unicode(c)::BIGINT)), " +
+      s"(a, b) -> (a*31 + b) % 1000000007) % ${Tf.V} AS b FROM tok0 " +
+      s"WHERE pos < ${Tf.MaxPos})"
+
+  /** WordPiece token CTE: `[CLS]` at position 0, vocab-id'd words shifted
+    * by one, `[SEP]` after the last — the BERT input convention the
+    * provider applies when the checkpoint ships a vocab. */
+  private def tfTokWpCte: String = {
+    val cases = TfWords.zipWithIndex
+      .map { case (wd, i) => s"WHEN '$wd' THEN ${i + 4}" }.mkString(" ")
+    "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS i, unnest(w) AS tk FROM dd), " +
+      s"tokw AS (SELECT doc_id, i + 1 AS pos, (CASE tk $cases ELSE 1 END) AS b FROM tok0), " +
+      "tok AS (SELECT doc_id, 0 AS pos, 2 AS b FROM dd " +
+      "UNION ALL SELECT doc_id, pos, b FROM tokw " +
+      "UNION ALL SELECT doc_id, len(w) + 1 AS pos, 3 AS b FROM dd)"
+  }
+
+  private def tfOracleSql(tokCte: String = tfTokHashCte): String = {
     val head =
       raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
-        "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tk FROM dd), " +
-        "tok AS (SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT, " +
-        "list_transform(string_split(tk,''), c -> unicode(c)::BIGINT)), " +
-        s"(a, b) -> (a*31 + b) % 1000000007) % ${Tf.V} AS b FROM tok0 " +
-        s"WHERE pos < ${Tf.MaxPos})"
+        tokCte
     val e = "e AS (SELECT doc_id, pos, " +
       (0 until Tf.H).map(i =>
         s"((b*31 + $i) % 97 - 48)/16.0 + ((pos*17 + ${i * 5}) % 23 - 11)/32.0" +

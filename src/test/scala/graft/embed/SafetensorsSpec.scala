@@ -108,6 +108,35 @@ class SafetensorsSpec extends AnyFunSuite {
       java.lang.Float.floatToIntBits(-0.0f))
   }
 
+  test("BF16 tensors decode bit-exactly (truncated-float32 semantics)") {
+    // BF16 bits = float32's top 16 bits; decoding shifts them back — a
+    // value representable in BF16 round-trips to the identical float32
+    val vals = Seq(1.0f, -2.5f, 0.0f, -0.0f, 3.140625f,
+      java.lang.Float.intBitsToFloat(0x7F800000), // +inf
+      java.lang.Float.intBitsToFloat(0x00010000)) // tiny (subnormal-ish)
+    val shorts = vals.map(v =>
+      ((java.lang.Float.floatToRawIntBits(v) >>> 16) & 0xFFFF).toShort)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val header = om.createObjectNode()
+    val nd = header.putObject("b")
+    nd.put("dtype", "BF16")
+    nd.putArray("shape").add(vals.size)
+    val offs = nd.putArray("data_offsets")
+    offs.add(0); offs.add(vals.size * 2)
+    val hb = om.writeValueAsBytes(header)
+    val bb = java.nio.ByteBuffer.allocate(8 + hb.length + vals.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(hb.length.toLong).put(hb)
+    shorts.foreach(bb.putShort)
+    val path = tmp("bf16.safetensors")
+    java.nio.file.Files.write(new java.io.File(path).toPath, bb.array())
+    val got = Safetensors.readTensor(path, "b").data.toSeq
+    got.lazyZip(vals).foreach { (g, w) =>
+      assert(java.lang.Float.floatToRawIntBits(g) ===
+        java.lang.Float.floatToRawIntBits(w), s"$g vs $w")
+    }
+  }
+
   test("WordPiece: greedy longest-match, ## continuations, all-or-nothing UNK") {
     val v = WordPiece.parseVocab(Seq("[UNK]", "un", "##aff", "##able",
       "aff", "hello", "##o"))
