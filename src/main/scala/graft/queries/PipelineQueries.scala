@@ -274,6 +274,42 @@ object PipelineQueries {
       },
       Some(tfOracleSql(tfTokWpCte))),
 
+    // SEMANTIC SEARCH over TRANSFORMER embeddings (r13): the reference's
+    // full local-inference flow — load checkpoint, run the real encoder
+    // over the corpus, embed the query text with the same model, exact
+    // top-k over the resulting vectors (knn/knn.h:146-163 +
+    // embeddings/src/model/local.rs in one pipeline). The oracle replays
+    // the ENTIRE forward as CTEs and the distance top-k after it; vectors
+    // compare at float32, distances accumulate in double on both sides
+    // (the Distances codegen contract), so round(dist, 6) hash-matches.
+    "q_semantic_transformer" -> QueryDef(
+      (s, d) => {
+        val dir = transformerArtifactWp()
+        val docs = t(s, d, "documents")
+        val emb = Embeddings.embedStage(docs, "text", "emb",
+          () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
+        val qtext = docs.filter(col("doc_id") === 0)
+          .select(col("text")).head().getString(0)
+        val qv = graft.embed.ModelRegistry.create(s"transformer:$dir")
+          .embedBatch(Seq(qtext)).head
+        graft.vector.Knn.knn(emb, "emb", "doc_id", qv, 10, graft.vector.Knn.L2)
+          .select(col("doc_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(tfChainWithFin(tfTokWpCte) +
+        ", q AS (SELECT " +
+        (0 until Tf.H).map(i => s"e$i AS q$i").mkString(", ") +
+        " FROM fin WHERE doc_id = 0) " +
+        "SELECT f.doc_id, round(list_distance([" +
+        (0 until Tf.H).map(i => s"f.e$i::DOUBLE").mkString(", ") +
+        "], [" +
+        (0 until Tf.H).map(i => s"q.q$i::DOUBLE").mkString(", ") +
+        "]), 6) + 0.0 AS dist FROM fin f CROSS JOIN q " +
+        "ORDER BY list_distance([" +
+        (0 until Tf.H).map(i => s"f.e$i::DOUBLE").mkString(", ") +
+        "], [" +
+        (0 until Tf.H).map(i => s"q.q$i::DOUBLE").mkString(", ") +
+        "]), f.doc_id LIMIT 10")),
+
     // SEMANTIC SEARCH end-to-end (r10 VERDICT #2 — the reference wires
     // embeddings directly into the KNN column: LoadEmbeddingsLib +
     // GenerateEmbeddings feed the FLOATVEC build/search path,
@@ -1106,7 +1142,7 @@ object PipelineQueries {
       "UNION ALL SELECT doc_id, len(w) + 1 AS pos, 3 AS b FROM dd)"
   }
 
-  private def tfOracleSql(tokCte: String = tfTokHashCte): String = {
+  private def tfOracleParts(tokCte: String): (String, String) = {
     val head =
       raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
         tokCte
@@ -1127,7 +1163,20 @@ object PipelineQueries {
         s"coalesce(CASE WHEN n.nn > 0 THEN n.p$i/n.nn END, 0)::FLOAT AS e$i")
         .mkString(", ") +
       " FROM dd d LEFT JOIN nrm n ON d.doc_id = n.doc_id"
-    (Seq(head, e, ln0) ++ layers ++ Seq(pool, nrm)).mkString(", ") + " " + fin
+    ((Seq(head, e, ln0) ++ layers ++ Seq(pool, nrm)).mkString(", "), fin)
+  }
+
+  private def tfOracleSql(tokCte: String = tfTokHashCte): String = {
+    val (ctes, fin) = tfOracleParts(tokCte)
+    ctes + " " + fin
+  }
+
+  /** The whole forward as a CTE chain ending in `fin(doc_id, e0..)` —
+    * composable oracles (the semantic-search gate chains a distance
+    * top-k after it). */
+  private def tfChainWithFin(tokCte: String): String = {
+    val (ctes, fin) = tfOracleParts(tokCte)
+    ctes + s", fin AS ($fin)"
   }
 
   // Memoized clustered-graph index over the semantic corpus (per sfDir) —
