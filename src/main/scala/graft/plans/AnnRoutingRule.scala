@@ -81,9 +81,14 @@ object AnnRouting {
   /** Binary (1-bit) quantized table
     * ([[graft.vector.Quantize.binarizeTable]]): same splice with the
     * Hamming (XOR+popcount) coarse screen. */
+  /** `rCol`, when set, names the residual-factor struct column written
+    * by `binarizeTableResidual` — the screen upgrades from raw Hamming to
+    * the magnitude-aware corrected estimate (knn/quantizer.h:48-61
+    * factors), same exact-rescore contract. */
   final case class BinaryFamily(model: graft.vector.Quantize.BModel,
                                 bCol: String, idCol: String,
-                                refine: Int) extends Family
+                                refine: Int,
+                                rCol: Option[String] = None) extends Family
 
   final case class Registered(basePath: String, indexPath: String,
                               vecCol: String, rows: Long, family: Family)
@@ -189,14 +194,15 @@ object AnnRouting {
   def registerBinary(spark: SparkSession, basePath: String, binPath: String,
                      model: graft.vector.Quantize.BModel, vecCol: String,
                      idCol: String, bCol: String = "bvec",
-                     refine: Int = 16): Unit = {
+                     refine: Int = 16,
+                     rCol: Option[String] = None): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, binPath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
     putUnlessMutated(spark, binPath, epoch0, q,
       Registered(q, binPath, vecCol, rows,
-        BinaryFamily(model, bCol, idCol, refine)))
+        BinaryFamily(model, bCol, idCol, refine, rCol)))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -353,8 +359,12 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                 k, child.collect { case f: Filter => f })
             case qf: AnnRouting.BinaryFamily =>
               buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
-                (df, n) => graft.vector.Quantize.coarseIdsBinary(
-                  df, qf.bCol, qf.idCol, qf.model, qvec, n),
+                (df, n) => qf.rCol match {
+                  case Some(rc) => graft.vector.Quantize.coarseIdsBinaryResidual(
+                    df, qf.bCol, rc, qf.idCol, qf.model, qvec, n)
+                  case None => graft.vector.Quantize.coarseIdsBinary(
+                    df, qf.bCol, qf.idCol, qf.model, qvec, n)
+                },
                 k, child.collect { case f: Filter => f })
             case _ => None // IVF whose bypass gate chose the fullscan
           }

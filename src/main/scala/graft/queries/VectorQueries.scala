@@ -458,9 +458,13 @@ object VectorQueries {
     "q_knn_binary_res" -> QueryDef(
       (s, d) => {
         val (m, path) = binResIndex(s, d)
-        Quantize.searchHammingRescoreResidual(s.read.parquet(path),
-            "embedding", "bvec", "bres", "vec_id", m, queryVec(s, d), 10,
-            refine = 40)
+        // AUTOMATIC route (K4): plain top-k over the registered table
+        // rewrites through the residual-corrected screen + exact rescore
+        graft.plans.AnnRouting.registerBinary(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", refine = 40,
+          rCol = Some("bres"))
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
