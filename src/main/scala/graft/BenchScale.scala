@@ -57,7 +57,12 @@ object BenchScale {
     "q_decontaminate", "q_mix_budget", "q_pipeline_v3", "q_funnel",
     // r12-4: the interval join's bucket explode must stay ~2 rows per
     // interval as both sides scale
-    "q_join_interval")
+    "q_join_interval",
+    // r13: the transformer forward is per-document scalar math (must be
+    // exactly linear), BPE is a per-document merge loop with a shared
+    // token cache, and the residual binary screen is a compact-column
+    // scan + bounded rescore
+    "q_embed_transformer", "q_text_bpe", "q_knn_binary_res")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

@@ -442,6 +442,41 @@ object Multimodal {
     }
   }
 
+  /** REAL codec-format image resizer via the JDK's own raster pipeline:
+    * decode with ImageIO, nearest-neighbor scale through Graphics2D, and
+    * re-encode with the named JDK writer ("png"/"jpg"/"gif"/"bmp") — a
+    * stock viewer opens the output. Non-image payloads pass through
+    * unchanged with their declared dimensions (the robust-at-scale
+    * contract, same as [[BmpNearestResizer]]). */
+  final case class ImageIoResizer(targetW: Int, targetH: Int,
+                                  format: String = "png")
+      extends BlobResizer {
+    require(targetW >= 1 && targetH >= 1)
+    def resize(payload: Array[Byte], width: Int,
+               height: Int): (Array[Byte], Int, Int) = {
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) return (payload, width, height)
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, format, baos)
+        (baos.toByteArray, targetW, targetH)
+      } catch {
+        case scala.util.control.NonFatal(_) => (payload, width, height)
+      }
+    }
+  }
+
   /** Resize stage: rewrite `blobCol` IN PLACE (payload + meta.width/height/
     * size_bytes) through `resizer` — partition-local, no shuffle, schema
     * unchanged, so downstream stages and metadata pushdown are oblivious

@@ -761,6 +761,38 @@ object PipelineQueries {
         "((n_chars * 3 % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) " +
         "* 1000 // 3 AS mean_channel_milli FROM documents")),
 
+    // Codec-format RESIZE (r13): PNG decode → nearest-neighbor raster
+    // scale → PNG re-encode → decode, all through the JDK pipeline.
+    // Solid-color fills make the scaled means EXACT (any interpolation of
+    // a constant field is that constant), and the in-place meta rewrite
+    // is checked alongside the re-decoded header dims.
+    "q_multimodal_resize_png" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.pipeline.Multimodal
+        val src = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            (id, Multimodal.syntheticImage((id % 5 + 4).toInt, (id % 3 + 3).toInt,
+              (nc * 7 % 256).toInt, (id * 3 % 256).toInt, (id * 19 % 256).toInt,
+              "png"))
+          }.toDF("doc_id", "payload")
+        val packed = src.withColumn("blob", Multimodal.packBlob(
+          col("payload"), lit("png"), lit(0), lit(0))).drop("payload")
+        val resized = Multimodal.resizeStage(packed, "blob",
+          Multimodal.ImageIoResizer(3, 2, "png"))
+        Multimodal.decodeStage(resized, "blob", "img", Multimodal.ImageIoDecoder)
+          .select(col("doc_id"), col("img.width").as("width"),
+            col("img.height").as("height"),
+            col("img.mean_channel_milli").as("mean_channel_milli"),
+            col("blob.meta.width").as("meta_w"),
+            col("blob.meta.height").as("meta_h"))
+      },
+      Some("SELECT doc_id, 3::INT AS width, 2::INT AS height, " +
+        "((n_chars * 7 % 256) + (doc_id * 3 % 256) + (doc_id * 19 % 256)) " +
+        "* 1000 // 3 AS mean_channel_milli, " +
+        "3::INT AS meta_w, 2::INT AS meta_h FROM documents")),
+
     // JPEG is LOSSY, so the gate checks the decoded mean at bucket
     // granularity: solid mid-bucket grays (16k+8) decode within ±2 units,
     // far inside the 16-unit bucket — header dims stay exact. A real
