@@ -68,8 +68,15 @@ object Hnsw {
       * beam. With ef >= upTo the result is exactly the allowed subset —
       * the bound never prunes, because the result heap holds at most the
       * allowed count <= ef entries. */
+    /** `term`, when non-null, is the reference's ADAPTIVE termination
+      * (knn/termination.h:23-52): each expansion round reports its
+      * discovery rate, and `patience` consecutive rounds below the moving
+      * P² quantile of that rate end the walk before beam exhaustion —
+      * opt-in, so the exact (full-ef) contract of every gate is
+      * untouched. */
     def searchBeam(q: Array[Float], ef: Int, upTo: Int,
-                   allowed: Int => Boolean = _ => true): Seq[(Double, Int)] = {
+                   allowed: Int => Boolean = _ => true,
+                   term: Quantile.Termination = null): Seq[(Double, Int)] = {
       if (upTo == 0) return Nil
       val ord = Ordering.Tuple2[Double, Int]
       // candidates: min-first by (dist, id-idx); results: max-first
@@ -82,15 +89,20 @@ object Hnsw {
       while (cand.nonEmpty) {
         val c = cand.dequeue()
         if (res.size >= ef && ord.gt(c, res.head)) { cand.clear() }
+        else if (term != null && term.shouldTerminate(ef, res.size)) {
+          cand.clear()
+        }
         else {
           adj(c._2).foreach { e =>
             if (e < upTo && !visited.get(e)) {
               visited.set(e)
               val de = (d(e, q), e)
+              if (term != null) term.onDistanceScored()
               if (res.size < ef || ord.lt(de, res.head)) {
                 cand.enqueue(de)
                 if (allowed(e)) {
                   res.enqueue(de)
+                  if (term != null) term.onCandidateCollected()
                   if (res.size > ef) res.dequeue()
                 }
               }
@@ -516,7 +528,8 @@ object Hnsw {
     * task body of [[search]] and [[searchRouted]]. */
   private def searchSubGraph(it: Iterator[(Int, GraphRow)], q: Array[Float],
                              k: Int, ef: Int, metric: Knn.Metric,
-                             allowed: Long => Boolean = _ => true)
+                             allowed: Long => Boolean = _ => true,
+                             adaptive: Boolean = false)
       : Iterator[(Long, Double, Array[Float])] = {
     val sorted = it.map(_._2).toArray.sortBy(_._1)
     if (sorted.isEmpty) Iterator.empty
@@ -526,10 +539,14 @@ object Hnsw {
       sorted.indices.foreach { i =>
         g.adj(i) ++= sorted(i)._3.iterator.map(idx)
       }
+      val term =
+        if (adaptive) new Quantile.Termination(Quantile.L2ThresholdQuantile)
+        else null
       // vectors ride along (k per sub-graph): the automatic ANN route
       // feeds candidates back under the original Sort, which recomputes
       // exact distances from them
-      g.searchBeam(q, math.max(ef, k), g.n, i => allowed(g.ids(i))).take(k)
+      g.searchBeam(q, math.max(ef, k), g.n, i => allowed(g.ids(i)), term)
+        .take(k)
         .map { case (dist, i) => (g.ids(i), dist, g.vecs(i)) }.iterator
     }
   }
@@ -544,16 +561,23 @@ object Hnsw {
     * attribute columns so the predicate rides the probe scan instead of a
     * driver-built set (the reference host hands its filter bitmaps to the
     * callback the same way). */
+  /** `adaptiveTermination` opts into the reference's P²-quantile early
+    * stop (knn/termination.h) inside each sub-graph's beam walk — fewer
+    * distance evaluations at a small recall cost; leave false for the
+    * exact full-ef contract. */
   def search(spark: SparkSession, indexPath: String, idCol: String,
              query: Array[Float], k: Int, ef: Int,
              metric: Knn.Metric = Knn.L2,
-             allowed: Option[Long => Boolean] = None): DataFrame = {
+             allowed: Option[Long => Boolean] = None,
+             adaptiveTermination: Boolean = false): DataFrame = {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(query)
     val f = allowed.getOrElse((_: Long) => true)
+    val adapt = adaptiveTermination
     val perPart = loadGraph(spark, indexPath)
-      .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric, f)
-        .map(t => (t._1, t._2)))
+      .mapPartitions(it =>
+        searchSubGraph(it, qB.value, k, ef, metric, f, adapt)
+          .map(t => (t._1, t._2)))
     spark.createDataset(perPart).toDF(idCol, "dist")
       .orderBy(col("dist").asc, col(idCol).asc).limit(k)
   }
