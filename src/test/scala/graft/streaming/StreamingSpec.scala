@@ -303,6 +303,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("buffered funnel: multi-epoch re-entry within one batch survives the state trim") {
+    import graft.streaming.EventStreams.TypedEvent
+    def ev(u: Long, us: Long, et: String) =
+      TypedEvent(u, new java.sql.Timestamp(us / 1000), et)
+    // one user completes TWICE, plus step-a noise beyond maxPerStep, all
+    // in a single micro-batch — the trim must not eat the second epoch's
+    // events (it runs AFTER this batch's epochs consume)
+    val noise = (0 until 40).map(i => ev(7, 1000 + i * 100, "a"))
+    val logical = noise ++ Seq(
+      ev(7, 10000, "b"), // epoch 1: a@1000 .. b@10000
+      ev(7, 11000, "a"), ev(7, 12000, "b")) // epoch 2 (later than all noise)
+    val in = MemoryStream[TypedEvent]
+    val q = graft.streaming.EventStreams.funnelStateBuffered(in.toDS(),
+        Seq("a", "b"), delay = "1 second", maxPerStep = 8)
+      .writeStream.format("memory").queryName("funnelbuf2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(new scala.util.Random(5).shuffle(logical): _*)
+      q.processAllAvailable()
+      in.addData(ev(999, 100000000L, "a")); q.processAllAvailable()
+      in.addData(ev(999, 100100000L, "a")); q.processAllAvailable()
+      val got = SparkT.spark.table("funnelbuf2")
+        .as[graft.streaming.EventStreams.FunnelHit]
+        .collect().map(h => (h.user_id, h.step_us)).toSet
+      assert(got === Set((7L, Seq(1000L, 10000L)), (7L, Seq(11000L, 12000L))))
+    } finally q.stop()
+  }
+
   test("streaming decontamination: each micro-batch probes the static eval set") {
     // The crawl-decontamination flow: incoming documents are checked
     // against the (static, broadcast) benchmark set per micro-batch via
