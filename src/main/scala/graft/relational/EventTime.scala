@@ -49,24 +49,34 @@ object EventTime {
       case dt => unsupported(c, dt)
     }
 
-  /** Exact epoch-microseconds long (integral inputs are epoch NANOS and
-    * truncate by integer division — never float). */
+  /** Integral nanos → micros by FLOOR division (never float). Spark's
+    * `div` TRUNCATES (rounds toward zero), which for a PRE-EPOCH
+    * nanosecond value would round the opposite way from `unix_micros`
+    * (which floors) and from DuckDB's `//` — the `(x - pmod(x, 1000))`
+    * form floors for both signs, so every representation lands on the
+    * same microsecond (r12 verdict nit; fixtures are post-epoch, but the
+    * divergence was real for negative instants). */
+  private def nanosToMicros(c: String): Column =
+    expr(s"(`$c` - pmod(`$c`, 1000)) div 1000")
+
+  /** Exact epoch-microseconds long (integral inputs are epoch NANOS,
+    * floor-divided — consistent with `unix_micros` pre-epoch). */
   def epochMicros(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case TimestampType => unix_micros(col(c))
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-      case dt if integral(dt) => expr(s"`$c` div 1000")
+      case dt if integral(dt) => nanosToMicros(c)
       case dt => unsupported(c, dt)
     }
 
   /** The column as a plain `TimestampType` instant (what `window`/
     * `session_window`/`withWatermark`/stream-stream joins want). Integral
-    * inputs are epoch NANOS, truncated to micros in integer math. */
+    * inputs are epoch NANOS, floor-divided to micros in integer math. */
   def asTimestamp(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case TimestampType => col(c)
       case TimestampNTZType => col(c).cast(TimestampType)
-      case dt if integral(dt) => timestamp_micros(expr(s"`$c` div 1000"))
+      case dt if integral(dt) => timestamp_micros(nanosToMicros(c))
       case dt => unsupported(c, dt)
     }
 

@@ -66,6 +66,22 @@ class EventTimeSpec extends AnyFunSuite with GenCheck {
     assert(df.select(EventTime.epochMicros(df, "ts")).as[Long].head() == big / 1000L)
   }
 
+  test("pre-epoch integral nanos FLOOR to micros — agreeing with unix_micros") {
+    // -1 ns lives in microsecond -1 (the floor), not 0 (the truncation);
+    // unix_micros of the corresponding timestamp floors the same way
+    val df = Seq((-1L, -999L, -1000L, -1001L, 1001L)).toDF("a", "b", "c", "d", "e")
+    def us(c: String) =
+      df.select(EventTime.epochMicros(df, c)).as[Long].head()
+    assert(us("a") == -1L)
+    assert(us("b") == -1L)
+    assert(us("c") == -1L)
+    assert(us("d") == -2L)
+    assert(us("e") == 1L)
+    // asTimestamp lands on the same flooring
+    assert(df.select(unix_micros(EventTime.asTimestamp(df, "d")))
+      .as[Long].head() == -2L)
+  }
+
   test("non-time column is rejected fast with a typed message") {
     val df = Seq(Tuple1("x")).toDF("ts")
     val e = intercept[IllegalArgumentException](EventTime.epochNanos(df, "ts"))
