@@ -247,6 +247,7 @@ object BenchScale {
       val k = 10
       var recSum = 0.0
       var probedSum = 0L
+      var recAdaptSum = 0.0
       qs.foreach { case (_, qv) =>
         val q = qv.toArray
         val d10 = Knn.knn(emb, "embedding", "vec_id", q, k)
@@ -259,8 +260,15 @@ object BenchScale {
         val got = routedDf.select(col("vec_id")).as[Long].collect().toSet
         recSum += got.count(tieSet.contains).toDouble / k
         probedSum += probed
+        // evidence row: the opt-in P² adaptive termination's recall at
+        // the same ef (reported, not floor-pinned — it is a knob)
+        val (adaptDf, _) = Hnsw.searchRouted(spark, idxPath,
+          "vec_id", q, k, ef = 64, adaptiveTermination = true)
+        recAdaptSum += adaptDf.select(col("vec_id")).as[Long].collect()
+          .count(tieSet.contains).toDouble / k
       }
       val meanRecall = recSum / qs.length
+      val meanRecallAdapt = recAdaptSum / qs.length
       val meanProbed = probedSum.toDouble / qs.length
       val subGraphs = spark.read.parquet(Hnsw.routePath(idxPath)).count()
       val floorOk = meanRecall >= 0.95
@@ -268,6 +276,7 @@ object BenchScale {
       val g = root.putObject("graph_recall")
       g.put("ef", 64); g.put("k", k); g.put("queries", qs.length)
       g.put("mean_recall", math.round(meanRecall * 1e4) / 1e4)
+      g.put("mean_recall_adaptive", math.round(meanRecallAdapt * 1e4) / 1e4)
       g.put("mean_probed_subgraphs", math.round(meanProbed * 100) / 100.0)
       g.put("total_subgraphs", subGraphs)
       g.put("floor_ok", floorOk)

@@ -21,12 +21,16 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   * Graph shape: single-layer NSW (the reference's layer-0 with a fixed
   * entry point instead of the layer hierarchy — at sub-graph sizes of
   * 10^5-10^6 rows the hierarchy buys one hop). Insertion in ascending-id
-  * order; each node links to its `m` nearest among the ef-construction
-  * beam plus an UNPRUNED chain edge to its insertion predecessor, which
-  * keeps every sub-graph connected — so `ef >= |partition|` degenerates to
-  * an EXACT exhaustive walk (the oracle-checked configuration, same move
-  * as IVF's nprobe=nlist), while small ef gives the usual logarithmic
-  * search with spec-tested recall.
+  * order; each node's links come from the ef-construction beam through the
+  * PUBLISHED diversity heuristic (Malkov Algorithm 4 — plain m-nearest
+  * collapses into cliques on duplicate-heavy data, see selectDiverse), plus
+  * an UNPRUNED chain edge to its insertion predecessor, which keeps every
+  * sub-graph connected — so `ef >= |partition|` degenerates to an EXACT
+  * exhaustive walk (the oracle-checked configuration, same move as IVF's
+  * nprobe=nlist), while small ef gives the usual logarithmic search with
+  * spec-tested recall (1.0@ef=32 on the decorrelated 10× corpus,
+  * BENCH_SF1). Opt-in P²-quantile adaptive termination
+  * ([[Quantile.Termination]]) trims beam exhaustion further.
   *
   * Determinism: insertion order, distance ties, beam membership and the
   * final merge all tie-break on id, so results are a function of the data
@@ -638,10 +642,11 @@ object Hnsw {
   def searchRouted(spark: SparkSession, indexPath: String, idCol: String,
                    query: Array[Float], k: Int, ef: Int,
                    eps: Double = 1e-4,
-                   allowed: Option[Long => Boolean] = None): (DataFrame, Int) = {
+                   allowed: Option[Long => Boolean] = None,
+                   adaptiveTermination: Boolean = false): (DataFrame, Int) = {
     import spark.implicits._
     val (rows, probed) = searchRoutedRaw(spark, indexPath, query, k, ef,
-      eps, allowed)
+      eps, allowed, adaptiveTermination)
     (rows.map { case (id, dist, _) => (id, dist) }.toSeq.toDF(idCol, "dist"),
       probed)
   }
@@ -661,7 +666,8 @@ object Hnsw {
   def searchRoutedRaw(spark: SparkSession, indexPath: String,
                       query: Array[Float], k: Int, ef: Int,
                       eps: Double = 1e-4,
-                      allowed: Option[Long => Boolean] = None)
+                      allowed: Option[Long => Boolean] = None,
+                      adaptiveTermination: Boolean = false)
       : (Array[(Long, Double, Array[Float])], Int) = {
     val (metric, rts) = routes(spark, indexPath)
     val boundQ =
@@ -704,8 +710,10 @@ object Hnsw {
       val probes = remaining.take(batch).toSet
       val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
         graph, probes.contains)
+      val adapt = adaptiveTermination
       val rows = pruned
-        .mapPartitions(it => searchSubGraph(it, qB.value, k, ef, metric, f))
+        .mapPartitions(it =>
+          searchSubGraph(it, qB.value, k, ef, metric, f, adapt))
         .collect().map { case (id, d, vec) => (d, id, vec) }
       // sortBy (dist, id): the vector slot has no ordering
       bestK = (bestK ++ rows).sortBy(t => (t._1, t._2)).take(k)
