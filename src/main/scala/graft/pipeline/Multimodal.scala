@@ -469,8 +469,12 @@ object Multimodal {
           g.drawImage(img, 0, 0, targetW, targetH, null)
         } finally g.dispose()
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, format, baos)
-        (baos.toByteArray, targetW, targetH)
+        // write() returns false (no exception) for a format with no JDK
+        // writer — falling through would replace the image with an EMPTY
+        // payload claiming the target dims; pass through instead
+        if (!javax.imageio.ImageIO.write(out, format, baos))
+          (payload, width, height)
+        else (baos.toByteArray, targetW, targetH)
       } catch {
         case scala.util.control.NonFatal(_) => (payload, width, height)
       }

@@ -80,11 +80,11 @@ object AnnRouting {
                                 refine: Int) extends Family
   /** Binary (1-bit) quantized table
     * ([[graft.vector.Quantize.binarizeTable]]): same splice with the
-    * Hamming (XOR+popcount) coarse screen. */
-  /** `rCol`, when set, names the residual-factor struct column written
-    * by `binarizeTableResidual` — the screen upgrades from raw Hamming to
-    * the magnitude-aware corrected estimate (knn/quantizer.h:48-61
-    * factors), same exact-rescore contract. */
+    * Hamming (XOR+popcount) coarse screen. `rCol`, when set, names the
+    * residual-factor struct column written by `binarizeTableResidual` —
+    * the screen upgrades from raw Hamming to the magnitude-aware
+    * corrected estimate (knn/quantizer.h:48-61 factors), same
+    * exact-rescore contract. */
   final case class BinaryFamily(model: graft.vector.Quantize.BModel,
                                 bCol: String, idCol: String,
                                 refine: Int,

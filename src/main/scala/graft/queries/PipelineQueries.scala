@@ -286,6 +286,15 @@ object PipelineQueries {
       (s, d) => {
         val dir = transformerArtifactWp()
         val docs = t(s, d, "documents")
+        // same no-truncation pin as q_embed_transformer_wp: the oracle
+        // replays the untruncated token list
+        val stats0 = docs.select(
+          max(octet_length(col("text").cast("binary"))),
+          max(size(split(trim(col("text")), "\\s+")))).head()
+        require(stats0.getInt(0) < Tf.MaxPos * 8 &&
+            stats0.getInt(1) <= Tf.MaxPos - 2,
+          s"q_semantic_transformer oracle assumes no truncation; corpus " +
+            s"has ${stats0.getInt(0)} bytes / ${stats0.getInt(1)} words max")
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
         val qtext = docs.filter(col("doc_id") === 0)

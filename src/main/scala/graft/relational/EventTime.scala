@@ -52,12 +52,13 @@ object EventTime {
   /** Integral nanos → micros by FLOOR division (never float). Spark's
     * `div` TRUNCATES (rounds toward zero), which for a PRE-EPOCH
     * nanosecond value would round the opposite way from `unix_micros`
-    * (which floors) and from DuckDB's `//` — the `(x - pmod(x, 1000))`
-    * form floors for both signs, so every representation lands on the
-    * same microsecond (r12 verdict nit; fixtures are post-epoch, but the
-    * divergence was real for negative instants). */
+    * (which floors) and from DuckDB's `//` — truncate-then-correct
+    * (subtract 1 when a negative value had a remainder) floors for both
+    * signs WITHOUT the overflow a `(x - pmod(x, 1000))` subtraction has
+    * near Long.MinValue (r12 verdict nit; fixtures are post-epoch, but
+    * the divergence was real for negative instants). */
   private def nanosToMicros(c: String): Column =
-    expr(s"(`$c` - pmod(`$c`, 1000)) div 1000")
+    expr(s"(`$c` div 1000) + (CASE WHEN `$c` % 1000 < 0 THEN -1 ELSE 0 END)")
 
   /** Exact epoch-microseconds long (integral inputs are epoch NANOS,
     * floor-divided — consistent with `unix_micros` pre-epoch). */

@@ -442,6 +442,21 @@ class AnnRoutingSpec extends AnyFunSuite {
       "embedding", "vec_id", query, 10)
     assert(joins(rb).nonEmpty, rb.queryExecution.optimizedPlan.toString)
     assert(rb.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // RESIDUAL-factor binary (r13): the rCol registration must actually
+    // FIRE the route (splice join present — the gate's fullscan oracle
+    // would stay green even if routing silently stood down) and stay
+    // exact through the corrected screen + rescore
+    val qbr = tmp.resolve("qbr").toString
+    Writer.write(graft.vector.Quantize.binarizeTableResidual(
+      df, "embedding", "bvec", "bres", mb), qbr, sortBy = Seq("vec_id"))
+    AnnRouting.registerBinary(SparkT.spark, qbr, qbr, mb,
+      vecCol = "embedding", idCol = "vec_id", refine = 40,
+      rCol = Some("bres"))
+    val rbr = Knn.knn(SparkT.spark.read.parquet(qbr),
+      "embedding", "vec_id", query, 10)
+    assert(joins(rbr).nonEmpty, rbr.queryExecution.optimizedPlan.toString)
+    assert(rbr.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    AnnRouting.unregister(SparkT.spark, qbr)
     // I9 epoch invalidation: an append mutates the file listing the cached
     // relation froze, so the entry drops (exact fullscan) until the caller
     // re-registers — then the route serves the appended corpus too

@@ -80,6 +80,11 @@ class EventTimeSpec extends AnyFunSuite with GenCheck {
     // asTimestamp lands on the same flooring
     assert(df.select(unix_micros(EventTime.asTimestamp(df, "d")))
       .as[Long].head() == -2L)
+    // the floor form must not overflow at the bottom of the long range
+    // (a subtraction-based floor would wrap for x within 999 of MinValue)
+    val edge = Seq(Tuple1(Long.MinValue + 1L)).toDF("ts")
+    assert(edge.select(EventTime.epochMicros(edge, "ts")).as[Long].head() ==
+      Long.MinValue / 1000L - 1L)
   }
 
   test("non-time column is rejected fast with a typed message") {
