@@ -274,6 +274,62 @@ object PipelineQueries {
       },
       Some(tfOracleSql(tfTokWpCte))),
 
+    // FLAGSHIP v4 (r13): this round's operators composed in ONE
+    // declarative pipeline — real BPE token accounting → real transformer
+    // embeddings (WordPiece + [CLS]/[SEP]) → embedding-cosine near-dup
+    // removal (drop the larger id of each >= 0.9999 pair) → deterministic
+    // exact-3-per-source stratified sample THROUGH the new estimate-driven
+    // prefilter (minGroupRows exercises the prefilter+rescue branch
+    // in-gate; the oracle replays the PLAIN selection, pinning its
+    // exactness against an independent engine). The oracle replays every
+    // stage: the full encoder forward as CTEs, all-pairs cosine, the BPE
+    // chain closed form, and the LCG hash rank. 100 TB note: the pair
+    // stage here is the EXACT all-pairs variant (oracle-replayable,
+    // bounded at gate scale); the at-scale swap is one line — the
+    // hyperplane-LSH blocked `Dedup.embedCandidates`, which never goes
+    // all-pairs (DedupSpec pins its recall on clustered data).
+    "q_pipeline_v4" -> QueryDef(
+      (s, d) => {
+        val dir = transformerArtifactWp()
+        val docs = t(s, d, "documents")
+        val stats0 = docs.select(
+          max(octet_length(col("text").cast("binary"))),
+          max(size(split(trim(col("text")), "\\s+")))).head()
+        require(stats0.getInt(0) < Tf.MaxPos * 8 &&
+            stats0.getInt(1) <= Tf.MaxPos - 2,
+          "q_pipeline_v4 oracle assumes no truncation")
+        val counted = graft.embed.Bpe.tokenizeStage(
+          docs.select(col("doc_id"), col("source"), col("text")),
+          "text", bpeArtifact(), countCol = "n_bpe")
+        val emb = Embeddings.embedStage(counted, "text", "emb",
+          () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
+        val pairs = graft.pipeline.Dedup.cosinePairsExact(
+          emb, "doc_id", "emb", 0.9999)
+        val dropIds = pairs.select(col("b").as("doc_id")).distinct()
+        val surv = emb.join(dropIds, Seq("doc_id"), "left_anti")
+        graft.pipeline.Mix.stratified(surv, "doc_id", "source", 3,
+            minGroupRows = Some(50L))
+          .select(col("doc_id"), col("source"), col("n_bpe").cast("long"))
+      },
+      Some {
+        val vec = (a: String) =>
+          (0 until Tf.H).map(i => s"$a.e$i::DOUBLE").mkString("[", ", ", "]")
+        tfChainWithFin(tfTokWpCte) +
+          ", prs AS (SELECT a.doc_id pa, b.doc_id pb FROM fin a " +
+          "JOIN fin b ON a.doc_id < b.doc_id " +
+          s"WHERE list_cosine_similarity(${vec("a")}, ${vec("b")}) >= 0.9999), " +
+          "wt2 AS (SELECT doc_id, unnest(range(len(w))) AS i, unnest(w) AS t FROM dd), " +
+          s"cnt AS (SELECT doc_id, sum($bpeCountSql)::BIGINT AS n_bpe " +
+          "FROM wt2 GROUP BY doc_id), " +
+          "surv AS (SELECT d.doc_id, d.source, c.n_bpe FROM documents d " +
+          "JOIN cnt c USING (doc_id) " +
+          "WHERE d.doc_id NOT IN (SELECT pb FROM prs)), " +
+          "rk AS (SELECT *, row_number() OVER (PARTITION BY source " +
+          s"ORDER BY (doc_id * 69069 + 12345) % ${graft.pipeline.Mix.Resolution}, doc_id) rn " +
+          "FROM surv) " +
+          "SELECT doc_id, source, n_bpe FROM rk WHERE rn <= 3"
+      }),
+
     // SEMANTIC SEARCH over TRANSFORMER embeddings (r13): the reference's
     // full local-inference flow — load checkpoint, run the real encoder
     // over the corpus, embed the query text with the same model, exact
