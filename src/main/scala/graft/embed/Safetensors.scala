@@ -123,21 +123,46 @@ object Safetensors {
         if (n != "__metadata__") names += n)
       s"$path: no tensor '$name' (has: ${names.mkString(", ")})"
     })
-    val dtype = node.get("dtype").asText()
+    // every header field is UNTRUSTED bytes: missing/mistyped fields,
+    // negative or overflowing dims, and crafted offsets must all reject
+    // with a typed message, never NPE or wrap (ArtifactFuzzSpec)
+    val dtypeNode = node.get("dtype")
+    require(dtypeNode != null && dtypeNode.isTextual,
+      s"$path tensor '$name': missing/invalid dtype")
+    val dtype = dtypeNode.asText()
     require(dtype == "F32" || dtype == "F16" || dtype == "BF16",
       s"$path tensor '$name': dtype $dtype unsupported (F32/F16/BF16 only)")
+    val shapeNode = node.get("shape")
+    require(shapeNode != null && shapeNode.isArray,
+      s"$path tensor '$name': missing/invalid shape")
     val shape = {
-      val it = node.get("shape").elements()
       val b = Seq.newBuilder[Int]
-      it.forEachRemaining(e => b += e.asInt())
+      shapeNode.elements().forEachRemaining { e =>
+        require(e.isInt && e.asInt() >= 0,
+          s"$path tensor '$name': bad shape element ${e.asText()}")
+        b += e.asInt()
+      }
       b.result()
     }
-    val s = node.get("data_offsets").get(0).asLong()
-    val e = node.get("data_offsets").get(1).asLong()
-    val n = shape.product
+    val offsNode = node.get("data_offsets")
+    require(offsNode != null && offsNode.isArray && offsNode.size() == 2 &&
+        offsNode.get(0).isNumber && offsNode.get(1).isNumber,
+      s"$path tensor '$name': missing/invalid data_offsets")
+    val s = offsNode.get(0).asLong()
+    val e = offsNode.get(1).asLong()
+    val nL = shape.foldLeft(1L) { (acc, d) =>
+      // keep the running product <= 2^31 before each multiply, so the
+      // Long arithmetic itself can never wrap (dims are each <= 2^31)
+      require(acc <= Int.MaxValue,
+        s"$path tensor '$name': shape $shape overflows element count")
+      acc * d
+    }
+    require(nL <= Int.MaxValue,
+      s"$path tensor '$name': shape $shape overflows element count")
+    val n = nL.toInt
     val width = if (dtype == "F32") 4L else 2L
     val dataBase = 8 + headerLen
-    require(e - s == n * width && s >= 0 && dataBase + e <= all.length,
+    require(e - s == nL * width && s >= 0 && dataBase + e <= all.length,
       s"$path tensor '$name': offsets [$s,$e) inconsistent with shape $shape")
     val bytes = ByteBuffer.wrap(all, (dataBase + s).toInt, (e - s).toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
