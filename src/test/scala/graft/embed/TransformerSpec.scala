@@ -152,6 +152,34 @@ class TransformerSpec extends AnyFunSuite {
     assert(Transformer.forward(m, Array.empty).forall(_ == 0.0))
   }
 
+  test("BERT-mini-shaped checkpoint: parity holds at realistic width, batch embeds briskly") {
+    // hidden 64, 4 heads, 4 layers, intermediate 256 — the small end of
+    // real exported encoders; parity vs the twin at this width pins the
+    // head-slicing and FFN math where toy dims could hide index bugs
+    val dir = writeCheckpoint(hidden = 64, heads = 4, layers = 4,
+      inter = 256, maxPos = 64, vocabRows = 128, seed = 29)
+    val m = Transformer.load(dir)
+    assert(m.heads === 4 && m.hidden === 64)
+    val rnd = new scala.util.Random(31)
+    (0 until 3).foreach { c =>
+      val ids = Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(128))
+      val got = Transformer.forward(m, ids)
+      val want = twinForward(m, ids.toSeq)
+      got.toSeq.lazyZip(want).foreach { (g, w) =>
+        assert(math.abs(g - w) < 1e-8, s"case $c")
+      }
+    }
+    // throughput smoke: a 200-doc batch embeds in seconds, not minutes
+    // (scalar JVM forward — the provider seam is where SIMD would go)
+    val p = Embeddings.TransformerProvider(dir)
+    val texts = (0 until 200).map(i => s"tok$i alpha beta gamma delta " * 8)
+    val t0 = System.nanoTime()
+    val out = p.embedBatch(texts)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.size === 200 && out.head.length === 64)
+    assert(sec < 30.0, f"200 docs took $sec%.1f s")
+  }
+
   test("single-head path and bert.-prefixed tensor names load and agree") {
     val a = writeCheckpoint(hidden = 6, heads = 1, layers = 1, inter = 12,
       maxPos = 8, vocabRows = 16, seed = 3)
