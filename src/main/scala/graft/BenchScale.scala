@@ -261,11 +261,18 @@ object BenchScale {
         recSum += got.count(tieSet.contains).toDouble / k
         probedSum += probed
         // evidence row: the opt-in P² adaptive termination's recall at
-        // the same ef (reported, not floor-pinned — it is a knob)
+        // the same ef (reported, not floor-pinned — it is a knob). k=16:
+        // the policy is reference-gated OFF for k <= 10 (knn.cpp:481-483)
+        val kA = 16
+        val d16 = Knn.knn(emb, "embedding", "vec_id", q, kA)
+          .select(col("dist")).as[Double].collect().max
+        val tie16 = Knn.knn(emb, "embedding", "vec_id", q, 20 * kA)
+          .filter(col("dist") <= d16 + 1e-9)
+          .select(col("vec_id")).as[Long].collect().toSet
         val (adaptDf, _) = Hnsw.searchRouted(spark, idxPath,
-          "vec_id", q, k, ef = 64, adaptiveTermination = true)
+          "vec_id", q, kA, ef = 64, adaptiveTermination = true)
         recAdaptSum += adaptDf.select(col("vec_id")).as[Long].collect()
-          .count(tieSet.contains).toDouble / k
+          .count(tie16.contains).toDouble / kA
       }
       val meanRecall = recSum / qs.length
       val meanRecallAdapt = recAdaptSum / qs.length
@@ -276,7 +283,7 @@ object BenchScale {
       val g = root.putObject("graph_recall")
       g.put("ef", 64); g.put("k", k); g.put("queries", qs.length)
       g.put("mean_recall", math.round(meanRecall * 1e4) / 1e4)
-      g.put("mean_recall_adaptive", math.round(meanRecallAdapt * 1e4) / 1e4)
+      g.put("mean_recall_adaptive_k16", math.round(meanRecallAdapt * 1e4) / 1e4)
       g.put("mean_probed_subgraphs", math.round(meanProbed * 100) / 100.0)
       g.put("total_subgraphs", subGraphs)
       g.put("floor_ok", floorOk)

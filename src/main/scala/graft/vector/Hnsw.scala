@@ -543,8 +543,12 @@ object Hnsw {
       sorted.indices.foreach { i =>
         g.adj(i) ++= sorted(i)._3.iterator.map(idx)
       }
+      // small result sets complete before the discovery-rate signal means
+      // anything — the reference disables quantile termination for k <= 10
+      // (knn.cpp:481-483), mirrored here
       val term =
-        if (adaptive) new Quantile.Termination(Quantile.L2ThresholdQuantile)
+        if (adaptive && k > 10)
+          new Quantile.Termination(Quantile.L2ThresholdQuantile)
         else null
       // vectors ride along (k per sub-graph): the automatic ANN route
       // feeds candidates back under the original Sort, which recomputes

@@ -82,20 +82,30 @@ class QuantileSpec extends AnyFunSuite {
     val d = java.nio.file.Files.createTempDirectory("graft-term")
       .resolve("g").toString
     Hnsw.buildIndex(df, "embedding", "vec_id", d, Hnsw.Params(m = 8, efC = 64))
+    // k > 10: the termination policy actually engages (the reference
+    // disables it for k <= 10, knn.cpp:481-483 — mirrored)
     val queries = Seq(3L, 512L, 1101L, 1650L, 1999L)
+    val k = 16
     val recalls = queries.map { qid =>
       val q = rows(qid.toInt)._2
-      val exact = Knn.knn(df, "embedding", "vec_id", q, 10)
+      val exact = Knn.knn(df, "embedding", "vec_id", q, k)
         .select("vec_id").as[Long].collect().toSet
-      val got = Hnsw.search(SparkT.spark, d, "vec_id", q, 10, ef = 64,
+      val got = Hnsw.search(SparkT.spark, d, "vec_id", q, k, ef = 64,
           adaptiveTermination = true)
         .select("vec_id").as[Long].collect().toSet
       exact.intersect(got).size.toDouble / exact.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.9, s"adaptive recall@10 $mean (per-query: $recalls)")
-    // and the exact contract is untouched when the flag is off
+    assert(mean >= 0.9, s"adaptive recall@$k $mean (per-query: $recalls)")
+    // k <= 10 gates the policy OFF: adaptive === plain at the same ef
     val q0 = rows(3)._2
+    val plain10 = Hnsw.search(SparkT.spark, d, "vec_id", q0, 10, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    val adapt10 = Hnsw.search(SparkT.spark, d, "vec_id", q0, 10, ef = 48,
+        adaptiveTermination = true)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(adapt10 === plain10)
+    // and the exact contract is untouched when the flag is off
     val exact0 = Knn.knn(df, "embedding", "vec_id", q0, 10)
       .select("vec_id").as[Long].collect().toSeq
     val full = Hnsw.search(SparkT.spark, d, "vec_id", q0, 10, ef = 1 << 20)
