@@ -248,27 +248,27 @@ object BenchScale {
       var recSum = 0.0
       var probedSum = 0L
       var recAdaptSum = 0.0
+      val kA = 16 // adaptive row's k — the policy is reference-gated OFF
+                  // for k <= 10 (knn.cpp:481-483)
       qs.foreach { case (_, qv) =>
         val q = qv.toArray
-        val d10 = Knn.knn(emb, "embedding", "vec_id", q, k)
-          .select(col("dist")).as[Double].collect().max
-        val tieSet = Knn.knn(emb, "embedding", "vec_id", q, 20 * k)
-          .filter(col("dist") <= d10 + 1e-9)
-          .select(col("vec_id")).as[Long].collect().toSet
+        // ONE exact 320-NN collect serves both tie sets (d10/d16 are its
+        // 10th/16th distances; ties resolve within the same prefix)
+        val nn = Knn.knn(emb, "embedding", "vec_id", q, 20 * kA)
+          .select(col("vec_id"), col("dist")).as[(Long, Double)].collect()
+        def tieSetAt(kk: Int): Set[Long] = {
+          val dk = nn(kk - 1)._2
+          nn.iterator.filter(_._2 <= dk + 1e-9).map(_._1).toSet
+        }
+        val tieSet = tieSetAt(k)
         val (routedDf, probed) = Hnsw.searchRouted(spark, idxPath,
           "vec_id", q, k, ef = 64)
         val got = routedDf.select(col("vec_id")).as[Long].collect().toSet
         recSum += got.count(tieSet.contains).toDouble / k
         probedSum += probed
         // evidence row: the opt-in P² adaptive termination's recall at
-        // the same ef (reported, not floor-pinned — it is a knob). k=16:
-        // the policy is reference-gated OFF for k <= 10 (knn.cpp:481-483)
-        val kA = 16
-        val d16 = Knn.knn(emb, "embedding", "vec_id", q, kA)
-          .select(col("dist")).as[Double].collect().max
-        val tie16 = Knn.knn(emb, "embedding", "vec_id", q, 20 * kA)
-          .filter(col("dist") <= d16 + 1e-9)
-          .select(col("vec_id")).as[Long].collect().toSet
+        // the same ef (reported, not floor-pinned — it is a knob)
+        val tie16 = tieSetAt(kA)
         val (adaptDf, _) = Hnsw.searchRouted(spark, idxPath,
           "vec_id", q, kA, ef = 64, adaptiveTermination = true)
         recAdaptSum += adaptDf.select(col("vec_id")).as[Long].collect()

@@ -145,11 +145,18 @@ object Safetensors {
       b.result()
     }
     val offsNode = node.get("data_offsets")
+    // integral-and-in-range only: isNumber would admit doubles (asLong
+    // truncates silently) and BigInteger values (asLong WRAPS — a crafted
+    // pair can wrap e−s onto the expected byte span and land the read at
+    // a wrong offset)
     require(offsNode != null && offsNode.isArray && offsNode.size() == 2 &&
-        offsNode.get(0).isNumber && offsNode.get(1).isNumber,
+        offsNode.get(0).isIntegralNumber && offsNode.get(0).canConvertToLong &&
+        offsNode.get(1).isIntegralNumber && offsNode.get(1).canConvertToLong,
       s"$path tensor '$name': missing/invalid data_offsets")
     val s = offsNode.get(0).asLong()
     val e = offsNode.get(1).asLong()
+    require(s >= 0 && e >= s && e <= all.length - (8 + headerLen),
+      s"$path tensor '$name': data_offsets [$s,$e) out of bounds")
     val nL = shape.foldLeft(1L) { (acc, d) =>
       // keep the running product <= 2^31 before each multiply, so the
       // Long arithmetic itself can never wrap (dims are each <= 2^31)

@@ -263,7 +263,8 @@ object PipelineQueries {
         val stats = docs.select(
           max(octet_length(col("text").cast("binary"))),
           max(size(split(trim(col("text")), "\\s+")))).head()
-        require(stats.getInt(0) < Tf.MaxPos * 8 &&
+        require(stats.getInt(0) < Tf.MaxPos *
+            graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
             stats.getInt(1) <= Tf.MaxPos - 2,
           s"q_embed_transformer_wp oracle assumes no truncation; corpus " +
             s"has ${stats.getInt(0)} bytes / ${stats.getInt(1)} words max")
@@ -295,7 +296,8 @@ object PipelineQueries {
         val stats0 = docs.select(
           max(octet_length(col("text").cast("binary"))),
           max(size(split(trim(col("text")), "\\s+")))).head()
-        require(stats0.getInt(0) < Tf.MaxPos * 8 &&
+        require(stats0.getInt(0) < Tf.MaxPos *
+            graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
             stats0.getInt(1) <= Tf.MaxPos - 2,
           "q_pipeline_v4 oracle assumes no truncation")
         val counted = graft.embed.Bpe.tokenizeStage(
@@ -321,8 +323,10 @@ object PipelineQueries {
           "wt2 AS (SELECT doc_id, unnest(range(len(w))) AS i, unnest(w) AS t FROM dd), " +
           s"cnt AS (SELECT doc_id, sum($bpeCountSql)::BIGINT AS n_bpe " +
           "FROM wt2 GROUP BY doc_id), " +
-          "surv AS (SELECT d.doc_id, d.source, c.n_bpe FROM documents d " +
-          "JOIN cnt c USING (doc_id) " +
+          // LEFT JOIN: a zero-word document has no cnt row but the engine
+          // keeps it (n_bpe = 0) — the inner join would silently drop it
+          "surv AS (SELECT d.doc_id, d.source, coalesce(c.n_bpe, 0) AS n_bpe " +
+          "FROM documents d LEFT JOIN cnt c USING (doc_id) " +
           "WHERE d.doc_id NOT IN (SELECT pb FROM prs)), " +
           "rk AS (SELECT *, row_number() OVER (PARTITION BY source " +
           s"ORDER BY (doc_id * 69069 + 12345) % ${graft.pipeline.Mix.Resolution}, doc_id) rn " +
@@ -347,7 +351,8 @@ object PipelineQueries {
         val stats0 = docs.select(
           max(octet_length(col("text").cast("binary"))),
           max(size(split(trim(col("text")), "\\s+")))).head()
-        require(stats0.getInt(0) < Tf.MaxPos * 8 &&
+        require(stats0.getInt(0) < Tf.MaxPos *
+            graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
             stats0.getInt(1) <= Tf.MaxPos - 2,
           s"q_semantic_transformer oracle assumes no truncation; corpus " +
             s"has ${stats0.getInt(0)} bytes / ${stats0.getInt(1)} words max")

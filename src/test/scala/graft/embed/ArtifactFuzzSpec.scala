@@ -21,6 +21,7 @@ class ArtifactFuzzSpec extends AnyFunSuite {
     val valid = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
     val rnd = new scala.util.Random(31)
     var cleanParses = 0
+    var cleanRejects = 0
     (0 until 300).foreach { i =>
       val corrupted = valid.clone()
       // flip 1..4 random bytes (header, offsets, or data section)
@@ -38,14 +39,17 @@ class ArtifactFuzzSpec extends AnyFunSuite {
       } catch {
         // the allowed CLEAN failures — anything else (NPE, OOB, hang)
         // fails the test by escaping this catch
-        case _: IllegalArgumentException => ()
-        case _: IllegalStateException => ()
-        case _: com.fasterxml.jackson.core.JacksonException => ()
+        case _: IllegalArgumentException => cleanRejects += 1
+        case _: IllegalStateException => cleanRejects += 1
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          cleanRejects += 1
       }
     }
-    // data-section flips should parse fine; header flips should mostly
-    // reject — both outcomes must occur across 300 corruptions
-    assert(cleanParses > 0)
+    // data-section flips should parse fine; header flips should reject —
+    // BOTH outcomes must occur across 300 corruptions, or the validation
+    // (or the fuzz itself) has regressed
+    assert(cleanParses > 0 && cleanRejects > 0,
+      s"parses=$cleanParses rejects=$cleanRejects")
   }
 
   test("truncations of a valid safetensors file fail cleanly at every length") {
