@@ -160,12 +160,18 @@ object Bpe {
       case other => other
     }
     val body = noHeader.filterNot(_.trim.isEmpty)
-    body.zipWithIndex.map { case (l, rank) =>
+    val ranked = body.zipWithIndex.map { case (l, rank) =>
       val parts = l.split(" ")
       require(parts.length == 2,
         s"merges.txt line ${rank + 1} is not 'A B': '$l'")
       (parts(0), parts(1)) -> rank
-    }.toMap
+    }
+    // A duplicate pair line would let the LAST rank silently win under
+    // toMap, shifting merge priority — fail loudly like the duplicate-id
+    // checks in parseVocabJson / WordPiece.parseVocab.
+    val dup = ranked.groupBy(_._1).collectFirst { case (p, rs) if rs.size > 1 => p }
+    require(dup.isEmpty, s"merges.txt has a duplicate merge pair: ${dup.get}")
+    ranked.toMap
   }
 
   /** Load `vocab.json` + `merges.txt` from a directory; absent local paths

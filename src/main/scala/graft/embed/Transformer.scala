@@ -159,9 +159,13 @@ object Transformer {
       layer
     }
     val cfg = readConfig(dir)
-    val heads = cfg.flatMap(_.get("num_attention_heads"))
-      .map(_.toInt)
-      .getOrElse(if (hidden % 64 == 0) hidden / 64 else 1)
+    // The head count is not recoverable from tensor shapes (Q/K/V are all
+    // hidden×hidden regardless of heads) and a wrong guess produces
+    // silently-wrong embeddings, so its absence is a hard error.
+    val heads = cfg.flatMap(_.get("num_attention_heads")).map(_.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint at $dir has no config.json with num_attention_heads; " +
+          "the head count cannot be inferred from tensor shapes"))
     val eps = cfg.flatMap(_.get("layer_norm_eps")).map(_.toDouble)
       .getOrElse(1e-12)
     Model(word, pos, typeRow, norm("embeddings.LayerNorm"), layers, heads, eps)

@@ -115,6 +115,14 @@ object Pack {
     val from = col("chunk") * lit(budget) + col("tok_from") - col("start_tok")
     val len = col("tok_to") - col("tok_from")
     val prov = Option(idCol).getOrElse(orderCol)
+    if (withDocIds) {
+      // A non-integral provenance column would cast to NULL doc_ids
+      // silently, defeating the cross-document-masking provenance the
+      // column exists for — fail loudly at plan time instead.
+      val dt = df.schema(prov).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"doc-id provenance column '$prov' must be integral, got ${dt.sql}")
+    }
     val pieceCols = Seq(col(shardCol), col("chunk"), col(orderCol).as("__o"),
       slice(col(tokensCol), (from + 1L).cast("int"), len.cast("int"))
         .as("__piece")) ++

@@ -194,10 +194,13 @@ object EventStreams {
   def funnelStateBuffered(events: Dataset[TypedEvent], steps: Seq[String],
                           withinMicros: Option[Long] = None,
                           delay: String = "10 seconds",
-                          maxPerStep: Int = 256): Dataset[FunnelHit] = {
+                          maxPerStep: Int = 256,
+                          idleTtlMicros: Long = 7L * 24 * 3600 * 1000000L)
+      : Dataset[FunnelHit] = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     require(maxPerStep >= 1, s"maxPerStep must be >= 1: $maxPerStep")
+    require(idleTtlMicros > 0, s"idleTtlMicros must be > 0: $idleTtlMicros")
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
@@ -258,9 +261,23 @@ object EventStreams {
           buf = buf.groupBy(_._1).iterator.flatMap { case (_, es) =>
             es.sortBy(_._2).take(maxPerStep)
           }.toSeq
-          if (buf.nonEmpty) {
+          // TTL: a user who stalls mid-funnel would otherwise keep state
+          // resident forever. Once the watermark is idleTtlMicros past the
+          // LAST buffered event, the partial chain is evicted — a late
+          // completing event after that horizon starts afresh (documented
+          // bounded-state relaxation, same spirit as maxPerStep).
+          val lastUs = if (buf.isEmpty) 0L else buf.iterator.map(_._2).max
+          val expired =
+            pendingTimeoutMs.isEmpty && wmUs >= lastUs + idleTtlMicros
+          if (buf.nonEmpty && !expired) {
             state.update(buf)
-            pendingTimeoutMs.foreach(state.setTimeoutTimestamp)
+            // Always arm a wake-up: the chain-seal instant when one is
+            // pending, else the TTL horizon (so eviction fires without
+            // needing another event from this user).
+            val targetMs = pendingTimeoutMs
+              .getOrElse(lastUs / 1000L + idleTtlMicros / 1000L + 1L)
+            state.setTimeoutTimestamp(
+              math.max(targetMs, state.getCurrentWatermarkMs() + 1L))
           } else state.remove()
           hits.iterator
       }

@@ -24,6 +24,14 @@ object Quantile {
     private val init = new Array[Double](5)
     private var count = 0
 
+    def reset(): Unit = {
+      java.util.Arrays.fill(qs, 0.0)
+      java.util.Arrays.fill(n, 0.0)
+      java.util.Arrays.fill(np, 0.0)
+      java.util.Arrays.fill(init, 0.0)
+      count = 0
+    }
+
     def insert(x: Double): Unit = {
       count += 1
       if (count <= 5) {
@@ -85,27 +93,39 @@ object Quantile {
       }
   }
 
-  /** Moving-window P² (the reference's MP2 shape): a fresh estimator
-    * starts each half-window and takes over at window boundaries, so the
-    * estimate tracks the RECENT distribution instead of the full
-    * history. */
+  /** Moving-window P² (the reference's MP2 shape, quantile.h
+    * MP2QuantileEstimator_c): ONE estimator, reset at every window
+    * boundary after saving its estimate; [[get]] blends the previous
+    * window's saved estimate with the currently-filling window, weighted
+    * by the fill fraction — so the estimate tracks the RECENT
+    * distribution, decaying the old window out linearly as the new one
+    * fills. */
   final class MovingP2(window: Int, q: Double) {
     require(window >= 10, s"window too small: $window")
-    private var current = new P2(q)
-    private var next = new P2(q)
-    private var sinceSwap = 0
+    private val est = new P2(q)
+    private var count = 0L
+    private var inWindow = 0
+    private var prevEstimate = 0.0
     def insert(x: Double): Unit = {
-      current.insert(x)
-      sinceSwap += 1
-      if (sinceSwap > window / 2) next.insert(x)
-      if (sinceSwap >= window) {
-        current = next
-        next = new P2(q)
-        sinceSwap = window / 2 // next already holds half a window
+      est.insert(x)
+      count += 1
+      inWindow += 1
+      if (inWindow == window) {
+        prevEstimate = est.get
+        est.reset()
+        inWindow = 0
       }
     }
-    def ready: Boolean = current.ready
-    def get: Double = current.get
+    def ready: Boolean = count >= 5
+    def get: Double = {
+      if (count == 0) 0.0
+      else if (count < window) est.get
+      else if (inWindow == 0) prevEstimate // exactly at a boundary
+      else {
+        val w2 = inWindow.toDouble / window
+        (1.0 - w2) * prevEstimate + w2 * est.get
+      }
+    }
   }
 
   /** Adaptive beam termination (termination.h/.cpp semantics): per

@@ -126,6 +126,10 @@ class BpeSpec extends AnyFunSuite {
     // can start with '#' (the merges that build '##'-family tokens)
     val m2 = Bpe.parseMerges(Seq("#version: 0.2", "# #", "## #"))
     assert(m2 === Map(("#", "#") -> 0, ("##", "#") -> 1))
+    // a duplicate merge pair would silently shift rank priority — loud
+    val dup = intercept[IllegalArgumentException](
+      Bpe.parseMerges(Seq("a b", "c d", "a b")))
+    assert(dup.getMessage.contains("duplicate merge pair"))
     val hashModel = Bpe.Model(baseVocab ++ Map("##" -> 300, "###" -> 301), m2)
     assert(hashModel.encode("###").toSeq === Seq(301))
   }

@@ -262,5 +262,13 @@ class TransformerSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](Transformer.load(broken.toString))
     assert(e.getMessage.contains("missing tensor") ||
       e.getMessage.contains("encoder.layer.0"))
+    // a checkpoint WITHOUT config.json must fail loudly: the head count
+    // is not recoverable from tensor shapes, and a guessed value produces
+    // silently-wrong embeddings (MiniLM: hidden 384 = 12 heads, not 6)
+    val noCfg = writeCheckpoint(hidden = 6, heads = 1, layers = 1,
+      inter = 12, maxPos = 8, vocabRows = 16, seed = 3)
+    assert(new java.io.File(noCfg, "config.json").delete())
+    val h = intercept[IllegalStateException](Transformer.load(noCfg))
+    assert(h.getMessage.contains("num_attention_heads"))
   }
 }

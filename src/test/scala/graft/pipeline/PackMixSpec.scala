@@ -168,6 +168,12 @@ class PackMixSpec extends AnyFunSuite {
       .flatMap(d => d._3.map(t => (t, d._1)))
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(gotPairs === wantPairs)
+    // a non-integral provenance column would cast to NULL doc_ids
+    // silently — plan-time failure instead
+    val strId = docs.withColumn("sid", concat(lit("d"), $"id"))
+    val err = intercept[IllegalArgumentException](Pack.materializeChunks(
+      strId, "toks", "shard", "id", B, withDocIds = true, idCol = "sid"))
+    assert(err.getMessage.contains("must be integral"))
   }
 
   test("materializeChunks plan: the offsets window and one bounded aggregate, two shuffles total") {

@@ -331,6 +331,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("buffered funnel: stalled partial state is TTL-evicted; re-entry works") {
+    import graft.streaming.EventStreams.TypedEvent
+    def ev(u: Long, us: Long, et: String) =
+      TypedEvent(u, new java.sql.Timestamp(us / 1000), et)
+    val in = MemoryStream[TypedEvent]
+    // 50 ms event-time TTL: user 8's lone 'a' must be evicted once the
+    // watermark is 50 ms past it, so a 'b' arriving much later finds no
+    // chain — but a fresh a→b epoch after eviction still completes.
+    val q = graft.streaming.EventStreams.funnelStateBuffered(in.toDS(),
+        Seq("a", "b"), delay = "1 second", idleTtlMicros = 50000L)
+      .writeStream.format("memory").queryName("funnelttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(8, 1000, "a")); q.processAllAvailable()
+      // advance the watermark FAR past 1000us + 50ms → TTL timeout fires
+      in.addData(ev(999, 10000000000L, "x")); q.processAllAvailable()
+      in.addData(ev(999, 10000100000L, "x")); q.processAllAvailable()
+      // a 'b' that would have completed the chain had state survived
+      in.addData(ev(8, 10000200000L, "b")); q.processAllAvailable()
+      // fresh epoch after eviction
+      in.addData(ev(8, 10000500000L, "a"), ev(8, 10000600000L, "b"))
+      q.processAllAvailable()
+      in.addData(ev(999, 20000000000L, "x")); q.processAllAvailable()
+      in.addData(ev(999, 20000100000L, "x")); q.processAllAvailable()
+      val got = SparkT.spark.table("funnelttl")
+        .as[graft.streaming.EventStreams.FunnelHit]
+        .collect().map(h => (h.user_id, h.step_us)).toSet
+      assert(got === Set((8L, Seq(10000500000L, 10000600000L))),
+        s"evicted 'a' must not anchor a chain; got $got")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: each micro-batch probes the static eval set") {
     // The crawl-decontamination flow: incoming documents are checked
     // against the (static, broadcast) benchmark set per micro-batch via

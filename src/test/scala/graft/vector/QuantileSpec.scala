@@ -46,6 +46,19 @@ class QuantileSpec extends AnyFunSuite {
     assert(plain.get < 9.0, s"plain median ${plain.get} lags by design")
   }
 
+  test("moving P² blends prev-window and filling-window by fill fraction") {
+    // mirrors the reference MP2QuantileEstimator_c::Get(): w2 = fill
+    // fraction, estimate = (1-w2)*prev + w2*current
+    val m = new Quantile.MovingP2(10, 0.5)
+    (0 until 10).foreach(_ => m.insert(5.0))
+    assert(m.get === 5.0) // exactly at the boundary: prev window's estimate
+    (0 until 5).foreach(_ => m.insert(15.0))
+    // half-filled new window: 0.5*5 + 0.5*15
+    assert(math.abs(m.get - 10.0) < 1e-12, s"blend got ${m.get}")
+    (0 until 5).foreach(_ => m.insert(15.0))
+    assert(m.get === 15.0) // boundary again: new regime fully owns it
+  }
+
   test("termination: patience consecutive below-quantile rounds end the walk") {
     val t = new Quantile.Termination(0.5)
     // warm-up (heap not full): never terminates, only resets
