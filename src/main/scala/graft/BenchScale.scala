@@ -220,6 +220,37 @@ object BenchScale {
       n.put("linear_ok", ok)
       println(f"$name%-22s $small%8.3fs -> $large%8.3fs  ratio ${ratio}%6.2f  ok=$ok")
     }
+    // r14 (r13 VERDICT #1): the embed-dedup scaling CONTRAST. Both
+    // variants sit OUTSIDE the linear gate on purpose: the replica
+    // recipe makes every replica a near-dup of its original (tiny vector
+    // jitter), so the TRUE pair count — any correct algorithm's output —
+    // grows quadratically in the factor. The claim under test is
+    // relative: the LSH-blocked variant's 10× ratio must beat the exact
+    // all-pairs join's, because blocking scores only banded candidates
+    // while exact scores every one of the n²/2 pairs.
+    locally {
+      val exact = median3(SparkEntry.queries("q_dedup_embed"), src)
+      val exactL = median3(SparkEntry.queries("q_dedup_embed"), dst)
+      val blocked = median3(SparkEntry.queries("q_dedup_embed_lsh"), src)
+      val blockedL = median3(SparkEntry.queries("q_dedup_embed_lsh"), dst)
+      val exactRatio = if (exact > 0) exactL / exact else -1.0
+      val blockedRatio = if (blocked > 0) blockedL / blocked else -1.0
+      // small absolute times are noisy: require the win only once the
+      // exact side is out of the noise floor
+      val contrastOk = exactL < 2.0 || blockedRatio < exactRatio
+      allOk &&= contrastOk
+      val c = root.putObject("embed_dedup_scaling")
+      c.put("exact_small_sec", math.round(exact * 1e4) / 1e4)
+      c.put("exact_large_sec", math.round(exactL * 1e4) / 1e4)
+      c.put("exact_ratio", math.round(exactRatio * 100) / 100.0)
+      c.put("blocked_small_sec", math.round(blocked * 1e4) / 1e4)
+      c.put("blocked_large_sec", math.round(blockedL * 1e4) / 1e4)
+      c.put("blocked_ratio", math.round(blockedRatio * 100) / 100.0)
+      c.put("blocked_beats_exact", contrastOk)
+      println(f"embed dedup: exact $exact%.3fs -> $exactL%.3fs " +
+        f"(ratio $exactRatio%.2f) vs blocked $blocked%.3fs -> $blockedL%.3fs " +
+        f"(ratio $blockedRatio%.2f) ok=$contrastOk")
+    }
     // r13 VERDICT #5: graph-family recall ECONOMICS at realistic ef on
     // the 10× corpus — the gates run exact (ef = 2^20), so this is where
     // the "does the flat-NSW-per-sub-graph design hold recall at small

@@ -558,6 +558,30 @@ object Dedup {
         floor(col("cos") * 1000000).cast("long").as("cos_micros"))
   }
 
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking + exact
+    * cosine verify — the 100 TB path. Candidates come from the banded
+    * (band, key) equi-self-join ([[embedCandidates]], never all-pairs);
+    * each candidate is verified with the SAME codegen cosine and emitted
+    * in the SAME (a, b, cos_micros) contract as [[cosinePairsExact]], so
+    * the two agree exactly whenever blocking catches every pair at the
+    * threshold (per-pair catch prob 1-(1-p^r)^bands with
+    * p = 1 - acos(cos)/π; at the defaults r=8, bands=16 a cos-0.99 pair
+    * is missed with prob ~1e-8 — q_dedup_embed_lsh pins the equality
+    * against the exact-join oracle on a threshold-gapped fixture). */
+  def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, threshold: Double,
+                         planes: Int = 128, bands: Int = 16,
+                         seed: Long = 42L): DataFrame = {
+    val cands = embedCandidates(df, idCol, vecCol, dim, planes, bands, seed)
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cands.join(va, "a").join(vb, "b")
+      .withColumn("cos", graft.vector.distances.cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"),
+        floor(col("cos") * 1000000).cast("long").as("cos_micros"))
+  }
+
   /** Random-hyperplane band keys for embedding LSH: sign bits of the dot
     * product against seeded deterministic hyperplanes, grouped into bands.
     * P(bit agrees) = 1 - angle/π, so bands of r bits catch a pair at cosine

@@ -52,6 +52,43 @@ object DedupQueries {
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.v, b.v) >= 0.45")),
 
+    // LSH-BLOCKED embedding-cosine near-dup (r13 VERDICT #1 — the scale
+    // path, gated): hyperplane banding → (band,key) equi-self-join →
+    // exact-cosine verify, never all-pairs. The fixture is THRESHOLD-
+    // GAPPED so blocking provably loses nothing: every embedding gets one
+    // deterministic near-copy (per-coordinate multiplier in [0.85, 1.15)
+    // from an integer hash both engines replay exactly → cosine ≈ 0.996),
+    // while the widest cross pair in the base corpus is ~0.6 — so the
+    // pairs ≥ 0.9 are exactly the planted copies, each caught by the
+    // seeded 16-band × 12-bit banding with miss prob ~1e-8 per pair
+    // (1-(1-p^12)^16 at p = 1-acos(0.996)/π). The oracle is the EXACT
+    // cross-join predicate over the same constructed fixture.
+    "q_dedup_embed_lsh" -> QueryDef(
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val copies = e.select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) + lit(0.3) *
+              ((pmod(col("vec_id") * lit(1000003L) + (i + lit(1)) * lit(7919L),
+                lit(1000L)).cast("double") - lit(500.0)) / lit(1000.0))))
+              .cast("float")).as("embedding"))
+        Dedup.cosinePairsBlocked(e.unionAll(copies), "vec_id", "embedding",
+          dim = 64, threshold = 0.9, planes = 192, bands = 16)
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+        "cop AS (SELECT vec_id + 1000000 AS cid, " +
+        "[CAST(embedding[i]::DOUBLE * (1.0 + 0.3 * " +
+        "((((vec_id*1000003 + i*7919) % 1000) - 500.0)/1000.0)) AS FLOAT) " +
+        "for i in generate_series(1, len(embedding))] AS cemb FROM base), " +
+        "u AS (SELECT vec_id, embedding FROM base " +
+        "UNION ALL SELECT cid, cemb FROM cop), " +
+        "e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u) " +
+        "SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "floor(list_cosine_similarity(a.v, b.v) * 1000000)::BIGINT AS cos_micros " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.v, b.v) >= 0.9")),
+
     // SimHash fingerprint dedup: hamming<=3 pairs via the exact pigeonhole
     // chunk join. The rolling-hash family (per-shingle fingerprint, 30-bit
     // majority vote) is used here because it IS expressible in DuckDB, so

@@ -285,10 +285,13 @@ object PipelineQueries {
     // exactness against an independent engine). The oracle replays every
     // stage: the full encoder forward as CTEs, all-pairs cosine, the BPE
     // chain closed form, and the LCG hash rank. 100 TB note: the pair
-    // stage here is the EXACT all-pairs variant (oracle-replayable,
-    // bounded at gate scale); the at-scale swap is one line — the
-    // hyperplane-LSH blocked `Dedup.embedCandidates`, which never goes
-    // all-pairs (DedupSpec pins its recall on clustered data).
+    // stage is the hyperplane-LSH BLOCKED variant (r13 VERDICT #1) —
+    // banded equi-self-join candidates + exact-cosine verify, never
+    // all-pairs. The oracle stays the exact cross-join: at threshold
+    // 0.9999 a qualifying pair is two bit-identical embeddings (the
+    // deterministic forward maps duplicate texts to equal vectors), whose
+    // sign bits agree on EVERY hyperplane — blocking catches it with
+    // certainty, so blocked == exact here by construction.
     "q_pipeline_v4" -> QueryDef(
       (s, d) => {
         val dir = transformerArtifactWp()
@@ -305,8 +308,8 @@ object PipelineQueries {
           "text", bpeArtifact(), countCol = "n_bpe")
         val emb = Embeddings.embedStage(counted, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
-        val pairs = graft.pipeline.Dedup.cosinePairsExact(
-          emb, "doc_id", "emb", 0.9999)
+        val pairs = graft.pipeline.Dedup.cosinePairsBlocked(
+          emb, "doc_id", "emb", dim = Tf.H, threshold = 0.9999)
         val dropIds = pairs.select(col("b").as("doc_id")).distinct()
         val surv = emb.join(dropIds, Seq("doc_id"), "left_anti")
         graft.pipeline.Mix.stratified(surv, "doc_id", "source", 3,

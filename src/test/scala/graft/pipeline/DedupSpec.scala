@@ -241,5 +241,14 @@ class DedupSpec extends AnyFunSuite {
     val allPairs = rows.size * (rows.size - 1) / 2
     assert(candSet.size < allPairs / 4,
       s"blocking degenerated: ${candSet.size} of $allPairs pairs")
+
+    // the gated blocked operator: candidates + exact-cosine verify equals
+    // the exact all-pairs join, row for row (cos_micros included)
+    val blocked = Dedup.cosinePairsBlocked(df, "vec_id", "embedding", dim,
+        threshold = 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Dedup.cosinePairsExact(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked === exact)
   }
 }
