@@ -289,6 +289,22 @@ object VectorQueries {
     // tasks), and the untouched Sort/Limit above recomputes exact
     // distances from the carried vectors. Exact at full ef, so it shares
     // the fullscan oracle; family selection pinned in AnnRoutingSpec.
+    // K6 ∘ K1 — the QUANTIZED-SPACE graph walk (r13 VERDICT #2; ref
+    // knn/knn.cpp:105-135 HNSWDist_c composes the quantizer into the
+    // graph's space interface): sub-graphs store int8 CODES (4× smaller
+    // resident set), the routed beam walks code-space L2, and the
+    // k·refine beam survivors rescore EXACTLY on the raw float column —
+    // exact at full ef under the same refine contract as q_knn_quant, so
+    // it shares the fullscan oracle.
+    "q_knn_graph_quant" -> QueryDef(
+      (s, d) => {
+        val path = hnswqIndex(s, d)
+        val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
+          "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     "q_knn_graph_routed" -> QueryDef(
       (s, d) => {
         val path = hnswcIndex(s, d)
@@ -751,6 +767,17 @@ object VectorQueries {
       if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
         Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
           path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
+
+  // Memoized QUANTIZED clustered graph per sfDir: the _qmodel sidecar is
+  // written last, so its _SUCCESS implies graph + route completed.
+  private def hnswqIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quant", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswq_embeddings"
+      if (!new java.io.File(Hnsw.qmodelPath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClusteredQuantized(t(s, d, "embeddings"), "embedding",
+          "vec_id", path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
       path
     })
 

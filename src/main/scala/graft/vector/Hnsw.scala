@@ -49,16 +49,45 @@ object Hnsw {
     StructField("vec", ArrayType(FloatType)),
     StructField("neighbors", ArrayType(LongType))))
 
+  /** The NODE SPACE a sub-graph is built and walked in — the Spark analog
+    * of the reference's space-interface selection (knn/knn.cpp:105-135:
+    * `HNSWDist_c` hands hnswlib a RAW or a QUANTIZED space from the same
+    * ctor; quantizer.cpp supplies the latter). `V` is the stored payload
+    * per node; `dist` scores it against a float query; `toQuery` lifts a
+    * payload to query form (identity for floats, dequantize for codes) so
+    * build-time node-to-node distances go through the same kernel. */
+  private[vector] trait Space[V] extends Serializable {
+    def dist(v: V, q: Array[Float]): Double
+    def toQuery(v: V): Array[Float]
+  }
+
+  private[vector] final class FloatSpace(metric: Knn.Metric)
+      extends Space[Array[Float]] {
+    def dist(v: Array[Float], q: Array[Float]): Double =
+      Ivf.scalarDist(metric, v, q)
+    def toQuery(v: Array[Float]): Array[Float] = v
+  }
+
+  /** int8-code space: the graph holds dim-byte codes (4× smaller resident
+    * set than float32) and every walk distance dequantizes inline —
+    * identical arithmetic to [[Quantize.QModel.l2]]'s coarse screen. */
+  private[vector] final class CodeSpace(m: Quantize.QModel)
+      extends Space[Array[Byte]] {
+    def dist(v: Array[Byte], q: Array[Float]): Double = m.l2(v, q)
+    def toQuery(v: Array[Byte]): Array[Float] =
+      Array.tabulate(m.dim)(i => m.dequantize(v(i), i))
+  }
+
   /** One partition's nodes, id-ascending. */
-  private final class SubGraph(val ids: Array[Long],
-                               val vecs: Array[Array[Float]],
-                               metric: Knn.Metric) {
+  private final class SubGraph[V](val ids: Array[Long],
+                                  val vecs: Array[V],
+                                  space: Space[V]) {
     val n: Int = ids.length
     val adj: Array[scala.collection.mutable.ArrayBuffer[Int]] =
       Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
 
     private def d(i: Int, q: Array[Float]): Double =
-      Ivf.scalarDist(metric, vecs(i), q)
+      space.dist(vecs(i), q)
 
     /** Beam search over the first `upTo` inserted nodes (the graph so far
       * during build; the whole graph when upTo = n). Returns (dist, idx)
@@ -128,19 +157,22 @@ object Hnsw {
       * recall craters (the r13 BENCH_SF1 recall gate measured 0.69@ef=64
       * on 10×-replicated vectors; the diversity rule is the published fix
       * and restores it). */
-    private def selectDiverse(base: Array[Float], cands: Seq[(Double, Int)],
+    private def selectDiverse(base: V, cands: Seq[(Double, Int)],
                               m: Int): Seq[Int] = {
-      val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      // kept entries cache their query-form payload: each new candidate is
+      // scored against every kept neighbor through the space kernel
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Float])]
+      val keptIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
       val rejected = scala.collection.mutable.ArrayBuffer.empty[Int]
       val it = cands.iterator
       while (it.hasNext && kept.size < m) {
         val (dc, c) = it.next()
-        if (kept.forall { case (_, s) =>
-            dc < Ivf.scalarDist(metric, vecs(c), vecs(s)) })
-          kept += ((dc, c))
-        else rejected += c
+        if (kept.forall { case (_, sq) => dc < space.dist(vecs(c), sq) }) {
+          kept += ((dc, space.toQuery(vecs(c))))
+          keptIdx += c
+        } else rejected += c
       }
-      (kept.map(_._2) ++ rejected.take(m - kept.size)).toSeq
+      (keptIdx ++ rejected.take(m - kept.size)).toSeq
     }
 
     /** NSW insert-all: id-ascending, heuristic-selected links from the
@@ -149,7 +181,7 @@ object Hnsw {
     def build(m: Int, efC: Int): Unit = {
       var i = 1
       while (i < n) {
-        val near = searchBeam(vecs(i), efC, i)
+        val near = searchBeam(space.toQuery(vecs(i)), efC, i)
         val links = selectDiverse(vecs(i), near, m)
         val chain = i - 1
         val mine = (links :+ chain).distinct
@@ -161,7 +193,8 @@ object Hnsw {
           // connectivity — never pruned)
           if (adj(j).size > m + 2) {
             val (chainE, rest) = adj(j).partition(e => e == j - 1 || e == j + 1)
-            val cand = rest.map(e => (Ivf.scalarDist(metric, vecs(j), vecs(e)), e))
+            val jq = space.toQuery(vecs(j))
+            val cand = rest.map(e => (space.dist(vecs(e), jq), e))
               .sorted.toSeq
             val kept = selectDiverse(vecs(j), cand, m)
             adj(j).clear()
@@ -185,7 +218,8 @@ object Hnsw {
   private def buildOne(rows: Seq[(Long, Array[Float])], pid: Int,
                        p: Params, metric: Knn.Metric): Iterator[Row] = {
     val sorted = rows.sortBy(_._1).toArray
-    val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), metric)
+    val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
+      new FloatSpace(metric))
     g.build(p.m, p.efC)
     (0 until g.n).iterator.map { i =>
       Row(pid, g.ids(i), g.vecs(i).toSeq, g.adj(i).map(g.ids(_)).sorted.toSeq)
@@ -538,7 +572,8 @@ object Hnsw {
     val sorted = it.map(_._2).toArray.sortBy(_._1)
     if (sorted.isEmpty) Iterator.empty
     else {
-      val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), metric)
+      val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
+        new FloatSpace(metric))
       val idx = sorted.map(_._1).zipWithIndex.toMap
       sorted.indices.foreach { i =>
         g.adj(i) ++= sorted(i)._3.iterator.map(idx)
@@ -726,5 +761,199 @@ object Hnsw {
       batch *= 2
     }
     (bestK.map { case (dist, id, vec) => (id, dist, vec) }.toArray, probed)
+  }
+
+  // ------------------------------------------------ quantized-space graph
+
+  /** QUANTIZED-SPACE graph walk (r13 VERDICT #2 — the last reference KNN
+    * capability: knn/knn.cpp:105-135 `HNSWDist_c` composes the quantizer
+    * INTO the graph's space interface, so hnswlib builds and walks int8
+    * codes, not floats; quantizer.cpp supplies the space). The Spark
+    * shape: sub-graphs store dim-BYTE codes ([[CodeSpace]]) — 4× less
+    * graph-resident memory per vector, the economics that let a
+    * 1000-executor cluster keep billion-vector sub-graphs resident — the
+    * beam walks code-space L2, and the beam's survivors (k·refine per
+    * query) are EXACT-rescored against the raw float column, which never
+    * enters the resident set (the reference rescans originals for
+    * rescoring the same way).
+    *
+    * Exactness: the routed probe schedule prunes a sub-graph only when
+    * its RAW-space triangle lower bound exceeds the kth-best COARSE
+    * distance + the model's worst-case quantization error
+    * ([[Quantize.QModel.l2ErrorBound]]): true-kth ≤ coarse-kth + E and
+    * every node in a pruned sub-graph has true distance > that, so no
+    * true top-k member is lost to routing. Within probed sub-graphs the
+    * k·refine coarse-candidate contract is the SAME as
+    * [[Quantize.searchRescore]] (q_knn_quant) — refine=8 keeps the true
+    * top-k inside the coarse set on these fixtures, and
+    * `q_knn_graph_quant` pins the equality against the exact fullscan
+    * oracle at full ef. */
+  def qmodelPath(indexPath: String): String = indexPath + "_qmodel"
+
+  private val qgraphSchema = StructType(Seq(
+    StructField("pid", IntegerType),
+    StructField("id", LongType),
+    StructField("qcode", BinaryType),
+    StructField("neighbors", ArrayType(LongType))))
+
+  /** Clustered build in CODE space: train the int8 model and the coarse
+    * router on the raw vectors, quantize, then build every sub-graph's
+    * links over the codes (build-time distances dequantize inline — the
+    * same space the walk uses, as in the reference). Writes the graph
+    * table (pid, id, qcode, neighbors), the `_route` sidecar (RAW-space
+    * centroids + radii — the bound space), and the `_qmodel` sidecar.
+    * L2 only: the code-space kernel is [[Quantize.QModel.l2]]. */
+  def buildIndexClusteredQuantized(df: DataFrame, vecCol: String,
+                                   idCol: String, path: String,
+                                   p: Params = Params())
+      : (Ivf.Model, Quantize.QModel) = {
+    import df.sparkSession.implicits._
+    val qm = Quantize.train(df, vecCol)
+    val m = Ivf.train(df, vecCol, nlist = p.partitions, metric = Knn.L2)
+    val assigned = Ivf.assign(df, vecCol, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qmB = df.sparkSession.sparkContext.broadcast(qm)
+      val keyed = assigned
+        .select(col("ivf_cluster").cast("int").as("pid"),
+          col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .as[(Int, Long, Array[Float])]
+        .rdd.map(t => (t._1, (t._2, qmB.value.quantize(t._3))))
+        .partitionBy(new PidPartitioner(p.partitions))
+      val rowRdd = keyed.mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.map(_._2).toSeq
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val sorted = rows.sortBy(_._1).toArray
+          val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
+            new CodeSpace(qmB.value))
+          g.build(p.m, p.efC)
+          (0 until g.n).iterator.map { i =>
+            Row(pid, g.ids(i), g.vecs(i), g.adj(i).map(g.ids(_)).sorted.toSeq)
+          }
+        }
+      }
+      val graph = df.sparkSession.createDataFrame(rowRdd, qgraphSchema)
+      graft.tables.Writer.write(graph, path, sortBy = Seq("pid", "id"),
+        files = p.partitions)
+      // route sidecar: RAW-space radii (the triangle bound's space)
+      val cents = typedLit(m.centroids.map(_.toSeq))
+      val route = assigned
+        .select(col("ivf_cluster").cast("int").as("pid"),
+          distances.l2Dist(col(vecCol),
+            element_at(cents, col("ivf_cluster").cast("int") + 1)
+              .cast("array<float>")).as("d"))
+        .groupBy("pid").agg(max(col("d")).as("radius"))
+        .withColumn("centroid",
+          element_at(cents, col("pid") + 1).cast("array<float>"))
+        .withColumn("metric", lit("l2"))
+      graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
+      val sidecar = Seq((qm.mins.toSeq, qm.maxs.toSeq)).toDF("mins", "maxs")
+      graft.tables.Writer.write(sidecar, qmodelPath(path), sortBy = Seq())
+      invalidateQuantized(path)
+      (m, qm)
+    } finally assigned.unpersist(false)
+  }
+
+  private type QGraphRow = (Long, Array[Byte], Array[Long])
+  private val residentQ =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.rdd.RDD[(Int, QGraphRow)]]
+  private val qmodelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Quantize.QModel]
+
+  private def loadQuantizedGraph(spark: SparkSession, indexPath: String)
+      : org.apache.spark.rdd.RDD[(Int, QGraphRow)] =
+    residentQ.synchronized {
+      residentQ.getOrElseUpdate(indexPath, {
+        import spark.implicits._
+        val df = spark.read.parquet(indexPath)
+          .select(col("pid"), col("id"), col("qcode"), col("neighbors"))
+        val maxPid = df.agg(max(col("pid"))).head
+        if (maxPid.isNullAt(0)) spark.sparkContext.emptyRDD[(Int, QGraphRow)]
+        else {
+          val g = df.as[(Int, Long, Array[Byte], Array[Long])]
+            .rdd.map(t => (t._1, (t._2, t._3, t._4)))
+            .partitionBy(new PidPartitioner(maxPid.getInt(0) + 1))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          g.count()
+          g
+        }
+      })
+    }
+
+  private def qmodel(spark: SparkSession, indexPath: String): Quantize.QModel =
+    qmodelCache.getOrElseUpdate(indexPath, {
+      val r = spark.read.parquet(qmodelPath(indexPath)).head()
+      Quantize.QModel(r.getSeq[Float](r.fieldIndex("mins")).toArray,
+        r.getSeq[Float](r.fieldIndex("maxs")).toArray)
+    })
+
+  /** Drop the resident copy of a quantized graph index. */
+  def invalidateQuantized(indexPath: String): Unit = {
+    residentQ.remove(indexPath).foreach(_.unpersist(false))
+    qmodelCache.remove(indexPath)
+    routeCache.remove(indexPath)
+  }
+
+  /** Routed top-k over a [[buildIndexClusteredQuantized]] index: probe
+    * sub-graphs in centroid-distance order (same doubling schedule as
+    * [[searchRoutedRaw]]), walk each probed sub-graph in CODE space, keep
+    * k·refine coarse survivors, and prune the schedule with the
+    * error-slack triangle bound; one exact rescore of the merged
+    * survivors against `raw` (the float table) ends the query. Returns
+    * (top-k DataFrame with [[Knn.knn]]'s contract, sub-graphs probed). */
+  def searchQuantized(spark: SparkSession, indexPath: String,
+                      raw: DataFrame, vecCol: String, idCol: String,
+                      query: Array[Float], k: Int, ef: Int,
+                      refine: Int = 8): (DataFrame, Int) = {
+    import spark.implicits._
+    val (metric, rts) = routes(spark, indexPath)
+    require(metric == Knn.L2, "quantized graph indexes are L2-only")
+    val qm = qmodel(spark, indexPath)
+    val err = qm.l2ErrorBound
+    val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, query, r._2)).toMap
+    val radius = rts.map(r => r._1 -> r._3).toMap
+    val order = rts.map(_._1).sortBy(centDist)
+    def bound(pid: Int): Double = centDist(pid) - radius(pid)
+    val graph = loadQuantizedGraph(spark, indexPath)
+    val qB = spark.sparkContext.broadcast((qm, query))
+    val keep = k * refine
+    var remaining: Seq[Int] = order.toSeq
+    var probed = 0
+    var batch = spark.conf.getOption("spark.graft.graph.probeBatch")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    var cands: Seq[(Double, Long)] = Nil // coarse (dist, id) asc, ≤ keep
+    while ({
+      if (cands.size >= k)
+        // prune on the COARSE kth best + worst-case quantization error:
+        // true-kth ≤ coarse-kth + err, and every node in a pruned
+        // sub-graph has true distance ≥ bound > that
+        remaining = remaining.filter(j => bound(j) <= cands(k - 1)._1 + err)
+      remaining.nonEmpty
+    }) {
+      val probes = remaining.take(batch).toSet
+      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+        graph, probes.contains)
+      val rows = pruned.mapPartitions { it =>
+        val sorted = it.map(_._2).toArray.sortBy(_._1)
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val (mm, q) = qB.value
+          val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
+            new CodeSpace(mm))
+          val idx = sorted.map(_._1).zipWithIndex.toMap
+          sorted.indices.foreach(i => g.adj(i) ++= sorted(i)._3.iterator.map(idx))
+          g.searchBeam(q, math.max(ef, keep), g.n).take(keep)
+            .map { case (d, i) => (d, g.ids(i)) }.iterator
+        }
+      }.collect()
+      cands = (cands ++ rows).sortBy(identity).take(keep)
+      probed += probes.size
+      remaining = remaining.drop(batch)
+      batch *= 2
+    }
+    val ids = cands.map(_._2)
+    val survivors = raw.join(ids.toDF(idCol), Seq(idCol))
+    (Knn.knn(survivors, vecCol, idCol, query, k, Knn.L2), probed)
   }
 }

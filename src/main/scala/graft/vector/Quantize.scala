@@ -39,6 +39,18 @@ object Quantize {
     }
     def dequantize(code: Byte, i: Int): Float =
       (((code & 0xFF) + 128) & 0xFF) * scale(i) + mins(i) // undo the -128 shift
+    /** Worst-case L2 distance between a corpus vector and its dequantized
+      * code: each in-range dimension rounds to the nearest of 256 levels
+      * (error ≤ scale/2), so ‖v − deq(quant(v))‖ ≤ √Σ(scaleᵢ/2)². Valid
+      * for vectors INSIDE the trained [min,max] box — i.e. the corpus the
+      * model was trained on (clamped out-of-range vectors have unbounded
+      * error; appended data should retrain or re-verify). */
+    def l2ErrorBound: Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { val h = scale(i) / 2.0; acc += h * h; i += 1 }
+      math.sqrt(acc)
+    }
     /** L2 between a quantized vector and a float query (dequantize inline). */
     def l2(codes: Array[Byte], q: Array[Float]): Double = {
       var acc = 0.0

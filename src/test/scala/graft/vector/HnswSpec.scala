@@ -57,6 +57,53 @@ class HnswSpec extends AnyFunSuite {
     assert(mean >= 0.95, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("quantized-space graph: exact at full ef, prunes sub-graphs, codes not floats resident") {
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val rows = for {
+      c <- 0 until 16
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 3)
+      i <- 0 until 25
+    } yield ((c * 25 + i).toLong,
+      center.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswq").resolve("g").toString
+    Hnsw.buildIndexClusteredQuantized(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8))
+    // resident payload is the int8 code — dim BYTES per vector vs 4·dim
+    // for floats (the 4× graph-memory economics), plus no float column
+    val schema = SparkT.spark.read.parquet(d).schema
+    assert(schema("qcode").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(!schema.fieldNames.contains("vec"))
+    val oneCode = SparkT.spark.read.parquet(d)
+      .select("qcode").as[Array[Byte]].head()
+    assert(oneCode.length === dim)
+    // exact at full ef (k·refine coarse contract + error-slack routing)
+    var probedTot = 0
+    Seq(3L, 117L, 284L, 351L).foreach { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, probed) = Hnsw.searchQuantized(SparkT.spark, d, df,
+        "embedding", "vec_id", q, 10, ef = 1 << 20)
+      val got = res.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      assert(got === exact, s"query $qid")
+      probedTot += probed
+    }
+    // clustered data: the error-slack triangle bound still prunes
+    assert(probedTot < 4 * 8, s"no pruning happened: $probedTot probes")
+    // small-ef walk in code space still navigates (recall, not exactness)
+    val q = rows(3)._2
+    val exactIds = Knn.knn(df, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val (res32, _) = Hnsw.searchQuantized(SparkT.spark, d, df,
+      "embedding", "vec_id", q, 10, ef = 32)
+    val got32 = res32.select("vec_id").as[Long].collect().toSet
+    assert(exactIds.intersect(got32).size >= 9,
+      s"code-space recall@10 ${exactIds.intersect(got32).size}/10")
+  }
+
   test("cosine and inner-product metrics are exact at full ef too") {
     Seq(Knn.Cosine, Knn.IP).foreach { metric =>
       val d = Files.createTempDirectory(s"graft-hnsw-$metric").resolve("g").toString
