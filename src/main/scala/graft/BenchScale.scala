@@ -62,7 +62,11 @@ object BenchScale {
     // exactly linear), BPE is a per-document merge loop with a shared
     // token cache, and the residual binary screen is a compact-column
     // scan + bounded rescore
-    "q_embed_transformer", "q_text_bpe", "q_knn_binary_res")
+    "q_embed_transformer", "q_text_bpe", "q_knn_binary_res",
+    // r14: the routed-graph batch knn join (broadcast query batch, one
+    // graph rehydration per sub-graph serving all its queries) and the
+    // quantized-space graph walk (int8-resident beam + exact rescore)
+    "q_knn_join_graph", "q_knn_graph_quant")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

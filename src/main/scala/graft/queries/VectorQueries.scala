@@ -127,6 +127,32 @@ object VectorQueries {
         "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
         "FROM r WHERE rn <= 3")),
 
+    // BATCH KNN JOIN through the ROUTED GRAPH family (r13 VERDICT #4 —
+    // the third leg beside q_knn_join/_ivf): the query batch broadcasts,
+    // each sub-graph rehydrates once and beam-walks every query assigned
+    // to it, grouped top-k merges. probes = all sub-graphs at full ef ⇒
+    // exact — shares the brute-force windowed cross-join oracle.
+    "q_knn_join_graph" -> QueryDef(
+      (s, d) => {
+        val path = hnswcJoinIndex(s, d)
+        Hnsw.knnJoinRouted(s, path,
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, ef = 1 << 20)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings WHERE vec_id >= 20), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
     // K2 inner-product metric (distance = 1 - dot, hnswlib convention)
     "q_knn_ip" -> QueryDef(
       (s, d) => topK(s, d, Knn.IP),
@@ -767,6 +793,19 @@ object VectorQueries {
       if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
         Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
           path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
+
+  // Memoized clustered graph over the JOIN CORPUS (vec_id >= 20) per
+  // sfDir — the route sidecar is written last.
+  private def hnswcJoinIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#join", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_embeddings_corpus"
+      if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClustered(
+          t(s, d, "embeddings").filter(col("vec_id") >= 20),
+          "embedding", "vec_id", path,
+          Hnsw.Params(m = 8, efC = 64, partitions = 8))
       path
     })
 
