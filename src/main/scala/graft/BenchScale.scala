@@ -325,6 +325,54 @@ object BenchScale {
       println(f"graph recall@10 ef=64: $meanRecall%.4f  " +
         f"probed $meanProbed%.1f/$subGraphs sub-graphs  ok=$floorOk")
     }
+    // r14 (r13 VERDICT #5): the NSW HOP CLAIM, measured. Hnsw.scala's
+    // scaladoc asserts the layer hierarchy "buys one hop" at our
+    // sub-graph sizes — i.e. flat-NSW walk cost grows ~logarithmically
+    // with sub-graph size. Same 10× corpus, two partitionings: 32
+    // sub-graphs (~625 rows each, the recall index) vs 4 sub-graphs
+    // (~5000 rows each, 8× larger). Pinned: mean nodes-expanded per walk
+    // grows ≤ 3× across the 8× size step (log predicts ~1.3×; linear
+    // would be ~8×) — a breach is the signal to add the entry-point
+    // layer.
+    locally {
+      import graft.vector.Hnsw
+      val embPath = s"$dst/embeddings.parquet"
+      val smallIdx = s"$dst/hnswc_recall64" // 32 sub-graphs (built above)
+      val bigIdx = s"$dst/hnswc_hops4"      // 4 sub-graphs
+      val done = new org.apache.hadoop.fs.Path(
+        Hnsw.routePath(bigIdx), "_SUCCESS")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done))
+        Hnsw.buildIndexClustered(spark.read.parquet(embPath), "embedding",
+          "vec_id", bigIdx, Hnsw.Params(m = 8, efC = 64, partitions = 4))
+      import spark.implicits._
+      val qs = spark.read.parquet(embPath).filter(col("vec_id") < 20)
+        .select(col("embedding")).as[Seq[Float]].collect()
+      def meanExpanded(idx: String): (Double, Double) = {
+        val per = qs.flatMap(q =>
+          Hnsw.walkStats(spark, idx, q.toArray, k = 10, ef = 64))
+        (per.map(_._3).sum.toDouble / per.length,
+          per.map(_._2).sum.toDouble / per.length)
+      }
+      val (expSmall, szSmall) = meanExpanded(smallIdx)
+      val (expBig, szBig) = meanExpanded(bigIdx)
+      val growth = expBig / expSmall
+      val sizeStep = szBig / szSmall
+      val hopsOk = growth <= 3.0
+      allOk &&= hopsOk
+      val h = root.putObject("walk_telemetry")
+      h.put("ef", 64)
+      h.put("subgraph_rows_small", math.round(szSmall * 10) / 10.0)
+      h.put("subgraph_rows_big", math.round(szBig * 10) / 10.0)
+      h.put("mean_expanded_small", math.round(expSmall * 10) / 10.0)
+      h.put("mean_expanded_big", math.round(expBig * 10) / 10.0)
+      h.put("size_step", math.round(sizeStep * 100) / 100.0)
+      h.put("expansion_growth", math.round(growth * 100) / 100.0)
+      h.put("sublog_ok", hopsOk)
+      println(f"walk telemetry: expanded $expSmall%.1f@${szSmall}%.0f-row " +
+        f"-> $expBig%.1f@${szBig}%.0f-row sub-graphs, growth $growth%.2fx " +
+        f"over ${sizeStep}%.1fx size  ok=$hopsOk")
+    }
     root.put("loadavg_end", loadavg())
     root.put("all_linear_ok", allOk)
     java.nio.file.Files.writeString(

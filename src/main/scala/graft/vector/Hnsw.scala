@@ -107,9 +107,14 @@ object Hnsw {
       * P² quantile of that rate end the walk before beam exhaustion —
       * opt-in, so the exact (full-ef) contract of every gate is
       * untouched. */
+    /** `counters`, when non-null, receives walk telemetry: counters(0) +=
+      * nodes EXPANDED (dequeued with their adjacency scanned — the "hops"
+      * a walk takes), counters(1) += distances scored. Measurement only;
+      * never changes the walk. */
     def searchBeam(q: Array[Float], ef: Int, upTo: Int,
                    allowed: Int => Boolean = _ => true,
-                   term: Quantile.Termination = null): Seq[(Double, Int)] = {
+                   term: Quantile.Termination = null,
+                   counters: Array[Long] = null): Seq[(Double, Int)] = {
       if (upTo == 0) return Nil
       val ord = Ordering.Tuple2[Double, Int]
       // candidates: min-first by (dist, id-idx); results: max-first
@@ -126,10 +131,12 @@ object Hnsw {
           cand.clear()
         }
         else {
+          if (counters != null) counters(0) += 1
           adj(c._2).foreach { e =>
             if (e < upTo && !visited.get(e)) {
               visited.set(e)
               val de = (d(e, q), e)
+              if (counters != null) counters(1) += 1
               if (term != null) term.onDistanceScored()
               if (res.size < ef || ord.lt(de, res.head)) {
                 cand.enqueue(de)
@@ -761,6 +768,38 @@ object Hnsw {
       batch *= 2
     }
     (bestK.map { case (dist, id, vec) => (id, dist, vec) }.toArray, probed)
+  }
+
+  /** WALK TELEMETRY (r13 VERDICT #5 — turning the flat-NSW-vs-hierarchy
+    * decision into a number): beam-walk every sub-graph for one query and
+    * return per-sub-graph (pid, size, nodesExpanded, distancesScored).
+    * "Expanded" counts dequeued nodes whose adjacency was scanned — the
+    * hops a walk takes; the Hnsw scaladoc's claim that the layer
+    * hierarchy "buys one hop" at our sub-graph sizes predicts expansion
+    * grows ~logarithmically with sub-graph size. BenchScale measures this
+    * at two sizes over the same 10× corpus and pins a sub-logarithmic
+    * growth ceiling; super-logarithmic growth there is the signal to add
+    * the entry-point layer. */
+  def walkStats(spark: SparkSession, indexPath: String,
+                query: Array[Float], k: Int, ef: Int)
+      : Array[(Int, Int, Long, Long)] = {
+    val (metric, _) = routes(spark, indexPath)
+    val qB = spark.sparkContext.broadcast(query)
+    loadGraph(spark, indexPath).mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val pid = rows.head._1
+        val sorted = rows.map(_._2).sortBy(_._1)
+        val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
+          new FloatSpace(metric))
+        val idx = sorted.map(_._1).zipWithIndex.toMap
+        sorted.indices.foreach(i => g.adj(i) ++= sorted(i)._3.iterator.map(idx))
+        val c = new Array[Long](2)
+        g.searchBeam(qB.value, math.max(ef, k), g.n, counters = c)
+        Iterator.single((pid, g.n, c(0), c(1)))
+      }
+    }.collect()
   }
 
   /** BATCH KNN JOIN over a clustered graph index (r13 VERDICT #4 — the

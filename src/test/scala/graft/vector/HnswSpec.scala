@@ -93,6 +93,22 @@ class HnswSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     val recall = two.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"probes=2 recall $recall")
+
+    // walk telemetry on the same index: one stats row per sub-graph,
+    // expansion bounded by the sub-graph and < full scan at small ef
+    val q0 = rows(0)._2
+    val stats = Hnsw.walkStats(SparkT.spark, d, q0, k = 5, ef = 16)
+    assert(stats.length === 8)
+    assert(stats.map(_._2).sum === corpus.count())
+    stats.foreach { case (_, n, expanded, scored) =>
+      assert(expanded >= 1L && expanded <= n.toLong)
+      assert(scored >= expanded - 1) // every hop past the entry was scored
+    }
+    // at small ef the beam terminates early on clustered data: the total
+    // expansion is well under the corpus size (the hierarchy question is
+    // BenchScale's job; this pins the counters are live and sane)
+    assert(stats.map(_._3).sum < corpus.count(),
+      s"ef=16 walk expanded everything: ${stats.toSeq}")
   }
 
   test("quantized-space graph: exact at full ef, prunes sub-graphs, codes not floats resident") {
