@@ -283,6 +283,8 @@ object BenchScale {
       var recSum = 0.0
       var probedSum = 0L
       var recAdaptSum = 0.0
+      val accAdapt = spark.sparkContext.longAccumulator("scored_adaptive")
+      val accExact = spark.sparkContext.longAccumulator("scored_exact")
       val kA = 16 // adaptive row's k — the policy is reference-gated OFF
                   // for k <= 10 (knn.cpp:481-483)
       qs.foreach { case (_, qv) =>
@@ -305,9 +307,16 @@ object BenchScale {
         // the same ef (reported, not floor-pinned — it is a knob)
         val tie16 = tieSetAt(kA)
         val (adaptDf, _) = Hnsw.searchRouted(spark, idxPath,
-          "vec_id", q, kA, ef = 64, adaptiveTermination = true)
+          "vec_id", q, kA, ef = 64, adaptiveTermination = true,
+          scoredAcc = accAdapt)
         recAdaptSum += adaptDf.select(col("vec_id")).as[Long].collect()
           .count(tie16.contains).toDouble / kA
+        // the exact k=16 walk under the same scoring accumulator — the
+        // baseline the adaptive savings are measured against (r14,
+        // r13 VERDICT #6: the knob now also rides the automatic route;
+        // AnnRoutingSpec pins that plumbing)
+        Hnsw.searchRouted(spark, idxPath, "vec_id", q, kA, ef = 64,
+          scoredAcc = accExact)
       }
       val meanRecall = recSum / qs.length
       val meanRecallAdapt = recAdaptSum / qs.length
@@ -319,6 +328,10 @@ object BenchScale {
       g.put("ef", 64); g.put("k", k); g.put("queries", qs.length)
       g.put("mean_recall", math.round(meanRecall * 1e4) / 1e4)
       g.put("mean_recall_adaptive_k16", math.round(meanRecallAdapt * 1e4) / 1e4)
+      g.put("scored_exact_k16", accExact.value)
+      g.put("scored_adaptive_k16", accAdapt.value)
+      g.put("adaptive_scored_savings", if (accExact.value == 0) 0.0
+        else math.round((1.0 - accAdapt.value.toDouble / accExact.value) * 1e4) / 1e4)
       g.put("mean_probed_subgraphs", math.round(meanProbed * 100) / 100.0)
       g.put("total_subgraphs", subGraphs)
       g.put("floor_ok", floorOk)

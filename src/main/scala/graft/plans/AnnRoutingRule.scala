@@ -62,9 +62,16 @@ object AnnRouting {
     * bound its survivors by this many ids (the broadcast-set budget — the
     * analog of the reference's filter-bitmap size, which is likewise
     * O(rows) on one node). */
+  /** `adaptive` opts the ROUTED walks this registration produces into the
+    * P²-quantile early termination (knn/termination.h) — an accuracy/cost
+    * knob: beams may stop before exhaustion, so results can be slightly
+    * sub-exact for k > 10 (the reference gates the policy off for k ≤ 10,
+    * knn.cpp:481-483, mirrored in the walk). Default off keeps every
+    * routed plan on the exact full-ef contract. */
   final case class GraphFamily(idCol: String, ef: Int,
                                metric: Knn.Metric,
-                               maxFilterIds: Long) extends Family
+                               maxFilterIds: Long,
+                               adaptive: Boolean = false) extends Family
   /** Quantized table ([[graft.vector.Quantize.quantizeTable]]): the
     * routed plan splices the coarse int8 screen (top k·refine by code
     * distance) + self-join under the original Sort/Limit — the exact
@@ -138,7 +145,8 @@ object AnnRouting {
   def registerGraph(spark: SparkSession, basePath: String, indexPath: String,
                     vecCol: String, idCol: String,
                     ef: Int = 1 << 20,
-                    maxFilterIds: Long = 4L * 1000 * 1000): Unit = {
+                    maxFilterIds: Long = 4L * 1000 * 1000,
+                    adaptiveTermination: Boolean = false): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
     val rows = graft.stats.Stats.rowCount(basePath,
@@ -146,7 +154,7 @@ object AnnRouting {
     val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
-        GraphFamily(idCol, ef, metric, maxFilterIds)))
+        GraphFamily(idCol, ef, metric, maxFilterIds, adaptiveTermination)))
   }
 
   /** Register a QUANTIZED table ([[graft.vector.Quantize.quantizeTable]]
@@ -627,7 +635,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (!graphGateOk(gl, lr, r, g, Nil)) None
     else {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
-        qvec.toSeq, k, g.ef, lr.output)
+        qvec.toSeq, k, g.ef, lr.output, adaptive = g.adaptive)
       Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
     }
   }
@@ -672,7 +680,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output,
         basePath = Some(r.basePath), filterSql = Some(cond.sql),
-        maxIds = g.maxFilterIds)
+        maxIds = g.maxFilterIds, adaptive = g.adaptive)
       // transformUp rebuilds parents after the leaf swap, so the consumed
       // Filter nodes are copies — match them by their (unchanged)
       // condition, not by reference

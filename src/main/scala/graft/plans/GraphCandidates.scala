@@ -48,7 +48,8 @@ final case class GraphCandidates(indexPath: String, idName: String,
                                  output: Seq[Attribute],
                                  basePath: Option[String] = None,
                                  filterSql: Option[String] = None,
-                                 maxIds: Long = Long.MaxValue) extends LeafNode {
+                                 maxIds: Long = Long.MaxValue,
+                                 adaptive: Boolean = false) extends LeafNode {
   override def maxRows: Option[Long] = Some(k.toLong)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = math.max(1L, k.toLong * 4L * (query.size + 2)))
@@ -125,7 +126,8 @@ final case class GraphCandidatesExec(node: GraphCandidates)
           (id: Long) => java.util.Arrays.binarySearch(b.value, id) >= 0
         }
         try graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
-          node.query.toArray, node.k, node.ef, allowed = allowed)._1
+          node.query.toArray, node.k, node.ef, allowed = allowed,
+          adaptiveTermination = node.adaptive)._1
         // the walk is fully driver-orchestrated, so the broadcast is dead
         // once it returns — free the up-to-maxIds*8 bytes instead of
         // leaving them to the ContextCleaner (review r10-2)

@@ -574,7 +574,8 @@ object Hnsw {
   private def searchSubGraph(it: Iterator[(Int, GraphRow)], q: Array[Float],
                              k: Int, ef: Int, metric: Knn.Metric,
                              allowed: Long => Boolean = _ => true,
-                             adaptive: Boolean = false)
+                             adaptive: Boolean = false,
+                             scoredAcc: org.apache.spark.util.LongAccumulator = null)
       : Iterator[(Long, Double, Array[Float])] = {
     val sorted = it.map(_._2).toArray.sortBy(_._1)
     if (sorted.isEmpty) Iterator.empty
@@ -592,12 +593,16 @@ object Hnsw {
         if (adaptive && k > 10)
           new Quantile.Termination(Quantile.L2ThresholdQuantile)
         else null
+      val counters = if (scoredAcc != null) new Array[Long](2) else null
       // vectors ride along (k per sub-graph): the automatic ANN route
       // feeds candidates back under the original Sort, which recomputes
       // exact distances from them
-      g.searchBeam(q, math.max(ef, k), g.n, i => allowed(g.ids(i)), term)
+      val res = g.searchBeam(q, math.max(ef, k), g.n,
+          i => allowed(g.ids(i)), term, counters)
         .take(k)
-        .map { case (dist, i) => (g.ids(i), dist, g.vecs(i)) }.iterator
+        .map { case (dist, i) => (g.ids(i), dist, g.vecs(i)) }
+      if (scoredAcc != null) scoredAcc.add(counters(1))
+      res.iterator
     }
   }
 
@@ -689,10 +694,12 @@ object Hnsw {
                    query: Array[Float], k: Int, ef: Int,
                    eps: Double = 1e-4,
                    allowed: Option[Long => Boolean] = None,
-                   adaptiveTermination: Boolean = false): (DataFrame, Int) = {
+                   adaptiveTermination: Boolean = false,
+                   scoredAcc: org.apache.spark.util.LongAccumulator = null)
+      : (DataFrame, Int) = {
     import spark.implicits._
     val (rows, probed) = searchRoutedRaw(spark, indexPath, query, k, ef,
-      eps, allowed, adaptiveTermination)
+      eps, allowed, adaptiveTermination, scoredAcc)
     (rows.map { case (id, dist, _) => (id, dist) }.toSeq.toDF(idCol, "dist"),
       probed)
   }
@@ -709,11 +716,15 @@ object Hnsw {
     * under the original Sort/Limit (which recomputes exact distances from
     * the vectors, keeping the routed plan's results identical to the
     * explicit API's). */
+  /** `scoredAcc`, when non-null, accumulates distances scored across the
+    * probed sub-graphs' walks — the probe-savings measurement behind the
+    * adaptive-termination knob (BenchScale reports adaptive vs exact). */
   def searchRoutedRaw(spark: SparkSession, indexPath: String,
                       query: Array[Float], k: Int, ef: Int,
                       eps: Double = 1e-4,
                       allowed: Option[Long => Boolean] = None,
-                      adaptiveTermination: Boolean = false)
+                      adaptiveTermination: Boolean = false,
+                      scoredAcc: org.apache.spark.util.LongAccumulator = null)
       : (Array[(Long, Double, Array[Float])], Int) = {
     val (metric, rts) = routes(spark, indexPath)
     val boundQ =
@@ -757,9 +768,10 @@ object Hnsw {
       val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
         graph, probes.contains)
       val adapt = adaptiveTermination
+      val acc = scoredAcc
       val rows = pruned
         .mapPartitions(it =>
-          searchSubGraph(it, qB.value, k, ef, metric, f, adapt))
+          searchSubGraph(it, qB.value, k, ef, metric, f, adapt, acc))
         .collect().map { case (id, d, vec) => (d, id, vec) }
       // sortBy (dist, id): the vector slot has no ordering
       bestK = (bestK ++ rows).sortBy(t => (t._1, t._2)).take(k)

@@ -476,6 +476,42 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, qb)
   }
 
+  test("graph family: the adaptive-termination knob rides registration into the routed leaf (r14)") {
+    val tmp = Files.createTempDirectory("graft-annroute-adapt")
+    val baseG = tmp.resolve("basea").toString
+    val idxG = tmp.resolve("idxa").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), baseG,
+      sortBy = Seq("vec_id"))
+    graft.vector.Hnsw.buildIndexClustered(
+      SparkT.spark.read.parquet(baseG), "embedding", "vec_id", idxG,
+      graft.vector.Hnsw.Params(m = 8, efC = 32, partitions = 4))
+    def leafOf(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case g: GraphCandidates => g
+    }
+    // default registration: exact contract, adaptive off in the leaf
+    AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+      vecCol = "embedding", idCol = "vec_id")
+    val exact = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)
+    assert(leafOf(exact).exists(!_.adaptive))
+    // opt-in: the knob lands in the leaf; at k = 10 the walk's k<=10
+    // reference gating (knn.cpp:481-483) keeps the result exact, so the
+    // plumbing is pinnable without loosening any contract
+    AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+      vecCol = "embedding", idCol = "vec_id", adaptiveTermination = true)
+    val adapt = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)
+    assert(leafOf(adapt).exists(_.adaptive),
+      adapt.queryExecution.optimizedPlan.toString)
+    assert(adapt.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // the FILTERED routed leaf carries it too
+    val filt = Knn.knn(
+      SparkT.spark.read.parquet(baseG).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(leafOf(filt).exists(l => l.adaptive && l.filterSql.isDefined))
+    AnnRouting.unregister(SparkT.spark, baseG)
+  }
+
   test("routing preserves downstream projections (round/select shapes)") {
     val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
         "embedding", "vec_id", query, 10)
