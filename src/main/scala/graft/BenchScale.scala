@@ -338,6 +338,44 @@ object BenchScale {
       println(f"graph recall@10 ef=64: $meanRecall%.4f  " +
         f"probed $meanProbed%.1f/$subGraphs sub-graphs  ok=$floorOk")
     }
+    // r14 (r13 VERDICT #3): single-thread transformer forward throughput
+    // at a representative width (hidden 256, 4 layers, inter 1024 —
+    // BERT-mini-ish), fixed-seed synthetic weights. The register-blocked
+    // applyAll path landed ~2.7× over the per-token scalar loops (327 →
+    // ~880 tok/s on this box); the row keeps the number regression-pinned
+    // per round. Floor 600 tok/s (≈2× the old path with headroom for
+    // machine noise).
+    locally {
+      import graft.embed.Transformer
+      import graft.embed.Transformer._
+      val rnd = new scala.util.Random(7)
+      val hidden = 256; val heads = 4; val layers = 4; val inter = 1024
+      def mat(r: Int, c: Int) =
+        Array.fill(r)(Array.fill(c)(rnd.nextFloat() * 0.1f - 0.05f))
+      def vecF(d: Int) = Array.fill(d)(rnd.nextFloat() * 0.1f - 0.05f)
+      def lin(o: Int, i: Int) = Transformer.Linear(mat(o, i), vecF(o))
+      def norm(d: Int) = Transformer.Norm(Array.fill(d)(1.0f), vecF(d))
+      val ls = Array.fill(layers)(Transformer.Layer(
+        lin(hidden, hidden), lin(hidden, hidden), lin(hidden, hidden),
+        lin(hidden, hidden), norm(hidden),
+        lin(inter, hidden), lin(hidden, inter), norm(hidden)))
+      val model = Transformer.Model(mat(1000, hidden), mat(128, hidden),
+        None, norm(hidden), ls, heads, 1e-12)
+      val seq = Array.fill(100)(rnd.nextInt(1000))
+      (0 until 10).foreach(_ => Transformer.forward(model, seq))
+      val docs = 50
+      val t0 = System.nanoTime()
+      (0 until docs).foreach(_ => Transformer.forward(model, seq))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val tokS = docs * seq.length / sec
+      val tokOk = tokS >= 600.0
+      allOk &&= tokOk
+      val tp = root.putObject("transformer_throughput")
+      tp.put("hidden", hidden); tp.put("layers", layers)
+      tp.put("tokens_per_sec_1thread", math.round(tokS))
+      tp.put("floor_ok", tokOk)
+      println(f"transformer fwd: ${tokS}%.0f tok/s single-thread ok=$tokOk")
+    }
     // r14 (r13 VERDICT #5): the NSW HOP CLAIM, measured. Hnsw.scala's
     // scaladoc asserts the layer hierarchy "buys one hop" at our
     // sub-graph sizes — i.e. flat-NSW walk cost grows ~logarithmically

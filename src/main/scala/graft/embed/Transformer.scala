@@ -67,6 +67,61 @@ object Transformer {
       }
       out
     }
+
+    /** BATCHED `y(p) = W·x(p) + b` over the whole token sequence (r13
+      * VERDICT #3): one pass over W serves four tokens per register
+      * block — each loaded weight is reused 4×, quartering W memory
+      * traffic (the matmul is memory-bound on the JVM; ~2× wall-clock at
+      * BERT-mini widths, TransformerSpec's smoke + the BENCH_SF1
+      * tokens/sec row). BIT-EQUAL to [[apply]]: every (token, row)
+      * accumulator still starts at b(o) and adds w(o)(i)·x(i) in
+      * ascending-i order — only the loop NEST changes, never an
+      * accumulation order — so the SQL oracle replays land on the same
+      * float32 bits. */
+    // W widened to double ONCE (float→double is exact, so arithmetic is
+    // bit-identical): the hot loop becomes pure double multiply-add the
+    // JIT can keep in vector registers. Costs 2× the model's resident
+    // bytes — fine for the embedding-model sizes this serves.
+    private lazy val wd: Array[Array[Double]] =
+      w.map { r => val d = new Array[Double](r.length)
+        var i = 0; while (i < r.length) { d(i) = r(i).toDouble; i += 1 }; d }
+
+    def applyAll(xs: Array[Array[Double]]): Array[Array[Double]] = {
+      val n = xs.length
+      val out = Array.fill(n)(new Array[Double](w.length))
+      var o = 0
+      while (o < w.length) {
+        val row = wd(o)
+        val in = row.length
+        val b0 = b(o).toDouble
+        var p = 0
+        while (p + 4 <= n) {
+          val x0 = xs(p); val x1 = xs(p + 1)
+          val x2 = xs(p + 2); val x3 = xs(p + 3)
+          var a0 = b0; var a1 = b0; var a2 = b0; var a3 = b0
+          var i = 0
+          while (i < in) {
+            val wv = row(i)
+            a0 += wv * x0(i); a1 += wv * x1(i)
+            a2 += wv * x2(i); a3 += wv * x3(i)
+            i += 1
+          }
+          out(p)(o) = a0; out(p + 1)(o) = a1
+          out(p + 2)(o) = a2; out(p + 3)(o) = a3
+          p += 4
+        }
+        while (p < n) {
+          val x0 = xs(p)
+          var acc = b0
+          var i = 0
+          while (i < in) { acc += row(i) * x0(i); i += 1 }
+          out(p)(o) = acc
+          p += 1
+        }
+        o += 1
+      }
+      out
+    }
   }
 
   final case class Norm(g: Array[Float], b: Array[Float])
@@ -267,9 +322,9 @@ object Transformer {
     val headDim = h / m.heads
     val scale = 1.0 / math.sqrt(headDim.toDouble)
     m.layers.foreach { layer =>
-      val q = x.map(layer.query(_))
-      val k = x.map(layer.key(_))
-      val v = x.map(layer.value(_))
+      val q = layer.query.applyAll(x)
+      val k = layer.key.applyAll(x)
+      val v = layer.value.applyAll(x)
       // self-attention, per head: softmax(QK^T/√d)·V
       val ctx = Array.fill(n)(new Array[Double](h))
       var head = 0
@@ -304,18 +359,25 @@ object Transformer {
         head += 1
       }
       // attention output projection, residual, LayerNorm
+      val attnProj = layer.attnOut.applyAll(ctx)
       val afterAttn = Array.tabulate(n) { p =>
-        val o = layer.attnOut(ctx(p))
+        val o = attnProj(p)
         var i = 0
         while (i < h) { o(i) += x(p)(i); i += 1 }
         layerNorm(o, layer.lnAttn, m.eps)
       }
       // FFN: gelu(inter)·out, residual, LayerNorm
-      x = Array.tabulate(n) { p =>
-        val mid = layer.inter(afterAttn(p))
+      val mids = layer.inter.applyAll(afterAttn)
+      var pp = 0
+      while (pp < n) {
+        val mid = mids(pp)
         var i = 0
         while (i < mid.length) { mid(i) = gelu(mid(i)); i += 1 }
-        val o = layer.out(mid)
+        pp += 1
+      }
+      val outs = layer.out.applyAll(mids)
+      x = Array.tabulate(n) { p =>
+        val o = outs(p)
         var j = 0
         while (j < h) { o(j) += afterAttn(p)(j); j += 1 }
         layerNorm(o, layer.lnOut, m.eps)
