@@ -148,7 +148,13 @@ object Transformer {
   /** Load a checkpoint from `model.safetensors` (+ optional `config.json`)
     * in `dir`, or from a `.safetensors` file directly (config looked up
     * beside it). Fails loudly on missing tensors or inconsistent shapes. */
-  def load(path: String): Model = {
+  /** `headsOverride` supplies the attention head count for checkpoints
+    * that ship WITHOUT config.json — the count is not recoverable from
+    * tensor shapes (Q/K/V are hidden×hidden regardless), so absent both
+    * the config and the override, load fails loudly rather than guess
+    * (a wrong guess — MiniLM is hidden 384 / 12 heads, not 384/64 —
+    * produces silently-wrong embeddings). */
+  def load(path: String, headsOverride: Option[Int] = None): Model = {
     val (weightsFile, dir) = resolveLayout(path)
     val ts = Safetensors.readAll(weightsFile.toString)
     val prefix =
@@ -218,9 +224,11 @@ object Transformer {
     // hidden×hidden regardless of heads) and a wrong guess produces
     // silently-wrong embeddings, so its absence is a hard error.
     val heads = cfg.flatMap(_.get("num_attention_heads")).map(_.toInt)
+      .orElse(headsOverride)
       .getOrElse(throw new IllegalStateException(
         s"checkpoint at $dir has no config.json with num_attention_heads; " +
-          "the head count cannot be inferred from tensor shapes"))
+          "the head count cannot be inferred from tensor shapes — pass " +
+          "headsOverride or add config.json"))
     val eps = cfg.flatMap(_.get("layer_norm_eps")).map(_.toDouble)
       .getOrElse(1e-12)
     Model(word, pos, typeRow, norm("embeddings.LayerNorm"), layers, heads, eps)

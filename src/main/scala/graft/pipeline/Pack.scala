@@ -120,7 +120,18 @@ object Pack {
       // silently, defeating the cross-document-masking provenance the
       // column exists for — fail loudly at plan time instead.
       val dt = df.schema(prov).dataType
-      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      val integral = dt match {
+        case _: org.apache.spark.sql.types.ByteType => true
+        case _: org.apache.spark.sql.types.ShortType => true
+        case _: org.apache.spark.sql.types.IntegerType => true
+        case _: org.apache.spark.sql.types.LongType => true
+        // scale-0 decimals (warehouse-export ids) cast losslessly while
+        // precision fits a long (≤ 18 digits can never overflow to null)
+        case d: org.apache.spark.sql.types.DecimalType =>
+          d.scale == 0 && d.precision <= 18
+        case _ => false
+      }
+      require(integral,
         s"doc-id provenance column '$prov' must be integral, got ${dt.sql}")
     }
     val pieceCols = Seq(col(shardCol), col("chunk"), col(orderCol).as("__o"),

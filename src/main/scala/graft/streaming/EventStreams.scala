@@ -190,7 +190,16 @@ object EventStreams {
     *
     * 100 TB note: state per user is ≤ steps·maxPerStep (step, micros)
     * pairs — bounded regardless of volume; the watermark (`delay`) is the
-    * lateness SLA, applied here so callers pass the raw typed stream. */
+    * lateness SLA, applied here so callers pass the raw typed stream.
+    *
+    * `idleTtlMicros` (default 7 event-time days) evicts a user's PARTIAL
+    * chain once the watermark passes the last buffered event by that
+    * horizon — without it a user who stalls mid-funnel holds state
+    * forever. This is a deliberate bounded-state default, same spirit as
+    * maxPerStep: a funnel whose steps legitimately span longer than the
+    * TTL must RAISE it (e.g. Long.MaxValue / 2 for effectively-unbounded
+    * retention), or late completions past the horizon re-enter as fresh
+    * chains instead of completing the evicted one. */
   def funnelStateBuffered(events: Dataset[TypedEvent], steps: Seq[String],
                           withinMicros: Option[Long] = None,
                           delay: String = "10 seconds",
@@ -274,8 +283,11 @@ object EventStreams {
             // Always arm a wake-up: the chain-seal instant when one is
             // pending, else the TTL horizon (so eviction fires without
             // needing another event from this user).
+            // single division AFTER the sum: two independent floors could
+            // land the timer ~1 ms before the horizon, firing a wake-up
+            // whose expiry check then fails (review r14)
             val targetMs = pendingTimeoutMs
-              .getOrElse(lastUs / 1000L + idleTtlMicros / 1000L + 1L)
+              .getOrElse((lastUs + idleTtlMicros) / 1000L + 1L)
             state.setTimeoutTimestamp(
               math.max(targetMs, state.getCurrentWatermarkMs() + 1L))
           } else state.remove()

@@ -325,19 +325,28 @@ object Hnsw {
     try {
       // sub-graphs store and beam-search the RAW vectors under `metric`
       writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, graphDir, p, metric)
-      val cents = typedLit(m.centroids.map(_.toSeq))
-      val route = assigned
-        .select(col("ivf_cluster").cast("int").as("pid"),
-          distances.l2Dist(col(boundCol),
-            element_at(cents, col("ivf_cluster").cast("int") + 1)
-              .cast("array<float>")).as("d"))
-        .groupBy("pid").agg(max(col("d")).as("radius"))
-        .withColumn("centroid",
-          element_at(cents, col("pid") + 1).cast("array<float>"))
-        .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
-      graft.tables.Writer.write(route, routeDir, sortBy = Seq("pid"))
+      writeRouteSidecar(assigned, boundCol, m, routeDir,
+        if (metric == Knn.L2) "l2" else "cosine")
       m
     } finally assigned.unpersist(false)
+  }
+
+  /** Route-sidecar writer shared by the raw and quantized clustered
+    * builds: per-pid (centroid, max bound-space L2 radius, metric). */
+  private def writeRouteSidecar(assigned: DataFrame, boundCol: String,
+                                m: Ivf.Model, routeDir: String,
+                                metricName: String): Unit = {
+    val cents = typedLit(m.centroids.map(_.toSeq))
+    val route = assigned
+      .select(col("ivf_cluster").cast("int").as("pid"),
+        distances.l2Dist(col(boundCol),
+          element_at(cents, col("ivf_cluster").cast("int") + 1)
+            .cast("array<float>")).as("d"))
+      .groupBy("pid").agg(max(col("d")).as("radius"))
+      .withColumn("centroid",
+        element_at(cents, col("pid") + 1).cast("array<float>"))
+      .withColumn("metric", lit(metricName))
+    graft.tables.Writer.write(route, routeDir, sortBy = Seq("pid"))
   }
 
   /** Sidecar location for the routing table of a clustered graph index. */
@@ -571,21 +580,33 @@ object Hnsw {
     * the (first-query-only) shuffle moves the index table, never facts. */
   /** Rehydrate one partition's sub-graph and beam-search it: the shared
     * task body of [[search]] and [[searchRouted]]. */
+  /** Rehydrate one partition's (id, payload, neighborIds) rows into a
+    * [[SubGraph]] — the ONE shared walk-site loader (search, telemetry,
+    * batch join, quantized walk). A dangling neighbor id (e.g. after a
+    * corrupted partial append) fails loudly here, in one place. */
+  private def rehydrate[V: scala.reflect.ClassTag](
+      rows: Array[(Long, V, Array[Long])], space: Space[V]): SubGraph[V] = {
+    val sorted = rows.sortBy(_._1)
+    val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), space)
+    val idx = sorted.map(_._1).zipWithIndex.toMap
+    sorted.indices.foreach { i =>
+      g.adj(i) ++= sorted(i)._3.iterator.map(n => idx.getOrElse(n,
+        throw new IllegalStateException(
+          s"dangling neighbor id $n in sub-graph (node ${sorted(i)._1})")))
+    }
+    g
+  }
+
   private def searchSubGraph(it: Iterator[(Int, GraphRow)], q: Array[Float],
                              k: Int, ef: Int, metric: Knn.Metric,
                              allowed: Long => Boolean = _ => true,
                              adaptive: Boolean = false,
                              scoredAcc: org.apache.spark.util.LongAccumulator = null)
       : Iterator[(Long, Double, Array[Float])] = {
-    val sorted = it.map(_._2).toArray.sortBy(_._1)
-    if (sorted.isEmpty) Iterator.empty
+    val rows = it.map(_._2).toArray
+    if (rows.isEmpty) Iterator.empty
     else {
-      val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
-        new FloatSpace(metric))
-      val idx = sorted.map(_._1).zipWithIndex.toMap
-      sorted.indices.foreach { i =>
-        g.adj(i) ++= sorted(i)._3.iterator.map(idx)
-      }
+      val g = rehydrate(rows, new FloatSpace(metric))
       // small result sets complete before the discovery-rate signal means
       // anything — the reference disables quantile termination for k <= 10
       // (knn.cpp:481-483), mirrored here
@@ -802,11 +823,7 @@ object Hnsw {
       if (rows.isEmpty) Iterator.empty
       else {
         val pid = rows.head._1
-        val sorted = rows.map(_._2).sortBy(_._1)
-        val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
-          new FloatSpace(metric))
-        val idx = sorted.map(_._1).zipWithIndex.toMap
-        sorted.indices.foreach(i => g.adj(i) ++= sorted(i)._3.iterator.map(idx))
+        val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
         val c = new Array[Long](2)
         g.searchBeam(qB.value, math.max(ef, k), g.n, counters = c)
         Iterator.single((pid, g.n, c(0), c(1)))
@@ -871,11 +888,7 @@ object Hnsw {
         val assigned = qB.value.getOrElse(pid, Array.empty[(Long, Array[Float])])
         if (assigned.isEmpty) Iterator.empty
         else {
-          val sorted = rows.map(_._2).sortBy(_._1)
-          val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
-            new FloatSpace(metric))
-          val idx = sorted.map(_._1).zipWithIndex.toMap
-          sorted.indices.foreach(i => g.adj(i) ++= sorted(i)._3.iterator.map(idx))
+          val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
           // ONE rehydrated graph serves every assigned query
           assigned.iterator.flatMap { case (qid, qv) =>
             g.searchBeam(qv, math.max(ef, k), g.n).take(k)
@@ -933,6 +946,14 @@ object Hnsw {
                                    p: Params = Params())
       : (Ivf.Model, Quantize.QModel) = {
     import df.sparkSession.implicits._
+    // same guard as buildIndexClustered: a base-path rebuild under a
+    // manifest-managed index would be silently ignored by readers that
+    // resolve through the manifest (review r14)
+    val fsQ = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    require(graft.index.SecondaryIndex.manifestVersions(fsQ, path).isEmpty,
+      s"$path is manifest-managed: rebuilds at the base path are not " +
+        "served (readers resolve through the manifest)")
     val qm = Quantize.train(df, vecCol)
     val m = Ivf.train(df, vecCol, nlist = p.partitions, metric = Knn.L2)
     val assigned = Ivf.assign(df, vecCol, m)
@@ -962,17 +983,7 @@ object Hnsw {
       graft.tables.Writer.write(graph, path, sortBy = Seq("pid", "id"),
         files = p.partitions)
       // route sidecar: RAW-space radii (the triangle bound's space)
-      val cents = typedLit(m.centroids.map(_.toSeq))
-      val route = assigned
-        .select(col("ivf_cluster").cast("int").as("pid"),
-          distances.l2Dist(col(vecCol),
-            element_at(cents, col("ivf_cluster").cast("int") + 1)
-              .cast("array<float>")).as("d"))
-        .groupBy("pid").agg(max(col("d")).as("radius"))
-        .withColumn("centroid",
-          element_at(cents, col("pid") + 1).cast("array<float>"))
-        .withColumn("metric", lit("l2"))
-      graft.tables.Writer.write(route, routePath(path), sortBy = Seq("pid"))
+      writeRouteSidecar(assigned, vecCol, m, routePath(path), "l2")
       val sidecar = Seq((qm.mins.toSeq, qm.maxs.toSeq)).toDF("mins", "maxs")
       graft.tables.Writer.write(sidecar, qmodelPath(path), sortBy = Seq())
       invalidateQuantized(path)
@@ -1060,14 +1071,11 @@ object Hnsw {
       val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
         graph, probes.contains)
       val rows = pruned.mapPartitions { it =>
-        val sorted = it.map(_._2).toArray.sortBy(_._1)
-        if (sorted.isEmpty) Iterator.empty
+        val part = it.map(_._2).toArray
+        if (part.isEmpty) Iterator.empty
         else {
           val (mm, q) = qB.value
-          val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
-            new CodeSpace(mm))
-          val idx = sorted.map(_._1).zipWithIndex.toMap
-          sorted.indices.foreach(i => g.adj(i) ++= sorted(i)._3.iterator.map(idx))
+          val g = rehydrate(part, new CodeSpace(mm))
           g.searchBeam(q, math.max(ef, keep), g.n).take(keep)
             .map { case (d, i) => (d, g.ids(i)) }.iterator
         }
