@@ -582,6 +582,23 @@ object Dedup {
         floor(col("cos") * 1000000).cast("long").as("cos_micros"))
   }
 
+  /** Embedding-cosine near-dup pairs, SCALE-AWARE: picks the exact join
+    * or hyperplane-LSH blocking by dimensionality. Sign-bucket blocking
+    * prunes only when the space can discriminate — it needs dim well
+    * above log₂(n); in a tiny space the corpus collapses into a handful
+    * of sign patterns and banding degenerates to all-pairs WITH banding
+    * overhead (measured r14: the dim-4 flagship embedding column ran 13×
+    * SLOWER blocked than exact at sf0.1 — giant buckets, 32M candidate
+    * pairs). Below `minDim` the exact join is strictly better; at real
+    * embedding widths the blocked path never goes all-pairs. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  threshold: Double, minDim: Int = 16,
+                  planes: Int = 128, bands: Int = 16,
+                  seed: Long = 42L): DataFrame =
+    if (dim < minDim) cosinePairsExact(df, idCol, vecCol, threshold)
+    else cosinePairsBlocked(df, idCol, vecCol, dim, threshold, planes,
+      bands, seed)
+
   /** Random-hyperplane band keys for embedding LSH: sign bits of the dot
     * product against seeded deterministic hyperplanes, grouped into bands.
     * P(bit agrees) = 1 - angle/π, so bands of r bits catch a pair at cosine

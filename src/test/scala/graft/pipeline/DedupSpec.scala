@@ -250,5 +250,14 @@ class DedupSpec extends AnyFunSuite {
     val exact = Dedup.cosinePairsExact(df, "vec_id", "embedding", 0.9)
       .as[(Long, Long, Long)].collect().toSet
     assert(blocked === exact)
+    // the scale-aware dispatcher: identical output on both branches
+    // (dim 32 >= minDim routes blocked; forcing minDim above it routes
+    // exact — sign buckets cannot discriminate in tiny spaces, r14)
+    val viaDispatch = Dedup.cosinePairs(df, "vec_id", "embedding", dim, 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaExactBranch = Dedup.cosinePairs(df, "vec_id", "embedding", dim,
+        0.9, minDim = dim + 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaDispatch === exact && viaExactBranch === exact)
   }
 }
