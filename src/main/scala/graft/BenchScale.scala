@@ -66,7 +66,12 @@ object BenchScale {
     // r14: the routed-graph batch knn join (broadcast query batch, one
     // graph rehydration per sub-graph serving all its queries) and the
     // quantized-space graph walk (int8-resident beam + exact rescore)
-    "q_knn_join_graph", "q_knn_graph_quant")
+    "q_knn_join_graph", "q_knn_graph_quant",
+    // r14-2: cross-doc span strip — the gram doc-frequency aggregate and
+    // the (doc, pos) anti-join must both stay linear in corpus tokens
+    // (the caesar-decorrelated replicas keep per-replica gram structure,
+    // so flagged coverage per replica matches the original)
+    "q_dedup_strip")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

@@ -617,6 +617,112 @@ object Dedup {
     }.toSeq
   }
 
+  // ------------------------------------------------------------------
+  // Cross-document repeated-SPAN removal (the RefinedWeb/CCNet "line
+  // dedup" analog, word-window form since the corpus has no newlines):
+  // flag every n-token window whose gram occurs in >= minDocs DISTINCT
+  // documents, then score (covered-token ratio) or strip (rebuild the
+  // text without covered tokens). Doc-level dedup keeps one copy of a
+  // whole duplicate; this removes the boilerplate fragments (headers,
+  // nav bars, license blurbs) that repeat across otherwise-distinct
+  // pages — the complementary curation pass.
+  //
+  // 100 TB shape: explode n-grams (narrow) -> ONE hash aggregate on
+  // xxhash64(gram) 8-byte keys for doc frequency -> equi-join the flag
+  // set back on the same key (co-partitioned with the aggregate's
+  // shuffle) -> per-doc interval union via distinct token positions ->
+  // rebuild with each token crossing the wire once. Never all-pairs;
+  // every stage is linear in corpus tokens.
+  // ------------------------------------------------------------------
+
+  /** Positional word n-grams: one row per window start — (mid, pos, gram),
+    * pos 0-based over the whitespace token array (posexplode order ==
+    * window order since allNgrams preserves it). Docs shorter than n
+    * tokens yield no rows. */
+  def positionalNgrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("mid"),
+      posexplode(TextFunctions.allNgrams(col(textCol), n))
+        .as(Seq("pos", "gram")))
+
+  /** Gram doc-frequency filter: xxhash64 keys of grams that occur in at
+    * least `minDocs` DISTINCT documents. Grouping on the 8-byte hash (not
+    * the gram string) keeps the shuffle narrow — same 2^-64 collision bet
+    * as [[exactKeepers]]; the oracle groups by the string and agrees. */
+  def boilerplateGrams(grams: DataFrame, minDocs: Int): DataFrame =
+    grams.groupBy(xxhash64(col("gram")).as("gram_hash"))
+      .agg(countDistinct(col("mid")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+
+  /** Distinct covered token positions per doc: the union of all flagged
+    * windows [pos, pos+n). The join back to the flag set is an equi-join
+    * on gram_hash — co-partitioned with [[boilerplateGrams]]'s aggregate. */
+  private def coveredPositions(grams: DataFrame, minDocs: Int,
+                               n: Int): DataFrame =
+    grams.withColumn("gram_hash", xxhash64(col("gram")))
+      .join(boilerplateGrams(grams, minDocs), "gram_hash")
+      .select(col("mid"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
+      .distinct()
+
+  /** Per-document cross-corpus duplicate-span coverage: how much of each
+    * doc is tokens inside windows repeated across >= minDocs docs.
+    * Returns (id, total_tokens, covered_tokens, covered_micros) for EVERY
+    * input doc (uncovered and sub-n docs score 0). Exact integer counts +
+    * one floored IEEE division — engine-stable. */
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minDocs: Int = 2): DataFrame = {
+    val grams = materialized(positionalNgrams(df, idCol, textCol, n))
+    val perDoc = coveredPositions(grams, minDocs, n)
+      .groupBy("mid").agg(count(lit(1)).as("covered_tokens"))
+    val totals = df.select(col(idCol).cast("long").as("mid"),
+      TextFunctions.tokenCount(col(textCol)).as("total_tokens"))
+    eagerly(
+      totals.join(perDoc, Seq("mid"), "left")
+        .select(col("mid").as(idCol),
+          col("total_tokens").cast("long").as("total_tokens"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          when(col("total_tokens") === 0, lit(0L))
+            .otherwise(floor(coalesce(col("covered_tokens"), lit(0L))
+              .cast("double") / col("total_tokens") * 1000000)
+              .cast("long")).as("covered_micros")),
+      grams)
+  }
+
+  /** Strip the covered spans: rebuild each doc's text from the tokens NOT
+    * inside any flagged window. Returns (id, clean_text, kept_tokens) for
+    * every input doc (fully-covered docs keep "" / 0; sub-n and unique
+    * docs pass through verbatim, single-space-normalized). The rebuild is
+    * the [[graft.pipeline.Pack]] argument: posexplode -> anti-join on
+    * (mid, pos) -> one per-doc aggregate over sorted (pos, token) structs
+    * — each surviving token crosses the wire once, and the per-group state
+    * is bounded by the doc's own length (inherent to emitting a text
+    * column). */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+                 n: Int, minDocs: Int = 2): DataFrame = {
+    val grams = materialized(positionalNgrams(df, idCol, textCol, n))
+    val covered = coveredPositions(grams, minDocs, n)
+    val toks = df.select(col(idCol).cast("long").as("mid"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tpos", "tok")))
+    val kept = toks.join(covered,
+      toks("mid") === covered("mid") && toks("tpos") === covered("tok_pos"),
+      "left_anti")
+    val rebuilt = kept.groupBy("mid")
+      .agg(sort_array(collect_list(struct(col("tpos"), col("tok"))))
+        .as("ordered"))
+      .select(col("mid"),
+        array_join(transform(col("ordered"), x => x("tok")), " ")
+          .as("clean"),
+        size(col("ordered")).cast("long").as("kept"))
+    eagerly(
+      df.select(col(idCol).cast("long").as("mid")).distinct()
+        .join(rebuilt, Seq("mid"), "left")
+        .select(col("mid").as(idCol),
+          coalesce(col("clean"), lit("")).as("clean_text"),
+          coalesce(col("kept"), lit(0L)).as("kept_tokens")),
+      grams)
+  }
+
   /** Candidate pairs from embedding LSH banding (scale path; recall depends
     * on the cosine gap — verify with [[cosinePairsExact]]'s predicate). */
   def embedCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -105,7 +105,7 @@ object TextFunctions {
 
   /** ALL word n-grams (with repeats — [[shingles]] is the deduped set).
     * Shares the bind-tokens-once trick; < n tokens → empty array. */
-  private def allNgrams(c: Column, n: Int): Column =
+  private[pipeline] def allNgrams(c: Column, n: Int): Column =
     element_at(transform(array(tokens(c)), w =>
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n), i =>

@@ -18,6 +18,23 @@ object DedupQueries {
       "FROM documents), sh AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] " +
       "for i in generate_series(1, len(w)-2)]) s FROM dd) "
 
+  /** Shared CTE chain for the cross-doc span gates: positional 4-grams,
+    * doc-frequency >= 2 flags, distinct covered (doc, token-pos) union,
+    * per-doc covered counts. 1-based positions throughout (the engine is
+    * 0-based internally; neither gate exposes positions). */
+  private val spanCte =
+    raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+      "FROM documents), " +
+      "g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 3)) AS pos, w " +
+      "FROM dd WHERE len(w) >= 4), " +
+      "grams AS (SELECT doc_id, pos, array_to_string(w[pos:pos+3], ' ') AS gram FROM g), " +
+      "boiler AS (SELECT gram FROM grams GROUP BY gram " +
+      "HAVING count(DISTINCT doc_id) >= 2), " +
+      "cov AS (SELECT DISTINCT doc_id, tp FROM (SELECT g2.doc_id, " +
+      "unnest(generate_series(g2.pos, g2.pos + 3)) AS tp " +
+      "FROM grams g2 JOIN boiler USING (gram))), " +
+      "percov AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id) "
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: one survivor per identical text (hash group-by — the
@@ -182,6 +199,42 @@ object DedupQueries {
         "* 1000000)::BIGINT AS containment_micros " +
         "FROM sh co JOIN sh ev " +
         "ON co.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0 " +
-        "WHERE len(ev.s) > 0 AND len(list_intersect(co.s, ev.s)) >= 2"))
+        "WHERE len(ev.s) > 0 AND len(list_intersect(co.s, ev.s)) >= 2")),
+
+    // CROSS-DOCUMENT REPEATED-SPAN coverage (r14 — the RefinedWeb/CCNet
+    // "line dedup" analog in word-window form): fraction of each doc's
+    // tokens inside 4-gram windows that occur in >= 2 distinct docs.
+    // Engine: ONE hash aggregate on xxhash64(gram) for doc frequency +
+    // a co-partitioned equi-join back, never all-pairs; oracle groups by
+    // the gram string (identical absent 2^-64 hash collisions).
+    "q_dedup_spans" -> QueryDef(
+      (s, d) => Dedup.spanCoverage(t(s, d, "documents"), "doc_id", "text",
+        n = 4, minDocs = 2),
+      Some(spanCte +
+        "SELECT dd.doc_id, len(dd.w)::BIGINT AS total_tokens, " +
+        "coalesce(p.c, 0)::BIGINT AS covered_tokens, " +
+        "(CASE WHEN len(dd.w) = 0 THEN 0 ELSE " +
+        "floor(coalesce(p.c, 0)::DOUBLE / len(dd.w) * 1000000) END)" +
+        "::BIGINT AS covered_micros " +
+        "FROM dd LEFT JOIN percov p ON dd.doc_id = p.doc_id")),
+
+    // Strip the covered spans: rebuild every doc's text from the tokens
+    // outside any flagged window (boilerplate removal, not doc removal).
+    // Engine: posexplode -> anti-join on (doc, pos) -> one per-doc sorted
+    // aggregate — each surviving token crosses the wire once.
+    "q_dedup_strip" -> QueryDef(
+      (s, d) => Dedup.stripSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 4, minDocs = 2),
+      Some(spanCte +
+        ", toks AS (SELECT doc_id, unnest(w) AS tok, " +
+        "unnest(generate_series(1, len(w))) AS tp FROM dd), " +
+        "kept AS (SELECT t.doc_id, t.tp, t.tok FROM toks t " +
+        "LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp " +
+        "WHERE c.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) " +
+        "AS clean_text, count(*) AS kept FROM kept GROUP BY doc_id) " +
+        "SELECT dd.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+        "coalesce(a.kept, 0)::BIGINT AS kept_tokens " +
+        "FROM dd LEFT JOIN agg a ON dd.doc_id = a.doc_id"))
   )
 }

@@ -260,4 +260,84 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(viaDispatch === exact && viaExactBranch === exact)
   }
+
+  /** Brute-force twin of the cross-doc span pipeline: n-gram windows,
+    * doc-frequency count, covered-position union, strip. */
+  private def spanBrute(docs: Seq[(Long, String)], n: Int, minDocs: Int)
+      : (Map[Long, Set[Int]], Map[Long, String]) = {
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val grams = docs.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.length < n) Nil
+      else w.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString(" ")) }
+    }
+    val boiler = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+    val covered = grams.filter(g => boiler(g._3))
+      .groupBy(_._1).map { case (id, gs) =>
+        id -> gs.flatMap(g => g._2 until (g._2 + n)).toSet
+      }
+    val stripped = docs.map { case (id, t) =>
+      val w = toks(t)
+      val cov = covered.getOrElse(id, Set.empty)
+      id -> w.zipWithIndex.collect { case (tok, i) if !cov(i) => tok }.mkString(" ")
+    }.toMap
+    (covered, stripped)
+  }
+
+  test("spanCoverage/stripSpans: planted boilerplate is flagged in every carrier, unique text untouched") {
+    val boiler = "subscribe to our newsletter today"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa"),
+      (3L, s"lambda mu nu xi omicron pi $boiler"),
+      (4L, "rho sigma tau upsilon phi chi psi omega"),
+      (5L, "tiny doc"))                                  // < n tokens
+    val n = 5; val minDocs = 3
+    val df = docs.toDF("doc_id", "text")
+    val cov = Dedup.spanCoverage(df, "doc_id", "text", n, minDocs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (bCov, bStrip) = spanBrute(docs, n, minDocs)
+    // every doc appears, brute-force agreement on counts and micros
+    assert(cov.keySet === docs.map(_._1).toSet)
+    docs.foreach { case (id, t) =>
+      val total = t.trim.split("\\s+").count(_.nonEmpty).toLong
+      val c = bCov.getOrElse(id, Set.empty).size.toLong
+      val micros = if (total == 0) 0L else math.floor(c.toDouble / total * 1e6).toLong
+      assert(cov(id) === ((total, c, micros)), s"doc $id")
+    }
+    // the planted 5-gram is exactly the flag: carriers 1-3 covered on those
+    // 5 positions only, docs 4-5 at zero
+    assert(cov(1L)._2 === 5 && cov(2L)._2 === 5 && cov(3L)._2 === 5)
+    assert(cov(4L)._2 === 0 && cov(5L)._2 === 0)
+    val strip = Dedup.stripSpans(df, "doc_id", "text", n, minDocs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.foreach { case (id, _) =>
+      assert(strip(id)._1 === bStrip(id), s"doc $id strip")
+      assert(strip(id)._2 === bStrip(id).split(" ").count(_.nonEmpty).toLong)
+    }
+    assert(strip(1L)._1 === "alpha beta gamma delta epsilon")
+    assert(strip(5L)._1 === "tiny doc")
+  }
+
+  test("spanCoverage/stripSpans: randomized brute-force twin, overlapping windows union correctly") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map { id =>
+      id -> Vector.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val n = 3; val minDocs = 2
+    val (bCov, bStrip) = spanBrute(docs, n, minDocs)
+    val df = docs.toDF("doc_id", "text")
+    val cov = Dedup.spanCoverage(df, "doc_id", "text", n, minDocs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    docs.foreach { case (id, _) =>
+      assert(cov(id) === bCov.getOrElse(id, Set.empty).size.toLong, s"doc $id cov")
+    }
+    val strip = Dedup.stripSpans(df, "doc_id", "text", n, minDocs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    docs.foreach { case (id, _) => assert(strip(id) === bStrip(id), s"doc $id") }
+    // fully-covered docs come back as "" with the row present
+    assert(strip.keySet === docs.map(_._1).toSet)
+  }
 }
