@@ -665,6 +665,48 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
       .distinct()
 
+  /** Shared tail of the coverage scorers: join the distinct covered
+    * (mid, tok_pos) set back to per-doc totals and emit the ratio row for
+    * EVERY input doc. */
+  private def coverageFrom(df: DataFrame, idCol: String, textCol: String,
+                           covered: DataFrame): DataFrame = {
+    val perDoc = covered
+      .groupBy("mid").agg(count(lit(1)).as("covered_tokens"))
+    val totals = df.select(col(idCol).cast("long").as("mid"),
+      TextFunctions.tokenCount(col(textCol)).as("total_tokens"))
+    totals.join(perDoc, Seq("mid"), "left")
+      .select(col("mid").as(idCol),
+        col("total_tokens").cast("long").as("total_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise(floor(coalesce(col("covered_tokens"), lit(0L))
+            .cast("double") / col("total_tokens") * 1000000)
+            .cast("long")).as("covered_micros"))
+  }
+
+  /** Shared tail of the strip operators: drop covered positions and
+    * rebuild each doc's text (see [[stripSpans]] for the plan argument). */
+  private def stripFrom(df: DataFrame, idCol: String, textCol: String,
+                        covered: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("mid"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tpos", "tok")))
+    val kept = toks.join(covered,
+      toks("mid") === covered("mid") && toks("tpos") === covered("tok_pos"),
+      "left_anti")
+    val rebuilt = kept.groupBy("mid")
+      .agg(sort_array(collect_list(struct(col("tpos"), col("tok"))))
+        .as("ordered"))
+      .select(col("mid"),
+        array_join(transform(col("ordered"), x => x("tok")), " ")
+          .as("clean"),
+        size(col("ordered")).cast("long").as("kept"))
+    df.select(col(idCol).cast("long").as("mid")).distinct()
+      .join(rebuilt, Seq("mid"), "left")
+      .select(col("mid").as(idCol),
+        coalesce(col("clean"), lit("")).as("clean_text"),
+        coalesce(col("kept"), lit(0L)).as("kept_tokens"))
+  }
+
   /** Per-document cross-corpus duplicate-span coverage: how much of each
     * doc is tokens inside windows repeated across >= minDocs docs.
     * Returns (id, total_tokens, covered_tokens, covered_micros) for EVERY
@@ -673,19 +715,8 @@ object Dedup {
   def spanCoverage(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minDocs: Int = 2): DataFrame = {
     val grams = materialized(positionalNgrams(df, idCol, textCol, n))
-    val perDoc = coveredPositions(grams, minDocs, n)
-      .groupBy("mid").agg(count(lit(1)).as("covered_tokens"))
-    val totals = df.select(col(idCol).cast("long").as("mid"),
-      TextFunctions.tokenCount(col(textCol)).as("total_tokens"))
     eagerly(
-      totals.join(perDoc, Seq("mid"), "left")
-        .select(col("mid").as(idCol),
-          col("total_tokens").cast("long").as("total_tokens"),
-          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-          when(col("total_tokens") === 0, lit(0L))
-            .otherwise(floor(coalesce(col("covered_tokens"), lit(0L))
-              .cast("double") / col("total_tokens") * 1000000)
-              .cast("long")).as("covered_micros")),
+      coverageFrom(df, idCol, textCol, coveredPositions(grams, minDocs, n)),
       grams)
   }
 
@@ -701,25 +732,80 @@ object Dedup {
   def stripSpans(df: DataFrame, idCol: String, textCol: String,
                  n: Int, minDocs: Int = 2): DataFrame = {
     val grams = materialized(positionalNgrams(df, idCol, textCol, n))
-    val covered = coveredPositions(grams, minDocs, n)
-    val toks = df.select(col(idCol).cast("long").as("mid"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tpos", "tok")))
-    val kept = toks.join(covered,
-      toks("mid") === covered("mid") && toks("tpos") === covered("tok_pos"),
-      "left_anti")
-    val rebuilt = kept.groupBy("mid")
-      .agg(sort_array(collect_list(struct(col("tpos"), col("tok"))))
-        .as("ordered"))
-      .select(col("mid"),
-        array_join(transform(col("ordered"), x => x("tok")), " ")
-          .as("clean"),
-        size(col("ordered")).cast("long").as("kept"))
     eagerly(
-      df.select(col(idCol).cast("long").as("mid")).distinct()
-        .join(rebuilt, Seq("mid"), "left")
-        .select(col("mid").as(idCol),
-          coalesce(col("clean"), lit("")).as("clean_text"),
-          coalesce(col("kept"), lit(0L)).as("kept_tokens")),
+      stripFrom(df, idCol, textCol, coveredPositions(grams, minDocs, n)),
+      grams)
+  }
+
+  // ---- Incremental span dedup: the gram doc-frequency STORE ----
+  // The crawl-ingest flow: the corpus's gram frequencies persist once as
+  // a compact (gram_hash, doc_freq) table; each incoming batch scores /
+  // strips against the STORE without rescanning the corpus. Batch docs do
+  // NOT contribute to the frequencies (store-only flags — the ingest
+  // semantics: "is this span corpus boilerplate?"); fold a batch in with
+  // [[appendGramStore]] AFTER scoring it.
+
+  /** Write the corpus gram doc-frequency store: one row per distinct
+    * gram — (gram_hash, doc_freq), range-partitioned + sorted by
+    * gram_hash. All frequencies are kept (minDocs applies at probe time,
+    * so one store serves any threshold); the store is 16 bytes per
+    * distinct gram, corpus text never persists. */
+  def writeGramStore(df: DataFrame, idCol: String, textCol: String,
+                     path: String, n: Int): Unit =
+    boilerplateGrams(positionalNgrams(df, idCol, textCol, n), minDocs = 1)
+      .repartitionByRange(col("gram_hash"))
+      .sortWithinPartitions(col("gram_hash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Segment-append a new batch's gram frequencies (new files only;
+    * resident files untouched — the store serves correctly immediately).
+    * Readers SUM doc_freq per gram_hash across segments, so a gram seen
+    * by both the corpus and the batch counts both contributions. */
+  def appendGramStore(df: DataFrame, idCol: String, textCol: String,
+                      path: String, n: Int): Unit =
+    boilerplateGrams(positionalNgrams(df, idCol, textCol, n), minDocs = 1)
+      .repartitionByRange(col("gram_hash"))
+      .sortWithinPartitions(col("gram_hash"))
+      .write.mode("append").parquet(path)
+
+  /** The store's flag set at a probe-time threshold: segments re-summed
+    * per gram_hash, then filtered. */
+  private def storeFlags(spark: org.apache.spark.sql.SparkSession,
+                         path: String, minDocs: Int): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("gram_hash").agg(sum("doc_freq").as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+
+  /** Covered positions of `newDf`'s docs against the STORE's flags (an
+    * equi-join on gram_hash — the batch never touches corpus text). */
+  private def coveredAgainstStore(grams: DataFrame, path: String,
+                                  minDocs: Int, n: Int): DataFrame =
+    grams.withColumn("gram_hash", xxhash64(col("gram")))
+      .join(storeFlags(grams.sparkSession, path, minDocs), "gram_hash")
+      .select(col("mid"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
+      .distinct()
+
+  /** [[spanCoverage]] of a new batch against a persisted gram store:
+    * same output contract, corpus-frequency flags, no corpus rescan. */
+  def spanCoverageAgainstStore(newDf: DataFrame, storePath: String,
+                               idCol: String, textCol: String,
+                               n: Int, minDocs: Int = 2): DataFrame = {
+    val grams = materialized(positionalNgrams(newDf, idCol, textCol, n))
+    eagerly(
+      coverageFrom(newDf, idCol, textCol,
+        coveredAgainstStore(grams, storePath, minDocs, n)),
+      grams)
+  }
+
+  /** [[stripSpans]] of a new batch against a persisted gram store. */
+  def stripSpansAgainstStore(newDf: DataFrame, storePath: String,
+                             idCol: String, textCol: String,
+                             n: Int, minDocs: Int = 2): DataFrame = {
+    val grams = materialized(positionalNgrams(newDf, idCol, textCol, n))
+    eagerly(
+      stripFrom(newDf, idCol, textCol,
+        coveredAgainstStore(grams, storePath, minDocs, n)),
       grams)
   }
 

@@ -235,6 +235,45 @@ object DedupQueries {
         "AS clean_text, count(*) AS kept FROM kept GROUP BY doc_id) " +
         "SELECT dd.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
         "coalesce(a.kept, 0)::BIGINT AS kept_tokens " +
-        "FROM dd LEFT JOIN agg a ON dd.doc_id = a.doc_id"))
+        "FROM dd LEFT JOIN agg a ON dd.doc_id = a.doc_id")),
+
+    // INCREMENTAL span coverage against a persisted gram-frequency store
+    // (the crawl-ingest flow): corpus docs (doc_id % 5 <> 0) write their
+    // gram doc-frequencies ONCE; the batch (doc_id % 5 = 0) scores its
+    // boilerplate coverage via one equi-join on the 8-byte gram_hash —
+    // no corpus rescan, and batch docs do not contribute frequencies.
+    "q_dedup_spans_store" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        val store = s"${graft.tables.Derived.root}/" +
+          s"${new java.io.File(d).getName}/gramstore_documents"
+        if (!new java.io.File(store, "_SUCCESS").isFile)
+          Dedup.writeGramStore(corpus, "doc_id", "text", store, n = 4)
+        Dedup.spanCoverageAgainstStore(batch, store, "doc_id", "text",
+          n = 4, minDocs = 2)
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "cg AS (SELECT doc_id, unnest(generate_series(1, len(w) - 3)) AS pos, w " +
+        "FROM dd WHERE doc_id % 5 <> 0 AND len(w) >= 4), " +
+        "cgrams AS (SELECT doc_id, array_to_string(w[pos:pos+3], ' ') AS gram FROM cg), " +
+        "boiler AS (SELECT gram FROM cgrams GROUP BY gram " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "bg AS (SELECT doc_id, unnest(generate_series(1, len(w) - 3)) AS pos, w " +
+        "FROM dd WHERE doc_id % 5 = 0 AND len(w) >= 4), " +
+        "bgrams AS (SELECT doc_id, pos, array_to_string(w[pos:pos+3], ' ') AS gram FROM bg), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM (SELECT b2.doc_id, " +
+        "unnest(generate_series(b2.pos, b2.pos + 3)) AS tp " +
+        "FROM bgrams b2 JOIN boiler USING (gram))), " +
+        "percov AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id) " +
+        "SELECT dd.doc_id, len(dd.w)::BIGINT AS total_tokens, " +
+        "coalesce(p.c, 0)::BIGINT AS covered_tokens, " +
+        "(CASE WHEN len(dd.w) = 0 THEN 0 ELSE " +
+        "floor(coalesce(p.c, 0)::DOUBLE / len(dd.w) * 1000000) END)" +
+        "::BIGINT AS covered_micros " +
+        "FROM dd LEFT JOIN percov p ON dd.doc_id = p.doc_id " +
+        "WHERE dd.doc_id % 5 = 0"))
   )
 }

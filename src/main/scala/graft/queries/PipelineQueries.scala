@@ -953,6 +953,76 @@ object PipelineQueries {
         "row_number() OVER (PARTITION BY source ORDER BY " +
         s"(doc_id * 69069 + 12345) % ${graft.pipeline.Mix.Resolution}, doc_id) rn " +
         "FROM documents) WHERE rn <= 5"))
+  ) ++ Map(
+
+    // FLAGSHIP v5 (r14) — the BOILERPLATE-AWARE curation chain, every
+    // stage active on this corpus (500 -> 453 -> 265 docs -> 20 groups):
+    // cross-doc span STRIP (remove 4-gram windows shared by >= 2 docs) ->
+    // drop mostly-boilerplate docs (covered fraction > 60%, computed from
+    // the strip output itself: covered = total - kept, so the gram
+    // pipeline runs ONCE) -> quality filter on the CLEANED text (scoring
+    // after boilerplate removal, the order real curation uses) ->
+    // per-source doc/token accounting. 100 TB shape: the span pipeline's
+    // one gram aggregate + co-partitioned flag join + per-doc rebuild
+    // dominates; everything after is codegen'd filters over (id, text)
+    // and one tiny aggregate. The oracle replays all four stages in SQL.
+    "q_pipeline_v5" -> QueryDef(
+      (s, d) => {
+        import graft.pipeline.{Dedup, TextFunctions}
+        val docs = t(s, d, "documents")
+        val stripped = Dedup.stripSpans(docs, "doc_id", "text",
+          n = 4, minDocs = 2)
+        val withTotal = docs.select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long")
+              .as("total_tokens"))
+          .join(stripped, Seq("doc_id"))
+        val surv = withTotal.filter(
+          when(col("total_tokens") === 0, lit(0L))
+            .otherwise(floor((col("total_tokens") - col("kept_tokens"))
+              .cast("double") / col("total_tokens") * 1000000)
+              .cast("long")) <= 600000L)
+        surv
+          .filter(TextFunctions.qualityMicros(col("clean_text")) >= 440000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("kept_tokens")).as("tokens"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 3)) AS pos, w " +
+        "FROM dd WHERE len(w) >= 4), " +
+        "grams AS (SELECT doc_id, pos, array_to_string(w[pos:pos+3], ' ') AS gram FROM g), " +
+        "boiler AS (SELECT gram FROM grams GROUP BY gram " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM (SELECT g2.doc_id, " +
+        "unnest(generate_series(g2.pos, g2.pos + 3)) AS tp " +
+        "FROM grams g2 JOIN boiler USING (gram))), " +
+        "percov AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id), " +
+        "covr AS (SELECT dd.doc_id, (CASE WHEN len(dd.w) = 0 THEN 0 ELSE " +
+        "floor(coalesce(p.c, 0)::DOUBLE / len(dd.w) * 1000000) END)::BIGINT AS cm " +
+        "FROM dd LEFT JOIN percov p ON dd.doc_id = p.doc_id), " +
+        "toks AS (SELECT doc_id, unnest(w) AS tok, " +
+        "unnest(generate_series(1, len(w))) AS tp FROM dd), " +
+        "kept AS (SELECT t.doc_id, t.tp, t.tok FROM toks t " +
+        "LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp " +
+        "WHERE c.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text, " +
+        "count(*) AS kept FROM kept GROUP BY doc_id), " +
+        "strip AS (SELECT dd.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+        "coalesce(a.kept, 0)::BIGINT AS kept_tokens " +
+        "FROM dd LEFT JOIN agg a ON dd.doc_id = a.doc_id), " +
+        "surv AS (SELECT s.doc_id, s.clean_text, s.kept_tokens FROM strip s " +
+        "JOIN covr ON s.doc_id = covr.doc_id WHERE covr.cm <= 600000), " +
+        raw"cw AS (SELECT doc_id, clean_text, kept_tokens, " +
+        raw"list_filter(string_split_regex(trim(clean_text),'\s+'), t -> t <> '') w2 FROM surv), " +
+        "q AS (SELECT doc_id, kept_tokens, CASE WHEN length(clean_text) = 0 " +
+        "OR len(w2) = 0 THEN 0 ELSE floor((" +
+        "0.4 * (len(list_filter(w2, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE / len(w2)) " +
+        "+ 0.4 * (length(regexp_replace(clean_text,'[^A-Za-z]','','g'))::DOUBLE / length(clean_text)) " +
+        "+ 0.2 * least(len(w2)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END AS qm FROM cw) " +
+        "SELECT d.source, count(*) AS docs, sum(q.kept_tokens)::BIGINT AS tokens " +
+        "FROM q JOIN documents d ON q.doc_id = d.doc_id " +
+        "WHERE q.qm >= 440000 GROUP BY d.source"))
   )
 
   // Local-model weight artifact (shared across scale factors — the model is

@@ -340,4 +340,48 @@ class DedupSpec extends AnyFunSuite {
     // fully-covered docs come back as "" with the row present
     assert(strip.keySet === docs.map(_._1).toSet)
   }
+
+  test("gram store: batch scores against corpus frequencies only; append folds a batch in") {
+    val boiler = "click here to accept cookies"
+    val corpus = Seq(
+      (1L, s"one two three $boiler four"),
+      (2L, s"$boiler five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen"))
+    val n = 5; val minDocs = 2
+    val store = java.nio.file.Files.createTempDirectory("gramstore").toString
+    Dedup.writeGramStore(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      store, n)
+    val batch = Seq(
+      (100L, s"alpha $boiler beta gamma"),            // corpus boilerplate
+      (101L, "delta epsilon zeta eta theta"),         // clean
+      (102L, "shared only inside this very batch"),   // batch-only span...
+      (103L, "shared only inside this very batch"))   // ...must NOT flag
+    val cov = Dedup.spanCoverageAgainstStore(batch.toDF("doc_id", "text"),
+        store, "doc_id", "text", n, minDocs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(cov(100L) === 5 && cov(101L) === 0)
+    // store-only semantics: batch docs do not contribute frequencies
+    assert(cov(102L) === 0 && cov(103L) === 0)
+    val strip = Dedup.stripSpansAgainstStore(batch.toDF("doc_id", "text"),
+        store, "doc_id", "text", n, minDocs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(strip(100L) === "alpha beta gamma")
+    assert(strip(102L) === "shared only inside this very batch")
+    // append: fold a batch in — a span at corpus freq 1 crosses the
+    // threshold once an appended batch carries it too (segments re-sum)
+    val probe = Seq((200L, "pre nine ten eleven twelve thirteen post"))
+      .toDF("doc_id", "text")
+    val before = Dedup.spanCoverageAgainstStore(probe, store,
+        "doc_id", "text", n, minDocs)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(before._3 === 0L)
+    Dedup.appendGramStore(
+      Seq((50L, "x nine ten eleven twelve thirteen y")).toDF("doc_id", "text"),
+      "doc_id", "text", store, n)
+    val after = Dedup.spanCoverageAgainstStore(probe, store,
+        "doc_id", "text", n, minDocs)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(after._3 === 5L)
+  }
 }
