@@ -71,7 +71,13 @@ object BenchScale {
     // the (doc, pos) anti-join must both stay linear in corpus tokens
     // (the caesar-decorrelated replicas keep per-replica gram structure,
     // so flagged coverage per replica matches the original)
-    "q_dedup_strip")
+    "q_dedup_strip",
+    // r14-3: trigram-LM perplexity — LM training (two hash aggregates
+    // over exploded grams) plus the scoring probe's two left equi-joins
+    // against a vocabulary-sized model table must stay linear in corpus
+    // tokens (the model table itself grows with the decorrelated
+    // replicas — exactly the shape that would hide a broadcast-collect)
+    "q_text_ppl")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

@@ -715,9 +715,13 @@ object Dedup {
   def spanCoverage(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minDocs: Int = 2): DataFrame = {
     val grams = materialized(positionalNgrams(df, idCol, textCol, n))
-    eagerly(
-      coverageFrom(df, idCol, textCol, coveredPositions(grams, minDocs, n)),
-      grams)
+    // Checkpoint the COMPACT covered-position set (two longs per covered
+    // token), not the per-doc result: the eager cut is only needed so the
+    // grams persist can be freed, and the corpus-sized tail stays lazy —
+    // it streams to the caller's sink instead of copying the corpus into
+    // executor storage.
+    val covered = eagerly(coveredPositions(grams, minDocs, n), grams)
+    coverageFrom(df, idCol, textCol, covered)
   }
 
   /** Strip the covered spans: rebuild each doc's text from the tokens NOT
@@ -732,9 +736,10 @@ object Dedup {
   def stripSpans(df: DataFrame, idCol: String, textCol: String,
                  n: Int, minDocs: Int = 2): DataFrame = {
     val grams = materialized(positionalNgrams(df, idCol, textCol, n))
-    eagerly(
-      stripFrom(df, idCol, textCol, coveredPositions(grams, minDocs, n)),
-      grams)
+    // Same shape as [[spanCoverage]]: only the compact covered set is
+    // checkpointed; the rebuilt-text tail (full corpus strings) is lazy.
+    val covered = eagerly(coveredPositions(grams, minDocs, n), grams)
+    stripFrom(df, idCol, textCol, covered)
   }
 
   // ---- Incremental span dedup: the gram doc-frequency STORE ----
@@ -792,10 +797,9 @@ object Dedup {
                                idCol: String, textCol: String,
                                n: Int, minDocs: Int = 2): DataFrame = {
     val grams = materialized(positionalNgrams(newDf, idCol, textCol, n))
-    eagerly(
-      coverageFrom(newDf, idCol, textCol,
-        coveredAgainstStore(grams, storePath, minDocs, n)),
+    val covered = eagerly(coveredAgainstStore(grams, storePath, minDocs, n),
       grams)
+    coverageFrom(newDf, idCol, textCol, covered)
   }
 
   /** [[stripSpans]] of a new batch against a persisted gram store. */
@@ -803,10 +807,9 @@ object Dedup {
                              idCol: String, textCol: String,
                              n: Int, minDocs: Int = 2): DataFrame = {
     val grams = materialized(positionalNgrams(newDf, idCol, textCol, n))
-    eagerly(
-      stripFrom(newDf, idCol, textCol,
-        coveredAgainstStore(grams, storePath, minDocs, n)),
+    val covered = eagerly(coveredAgainstStore(grams, storePath, minDocs, n),
       grams)
+    stripFrom(newDf, idCol, textCol, covered)
   }
 
   /** Candidate pairs from embedding LSH banding (scale path; recall depends

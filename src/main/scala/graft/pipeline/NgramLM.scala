@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet-style quality
+  * filter (Wenzek et al. 2019: score crawl text with an LM trained on a
+  * trusted corpus, bucket by perplexity into head/middle/tail). The
+  * reference's quality surface is heuristic ratios (see
+  * [[TextFunctions.qualityMicros]]); this adds the model-based scorer a
+  * curation pipeline actually ranks with.
+  *
+  * Model: word n-grams with add-one (Laplace) smoothing over the training
+  * corpus —
+  *   p(w | ctx) = (c(gram) + 1) / (c(ctx) + V)
+  * where c(gram) counts gram occurrences, c(ctx) counts occurrences of
+  * the (n-1)-token context AS a context (the sum of its grams' counts),
+  * and V is the distinct-token vocabulary size. Unseen gram with a seen
+  * context backs off to p = 1 / (c(ctx) + V); unseen context to the
+  * uniform p = 1 / V.
+  *
+  * Score encoding (engine-stable by construction): each DISTINCT gram's
+  * cost is quantized ONCE as
+  *   cost_micros = floor(1e6 * float32(-ln p))
+  * — a pure per-gram function of integer counts (one IEEE division, one
+  * ln, one float32 round; double-vs-double drift across engines is ~1e-15
+  * relative, far inside float32's ~1e-7 quantum, so both engines derive
+  * identical float bits). Per-document aggregation is then EXACT long
+  * arithmetic: sum of cost_micros, floor-divided by the gram count — no
+  * order-dependent floating accumulation anywhere.
+  *
+  * 100 TB shape: training is two hash aggregates over exploded n-grams
+  * keyed by xxhash64 (8-byte shuffle keys, same 2^-64 collision bet as
+  * [[Dedup.exactKeepers]]; the oracle groups by the strings and agrees)
+  * plus one co-partitioned equi-join on ctx_hash. Scoring is two narrow
+  * left equi-joins (gram_hash, ctx_hash) against the model table — the
+  * model is corpus-vocabulary-sized, so it joins by shuffle, never
+  * broadcast-collected. Bucketing avoids a global-order window: cumulative
+  * doc counts are computed over the DISTINCT-score aggregate (bounded by
+  * score cardinality, not corpus size) and joined back.
+  */
+object NgramLM {
+
+  /** Positional (gram, ctx) pairs per doc: one row per n-gram window —
+    * (mid, gram, ctx) with ctx = the gram's first n-1 tokens. Tokens carry
+    * no whitespace (split on \s+), so the space-joined gram's prefix up to
+    * its last space IS the context — substring_index avoids a second
+    * window transform. Docs shorter than n tokens yield no rows. */
+  def gramCtx(df: DataFrame, idCol: String, textCol: String,
+              n: Int): DataFrame = {
+    require(n >= 2, s"NgramLM: n must be >= 2, got $n")
+    df.select(col(idCol).cast("long").as("mid"),
+        explode(TextFunctions.allNgrams(col(textCol), n)).as("gram"))
+      .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
+  }
+
+  /** floor(1e6 * float32(-ln(num/den))) — the quantized gram cost. */
+  private def costMicros(num: Column, den: Column): Column =
+    floor(negate(log(num.cast("double") / den.cast("double")))
+      .cast("float").cast("double") * 1000000).cast("long")
+
+  /** Train the smoothed n-gram model. Returns the model TABLE — one row
+    * per scoring key:
+    *   kind 'g': (xxhash64(gram), cost of a seen gram)
+    *   kind 'c': (xxhash64(ctx),  cost of an unseen gram w/ seen context)
+    *   kind 'd': (key 0, the uniform unseen-context default)
+    * All counts resolve at train time; probing never recomputes counts. */
+  def train(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"NgramLM: n must be >= 2, got $n")
+    val gc = df
+      .select(explode(TextFunctions.allNgrams(col(textCol), n)).as("gram"))
+      .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
+    // Vocabulary size: one scalar off a distinct-count aggregate (bounded
+    // driver fetch — a single long).
+    val v = df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).first().getLong(0)
+    val gramCounts = gc
+      .groupBy(xxhash64(col("gram")).as("gram_hash"),
+        xxhash64(col("ctx")).as("ctx_hash"))
+      .agg(count(lit(1)).as("c"))
+    val ctxCounts = gramCounts.groupBy("ctx_hash")
+      .agg(sum(col("c")).as("cc"))
+    val grams = gramCounts.join(ctxCounts, "ctx_hash")
+      .select(lit("g").as("kind"), col("gram_hash").as("key"),
+        costMicros(col("c") + 1, col("cc") + v).as("cost_micros"))
+    val ctxs = ctxCounts
+      .select(lit("c").as("kind"), col("ctx_hash").as("key"),
+        costMicros(lit(1), col("cc") + v).as("cost_micros"))
+    val dflt = df.sparkSession.range(1)
+      .select(lit("d").as("kind"), lit(0L).as("key"),
+        costMicros(lit(1), lit(v)).as("cost_micros"))
+    grams.unionByName(ctxs).unionByName(dflt)
+  }
+
+  /** Score every document against a trained model table: returns
+    * (idCol, grams_scored, cost_sum_micros, avg_cost_micros) for EVERY
+    * input doc — sub-n docs score (0, 0, 0). avg is exact long floor
+    * division (costs are non-negative). Higher avg = more surprising =
+    * worse under the model (CCNet's "tail"). */
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, n: Int = 3): DataFrame = {
+    val dflt = model.filter(col("kind") === "d")
+      .select(col("cost_micros")).first().getLong(0)
+    val g = model.filter(col("kind") === "g")
+      .select(col("key").as("g_key"), col("cost_micros").as("g_cost"))
+    val c = model.filter(col("kind") === "c")
+      .select(col("key").as("c_key"), col("cost_micros").as("c_cost"))
+    val probes = gramCtx(df, idCol, textCol, n)
+      .select(col("mid"), xxhash64(col("gram")).as("gram_hash"),
+        xxhash64(col("ctx")).as("ctx_hash"))
+    val costs = probes
+      .join(g, probes("gram_hash") === g("g_key"), "left")
+      .join(c, probes("ctx_hash") === c("c_key"), "left")
+      .select(col("mid"),
+        coalesce(col("g_cost"), col("c_cost"), lit(dflt)).as("cost"))
+    val per = costs.groupBy("mid")
+      .agg(count(lit(1)).as("n_grams"), sum(col("cost")).as("s"))
+    df.select(col(idCol).cast("long").as("mid")).distinct()
+      .join(per, Seq("mid"), "left")
+      .select(col("mid").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("grams_scored"),
+        coalesce(col("s"), lit(0L)).as("cost_sum_micros"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("s div n_grams")).as("avg_cost_micros"))
+  }
+
+  /** Head/middle/tail bucketing WITHOUT a global-order window: cumulative
+    * doc counts are computed over the per-score aggregate (score
+    * cardinality, not corpus size, bounds the single-partition window) and
+    * joined back. Docs sharing a score share a bucket:
+    *   bucket = 1 + (docs_with_strictly_smaller_score * buckets) div N
+    * Returns (idCol, avg_cost_micros, bucket); bucket 1 = lowest
+    * perplexity (head). */
+  def pplBuckets(scored: DataFrame, idCol: String,
+                 buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored.groupBy(col("avg_cost_micros"))
+      .agg(count(lit(1)).as("cnt"))
+    val before = Window.orderBy(col("avg_cost_micros"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy(col("avg_cost_micros"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val assigned = perScore
+      .select(col("avg_cost_micros").as("score_key"),
+        coalesce(sum(col("cnt")).over(before), lit(0L)).as("cum"),
+        sum(col("cnt")).over(all).as("total"))
+      .select(col("score_key"),
+        (lit(1) + expr(s"(cum * $buckets) div total")).cast("long")
+          .as("bucket"))
+    scored.join(assigned, scored("avg_cost_micros") === col("score_key"))
+      .select(col(idCol), col("avg_cost_micros"), col("bucket"))
+  }
+
+  /** Persist a trained model (range-partitioned + sorted by key within
+    * kind — 17 bytes per distinct gram/context, corpus text never
+    * persists). */
+  def writeLM(df: DataFrame, textCol: String, path: String,
+              n: Int = 3): Unit =
+    train(df, textCol, n)
+      .repartitionByRange(col("kind"), col("key"))
+      .sortWithinPartitions(col("kind"), col("key"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[scoreDocs]] against a persisted model — the crawl-ingest flow: the
+    * batch never touches the training corpus. */
+  def scoreAgainstStore(newDf: DataFrame, storePath: String, idCol: String,
+                        textCol: String, n: Int = 3): DataFrame =
+    scoreDocs(newDf, idCol, textCol,
+      newDf.sparkSession.read.parquet(storePath), n)
+}

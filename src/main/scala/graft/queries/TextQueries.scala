@@ -12,6 +12,43 @@ object TextQueries {
 
   private val stopList = "['the','a','of','and','to','in','is']"
 
+  /** Shared oracle replay of the CCNet-style trigram-LM scorer
+    * ([[graft.pipeline.NgramLM]]): train add-one-smoothed trigram costs on
+    * the corpus split (doc_id % 5 <> 0), score the batch split. Costs are
+    * quantized per DISTINCT gram (floor-micros of the float32 -ln p — the
+    * float32 round absorbs double-vs-double drift), so the per-doc rollup
+    * is exact integer arithmetic in both engines. The engine groups by
+    * xxhash64(gram); the oracle groups by the string (2^-64 bet). */
+  private val lmCte =
+    raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+    "FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS p, w " +
+    "FROM dd WHERE len(w) >= 3), " +
+    "gr AS (SELECT doc_id, array_to_string(w[p:p+2],' ') AS gram, " +
+    "array_to_string(w[p:p+1],' ') AS ctx FROM pos), " +
+    "v AS (SELECT count(DISTINCT tok) AS vs FROM " +
+    "(SELECT unnest(w) AS tok FROM dd WHERE doc_id % 5 <> 0)), " +
+    "gc AS (SELECT gram, ctx, count(*) AS c FROM gr " +
+    "WHERE doc_id % 5 <> 0 GROUP BY gram, ctx), " +
+    "cc AS (SELECT ctx, sum(c) AS cc FROM gc GROUP BY ctx), " +
+    "gcost AS (SELECT gram, floor(((-ln((c+1)::DOUBLE/(cc+vs)::DOUBLE))" +
+    "::FLOAT)::DOUBLE*1000000)::BIGINT AS cost FROM gc JOIN cc USING (ctx), v), " +
+    "ccost AS (SELECT ctx, floor(((-ln(1::DOUBLE/(cc+vs)::DOUBLE))" +
+    "::FLOAT)::DOUBLE*1000000)::BIGINT AS cost FROM cc, v), " +
+    "dflt AS (SELECT floor(((-ln(1::DOUBLE/vs::DOUBLE))" +
+    "::FLOAT)::DOUBLE*1000000)::BIGINT AS cost FROM v), " +
+    "probe AS (SELECT g.doc_id, coalesce(g2.cost, c2.cost, " +
+    "(SELECT cost FROM dflt)) AS cost FROM gr g " +
+    "LEFT JOIN gcost g2 USING (gram) LEFT JOIN ccost c2 ON g.ctx = c2.ctx " +
+    "WHERE g.doc_id % 5 = 0), " +
+    "per AS (SELECT doc_id, count(*) AS n, sum(cost) AS s FROM probe " +
+    "GROUP BY doc_id), " +
+    "res AS (SELECT dd.doc_id, coalesce(per.n,0)::BIGINT AS grams_scored, " +
+    "coalesce(per.s,0)::BIGINT AS cost_sum_micros, " +
+    "(CASE WHEN coalesce(per.n,0)=0 THEN 0 ELSE per.s // per.n END)::BIGINT " +
+    "AS avg_cost_micros FROM dd LEFT JOIN per USING (doc_id) " +
+    "WHERE dd.doc_id % 5 = 0) "
+
   val defs: Map[String, QueryDef] = Map(
 
     // Tokenization: whitespace tokens + BPE-ish lexer tokens.
@@ -233,6 +270,60 @@ object TextQueries {
         "https://site' || doc_id || '.org/path?id=' || doc_id || ' ref 12345678', " +
         raw"'https?://[^\s]+', '<URL>', 'g'), " +
         raw"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'[0-9]{7,}', '<NUM>', 'g') AS masked FROM documents"))
+        "'[0-9]{7,}', '<NUM>', 'g') AS masked FROM documents")),
+
+    // TRIGRAM-LM PERPLEXITY (r14 — the CCNet model-based quality score):
+    // train an add-one-smoothed trigram LM on the corpus split, score the
+    // batch split (the crawl-ingest flow; the batch naturally exercises
+    // the unseen-gram and unseen-context backoff paths). Per-doc numbers
+    // are exact long sums of per-distinct-gram quantized costs.
+    "q_text_ppl" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        graft.pipeline.NgramLM.scoreDocs(batch, "doc_id", "text",
+          graft.pipeline.NgramLM.train(corpus, "text", 3), 3)
+      },
+      Some(lmCte + "SELECT * FROM res")),
+
+    // Same numbers through the PERSISTED model store (train once, probe
+    // batches without corpus rescans).
+    "q_text_ppl_store" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        val store = s"${graft.tables.Derived.root}/" +
+          s"${new java.io.File(d).getName}/lmstore_documents"
+        if (!new java.io.File(store, "_SUCCESS").isFile)
+          graft.pipeline.NgramLM.writeLM(corpus, "text", store, 3)
+        graft.pipeline.NgramLM.scoreAgainstStore(batch, store,
+          "doc_id", "text", 3)
+      },
+      Some(lmCte + "SELECT * FROM res")),
+
+    // CCNet head/middle/tail bucketing of the batch scores. No
+    // global-order window over docs: cumulative counts run over the
+    // DISTINCT-score aggregate and join back; score ties share a bucket.
+    "q_text_ppl_bucket" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        graft.pipeline.NgramLM.pplBuckets(
+          graft.pipeline.NgramLM.scoreDocs(batch, "doc_id", "text",
+            graft.pipeline.NgramLM.train(corpus, "text", 3), 3),
+          "doc_id", 3)
+      },
+      Some(lmCte +
+        ", ps AS (SELECT avg_cost_micros AS m, count(*) AS cnt FROM res " +
+        "GROUP BY 1), " +
+        "asg AS (SELECT m, coalesce(sum(cnt) OVER (ORDER BY m " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum, " +
+        "sum(cnt) OVER () AS total FROM ps) " +
+        "SELECT r.doc_id, r.avg_cost_micros, " +
+        "(1 + (a.cum * 3) // a.total)::BIGINT AS bucket " +
+        "FROM res r JOIN asg a ON r.avg_cost_micros = a.m"))
   )
 }

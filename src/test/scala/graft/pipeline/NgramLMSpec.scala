@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Trigram-LM perplexity scorer: hand-computed smoothed costs, backoff
+  * paths (unseen gram / unseen context), sub-n docs, store round trip,
+  * partition-count invariance, bucket assignment. */
+class NgramLMSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  // The model's quantization, replicated independently: floor-micros of
+  // the float32 -ln p.
+  private def cost(num: Long, den: Long): Long =
+    math.floor((-math.log(num.toDouble / den.toDouble))
+      .toFloat.toDouble * 1000000).toLong
+
+  // corpus: one doc "a b c a b c" →
+  //   trigram counts: "a b c"→2, "b c a"→1, "c a b"→1
+  //   ctx counts:     "a b"→2,  "b c"→1,  "c a"→1
+  //   vocab V = 3
+  private lazy val corpus = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+  private lazy val model = NgramLM.train(corpus, "text", 3)
+
+  test("seen gram, seen-ctx backoff, unseen-ctx default, sub-n doc") {
+    val batch = Seq(
+      (10L, "a b c d"),   // "a b c" seen; "b c d" unseen gram, ctx "b c" seen
+      (11L, "x y z w"),   // both trigrams: unseen ctx → default
+      (12L, "a b")        // sub-n: (0, 0, 0)
+    ).toDF("doc_id", "text")
+    val got = NgramLM.scoreDocs(batch, "doc_id", "text", model, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    val seen = cost(2 + 1, 2 + 3)        // p = 3/5
+    val ctxBackoff = cost(1, 1 + 3)      // p = 1/4
+    val dflt = cost(1, 3)                // p = 1/3
+    assert(got(10L) === ((2L, seen + ctxBackoff, (seen + ctxBackoff) / 2)))
+    assert(got(11L) === ((2L, 2 * dflt, dflt)))
+    assert(got(12L) === ((0L, 0L, 0L)))
+  }
+
+  test("higher-ppl text scores above in-distribution text") {
+    val batch = Seq((20L, "a b c a b c"), (21L, "q w e r t y")).toDF("doc_id", "text")
+    val avg = NgramLM.scoreDocs(batch, "doc_id", "text", model, 3)
+      .select("doc_id", "avg_cost_micros").as[(Long, Long)].collect().toMap
+    assert(avg(20L) < avg(21L))
+  }
+
+  test("scores are invariant to input partitioning") {
+    val batch = (0 until 40).map(i =>
+      (i.toLong, s"a b c tok$i b c a tok${i % 7}")).toDF("doc_id", "text")
+    val one = NgramLM.scoreDocs(batch, "doc_id", "text", model, 3)
+      .collect().map(_.toSeq).toSet
+    val many = NgramLM.scoreDocs(batch.repartition(7), "doc_id", "text",
+      model, 3).collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
+
+  test("persisted model store reproduces in-memory scores") {
+    val dir = java.nio.file.Files.createTempDirectory("lmstore").toString
+    NgramLM.writeLM(corpus, "text", s"$dir/lm", 3)
+    val batch = Seq((10L, "a b c d"), (11L, "x y z")).toDF("doc_id", "text")
+    val mem = NgramLM.scoreDocs(batch, "doc_id", "text", model, 3)
+      .collect().map(_.toSeq).toSet
+    val store = NgramLM.scoreAgainstStore(batch, s"$dir/lm", "doc_id",
+      "text", 3).collect().map(_.toSeq).toSet
+    assert(mem === store)
+  }
+
+  test("pplBuckets: ties share a bucket, thirds split 1/1/2/2/3/3") {
+    val scored = Seq(
+      (1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L), (5L, 40L), (6L, 50L)
+    ).toDF("doc_id", "avg_cost_micros")
+      .withColumn("grams_scored", lit(1L))
+      .withColumn("cost_sum_micros", col("avg_cost_micros"))
+    val got = NgramLM.pplBuckets(scored, "doc_id", 3)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L))
+  }
+
+  test("train rejects n < 2") {
+    intercept[IllegalArgumentException] {
+      NgramLM.train(corpus, "text", 1)
+    }
+  }
+}
