@@ -237,6 +237,107 @@ object Ivf {
     Knn.knn(scanned, vecCol, idCol, query, k, m.metric)
   }
 
+  // ------------------------------------------------------------------
+  // IVF-ADC (residual product quantization — the IVFADC system of Jégou,
+  // Douze & Schmid 2011 §IV, the published billion-vector layout): PQ
+  // codebooks are trained on RESIDUALS v − centroid(list), so the M
+  // bytes spend their precision on the within-list displacement (residual
+  // energy ≪ vector energy once the coarse quantizer has localized the
+  // point). Search probes the nprobe closest lists with ONE ADC table per
+  // probed list — built from the query's residual against that list's
+  // centroid — screens by M-lookup code scans, and exact-rescores the
+  // k·refine survivors from the raw vectors stored in the same rows.
+  // ||v − q|| = ||r_v − (q − c_list)||, so the per-list table over the
+  // query residual estimates the true distance directly. L2 only (the
+  // residual identity doesn't hold for IP/cosine screens).
+  // ------------------------------------------------------------------
+
+  /** Residual of each assigned row against its list centroid — a codegen
+    * expression tree (zip_with over a broadcast literal centroid table),
+    * no per-row driver lookup. */
+  def residualCol(vec: org.apache.spark.sql.Column,
+                  cluster: org.apache.spark.sql.Column,
+                  m: Model): org.apache.spark.sql.Column = {
+    val cents = typedLit(m.centroids.map(_.toSeq))
+    zip_with(vec,
+      element_at(cents, cluster.cast("int") + 1).cast("array<float>"),
+      (a, b) => a - b).cast("array<float>")
+  }
+
+  /** Build the IVF-ADC index: coarse-assign, train residual PQ codebooks
+    * on a deterministic bounded sample, store the M-byte codes alongside
+    * the rows, range-clustered by list id (probes prune files exactly as
+    * the plain IVF layout). Returns the residual codebooks — the caller
+    * passes them to [[searchPq]]/[[appendToIndexPq]]. */
+  def buildIndexPq(df: DataFrame, vecCol: String, idCol: String, m: Model,
+                   path: String, subM: Int = 8, codeK: Int = 16,
+                   files: Int = 4): Quantize.PqModel = {
+    require(m.metric == Knn.L2, "IVF-ADC screens are L2-only")
+    graft.index.SecondaryIndex.requireNotManifestManaged(df.sparkSession, path)
+    val assigned = assign(df, vecCol, m)
+      .withColumn("ivf_res", residualCol(col(vecCol), col("ivf_cluster"), m))
+    val pq = Quantize.trainPq(assigned, "ivf_res", idCol, subM, codeK)
+    val coded = Quantize.quantizePqTable(assigned, "ivf_res", "ivf_pq", pq)
+      .drop("ivf_res")
+    graft.tables.Writer.write(coded, path,
+      sortBy = Seq("ivf_cluster"), files = files)
+    graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
+    pq
+  }
+
+  /** I9 append for the IVF-ADC index: assign + encode the new batch with
+    * the EXISTING coarse model and codebooks (the RT flow — neither
+    * retrains mid-stream), write as additional clustered files. */
+  def appendToIndexPq(df: DataFrame, vecCol: String, m: Model,
+                      pq: Quantize.PqModel, path: String,
+                      files: Int = 1): Unit = {
+    val assigned = assign(df, vecCol, m)
+      .withColumn("ivf_res", residualCol(col(vecCol), col("ivf_cluster"), m))
+    Quantize.quantizePqTable(assigned, "ivf_res", "ivf_pq", pq)
+      .drop("ivf_res")
+      .repartitionByRange(files, col("ivf_cluster"))
+      .sortWithinPartitions(col("ivf_cluster"))
+      .write.mode("append").parquet(resolve(df.sparkSession, path))
+    graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
+  }
+
+  /** Top-k IVF-ADC search: probe `nprobe` lists, screen by per-list ADC
+    * tables, exact-rescore the k·refine survivors. nprobe = nlist with a
+    * sufficient refine margin is the oracle-exact configuration; smaller
+    * nprobe is the recall/cost trade, spec-tested on clustered data. */
+  def searchPq(spark: SparkSession, indexPath: String, m: Model,
+               pq: Quantize.PqModel, idCol: String, vecCol: String,
+               query: Array[Float], k: Int, nprobe: Int,
+               refine: Int = 32): DataFrame = {
+    require(m.metric == Knn.L2, "IVF-ADC screens are L2-only")
+    import spark.implicits._
+    val probes = m.probeOrder(query).take(nprobe).map(_.toLong)
+    // one table per probed list, from the query's residual against that
+    // list's centroid (nprobe × M × K doubles — driver-tiny)
+    val tables: Map[Long, Array[Double]] = probes.map { l =>
+      val cent = m.centroids(l.toInt)
+      val res = Array.tabulate(query.length)(i => query(i) - cent(i))
+      l -> pq.adcTable(res)
+    }.toMap
+    val scanned = spark.read.parquet(resolve(spark, indexPath))
+      .filter(col("ivf_cluster").isin(probes: _*))
+    val tB = spark.sparkContext.broadcast((pq, tables))
+    val coarse = scanned
+      .select(col(idCol).cast("long").as("cid"), col("ivf_cluster"),
+        col("ivf_pq"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (p, ts) = tB.value
+        it.map { case (id, cl, codes) => (id, p.adc(codes, ts(cl))) }
+      }
+      .toDF("cid", "adist")
+      .orderBy(col("adist").asc, col("cid").asc)
+      .limit(k * refine)
+      .select(col("cid").as(idCol))
+    Knn.knn(scanned.join(coarse, Seq(idCol)), vecCol, idCol, query, k,
+      m.metric)
+  }
+
   /** IVF-accelerated KNN JOIN — the scale path of [[Knn.knnJoin]] (batch
     * retrieval over an indexed corpus): each query row explodes into its
     * `nprobe` nearest list ids (one bound evaluation of the centroid

@@ -484,6 +484,186 @@ object Quantize {
   // files, so search is correct IMMEDIATELY after an append; the routed
   // plan's cached relation is invalidated via the AnnRouting epoch.
 
+  // ------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (published: Jégou, Douze & Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+  // billion-scale compression family; the reference's quantizer.cpp
+  // covers the scalar 8/4/1-bit forms, PQ extends the same
+  // coarse-screen-then-rescore contract to codebook compression).
+  // Split dim into M subspaces, k-means codebook per subspace, encode
+  // each vector as M bytes. Query-time ADC (asymmetric distance): ONE
+  // M×K table of exact query-subvector→centroid squared distances per
+  // query, then each stored code scans as M table lookups — no float
+  // vector is touched until the exact rescore. Memory per vector:
+  // M bytes (dim 64, M 8 → 32× smaller than float32).
+  //
+  // Training runs driver-side Lloyd on a DETERMINISTIC bounded sample
+  // (the lowest `sample` ids — the published practice trains codebooks
+  // on samples; the bounded collect is the same economics as the
+  // histogram caps). Deterministic everywhere: id-ordered sample,
+  // evenly-spaced init, lowest-index tie-breaks, single-threaded double
+  // math — the model is bit-reproducible across partitionings.
+  // ------------------------------------------------------------------
+
+  /** codebooks(s)(c) = centroid c of subspace s (length dim/M each). */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+    def dim: Int = m * subDim
+
+    /** Nearest codebook entry per subspace (ties → lowest index). */
+    def encode(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val t = v(s * subDim + i) - cent(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+
+    /** The ADC lookup table for one query: flat m×k of exact squared
+      * distances from the query's subvector s to centroid c at
+      * index s*k + c. */
+    def adcTable(q: Array[Float]): Array[Double] = {
+      val t = new Array[Double](m * k)
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val x = q(s * subDim + i) - cent(i); d += x * x; i += 1
+          }
+          t(s * k + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      t
+    }
+
+    /** Approximate L2 of a stored code against a prepared table: M adds. */
+    def adc(codes: Array[Byte], table: Array[Double]): Double = {
+      var acc = 0.0; var s = 0
+      while (s < m) {
+        acc += table(s * k + (codes(s) & 0xff)); s += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  /** Train per-subspace codebooks: deterministic sample (lowest `sample`
+    * ids), evenly-spaced init over the id-ordered sample, `iters` Lloyd
+    * rounds with lowest-index ties and empty clusters keeping their old
+    * centroid. Requires dim % m == 0 and at least one training row. */
+  def trainPq(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
+              k: Int = 16, sample: Int = 2048, iters: Int = 10): PqModel = {
+    import df.sparkSession.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .orderBy(col(idCol)).limit(sample)
+      .collect().map(_._2.toArray)
+    require(rows.nonEmpty, "cannot train PQ on an empty table")
+    val dim = rows(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val kk = math.min(k, rows.length)
+    val books = Array.tabulate(m) { s =>
+      val sub = rows.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      // evenly-spaced deterministic init over the id-ordered sample
+      var cents = Array.tabulate(kk)(c =>
+        sub((c.toLong * sub.length / kk).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kk)(new Array[Double](subDim))
+        val counts = new Array[Int](kk)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = v(i) - cents(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(i => (sums(c)(i) / counts(c)).toFloat))
+        it += 1
+      }
+      cents
+    }
+    PqModel(books)
+  }
+
+  /** Append `qCol: binary` with the M-byte PQ codes. */
+  def quantizePqTable(df: DataFrame, vecCol: String, qCol: String,
+                      m: PqModel): DataFrame = {
+    val schema = df.schema.add(StructField(qCol, BinaryType))
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](vecIdx).toArray
+        Row.fromSeq(r.toSeq :+ m.encode(v))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Coarse candidates by ADC distance: the table is built ONCE per
+    * partition per query (M×K exact sub-distances), each row costs M
+    * lookups. Same declarative TakeOrdered sub-plan contract as
+    * [[coarseIds]]. */
+  def coarseIdsPq(qdf: DataFrame, qCol: String, idCol: String, m: PqModel,
+                  query: Array[Float], n: Int): DataFrame = {
+    import qdf.sparkSession.implicits._
+    val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
+    qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (mm, qv) = qB.value
+        val table = mm.adcTable(qv)
+        it.map { case (id, codes) => (id, mm.adc(codes, table)) }
+      }
+      .toDF("cid", "adist")
+      .orderBy(col("adist").asc, col("cid").asc)
+      .limit(n)
+      .select(col("cid").as(idCol))
+  }
+
+  /** Top-k search: ADC coarse pass (k·refine survivors), exact rescore on
+    * the float vectors — same contract as [[searchRescore]]. */
+  def searchRescorePq(qdf: DataFrame, vecCol: String, qCol: String,
+                      idCol: String, m: PqModel, query: Array[Float], k: Int,
+                      metric: Knn.Metric = Knn.L2,
+                      refine: Int = 8): DataFrame = {
+    val survivors = qdf.join(
+      coarseIdsPq(qdf, qCol, idCol, m, query, k * refine), Seq(idCol))
+    Knn.knn(survivors, vecCol, idCol, query, k, metric)
+  }
+
   private def appendRaw(encoded: DataFrame, quantPath: String): Unit = {
     encoded.write.mode("append").parquet(quantPath)
     graft.plans.AnnRouting.onIndexMutated(encoded.sparkSession, quantPath)
@@ -504,6 +684,11 @@ object Quantize {
   def appendSegmentBinary(newRows: DataFrame, vecCol: String, bCol: String,
                           quantPath: String, m: BModel): Unit =
     appendRaw(binarizeTable(newRows, vecCol, bCol, m), quantPath)
+
+  /** Append a new batch encoded with the EXISTING PQ codebooks. */
+  def appendSegmentPq(newRows: DataFrame, vecCol: String, qCol: String,
+                      quantPath: String, m: PqModel): Unit =
+    appendRaw(quantizePqTable(newRows, vecCol, qCol, m), quantPath)
 
   /** I9 OPTIMIZE for a quantized table: re-sort appended segments back to
     * the canonical `sortBy` clustering and, with `retrain`, re-fit the

@@ -227,4 +227,60 @@ class QuantizeSpec extends AnyFunSuite {
     val codes = m.quantize(Array(1.0f, 6.0f))
     assert(m.dequantize(codes(0), 0) === 1.0f)
   }
+
+  test("PQ: adc equals the reconstruction distance; codes are m bytes") {
+    val m = Quantize.trainPq(emb, "embedding", "vec_id", m = 8, k = 16)
+    assert(m.dim === 64 && m.subDim === 8)
+    val rows = emb.orderBy($"vec_id").limit(5)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    val q = rows(0)
+    val table = m.adcTable(q)
+    rows.foreach { v =>
+      val codes = m.encode(v)
+      assert(codes.length === 8)
+      // reconstruction: concatenate the assigned centroids
+      val rec = Array.tabulate(m.dim)(i =>
+        m.codebooks(i / m.subDim)(codes(i / m.subDim) & 0xff)(i % m.subDim))
+      val want = math.sqrt(q.indices.map(i =>
+        (q(i) - rec(i)).toDouble * (q(i) - rec(i))).sum)
+      assert(math.abs(m.adc(codes, table) - want) < 1e-6)
+    }
+  }
+
+  test("PQ: training is invariant to input partitioning") {
+    val a = Quantize.trainPq(emb, "embedding", "vec_id")
+    val b = Quantize.trainPq(emb.repartition(7), "embedding", "vec_id")
+    assert(a.codebooks.flatten.flatten.toSeq === b.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("PQ: ADC screen + rescore equals the exact fullscan top-k on the fixture") {
+    val m = Quantize.trainPq(emb, "embedding", "vec_id")
+    val qdf = Quantize.quantizePqTable(emb, "embedding", "pqvec", m)
+    val q = emb.where($"vec_id" === 0).select("embedding").as[Seq[Float]].head().toArray
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val pq = Quantize.searchRescorePq(qdf, "embedding", "pqvec", "vec_id",
+        m, q, 10, refine = 32)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pq === exact)
+  }
+
+  test("PQ: appended segment encodes with the frozen codebooks and is searchable") {
+    val dir = java.nio.file.Files.createTempDirectory("pqseg").toString + "/t"
+    val build = emb.where($"vec_id" % 10 =!= 9L)
+    val append = emb.where($"vec_id" % 10 === 9L)
+    val m = Quantize.trainPq(build, "embedding", "vec_id")
+    Quantize.quantizePqTable(build, "embedding", "pqvec", m)
+      .write.parquet(dir)
+    Quantize.appendSegmentPq(append, "embedding", "pqvec", dir, m)
+    val q = emb.where($"vec_id" === 9L).select("embedding").as[Seq[Float]]
+      .head().toArray
+    val got = Quantize.searchRescorePq(SparkT.spark.read.parquet(dir),
+        "embedding", "pqvec", "vec_id", m, q, 10, refine = 32)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === exact)
+    assert(got.head === 9L) // the appended vector itself is the 0-distance hit
+  }
 }
