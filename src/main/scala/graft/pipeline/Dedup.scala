@@ -565,9 +565,10 @@ object Dedup {
     * in the SAME (a, b, cos_micros) contract as [[cosinePairsExact]], so
     * the two agree exactly whenever blocking catches every pair at the
     * threshold (per-pair catch prob 1-(1-p^r)^bands with
-    * p = 1 - acos(cos)/π; at the defaults r=8, bands=16 a cos-0.99 pair
-    * is missed with prob ~1e-8 — q_dedup_embed_lsh pins the equality
-    * against the exact-join oracle on a threshold-gapped fixture). */
+    * p = 1 - acos(cos)/π; at r=12, bands=16 — the q_dedup_embed_lsh gate
+    * configuration — a cos-0.996 pair is missed with prob ~3e-9, and the
+    * gate pins equality against the exact-join oracle on a
+    * threshold-gapped fixture). */
   def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double,
                          planes: Int = 128, bands: Int = 16,
@@ -582,39 +583,127 @@ object Dedup {
         floor(col("cos") * 1000000).cast("long").as("cos_micros"))
   }
 
-  /** Embedding-cosine near-dup pairs, SCALE-AWARE: picks the exact join
-    * or hyperplane-LSH blocking by dimensionality. Sign-bucket blocking
-    * prunes only when the space can discriminate — it needs dim well
-    * above log₂(n); in a tiny space the corpus collapses into a handful
-    * of sign patterns and banding degenerates to all-pairs WITH banding
-    * overhead (measured r14: the dim-4 flagship embedding column ran 13×
-    * SLOWER blocked than exact at sf0.1 — giant buckets, 32M candidate
-    * pairs). Below `minDim` the exact join is strictly better; at real
-    * embedding widths the blocked path never goes all-pairs. */
-  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                  threshold: Double, minDim: Int = 16,
-                  planes: Int = 128, bands: Int = 16,
-                  seed: Long = 42L): DataFrame =
-    if (dim < minDim) cosinePairsExact(df, idCol, vecCol, threshold)
-    else cosinePairsBlocked(df, idCol, vecCol, dim, threshold, planes,
-      bands, seed)
+  /** Metadata-only row estimate for dispatch decisions: the optimizer's
+    * row count when known, else plan sizeInBytes over the schema's default
+    * row width (a parquet scan's sizeInBytes is footer metadata — no job
+    * runs). Order-of-magnitude accuracy is enough for a log₂ dispatch
+    * rule; scale callers with a catalog should pass
+    * [[graft.stats.Stats.rowCount]] explicitly instead. */
+  private[pipeline] def estimatedRows(df: DataFrame): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount match {
+      case Some(rc) =>
+        if (rc > BigInt(Long.MaxValue)) Long.MaxValue else math.max(1L, rc.toLong)
+      case None =>
+        val width = math.max(8L,
+          df.schema.map(_.dataType.defaultSize.toLong).sum)
+        val rows = st.sizeInBytes / width
+        if (rows > BigInt(Long.MaxValue)) Long.MaxValue
+        else math.max(1L, rows.toLong)
+    }
+  }
 
-  /** Random-hyperplane band keys for embedding LSH: sign bits of the dot
-    * product against seeded deterministic hyperplanes, grouped into bands.
-    * P(bit agrees) = 1 - angle/π, so bands of r bits catch a pair at cosine
-    * c with prob 1-(1-(1-acos(c)/π)^r)^bands. */
-  def embedBandKeys(vec: Column, dim: Int, planes: Int, bands: Int,
-                    seed: Long = 42L): Seq[Column] = {
-    require(planes % bands == 0)
+  private def ceilLog2(n: Long): Int =
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** LSH banding parameters (bitsPerBand, bands) sized for the corpus and
+    * the threshold (ADVICE r14: fixed r=8 buys only a ~2⁸/bands ≈ 32×
+    * constant factor on isotropic corpora — unrelated vectors collide per
+    * band with prob 2^-r, so candidate volume is Θ(n²·bands/2^r); keeping
+    * it sub-quadratic needs r ≳ log₂(n)). Recall is then restored by
+    * widening the OR: a true pair at the threshold agrees per bit with
+    * prob p = 1-acos(t)/π, survives a band with p^r, and is missed with
+    * (1-p^r)^bands ≤ targetMiss for the returned band count. The price is
+    * honest — planes = r·bands sign projections per row — and grows as
+    * the threshold drops; tight near-dup thresholds (≥0.95) stay in the
+    * hundreds of planes at billion-row corpora. r is capped at 40
+    * (n ≈ 10¹²) where band keys still pack into one long with headroom. */
+  def lshParams(threshold: Double, estRows: Long,
+                targetMiss: Double = 1e-6): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"cosine LSH threshold must be in (0,1): $threshold")
+    require(targetMiss > 0.0 && targetMiss < 1.0)
+    val r = math.min(40, math.max(8, ceilLog2(estRows)))
+    val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val pr = math.pow(p, r)
+    val bands = math.max(8,
+      math.ceil(math.log(targetMiss) / math.log1p(-pr)).toInt)
+    (r, bands)
+  }
+
+  /** Embedding-cosine near-dup pairs, SCALE-AWARE (r14 VERDICT #4): picks
+    * the exact join or hyperplane-LSH blocking by dimensionality AGAINST
+    * THE CORPUS SIZE, and sizes the banding for it. Sign-bucket blocking
+    * prunes only when the space can discriminate — it needs
+    * dim ≫ log₂(n); in a too-small space the corpus collapses into a
+    * handful of sign patterns and banding degenerates to all-pairs WITH
+    * banding overhead (measured r14: the dim-4 flagship embedding column
+    * ran 13× SLOWER blocked than exact at sf0.1 — giant buckets, 32M
+    * candidate pairs). The automatic floor is max(16, 2·⌈log₂(n)⌉) with n
+    * from the metadata-only [[estimatedRows]] (at 10⁹ rows a 32-dim
+    * column dispatches exact — its ~2³² sign patterns cannot spread 10⁹
+    * vectors into discriminating r≈30-bit band keys); pass `minDim` (and
+    * `estRows`, e.g. [[graft.stats.Stats.rowCount]]) to override. When
+    * `planes`/`bands` are left unset the blocked path sizes them via
+    * [[lshParams]] — bits-per-band tracks log₂(n) so candidates stay
+    * sub-quadratic, and the band count restores ≤1e-6 per-pair miss
+    * probability at the threshold. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  threshold: Double, minDim: Int = -1,
+                  planes: Int = -1, bands: Int = -1,
+                  seed: Long = 42L,
+                  estRows: Option[Long] = None): DataFrame = {
+    val n = estRows.getOrElse(estimatedRows(df))
+    val floor = if (minDim >= 0) minDim else math.max(16, 2 * ceilLog2(n))
+    if (dim < floor) cosinePairsExact(df, idCol, vecCol, threshold)
+    else {
+      val (pl, bd) =
+        if (planes >= 1 && bands >= 1) (planes, bands)
+        else { val (r, b) = lshParams(threshold, n); (r * b, b) }
+      cosinePairsBlocked(df, idCol, vecCol, dim, threshold, pl, bd, seed)
+    }
+  }
+
+  /** Random-hyperplane band keys for embedding LSH — the compute-bound
+    * kernel of the blocked path (`planes` dot products per row), JIT'd
+    * like [[bandKeysScala]] (r14 VERDICT #2: as an expression tree this
+    * stage ran `planes` interpreted per-plane subtrees per row and built
+    * band keys as concatenated bit STRINGS — it dominated
+    * q_dedup_embed_lsh's wall clock). Each band's r sign bits pack into
+    * one LONG (the band column disambiguates bands, so the raw bit-pack
+    * IS the join key — no re-hash needed). P(bit agrees) = 1 - angle/π,
+    * so bands of r bits catch a pair at cosine c with prob
+    * 1-(1-(1-acos(c)/π)^r)^bands. Hyperplanes are seeded/deterministic —
+    * same distribution as the pre-r15 expression form; the q_dedup_* gate
+    * oracle is the exact cross join, which is banding-agnostic. */
+  private[pipeline] def embedBandKeysScala(vec: Array[Float],
+                                           hp: Array[Array[Float]],
+                                           bands: Int): Array[Long] = {
+    val r = hp.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var pIdx = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < r) {
+        val h = hp(pIdx)
+        var dot = 0.0
+        var i = 0
+        while (i < h.length) { dot += h(i).toDouble * vec(i); i += 1 }
+        key = (key << 1) | (if (dot >= 0) 1L else 0L)
+        pIdx += 1; j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    out
+  }
+
+  private def hyperplanes(dim: Int, planes: Int,
+                          seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    val hp: Seq[Array[Float]] =
-      Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val bits = hp.map(p =>
-      when(graft.vector.distances.ipScore(vec, typedLit(p)) >= 0, "1")
-        .otherwise("0"))
-    bits.grouped(planes / bands).zipWithIndex.map { case (g, i) =>
-      concat(lit(i.toString + ":"), concat(g: _*))
-    }.toSeq
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
   // ------------------------------------------------------------------
@@ -813,15 +902,32 @@ object Dedup {
   }
 
   /** Candidate pairs from embedding LSH banding (scale path; recall depends
-    * on the cosine gap — verify with [[cosinePairsExact]]'s predicate). */
+    * on the cosine gap — verify with [[cosinePairsExact]]'s predicate).
+    * The banding stage is the [[embedBandKeysScala]] mapPartitions kernel;
+    * the hyperplane matrix (planes×dim floats) ships once per executor as
+    * a broadcast, not per task in the closure. */
   def embedCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       planes: Int = 128, bands: Int = 16,
                       seed: Long = 42L): DataFrame = {
-    val keys = embedBandKeys(col(vecCol), dim, planes, bands, seed)
+    require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
+    require(planes / bands <= 64,
+      s"bits per band must pack into a long: ${planes / bands} > 64")
+    import df.sparkSession.implicits._
+    val hpB = df.sparkSession.sparkContext.broadcast(
+      hyperplanes(dim, planes, seed))
     // Persist across the self-join: the `planes` hyperplane dot products
     // per row otherwise evaluate once per join side.
-    val banded = materialized(df.select(col(idCol).as("mid"),
-      posexplode(array(keys: _*)).as(Seq("band", "key"))))
+    val banded = materialized(
+      df.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val hp = hpB.value
+          it.flatMap { case (id, v) =>
+            embedBandKeysScala(v, hp, bands).iterator.zipWithIndex
+              .map { case (key, b) => (id, b, key) }
+          }
+        }
+        .toDF("mid", "band", "key"))
     eagerly(bandSelfJoin(banded), banded)
   }
 }

@@ -74,6 +74,11 @@ object NgramLM {
     // driver fetch — a single long).
     val v = df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok"))).first().getLong(0)
+    // Fail loudly (the repo convention — cf. Bpe duplicate-merge, Transformer
+    // missing-heads): V=0 would make every cost floor(1e6·float32(-ln(1/0)))
+    // — an Infinity-derived sentinel — and scoring would silently emit
+    // garbage instead of surfacing the empty training corpus.
+    require(v > 0, "NgramLM.train: empty training corpus (vocabulary = 0)")
     val gramCounts = gc
       .groupBy(xxhash64(col("gram")).as("gram_hash"),
         xxhash64(col("ctx")).as("ctx_hash"))
@@ -99,11 +104,19 @@ object NgramLM {
     * worse under the model (CCNet's "tail"). */
   def scoreDocs(df: DataFrame, idCol: String, textCol: String,
                 model: DataFrame, n: Int = 3): DataFrame = {
-    val dflt = model.filter(col("kind") === "d")
+    // The model is read THREE times below (the 'd' scalar fetch and the
+    // 'g'/'c' join branches of one scoring plan). An un-materialized
+    // train() DAG would re-run its two corpus-token hash aggregates per
+    // use — up to three corpus aggregations per scoring call at 100 TB —
+    // so cut the lineage eagerly first (ADVICE r14). localCheckpoint
+    // rather than persist: the checkpoint is vocabulary-sized, lineage-free,
+    // and ContextCleaner-GC'd with the returned frame (no unpersist to leak).
+    val m = model.localCheckpoint(true)
+    val dflt = m.filter(col("kind") === "d")
       .select(col("cost_micros")).first().getLong(0)
-    val g = model.filter(col("kind") === "g")
+    val g = m.filter(col("kind") === "g")
       .select(col("key").as("g_key"), col("cost_micros").as("g_cost"))
-    val c = model.filter(col("kind") === "c")
+    val c = m.filter(col("kind") === "c")
       .select(col("key").as("c_key"), col("cost_micros").as("c_cost"))
     val probes = gramCtx(df, idCol, textCol, n)
       .select(col("mid"), xxhash64(col("gram")).as("gram_hash"),
@@ -124,28 +137,49 @@ object NgramLM {
           .otherwise(expr("s div n_grams")).as("avg_cost_micros"))
   }
 
-  /** Head/middle/tail bucketing WITHOUT a global-order window: cumulative
-    * doc counts are computed over the per-score aggregate (score
-    * cardinality, not corpus size, bounds the single-partition window) and
-    * joined back. Docs sharing a score share a bucket:
+  /** Head/middle/tail bucketing WITHOUT any global-order window (r14
+    * VERDICT #8): the cumulative "docs with strictly smaller score" is a
+    * TWO-PHASE sum over the per-score aggregate — range-partition the
+    * distinct scores, prefix-sum WITHIN each range partition (a window
+    * partitioned by partition id — parallel), then add each partition's
+    * start offset from the per-partition totals (≤ shuffle-partition-count
+    * rows, a bounded driver fetch — the [[Mix.byBudget]] offset move). No
+    * plan node orders more than one range partition's distinct scores
+    * (micro-quantization caps the distinct-score set near 2.5e7; a range
+    * slice of that is task-sized). Docs sharing a score share a bucket:
     *   bucket = 1 + (docs_with_strictly_smaller_score * buckets) div N
     * Returns (idCol, avg_cost_micros, bucket); bucket 1 = lowest
     * perplexity (head). */
   def pplBuckets(scored: DataFrame, idCol: String,
                  buckets: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perScore = scored.groupBy(col("avg_cost_micros"))
+    val spark = scored.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // RangePartitioner assigns ascending key ranges to ascending partition
+    // ids, so (pid asc, score asc) IS the global score order. The frame is
+    // distinct-score-sized and read twice (per-partition totals + the
+    // prefix-sum branch), so cut the corpus-aggregate lineage eagerly.
+    val parts = scored.groupBy(col("avg_cost_micros"))
       .agg(count(lit(1)).as("cnt"))
-    val before = Window.orderBy(col("avg_cost_micros"))
+      .repartitionByRange(nParts, col("avg_cost_micros"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // ≤ nParts rows: the partition start offsets and the grand total
+    // resolve driver-side — no single-partition Window anywhere.
+    val psums = parts.groupBy(col("pid")).agg(sum(col("cnt")).as("psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = math.max(1L, psums.map(_._2).sum) // 0 rows → plan is empty
+    val offMap: Map[Int, Long] =
+      psums.map(_._1).zip(psums.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val withinW = Window.partitionBy(col("pid"))
+      .orderBy(col("avg_cost_micros"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val all = Window.orderBy(col("avg_cost_micros"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val assigned = perScore
+    val assigned = parts
+      .withColumn("cum",
+        coalesce(sum(col("cnt")).over(withinW), lit(0L)) +
+          element_at(typedLit(offMap), col("pid")))
       .select(col("avg_cost_micros").as("score_key"),
-        coalesce(sum(col("cnt")).over(before), lit(0L)).as("cum"),
-        sum(col("cnt")).over(all).as("total"))
-      .select(col("score_key"),
-        (lit(1) + expr(s"(cum * $buckets) div total")).cast("long")
+        (lit(1) + expr(s"(cum * $buckets) div $total")).cast("long")
           .as("bucket"))
     scored.join(assigned, scored("avg_cost_micros") === col("score_key"))
       .select(col(idCol), col("avg_cost_micros"), col("bucket"))

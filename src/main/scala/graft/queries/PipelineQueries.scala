@@ -286,14 +286,17 @@ object PipelineQueries {
     // stage: the full encoder forward as CTEs, all-pairs cosine, the BPE
     // chain closed form, and the LCG hash rank. 100 TB note: the pair
     // stage goes through the SCALE-AWARE `Dedup.cosinePairs` dispatcher
-    // (r13 VERDICT #1): at real embedding widths it takes the
-    // hyperplane-LSH blocked path (banded equi-self-join + verify, never
-    // all-pairs — gated on the 64-dim table by q_dedup_embed_lsh and
-    // contrasted in BENCH_SF1); at this gate's hidden-4 width it
-    // measured 13× SLOWER blocked than exact (sign buckets cannot
-    // discriminate in dim 4 — the corpus collapses into a handful of
-    // sign patterns), so the dispatcher correctly picks the exact join
-    // here. The oracle is the exact cross-join either way.
+    // (r13 VERDICT #1; floor rule r14 VERDICT #4: blocked only when
+    // dim >= max(16, 2·⌈log₂(n)⌉) with n from the metadata-only row
+    // estimate — sign buckets discriminate only when dim ≫ log₂(n)): at
+    // real embedding widths it takes the hyperplane-LSH blocked path
+    // (banded equi-self-join + verify, never all-pairs — gated on the
+    // 64-dim table by q_dedup_embed_lsh and contrasted in BENCH_SF1); at
+    // this gate's hidden-4 width it measured 13× SLOWER blocked than
+    // exact (sign buckets cannot discriminate in dim 4 — the corpus
+    // collapses into a handful of sign patterns), so the dispatcher
+    // correctly picks the exact join here whatever the corpus size. The
+    // oracle is the exact cross-join either way.
     "q_pipeline_v4" -> QueryDef(
       (s, d) => {
         val dir = transformerArtifactWp()

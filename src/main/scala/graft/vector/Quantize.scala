@@ -41,14 +41,22 @@ object Quantize {
       (((code & 0xFF) + 128) & 0xFF) * scale(i) + mins(i) // undo the -128 shift
     /** Worst-case L2 distance between a corpus vector and its dequantized
       * code: each in-range dimension rounds to the nearest of 256 levels
-      * (error ≤ scale/2), so ‖v − deq(quant(v))‖ ≤ √Σ(scaleᵢ/2)². Valid
-      * for vectors INSIDE the trained [min,max] box — i.e. the corpus the
-      * model was trained on (clamped out-of-range vectors have unbounded
-      * error; appended data should retrain or re-verify). */
+      * (ideal error ≤ scale/2), so ‖v − deq(quant(v))‖ ≤ √Σ(scaleᵢ/2)².
+      * [[quantize]] and [[dequantize]] additionally round in float32
+      * ((v−min)/scale, code·scale+min — each step contributes ≤ ulp/2
+      * relative on magnitudes up to 255·scaleᵢ, so the true per-dimension
+      * error can exceed scaleᵢ/2 by ≈ 3·255·2⁻²⁴·scaleᵢ ≈ 4.6e-5·scaleᵢ);
+      * the per-dimension half-step is inflated by 1e-3 — 10× that worst
+      * case, still a 0.1% slack — so callers using the bound as a STRICT
+      * prune threshold ([[Hnsw.searchQuantized]]'s sub-graph schedule)
+      * never lose a tie-tight top-k member to float rounding (ADVICE r14).
+      * Valid for vectors INSIDE the trained [min,max] box — i.e. the
+      * corpus the model was trained on (clamped out-of-range vectors have
+      * unbounded error; appended data should retrain or re-verify). */
     def l2ErrorBound: Double = {
       var acc = 0.0
       var i = 0
-      while (i < dim) { val h = scale(i) / 2.0; acc += h * h; i += 1 }
+      while (i < dim) { val h = scale(i) * (0.5 * 1.001); acc += h * h; i += 1 }
       math.sqrt(acc)
     }
     /** L2 between a quantized vector and a float query (dequantize inline). */

@@ -384,4 +384,51 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().head
     assert(after._3 === 5L)
   }
+
+  test("cosinePairs floor is row-count-aware: both sides of the boundary") {
+    // r14 VERDICT #4: floor = max(16, 2·⌈log₂(n)⌉). A dim-32 corpus
+    // discriminates at n=1000 (floor 20 → blocked) but NOT at n=2³⁰
+    // (floor 60 → exact: sign buckets collapse when dim ≈ log₂(n)).
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val df = (0 until 40).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def isExactPlan(threshold: Double, estRows: Long): Boolean = {
+      val plan = Dedup.cosinePairs(df, "vec_id", "embedding", dim, threshold,
+          estRows = Some(estRows))
+        .queryExecution.executedPlan.toString
+      plan.contains("NestedLoop") || plan.contains("Cartesian")
+    }
+    assert(isExactPlan(0.9, 1L << 30),
+      "dim 32 at n=2^30 must dispatch to the exact join")
+    assert(!isExactPlan(0.9, 1000L),
+      "dim 32 at n=1000 must dispatch to the blocked path")
+    // both branches still agree with the exact operator
+    val exact = Dedup.cosinePairsExact(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    val big = Dedup.cosinePairs(df, "vec_id", "embedding", dim, 0.9,
+        estRows = Some(1L << 30))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(big === exact)
+  }
+
+  test("lshParams: bits-per-band track log2(n), miss prob meets target") {
+    def missProb(threshold: Double, r: Int, bands: Int): Double = {
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      math.pow(1.0 - math.pow(p, r), bands)
+    }
+    // small corpus: the 8-bit floor holds
+    val (r0, b0) = Dedup.lshParams(0.99, 100L)
+    assert(r0 === 8 && missProb(0.99, r0, b0) <= 1e-6)
+    // billion rows: r reaches log2(n) (candidates stay sub-quadratic —
+    // per-band collision of unrelated vectors is 2^-r ≈ 1/n), and the
+    // widened OR restores the recall target
+    val (r1, b1) = Dedup.lshParams(0.95, 1L << 30)
+    assert(r1 === 30 && missProb(0.95, r1, b1) <= 1e-6)
+    assert(b1 >= b0, "wider bands must compensate the longer band keys")
+    // the cap: band keys must pack into a long
+    val (r2, _) = Dedup.lshParams(0.95, Long.MaxValue)
+    assert(r2 === 40)
+  }
 }

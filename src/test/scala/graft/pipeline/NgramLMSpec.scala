@@ -86,4 +86,35 @@ class NgramLMSpec extends AnyFunSuite {
       NgramLM.train(corpus, "text", 1)
     }
   }
+
+  test("train rejects an empty corpus (V=0 would poison every cost)") {
+    intercept[IllegalArgumentException] {
+      NgramLM.train(Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", 3)
+    }
+  }
+
+  test("pplBuckets plan has no single-partition Window (r14 VERDICT #8)") {
+    // every Window node must carry a partition spec — the global
+    // cumulative is two-phase (within-range-partition prefix + driver-side
+    // partition offsets over <= shuffle-partition-count rows)
+    val scored = (0 until 500).map(i => (i.toLong, (i % 97).toLong * 1000))
+      .toDF("doc_id", "avg_cost_micros")
+    val out = NgramLM.pplBuckets(scored, "doc_id", 4)
+    // logical plan (AQE hides the physical tree behind AdaptiveSparkPlanExec)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the within-partition prefix Window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a Window with an empty (global) partition spec")
+    // and the two-phase result equals the brute-force definition
+    val got = out.select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val rows = (0 until 500).map(i => (i.toLong, (i % 97).toLong * 1000))
+    val n = rows.size
+    val brute = rows.map { case (id, s) =>
+      val below = rows.count(_._2 < s)
+      id -> (1L + (below.toLong * 4) / n)
+    }.toMap
+    assert(got === brute)
+  }
 }
