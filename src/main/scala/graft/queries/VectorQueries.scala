@@ -331,6 +331,23 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K6 ∘ K1 under COSINE (r14 VERDICT #3 — the reference serves every
+    // similarity through the quantized space, knn/knn.cpp:105-135 +
+    // space.cpp IP kernels): the codes quantize the unit-NORMALIZED
+    // companion, the walk/bound/error-slack all live in that one
+    // normalized-L2 space (cosine distance of a unit pair is half its
+    // squared L2, so the orders agree), and the survivors rescore with
+    // the exact cosine kernel on raw floats. Exact at full ef — shares
+    // the filtered-fullscan cosine oracle with q_knn_graph_routed_cos.
+    "q_knn_graph_quant_cos" -> QueryDef(
+      (s, d) => {
+        val path = hnswqCosIndex(s, d)
+        val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
+          "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
     "q_knn_graph_routed" -> QueryDef(
       (s, d) => {
         val path = hnswcIndex(s, d)
@@ -443,6 +460,42 @@ object VectorQueries {
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // K6+K4 for PQ, AUTOMATICALLY ROUTED (r14 VERDICT #5 — the sixth and
+    // last family in the CreateIterator-style dispatch,
+    // knn/knn.cpp:600-610): the PQ table registers as its own base; a
+    // PLAIN exact top-k over it is rewritten into the ADC coarse screen
+    // (top k·refine by M-lookup distance) ⋈ self, and the untouched
+    // Sort/Limit above IS the exact rescore. Same refine=32 contract as
+    // the explicit q_knn_pq, so the routed result equals the exact
+    // fullscan — shared oracle. Family selection + mutation-epoch guard
+    // pinned in AnnRoutingSpec.
+    "q_knn_pq_auto" -> QueryDef(
+      (s, d) => {
+        val (m, path) = pqIndex(s, d)
+        graft.plans.AnnRouting.registerPq(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id")
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // K3 over the routed PQ family: the attribute filter rides INSIDE the
+    // coarse ADC screen (the PQ table carries the attribute columns), so
+    // the k·refine contract applies to the FILTERED corpus — a margin
+    // that only widens as the filter narrows the field.
+    "q_knn_pq_auto_filtered" -> QueryDef(
+      (s, d) => {
+        val (m, path) = pqIndex(s, d)
+        graft.plans.AnnRouting.registerPq(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id")
+        Knn.knn(s.read.parquet(path).filter(col("label") === 3),
+            "embedding", "vec_id", queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
+        "WHERE label = 3 "))),
 
     // I9 on the PQ family: 90% build trains the codebooks, the remaining
     // 10% arrives as an appended segment encoded with the EXISTING model
@@ -846,6 +899,18 @@ object VectorQueries {
       if (!new java.io.File(Hnsw.qmodelPath(path), "_SUCCESS").isFile)
         Hnsw.buildIndexClusteredQuantized(t(s, d, "embeddings"), "embedding",
           "vec_id", path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
+
+  // Memoized COSINE-metric quantized clustered graph per sfDir: codes,
+  // centroids, and radii all live in the unit-normalized companion space.
+  private def hnswqCosIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quantcos", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswq_embeddings_cos"
+      if (!new java.io.File(Hnsw.qmodelPath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClusteredQuantized(t(s, d, "embeddings"), "embedding",
+          "vec_id", path, Hnsw.Params(m = 8, efC = 64, partitions = 8),
+          Knn.Cosine)
       path
     })
 

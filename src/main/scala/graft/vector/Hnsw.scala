@@ -935,17 +935,31 @@ object Hnsw {
     StructField("neighbors", ArrayType(LongType))))
 
   /** Clustered build in CODE space: train the int8 model and the coarse
-    * router on the raw vectors, quantize, then build every sub-graph's
-    * links over the codes (build-time distances dequantize inline — the
-    * same space the walk uses, as in the reference). Writes the graph
-    * table (pid, id, qcode, neighbors), the `_route` sidecar (RAW-space
-    * centroids + radii — the bound space), and the `_qmodel` sidecar.
-    * L2 only: the code-space kernel is [[Quantize.QModel.l2]]. */
+    * router on the BOUND-space vectors, quantize, then build every
+    * sub-graph's links over the codes (build-time distances dequantize
+    * inline — the same space the walk uses, as in the reference). Writes
+    * the graph table (pid, id, qcode, neighbors), the `_route` sidecar
+    * (bound-space centroids + radii), and the `_qmodel` sidecar.
+    *
+    * Metric-complete (r14 VERDICT #3; the reference serves EVERY
+    * similarity through the quantized space — knn/knn.cpp:105-135
+    * `HNSWDist_c` takes the similarity, space.cpp supplies the IP/cosine
+    * kernels): L2 quantizes the raw vectors; COSINE quantizes the
+    * unit-normalized companion (cosine distance of a unit pair is half
+    * its squared L2 — the [[buildClusteredTo]] / Ivf.searchAdaptiveCosine
+    * composition), so the code-space walk, the triangle bound, AND the
+    * quantization-error slack all live in one consistent normalized-L2
+    * space; the final rescore is the exact metric kernel on raw floats
+    * either way. */
   def buildIndexClusteredQuantized(df: DataFrame, vecCol: String,
                                    idCol: String, path: String,
-                                   p: Params = Params())
+                                   p: Params = Params(),
+                                   metric: Knn.Metric = Knn.L2)
       : (Ivf.Model, Quantize.QModel) = {
     import df.sparkSession.implicits._
+    require(metric == Knn.L2 || metric == Knn.Cosine,
+      "quantized graph indexes bound through L2 or cosine (IP over a " +
+        "normalized corpus IS cosine — build with Cosine)")
     // same guard as buildIndexClustered: a base-path rebuild under a
     // manifest-managed index would be silently ignored by readers that
     // resolve through the manifest (review r14)
@@ -954,15 +968,18 @@ object Hnsw {
     require(graft.index.SecondaryIndex.manifestVersions(fsQ, path).isEmpty,
       s"$path is manifest-managed: rebuilds at the base path are not " +
         "served (readers resolve through the manifest)")
-    val qm = Quantize.train(df, vecCol)
-    val m = Ivf.train(df, vecCol, nlist = p.partitions, metric = Knn.L2)
-    val assigned = Ivf.assign(df, vecCol, m)
+    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    val base = if (metric == Knn.L2) df
+               else df.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+    val qm = Quantize.train(base, boundCol)
+    val m = Ivf.train(base, boundCol, nlist = p.partitions, metric = Knn.L2)
+    val assigned = Ivf.assign(base, boundCol, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val qmB = df.sparkSession.sparkContext.broadcast(qm)
       val keyed = assigned
         .select(col("ivf_cluster").cast("int").as("pid"),
-          col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+          col(idCol).cast("long").as("id"), col(boundCol).as("vec"))
         .as[(Int, Long, Array[Float])]
         .rdd.map(t => (t._1, (t._2, qmB.value.quantize(t._3))))
         .partitionBy(new PidPartitioner(p.partitions))
@@ -982,8 +999,10 @@ object Hnsw {
       val graph = df.sparkSession.createDataFrame(rowRdd, qgraphSchema)
       graft.tables.Writer.write(graph, path, sortBy = Seq("pid", "id"),
         files = p.partitions)
-      // route sidecar: RAW-space radii (the triangle bound's space)
-      writeRouteSidecar(assigned, vecCol, m, routePath(path), "l2")
+      // route sidecar: bound-space radii (the triangle bound's space —
+      // raw for L2, normalized for cosine)
+      writeRouteSidecar(assigned, boundCol, m, routePath(path),
+        if (metric == Knn.L2) "l2" else "cosine")
       val sidecar = Seq((qm.mins.toSeq, qm.maxs.toSeq)).toDF("mins", "maxs")
       graft.tables.Writer.write(sidecar, qmodelPath(path), sortBy = Seq())
       invalidateQuantized(path)
@@ -1036,23 +1055,32 @@ object Hnsw {
     * [[searchRoutedRaw]]), walk each probed sub-graph in CODE space, keep
     * k·refine coarse survivors, and prune the schedule with the
     * error-slack triangle bound; one exact rescore of the merged
-    * survivors against `raw` (the float table) ends the query. Returns
-    * (top-k DataFrame with [[Knn.knn]]'s contract, sub-graphs probed). */
+    * survivors against `raw` (the float table) ends the query. Under
+    * COSINE every routing/walk/prune quantity lives in the normalized-L2
+    * bound space the index was built in (normalized-L2 order IS cosine
+    * order on a unit sphere), and only the final rescore applies the
+    * exact cosine kernel to the raw floats — so the error-slack argument
+    * is the L2 one verbatim. Returns (top-k DataFrame with [[Knn.knn]]'s
+    * contract, sub-graphs probed). */
   def searchQuantized(spark: SparkSession, indexPath: String,
                       raw: DataFrame, vecCol: String, idCol: String,
                       query: Array[Float], k: Int, ef: Int,
                       refine: Int = 8): (DataFrame, Int) = {
     import spark.implicits._
     val (metric, rts) = routes(spark, indexPath)
-    require(metric == Knn.L2, "quantized graph indexes are L2-only")
+    require(metric == Knn.L2 || metric == Knn.Cosine,
+      "quantized graph indexes bound through L2 or cosine")
     val qm = qmodel(spark, indexPath)
     val err = qm.l2ErrorBound
-    val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, query, r._2)).toMap
+    // the bound-space query: raw for L2, unit-normalized for cosine (the
+    // space the codes, centroids, and radii were all built in)
+    val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
+    val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, bq, r._2)).toMap
     val radius = rts.map(r => r._1 -> r._3).toMap
     val order = rts.map(_._1).sortBy(centDist)
     def bound(pid: Int): Double = centDist(pid) - radius(pid)
     val graph = loadQuantizedGraph(spark, indexPath)
-    val qB = spark.sparkContext.broadcast((qm, query))
+    val qB = spark.sparkContext.broadcast((qm, bq))
     val keep = k * refine
     var remaining: Seq[Int] = order.toSeq
     var probed = 0
@@ -1087,6 +1115,6 @@ object Hnsw {
     }
     val ids = cands.map(_._2)
     val survivors = raw.join(ids.toDF(idCol), Seq(idCol))
-    (Knn.knn(survivors, vecCol, idCol, query, k, Knn.L2), probed)
+    (Knn.knn(survivors, vecCol, idCol, query, k, metric), probed)
   }
 }

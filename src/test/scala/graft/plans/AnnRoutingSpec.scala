@@ -476,6 +476,50 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, qb)
   }
 
+  test("PQ family routes through the ADC screen; append drops the entry until re-registration (r14 #5)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val tmp = Files.createTempDirectory("graft-annroute-pq")
+    val df = vectors.toDF("vec_id", "embedding", "label")
+    def joins(d: DataFrame) =
+      d.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val pq = tmp.resolve("pq").toString
+    val mpq = graft.vector.Quantize.trainPq(df, "embedding", "vec_id",
+      m = 4, k = 16)
+    Writer.write(graft.vector.Quantize.quantizePqTable(
+      df, "embedding", "pqvec", mpq), pq, sortBy = Seq("vec_id"))
+    // refine sized past the fixture's row count: exactness is structural
+    // (the screen passes every row); screen economy at honest refine is
+    // QuantizeSpec's subject — same convention as the 4-bit/binary pins
+    AnnRouting.registerPq(SparkT.spark, pq, pq, mpq,
+      vecCol = "embedding", idCol = "vec_id", refine = 40)
+    val rp = Knn.knn(SparkT.spark.read.parquet(pq),
+      "embedding", "vec_id", query, 10)
+    assert(joins(rp).nonEmpty, rp.queryExecution.optimizedPlan.toString)
+    assert(rp.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // the filter rides inside the ADC screen
+    val filt = Knn.knn(SparkT.spark.read.parquet(pq).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(joins(filt).nonEmpty, filt.queryExecution.optimizedPlan.toString)
+    val wantFilt = vectors.filter(_._3 == 2)
+      .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+    assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    // mutation epoch: a PQ segment append drops the entry (exact fullscan)
+    // until re-registration serves the appended corpus
+    val extra = Seq((9002L, Array.fill(dim)(98f), 0))
+      .toDF("vec_id", "embedding", "label")
+    graft.vector.Quantize.appendSegmentPq(extra, "embedding", "pqvec", pq, mpq)
+    val dropped = Knn.knn(SparkT.spark.read.parquet(pq),
+      "embedding", "vec_id", query, 10)
+    assert(joins(dropped).isEmpty, "stale PQ entry must drop after append")
+    AnnRouting.registerPq(SparkT.spark, pq, pq, mpq,
+      vecCol = "embedding", idCol = "vec_id", refine = 41)
+    val rerouted = Knn.knn(SparkT.spark.read.parquet(pq),
+      "embedding", "vec_id", query, 10)
+    assert(joins(rerouted).nonEmpty)
+    assert(rerouted.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    AnnRouting.unregister(SparkT.spark, pq)
+  }
+
   test("graph family: the adaptive-termination knob rides registration into the routed leaf (r14)") {
     val tmp = Files.createTempDirectory("graft-annroute-adapt")
     val baseG = tmp.resolve("basea").toString

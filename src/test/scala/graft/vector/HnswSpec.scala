@@ -158,6 +158,43 @@ class HnswSpec extends AnyFunSuite {
       s"code-space recall@10 ${exactIds.intersect(got32).size}/10")
   }
 
+  test("quantized-space graph under COSINE: exact at full ef, small-ef recall") {
+    // r14 VERDICT #3: codes/centroids/radii all in the unit-normalized
+    // companion space; exact cosine rescore on raw floats at the end.
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val rows = for {
+      c <- 0 until 16
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 3)
+      i <- 0 until 25
+    } yield ((c * 25 + i).toLong,
+      center.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswqc").resolve("g").toString
+    Hnsw.buildIndexClusteredQuantized(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.Cosine)
+    var probedTot = 0
+    Seq(3L, 117L, 284L, 351L).foreach { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10, Knn.Cosine)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, probed) = Hnsw.searchQuantized(SparkT.spark, d, df,
+        "embedding", "vec_id", q, 10, ef = 1 << 20)
+      val got = res.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      assert(got === exact, s"query $qid")
+      probedTot += probed
+    }
+    assert(probedTot < 4 * 8, s"no pruning happened: $probedTot probes")
+    val q = rows(3)._2
+    val exactIds = Knn.knn(df, "embedding", "vec_id", q, 10, Knn.Cosine)
+      .select("vec_id").as[Long].collect().toSet
+    val (res32, _) = Hnsw.searchQuantized(SparkT.spark, d, df,
+      "embedding", "vec_id", q, 10, ef = 32)
+    val got32 = res32.select("vec_id").as[Long].collect().toSet
+    assert(exactIds.intersect(got32).size >= 9,
+      s"normalized-code recall@10 ${exactIds.intersect(got32).size}/10")
+  }
+
   test("cosine and inner-product metrics are exact at full ef too") {
     Seq(Knn.Cosine, Knn.IP).foreach { metric =>
       val d = Files.createTempDirectory(s"graft-hnsw-$metric").resolve("g").toString
