@@ -77,7 +77,15 @@ object BenchScale {
     // against a vocabulary-sized model table must stay linear in corpus
     // tokens (the model table itself grows with the decorrelated
     // replicas — exactly the shape that would hide a broadcast-collect)
-    "q_text_ppl")
+    "q_text_ppl",
+    // r15: the cosine quantized-space walk (normalized-code beam + exact
+    // cosine rescore — same flat-ANN shape as the L2 twin), the
+    // PQ-routed automatic top-k (ADC screen splice: per-partition M×K
+    // table + M-lookup scan must stay one corpus pass), and the v6
+    // flagship (span strip + store-trained LM scoring + two-phase
+    // buckets + budget cut in ONE chain — the composition is where a
+    // hidden global order would surface)
+    "q_knn_graph_quant_cos", "q_knn_pq_auto", "q_pipeline_v6")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

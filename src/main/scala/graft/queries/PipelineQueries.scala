@@ -1025,7 +1025,111 @@ object PipelineQueries {
         "+ 0.2 * least(len(w2)::DOUBLE / 100.0, 1.0)) * 1000000)::BIGINT END AS qm FROM cw) " +
         "SELECT d.source, count(*) AS docs, sum(q.kept_tokens)::BIGINT AS tokens " +
         "FROM q JOIN documents d ON q.doc_id = d.doc_id " +
-        "WHERE q.qm >= 440000 GROUP BY d.source"))
+        "WHERE q.qm >= 440000 GROUP BY d.source")),
+
+    // FLAGSHIP v6 (r14 VERDICT #7) — PERPLEXITY-BUCKETED MIXING, the
+    // published CCNet recipe end to end (Wenzek et al. 2019: LM-score the
+    // crawl against a trusted-corpus model, bucket by perplexity, keep
+    // head+middle, then budget the take): cross-doc span STRIP (4-gram
+    // windows shared by >= 2 docs) -> trigram-LM trained on the CLEANED
+    // corpus split and persisted as a STORE (the crawl-ingest shape:
+    // batches never rescan the training corpus) -> score the cleaned
+    // batch split against the store -> head/middle/tail buckets (no
+    // global-order window; two-phase cumulative) -> drop the tail ->
+    // per-source TOKEN-BUDGET selection, lowest perplexity first
+    // (Mix.byBudget: run-pruned two-phase cumulative, exact). 100 TB
+    // shape: span pipeline (one gram aggregate + co-partitioned flag
+    // join), LM train/score (hash aggregates + narrow shuffle joins on
+    // 8-byte keys), bucketing (distinct-score-bounded), budget cut
+    // (per-(source,score) windows after run pruning) — no stage touches
+    // all-pairs or a global order. The oracle replays every stage in SQL:
+    // strip, float32-quantized LM costs, bucket thirds, and the budget
+    // window ordered (ppl asc, id asc).
+    "q_pipeline_v6" -> QueryDef(
+      (s, d) => {
+        import graft.pipeline.{Dedup, Mix, NgramLM}
+        val docs = t(s, d, "documents")
+        val stripped = Dedup.stripSpans(docs, "doc_id", "text",
+            n = 4, minDocs = 2)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        val corpus = stripped.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        val batch = stripped.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        val store = s"${graft.tables.Derived.root}/" +
+          s"${new java.io.File(d).getName}/lmstore_v6_documents"
+        if (!new java.io.File(store, "_SUCCESS").isFile)
+          NgramLM.writeLM(corpus, "clean_text", store, 3)
+        val scored = NgramLM.scoreAgainstStore(batch, store,
+          "doc_id", "clean_text", 3)
+        val keep = NgramLM.pplBuckets(scored, "doc_id", 3)
+          .filter(col("bucket") <= 2)
+          .join(batch.select(col("doc_id"), col("source"),
+            col("kept_tokens")), Seq("doc_id"))
+          .withColumn("neg_ppl", -col("avg_cost_micros"))
+        Mix.byBudget(keep, "doc_id", "source", "kept_tokens", "neg_ppl",
+            budget = 1500L)
+          .select(col("doc_id"), col("source"), col("avg_cost_micros"),
+            col("cum_weight").as("cum_tokens"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 3)) AS pos, w " +
+        "FROM dd WHERE len(w) >= 4), " +
+        "grams AS (SELECT doc_id, pos, array_to_string(w[pos:pos+3], ' ') AS gram FROM g), " +
+        "boiler AS (SELECT gram FROM grams GROUP BY gram " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM (SELECT g2.doc_id, " +
+        "unnest(generate_series(g2.pos, g2.pos + 3)) AS tp " +
+        "FROM grams g2 JOIN boiler USING (gram))), " +
+        "toks AS (SELECT doc_id, unnest(w) AS tok, " +
+        "unnest(generate_series(1, len(w))) AS tp FROM dd), " +
+        "kept AS (SELECT t.doc_id, t.tp, t.tok FROM toks t " +
+        "LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp " +
+        "WHERE c.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text, " +
+        "count(*) AS kept FROM kept GROUP BY doc_id), " +
+        "strip AS (SELECT dd.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+        "coalesce(a.kept, 0)::BIGINT AS kept_tokens " +
+        "FROM dd LEFT JOIN agg a ON dd.doc_id = a.doc_id), " +
+        raw"cw AS (SELECT s.doc_id, d.source, s.kept_tokens, " +
+        raw"list_filter(string_split_regex(trim(s.clean_text),'\s+'), t -> t <> '') w2 " +
+        "FROM strip s JOIN documents d USING (doc_id)), " +
+        "pos2 AS (SELECT doc_id, unnest(generate_series(1, len(w2)-2)) AS p, w2 " +
+        "FROM cw WHERE len(w2) >= 3), " +
+        "gr2 AS (SELECT doc_id, array_to_string(w2[p:p+2],' ') AS gram, " +
+        "array_to_string(w2[p:p+1],' ') AS ctx FROM pos2), " +
+        "v2 AS (SELECT count(DISTINCT tok) AS vs FROM " +
+        "(SELECT unnest(w2) AS tok FROM cw WHERE doc_id % 5 <> 0)), " +
+        "gc2 AS (SELECT gram, ctx, count(*) AS c FROM gr2 " +
+        "WHERE doc_id % 5 <> 0 GROUP BY gram, ctx), " +
+        "cc2 AS (SELECT ctx, sum(c) AS cc FROM gc2 GROUP BY ctx), " +
+        "gcost2 AS (SELECT gram, floor(((-ln((c+1)::DOUBLE/(cc+vs)::DOUBLE))" +
+        "::FLOAT)::DOUBLE*1000000)::BIGINT AS cost FROM gc2 JOIN cc2 USING (ctx), v2), " +
+        "ccost2 AS (SELECT ctx, floor(((-ln(1::DOUBLE/(cc+vs)::DOUBLE))" +
+        "::FLOAT)::DOUBLE*1000000)::BIGINT AS cost FROM cc2, v2), " +
+        "dflt2 AS (SELECT floor(((-ln(1::DOUBLE/vs::DOUBLE))" +
+        "::FLOAT)::DOUBLE*1000000)::BIGINT AS cost FROM v2), " +
+        "probe2 AS (SELECT g.doc_id, coalesce(g2.cost, c2.cost, " +
+        "(SELECT cost FROM dflt2)) AS cost FROM gr2 g " +
+        "LEFT JOIN gcost2 g2 USING (gram) LEFT JOIN ccost2 c2 ON g.ctx = c2.ctx " +
+        "WHERE g.doc_id % 5 = 0), " +
+        "per2 AS (SELECT doc_id, count(*) AS n, sum(cost) AS s FROM probe2 " +
+        "GROUP BY doc_id), " +
+        "res2 AS (SELECT cw.doc_id, cw.source, cw.kept_tokens, " +
+        "(CASE WHEN coalesce(per2.n,0)=0 THEN 0 ELSE per2.s // per2.n END)::BIGINT " +
+        "AS avg_cost_micros FROM cw LEFT JOIN per2 USING (doc_id) " +
+        "WHERE cw.doc_id % 5 = 0), " +
+        "ps2 AS (SELECT avg_cost_micros AS m, count(*) AS cnt FROM res2 GROUP BY 1), " +
+        "asg2 AS (SELECT m, coalesce(sum(cnt) OVER (ORDER BY m " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum, " +
+        "sum(cnt) OVER () AS total FROM ps2), " +
+        "sel AS (SELECT r.doc_id, r.source, r.avg_cost_micros, " +
+        "sum(r.kept_tokens) OVER (PARTITION BY r.source " +
+        "ORDER BY r.avg_cost_micros ASC, r.doc_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens " +
+        "FROM res2 r JOIN asg2 a ON r.avg_cost_micros = a.m " +
+        "WHERE (1 + (a.cum * 3) // a.total) <= 2) " +
+        "SELECT doc_id, source, avg_cost_micros, cum_tokens FROM sel " +
+        "WHERE cum_tokens <= 1500"))
   )
 
   // Local-model weight artifact (shared across scale factors — the model is

@@ -519,6 +519,106 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span-dedup ingest: batches score against the gram store, then fold in (r14 #6)") {
+    // The crawl-ingest loop for cross-document SPAN dedup: per micro-batch,
+    // (1) score the batch's boilerplate coverage against the corpus gram
+    // store, (2) fold the batch's gram frequencies in (segment append).
+    // The store is the only cross-batch state; batch-parity is pinned by
+    // comparing the streaming-built store against writeGramStore over the
+    // same corpus in one shot.
+    import graft.pipeline.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-spans")
+    val store = root.resolve("grams").toString
+    val n = 3
+    val boiler = "all rights reserved contact us"
+    val covSeen = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val in = MemoryStream[Doc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          if (new java.io.File(store).isDirectory) {
+            import b.sparkSession.implicits._
+            covSeen ++= Dedup.spanCoverageAgainstStore(b, store,
+                "doc_id", "text", n, minDocs = 2)
+              .select($"doc_id", $"total_tokens", $"covered_tokens")
+              .as[(Long, Long, Long)].collect()
+              .map { case (id, t, c) => id -> ((t, c)) }
+            Dedup.appendGramStore(b, "doc_id", "text", store, n)
+          } else Dedup.writeGramStore(b, "doc_id", "text", store, n)
+          b.unpersist()
+          ()
+        }
+      }
+      .start()
+    try {
+      in.addData(Doc(1, s"alpha beta gamma $boiler"),
+        Doc(2, s"delta epsilon zeta $boiler"))
+      q.processAllAvailable()
+      assert(covSeen.isEmpty) // first batch only seeds the store
+      // batch 2: the boilerplate tail is corpus-frequent (2 carriers in the
+      // store), the head is fresh → exactly the 5 boilerplate tokens cover
+      in.addData(Doc(10, s"eta theta iota $boiler"))
+      q.processAllAvailable()
+      assert(covSeen(10L) === ((8L, 5L)))
+      in.addData(Doc(20, "nothing shared here at all"))
+      q.processAllAvailable()
+      assert(covSeen(20L) === ((5L, 0L)))
+    } finally q.stop()
+    // batch-parity: the streaming-built store re-sums to writeGramStore
+    // over the same corpus ingested in one shot
+    val spark = SparkT.spark
+    import spark.implicits._
+    val batchStore = root.resolve("grams_batch").toString
+    Dedup.writeGramStore(
+      Seq((1L, s"alpha beta gamma $boiler"), (2L, s"delta epsilon zeta $boiler"),
+        (10L, s"eta theta iota $boiler"), (20L, "nothing shared here at all"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", batchStore, n)
+    def summed(p: String) = spark.read.parquet(p)
+      .groupBy("gram_hash")
+      .agg(org.apache.spark.sql.functions.sum("doc_freq").as("df"))
+      .as[(Long, Long)].collect().toMap
+    assert(summed(store) === summed(batchStore))
+  }
+
+  test("streaming perplexity scoring: each micro-batch scores against the persisted LM (r14 #6)") {
+    import graft.pipeline.NgramLM
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ppl")
+    val lm = root.resolve("lm").toString
+    val spark = SparkT.spark
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    NgramLM.writeLM(corpus, "text", lm, 3)
+    val scores = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    val in = MemoryStream[Doc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import batch.sparkSession.implicits._
+          scores ++= NgramLM.scoreAgainstStore(batch, lm, "doc_id", "text", 3)
+            .as[(Long, Long, Long, Long)].collect()
+            .map { case (id, g, s, a) => id -> ((g, s, a)) }
+          ()
+        }
+      }
+      .start()
+    try {
+      in.addData(Doc(10, "a b c d"), Doc(11, "x y z w"))
+      q.processAllAvailable()
+      in.addData(Doc(12, "a b c a b c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch-parity: identical to one batch scoreDocs over the same docs
+    val want = NgramLM.scoreDocs(
+      Seq((10L, "a b c d"), (11L, "x y z w"), (12L, "a b c a b c"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", spark.read.parquet(lm), 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, g, s, a) => id -> ((g, s, a)) }.toMap
+    assert(scores.toMap === want)
+  }
+
   test("stream-stream join pairs purchases with in-window views only") {
     val views = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
