@@ -542,7 +542,7 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs, exact: inequality self-join + codegen
     * cosine + threshold. O(n²) by nature — correct at verification scale;
-    * the scale path blocks candidates first (see [[embedBandKeys]] +
+    * the scale path blocks candidates first (see [[embedCandidates]] +
     * DedupSpec's clustered-recall test) and verifies with the same cosine.
     */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
@@ -586,20 +586,26 @@ object Dedup {
   /** Metadata-only row estimate for dispatch decisions: the optimizer's
     * row count when known, else plan sizeInBytes over the schema's default
     * row width (a parquet scan's sizeInBytes is footer metadata — no job
-    * runs). Order-of-magnitude accuracy is enough for a log₂ dispatch
-    * rule; scale callers with a catalog should pass
-    * [[graft.stats.Stats.rowCount]] explicitly instead. */
-  private[pipeline] def estimatedRows(df: DataFrame): Long = {
+    * runs). Returns None when the plan carries NO real stats — stats-less
+    * leaves (LogicalRDD, JDBC relations) report the
+    * `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue), and treating
+    * that as 10¹⁷ rows would push [[cosinePairs]] toward the O(n²) exact
+    * join at exactly the scale the floor exists to protect (review r15).
+    * Order-of-magnitude accuracy is enough for a log₂ dispatch rule; scale
+    * callers with a catalog should pass [[graft.stats.Stats.rowCount]]
+    * explicitly instead. */
+  private[pipeline] def estimatedRows(df: DataFrame): Option[Long] = {
     val st = df.queryExecution.optimizedPlan.stats
     st.rowCount match {
       case Some(rc) =>
-        if (rc > BigInt(Long.MaxValue)) Long.MaxValue else math.max(1L, rc.toLong)
+        Some(if (rc > BigInt(Long.MaxValue)) Long.MaxValue
+             else math.max(1L, rc.toLong))
+      case None if st.sizeInBytes >= BigInt(Long.MaxValue) / 4 =>
+        None // the unknown-stats sentinel (or a propagated product of it)
       case None =>
         val width = math.max(8L,
           df.schema.map(_.dataType.defaultSize.toLong).sum)
-        val rows = st.sizeInBytes / width
-        if (rows > BigInt(Long.MaxValue)) Long.MaxValue
-        else math.max(1L, rows.toLong)
+        Some(math.max(1L, (st.sizeInBytes / width).toLong))
     }
   }
 
@@ -614,10 +620,16 @@ object Dedup {
     * widening the OR: a true pair at the threshold agrees per bit with
     * prob p = 1-acos(t)/π, survives a band with p^r, and is missed with
     * (1-p^r)^bands ≤ targetMiss for the returned band count. The price is
-    * honest — planes = r·bands sign projections per row — and grows as
-    * the threshold drops; tight near-dup thresholds (≥0.95) stay in the
-    * hundreds of planes at billion-row corpora. r is capped at 40
+    * honest — planes = r·bands sign projections per row, and it grows
+    * fast as the threshold drops (0.99 → 1.4k planes at 10⁹ rows; 0.95 →
+    * ~10k; below ~0.9 sign-LSH stops being the right tool at corpus
+    * scale). The derivation FAILS LOUDLY past `MaxPlanes` instead of
+    * silently broadcasting a multi-GB hyperplane matrix or overflowing
+    * r·bands (review r15): raise the threshold, accept a looser
+    * targetMiss, or pass explicit planes/bands. r is capped at 40
     * (n ≈ 10¹²) where band keys still pack into one long with headroom. */
+  val MaxPlanes: Int = 1 << 16
+
   def lshParams(threshold: Double, estRows: Long,
                 targetMiss: Double = 1e-6): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0,
@@ -626,9 +638,14 @@ object Dedup {
     val r = math.min(40, math.max(8, ceilLog2(estRows)))
     val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
     val pr = math.pow(p, r)
-    val bands = math.max(8,
-      math.ceil(math.log(targetMiss) / math.log1p(-pr)).toInt)
-    (r, bands)
+    val bandsD = math.max(8.0,
+      math.ceil(math.log(targetMiss) / math.log1p(-pr)))
+    require(bandsD * r <= MaxPlanes,
+      f"lshParams: threshold=$threshold at ~$estRows rows needs " +
+        f"${bandsD * r}%.0f sign planes (> $MaxPlanes) to hold " +
+        f"miss<=$targetMiss — sign-LSH is not economical here; raise the " +
+        "threshold, loosen targetMiss, or pass explicit planes/bands")
+    (r, bandsD.toInt)
   }
 
   /** Embedding-cosine near-dup pairs, SCALE-AWARE (r14 VERDICT #4): picks
@@ -642,7 +659,10 @@ object Dedup {
     * candidate pairs). The automatic floor is max(16, 2·⌈log₂(n)⌉) with n
     * from the metadata-only [[estimatedRows]] (at 10⁹ rows a 32-dim
     * column dispatches exact — its ~2³² sign patterns cannot spread 10⁹
-    * vectors into discriminating r≈30-bit band keys); pass `minDim` (and
+    * vectors into discriminating r≈30-bit band keys); when the plan
+    * carries NO real stats the floor falls back to the static 16 and
+    * banding sizes for a 2²⁰-row corpus — uncertainty never picks the
+    * O(n²) branch. Pass `minDim` (and
     * `estRows`, e.g. [[graft.stats.Stats.rowCount]]) to override. When
     * `planes`/`bands` are left unset the blocked path sizes them via
     * [[lshParams]] — bits-per-band tracks log₂(n) so candidates stay
@@ -653,13 +673,27 @@ object Dedup {
                   planes: Int = -1, bands: Int = -1,
                   seed: Long = 42L,
                   estRows: Option[Long] = None): DataFrame = {
-    val n = estRows.getOrElse(estimatedRows(df))
-    val floor = if (minDim >= 0) minDim else math.max(16, 2 * ceilLog2(n))
+    require((planes >= 1) == (bands >= 1),
+      s"cosinePairs: planes and bands must be overridden TOGETHER " +
+        s"(got planes=$planes, bands=$bands) — a half override would be " +
+        "silently auto-sized away")
+    // UNKNOWN stats (None): dispatch like the pre-r15 static floor —
+    // blocked for any real embedding width. The failure modes are
+    // asymmetric: blocked on a tiny corpus is merely slower (banding
+    // overhead), exact on a big one is O(n²) — so uncertainty must never
+    // pick exact (review r15).
+    val n = estRows.orElse(estimatedRows(df))
+    val floor =
+      if (minDim >= 0) minDim
+      else n.map(r => math.max(16, 2 * ceilLog2(r))).getOrElse(16)
     if (dim < floor) cosinePairsExact(df, idCol, vecCol, threshold)
     else {
       val (pl, bd) =
-        if (planes >= 1 && bands >= 1) (planes, bands)
-        else { val (r, b) = lshParams(threshold, n); (r * b, b) }
+        if (planes >= 1) (planes, bands)
+        else {
+          val (r, b) = lshParams(threshold, n.getOrElse(1L << 20))
+          (r * b, b)
+        }
       cosinePairsBlocked(df, idCol, vecCol, dim, threshold, pl, bd, seed)
     }
   }
@@ -912,22 +946,30 @@ object Dedup {
     require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
     require(planes / bands <= 64,
       s"bits per band must pack into a long: ${planes / bands} > 64")
-    import df.sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
     val hpB = df.sparkSession.sparkContext.broadcast(
       hyperplanes(dim, planes, seed))
+    // Row-encoded mapPartitions so the id keeps its ORIGINAL type (string
+    // ids band and self-join fine — review r15; a long cast here would
+    // also make the dispatcher's two branches disagree on output types).
+    val outSchema = StructType(Seq(
+      StructField("mid", df.schema(idCol).dataType),
+      StructField("band", IntegerType),
+      StructField("key", LongType)))
     // Persist across the self-join: the `planes` hyperplane dot products
     // per row otherwise evaluate once per join side.
     val banded = materialized(
-      df.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])]
+      df.select(col(idCol).as("mid"), col(vecCol))
         .mapPartitions { it =>
           val hp = hpB.value
-          it.flatMap { case (id, v) =>
+          it.flatMap { r =>
+            val id = r.get(0)
+            val v = r.getSeq[Float](1).toArray
             embedBandKeysScala(v, hp, bands).iterator.zipWithIndex
-              .map { case (key, b) => (id, b, key) }
+              .map { case (key, b) => Row(id, b, key) }
           }
-        }
-        .toDF("mid", "band", "key"))
+        }(Encoders.row(outSchema)))
     eagerly(bandSelfJoin(banded), banded)
   }
 }

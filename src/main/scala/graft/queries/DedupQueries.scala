@@ -13,6 +13,41 @@ import graft.pipeline.{Decontaminate, Dedup}
   */
 object DedupQueries {
 
+  /** The threshold-gapped EMBEDDING fixture shared by the LSH-blocked and
+    * dispatcher gates (one definition — the two gates must route the SAME
+    * corpus, review r15): every embedding gets one deterministic near-copy
+    * (per-coordinate multiplier in [0.85, 1.15) from an integer hash both
+    * engines replay exactly → cosine ≈ 0.996), while the widest cross pair
+    * in the base corpus is ~0.6 — so pairs >= 0.9 are exactly the planted
+    * copies. */
+  private def noisyCopies(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = e.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) + lit(0.3) *
+          ((pmod(col("vec_id") * lit(1000003L) + (i + lit(1)) * lit(7919L),
+            lit(1000L)).cast("double") - lit(500.0)) / lit(1000.0))))
+          .cast("float")).as("embedding"))
+    e.unionAll(copies)
+  }
+
+  /** DuckDB twin of [[noisyCopies]] + the exact cross-join predicate. */
+  private val noisyCopiesOracle: String =
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+    "cop AS (SELECT vec_id + 1000000 AS cid, " +
+    "[CAST(embedding[i]::DOUBLE * (1.0 + 0.3 * " +
+    "((((vec_id*1000003 + i*7919) % 1000) - 500.0)/1000.0)) AS FLOAT) " +
+    "for i in generate_series(1, len(embedding))] AS cemb FROM base), " +
+    "u AS (SELECT vec_id, embedding FROM base " +
+    "UNION ALL SELECT cid, cemb FROM cop), " +
+    "e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u) " +
+    "SELECT a.vec_id AS a, b.vec_id AS b, " +
+    "floor(list_cosine_similarity(a.v, b.v) * 1000000)::BIGINT AS cos_micros " +
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+    "WHERE list_cosine_similarity(a.v, b.v) >= 0.9"
+
   private val shingleCte =
     raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
       "FROM documents), sh AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] " +
@@ -81,30 +116,22 @@ object DedupQueries {
     // (1-(1-p^12)^16 at p = 1-acos(0.996)/π). The oracle is the EXACT
     // cross-join predicate over the same constructed fixture.
     "q_dedup_embed_lsh" -> QueryDef(
-      (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val copies = e.select(
-          (col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) + lit(0.3) *
-              ((pmod(col("vec_id") * lit(1000003L) + (i + lit(1)) * lit(7919L),
-                lit(1000L)).cast("double") - lit(500.0)) / lit(1000.0))))
-              .cast("float")).as("embedding"))
-        Dedup.cosinePairsBlocked(e.unionAll(copies), "vec_id", "embedding",
-          dim = 64, threshold = 0.9, planes = 192, bands = 16)
-      },
-      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
-        "cop AS (SELECT vec_id + 1000000 AS cid, " +
-        "[CAST(embedding[i]::DOUBLE * (1.0 + 0.3 * " +
-        "((((vec_id*1000003 + i*7919) % 1000) - 500.0)/1000.0)) AS FLOAT) " +
-        "for i in generate_series(1, len(embedding))] AS cemb FROM base), " +
-        "u AS (SELECT vec_id, embedding FROM base " +
-        "UNION ALL SELECT cid, cemb FROM cop), " +
-        "e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u) " +
-        "SELECT a.vec_id AS a, b.vec_id AS b, " +
-        "floor(list_cosine_similarity(a.v, b.v) * 1000000)::BIGINT AS cos_micros " +
-        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
-        "WHERE list_cosine_similarity(a.v, b.v) >= 0.9")),
+      (s, d) => Dedup.cosinePairsBlocked(noisyCopies(s, d),
+        "vec_id", "embedding", dim = 64, threshold = 0.9,
+        planes = 192, bands = 16),
+      Some(noisyCopiesOracle)),
+
+    // The SCALE-AWARE DISPATCHER exercised ABOVE the floor at the real
+    // 64-dim width (r14 weak-list closure: q_dedup_embed gates the exact
+    // operator, q_dedup_embed_lsh gates the blocked operator explicitly —
+    // this gate routes the SAME threshold-gapped fixture through
+    // `Dedup.cosinePairs`, which picks the blocked path here: dim 64 >
+    // max(16, 2·⌈log₂(~1200)⌉) = 22, and lshParams sizes the banding for
+    // the corpus). Oracle: the banding-agnostic exact cross join.
+    "q_dedup_embed_dispatch" -> QueryDef(
+      (s, d) => Dedup.cosinePairs(noisyCopies(s, d), "vec_id", "embedding",
+        dim = 64, threshold = 0.9),
+      Some(noisyCopiesOracle)),
 
     // SimHash fingerprint dedup: hamming<=3 pairs via the exact pigeonhole
     // chunk join. The rolling-hash family (per-shingle fingerprint, 30-bit

@@ -413,6 +413,44 @@ class DedupSpec extends AnyFunSuite {
     assert(big === exact)
   }
 
+  test("dispatch guards: unknown stats never pick exact; string ids band; half overrides refuse (review r15)") {
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // A stats-less plan (LogicalRDD reports the defaultSizeInBytes
+    // sentinel): the dispatcher must fall back to the static floor and
+    // pick the BLOCKED path — uncertainty never picks O(n²).
+    val statless = SparkT.spark.createDataFrame(
+      SparkT.spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2.toSeq))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    assert(Dedup.estimatedRows(statless).isEmpty,
+      "LogicalRDD must report unknown stats")
+    val plan = Dedup.cosinePairs(statless, "vec_id", "embedding", dim, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "unknown stats dispatched to the exact cross join")
+    // String ids survive the banding kernel and the self-join
+    val sdf = rows.map { case (id, v) => (s"doc-$id", v) }
+      .toDF("vec_id", "embedding")
+    val viaStr = Dedup.cosinePairsBlocked(sdf, "vec_id", "embedding", dim,
+        0.9, planes = 128, bands = 16)
+      .as[(String, String, Long)].collect().toSet
+    val exactStr = Dedup.cosinePairsExact(sdf, "vec_id", "embedding", 0.9)
+      .as[(String, String, Long)].collect().toSet
+    assert(viaStr === exactStr)
+    // A half-specified planes/bands override fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.cosinePairs(sdf, "vec_id", "embedding", dim, 0.9, planes = 256)
+    }
+  }
+
   test("lshParams: bits-per-band track log2(n), miss prob meets target") {
     def missProb(threshold: Double, r: Int, bands: Int): Double = {
       val p = 1.0 - math.acos(threshold) / math.Pi
@@ -430,5 +468,10 @@ class DedupSpec extends AnyFunSuite {
     // the cap: band keys must pack into a long
     val (r2, _) = Dedup.lshParams(0.95, Long.MaxValue)
     assert(r2 === 40)
+    // low thresholds at corpus scale fail loudly instead of silently
+    // requiring a multi-GB hyperplane broadcast (review r15)
+    intercept[IllegalArgumentException] {
+      Dedup.lshParams(0.5, 1L << 30)
+    }
   }
 }
