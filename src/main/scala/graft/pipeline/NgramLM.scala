@@ -155,11 +155,16 @@ object NgramLM {
     import org.apache.spark.sql.expressions.Window
     val spark = scored.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
+    // The scored frame is read TWICE (the per-score aggregate and the
+    // final bucket join). Its lineage is the whole scoring chain — at the
+    // flagship-v6 composition that is strip + LM probe — so cut it once:
+    // the checkpoint payload is one (id, 3 longs) row per doc.
+    val sc = scored.localCheckpoint(true)
     // RangePartitioner assigns ascending key ranges to ascending partition
     // ids, so (pid asc, score asc) IS the global score order. The frame is
     // distinct-score-sized and read twice (per-partition totals + the
-    // prefix-sum branch), so cut the corpus-aggregate lineage eagerly.
-    val parts = scored.groupBy(col("avg_cost_micros"))
+    // prefix-sum branch), so cut the aggregate eagerly too.
+    val parts = sc.groupBy(col("avg_cost_micros"))
       .agg(count(lit(1)).as("cnt"))
       .repartitionByRange(nParts, col("avg_cost_micros"))
       .withColumn("pid", spark_partition_id())
@@ -181,7 +186,7 @@ object NgramLM {
       .select(col("avg_cost_micros").as("score_key"),
         (lit(1) + expr(s"(cum * $buckets) div $total")).cast("long")
           .as("bucket"))
-    scored.join(assigned, scored("avg_cost_micros") === col("score_key"))
+    sc.join(assigned, sc("avg_cost_micros") === col("score_key"))
       .select(col(idCol), col("avg_cost_micros"), col("bucket"))
   }
 

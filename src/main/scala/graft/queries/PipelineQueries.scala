@@ -1049,9 +1049,15 @@ object PipelineQueries {
       (s, d) => {
         import graft.pipeline.{Dedup, Mix, NgramLM}
         val docs = t(s, d, "documents")
+        // The strip output feeds the LM store build, the scoring probe,
+        // AND the budget stage's (source, kept_tokens) join — checkpoint
+        // the rebuild once instead of re-running the posexplode/anti-join
+        // per consumer (the covered-set aggregate inside stripSpans is
+        // already cut; this cuts the rebuild tail too).
         val stripped = Dedup.stripSpans(docs, "doc_id", "text",
             n = 4, minDocs = 2)
           .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .localCheckpoint(true)
         val corpus = stripped.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
         val batch = stripped.filter(pmod(col("doc_id"), lit(5L)) === 0L)
         val store = s"${graft.tables.Derived.root}/" +

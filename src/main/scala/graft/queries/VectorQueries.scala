@@ -331,6 +331,24 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // I9 on the QUANTIZED graph family (r15 — the reference's RT
+    // per-segment build applies to whatever index type the column has,
+    // knn/knn.cpp:638-786): clustered code-space build on 90%, the rest
+    // appended under the FROZEN int8 model as new code-space sub-graphs;
+    // the search stays exact at full ef mid-segment because the prune
+    // slack widens to the appended batch's OBSERVED max reconstruction
+    // error (the _qerr sidecar — appended vectors may clamp outside the
+    // trained box, where the model's own bound no longer covers them).
+    // Shared fullscan oracle.
+    "q_knn_graph_quant_seg" -> QueryDef(
+      (s, d) => {
+        val path = hnswqSegIndex(s, d)
+        val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
+          "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K6 ∘ K1 under COSINE (r14 VERDICT #3 — the reference serves every
     // similarity through the quantized space, knn/knn.cpp:105-135 +
     // space.cpp IP kernels): the codes quantize the unit-NORMALIZED
@@ -911,6 +929,25 @@ object VectorQueries {
         Hnsw.buildIndexClusteredQuantized(t(s, d, "embeddings"), "embedding",
           "vec_id", path, Hnsw.Params(m = 8, efC = 64, partitions = 8),
           Knn.Cosine)
+      path
+    })
+
+  // Memoized SEGMENTED quantized clustered graph per sfDir: 90% build
+  // trains the int8 model + coarse router, the remaining 10% arrives via
+  // appendSegmentQuantized (frozen model; observed reconstruction error
+  // recorded in the _qerr sidecar).
+  private def hnswqSegIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quantseg", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswqseg_embeddings"
+      if (!new java.io.File(path, "_GRAFT_SEG_OK").isFile) {
+        fsDelete(s, path, Hnsw.routePath(path), Hnsw.qmodelPath(path),
+          Hnsw.qerrPath(path))
+        val (build, append) = segSplit(t(s, d, "embeddings"))
+        Hnsw.buildIndexClusteredQuantized(build, "embedding", "vec_id",
+          path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
+        Hnsw.appendSegmentQuantized(append, "embedding", "vec_id", path)
+        new java.io.File(path, "_GRAFT_SEG_OK").createNewFile()
+      }
       path
     })
 

@@ -1015,6 +1015,35 @@ object Hnsw {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.rdd.RDD[(Int, QGraphRow)]]
   private val qmodelCache =
     scala.collection.concurrent.TrieMap.empty[String, Quantize.QModel]
+  private val qerrCache =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** Sidecar holding the OBSERVED max reconstruction error of appended
+    * segments (one row per append). The model's [[Quantize.QModel.l2ErrorBound]]
+    * only bounds vectors inside the trained [min,max] box; appended
+    * vectors may clamp, so the error-slack prune must widen to the
+    * observed worst case or it could lose a true top-k member. Absent for
+    * a fresh build (the model bound suffices). */
+  def qerrPath(indexPath: String): String = indexPath + "_qerr"
+
+  /** The prune slack for a quantized index: max(model worst-case bound,
+    * observed max reconstruction error across appended segments). A wider
+    * slack only ever OVER-probes — exactness is one-sided — so segment
+    * appends write the `_qerr` row BEFORE their graph rows (a crash in
+    * between leaves a harmlessly-wide slack, never a too-tight one). */
+  private def qerrBound(spark: SparkSession, indexPath: String,
+                        qm: Quantize.QModel): Double =
+    qerrCache.getOrElseUpdate(indexPath, {
+      val p = new org.apache.hadoop.fs.Path(qerrPath(indexPath))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seg =
+        if (fs.exists(p)) {
+          val r = spark.read.parquet(qerrPath(indexPath))
+            .agg(max(col("max_err"))).head
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        } else 0.0
+      math.max(qm.l2ErrorBound, seg)
+    })
 
   private def loadQuantizedGraph(spark: SparkSession, indexPath: String)
       : org.apache.spark.rdd.RDD[(Int, QGraphRow)] =
@@ -1047,6 +1076,7 @@ object Hnsw {
   def invalidateQuantized(indexPath: String): Unit = {
     residentQ.remove(indexPath).foreach(_.unpersist(false))
     qmodelCache.remove(indexPath)
+    qerrCache.remove(indexPath)
     routeCache.remove(indexPath)
   }
 
@@ -1071,7 +1101,7 @@ object Hnsw {
     require(metric == Knn.L2 || metric == Knn.Cosine,
       "quantized graph indexes bound through L2 or cosine")
     val qm = qmodel(spark, indexPath)
-    val err = qm.l2ErrorBound
+    val err = qerrBound(spark, indexPath, qm)
     // the bound-space query: raw for L2, unit-normalized for cosine (the
     // space the codes, centroids, and radii were all built in)
     val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
@@ -1116,5 +1146,99 @@ object Hnsw {
     val ids = cands.map(_._2)
     val survivors = raw.join(ids.toDF(idCol), Seq(idCol))
     (Knn.knn(survivors, vecCol, idCol, query, k, metric), probed)
+  }
+
+  /** I9 for the QUANTIZED graph family — the reference's RT per-segment
+    * build applies to whatever index type the column has
+    * (knn/knn.cpp:638-786 with the quantized space of knn.cpp:105-135):
+    * assign the new batch to the EXISTING route centroids (no coarse
+    * retrain), encode it with the EXISTING int8 model (the frozen-model
+    * contract of [[Quantize.appendSegment]]), build fresh CODE-space
+    * segment sub-graphs under new pids, and append graph + route rows.
+    * [[searchQuantized]] unions segments through the same error-slack
+    * schedule and stays exact at full ef mid-segment.
+    *
+    * Appended vectors may fall OUTSIDE the model's trained [min,max] box
+    * (they clamp — the model bound no longer covers their reconstruction
+    * error), so the append measures the batch's ACTUAL max reconstruction
+    * error in the encode pass and records it in the `_qerr` sidecar,
+    * which [[searchQuantized]] folds into its prune slack. The sidecar
+    * row is written FIRST: a slack wider than needed only over-probes
+    * (exactness is one-sided), so a crash between the sidecar and the
+    * graph append is harmless, while the reverse order could serve a
+    * too-tight slack. Heavy drift inflates the slack toward probe-
+    * everything (correct, slower) — the signal to rebuild/retrain. */
+  def appendSegmentQuantized(newRows: DataFrame, vecCol: String,
+                             idCol: String, indexPath: String,
+                             p: Params = Params()): Unit = {
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val (metric, rts) = routes(spark, indexPath)
+    require(rts.nonEmpty,
+      s"no route sidecar rows at ${routePath(indexPath)} — " +
+        "appendSegmentQuantized maintains a buildIndexClusteredQuantized index")
+    val qm = qmodel(spark, indexPath)
+    val qmB = spark.sparkContext.broadcast(qm)
+    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    val base = if (metric == Knn.L2) newRows
+               else newRows.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+    // next free pid from both the sidecar and the graph files (same
+    // crash-orphan reasoning as the raw appendSegment)
+    val maxPid = math.max(
+      rts.map(_._1).max,
+      graft.stats.Stats.minMax(indexPath, "pid") match {
+        case Some((_, mx: Int)) => mx
+        case _ => Int.MinValue
+      })
+    val cents: Seq[Array[Float]] =
+      rts.map(_._2.toSeq).distinct.map(_.toArray)
+    val model = Ivf.Model(cents, Knn.L2)
+    val assigned = Ivf.assign(base, boundCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // observed max reconstruction error of the batch (one bounded pass;
+      // QModel.l2(quantize(v), v) IS ‖v − deq(quant(v))‖)
+      val errRow = assigned.select(col(boundCol)).as[Array[Float]]
+        .map(v => qmB.value.l2(qmB.value.quantize(v), v))
+        .toDF("e").agg(max(col("e"))).head
+      if (errRow.isNullAt(0)) return // empty batch: nothing to append
+      Seq(errRow.getDouble(0)).toDF("max_err")
+        .write.mode("append").parquet(qerrPath(indexPath))
+      val offset = maxPid + 1
+      val keyed = assigned
+        .select(col("ivf_cluster").cast("int").as("ci"),
+          col(idCol).cast("long").as("id"), col(boundCol).as("vec"))
+        .as[(Int, Long, Array[Float])]
+        .rdd.map(t => (t._1, (t._2, qmB.value.quantize(t._3))))
+        .partitionBy(new PidPartitioner(cents.length))
+      val rowRdd = keyed.mapPartitionsWithIndex { (ci, it) =>
+        val rows = it.map(_._2).toSeq
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val sorted = rows.sortBy(_._1).toArray
+          val g = new SubGraph(sorted.map(_._1), sorted.map(_._2),
+            new CodeSpace(qmB.value))
+          g.build(p.m, p.efC)
+          (0 until g.n).iterator.map { i =>
+            Row(offset + ci, g.ids(i), g.vecs(i),
+              g.adj(i).map(g.ids(_)).sorted.toSeq)
+          }
+        }
+      }
+      spark.createDataFrame(rowRdd, qgraphSchema)
+        .write.mode("append").parquet(indexPath)
+      val centsLit = typedLit(cents.map(_.toSeq))
+      val route = assigned
+        .select((col("ivf_cluster").cast("int") + offset).as("pid"),
+          distances.l2Dist(col(boundCol),
+            element_at(centsLit, col("ivf_cluster").cast("int") + 1)
+              .cast("array<float>")).as("d"))
+        .groupBy("pid").agg(max(col("d")).as("radius"))
+        .withColumn("centroid",
+          element_at(centsLit, col("pid") - offset + 1).cast("array<float>"))
+        .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
+      route.write.mode("append").parquet(routePath(indexPath))
+    } finally assigned.unpersist(false)
+    invalidateQuantized(indexPath)
   }
 }

