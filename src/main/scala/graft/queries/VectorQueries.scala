@@ -349,6 +349,21 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // I9 OPTIMIZE on the quantized graph family (r15): CREATE → RT append
+    // (drift recorded in _qerr) → compactQuantized retrains the int8
+    // model on the whole corpus into a manifest-committed generation
+    // (graph/route/qmodel subdirs, one-cycle retention of the superseded
+    // layout) — the drift slack resets and search serves from the
+    // generation, exact at full ef. Shared fullscan oracle.
+    "q_knn_graph_quant_compact" -> QueryDef(
+      (s, d) => {
+        val path = hnswqCompactIndex(s, d)
+        val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
+          "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K6 ∘ K1 under COSINE (r14 VERDICT #3 — the reference serves every
     // similarity through the quantized space, knn/knn.cpp:105-135 +
     // space.cpp IP kernels): the codes quantize the unit-NORMALIZED
@@ -947,6 +962,25 @@ object VectorQueries {
           path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
         Hnsw.appendSegmentQuantized(append, "embedding", "vec_id", path)
         new java.io.File(path, "_GRAFT_SEG_OK").createNewFile()
+      }
+      path
+    })
+
+  // Memoized COMPACTED quantized clustered graph per sfDir: build 90%,
+  // append the drift batch, then compactQuantized retrains the int8 model
+  // on the whole corpus into a manifest-committed generation.
+  private def hnswqCompactIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quantcompact", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswqcomp_embeddings"
+      if (!new java.io.File(path + "_manifest").isDirectory) {
+        fsDelete(s, path, Hnsw.routePath(path), Hnsw.qmodelPath(path),
+          Hnsw.qerrPath(path), path + "_manifest", path + "__g1")
+        val (build, append) = segSplit(t(s, d, "embeddings"))
+        Hnsw.buildIndexClusteredQuantized(build, "embedding", "vec_id",
+          path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
+        Hnsw.appendSegmentQuantized(append, "embedding", "vec_id", path)
+        Hnsw.compactQuantized(t(s, d, "embeddings"), "embedding", "vec_id",
+          path, Hnsw.Params(m = 8, efC = 64, partitions = 8))
       }
       path
     })

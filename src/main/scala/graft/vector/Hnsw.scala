@@ -956,18 +956,32 @@ object Hnsw {
                                    p: Params = Params(),
                                    metric: Knn.Metric = Knn.L2)
       : (Ivf.Model, Quantize.QModel) = {
-    import df.sparkSession.implicits._
-    require(metric == Knn.L2 || metric == Knn.Cosine,
-      "quantized graph indexes bound through L2 or cosine (IP over a " +
-        "normalized corpus IS cosine — build with Cosine)")
     // same guard as buildIndexClustered: a base-path rebuild under a
     // manifest-managed index would be silently ignored by readers that
     // resolve through the manifest (review r14)
     val fsQ = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     require(graft.index.SecondaryIndex.manifestVersions(fsQ, path).isEmpty,
-      s"$path is manifest-managed: rebuilds at the base path are not " +
-        "served (readers resolve through the manifest)")
+      s"$path is manifest-managed: use compactQuantized, not a rebuild " +
+        "at the base path (readers resolve through the manifest)")
+    val out = buildQuantizedTo(df, vecCol, idCol, path, routePath(path),
+      qmodelPath(path), p, metric)
+    invalidateQuantized(path)
+    out
+  }
+
+  /** The quantized clustered build against explicit target dirs — shared
+    * by [[buildIndexClusteredQuantized]] (base-path layout) and
+    * [[compactQuantized]] (immutable generation dirs). */
+  private def buildQuantizedTo(df: DataFrame, vecCol: String, idCol: String,
+                               graphDir: String, routeDir: String,
+                               qmodelDir: String, p: Params,
+                               metric: Knn.Metric)
+      : (Ivf.Model, Quantize.QModel) = {
+    import df.sparkSession.implicits._
+    require(metric == Knn.L2 || metric == Knn.Cosine,
+      "quantized graph indexes bound through L2 or cosine (IP over a " +
+        "normalized corpus IS cosine — build with Cosine)")
     val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
     val base = if (metric == Knn.L2) df
                else df.withColumn(boundCol, Ivf.normalized(col(vecCol)))
@@ -997,17 +1011,32 @@ object Hnsw {
         }
       }
       val graph = df.sparkSession.createDataFrame(rowRdd, qgraphSchema)
-      graft.tables.Writer.write(graph, path, sortBy = Seq("pid", "id"),
+      graft.tables.Writer.write(graph, graphDir, sortBy = Seq("pid", "id"),
         files = p.partitions)
       // route sidecar: bound-space radii (the triangle bound's space —
       // raw for L2, normalized for cosine)
-      writeRouteSidecar(assigned, boundCol, m, routePath(path),
+      writeRouteSidecar(assigned, boundCol, m, routeDir,
         if (metric == Knn.L2) "l2" else "cosine")
       val sidecar = Seq((qm.mins.toSeq, qm.maxs.toSeq)).toDF("mins", "maxs")
-      graft.tables.Writer.write(sidecar, qmodelPath(path), sortBy = Seq())
-      invalidateQuantized(path)
+      graft.tables.Writer.write(sidecar, qmodelDir, sortBy = Seq())
       (m, qm)
     } finally assigned.unpersist(false)
+  }
+
+  /** Current (graph, route, qmodel, qerr) dirs of a quantized clustered
+    * index: the generic [[resolveDirs]] resolution for graph/route, with
+    * the qmodel/qerr sidecars living beside them — base-suffix paths for
+    * the legacy layout, `qmodel`/`qerr` subdirs of the committed
+    * generation for a [[compactQuantized]]-managed index. */
+  private def resolveQuantizedDirs(spark: SparkSession, indexPath: String)
+      : (String, String, String, String) = {
+    val (g, r) = resolveDirs(spark, indexPath)
+    if (g == indexPath) (g, r, qmodelPath(indexPath), qerrPath(indexPath))
+    else {
+      val gen = new org.apache.hadoop.fs.Path(g).getParent
+      (g, r, new org.apache.hadoop.fs.Path(gen, "qmodel").toString,
+        new org.apache.hadoop.fs.Path(gen, "qerr").toString)
+    }
   }
 
   private type QGraphRow = (Long, Array[Byte], Array[Long])
@@ -1034,12 +1063,12 @@ object Hnsw {
   private def qerrBound(spark: SparkSession, indexPath: String,
                         qm: Quantize.QModel): Double =
     qerrCache.getOrElseUpdate(indexPath, {
-      val p = new org.apache.hadoop.fs.Path(qerrPath(indexPath))
+      val dir = resolveQuantizedDirs(spark, indexPath)._4
+      val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val seg =
         if (fs.exists(p)) {
-          val r = spark.read.parquet(qerrPath(indexPath))
-            .agg(max(col("max_err"))).head
+          val r = spark.read.parquet(dir).agg(max(col("max_err"))).head
           if (r.isNullAt(0)) 0.0 else r.getDouble(0)
         } else 0.0
       math.max(qm.l2ErrorBound, seg)
@@ -1050,7 +1079,7 @@ object Hnsw {
     residentQ.synchronized {
       residentQ.getOrElseUpdate(indexPath, {
         import spark.implicits._
-        val df = spark.read.parquet(indexPath)
+        val df = spark.read.parquet(resolveQuantizedDirs(spark, indexPath)._1)
           .select(col("pid"), col("id"), col("qcode"), col("neighbors"))
         val maxPid = df.agg(max(col("pid"))).head
         if (maxPid.isNullAt(0)) spark.sparkContext.emptyRDD[(Int, QGraphRow)]
@@ -1067,7 +1096,8 @@ object Hnsw {
 
   private def qmodel(spark: SparkSession, indexPath: String): Quantize.QModel =
     qmodelCache.getOrElseUpdate(indexPath, {
-      val r = spark.read.parquet(qmodelPath(indexPath)).head()
+      val r = spark.read
+        .parquet(resolveQuantizedDirs(spark, indexPath)._3).head()
       Quantize.QModel(r.getSeq[Float](r.fieldIndex("mins")).toArray,
         r.getSeq[Float](r.fieldIndex("maxs")).toArray)
     })
@@ -1177,6 +1207,8 @@ object Hnsw {
     require(rts.nonEmpty,
       s"no route sidecar rows at ${routePath(indexPath)} — " +
         "appendSegmentQuantized maintains a buildIndexClusteredQuantized index")
+    val (graphDir, routeDir, _, qerrDir) =
+      resolveQuantizedDirs(spark, indexPath)
     val qm = qmodel(spark, indexPath)
     val qmB = spark.sparkContext.broadcast(qm)
     val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
@@ -1186,7 +1218,7 @@ object Hnsw {
     // crash-orphan reasoning as the raw appendSegment)
     val maxPid = math.max(
       rts.map(_._1).max,
-      graft.stats.Stats.minMax(indexPath, "pid") match {
+      graft.stats.Stats.minMax(graphDir, "pid") match {
         case Some((_, mx: Int)) => mx
         case _ => Int.MinValue
       })
@@ -1203,7 +1235,7 @@ object Hnsw {
         .toDF("e").agg(max(col("e"))).head
       if (errRow.isNullAt(0)) return // empty batch: nothing to append
       Seq(errRow.getDouble(0)).toDF("max_err")
-        .write.mode("append").parquet(qerrPath(indexPath))
+        .write.mode("append").parquet(qerrDir)
       val offset = maxPid + 1
       val keyed = assigned
         .select(col("ivf_cluster").cast("int").as("ci"),
@@ -1226,7 +1258,7 @@ object Hnsw {
         }
       }
       spark.createDataFrame(rowRdd, qgraphSchema)
-        .write.mode("append").parquet(indexPath)
+        .write.mode("append").parquet(graphDir)
       val centsLit = typedLit(cents.map(_.toSeq))
       val route = assigned
         .select((col("ivf_cluster").cast("int") + offset).as("pid"),
@@ -1237,8 +1269,70 @@ object Hnsw {
         .withColumn("centroid",
           element_at(centsLit, col("pid") - offset + 1).cast("array<float>"))
         .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
-      route.write.mode("append").parquet(routePath(indexPath))
+      route.write.mode("append").parquet(routeDir)
     } finally assigned.unpersist(false)
     invalidateQuantized(indexPath)
+  }
+
+  /** I9 OPTIMIZE for the quantized graph family, with the same
+    * OBJECT-STORE-SAFE commit protocol as [[compactClustered]]: rebuild
+    * the WHOLE index into an immutable generation dir (graph/ route/
+    * qmodel/ subdirs), commit with ONE manifest object, sweep stale
+    * generations by name while retaining the previously-live one for a
+    * cycle. Because the index stores CODES (floats never resident), the
+    * rebuild takes the raw corpus `df` — the same table
+    * [[searchQuantized]] rescores against. A compact RETRAINS the int8
+    * model on the current corpus and resets the `_qerr` drift slack (the
+    * fresh box covers every resident vector again) — the recovery path
+    * when appended drift has inflated the slack toward probe-everything. */
+  def compactQuantized(df: DataFrame, vecCol: String, idCol: String,
+                       indexPath: String, p: Params = Params()): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(conf)
+    val (graphDir, _, _, _) = resolveQuantizedDirs(spark, indexPath)
+    val (metric, _) = routes(spark, indexPath)
+    val curVersion = graft.index.SecondaryIndex.manifestVersions(fs, indexPath)
+      .headOption.map(_._1).getOrElse(0L)
+    val nextVersion = curVersion + 1
+    val nextPath = new org.apache.hadoop.fs.Path(s"${indexPath}__g$nextVersion")
+    fs.delete(nextPath, true) // a crashed prior attempt at this version
+    buildQuantizedTo(df, vecCol, idCol,
+      new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
+      new org.apache.hadoop.fs.Path(nextPath, "route").toString,
+      new org.apache.hadoop.fs.Path(nextPath, "qmodel").toString, p, metric)
+    // COMMIT: one new immutable manifest object
+    graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
+      nextPath.getName)
+    // sweep stale dirs by name, RETAINING the generation that was live
+    // until this commit for one cycle (in-flight readers)
+    val baseName = base.getName
+    val retained: Set[String] =
+      if (graphDir == indexPath)
+        Set(baseName, baseName + "_route", baseName + "_qmodel",
+          baseName + "_qerr")
+      else Set(new org.apache.hadoop.fs.Path(graphDir).getParent.getName)
+    if (fs.exists(base.getParent)) {
+      fs.listStatus(base.getParent).foreach { st =>
+        val n = st.getPath.getName
+        val stale = !retained.contains(n) && (
+          n == baseName || n == baseName + "_route" ||
+            n == baseName + "_qmodel" || n == baseName + "_qerr" ||
+            (n.startsWith(baseName + "__g") &&
+              n.stripPrefix(baseName + "__g").toLongOption
+                .exists(_ != nextVersion)))
+        if (stale) fs.delete(st.getPath, true)
+      }
+    }
+    if (retained.contains(baseName)) {
+      val mk = fs.create(new org.apache.hadoop.fs.Path(base,
+        graft.index.SecondaryIndex.SupersededMarker), true)
+      try mk.write("superseded by manifest commit\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mk.close()
+    }
+    invalidateQuantized(indexPath)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
   }
 }

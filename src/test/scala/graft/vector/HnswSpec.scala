@@ -200,6 +200,41 @@ class HnswSpec extends AnyFunSuite {
     // the model bound alone must NOT be trusted post-append: at least one
     // appended vector reconstructs worse than the in-box worst case
     assert(qerr.head > qm.l2ErrorBound || qerr.head > 0.0)
+
+    // OPTIMIZE (compactQuantized): retrain on the current corpus into a
+    // manifest-committed generation — the fresh box covers the drifted
+    // vectors, the _qerr slack resets, search stays exact, and appends
+    // land in the generation dirs
+    Hnsw.compactQuantized(whole, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 4))
+    val gen1 = new java.io.File(d + "__g1")
+    assert(gen1.isDirectory &&
+      new java.io.File(gen1, "graph").isDirectory &&
+      new java.io.File(gen1, "qmodel").isDirectory)
+    Seq(3L, 77L, 117L, 237L).foreach { qid =>
+      val q = whole.filter($"vec_id" === qid)
+        .select("embedding").as[Array[Float]].head()
+      val exact = Knn.knn(whole, "embedding", "vec_id", q, 10)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, _) = Hnsw.searchQuantized(SparkT.spark, d, whole,
+        "embedding", "vec_id", q, 10, ef = 1 << 20)
+      assert(res.select("vec_id", "dist").as[(Long, Double)]
+        .collect().toSeq === exact, s"post-compact query $qid")
+    }
+    // post-compact append goes into the GENERATION's dirs and stays exact
+    val extra = Seq((9000L, Array.fill(dim)(0.5f)))
+      .toDF("vec_id", "embedding")
+    Hnsw.appendSegmentQuantized(extra, "embedding", "vec_id", d)
+    assert(new java.io.File(gen1, "qerr").isDirectory,
+      "append must write the generation's qerr, not the superseded base")
+    val all2 = whole.unionByName(extra)
+    val q2 = Array.fill(dim)(0.4f)
+    val exact2 = Knn.knn(all2, "embedding", "vec_id", q2, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res2, _) = Hnsw.searchQuantized(SparkT.spark, d, all2,
+      "embedding", "vec_id", q2, 10, ef = 1 << 20)
+    assert(res2.select("vec_id", "dist").as[(Long, Double)]
+      .collect().toSeq === exact2)
   }
 
   test("quantized-space graph under COSINE: exact at full ef, small-ef recall") {
