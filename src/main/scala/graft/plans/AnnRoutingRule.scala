@@ -72,6 +72,16 @@ object AnnRouting {
                                metric: Knn.Metric,
                                maxFilterIds: Long,
                                adaptive: Boolean = false) extends Family
+  /** QUANTIZED clustered graph
+    * ([[graft.vector.Hnsw.buildIndexClusteredQuantized]]): same leaf swap
+    * as the graph family, but the leaf runs the CODE-space walk and
+    * fetches the k·refine coarse survivors' raw vectors from the base
+    * table — the untouched Sort/Limit above is the exact rescore
+    * (the `searchQuantized` serving contract). */
+  final case class QGraphFamily(idCol: String, ef: Int,
+                                metric: Knn.Metric,
+                                refine: Int,
+                                maxFilterIds: Long) extends Family
   /** Quantized table ([[graft.vector.Quantize.quantizeTable]]): the
     * routed plan splices the coarse int8 screen (top k·refine by code
     * distance) + self-join under the original Sort/Limit — the exact
@@ -161,6 +171,30 @@ object AnnRouting {
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
         GraphFamily(idCol, ef, metric, maxFilterIds, adaptiveTermination)))
+  }
+
+  /** Register a QUANTIZED CLUSTERED GRAPH index
+    * ([[graft.vector.Hnsw.buildIndexClusteredQuantized]]) for `basePath`
+    * (r15 — the reference serves whatever index type the column has,
+    * knn/knn.cpp:600-610, including the quantized HNSW of
+    * knn.cpp:105-135): a matching `ORDER BY dist LIMIT k` routes through
+    * the code-space walk with `refine` as the k·refine coarse-survivor
+    * accuracy contract (the explicit `searchQuantized` default). Filters
+    * are consumed into the walk's allowed-id callback under the same
+    * `maxFilterIds` broadcast budget as the raw graph family. */
+  def registerGraphQuantized(spark: SparkSession, basePath: String,
+                             indexPath: String, vecCol: String,
+                             idCol: String, ef: Int = 1 << 20,
+                             refine: Int = 8,
+                             maxFilterIds: Long = 4L * 1000 * 1000): Unit = {
+    val q = qualify(spark, basePath)
+    val epoch0 = epochOf(spark, indexPath)
+    val rows = graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
+    val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
+    putUnlessMutated(spark, indexPath, epoch0, q,
+      Registered(q, indexPath, vecCol, rows,
+        QGraphFamily(idCol, ef, metric, refine, maxFilterIds)))
   }
 
   /** Register a QUANTIZED table ([[graft.vector.Quantize.quantizeTable]]
@@ -379,6 +413,13 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
               val filters = child.collect { case f: Filter => f }
               if (filters.isEmpty) buildGraphRouted(gl, lr, r, g, qvec, k)
               else buildGraphFilteredRouted(gl, lr, r, g, qvec, k, filters)
+            // quantized graph (r15): same leaf swap, code-space walk +
+            // raw-vector fetch for the k·refine survivors; the Sort above
+            // rescores exactly
+            case qg: AnnRouting.QGraphFamily =>
+              val filters = child.collect { case f: Filter => f }
+              if (filters.isEmpty) buildQGraphRouted(gl, lr, r, qg, qvec, k)
+              else buildQGraphFilteredRouted(gl, lr, r, qg, qvec, k, filters)
             // quantized families (int8 / 4-bit / binary — the reference
             // serves whatever index type the column has, knn.cpp:600-610):
             // the filter rides INSIDE the coarse screen (the quant table
@@ -418,6 +459,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def familyMetric(r: Registered): Knn.Metric = r.family match {
     case i: AnnRouting.IvfFamily => i.model.metric
     case g: AnnRouting.GraphFamily => g.metric
+    case qg: AnnRouting.QGraphFamily => qg.metric
     // every quantized coarse screen is L2-code/Hamming distance, so only
     // L2 queries route (the reference's quantized paths are likewise
     // L2-trained, knn/quantizer.cpp)
@@ -639,22 +681,22 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     * required, the id must be a long, the vector a float array, and every
     * other column nullable. */
   private def graphGateOk(gl: LogicalPlan, lr: LogicalRelation,
-                          r: Registered, g: AnnRouting.GraphFamily,
+                          r: Registered, idCol: String,
                           excluded: Seq[Filter]): Boolean = {
     val referenced = AttributeSet(
       gl.collect {
         case n if !(n eq lr) && !excluded.exists(_ eq n) => n.expressions
       }.flatten.flatMap(_.references)) ++ gl.outputSet
     val requiredNames = lr.output.filter(referenced.contains).map(_.name).toSet
-    val idOk = lr.output.find(_.name == g.idCol)
+    val idOk = lr.output.find(_.name == idCol)
       .exists(_.dataType == org.apache.spark.sql.types.LongType)
     val vecOk = lr.output.find(_.name == r.vecCol).exists(_.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     })
     val fillable = lr.output.forall(a =>
-      a.name == g.idCol || a.name == r.vecCol || a.nullable)
-    requiredNames.subsetOf(Set(g.idCol, r.vecCol)) && idOk && vecOk && fillable
+      a.name == idCol || a.name == r.vecCol || a.nullable)
+    requiredNames.subsetOf(Set(idCol, r.vecCol)) && idOk && vecOk && fillable
   }
 
   /** Swap the base relation for the graph family's routed-candidate leaf
@@ -666,7 +708,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def buildGraphRouted(gl: LogicalPlan, lr: LogicalRelation,
                                r: Registered, g: AnnRouting.GraphFamily,
                                qvec: Array[Float], k: Int): Option[LogicalPlan] = {
-    if (!graphGateOk(gl, lr, r, g, Nil)) None
+    if (!graphGateOk(gl, lr, r, g.idCol, Nil)) None
     else {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output, adaptive = g.adaptive)
@@ -709,7 +751,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     val conds = filters.map(_.condition)
     val survivors = estimateSelectivity(conds, r).map(_ * r.rows.toDouble)
     if (!survivors.exists(_ <= g.maxFilterIds.toDouble)) return None
-    if (!graphGateOk(gl, lr, r, g, excluded = filters)) None
+    if (!graphGateOk(gl, lr, r, g.idCol, excluded = filters)) None
     else {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output,
@@ -718,6 +760,55 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       // transformUp rebuilds parents after the leaf swap, so the consumed
       // Filter nodes are copies — match them by their (unchanged)
       // condition, not by reference
+      Some(gl.transformUp {
+        case l: LogicalRelation if l eq lr => leaf
+        case f: Filter if conds.exists(_ fastEquals f.condition) => f.child
+      })
+    }
+  }
+
+  /** Swap the base relation for the QUANTIZED graph leaf (r15): the leaf
+    * runs the code-space routed walk and fetches the k·refine coarse
+    * survivors' raw vectors from the base table, so the untouched
+    * Sort/Limit above is the exact rescore. Same (id, vector)-only
+    * referencing gate as the raw graph family; the base path always rides
+    * along (the vector fetch needs it even unfiltered). */
+  private def buildQGraphRouted(gl: LogicalPlan, lr: LogicalRelation,
+                                r: Registered, qg: AnnRouting.QGraphFamily,
+                                qvec: Array[Float], k: Int): Option[LogicalPlan] = {
+    if (!graphGateOk(gl, lr, r, qg.idCol, Nil)) None
+    else {
+      val leaf = GraphCandidates(r.indexPath, qg.idCol, r.vecCol,
+        qvec.toSeq, k, qg.ef, lr.output,
+        basePath = Some(r.basePath),
+        quantized = true, refine = qg.refine)
+      Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
+    }
+  }
+
+  /** K3 automatic on the quantized graph family: the same consumed-filter
+    * contract as [[buildGraphFilteredRouted]] (estimable SQL-safe shapes,
+    * survivor estimate within the broadcast budget, (id, vector)-only
+    * referencing), with the allowed-id callback gating the CODE-space
+    * beam and the over-probe loop keeping k survivors. */
+  private def buildQGraphFilteredRouted(gl: LogicalPlan, lr: LogicalRelation,
+                                        r: Registered,
+                                        qg: AnnRouting.QGraphFamily,
+                                        qvec: Array[Float], k: Int,
+                                        filters: Seq[Filter]): Option[LogicalPlan] = {
+    val cond = consumableCond(filters, lr) match {
+      case Some(c) => c
+      case None => return None
+    }
+    val conds = filters.map(_.condition)
+    val survivors = estimateSelectivity(conds, r).map(_ * r.rows.toDouble)
+    if (!survivors.exists(_ <= qg.maxFilterIds.toDouble)) return None
+    if (!graphGateOk(gl, lr, r, qg.idCol, excluded = filters)) None
+    else {
+      val leaf = GraphCandidates(r.indexPath, qg.idCol, r.vecCol,
+        qvec.toSeq, k, qg.ef, lr.output,
+        basePath = Some(r.basePath), filterSql = Some(cond.sql),
+        maxIds = qg.maxFilterIds, quantized = true, refine = qg.refine)
       Some(gl.transformUp {
         case l: LogicalRelation if l eq lr => leaf
         case f: Filter if conds.exists(_ fastEquals f.condition) => f.child

@@ -42,6 +42,13 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   *
   * `output` reuses the base relation's attributes verbatim (same exprIds),
   * so every upstream expression rebinds without aliasing. */
+/** `quantized = true` switches the in-budget arm to the CODE-space routed
+  * walk ([[graft.vector.Hnsw.searchQuantizedCoarse]]): the leaf collects
+  * the k·`refine` coarse survivor ids, fetches their RAW vectors from the
+  * base table (one id-IN pushdown job over ≤ k·refine ids — the index
+  * stores codes, floats are never resident), and the untouched Sort/Limit
+  * above performs the exact rescore — the same k·refine serving contract
+  * as the explicit `searchQuantized` and the quant-table splices. */
 final case class GraphCandidates(indexPath: String, idName: String,
                                  vecName: String, query: Seq[Float],
                                  k: Int, ef: Int,
@@ -49,10 +56,14 @@ final case class GraphCandidates(indexPath: String, idName: String,
                                  basePath: Option[String] = None,
                                  filterSql: Option[String] = None,
                                  maxIds: Long = Long.MaxValue,
-                                 adaptive: Boolean = false) extends LeafNode {
-  override def maxRows: Option[Long] = Some(k.toLong)
+                                 adaptive: Boolean = false,
+                                 quantized: Boolean = false,
+                                 refine: Int = 8) extends LeafNode {
+  override def maxRows: Option[Long] =
+    Some(if (quantized) k.toLong * refine else k.toLong)
   override def computeStats(): Statistics =
-    Statistics(sizeInBytes = math.max(1L, k.toLong * 4L * (query.size + 2)))
+    Statistics(sizeInBytes =
+      math.max(1L, maxRows.get * 4L * (query.size + 2)))
 }
 
 object GraphCandidates {
@@ -125,9 +136,25 @@ final case class GraphCandidatesExec(node: GraphCandidates)
         val allowed = allowedB.map { b =>
           (id: Long) => java.util.Arrays.binarySearch(b.value, id) >= 0
         }
-        try graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
-          node.query.toArray, node.k, node.ef, allowed = allowed,
-          adaptiveTermination = node.adaptive)._1
+        try {
+          if (node.quantized) {
+            // code-space coarse walk → candidate ids → ONE bounded raw
+            // fetch (≤ k·refine ids pushed as an IN filter; the vector
+            // column is read only for the survivors)
+            val ids = graft.vector.Hnsw.searchQuantizedCoarse(spark,
+              node.indexPath, node.query.toArray, node.k, node.ef,
+              node.refine, allowed = allowed)._1
+            if (ids.isEmpty) Array.empty[(Long, Double, Array[Float])]
+            else spark.read.parquet(node.basePath.get)
+              .filter(col(node.idName).isin(ids: _*))
+              .filter(col(node.vecName).isNotNull)
+              .select(col(node.idName), col(node.vecName))
+              .collect()
+              .map(r => (r.getLong(0), 0.0, r.getSeq[Float](1).toArray))
+          } else graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
+            node.query.toArray, node.k, node.ef, allowed = allowed,
+            adaptiveTermination = node.adaptive)._1
+        }
         // the walk is fully driver-orchestrated, so the broadcast is dead
         // once it returns — free the up-to-maxIds*8 bytes instead of
         // leaving them to the ContextCleaner (review r10-2)

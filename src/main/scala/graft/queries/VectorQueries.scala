@@ -331,6 +331,39 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K4 on the QUANTIZED graph family (r15 — the reference's
+    // CreateIterator serves whatever index type the column has,
+    // knn/knn.cpp:600-610, including the quantized HNSW of
+    // knn.cpp:105-135): registering the hnswq index makes the PLAIN exact
+    // top-k route through the GraphCandidates leaf in QUANTIZED mode —
+    // code-space routed walk → k·refine coarse survivor ids → one bounded
+    // raw-vector fetch — and the untouched Sort/Limit above rescores
+    // exactly (the searchQuantized serving contract). Shares the fullscan
+    // oracle; family selection + filtered route pinned in AnnRoutingSpec.
+    "q_knn_graph_quant_auto" -> QueryDef(
+      (s, d) => {
+        val path = hnswqIndex(s, d)
+        graft.plans.AnnRouting.registerGraphQuantized(s,
+          s"$d/embeddings.parquet", path,
+          vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        topK(s, d, Knn.L2)
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // K3 on the quantized graph route: the attribute filter is consumed
+    // into the code-space walk's allowed-id callback (over-probing keeps
+    // k survivors), and the rescore happens on the filtered survivors.
+    "q_knn_graph_quant_auto_filtered" -> QueryDef(
+      (s, d) => {
+        val path = hnswqIndex(s, d)
+        graft.plans.AnnRouting.registerGraphQuantized(s,
+          s"$d/embeddings.parquet", path,
+          vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        topK(s, d, Knn.L2, Some(col("label") === 3))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
+        "WHERE label = 3 "))),
+
     // I9 on the QUANTIZED graph family (r15 — the reference's RT
     // per-segment build applies to whatever index type the column has,
     // knn/knn.cpp:638-786): clustered code-space build on 90%, the rest

@@ -967,6 +967,7 @@ object Hnsw {
     val out = buildQuantizedTo(df, vecCol, idCol, path, routePath(path),
       qmodelPath(path), p, metric)
     invalidateQuantized(path)
+    graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     out
   }
 
@@ -1125,8 +1126,31 @@ object Hnsw {
   def searchQuantized(spark: SparkSession, indexPath: String,
                       raw: DataFrame, vecCol: String, idCol: String,
                       query: Array[Float], k: Int, ef: Int,
-                      refine: Int = 8): (DataFrame, Int) = {
+                      refine: Int = 8,
+                      allowed: Option[Long => Boolean] = None)
+      : (DataFrame, Int) = {
     import spark.implicits._
+    val metric = routes(spark, indexPath)._1
+    val (ids, probed) =
+      searchQuantizedCoarse(spark, indexPath, query, k, ef, refine, allowed)
+    val survivors = raw.join(ids.toDF(idCol), Seq(idCol))
+    (Knn.knn(survivors, vecCol, idCol, query, k, metric), probed)
+  }
+
+  /** The code-space coarse pass of [[searchQuantized]]: routed probe loop
+    * over the resident quantized graph, returning the merged k·refine
+    * coarse survivor IDS (dist-asc) and the probe count. Split out so the
+    * automatic route's leaf ([[graft.plans.GraphCandidates]] with
+    * `quantized = true`) can run the walk and fetch raw vectors itself —
+    * the untouched Sort/Limit above the splice IS the exact rescore.
+    * `allowed` gates the beam exactly as in [[searchRoutedRaw]] (K3):
+    * traversal crosses disallowed nodes, only allowed enter the result
+    * set, and the < k survivor case keeps the loop probing (over-probe). */
+  def searchQuantizedCoarse(spark: SparkSession, indexPath: String,
+                            query: Array[Float], k: Int, ef: Int,
+                            refine: Int = 8,
+                            allowed: Option[Long => Boolean] = None)
+      : (Seq[Long], Int) = {
     val (metric, rts) = routes(spark, indexPath)
     require(metric == Knn.L2 || metric == Knn.Cosine,
       "quantized graph indexes bound through L2 or cosine")
@@ -1140,7 +1164,8 @@ object Hnsw {
     val order = rts.map(_._1).sortBy(centDist)
     def bound(pid: Int): Double = centDist(pid) - radius(pid)
     val graph = loadQuantizedGraph(spark, indexPath)
-    val qB = spark.sparkContext.broadcast((qm, bq))
+    val f = allowed.getOrElse((_: Long) => true)
+    val qB = spark.sparkContext.broadcast((qm, bq, f))
     val keep = k * refine
     var remaining: Seq[Int] = order.toSeq
     var probed = 0
@@ -1151,7 +1176,8 @@ object Hnsw {
       if (cands.size >= k)
         // prune on the COARSE kth best + worst-case quantization error:
         // true-kth ≤ coarse-kth + err, and every node in a pruned
-        // sub-graph has true distance ≥ bound > that
+        // sub-graph has true distance ≥ bound > that (a fortiori for the
+        // allowed subset)
         remaining = remaining.filter(j => bound(j) <= cands(k - 1)._1 + err)
       remaining.nonEmpty
     }) {
@@ -1162,9 +1188,10 @@ object Hnsw {
         val part = it.map(_._2).toArray
         if (part.isEmpty) Iterator.empty
         else {
-          val (mm, q) = qB.value
+          val (mm, q, fv) = qB.value
           val g = rehydrate(part, new CodeSpace(mm))
-          g.searchBeam(q, math.max(ef, keep), g.n).take(keep)
+          g.searchBeam(q, math.max(ef, keep), g.n,
+              allowed = i => fv(g.ids(i))).take(keep)
             .map { case (d, i) => (d, g.ids(i)) }.iterator
         }
       }.collect()
@@ -1173,9 +1200,7 @@ object Hnsw {
       remaining = remaining.drop(batch)
       batch *= 2
     }
-    val ids = cands.map(_._2)
-    val survivors = raw.join(ids.toDF(idCol), Seq(idCol))
-    (Knn.knn(survivors, vecCol, idCol, query, k, metric), probed)
+    (cands.map(_._2), probed)
   }
 
   /** I9 for the QUANTIZED graph family — the reference's RT per-segment
@@ -1272,6 +1297,7 @@ object Hnsw {
       route.write.mode("append").parquet(routeDir)
     } finally assigned.unpersist(false)
     invalidateQuantized(indexPath)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
   }
 
   /** I9 OPTIMIZE for the quantized graph family, with the same

@@ -520,6 +520,55 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, pq)
   }
 
+  test("quantized graph family routes: code-space leaf, consumed filter, epoch drop (r15)") {
+    val tmp = Files.createTempDirectory("graft-annroute-qgraph")
+    val baseQ = tmp.resolve("baseq").toString
+    val idxQ = tmp.resolve("idxq").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), baseQ,
+      sortBy = Seq("vec_id"))
+    graft.vector.Hnsw.buildIndexClusteredQuantized(
+      SparkT.spark.read.parquet(baseQ), "embedding", "vec_id", idxQ,
+      graft.vector.Hnsw.Params(m = 8, efC = 32, partitions = 4))
+    AnnRouting.registerGraphQuantized(SparkT.spark, baseQ, idxQ,
+      vecCol = "embedding", idCol = "vec_id")
+    def qLeaves(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case g: GraphCandidates if g.quantized => g
+    }
+    // family selection: the scan becomes a QUANTIZED GraphCandidates leaf
+    val df = Knn.knn(SparkT.spark.read.parquet(baseQ),
+      "embedding", "vec_id", query, 10)
+    assert(qLeaves(df).nonEmpty, df.queryExecution.optimizedPlan.toString)
+    // exact through the untouched Sort/Limit (k·refine coarse contract)
+    assert(df.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // filtered: the condition is CONSUMED into the code-space walk's
+    // allowed-id callback, and the result is the exact filtered top-k
+    val filt = Knn.knn(
+      SparkT.spark.read.parquet(baseQ).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(qLeaves(filt).exists(_.filterSql.isDefined),
+      filt.queryExecution.optimizedPlan.toString)
+    val wantFilt = vectors.filter(_._3 == 2)
+      .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+    assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    // a segment append bumps the mutation epoch: the entry drops (exact
+    // fullscan) until re-registration serves the appended corpus
+    val extra = Seq((9003L, Array.fill(dim)(97f), 0))
+      .toDF("vec_id", "embedding", "label")
+    graft.vector.Hnsw.appendSegmentQuantized(extra, "embedding", "vec_id",
+      idxQ)
+    val dropped = Knn.knn(SparkT.spark.read.parquet(baseQ),
+      "embedding", "vec_id", query, 10)
+    assert(qLeaves(dropped).isEmpty,
+      "stale quantized-graph entry must drop after append")
+    AnnRouting.registerGraphQuantized(SparkT.spark, baseQ, idxQ,
+      vecCol = "embedding", idCol = "vec_id")
+    val rerouted = Knn.knn(SparkT.spark.read.parquet(baseQ),
+      "embedding", "vec_id", query, 10)
+    assert(qLeaves(rerouted).nonEmpty)
+    assert(rerouted.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    AnnRouting.unregister(SparkT.spark, baseQ)
+  }
+
   test("graph family: the adaptive-termination knob rides registration into the routed leaf (r14)") {
     val tmp = Files.createTempDirectory("graft-annroute-adapt")
     val baseG = tmp.resolve("basea").toString
