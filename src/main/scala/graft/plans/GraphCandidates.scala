@@ -40,15 +40,16 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * NOT a Dataset orderBy/limit, which is the very shape the routing rule
   * would re-route into this leaf, recursing unboundedly).
   *
-  * `output` reuses the base relation's attributes verbatim (same exprIds),
-  * so every upstream expression rebinds without aliasing. */
-/** `quantized = true` switches the in-budget arm to the CODE-space routed
+  * `quantized = true` switches the in-budget arm to the CODE-space routed
   * walk ([[graft.vector.Hnsw.searchQuantizedCoarse]]): the leaf collects
   * the k·`refine` coarse survivor ids, fetches their RAW vectors from the
   * base table (one id-IN pushdown job over ≤ k·refine ids — the index
   * stores codes, floats are never resident), and the untouched Sort/Limit
   * above performs the exact rescore — the same k·refine serving contract
-  * as the explicit `searchQuantized` and the quant-table splices. */
+  * as the explicit `searchQuantized` and the quant-table splices.
+  *
+  * `output` reuses the base relation's attributes verbatim (same exprIds),
+  * so every upstream expression rebinds without aliasing. */
 final case class GraphCandidates(indexPath: String, idName: String,
                                  vecName: String, query: Seq[Float],
                                  k: Int, ef: Int,

@@ -349,6 +349,25 @@ object Hnsw {
     graft.tables.Writer.write(route, routeDir, sortBy = Seq("pid"))
   }
 
+  /** Segment-append route rows for new pids `offset + cluster` — shared
+    * by the raw and quantized segment appends (one definition of the
+    * sidecar row shape, next to [[writeRouteSidecar]]'s). */
+  private def appendRouteRows(assigned: DataFrame, boundCol: String,
+                              cents: Seq[Array[Float]], offset: Int,
+                              metric: Knn.Metric, routeDir: String): Unit = {
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val route = assigned
+      .select((col("ivf_cluster").cast("int") + offset).as("pid"),
+        distances.l2Dist(col(boundCol),
+          element_at(centsLit, col("ivf_cluster").cast("int") + 1)
+            .cast("array<float>")).as("d"))
+      .groupBy("pid").agg(max(col("d")).as("radius"))
+      .withColumn("centroid",
+        element_at(centsLit, col("pid") - offset + 1).cast("array<float>"))
+      .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
+    route.write.mode("append").parquet(routeDir)
+  }
+
   /** Sidecar location for the routing table of a clustered graph index. */
   def routePath(indexPath: String): String = indexPath + "_route"
 
@@ -451,17 +470,7 @@ object Hnsw {
       spark.createDataFrame(rowRdd, graphSchema)
         .write.mode("append").parquet(graphDir)
       // route rows for the new pids — same column order as the sidecar
-      val centsLit = typedLit(cents.map(_.toSeq))
-      val route = assigned
-        .select((col("ivf_cluster").cast("int") + offset).as("pid"),
-          distances.l2Dist(col(boundCol),
-            element_at(centsLit, col("ivf_cluster").cast("int") + 1)
-              .cast("array<float>")).as("d"))
-        .groupBy("pid").agg(max(col("d")).as("radius"))
-        .withColumn("centroid",
-          element_at(centsLit, col("pid") - offset + 1).cast("array<float>"))
-        .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
-      route.write.mode("append").parquet(routeDir)
+      appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir)
     } finally assigned.unpersist(false)
     invalidate(indexPath)
     graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
@@ -496,21 +505,39 @@ object Hnsw {
     buildClusteredTo(corpus, "vec", "id",
       new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
       new org.apache.hadoop.fs.Path(nextPath, "route").toString, p, metric)
-    // COMMIT: one new immutable manifest object
+    commitGeneration(fs, base, indexPath, graphDir, nextVersion, nextPath,
+      sidecarSuffixes = Seq("_route"))
+    invalidate(indexPath)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
+  }
+
+  /** The shared generation-commit tail of [[compactClustered]] and
+    * [[compactQuantized]] (one definition of the crash-safety protocol —
+    * review r15-2): write ONE manifest object naming the new generation,
+    * sweep stale dirs by name (base layout + its per-family sidecar
+    * suffixes + other `__gN` generations) while RETAINING the generation
+    * that was live until this commit for one cycle, and mark a retained
+    * legacy base superseded so a lost manifest fails loudly instead of
+    * silently serving stale data. */
+  private def commitGeneration(fs: org.apache.hadoop.fs.FileSystem,
+                               base: org.apache.hadoop.fs.Path,
+                               indexPath: String, graphDir: String,
+                               nextVersion: Long,
+                               nextPath: org.apache.hadoop.fs.Path,
+                               sidecarSuffixes: Seq[String]): Unit = {
     graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
       nextPath.getName)
-    // sweep stale dirs by name (orphans from a crash between a past
-    // commit and its cleanup included), RETAINING the generation that was
-    // live until this commit for one cycle
     val baseName = base.getName
+    val baseNames: Set[String] =
+      Set(baseName) ++ sidecarSuffixes.map(baseName + _)
     val retained: Set[String] =
-      if (graphDir == indexPath) Set(baseName, baseName + "_route")
+      if (graphDir == indexPath) baseNames
       else Set(new org.apache.hadoop.fs.Path(graphDir).getParent.getName)
     if (fs.exists(base.getParent)) {
       fs.listStatus(base.getParent).foreach { st =>
         val n = st.getPath.getName
         val stale = !retained.contains(n) && (
-          n == baseName || n == baseName + "_route" ||
+          baseNames.contains(n) ||
             (n.startsWith(baseName + "__g") &&
               n.stripPrefix(baseName + "__g").toLongOption
                 .exists(_ != nextVersion)))
@@ -524,8 +551,6 @@ object Hnsw {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally mk.close()
     }
-    invalidate(indexPath)
-    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
   }
 
   // Resident graphs (the reference keeps its HNSW mmap'd for the life of
@@ -1067,11 +1092,17 @@ object Hnsw {
       val dir = resolveQuantizedDirs(spark, indexPath)._4
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // an empty/unreadable dir (a crash during the FIRST append's qerr
+      // write, before any data file committed) reads as 0.0 — the model
+      // bound still serves, and the retried append rewrites the row
+      // (review r15-2)
       val seg =
-        if (fs.exists(p)) {
-          val r = spark.read.parquet(dir).agg(max(col("max_err"))).head
-          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-        } else 0.0
+        if (fs.exists(p))
+          try {
+            val r = spark.read.parquet(dir).agg(max(col("max_err"))).head
+            if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+          } catch { case _: org.apache.spark.sql.AnalysisException => 0.0 }
+        else 0.0
       math.max(qm.l2ErrorBound, seg)
     })
 
@@ -1228,12 +1259,12 @@ object Hnsw {
                              p: Params = Params()): Unit = {
     val spark = newRows.sparkSession
     import spark.implicits._
-    val (metric, rts) = routes(spark, indexPath)
-    require(rts.nonEmpty,
-      s"no route sidecar rows at ${routePath(indexPath)} — " +
-        "appendSegmentQuantized maintains a buildIndexClusteredQuantized index")
     val (graphDir, routeDir, _, qerrDir) =
       resolveQuantizedDirs(spark, indexPath)
+    val (metric, rts) = routes(spark, indexPath)
+    require(rts.nonEmpty,
+      s"no route sidecar rows at $routeDir — " +
+        "appendSegmentQuantized maintains a buildIndexClusteredQuantized index")
     val qm = qmodel(spark, indexPath)
     val qmB = spark.sparkContext.broadcast(qm)
     val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
@@ -1252,21 +1283,29 @@ object Hnsw {
     val model = Ivf.Model(cents, Knn.L2)
     val assigned = Ivf.assign(base, boundCol, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE encode pass serves both the observed-error measurement and the
+    // sub-graph build (review r15-2: encoding twice doubled the batch's
+    // int8 work): (cluster, id, code, recon-error) persists, the error
+    // aggregate and the graph build both read the cache.
+    val encoded = assigned
+      .select(col("ivf_cluster").cast("int").as("ci"),
+        col(idCol).cast("long").as("id"), col(boundCol).as("vec"))
+      .as[(Int, Long, Array[Float])]
+      .map { case (ci, id, v) =>
+        val code = qmB.value.quantize(v)
+        // QModel.l2(code, v) IS ‖v − deq(quant(v))‖
+        (ci, id, code, qmB.value.l2(code, v))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // observed max reconstruction error of the batch (one bounded pass;
-      // QModel.l2(quantize(v), v) IS ‖v − deq(quant(v))‖)
-      val errRow = assigned.select(col(boundCol)).as[Array[Float]]
-        .map(v => qmB.value.l2(qmB.value.quantize(v), v))
-        .toDF("e").agg(max(col("e"))).head
+      val errRow = encoded.toDF("ci", "id", "code", "e")
+        .agg(max(col("e"))).head
       if (errRow.isNullAt(0)) return // empty batch: nothing to append
       Seq(errRow.getDouble(0)).toDF("max_err")
         .write.mode("append").parquet(qerrDir)
       val offset = maxPid + 1
-      val keyed = assigned
-        .select(col("ivf_cluster").cast("int").as("ci"),
-          col(idCol).cast("long").as("id"), col(boundCol).as("vec"))
-        .as[(Int, Long, Array[Float])]
-        .rdd.map(t => (t._1, (t._2, qmB.value.quantize(t._3))))
+      val keyed = encoded
+        .rdd.map(t => (t._1, (t._2, t._3)))
         .partitionBy(new PidPartitioner(cents.length))
       val rowRdd = keyed.mapPartitionsWithIndex { (ci, it) =>
         val rows = it.map(_._2).toSeq
@@ -1284,18 +1323,11 @@ object Hnsw {
       }
       spark.createDataFrame(rowRdd, qgraphSchema)
         .write.mode("append").parquet(graphDir)
-      val centsLit = typedLit(cents.map(_.toSeq))
-      val route = assigned
-        .select((col("ivf_cluster").cast("int") + offset).as("pid"),
-          distances.l2Dist(col(boundCol),
-            element_at(centsLit, col("ivf_cluster").cast("int") + 1)
-              .cast("array<float>")).as("d"))
-        .groupBy("pid").agg(max(col("d")).as("radius"))
-        .withColumn("centroid",
-          element_at(centsLit, col("pid") - offset + 1).cast("array<float>"))
-        .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
-      route.write.mode("append").parquet(routeDir)
-    } finally assigned.unpersist(false)
+      appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir)
+    } finally {
+      encoded.unpersist(false)
+      assigned.unpersist(false)
+    }
     invalidateQuantized(indexPath)
     graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
   }
@@ -1328,36 +1360,8 @@ object Hnsw {
       new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
       new org.apache.hadoop.fs.Path(nextPath, "route").toString,
       new org.apache.hadoop.fs.Path(nextPath, "qmodel").toString, p, metric)
-    // COMMIT: one new immutable manifest object
-    graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
-      nextPath.getName)
-    // sweep stale dirs by name, RETAINING the generation that was live
-    // until this commit for one cycle (in-flight readers)
-    val baseName = base.getName
-    val retained: Set[String] =
-      if (graphDir == indexPath)
-        Set(baseName, baseName + "_route", baseName + "_qmodel",
-          baseName + "_qerr")
-      else Set(new org.apache.hadoop.fs.Path(graphDir).getParent.getName)
-    if (fs.exists(base.getParent)) {
-      fs.listStatus(base.getParent).foreach { st =>
-        val n = st.getPath.getName
-        val stale = !retained.contains(n) && (
-          n == baseName || n == baseName + "_route" ||
-            n == baseName + "_qmodel" || n == baseName + "_qerr" ||
-            (n.startsWith(baseName + "__g") &&
-              n.stripPrefix(baseName + "__g").toLongOption
-                .exists(_ != nextVersion)))
-        if (stale) fs.delete(st.getPath, true)
-      }
-    }
-    if (retained.contains(baseName)) {
-      val mk = fs.create(new org.apache.hadoop.fs.Path(base,
-        graft.index.SecondaryIndex.SupersededMarker), true)
-      try mk.write("superseded by manifest commit\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally mk.close()
-    }
+    commitGeneration(fs, base, indexPath, graphDir, nextVersion, nextPath,
+      sidecarSuffixes = Seq("_route", "_qmodel", "_qerr"))
     invalidateQuantized(indexPath)
     graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
   }
