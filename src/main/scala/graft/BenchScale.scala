@@ -85,7 +85,14 @@ object BenchScale {
     // flagship (span strip + store-trained LM scoring + two-phase
     // buckets + budget cut in ONE chain — the composition is where a
     // hidden global order would surface)
-    "q_knn_graph_quant_cos", "q_knn_pq_auto", "q_pipeline_v6")
+    "q_knn_graph_quant_cos", "q_knn_pq_auto", "q_pipeline_v6",
+    // r15-2: the two-phase ppl cumulative (no single-partition Window —
+    // the distinct-score aggregate must stay the only heavy stage), the
+    // scale-aware cosine dedup dispatcher with AUTO-SIZED banding
+    // (bits-per-band tracks log2(n), so the banding stage grows with the
+    // corpus — the honest LSH cost), and the quantized-graph automatic
+    // route (code-space leaf + bounded raw fetch under the Sort/Limit)
+    "q_text_ppl_bucket", "q_dedup_embed_dispatch", "q_knn_graph_quant_auto")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L
