@@ -153,6 +153,35 @@ object VectorQueries {
         "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
         "FROM r WHERE rn <= 3")),
 
+    // Batch knn join over the QUANTIZED graph (r15 — the fourth join leg:
+    // exact / IVF / graph / quantized graph): one CODE-graph rehydration
+    // per sub-graph serves its whole assigned query batch (k·refine
+    // coarse survivors per (query, sub-graph)), then ONE codegen join
+    // against the raw floats rescores the merged candidates exactly.
+    // probes=all at full ef ≡ brute force — shared cross-join oracle.
+    "q_knn_join_graph_quant" -> QueryDef(
+      (s, d) => {
+        val path = hnswqJoinIndex(s, d)
+        Hnsw.knnJoinQuantized(s, path,
+          t(s, d, "embeddings").filter(col("vec_id") >= 20),
+          "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, ef = 1 << 20)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings WHERE vec_id >= 20), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
     // K2 inner-product metric (distance = 1 - dot, hnswlib convention)
     "q_knn_ip" -> QueryDef(
       (s, d) => topK(s, d, Knn.IP),
@@ -951,6 +980,20 @@ object VectorQueries {
       val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_embeddings_corpus"
       if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
         Hnsw.buildIndexClustered(
+          t(s, d, "embeddings").filter(col("vec_id") >= 20),
+          "embedding", "vec_id", path,
+          Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
+
+  // Memoized QUANTIZED join-corpus index (same vec_id>=20 split as
+  // hnswcJoinIndex, so the join gates share the windowed cross-join
+  // oracle).
+  private def hnswqJoinIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quantjoin", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswq_embeddings_corpus"
+      if (!new java.io.File(Hnsw.qmodelPath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClusteredQuantized(
           t(s, d, "embeddings").filter(col("vec_id") >= 20),
           "embedding", "vec_id", path,
           Hnsw.Params(m = 8, efC = 64, partitions = 8))

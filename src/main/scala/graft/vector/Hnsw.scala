@@ -1234,6 +1234,86 @@ object Hnsw {
     (cands.map(_._2), probed)
   }
 
+  /** BATCH KNN JOIN over a quantized clustered graph index (r15 — the
+    * fourth leg of the batch-retrieval surface beside [[Knn.knnJoin]]
+    * (exact), [[Ivf.knnJoin]] (list-probed), and [[knnJoinRouted]] (raw
+    * graph)): same broadcast-assignment shape as [[knnJoinRouted]] — each
+    * probed sub-graph rehydrates its CODE graph ONCE and beam-walks every
+    * query assigned to it, unprobed sub-graphs schedule zero tasks — with
+    * the quantized serving contract: each (query, sub-graph) keeps
+    * k·refine COARSE survivors, and the merged candidate set is
+    * exact-rescored against the raw float table in one codegen join
+    * (floats never enter the resident set; the query side of the rescore
+    * is the broadcast batch). `probes` >= sub-graph count at full ef
+    * keeps every true neighbor inside some probed sub-graph's coarse
+    * k·refine — the per-sub-graph union is a SUPERSET of the single-query
+    * walk's globally-merged coarse set, so the gate shares the
+    * brute-force oracle; smaller `probes` is the usual clustered-recall
+    * economy knob. Output contract matches the other joins:
+    * (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
+  def knnJoinQuantized(spark: SparkSession, indexPath: String,
+                       raw: DataFrame, rawIdCol: String, rawVecCol: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       cIdCol: String, k: Int, ef: Int,
+                       refine: Int = 8,
+                       probes: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val (metric, rts) = routes(spark, indexPath)
+    require(rts.nonEmpty, s"no route sidecar at ${routePath(indexPath)}")
+    val qm = qmodel(spark, indexPath)
+    val nprobe = math.min(probes, rts.length)
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    // pid → queries assigned to it; the code walk runs in the BOUND space
+    // (normalized for cosine — the space the codes were trained in)
+    val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
+      .flatMap { case (qid, qv) =>
+        val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv) else qv
+        rts.map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
+          .sortBy(identity).take(nprobe)
+          .map { case (_, pid) => (pid, (qid, bq)) }
+      }
+      .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
+    val qB = spark.sparkContext.broadcast((qm, byPid))
+    val graph = loadQuantizedGraph(spark, indexPath)
+    val keep = k * refine
+    val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+      graph, byPid.contains)
+    val perPart = pruned.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val (mm, assignments) = qB.value
+        val pid = rows.head._1
+        val assigned =
+          assignments.getOrElse(pid, Array.empty[(Long, Array[Float])])
+        if (assigned.isEmpty) Iterator.empty
+        else {
+          // ONE rehydrated code graph serves every assigned query
+          val g = rehydrate(rows.map(_._2), new CodeSpace(mm))
+          assigned.iterator.flatMap { case (qid, bq) =>
+            g.searchBeam(bq, math.max(ef, keep), g.n).take(keep)
+              .map { case (_, i) => (qid, g.ids(i)) }
+          }
+        }
+      }
+    }
+    // multi-probe duplicates collapse before the rescore join
+    val cands = perPart.toDF("__qid", "__cid").distinct()
+    val qDf = qRows.toSeq.toDF("__qid", "__qvec")
+    val rawSel = raw.select(col(rawIdCol).cast("long").as("__cid"),
+      col(rawVecCol).as("__cvec"))
+    val dist = metric match {
+      case Knn.Cosine =>
+        lit(1.0) - distances.cosineSim(col("__qvec"), col("__cvec"))
+      case _ => distances.l2Dist(col("__qvec"), col("__cvec"))
+    }
+    val scored = cands.join(broadcast(qDf), "__qid").join(rawSel, "__cid")
+      .select(col("__qid"), col("__cid"), dist.cast("double").as("__dist"))
+    TopK.topKPairs(scored, qIdCol, cIdCol, k)
+  }
+
   /** I9 for the QUANTIZED graph family — the reference's RT per-segment
     * build applies to whatever index type the column has
     * (knn/knn.cpp:638-786 with the quantized space of knn.cpp:105-135):

@@ -467,6 +467,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming QUANTIZED ANN ingest: code-space segment appends stay exact across batches (r15)") {
+    // The quantized-graph leg of the RT-ingest flow: each micro-batch is
+    // encoded with the FROZEN int8 model, lands as new code-space
+    // sub-graphs, and records its observed reconstruction error in the
+    // _qerr sidecar — searchQuantized stays exact at full ef because the
+    // prune slack widens with the recorded drift.
+    import graft.vector.{Hnsw, Knn}
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-qann")
+    val d = root.resolve("g").toString
+    val emb = graft.engine.Graft.table(SparkT.spark,
+      "/root/testdata/sf0.001", "embeddings").select($"vec_id", $"embedding")
+    Hnsw.buildIndexClusteredQuantized(emb.filter($"vec_id" < 400),
+      "embedding", "vec_id", d, Hnsw.Params(m = 8, efC = 64, partitions = 4))
+    val streamed = emb.filter($"vec_id" >= 400)
+      .as[(Long, Array[Float])].collect().map(VecRow.tupled.apply)
+    val in = MemoryStream[VecRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Hnsw.appendSegmentQuantized(batch, "embedding", "vec_id", d)
+      }
+      .start()
+    try {
+      def exactTop(upTo: Long, query: Array[Float]): Seq[(Long, Double)] =
+        Knn.knn(emb.filter($"vec_id" < upTo), "embedding", "vec_id",
+          query, 10).select("vec_id", "dist").as[(Long, Double)]
+          .collect().toSeq
+      val qv = streamed.find(_.vec_id == 450L).get.embedding
+      in.addData(streamed.filter(_.vec_id < 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val (afterB1, _) = Hnsw.searchQuantized(SparkT.spark, d,
+        emb.filter($"vec_id" < 450L), "embedding", "vec_id",
+        qv, 10, ef = 1 << 20)
+      assert(afterB1.select("vec_id", "dist").as[(Long, Double)]
+        .collect().toSeq === exactTop(450L, qv))
+      in.addData(streamed.filter(_.vec_id >= 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val (afterB2, _) = Hnsw.searchQuantized(SparkT.spark, d,
+        emb, "embedding", "vec_id", qv, 10, ef = 1 << 20)
+      val got = afterB2.select("vec_id", "dist").as[(Long, Double)]
+        .collect().toSeq
+      assert(got === exactTop(500L, qv))
+      assert(got.head._1 === 450L && got.head._2 === 0.0)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: each batch probes the signature store, then joins it") {
     // The crawl-ingest loop end-to-end: per micro-batch, (1) dedup the
     // batch against everything ingested so far via the signature store,

@@ -111,6 +111,42 @@ class HnswSpec extends AnyFunSuite {
       s"ef=16 walk expanded everything: ${stats.toSeq}")
   }
 
+  test("batch knn join over the QUANTIZED graph: exact at full probes, clustered economy at probes=2 (r15)") {
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val rows = for {
+      c <- 0 until 8
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 4)
+      i <- 0 until 30
+    } yield ((c * 30 + i).toLong,
+      center.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val corpus = df.filter($"vec_id" >= 10)
+    val queriesDf = df.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val d = Files.createTempDirectory("graft-hnswqj").resolve("g").toString
+    Hnsw.buildIndexClusteredQuantized(corpus, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8))
+    val exact = Knn.knnJoin(queriesDf,
+        corpus.select($"vec_id".as("corpus_id"), $"embedding"),
+        "query_id", "embedding", "corpus_id", "embedding", k = 5)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Hnsw.knnJoinQuantized(SparkT.spark, d, corpus, "vec_id",
+        "embedding", queriesDf, "query_id", "embedding", "corpus_id",
+        k = 5, ef = 1 << 20)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === exact)
+    val two = Hnsw.knnJoinQuantized(SparkT.spark, d, corpus, "vec_id",
+        "embedding", queriesDf, "query_id", "embedding", "corpus_id",
+        k = 5, ef = 1 << 20, probes = 2)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val recall = two.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"probes=2 recall $recall")
+  }
+
   test("quantized-space graph: exact at full ef, prunes sub-graphs, codes not floats resident") {
     val rnd = new scala.util.Random(29)
     val dim = 32
