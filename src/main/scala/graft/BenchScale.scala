@@ -92,7 +92,14 @@ object BenchScale {
     // (bits-per-band tracks log2(n), so the banding stage grows with the
     // corpus — the honest LSH cost), and the quantized-graph automatic
     // route (code-space leaf + bounded raw fetch under the Sort/Limit)
-    "q_text_ppl_bucket", "q_dedup_embed_dispatch", "q_knn_graph_quant_auto")
+    "q_text_ppl_bucket", "q_dedup_embed_dispatch", "q_knn_graph_quant_auto",
+    // r15-3: the batch-join surface completion — the quantized-graph
+    // join leg (one CODE-graph rehydration per probed sub-graph serving
+    // its whole query batch) and the flat screened joins (per-partition
+    // coarse heaps over the code column at k·refine per query, so the
+    // shuffle is query-batch-bounded and only the compact code bytes
+    // scale with the corpus)
+    "q_knn_join_graph_quant", "q_knn_join_quant", "q_knn_join_pq")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.vector.{CosineSimilarity, InnerProduct, Ivf, Knn, L2Distance}
+import graft.vector.{CosineSimilarity, Hnsw, InnerProduct, Ivf, Knn, L2Distance, Quantize}
 
 /** K4 finished: the automatic index-vs-fullscan route (ref ShouldUseFullscan,
   * knn/knn.cpp:613-620 — the host daemon consults it per query and the
@@ -280,6 +280,71 @@ object AnnRouting {
     reg.remove(qualify(spark, basePath))
 
   def clear(): Unit = reg.clear()
+
+  /** BATCH form of the automatic dispatch (r15 — the reference's
+    * CreateIterator serves whatever index type the column has,
+    * knn/knn.cpp:600-610; this is the same recognizer for the KNN-JOIN
+    * surface): each query row of `queries` gets its k nearest rows of the
+    * table at `basePath`, served by whatever index family is REGISTERED
+    * for it — [[graft.vector.Ivf.knnJoin]] (list-probed equi-join),
+    * [[graft.vector.Hnsw.knnJoinRouted]] (amortized sub-graph walks),
+    * [[graft.vector.Hnsw.knnJoinQuantized]] (code-space walks + exact
+    * rescore), or the screened joins of the four flat quantized families
+    * — each at the accuracy contract its registration declared (nprobe /
+    * ef / refine), exactly like the single-query route. Unregistered
+    * tables take the exact [[graft.vector.Knn.knnJoin]] fullscan — the
+    * same conservative fallback the plan rule uses.
+    *
+    * `vecCol`/`idCol` describe the base table for the unregistered
+    * fallback; a registration's own column bindings win when present.
+    * `metric` governs the fallback and the quantized-family rescores;
+    * the graph/IVF families serve the metric their index was built with
+    * (their registration pinned it). Output contract matches every join
+    * leg: (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
+  def knnJoin(spark: SparkSession, basePath: String,
+              vecCol: String, idCol: String,
+              queries: DataFrame,
+              qIdCol: String, qVecCol: String, cIdCol: String,
+              k: Int, metric: Knn.Metric = Knn.L2): DataFrame = {
+    def renamed(df: DataFrame, from: String): DataFrame =
+      if (from == cIdCol) df else df.withColumnRenamed(from, cIdCol)
+    reg.get(qualify(spark, basePath)) match {
+      case Some(r) => r.family match {
+        case IvfFamily(model, nprobe, _, _) =>
+          renamed(Ivf.knnJoin(spark, r.indexPath, model, queries,
+            qIdCol, qVecCol, idCol, r.vecCol, k, nprobe), idCol)
+        case GraphFamily(_, ef, _, _, _) =>
+          Hnsw.knnJoinRouted(spark, r.indexPath, queries,
+            qIdCol, qVecCol, cIdCol, k, ef)
+        case QGraphFamily(gIdCol, ef, _, refine, _) =>
+          Hnsw.knnJoinQuantized(spark, r.indexPath,
+            spark.read.parquet(r.basePath), gIdCol, r.vecCol,
+            queries, qIdCol, qVecCol, cIdCol, k, ef, refine)
+        case QuantFamily(model, qCol, fIdCol, refine) =>
+          Quantize.knnJoinQuant(spark.read.parquet(r.indexPath), r.vecCol,
+            qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
+            metric, refine)
+        case Quant4Family(model, qCol, fIdCol, refine) =>
+          Quantize.knnJoinQuant4(spark.read.parquet(r.indexPath), r.vecCol,
+            qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
+            metric, refine)
+        case PqFamily(model, qCol, fIdCol, refine) =>
+          Quantize.knnJoinPq(spark.read.parquet(r.indexPath), r.vecCol,
+            qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
+            metric, refine)
+        case BinaryFamily(model, bCol, fIdCol, refine, rCol) =>
+          Quantize.knnJoinBinary(spark.read.parquet(r.indexPath), r.vecCol,
+            bCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
+            metric, refine, rCol)
+      }
+      case None =>
+        import org.apache.spark.sql.functions.col
+        Knn.knnJoin(queries,
+          spark.read.parquet(basePath)
+            .select(col(idCol).as(cIdCol), col(vecCol)),
+          qIdCol, qVecCol, cIdCol, vecCol, k, metric)
+    }
+  }
 
   /** Invalidation hook for index maintenance ([[graft.vector.Ivf]] calls
     * this from buildIndex / appendToIndex): the cached analyzed index

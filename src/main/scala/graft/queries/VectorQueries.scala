@@ -182,6 +182,96 @@ object VectorQueries {
         "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
         "FROM r WHERE rn <= 3")),
 
+    // Batch knn join over the FLAT int8 table (r15 — the screened-join
+    // kernel: per-partition coarse heaps over the code column at k·refine,
+    // global coarse cut, one codegen rescore join on the floats). The
+    // int8 coarse bound keeps the true top-3 inside the top-96 global
+    // coarse set on this corpus, so the gate shares the windowed
+    // cross-join oracle with the other join legs.
+    "q_knn_join_quant" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantIndex(s, d)
+        Quantize.knnJoinQuant(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "qvec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, refine = 32)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings WHERE vec_id >= 20), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
+    // Batch knn join over the PQ table: one M×K ADC table per (query,
+    // partition), M byte-lookups per scored pair. ADC is the coarsest
+    // screen of the four flat families, so exactness across all 20
+    // query points needs a wider candidate set than the single-query
+    // gate's k·refine=320 — refine=128 (384 candidates) is the measured
+    // threshold on this corpus; the gate shares the windowed cross-join
+    // oracle.
+    "q_knn_join_pq" -> QueryDef(
+      (s, d) => {
+        val (m, path) = pqIndex(s, d)
+        Quantize.knnJoinPq(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "pqvec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, refine = 128)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings WHERE vec_id >= 20), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
+    // AUTOMATICALLY DISPATCHED batch knn join (r15 — the batch form of
+    // the CreateIterator-style family dispatch, knn/knn.cpp:600-610):
+    // the registered graph family serves the whole batch through the
+    // amortized sub-graph walks at its registered full-ef contract, so
+    // the routed join equals brute force over the registered table —
+    // corpus here is the FULL embeddings table (self-matches included,
+    // the oracle replays them).
+    "q_knn_join_auto" -> QueryDef(
+      (s, d) => {
+        val path = hnswcIndex(s, d)
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        graft.plans.AnnRouting.knnJoin(s, s"$d/embeddings.parquet",
+          "embedding", "vec_id",
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
     // K2 inner-product metric (distance = 1 - dot, hnswlib convention)
     "q_knn_ip" -> QueryDef(
       (s, d) => topK(s, d, Knn.IP),

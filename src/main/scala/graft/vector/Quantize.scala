@@ -773,4 +773,223 @@ object Quantize {
     graft.plans.AnnRouting.onIndexMutated(spark, quantPath)
     m2
   }
+
+  // ───── Batch KNN JOIN for the flat quantized families (r15) ─────
+  //
+  // The batch form of the coarse-screen-then-rescore serving contract
+  // (every query row gets its k nearest corpus rows in ONE plan, the
+  // quantized analog of [[Knn.knnJoin]]): the query batch broadcasts,
+  // each corpus partition screens its CODE column against every query at
+  // the family's compact-bytes cost (M table lookups for PQ, XOR+popcount
+  // for binary, dequantized L2 for the scalar codes — the float column is
+  // never read by the screen), a per-(query, partition) bounded heap
+  // keeps the k·refine best coarse survivors so the one shuffle carries
+  // at most k·refine rows per (query, partition) — never the scored
+  // cross product — the global coarse cut reproduces the single-query
+  // accuracy contract ("the true top-k sits in the global top k·refine
+  // coarse set"), and ONE codegen join against the float column
+  // exact-rescores the survivors. For query batches too large to
+  // broadcast, run in slices and union — the same contract as
+  // [[Knn.knnJoin]].
+
+  /** Bounded "keep the n smallest (dist, id)" pairs — the partition-local
+    * cut of the screened-join kernel. Array-backed max-heap ordered by
+    * (dist, id) with the root as the current worst kept: O(1) reject for
+    * a row worse than the nth best (the common case once warm),
+    * O(log n) insert. Deterministic: ties break toward the smaller id,
+    * the engine's knn convention. */
+  private final class BoundedTopK(cap: Int) {
+    private val ds = new Array[Double](cap)
+    private val ids = new Array[Long](cap)
+    private var n = 0
+    private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+      d1 > d2 || (d1 == d2 && i1 > i2)
+    private def swap(a: Int, b: Int): Unit = {
+      val td = ds(a); ds(a) = ds(b); ds(b) = td
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+    def offer(d: Double, id: Long): Unit =
+      if (n < cap) {
+        var i = n; ds(i) = d; ids(i) = id; n += 1
+        while (i > 0 && worse(ds(i), ids(i), ds((i - 1) >> 1), ids((i - 1) >> 1))) {
+          swap(i, (i - 1) >> 1); i = (i - 1) >> 1
+        }
+      } else if (worse(ds(0), ids(0), d, id)) {
+        ds(0) = d; ids(0) = id
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          var m = i
+          if (l < n && worse(ds(l), ids(l), ds(m), ids(m))) m = l
+          if (l + 1 < n && worse(ds(l + 1), ids(l + 1), ds(m), ids(m))) m = l + 1
+          if (m == i) done = true else { swap(i, m); i = m }
+        }
+      }
+    def drain(): Array[(Double, Long)] = {
+      val out = Array.tabulate(n)(i => (ds(i), ids(i)))
+      scala.util.Sorting.quickSort(out)(Ordering.Tuple2[Double, Long])
+      out
+    }
+  }
+
+  /** Shared kernel of the four screened joins: `prep` turns a query
+    * vector into its screen-side state (ADC table / packed sign bits /
+    * the raw floats), `extract` pulls a row's code representation ONCE
+    * (hoisted out of the per-query loop), `score` is the family's coarse
+    * distance. All three are plain serializable closures over the model
+    * case classes. */
+  private def screenedJoin(qdf: DataFrame, vecCol: String, idCol: String,
+                           codeCols: Seq[String],
+                           queries: DataFrame, qIdCol: String,
+                           qVecCol: String, cIdCol: String, k: Int,
+                           metric: Knn.Metric, refine: Int,
+                           prep: Array[Float] => AnyRef,
+                           extract: Row => AnyRef,
+                           score: (AnyRef, AnyRef) => Double): DataFrame = {
+    require(qIdCol != cIdCol,
+      s"query and corpus id columns must have distinct names ($qIdCol)")
+    val spark = qdf.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val keep = k * refine
+    val qB = spark.sparkContext.broadcast(qRows)
+    val coded = qdf.select(
+      (col(idCol).cast("long") +: codeCols.map(col)): _*)
+    val coarse = coded.mapPartitions { it =>
+      val qs = qB.value
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val preps: Array[AnyRef] = qs.map(q => prep(q._2))
+        val heaps = Array.fill(qs.length)(new BoundedTopK(keep))
+        it.foreach { row =>
+          val cid = row.getLong(0)
+          val code = extract(row)
+          var j = 0
+          while (j < qs.length) {
+            heaps(j).offer(score(code, preps(j)), cid)
+            j += 1
+          }
+        }
+        Iterator.range(0, qs.length).flatMap { j =>
+          heaps(j).drain().iterator
+            .map { case (cd, cid) => (qs(j)._1, cid, cd) }
+        }
+      }
+    }(Encoders.product[(Long, Long, Double)])
+      .toDF("__qid", "__cid", "__dist")
+    // global coarse cut — the single-query k·refine contract; survivors
+    // rescore exactly against the float column (the candidate side is
+    // |Q|·k·refine rows, broadcast — the corpus never shuffles)
+    val cands = TopK.topKPairs(coarse, "q", "c", keep)
+      .select(col("q").as("__qid"), col("c").as("__cid"))
+    val qDf = qRows.toSeq.toDF("__qid", "__qvec")
+    val rawSel = qdf.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).as("__cvec"))
+    val scored = broadcast(cands.join(broadcast(qDf), "__qid"))
+      .join(rawSel, "__cid")
+      .select(col("__qid"), col("__cid"),
+        Knn.distCol(metric, col("__cvec"), col("__qvec"))
+          .cast("double").as("__dist"))
+    TopK.topKPairs(scored, qIdCol, cIdCol, k)
+  }
+
+  /** Batch KNN JOIN over an int8-quantized table ([[quantizeTable]]
+    * output: float column + `qCol` codes): the screen reads a quarter of
+    * the vector bytes. Same exactness contract as [[searchRescore]] —
+    * the true top-k must sit in the global top k·refine coarse set.
+    * Returns (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
+  def knnJoinQuant(qdf: DataFrame, vecCol: String, qCol: String,
+                   idCol: String, m: QModel,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
+                   refine: Int = 8): DataFrame =
+    screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
+      cIdCol, k, metric, refine,
+      prep = q => q,
+      extract = r => r.getAs[Array[Byte]](1),
+      score = (c, p) =>
+        m.l2(c.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Float]]))
+
+  /** [[knnJoinQuant]] for the 4-bit family (packed nibbles, 8× smaller
+    * screen bytes; refine default matches [[searchRescore4]]'s). */
+  def knnJoinQuant4(qdf: DataFrame, vecCol: String, qCol: String,
+                    idCol: String, m: Q4Model,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
+                    refine: Int = 12): DataFrame =
+    screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
+      cIdCol, k, metric, refine,
+      prep = q => q,
+      extract = r => r.getAs[Array[Byte]](1),
+      score = (c, p) =>
+        m.l2(c.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Float]]))
+
+  /** [[knnJoinQuant]] for the binary family: Hamming screen over the
+    * packed sign bits, or — with `rCol` naming the stored residual-factor
+    * struct ([[binarizeTableResidual]]) — the magnitude-aware corrected
+    * estimate, which reaches equal exactness at a several-fold smaller
+    * refine (the [[coarseIdsBinaryResidual]] economics). The residual
+    * estimator is L2-family, so `rCol` requires the L2 metric. */
+  def knnJoinBinary(bdf: DataFrame, vecCol: String, bCol: String,
+                    idCol: String, m: BModel,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
+                    refine: Int = 16,
+                    rCol: Option[String] = None): DataFrame =
+    rCol match {
+      case None =>
+        screenedJoin(bdf, vecCol, idCol, Seq(bCol), queries, qIdCol,
+          qVecCol, cIdCol, k, metric, refine,
+          prep = q => m.binarize(q),
+          extract = r => r.getSeq[Long](1).toArray,
+          score = (c, p) => m.hamming(c.asInstanceOf[Array[Long]],
+            p.asInstanceOf[Array[Long]]).toDouble)
+      case Some(rc) =>
+        require(metric == Knn.L2,
+          "the residual-corrected screen is an L2 estimator")
+        screenedJoin(bdf, vecCol, idCol,
+          Seq(bCol, s"$rc.norm", s"$rc.scale"), queries, qIdCol, qVecCol,
+          cIdCol, k, metric, refine,
+          prep = q => {
+            val qr = new Array[Double](m.dim)
+            var qn2 = 0.0
+            var sq = 0.0
+            var i = 0
+            while (i < m.dim) {
+              qr(i) = q(i).toDouble - m.thresholds(i)
+              qn2 += qr(i) * qr(i)
+              sq += qr(i)
+              i += 1
+            }
+            (qr, qn2, sq)
+          },
+          extract = r =>
+            (r.getSeq[Long](1).toArray, r.getFloat(2), r.getFloat(3)),
+          score = (c, p) => {
+            val (code, rn, rs) =
+              c.asInstanceOf[(Array[Long], Float, Float)]
+            val (qr, qn2, sq) =
+              p.asInstanceOf[(Array[Double], Double, Double)]
+            m.estimateL2(code, rn, rs, qr, qn2, sq)
+          })
+    }
+
+  /** [[knnJoinQuant]] for the PQ family: one M×K ADC table per query per
+    * partition, M byte-lookups per (row, query) — 32× fewer screen bytes
+    * than float32 at dim 64 / M 8. refine default matches the
+    * gate-measured contract of the automatic PQ route
+    * ([[graft.plans.AnnRouting.registerPq]]). */
+  def knnJoinPq(qdf: DataFrame, vecCol: String, qCol: String,
+                idCol: String, m: PqModel,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
+                refine: Int = 32): DataFrame =
+    screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
+      cIdCol, k, metric, refine,
+      prep = q => m.adcTable(q),
+      extract = r => r.getAs[Array[Byte]](1),
+      score = (c, p) => m.adc(c.asInstanceOf[Array[Byte]],
+        p.asInstanceOf[Array[Double]]))
 }

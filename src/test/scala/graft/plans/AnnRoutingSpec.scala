@@ -612,4 +612,38 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(scanPaths(df).exists(_.contains("idx")))
     assert(df.count() === 10)
   }
+
+  test("batch-join dispatch serves the registered family; unregistered tables fall back exact (r15)") {
+    import graft.vector.Quantize
+    val queriesDf = vectors.take(5).map(v => (v._1, v._2))
+      .toDF("query_id", "embedding")
+    val exact = Knn.knnJoin(queriesDf,
+        SparkT.spark.read.parquet(baseDir)
+          .select($"vec_id".as("corpus_id"), $"embedding"),
+        "query_id", "embedding", "corpus_id", "embedding", k = 4)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    def run(df: DataFrame, label: String): Unit =
+      assert(df.select("query_id", "corpus_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet === exact, label)
+    // the shared fixture registers IVF at nprobe = nlist → the dispatched
+    // join takes the list-probed leg and equals brute force
+    run(AnnRouting.knnJoin(SparkT.spark, baseDir, "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 4), "ivf leg")
+    // unregistered copy → the conservative exact fullscan fallback
+    val un = Files.createTempDirectory("graft-annjoin").resolve("u").toString
+    SparkT.spark.read.parquet(baseDir).write.parquet(un)
+    run(AnnRouting.knnJoin(SparkT.spark, un, "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 4), "fallback")
+    // a quant table registered as its own base → the screened-join leg
+    val m = Quantize.train(SparkT.spark.read.parquet(baseDir), "embedding")
+    val qt = Files.createTempDirectory("graft-annjoin").resolve("q").toString
+    Quantize.quantizeTable(SparkT.spark.read.parquet(baseDir),
+      "embedding", "qvec", m).write.parquet(qt)
+    AnnRouting.registerQuant(SparkT.spark, qt, qt, m,
+      vecCol = "embedding", idCol = "vec_id", refine = 64)
+    run(AnnRouting.knnJoin(SparkT.spark, qt, "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 4), "quant leg")
+    AnnRouting.unregister(SparkT.spark, qt)
+  }
 }

@@ -283,4 +283,75 @@ class QuantizeSpec extends AnyFunSuite {
     assert(got === exact)
     assert(got.head === 9L) // the appended vector itself is the 0-distance hit
   }
+
+  test("screened batch joins: all four flat families equal the exact knn join at generous refine (r15)") {
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queriesDf = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Knn.knnJoin(queriesDf,
+        corpus.select($"vec_id".as("corpus_id"), $"embedding"),
+        "query_id", "embedding", "corpus_id", "embedding", k = 5)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    def run(got: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val s = got.select("query_id", "corpus_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(s === exact, label)
+    }
+    val m8 = Quantize.train(corpus, "embedding")
+    val q8 = Quantize.quantizeTable(corpus, "embedding", "qvec", m8)
+    run(Quantize.knnJoinQuant(q8, "embedding", "qvec", "vec_id", m8,
+      queriesDf, "query_id", "embedding", "corpus_id", 5, refine = 32),
+      "int8")
+    // partition invariance of the kernel: heaps cut per partition, the
+    // global cut and id tiebreaks make the result layout-independent
+    run(Quantize.knnJoinQuant(q8.repartition(7), "embedding", "qvec",
+      "vec_id", m8, queriesDf, "query_id", "embedding", "corpus_id", 5,
+      refine = 32), "int8 repartitioned")
+    val m4 = Quantize.train4(corpus, "embedding")
+    val q4 = Quantize.quantize4Table(corpus, "embedding", "q4vec", m4)
+    run(Quantize.knnJoinQuant4(q4, "embedding", "q4vec", "vec_id", m4,
+      queriesDf, "query_id", "embedding", "corpus_id", 5, refine = 48),
+      "4-bit")
+    val mb = Quantize.trainBinary(corpus, "embedding")
+    val bdf = Quantize.binarizeTable(corpus, "embedding", "bvec", mb)
+    run(Quantize.knnJoinBinary(bdf, "embedding", "bvec", "vec_id", mb,
+      queriesDf, "query_id", "embedding", "corpus_id", 5, refine = 96),
+      "binary hamming")
+    val rdf = Quantize.binarizeTableResidual(corpus, "embedding", "bvec",
+      "rfac", mb)
+    run(Quantize.knnJoinBinary(rdf, "embedding", "bvec", "vec_id", mb,
+      queriesDf, "query_id", "embedding", "corpus_id", 5, refine = 32,
+      rCol = Some("rfac")), "binary residual")
+    val mpq = Quantize.trainPq(corpus, "embedding", "vec_id")
+    val qpq = Quantize.quantizePqTable(corpus, "embedding", "pqvec", mpq)
+    // PQ's ADC ranking is the coarsest of the four — at refine=32 a few
+    // true top-5 members fall outside the 160-candidate coarse set on
+    // this fixture, so its exactness threshold sits higher
+    run(Quantize.knnJoinPq(qpq, "embedding", "pqvec", "vec_id", mpq,
+      queriesDf, "query_id", "embedding", "corpus_id", 5, refine = 64),
+      "pq")
+  }
+
+  test("screened join at low refine: coarse economy keeps high recall (r15)") {
+    // The accuracy/cost knob: a tight refine screens far fewer candidates
+    // into the rescore; on the fixture the int8 coarse ranking is close
+    // enough to true that recall stays >= 0.9.
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queriesDf = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Knn.knnJoin(queriesDf,
+        corpus.select($"vec_id".as("corpus_id"), $"embedding"),
+        "query_id", "embedding", "corpus_id", "embedding", k = 5)
+      .select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val m8 = Quantize.train(corpus, "embedding")
+    val q8 = Quantize.quantizeTable(corpus, "embedding", "qvec", m8)
+    val got = Quantize.knnJoinQuant(q8, "embedding", "qvec", "vec_id", m8,
+        queriesDf, "query_id", "embedding", "corpus_id", 5, refine = 2)
+      .select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"refine=2 recall $recall")
+  }
 }
