@@ -99,7 +99,11 @@ object BenchScale {
     // coarse heaps over the code column at k·refine per query, so the
     // shuffle is query-batch-bounded and only the compact code bytes
     // scale with the corpus)
-    "q_knn_join_graph_quant", "q_knn_join_quant", "q_knn_join_pq")
+    "q_knn_join_graph_quant", "q_knn_join_quant", "q_knn_join_pq",
+    // r15-4: the layer-hierarchy walk (greedy descent to the beam entry
+    // inside every probed sub-graph — per-query work must stay flat-ANN
+    // shaped; the descent itself is O(log n) hops per sub-graph)
+    "q_knn_graph_hier")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L
@@ -456,6 +460,36 @@ object BenchScale {
       println(f"walk telemetry: expanded $expSmall%.1f@${szSmall}%.0f-row " +
         f"-> $expBig%.1f@${szBig}%.0f-row sub-graphs, growth $growth%.2fx " +
         f"over ${sizeStep}%.1fx size  ok=$hopsOk")
+      // r15: the LAYER HIERARCHY, measured against the flat walk on the
+      // same big-sub-graph index. The descent picks a near-optimal beam
+      // entry; its value is bounding entry-localization cost as sub-graphs
+      // grow, so the honest pin here is "no pathology" (hier total work
+      // within 2x of flat at this size), with both numbers on the record.
+      val hiDone = new org.apache.hadoop.fs.Path(
+        Hnsw.layersPath(bigIdx), "_SUCCESS")
+      if (!fs.exists(hiDone))
+        Hnsw.buildHierarchy(spark, bigIdx,
+          Hnsw.Params(m = 8, efC = 64, partitions = 4))
+      val perH = qs.flatMap(q =>
+        Hnsw.walkStatsHier(spark, bigIdx, q.toArray, k = 10, ef = 64))
+      val expHier = perH.map(_._3).sum.toDouble / perH.length
+      val scoredHier = perH.map(_._4).sum.toDouble / perH.length
+      val perF = qs.flatMap(q =>
+        Hnsw.walkStats(spark, bigIdx, q.toArray, k = 10, ef = 64))
+      val scoredFlat = perF.map(_._4).sum.toDouble / perF.length
+      val hierOk = scoredHier <= scoredFlat * 2.0
+      allOk &&= hierOk
+      val hh = root.putObject("hier_telemetry")
+      hh.put("ef", 64)
+      hh.put("subgraph_rows", math.round(szBig * 10) / 10.0)
+      hh.put("mean_expanded_flat", math.round(expBig * 10) / 10.0)
+      hh.put("mean_expanded_hier", math.round(expHier * 10) / 10.0)
+      hh.put("mean_scored_flat", math.round(scoredFlat * 10) / 10.0)
+      hh.put("mean_scored_hier", math.round(scoredHier * 10) / 10.0)
+      hh.put("no_pathology_ok", hierOk)
+      println(f"hier telemetry: expanded flat $expBig%.1f vs hier " +
+        f"$expHier%.1f; scored flat $scoredFlat%.1f vs hier " +
+        f"$scoredHier%.1f  ok=$hierOk")
     }
     root.put("loadavg_end", loadavg())
     root.put("all_linear_ok", allOk)

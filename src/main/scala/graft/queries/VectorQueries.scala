@@ -601,6 +601,37 @@ object VectorQueries {
       },
       Some(oracleFor(s"1.0 - $cosSim"))),
 
+    // K1 through the LAYER HIERARCHY (r15 — the reference's index is a
+    // true multi-layer HNSW, knn/knn.cpp:455-537: geometric levels, greedy
+    // descent from the top layer's entry to a near-optimal layer-0 start,
+    // then the ef beam): the optional `_layers` sidecar is built over the
+    // finished clustered graph (levels a deterministic hash of the id),
+    // and searchRoutedHier descends it inside every probed sub-graph.
+    // Exact at full ef — entry choice cannot change an exhaustive walk —
+    // so it shares the fullscan oracle; the descent's entry quality and
+    // the stale-sidecar fallbacks are spec-tested (HnswSpec).
+    "q_knn_graph_hier" -> QueryDef(
+      (s, d) => {
+        val path = hnswhIndex(s, d)
+        val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
+          queryVec(s, d), k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // The hierarchy under COSINE: levels/descent/beam all score the exact
+    // cosine kernel on raw vectors (the sub-graph's FloatSpace), the probe
+    // schedule bounds in the normalized companion space as q_knn_graph_
+    // routed_cos does. Exact at full ef — shares the cosine oracle.
+    "q_knn_graph_hier_cos" -> QueryDef(
+      (s, d) => {
+        val path = hnswhCosIndex(s, d)
+        val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
+          queryVec(s, d), k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
     // K5 for cosine (the reference parameterizes termination by metric,
     // knn/termination.h:23-52): probe in normalized-space centroid order,
     // bound unprobed lists via max(0, ||q̂−c||−r−ε)²/2 (cosine distance of
@@ -1157,6 +1188,25 @@ object VectorQueries {
       if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
         Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
           path, Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.Cosine)
+      path
+    })
+
+  // Memoized layer-hierarchy sidecars (r15): built over the SAME clustered
+  // indexes the routed gates use (the hierarchy is an additive sidecar —
+  // flat search over the shared index is unaffected), once per sfDir.
+  private def hnswhIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#hier", {
+      val path = hnswcIndex(s, d)
+      if (!new java.io.File(Hnsw.layersPath(path), "_SUCCESS").isFile)
+        Hnsw.buildHierarchy(s, path, Hnsw.Params(m = 8, efC = 64))
+      path
+    })
+
+  private def hnswhCosIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#hiercos", {
+      val path = hnswcCosIndex(s, d)
+      if (!new java.io.File(Hnsw.layersPath(path), "_SUCCESS").isFile)
+        Hnsw.buildHierarchy(s, path, Hnsw.Params(m = 8, efC = 64))
       path
     })
 

@@ -89,6 +89,11 @@ object Hnsw {
     private def d(i: Int, q: Array[Float]): Double =
       space.dist(vecs(i), q)
 
+    /** Node-to-query distance through the space kernel — exposed for the
+      * hierarchy descent ([[descend]]), which must score upper-layer
+      * nodes with exactly the kernel the layer-0 beam uses. */
+    def nodeDist(i: Int, q: Array[Float]): Double = d(i, q)
+
     /** Beam search over the first `upTo` inserted nodes (the graph so far
       * during build; the whole graph when upTo = n). Returns (dist, idx)
       * ascending, at most ef entries — every reachable node when ef >= upTo
@@ -111,19 +116,25 @@ object Hnsw {
       * nodes EXPANDED (dequeued with their adjacency scanned — the "hops"
       * a walk takes), counters(1) += distances scored. Measurement only;
       * never changes the walk. */
+    /** `entry` is the layer-0 start node — node 0 (the lowest id, the flat
+      * NSW convention) unless a hierarchy descent ([[descend]]) supplies a
+      * closer one. At ef >= upTo the walk is exhaustive either way (chain
+      * edges reach every node from any entry), so the exact contract of
+      * every full-ef gate is entry-independent. */
     def searchBeam(q: Array[Float], ef: Int, upTo: Int,
                    allowed: Int => Boolean = _ => true,
                    term: Quantile.Termination = null,
-                   counters: Array[Long] = null): Seq[(Double, Int)] = {
+                   counters: Array[Long] = null,
+                   entry: Int = 0): Seq[(Double, Int)] = {
       if (upTo == 0) return Nil
       val ord = Ordering.Tuple2[Double, Int]
       // candidates: min-first by (dist, id-idx); results: max-first
       val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
       val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
       val visited = new java.util.BitSet(upTo)
-      val e0 = (d(0, q), 0)
-      cand.enqueue(e0); visited.set(0)
-      if (allowed(0)) res.enqueue(e0)
+      val e0 = (d(entry, q), entry)
+      cand.enqueue(e0); visited.set(entry)
+      if (allowed(entry)) res.enqueue(e0)
       while (cand.nonEmpty) {
         val c = cand.dequeue()
         if (res.size >= ef && ord.gt(c, res.head)) { cand.clear() }
@@ -505,8 +516,12 @@ object Hnsw {
     buildClusteredTo(corpus, "vec", "id",
       new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
       new org.apache.hadoop.fs.Path(nextPath, "route").toString, p, metric)
+    // "_layers": a legacy-layout hierarchy sidecar is built over the OLD
+    // graph's pids — stale once the generation commits; sweep it with the
+    // base pair (the new generation fails loudly until buildHierarchy
+    // re-runs, never serves a mismatched descent)
     commitGeneration(fs, base, indexPath, graphDir, nextVersion, nextPath,
-      sidecarSuffixes = Seq("_route"))
+      sidecarSuffixes = Seq("_route", "_layers"))
     invalidate(indexPath)
     graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
   }
@@ -596,6 +611,7 @@ object Hnsw {
   /** Drop the resident copy of an index (call after rebuilding it). */
   def invalidate(indexPath: String): Unit = {
     resident.remove(indexPath).foreach(_.unpersist(false))
+    residentL.remove(indexPath).foreach(_.unpersist(false))
     routeCache.remove(indexPath)
   }
 
@@ -772,6 +788,34 @@ object Hnsw {
                       adaptiveTermination: Boolean = false,
                       scoredAcc: org.apache.spark.util.LongAccumulator = null)
       : (Array[(Long, Double, Array[Float])], Int) = {
+    val graph = loadGraph(spark, indexPath)
+    val qB = spark.sparkContext.broadcast(query)
+    // K3: the filter callback rides inside each probed sub-graph's beam
+    // walk; the triangle bound still holds a fortiori for the allowed
+    // subset, and < k survivors keeps the loop probing (over-probe)
+    val f = allowed.getOrElse((_: Long) => true)
+    val metric = routes(spark, indexPath)._1
+    val adapt = adaptiveTermination
+    val acc = scoredAcc
+    routedSchedule(spark, indexPath, query, k, eps, probes => {
+      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+        graph, probes.contains)
+      pruned.mapPartitions(it =>
+        searchSubGraph(it, qB.value, k, ef, metric, f, adapt, acc)).collect()
+    })
+  }
+
+  /** The centroid-ordered, triangle-bounded probe schedule shared by the
+    * flat routed walk ([[searchRoutedRaw]]) and the hierarchy walk
+    * ([[searchRoutedHier]]): probe sub-graphs in centroid-distance order
+    * with a doubling batch, drop sub-graphs whose lower bound exceeds the
+    * kth-best once k hits are held (they can never re-enter — the kth best
+    * only improves), stop when none remain. `probeFn` runs one probe round
+    * over a pid set and returns its (id, dist, vec) candidates. */
+  private def routedSchedule(spark: SparkSession, indexPath: String,
+                             query: Array[Float], k: Int, eps: Double,
+                             probeFn: Set[Int] => Array[(Long, Double, Array[Float])])
+      : (Array[(Long, Double, Array[Float])], Int) = {
     val (metric, rts) = routes(spark, indexPath)
     val boundQ =
       if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
@@ -782,12 +826,6 @@ object Hnsw {
       case Knn.Cosine => Ivf.cosineLowerBound(centDist(pid), radius(pid), eps)
       case _ => centDist(pid) - radius(pid)
     }
-    val graph = loadGraph(spark, indexPath)
-    val qB = spark.sparkContext.broadcast(query)
-    // K3: the filter callback rides inside each probed sub-graph's beam
-    // walk; the triangle bound still holds a fortiori for the allowed
-    // subset, and < k survivors keeps the loop probing (over-probe)
-    val f = allowed.getOrElse((_: Long) => true)
     var remaining: Seq[Int] = order.toSeq
     var probed = 0
     // Initial probe batch (doubles each round). Locally a round costs
@@ -811,14 +849,7 @@ object Hnsw {
       remaining.nonEmpty
     }) {
       val probes = remaining.take(batch).toSet
-      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
-        graph, probes.contains)
-      val adapt = adaptiveTermination
-      val acc = scoredAcc
-      val rows = pruned
-        .mapPartitions(it =>
-          searchSubGraph(it, qB.value, k, ef, metric, f, adapt, acc))
-        .collect().map { case (id, d, vec) => (d, id, vec) }
+      val rows = probeFn(probes).map { case (id, d, vec) => (d, id, vec) }
       // sortBy (dist, id): the vector slot has no ordering
       bestK = (bestK ++ rows).sortBy(t => (t._1, t._2)).take(k)
       probed += probes.size
@@ -851,6 +882,306 @@ object Hnsw {
         val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
         val c = new Array[Long](2)
         g.searchBeam(qB.value, math.max(ef, k), g.n, counters = c)
+        Iterator.single((pid, g.n, c(0), c(1)))
+      }
+    }.collect()
+  }
+
+  // ==================== Layer hierarchy =====================
+  //
+  // The reference's index is a true multi-layer HNSW (hnswlib via
+  // knn/knn.cpp:455-537): each node draws a geometric level, upper layers
+  // are sparse navigable graphs over the level>=l subsets, and a query
+  // greedily descends from the top layer's entry point to a near-optimal
+  // layer-0 start before the ef beam runs. The engine's flat NSW starts
+  // every beam at the sub-graph's lowest id instead — measured fine at the
+  // current sub-graph sizes (BENCH_SF1 walk_telemetry: expansion growth
+  // 1.15 at an 8x size step, sub-logarithmic), but the localization cost of
+  // a fixed entry grows with sub-graph size where the descent's does not.
+  // The hierarchy is therefore an OPTIONAL sidecar (`<path>_layers`, or
+  // `layers/` inside a committed generation): built per-partition from the
+  // finished layer-0 table, levels drawn as a deterministic hash of the id
+  // (rebuild-stable), and consumed by [[searchRoutedHier]], which descends
+  // the layers to pick the beam entry. Layer-0 storage, every existing
+  // gate, and the exact full-ef contract are untouched (entry choice
+  // cannot change an exhaustive walk); sub-graphs appended after the
+  // hierarchy build simply have no layer rows and fall back to the flat
+  // entry — graceful, never wrong.
+
+  /** Sidecar location of the layer hierarchy of a graph index (legacy
+    * layout; a [[compactClustered]] generation holds a `layers/` subdir). */
+  def layersPath(indexPath: String): String = indexPath + "_layers"
+
+  private def resolveLayersDir(spark: SparkSession, indexPath: String): String = {
+    val (g, _) = resolveDirs(spark, indexPath)
+    if (g == indexPath) layersPath(indexPath)
+    else new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(g).getParent, "layers").toString
+  }
+
+  private val layerSchema = StructType(Seq(
+    StructField("pid", IntegerType),
+    StructField("level", IntegerType),
+    StructField("id", LongType),
+    StructField("neighbors", ArrayType(LongType))))
+
+  /** The hnswlib level draw `floor(-ln(u) * mL)`, mL = 1/ln(m) — but with
+    * `u` a SPLITMIX64 hash of the id instead of a PRNG stream, so a node's
+    * level is a pure function of (id, m): rebuilds, segment re-appends and
+    * compactions assign identical levels with no RNG state to carry.
+    * P(level >= l) = m^-l: layer 1 holds ~n/m nodes, layer 2 ~n/m², so the
+    * whole hierarchy adds < 1/(m-1) of layer-0's edges. */
+  private[vector] def nodeLevel(id: Long, m: Int): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // top 53 bits -> uniform double in [0,1); 1-u in (0,1] avoids ln(0)
+    val u = 1.0 - (z >>> 11).toDouble / (1L << 53).toDouble
+    val mL = 1.0 / math.log(m.toDouble)
+    math.min(31.0, math.floor(-math.log(u) * mL)).toInt
+  }
+
+  /** Build the layer-hierarchy sidecar for a CLUSTERED graph index (the
+    * metric comes from its route sidecar): one pass over the graph table,
+    * one task per sub-graph — each draws levels from the node ids, builds
+    * an NSW over every level>=l subset with the SAME diversity heuristic +
+    * chain edges as layer 0, and emits (pid, level, id, neighbors) rows
+    * for levels >= 1. Safe to run on a live index: readers that loaded the
+    * flat graph are unaffected, and [[searchRoutedHier]] picks the sidecar
+    * up on its next load. Re-run after [[compactClustered]] (the new
+    * generation starts without layers — hier search fails loudly until
+    * built); [[appendSegment]] needs no re-run (new pids fall back to the
+    * flat entry until the next build). */
+  def buildHierarchy(spark: SparkSession, indexPath: String,
+                     p: Params = Params()): Unit = {
+    import spark.implicits._
+    val (graphDir, _) = resolveDirs(spark, indexPath)
+    val metric = routes(spark, indexPath)._1
+    val layersDir = resolveLayersDir(spark, indexPath)
+    val df = spark.read.parquet(graphDir)
+      .select(col("pid"), col("id"), col("vec"))
+    val maxPidRow = df.agg(max(col("pid"))).head
+    if (maxPidRow.isNullAt(0)) {
+      // empty graph: write an empty (but present) sidecar so hier search
+      // over the empty index stays consistent instead of failing the
+      // missing-sidecar require
+      graft.tables.Writer.write(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], layerSchema),
+        layersDir, sortBy = Seq("pid", "level", "id"))
+      residentL.remove(indexPath).foreach(_.unpersist(false))
+      return
+    }
+    val maxPid = maxPidRow.getInt(0)
+    val m = p.m
+    val efC = p.efC
+    val keyed = df.as[(Int, Long, Array[Float])]
+      .rdd.map(t => (t._1, (t._2, t._3)))
+      .partitionBy(new PidPartitioner(maxPid + 1))
+    val rowRdd = keyed.mapPartitionsWithIndex { (pid, it) =>
+      val nodes = it.map(_._2).toArray.sortBy(_._1)
+      if (nodes.isEmpty) Iterator.empty
+      else {
+        val levels = nodes.map(n => nodeLevel(n._1, m))
+        val maxL = levels.max
+        (1 to maxL).iterator.flatMap { l =>
+          val subset = nodes.indices.filter(levels(_) >= l)
+          val sub = new SubGraph[Array[Float]](
+            subset.map(i => nodes(i)._1).toArray,
+            subset.map(i => nodes(i)._2).toArray,
+            new FloatSpace(metric))
+          sub.build(m, efC)
+          (0 until sub.n).iterator.map { i =>
+            Row(pid, l, sub.ids(i), sub.adj(i).map(sub.ids(_)).sorted.toSeq)
+          }
+        }
+      }
+    }
+    val layers = spark.createDataFrame(rowRdd, layerSchema)
+    graft.tables.Writer.write(layers, layersDir,
+      sortBy = Seq("pid", "level", "id"), files = maxPid + 1)
+    residentL.remove(indexPath).foreach(_.unpersist(false))
+  }
+
+  private type LayerRow = (Int, Long, Array[Long]) // (level, id, neighbors)
+  private val residentL =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.rdd.RDD[(Int, LayerRow)]]
+
+  /** Resident layer rows, co-partitioned with [[loadGraph]]'s RDD
+    * (`numParts` = the graph's partition count, so the two zip). Pids
+    * appended after the hierarchy build have no rows — empty partitions,
+    * flat-entry fallback. */
+  private def loadLayers(spark: SparkSession, indexPath: String,
+                         numParts: Int): org.apache.spark.rdd.RDD[(Int, LayerRow)] =
+    residentL.synchronized {
+      residentL.getOrElseUpdate(indexPath, {
+        import spark.implicits._
+        val dir = resolveLayersDir(spark, indexPath)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(p),
+          s"no layer hierarchy at $dir — run Hnsw.buildHierarchy first " +
+            "(a compacted generation starts without one)")
+        val df = spark.read.parquet(dir)
+          .select(col("pid"), col("level"), col("id"), col("neighbors"))
+        val l = df.as[(Int, Int, Long, Array[Long])]
+          .rdd.map(t => (t._1, (t._2, t._3, t._4)))
+          .partitionBy(new PidPartitioner(numParts))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        l.count()
+        l
+      })
+    }
+
+  /** Rehydrate one partition's layer rows against the layer-0 id→index
+    * map: levels DESCENDING, each as (level, member layer-0 indices
+    * ascending, adjacency as layer-0 indices). Ascending-id layer-0 arrays
+    * make id order == index order, so members stay binary-searchable. A
+    * dangling id fails loudly (same contract as [[rehydrate]]). */
+  private def rehydrateLayers(rows: Array[LayerRow],
+                              idx: Long => Int)
+      : Array[(Int, Array[Int], Array[Array[Int]])] =
+    rows.groupBy(_._1).toArray.sortBy(-_._1).map { case (lvl, rs) =>
+      val sorted = rs.sortBy(_._2)
+      (lvl, sorted.map(r => idx(r._2)), sorted.map(_._3.map(idx(_))))
+    }
+
+  /** Greedy hierarchy descent (hnswlib's upper-layer phase,
+    * knn/knn.cpp:455-537: ef=1 from the top layer's entry point): at each
+    * layer move to the best-improving neighbor until a local minimum, then
+    * drop a layer — a node at level l is a member of every lower layer, so
+    * the position carries down. Deterministic: ties move to the LOWER
+    * index, and (dist, index) strictly decreases lexicographically, so the
+    * walk terminates. Returns the layer-0 beam entry; `counters` receives
+    * (hops, distances scored) like the beam's. */
+  private def descend[V](g: SubGraph[V],
+                         layers: Array[(Int, Array[Int], Array[Array[Int]])],
+                         q: Array[Float],
+                         counters: Array[Long]): Int = {
+    if (layers.isEmpty) return 0
+    var cur = layers.head._2(0)
+    var curD = g.nodeDist(cur, q)
+    if (counters != null) counters(1) += 1
+    layers.foreach { case (_, nodes, adj) =>
+      var moved = true
+      while (moved) {
+        moved = false
+        if (counters != null) counters(0) += 1
+        val pos = java.util.Arrays.binarySearch(nodes, cur)
+        val nbrs = adj(pos)
+        var i = 0
+        while (i < nbrs.length) {
+          val cand = nbrs(i)
+          val dd = g.nodeDist(cand, q)
+          if (counters != null) counters(1) += 1
+          if (dd < curD || (dd == curD && cand < cur)) {
+            curD = dd; cur = cand; moved = true
+          }
+          i += 1
+        }
+      }
+    }
+    cur
+  }
+
+  /** One partition's hierarchy-entry beam search: rehydrate layer 0 and
+    * the layer rows, descend to the entry, beam from there. Same result
+    * contract as [[searchSubGraph]] — identical at full ef (the walk is
+    * exhaustive from any entry). */
+  private def searchSubGraphHier(git: Iterator[(Int, GraphRow)],
+                                 lit: Iterator[(Int, LayerRow)],
+                                 q: Array[Float], k: Int, ef: Int,
+                                 metric: Knn.Metric,
+                                 allowed: Long => Boolean = _ => true,
+                                 adaptive: Boolean = false,
+                                 scoredAcc: org.apache.spark.util.LongAccumulator = null)
+      : Iterator[(Long, Double, Array[Float])] = {
+    val rows = git.map(_._2).toArray
+    if (rows.isEmpty) Iterator.empty
+    else {
+      val g = rehydrate(rows, new FloatSpace(metric))
+      val idMap = g.ids.zipWithIndex.toMap
+      val idx: Long => Int = id => idMap.getOrElse(id,
+        throw new IllegalStateException(
+          s"layer row references id $id absent from its sub-graph — " +
+            "stale hierarchy sidecar; rebuild with buildHierarchy"))
+      val layers = rehydrateLayers(lit.map(_._2).toArray, idx)
+      val counters = if (scoredAcc != null) new Array[Long](2) else null
+      val entry = descend(g, layers, q, counters)
+      val term =
+        if (adaptive && k > 10)
+          new Quantile.Termination(Quantile.L2ThresholdQuantile)
+        else null
+      val res = g.searchBeam(q, math.max(ef, k), g.n,
+          i => allowed(g.ids(i)), term, counters, entry)
+        .take(k)
+        .map { case (dist, i) => (g.ids(i), dist, g.vecs(i)) }
+      if (scoredAcc != null) scoredAcc.add(counters(1))
+      res.iterator
+    }
+  }
+
+  /** [[searchRouted]] through the layer hierarchy: the same centroid-
+    * ordered, triangle-bounded probe schedule, but each probed sub-graph
+    * descends its upper layers to a near-optimal beam entry instead of
+    * starting at the lowest id — the reference's two-phase walk
+    * (knn/knn.cpp:455-537) composed with the engine's sub-graph routing.
+    * EXACT at full ef (entry choice cannot change an exhaustive walk — the
+    * oracle-checked configuration); at small ef the descent buys its value
+    * at scale, where a fixed entry's localization cost grows with
+    * sub-graph size and the descent's does not. Fails loudly if the index
+    * has no hierarchy sidecar. */
+  def searchRoutedHier(spark: SparkSession, indexPath: String, idCol: String,
+                       query: Array[Float], k: Int, ef: Int,
+                       eps: Double = 1e-4,
+                       allowed: Option[Long => Boolean] = None,
+                       adaptiveTermination: Boolean = false,
+                       scoredAcc: org.apache.spark.util.LongAccumulator = null)
+      : (DataFrame, Int) = {
+    import spark.implicits._
+    val graph = loadGraph(spark, indexPath)
+    val layers = loadLayers(spark, indexPath, graph.getNumPartitions)
+    val qB = spark.sparkContext.broadcast(query)
+    val f = allowed.getOrElse((_: Long) => true)
+    val metric = routes(spark, indexPath)._1
+    val adapt = adaptiveTermination
+    val acc = scoredAcc
+    val (rows, probed) = routedSchedule(spark, indexPath, query, k, eps,
+      probes => {
+        val zipped = graph.zipPartitions(layers, preservesPartitioning = true) {
+          (git, lit) =>
+            searchSubGraphHier(git, lit, qB.value, k, ef, metric, f, adapt, acc)
+        }
+        org.apache.spark.rdd.PartitionPruningRDD.create(zipped, probes.contains)
+          .collect()
+      })
+    (rows.map { case (id, dist, _) => (id, dist) }.toSeq.toDF(idCol, "dist"),
+      probed)
+  }
+
+  /** [[walkStats]] through the hierarchy: per-sub-graph (pid, size,
+    * nodesExpanded, distancesScored) where both counters INCLUDE the
+    * descent's hops and scores — the honest comparison against the flat
+    * walk's telemetry (BENCH_SF1 hier_telemetry reports both). */
+  def walkStatsHier(spark: SparkSession, indexPath: String,
+                    query: Array[Float], k: Int, ef: Int)
+      : Array[(Int, Int, Long, Long)] = {
+    val metric = routes(spark, indexPath)._1
+    val graph = loadGraph(spark, indexPath)
+    val layers = loadLayers(spark, indexPath, graph.getNumPartitions)
+    val qB = spark.sparkContext.broadcast(query)
+    graph.zipPartitions(layers, preservesPartitioning = true) { (git, lit) =>
+      val rows = git.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val pid = rows.head._1
+        val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
+        val idMap = g.ids.zipWithIndex.toMap
+        val lyr = rehydrateLayers(lit.map(_._2).toArray, idMap(_))
+        val c = new Array[Long](2)
+        val entry = descend(g, lyr, qB.value, c)
+        g.searchBeam(qB.value, math.max(ef, k), g.n, counters = c,
+          entry = entry)
         Iterator.single((pid, g.n, c(0), c(1)))
       }
     }.collect()

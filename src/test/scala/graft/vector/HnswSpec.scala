@@ -556,4 +556,106 @@ class HnswSpec extends AnyFunSuite {
     assert(rows.sameElements(rows.sorted))
     assert(rows.length === 10)
   }
+
+  test("level draw is deterministic and geometric: P(level>=1) ~ 1/m (r15 hierarchy)") {
+    val m = 8
+    // pure function of (id, m): two draws agree
+    assert((0L until 100L).forall(i =>
+      Hnsw.nodeLevel(i, m) === Hnsw.nodeLevel(i, m)))
+    val n = 20000
+    val l1 = (0 until n).count(i => Hnsw.nodeLevel(i.toLong, m) >= 1)
+    val l2 = (0 until n).count(i => Hnsw.nodeLevel(i.toLong, m) >= 2)
+    // expectation n/m = 2500 and n/m² = 312.5; 20% tolerance
+    assert(math.abs(l1 - n / m) < n / m / 5, s"level>=1 count $l1")
+    assert(math.abs(l2 - n / m / m) < n / m / m / 2, s"level>=2 count $l2")
+  }
+
+  test("hierarchy: exact at full ef, high recall at small ef, layer sizes geometric (r15)") {
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val rows = for {
+      c <- 0 until 8
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5)
+      i <- 0 until 120
+    } yield ((c * 120 + i).toLong,
+      center.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswh").resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClustered(df, "embedding", "vec_id", d, p)
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    // geometric layer sizes: level 1 ~ n/m of the corpus, within 2x slack
+    val layers = SparkT.spark.read.parquet(Hnsw.layersPath(d))
+    val l1 = layers.filter($"level" === 1).count()
+    assert(l1 > rows.size / 8 / 2 && l1 < rows.size / 8 * 2,
+      s"level-1 size $l1 for ${rows.size} nodes")
+    // exact at full ef: entry choice cannot change an exhaustive walk
+    Seq(3L, 250L, 601L, 905L).foreach { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+        q, 10, ef = 1 << 20)
+      assert(res.as[(Long, Double)].collect().toSeq === exact, s"query $qid")
+    }
+    // small-ef recall through the descent entry
+    val recalls = Seq(3L, 250L, 601L, 905L).map { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val (res, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+        q, 10, ef = 32)
+      val got = res.select("vec_id").as[Long].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95, s"mean hier recall@10 $mean ($recalls)")
+    // telemetry: the hier walk's total work stays in the flat walk's
+    // ballpark at these sub-graph sizes (the descent buys entry quality,
+    // not raw-count savings, until sub-graphs grow much larger)
+    val q = rows(3)._2
+    val flat = Hnsw.walkStats(SparkT.spark, d, q, 10, 32)
+    val hier = Hnsw.walkStatsHier(SparkT.spark, d, q, 10, 32)
+    val flatScored = flat.map(_._4).sum
+    val hierScored = hier.map(_._4).sum
+    assert(hierScored <= flatScored * 2,
+      s"hier scored $hierScored vs flat $flatScored")
+  }
+
+  test("hierarchy under cosine + appended-pid fallback + compact staleness (r15)") {
+    val tmp = Files.createTempDirectory("graft-hnswhc")
+    val d = tmp.resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    val build = emb.filter($"vec_id" % 10 =!= 7)
+    Hnsw.buildIndexClustered(build, "embedding", "vec_id", d, p, Knn.Cosine)
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    val exactB = Knn.knn(build, "embedding", "vec_id", queryVec, 10, Knn.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+      queryVec, 10, ef = 1 << 20)
+    assert(res.as[(Long, Double)].collect().toSeq === exactB)
+    // append a segment: its new pids have no layer rows — the descent
+    // falls back to the flat entry there, and full-ef stays exact
+    Hnsw.appendSegment(emb.filter($"vec_id" % 10 === 7),
+      "embedding", "vec_id", d)
+    val exactAll = Knn.knn(emb, "embedding", "vec_id", queryVec, 10, Knn.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (mid, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+      queryVec, 10, ef = 1 << 20)
+    assert(mid.as[(Long, Double)].collect().toSeq === exactAll)
+    // compact: the generation starts without layers — hier search fails
+    // loudly (never serves a stale descent) until buildHierarchy re-runs
+    Hnsw.compactClustered(SparkT.spark, d, p)
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id", queryVec, 10,
+        ef = 1 << 20)
+    }
+    assert(e.getMessage.contains("buildHierarchy"))
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    val (post, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+      queryVec, 10, ef = 1 << 20)
+    assert(post.as[(Long, Double)].collect().toSeq === exactAll)
+    // and the swept legacy sidecar is gone (commitGeneration bookkeeping)
+    assert(Hnsw.resolveDirs(SparkT.spark, d)._1.endsWith("__g1/graph"))
+  }
 }
