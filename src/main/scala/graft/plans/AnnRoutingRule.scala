@@ -68,10 +68,16 @@ object AnnRouting {
     * sub-exact for k > 10 (the reference gates the policy off for k ≤ 10,
     * knn.cpp:481-483, mirrored in the walk). Default off keeps every
     * routed plan on the exact full-ef contract. */
+  /** `hier` serves this registration's routed walks through the layer
+    * hierarchy ([[graft.vector.Hnsw.searchRoutedHierRaw]]): each probed
+    * sub-graph greedily descends its upper layers to the beam entry —
+    * same exactness contract (entry-independent at full ef). Requires the
+    * index to have a `_layers` sidecar (checked at registration). */
   final case class GraphFamily(idCol: String, ef: Int,
                                metric: Knn.Metric,
                                maxFilterIds: Long,
-                               adaptive: Boolean = false) extends Family
+                               adaptive: Boolean = false,
+                               hier: Boolean = false) extends Family
   /** QUANTIZED clustered graph
     * ([[graft.vector.Hnsw.buildIndexClusteredQuantized]]): same leaf swap
     * as the graph family, but the leaf runs the CODE-space walk and
@@ -162,15 +168,20 @@ object AnnRouting {
                     vecCol: String, idCol: String,
                     ef: Int = 1 << 20,
                     maxFilterIds: Long = 4L * 1000 * 1000,
-                    adaptiveTermination: Boolean = false): Unit = {
+                    adaptiveTermination: Boolean = false,
+                    hierarchy: Boolean = false): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
     val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
+    require(!hierarchy || graft.vector.Hnsw.hasHierarchy(spark, indexPath),
+      s"registerGraph(hierarchy = true): $indexPath has no layer sidecar " +
+        "— run Hnsw.buildHierarchy first")
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
-        GraphFamily(idCol, ef, metric, maxFilterIds, adaptiveTermination)))
+        GraphFamily(idCol, ef, metric, maxFilterIds, adaptiveTermination,
+          hierarchy)))
   }
 
   /** Register a QUANTIZED CLUSTERED GRAPH index
@@ -313,7 +324,7 @@ object AnnRouting {
         case IvfFamily(model, nprobe, _, _) =>
           renamed(Ivf.knnJoin(spark, r.indexPath, model, queries,
             qIdCol, qVecCol, idCol, r.vecCol, k, nprobe), idCol)
-        case GraphFamily(_, ef, _, _, _) =>
+        case GraphFamily(_, ef, _, _, _, _) =>
           Hnsw.knnJoinRouted(spark, r.indexPath, queries,
             qIdCol, qVecCol, cIdCol, k, ef)
         case QGraphFamily(gIdCol, ef, _, refine, _) =>
@@ -776,7 +787,8 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (!graphGateOk(gl, lr, r, g.idCol, Nil)) None
     else {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
-        qvec.toSeq, k, g.ef, lr.output, adaptive = g.adaptive)
+        qvec.toSeq, k, g.ef, lr.output, adaptive = g.adaptive,
+        hier = g.hier)
       Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
     }
   }
@@ -821,7 +833,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output,
         basePath = Some(r.basePath), filterSql = Some(cond.sql),
-        maxIds = g.maxFilterIds, adaptive = g.adaptive)
+        maxIds = g.maxFilterIds, adaptive = g.adaptive, hier = g.hier)
       // transformUp rebuilds parents after the leaf swap, so the consumed
       // Filter nodes are copies — match them by their (unchanged)
       // condition, not by reference

@@ -59,7 +59,8 @@ final case class GraphCandidates(indexPath: String, idName: String,
                                  maxIds: Long = Long.MaxValue,
                                  adaptive: Boolean = false,
                                  quantized: Boolean = false,
-                                 refine: Int = 8) extends LeafNode {
+                                 refine: Int = 8,
+                                 hier: Boolean = false) extends LeafNode {
   override def maxRows: Option[Long] =
     Some(if (quantized) k.toLong * refine else k.toLong)
   override def computeStats(): Statistics =
@@ -152,7 +153,14 @@ final case class GraphCandidatesExec(node: GraphCandidates)
               .select(col(node.idName), col(node.vecName))
               .collect()
               .map(r => (r.getLong(0), 0.0, r.getSeq[Float](1).toArray))
-          } else graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
+          } else if (node.hier)
+            // hierarchy-entry routed walk (registerGraph(hierarchy=true)):
+            // same raw-rows contract, the beam just starts at the descent's
+            // entry inside every probed sub-graph
+            graft.vector.Hnsw.searchRoutedHierRaw(spark, node.indexPath,
+              node.query.toArray, node.k, node.ef, allowed = allowed,
+              adaptiveTermination = node.adaptive)._1
+          else graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
             node.query.toArray, node.k, node.ef, allowed = allowed,
             adaptiveTermination = node.adaptive)._1
         }

@@ -632,6 +632,21 @@ object VectorQueries {
       },
       Some(oracleFor(s"1.0 - $cosSim"))),
 
+    // K4 through the hierarchy: registerGraph(hierarchy = true) makes the
+    // PLAIN exact top-k route through the GraphCandidates leaf in
+    // hierarchy mode — the descent picks each probed sub-graph's beam
+    // entry, the untouched Sort/Limit above recomputes exact distances.
+    // Exact at full ef, shares the fullscan oracle.
+    "q_knn_graph_hier_auto" -> QueryDef(
+      (s, d) => {
+        val path = hnswhIndex(s, d)
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20,
+          hierarchy = true)
+        topK(s, d, Knn.L2)
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K5 for cosine (the reference parameterizes termination by metric,
     // knn/termination.h:23-52): probe in normalized-space centroid order,
     // bound unprobed lists via max(0, ||q̂−c||−r−ε)²/2 (cosine distance of

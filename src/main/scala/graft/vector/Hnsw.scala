@@ -1139,6 +1139,22 @@ object Hnsw {
                        scoredAcc: org.apache.spark.util.LongAccumulator = null)
       : (DataFrame, Int) = {
     import spark.implicits._
+    val (rows, probed) = searchRoutedHierRaw(spark, indexPath, query, k, ef,
+      eps, allowed, adaptiveTermination, scoredAcc)
+    (rows.map { case (id, dist, _) => (id, dist) }.toSeq.toDF(idCol, "dist"),
+      probed)
+  }
+
+  /** [[searchRoutedHier]] returning raw (id, dist, vector) rows — the form
+    * the automatic route's [[graft.plans.GraphCandidates]] leaf feeds back
+    * under the original Sort/Limit (exactly as [[searchRoutedRaw]]). */
+  def searchRoutedHierRaw(spark: SparkSession, indexPath: String,
+                          query: Array[Float], k: Int, ef: Int,
+                          eps: Double = 1e-4,
+                          allowed: Option[Long => Boolean] = None,
+                          adaptiveTermination: Boolean = false,
+                          scoredAcc: org.apache.spark.util.LongAccumulator = null)
+      : (Array[(Long, Double, Array[Float])], Int) = {
     val graph = loadGraph(spark, indexPath)
     val layers = loadLayers(spark, indexPath, graph.getNumPartitions)
     val qB = spark.sparkContext.broadcast(query)
@@ -1146,7 +1162,7 @@ object Hnsw {
     val metric = routes(spark, indexPath)._1
     val adapt = adaptiveTermination
     val acc = scoredAcc
-    val (rows, probed) = routedSchedule(spark, indexPath, query, k, eps,
+    routedSchedule(spark, indexPath, query, k, eps,
       probes => {
         val zipped = graph.zipPartitions(layers, preservesPartitioning = true) {
           (git, lit) =>
@@ -1155,8 +1171,14 @@ object Hnsw {
         org.apache.spark.rdd.PartitionPruningRDD.create(zipped, probes.contains)
           .collect()
       })
-    (rows.map { case (id, dist, _) => (id, dist) }.toSeq.toDF(idCol, "dist"),
-      probed)
+  }
+
+  /** Whether `indexPath` currently has a layer-hierarchy sidecar (at its
+    * RESOLVED generation) — lets the automatic route fail loudly at
+    * registration instead of at first query. */
+  def hasHierarchy(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(resolveLayersDir(spark, indexPath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** [[walkStats]] through the hierarchy: per-sub-graph (pid, size,

@@ -605,6 +605,48 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, baseG)
   }
 
+  test("graph family: hierarchy mode rides registration into the routed leaf (r15)") {
+    val tmp = Files.createTempDirectory("graft-annroute-hier")
+    val baseG = tmp.resolve("baseh").toString
+    val idxG = tmp.resolve("idxh").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), baseG,
+      sortBy = Seq("vec_id"))
+    graft.vector.Hnsw.buildIndexClustered(
+      SparkT.spark.read.parquet(baseG), "embedding", "vec_id", idxG,
+      graft.vector.Hnsw.Params(m = 8, efC = 32, partitions = 4))
+    def leafOf(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case g: GraphCandidates => g
+    }
+    // no layer sidecar yet: hierarchy registration fails loudly at
+    // REGISTRATION, not at first query
+    val e = intercept[IllegalArgumentException] {
+      AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+        vecCol = "embedding", idCol = "vec_id", hierarchy = true)
+    }
+    assert(e.getMessage.contains("buildHierarchy"))
+    graft.vector.Hnsw.buildHierarchy(SparkT.spark, idxG,
+      graft.vector.Hnsw.Params(m = 8, efC = 32))
+    AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
+      vecCol = "embedding", idCol = "vec_id", hierarchy = true)
+    // the flag lands in the leaf; full ef keeps the result exact (entry
+    // choice cannot change an exhaustive walk)
+    val hier = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)
+    assert(leafOf(hier).exists(_.hier),
+      hier.queryExecution.optimizedPlan.toString)
+    assert(hier.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // the FILTERED routed leaf carries it too, and stays exact over the
+    // allowed subset
+    val filt = Knn.knn(
+      SparkT.spark.read.parquet(baseG).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(leafOf(filt).exists(l => l.hier && l.filterSql.isDefined))
+    val wantFilt = vectors.filter(_._3 == 2)
+      .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+    assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    AnnRouting.unregister(SparkT.spark, baseG)
+  }
+
   test("routing preserves downstream projections (round/select shapes)") {
     val df = Knn.knn(SparkT.spark.read.parquet(baseDir),
         "embedding", "vec_id", query, 10)
