@@ -87,7 +87,8 @@ object AnnRouting {
   final case class QGraphFamily(idCol: String, ef: Int,
                                 metric: Knn.Metric,
                                 refine: Int,
-                                maxFilterIds: Long) extends Family
+                                maxFilterIds: Long,
+                                hier: Boolean = false) extends Family
   /** Quantized table ([[graft.vector.Quantize.quantizeTable]]): the
     * routed plan splices the coarse int8 screen (top k·refine by code
     * distance) + self-join under the original Sort/Limit — the exact
@@ -197,15 +198,19 @@ object AnnRouting {
                              indexPath: String, vecCol: String,
                              idCol: String, ef: Int = 1 << 20,
                              refine: Int = 8,
-                             maxFilterIds: Long = 4L * 1000 * 1000): Unit = {
+                             maxFilterIds: Long = 4L * 1000 * 1000,
+                             hierarchy: Boolean = false): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
     val rows = graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
     val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
+    require(!hierarchy || graft.vector.Hnsw.hasHierarchy(spark, indexPath),
+      s"registerGraphQuantized(hierarchy = true): $indexPath has no layer " +
+        "sidecar — run Hnsw.buildHierarchyQuantized first")
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
-        QGraphFamily(idCol, ef, metric, refine, maxFilterIds)))
+        QGraphFamily(idCol, ef, metric, refine, maxFilterIds, hierarchy)))
   }
 
   /** Register a QUANTIZED table ([[graft.vector.Quantize.quantizeTable]]
@@ -327,7 +332,7 @@ object AnnRouting {
         case GraphFamily(_, ef, _, _, _, _) =>
           Hnsw.knnJoinRouted(spark, r.indexPath, queries,
             qIdCol, qVecCol, cIdCol, k, ef)
-        case QGraphFamily(gIdCol, ef, _, refine, _) =>
+        case QGraphFamily(gIdCol, ef, _, refine, _, _) =>
           Hnsw.knnJoinQuantized(spark, r.indexPath,
             spark.read.parquet(r.basePath), gIdCol, r.vecCol,
             queries, qIdCol, qVecCol, cIdCol, k, ef, refine)
@@ -858,7 +863,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       val leaf = GraphCandidates(r.indexPath, qg.idCol, r.vecCol,
         qvec.toSeq, k, qg.ef, lr.output,
         basePath = Some(r.basePath),
-        quantized = true, refine = qg.refine)
+        quantized = true, refine = qg.refine, hier = qg.hier)
       Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
     }
   }
@@ -885,7 +890,8 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       val leaf = GraphCandidates(r.indexPath, qg.idCol, r.vecCol,
         qvec.toSeq, k, qg.ef, lr.output,
         basePath = Some(r.basePath), filterSql = Some(cond.sql),
-        maxIds = qg.maxFilterIds, quantized = true, refine = qg.refine)
+        maxIds = qg.maxFilterIds, quantized = true, refine = qg.refine,
+        hier = qg.hier)
       Some(gl.transformUp {
         case l: LogicalRelation if l eq lr => leaf
         case f: Filter if conds.exists(_ fastEquals f.condition) => f.child

@@ -533,6 +533,23 @@ object VectorQueries {
       },
       Some(oracleFor(s"1.0 - $cosSim"))),
 
+    // K6 ∘ K1 through the LAYER HIERARCHY (r15 — the reference's index is
+    // a layered AND quantized HNSW at once: knn/knn.cpp:105-135 hands
+    // hnswlib the quantized space and hnswlib layers it): the upper
+    // layers are built and descended in CODE space (no float residency),
+    // the layer-0 code beam starts at the descent's entry, and the
+    // k·refine survivors rescore exactly on raw floats. Exact at full ef
+    // under the same refine contract — shares the fullscan oracle.
+    "q_knn_graph_quant_hier" -> QueryDef(
+      (s, d) => {
+        val path = hnswqHierIndex(s, d)
+        val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
+          "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20,
+          hier = true)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     "q_knn_graph_routed" -> QueryDef(
       (s, d) => {
         val path = hnswcIndex(s, d)
@@ -1222,6 +1239,15 @@ object VectorQueries {
       val path = hnswcCosIndex(s, d)
       if (!new java.io.File(Hnsw.layersPath(path), "_SUCCESS").isFile)
         Hnsw.buildHierarchy(s, path, Hnsw.Params(m = 8, efC = 64))
+      path
+    })
+
+  // Code-space layers over the shared QUANTIZED clustered index.
+  private def hnswqHierIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#hierquant", {
+      val path = hnswqIndex(s, d)
+      if (!new java.io.File(Hnsw.layersPath(path), "_SUCCESS").isFile)
+        Hnsw.buildHierarchyQuantized(s, path, Hnsw.Params(m = 8, efC = 64))
       path
     })
 

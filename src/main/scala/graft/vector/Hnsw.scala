@@ -973,11 +973,55 @@ object Hnsw {
       return
     }
     val maxPid = maxPidRow.getInt(0)
-    val m = p.m
-    val efC = p.efC
     val keyed = df.as[(Int, Long, Array[Float])]
       .rdd.map(t => (t._1, (t._2, t._3)))
       .partitionBy(new PidPartitioner(maxPid + 1))
+    writeLayersFrom(spark, keyed, new FloatSpace(metric), p, layersDir,
+      maxPid + 1)
+    residentL.remove(indexPath).foreach(_.unpersist(false))
+  }
+
+  /** [[buildHierarchy]] for a QUANTIZED clustered graph
+    * ([[buildIndexClusteredQuantized]]): the upper layers are built and
+    * walked in CODE space (the same [[CodeSpace]] kernel as the layer-0
+    * beam — the reference's hierarchy and quantizer compose the same way,
+    * knn/knn.cpp:105-135 hands hnswlib the quantized space and hnswlib
+    * layers it), so the hierarchy adds no float residency. */
+  def buildHierarchyQuantized(spark: SparkSession, indexPath: String,
+                              p: Params = Params()): Unit = {
+    import spark.implicits._
+    val graphDir = resolveQuantizedDirs(spark, indexPath)._1
+    val qm = qmodel(spark, indexPath)
+    val layersDir = resolveLayersDir(spark, indexPath)
+    val df = spark.read.parquet(graphDir)
+      .select(col("pid"), col("id"), col("qcode"))
+    val maxPidRow = df.agg(max(col("pid"))).head
+    if (maxPidRow.isNullAt(0)) {
+      graft.tables.Writer.write(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], layerSchema),
+        layersDir, sortBy = Seq("pid", "level", "id"))
+      residentL.remove(indexPath).foreach(_.unpersist(false))
+      return
+    }
+    val maxPid = maxPidRow.getInt(0)
+    val keyed = df.as[(Int, Long, Array[Byte])]
+      .rdd.map(t => (t._1, (t._2, t._3)))
+      .partitionBy(new PidPartitioner(maxPid + 1))
+    writeLayersFrom(spark, keyed, new CodeSpace(qm), p, layersDir, maxPid + 1)
+    residentL.remove(indexPath).foreach(_.unpersist(false))
+  }
+
+  /** The shared per-partition layer builder: draw levels from the ids,
+    * build an NSW over every level>=l subset through the space kernel
+    * (same diversity heuristic + chain edges as layer 0), write
+    * (pid, level, id, neighbors) rows for levels >= 1. */
+  private def writeLayersFrom[V: scala.reflect.ClassTag](
+      spark: SparkSession,
+      keyed: org.apache.spark.rdd.RDD[(Int, (Long, V))],
+      space: Space[V], p: Params, layersDir: String,
+      numParts: Int): Unit = {
+    val m = p.m
+    val efC = p.efC
     val rowRdd = keyed.mapPartitionsWithIndex { (pid, it) =>
       val nodes = it.map(_._2).toArray.sortBy(_._1)
       if (nodes.isEmpty) Iterator.empty
@@ -986,10 +1030,9 @@ object Hnsw {
         val maxL = levels.max
         (1 to maxL).iterator.flatMap { l =>
           val subset = nodes.indices.filter(levels(_) >= l)
-          val sub = new SubGraph[Array[Float]](
+          val sub = new SubGraph[V](
             subset.map(i => nodes(i)._1).toArray,
-            subset.map(i => nodes(i)._2).toArray,
-            new FloatSpace(metric))
+            subset.map(i => nodes(i)._2).toArray, space)
           sub.build(m, efC)
           (0 until sub.n).iterator.map { i =>
             Row(pid, l, sub.ids(i), sub.adj(i).map(sub.ids(_)).sorted.toSeq)
@@ -997,10 +1040,8 @@ object Hnsw {
         }
       }
     }
-    val layers = spark.createDataFrame(rowRdd, layerSchema)
-    graft.tables.Writer.write(layers, layersDir,
-      sortBy = Seq("pid", "level", "id"), files = maxPid + 1)
-    residentL.remove(indexPath).foreach(_.unpersist(false))
+    graft.tables.Writer.write(spark.createDataFrame(rowRdd, layerSchema),
+      layersDir, sortBy = Seq("pid", "level", "id"), files = numParts)
   }
 
   private type LayerRow = (Int, Long, Array[Long]) // (level, id, neighbors)
@@ -1490,6 +1531,7 @@ object Hnsw {
   /** Drop the resident copy of a quantized graph index. */
   def invalidateQuantized(indexPath: String): Unit = {
     residentQ.remove(indexPath).foreach(_.unpersist(false))
+    residentL.remove(indexPath).foreach(_.unpersist(false))
     qmodelCache.remove(indexPath)
     qerrCache.remove(indexPath)
     routeCache.remove(indexPath)
@@ -1511,12 +1553,14 @@ object Hnsw {
                       raw: DataFrame, vecCol: String, idCol: String,
                       query: Array[Float], k: Int, ef: Int,
                       refine: Int = 8,
-                      allowed: Option[Long => Boolean] = None)
+                      allowed: Option[Long => Boolean] = None,
+                      hier: Boolean = false)
       : (DataFrame, Int) = {
     import spark.implicits._
     val metric = routes(spark, indexPath)._1
     val (ids, probed) =
-      searchQuantizedCoarse(spark, indexPath, query, k, ef, refine, allowed)
+      searchQuantizedCoarse(spark, indexPath, query, k, ef, refine, allowed,
+        hier)
     val survivors = raw.join(ids.toDF(idCol), Seq(idCol))
     (Knn.knn(survivors, vecCol, idCol, query, k, metric), probed)
   }
@@ -1530,10 +1574,16 @@ object Hnsw {
     * `allowed` gates the beam exactly as in [[searchRoutedRaw]] (K3):
     * traversal crosses disallowed nodes, only allowed enter the result
     * set, and the < k survivor case keeps the loop probing (over-probe). */
+  /** `hier = true` walks each probed sub-graph from its layer-hierarchy
+    * descent entry ([[buildHierarchyQuantized]]'s code-space layers)
+    * instead of the lowest id — the reference's layered quantized index
+    * composed; the coarse k·refine contract and the error-slack prune are
+    * unchanged (entry choice cannot change an exhaustive full-ef walk). */
   def searchQuantizedCoarse(spark: SparkSession, indexPath: String,
                             query: Array[Float], k: Int, ef: Int,
                             refine: Int = 8,
-                            allowed: Option[Long => Boolean] = None)
+                            allowed: Option[Long => Boolean] = None,
+                            hier: Boolean = false)
       : (Seq[Long], Int) = {
     val (metric, rts) = routes(spark, indexPath)
     require(metric == Knn.L2 || metric == Knn.Cosine,
@@ -1548,9 +1598,37 @@ object Hnsw {
     val order = rts.map(_._1).sortBy(centDist)
     def bound(pid: Int): Double = centDist(pid) - radius(pid)
     val graph = loadQuantizedGraph(spark, indexPath)
+    val layersOpt =
+      if (hier) Some(loadLayers(spark, indexPath, graph.getNumPartitions))
+      else None
     val f = allowed.getOrElse((_: Long) => true)
     val qB = spark.sparkContext.broadcast((qm, bq, f))
     val keep = k * refine
+    val efEff = ef
+    // the shared per-partition code-space walk; `lt` carries the layer
+    // rows on the hier path (null = flat lowest-id entry)
+    val walk = (it: Iterator[(Int, QGraphRow)],
+                lt: Iterator[(Int, LayerRow)]) => {
+      val part = it.map(_._2).toArray
+      if (part.isEmpty) Iterator.empty[(Double, Long)]
+      else {
+        val (mm, q, fv) = qB.value
+        val g = rehydrate(part, new CodeSpace(mm))
+        val entry =
+          if (lt == null) 0
+          else {
+            val idMap = g.ids.zipWithIndex.toMap
+            descend(g, rehydrateLayers(lt.map(_._2).toArray, id =>
+              idMap.getOrElse(id, throw new IllegalStateException(
+                s"layer row references id $id absent from its sub-graph " +
+                  "— stale hierarchy sidecar; rebuild with " +
+                  "buildHierarchyQuantized"))), q, null)
+          }
+        g.searchBeam(q, math.max(efEff, keep), g.n,
+            allowed = i => fv(g.ids(i)), entry = entry).take(keep)
+          .map { case (d, i) => (d, g.ids(i)) }.iterator
+      }
+    }
     var remaining: Seq[Int] = order.toSeq
     var probed = 0
     var batch = spark.conf.getOption("spark.graft.graph.probeBatch")
@@ -1566,19 +1644,18 @@ object Hnsw {
       remaining.nonEmpty
     }) {
       val probes = remaining.take(batch).toSet
-      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
-        graph, probes.contains)
-      val rows = pruned.mapPartitions { it =>
-        val part = it.map(_._2).toArray
-        if (part.isEmpty) Iterator.empty
-        else {
-          val (mm, q, fv) = qB.value
-          val g = rehydrate(part, new CodeSpace(mm))
-          g.searchBeam(q, math.max(ef, keep), g.n,
-              allowed = i => fv(g.ids(i))).take(keep)
-            .map { case (d, i) => (d, g.ids(i)) }.iterator
-        }
-      }.collect()
+      val rows = layersOpt match {
+        case Some(layers) =>
+          org.apache.spark.rdd.PartitionPruningRDD.create(
+              graph.zipPartitions(layers, preservesPartitioning = true)(
+                (a, b) => walk(a, b)),
+              probes.contains)
+            .collect()
+        case None =>
+          org.apache.spark.rdd.PartitionPruningRDD.create(
+              graph, probes.contains)
+            .mapPartitions(it => walk(it, null)).collect()
+      }
       cands = (cands ++ rows).sortBy(identity).take(keep)
       probed += probes.size
       remaining = remaining.drop(batch)
@@ -1794,7 +1871,7 @@ object Hnsw {
       new org.apache.hadoop.fs.Path(nextPath, "route").toString,
       new org.apache.hadoop.fs.Path(nextPath, "qmodel").toString, p, metric)
     commitGeneration(fs, base, indexPath, graphDir, nextVersion, nextPath,
-      sidecarSuffixes = Seq("_route", "_qmodel", "_qerr"))
+      sidecarSuffixes = Seq("_route", "_qmodel", "_qerr", "_layers"))
     invalidateQuantized(indexPath)
     graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
   }

@@ -644,6 +644,26 @@ class AnnRoutingSpec extends AnyFunSuite {
     val wantFilt = vectors.filter(_._3 == 2)
       .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
     assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    // QUANTIZED family: hierarchy registration demands the code-space
+    // sidecar, then rides into the quantized leaf and stays exact
+    val idxQ = tmp.resolve("idxqh").toString
+    graft.vector.Hnsw.buildIndexClusteredQuantized(
+      SparkT.spark.read.parquet(baseG), "embedding", "vec_id", idxQ,
+      graft.vector.Hnsw.Params(m = 8, efC = 32, partitions = 4))
+    val eq = intercept[IllegalArgumentException] {
+      AnnRouting.registerGraphQuantized(SparkT.spark, baseG, idxQ,
+        vecCol = "embedding", idCol = "vec_id", hierarchy = true)
+    }
+    assert(eq.getMessage.contains("buildHierarchyQuantized"))
+    graft.vector.Hnsw.buildHierarchyQuantized(SparkT.spark, idxQ,
+      graft.vector.Hnsw.Params(m = 8, efC = 32))
+    AnnRouting.registerGraphQuantized(SparkT.spark, baseG, idxQ,
+      vecCol = "embedding", idCol = "vec_id", hierarchy = true)
+    val qh = Knn.knn(SparkT.spark.read.parquet(baseG),
+      "embedding", "vec_id", query, 10)
+    assert(leafOf(qh).exists(l => l.quantized && l.hier),
+      qh.queryExecution.optimizedPlan.toString)
+    assert(qh.select("vec_id").as[Long].collect().toSeq === exactTop10)
     AnnRouting.unregister(SparkT.spark, baseG)
   }
 

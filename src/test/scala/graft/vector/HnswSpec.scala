@@ -622,6 +622,33 @@ class HnswSpec extends AnyFunSuite {
       s"hier scored $hierScored vs flat $flatScored")
   }
 
+  test("QUANTIZED hierarchy: code-space layers, exact at full ef, loud without sidecar (r15)") {
+    val tmp = Files.createTempDirectory("graft-hnswqh")
+    val d = tmp.resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClusteredQuantized(emb, "embedding", "vec_id", d, p)
+    // no sidecar yet: the hier walk fails loudly, flat stays fine
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.searchQuantized(SparkT.spark, d, emb, "embedding", "vec_id",
+        queryVec, 10, ef = 1 << 20, hier = true)._1.collect()
+    }
+    assert(e.getMessage.contains("buildHierarchy"))
+    Hnsw.buildHierarchyQuantized(SparkT.spark, d, p)
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res, _) = Hnsw.searchQuantized(SparkT.spark, d, emb,
+      "embedding", "vec_id", queryVec, 10, ef = 1 << 20, hier = true)
+    assert(res.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      === exact)
+    // the layer rows reference only real node ids, and levels start at 1
+    val layers = SparkT.spark.read.parquet(Hnsw.layersPath(d))
+    assert(layers.filter($"level" < 1).count() === 0)
+    val nodeIds = SparkT.spark.read
+      .parquet(Hnsw.resolveDirs(SparkT.spark, d)._1)
+      .select("id").as[Long].collect().toSet
+    assert(layers.select("id").as[Long].collect().forall(nodeIds))
+  }
+
   test("hierarchy under cosine + appended-pid fallback + compact staleness (r15)") {
     val tmp = Files.createTempDirectory("graft-hnswhc")
     val d = tmp.resolve("g").toString
