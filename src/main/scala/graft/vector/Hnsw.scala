@@ -912,7 +912,7 @@ object Hnsw {
     * layout; a [[compactClustered]] generation holds a `layers/` subdir). */
   def layersPath(indexPath: String): String = indexPath + "_layers"
 
-  private def resolveLayersDir(spark: SparkSession, indexPath: String): String = {
+  private[vector] def resolveLayersDir(spark: SparkSession, indexPath: String): String = {
     val (g, _) = resolveDirs(spark, indexPath)
     if (g == indexPath) layersPath(indexPath)
     else new org.apache.hadoop.fs.Path(

@@ -200,6 +200,82 @@ object VectorIndexCheck {
     Report(indexPath, rows, issues.toSeq)
   }
 
+  /** Layer-hierarchy sidecar check ([[Hnsw.buildHierarchy]] /
+    * [[Hnsw.buildHierarchyQuantized]] layout — serves both, the sidecar
+    * schema is shared): a corrupt sidecar cannot make full-ef search
+    * WRONG (the descent only picks the beam entry; the walk is
+    * exhaustive), but a dangling member id crashes the walk and a broken
+    * layer graph silently degrades small-ef recall — so the pass
+    * validates:
+    *  1. NULL fields (truncated/bit-rotted rows);
+    *  2. levels >= 1 (level 0 lives in the graph table, never here);
+    *  3. membership: every (pid, id) layer row names a node of the SAME
+    *     sub-graph (the descent rehydrates per partition);
+    *  4. downward closure: a node at level l appears at every level below
+    *     it down to 1 (the descent carries its position down);
+    *  5. adjacency resolves within the same (pid, level) member set. */
+  def checkLayers(spark: SparkSession, indexPath: String): Report = {
+    import spark.implicits._
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    val layersDir = Hnsw.resolveLayersDir(spark, indexPath)
+    val graphDir = Hnsw.resolveDirs(spark, indexPath)._1
+    val raw = spark.read.parquet(layersDir)
+      .select(col("pid"), col("level"), col("id"), col("neighbors"))
+    val rows = raw.count()
+
+    // 1. NULL-field corruption; remaining passes run on the clean subset
+    val corruptPred = col("pid").isNull || col("level").isNull ||
+      col("id").isNull || col("neighbors").isNull ||
+      exists(col("neighbors"), x => x.isNull)
+    val corrupt = raw.filter(corruptPred)
+    val cc = corrupt.count()
+    if (cc > 0)
+      issues += s"$cc layer rows with NULL fields: ids ${sample(
+        corrupt.select(coalesce(col("id"), lit(-1L))).as[Long].take(SampleN))}"
+    val l = raw.filter(!corruptPred)
+
+    // 2. levels start at 1
+    val bad = l.filter(col("level") < 1).select(col("id")).as[Long]
+    val bc = bad.count()
+    if (bc > 0)
+      issues += s"$bc layer rows with level < 1: ids ${sample(bad.take(SampleN))}"
+
+    // 3. membership against the sub-graph's node set
+    val nodes = spark.read.parquet(graphDir)
+      .select(col("pid"), col("id"))
+    val orphan = l.select(col("pid"), col("id"))
+      .join(nodes, Seq("pid", "id"), "left_anti")
+      .select(col("id")).as[Long]
+    val oc = orphan.count()
+    if (oc > 0)
+      issues += s"$oc layer rows reference ids absent from their " +
+        s"sub-graph: ${sample(orphan.take(SampleN))}"
+
+    // 4. downward closure: (pid, id, level > 1) needs a (pid, id, level-1)
+    val gap = l.filter(col("level") > 1)
+      .select(col("pid"), col("id"), (col("level") - 1).as("level"))
+      .join(l.select(col("pid"), col("id"), col("level")),
+        Seq("pid", "id", "level"), "left_anti")
+      .select(col("id")).as[Long]
+    val gc = gap.count()
+    if (gc > 0)
+      issues += s"$gc nodes missing from a layer below their level " +
+        s"(downward closure broken): ids ${sample(gap.take(SampleN))}"
+
+    // 5. adjacency resolves within the same (pid, level) member set
+    val members = l.select(col("pid"), col("level"), col("id").as("nbr"))
+    val dangling = l.select(col("pid"), col("level"), col("id"),
+        explode(col("neighbors")).as("nbr"))
+      .join(members, Seq("pid", "level", "nbr"), "left_anti")
+      .select(col("id")).as[Long]
+    val dc = dangling.count()
+    if (dc > 0)
+      issues += s"$dc layer adjacency entries point outside their " +
+        s"(pid, level) member set: from ids ${sample(dangling.take(SampleN))}"
+
+    Report(layersDir, rows, issues.toSeq)
+  }
+
   /** Shared quant-family pass: re-encode every stored vector with the
     * model and require code equality, plus id uniqueness and optional
     * fact reconciliation. `encode` returns None when the vector itself is

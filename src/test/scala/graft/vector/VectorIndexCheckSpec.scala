@@ -258,4 +258,52 @@ class VectorIndexCheckSpec extends AnyFunSuite {
     assert(r6.ok, r6.issues.mkString("; "))
     assert(r6.path.contains("__g"), r6.path)
   }
+
+  test("layer sidecar: healthy passes; orphan member, closure gap, dangling adjacency, bad level caught (r15)") {
+    val d = Files.createTempDirectory("graft-vcheck-hier").resolve("g").toString
+    Hnsw.buildIndexClustered(emb, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 4))
+    Hnsw.buildHierarchy(SparkT.spark, d, Hnsw.Params(m = 8, efC = 64))
+    val healthy = VectorIndexCheck.checkLayers(SparkT.spark, d)
+    assert(healthy.ok, healthy.issues.mkString("; "))
+    assert(healthy.rows > 0)
+
+    def corruptL(mut: DataFrame => DataFrame): String = {
+      val out = Files.createTempDirectory("graft-vcheck-hier-bad")
+        .resolve("g").toString
+      SparkT.spark.read.parquet(d).write.parquet(out)
+      SparkT.spark.read.parquet(Hnsw.routePath(d))
+        .write.parquet(Hnsw.routePath(out))
+      mut(SparkT.spark.read.parquet(Hnsw.layersPath(d)))
+        .write.parquet(Hnsw.layersPath(out))
+      out
+    }
+    // a member id the sub-graph does not hold (pass 3)
+    val orphan = corruptL(l => l.withColumn("id",
+      when(col("level") === 1 && col("id") === l.filter($"level" === 1)
+        .agg(min("id")).head.getLong(0), lit(999999L)).otherwise(col("id"))))
+    assert(VectorIndexCheck.checkLayers(SparkT.spark, orphan)
+      .issues.exists(_.contains("absent from their")), orphan)
+    // drop a level-1 row for a node that also sits at level 2 (pass 4) —
+    // only when the fixture drew a level-2 node (m=8 over 500 ids: ~7)
+    val l2ids = SparkT.spark.read.parquet(Hnsw.layersPath(d))
+      .filter($"level" === 2).select("id").as[Long].collect()
+    if (l2ids.nonEmpty) {
+      val gap = corruptL(l =>
+        l.filter(!(col("level") === 1 && col("id") === l2ids.head)))
+      assert(VectorIndexCheck.checkLayers(SparkT.spark, gap)
+        .issues.exists(_.contains("downward closure")), gap)
+    }
+    // adjacency pointing at a non-member of the (pid, level) (pass 5)
+    val dang = corruptL(l => l.withColumn("neighbors",
+      when(col("level") === 1, array(lit(999999L)))
+        .otherwise(col("neighbors"))))
+    assert(VectorIndexCheck.checkLayers(SparkT.spark, dang)
+      .issues.exists(_.contains("outside their")), dang)
+    // a level-0 row in the sidecar (pass 2)
+    val lvl0 = corruptL(l => l.withColumn("level",
+      when(col("level") === 1, lit(0)).otherwise(col("level"))))
+    assert(VectorIndexCheck.checkLayers(SparkT.spark, lvl0)
+      .issues.exists(_.contains("level < 1")), lvl0)
+  }
 }
