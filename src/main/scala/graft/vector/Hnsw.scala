@@ -18,10 +18,13 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   * contract as [[Knn.knn]] — a k-row-per-partition driver merge, no
   * shuffle of the vectors themselves.
   *
-  * Graph shape: single-layer NSW (the reference's layer-0 with a fixed
-  * entry point instead of the layer hierarchy — at sub-graph sizes of
-  * 10^5-10^6 rows the hierarchy buys one hop). Insertion in ascending-id
-  * order; each node's links come from the ef-construction beam through the
+  * Graph shape: single-layer NSW by default (the reference's layer-0 with
+  * a fixed entry point — at sub-graph sizes of 10^5-10^6 rows the
+  * hierarchy buys one hop, BENCH_SF1 walk_telemetry), with the full layer
+  * hierarchy available as an OPT-IN sidecar ([[buildHierarchy]] /
+  * [[searchRoutedHier]]; code-space twin for the quantized family) for
+  * deployments whose sub-graphs grow past that regime. Insertion in
+  * ascending-id order; each node's links come from the ef-construction beam through the
   * PUBLISHED diversity heuristic (Malkov Algorithm 4 — plain m-nearest
   * collapses into cliques on duplicate-heavy data, see selectDiverse), plus
   * an UNPRUNED chain edge to its insertion predecessor, which keeps every
