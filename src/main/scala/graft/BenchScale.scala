@@ -436,14 +436,18 @@ object BenchScale {
       import spark.implicits._
       val qs = spark.read.parquet(embPath).filter(col("vec_id") < 20)
         .select(col("embedding")).as[Seq[Float]].collect()
-      def meanExpanded(idx: String): (Double, Double) = {
+      // (mean expanded, mean size, mean scored) per walk — one sweep
+      // serves the growth pin AND the flat side of the hier comparison
+      // (review r15-4: the flat sweep ran twice)
+      def meanExpanded(idx: String): (Double, Double, Double) = {
         val per = qs.flatMap(q =>
           Hnsw.walkStats(spark, idx, q.toArray, k = 10, ef = 64))
         (per.map(_._3).sum.toDouble / per.length,
-          per.map(_._2).sum.toDouble / per.length)
+          per.map(_._2).sum.toDouble / per.length,
+          per.map(_._4).sum.toDouble / per.length)
       }
-      val (expSmall, szSmall) = meanExpanded(smallIdx)
-      val (expBig, szBig) = meanExpanded(bigIdx)
+      val (expSmall, szSmall, _) = meanExpanded(smallIdx)
+      val (expBig, szBig, scoredFlat) = meanExpanded(bigIdx)
       val growth = expBig / expSmall
       val sizeStep = szBig / szSmall
       val hopsOk = growth <= 3.0
@@ -474,9 +478,6 @@ object BenchScale {
         Hnsw.walkStatsHier(spark, bigIdx, q.toArray, k = 10, ef = 64))
       val expHier = perH.map(_._3).sum.toDouble / perH.length
       val scoredHier = perH.map(_._4).sum.toDouble / perH.length
-      val perF = qs.flatMap(q =>
-        Hnsw.walkStats(spark, bigIdx, q.toArray, k = 10, ef = 64))
-      val scoredFlat = perF.map(_._4).sum.toDouble / perF.length
       val hierOk = scoredHier <= scoredFlat * 2.0
       allOk &&= hierOk
       val hh = root.putObject("hier_telemetry")

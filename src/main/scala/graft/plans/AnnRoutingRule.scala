@@ -329,13 +329,13 @@ object AnnRouting {
         case IvfFamily(model, nprobe, _, _) =>
           renamed(Ivf.knnJoin(spark, r.indexPath, model, queries,
             qIdCol, qVecCol, idCol, r.vecCol, k, nprobe), idCol)
-        case GraphFamily(_, ef, _, _, _, _) =>
+        case GraphFamily(_, ef, _, _, _, hier) =>
           Hnsw.knnJoinRouted(spark, r.indexPath, queries,
-            qIdCol, qVecCol, cIdCol, k, ef)
-        case QGraphFamily(gIdCol, ef, _, refine, _, _) =>
+            qIdCol, qVecCol, cIdCol, k, ef, hier = hier)
+        case QGraphFamily(gIdCol, ef, _, refine, _, hier) =>
           Hnsw.knnJoinQuantized(spark, r.indexPath,
             spark.read.parquet(r.basePath), gIdCol, r.vecCol,
-            queries, qIdCol, qVecCol, cIdCol, k, ef, refine)
+            queries, qIdCol, qVecCol, cIdCol, k, ef, refine, hier = hier)
         case QuantFamily(model, qCol, fIdCol, refine) =>
           Quantize.knnJoinQuant(spark.read.parquet(r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,

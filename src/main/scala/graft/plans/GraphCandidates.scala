@@ -145,7 +145,7 @@ final case class GraphCandidatesExec(node: GraphCandidates)
             // column is read only for the survivors)
             val ids = graft.vector.Hnsw.searchQuantizedCoarse(spark,
               node.indexPath, node.query.toArray, node.k, node.ef,
-              node.refine, allowed = allowed)._1
+              node.refine, allowed = allowed, hier = node.hier)._1
             if (ids.isEmpty) Array.empty[(Long, Double, Array[Float])]
             else spark.read.parquet(node.basePath.get)
               .filter(col(node.idName).isin(ids: _*))

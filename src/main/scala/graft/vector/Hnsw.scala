@@ -89,6 +89,12 @@ object Hnsw {
     val adj: Array[scala.collection.mutable.ArrayBuffer[Int]] =
       Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
 
+    /** id → index, built once per rehydration and shared by adjacency
+      * resolution and the hierarchy descent (review r15-4: the hier walk
+      * rebuilt this map per probe round). ids ascending ⇒ index order ==
+      * id order. */
+    lazy val idIndex: Map[Long, Int] = ids.zipWithIndex.toMap
+
     private def d(i: Int, q: Array[Float]): Double =
       space.dist(vecs(i), q)
 
@@ -309,7 +315,11 @@ object Hnsw {
     val m = buildClusteredTo(df, vecCol, idCol, path, routePath(path), p, metric)
     // a rebuild at the same path invalidates the resident copy and any
     // automatic-routing entry that froze the old graph (same contract as
-    // Ivf.buildIndex)
+    // Ivf.buildIndex) — and SWEEPS any prior hierarchy sidecar, whose
+    // layer rows name the OLD build's pids/ids (review r15-4: a stale
+    // sidecar would pass hasHierarchy yet crash or silently mis-descend;
+    // hier search now fails loudly until buildHierarchy re-runs)
+    fs.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
     invalidate(path)
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     m
@@ -632,20 +642,23 @@ object Hnsw {
       rows: Array[(Long, V, Array[Long])], space: Space[V]): SubGraph[V] = {
     val sorted = rows.sortBy(_._1)
     val g = new SubGraph(sorted.map(_._1), sorted.map(_._2), space)
-    val idx = sorted.map(_._1).zipWithIndex.toMap
     sorted.indices.foreach { i =>
-      g.adj(i) ++= sorted(i)._3.iterator.map(n => idx.getOrElse(n,
+      g.adj(i) ++= sorted(i)._3.iterator.map(n => g.idIndex.getOrElse(n,
         throw new IllegalStateException(
           s"dangling neighbor id $n in sub-graph (node ${sorted(i)._1})")))
     }
     g
   }
 
+  /** `layers`, when non-null, carries the partition's hierarchy rows:
+    * the beam starts at the descent's entry instead of node 0 (the shared
+    * walk body of the flat AND hier paths — review r15-4 deduplication). */
   private def searchSubGraph(it: Iterator[(Int, GraphRow)], q: Array[Float],
                              k: Int, ef: Int, metric: Knn.Metric,
                              allowed: Long => Boolean = _ => true,
                              adaptive: Boolean = false,
-                             scoredAcc: org.apache.spark.util.LongAccumulator = null)
+                             scoredAcc: org.apache.spark.util.LongAccumulator = null,
+                             layers: Iterator[(Int, LayerRow)] = null)
       : Iterator[(Long, Double, Array[Float])] = {
     val rows = it.map(_._2).toArray
     if (rows.isEmpty) Iterator.empty
@@ -659,11 +672,14 @@ object Hnsw {
           new Quantile.Termination(Quantile.L2ThresholdQuantile)
         else null
       val counters = if (scoredAcc != null) new Array[Long](2) else null
+      val entry =
+        if (layers == null) 0
+        else descend(g, hydratedLayers(g, layers), q, counters)
       // vectors ride along (k per sub-graph): the automatic ANN route
       // feeds candidates back under the original Sort, which recomputes
       // exact distances from them
       val res = g.searchBeam(q, math.max(ef, k), g.n,
-          i => allowed(g.ids(i)), term, counters)
+          i => allowed(g.ids(i)), term, counters, entry)
         .take(k)
         .map { case (dist, i) => (g.ids(i), dist, g.vecs(i)) }
       if (scoredAcc != null) scoredAcc.add(counters(1))
@@ -877,18 +893,25 @@ object Hnsw {
       : Array[(Int, Int, Long, Long)] = {
     val (metric, _) = routes(spark, indexPath)
     val qB = spark.sparkContext.broadcast(query)
-    loadGraph(spark, indexPath).mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val pid = rows.head._1
-        val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
-        val c = new Array[Long](2)
-        g.searchBeam(qB.value, math.max(ef, k), g.n, counters = c)
-        Iterator.single((pid, g.n, c(0), c(1)))
-      }
-    }.collect()
+    loadGraph(spark, indexPath).mapPartitions(it =>
+      walkOne(it.toArray, null, qB.value, k, ef, metric)).collect()
   }
+
+  /** One partition's telemetry walk — the shared body of [[walkStats]]
+    * and [[walkStatsHier]] (`lt` null = flat lowest-id entry). */
+  private def walkOne(rows: Array[(Int, GraphRow)],
+                      lt: Iterator[(Int, LayerRow)],
+                      q: Array[Float], k: Int, ef: Int, metric: Knn.Metric)
+      : Iterator[(Int, Int, Long, Long)] =
+    if (rows.isEmpty) Iterator.empty
+    else {
+      val pid = rows.head._1
+      val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
+      val c = new Array[Long](2)
+      val entry = if (lt == null) 0 else descend(g, hydratedLayers(g, lt), q, c)
+      g.searchBeam(q, math.max(ef, k), g.n, counters = c, entry = entry)
+      Iterator.single((pid, g.n, c(0), c(1)))
+    }
 
   // ==================== Layer hierarchy =====================
   //
@@ -1090,6 +1113,24 @@ object Hnsw {
       (lvl, sorted.map(r => idx(r._2)), sorted.map(_._3.map(idx(_))))
     }
 
+  /** [[rehydrateLayers]] against a sub-graph's own id index, with the one
+    * stale-sidecar failure message — the shared layer loader of every
+    * hier walk site. */
+  private def hydratedLayers[V](g: SubGraph[V],
+                                lt: Iterator[(Int, LayerRow)])
+      : Array[(Int, Array[Int], Array[Array[Int]])] =
+    rehydrateLayers(lt.map(_._2).toArray, id =>
+      g.idIndex.getOrElse(id, throw new IllegalStateException(
+        s"layer row references id $id absent from its sub-graph — stale " +
+          "hierarchy sidecar; rebuild with buildHierarchy " +
+          "(buildHierarchyQuantized for code-space indexes)")))
+
+  /** Walks that actually ran a hierarchy descent (nonempty layers) —
+    * spec instrumentation only, meaningful in local mode where executors
+    * share the JVM (same caveat as
+    * [[graft.plans.GraphCandidates.fallbackCount]]). */
+  val descents = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Greedy hierarchy descent (hnswlib's upper-layer phase,
     * knn/knn.cpp:455-537: ef=1 from the top layer's entry point): at each
     * layer move to the best-improving neighbor until a local minimum, then
@@ -1103,6 +1144,7 @@ object Hnsw {
                          q: Array[Float],
                          counters: Array[Long]): Int = {
     if (layers.isEmpty) return 0
+    descents.incrementAndGet()
     var cur = layers.head._2(0)
     var curD = g.nodeDist(cur, q)
     if (counters != null) counters(1) += 1
@@ -1126,43 +1168,6 @@ object Hnsw {
       }
     }
     cur
-  }
-
-  /** One partition's hierarchy-entry beam search: rehydrate layer 0 and
-    * the layer rows, descend to the entry, beam from there. Same result
-    * contract as [[searchSubGraph]] — identical at full ef (the walk is
-    * exhaustive from any entry). */
-  private def searchSubGraphHier(git: Iterator[(Int, GraphRow)],
-                                 lit: Iterator[(Int, LayerRow)],
-                                 q: Array[Float], k: Int, ef: Int,
-                                 metric: Knn.Metric,
-                                 allowed: Long => Boolean = _ => true,
-                                 adaptive: Boolean = false,
-                                 scoredAcc: org.apache.spark.util.LongAccumulator = null)
-      : Iterator[(Long, Double, Array[Float])] = {
-    val rows = git.map(_._2).toArray
-    if (rows.isEmpty) Iterator.empty
-    else {
-      val g = rehydrate(rows, new FloatSpace(metric))
-      val idMap = g.ids.zipWithIndex.toMap
-      val idx: Long => Int = id => idMap.getOrElse(id,
-        throw new IllegalStateException(
-          s"layer row references id $id absent from its sub-graph — " +
-            "stale hierarchy sidecar; rebuild with buildHierarchy"))
-      val layers = rehydrateLayers(lit.map(_._2).toArray, idx)
-      val counters = if (scoredAcc != null) new Array[Long](2) else null
-      val entry = descend(g, layers, q, counters)
-      val term =
-        if (adaptive && k > 10)
-          new Quantile.Termination(Quantile.L2ThresholdQuantile)
-        else null
-      val res = g.searchBeam(q, math.max(ef, k), g.n,
-          i => allowed(g.ids(i)), term, counters, entry)
-        .take(k)
-        .map { case (dist, i) => (g.ids(i), dist, g.vecs(i)) }
-      if (scoredAcc != null) scoredAcc.add(counters(1))
-      res.iterator
-    }
   }
 
   /** [[searchRouted]] through the layer hierarchy: the same centroid-
@@ -1210,7 +1215,7 @@ object Hnsw {
       probes => {
         val zipped = graph.zipPartitions(layers, preservesPartitioning = true) {
           (git, lit) =>
-            searchSubGraphHier(git, lit, qB.value, k, ef, metric, f, adapt, acc)
+            searchSubGraph(git, qB.value, k, ef, metric, f, adapt, acc, lit)
         }
         org.apache.spark.rdd.PartitionPruningRDD.create(zipped, probes.contains)
           .collect()
@@ -1237,19 +1242,7 @@ object Hnsw {
     val layers = loadLayers(spark, indexPath, graph.getNumPartitions)
     val qB = spark.sparkContext.broadcast(query)
     graph.zipPartitions(layers, preservesPartitioning = true) { (git, lit) =>
-      val rows = git.toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val pid = rows.head._1
-        val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
-        val idMap = g.ids.zipWithIndex.toMap
-        val lyr = rehydrateLayers(lit.map(_._2).toArray, idMap(_))
-        val c = new Array[Long](2)
-        val entry = descend(g, lyr, qB.value, c)
-        g.searchBeam(qB.value, math.max(ef, k), g.n, counters = c,
-          entry = entry)
-        Iterator.single((pid, g.n, c(0), c(1)))
-      }
+      walkOne(git.toArray, lit, qB.value, k, ef, metric)
     }.collect()
   }
 
@@ -1276,10 +1269,15 @@ object Hnsw {
     * brute-force oracle with q_knn_join/_ivf); smaller `probes` is the
     * IVF-nprobe-style economy knob with the usual clustered-recall
     * contract. */
+  /** `hier = true` descends each probed sub-graph's layer sidecar once
+    * per assigned query (the layers rehydrate ONCE per sub-graph, like
+    * the graph itself) — so a hierarchy registration serves its batch
+    * joins and its single queries through the same walk (review r15-4). */
   def knnJoinRouted(spark: SparkSession, indexPath: String,
                     queries: DataFrame, qIdCol: String, qVecCol: String,
                     cIdCol: String, k: Int, ef: Int,
-                    probes: Int = Int.MaxValue): DataFrame = {
+                    probes: Int = Int.MaxValue,
+                    hier: Boolean = false): DataFrame = {
     import spark.implicits._
     val (metric, rts) = routes(spark, indexPath)
     require(rts.nonEmpty, s"no route sidecar at ${routePath(indexPath)}")
@@ -1299,25 +1297,40 @@ object Hnsw {
       .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
     val qB = spark.sparkContext.broadcast(byPid)
     val graph = loadGraph(spark, indexPath)
-    val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
-      graph, byPid.contains)
-    val perPart = pruned.mapPartitions { it =>
+    val layersOpt =
+      if (hier) Some(loadLayers(spark, indexPath, graph.getNumPartitions))
+      else None
+    val kk = k
+    val body = (it: Iterator[(Int, GraphRow)],
+                lt: Iterator[(Int, LayerRow)]) => {
       val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
+      if (rows.isEmpty) Iterator.empty[(Long, Long, Double)]
       else {
         // every row in a partition shares one pid (PidPartitioner)
         val pid = rows.head._1
         val assigned = qB.value.getOrElse(pid, Array.empty[(Long, Array[Float])])
-        if (assigned.isEmpty) Iterator.empty
+        if (assigned.isEmpty) Iterator.empty[(Long, Long, Double)]
         else {
           val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
-          // ONE rehydrated graph serves every assigned query
+          // ONE rehydrated graph (and layer set) serves every assigned query
+          val lyr = if (lt == null) null else hydratedLayers(g, lt)
           assigned.iterator.flatMap { case (qid, qv) =>
-            g.searchBeam(qv, math.max(ef, k), g.n).take(k)
+            val entry = if (lyr == null) 0 else descend(g, lyr, qv, null)
+            g.searchBeam(qv, math.max(ef, kk), g.n, entry = entry).take(kk)
               .map { case (d, i) => (qid, g.ids(i), d) }
           }
         }
       }
+    }
+    val perPart = layersOpt match {
+      case Some(layers) =>
+        org.apache.spark.rdd.PartitionPruningRDD.create(
+          graph.zipPartitions(layers, preservesPartitioning = true)(
+            (a, b) => body(a, b)),
+          byPid.contains)
+      case None =>
+        org.apache.spark.rdd.PartitionPruningRDD.create(graph, byPid.contains)
+          .mapPartitions(it => body(it, null))
     }
     val scored = perPart.toDF("__qid", "__cid", "__dist")
     TopK.topKPairs(scored, qIdCol, cIdCol, k)
@@ -1388,6 +1401,9 @@ object Hnsw {
         "at the base path (readers resolve through the manifest)")
     val out = buildQuantizedTo(df, vecCol, idCol, path, routePath(path),
       qmodelPath(path), p, metric)
+    // sweep a prior hierarchy sidecar — stale against the new build
+    // (same reasoning as buildIndexClustered's sweep)
+    fsQ.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
     invalidateQuantized(path)
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     out
@@ -1619,14 +1635,7 @@ object Hnsw {
         val g = rehydrate(part, new CodeSpace(mm))
         val entry =
           if (lt == null) 0
-          else {
-            val idMap = g.ids.zipWithIndex.toMap
-            descend(g, rehydrateLayers(lt.map(_._2).toArray, id =>
-              idMap.getOrElse(id, throw new IllegalStateException(
-                s"layer row references id $id absent from its sub-graph " +
-                  "— stale hierarchy sidecar; rebuild with " +
-                  "buildHierarchyQuantized"))), q, null)
-          }
+          else descend(g, hydratedLayers(g, lt), q, null)
         g.searchBeam(q, math.max(efEff, keep), g.n,
             allowed = i => fv(g.ids(i)), entry = entry).take(keep)
           .map { case (d, i) => (d, g.ids(i)) }.iterator
@@ -1689,7 +1698,8 @@ object Hnsw {
                        queries: DataFrame, qIdCol: String, qVecCol: String,
                        cIdCol: String, k: Int, ef: Int,
                        refine: Int = 8,
-                       probes: Int = Int.MaxValue): DataFrame = {
+                       probes: Int = Int.MaxValue,
+                       hier: Boolean = false): DataFrame = {
     import spark.implicits._
     val (metric, rts) = routes(spark, indexPath)
     require(rts.nonEmpty, s"no route sidecar at ${routePath(indexPath)}")
@@ -1710,27 +1720,43 @@ object Hnsw {
       .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
     val qB = spark.sparkContext.broadcast((qm, byPid))
     val graph = loadQuantizedGraph(spark, indexPath)
+    val layersOpt =
+      if (hier) Some(loadLayers(spark, indexPath, graph.getNumPartitions))
+      else None
     val keep = k * refine
-    val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
-      graph, byPid.contains)
-    val perPart = pruned.mapPartitions { it =>
+    val body = (it: Iterator[(Int, QGraphRow)],
+                lt: Iterator[(Int, LayerRow)]) => {
       val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
+      if (rows.isEmpty) Iterator.empty[(Long, Long)]
       else {
         val (mm, assignments) = qB.value
         val pid = rows.head._1
         val assigned =
           assignments.getOrElse(pid, Array.empty[(Long, Array[Float])])
-        if (assigned.isEmpty) Iterator.empty
+        if (assigned.isEmpty) Iterator.empty[(Long, Long)]
         else {
-          // ONE rehydrated code graph serves every assigned query
+          // ONE rehydrated code graph (and layer set) serves every
+          // assigned query
           val g = rehydrate(rows.map(_._2), new CodeSpace(mm))
+          val lyr = if (lt == null) null else hydratedLayers(g, lt)
           assigned.iterator.flatMap { case (qid, bq) =>
-            g.searchBeam(bq, math.max(ef, keep), g.n).take(keep)
+            val entry = if (lyr == null) 0 else descend(g, lyr, bq, null)
+            g.searchBeam(bq, math.max(ef, keep), g.n, entry = entry)
+              .take(keep)
               .map { case (_, i) => (qid, g.ids(i)) }
           }
         }
       }
+    }
+    val perPart = layersOpt match {
+      case Some(layers) =>
+        org.apache.spark.rdd.PartitionPruningRDD.create(
+          graph.zipPartitions(layers, preservesPartitioning = true)(
+            (a, b) => body(a, b)),
+          byPid.contains)
+      case None =>
+        org.apache.spark.rdd.PartitionPruningRDD.create(graph, byPid.contains)
+          .mapPartitions(it => body(it, null))
     }
     // multi-probe duplicates collapse before the rescore join
     val cands = perPart.toDF("__qid", "__cid").distinct()

@@ -628,13 +628,19 @@ class AnnRoutingSpec extends AnyFunSuite {
       graft.vector.Hnsw.Params(m = 8, efC = 32))
     AnnRouting.registerGraph(SparkT.spark, baseG, idxG,
       vecCol = "embedding", idCol = "vec_id", hierarchy = true)
-    // the flag lands in the leaf; full ef keeps the result exact (entry
-    // choice cannot change an exhaustive walk)
+    // the flag lands in the leaf AND the walk actually descends — full-ef
+    // exactness alone cannot distinguish hier from flat (entry choice
+    // cannot change an exhaustive walk), so the descent counter is the
+    // execution-level pin (review r15-4: a dropped flag sailed through
+    // the results-only assertion)
     val hier = Knn.knn(SparkT.spark.read.parquet(baseG),
       "embedding", "vec_id", query, 10)
     assert(leafOf(hier).exists(_.hier),
       hier.queryExecution.optimizedPlan.toString)
+    val d0 = graft.vector.Hnsw.descents.get()
     assert(hier.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    assert(graft.vector.Hnsw.descents.get() > d0,
+      "hier-registered route executed without a hierarchy descent")
     // the FILTERED routed leaf carries it too, and stays exact over the
     // allowed subset
     val filt = Knn.knn(
@@ -663,7 +669,18 @@ class AnnRoutingSpec extends AnyFunSuite {
       "embedding", "vec_id", query, 10)
     assert(leafOf(qh).exists(l => l.quantized && l.hier),
       qh.queryExecution.optimizedPlan.toString)
+    val dq0 = graft.vector.Hnsw.descents.get()
     assert(qh.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    assert(graft.vector.Hnsw.descents.get() > dq0,
+      "hier-registered quantized route executed without a descent")
+    // the batch-join leg of the SAME registration descends too
+    val queriesDf = vectors.take(3).map(v => (v._1, v._2))
+      .toDF("query_id", "embedding")
+    val dj0 = graft.vector.Hnsw.descents.get()
+    AnnRouting.knnJoin(SparkT.spark, baseG, "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 5).collect()
+    assert(graft.vector.Hnsw.descents.get() > dj0,
+      "hier-registered batch join executed without a descent")
     AnnRouting.unregister(SparkT.spark, baseG)
   }
 

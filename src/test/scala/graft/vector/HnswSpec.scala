@@ -620,6 +620,13 @@ class HnswSpec extends AnyFunSuite {
     val hierScored = hier.map(_._4).sum
     assert(hierScored <= flatScored * 2,
       s"hier scored $hierScored vs flat $flatScored")
+    // an in-place rebuild sweeps the now-stale sidecar: hier search fails
+    // loudly instead of descending the OLD build's layers (review r15-4)
+    Hnsw.buildIndexClustered(df, "embedding", "vec_id", d, p)
+    assert(!Hnsw.hasHierarchy(SparkT.spark, d))
+    intercept[IllegalArgumentException] {
+      Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id", q, 10, ef = 1 << 20)
+    }
   }
 
   test("QUANTIZED hierarchy: code-space layers, exact at full ef, loud without sidecar (r15)") {
