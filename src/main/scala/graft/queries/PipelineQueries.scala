@@ -426,6 +426,63 @@ object PipelineQueries {
         "FROM emb e CROSS JOIN (SELECT e AS qe FROM emb WHERE doc_id = 0) q " +
         "ORDER BY list_distance(e.e, q.qe), e.doc_id LIMIT 10")),
 
+    // FLAGSHIP v7 — SEMANTIC CURATION (r15): the ANN surface inside the
+    // data pipeline, the "dedup new crawl against the corpus by meaning"
+    // recipe (SemDeDup-style nearest-neighbor screening, here with an
+    // EXACT serving contract instead of cluster sampling). The corpus
+    // split (doc_id % 10 != 7) is embedded by the deterministic K8 stage
+    // (documents_sem), indexed as a clustered graph WITH the layer
+    // hierarchy, and the incoming batch (doc_id % 10 == 7) resolves its
+    // nearest corpus neighbor through the HIERARCHICAL batch KNN join
+    // (one rehydration + one layer set per probed sub-graph serves the
+    // whole batch; exact at full ef). Batch docs closer than θ to any
+    // corpus doc drop as semantic dups; per-source accounting reports
+    // kept/dropped, kept token budget, and the exact integer sum of
+    // squared nn distances (count-vector embeddings make every distance²
+    // an integer — hash-safe). The oracle replays embed → exact 1-NN →
+    // threshold → accounting entirely in SQL.
+    "q_pipeline_v7" -> QueryDef(
+      (s, d) => {
+        val sem = graft.tables.Derived.table(s, d, "documents_sem")
+        val batch = sem.filter(col("doc_id") % 10 === 7)
+        val idx = v7Index(s, d)
+        val nn = graft.vector.Hnsw.knnJoinRouted(s, idx,
+          batch.select(col("doc_id"), col("emb")), "doc_id", "emb",
+          "nn_id", k = 1, ef = 1 << 20, hier = true)
+        batch.join(nn.select(col("doc_id"), col("dist")), Seq("doc_id"))
+          .withColumn("keep", col("dist") >= 3.5)
+          .groupBy(col("source"))
+          .agg(
+            sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("dropped"),
+            sum(when(col("keep"),
+                graft.pipeline.TextFunctions.tokenCount(col("text"))
+                  .cast("long"))
+              .otherwise(0L)).as("tokens_kept"),
+            sum(round(col("dist") * col("dist")).cast("long"))
+              .as("nn_sq_sum"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
+        "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
+        "(a, b) -> (a*31 + b) % 1000000007) % 16 AS bucket FROM tok), " +
+        "emb AS (SELECT d.doc_id, [" +
+        (0 until 16).map(i =>
+          s"coalesce(sum(CASE WHEN h.bucket=$i THEN 1 ELSE 0 END),0)::DOUBLE")
+          .mkString(", ") +
+        "] AS e FROM dd d LEFT JOIN hashed h ON h.doc_id = d.doc_id GROUP BY d.doc_id), " +
+        "nn AS (SELECT b.doc_id, min(list_distance(b.e, c.e)) AS nnd " +
+        "FROM emb b, emb c WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 " +
+        "GROUP BY b.doc_id) " +
+        "SELECT d.source AS source, " +
+        "sum(CASE WHEN n.nnd >= 3.5 THEN 1 ELSE 0 END)::BIGINT AS kept, " +
+        "sum(CASE WHEN n.nnd < 3.5 THEN 1 ELSE 0 END)::BIGINT AS dropped, " +
+        raw"sum(CASE WHEN n.nnd >= 3.5 THEN len(list_filter(string_split_regex(trim(d.text),'\s+'), t -> t <> '')) ELSE 0 END)::BIGINT AS tokens_kept, " +
+        "sum(CAST(round(n.nnd*n.nnd) AS BIGINT))::BIGINT AS nn_sq_sum " +
+        "FROM nn n JOIN documents d ON d.doc_id = n.doc_id " +
+        "GROUP BY d.source")),
+
     // Multimodal round trip: engine-written binary payload + metadata
     // struct, decoded by the (stub) per-partition decode stage. The oracle
     // recomputes payload byte statistics from the text (fixture is ASCII,
@@ -1482,6 +1539,23 @@ object PipelineQueries {
         graft.vector.Hnsw.buildIndexClustered(s.read.parquet(semPath),
           "emb", "doc_id", path,
           graft.vector.Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
+
+  // v7's CORPUS-split clustered graph + layer hierarchy (the layers
+  // sidecar is written last, so its _SUCCESS implies graph + route
+  // completed too).
+  private def v7Index(s: org.apache.spark.sql.SparkSession, d: String): String =
+    semIdxCache.getOrElseUpdate(d + "#v7", {
+      val semPath = graft.tables.Derived.tablePath(s, d, "documents_sem")
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_documents_sem_corpus"
+      val p = graft.vector.Hnsw.Params(m = 8, efC = 64, partitions = 8)
+      if (!new java.io.File(graft.vector.Hnsw.layersPath(path), "_SUCCESS").isFile) {
+        graft.vector.Hnsw.buildIndexClustered(
+          s.read.parquet(semPath).filter(col("doc_id") % 10 =!= 7),
+          "emb", "doc_id", path, p)
+        graft.vector.Hnsw.buildHierarchy(s, path, p)
+      }
       path
     })
 }
