@@ -665,6 +665,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(scores.toMap === want)
   }
 
+  test("streaming semantic screen: per-batch hierarchical 1-NN join against the static corpus index (r15 v7 loop)") {
+    // The streaming counterpart of q_pipeline_v7: a crawl stream screens
+    // each micro-batch against the STATIC corpus graph (built once, with
+    // the layer hierarchy) via the hierarchical batch KNN join, keeping
+    // only batch rows farther than θ from every corpus vector — the same
+    // foreachBatch loop as the signature-store / decontamination / LM
+    // crawl flows, pinned for batch parity against the one-shot join.
+    import graft.vector.Hnsw
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sem")
+    val d = root.resolve("g").toString
+    val emb = graft.engine.Graft.table(SparkT.spark,
+      "/root/testdata/sf0.001", "embeddings").select($"vec_id", $"embedding")
+    val corpus = emb.filter($"vec_id" % 10 =!= 7)
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClustered(corpus, "embedding", "vec_id", d, p)
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    // θ = the median nn distance of the whole batch (computed from the
+    // one-shot join that also serves as the parity oracle below), so both
+    // screen outcomes are guaranteed nonempty on any fixture
+    val oneShot = Hnsw.knnJoinRouted(SparkT.spark, d,
+      emb.filter($"vec_id" % 10 === 7), "vec_id", "embedding", "nn_id",
+      k = 1, ef = 1 << 20, hier = true)
+    val dists = oneShot.select($"dist").as[Double].collect().sorted
+    val theta = dists(dists.length / 2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val streamed = emb.filter($"vec_id" % 10 === 7)
+      .as[(Long, Array[Float])].collect().map(VecRow.tupled.apply)
+    val in = MemoryStream[VecRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val nn = Hnsw.knnJoinRouted(SparkT.spark, d, batch,
+            "vec_id", "embedding", "nn_id", k = 1, ef = 1 << 20,
+            hier = true)
+          val ids = nn.filter($"dist" >= theta)
+            .select($"vec_id").as[Long].collect()
+          kept.synchronized { kept ++= ids; () }
+        }
+      }
+      .start()
+    try {
+      val (b1, b2) = streamed.partition(_.vec_id < 250L)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch parity: the same screen in ONE join over all streamed rows
+    val want = oneShot
+      .filter($"dist" >= theta).select($"vec_id").as[Long].collect().toSet
+    assert(kept.toSet === want)
+    // the screen is live (some rows survive, and on this fixture some
+    // near-corpus rows drop — both classes nonempty keeps θ meaningful)
+    assert(kept.nonEmpty && kept.size < streamed.length,
+      s"kept ${kept.size} of ${streamed.length}")
+  }
+
   test("stream-stream join pairs purchases with in-window views only") {
     val views = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
