@@ -412,17 +412,8 @@ object PipelineQueries {
             "emb", "doc_id", qv, 10, graft.vector.Knn.L2)
           .select(col("doc_id"), round(col("dist"), 6).as("dist"))
       },
-      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
-        "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
-        "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
-        "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
-        "(a, b) -> (a*31 + b) % 1000000007) % 16 AS bucket FROM tok), " +
-        "emb AS (SELECT d.doc_id, [" +
-        (0 until 16).map(i =>
-          s"coalesce(sum(CASE WHEN h.bucket=$i THEN 1 ELSE 0 END),0)::DOUBLE")
-          .mkString(", ") +
-        "] AS e FROM dd d LEFT JOIN hashed h ON h.doc_id = d.doc_id GROUP BY d.doc_id) " +
-        "SELECT e.doc_id, round(list_distance(e.e, q.qe), 6) + 0.0 AS dist " +
+      Some(semEmbCte(16) +
+        " SELECT e.doc_id, round(list_distance(e.e, q.qe), 6) + 0.0 AS dist " +
         "FROM emb e CROSS JOIN (SELECT e AS qe FROM emb WHERE doc_id = 0) q " +
         "ORDER BY list_distance(e.e, q.qe), e.doc_id LIMIT 10")),
 
@@ -462,17 +453,8 @@ object PipelineQueries {
             sum(round(col("dist") * col("dist")).cast("long"))
               .as("nn_sq_sum"))
       },
-      Some(raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
-        "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
-        "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
-        "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
-        "(a, b) -> (a*31 + b) % 1000000007) % 16 AS bucket FROM tok), " +
-        "emb AS (SELECT d.doc_id, [" +
-        (0 until 16).map(i =>
-          s"coalesce(sum(CASE WHEN h.bucket=$i THEN 1 ELSE 0 END),0)::DOUBLE")
-          .mkString(", ") +
-        "] AS e FROM dd d LEFT JOIN hashed h ON h.doc_id = d.doc_id GROUP BY d.doc_id), " +
-        "nn AS (SELECT b.doc_id, min(list_distance(b.e, c.e)) AS nnd " +
+      Some(semEmbCte(16) +
+        ", nn AS (SELECT b.doc_id, min(list_distance(b.e, c.e)) AS nnd " +
         "FROM emb b, emb c WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 " +
         "GROUP BY b.doc_id) " +
         "SELECT d.source AS source, " +
@@ -1541,6 +1523,23 @@ object PipelineQueries {
           graft.vector.Hnsw.Params(m = 8, efC = 64, partitions = 8))
       path
     })
+
+  /** The dd/tok/hashed/emb oracle prefix shared by the semantic gates:
+    * whitespace tokens → 31-polynomial codepoint hash mod `dim` buckets →
+    * per-doc count vector — the SQL replay of
+    * `Embeddings.HashingProvider(dim, normalize = false)` (one definition;
+    * review r15-5). */
+  private def semEmbCte(dim: Int): String =
+    raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+      "FROM documents), tok AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
+      "hashed AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), " +
+      s"(a, b) -> (a*31 + b) % 1000000007) % $dim AS bucket FROM tok), " +
+      "emb AS (SELECT d.doc_id, [" +
+      (0 until dim).map(i =>
+        s"coalesce(sum(CASE WHEN h.bucket=$i THEN 1 ELSE 0 END),0)::DOUBLE")
+        .mkString(", ") +
+      "] AS e FROM dd d LEFT JOIN hashed h ON h.doc_id = d.doc_id GROUP BY d.doc_id)"
 
   // v7's CORPUS-split clustered graph + layer hierarchy (the layers
   // sidecar is written last, so its _SUCCESS implies graph + route

@@ -282,9 +282,24 @@ object Hnsw {
     * A sub-graph (ids, vectors, adjacency) must fit one task's memory —
     * the same residency assumption as the reference's mmap'd hnswlib. */
   def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
-                 p: Params = Params(), metric: Knn.Metric = Knn.L2): Unit =
+                 p: Params = Params(), metric: Knn.Metric = Knn.L2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    require(graft.index.SecondaryIndex.manifestVersions(fs, path).isEmpty,
+      s"$path is manifest-managed: readers resolve through the manifest, " +
+        "so a plain rebuild at the base path would be silently ignored")
     writeGraph(df, pmod(col(idCol).cast("long"), lit(p.partitions)),
       vecCol, idCol, path, p, metric)
+    // a rebuild at the same path leaves any prior CLUSTERED build's
+    // sidecars stale (route rows and layer rows name the old build's
+    // pids/ids — hasHierarchy would pass yet the descent would crash or
+    // silently mis-walk; review r15-5) and the resident copy stale: sweep
+    // both and drop caches, as the clustered builders do
+    fs.delete(new org.apache.hadoop.fs.Path(routePath(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
+    invalidate(path)
+    graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
+  }
 
   /** CLUSTERED build + centroid routing sidecar (ADVICE r7: plain
     * [[search]] beams every sub-graph — O(total N) work per query; the
@@ -1131,6 +1146,28 @@ object Hnsw {
     * [[graft.plans.GraphCandidates.fallbackCount]]). */
   val descents = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Schedule `body` over the probed partitions, zipping the layer RDD in
+    * when the hier path is on (`body` receives null layer iterators on the
+    * flat path) — the ONE definition of the graph×layers pruning
+    * composition shared by the routed walk, the quantized coarse pass,
+    * and both batch joins (review r15-5). */
+  private def prunedWalk[R, T: scala.reflect.ClassTag](
+      graph: org.apache.spark.rdd.RDD[(Int, R)],
+      layersOpt: Option[org.apache.spark.rdd.RDD[(Int, LayerRow)]],
+      pred: Int => Boolean)(
+      body: (Iterator[(Int, R)], Iterator[(Int, LayerRow)]) => Iterator[T])
+      : org.apache.spark.rdd.RDD[T] =
+    layersOpt match {
+      case Some(layers) =>
+        org.apache.spark.rdd.PartitionPruningRDD.create(
+          graph.zipPartitions(layers, preservesPartitioning = true)(
+            (a, b) => body(a, b)),
+          pred)
+      case None =>
+        org.apache.spark.rdd.PartitionPruningRDD.create(graph, pred)
+          .mapPartitions(it => body(it, null))
+    }
+
   /** Greedy hierarchy descent (hnswlib's upper-layer phase,
     * knn/knn.cpp:455-537: ef=1 from the top layer's entry point): at each
     * layer move to the best-improving neighbor until a local minimum, then
@@ -1212,14 +1249,10 @@ object Hnsw {
     val adapt = adaptiveTermination
     val acc = scoredAcc
     routedSchedule(spark, indexPath, query, k, eps,
-      probes => {
-        val zipped = graph.zipPartitions(layers, preservesPartitioning = true) {
-          (git, lit) =>
-            searchSubGraph(git, qB.value, k, ef, metric, f, adapt, acc, lit)
-        }
-        org.apache.spark.rdd.PartitionPruningRDD.create(zipped, probes.contains)
-          .collect()
-      })
+      probes =>
+        prunedWalk(graph, Some(layers), probes.contains) { (git, lit) =>
+          searchSubGraph(git, qB.value, k, ef, metric, f, adapt, acc, lit)
+        }.collect())
   }
 
   /** Whether `indexPath` currently has a layer-hierarchy sidecar (at its
@@ -1322,16 +1355,7 @@ object Hnsw {
         }
       }
     }
-    val perPart = layersOpt match {
-      case Some(layers) =>
-        org.apache.spark.rdd.PartitionPruningRDD.create(
-          graph.zipPartitions(layers, preservesPartitioning = true)(
-            (a, b) => body(a, b)),
-          byPid.contains)
-      case None =>
-        org.apache.spark.rdd.PartitionPruningRDD.create(graph, byPid.contains)
-          .mapPartitions(it => body(it, null))
-    }
+    val perPart = prunedWalk(graph, layersOpt, byPid.contains)(body)
     val scored = perPart.toDF("__qid", "__cid", "__dist")
     TopK.topKPairs(scored, qIdCol, cIdCol, k)
   }
@@ -1656,18 +1680,7 @@ object Hnsw {
       remaining.nonEmpty
     }) {
       val probes = remaining.take(batch).toSet
-      val rows = layersOpt match {
-        case Some(layers) =>
-          org.apache.spark.rdd.PartitionPruningRDD.create(
-              graph.zipPartitions(layers, preservesPartitioning = true)(
-                (a, b) => walk(a, b)),
-              probes.contains)
-            .collect()
-        case None =>
-          org.apache.spark.rdd.PartitionPruningRDD.create(
-              graph, probes.contains)
-            .mapPartitions(it => walk(it, null)).collect()
-      }
+      val rows = prunedWalk(graph, layersOpt, probes.contains)(walk).collect()
       cands = (cands ++ rows).sortBy(identity).take(keep)
       probed += probes.size
       remaining = remaining.drop(batch)
@@ -1748,16 +1761,7 @@ object Hnsw {
         }
       }
     }
-    val perPart = layersOpt match {
-      case Some(layers) =>
-        org.apache.spark.rdd.PartitionPruningRDD.create(
-          graph.zipPartitions(layers, preservesPartitioning = true)(
-            (a, b) => body(a, b)),
-          byPid.contains)
-      case None =>
-        org.apache.spark.rdd.PartitionPruningRDD.create(graph, byPid.contains)
-          .mapPartitions(it => body(it, null))
-    }
+    val perPart = prunedWalk(graph, layersOpt, byPid.contains)(body)
     // multi-probe duplicates collapse before the rescore join
     val cands = perPart.toDF("__qid", "__cid").distinct()
     val qDf = qRows.toSeq.toDF("__qid", "__qvec")
