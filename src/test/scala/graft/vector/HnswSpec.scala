@@ -629,6 +629,27 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchy build is deterministic: two builds over the same graph are row-identical (r15)") {
+    // the rebuild-stability claim behind the id-hash level draw: levels,
+    // layer membership AND layer adjacency are pure functions of the
+    // graph content, so a re-run (e.g. after a compact) reproduces the
+    // sidecar exactly
+    val tmp = Files.createTempDirectory("graft-hnswdet")
+    val d = tmp.resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClustered(emb, "embedding", "vec_id", d, p)
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    val first = SparkT.spark.read.parquet(Hnsw.layersPath(d))
+      .select($"pid", $"level", $"id", $"neighbors")
+      .as[(Int, Int, Long, Seq[Long])].collect().toSet
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    val second = SparkT.spark.read.parquet(Hnsw.layersPath(d))
+      .select($"pid", $"level", $"id", $"neighbors")
+      .as[(Int, Int, Long, Seq[Long])].collect().toSet
+    assert(first === second)
+    assert(first.nonEmpty)
+  }
+
   test("QUANTIZED hierarchy: code-space layers, exact at full ef, loud without sidecar (r15)") {
     val tmp = Files.createTempDirectory("graft-hnswqh")
     val d = tmp.resolve("g").toString
