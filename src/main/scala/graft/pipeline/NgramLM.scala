@@ -157,9 +157,13 @@ object NgramLM {
     val nParts = spark.sessionState.conf.numShufflePartitions
     // The scored frame is read TWICE (the per-score aggregate and the
     // final bucket join). Its lineage is the whole scoring chain — at the
-    // flagship-v6 composition that is strip + LM probe — so cut it once:
-    // the checkpoint payload is one (id, 3 longs) row per doc.
-    val sc = scored.localCheckpoint(true)
+    // flagship-v6 composition that is strip + LM probe — so cache it: the
+    // cached payload is one (id, 3 longs) row per doc. NON-eager (r15
+    // VERDICT #3): the first consumer (the per-score aggregate below)
+    // populates the cache as part of its own job wave instead of a
+    // separate blocking materialization, and the bucket join reads it back.
+    val sc = scored.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // RangePartitioner assigns ascending key ranges to ascending partition
     // ids, so (pid asc, score asc) IS the global score order. The frame is
     // distinct-score-sized and read twice (per-partition totals + the

@@ -288,15 +288,18 @@ object Hnsw {
     require(graft.index.SecondaryIndex.manifestVersions(fs, path).isEmpty,
       s"$path is manifest-managed: readers resolve through the manifest, " +
         "so a plain rebuild at the base path would be silently ignored")
-    writeGraph(df, pmod(col(idCol).cast("long"), lit(p.partitions)),
-      vecCol, idCol, path, p, metric)
     // a rebuild at the same path leaves any prior CLUSTERED build's
     // sidecars stale (route rows and layer rows name the old build's
     // pids/ids — hasHierarchy would pass yet the descent would crash or
-    // silently mis-walk; review r15-5) and the resident copy stale: sweep
-    // both and drop caches, as the clustered builders do
+    // silently mis-walk; review r15-5). Sweep them BEFORE the graph write
+    // (ADVICE r16-1): every crash interleaving then leaves either the old
+    // consistent pair or a sidecar-less index that fails/falls back
+    // loudly, never a new flat graph paired with the old build's
+    // centroids/radii (the silent mis-prune).
     fs.delete(new org.apache.hadoop.fs.Path(routePath(path)), true)
     fs.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
+    writeGraph(df, pmod(col(idCol).cast("long"), lit(p.partitions)),
+      vecCol, idCol, path, p, metric)
     invalidate(path)
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
   }
@@ -327,14 +330,19 @@ object Hnsw {
     require(graft.index.SecondaryIndex.manifestVersions(fs, path).isEmpty,
       s"$path is manifest-managed: use compactClustered, not a rebuild " +
         "at the base path (readers resolve through the manifest)")
+    // sweep the PRIOR build's sidecars BEFORE the new graph lands (ADVICE
+    // r16-1, same ordering as [[buildIndex]]): layer rows and route rows
+    // name the old build's pids/ids, and a crash between the graph write
+    // and a post-hoc sweep would pair the new graph with them — a silent
+    // mis-descent/mis-prune. Delete-first leaves every crash interleaving
+    // either fully old or loudly sidecar-less (searchRouted/hier fail with
+    // their missing-sidecar message until the rebuild is retried).
+    fs.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(routePath(path)), true)
     val m = buildClusteredTo(df, vecCol, idCol, path, routePath(path), p, metric)
     // a rebuild at the same path invalidates the resident copy and any
     // automatic-routing entry that froze the old graph (same contract as
-    // Ivf.buildIndex) — and SWEEPS any prior hierarchy sidecar, whose
-    // layer rows name the OLD build's pids/ids (review r15-4: a stale
-    // sidecar would pass hasHierarchy yet crash or silently mis-descend;
-    // hier search now fails loudly until buildHierarchy re-runs)
-    fs.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
+    // Ivf.buildIndex)
     invalidate(path)
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     m
@@ -544,10 +552,18 @@ object Hnsw {
     buildClusteredTo(corpus, "vec", "id",
       new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
       new org.apache.hadoop.fs.Path(nextPath, "route").toString, p, metric)
-    // "_layers": a legacy-layout hierarchy sidecar is built over the OLD
-    // graph's pids — stale once the generation commits; sweep it with the
-    // base pair (the new generation fails loudly until buildHierarchy
-    // re-runs, never serves a mismatched descent)
+    // a hierarchy registration survives OPTIMIZE (r15 VERDICT #7): when
+    // the superseded generation carried layers, rebuild them over the NEW
+    // graph INSIDE the same uncommitted generation dir — the manifest
+    // commit below swaps graph + layers atomically, so hier search never
+    // sees a generation without its sidecar (the old sweep-and-fail-loud
+    // contract remains only for indexes that never had a hierarchy)
+    if (hasHierarchy(spark, indexPath))
+      buildLayersFlatTo(spark,
+        new org.apache.hadoop.fs.Path(nextPath, "graph").toString, metric,
+        new org.apache.hadoop.fs.Path(nextPath, "layers").toString, p)
+    // "_layers" in the sweep: a legacy-layout hierarchy sidecar is built
+    // over the OLD graph's pids — stale once the generation commits
     commitGeneration(fs, base, indexPath, graphDir, nextVersion, nextPath,
       sidecarSuffixes = Seq("_route", "_layers"))
     invalidate(indexPath)
@@ -990,16 +1006,30 @@ object Hnsw {
     * chain edges as layer 0, and emits (pid, level, id, neighbors) rows
     * for levels >= 1. Safe to run on a live index: readers that loaded the
     * flat graph are unaffected, and [[searchRoutedHier]] picks the sidecar
-    * up on its next load. Re-run after [[compactClustered]] (the new
-    * generation starts without layers — hier search fails loudly until
-    * built); [[appendSegment]] needs no re-run (new pids fall back to the
+    * up on its next load. [[compactClustered]] rebuilds the layers INSIDE
+    * the new generation when the superseded one had them (r15 VERDICT #7
+    * — a hier registration survives OPTIMIZE without an operator step);
+    * [[appendSegment]] needs no re-run (new pids fall back to the
     * flat entry until the next build). */
   def buildHierarchy(spark: SparkSession, indexPath: String,
                      p: Params = Params()): Unit = {
-    import spark.implicits._
     val (graphDir, _) = resolveDirs(spark, indexPath)
     val metric = routes(spark, indexPath)._1
-    val layersDir = resolveLayersDir(spark, indexPath)
+    buildLayersFlatTo(spark, graphDir, metric,
+      resolveLayersDir(spark, indexPath), p)
+    residentL.remove(indexPath).foreach(_.unpersist(false))
+  }
+
+  /** [[buildHierarchy]] against explicit dirs — shared by the live-index
+    * build and [[compactClustered]]'s in-generation rebuild. */
+  private def buildLayersFlatTo(spark: SparkSession, graphDir: String,
+                                metric: Knn.Metric, layersDir: String,
+                                p: Params): Unit = {
+    import spark.implicits._
+    // mL = 1/ln(m): the geometric layer-thinning math (and the <1/(m-1)
+    // edge-overhead claim) assume m >= 2 — m = 1 draws level 31 for EVERY
+    // node, 31 full duplicate NSWs per sub-graph (ADVICE r16-3)
+    require(p.m >= 2, s"hierarchy build requires m >= 2 (got ${p.m})")
     val df = spark.read.parquet(graphDir)
       .select(col("pid"), col("id"), col("vec"))
     val maxPidRow = df.agg(max(col("pid"))).head
@@ -1010,7 +1040,6 @@ object Hnsw {
       graft.tables.Writer.write(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], layerSchema),
         layersDir, sortBy = Seq("pid", "level", "id"))
-      residentL.remove(indexPath).foreach(_.unpersist(false))
       return
     }
     val maxPid = maxPidRow.getInt(0)
@@ -1019,7 +1048,6 @@ object Hnsw {
       .partitionBy(new PidPartitioner(maxPid + 1))
     writeLayersFrom(spark, keyed, new FloatSpace(metric), p, layersDir,
       maxPid + 1)
-    residentL.remove(indexPath).foreach(_.unpersist(false))
   }
 
   /** [[buildHierarchy]] for a QUANTIZED clustered graph
@@ -1030,10 +1058,20 @@ object Hnsw {
     * layers it), so the hierarchy adds no float residency. */
   def buildHierarchyQuantized(spark: SparkSession, indexPath: String,
                               p: Params = Params()): Unit = {
-    import spark.implicits._
     val graphDir = resolveQuantizedDirs(spark, indexPath)._1
     val qm = qmodel(spark, indexPath)
-    val layersDir = resolveLayersDir(spark, indexPath)
+    buildLayersQuantizedTo(spark, graphDir, qm,
+      resolveLayersDir(spark, indexPath), p)
+    residentL.remove(indexPath).foreach(_.unpersist(false))
+  }
+
+  /** [[buildHierarchyQuantized]] against explicit dirs — shared by the
+    * live-index build and [[compactQuantized]]'s in-generation rebuild. */
+  private def buildLayersQuantizedTo(spark: SparkSession, graphDir: String,
+                                     qm: Quantize.QModel, layersDir: String,
+                                     p: Params): Unit = {
+    import spark.implicits._
+    require(p.m >= 2, s"hierarchy build requires m >= 2 (got ${p.m})")
     val df = spark.read.parquet(graphDir)
       .select(col("pid"), col("id"), col("qcode"))
     val maxPidRow = df.agg(max(col("pid"))).head
@@ -1041,7 +1079,6 @@ object Hnsw {
       graft.tables.Writer.write(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], layerSchema),
         layersDir, sortBy = Seq("pid", "level", "id"))
-      residentL.remove(indexPath).foreach(_.unpersist(false))
       return
     }
     val maxPid = maxPidRow.getInt(0)
@@ -1049,7 +1086,6 @@ object Hnsw {
       .rdd.map(t => (t._1, (t._2, t._3)))
       .partitionBy(new PidPartitioner(maxPid + 1))
     writeLayersFrom(spark, keyed, new CodeSpace(qm), p, layersDir, maxPid + 1)
-    residentL.remove(indexPath).foreach(_.unpersist(false))
   }
 
   /** The shared per-partition layer builder: draw levels from the ids,
@@ -1103,7 +1139,7 @@ object Hnsw {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(p),
           s"no layer hierarchy at $dir — run Hnsw.buildHierarchy first " +
-            "(a compacted generation starts without one)")
+            "(compaction rebuilds layers only for indexes that had them)")
         val df = spark.read.parquet(dir)
           .select(col("pid"), col("level"), col("id"), col("neighbors"))
         val l = df.as[(Int, Int, Long, Array[Long])]
@@ -1191,6 +1227,14 @@ object Hnsw {
         moved = false
         if (counters != null) counters(0) += 1
         val pos = java.util.Arrays.binarySearch(nodes, cur)
+        // downward closure: a node at level l is a member of every lower
+        // layer. A corrupt sidecar can break that — fail with the same
+        // rebuild contract as hydratedLayers, not an array-bounds throw
+        // (ADVICE r15-2; checkLayers pass 4 only catches this offline)
+        if (pos < 0) throw new IllegalStateException(
+          s"hierarchy layer misses node $cur present in the layer above " +
+            "— stale or corrupt hierarchy sidecar; rebuild with " +
+            "buildHierarchy (buildHierarchyQuantized for code-space indexes)")
         val nbrs = adj(pos)
         var i = 0
         while (i < nbrs.length) {
@@ -1899,10 +1943,17 @@ object Hnsw {
     val nextVersion = curVersion + 1
     val nextPath = new org.apache.hadoop.fs.Path(s"${indexPath}__g$nextVersion")
     fs.delete(nextPath, true) // a crashed prior attempt at this version
-    buildQuantizedTo(df, vecCol, idCol,
+    val (_, qm2) = buildQuantizedTo(df, vecCol, idCol,
       new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
       new org.apache.hadoop.fs.Path(nextPath, "route").toString,
       new org.apache.hadoop.fs.Path(nextPath, "qmodel").toString, p, metric)
+    // hierarchy-at-compaction (r15 VERDICT #7, same as [[compactClustered]]):
+    // rebuild the code-space layers over the new graph with the RETRAINED
+    // model, inside the same generation — the commit swaps them together
+    if (hasHierarchy(spark, indexPath))
+      buildLayersQuantizedTo(spark,
+        new org.apache.hadoop.fs.Path(nextPath, "graph").toString, qm2,
+        new org.apache.hadoop.fs.Path(nextPath, "layers").toString, p)
     commitGeneration(fs, base, indexPath, graphDir, nextVersion, nextPath,
       sidecarSuffixes = Seq("_route", "_qmodel", "_qerr", "_layers"))
     invalidateQuantized(indexPath)

@@ -698,19 +698,60 @@ class HnswSpec extends AnyFunSuite {
     val (mid, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
       queryVec, 10, ef = 1 << 20)
     assert(mid.as[(Long, Double)].collect().toSeq === exactAll)
-    // compact: the generation starts without layers — hier search fails
-    // loudly (never serves a stale descent) until buildHierarchy re-runs
+    // compact: the hierarchy registration SURVIVES OPTIMIZE (r15 VERDICT
+    // #7) — the layers rebuild over the new graph inside the same
+    // generation commit, so hier search is green immediately, no manual
+    // buildHierarchy step
     Hnsw.compactClustered(SparkT.spark, d, p)
-    val e = intercept[IllegalArgumentException] {
-      Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id", queryVec, 10,
-        ef = 1 << 20)
-    }
-    assert(e.getMessage.contains("buildHierarchy"))
-    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    assert(Hnsw.hasHierarchy(SparkT.spark, d))
     val (post, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
       queryVec, 10, ef = 1 << 20)
     assert(post.as[(Long, Double)].collect().toSeq === exactAll)
     // and the swept legacy sidecar is gone (commitGeneration bookkeeping)
     assert(Hnsw.resolveDirs(SparkT.spark, d)._1.endsWith("__g1/graph"))
+  }
+
+  test("compaction without a hierarchy stays hierarchy-less (fails loudly on hier search) (r16)") {
+    val tmp = Files.createTempDirectory("graft-hnswnc")
+    val d = tmp.resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClustered(emb, "embedding", "vec_id", d, p)
+    Hnsw.compactClustered(SparkT.spark, d, p)
+    assert(!Hnsw.hasHierarchy(SparkT.spark, d))
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id", queryVec, 10,
+        ef = 1 << 20)
+    }
+    assert(e.getMessage.contains("buildHierarchy"))
+  }
+
+  test("QUANTIZED hierarchy survives compactQuantized: green immediately post-compact (r16)") {
+    val tmp = Files.createTempDirectory("graft-hnswqc")
+    val d = tmp.resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClusteredQuantized(emb, "embedding", "vec_id", d, p)
+    Hnsw.buildHierarchyQuantized(SparkT.spark, d, p)
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    // compact retrains the model and rebuilds the code-space layers inside
+    // the committed generation — NO manual buildHierarchyQuantized step
+    Hnsw.compactQuantized(emb, "embedding", "vec_id", d, p)
+    assert(Hnsw.hasHierarchy(SparkT.spark, d))
+    assert(Hnsw.resolveDirs(SparkT.spark, d)._1.endsWith("__g1/graph"))
+    val (res, _) = Hnsw.searchQuantized(SparkT.spark, d, emb,
+      "embedding", "vec_id", queryVec, 10, ef = 1 << 20, hier = true)
+    assert(res.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      === exact)
+  }
+
+  test("hierarchy build rejects m < 2 (ADVICE r16)") {
+    val tmp = Files.createTempDirectory("graft-hnswm1")
+    val d = tmp.resolve("g").toString
+    Hnsw.buildIndexClustered(emb, "embedding", "vec_id", d,
+      Hnsw.Params(m = 2, efC = 8, partitions = 2))
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.buildHierarchy(SparkT.spark, d, Hnsw.Params(m = 1))
+    }
+    assert(e.getMessage.contains("m >= 2"))
   }
 }
