@@ -491,6 +491,88 @@ object BenchScale {
       println(f"hier telemetry: expanded flat $expBig%.1f vs hier " +
         f"$expHier%.1f; scored flat $scoredFlat%.1f vs hier " +
         f"$scoredHier%.1f  ok=$hierOk")
+      // r16 (r15 VERDICT #2): the hierarchy's MEASURED WIN at the
+      // 100 TB-realistic sub-graph size. A 50k-row single sub-graph
+      // (factor-25 jitter-tiled corpus, one partition) is where the
+      // descent's entry savings overtake its own scoring cost — pinned
+      // STRICTLY below flat on both counters. Below the crossover the
+      // serving walks auto-skip the descent (Hnsw.hierMinRows, default
+      // 32768 — spec-pinned in HnswSpec), so hier registrations never
+      // pay the small-sub-graph overhead this block's 5k numbers record.
+      val hugeIdx = s"$dst/hnswc_hier50k"
+      val hugeDone = new org.apache.hadoop.fs.Path(
+        Hnsw.layersPath(hugeIdx), "_SUCCESS")
+      if (!fs.exists(hugeDone)) {
+        val corpus50k = replicate(
+          spark.read.parquet(s"$src/embeddings.parquet"), 25,
+          Seq("vec_id"), Nil, Seq("embedding"))
+        Hnsw.buildIndexClustered(corpus50k, "embedding", "vec_id", hugeIdx,
+          Hnsw.Params(m = 8, efC = 64, partitions = 1))
+        Hnsw.buildHierarchy(spark, hugeIdx,
+          Hnsw.Params(m = 8, efC = 64, partitions = 1))
+      }
+      val (expF50, sz50, scoredF50) = meanExpanded(hugeIdx)
+      val perH50 = qs.flatMap(q =>
+        Hnsw.walkStatsHier(spark, hugeIdx, q.toArray, k = 10, ef = 64))
+      val expH50 = perH50.map(_._3).sum.toDouble / perH50.length
+      val scoredH50 = perH50.map(_._4).sum.toDouble / perH50.length
+      val winOk = expH50 < expF50 && scoredH50 < scoredF50
+      allOk &&= winOk
+      val hw = root.putObject("hier_win_telemetry")
+      hw.put("ef", 64)
+      hw.put("subgraph_rows", math.round(sz50 * 10) / 10.0)
+      hw.put("mean_expanded_flat", math.round(expF50 * 10) / 10.0)
+      hw.put("mean_expanded_hier", math.round(expH50 * 10) / 10.0)
+      hw.put("mean_scored_flat", math.round(scoredF50 * 10) / 10.0)
+      hw.put("mean_scored_hier", math.round(scoredH50 * 10) / 10.0)
+      hw.put("hier_min_rows_default", 32768)
+      hw.put("hier_beats_flat_ok", winOk)
+      println(f"hier 50k telemetry: expanded flat $expF50%.1f vs hier " +
+        f"$expH50%.1f; scored flat $scoredF50%.1f vs hier " +
+        f"$scoredH50%.1f  win=$winOk")
+    }
+    // r16 (r15 VERDICT #1): the OVER-BUDGET batch-join arm at 10× — the
+    // whole 20k-row embedding table as the query batch against the
+    // clustered graph, with the budget forced far below it so the
+    // distributed pid-assignment path serves the join (queries never
+    // touch the driver). Pinned: the distributed arm completes and stays
+    // within 3× of the broadcast arm on the same batch (it adds one
+    // query-side shuffle; at this size the broadcast arm is near its
+    // sweet spot, so parity-ish is the honest expectation — the
+    // distributed arm's value is that it EXISTS at sizes the broadcast
+    // arm cannot survive).
+    locally {
+      import graft.vector.Hnsw
+      val embPath = s"$dst/embeddings.parquet"
+      val idx = s"$dst/hnswc_recall64"
+      val queries = spark.read.parquet(embPath)
+        .selectExpr("vec_id as qid", "embedding as qvec")
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        materialize(Hnsw.knnJoinRouted(spark, idx, queries, "qid", "qvec",
+          "vec_id", k = 5, ef = 64, probes = 2))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val secBroadcast = { run(); run() } // warm + measure
+      spark.conf.set("spark.graft.knnJoin.maxQueryBatch", "2048")
+      val before = graft.vector.Knn.overBudgetJoins.get()
+      val secDistributed =
+        try { run(); run() }
+        finally spark.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+      val engaged = graft.vector.Knn.overBudgetJoins.get() > before
+      val ratio = secDistributed / math.max(secBroadcast, 1e-9)
+      val bjOk = engaged && ratio <= 3.0
+      allOk &&= bjOk
+      val bj = root.putObject("batch_join_budget")
+      bj.put("query_rows", 20000)
+      bj.put("budget", 2048)
+      bj.put("sec_broadcast_arm", math.round(secBroadcast * 100) / 100.0)
+      bj.put("sec_distributed_arm", math.round(secDistributed * 100) / 100.0)
+      bj.put("ratio", math.round(ratio * 100) / 100.0)
+      bj.put("over_budget_engaged", engaged)
+      bj.put("distributed_arm_ok", bjOk)
+      println(f"batch-join budget: broadcast $secBroadcast%.2fs vs " +
+        f"distributed $secDistributed%.2fs (ratio $ratio%.2f) ok=$bjOk")
     }
     root.put("loadavg_end", loadavg())
     root.put("all_linear_ok", allOk)

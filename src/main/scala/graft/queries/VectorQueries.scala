@@ -542,6 +542,10 @@ object VectorQueries {
     // under the same refine contract — shares the fullscan oracle.
     "q_knn_graph_quant_hier" -> QueryDef(
       (s, d) => {
+        // force the descent at fixture scale (sub-graphs are far below the
+        // hierMinRows auto-engage threshold — r16): the gate pins the
+        // HIER walk itself, not the gate's skip arm
+        s.conf.set("spark.graft.graph.hierMinRows", "0")
         val path = hnswqHierIndex(s, d)
         val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
           "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20,
@@ -629,6 +633,8 @@ object VectorQueries {
     // the stale-sidecar fallbacks are spec-tested (HnswSpec).
     "q_knn_graph_hier" -> QueryDef(
       (s, d) => {
+        // force the descent at fixture scale (below hierMinRows — r16)
+        s.conf.set("spark.graft.graph.hierMinRows", "0")
         val path = hnswhIndex(s, d)
         val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
           queryVec(s, d), k = 10, ef = 1 << 20)
@@ -642,6 +648,8 @@ object VectorQueries {
     // routed_cos does. Exact at full ef — shares the cosine oracle.
     "q_knn_graph_hier_cos" -> QueryDef(
       (s, d) => {
+        // force the descent at fixture scale (below hierMinRows — r16)
+        s.conf.set("spark.graft.graph.hierMinRows", "0")
         val path = hnswhCosIndex(s, d)
         val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
           queryVec(s, d), k = 10, ef = 1 << 20)
@@ -656,6 +664,10 @@ object VectorQueries {
     // Exact at full ef, shares the fullscan oracle.
     "q_knn_graph_hier_auto" -> QueryDef(
       (s, d) => {
+        // force the descent at fixture scale (below hierMinRows — r16;
+        // the leaf reads the conf at doExecute, so the set must persist
+        // past this definition — hier gates never unset it)
+        s.conf.set("spark.graft.graph.hierMinRows", "0")
         val path = hnswhIndex(s, d)
         graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
           path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20,

@@ -689,7 +689,8 @@ object Hnsw {
                              allowed: Long => Boolean = _ => true,
                              adaptive: Boolean = false,
                              scoredAcc: org.apache.spark.util.LongAccumulator = null,
-                             layers: Iterator[(Int, LayerRow)] = null)
+                             layers: Iterator[(Int, LayerRow)] = null,
+                             hierMin: Int = 0)
       : Iterator[(Long, Double, Array[Float])] = {
     val rows = it.map(_._2).toArray
     if (rows.isEmpty) Iterator.empty
@@ -705,7 +706,7 @@ object Hnsw {
       val counters = if (scoredAcc != null) new Array[Long](2) else null
       val entry =
         if (layers == null) 0
-        else descend(g, hydratedLayers(g, layers), q, counters)
+        else descend(g, hydratedLayers(g, layers, hierMin), q, counters)
       // vectors ride along (k per sub-graph): the automatic ANN route
       // feeds candidates back under the original Sort, which recomputes
       // exact distances from them
@@ -1164,13 +1165,34 @@ object Hnsw {
       (lvl, sorted.map(r => idx(r._2)), sorted.map(_._3.map(idx(_))))
     }
 
+  /** Sub-graph size below which a hierarchy walk SKIPS its descent and
+    * starts the beam at the flat entry (r15 VERDICT #2 — the recorded
+    * engagement threshold): measured at ef=64/k=10 on the jitter-tiled
+    * corpus, the descent's own scored distances exceed its entry savings
+    * up through ~20k rows/sub-graph (6k: 524→550 scored; 20k: 483→508)
+    * and win at 50k (421→407 scored, 91→84 expanded — BENCH_SF1
+    * hier_telemetry carries both sizes). The gate is PER SUB-GRAPH — a
+    * mixed index descends only the sub-graphs big enough to pay — and
+    * results are unaffected (entry choice cannot change an exhaustive
+    * full-ef walk; small-ef walks keep the same beam-recall contract
+    * either way). Conf `spark.graft.graph.hierMinRows`; 0 forces the
+    * descent everywhere (gates/specs pinning the descent itself).
+    * Telemetry ([[walkStatsHier]]) always descends — it measures the
+    * descent. */
+  def hierMinRows(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.graph.hierMinRows")
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(32768)
+
   /** [[rehydrateLayers]] against a sub-graph's own id index, with the one
     * stale-sidecar failure message — the shared layer loader of every
-    * hier walk site. */
+    * hier walk site. `minRows` is the [[hierMinRows]] engagement gate
+    * (empty layers = flat entry, descent skipped and not counted). */
   private def hydratedLayers[V](g: SubGraph[V],
-                                lt: Iterator[(Int, LayerRow)])
+                                lt: Iterator[(Int, LayerRow)],
+                                minRows: Int = 0)
       : Array[(Int, Array[Int], Array[Array[Int]])] =
-    rehydrateLayers(lt.map(_._2).toArray, id =>
+    if (g.n < minRows) Array.empty
+    else rehydrateLayers(lt.map(_._2).toArray, id =>
       g.idIndex.getOrElse(id, throw new IllegalStateException(
         s"layer row references id $id absent from its sub-graph — stale " +
           "hierarchy sidecar; rebuild with buildHierarchy " +
@@ -1203,6 +1225,63 @@ object Hnsw {
         org.apache.spark.rdd.PartitionPruningRDD.create(graph, pred)
           .mapPartitions(it => body(it, null))
     }
+
+  /** The OVER-BUDGET batch-join schedule (r15 VERDICT #1): queries arrive
+    * as a co-partitioned RDD (pid-assigned and shuffled by
+    * [[PidPartitioner]] — the query side never touches the driver) and zip
+    * against the resident graph (and layers, on the hier path). No
+    * partition pruning — which pids have queries is not known driver-side
+    * — but a task whose query slice is empty returns before rehydrating
+    * anything, and at over-budget batch sizes every sub-graph is assigned
+    * work anyway. */
+  private def zipWalk[R: scala.reflect.ClassTag,
+                      T: scala.reflect.ClassTag](
+      graph: org.apache.spark.rdd.RDD[(Int, R)],
+      layersOpt: Option[org.apache.spark.rdd.RDD[(Int, LayerRow)]],
+      qAssign: org.apache.spark.rdd.RDD[(Int, (Long, Array[Float]))])(
+      body: (Iterator[(Int, R)], Iterator[(Int, LayerRow)],
+             Array[(Long, Array[Float])]) => Iterator[T])
+      : org.apache.spark.rdd.RDD[T] =
+    layersOpt match {
+      case Some(layers) =>
+        graph.zipPartitions(layers, qAssign, preservesPartitioning = true)(
+          (g, l, q) => body(g, l, q.map(_._2).toArray))
+      case None =>
+        graph.zipPartitions(qAssign, preservesPartitioning = true)(
+          (g, q) => body(g, null, q.map(_._2).toArray))
+    }
+
+  /** Distributed pid assignment for the over-budget batch joins: each
+    * query row maps to its `nprobe` nearest sub-graphs by centroid
+    * distance in the bound space (`carry` picks what the walk consumes —
+    * the raw vector for the float graph, the bound-space vector for the
+    * code graph) and shuffles by pid to co-locate with the resident
+    * graph's partitioning. Centroids broadcast (≤ nlist rows); pids
+    * outside the graph's partition range (route rows of an empty appended
+    * cluster) drop — they have no corpus vectors. */
+  private def assignQueriesByPid(queries: DataFrame, qIdCol: String,
+                                 qVecCol: String, metric: Knn.Metric,
+                                 rts: Seq[(Int, Array[Float], Double)],
+                                 nprobe: Int, numParts: Int,
+                                 carryBound: Boolean)
+      : org.apache.spark.rdd.RDD[(Int, (Long, Array[Float]))] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rtsB = spark.sparkContext.broadcast(
+      rts.map(r => (r._1, r._2)).toArray)
+    queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].rdd
+      .flatMap { case (qid, qv) =>
+        val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv) else qv
+        val carry = if (carryBound) bq else qv
+        rtsB.value.iterator
+          .map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
+          .toArray.sortBy(identity).take(nprobe).iterator
+          .collect { case (_, pid) if pid < numParts =>
+            (pid, (qid, carry)) }
+      }
+      .partitionBy(new PidPartitioner(numParts))
+  }
 
   /** Greedy hierarchy descent (hnswlib's upper-layer phase,
     * knn/knn.cpp:455-537: ef=1 from the top layer's entry point): at each
@@ -1292,10 +1371,12 @@ object Hnsw {
     val metric = routes(spark, indexPath)._1
     val adapt = adaptiveTermination
     val acc = scoredAcc
+    val hmin = hierMinRows(spark)
     routedSchedule(spark, indexPath, query, k, eps,
       probes =>
         prunedWalk(graph, Some(layers), probes.contains) { (git, lit) =>
-          searchSubGraph(git, qB.value, k, ef, metric, f, adapt, acc, lit)
+          searchSubGraph(git, qB.value, k, ef, metric, f, adapt, acc, lit,
+            hmin)
         }.collect())
   }
 
@@ -1329,16 +1410,17 @@ object Hnsw {
     * k nearest corpus ids, the bulk-retrieval shape of a training
     * pipeline ("each doc → its k neighbors").
     *
-    * Shape: the query batch is COLLECTED and broadcast (driver-bounded —
-    * the batch side of a knn join is small next to the corpus; chunk a
-    * huge query set and union the joins), each query is assigned its
-    * `probes` nearest sub-graphs by centroid distance in the bound space,
-    * and each sub-graph task REHYDRATES ITS GRAPH ONCE and beam-walks
-    * every query assigned to it — the per-partition build cost amortizes
-    * across the whole batch, and sub-graphs with no assigned query are
-    * pruned from the schedule entirely (zero tasks). The per-(query,
-    * sub-graph) top-k rows merge through the same grouped top-k
-    * aggregator as the other joins, so the output contract matches:
+    * Shape: each query is assigned its `probes` nearest sub-graphs by
+    * centroid distance in the bound space, and each sub-graph task
+    * REHYDRATES ITS GRAPH ONCE and beam-walks every query assigned to it
+    * — the per-partition build cost amortizes across the whole batch. A
+    * batch within [[Knn.maxQueryBatch]] collects and broadcasts (the fast
+    * arm: assignment on the driver, zero tasks for unprobed sub-graphs);
+    * a larger batch NEVER touches the driver (r15 VERDICT #1) — it
+    * pid-assigns distributed against the broadcast centroids, shuffles by
+    * pid, and zips with the resident graph. The per-(query, sub-graph)
+    * top-k rows merge through the same grouped top-k aggregator as the
+    * other joins, so the output contract matches:
     * (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id).
     *
     * `probes >= sub-graph count` (the default) walks every sub-graph —
@@ -1359,47 +1441,68 @@ object Hnsw {
     val (metric, rts) = routes(spark, indexPath)
     require(rts.nonEmpty, s"no route sidecar at ${routePath(indexPath)}")
     val nprobe = math.min(probes, rts.length)
-    val qRows = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])].collect()
-    // pid → queries assigned to it (nprobe nearest centroids per query,
-    // distances in the bound space — normalized for cosine)
-    val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
-      .flatMap { case (qid, qv) =>
-        val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv) else qv
-        rts.map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
-          .sortBy(identity).take(nprobe)
-          .map { case (_, pid) => (pid, (qid, qv)) }
-      }
-      .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
-    val qB = spark.sparkContext.broadcast(byPid)
     val graph = loadGraph(spark, indexPath)
     val layersOpt =
       if (hier) Some(loadLayers(spark, indexPath, graph.getNumPartitions))
       else None
     val kk = k
-    val body = (it: Iterator[(Int, GraphRow)],
-                lt: Iterator[(Int, LayerRow)]) => {
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty[(Long, Long, Double)]
+    val efEff = math.max(ef, kk)
+    val hmin = hierMinRows(spark)
+    // the shared per-sub-graph walk: ONE rehydrated graph (and layer set)
+    // serves every query assigned to this pid
+    val walk = (git: Iterator[(Int, GraphRow)],
+                lt: Iterator[(Int, LayerRow)],
+                assigned: Array[(Long, Array[Float])]) => {
+      if (assigned.isEmpty) Iterator.empty[(Long, Long, Double)]
       else {
-        // every row in a partition shares one pid (PidPartitioner)
-        val pid = rows.head._1
-        val assigned = qB.value.getOrElse(pid, Array.empty[(Long, Array[Float])])
-        if (assigned.isEmpty) Iterator.empty[(Long, Long, Double)]
+        val rows = git.toArray
+        if (rows.isEmpty) Iterator.empty[(Long, Long, Double)]
         else {
           val g = rehydrate(rows.map(_._2), new FloatSpace(metric))
-          // ONE rehydrated graph (and layer set) serves every assigned query
-          val lyr = if (lt == null) null else hydratedLayers(g, lt)
+          val lyr = if (lt == null) null else hydratedLayers(g, lt, hmin)
           assigned.iterator.flatMap { case (qid, qv) =>
             val entry = if (lyr == null) 0 else descend(g, lyr, qv, null)
-            g.searchBeam(qv, math.max(ef, kk), g.n, entry = entry).take(kk)
+            g.searchBeam(qv, efEff, g.n, entry = entry).take(kk)
               .map { case (d, i) => (qid, g.ids(i), d) }
           }
         }
       }
     }
-    val perPart = prunedWalk(graph, layersOpt, byPid.contains)(body)
+    val perPart =
+      Knn.boundedQueryBatch(queries, qIdCol, qVecCol,
+        Knn.maxQueryBatch(spark)) match {
+        case Some(qRows) =>
+          // IN-BUDGET: driver-side pid assignment (nprobe nearest
+          // centroids per query, distances in the bound space), broadcast
+          // map, ZERO tasks for unprobed sub-graphs
+          val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
+            .flatMap { case (qid, qv) =>
+              val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv)
+                       else qv
+              rts.map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
+                .sortBy(identity).take(nprobe)
+                .map { case (_, pid) => (pid, (qid, qv)) }
+            }
+            .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
+          val qB = spark.sparkContext.broadcast(byPid)
+          prunedWalk(graph, layersOpt, byPid.contains) { (git, lt) =>
+            val rows = git.toArray
+            if (rows.isEmpty) Iterator.empty[(Long, Long, Double)]
+            else walk(rows.iterator, lt,
+              qB.value.getOrElse(rows.head._1,
+                Array.empty[(Long, Array[Float])]))
+          }
+        case None =>
+          // OVER-BUDGET (r15 VERDICT #1): the query side stays a
+          // distributed dataset end to end — assignment is a flatMap
+          // against the ≤nlist broadcast centroids, the shuffle
+          // co-locates each query slice with its sub-graph, and the walk
+          // zips the two. Per-task memory is the pid's query slice
+          // (|Q|·nprobe / nlist on average), never the whole batch.
+          zipWalk(graph, layersOpt,
+            assignQueriesByPid(queries, qIdCol, qVecCol, metric, rts,
+              nprobe, graph.getNumPartitions, carryBound = false))(walk)
+      }
     val scored = perPart.toDF("__qid", "__cid", "__dist")
     TopK.topKPairs(scored, qIdCol, cIdCol, k)
   }
@@ -1692,6 +1795,7 @@ object Hnsw {
     val qB = spark.sparkContext.broadcast((qm, bq, f))
     val keep = k * refine
     val efEff = ef
+    val hmin = hierMinRows(spark)
     // the shared per-partition code-space walk; `lt` carries the layer
     // rows on the hier path (null = flat lowest-id entry)
     val walk = (it: Iterator[(Int, QGraphRow)],
@@ -1703,7 +1807,7 @@ object Hnsw {
         val g = rehydrate(part, new CodeSpace(mm))
         val entry =
           if (lt == null) 0
-          else descend(g, hydratedLayers(g, lt), q, null)
+          else descend(g, hydratedLayers(g, lt, hmin), q, null)
         g.searchBeam(q, math.max(efEff, keep), g.n,
             allowed = i => fv(g.ids(i)), entry = entry).take(keep)
           .map { case (d, i) => (d, g.ids(i)) }.iterator
@@ -1736,9 +1840,11 @@ object Hnsw {
   /** BATCH KNN JOIN over a quantized clustered graph index (r15 — the
     * fourth leg of the batch-retrieval surface beside [[Knn.knnJoin]]
     * (exact), [[Ivf.knnJoin]] (list-probed), and [[knnJoinRouted]] (raw
-    * graph)): same broadcast-assignment shape as [[knnJoinRouted]] — each
+    * graph)): same assignment shape as [[knnJoinRouted]] — each
     * probed sub-graph rehydrates its CODE graph ONCE and beam-walks every
-    * query assigned to it, unprobed sub-graphs schedule zero tasks — with
+    * query assigned to it; a batch within [[Knn.maxQueryBatch]] collects
+    * and broadcasts (zero tasks for unprobed sub-graphs), a larger one
+    * pid-assigns distributed and never touches the driver — with
     * the quantized serving contract: each (query, sub-graph) keeps
     * k·refine COARSE survivors, and the merged candidate set is
     * exact-rescored against the raw float table in one codegen join
@@ -1762,53 +1868,74 @@ object Hnsw {
     require(rts.nonEmpty, s"no route sidecar at ${routePath(indexPath)}")
     val qm = qmodel(spark, indexPath)
     val nprobe = math.min(probes, rts.length)
-    val qRows = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])].collect()
-    // pid → queries assigned to it; the code walk runs in the BOUND space
-    // (normalized for cosine — the space the codes were trained in)
-    val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
-      .flatMap { case (qid, qv) =>
-        val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv) else qv
-        rts.map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
-          .sortBy(identity).take(nprobe)
-          .map { case (_, pid) => (pid, (qid, bq)) }
-      }
-      .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
-    val qB = spark.sparkContext.broadcast((qm, byPid))
     val graph = loadQuantizedGraph(spark, indexPath)
     val layersOpt =
       if (hier) Some(loadLayers(spark, indexPath, graph.getNumPartitions))
       else None
     val keep = k * refine
-    val body = (it: Iterator[(Int, QGraphRow)],
-                lt: Iterator[(Int, LayerRow)]) => {
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty[(Long, Long)]
+    val efEff = math.max(ef, keep)
+    val qmB = spark.sparkContext.broadcast(qm)
+    val hmin = hierMinRows(spark)
+    // the shared per-sub-graph CODE walk; queries arrive in the BOUND
+    // space (normalized for cosine — the space the codes were trained in)
+    val walk = (git: Iterator[(Int, QGraphRow)],
+                lt: Iterator[(Int, LayerRow)],
+                assigned: Array[(Long, Array[Float])]) => {
+      if (assigned.isEmpty) Iterator.empty[(Long, Long)]
       else {
-        val (mm, assignments) = qB.value
-        val pid = rows.head._1
-        val assigned =
-          assignments.getOrElse(pid, Array.empty[(Long, Array[Float])])
-        if (assigned.isEmpty) Iterator.empty[(Long, Long)]
+        val rows = git.toArray
+        if (rows.isEmpty) Iterator.empty[(Long, Long)]
         else {
           // ONE rehydrated code graph (and layer set) serves every
           // assigned query
-          val g = rehydrate(rows.map(_._2), new CodeSpace(mm))
-          val lyr = if (lt == null) null else hydratedLayers(g, lt)
+          val g = rehydrate(rows.map(_._2), new CodeSpace(qmB.value))
+          val lyr = if (lt == null) null else hydratedLayers(g, lt, hmin)
           assigned.iterator.flatMap { case (qid, bq) =>
             val entry = if (lyr == null) 0 else descend(g, lyr, bq, null)
-            g.searchBeam(bq, math.max(ef, keep), g.n, entry = entry)
-              .take(keep)
+            g.searchBeam(bq, efEff, g.n, entry = entry).take(keep)
               .map { case (_, i) => (qid, g.ids(i)) }
           }
         }
       }
     }
-    val perPart = prunedWalk(graph, layersOpt, byPid.contains)(body)
+    // (over-budget, (qid, coarse-survivor-cid) rows)
+    val (overBudget, perPart) =
+      Knn.boundedQueryBatch(queries, qIdCol, qVecCol,
+        Knn.maxQueryBatch(spark)) match {
+        case Some(qRows) =>
+          val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
+            .flatMap { case (qid, qv) =>
+              val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv)
+                       else qv
+              rts.map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
+                .sortBy(identity).take(nprobe)
+                .map { case (_, pid) => (pid, (qid, bq)) }
+            }
+            .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
+          val qB = spark.sparkContext.broadcast(byPid)
+          (false, prunedWalk(graph, layersOpt, byPid.contains) { (git, lt) =>
+            val rows = git.toArray
+            if (rows.isEmpty) Iterator.empty[(Long, Long)]
+            else walk(rows.iterator, lt,
+              qB.value.getOrElse(rows.head._1,
+                Array.empty[(Long, Array[Float])]))
+          })
+        case None =>
+          // OVER-BUDGET (r15 VERDICT #1): distributed pid assignment —
+          // the query side never touches the driver; the walk consumes
+          // the bound-space vector (carryBound), the rescore below reads
+          // the raw one back from the queries DataFrame
+          (true, zipWalk(graph, layersOpt,
+            assignQueriesByPid(queries, qIdCol, qVecCol, metric, rts,
+              nprobe, graph.getNumPartitions, carryBound = true))(walk))
+      }
     // multi-probe duplicates collapse before the rescore join
     val cands = perPart.toDF("__qid", "__cid").distinct()
-    val qDf = qRows.toSeq.toDF("__qid", "__qvec")
+    // the exact-rescore query side: collected-and-broadcast in budget,
+    // the queries DataFrame itself (shuffle equi-join on __qid) over it
+    val qSel = queries.select(col(qIdCol).cast("long").as("__qid"),
+      col(qVecCol).as("__qvec"))
+    val qDf = if (overBudget) qSel else broadcast(qSel)
     val rawSel = raw.select(col(rawIdCol).cast("long").as("__cid"),
       col(rawVecCol).as("__cvec"))
     val dist = metric match {
@@ -1816,7 +1943,7 @@ object Hnsw {
         lit(1.0) - distances.cosineSim(col("__qvec"), col("__cvec"))
       case _ => distances.l2Dist(col("__qvec"), col("__cvec"))
     }
-    val scored = cands.join(broadcast(qDf), "__qid").join(rawSel, "__cid")
+    val scored = cands.join(qDf, "__qid").join(rawSel, "__cid")
       .select(col("__qid"), col("__cid"), dist.cast("double").as("__dist"))
     TopK.topKPairs(scored, qIdCol, cIdCol, k)
   }

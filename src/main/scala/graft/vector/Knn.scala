@@ -24,6 +24,51 @@ object Knn {
   case object IP extends Metric
   case object Cosine extends Metric
 
+  /** ENFORCED driver/broadcast budget for the query side of every batch
+    * KNN join (r15 VERDICT #1 — the doc-comment "chunk a huge query set"
+    * contract, now enforced in code the way [[graft.plans.GraphCandidates]]
+    * enforces its filter-id budget): joins whose query batch fits collect
+    * or broadcast it (the fast small-batch shape); a batch over budget
+    * takes each leg's scale arm — distributed pid-assignment for the
+    * routed/quantized graph joins, bounded chunks for the screened flat
+    * joins, a non-broadcast join for the exact/IVF legs — so the query
+    * side NEVER materializes unbounded on the driver. The reference's
+    * host consumes batches through a rowid-stream iterator for the same
+    * reason (knn/iterator.cpp:27-146 — never materialize-all). */
+  def maxQueryBatch(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.knnJoin.maxQueryBatch")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1 << 16)
+
+  /** Joins that engaged an over-budget scale arm — spec instrumentation
+    * only (meaningful in local mode, like
+    * [[graft.plans.GraphCandidates.fallbackCount]]). */
+  val overBudgetJoins = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** ONE budget-limited job decides the arm AND supplies the in-budget
+    * batch (no separate count pass — the [[graft.plans.GraphCandidates]]
+    * construction): collect at most `max`+1 (id, vector) rows; a full
+    * result means over budget → None, and the caller's scale arm re-reads
+    * `queries` distributed. */
+  private[graft] def boundedQueryBatch(queries: DataFrame, qIdCol: String,
+                                       qVecCol: String, max: Int)
+      : Option[Array[(Long, Array[Float])]] = {
+    import queries.sparkSession.implicits._
+    val head = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .limit(math.min(max, Int.MaxValue - 2) + 1)
+      .as[(Long, Array[Float])].collect()
+    if (head.length <= max) Some(head)
+    else { overBudgetJoins.incrementAndGet(); None }
+  }
+
+  /** Budget probe for legs that never collect but BROADCAST the query
+    * side (the exact and IVF joins): one bounded count job. */
+  private[graft] def fitsBudget(queries: DataFrame, max: Int): Boolean = {
+    val fits = queries
+      .limit(math.min(max, Int.MaxValue - 2) + 1).count() <= max
+    if (!fits) overBudgetJoins.incrementAndGet()
+    fits
+  }
+
   /** Score column for a metric, oriented so that ASC = best-first (the
     * reference's "distance": L2 as-is; IP/cosine as `1 - similarity`,
     * matching hnswlib's IP/cosine distance). */
@@ -72,8 +117,15 @@ object Knn {
               k: Int, metric: Metric = L2): DataFrame = {
     require(qIdCol != cIdCol,
       s"query and corpus id columns must have distinct names ($qIdCol)")
-    val q = broadcast(queries.select(col(qIdCol).cast("long").as("__qid"),
-      col(qVecCol).as("__qv")))
+    // over [[maxQueryBatch]] the broadcast hint drops and the cross join
+    // runs as a distributed cartesian — still quadratic work (it IS the
+    // exact join), but never a driver/broadcast OOM (r15 VERDICT #1)
+    val qSel = queries.select(col(qIdCol).cast("long").as("__qid"),
+      col(qVecCol).as("__qv"))
+    val q =
+      if (fitsBudget(queries, maxQueryBatch(queries.sparkSession)))
+        broadcast(qSel)
+      else qSel
     val scored = corpus
       .select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
       .crossJoin(q)

@@ -788,9 +788,10 @@ object Quantize {
   // cross product — the global coarse cut reproduces the single-query
   // accuracy contract ("the true top-k sits in the global top k·refine
   // coarse set"), and ONE codegen join against the float column
-  // exact-rescores the survivors. For query batches too large to
-  // broadcast, run in slices and union — the same contract as
-  // [[Knn.knnJoin]].
+  // exact-rescores the survivors. Query batches over [[Knn.maxQueryBatch]]
+  // take the ENFORCED slice-and-union arm (r15 VERDICT #1): bounded
+  // collect per slice, broadcast freed between slices, distributed
+  // rescore — the driver never holds more than one slice.
 
   /** Bounded "keep the n smallest (dist, id)" pairs — the partition-local
     * cut of the screened-join kernel. Array-backed max-heap ordered by
@@ -851,48 +852,95 @@ object Quantize {
       s"query and corpus id columns must have distinct names ($qIdCol)")
     val spark = qdf.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])].collect()
     val keep = k * refine
-    val qB = spark.sparkContext.broadcast(qRows)
     val coded = qdf.select(
       (col(idCol).cast("long") +: codeCols.map(col)): _*)
-    val coarse = coded.mapPartitions { it =>
-      val qs = qB.value
-      if (qs.isEmpty) Iterator.empty
-      else {
-        val preps: Array[AnyRef] = qs.map(q => prep(q._2))
-        val heaps = Array.fill(qs.length)(new BoundedTopK(keep))
-        it.foreach { row =>
-          val cid = row.getLong(0)
-          val code = extract(row)
-          var j = 0
-          while (j < qs.length) {
-            heaps(j).offer(score(code, preps(j)), cid)
-            j += 1
+    // one query slice's coarse screen + its global k·refine cut (the
+    // slices partition the query set, so a per-slice cut IS the global
+    // cut for its queries). Caller owns the broadcast's lifetime.
+    def coarseFor(qRows: Array[(Long, Array[Float])])
+        : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]) = {
+      val qB = spark.sparkContext.broadcast(qRows)
+      val coarse = coded.mapPartitions { it =>
+        val qs = qB.value
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val preps: Array[AnyRef] = qs.map(q => prep(q._2))
+          val heaps = Array.fill(qs.length)(new BoundedTopK(keep))
+          it.foreach { row =>
+            val cid = row.getLong(0)
+            val code = extract(row)
+            var j = 0
+            while (j < qs.length) {
+              heaps(j).offer(score(code, preps(j)), cid)
+              j += 1
+            }
+          }
+          Iterator.range(0, qs.length).flatMap { j =>
+            heaps(j).drain().iterator
+              .map { case (cd, cid) => (qs(j)._1, cid, cd) }
           }
         }
-        Iterator.range(0, qs.length).flatMap { j =>
-          heaps(j).drain().iterator
-            .map { case (cd, cid) => (qs(j)._1, cid, cd) }
-        }
-      }
-    }(Encoders.product[(Long, Long, Double)])
-      .toDF("__qid", "__cid", "__dist")
-    // global coarse cut — the single-query k·refine contract; survivors
-    // rescore exactly against the float column (the candidate side is
-    // |Q|·k·refine rows, broadcast — the corpus never shuffles)
-    val cands = TopK.topKPairs(coarse, "q", "c", keep)
-      .select(col("q").as("__qid"), col("c").as("__cid"))
-    val qDf = qRows.toSeq.toDF("__qid", "__qvec")
+      }(Encoders.product[(Long, Long, Double)])
+        .toDF("__qid", "__cid", "__dist")
+      (TopK.topKPairs(coarse, "q", "c", keep)
+        .select(col("q").as("__qid"), col("c").as("__cid")), qB)
+    }
     val rawSel = qdf.select(col(idCol).cast("long").as("__cid"),
       col(vecCol).as("__cvec"))
-    val scored = broadcast(cands.join(broadcast(qDf), "__qid"))
-      .join(rawSel, "__cid")
-      .select(col("__qid"), col("__cid"),
-        Knn.distCol(metric, col("__cvec"), col("__qvec"))
-          .cast("double").as("__dist"))
-    TopK.topKPairs(scored, qIdCol, cIdCol, k)
+    def rescored(withQvec: DataFrame): DataFrame = {
+      val scored = withQvec.join(rawSel, "__cid")
+        .select(col("__qid"), col("__cid"),
+          Knn.distCol(metric, col("__cvec"), col("__qvec"))
+            .cast("double").as("__dist"))
+      TopK.topKPairs(scored, qIdCol, cIdCol, k)
+    }
+    val max = Knn.maxQueryBatch(spark)
+    Knn.boundedQueryBatch(queries, qIdCol, qVecCol, max) match {
+      case Some(qRows) =>
+        // IN-BUDGET: one broadcast screen; survivors rescore exactly
+        // against the float column (the candidate side is |Q|·k·refine
+        // rows, broadcast — the corpus never shuffles)
+        val (cands, _) = coarseFor(qRows)
+        val qDf = qRows.toSeq.toDF("__qid", "__qvec")
+        rescored(broadcast(cands.join(broadcast(qDf), "__qid")))
+      case None =>
+        // OVER-BUDGET (r15 VERDICT #1): the enforced form of the "run in
+        // slices and union" contract. The screen is inherently
+        // all-(query, corpus-partition) work, so slicing is the scale
+        // shape: round-robin the query set into ≤max-row slices, screen
+        // one slice at a time (ONE bounded collect + broadcast per slice,
+        // freed before the next — driver memory never exceeds one slice),
+        // union the checkpointed per-slice survivors, and rescore through
+        // a distributed equi-join against the queries DataFrame (no
+        // broadcast hints — both sides may be huge). Each slice costs one
+        // corpus-code scan; for batches of millions+ the graph families
+        // are the better tool, and this arm keeps the screened families
+        // CORRECT and bounded rather than fast.
+        val qSel = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+          .as[(Long, Array[Float])]
+        val n = qSel.count()
+        val nSlices = math.max(1L, (n + max - 1) / max).toInt
+        val sliced = qSel.repartition(nSlices).rdd
+        sliced.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val parts = (0 until nSlices).map { i =>
+            val slice = spark.sparkContext.runJob(sliced,
+              (it: Iterator[(Long, Array[Float])]) => it.toArray,
+              Seq(i)).head
+            val (cands, qB) = coarseFor(slice)
+            // eager: the slice's screen runs NOW, so its broadcast can be
+            // freed before the next slice's is built
+            val cut = cands.localCheckpoint(true)
+            qB.destroy()
+            cut
+          }
+          val allCands = parts.reduce(_ union _)
+          val qDf = queries.select(col(qIdCol).cast("long").as("__qid"),
+            col(qVecCol).as("__qvec"))
+          rescored(allCands.join(qDf, "__qid"))
+        } finally sliced.unpersist(false)
+    }
   }
 
   /** Batch KNN JOIN over an int8-quantized table ([[quantizeTable]]

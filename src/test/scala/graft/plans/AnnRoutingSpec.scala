@@ -606,6 +606,9 @@ class AnnRoutingSpec extends AnyFunSuite {
   }
 
   test("graph family: hierarchy mode rides registration into the routed leaf (r15)") {
+    // fixture sub-graphs sit below the hierMinRows auto-engage threshold;
+    // this test pins the DESCENT itself, so force it (r16)
+    SparkT.spark.conf.set("spark.graft.graph.hierMinRows", "0")
     val tmp = Files.createTempDirectory("graft-annroute-hier")
     val baseG = tmp.resolve("baseh").toString
     val idxG = tmp.resolve("idxh").toString
@@ -682,6 +685,7 @@ class AnnRoutingSpec extends AnyFunSuite {
     assert(graft.vector.Hnsw.descents.get() > dj0,
       "hier-registered batch join executed without a descent")
     AnnRouting.unregister(SparkT.spark, baseG)
+    SparkT.spark.conf.unset("spark.graft.graph.hierMinRows")
   }
 
   test("routing preserves downstream projections (round/select shapes)") {

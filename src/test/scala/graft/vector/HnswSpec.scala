@@ -571,6 +571,14 @@ class HnswSpec extends AnyFunSuite {
   }
 
   test("hierarchy: exact at full ef, high recall at small ef, layer sizes geometric (r15)") {
+    // force the descent: these sub-graphs sit below the hierMinRows
+    // auto-engage threshold, and this test measures the descent itself
+    SparkT.spark.conf.set("spark.graft.graph.hierMinRows", "0")
+    try hierBody()
+    finally SparkT.spark.conf.unset("spark.graft.graph.hierMinRows")
+  }
+
+  private def hierBody(): Unit = {
     val rnd = new scala.util.Random(29)
     val dim = 32
     val rows = for {
@@ -742,6 +750,32 @@ class HnswSpec extends AnyFunSuite {
       "embedding", "vec_id", queryVec, 10, ef = 1 << 20, hier = true)
     assert(res.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
       === exact)
+  }
+
+  test("hierMinRows auto-gate: small sub-graphs skip the descent, forcing engages it, results identical (r16)") {
+    val tmp = Files.createTempDirectory("graft-hnswgate")
+    val d = tmp.resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClustered(emb, "embedding", "vec_id", d, p)
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    // default threshold (32768) >> fixture sub-graphs: the hier API walks
+    // flat entries — NO descent — and stays exact
+    val d0 = Hnsw.descents.get()
+    val (skip, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+      queryVec, 10, ef = 1 << 20)
+    assert(skip.as[(Long, Double)].collect().toSeq === exact)
+    assert(Hnsw.descents.get() === d0,
+      "descent ran below the hierMinRows threshold")
+    // forcing (conf 0) engages the descent on the same index, same rows
+    SparkT.spark.conf.set("spark.graft.graph.hierMinRows", "0")
+    try {
+      val (forced, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+        queryVec, 10, ef = 1 << 20)
+      assert(forced.as[(Long, Double)].collect().toSeq === exact)
+      assert(Hnsw.descents.get() > d0, "forced descent did not run")
+    } finally SparkT.spark.conf.unset("spark.graft.graph.hierMinRows")
   }
 
   test("hierarchy build rejects m < 2 (ADVICE r16)") {
