@@ -516,6 +516,62 @@ object Embeddings {
     }
   }
 
+  /** [[TransformerProvider]]'s DECODER twin (r15 VERDICT #4): a GPT-2
+    * layout checkpoint served through [[graft.embed.Decoder]]'s pure-JVM
+    * causal forward — pre-LN blocks, learned positions, last-token (or
+    * mean) pooling, then the same normalize/float32 contract. Tokenization
+    * mirrors the encoder provider minus the [CLS]/[SEP] wrap (decoders
+    * have no special-token sandwich): vocab.txt → WordPiece ids directly;
+    * absent → whitespace hash buckets over the wte rows. */
+  final case class DecoderProvider(modelPath: String,
+                                   pooling: Option[String] = None,
+                                   normalize: Boolean = true,
+                                   maxInputLen: Option[Int] = None,
+                                   declaredDim: Option[Int] = None)
+      extends TextToEmbeddings {
+    @transient private lazy val loaded: Decoder.Loaded = {
+      val l = Decoder.sharedModel(modelPath, pooling)
+      declaredDim.foreach(d => require(d == l.model.hidden,
+        s"checkpoint $modelPath has hidden size ${l.model.hidden}, " +
+          s"caller declared $d"))
+      l
+    }
+    def dim: Int = loaded.model.hidden
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val m = loaded.model
+      val cap = math.min(
+        maxInputLen.getOrElse(ModelRegistry.LocalDefaultMaxInputLen),
+        m.maxPositions)
+      texts.map { t0 =>
+        val t = ModelRegistry.preTruncate(t0, cap)
+        val ids: Array[Int] = loaded.vocab match {
+          case Some(v) => WordPiece.tokenize(t, v).take(cap).toArray
+          case None =>
+            t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(cap)
+              .map(tok => hashBucket(tok, m.vocabRows)).toArray
+        }
+        val pooled = Decoder.forward(m, ids)
+        val out = new Array[Float](m.hidden)
+        if (normalize) {
+          var s = 0.0
+          var i = 0
+          while (i < pooled.length) { s += pooled(i) * pooled(i); i += 1 }
+          val nrm = math.sqrt(s)
+          if (nrm > 0) {
+            i = 0
+            while (i < pooled.length) {
+              out(i) = (pooled(i) / nrm).toFloat; i += 1
+            }
+          }
+        } else {
+          var i = 0
+          while (i < pooled.length) { out(i) = pooled(i).toFloat; i += 1 }
+        }
+        out
+      }
+    }
+  }
+
   /** Provider registry — the seam where remote/local model providers plug in
     * (ref ffi.rs GetLibFuncs). Offline container ships the deterministic
     * stubs; [[HttpProvider]] and [[LocalModelProvider]] are constructed

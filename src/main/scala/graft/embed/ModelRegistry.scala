@@ -179,6 +179,22 @@ object ModelRegistry {
         modelId.stripPrefix("transformer:"),
         maxInputLen = Some(LocalDefaultMaxInputLen), declaredDim = dim)
     }
+    // `decoder:<path>[#last|#mean]` — a GPT-2-layout decoder checkpoint
+    // directory (or .safetensors file) run through the pure-JVM CAUSAL
+    // forward (Decoder.scala; r15 VERDICT #4 closes the reference's
+    // model-shape dispatch, mod.rs:65-70 — local.rs serves decoder
+    // checkpoints through the same loader). The optional fragment
+    // overrides the pooling (config.json's "pooling" key otherwise;
+    // default last-token, the decoder-embedder convention).
+    if (modelId.startsWith("decoder:")) {
+      val spec = modelId.stripPrefix("decoder:")
+      val (path, pool) = spec.indexOf('#') match {
+        case -1 => (spec, None)
+        case i => (spec.take(i), Some(spec.drop(i + 1)))
+      }
+      return Embeddings.DecoderProvider(path, pooling = pool,
+        maxInputLen = Some(LocalDefaultMaxInputLen), declaredDim = dim)
+    }
     // `safetensors:<path>[#<tensor>]` — a real weight file in the public
     // interchange format; tensor name defaults to "embedding".
     if (modelId.startsWith("safetensors:")) {

@@ -237,7 +237,7 @@ object Transformer {
   /** `path` is a directory (containing model.safetensors) or a
     * .safetensors file; absent paths fall back to `SparkFiles` (the
     * `SparkContext.addFile` shipping pattern, same as LocalModel.load). */
-  private def resolveLayout(path: String): (java.io.File, java.io.File) = {
+  private[embed] def resolveLayout(path: String): (java.io.File, java.io.File) = {
     val f0 = new java.io.File(path)
     val f =
       if (f0.exists()) f0
@@ -276,7 +276,7 @@ object Transformer {
   @inline def gelu(x: Double): Double =
     0.5 * x * (1.0 + math.tanh(GeluC0 * (x + GeluC1 * x * x * x)))
 
-  private def layerNorm(x: Array[Double], n: Norm, eps: Double): Array[Double] = {
+  private[embed] def layerNorm(x: Array[Double], n: Norm, eps: Double): Array[Double] = {
     val d = x.length
     var mu = 0.0
     var i = 0

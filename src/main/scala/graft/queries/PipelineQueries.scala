@@ -275,6 +275,36 @@ object PipelineQueries {
       },
       Some(tfOracleSql(tfTokWpCte))),
 
+    // K8 DECODER forward (r16 — the GPT-style model shape behind the
+    // reference's dispatch, embeddings/src/model/mod.rs:65-70; r15 VERDICT
+    // #4 closes the last local-model-breadth gap): a REAL GPT-2-layout
+    // safetensors checkpoint (wte/wpe + 2 pre-LN causal blocks + ln_f,
+    // Conv1D-transposed weights, dyadic deterministic values) served
+    // through the `decoder:` model-id dispatch and embedStage. The oracle
+    // replays the ENTIRE causal forward in SQL — wte+wpe closed forms (no
+    // embedding LN), per-block pre-LN, CAUSAL QK^T/√d softmax (the score
+    // join keeps only b.pos <= a.pos), V aggregation, projection +
+    // pre-LN residuals, approximate-GELU FFN, final ln_f, LAST-TOKEN
+    // pooling (the decoder-embedder convention: only the last position
+    // attended to everything), L2 normalize — in double precision, cast
+    // to FLOAT: the bits match as in q_embed_transformer.
+    "q_embed_decoder" -> QueryDef(
+      (s, d) => {
+        val dir = decoderArtifact()
+        val docs = t(s, d, "documents")
+        // same no-pre-truncation pin as q_embed_transformer
+        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
+          .head().getInt(0)
+        require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+          s"q_embed_decoder oracle assumes no pre-truncation; corpus has " +
+            s"a $maxBytes-byte document >= ${Dtf.MaxPos * 8} — extend the oracle")
+        val emb = Embeddings.embedStage(docs, "text", "emb",
+          () => graft.embed.ModelRegistry.create(s"decoder:$dir"))
+        emb.select(col("doc_id") +:
+          (0 until Dtf.H).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
+      },
+      Some(decOracleSql())),
+
     // FLAGSHIP v4 (r13): this round's operators composed in ONE
     // declarative pipeline — real BPE token accounting → real transformer
     // embeddings (WordPiece + [CLS]/[SEP]) → embedding-cosine near-dup
@@ -1278,6 +1308,97 @@ object PipelineQueries {
     val layers: Array[Lw] = Array.tabulate(L)(Lw)
   }
 
+  /** Deterministic dyadic weights of the DECODER gate checkpoint (r16 —
+    * the GPT-2-layout twin of [[Tf]]): hidden 4, 2 heads, 2 pre-LN causal
+    * blocks, inner 8, learned positions, vocab 64 hash buckets. wte/wpe
+    * use closed forms the oracle replays as arithmetic; block weights are
+    * spliced as exact decimal literals (all values are /16 or /32 dyadics,
+    * exact in float AND double). */
+  private object Dtf {
+    val H = 4; val Heads = 2; val HD: Int = H / Heads; val L = 2; val I = 8
+    val MaxPos = 128; val V = 64
+    val wte: Array[Array[Float]] =
+      Array.tabulate(V, H)((b, i) => (((b * 37 + i * 3) % 89) - 44) / 16.0f)
+    val wpe: Array[Array[Float]] =
+      Array.tabulate(MaxPos, H)((p, i) => (((p * 13 + i * 7) % 29) - 14) / 32.0f)
+    private def lnG(salt: Int) =
+      Array.tabulate(H)(i => 1.0f + (((i * 5 + salt) % 9) - 4) / 32.0f)
+    private def lnB(salt: Int) =
+      Array.tabulate(H)(i => (((i * 7 + salt) % 11) - 5) / 32.0f)
+    private def mat(r: Int, c: Int, salt: Int) =
+      Array.tabulate(r, c)((o, i) => (((salt + o * 11 + i * 5) % 17) - 8) / 32.0f)
+    private def bias(n: Int, salt: Int) =
+      Array.tabulate(n)(o => (((salt + o * 3) % 13) - 6) / 32.0f)
+    final case class Bw(l: Int) {
+      val ln1g: Array[Float] = lnG(l * 3 + 7)
+      val ln1b: Array[Float] = lnB(l * 5 + 3)
+      val q: Array[Array[Float]] = mat(H, H, l * 31 + 2)
+      val qb: Array[Float] = bias(H, l * 13 + 1)
+      val k: Array[Array[Float]] = mat(H, H, l * 31 + 9)
+      val kb: Array[Float] = bias(H, l * 13 + 6)
+      val v: Array[Array[Float]] = mat(H, H, l * 31 + 16)
+      val vb: Array[Float] = bias(H, l * 13 + 11)
+      val proj: Array[Array[Float]] = mat(H, H, l * 31 + 23)
+      val projb: Array[Float] = bias(H, l * 13 + 3)
+      val ln2g: Array[Float] = lnG(l * 3 + 8)
+      val ln2b: Array[Float] = lnB(l * 5 + 6)
+      val fc: Array[Array[Float]] = mat(I, H, l * 29 + 5)
+      val fcb: Array[Float] = bias(I, l * 7 + 2)
+      val fo: Array[Array[Float]] = mat(H, I, l * 23 + 11)
+      val fob: Array[Float] = bias(H, l * 7 + 5)
+    }
+    val blocks: Array[Bw] = Array.tabulate(L)(Bw)
+    val fg: Array[Float] = lnG(41)
+    val fb: Array[Float] = lnB(43)
+  }
+
+  /** The GPT-2-layout checkpoint (wte/wpe/h.{i}/ln_f + config.json),
+    * written once per process — the q_embed_decoder artifact. Linear
+    * weights transpose into the Conv1D `[in, out]` storage convention the
+    * real GPT-2 export uses, so the loader's transpose-back is exercised
+    * for real. */
+  private def decoderArtifact(): String = {
+    import graft.embed.Safetensors
+    val dir = new java.io.File(graft.tables.Derived.root, "model_dec4_v1")
+    val wf = new java.io.File(dir, "model.safetensors")
+    if (!wf.isFile) {
+      dir.mkdirs()
+      val ts = Seq.newBuilder[(String, Safetensors.Tensor)]
+      def t2(name: String, m: Array[Array[Float]]): Unit =
+        ts += name -> Safetensors.Tensor(Seq(m.length, m.head.length), m.flatten)
+      def t1(name: String, v: Array[Float]): Unit =
+        ts += name -> Safetensors.Tensor(Seq(v.length), v)
+      def conv1d(name: String, linW: Array[Array[Float]]): Unit =
+        t2(name, Array.tabulate(linW.head.length, linW.length)(
+          (i, o) => linW(o)(i))) // [out][in] → stored [in][out]
+      t2("wte.weight", Dtf.wte)
+      t2("wpe.weight", Dtf.wpe)
+      Dtf.blocks.zipWithIndex.foreach { case (bw, l) =>
+        val p = s"h.$l"
+        t1(s"$p.ln_1.weight", bw.ln1g); t1(s"$p.ln_1.bias", bw.ln1b)
+        conv1d(s"$p.attn.c_attn.weight", bw.q ++ bw.k ++ bw.v)
+        t1(s"$p.attn.c_attn.bias", bw.qb ++ bw.kb ++ bw.vb)
+        conv1d(s"$p.attn.c_proj.weight", bw.proj)
+        t1(s"$p.attn.c_proj.bias", bw.projb)
+        t1(s"$p.ln_2.weight", bw.ln2g); t1(s"$p.ln_2.bias", bw.ln2b)
+        conv1d(s"$p.mlp.c_fc.weight", bw.fc)
+        t1(s"$p.mlp.c_fc.bias", bw.fcb)
+        conv1d(s"$p.mlp.c_proj.weight", bw.fo)
+        t1(s"$p.mlp.c_proj.bias", bw.fob)
+      }
+      t1("ln_f.weight", Dtf.fg); t1("ln_f.bias", Dtf.fb)
+      Safetensors.write(wf.toString, ts.result())
+      // layer_norm_epsilon pinned to the oracle's literal (sqlLn splices
+      // 1e-12); n_head is the required head count
+      java.nio.file.Files.write(new java.io.File(dir, "config.json").toPath,
+        (s"""{"model_type":"gpt2","n_head":${Dtf.Heads},""" +
+          s""""n_layer":${Dtf.L},"n_embd":${Dtf.H},""" +
+          s""""layer_norm_epsilon":1e-12,""" +
+          s""""n_positions":${Dtf.MaxPos}}""").getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
   // The checkpoint directory (model.safetensors + config.json), written
   // once per process if absent — the q_embed_transformer artifact. The
   // `_wp` twin adds vocab.txt ([PAD]/[UNK]/[CLS]/[SEP] + the corpus word
@@ -1437,6 +1558,116 @@ object PipelineQueries {
       s" FROM gl$l)"
     val lnO = sqlLn(out, s"fo$l", lw.lnOg, lw.lnOb)
     Seq(qkv, sc, sm, ex, sx, ctx, ao, lnA, it, th, gl, fo, lnO).mkString(", ")
+  }
+
+  /** One DECODER block (pre-LN causal attention + pre-LN FFN) reading CTE
+    * `in`, writing CTE `out` — the [[sqlLayer]] twin with the two
+    * decoder-defining differences: the score join is CAUSAL
+    * (`b.pos <= a.pos`) and both residuals add the PRE-LayerNorm block
+    * input (GPT-2's pre-LN wiring), so each LN feeds only its own
+    * sub-layer. */
+  private def dSqlLayer(l: Int, in: String, out: String): String = {
+    val bw = Dtf.blocks(l)
+    val xs = (0 until Dtf.H).map(i => s"x$i")
+    // pre-attention LN over the block input
+    val ln1 = sqlLn(s"da$l", in, bw.ln1g, bw.ln1b)
+    val qkv = s"dqkv$l AS (SELECT doc_id, pos, " +
+      (0 until Dtf.H).map(o => s"${sqlLin(bw.q, bw.qb, o, xs)} AS q$o")
+        .mkString(", ") + ", " +
+      (0 until Dtf.H).map(o => s"${sqlLin(bw.k, bw.kb, o, xs)} AS k$o")
+        .mkString(", ") + ", " +
+      (0 until Dtf.H).map(o => s"${sqlLin(bw.v, bw.vb, o, xs)} AS v$o")
+        .mkString(", ") + s" FROM da$l)"
+    // CAUSAL: position p attends to positions q <= p only
+    val sc = s"dsc$l AS (SELECT a.doc_id, a.pos AS p, b.pos AS q, " +
+      (0 until Dtf.Heads).map { hh =>
+        val terms = (0 until Dtf.HD)
+          .map(d => s"a.q${hh * Dtf.HD + d}*b.k${hh * Dtf.HD + d}")
+          .mkString(" + ")
+        s"($terms)/sqrt(${Dtf.HD}.0) AS s$hh"
+      }.mkString(", ") + ", " +
+      (0 until Dtf.H).map(i => s"b.v$i AS v$i").mkString(", ") +
+      s" FROM dqkv$l a JOIN dqkv$l b ON a.doc_id = b.doc_id" +
+      " AND b.pos <= a.pos)"
+    val sm = s"dsm$l AS (SELECT *, " +
+      (0 until Dtf.Heads).map(hh =>
+        s"max(s$hh) OVER (PARTITION BY doc_id, p) AS m$hh").mkString(", ") +
+      s" FROM dsc$l)"
+    val ex = s"dex$l AS (SELECT *, " +
+      (0 until Dtf.Heads).map(hh => s"exp(s$hh - m$hh) AS e$hh")
+        .mkString(", ") + s" FROM dsm$l)"
+    val sx = s"dsx$l AS (SELECT *, " +
+      (0 until Dtf.Heads).map(hh =>
+        s"sum(e$hh) OVER (PARTITION BY doc_id, p) AS z$hh").mkString(", ") +
+      s" FROM dex$l)"
+    val ctx = s"dctx$l AS (SELECT doc_id, p AS pos, " +
+      (0 until Dtf.H).map { i =>
+        val hh = i / Dtf.HD
+        s"sum(e$hh/z$hh*v$i) AS c$i"
+      }.mkString(", ") + s" FROM dsx$l GROUP BY doc_id, p)"
+    // attention projection + residual from the BLOCK INPUT (pre-LN)
+    val cs = (0 until Dtf.H).map(i => s"c.c$i")
+    val ao = s"dao$l AS (SELECT c.doc_id, c.pos, " +
+      (0 until Dtf.H).map(o =>
+        s"h.x$o + (${sqlLin(bw.proj, bw.projb, o, cs)}) AS x$o")
+        .mkString(", ") +
+      s" FROM dctx$l c JOIN $in h ON c.doc_id = h.doc_id AND c.pos = h.pos)"
+    // pre-FFN LN, then gelu(c_fc)·c_proj + residual from dao
+    val ln2 = sqlLn(s"dm$l", s"dao$l", bw.ln2g, bw.ln2b)
+    val ms = (0 until Dtf.H).map(i => s"m.x$i")
+    val it = s"dit$l AS (SELECT m.doc_id, m.pos, " +
+      (0 until Dtf.H).map(i => s"h.x$i AS x$i").mkString(", ") + ", " +
+      (0 until Dtf.I).map(o => s"${sqlLin(bw.fc, bw.fcb, o, ms)} AS g$o")
+        .mkString(", ") +
+      s" FROM dm$l m JOIN dao$l h ON m.doc_id = h.doc_id AND m.pos = h.pos)"
+    val th = s"dth$l AS (SELECT *, " +
+      (0 until Dtf.I).map(o =>
+        s"0.7978845608028654*(g$o + 0.044715*g$o*g$o*g$o) AS t$o")
+        .mkString(", ") + s" FROM dit$l)"
+    val gl = s"dgl$l AS (SELECT doc_id, pos, " + xs.mkString(", ") + ", " +
+      (0 until Dtf.I).map(o =>
+        s"0.5*g$o*(1+(CASE WHEN t$o > 20 THEN 1.0 WHEN t$o < -20 THEN -1.0" +
+          s" ELSE (exp(2*t$o)-1)/(exp(2*t$o)+1) END)) AS a$o")
+        .mkString(", ") + s" FROM dth$l)"
+    val as_ = (0 until Dtf.I).map(i => s"a$i")
+    val fo = s"$out AS (SELECT doc_id, pos, " +
+      (0 until Dtf.H).map(o =>
+        s"x$o + (${sqlLin(bw.fo, bw.fob, o, as_)}) AS x$o").mkString(", ") +
+      s" FROM dgl$l)"
+    Seq(ln1, qkv, sc, sm, ex, sx, ctx, ao, ln2, it, th, gl, fo).mkString(", ")
+  }
+
+  /** The decoder forward as oracle SQL: hash tokens → wte+wpe (closed
+    * forms, NO embedding LayerNorm) → L pre-LN causal blocks → ln_f →
+    * LAST-TOKEN pool → L2 normalize → float32. */
+  private def decOracleSql(): String = {
+    val head =
+      raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
+        "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tk FROM dd), " +
+        "tok AS (SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(tk,''), c -> unicode(c)::BIGINT)), " +
+        s"(a, b) -> (a*31 + b) % 1000000007) % ${Dtf.V} AS b FROM tok0 " +
+        s"WHERE pos < ${Dtf.MaxPos})"
+    val e = "dh0 AS (SELECT doc_id, pos, " +
+      (0 until Dtf.H).map(i =>
+        s"((b*37 + ${i * 3}) % 89 - 44)/16.0" +
+          s" + ((pos*13 + ${i * 7}) % 29 - 14)/32.0 AS x$i").mkString(", ") +
+      " FROM tok)"
+    val blocks = (0 until Dtf.L).map(l => dSqlLayer(l, s"dh$l", s"dh${l + 1}"))
+    val lnF = sqlLn("dhf", s"dh${Dtf.L}", Dtf.fg, Dtf.fb)
+    val pool = "lastp AS (SELECT doc_id, max(pos) AS mp FROM dhf GROUP BY doc_id), " +
+      "pool AS (SELECT h.doc_id, " +
+      (0 until Dtf.H).map(i => s"h.x$i AS p$i").mkString(", ") +
+      " FROM dhf h JOIN lastp lp ON h.doc_id = lp.doc_id AND h.pos = lp.mp)"
+    val nrm = "nrm AS (SELECT *, sqrt(" +
+      (0 until Dtf.H).map(i => s"p$i*p$i").mkString(" + ") +
+      ") AS nn FROM pool)"
+    val fin = "SELECT d.doc_id, " +
+      (0 until Dtf.H).map(i =>
+        s"coalesce(CASE WHEN n.nn > 0 THEN n.p$i/n.nn END, 0)::FLOAT AS e$i")
+        .mkString(", ") +
+      " FROM dd d LEFT JOIN nrm n ON d.doc_id = n.doc_id"
+    (Seq(head, e) ++ blocks ++ Seq(lnF, pool, nrm)).mkString(", ") + " " + fin
   }
 
   /** The corpus's complete (fixed) word list, sorted — the WordPiece gate
