@@ -57,6 +57,12 @@ SLICE = {
     "q_embed_transformer": (
         ("FROM documents)", "FROM documents WHERE doc_id % 17 = 0)"),
         "doc_id % 17 = 0"),
+    # same per-doc-independent forward argument as q_embed_transformer
+    # (r16: the decoder's causal replay is quadratic in per-doc length but
+    # independent across docs — a doc sample is a sound slice)
+    "q_embed_decoder": (
+        ("FROM documents)", "FROM documents WHERE doc_id % 17 = 0)"),
+        "doc_id % 17 = 0"),
     "q_dedup_embed": (
         ("FROM embeddings)", "FROM embeddings WHERE vec_id % 20 = 0)"),
         "a % 20 = 0 AND b % 20 = 0"),
