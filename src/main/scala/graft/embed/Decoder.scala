@@ -34,6 +34,13 @@ package graft.embed
   * attended to the whole sequence). Head count absent both config and
   * override fails loudly, as in [[Transformer.load]].
   *
+  * POSITIONS: learned table (GPT-2, the default) or ROTARY
+  * (`"position_embedding_type": "rotary"` — the GPT-NeoX/LLaMA mechanism,
+  * Su et al. RoFormer): no wpe tensor; each head's (2d, 2d+1) Q/K pair
+  * rotates by angle pos·10000^(-2d/headDim) right after the projections,
+  * so relative positions enter attention as rotation differences and the
+  * position cap is config-only (`n_positions`), not a table length.
+  *
   * Forward (the published GPT-2 block, pre-LN):
   * {{{
   *   x_p   = wte[id_p] + wpe[p]                       (no embedding LN)
@@ -62,15 +69,23 @@ object Decoder {
                          attnProj: Linear, ln2: Norm,
                          fcIn: Linear, fcOut: Linear)
 
+  /** `wpe` empty ⇔ `rope` — rotary positions need no learned table (the
+    * GPT-NeoX/LLaMA family layout: positions enter as Q/K rotations in
+    * attention, `maxPositions` comes from config `n_positions`). */
   final case class Model(wte: Array[Array[Float]], wpe: Array[Array[Float]],
                          blocks: Array[Block], lnF: Norm,
-                         heads: Int, eps: Double, meanPool: Boolean) {
+                         heads: Int, eps: Double, meanPool: Boolean,
+                         rope: Boolean = false, maxPos: Int = 0) {
     val hidden: Int = wte.headOption.map(_.length).getOrElse(0)
     def vocabRows: Int = wte.length
-    def maxPositions: Int = wpe.length
+    def maxPositions: Int = if (rope) maxPos else wpe.length
     require(hidden > 0, "empty token embedding matrix")
     require(heads > 0 && hidden % heads == 0,
       s"hidden $hidden not divisible by $heads heads")
+    require(rope == wpe.isEmpty,
+      "exactly one position mechanism: wpe table XOR rotary")
+    require(!rope || (hidden / heads) % 2 == 0,
+      s"rotary positions need an even head dim (hidden $hidden / $heads heads)")
   }
 
   // ---------------------------------------------------------------- load
@@ -110,9 +125,21 @@ object Decoder {
       Linear(transposed(mat(base + ".weight")), vec(base + ".bias"))
 
     val wte = mat("wte.weight")
-    val wpe = mat("wpe.weight")
     val hidden = wte.head.length
-    require(wpe.head.length == hidden,
+    val cfg = readDecoderConfig(dir)
+    // position mechanism: a ROTARY config (GPT-NeoX/LLaMA family —
+    // "position_embedding_type": "rotary") ships no wpe table; positions
+    // enter as per-position Q/K rotations inside attention. Otherwise the
+    // GPT-2 learned table is required.
+    val rope = cfg._4.contains("rotary")
+    val wpe =
+      if (rope) {
+        require(!ts.contains(prefix + "wpe.weight"),
+          s"$weightsFile declares rotary positions but ships a wpe table " +
+            "— exactly one position mechanism")
+        Array.empty[Array[Float]]
+      } else mat("wpe.weight")
+    if (!rope) require(wpe.head.length == hidden,
       s"position embeddings are ${wpe.head.length}-wide, hidden is $hidden")
     val nBlocks = Iterator.from(0)
       .takeWhile(i => ts.contains(s"${prefix}h.$i.attn.c_attn.weight"))
@@ -140,7 +167,6 @@ object Decoder {
         s"block $i output dims disagree with hidden $hidden")
       b
     }
-    val cfg = readDecoderConfig(dir)
     val heads = cfg._1.orElse(headsOverride)
       .getOrElse(throw new IllegalStateException(
         s"checkpoint at $dir has no config.json with n_head/" +
@@ -153,23 +179,33 @@ object Decoder {
       case Some(other) => throw new IllegalArgumentException(
         s"unknown pooling '$other' (expected 'last' or 'mean')")
     }
-    Model(wte, wpe, blocks, norm("ln_f"), heads, eps, meanPool)
+    // rotary checkpoints carry no position table — the cap comes from
+    // config (n_positions), defaulting to the tokenizer-budget default
+    val maxPos = cfg._5.getOrElse(
+      graft.embed.ModelRegistry.LocalDefaultMaxInputLen)
+    Model(wte, wpe, blocks, norm("ln_f"), heads, eps, meanPool,
+      rope = rope, maxPos = maxPos)
   }
 
-  /** (heads, eps, pooling) from config.json — the GPT-2 key names with the
-    * HF-generic fallbacks. */
+  /** (heads, eps, pooling, position type, n_positions) from config.json —
+    * the GPT-2 key names with the HF-generic fallbacks. */
   private def readDecoderConfig(dir: java.io.File)
-      : (Option[Int], Option[Double], Option[String]) = {
+      : (Option[Int], Option[Double], Option[String], Option[String],
+         Option[Int]) = {
     val f = new java.io.File(dir, "config.json")
-    if (!f.isFile) return (None, None, None)
+    if (!f.isFile) return (None, None, None, None, None)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(java.nio.file.Files.readAllBytes(f.toPath))
     def num(k: String): Option[Double] =
       Option(root.get(k)).filter(_.isNumber).map(_.asDouble())
+    def str(k: String): Option[String] =
+      Option(root.get(k)).filter(_.isTextual).map(_.asText())
     val heads = num("n_head").orElse(num("num_attention_heads")).map(_.toInt)
     val eps = num("layer_norm_epsilon").orElse(num("layer_norm_eps"))
-    val pool = Option(root.get("pooling")).filter(_.isTextual).map(_.asText())
-    (heads, eps, pool)
+    val posType = str("position_embedding_type")
+    val nPos = num("n_positions").orElse(num("max_position_embeddings"))
+      .map(_.toInt)
+    (heads, eps, str("pooling"), posType, nPos)
   }
 
   // ------------------------------------------------------------- forward
@@ -188,20 +224,52 @@ object Decoder {
       require(id >= 0 && id < m.vocabRows,
         s"token id $id outside vocab rows ${m.vocabRows}")
       val w = m.wte(id)
-      val pe = m.wpe(p)
       val e = new Array[Double](h)
       var i = 0
-      while (i < h) { e(i) = w(i).toDouble + pe(i).toDouble; i += 1 }
+      while (i < h) {
+        e(i) = w(i).toDouble +
+          (if (m.rope) 0.0 else m.wpe(p)(i).toDouble)
+        i += 1
+      }
       e
     }
     val headDim = h / m.heads
     val scale = 1.0 / math.sqrt(headDim.toDouble)
+    // RoPE (Su et al., the GPT-NeoX/LLaMA position mechanism): rotate each
+    // head's (2d, 2d+1) pair of Q and K by angle pos·θ_d,
+    // θ_d = 10000^(-2d/headDim) — relative positions enter attention as
+    // the rotation difference; no learned table, no length-tied rows.
+    // Applied IN PLACE right after the Q/K projections, per block
+    // (projections see unrotated inputs, exactly the published recipe).
+    def applyRope(rows: Array[Array[Double]]): Unit = {
+      var p = 0
+      while (p < rows.length) {
+        val r = rows(p)
+        var head = 0
+        while (head < m.heads) {
+          val off = head * headDim
+          var d = 0
+          while (d * 2 < headDim) {
+            val theta = math.pow(10000.0, -2.0 * d / headDim)
+            val ang = p * theta
+            val c = math.cos(ang); val s = math.sin(ang)
+            val a0 = r(off + 2 * d); val a1 = r(off + 2 * d + 1)
+            r(off + 2 * d) = a0 * c - a1 * s
+            r(off + 2 * d + 1) = a0 * s + a1 * c
+            d += 1
+          }
+          head += 1
+        }
+        p += 1
+      }
+    }
     m.blocks.foreach { blk =>
       // pre-LN attention: a = ln_1(x); causal softmax(QK^T/√d)·V
       val a = x.map(layerNorm(_, blk.ln1, m.eps))
       val q = blk.q.applyAll(a)
       val k = blk.k.applyAll(a)
       val v = blk.v.applyAll(a)
+      if (m.rope) { applyRope(q); applyRope(k) }
       val ctx = Array.fill(n)(new Array[Double](h))
       var head = 0
       while (head < m.heads) {

@@ -305,6 +305,30 @@ object PipelineQueries {
       },
       Some(decOracleSql())),
 
+    // The ROTARY decoder (r16): same causal forward, positions as Q/K
+    // rotations (RoPE — the GPT-NeoX/LLaMA mechanism; no learned table,
+    // relative positions enter attention as rotation differences). The
+    // oracle adds the rotation CTE (cos/sin columns; with head dim 2 the
+    // angle IS the position) and drops the wpe term — everything else is
+    // the q_embed_decoder replay. Both engines compute the rotation in
+    // double; libm-vs-DuckDB cos/sin drift (~1 ulp) vanishes under the
+    // float32 cast, as with tanh in the GELU replay.
+    "q_embed_decoder_rope" -> QueryDef(
+      (s, d) => {
+        val dir = decoderRopeArtifact()
+        val docs = t(s, d, "documents")
+        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
+          .head().getInt(0)
+        require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+          s"q_embed_decoder_rope oracle assumes no pre-truncation; corpus " +
+            s"has a $maxBytes-byte document >= ${Dtf.MaxPos * 8}")
+        val emb = Embeddings.embedStage(docs, "text", "emb",
+          () => graft.embed.ModelRegistry.create(s"decoder:$dir"))
+        emb.select(col("doc_id") +:
+          (0 until Dtf.H).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
+      },
+      Some(decOracleSql(rope = true))),
+
     // FLAGSHIP v4 (r13): this round's operators composed in ONE
     // declarative pipeline — real BPE token accounting → real transformer
     // embeddings (WordPiece + [CLS]/[SEP]) → embedding-cosine near-dup
@@ -1357,9 +1381,18 @@ object PipelineQueries {
     * weights transpose into the Conv1D `[in, out]` storage convention the
     * real GPT-2 export uses, so the loader's transpose-back is exercised
     * for real. */
-  private def decoderArtifact(): String = {
+  private def decoderArtifact(): String =
+    decoderArtifactIn("model_dec4_v1", rope = false)
+
+  /** The ROTARY twin: same weights, no wpe table, positions enter as Q/K
+    * rotations (config `position_embedding_type: rotary` — the
+    * GPT-NeoX/LLaMA family layout). */
+  private def decoderRopeArtifact(): String =
+    decoderArtifactIn("model_dec4rope_v1", rope = true)
+
+  private def decoderArtifactIn(name: String, rope: Boolean): String = {
     import graft.embed.Safetensors
-    val dir = new java.io.File(graft.tables.Derived.root, "model_dec4_v1")
+    val dir = new java.io.File(graft.tables.Derived.root, name)
     val wf = new java.io.File(dir, "model.safetensors")
     if (!wf.isFile) {
       dir.mkdirs()
@@ -1372,7 +1405,7 @@ object PipelineQueries {
         t2(name, Array.tabulate(linW.head.length, linW.length)(
           (i, o) => linW(o)(i))) // [out][in] → stored [in][out]
       t2("wte.weight", Dtf.wte)
-      t2("wpe.weight", Dtf.wpe)
+      if (!rope) t2("wpe.weight", Dtf.wpe)
       Dtf.blocks.zipWithIndex.foreach { case (bw, l) =>
         val p = s"h.$l"
         t1(s"$p.ln_1.weight", bw.ln1g); t1(s"$p.ln_1.bias", bw.ln1b)
@@ -1390,11 +1423,13 @@ object PipelineQueries {
       Safetensors.write(wf.toString, ts.result())
       // layer_norm_epsilon pinned to the oracle's literal (sqlLn splices
       // 1e-12); n_head is the required head count
+      val posKey =
+        if (rope) ""","position_embedding_type":"rotary"""" else ""
       java.nio.file.Files.write(new java.io.File(dir, "config.json").toPath,
         (s"""{"model_type":"gpt2","n_head":${Dtf.Heads},""" +
           s""""n_layer":${Dtf.L},"n_embd":${Dtf.H},""" +
           s""""layer_norm_epsilon":1e-12,""" +
-          s""""n_positions":${Dtf.MaxPos}}""").getBytes("UTF-8"))
+          s""""n_positions":${Dtf.MaxPos}$posKey}""").getBytes("UTF-8"))
     }
     dir.toString
   }
@@ -1566,7 +1601,8 @@ object PipelineQueries {
     * (`b.pos <= a.pos`) and both residuals add the PRE-LayerNorm block
     * input (GPT-2's pre-LN wiring), so each LN feeds only its own
     * sub-layer. */
-  private def dSqlLayer(l: Int, in: String, out: String): String = {
+  private def dSqlLayer(l: Int, in: String, out: String,
+                        rope: Boolean = false): String = {
     val bw = Dtf.blocks(l)
     val xs = (0 until Dtf.H).map(i => s"x$i")
     // pre-attention LN over the block input
@@ -1578,8 +1614,26 @@ object PipelineQueries {
         .mkString(", ") + ", " +
       (0 until Dtf.H).map(o => s"${sqlLin(bw.v, bw.vb, o, xs)} AS v$o")
         .mkString(", ") + s" FROM da$l)"
+    // ROPE: rotate each head's (q/k) pair by angle pos·θ_0; with HD=2
+    // there is one pair per head and θ_0 = 10000^0 = 1, so the angle IS
+    // the position — the engine's applyRope replayed as cos/sin columns
+    val scSrc = if (!rope) s"dqkv$l" else s"drot$l"
+    val rot = if (!rope) "" else {
+      // source columns qualified (t.) so the new same-named aliases can
+      // never capture the rotation inputs via lateral alias resolution
+      def rotPair(pfx: Char, o0: Int): String =
+        s"t.$pfx$o0*cos(t.pos) - t.$pfx${o0 + 1}*sin(t.pos) AS $pfx$o0, " +
+          s"t.$pfx$o0*sin(t.pos) + t.$pfx${o0 + 1}*cos(t.pos) AS $pfx${o0 + 1}"
+      s"drot$l AS (SELECT t.doc_id, t.pos, " +
+        (0 until Dtf.Heads).map(hh => rotPair('q', hh * Dtf.HD))
+          .mkString(", ") + ", " +
+        (0 until Dtf.Heads).map(hh => rotPair('k', hh * Dtf.HD))
+          .mkString(", ") + ", " +
+        (0 until Dtf.H).map(i => s"t.v$i").mkString(", ") +
+        s" FROM dqkv$l t), "
+    }
     // CAUSAL: position p attends to positions q <= p only
-    val sc = s"dsc$l AS (SELECT a.doc_id, a.pos AS p, b.pos AS q, " +
+    val sc = rot + s"dsc$l AS (SELECT a.doc_id, a.pos AS p, b.pos AS q, " +
       (0 until Dtf.Heads).map { hh =>
         val terms = (0 until Dtf.HD)
           .map(d => s"a.q${hh * Dtf.HD + d}*b.k${hh * Dtf.HD + d}")
@@ -1587,7 +1641,7 @@ object PipelineQueries {
         s"($terms)/sqrt(${Dtf.HD}.0) AS s$hh"
       }.mkString(", ") + ", " +
       (0 until Dtf.H).map(i => s"b.v$i AS v$i").mkString(", ") +
-      s" FROM dqkv$l a JOIN dqkv$l b ON a.doc_id = b.doc_id" +
+      s" FROM $scSrc a JOIN $scSrc b ON a.doc_id = b.doc_id" +
       " AND b.pos <= a.pos)"
     val sm = s"dsm$l AS (SELECT *, " +
       (0 until Dtf.Heads).map(hh =>
@@ -1640,7 +1694,7 @@ object PipelineQueries {
   /** The decoder forward as oracle SQL: hash tokens → wte+wpe (closed
     * forms, NO embedding LayerNorm) → L pre-LN causal blocks → ln_f →
     * LAST-TOKEN pool → L2 normalize → float32. */
-  private def decOracleSql(): String = {
+  private def decOracleSql(rope: Boolean = false): String = {
     val head =
       raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
         "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tk FROM dd), " +
@@ -1648,12 +1702,15 @@ object PipelineQueries {
         "list_transform(string_split(tk,''), c -> unicode(c)::BIGINT)), " +
         s"(a, b) -> (a*31 + b) % 1000000007) % ${Dtf.V} AS b FROM tok0 " +
         s"WHERE pos < ${Dtf.MaxPos})"
+    // rotary checkpoints have no wpe term — positions enter in attention
     val e = "dh0 AS (SELECT doc_id, pos, " +
       (0 until Dtf.H).map(i =>
         s"((b*37 + ${i * 3}) % 89 - 44)/16.0" +
-          s" + ((pos*13 + ${i * 7}) % 29 - 14)/32.0 AS x$i").mkString(", ") +
+          (if (rope) "" else s" + ((pos*13 + ${i * 7}) % 29 - 14)/32.0") +
+          s" AS x$i").mkString(", ") +
       " FROM tok)"
-    val blocks = (0 until Dtf.L).map(l => dSqlLayer(l, s"dh$l", s"dh${l + 1}"))
+    val blocks = (0 until Dtf.L).map(l =>
+      dSqlLayer(l, s"dh$l", s"dh${l + 1}", rope))
     val lnF = sqlLn("dhf", s"dh${Dtf.L}", Dtf.fg, Dtf.fb)
     val pool = "lastp AS (SELECT doc_id, max(pos) AS mp FROM dhf GROUP BY doc_id), " +
       "pool AS (SELECT h.doc_id, " +

@@ -171,6 +171,91 @@ class DecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("ROPE: rotary checkpoint loads without wpe, matches a scalar rotation twin, stays causal") {
+    val dir = artifact(poolKey = ""","position_embedding_type":"rotary"""")
+    // drop the wpe tensor (rotary layout ships none): rewrite the file
+    val wf = new java.io.File(dir, "model.safetensors")
+    val ts = Safetensors.readAll(wf.toString).filterNot(_._1 == "wpe.weight")
+    Safetensors.write(wf.toString, ts.toSeq)
+    val mr = Decoder.load(dir)
+    assert(mr.rope && mr.wpe.isEmpty && mr.maxPositions === MaxPos)
+    val ids = Array(3, 1, 4, 1, 5, 0)
+    // scalar twin with explicit rotations (independent formulation)
+    def ln(x: Array[Double], g: Array[Float], b: Array[Float]): Array[Double] = {
+      val mu = x.sum / x.length
+      val vr = x.map(c => (c - mu) * (c - mu)).sum / x.length
+      val inv = 1.0 / math.sqrt(vr + mr.eps)
+      x.indices.toArray.map(i => (x(i) - mu) * inv * g(i) + b(i))
+    }
+    def lin(w: Array[Array[Float]], b: Array[Float], x: Array[Double]) =
+      w.indices.toArray.map(o =>
+        b(o).toDouble + w(o).indices.map(i => w(o)(i).toDouble * x(i)).sum)
+    def gelu(x: Double) =
+      0.5 * x * (1 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+    val hd = H / Heads
+    def rot(r: Array[Double], p: Int): Array[Double] = {
+      val o = r.clone()
+      (0 until Heads).foreach { hh =>
+        val off = hh * hd
+        var d = 0
+        while (d * 2 < hd) {
+          val ang = p * math.pow(10000.0, -2.0 * d / hd)
+          val c = math.cos(ang); val s = math.sin(ang)
+          val a0 = o(off + 2 * d); val a1 = o(off + 2 * d + 1)
+          o(off + 2 * d) = a0 * c - a1 * s
+          o(off + 2 * d + 1) = a0 * s + a1 * c
+          d += 1
+        }
+      }
+      o
+    }
+    var xs = ids.map(id => Array.tabulate(H)(i => mr.wte(id)(i).toDouble))
+    mr.blocks.foreach { blk =>
+      val a = xs.map(ln(_, blk.ln1.g, blk.ln1.b))
+      val q = a.zipWithIndex.map { case (v, p) => rot(lin(blk.q.w, blk.q.b, v), p) }
+      val k = a.zipWithIndex.map { case (v, p) => rot(lin(blk.k.w, blk.k.b, v), p) }
+      val v = a.map(lin(blk.v.w, blk.v.b, _))
+      val ctx = xs.indices.map { p =>
+        val out = new Array[Double](H)
+        (0 until Heads).foreach { hh =>
+          val off = hh * hd
+          val sc = (0 to p).map(j =>
+            (0 until hd).map(d => q(p)(off + d) * k(j)(off + d)).sum /
+              math.sqrt(hd.toDouble))
+          val mx = sc.max
+          val es = sc.map(s => math.exp(s - mx))
+          val z = es.sum
+          (0 to p).foreach { j =>
+            (0 until hd).foreach(d => out(off + d) += es(j) / z * v(j)(off + d))
+          }
+        }
+        out
+      }.toArray
+      val afterAttn = xs.indices.toArray.map { p =>
+        val pr = lin(blk.attnProj.w, blk.attnProj.b, ctx(p))
+        Array.tabulate(H)(i => xs(p)(i) + pr(i))
+      }
+      xs = afterAttn.map { x =>
+        val g = lin(blk.fcIn.w, blk.fcIn.b, ln(x, blk.ln2.g, blk.ln2.b)).map(gelu)
+        val pr = lin(blk.fcOut.w, blk.fcOut.b, g)
+        Array.tabulate(H)(i => x(i) + pr(i))
+      }
+    }
+    val want = ln(xs.last, mr.lnF.g, mr.lnF.b)
+    val got = Decoder.forward(mr, ids)
+    want.indices.foreach(i =>
+      assert(math.abs(got(i) - want(i)) < 1e-12,
+        s"dim $i: ${got(i)} vs ${want(i)}"))
+    // rotations do not break the causal mask
+    val sFull = Decoder.states(mr, ids)
+    val sPre = Decoder.states(mr, ids.take(3))
+    (0 until 3).foreach(p => assert(sFull(p).toSeq === sPre(p).toSeq))
+    // declaring rotary while shipping a wpe table fails loudly
+    val both = artifact(poolKey = ""","position_embedding_type":"rotary"""")
+    val e = intercept[IllegalArgumentException] { Decoder.load(both) }
+    assert(e.getMessage.contains("one position mechanism"))
+  }
+
   private lazy val bertishDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-decb").toFile
     Safetensors.write(new java.io.File(dir, "model.safetensors").toString,
