@@ -211,6 +211,45 @@ object VectorQueries {
         "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
         "FROM r WHERE rn <= 3")),
 
+    // Batch knn join over the 4-BIT table (r16 — completes the screened
+    // batch-join family: int8 / 4-bit / PQ / binary, the same
+    // whatever-the-column-has contract as the single-query dispatch):
+    // packed-nibble screen, 8× smaller scan bytes; shares the windowed
+    // cross-join oracle under the k·refine coarse-cut contract.
+    "q_knn_join_quant4" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quant4Index(s, d)
+        Quantize.knnJoinQuant4(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "q4vec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, refine = 32)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracle)),
+
+    // Batch knn join over the BINARY table: XOR+popcount Hamming screen
+    // (64× smaller scan bytes). Binary screening is the coarsest of the
+    // four (uniform-random fixtures are BQ's worst case — q_knn_binary's
+    // rationale); the measured worst true-top-3 coarse rank across the 20
+    // query points at sf0.1 sits between 576 and 960 candidates, so
+    // refine=320 keeps the gate equal to the exact oracle at both scales.
+    "q_knn_join_binary" -> QueryDef(
+      (s, d) => {
+        val (m, path) = binIndex(s, d)
+        Quantize.knnJoinBinary(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "bvec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, refine = 320)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracle)),
+
     // Batch knn join over the PQ table: one M×K ADC table per (query,
     // partition), M byte-lookups per scored pair. ADC is the coarsest
     // screen of the four flat families, so exactness across all 20
@@ -1340,6 +1379,21 @@ object VectorQueries {
   // quantIndex: deterministic training, rebuild only if absent).
   private val quant4Cache =
     scala.collection.concurrent.TrieMap.empty[String, (Quantize.Q4Model, String)]
+
+  /** The k=3 windowed cross-join oracle every screened batch-join gate
+    * shares (same query/corpus split, same tiebreak). Lazy: referenced
+    * from the `defs` map initializer. */
+  private lazy val knnJoinOracle: String =
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+      "FROM embeddings WHERE vec_id < 20), " +
+      "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+      "FROM embeddings WHERE vec_id >= 20), " +
+      "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+      "FROM q CROSS JOIN c), " +
+      "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+      "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+      "FROM r WHERE rn <= 3"
 
   private def quant4Index(s: SparkSession, d: String): (Quantize.Q4Model, String) =
     quant4Cache.getOrElseUpdate(d, {

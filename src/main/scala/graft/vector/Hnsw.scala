@@ -518,6 +518,11 @@ object Hnsw {
         .write.mode("append").parquet(graphDir)
       // route rows for the new pids — same column order as the sidecar
       appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir)
+      // hierarchy follows ingest: extend the layers sidecar to the new
+      // pids when the index has one (crash before this = flat fallback)
+      if (hasHierarchy(spark, indexPath))
+        appendSegmentLayers(spark, keyed, offset, new FloatSpace(metric),
+          p, indexPath)
     } finally assigned.unpersist(false)
     invalidate(indexPath)
     graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
@@ -1009,9 +1014,10 @@ object Hnsw {
     * flat graph are unaffected, and [[searchRoutedHier]] picks the sidecar
     * up on its next load. [[compactClustered]] rebuilds the layers INSIDE
     * the new generation when the superseded one had them (r15 VERDICT #7
-    * — a hier registration survives OPTIMIZE without an operator step);
-    * [[appendSegment]] needs no re-run (new pids fall back to the
-    * flat entry until the next build). */
+    * — a hier registration survives OPTIMIZE without an operator step),
+    * and [[appendSegment]] extends the sidecar to its new pids (r16 — the
+    * hierarchy follows ingest; a crash mid-append leaves the new pids on
+    * the flat-entry fallback, still exact). */
   def buildHierarchy(spark: SparkSession, indexPath: String,
                      p: Params = Params()): Unit = {
     val (graphDir, _) = resolveDirs(spark, indexPath)
@@ -1103,23 +1109,55 @@ object Hnsw {
     val rowRdd = keyed.mapPartitionsWithIndex { (pid, it) =>
       val nodes = it.map(_._2).toArray.sortBy(_._1)
       if (nodes.isEmpty) Iterator.empty
-      else {
-        val levels = nodes.map(n => nodeLevel(n._1, m))
-        val maxL = levels.max
-        (1 to maxL).iterator.flatMap { l =>
-          val subset = nodes.indices.filter(levels(_) >= l)
-          val sub = new SubGraph[V](
-            subset.map(i => nodes(i)._1).toArray,
-            subset.map(i => nodes(i)._2).toArray, space)
-          sub.build(m, efC)
-          (0 until sub.n).iterator.map { i =>
-            Row(pid, l, sub.ids(i), sub.adj(i).map(sub.ids(_)).sorted.toSeq)
-          }
-        }
-      }
+      else layerRowsFor(nodes, pid, space, m, efC)
     }
     graft.tables.Writer.write(spark.createDataFrame(rowRdd, layerSchema),
       layersDir, sortBy = Seq("pid", "level", "id"), files = numParts)
+  }
+
+  /** Layer rows (levels >= 1) for ONE sub-graph's id-sorted nodes — the
+    * shared kernel of [[writeLayersFrom]] and the segment-append
+    * extension. */
+  private def layerRowsFor[V: scala.reflect.ClassTag](
+      nodes: Array[(Long, V)], pid: Int, space: Space[V], m: Int,
+      efC: Int): Iterator[Row] = {
+    val levels = nodes.map(n => nodeLevel(n._1, m))
+    val maxL = levels.max
+    (1 to maxL).iterator.flatMap { l =>
+      val subset = nodes.indices.filter(levels(_) >= l)
+      val sub = new SubGraph[V](
+        subset.map(i => nodes(i)._1).toArray,
+        subset.map(i => nodes(i)._2).toArray, space)
+      sub.build(m, efC)
+      (0 until sub.n).iterator.map { i =>
+        Row(pid, l, sub.ids(i), sub.adj(i).map(sub.ids(_)).sorted.toSeq)
+      }
+    }
+  }
+
+  /** THE HIERARCHY FOLLOWS INGEST (r16): when an index already carries a
+    * layers sidecar, its segment appends extend it — layer rows for the
+    * new pids append after the graph+route rows, so hier walks descend
+    * fresh segments too instead of falling back to flat entries until the
+    * next full build. Deterministic (levels hash from ids, the same rows
+    * a full rebuild would emit for these pids) and crash-safe: any crash
+    * before this append leaves the new pids on the flat-entry fallback,
+    * never a mismatched descent. */
+  private def appendSegmentLayers[V: scala.reflect.ClassTag](
+      spark: SparkSession,
+      keyed: org.apache.spark.rdd.RDD[(Int, (Long, V))],
+      offset: Int, space: Space[V], p: Params, indexPath: String): Unit = {
+    val layersDir = resolveLayersDir(spark, indexPath)
+    val m = p.m
+    val efC = p.efC
+    require(m >= 2, s"hierarchy build requires m >= 2 (got $m)")
+    val rowRdd = keyed.mapPartitionsWithIndex { (ci, it) =>
+      val nodes = it.map(_._2).toArray.sortBy(_._1)
+      if (nodes.isEmpty) Iterator.empty
+      else layerRowsFor(nodes, offset + ci, space, m, efC)
+    }
+    spark.createDataFrame(rowRdd, layerSchema)
+      .write.mode("append").parquet(layersDir)
   }
 
   private type LayerRow = (Int, Long, Array[Long]) // (level, id, neighbors)
@@ -1128,7 +1166,8 @@ object Hnsw {
 
   /** Resident layer rows, co-partitioned with [[loadGraph]]'s RDD
     * (`numParts` = the graph's partition count, so the two zip). Pids
-    * appended after the hierarchy build have no rows — empty partitions,
+    * without rows (an append that predates the hierarchy build, or a
+    * crash before a segment's layer append) are empty partitions —
     * flat-entry fallback. */
   private def loadLayers(spark: SparkSession, indexPath: String,
                          numParts: Int): org.apache.spark.rdd.RDD[(Int, LayerRow)] =
@@ -2038,6 +2077,10 @@ object Hnsw {
       spark.createDataFrame(rowRdd, qgraphSchema)
         .write.mode("append").parquet(graphDir)
       appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir)
+      // hierarchy follows ingest — CODE-space layers for the new pids
+      if (hasHierarchy(spark, indexPath))
+        appendSegmentLayers(spark, keyed, offset, new CodeSpace(qm),
+          p, indexPath)
     } finally {
       encoded.unpersist(false)
       assigned.unpersist(false)

@@ -697,10 +697,17 @@ class HnswSpec extends AnyFunSuite {
     val (res, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
       queryVec, 10, ef = 1 << 20)
     assert(res.as[(Long, Double)].collect().toSeq === exactB)
-    // append a segment: its new pids have no layer rows — the descent
-    // falls back to the flat entry there, and full-ef stays exact
+    // append a segment: the HIERARCHY FOLLOWS INGEST (r16) — the new pids
+    // get their own layer rows in the same append, so the descent covers
+    // fresh segments too; full-ef stays exact
+    val pidsBefore = SparkT.spark.read.parquet(Hnsw.layersPath(d))
+      .select("pid").distinct().as[Int].collect().toSet
     Hnsw.appendSegment(emb.filter($"vec_id" % 10 === 7),
       "embedding", "vec_id", d)
+    val pidsAfter = SparkT.spark.read.parquet(Hnsw.layersPath(d))
+      .select("pid").distinct().as[Int].collect().toSet
+    assert(pidsAfter.size > pidsBefore.size,
+      s"segment append did not extend the layers sidecar ($pidsBefore)")
     val exactAll = Knn.knn(emb, "embedding", "vec_id", queryVec, 10, Knn.Cosine)
       .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
     val (mid, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
@@ -750,6 +757,24 @@ class HnswSpec extends AnyFunSuite {
       "embedding", "vec_id", queryVec, 10, ef = 1 << 20, hier = true)
     assert(res.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
       === exact)
+    // and the hierarchy FOLLOWS a quantized segment append too (r16):
+    // fresh ids (shifted copies), new pids get code-space layer rows
+    val layersDir = Hnsw.resolveLayersDir(SparkT.spark, d)
+    val pidsBefore = SparkT.spark.read.parquet(layersDir)
+      .select("pid").distinct().count()
+    val seg = emb.filter($"vec_id" % 5 === 0)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    Hnsw.appendSegmentQuantized(seg, "embedding", "vec_id", d, p)
+    assert(SparkT.spark.read.parquet(layersDir)
+      .select("pid").distinct().count() > pidsBefore,
+      "quantized segment append did not extend the layers sidecar")
+    val all = emb.unionByName(seg)
+    val exactAll = Knn.knn(all, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res2, _) = Hnsw.searchQuantized(SparkT.spark, d, all,
+      "embedding", "vec_id", queryVec, 10, ef = 1 << 20, hier = true)
+    assert(res2.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      === exactAll)
   }
 
   test("hierMinRows auto-gate: small sub-graphs skip the descent, forcing engages it, results identical (r16)") {
