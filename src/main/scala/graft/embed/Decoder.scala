@@ -241,18 +241,29 @@ object Decoder {
     // the rotation difference; no learned table, no length-tied rows.
     // Applied IN PLACE right after the Q/K projections, per block
     // (projections see unrotated inputs, exactly the published recipe).
+    // The angle depends only on (position, pair index) — the cos/sin
+    // tables compute ONCE and serve every head, every block, and both Q
+    // and K (review r16-4: trig in the per-head loop was 12× redundant at
+    // real widths).
+    val ropeCos: Array[Array[Double]] =
+      if (!m.rope) null
+      else Array.tabulate(n, headDim / 2)((p, d) =>
+        math.cos(p * math.pow(10000.0, -2.0 * d / headDim)))
+    val ropeSin: Array[Array[Double]] =
+      if (!m.rope) null
+      else Array.tabulate(n, headDim / 2)((p, d) =>
+        math.sin(p * math.pow(10000.0, -2.0 * d / headDim)))
     def applyRope(rows: Array[Array[Double]]): Unit = {
       var p = 0
       while (p < rows.length) {
         val r = rows(p)
+        val cs = ropeCos(p); val sn = ropeSin(p)
         var head = 0
         while (head < m.heads) {
           val off = head * headDim
           var d = 0
           while (d * 2 < headDim) {
-            val theta = math.pow(10000.0, -2.0 * d / headDim)
-            val ang = p * theta
-            val c = math.cos(ang); val s = math.sin(ang)
+            val c = cs(d); val s = sn(d)
             val a0 = r(off + 2 * d); val a1 = r(off + 2 * d + 1)
             r(off + 2 * d) = a0 * c - a1 * s
             r(off + 2 * d + 1) = a0 * s + a1 * c

@@ -494,26 +494,31 @@ object Embeddings {
             t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(cap)
               .map(tok => hashBucket(tok, m.vocabRows)).toArray
         }
-        val pooled = Transformer.forward(m, ids)
-        val out = new Array[Float](m.hidden)
-        if (normalize) {
-          var s = 0.0
-          var i = 0
-          while (i < pooled.length) { s += pooled(i) * pooled(i); i += 1 }
-          val nrm = math.sqrt(s)
-          if (nrm > 0) {
-            i = 0
-            while (i < pooled.length) {
-              out(i) = (pooled(i) / nrm).toFloat; i += 1
-            }
-          }
-        } else {
-          var i = 0
-          while (i < pooled.length) { out(i) = pooled(i).toFloat; i += 1 }
-        }
-        out
+        pooledToFloat(Transformer.forward(m, ids), normalize)
       }
     }
+  }
+
+  /** The pooled-double → float32 output tail shared by the transformer
+    * and decoder providers: L2-normalize (a zero vector stays zero) or
+    * plain cast — ONE definition (review r16-6). */
+  private[embed] def pooledToFloat(pooled: Array[Double],
+                                   normalize: Boolean): Array[Float] = {
+    val out = new Array[Float](pooled.length)
+    if (normalize) {
+      var s = 0.0
+      var i = 0
+      while (i < pooled.length) { s += pooled(i) * pooled(i); i += 1 }
+      val nrm = math.sqrt(s)
+      if (nrm > 0) {
+        i = 0
+        while (i < pooled.length) { out(i) = (pooled(i) / nrm).toFloat; i += 1 }
+      }
+    } else {
+      var i = 0
+      while (i < pooled.length) { out(i) = pooled(i).toFloat; i += 1 }
+    }
+    out
   }
 
   /** [[TransformerProvider]]'s DECODER twin (r15 VERDICT #4): a GPT-2
@@ -550,24 +555,7 @@ object Embeddings {
             t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(cap)
               .map(tok => hashBucket(tok, m.vocabRows)).toArray
         }
-        val pooled = Decoder.forward(m, ids)
-        val out = new Array[Float](m.hidden)
-        if (normalize) {
-          var s = 0.0
-          var i = 0
-          while (i < pooled.length) { s += pooled(i) * pooled(i); i += 1 }
-          val nrm = math.sqrt(s)
-          if (nrm > 0) {
-            i = 0
-            while (i < pooled.length) {
-              out(i) = (pooled(i) / nrm).toFloat; i += 1
-            }
-          }
-        } else {
-          var i = 0
-          while (i < pooled.length) { out(i) = pooled(i).toFloat; i += 1 }
-        }
-        out
+        pooledToFloat(Decoder.forward(m, ids), normalize)
       }
     }
   }

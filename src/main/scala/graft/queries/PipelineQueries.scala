@@ -1341,6 +1341,10 @@ object PipelineQueries {
   private object Dtf {
     val H = 4; val Heads = 2; val HD: Int = H / Heads; val L = 2; val I = 8
     val MaxPos = 128; val V = 64
+    // the decoder oracle reuses sqlLn, which iterates (and divides by)
+    // Tf.H — widening one fixture without the other would silently
+    // mis-normalize the replay (review r16-5)
+    require(H == Tf.H, s"Dtf.H ($H) must equal Tf.H (${Tf.H}): sqlLn is shared")
     val wte: Array[Array[Float]] =
       Array.tabulate(V, H)((b, i) => (((b * 37 + i * 3) % 89) - 44) / 16.0f)
     val wpe: Array[Array[Float]] =

@@ -583,13 +583,16 @@ object VectorQueries {
       (s, d) => {
         // force the descent at fixture scale (sub-graphs are far below the
         // hierMinRows auto-engage threshold — r16): the gate pins the
-        // HIER walk itself, not the gate's skip arm
+        // HIER walk itself, not the gate's skip arm. Search is eager, so
+        // set/unset confines the force to this call (review r16-3).
         s.conf.set("spark.graft.graph.hierMinRows", "0")
-        val path = hnswqHierIndex(s, d)
-        val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
-          "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20,
-          hier = true)
-        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        try {
+          val path = hnswqHierIndex(s, d)
+          val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
+            "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20,
+            hier = true)
+          df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        } finally s.conf.unset("spark.graft.graph.hierMinRows")
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
@@ -672,12 +675,15 @@ object VectorQueries {
     // the stale-sidecar fallbacks are spec-tested (HnswSpec).
     "q_knn_graph_hier" -> QueryDef(
       (s, d) => {
-        // force the descent at fixture scale (below hierMinRows — r16)
+        // force the descent at fixture scale (below hierMinRows — r16);
+        // eager search, so set/unset confines it to this call
         s.conf.set("spark.graft.graph.hierMinRows", "0")
-        val path = hnswhIndex(s, d)
-        val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
-          queryVec(s, d), k = 10, ef = 1 << 20)
-        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        try {
+          val path = hnswhIndex(s, d)
+          val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
+            queryVec(s, d), k = 10, ef = 1 << 20)
+          df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        } finally s.conf.unset("spark.graft.graph.hierMinRows")
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
@@ -687,12 +693,15 @@ object VectorQueries {
     // routed_cos does. Exact at full ef — shares the cosine oracle.
     "q_knn_graph_hier_cos" -> QueryDef(
       (s, d) => {
-        // force the descent at fixture scale (below hierMinRows — r16)
+        // force the descent at fixture scale (below hierMinRows — r16);
+        // eager search, so set/unset confines it to this call
         s.conf.set("spark.graft.graph.hierMinRows", "0")
-        val path = hnswhCosIndex(s, d)
-        val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
-          queryVec(s, d), k = 10, ef = 1 << 20)
-        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        try {
+          val path = hnswhCosIndex(s, d)
+          val (df, _) = Hnsw.searchRoutedHier(s, path, "vec_id",
+            queryVec(s, d), k = 10, ef = 1 << 20)
+          df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        } finally s.conf.unset("spark.graft.graph.hierMinRows")
       },
       Some(oracleFor(s"1.0 - $cosSim"))),
 
@@ -703,9 +712,10 @@ object VectorQueries {
     // Exact at full ef, shares the fullscan oracle.
     "q_knn_graph_hier_auto" -> QueryDef(
       (s, d) => {
-        // force the descent at fixture scale (below hierMinRows — r16;
-        // the leaf reads the conf at doExecute, so the set must persist
-        // past this definition — hier gates never unset it)
+        // force the descent at fixture scale (below hierMinRows — r16).
+        // This ONE hier gate leaves the conf set: the leaf reads it at
+        // doExecute, which runs when the returned frame executes, after
+        // this definition returns (the three eager hier gates set/unset)
         s.conf.set("spark.graft.graph.hierMinRows", "0")
         val path = hnswhIndex(s, d)
         graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",

@@ -1937,8 +1937,8 @@ object Hnsw {
         }
       }
     }
-    // (over-budget, (qid, coarse-survivor-cid) rows)
-    val (overBudget, perPart) =
+    // (rescore query side, (qid, coarse-survivor-cid) rows)
+    val (qDf, perPart) =
       Knn.boundedQueryBatch(queries, qIdCol, qVecCol,
         Knn.maxQueryBatch(spark)) match {
         case Some(qRows) =>
@@ -1952,7 +1952,12 @@ object Hnsw {
             }
             .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
           val qB = spark.sparkContext.broadcast(byPid)
-          (false, prunedWalk(graph, layersOpt, byPid.contains) { (git, lt) =>
+          // the rescore side IS the collected batch (never a second
+          // evaluation of the queries plan — review r16-2: a
+          // non-deterministic query source must feed the walk and the
+          // rescore the same rows)
+          val qDf = broadcast(qRows.toSeq.toDF("__qid", "__qvec"))
+          (qDf, prunedWalk(graph, layersOpt, byPid.contains) { (git, lt) =>
             val rows = git.toArray
             if (rows.isEmpty) Iterator.empty[(Long, Long)]
             else walk(rows.iterator, lt,
@@ -1962,19 +1967,17 @@ object Hnsw {
         case None =>
           // OVER-BUDGET (r15 VERDICT #1): distributed pid assignment —
           // the query side never touches the driver; the walk consumes
-          // the bound-space vector (carryBound), the rescore below reads
-          // the raw one back from the queries DataFrame
-          (true, zipWalk(graph, layersOpt,
-            assignQueriesByPid(queries, qIdCol, qVecCol, metric, rts,
-              nprobe, graph.getNumPartitions, carryBound = true))(walk))
+          // the bound-space vector (carryBound), the rescore reads the
+          // raw one back from the queries DataFrame (a shuffle equi-join
+          // on __qid — no broadcast of a huge side)
+          (queries.select(col(qIdCol).cast("long").as("__qid"),
+            col(qVecCol).as("__qvec")),
+            zipWalk(graph, layersOpt,
+              assignQueriesByPid(queries, qIdCol, qVecCol, metric, rts,
+                nprobe, graph.getNumPartitions, carryBound = true))(walk))
       }
     // multi-probe duplicates collapse before the rescore join
     val cands = perPart.toDF("__qid", "__cid").distinct()
-    // the exact-rescore query side: collected-and-broadcast in budget,
-    // the queries DataFrame itself (shuffle equi-join on __qid) over it
-    val qSel = queries.select(col(qIdCol).cast("long").as("__qid"),
-      col(qVecCol).as("__qvec"))
-    val qDf = if (overBudget) qSel else broadcast(qSel)
     val rawSel = raw.select(col(rawIdCol).cast("long").as("__cid"),
       col(rawVecCol).as("__cvec"))
     val dist = metric match {

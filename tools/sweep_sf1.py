@@ -63,6 +63,9 @@ SLICE = {
     "q_embed_decoder": (
         ("FROM documents)", "FROM documents WHERE doc_id % 17 = 0)"),
         "doc_id % 17 = 0"),
+    "q_embed_decoder_rope": (
+        ("FROM documents)", "FROM documents WHERE doc_id % 17 = 0)"),
+        "doc_id % 17 = 0"),
     "q_dedup_embed": (
         ("FROM embeddings)", "FROM embeddings WHERE vec_id % 20 = 0)"),
         "a % 20 = 0 AND b % 20 = 0"),
