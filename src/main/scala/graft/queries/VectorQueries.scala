@@ -770,6 +770,52 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K6 ∘ coarse-IVF (r16): the COMPOSITE IVF-ADC layout end to end —
+    // coarse assignment, RESIDUAL PQ codebooks (codes encode v − c(v), so
+    // one codebook serves all lists at centroid-relative precision, the
+    // published IVFADC construction), clustered coded table; searchPq
+    // probes lists in centroid order, screens each by its own per-list
+    // ADC table, exact-rescores the k·refine survivors. nprobe = nlist
+    // with the refine margin ⇒ exact — shares the fullscan oracle.
+    "q_knn_ivf_pq" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqIndex(s, d)
+        Ivf.searchPq(s, path, m, pq, "vec_id", "embedding",
+            queryVec(s, d), k = 10, nprobe = m.nlist, refine = 32)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // BATCH knn join over the IVF-ADC index (r16 — the probe-pruned
+    // economy the flat PQ join lacks: the scan prunes to the union of
+    // probed lists instead of every code). The corpus is the whole
+    // indexed table (each query's own row included — rank 1 at distance
+    // 0, deterministic), so the oracle is the unrestricted windowed
+    // cross join. nprobe = nlist + refine margin ⇒ exact; the measured
+    // worst true-top-3 residual-ADC rank across the 20 query points sits
+    // between 192 and 480 candidates at sf0.1, so refine=160.
+    "q_knn_join_ivf_pq" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqIndex(s, d)
+        Ivf.knnJoinPq(s, path, m, pq,
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", "vec_id", "embedding",
+          k = 3, nprobe = m.nlist, refine = 160)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings), " +
+        "s AS (SELECT query_id, corpus_id, list_distance(qv, cv) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
     // K6+K4 for PQ, AUTOMATICALLY ROUTED (r14 VERDICT #5 — the sixth and
     // last family in the CreateIterator-style dispatch,
     // knn/knn.cpp:600-610): the PQ table registers as its own base; a
@@ -1431,6 +1477,32 @@ object VectorQueries {
         graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
       }
       (m, path)
+    })
+
+  // Memoized IVF-ADC index per sfDir (coarse model + residual PQ
+  // codebooks + the clustered coded table — Ivf.buildIndexPq's layout).
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Ivf.Model, Quantize.PqModel, String)]
+
+  private def ivfPqIndex(s: SparkSession, d: String)
+      : (Ivf.Model, Quantize.PqModel, String) =
+    ivfPqCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivfpq_embeddings"
+      val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 8)
+      val pq =
+        if (!new java.io.File(path, "_SUCCESS").isFile)
+          Ivf.buildIndexPq(t(s, d, "embeddings"), "embedding", "vec_id",
+            m, path)
+        else {
+          // deterministic training (id-ordered sample, evenly-spaced
+          // init): re-deriving the codebooks reproduces the ones the
+          // stored codes were written with
+          val assigned = Ivf.assign(t(s, d, "embeddings"), "embedding", m)
+            .withColumn("ivf_res",
+              Ivf.residualCol(col("embedding"), col("ivf_cluster"), m))
+          Quantize.trainPq(assigned, "ivf_res", "vec_id")
+        }
+      (m, pq, path)
     })
 
   private val pqSegCache =

@@ -388,6 +388,119 @@ object Ivf {
     TopK.topKPairs(scored, qIdCol, cIdCol, k)
   }
 
+  /** BATCH KNN JOIN over the IVF-ADC index (r16 — the probe-pruned batch
+    * form of [[searchPq]], completing the join surface's economy ladder:
+    * the flat PQ join scans EVERY code per query slice, this one scans
+    * only the union of probed lists). Per slice (budget machinery shared
+    * with the screened joins, [[Knn.perSliceUnion]]): each query picks
+    * its `nprobe` nearest lists driver-side (one centroid-distance pass,
+    * as [[searchPq]] does), the scan prunes to the UNION of probed lists
+    * — the clustered layout makes that file/row-group pruning, the same
+    * pushdown the single-query path gets — and ONE pass over the pruned
+    * codes screens each row against exactly the queries that probed its
+    * list. Per-(query, list) ADC tables build at list boundaries (rows
+    * arrive list-contiguous from the clustered files; a list revisit
+    * across file boundaries just rebuilds — correctness unaffected), a
+    * bounded per-query heap keeps the k·refine best coarse candidates per
+    * partition, and the merged global cut exact-rescores against the
+    * float column. nprobe = nlist with the [[searchPq]] refine margin is
+    * the oracle-exact configuration; smaller nprobe is the usual
+    * clustered-recall economy knob. Output contract matches every join
+    * leg: (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
+  def knnJoinPq(spark: SparkSession, indexPath: String, m: Model,
+                pq: Quantize.PqModel,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                cIdCol: String, idCol: String, vecCol: String,
+                k: Int, nprobe: Int, refine: Int = 32): DataFrame = {
+    require(m.metric == Knn.L2, "IVF-ADC screens are L2-only")
+    require(nprobe >= 1 && nprobe <= m.nlist,
+      s"nprobe $nprobe out of [1, ${m.nlist}]")
+    require(qIdCol != cIdCol,
+      s"query and corpus id columns must have distinct names ($qIdCol)")
+    import spark.implicits._
+    val keep = k * refine
+    val table = spark.read.parquet(resolve(spark, indexPath))
+    def screenSlice(qRows: Array[(Long, Array[Float])])
+        : (DataFrame, () => Unit) = {
+      // driver: nprobe lists per query → list → its probing queries
+      val byList: Map[Int, Array[(Long, Array[Float])]] = qRows
+        .flatMap { case (qid, qv) =>
+          m.probeOrder(qv).take(nprobe).map(l => (l, (qid, qv))) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+      val probed = byList.keys.toArray.sorted.map(_.toLong)
+      val bc = spark.sparkContext.broadcast(
+        (pq, byList, m.centroids.toArray))
+      val coarse = table
+        .filter(col("ivf_cluster").isin(probed: _*))
+        .select(col(idCol).cast("long"), col("ivf_cluster").cast("int"),
+          col("ivf_pq"))
+        .as[(Long, Int, Array[Byte])]
+        .mapPartitions { it =>
+          val (p, bl, cents) = bc.value
+          val heaps =
+            new java.util.HashMap[Long, Quantize.BoundedTopK]()
+          var curList = -1
+          var curTables: Array[(Long, Array[Double])] = null
+          it.foreach { case (cid, cl, codes) =>
+            if (cl != curList) {
+              curList = cl
+              // tables for THIS list's probing queries only — built from
+              // each query's residual against the list centroid, exactly
+              // searchPq's per-list table
+              curTables = bl.getOrElse(cl,
+                  Array.empty[(Long, Array[Float])])
+                .map { case (qid, qv) =>
+                  val cent = cents(cl)
+                  val res = Array.tabulate(qv.length)(i => qv(i) - cent(i))
+                  (qid, p.adcTable(res))
+                }
+            }
+            var j = 0
+            while (j < curTables.length) {
+              val (qid, tbl) = curTables(j)
+              var h = heaps.get(qid)
+              if (h == null) {
+                h = new Quantize.BoundedTopK(keep); heaps.put(qid, h)
+              }
+              h.offer(p.adc(codes, tbl), cid)
+              j += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          heaps.entrySet().asScala.iterator.flatMap { e =>
+            e.getValue.drain().iterator
+              .map { case (d, cid) => (e.getKey.longValue, cid, d) }
+          }
+        }
+        .toDF("__qid", "__cid", "__dist")
+      // the per-slice global coarse cut (slices partition the query set,
+      // so this IS the global k·refine contract for its queries)
+      (TopK.topKPairs(coarse, "q", "c", keep)
+        .select(col("q").as("__qid"), col("c").as("__cid")),
+        () => bc.destroy())
+    }
+    val (cands, inBudget) =
+      Knn.perSliceUnion(queries, qIdCol, qVecCol)(screenSlice)
+    val rawSel = table.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).as("__cvec"))
+    def rescored(withQvec: DataFrame): DataFrame = {
+      val scored = withQvec.join(rawSel, "__cid")
+        .select(col("__qid"), col("__cid"),
+          Knn.distCol(Knn.L2, col("__cvec"), col("__qvec"))
+            .cast("double").as("__dist"))
+      TopK.topKPairs(scored, qIdCol, cIdCol, k)
+    }
+    inBudget match {
+      case Some(qRows) =>
+        val qDf = qRows.toSeq.toDF("__qid", "__qvec")
+        rescored(broadcast(cands.join(broadcast(qDf), "__qid")))
+      case None =>
+        val qDf = queries.select(col(qIdCol).cast("long").as("__qid"),
+          col(qVecCol).as("__qvec"))
+        rescored(cands.join(qDf, "__qid"))
+    }
+  }
+
   /** Per-list radius (max L2 distance of a member to its centroid) — the
     * metadata early termination needs; one aggregation over the index. */
   def listRadii(spark: SparkSession, indexPath: String, m: Model,

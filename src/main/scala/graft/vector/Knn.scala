@@ -69,6 +69,61 @@ object Knn {
     fits
   }
 
+  /** Identity partitioner for over-budget query slices (key = slice
+    * index, one Spark partition per slice). */
+  private[vector] final class SlicePartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** The slice-and-union budget machinery shared by the screened batch
+    * joins: run `screen` once per STRICTLY ≤max-row query slice and union
+    * the results. In budget there is ONE slice, the result returns lazily,
+    * and the second tuple element carries the collected batch (callers
+    * build broadcast rescore sides from it — never a second evaluation of
+    * the queries plan); over budget it is None, slices come from exact
+    * zipWithIndex global indices (never an approximate round-robin
+    * bound), each slice's result is EAGERLY checkpointed, and `screen`'s
+    * cleanup hook runs before the next slice collects — so the driver
+    * never holds more than one slice and executors never hold more than
+    * one slice's broadcasts. */
+  private[vector] def perSliceUnion(queries: DataFrame, qIdCol: String,
+                                    qVecCol: String)(
+      screen: Array[(Long, Array[Float])] => (DataFrame, () => Unit))
+      : (DataFrame, Option[Array[(Long, Array[Float])]]) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val max = maxQueryBatch(spark)
+    boundedQueryBatch(queries, qIdCol, qVecCol, max) match {
+      case Some(qRows) => (screen(qRows)._1, Some(qRows))
+      case None =>
+        val qSel = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+          .as[(Long, Array[Float])]
+        val n = qSel.count()
+        val nSlices = math.max(1L, (n + max - 1) / max).toInt
+        val sliced = qSel.rdd.zipWithIndex()
+          .map { case (r, i) => ((i / max).toInt, r) }
+          .partitionBy(new SlicePartitioner(nSlices))
+          .map(_._2)
+        sliced.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val parts = (0 until nSlices).map { i =>
+            val slice = spark.sparkContext.runJob(sliced,
+              (it: Iterator[(Long, Array[Float])]) => it.toArray,
+              Seq(i)).head
+            val (df, cleanup) = screen(slice)
+            // eager: the slice's jobs run NOW, so its broadcasts can be
+            // freed before the next slice's are built
+            val cut = df.localCheckpoint(true)
+            cleanup()
+            cut
+          }
+          (parts.reduce(_ union _), None)
+        } finally sliced.unpersist(false)
+    }
+  }
+
   /** Score column for a metric, oriented so that ASC = best-first (the
     * reference's "distance": L2 as-is; IP/cosine as `1 - similarity`,
     * matching hnswlib's IP/cosine distance). */

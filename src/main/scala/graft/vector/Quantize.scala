@@ -793,21 +793,13 @@ object Quantize {
   // collect per slice, broadcast freed between slices, distributed
   // rescore — the driver never holds more than one slice.
 
-  /** Identity partitioner for the over-budget query slices (key = slice
-    * index, one Spark partition per slice). */
-  private final class SlicePartitioner(n: Int)
-      extends org.apache.spark.Partitioner {
-    override def numPartitions: Int = n
-    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-  }
-
   /** Bounded "keep the n smallest (dist, id)" pairs — the partition-local
     * cut of the screened-join kernel. Array-backed max-heap ordered by
     * (dist, id) with the root as the current worst kept: O(1) reject for
     * a row worse than the nth best (the common case once warm),
     * O(log n) insert. Deterministic: ties break toward the smaller id,
     * the engine's knn convention. */
-  private final class BoundedTopK(cap: Int) {
+  private[vector] final class BoundedTopK(cap: Int) {
     private val ds = new Array[Double](cap)
     private val ids = new Array[Long](cap)
     private var n = 0
@@ -903,59 +895,30 @@ object Quantize {
             .cast("double").as("__dist"))
       TopK.topKPairs(scored, qIdCol, cIdCol, k)
     }
-    val max = Knn.maxQueryBatch(spark)
-    Knn.boundedQueryBatch(queries, qIdCol, qVecCol, max) match {
+    // Budget machinery (r15 VERDICT #1 — the enforced "run in slices and
+    // union" contract, shared via [[Knn.perSliceUnion]]): in budget, ONE
+    // broadcast screen and a broadcast rescore (the candidate side is
+    // |Q|·k·refine rows — the corpus never shuffles); over budget, the
+    // screen runs per STRICT ≤max-row slice (one bounded collect +
+    // broadcast per slice, freed before the next — driver memory never
+    // exceeds one slice) and the rescore is a distributed equi-join
+    // against the queries DataFrame (no broadcast hints — both sides may
+    // be huge). Each slice costs one corpus-code scan; for batches of
+    // millions+ the graph families are the better tool — this arm keeps
+    // the screened families CORRECT and bounded rather than fast.
+    val (allCands, inBudget) =
+      Knn.perSliceUnion(queries, qIdCol, qVecCol) { slice =>
+        val (cands, qB) = coarseFor(slice)
+        (cands, () => qB.destroy())
+      }
+    inBudget match {
       case Some(qRows) =>
-        // IN-BUDGET: one broadcast screen; survivors rescore exactly
-        // against the float column (the candidate side is |Q|·k·refine
-        // rows, broadcast — the corpus never shuffles)
-        val (cands, _) = coarseFor(qRows)
         val qDf = qRows.toSeq.toDF("__qid", "__qvec")
-        rescored(broadcast(cands.join(broadcast(qDf), "__qid")))
+        rescored(broadcast(allCands.join(broadcast(qDf), "__qid")))
       case None =>
-        // OVER-BUDGET (r15 VERDICT #1): the enforced form of the "run in
-        // slices and union" contract. The screen is inherently
-        // all-(query, corpus-partition) work, so slicing is the scale
-        // shape: index-slice the query set into ≤max-row slices, screen
-        // one slice at a time (ONE bounded collect + broadcast per slice,
-        // freed before the next — driver memory never exceeds one slice),
-        // union the checkpointed per-slice survivors, and rescore through
-        // a distributed equi-join against the queries DataFrame (no
-        // broadcast hints — both sides may be huge). Each slice costs one
-        // corpus-code scan; for batches of millions+ the graph families
-        // are the better tool, and this arm keeps the screened families
-        // CORRECT and bounded rather than fast.
-        val qSel = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-          .as[(Long, Array[Float])]
-        val n = qSel.count()
-        val nSlices = math.max(1L, (n + max - 1) / max).toInt
-        // STRICT slice bound (review r16-7): zipWithIndex assigns exact
-        // global row indices, so slice i = rows [i·max, (i+1)·max) holds
-        // AT MOST `max` rows by construction — round-robin repartition
-        // only bounds approximately (skew up to the input partition
-        // count could push a collect over budget)
-        val sliced = qSel.rdd.zipWithIndex()
-          .map { case (r, i) => ((i / max).toInt, r) }
-          .partitionBy(new SlicePartitioner(nSlices))
-          .map(_._2)
-        sliced.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val parts = (0 until nSlices).map { i =>
-            val slice = spark.sparkContext.runJob(sliced,
-              (it: Iterator[(Long, Array[Float])]) => it.toArray,
-              Seq(i)).head
-            val (cands, qB) = coarseFor(slice)
-            // eager: the slice's screen runs NOW, so its broadcast can be
-            // freed before the next slice's is built
-            val cut = cands.localCheckpoint(true)
-            qB.destroy()
-            cut
-          }
-          val allCands = parts.reduce(_ union _)
-          val qDf = queries.select(col(qIdCol).cast("long").as("__qid"),
-            col(qVecCol).as("__qvec"))
-          rescored(allCands.join(qDf, "__qid"))
-        } finally sliced.unpersist(false)
+        val qDf = queries.select(col(qIdCol).cast("long").as("__qid"),
+          col(qVecCol).as("__qvec"))
+        rescored(allCands.join(qDf, "__qid"))
     }
   }
 

@@ -92,6 +92,22 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
     assert(overBudget(go) === base)
   }
 
+  test("IVF-ADC join over budget: probe-pruned sliced screen, identical rows (r16)") {
+    val d = Files.createTempDirectory("graft-bb-ivfpq").resolve("i").toString
+    val m = Ivf.train(emb, "embedding", nlist = 4)
+    val pq = Ivf.buildIndexPq(emb, "embedding", "vec_id", m, d)
+    val q2 = queries.withColumnRenamed("qvec", "qvec2")
+    def go = Ivf.knnJoinPq(SparkT.spark, d, m, pq, q2, "qid", "qvec2",
+      "vec_id", "vec_id", "embedding", k = 5, nprobe = 4, refine = 160)
+    val base = rows(go)
+    assert(base.nonEmpty)
+    assert(overBudget(go) === base)
+    // exactness against the brute-force join at full nprobe + margin
+    val exact = rows(Knn.knnJoin(q2, emb, "qid", "qvec2", "vec_id",
+      "embedding", k = 5))
+    assert(base === exact)
+  }
+
   test("screened quant join over budget: bounded slices, identical rows") {
     val m = Quantize.train(emb, "embedding")
     val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", m)
