@@ -119,6 +119,17 @@ object AnnRouting {
                                 bCol: String, idCol: String,
                                 refine: Int,
                                 rCol: Option[String] = None) extends Family
+  /** Composite IVF-ADC index ([[graft.vector.Ivf.buildIndexPq]] — coarse
+    * lists + residual PQ codes, r16): same splice as the flat quantized
+    * families, with the PROBE-PRUNED per-list ADC screen
+    * ([[graft.vector.Ivf.coarseIdsPq]]) — the scan touches only the
+    * `nprobe` nearest lists' files. nprobe = nlist + the refine margin is
+    * the oracle-exact configuration; smaller nprobe is the declared
+    * recall contract, exactly like [[IvfFamily]]'s. */
+  final case class IvfPqFamily(model: Ivf.Model,
+                               pq: graft.vector.Quantize.PqModel,
+                               idCol: String, nprobe: Int,
+                               refine: Int) extends Family
 
   final case class Registered(basePath: String, indexPath: String,
                               vecCol: String, rows: Long, family: Family)
@@ -292,6 +303,31 @@ object AnnRouting {
         BinaryFamily(model, bCol, idCol, refine, rCol)))
   }
 
+  /** Register a composite IVF-ADC index
+    * ([[graft.vector.Ivf.buildIndexPq]] at `indexPath`) for `basePath` —
+    * the EIGHTH family of the CreateIterator-style dispatch (the
+    * reference serves whatever index type the column has,
+    * knn/knn.cpp:600-610): a plain L2 top-k routes through the
+    * probe-pruned per-list ADC screen with (`nprobe`, `refine`) as the
+    * declared serving contract; batch joins dispatch to
+    * [[graft.vector.Ivf.knnJoinPq]]. Typical use registers the coded
+    * table as its own base (it carries the original vectors). */
+  def registerIvfPq(spark: SparkSession, basePath: String, indexPath: String,
+                    model: Ivf.Model, pq: graft.vector.Quantize.PqModel,
+                    vecCol: String, idCol: String, nprobe: Int,
+                    refine: Int = 32): Unit = {
+    require(model.metric == Knn.L2, "IVF-ADC screens are L2-only")
+    require(nprobe >= 1 && nprobe <= model.nlist,
+      s"nprobe $nprobe out of [1, ${model.nlist}]")
+    val q = qualify(spark, basePath)
+    val epoch0 = epochOf(spark, indexPath)
+    val rows = graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
+    putUnlessMutated(spark, indexPath, epoch0, q,
+      Registered(q, indexPath, vecCol, rows,
+        IvfPqFamily(model, pq, idCol, nprobe, refine)))
+  }
+
   def unregister(spark: SparkSession, basePath: String): Unit =
     reg.remove(qualify(spark, basePath))
 
@@ -352,6 +388,9 @@ object AnnRouting {
           Quantize.knnJoinBinary(spark.read.parquet(r.indexPath), r.vecCol,
             bCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine, rCol)
+        case IvfPqFamily(model, pq, fIdCol, nprobe, refine) =>
+          Ivf.knnJoinPq(spark, r.indexPath, model, pq, queries,
+            qIdCol, qVecCol, cIdCol, fIdCol, r.vecCol, k, nprobe, refine)
       }
       case None =>
         import org.apache.spark.sql.functions.col
@@ -530,6 +569,14 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                     df, qf.bCol, qf.idCol, qf.model, qvec, n)
                 },
                 k, child.collect { case f: Filter => f })
+            // composite IVF-ADC (r16): the probe-pruned per-list ADC
+            // screen — consumed filters ride inside it, so its survivors
+            // come from the filtered corpus like the flat families'
+            case qf: AnnRouting.IvfPqFamily =>
+              buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
+                (df, n) => Ivf.coarseIdsPq(df, qf.model, qf.pq, qf.idCol,
+                  qvec, qf.nprobe, n),
+                k, child.collect { case f: Filter => f })
             case _ => None // IVF whose bypass gate chose the fullscan
           }
         case _ => None
@@ -545,7 +592,8 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     // L2 queries route (the reference's quantized paths are likewise
     // L2-trained, knn/quantizer.cpp)
     case _: AnnRouting.QuantFamily | _: AnnRouting.Quant4Family |
-         _: AnnRouting.BinaryFamily | _: AnnRouting.PqFamily => Knn.L2
+         _: AnnRouting.BinaryFamily | _: AnnRouting.PqFamily |
+         _: AnnRouting.IvfPqFamily => Knn.L2
   }
 
   /** (metric, vector attribute, query vector) of a distance sort key. */

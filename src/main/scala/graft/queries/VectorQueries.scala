@@ -816,6 +816,39 @@ object VectorQueries {
         "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
         "FROM r WHERE rn <= 3")),
 
+    // I9 for the composite IVF-ADC layout (r16): appendToIndexPq encodes
+    // a new batch with the EXISTING coarse model and codebooks (the RT
+    // flow — neither retrains mid-stream) and appends clustered files;
+    // searchPq's probe scan picks the appended rows up mid-segment with
+    // no rebuild. The segment re-adds a held-out split, so the exact
+    // oracle is the full corpus.
+    "q_knn_ivf_pq_seg" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqSegIndex(s, d)
+        Ivf.searchPq(s, path, m, pq, "vec_id", "embedding",
+            queryVec(s, d), k = 10, nprobe = m.nlist, refine = 32)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
+    // K4 for the composite IVF-ADC layout (r16 — the EIGHTH family of
+    // the automatic dispatch; the reference's CreateIterator serves
+    // whatever index type the column has, knn/knn.cpp:600-610): the coded
+    // table registers as its own base, and a PLAIN L2 top-k routes
+    // through the probe-pruned per-list ADC screen + self-join splice —
+    // the untouched Sort/Limit above is the exact rescore. nprobe = nlist
+    // with the refine margin ⇒ exact, shared fullscan oracle.
+    "q_knn_ivf_pq_auto" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqIndex(s, d)
+        graft.plans.AnnRouting.registerIvfPq(s, path, path, m, pq,
+          vecCol = "embedding", idCol = "vec_id", nprobe = m.nlist)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.L2)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K6+K4 for PQ, AUTOMATICALLY ROUTED (r14 VERDICT #5 — the sixth and
     // last family in the CreateIterator-style dispatch,
     // knn/knn.cpp:600-610): the PQ table registers as its own base; a
@@ -1498,6 +1531,36 @@ object VectorQueries {
           // init): re-deriving the codebooks reproduces the ones the
           // stored codes were written with
           val assigned = Ivf.assign(t(s, d, "embeddings"), "embedding", m)
+            .withColumn("ivf_res",
+              Ivf.residualCol(col("embedding"), col("ivf_cluster"), m))
+          Quantize.trainPq(assigned, "ivf_res", "vec_id")
+        }
+      (m, pq, path)
+    })
+
+  // IVF-ADC segment-lifecycle index: built over a 90% split, the held-out
+  // 10% appended under the frozen coarse model + codebooks.
+  private val ivfPqSegCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Ivf.Model, Quantize.PqModel, String)]
+
+  private def ivfPqSegIndex(s: SparkSession, d: String)
+      : (Ivf.Model, Quantize.PqModel, String) =
+    ivfPqSegCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivfpq_seg_embeddings"
+      val emb = t(s, d, "embeddings")
+      val build = emb.filter(col("vec_id") % 10 =!= 3)
+      val m = Ivf.train(build, "embedding", nlist = 8)
+      val pq =
+        if (!new java.io.File(path, "_DONE").isFile) {
+          val p = Ivf.buildIndexPq(build, "embedding", "vec_id", m, path)
+          Ivf.appendToIndexPq(emb.filter(col("vec_id") % 10 === 3),
+            "embedding", m, p, path)
+          // _DONE (not _SUCCESS): append writes more files after the
+          // build's _SUCCESS, so the memo marker must land last
+          new java.io.File(path, "_DONE").createNewFile()
+          p
+        } else {
+          val assigned = Ivf.assign(build, "embedding", m)
             .withColumn("ivf_res",
               Ivf.residualCol(col("embedding"), col("ivf_cluster"), m))
           Quantize.trainPq(assigned, "ivf_res", "vec_id")

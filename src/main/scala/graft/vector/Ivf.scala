@@ -310,19 +310,32 @@ object Ivf {
                query: Array[Float], k: Int, nprobe: Int,
                refine: Int = 32): DataFrame = {
     require(m.metric == Knn.L2, "IVF-ADC screens are L2-only")
-    import spark.implicits._
+    val table = spark.read.parquet(resolve(spark, indexPath))
+    val coarse = coarseIdsPq(table, m, pq, idCol, query, nprobe, k * refine)
+    Knn.knn(table.join(coarse, Seq(idCol)), vecCol, idCol, query, k,
+      m.metric)
+  }
+
+  /** The probe-pruned ADC coarse pass as a composable id stream — shared
+    * by [[searchPq]] and the automatic route's IVF-ADC family splice
+    * (r16): prune the scan to the `nprobe` nearest lists, score each code
+    * against ITS list's ADC table (one table per probed list from the
+    * query's residual — nprobe × M × K doubles, driver-tiny), keep the
+    * top-`n` ids. A pre-filtered `qdf` composes: the survivors then come
+    * from the filtered corpus (the quant-family filtered-route
+    * contract). */
+  def coarseIdsPq(qdf: DataFrame, m: Model, pq: Quantize.PqModel,
+                  idCol: String, query: Array[Float], nprobe: Int,
+                  n: Int): DataFrame = {
+    import qdf.sparkSession.implicits._
     val probes = m.probeOrder(query).take(nprobe).map(_.toLong)
-    // one table per probed list, from the query's residual against that
-    // list's centroid (nprobe × M × K doubles — driver-tiny)
     val tables: Map[Long, Array[Double]] = probes.map { l =>
       val cent = m.centroids(l.toInt)
       val res = Array.tabulate(query.length)(i => query(i) - cent(i))
       l -> pq.adcTable(res)
     }.toMap
-    val scanned = spark.read.parquet(resolve(spark, indexPath))
-      .filter(col("ivf_cluster").isin(probes: _*))
-    val tB = spark.sparkContext.broadcast((pq, tables))
-    val coarse = scanned
+    val tB = qdf.sparkSession.sparkContext.broadcast((pq, tables))
+    qdf.filter(col("ivf_cluster").isin(probes: _*))
       .select(col(idCol).cast("long").as("cid"), col("ivf_cluster"),
         col("ivf_pq"))
       .as[(Long, Long, Array[Byte])]
@@ -332,10 +345,8 @@ object Ivf {
       }
       .toDF("cid", "adist")
       .orderBy(col("adist").asc, col("cid").asc)
-      .limit(k * refine)
+      .limit(n)
       .select(col("cid").as(idCol))
-    Knn.knn(scanned.join(coarse, Seq(idCol)), vecCol, idCol, query, k,
-      m.metric)
   }
 
   /** IVF-accelerated KNN JOIN — the scale path of [[Knn.knnJoin]] (batch

@@ -520,6 +520,48 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, pq)
   }
 
+  test("IVF-ADC family routes through the probe-pruned per-list screen; batch joins dispatch too (r16)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val tmp = Files.createTempDirectory("graft-annroute-ivfpq")
+    val df = vectors.toDF("vec_id", "embedding", "label")
+    def joins(d: DataFrame) =
+      d.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val idx = tmp.resolve("ivfpq").toString
+    val m = graft.vector.Ivf.train(df, "embedding", nlist = 4)
+    val pq = graft.vector.Ivf.buildIndexPq(df, "embedding", "vec_id", m, idx,
+      subM = 4, codeK = 16)
+    // refine past the fixture's row count: routing exactness is
+    // structural here; honest-refine economy is the gate's subject
+    AnnRouting.registerIvfPq(SparkT.spark, idx, idx, m, pq,
+      vecCol = "embedding", idCol = "vec_id", nprobe = m.nlist,
+      refine = 40)
+    val rp = Knn.knn(SparkT.spark.read.parquet(idx),
+      "embedding", "vec_id", query, 10)
+    assert(joins(rp).nonEmpty, rp.queryExecution.optimizedPlan.toString)
+    assert(rp.select("vec_id").as[Long].collect().toSeq === exactTop10)
+    // the consumed filter rides inside the probe-pruned screen
+    val filt = Knn.knn(SparkT.spark.read.parquet(idx).filter($"label" === 2),
+      "embedding", "vec_id", query, 10)
+    assert(joins(filt).nonEmpty, filt.queryExecution.optimizedPlan.toString)
+    val wantFilt = vectors.filter(_._3 == 2)
+      .map { case (id, v, _) => (l2(v, query), id) }.sorted.take(10).map(_._2)
+    assert(filt.select("vec_id").as[Long].collect().toSeq === wantFilt)
+    // the SAME registration serves the batch join through Ivf.knnJoinPq
+    val queriesDf = vectors.take(3).map(v => (v._1, v._2))
+      .toDF("query_id", "embedding")
+    val nn = AnnRouting.knnJoin(SparkT.spark, idx, "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 5)
+    val exact = graft.vector.Knn.knnJoin(queriesDf,
+      SparkT.spark.read.parquet(idx)
+        .select($"vec_id".as("corpus_id"), $"embedding"),
+      "query_id", "embedding", "corpus_id", "embedding", 5)
+    assert(nn.select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().sorted.toSeq ===
+      exact.select("query_id", "corpus_id", "rn")
+        .as[(Long, Long, Int)].collect().sorted.toSeq)
+    AnnRouting.unregister(SparkT.spark, idx)
+  }
+
   test("quantized graph family routes: code-space leaf, consumed filter, epoch drop (r15)") {
     val tmp = Files.createTempDirectory("graft-annroute-qgraph")
     val baseQ = tmp.resolve("baseq").toString
