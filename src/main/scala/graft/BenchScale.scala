@@ -103,7 +103,12 @@ object BenchScale {
     // r15-4: the layer-hierarchy walk (greedy descent to the beam entry
     // inside every probed sub-graph — per-query work must stay flat-ANN
     // shaped; the descent itself is O(log n) hops per sub-graph)
-    "q_knn_graph_hier")
+    "q_knn_graph_hier",
+    // r16: the composite IVF-ADC family — the automatic probe-pruned
+    // per-list ADC splice and the batch join (probe assignment + pruned
+    // scan + per-list tables must stay one pass over the probed lists'
+    // codes as both sides scale)
+    "q_knn_ivf_pq_auto", "q_knn_join_ivf_pq")
 
   /** Per-replica key offset — far above any sf0.1 key. */
   val Off = 100000000L
