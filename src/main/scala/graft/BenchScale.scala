@@ -252,6 +252,12 @@ object BenchScale {
     root.put("loadavg_start", loadStart)
     val qn = root.putObject("queries")
     var allOk = true
+    // Perf/economics assertions (wall-clock contrasts, walk-counter wins,
+    // throughput floors) fold into `perf_ok`, NOT `all_linear_ok` (ADVICE
+    // r16: a noisy or loaded machine flipping a perf contrast must not
+    // read as a scaling-correctness failure). `all_linear_ok` keeps only
+    // the per-query linear-scaling gates and the recall floor.
+    var perfOk = true
     Queries.foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = median3(fn, src)
@@ -284,7 +290,7 @@ object BenchScale {
       // small absolute times are noisy: require the win only once the
       // exact side is out of the noise floor
       val contrastOk = exactL < 2.0 || blockedRatio < exactRatio
-      allOk &&= contrastOk
+      perfOk &&= contrastOk
       val c = root.putObject("embed_dedup_scaling")
       c.put("exact_small_sec", math.round(exact * 1e4) / 1e4)
       c.put("exact_large_sec", math.round(exactL * 1e4) / 1e4)
@@ -411,7 +417,7 @@ object BenchScale {
       val sec = (System.nanoTime() - t0) / 1e9
       val tokS = docs * seq.length / sec
       val tokOk = tokS >= 600.0
-      allOk &&= tokOk
+      perfOk &&= tokOk
       val tp = root.putObject("transformer_throughput")
       tp.put("hidden", hidden); tp.put("layers", layers)
       tp.put("tokens_per_sec_1thread", math.round(tokS))
@@ -456,7 +462,7 @@ object BenchScale {
       val growth = expBig / expSmall
       val sizeStep = szBig / szSmall
       val hopsOk = growth <= 3.0
-      allOk &&= hopsOk
+      perfOk &&= hopsOk
       val h = root.putObject("walk_telemetry")
       h.put("ef", 64)
       h.put("subgraph_rows_small", math.round(szSmall * 10) / 10.0)
@@ -484,7 +490,7 @@ object BenchScale {
       val expHier = perH.map(_._3).sum.toDouble / perH.length
       val scoredHier = perH.map(_._4).sum.toDouble / perH.length
       val hierOk = scoredHier <= scoredFlat * 2.0
-      allOk &&= hierOk
+      perfOk &&= hierOk
       val hh = root.putObject("hier_telemetry")
       hh.put("ef", 64)
       hh.put("subgraph_rows", math.round(szBig * 10) / 10.0)
@@ -522,7 +528,7 @@ object BenchScale {
       val expH50 = perH50.map(_._3).sum.toDouble / perH50.length
       val scoredH50 = perH50.map(_._4).sum.toDouble / perH50.length
       val winOk = expH50 < expF50 && scoredH50 < scoredF50
-      allOk &&= winOk
+      perfOk &&= winOk
       val hw = root.putObject("hier_win_telemetry")
       hw.put("ef", 64)
       hw.put("subgraph_rows", math.round(sz50 * 10) / 10.0)
@@ -566,8 +572,11 @@ object BenchScale {
         finally spark.conf.unset("spark.graft.knnJoin.maxQueryBatch")
       val engaged = graft.vector.Knn.overBudgetJoins.get() > before
       val ratio = secDistributed / math.max(secBroadcast, 1e-9)
+      // `engaged` is a correctness-of-instrumentation flag (the budget
+      // arm must actually fire); the 3.0 ratio is the perf contrast
+      allOk &&= engaged
       val bjOk = engaged && ratio <= 3.0
-      allOk &&= bjOk
+      perfOk &&= bjOk
       val bj = root.putObject("batch_join_budget")
       bj.put("query_rows", 20000)
       bj.put("budget", 2048)
@@ -581,6 +590,7 @@ object BenchScale {
     }
     root.put("loadavg_end", loadavg())
     root.put("all_linear_ok", allOk)
+    root.put("perf_ok", perfOk)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SF1.json"),
       om.writerWithDefaultPrettyPrinter().writeValueAsString(root))

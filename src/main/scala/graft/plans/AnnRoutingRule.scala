@@ -73,11 +73,17 @@ object AnnRouting {
     * sub-graph greedily descends its upper layers to the beam entry —
     * same exactness contract (entry-independent at full ef). Requires the
     * index to have a `_layers` sidecar (checked at registration). */
+  /** `hierMin` is the [[graft.vector.Hnsw.hierMinRows]] threshold
+    * CAPTURED at registration (-1 = read the conf at walk time): a
+    * forced-descent registration stays forced across every later
+    * execution of its routed plans without leaving the global conf set
+    * session-wide (ADVICE r16 #1). */
   final case class GraphFamily(idCol: String, ef: Int,
                                metric: Knn.Metric,
                                maxFilterIds: Long,
                                adaptive: Boolean = false,
-                               hier: Boolean = false) extends Family
+                               hier: Boolean = false,
+                               hierMin: Int = -1) extends Family
   /** QUANTIZED clustered graph
     * ([[graft.vector.Hnsw.buildIndexClusteredQuantized]]): same leaf swap
     * as the graph family, but the leaf runs the CODE-space walk and
@@ -88,7 +94,8 @@ object AnnRouting {
                                 metric: Knn.Metric,
                                 refine: Int,
                                 maxFilterIds: Long,
-                                hier: Boolean = false) extends Family
+                                hier: Boolean = false,
+                                hierMin: Int = -1) extends Family
   /** Quantized table ([[graft.vector.Quantize.quantizeTable]]): the
     * routed plan splices the coarse int8 screen (top k·refine by code
     * distance) + self-join under the original Sort/Limit — the exact
@@ -193,7 +200,10 @@ object AnnRouting {
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
         GraphFamily(idCol, ef, metric, maxFilterIds, adaptiveTermination,
-          hierarchy)))
+          hierarchy,
+          // capture the engagement threshold NOW — the registration, not
+          // the session conf at some later execution, owns the contract
+          if (hierarchy) graft.vector.Hnsw.hierMinRows(spark) else -1)))
   }
 
   /** Register a QUANTIZED CLUSTERED GRAPH index
@@ -221,7 +231,8 @@ object AnnRouting {
         "sidecar — run Hnsw.buildHierarchyQuantized first")
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
-        QGraphFamily(idCol, ef, metric, refine, maxFilterIds, hierarchy)))
+        QGraphFamily(idCol, ef, metric, refine, maxFilterIds, hierarchy,
+          if (hierarchy) graft.vector.Hnsw.hierMinRows(spark) else -1)))
   }
 
   /** Register a QUANTIZED table ([[graft.vector.Quantize.quantizeTable]]
@@ -365,13 +376,14 @@ object AnnRouting {
         case IvfFamily(model, nprobe, _, _) =>
           renamed(Ivf.knnJoin(spark, r.indexPath, model, queries,
             qIdCol, qVecCol, idCol, r.vecCol, k, nprobe), idCol)
-        case GraphFamily(_, ef, _, _, _, hier) =>
+        case GraphFamily(_, ef, _, _, _, hier, hmin) =>
           Hnsw.knnJoinRouted(spark, r.indexPath, queries,
-            qIdCol, qVecCol, cIdCol, k, ef, hier = hier)
-        case QGraphFamily(gIdCol, ef, _, refine, _, hier) =>
+            qIdCol, qVecCol, cIdCol, k, ef, hier = hier, hierMin = hmin)
+        case QGraphFamily(gIdCol, ef, _, refine, _, hier, hmin) =>
           Hnsw.knnJoinQuantized(spark, r.indexPath,
             spark.read.parquet(r.basePath), gIdCol, r.vecCol,
-            queries, qIdCol, qVecCol, cIdCol, k, ef, refine, hier = hier)
+            queries, qIdCol, qVecCol, cIdCol, k, ef, refine, hier = hier,
+            hierMin = hmin)
         case QuantFamily(model, qCol, fIdCol, refine) =>
           Quantize.knnJoinQuant(spark.read.parquet(r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
@@ -841,7 +853,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     else {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output, adaptive = g.adaptive,
-        hier = g.hier)
+        hier = g.hier, hierMin = g.hierMin)
       Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
     }
   }
@@ -886,7 +898,8 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       val leaf = GraphCandidates(r.indexPath, g.idCol, r.vecCol,
         qvec.toSeq, k, g.ef, lr.output,
         basePath = Some(r.basePath), filterSql = Some(cond.sql),
-        maxIds = g.maxFilterIds, adaptive = g.adaptive, hier = g.hier)
+        maxIds = g.maxFilterIds, adaptive = g.adaptive, hier = g.hier,
+        hierMin = g.hierMin)
       // transformUp rebuilds parents after the leaf swap, so the consumed
       // Filter nodes are copies — match them by their (unchanged)
       // condition, not by reference
@@ -911,7 +924,8 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       val leaf = GraphCandidates(r.indexPath, qg.idCol, r.vecCol,
         qvec.toSeq, k, qg.ef, lr.output,
         basePath = Some(r.basePath),
-        quantized = true, refine = qg.refine, hier = qg.hier)
+        quantized = true, refine = qg.refine, hier = qg.hier,
+        hierMin = qg.hierMin)
       Some(gl.transformUp { case l: LogicalRelation if l eq lr => leaf })
     }
   }
@@ -939,7 +953,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
         qvec.toSeq, k, qg.ef, lr.output,
         basePath = Some(r.basePath), filterSql = Some(cond.sql),
         maxIds = qg.maxFilterIds, quantized = true, refine = qg.refine,
-        hier = qg.hier)
+        hier = qg.hier, hierMin = qg.hierMin)
       Some(gl.transformUp {
         case l: LogicalRelation if l eq lr => leaf
         case f: Filter if conds.exists(_ fastEquals f.condition) => f.child

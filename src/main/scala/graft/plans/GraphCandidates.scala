@@ -60,7 +60,8 @@ final case class GraphCandidates(indexPath: String, idName: String,
                                  adaptive: Boolean = false,
                                  quantized: Boolean = false,
                                  refine: Int = 8,
-                                 hier: Boolean = false) extends LeafNode {
+                                 hier: Boolean = false,
+                                 hierMin: Int = -1) extends LeafNode {
   override def maxRows: Option[Long] =
     Some(if (quantized) k.toLong * refine else k.toLong)
   override def computeStats(): Statistics =
@@ -145,7 +146,8 @@ final case class GraphCandidatesExec(node: GraphCandidates)
             // column is read only for the survivors)
             val ids = graft.vector.Hnsw.searchQuantizedCoarse(spark,
               node.indexPath, node.query.toArray, node.k, node.ef,
-              node.refine, allowed = allowed, hier = node.hier)._1
+              node.refine, allowed = allowed, hier = node.hier,
+              hierMin = node.hierMin)._1
             if (ids.isEmpty) Array.empty[(Long, Double, Array[Float])]
             else spark.read.parquet(node.basePath.get)
               .filter(col(node.idName).isin(ids: _*))
@@ -159,7 +161,8 @@ final case class GraphCandidatesExec(node: GraphCandidates)
             // entry inside every probed sub-graph
             graft.vector.Hnsw.searchRoutedHierRaw(spark, node.indexPath,
               node.query.toArray, node.k, node.ef, allowed = allowed,
-              adaptiveTermination = node.adaptive)._1
+              adaptiveTermination = node.adaptive,
+              hierMin = node.hierMin)._1
           else graft.vector.Hnsw.searchRoutedRaw(spark, node.indexPath,
             node.query.toArray, node.k, node.ef, allowed = allowed,
             adaptiveTermination = node.adaptive)._1

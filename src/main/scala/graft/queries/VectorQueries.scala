@@ -712,15 +712,17 @@ object VectorQueries {
     // Exact at full ef, shares the fullscan oracle.
     "q_knn_graph_hier_auto" -> QueryDef(
       (s, d) => {
-        // force the descent at fixture scale (below hierMinRows — r16).
-        // This ONE hier gate leaves the conf set: the leaf reads it at
-        // doExecute, which runs when the returned frame executes, after
-        // this definition returns (the three eager hier gates set/unset)
+        // force the descent at fixture scale (below hierMinRows — r16):
+        // the REGISTRATION captures the threshold (ADVICE r17 — the conf
+        // unsets immediately, so nothing leaks into the shared session;
+        // the leaf replays the captured 0 at every later execution)
         s.conf.set("spark.graft.graph.hierMinRows", "0")
-        val path = hnswhIndex(s, d)
-        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
-          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20,
-          hierarchy = true)
+        try {
+          val path = hnswhIndex(s, d)
+          graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+            path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20,
+            hierarchy = true)
+        } finally s.conf.unset("spark.graft.graph.hierMinRows")
         topK(s, d, Knn.L2)
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),

@@ -1384,11 +1384,12 @@ object Hnsw {
                        eps: Double = 1e-4,
                        allowed: Option[Long => Boolean] = None,
                        adaptiveTermination: Boolean = false,
-                       scoredAcc: org.apache.spark.util.LongAccumulator = null)
+                       scoredAcc: org.apache.spark.util.LongAccumulator = null,
+                       hierMin: Int = -1)
       : (DataFrame, Int) = {
     import spark.implicits._
     val (rows, probed) = searchRoutedHierRaw(spark, indexPath, query, k, ef,
-      eps, allowed, adaptiveTermination, scoredAcc)
+      eps, allowed, adaptiveTermination, scoredAcc, hierMin)
     (rows.map { case (id, dist, _) => (id, dist) }.toSeq.toDF(idCol, "dist"),
       probed)
   }
@@ -1396,12 +1397,18 @@ object Hnsw {
   /** [[searchRoutedHier]] returning raw (id, dist, vector) rows — the form
     * the automatic route's [[graft.plans.GraphCandidates]] leaf feeds back
     * under the original Sort/Limit (exactly as [[searchRoutedRaw]]). */
+  /** `hierMin` overrides the [[hierMinRows]] conf when >= 0 — the
+    * automatic route captures the threshold AT REGISTRATION (ADVICE r16:
+    * a gate forcing the descent via the global conf would otherwise have
+    * to leave it set for the leaf's later executions, leaking
+    * forced-descent behavior into the whole shared session). */
   def searchRoutedHierRaw(spark: SparkSession, indexPath: String,
                           query: Array[Float], k: Int, ef: Int,
                           eps: Double = 1e-4,
                           allowed: Option[Long => Boolean] = None,
                           adaptiveTermination: Boolean = false,
-                          scoredAcc: org.apache.spark.util.LongAccumulator = null)
+                          scoredAcc: org.apache.spark.util.LongAccumulator = null,
+                          hierMin: Int = -1)
       : (Array[(Long, Double, Array[Float])], Int) = {
     val graph = loadGraph(spark, indexPath)
     val layers = loadLayers(spark, indexPath, graph.getNumPartitions)
@@ -1410,7 +1417,7 @@ object Hnsw {
     val metric = routes(spark, indexPath)._1
     val adapt = adaptiveTermination
     val acc = scoredAcc
-    val hmin = hierMinRows(spark)
+    val hmin = if (hierMin >= 0) hierMin else hierMinRows(spark)
     routedSchedule(spark, indexPath, query, k, eps,
       probes =>
         prunedWalk(graph, Some(layers), probes.contains) { (git, lit) =>
@@ -1475,7 +1482,8 @@ object Hnsw {
                     queries: DataFrame, qIdCol: String, qVecCol: String,
                     cIdCol: String, k: Int, ef: Int,
                     probes: Int = Int.MaxValue,
-                    hier: Boolean = false): DataFrame = {
+                    hier: Boolean = false,
+                    hierMin: Int = -1): DataFrame = {
     import spark.implicits._
     val (metric, rts) = routes(spark, indexPath)
     require(rts.nonEmpty, s"no route sidecar at ${routePath(indexPath)}")
@@ -1486,7 +1494,7 @@ object Hnsw {
       else None
     val kk = k
     val efEff = math.max(ef, kk)
-    val hmin = hierMinRows(spark)
+    val hmin = if (hierMin >= 0) hierMin else hierMinRows(spark)
     // the shared per-sub-graph walk: ONE rehydrated graph (and layer set)
     // serves every query assigned to this pid
     val walk = (git: Iterator[(Int, GraphRow)],
@@ -1812,7 +1820,8 @@ object Hnsw {
                             query: Array[Float], k: Int, ef: Int,
                             refine: Int = 8,
                             allowed: Option[Long => Boolean] = None,
-                            hier: Boolean = false)
+                            hier: Boolean = false,
+                            hierMin: Int = -1)
       : (Seq[Long], Int) = {
     val (metric, rts) = routes(spark, indexPath)
     require(metric == Knn.L2 || metric == Knn.Cosine,
@@ -1834,7 +1843,7 @@ object Hnsw {
     val qB = spark.sparkContext.broadcast((qm, bq, f))
     val keep = k * refine
     val efEff = ef
-    val hmin = hierMinRows(spark)
+    val hmin = if (hierMin >= 0) hierMin else hierMinRows(spark)
     // the shared per-partition code-space walk; `lt` carries the layer
     // rows on the hier path (null = flat lowest-id entry)
     val walk = (it: Iterator[(Int, QGraphRow)],
@@ -1901,7 +1910,8 @@ object Hnsw {
                        cIdCol: String, k: Int, ef: Int,
                        refine: Int = 8,
                        probes: Int = Int.MaxValue,
-                       hier: Boolean = false): DataFrame = {
+                       hier: Boolean = false,
+                       hierMin: Int = -1): DataFrame = {
     import spark.implicits._
     val (metric, rts) = routes(spark, indexPath)
     require(rts.nonEmpty, s"no route sidecar at ${routePath(indexPath)}")
@@ -1914,7 +1924,7 @@ object Hnsw {
     val keep = k * refine
     val efEff = math.max(ef, keep)
     val qmB = spark.sparkContext.broadcast(qm)
-    val hmin = hierMinRows(spark)
+    val hmin = if (hierMin >= 0) hierMin else hierMinRows(spark)
     // the shared per-sub-graph CODE walk; queries arrive in the BOUND
     // space (normalized for cosine — the space the codes were trained in)
     val walk = (git: Iterator[(Int, QGraphRow)],
