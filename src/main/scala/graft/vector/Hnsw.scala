@@ -1298,18 +1298,15 @@ object Hnsw {
     * graph's partitioning. Centroids broadcast (≤ nlist rows); pids
     * outside the graph's partition range (route rows of an empty appended
     * cluster) drop — they have no corpus vectors. */
-  private def assignQueriesByPid(queries: DataFrame, qIdCol: String,
-                                 qVecCol: String, metric: Knn.Metric,
+  private def assignQueriesByPid(qRdd: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+                                 spark: SparkSession, metric: Knn.Metric,
                                  rts: Seq[(Int, Array[Float], Double)],
                                  nprobe: Int, numParts: Int,
                                  carryBound: Boolean)
       : org.apache.spark.rdd.RDD[(Int, (Long, Array[Float]))] = {
-    val spark = queries.sparkSession
-    import spark.implicits._
     val rtsB = spark.sparkContext.broadcast(
       rts.map(r => (r._1, r._2)).toArray)
-    queries.select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])].rdd
+    qRdd
       .flatMap { case (qid, qv) =>
         val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv) else qv
         val carry = if (carryBound) bq else qv
@@ -1547,7 +1544,10 @@ object Hnsw {
           // zips the two. Per-task memory is the pid's query slice
           // (|Q|·nprobe / nlist on average), never the whole batch.
           zipWalk(graph, layersOpt,
-            assignQueriesByPid(queries, qIdCol, qVecCol, metric, rts,
+            assignQueriesByPid(
+              queries.select(col(qIdCol).cast("long"), col(qVecCol))
+                .as[(Long, Array[Float])].rdd,
+              spark, metric, rts,
               nprobe, graph.getNumPartitions, carryBound = false))(walk)
       }
     val scored = perPart.toDF("__qid", "__cid", "__dist")
@@ -1978,12 +1978,14 @@ object Hnsw {
           // OVER-BUDGET (r15 VERDICT #1): distributed pid assignment —
           // the query side never touches the driver; the walk consumes
           // the bound-space vector (carryBound), the rescore reads the
-          // raw one back from the queries DataFrame (a shuffle equi-join
-          // on __qid — no broadcast of a huge side)
-          (queries.select(col(qIdCol).cast("long").as("__qid"),
-            col(qVecCol).as("__qvec")),
+          // raw one back through a shuffle equi-join on __qid (no
+          // broadcast of a huge side). Both consume the SAME persisted
+          // projection, so a nondeterministic query source cannot feed
+          // the walk and the rescore different rows (ADVICE r16).
+          val qRdd = Knn.persistedQueryRdd(queries, qIdCol, qVecCol)
+          (spark.createDataset(qRdd).toDF("__qid", "__qvec"),
             zipWalk(graph, layersOpt,
-              assignQueriesByPid(queries, qIdCol, qVecCol, metric, rts,
+              assignQueriesByPid(qRdd, spark, metric, rts,
                 nprobe, graph.getNumPartitions, carryBound = true))(walk))
       }
     // multi-probe duplicates collapse before the rescore join

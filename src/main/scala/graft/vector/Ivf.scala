@@ -402,11 +402,10 @@ object Ivf {
   /** BATCH KNN JOIN over the IVF-ADC index (r16 — the probe-pruned batch
     * form of [[searchPq]], completing the join surface's economy ladder:
     * the flat PQ join scans EVERY code per query slice, this one scans
-    * only the union of probed lists). Per slice (budget machinery shared
-    * with the screened joins, [[Knn.perSliceUnion]]): each query picks
-    * its `nprobe` nearest lists driver-side (one centroid-distance pass,
-    * as [[searchPq]] does), the scan prunes to the UNION of probed lists
-    * — the clustered layout makes that file/row-group pruning, the same
+    * only the union of probed lists). In budget: each query picks its
+    * `nprobe` nearest lists driver-side (one centroid-distance pass, as
+    * [[searchPq]] does), the scan prunes to the UNION of probed lists —
+    * the clustered layout makes that file/row-group pruning, the same
     * pushdown the single-query path gets — and ONE pass over the pruned
     * codes screens each row against exactly the queries that probed its
     * list. Per-(query, list) ADC tables build at list boundaries (rows
@@ -414,8 +413,23 @@ object Ivf {
     * across file boundaries just rebuilds — correctness unaffected), a
     * bounded per-query heap keeps the k·refine best coarse candidates per
     * partition, and the merged global cut exact-rescores against the
-    * float column. nprobe = nlist with the [[searchPq]] refine margin is
-    * the oracle-exact configuration; smaller nprobe is the usual
+    * float column.
+    *
+    * OVER budget (r17, VERDICT r16 #1 — the r16 arm looped
+    * driver-collected slices sequentially): the queries stay a
+    * distributed dataset end to end, the [[Hnsw]] graph legs' shape —
+    * each query row flatMaps to its `nprobe` list ids against the
+    * broadcast centroids, shuffles by list id, and zips against the
+    * corpus codes shuffled-and-sorted by the same partitioner, so every
+    * task screens its lists' codes against exactly the queries that
+    * probed them with the same boundary-built ADC tables. The probed-list
+    * union still prunes the corpus scan (collected from the assignment —
+    * ≤ nlist ints), and the rescore equi-joins the SAME persisted query
+    * projection the assignment read (ADVICE r16: one evaluation serves
+    * screen and rescore).
+    *
+    * nprobe = nlist with the [[searchPq]] refine margin is the
+    * oracle-exact configuration; smaller nprobe is the usual
     * clustered-recall economy knob. Output contract matches every join
     * leg: (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
   def knnJoinPq(spark: SparkSession, indexPath: String, m: Model,
@@ -431,67 +445,53 @@ object Ivf {
     import spark.implicits._
     val keep = k * refine
     val table = spark.read.parquet(resolve(spark, indexPath))
-    def screenSlice(qRows: Array[(Long, Array[Float])])
-        : (DataFrame, () => Unit) = {
-      // driver: nprobe lists per query → list → its probing queries
-      val byList: Map[Int, Array[(Long, Array[Float])]] = qRows
-        .flatMap { case (qid, qv) =>
-          m.probeOrder(qv).take(nprobe).map(l => (l, (qid, qv))) }
-        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
-      val probed = byList.keys.toArray.sorted.map(_.toLong)
-      val bc = spark.sparkContext.broadcast(
-        (pq, byList, m.centroids.toArray))
-      val coarse = table
-        .filter(col("ivf_cluster").isin(probed: _*))
-        .select(col(idCol).cast("long"), col("ivf_cluster").cast("int"),
-          col("ivf_pq"))
-        .as[(Long, Int, Array[Byte])]
-        .mapPartitions { it =>
-          val (p, bl, cents) = bc.value
-          val heaps =
-            new java.util.HashMap[Long, Quantize.BoundedTopK]()
-          var curList = -1
-          var curTables: Array[(Long, Array[Double])] = null
-          it.foreach { case (cid, cl, codes) =>
-            if (cl != curList) {
-              curList = cl
-              // tables for THIS list's probing queries only — built from
-              // each query's residual against the list centroid, exactly
-              // searchPq's per-list table
-              curTables = bl.getOrElse(cl,
-                  Array.empty[(Long, Array[Float])])
-                .map { case (qid, qv) =>
-                  val cent = cents(cl)
-                  val res = Array.tabulate(qv.length)(i => qv(i) - cent(i))
-                  (qid, p.adcTable(res))
-                }
+    // the shared kernel of both arms: stream (cid, list, codes) rows —
+    // LIST-CONTIGUOUS — against `byList` (list → its probing queries),
+    // building each list's per-query ADC tables at the boundary from the
+    // query residuals vs the list centroid (exactly searchPq's table) and
+    // keeping a bounded k·refine heap per query.
+    def screenCodes(byList: Map[Int, Array[(Long, Array[Float])]],
+                    cents: Array[Array[Float]],
+                    it: Iterator[(Long, Int, Array[Byte])])
+        : Iterator[(Long, Long, Double)] = {
+      val heaps = new java.util.HashMap[Long, Quantize.BoundedTopK]()
+      var curList = -1
+      var curTables: Array[(Long, Array[Double])] = null
+      it.foreach { case (cid, cl, codes) =>
+        if (cl != curList) {
+          curList = cl
+          curTables = byList.getOrElse(cl, Array.empty[(Long, Array[Float])])
+            .map { case (qid, qv) =>
+              val cent = cents(cl)
+              val res = Array.tabulate(qv.length)(i => qv(i) - cent(i))
+              (qid, pq.adcTable(res))
             }
-            var j = 0
-            while (j < curTables.length) {
-              val (qid, tbl) = curTables(j)
-              var h = heaps.get(qid)
-              if (h == null) {
-                h = new Quantize.BoundedTopK(keep); heaps.put(qid, h)
-              }
-              h.offer(p.adc(codes, tbl), cid)
-              j += 1
-            }
-          }
-          import scala.jdk.CollectionConverters._
-          heaps.entrySet().asScala.iterator.flatMap { e =>
-            e.getValue.drain().iterator
-              .map { case (d, cid) => (e.getKey.longValue, cid, d) }
-          }
         }
-        .toDF("__qid", "__cid", "__dist")
-      // the per-slice global coarse cut (slices partition the query set,
-      // so this IS the global k·refine contract for its queries)
-      (TopK.topKPairs(coarse, "q", "c", keep)
-        .select(col("q").as("__qid"), col("c").as("__cid")),
-        () => bc.destroy())
+        var j = 0
+        while (j < curTables.length) {
+          val (qid, tbl) = curTables(j)
+          var h = heaps.get(qid)
+          if (h == null) {
+            h = new Quantize.BoundedTopK(keep); heaps.put(qid, h)
+          }
+          h.offer(pq.adc(codes, tbl), cid)
+          j += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.entrySet().asScala.iterator.flatMap { e =>
+        e.getValue.drain().iterator
+          .map { case (d, cid) => (e.getKey.longValue, cid, d) }
+      }
     }
-    val (cands, inBudget) =
-      Knn.perSliceUnion(queries, qIdCol, qVecCol)(screenSlice)
+    def globalCut(coarse: DataFrame): DataFrame =
+      TopK.topKPairs(coarse, "q", "c", keep)
+        .select(col("q").as("__qid"), col("c").as("__cid"))
+    def prunedCodes(probed: Seq[Long]) = table
+      .filter(col("ivf_cluster").isin(probed: _*))
+      .select(col(idCol).cast("long"), col("ivf_cluster").cast("int"),
+        col("ivf_pq"))
+      .as[(Long, Int, Array[Byte])]
     val rawSel = table.select(col(idCol).cast("long").as("__cid"),
       col(vecCol).as("__cvec"))
     def rescored(withQvec: DataFrame): DataFrame = {
@@ -501,14 +501,63 @@ object Ivf {
             .cast("double").as("__dist"))
       TopK.topKPairs(scored, qIdCol, cIdCol, k)
     }
-    inBudget match {
+    Knn.boundedQueryBatch(queries, qIdCol, qVecCol,
+      Knn.maxQueryBatch(spark)) match {
       case Some(qRows) =>
+        // IN BUDGET: driver-side probe assignment, broadcast tables map,
+        // pruned scan (rows arrive list-contiguous from the clustered
+        // files), broadcast rescore of the collected batch
+        val byList: Map[Int, Array[(Long, Array[Float])]] = qRows
+          .flatMap { case (qid, qv) =>
+            m.probeOrder(qv).take(nprobe).map(l => (l, (qid, qv))) }
+          .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+        val bc = spark.sparkContext.broadcast((byList, m.centroids.toArray))
+        val coarse = prunedCodes(byList.keys.toArray.sorted.map(_.toLong))
+          .mapPartitions { it =>
+            val (bl, cents) = bc.value
+            screenCodes(bl, cents, it)
+          }
+          .toDF("__qid", "__cid", "__dist")
         val qDf = qRows.toSeq.toDF("__qid", "__qvec")
-        rescored(broadcast(cands.join(broadcast(qDf), "__qid")))
+        rescored(broadcast(globalCut(coarse).join(broadcast(qDf), "__qid")))
       case None =>
-        val qDf = queries.select(col(qIdCol).cast("long").as("__qid"),
-          col(qVecCol).as("__qvec"))
-        rescored(cands.join(qDf, "__qid"))
+        // OVER BUDGET: distributed list assignment + co-partitioned zip
+        Knn.distributedScreens.incrementAndGet()
+        val qRdd = Knn.persistedQueryRdd(queries, qIdCol, qVecCol)
+        val centsB = spark.sparkContext.broadcast(m.centroids.toArray)
+        val part = new Knn.ModPartitioner(math.min(m.nlist, math.max(1,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)))
+        def probesOf(qv: Array[Float], cents: Array[Array[Float]])
+            : Array[Int] =
+          cents.indices
+            .map(i => (scalarDist(Knn.L2, qv, cents(i)), i))
+            .sorted.take(nprobe).map(_._2).toArray
+        val qAssign = qRdd.flatMap { case (qid, qv) =>
+          probesOf(qv, centsB.value).iterator.map(l => (l, (qid, qv)))
+        }.partitionBy(part)
+        // probed-list union for the file-prune: ≤ nlist ints, one pass
+        // over the SAME persisted projection the assignment reads
+        val probed = qRdd.mapPartitions { it =>
+          val cents = centsB.value
+          val set = scala.collection.mutable.Set.empty[Int]
+          it.foreach { case (_, qv) => set ++= probesOf(qv, cents) }
+          Iterator.single(set.toSet)
+        }.fold(Set.empty[Int])(_ ++ _).toArray.sorted.map(_.toLong)
+        val codesByList = prunedCodes(probed.toSeq).rdd
+          .map { case (cid, cl, codes) => (cl, (cid, codes)) }
+          .repartitionAndSortWithinPartitions(part)
+        val coarseRdd = codesByList.zipPartitions(qAssign,
+          preservesPartitioning = false) { (cit, qit) =>
+          val byList: Map[Int, Array[(Long, Array[Float])]] = qit.toArray
+            .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+          if (byList.isEmpty) Iterator.empty
+          else screenCodes(byList, centsB.value,
+            cit.map { case (cl, (cid, codes)) => (cid, cl, codes) })
+        }
+        val coarse = spark.createDataset(coarseRdd)
+          .toDF("__qid", "__cid", "__dist")
+        val qDf = spark.createDataset(qRdd).toDF("__qid", "__qvec")
+        rescored(globalCut(coarse).join(qDf, "__qid"))
     }
   }
 

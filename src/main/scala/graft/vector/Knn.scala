@@ -77,51 +77,57 @@ object Knn {
     override def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
-  /** The slice-and-union budget machinery shared by the screened batch
-    * joins: run `screen` once per STRICTLY ≤max-row query slice and union
-    * the results. In budget there is ONE slice, the result returns lazily,
-    * and the second tuple element carries the collected batch (callers
-    * build broadcast rescore sides from it — never a second evaluation of
-    * the queries plan); over budget it is None, slices come from exact
-    * zipWithIndex global indices (never an approximate round-robin
-    * bound), each slice's result is EAGERLY checkpointed, and `screen`'s
-    * cleanup hook runs before the next slice collects — so the driver
-    * never holds more than one slice and executors never hold more than
-    * one slice's broadcasts. */
-  private[vector] def perSliceUnion(queries: DataFrame, qIdCol: String,
-                                    qVecCol: String)(
-      screen: Array[(Long, Array[Float])] => (DataFrame, () => Unit))
-      : (DataFrame, Option[Array[(Long, Array[Float])]]) = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val max = maxQueryBatch(spark)
-    boundedQueryBatch(queries, qIdCol, qVecCol, max) match {
-      case Some(qRows) => (screen(qRows)._1, Some(qRows))
-      case None =>
-        val qSel = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-          .as[(Long, Array[Float])]
-        val n = qSel.count()
-        val nSlices = math.max(1L, (n + max - 1) / max).toInt
-        val sliced = qSel.rdd.zipWithIndex()
-          .map { case (r, i) => ((i / max).toInt, r) }
-          .partitionBy(new SlicePartitioner(nSlices))
-          .map(_._2)
-        sliced.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val parts = (0 until nSlices).map { i =>
-            val slice = spark.sparkContext.runJob(sliced,
-              (it: Iterator[(Long, Array[Float])]) => it.toArray,
-              Seq(i)).head
-            val (df, cleanup) = screen(slice)
-            // eager: the slice's jobs run NOW, so its broadcasts can be
-            // freed before the next slice's are built
-            val cut = df.localCheckpoint(true)
-            cleanup()
-            cut
-          }
-          (parts.reduce(_ union _), None)
-        } finally sliced.unpersist(false)
+  /** Modulo partitioner for list/pid-keyed shuffles whose key space
+    * (≤ nlist) may be narrower than the shuffle width. */
+  private[vector] final class ModPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[Int] % n
+      if (k < 0) k + n else k
     }
+  }
+
+  /** Over-budget screens that ran the fully distributed arm — spec
+    * instrumentation only (the never-collects pin: the arm has no
+    * driver-side slice loop to count, so the spec asserts this fired). */
+  val distributedScreens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** ONE materialized evaluation of the (id, vector) query projection for
+    * the over-budget join arms, persisted MEMORY_AND_DISK so the screen
+    * and the rescore consume IDENTICAL rows even from a nondeterministic
+    * query source (ADVICE r16 — the in-budget arms already get this from
+    * the collected batch; MEMORY_AND_DISK so eviction spills instead of
+    * triggering a recompute that could diverge). Freed by the
+    * ContextCleaner once the plan is unreachable. */
+  private[vector] def persistedQueryRdd(queries: DataFrame, qIdCol: String,
+                                        qVecCol: String)
+      : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {
+    import queries.sparkSession.implicits._
+    queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The over-budget query batch as an RDD of STRICTLY ≤max-row slices,
+    * ONE slice array per partition — the distributed screens pair each
+    * slice partition with every corpus partition (a cartesian of
+    * partitions, the distributed block-nested-loop), so the whole batch
+    * screens in one parallel job and the driver never holds any slice.
+    * Slice ids come from exact zipWithIndex global indices over the
+    * PERSISTED projection (consistent across the count and the
+    * assignment); the clamp keeps a racing index in range regardless
+    * (ADVICE r16). */
+  private[vector] def sliceQueryRdd(
+      qRdd: org.apache.spark.rdd.RDD[(Long, Array[Float])], max: Int)
+      : org.apache.spark.rdd.RDD[Array[(Long, Array[Float])]] = {
+    val n = qRdd.count()
+    val nSlices = math.max(1L, (n + max - 1) / max).toInt
+    qRdd.zipWithIndex()
+      .map { case (r, i) => (math.min((i / max).toInt, nSlices - 1), r) }
+      .partitionBy(new SlicePartitioner(nSlices))
+      .mapPartitions(it => Iterator.single(it.map(_._2).toArray),
+        preservesPartitioning = false)
   }
 
   /** Score column for a metric, oriented so that ASC = best-first (the

@@ -6,15 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
 
-/** The ENFORCED query-side budget of every batch KNN join (r15 VERDICT #1):
-  * a batch within [[Knn.maxQueryBatch]] takes the fast collect/broadcast
-  * arm; a larger batch takes each leg's scale arm — distributed
-  * pid-assignment (graph legs), bounded slices (screened legs), no
-  * broadcast hint (exact/IVF legs) — and the driver NEVER materializes the
-  * whole batch. These specs pin (a) the scale arm actually engages
+/** The ENFORCED query-side budget of every batch KNN join (r15 VERDICT #1;
+  * fully distributed in r17 — VERDICT r16 #1): a batch within
+  * [[Knn.maxQueryBatch]] takes the fast collect/broadcast arm; a larger
+  * batch takes each leg's scale arm — distributed pid-assignment (graph
+  * legs), a partition-cartesian block-nested-loop (flat screened legs), a
+  * list-shuffled co-partitioned zip (IVF-ADC), no broadcast hint
+  * (exact/IVF legs) — and the driver NEVER materializes the whole batch
+  * or any slice of it. These specs pin (a) the scale arm actually engages
   * ([[Knn.overBudgetJoins]], the [[graft.plans.GraphCandidates.fallbackCount]]
-  * instrumentation pattern) and (b) its rows are IDENTICAL to the
-  * in-budget arm's at the exact configuration. */
+  * instrumentation pattern), (b) for the screened/ADC legs the
+  * NEVER-COLLECTS distributed screen ran ([[Knn.distributedScreens]] —
+  * the r16 arm looped driver-collected slices; that loop is gone), and
+  * (c) its rows are IDENTICAL to the in-budget arm's at the exact
+  * configuration. */
 class BatchJoinBudgetSpec extends AnyFunSuite {
 
   import SparkT.spark.implicits._
@@ -37,13 +42,20 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
         $"dist".cast("double"), $"rn".cast("long"))
       .as[(Long, Long, Double, Long)].collect().sortBy(t => (t._1, t._4))
 
-  /** Run `join` over budget, assert the scale arm engaged, return rows. */
-  private def overBudget(join: => DataFrame): Seq[(Long, Long, Double, Long)] =
+  /** Run `join` over budget, assert the scale arm engaged, return rows.
+    * `distributed = true` additionally pins that the never-collects
+    * distributed screen served it (screened/ADC legs). */
+  private def overBudget(join: => DataFrame, distributed: Boolean = false)
+      : Seq[(Long, Long, Double, Long)] =
     withBudget(4) {
       val before = Knn.overBudgetJoins.get()
+      val beforeD = Knn.distributedScreens.get()
       val r = rows(join)
       assert(Knn.overBudgetJoins.get() > before,
         "expected the over-budget scale arm to engage")
+      if (distributed)
+        assert(Knn.distributedScreens.get() > beforeD,
+          "expected the never-collects distributed screen to engage")
       r
     }
 
@@ -92,7 +104,7 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
     assert(overBudget(go) === base)
   }
 
-  test("IVF-ADC join over budget: probe-pruned sliced screen, identical rows (r16)") {
+  test("IVF-ADC join over budget: list-shuffled distributed screen, identical rows (r17)") {
     val d = Files.createTempDirectory("graft-bb-ivfpq").resolve("i").toString
     val m = Ivf.train(emb, "embedding", nlist = 4)
     val pq = Ivf.buildIndexPq(emb, "embedding", "vec_id", m, d)
@@ -101,14 +113,14 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
       "vec_id", "vec_id", "embedding", k = 5, nprobe = 4, refine = 160)
     val base = rows(go)
     assert(base.nonEmpty)
-    assert(overBudget(go) === base)
+    assert(overBudget(go, distributed = true) === base)
     // exactness against the brute-force join at full nprobe + margin
     val exact = rows(Knn.knnJoin(q2, emb, "qid", "qvec2", "vec_id",
       "embedding", k = 5))
     assert(base === exact)
   }
 
-  test("screened quant join over budget: bounded slices, identical rows") {
+  test("screened quant join over budget: distributed block-nested-loop, identical rows") {
     val m = Quantize.train(emb, "embedding")
     val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", m)
     // distinct query vec col name: screened joins reuse qdf's columns
@@ -117,7 +129,32 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
       q2, "qid", "qvec2", "vec_id", k = 5)
     val base = rows(go2)
     assert(base.nonEmpty)
-    assert(overBudget(go2) === base)
+    assert(overBudget(go2, distributed = true) === base)
+  }
+
+  test("screened quant4/binary/pq joins over budget: distributed screen, identical rows (r17)") {
+    val q2 = queries.withColumnRenamed("qvec", "qvec2")
+    val m4 = Quantize.train4(emb, "embedding")
+    val qdf4 = Quantize.quantize4Table(emb, "embedding", "q4vec", m4)
+    def go4 = Quantize.knnJoinQuant4(qdf4, "embedding", "q4vec", "vec_id",
+      m4, q2, "qid", "qvec2", "vec_id", k = 5, refine = 32)
+    val base4 = rows(go4)
+    assert(base4.nonEmpty)
+    assert(overBudget(go4, distributed = true) === base4)
+    val mb = Quantize.trainBinary(emb, "embedding")
+    val bdf = Quantize.binarizeTable(emb, "embedding", "bvec", mb)
+    def gob = Quantize.knnJoinBinary(bdf, "embedding", "bvec", "vec_id",
+      mb, q2, "qid", "qvec2", "vec_id", k = 5, refine = 320)
+    val baseb = rows(gob)
+    assert(baseb.nonEmpty)
+    assert(overBudget(gob, distributed = true) === baseb)
+    val mp = Quantize.trainPq(emb, "embedding", "vec_id")
+    val pdf = Quantize.quantizePqTable(emb, "embedding", "pqvec", mp)
+    def gop = Quantize.knnJoinPq(pdf, "embedding", "pqvec", "vec_id",
+      mp, q2, "qid", "qvec2", "vec_id", k = 5, refine = 128)
+    val basep = rows(gop)
+    assert(basep.nonEmpty)
+    assert(overBudget(gop, distributed = true) === basep)
   }
 
   private def Params(m: Int, efC: Int, partitions: Int) =
