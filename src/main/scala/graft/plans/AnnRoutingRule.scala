@@ -136,7 +136,8 @@ object AnnRouting {
   final case class IvfPqFamily(model: Ivf.Model,
                                pq: graft.vector.Quantize.PqModel,
                                idCol: String, nprobe: Int,
-                               refine: Int) extends Family
+                               refine: Int,
+                               metric: Knn.Metric = Knn.L2) extends Family
 
   final case class Registered(basePath: String, indexPath: String,
                               vecCol: String, rows: Long, family: Family)
@@ -323,11 +324,19 @@ object AnnRouting {
     * declared serving contract; batch joins dispatch to
     * [[graft.vector.Ivf.knnJoinPq]]. Typical use registers the coded
     * table as its own base (it carries the original vectors). */
+  /** `metric` is the serving metric (L2 or Cosine — cosine routes the
+    * `1 - cosine_sim` sort key through the normalized-space screen, the
+    * [[graft.vector.Ivf.buildIndexPq]] cosine layout; the reference
+    * serves cosine on every quantized index, knn/knn.h:32-37). */
   def registerIvfPq(spark: SparkSession, basePath: String, indexPath: String,
                     model: Ivf.Model, pq: graft.vector.Quantize.PqModel,
                     vecCol: String, idCol: String, nprobe: Int,
-                    refine: Int = 32): Unit = {
-    require(model.metric == Knn.L2, "IVF-ADC screens are L2-only")
+                    refine: Int = 32,
+                    metric: Knn.Metric = Knn.L2): Unit = {
+    require(metric == Knn.L2 || metric == Knn.Cosine,
+      "IVF-ADC serves L2 or cosine")
+    require(model.metric == Knn.L2,
+      "the IVF-ADC coarse model binds the L2 screen space")
     require(nprobe >= 1 && nprobe <= model.nlist,
       s"nprobe $nprobe out of [1, ${model.nlist}]")
     val q = qualify(spark, basePath)
@@ -336,7 +345,7 @@ object AnnRouting {
       spark.sparkContext.hadoopConfiguration)
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
-        IvfPqFamily(model, pq, idCol, nprobe, refine)))
+        IvfPqFamily(model, pq, idCol, nprobe, refine, metric)))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -400,9 +409,10 @@ object AnnRouting {
           Quantize.knnJoinBinary(spark.read.parquet(r.indexPath), r.vecCol,
             bCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine, rCol)
-        case IvfPqFamily(model, pq, fIdCol, nprobe, refine) =>
+        case IvfPqFamily(model, pq, fIdCol, nprobe, refine, met) =>
           Ivf.knnJoinPq(spark, r.indexPath, model, pq, queries,
-            qIdCol, qVecCol, cIdCol, fIdCol, r.vecCol, k, nprobe, refine)
+            qIdCol, qVecCol, cIdCol, fIdCol, r.vecCol, k, nprobe, refine,
+            met)
       }
       case None =>
         import org.apache.spark.sql.functions.col
@@ -587,7 +597,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
             case qf: AnnRouting.IvfPqFamily =>
               buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
                 (df, n) => Ivf.coarseIdsPq(df, qf.model, qf.pq, qf.idCol,
-                  qvec, qf.nprobe, n),
+                  qvec, qf.nprobe, n, qf.metric),
                 k, child.collect { case f: Filter => f })
             case _ => None // IVF whose bypass gate chose the fullscan
           }
@@ -600,12 +610,14 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     case i: AnnRouting.IvfFamily => i.model.metric
     case g: AnnRouting.GraphFamily => g.metric
     case qg: AnnRouting.QGraphFamily => qg.metric
-    // every quantized coarse screen is L2-code/Hamming distance, so only
-    // L2 queries route (the reference's quantized paths are likewise
-    // L2-trained, knn/quantizer.cpp)
+    // IVF-ADC serves its registered metric (cosine binds through the
+    // normalized screen space — r17); the flat quantized screens are
+    // L2-code/Hamming distance, so only L2 queries route there (the
+    // reference's quantized paths are likewise L2-trained,
+    // knn/quantizer.cpp)
+    case qf: AnnRouting.IvfPqFamily => qf.metric
     case _: AnnRouting.QuantFamily | _: AnnRouting.Quant4Family |
-         _: AnnRouting.BinaryFamily | _: AnnRouting.PqFamily |
-         _: AnnRouting.IvfPqFamily => Knn.L2
+         _: AnnRouting.BinaryFamily | _: AnnRouting.PqFamily => Knn.L2
   }
 
   /** (metric, vector attribute, query vector) of a distance sort key. */

@@ -851,6 +851,40 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // The IVF-ADC family under COSINE (r17, VERDICT r16 #2 — the
+    // reference serves cosine on every quantized index, knn/knn.h:32-37:
+    // cosine = IP over normalized): the coarse model trains L2 over the
+    // UNIT-NORMALIZED vectors, assignment/residual-PQ/screen all live in
+    // that space (normalized-L2 order == cosine order — the r15
+    // quantized-graph construction), and the k·refine survivors rescore
+    // with the exact cosine kernel on raw floats. nprobe = nlist with the
+    // refine margin ⇒ exact — shares the cosine fullscan oracle.
+    "q_knn_ivf_pq_cos" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqCosIndex(s, d)
+        Ivf.searchPq(s, path, m, pq, "vec_id", "embedding",
+            queryVec(s, d), k = 10, nprobe = m.nlist, refine = 32,
+            metric = Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
+    // K4 for the cosine IVF-ADC layout: registerIvfPq(metric = Cosine)
+    // routes the PLAIN `1 - cosine_sim` top-k through the normalized-space
+    // probe-pruned ADC screen; the untouched Sort/Limit above is the
+    // exact cosine rescore. Shared cosine oracle.
+    "q_knn_ivf_pq_cos_auto" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqCosIndex(s, d)
+        graft.plans.AnnRouting.registerIvfPq(s, path, path, m, pq,
+          vecCol = "embedding", idCol = "vec_id", nprobe = m.nlist,
+          metric = Knn.Cosine)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
     // K6+K4 for PQ, AUTOMATICALLY ROUTED (r14 VERDICT #5 — the sixth and
     // last family in the CreateIterator-style dispatch,
     // knn/knn.cpp:600-610): the PQ table registers as its own base; a
@@ -1535,6 +1569,34 @@ object VectorQueries {
           val assigned = Ivf.assign(t(s, d, "embeddings"), "embedding", m)
             .withColumn("ivf_res",
               Ivf.residualCol(col("embedding"), col("ivf_cluster"), m))
+          Quantize.trainPq(assigned, "ivf_res", "vec_id")
+        }
+      (m, pq, path)
+    })
+
+  // Memoized COSINE IVF-ADC index per sfDir (r17): coarse model trained
+  // L2 over the unit-normalized vectors (the bound space), codes on the
+  // normalized residuals — Ivf.buildIndexPq's cosine layout.
+  private val ivfPqCosCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Ivf.Model, Quantize.PqModel, String)]
+
+  private def ivfPqCosIndex(s: SparkSession, d: String)
+      : (Ivf.Model, Quantize.PqModel, String) =
+    ivfPqCosCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivfpq_cos_embeddings"
+      val normed = t(s, d, "embeddings")
+        .withColumn("embn", Ivf.normalized(col("embedding")))
+      val m = Ivf.train(normed, "embn", nlist = 8)
+      val pq =
+        if (!new java.io.File(path, "_SUCCESS").isFile)
+          Ivf.buildIndexPq(t(s, d, "embeddings"), "embedding", "vec_id",
+            m, path, metric = Knn.Cosine)
+        else {
+          // deterministic re-derivation (the ivfPqIndex rationale), in
+          // the normalized space the stored codes were written in
+          val assigned = Ivf.assign(normed, "embn", m)
+            .withColumn("ivf_res",
+              Ivf.residualCol(col("embn"), col("ivf_cluster"), m))
           Quantize.trainPq(assigned, "ivf_res", "vec_id")
         }
       (m, pq, path)

@@ -248,8 +248,15 @@ object Ivf {
   // centroid — screens by M-lookup code scans, and exact-rescores the
   // k·refine survivors from the raw vectors stored in the same rows.
   // ||v − q|| = ||r_v − (q − c_list)||, so the per-list table over the
-  // query residual estimates the true distance directly. L2 only (the
-  // residual identity doesn't hold for IP/cosine screens).
+  // query residual estimates the true distance directly. The screen is
+  // an L2 construction; COSINE serves through the normalized companion
+  // space (r17 — the quantized-graph solution, ref knn/knn.h:32-37:
+  // cosine = IP over normalized, served by every index type): train the
+  // coarse model L2 over the UNIT-NORMALIZED vectors, assign/encode the
+  // normalized rows, screen with the normalized query's residual tables
+  // (normalized-L2 order == cosine order: cos dist of a unit pair is
+  // half its squared L2), and exact-rescore with the cosine kernel on
+  // raw floats.
   // ------------------------------------------------------------------
 
   /** Residual of each assigned row against its list centroid — a codegen
@@ -269,32 +276,63 @@ object Ivf {
     * the rows, range-clustered by list id (probes prune files exactly as
     * the plain IVF layout). Returns the residual codebooks — the caller
     * passes them to [[searchPq]]/[[appendToIndexPq]]. */
+  /** `metric` is the SERVING metric (L2 or Cosine). For cosine, `m` must
+    * be the L2 coarse model trained over the unit-normalized copy of
+    * `vecCol` (the bound space — the [[searchAdaptiveCosine]] contract);
+    * assignment, residuals, and codes all live there, while the stored
+    * raw column serves the exact rescore. */
   def buildIndexPq(df: DataFrame, vecCol: String, idCol: String, m: Model,
                    path: String, subM: Int = 8, codeK: Int = 16,
-                   files: Int = 4): Quantize.PqModel = {
-    require(m.metric == Knn.L2, "IVF-ADC screens are L2-only")
+                   files: Int = 4,
+                   metric: Knn.Metric = Knn.L2): Quantize.PqModel = {
+    requirePqMetric(m, metric)
     graft.index.SecondaryIndex.requireNotManifestManaged(df.sparkSession, path)
-    val assigned = assign(df, vecCol, m)
-      .withColumn("ivf_res", residualCol(col(vecCol), col("ivf_cluster"), m))
+    val (bound, bcol) = boundSide(df, vecCol, metric)
+    val assigned = assign(bound, bcol, m)
+      .withColumn("ivf_res", residualCol(col(bcol), col("ivf_cluster"), m))
     val pq = Quantize.trainPq(assigned, "ivf_res", idCol, subM, codeK)
     val coded = Quantize.quantizePqTable(assigned, "ivf_res", "ivf_pq", pq)
-      .drop("ivf_res")
+      .drop("ivf_res", BoundCol)
     graft.tables.Writer.write(coded, path,
       sortBy = Seq("ivf_cluster"), files = files)
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     pq
   }
 
+  /** The one metric contract of the ADC family: the screen space is
+    * always L2 (`m` trained L2 — over normalized vectors for cosine);
+    * the serving metric picks raw (L2) vs normalized (cosine) binding. */
+  private def requirePqMetric(m: Model, metric: Knn.Metric): Unit = {
+    require(metric == Knn.L2 || metric == Knn.Cosine,
+      "IVF-ADC serves L2 or cosine (cosine through the normalized space)")
+    require(m.metric == Knn.L2,
+      "the IVF-ADC coarse model binds the L2 screen space (train it L2 — " +
+        "over the unit-normalized vectors for cosine serving)")
+  }
+
+  private val BoundCol = "__ivf_bvec"
+
+  /** (table with the bound-space column, its name): `vecCol` itself for
+    * L2, a transient normalized companion for cosine. */
+  private def boundSide(df: DataFrame, vecCol: String, metric: Knn.Metric)
+      : (DataFrame, String) =
+    if (metric == Knn.Cosine)
+      (df.withColumn(BoundCol, normalized(col(vecCol))), BoundCol)
+    else (df, vecCol)
+
   /** I9 append for the IVF-ADC index: assign + encode the new batch with
     * the EXISTING coarse model and codebooks (the RT flow — neither
     * retrains mid-stream), write as additional clustered files. */
   def appendToIndexPq(df: DataFrame, vecCol: String, m: Model,
                       pq: Quantize.PqModel, path: String,
-                      files: Int = 1): Unit = {
-    val assigned = assign(df, vecCol, m)
-      .withColumn("ivf_res", residualCol(col(vecCol), col("ivf_cluster"), m))
+                      files: Int = 1,
+                      metric: Knn.Metric = Knn.L2): Unit = {
+    requirePqMetric(m, metric)
+    val (bound, bcol) = boundSide(df, vecCol, metric)
+    val assigned = assign(bound, bcol, m)
+      .withColumn("ivf_res", residualCol(col(bcol), col("ivf_cluster"), m))
     Quantize.quantizePqTable(assigned, "ivf_res", "ivf_pq", pq)
-      .drop("ivf_res")
+      .drop("ivf_res", BoundCol)
       .repartitionByRange(files, col("ivf_cluster"))
       .sortWithinPartitions(col("ivf_cluster"))
       .write.mode("append").parquet(resolve(df.sparkSession, path))
@@ -308,12 +346,14 @@ object Ivf {
   def searchPq(spark: SparkSession, indexPath: String, m: Model,
                pq: Quantize.PqModel, idCol: String, vecCol: String,
                query: Array[Float], k: Int, nprobe: Int,
-               refine: Int = 32): DataFrame = {
-    require(m.metric == Knn.L2, "IVF-ADC screens are L2-only")
+               refine: Int = 32,
+               metric: Knn.Metric = Knn.L2): DataFrame = {
+    requirePqMetric(m, metric)
     val table = spark.read.parquet(resolve(spark, indexPath))
-    val coarse = coarseIdsPq(table, m, pq, idCol, query, nprobe, k * refine)
+    val coarse = coarseIdsPq(table, m, pq, idCol, query, nprobe, k * refine,
+      metric)
     Knn.knn(table.join(coarse, Seq(idCol)), vecCol, idCol, query, k,
-      m.metric)
+      metric)
   }
 
   /** The probe-pruned ADC coarse pass as a composable id stream — shared
@@ -326,12 +366,15 @@ object Ivf {
     * contract). */
   def coarseIdsPq(qdf: DataFrame, m: Model, pq: Quantize.PqModel,
                   idCol: String, query: Array[Float], nprobe: Int,
-                  n: Int): DataFrame = {
+                  n: Int, metric: Knn.Metric = Knn.L2): DataFrame = {
     import qdf.sparkSession.implicits._
-    val probes = m.probeOrder(query).take(nprobe).map(_.toLong)
+    // cosine: probe/screen in the normalized space the codes live in
+    // (normalized-L2 order == cosine order for the rescore's cut)
+    val bq = if (metric == Knn.Cosine) normalizeQuery(query) else query
+    val probes = m.probeOrder(bq).take(nprobe).map(_.toLong)
     val tables: Map[Long, Array[Double]] = probes.map { l =>
       val cent = m.centroids(l.toInt)
-      val res = Array.tabulate(query.length)(i => query(i) - cent(i))
+      val res = Array.tabulate(bq.length)(i => bq(i) - cent(i))
       l -> pq.adcTable(res)
     }.toMap
     val tB = qdf.sparkSession.sparkContext.broadcast((pq, tables))
@@ -436,8 +479,9 @@ object Ivf {
                 pq: Quantize.PqModel,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
                 cIdCol: String, idCol: String, vecCol: String,
-                k: Int, nprobe: Int, refine: Int = 32): DataFrame = {
-    require(m.metric == Knn.L2, "IVF-ADC screens are L2-only")
+                k: Int, nprobe: Int, refine: Int = 32,
+                metric: Knn.Metric = Knn.L2): DataFrame = {
+    requirePqMetric(m, metric)
     require(nprobe >= 1 && nprobe <= m.nlist,
       s"nprobe $nprobe out of [1, ${m.nlist}]")
     require(qIdCol != cIdCol,
@@ -497,7 +541,7 @@ object Ivf {
     def rescored(withQvec: DataFrame): DataFrame = {
       val scored = withQvec.join(rawSel, "__cid")
         .select(col("__qid"), col("__cid"),
-          Knn.distCol(Knn.L2, col("__cvec"), col("__qvec"))
+          Knn.distCol(metric, col("__cvec"), col("__qvec"))
             .cast("double").as("__dist"))
       TopK.topKPairs(scored, qIdCol, cIdCol, k)
     }
@@ -507,9 +551,12 @@ object Ivf {
         // IN BUDGET: driver-side probe assignment, broadcast tables map,
         // pruned scan (rows arrive list-contiguous from the clustered
         // files), broadcast rescore of the collected batch
+        // cosine: probe and screen with the NORMALIZED query (the space
+        // the codes live in); the rescore below reads the raw one
         val byList: Map[Int, Array[(Long, Array[Float])]] = qRows
           .flatMap { case (qid, qv) =>
-            m.probeOrder(qv).take(nprobe).map(l => (l, (qid, qv))) }
+            val bq = if (metric == Knn.Cosine) normalizeQuery(qv) else qv
+            m.probeOrder(bq).take(nprobe).map(l => (l, (qid, bq))) }
           .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
         val bc = spark.sparkContext.broadcast((byList, m.centroids.toArray))
         val coarse = prunedCodes(byList.keys.toArray.sorted.map(_.toLong))
@@ -527,20 +574,27 @@ object Ivf {
         val centsB = spark.sparkContext.broadcast(m.centroids.toArray)
         val part = new Knn.ModPartitioner(math.min(m.nlist, math.max(1,
           spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)))
+        val met = metric
         def probesOf(qv: Array[Float], cents: Array[Array[Float]])
             : Array[Int] =
           cents.indices
             .map(i => (scalarDist(Knn.L2, qv, cents(i)), i))
             .sorted.take(nprobe).map(_._2).toArray
+        // the assignment carries the BOUND-space vector (normalized for
+        // cosine — what the ADC tables consume); the rescore reads the
+        // raw one back from the same persisted projection
         val qAssign = qRdd.flatMap { case (qid, qv) =>
-          probesOf(qv, centsB.value).iterator.map(l => (l, (qid, qv)))
+          val bq = if (met == Knn.Cosine) normalizeQuery(qv) else qv
+          probesOf(bq, centsB.value).iterator.map(l => (l, (qid, bq)))
         }.partitionBy(part)
         // probed-list union for the file-prune: ≤ nlist ints, one pass
         // over the SAME persisted projection the assignment reads
         val probed = qRdd.mapPartitions { it =>
           val cents = centsB.value
           val set = scala.collection.mutable.Set.empty[Int]
-          it.foreach { case (_, qv) => set ++= probesOf(qv, cents) }
+          it.foreach { case (_, qv) =>
+            set ++= probesOf(
+              if (met == Knn.Cosine) normalizeQuery(qv) else qv, cents) }
           Iterator.single(set.toSet)
         }.fold(Set.empty[Int])(_ ++ _).toArray.sorted.map(_.toLong)
         val codesByList = prunedCodes(probed.toSeq).rdd

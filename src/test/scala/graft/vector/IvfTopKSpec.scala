@@ -205,6 +205,40 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(!routedUn && un.as[(Long, Double)].collect().toSeq === exact)
   }
 
+  test("cosine IVF-ADC: searchPq and knnJoinPq exact vs the cosine fullscan (r17)") {
+    val d = Files.createTempDirectory("graft-ivfpq-cos").resolve("i").toString
+    // bound space: the coarse model trains L2 over the unit-normalized
+    // vectors (the buildIndexPq cosine contract)
+    val normed = df.withColumn("embn", Ivf.normalized(col("embedding")))
+    val m = Ivf.train(normed, "embn", nlist = 8)
+    val pq = Ivf.buildIndexPq(df, "embedding", "vec_id", m, d,
+      metric = Knn.Cosine)
+    val got = Ivf.searchPq(SparkT.spark, d, m, pq, "vec_id", "embedding",
+        queryVec, k = 10, nprobe = m.nlist, refine = 16,
+        metric = Knn.Cosine)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Knn.knn(df, "embedding", "vec_id", queryVec, 10, Knn.Cosine)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === exact)
+    // batch join: every 25th row as the query batch, in-budget AND the
+    // over-budget distributed arm, both ≡ the exact cosine join
+    val queries = df.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def joinRows(f: => org.apache.spark.sql.DataFrame) =
+      f.select($"qid".cast("long"), $"vec_id".cast("long"),
+          $"dist".cast("double"), $"rn".cast("long"))
+        .as[(Long, Long, Double, Long)].collect().sortBy(t => (t._1, t._4))
+    def go = Ivf.knnJoinPq(SparkT.spark, d, m, pq, queries, "qid", "qvec",
+      "vec_id", "vec_id", "embedding", k = 5, nprobe = m.nlist,
+      refine = 32, metric = Knn.Cosine)
+    val exactJoin = joinRows(Knn.knnJoin(queries, df, "qid", "qvec",
+      "vec_id", "embedding", k = 5, Knn.Cosine))
+    assert(joinRows(go) === exactJoin)
+    SparkT.spark.conf.set("spark.graft.knnJoin.maxQueryBatch", "4")
+    try assert(joinRows(go) === exactJoin)
+    finally SparkT.spark.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+  }
+
   test("grouped top-k Aggregator matches the window-function reference") {
     val data = (1 to 500).map(i =>
       (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))
