@@ -368,16 +368,21 @@ object Decoder {
 
   // ------------------------------------------------- executor-shared cache
 
-  final case class Loaded(model: Model, vocab: Option[WordPiece.Vocab])
+  final case class Loaded(model: Model, vocab: Option[WordPiece.Vocab],
+                          spm: Option[SentencePiece.Model] = None)
 
   private[embed] val loadCount = new java.util.concurrent.atomic.AtomicLong
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
 
   /** One load per (path, pooling override) per JVM — same warm-handle
-    * lifecycle as [[Transformer.sharedModel]]. A `vocab.txt` beside the
-    * weights flips tokenization to real WordPiece WITHOUT the [CLS]/[SEP]
-    * wrap (decoders have no special-token sandwich); absent, the
+    * lifecycle as [[Transformer.sharedModel]]. The checkpoint's OWN
+    * tokenizer loads beside the weights (the reference loads a local
+    * checkpoint's tokenizer the same way, embeddings/src/model/local.rs):
+    * a `tokenizer.json` flips to the SentencePiece UNIGRAM family (r17 —
+    * the tokenizer the RoPE checkpoint family actually ships); else a
+    * `vocab.txt` flips to real WordPiece WITHOUT the [CLS]/[SEP] wrap
+    * (decoders have no special-token sandwich); absent both, the
     * whitespace hash-bucket tokenizer addresses wte rows directly. */
   private[embed] def sharedModel(path: String,
                                  pool: Option[String]): Loaded =
@@ -385,12 +390,22 @@ object Decoder {
       loadCount.incrementAndGet()
       val m = load(path, poolOverride = pool)
       val dir = Transformer.resolveLayout(path)._2
+      val tj = new java.io.File(dir, "tokenizer.json")
+      val spm =
+        if (tj.isFile) Some(SentencePiece.parseTokenizerJson(
+          java.nio.file.Files.readString(tj.toPath)))
+        else None
+      spm.foreach(sp => require(m.vocabRows > sp.maxId,
+        s"checkpoint $path has ${m.vocabRows} embedding rows but unigram " +
+          s"ids reach ${sp.maxId}"))
       val vf = new java.io.File(dir, "vocab.txt")
-      val vocab = if (vf.isFile) Some(WordPiece.loadVocab(vf.toString)) else None
+      val vocab =
+        if (spm.isEmpty && vf.isFile) Some(WordPiece.loadVocab(vf.toString))
+        else None
       vocab.foreach(v => require(m.vocabRows > v.maxId,
         s"checkpoint $path has ${m.vocabRows} embedding rows but vocab ids " +
           s"reach ${v.maxId}"))
-      Loaded(m, vocab)
+      Loaded(m, vocab, spm)
     })
 
   def evictShared(path: String): Boolean = {

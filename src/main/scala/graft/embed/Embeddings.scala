@@ -549,11 +549,14 @@ object Embeddings {
         m.maxPositions)
       texts.map { t0 =>
         val t = ModelRegistry.preTruncate(t0, cap)
-        val ids: Array[Int] = loaded.vocab match {
-          case Some(v) => WordPiece.tokenize(t, v).take(cap).toArray
-          case None =>
-            t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(cap)
-              .map(tok => hashBucket(tok, m.vocabRows)).toArray
+        val ids: Array[Int] = loaded.spm match {
+          case Some(sp) => sp.encode(t).take(cap)
+          case None => loaded.vocab match {
+            case Some(v) => WordPiece.tokenize(t, v).take(cap).toArray
+            case None =>
+              t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(cap)
+                .map(tok => hashBucket(tok, m.vocabRows)).toArray
+          }
         }
         pooledToFloat(Decoder.forward(m, ids), normalize)
       }

@@ -1,0 +1,226 @@
+package graft.embed
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+
+/** SentencePiece UNIGRAM tokenizer (Kudo 2018, "Subword Regularization" —
+  * the published model family every LLaMA/GPT-NeoX-era checkpoint ships)
+  * over the PUBLIC Hugging Face `tokenizer.json` artifact layout
+  * (`{"model": {"type": "Unigram", "unk_id": N, "vocab": [[piece,
+  * logprob], ...]}}` — piece id = position in the vocab array):
+  *
+  *  1. pre-tokenize on whitespace and mark each word with the ▁ (U+2581)
+  *     word-boundary prefix (SentencePiece's `add_dummy_prefix` +
+  *     whitespace-delimited treatment — pieces never span a word
+  *     boundary because ▁ appears only word-initially);
+  *  2. VITERBI-segment each marked word: the piece sequence maximizing
+  *     the sum of piece log-probs (the unigram decode — exact dynamic
+  *     program, not greedy longest-match);
+  *  3. a character no piece covers becomes one `unk_id` token at a score
+  *     below every real piece (SentencePiece's unk penalty), so decoding
+  *     always completes.
+  *
+  * This closes the tokenizer gap behind the RoPE decoder
+  * ([[Decoder]] — the GPT-NeoX/LLaMA checkpoint family tokenizes with
+  * SentencePiece, not WordPiece/BPE; ref embeddings/src/model/local.rs
+  * loads the checkpoint's own tokenizer the same way). Deterministic:
+  * ties prefer the LONGEST piece (then the exact DP order), so a model
+  * re-derivation reproduces stored token streams bit-for-bit.
+  *
+  * 100 TB design mirrors [[Bpe]]: the model loads ONCE per JVM
+  * ([[sharedModel]]), tokenization is mapPartitions (no shuffle, no
+  * driver round-trips), and a bounded per-JVM word cache turns the DP
+  * into a map probe for the hot tail of a skewed corpus.
+  */
+object SentencePiece {
+
+  /** The SentencePiece word-boundary marker (U+2581 LOWER ONE EIGHTH
+    * BLOCK). */
+  val WordBoundary: Char = '▁'
+
+  final case class Model(pieces: Array[String], scores: Array[Double],
+                         unkId: Int) {
+    require(pieces.nonEmpty, "empty unigram vocab")
+    require(unkId >= 0 && unkId < pieces.length,
+      s"unk_id $unkId out of [0, ${pieces.length})")
+    @transient private lazy val ids: Map[String, Int] =
+      pieces.zipWithIndex.toMap
+    @transient private lazy val maxPieceLen: Int =
+      pieces.iterator.map(_.length).max
+    /** Largest piece id — [[Decoder]]'s embedding-row bound check. */
+    def maxId: Int = pieces.length - 1
+    // unknown-character arc: below every real piece (the SentencePiece
+    // unk penalty), so a known covering always wins when one exists
+    @transient private lazy val unkScore: Double = scores.min - 10.0
+
+    // word cache: marked word → ids. Bounded (reset at cap) — a
+    // skew-heavy corpus cannot grow it without bound (the Bpe contract).
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+    private val CacheCap = 65536
+
+    /** Exact unigram Viterbi over one ▁-marked word: best[i] = max score
+      * covering the prefix of length i; arcs are vocab pieces ending at i
+      * (longest-first on ties) plus the single-char unk arc. */
+    def segment(marked: String): Array[Int] = {
+      val cached = cache.get(marked)
+      if (cached != null) return cached
+      val n = marked.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = new Array[Int](n + 1) // arc start
+      val piece = new Array[Int](n + 1) // arc piece id (unkId for unk arc)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        // longest piece first: on equal score the longer piece wins
+        var j = math.max(0, i - maxPieceLen)
+        while (j < i) {
+          if (best(j) != Double.NegativeInfinity) {
+            ids.get(marked.substring(j, i)) match {
+              case Some(pid) =>
+                val s = best(j) + scores(pid)
+                if (s > best(i)) { best(i) = s; back(i) = j; piece(i) = pid }
+              case None =>
+            }
+          }
+          j += 1
+        }
+        if (best(i) == Double.NegativeInfinity) {
+          // no piece ends here: the unk single-char arc keeps decoding
+          best(i) = best(i - 1) + unkScore
+          back(i) = i - 1
+          piece(i) = unkId
+        }
+        i += 1
+      }
+      val out = Array.newBuilder[Int]
+      val rev = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var p = n
+      while (p > 0) { rev += piece(p); p = back(p) }
+      rev.reverseIterator.foreach(out += _)
+      val arr = out.result()
+      if (cache.size >= CacheCap) cache.clear()
+      cache.put(marked, arr)
+      arr
+    }
+
+    /** Token ids of `text`: whitespace words, each ▁-marked and
+      * Viterbi-segmented. Empty/whitespace-only text → no tokens. */
+    def encode(text: String): Array[Int] =
+      Option(text).getOrElse("").trim.split("\\s+").iterator
+        .filter(_.nonEmpty)
+        .flatMap(w => segment(WordBoundary + w))
+        .toArray
+
+    def countTokens(text: String): Int = {
+      var n = 0
+      Option(text).getOrElse("").trim.split("\\s+").iterator
+        .filter(_.nonEmpty)
+        .foreach(w => n += segment(WordBoundary + w).length)
+      n
+    }
+  }
+
+  // ------------------------------------------------------------ artifacts
+
+  /** Parse the HF `tokenizer.json` Unigram layout: the model node is
+    * either the root's `model` field or the root itself (a bare model
+    * dump); `vocab` is the [[piece, score]] array whose POSITIONS are the
+    * ids. */
+  def parseTokenizerJson(json: String): Model = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json)
+    require(root != null && root.isObject, "tokenizer.json is not an object")
+    val model = if (root.has("model")) root.get("model") else root
+    val tpe = Option(model.get("type")).map(_.asText()).getOrElse("")
+    require(tpe == "Unigram",
+      s"tokenizer.json model type '$tpe' is not Unigram")
+    val vocabNode = model.get("vocab")
+    require(vocabNode != null && vocabNode.isArray,
+      "tokenizer.json Unigram model has no vocab array")
+    val pieces = Array.newBuilder[String]
+    val scores = Array.newBuilder[Double]
+    vocabNode.forEach { entry =>
+      require(entry.isArray && entry.size == 2 && entry.get(0).isTextual &&
+        entry.get(1).isNumber,
+        s"vocab entry is not [piece, score]: $entry")
+      pieces += entry.get(0).asText()
+      scores += entry.get(1).asDouble()
+    }
+    val ps = pieces.result()
+    require(ps.toSet.size == ps.length,
+      "tokenizer.json vocab has duplicate pieces")
+    val unkId = Option(model.get("unk_id")).map(_.asInt()).getOrElse(0)
+    Model(ps, scores.result(), unkId)
+  }
+
+  /** Load `tokenizer.json` from a directory (or the SparkFiles shipping
+    * fallback, as [[Bpe.load]]). */
+  def load(dir: String): Model = {
+    val f0 = new java.io.File(dir)
+    val f =
+      if (f0.isDirectory) f0
+      else new java.io.File(org.apache.spark.SparkFiles.get(f0.getName))
+    val tf = new java.io.File(f, "tokenizer.json")
+    if (!tf.isFile)
+      throw new java.io.FileNotFoundException(
+        s"unigram artifact not found under $dir (need tokenizer.json)")
+    parseTokenizerJson(java.nio.file.Files.readString(tf.toPath))
+  }
+
+  /** Write a tokenizer.json (fixture/gate artifacts): vocab array order =
+    * id order. */
+  def writeModel(dir: String, vocab: Seq[(String, Double)],
+                 unkId: Int = 0): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val model = root.putObject("model")
+    model.put("type", "Unigram")
+    model.put("unk_id", unkId)
+    val arr = model.putArray("vocab")
+    vocab.foreach { case (p, s) =>
+      val e = arr.addArray(); e.add(p); e.add(s)
+    }
+    java.nio.file.Files.write(new java.io.File(d, "tokenizer.json").toPath,
+      om.writeValueAsBytes(root))
+  }
+
+  // one load per dir per JVM — the Bpe.sharedModel lifecycle (and the
+  // same computeIfAbsent single-read guarantee under concurrent tasks)
+  private[embed] val loadCount = new java.util.concurrent.atomic.AtomicLong
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  def sharedModel(dir: String): Model =
+    shared.computeIfAbsent(dir, _ => { loadCount.incrementAndGet(); load(dir) })
+  def evictShared(dir: String): Boolean = shared.remove(dir) != null
+
+  // --------------------------------------------------------------- stage
+
+  /** Append real unigram token ids (`idsCol: array<int>`, optional)
+    * and/or the token count (`countCol: int`, optional) for `textCol` —
+    * the [[Bpe.tokenizeStage]] contract for the SentencePiece family. */
+  def tokenizeStage(df: DataFrame, textCol: String, modelDir: String,
+                    idsCol: String = null, countCol: String = null): DataFrame = {
+    require(idsCol != null || countCol != null,
+      "tokenizeStage needs idsCol and/or countCol")
+    var schema = df.schema
+    if (idsCol != null)
+      schema = schema.add(StructField(idsCol, ArrayType(IntegerType)))
+    if (countCol != null)
+      schema = schema.add(StructField(countCol, IntegerType))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val (wantIds, wantCount) = (idsCol != null, countCol != null)
+    df.mapPartitions { it =>
+      val m = sharedModel(modelDir)
+      it.map { r =>
+        val ids = m.encode(r.getString(textIdx))
+        var out = r.toSeq
+        if (wantIds) out = out :+ (ids.toSeq: Seq[Int])
+        if (wantCount) out = out :+ ids.length
+        Row.fromSeq(out)
+      }
+    }(Encoders.row(schema))
+  }
+}

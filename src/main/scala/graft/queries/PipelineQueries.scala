@@ -329,6 +329,30 @@ object PipelineQueries {
       },
       Some(decOracleSql(rope = true))),
 
+    // The ROPE DECODER through its NATURAL tokenizer (r17, VERDICT r16
+    // missing #2): a tokenizer.json beside the weights flips the provider
+    // to the SentencePiece UNIGRAM family — whitespace words get the ▁
+    // boundary mark and an exact Viterbi decode over the checkpoint's own
+    // vocab (the LLaMA/GPT-NeoX convention the RoPE family ships) — and
+    // the ids feed the same rotary causal forward. The oracle replays the
+    // Viterbi's closed form (the fixture vocab makes tokens-per-word a
+    // prefix CASE) and the full RoPE forward.
+    "q_embed_decoder_spm" -> QueryDef(
+      (s, d) => {
+        val dir = decoderSpmArtifact()
+        val docs = t(s, d, "documents")
+        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
+          .head().getInt(0)
+        require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+          s"q_embed_decoder_spm oracle assumes no pre-truncation; corpus " +
+            s"has a $maxBytes-byte document >= ${Dtf.MaxPos * 8}")
+        val emb = Embeddings.embedStage(docs, "text", "emb",
+          () => graft.embed.ModelRegistry.create(s"decoder:$dir"))
+        emb.select(col("doc_id") +:
+          (0 until Dtf.H).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
+      },
+      Some(decOracleSql(rope = true, tokCte = Some(spmTokCte)))),
+
     // FLAGSHIP v4 (r13): this round's operators composed in ONE
     // declarative pipeline — real BPE token accounting → real transformer
     // embeddings (WordPiece + [CLS]/[SEP]) → embedding-cosine near-dup
@@ -1385,8 +1409,34 @@ object PipelineQueries {
     * weights transpose into the Conv1D `[in, out]` storage convention the
     * real GPT-2 export uses, so the loader's transpose-back is exercised
     * for real. */
+  /** The SPM-gate unigram vocab — id = array position, designed for a
+    * CLOSED-FORM oracle replay: 0 = <unk>, 1 = "▁the" (-3), 2 = "▁of"
+    * (-3), 3 = "▁" (-10), 4+(c-32) = printable-ASCII single chars (-10).
+    * Viterbi therefore takes a multi-char piece exactly when the word
+    * starts with it (one piece at -3 always beats its single-char
+    * covering at -10 each), so tokens-per-word and the first token id
+    * are CASE expressions over the word prefix. */
+  private[queries] lazy val spmVocab: Seq[(String, Double)] =
+    Seq(("<unk>", 0.0), ("▁the", -3.0), ("▁of", -3.0),
+      ("▁", -10.0)) ++
+      (32 to 126).map(c => (c.toChar.toString, -10.0))
+
+  private[queries] def spmArtifact(): String = {
+    val dir = new java.io.File(graft.tables.Derived.root, "spm_unigram_v1")
+    if (!new java.io.File(dir, "tokenizer.json").isFile)
+      graft.embed.SentencePiece.writeModel(dir.toString, spmVocab)
+    dir.toString
+  }
+
   private def decoderArtifact(): String =
     decoderArtifactIn("model_dec4_v1", rope = false)
+
+  /** The RoPE decoder checkpoint WITH its natural SentencePiece unigram
+    * tokenizer beside the weights (r17) — wte widened to cover the
+    * char-level ids (same dyadic row formula, more rows). */
+  private def decoderSpmArtifact(): String =
+    decoderArtifactIn("model_dec4spm_v1", rope = true, vocabRows = 128,
+      spm = true)
 
   /** The ROTARY twin: same weights, no wpe table, positions enter as Q/K
     * rotations (config `position_embedding_type: rotary` — the
@@ -1394,9 +1444,13 @@ object PipelineQueries {
   private def decoderRopeArtifact(): String =
     decoderArtifactIn("model_dec4rope_v1", rope = true)
 
-  private def decoderArtifactIn(name: String, rope: Boolean): String = {
+  private def decoderArtifactIn(name: String, rope: Boolean,
+                                vocabRows: Int = Dtf.V,
+                                spm: Boolean = false): String = {
     import graft.embed.Safetensors
     val dir = new java.io.File(graft.tables.Derived.root, name)
+    if (spm && !new java.io.File(dir, "tokenizer.json").isFile)
+      graft.embed.SentencePiece.writeModel(dir.toString, spmVocab)
     val wf = new java.io.File(dir, "model.safetensors")
     if (!wf.isFile) {
       dir.mkdirs()
@@ -1408,7 +1462,10 @@ object PipelineQueries {
       def conv1d(name: String, linW: Array[Array[Float]]): Unit =
         t2(name, Array.tabulate(linW.head.length, linW.length)(
           (i, o) => linW(o)(i))) // [out][in] → stored [in][out]
-      t2("wte.weight", Dtf.wte)
+      // same dyadic row formula as Dtf.wte at any row count (an SPM
+      // checkpoint needs rows for the char-level ids)
+      t2("wte.weight", Array.tabulate(vocabRows, Dtf.H)(
+        (b, i) => (((b * 37 + i * 3) % 89) - 44) / 16.0f))
       if (!rope) t2("wpe.weight", Dtf.wpe)
       Dtf.blocks.zipWithIndex.foreach { case (bw, l) =>
         val p = s"h.$l"
@@ -1698,14 +1755,33 @@ object PipelineQueries {
   /** The decoder forward as oracle SQL: hash tokens → wte+wpe (closed
     * forms, NO embedding LayerNorm) → L pre-LN causal blocks → ln_f →
     * LAST-TOKEN pool → L2 normalize → float32. */
-  private def decOracleSql(rope: Boolean = false): String = {
-    val head =
-      raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
-        "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tk FROM dd), " +
+  /** SentencePiece-unigram token CTE (r17): the closed-form replay of
+    * the [[spmVocab]] Viterbi — per word, the id list is [1] + char ids
+    * past "the", [2] + char ids past "of", or [3] + all char ids (char c
+    * → 4 + codepoint - 32); global positions by (word, piece) order,
+    * truncated at the position budget exactly like the provider's
+    * take(cap). */
+  private def spmTokCte: String =
+    "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS i, unnest(w) AS tk FROM dd), " +
+      "tokl AS (SELECT doc_id, i, (CASE " +
+      "WHEN tk LIKE 'the%' THEN [1::BIGINT] || list_transform(range(3, len(tk)), j -> 4 + unicode(substr(tk, j + 1, 1))::BIGINT - 32) " +
+      "WHEN tk LIKE 'of%' THEN [2::BIGINT] || list_transform(range(2, len(tk)), j -> 4 + unicode(substr(tk, j + 1, 1))::BIGINT - 32) " +
+      "ELSE [3::BIGINT] || list_transform(range(len(tk)), j -> 4 + unicode(substr(tk, j + 1, 1))::BIGINT - 32) END) AS ids FROM tok0), " +
+      "tokf AS (SELECT doc_id, i, unnest(range(len(ids))) AS j, unnest(ids) AS b FROM tokl), " +
+      "tokp AS (SELECT doc_id, b, row_number() OVER (PARTITION BY doc_id ORDER BY i, j) - 1 AS pos FROM tokf), " +
+      s"tok AS (SELECT doc_id, pos, b FROM tokp WHERE pos < ${Dtf.MaxPos})"
+
+  private def decOracleSql(rope: Boolean = false,
+                           tokCte: Option[String] = None): String = {
+    val hashTokCte =
+      "tok0 AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tk FROM dd), " +
         "tok AS (SELECT doc_id, pos, list_reduce(list_prepend(0::BIGINT, " +
         "list_transform(string_split(tk,''), c -> unicode(c)::BIGINT)), " +
         s"(a, b) -> (a*31 + b) % 1000000007) % ${Dtf.V} AS b FROM tok0 " +
         s"WHERE pos < ${Dtf.MaxPos})"
+    val head =
+      raw"WITH dd AS (SELECT doc_id, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w FROM documents), " +
+        tokCte.getOrElse(hashTokCte)
     // rotary checkpoints have no wpe term — positions enter in attention
     val e = "dh0 AS (SELECT doc_id, pos, " +
       (0 until Dtf.H).map(i =>

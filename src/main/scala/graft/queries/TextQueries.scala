@@ -254,6 +254,32 @@ object TextQueries {
         "ascii(substr(d.text, 1, 1))::BIGINT AS t0 " +
         "FROM dd d LEFT JOIN cnt c ON d.doc_id = c.doc_id")),
 
+    // SENTENCEPIECE UNIGRAM tokenization (r17 — the third real tokenizer
+    // family beside GPT-2 BPE and WordPiece; Kudo 2018's exact Viterbi
+    // decode over the HF tokenizer.json artifact): whitespace words take
+    // the ▁ boundary mark, the DP picks the max-logprob piece cover. The
+    // fixture vocab's two multi-char pieces make the segmentation a
+    // closed form the oracle replays per word-prefix CASE.
+    "q_text_spm" -> QueryDef(
+      (s, d) => {
+        val dir = PipelineQueries.spmArtifact()
+        graft.embed.SentencePiece.tokenizeStage(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            "text", dir, idsCol = "ids", countCol = "n")
+          .select(col("doc_id"), col("n").cast("long").as("n_spm"),
+            element_at(col("ids"), 1).cast("long").as("t0"))
+      },
+      Some(raw"WITH dd AS (SELECT doc_id, text, list_filter(string_split_regex(trim(text),'\s+'), t -> t <> '') w " +
+        "FROM documents), " +
+        "wt AS (SELECT doc_id, unnest(w) AS t FROM dd), " +
+        "cnt AS (SELECT doc_id, sum(CASE WHEN t LIKE 'the%' THEN len(t) - 2 " +
+        "WHEN t LIKE 'of%' THEN len(t) - 1 ELSE len(t) + 1 END)::BIGINT AS n_spm " +
+        "FROM wt GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(c.n_spm, 0)::BIGINT AS n_spm, " +
+        "(CASE WHEN len(d.w) = 0 THEN NULL WHEN d.w[1] LIKE 'the%' THEN 1 " +
+        "WHEN d.w[1] LIKE 'of%' THEN 2 ELSE 3 END)::BIGINT AS t0 " +
+        "FROM dd d LEFT JOIN cnt c USING (doc_id)")),
+
     "q_text_pii" -> QueryDef(
       (s, d) => {
         val planted = concat(col("text"),

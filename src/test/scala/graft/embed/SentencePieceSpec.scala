@@ -1,0 +1,79 @@
+package graft.embed
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** SentencePiece unigram (r17): exact Viterbi decode, artifact
+  * round-trip, unk fallback, and the decoder-checkpoint tokenizer flip. */
+class SentencePieceSpec extends AnyFunSuite {
+
+  // ids: 0=<unk>, 1=▁the, 2=▁of, 3=▁, 4=a, 5=b, 6=t, 7=h, 8=e, 9=o, 10=f,
+  // 11=ab (a multi-char piece to exercise mid-word DP choices)
+  private val vocab: Seq[(String, Double)] = Seq(
+    "<unk>" -> 0.0, "▁the" -> -3.0, "▁of" -> -3.0, "▁" -> -10.0,
+    "a" -> -10.0, "b" -> -10.0, "t" -> -10.0, "h" -> -10.0, "e" -> -10.0,
+    "o" -> -10.0, "f" -> -10.0, "ab" -> -12.0)
+  private val m = SentencePiece.Model(
+    vocab.map(_._1).toArray, vocab.map(_._2).toArray, unkId = 0)
+
+  test("viterbi picks the max-logprob cover, not greedy/char fallback") {
+    // "▁the" (one -3 piece) beats ▁+t+h+e (-40)
+    assert(m.segment("▁the").toSeq === Seq(1))
+    // "▁thea": ▁the + a
+    assert(m.segment("▁thea").toSeq === Seq(1, 4))
+    // "▁ab": ▁(-10)+ab(-12)=-22 beats ▁+a+b=-30
+    assert(m.segment("▁ab").toSeq === Seq(3, 11))
+    // "▁of": the -3 piece
+    assert(m.segment("▁of").toSeq === Seq(2))
+  }
+
+  test("unknown characters become unk tokens and decoding completes") {
+    // 'z' has no piece: ▁ + unk + a
+    assert(m.segment("▁za").toSeq === Seq(3, 0, 4))
+    assert(m.encode("z").toSeq === Seq(3, 0))
+  }
+
+  test("encode marks every whitespace word; empty text yields no tokens") {
+    assert(m.encode("the of").toSeq === Seq(1, 2))
+    assert(m.encode("  the \n of ").toSeq === Seq(1, 2))
+    assert(m.encode("").isEmpty && m.encode(null).isEmpty)
+    assert(m.countTokens("the ab") === 1 + 2)
+  }
+
+  test("tokenizer.json round-trip preserves ids, scores, unk_id") {
+    val dir = Files.createTempDirectory("graft-spm").toString
+    SentencePiece.writeModel(dir, vocab, unkId = 0)
+    val loaded = SentencePiece.load(dir)
+    assert(loaded.pieces.toSeq === vocab.map(_._1))
+    assert(loaded.scores.toSeq === vocab.map(_._2))
+    assert(loaded.unkId === 0)
+    assert(loaded.encode("the ab").toSeq === m.encode("the ab").toSeq)
+  }
+
+  test("parse rejects non-unigram and malformed vocab entries") {
+    intercept[IllegalArgumentException](SentencePiece.parseTokenizerJson(
+      """{"model":{"type":"BPE","vocab":[]}}"""))
+    intercept[IllegalArgumentException](SentencePiece.parseTokenizerJson(
+      """{"model":{"type":"Unigram","vocab":[["a",-1],["a",-2]]}}"""))
+  }
+
+  test("a tokenizer.json beside decoder weights flips tokenization to unigram") {
+    import graft.SparkT
+    val spark = SparkT.spark
+    import spark.implicits._
+    // reuse the gate's checkpoint via the registry path: a small inline
+    // fixture — weights from DecoderSpec's layout would be heavy; instead
+    // assert the ids stage end-to-end through tokenizeStage
+    val dir = Files.createTempDirectory("graft-spm2").toString
+    SentencePiece.writeModel(dir, vocab, unkId = 0)
+    val df = Seq((1L, "the ab"), (2L, ""), (3L, "zzz")).toDF("id", "text")
+    val out = SentencePiece.tokenizeStage(df, "text", dir,
+        idsCol = "ids", countCol = "n")
+      .select($"id", $"ids", $"n").as[(Long, Seq[Int], Int)]
+      .collect().sortBy(_._1)
+    assert(out(0)._2 === Seq(1, 3, 11) && out(0)._3 === 3)
+    assert(out(1)._2 === Seq.empty && out(1)._3 === 0)
+    assert(out(2)._2 === Seq(3, 0, 0, 0) && out(2)._3 === 4)
+  }
+}
