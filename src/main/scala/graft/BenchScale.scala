@@ -122,7 +122,7 @@ object BenchScale {
     translate(c, from, to)
   }
 
-  private def replicate(df: DataFrame, factor: Int, keyCols: Seq[String],
+  private[graft] def replicate(df: DataFrame, factor: Int, keyCols: Seq[String],
                         textCols: Seq[String],
                         vecCols: Seq[String] = Nil): DataFrame =
     (0 until factor).map { i =>
@@ -536,11 +536,94 @@ object BenchScale {
       hw.put("mean_expanded_hier", math.round(expH50 * 10) / 10.0)
       hw.put("mean_scored_flat", math.round(scoredF50 * 10) / 10.0)
       hw.put("mean_scored_hier", math.round(scoredH50 * 10) / 10.0)
-      hw.put("hier_min_rows_default", 32768)
+      hw.put("hier_min_rows_default", 24576)
       hw.put("hier_beats_flat_ok", winOk)
       println(f"hier 50k telemetry: expanded flat $expF50%.1f vs hier " +
         f"$expH50%.1f; scored flat $scoredF50%.1f vs hier " +
         f"$scoredH50%.1f  win=$winOk")
+      // r17 (r16 VERDICT #4): the CROSSOVER, located. The 5k and 50k
+      // points bracket a 10x gap; these intermediate single-sub-graph
+      // sizes pin where the descent starts paying at ef=64 (scored
+      // distances, the walk's real cost). Measured: loses at 10k/20k,
+      // wins from 28k — hierMinRows' default (24576) is the bracket
+      // midpoint. The bracket pin rides perf_ok (counter-deterministic,
+      // but corpus-shape-dependent).
+      val cx = root.putObject("hier_crossover")
+      var loseAt20k = false
+      var winAt28k = false
+      Seq(5, 10, 14).foreach { f =>
+        val rows = f * 2000
+        val cIdx = s"$dst/hnswc_hier${rows / 1000}k"
+        val cDone = new org.apache.hadoop.fs.Path(
+          Hnsw.layersPath(cIdx), "_SUCCESS")
+        if (!fs.exists(cDone)) {
+          val corpus = replicate(
+            spark.read.parquet(s"$src/embeddings.parquet"), f,
+            Seq("vec_id"), Nil, Seq("embedding"))
+          Hnsw.buildIndexClustered(corpus, "embedding", "vec_id", cIdx,
+            Hnsw.Params(m = 8, efC = 64, partitions = 1))
+          Hnsw.buildHierarchy(spark, cIdx,
+            Hnsw.Params(m = 8, efC = 64, partitions = 1))
+        }
+        val (expF, szF, scF) = meanExpanded(cIdx)
+        val perHx = qs.flatMap(q =>
+          Hnsw.walkStatsHier(spark, cIdx, q.toArray, k = 10, ef = 64))
+        val expH = perHx.map(_._3).sum.toDouble / perHx.length
+        val scH = perHx.map(_._4).sum.toDouble / perHx.length
+        if (rows == 20000) loseAt20k = scH > scF
+        if (rows == 28000) winAt28k = scH < scF && expH < expF
+        val cn = cx.putObject(s"rows_$rows")
+        cn.put("subgraph_rows", math.round(szF * 10) / 10.0)
+        cn.put("mean_scored_flat", math.round(scF * 10) / 10.0)
+        cn.put("mean_scored_hier", math.round(scH * 10) / 10.0)
+        cn.put("mean_expanded_flat", math.round(expF * 10) / 10.0)
+        cn.put("mean_expanded_hier", math.round(expH * 10) / 10.0)
+        println(f"hier crossover @$rows rows: scored flat $scF%.1f vs " +
+          f"hier $scH%.1f, expanded $expF%.1f vs $expH%.1f")
+      }
+      val bracketOk = loseAt20k && winAt28k
+      perfOk &&= bracketOk
+      cx.put("hier_min_rows_default", 24576)
+      cx.put("default_in_bracket", 20000 < 24576 && 24576 < 28000)
+      cx.put("crossover_bracket_ok", bracketOk)
+      println(s"hier crossover: lose@20k=$loseAt20k win@28k=$winAt28k " +
+        s"(default 24576 in (20k, 28k))")
+      // r17 (r16 VERDICT #7): the QUANTIZED hierarchy's economics at the
+      // scale-realistic sub-graph size — the code-space descent pays int8
+      // distances where the flat pin pays float ones, so its win is
+      // measured on its own index (same 50k corpus, CodeSpace walk).
+      val qhIdx = s"$dst/hnswq_hier50k"
+      val qhDone = new org.apache.hadoop.fs.Path(
+        Hnsw.layersPath(qhIdx), "_SUCCESS")
+      if (!fs.exists(qhDone)) {
+        val corpus50k = replicate(
+          spark.read.parquet(s"$src/embeddings.parquet"), 25,
+          Seq("vec_id"), Nil, Seq("embedding"))
+        Hnsw.buildIndexClusteredQuantized(corpus50k, "embedding", "vec_id",
+          qhIdx, Hnsw.Params(m = 8, efC = 64, partitions = 1))
+        Hnsw.buildHierarchyQuantized(spark, qhIdx,
+          Hnsw.Params(m = 8, efC = 64, partitions = 1))
+      }
+      def meanQ(hier: Boolean): (Double, Double) = {
+        val per = qs.flatMap(q => Hnsw.walkStatsQuantized(spark, qhIdx,
+          q.toArray, k = 10, ef = 64, hier = hier))
+        (per.map(_._3).sum.toDouble / per.length,
+          per.map(_._4).sum.toDouble / per.length)
+      }
+      val (expQF, scQF) = meanQ(hier = false)
+      val (expQH, scQH) = meanQ(hier = true)
+      val qWinOk = expQH < expQF && scQH < scQF
+      perfOk &&= qWinOk
+      val qh = root.putObject("quant_hier_win_telemetry")
+      qh.put("ef", 64)
+      qh.put("subgraph_rows", 50000)
+      qh.put("mean_expanded_flat", math.round(expQF * 10) / 10.0)
+      qh.put("mean_expanded_hier", math.round(expQH * 10) / 10.0)
+      qh.put("mean_scored_flat", math.round(scQF * 10) / 10.0)
+      qh.put("mean_scored_hier", math.round(scQH * 10) / 10.0)
+      qh.put("quant_hier_beats_flat_ok", qWinOk)
+      println(f"quant hier 50k: expanded flat $expQF%.1f vs hier $expQH%.1f; " +
+        f"scored flat $scQF%.1f vs hier $scQH%.1f  win=$qWinOk")
     }
     // r16 (r15 VERDICT #1): the OVER-BUDGET batch-join arm at 10× — the
     // whole 20k-row embedding table as the query batch against the
@@ -587,6 +670,90 @@ object BenchScale {
       bj.put("distributed_arm_ok", bjOk)
       println(f"batch-join budget: broadcast $secBroadcast%.2fs vs " +
         f"distributed $secDistributed%.2fs (ratio $ratio%.2f) ok=$bjOk")
+    }
+    // r17 (r16 VERDICT #1 done-criterion): the IVF-ADC batch join's
+    // over-budget arm at 10x — the whole 20k-row table as the query
+    // batch, budget forced below it so the list-shuffled distributed
+    // screen serves the join (never collects). nprobe < nlist keeps the
+    // probe-pruned economy under contrast.
+    locally {
+      import graft.vector.Ivf
+      val embPath = s"$dst/embeddings.parquet"
+      val emb = spark.read.parquet(embPath)
+      val idxPath = s"$dst/ivfpq_budget"
+      val m = Ivf.train(emb, "embedding", nlist = 32)
+      val done = new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pq =
+        if (!fs.exists(done))
+          Ivf.buildIndexPq(emb, "embedding", "vec_id", m, idxPath)
+        else {
+          val assigned = Ivf.assign(emb, "embedding", m)
+            .withColumn("ivf_res",
+              Ivf.residualCol(col("embedding"), col("ivf_cluster"), m))
+          graft.vector.Quantize.trainPq(assigned, "ivf_res", "vec_id")
+        }
+      val queries = emb.selectExpr("vec_id as qid", "embedding as qvec")
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        materialize(Ivf.knnJoinPq(spark, idxPath, m, pq, queries,
+          "qid", "qvec", "cid", "vec_id", "embedding",
+          k = 5, nprobe = 4, refine = 32))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val secBroadcast = { run(); run() }
+      spark.conf.set("spark.graft.knnJoin.maxQueryBatch", "2048")
+      val before = graft.vector.Knn.overBudgetJoins.get()
+      val beforeD = graft.vector.Knn.distributedScreens.get()
+      val secDistributed =
+        try { run(); run() }
+        finally spark.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+      val engaged = graft.vector.Knn.overBudgetJoins.get() > before &&
+        graft.vector.Knn.distributedScreens.get() > beforeD
+      val ratio = secDistributed / math.max(secBroadcast, 1e-9)
+      allOk &&= engaged
+      val bjOk = engaged && ratio <= 3.0
+      perfOk &&= bjOk
+      val bj = root.putObject("adc_batch_join_budget")
+      bj.put("query_rows", 20000)
+      bj.put("budget", 2048)
+      bj.put("nprobe", 4)
+      bj.put("sec_broadcast_arm", math.round(secBroadcast * 100) / 100.0)
+      bj.put("sec_distributed_arm", math.round(secDistributed * 100) / 100.0)
+      bj.put("ratio", math.round(ratio * 100) / 100.0)
+      bj.put("distributed_screen_engaged", engaged)
+      bj.put("distributed_arm_ok", bjOk)
+      println(f"ADC batch-join budget: broadcast $secBroadcast%.2fs vs " +
+        f"distributed $secDistributed%.2fs (ratio $ratio%.2f) ok=$bjOk")
+    }
+    // r17 (r16 VERDICT #6): a SECOND scaling decade for the two most
+    // composite flagships — 25x backs the 100 TB extrapolation with a
+    // point beyond the 10x everything else rides (same linear bound,
+    // factor-adjusted).
+    locally {
+      val factor25 = 25
+      val dst25 = s"${dst}_25x"
+      buildScaled(spark, src, dst25, factor25)
+      val fl = root.putObject("flagship_deep_scale")
+      fl.put("factor", factor25)
+      var deepOk = true
+      Seq("q_pipeline_v6", "q_pipeline_v7").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val small = median3(fn, src)
+        val large = median3(fn, dst25)
+        val ratio = if (small > 0) large / small else -1.0
+        val ok = large <= small * factor25 * 1.5 + 1.0
+        deepOk &&= ok
+        val n = fl.putObject(name)
+        n.put("small_sec", math.round(small * 1e4) / 1e4)
+        n.put("large_sec", math.round(large * 1e4) / 1e4)
+        n.put("ratio", math.round(ratio * 100) / 100.0)
+        n.put("linear_ok", ok)
+        println(f"$name%-16s 25x: $small%8.3fs -> $large%8.3fs  " +
+          f"ratio $ratio%6.2f  ok=$ok")
+      }
+      allOk &&= deepOk
+      fl.put("deep_scale_ok", deepOk)
     }
     root.put("loadavg_end", loadavg())
     root.put("all_linear_ok", allOk)

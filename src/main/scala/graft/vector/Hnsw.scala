@@ -950,6 +950,41 @@ object Hnsw {
       Iterator.single((pid, g.n, c(0), c(1)))
     }
 
+  /** [[walkStats]]/[[walkStatsHier]] for a CODE-space index (r17,
+    * VERDICT r16 #7 — the quantized descent pays ADC/int8 distance costs,
+    * not float ones, so its crossover economics are measured separately):
+    * per-sub-graph (pid, size, nodesExpanded, distancesScored) of the
+    * quantized beam, both counters including the descent's hops/scores
+    * when `hier`. */
+  def walkStatsQuantized(spark: SparkSession, indexPath: String,
+                         query: Array[Float], k: Int, ef: Int,
+                         hier: Boolean = false)
+      : Array[(Int, Int, Long, Long)] = {
+    val (metric, _) = routes(spark, indexPath)
+    val qm = qmodel(spark, indexPath)
+    val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
+    val graph = loadQuantizedGraph(spark, indexPath)
+    val qB = spark.sparkContext.broadcast((qm, bq))
+    val efEff = math.max(ef, k)
+    val one = (rows: Array[(Int, QGraphRow)], lt: Iterator[(Int, LayerRow)]) =>
+      if (rows.isEmpty) Iterator.empty[(Int, Int, Long, Long)]
+      else {
+        val (mm, q) = qB.value
+        val pid = rows.head._1
+        val g = rehydrate(rows.map(_._2), new CodeSpace(mm))
+        val c = new Array[Long](2)
+        val entry =
+          if (lt == null) 0 else descend(g, hydratedLayers(g, lt), q, c)
+        g.searchBeam(q, efEff, g.n, counters = c, entry = entry)
+        Iterator.single((pid, g.n, c(0), c(1)))
+      }
+    if (hier) {
+      val layers = loadLayers(spark, indexPath, graph.getNumPartitions)
+      graph.zipPartitions(layers, preservesPartitioning = true)(
+        (git, lit) => one(git.toArray, lit)).collect()
+    } else graph.mapPartitions(it => one(it.toArray, null)).collect()
+  }
+
   // ==================== Layer hierarchy =====================
   //
   // The reference's index is a true multi-layer HNSW (hnswlib via
@@ -1206,21 +1241,22 @@ object Hnsw {
 
   /** Sub-graph size below which a hierarchy walk SKIPS its descent and
     * starts the beam at the flat entry (r15 VERDICT #2 — the recorded
-    * engagement threshold): measured at ef=64/k=10 on the jitter-tiled
-    * corpus, the descent's own scored distances exceed its entry savings
-    * up through ~20k rows/sub-graph (6k: 524→550 scored; 20k: 483→508)
-    * and win at 50k (421→407 scored, 91→84 expanded — BENCH_SF1
-    * hier_telemetry carries both sizes). The gate is PER SUB-GRAPH — a
-    * mixed index descends only the sub-graphs big enough to pay — and
-    * results are unaffected (entry choice cannot change an exhaustive
-    * full-ef walk; small-ef walks keep the same beam-recall contract
-    * either way). Conf `spark.graft.graph.hierMinRows`; 0 forces the
-    * descent everywhere (gates/specs pinning the descent itself).
-    * Telemetry ([[walkStatsHier]]) always descends — it measures the
-    * descent. */
+    * engagement threshold): the r17 crossover sweep at ef=64/k=10 on the
+    * jitter-tiled corpus (BENCH_SF1 hier_crossover; 20 queries/point)
+    * measures scored-distances flat→hier of 500→550 at 10k rows,
+    * 483→508 at 20k (descent loses), 446→441 at 28k, 420→410 at 36k,
+    * 421→407 at 50k (descent wins, on expanded nodes too) — the
+    * crossover sits in (20k, 28k), so the default is its midpoint 24576.
+    * The gate is PER SUB-GRAPH — a mixed index descends only the
+    * sub-graphs big enough to pay — and results are unaffected (entry
+    * choice cannot change an exhaustive full-ef walk; small-ef walks
+    * keep the same beam-recall contract either way). Conf
+    * `spark.graft.graph.hierMinRows`; 0 forces the descent everywhere
+    * (gates/specs pinning the descent itself). Telemetry
+    * ([[walkStatsHier]]) always descends — it measures the descent. */
   def hierMinRows(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.graph.hierMinRows")
-      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(32768)
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(24576)
 
   /** [[rehydrateLayers]] against a sub-graph's own id index, with the one
     * stale-sidecar failure message — the shared layer loader of every

@@ -785,7 +785,8 @@ class HnswSpec extends AnyFunSuite {
     Hnsw.buildHierarchy(SparkT.spark, d, p)
     val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10)
       .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
-    // default threshold (32768) >> fixture sub-graphs: the hier API walks
+    // default threshold (24576, the measured r17 crossover midpoint) >>
+    // fixture sub-graphs: the hier API walks
     // flat entries — NO descent — and stays exact
     val d0 = Hnsw.descents.get()
     val (skip, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
