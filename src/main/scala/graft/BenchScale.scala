@@ -729,7 +729,10 @@ object BenchScale {
     // r17 (r16 VERDICT #6): a SECOND scaling decade for the two most
     // composite flagships — 25x backs the 100 TB extrapolation with a
     // point beyond the 10x everything else rides (same linear bound,
-    // factor-adjusted).
+    // factor-adjusted). v7's row measures the screen at SERVING beam
+    // width (ef=64): the gate's full-ef screen is an exact NN join whose
+    // |batch|·|corpus| work is quadratic BY DEFINITION — exactness
+    // semantics, not an engine shape (PipelineQueries.v7ScreenServing).
     locally {
       val factor25 = 25
       val dst25 = s"${dst}_25x"
@@ -737,8 +740,10 @@ object BenchScale {
       val fl = root.putObject("flagship_deep_scale")
       fl.put("factor", factor25)
       var deepOk = true
-      Seq("q_pipeline_v6", "q_pipeline_v7").foreach { name =>
-        val fn = SparkEntry.queries(name)
+      Seq[(String, (SparkSession, String) => DataFrame)](
+        ("q_pipeline_v6", SparkEntry.queries("q_pipeline_v6")),
+        ("v7_screen_ef64", graft.queries.PipelineQueries.v7ScreenServing))
+        .foreach { case (name, fn) =>
         val small = median3(fn, src)
         val large = median3(fn, dst25)
         val ratio = if (small > 0) large / small else -1.0

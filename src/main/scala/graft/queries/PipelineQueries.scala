@@ -1925,4 +1925,36 @@ object PipelineQueries {
       }
       path
     })
+
+  /** BENCH-ONLY (BenchScale's deep-scale row): the v7 SEMANTIC SCREEN at
+    * SERVING beam width. The GATE runs the screen at full ef so DuckDB
+    * can oracle it — but a full-ef beam is an exhaustive walk, i.e. an
+    * exact NN join, whose work is |batch|·|corpus| BY DEFINITION
+    * (quadratic in the scale factor — a property of exactness, not of
+    * the engine). The 100 TB deployment runs the screen at a real beam
+    * width, so the scale row measures the SAME stages (memoized
+    * embeddings → hierarchical routed batch join → threshold →
+    * accounting) at ef = 64 — the width every other BENCH_SF1 ANN
+    * economics row uses. */
+  def v7ScreenServing(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
+    val sem = graft.tables.Derived.table(s, d, "documents_sem")
+    val batch = sem.filter(col("doc_id") % 10 === 7)
+    val idx = v7Index(s, d)
+    val nn = graft.vector.Hnsw.knnJoinRouted(s, idx,
+      batch.select(col("doc_id"), col("emb")), "doc_id", "emb",
+      "nn_id", k = 1, ef = 64, hier = true)
+    batch.join(nn.select(col("doc_id"), col("dist")), Seq("doc_id"))
+      .withColumn("keep", col("dist") >= 3.5)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("dropped"),
+        sum(when(col("keep"),
+            graft.pipeline.TextFunctions.tokenCount(col("text"))
+              .cast("long"))
+          .otherwise(0L)).as("tokens_kept"),
+        sum(round(col("dist") * col("dist")).cast("long"))
+          .as("nn_sq_sum"))
+  }
 }

@@ -818,6 +818,36 @@ object VectorQueries {
         "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
         "FROM r WHERE rn <= 3")),
 
+    // BATCH knn join over the COSINE IVF-ADC index (r17): the same
+    // list-shuffled probe-pruned join, assignment/screen in the
+    // normalized space, exact cosine rescore on raw floats. nprobe =
+    // nlist + refine margin ⇒ exact against the windowed cosine
+    // cross-join oracle (NaN-safe per-pair cosine, the engine's
+    // defined-zero convention).
+    "q_knn_join_ivf_pq_cos" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqCosIndex(s, d)
+        Ivf.knnJoinPq(s, path, m, pq,
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", "vec_id", "embedding",
+          k = 3, nprobe = m.nlist, refine = 160, metric = Knn.Cosine)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] cv " +
+        "FROM embeddings), " +
+        "s AS (SELECT query_id, corpus_id, " +
+        "1.0 - (CASE WHEN isnan(list_cosine_similarity(qv, cv)) THEN 0.0 " +
+        "ELSE list_cosine_similarity(qv, cv) END) AS dist " +
+        "FROM q CROSS JOIN c), " +
+        "r AS (SELECT query_id, corpus_id, dist, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY dist, corpus_id) AS rn FROM s) " +
+        "SELECT query_id, corpus_id, round(dist, 6) + 0.0 AS dist, rn " +
+        "FROM r WHERE rn <= 3")),
+
     // I9 for the composite IVF-ADC layout (r16): appendToIndexPq encodes
     // a new batch with the EXISTING coarse model and codebooks (the RT
     // flow — neither retrains mid-stream) and appends clustered files;

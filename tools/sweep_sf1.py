@@ -66,6 +66,11 @@ SLICE = {
     "q_embed_decoder_rope": (
         ("FROM documents)", "FROM documents WHERE doc_id % 17 = 0)"),
         "doc_id % 17 = 0"),
+    # r17: the unigram-tokenized decoder — same per-doc-independent causal
+    # forward, ~128 char-level tokens/doc makes the full replay heavier
+    "q_embed_decoder_spm": (
+        ("FROM documents)", "FROM documents WHERE doc_id % 17 = 0)"),
+        "doc_id % 17 = 0"),
     "q_dedup_embed": (
         ("FROM embeddings)", "FROM embeddings WHERE vec_id % 20 = 0)"),
         "a % 20 = 0 AND b % 20 = 0"),
