@@ -507,8 +507,8 @@ object BenchScale {
       // (factor-25 jitter-tiled corpus, one partition) is where the
       // descent's entry savings overtake its own scoring cost — pinned
       // STRICTLY below flat on both counters. Below the crossover the
-      // serving walks auto-skip the descent (Hnsw.hierMinRows, default
-      // 32768 — spec-pinned in HnswSpec), so hier registrations never
+      // serving walks auto-skip the descent (Hnsw.DefaultHierMinRows,
+      // spec-pinned in HnswSpec), so hier registrations never
       // pay the small-sub-graph overhead this block's 5k numbers record.
       val hugeIdx = s"$dst/hnswc_hier50k"
       val hugeDone = new org.apache.hadoop.fs.Path(
@@ -536,7 +536,7 @@ object BenchScale {
       hw.put("mean_expanded_hier", math.round(expH50 * 10) / 10.0)
       hw.put("mean_scored_flat", math.round(scoredF50 * 10) / 10.0)
       hw.put("mean_scored_hier", math.round(scoredH50 * 10) / 10.0)
-      hw.put("hier_min_rows_default", 24576)
+      hw.put("hier_min_rows_default", Hnsw.DefaultHierMinRows)
       hw.put("hier_beats_flat_ok", winOk)
       println(f"hier 50k telemetry: expanded flat $expF50%.1f vs hier " +
         f"$expH50%.1f; scored flat $scoredF50%.1f vs hier " +
@@ -583,11 +583,12 @@ object BenchScale {
       }
       val bracketOk = loseAt20k && winAt28k
       perfOk &&= bracketOk
-      cx.put("hier_min_rows_default", 24576)
-      cx.put("default_in_bracket", 20000 < 24576 && 24576 < 28000)
+      cx.put("hier_min_rows_default", Hnsw.DefaultHierMinRows)
+      cx.put("default_in_bracket",
+        20000 < Hnsw.DefaultHierMinRows && Hnsw.DefaultHierMinRows < 28000)
       cx.put("crossover_bracket_ok", bracketOk)
       println(s"hier crossover: lose@20k=$loseAt20k win@28k=$winAt28k " +
-        s"(default 24576 in (20k, 28k))")
+        s"(default ${Hnsw.DefaultHierMinRows} in (20k, 28k))")
       // r17 (r16 VERDICT #7): the QUANTIZED hierarchy's economics at the
       // scale-realistic sub-graph size — the code-space descent pays int8
       // distances where the flat pin pays float ones, so its win is

@@ -391,10 +391,16 @@ object Decoder {
       val m = load(path, poolOverride = pool)
       val dir = Transformer.resolveLayout(path)._2
       val tj = new java.io.File(dir, "tokenizer.json")
+      // a NON-Unigram tokenizer.json (BPE-type is common beside GPT-2
+      // checkpoints) is not an error — the checkpoint falls back to its
+      // vocab.txt / hash tokenization (review r17-1)
       val spm =
-        if (tj.isFile) Some(SentencePiece.parseTokenizerJson(
-          java.nio.file.Files.readString(tj.toPath)))
-        else None
+        if (tj.isFile) {
+          val json = java.nio.file.Files.readString(tj.toPath)
+          if (SentencePiece.isUnigramJson(json))
+            Some(SentencePiece.parseTokenizerJson(json))
+          else None
+        } else None
       spm.foreach(sp => require(m.vocabRows > sp.maxId,
         s"checkpoint $path has ${m.vocabRows} embedding rows but unigram " +
           s"ids reach ${sp.maxId}"))

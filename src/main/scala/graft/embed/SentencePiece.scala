@@ -123,6 +123,21 @@ object SentencePiece {
 
   // ------------------------------------------------------------ artifacts
 
+  /** Whether a tokenizer.json carries a Unigram model — [[graft.embed.Decoder]]
+    * consults this before parsing, so a checkpoint shipping a DIFFERENT
+    * tokenizer family's tokenizer.json (BPE-type is common) falls back to
+    * its vocab.txt/hash tokenization instead of failing to load. */
+  def isUnigramJson(json: String): Boolean =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(json)
+      if (root == null || !root.isObject) false
+      else {
+        val model = if (root.has("model")) root.get("model") else root
+        Option(model.get("type")).exists(_.asText() == "Unigram")
+      }
+    } catch { case _: Exception => false }
+
   /** Parse the HF `tokenizer.json` Unigram layout: the model node is
     * either the root's `model` field or the root itself (a bare model
     * dump); `vocab` is the [[piece, score]] array whose POSITIONS are the

@@ -339,6 +339,7 @@ object AnnRouting {
       "the IVF-ADC coarse model binds the L2 screen space")
     require(nprobe >= 1 && nprobe <= model.nlist,
       s"nprobe $nprobe out of [1, ${model.nlist}]")
+    Ivf.checkPqMetric(spark, indexPath, metric)
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
     val rows = graft.stats.Stats.rowCount(basePath,

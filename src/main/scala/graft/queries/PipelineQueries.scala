@@ -341,11 +341,23 @@ object PipelineQueries {
       (s, d) => {
         val dir = decoderSpmArtifact()
         val docs = t(s, d, "documents")
-        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
-          .head().getInt(0)
-        require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+        val stats0 = docs.select(
+          max(octet_length(col("text").cast("binary"))),
+          max(array_max(transform(split(col("text"), ""), c => ascii(c)))),
+          min(array_min(transform(split(col("text"), ""), c => ascii(c)))))
+          .head()
+        require(stats0.getInt(0) < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
           s"q_embed_decoder_spm oracle assumes no pre-truncation; corpus " +
-            s"has a $maxBytes-byte document >= ${Dtf.MaxPos * 8}")
+            s"has a ${stats0.getInt(0)}-byte document >= ${Dtf.MaxPos * 8}")
+        // the oracle replays char ids via codepoints; a char outside the
+        // fixture vocab maps to unk on the engine side (review r17-3 —
+        // assert the assumption loudly, like the truncation pin).
+        // Deliberately over-strict (whitespace other than ' ' would
+        // actually tokenize identically): a failure asks to extend the
+        // oracle instead of surfacing as a hash mismatch.
+        require(stats0.getInt(1) <= 126 && stats0.getInt(2) >= 32,
+          s"q_embed_decoder_spm oracle assumes printable-ASCII text; " +
+            s"corpus codepoints span [${stats0.getInt(2)}, ${stats0.getInt(1)}]")
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"decoder:$dir"))
         emb.select(col("doc_id") +:
@@ -511,26 +523,7 @@ object PipelineQueries {
     // an integer — hash-safe). The oracle replays embed → exact 1-NN →
     // threshold → accounting entirely in SQL.
     "q_pipeline_v7" -> QueryDef(
-      (s, d) => {
-        val sem = graft.tables.Derived.table(s, d, "documents_sem")
-        val batch = sem.filter(col("doc_id") % 10 === 7)
-        val idx = v7Index(s, d)
-        val nn = graft.vector.Hnsw.knnJoinRouted(s, idx,
-          batch.select(col("doc_id"), col("emb")), "doc_id", "emb",
-          "nn_id", k = 1, ef = 1 << 20, hier = true)
-        batch.join(nn.select(col("doc_id"), col("dist")), Seq("doc_id"))
-          .withColumn("keep", col("dist") >= 3.5)
-          .groupBy(col("source"))
-          .agg(
-            sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
-            sum(when(col("keep"), 0L).otherwise(1L)).as("dropped"),
-            sum(when(col("keep"),
-                graft.pipeline.TextFunctions.tokenCount(col("text"))
-                  .cast("long"))
-              .otherwise(0L)).as("tokens_kept"),
-            sum(round(col("dist") * col("dist")).cast("long"))
-              .as("nn_sq_sum"))
-      },
+      (s, d) => v7Screen(s, d, ef = 1 << 20),
       Some(semEmbCte(16) +
         ", nn AS (SELECT b.doc_id, min(list_distance(b.e, c.e)) AS nnd " +
         "FROM emb b, emb c WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 " +
@@ -1926,24 +1919,18 @@ object PipelineQueries {
       path
     })
 
-  /** BENCH-ONLY (BenchScale's deep-scale row): the v7 SEMANTIC SCREEN at
-    * SERVING beam width. The GATE runs the screen at full ef so DuckDB
-    * can oracle it — but a full-ef beam is an exhaustive walk, i.e. an
-    * exact NN join, whose work is |batch|·|corpus| BY DEFINITION
-    * (quadratic in the scale factor — a property of exactness, not of
-    * the engine). The 100 TB deployment runs the screen at a real beam
-    * width, so the scale row measures the SAME stages (memoized
-    * embeddings → hierarchical routed batch join → threshold →
-    * accounting) at ef = 64 — the width every other BENCH_SF1 ANN
-    * economics row uses. */
-  def v7ScreenServing(s: org.apache.spark.sql.SparkSession,
-                      d: String): org.apache.spark.sql.DataFrame = {
+  /** The v7 semantic screen at a given beam width — ONE body behind the
+    * gate (full ef, DuckDB-oracle-exact) and the BenchScale deep-scale
+    * row (serving ef), so the two can never silently diverge (review
+    * r17-5). */
+  private def v7Screen(s: org.apache.spark.sql.SparkSession, d: String,
+                       ef: Int): org.apache.spark.sql.DataFrame = {
     val sem = graft.tables.Derived.table(s, d, "documents_sem")
     val batch = sem.filter(col("doc_id") % 10 === 7)
     val idx = v7Index(s, d)
     val nn = graft.vector.Hnsw.knnJoinRouted(s, idx,
       batch.select(col("doc_id"), col("emb")), "doc_id", "emb",
-      "nn_id", k = 1, ef = 64, hier = true)
+      "nn_id", k = 1, ef = ef, hier = true)
     batch.join(nn.select(col("doc_id"), col("dist")), Seq("doc_id"))
       .withColumn("keep", col("dist") >= 3.5)
       .groupBy(col("source"))
@@ -1957,4 +1944,18 @@ object PipelineQueries {
         sum(round(col("dist") * col("dist")).cast("long"))
           .as("nn_sq_sum"))
   }
+
+  /** BENCH-ONLY (BenchScale's deep-scale row): the v7 SEMANTIC SCREEN at
+    * SERVING beam width. The GATE runs the screen at full ef so DuckDB
+    * can oracle it — but a full-ef beam is an exhaustive walk, i.e. an
+    * exact NN join, whose work is |batch|·|corpus| BY DEFINITION
+    * (quadratic in the scale factor — a property of exactness, not of
+    * the engine). The 100 TB deployment runs the screen at a real beam
+    * width, so the scale row measures the SAME stages (memoized
+    * embeddings → hierarchical routed batch join → threshold →
+    * accounting) at ef = 64 — the width every other BENCH_SF1 ANN
+    * economics row uses. */
+  def v7ScreenServing(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame =
+    v7Screen(s, d, ef = 64)
 }

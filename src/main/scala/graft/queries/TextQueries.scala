@@ -263,6 +263,17 @@ object TextQueries {
     "q_text_spm" -> QueryDef(
       (s, d) => {
         val dir = PipelineQueries.spmArtifact()
+        // the oracle's per-word CASE replays char-level ids via
+        // codepoints (and DuckDB len() counts codepoints where the
+        // engine's Viterbi walks UTF-16 units) — pin the printable-ASCII
+        // assumption loudly (review r17-3), like the decoder-spm gate
+        val cp = t(s, d, "documents").select(
+          max(array_max(transform(split(col("text"), ""), c => ascii(c)))),
+          min(array_min(transform(split(col("text"), ""), c => ascii(c)))))
+          .head()
+        require(cp.getInt(0) <= 126 && cp.getInt(1) >= 32,
+          s"q_text_spm oracle assumes printable-ASCII text; corpus " +
+            s"codepoints span [${cp.getInt(1)}, ${cp.getInt(0)}]")
         graft.embed.SentencePiece.tokenizeStage(
             t(s, d, "documents").select(col("doc_id"), col("text")),
             "text", dir, idsCol = "ids", countCol = "n")

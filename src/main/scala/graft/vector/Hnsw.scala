@@ -1254,9 +1254,11 @@ object Hnsw {
     * `spark.graft.graph.hierMinRows`; 0 forces the descent everywhere
     * (gates/specs pinning the descent itself). Telemetry
     * ([[walkStatsHier]]) always descends — it measures the descent. */
+  val DefaultHierMinRows: Int = 24576
+
   def hierMinRows(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.graph.hierMinRows")
-      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(24576)
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(DefaultHierMinRows)
 
   /** [[rehydrateLayers]] against a sub-graph's own id index, with the one
     * stale-sidecar failure message — the shared layer loader of every

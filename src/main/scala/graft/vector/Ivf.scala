@@ -295,6 +295,7 @@ object Ivf {
       .drop("ivf_res", BoundCol)
     graft.tables.Writer.write(coded, path,
       sortBy = Seq("ivf_cluster"), files = files)
+    writePqMetric(df.sparkSession, path, metric)
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     pq
   }
@@ -312,6 +313,51 @@ object Ivf {
 
   private val BoundCol = "__ivf_bvec"
 
+  // The SERVING metric is part of the IVF-ADC index's on-disk identity
+  // (codes live in raw space for L2, normalized space for cosine): the
+  // builder records it in a marker object inside the index dir
+  // (underscore-prefixed — Parquet readers ignore it), and every
+  // consumer CHECKS its metric argument against the marker (review
+  // r17-2: an L2-default append onto a cosine-built index would
+  // otherwise encode raw-space codes against normalized-space centroids
+  // and silently return wrong neighbors). Pre-marker indexes (none in
+  // the wild — the marker ships with the cosine support) pass unchecked.
+  private val PqMetricMarker = "_GRAFT_IVFPQ_METRIC"
+
+  private def metricName(m: Knn.Metric): String = m match {
+    case Knn.L2 => "L2"
+    case Knn.IP => "IP"
+    case Knn.Cosine => "Cosine"
+  }
+
+  private def writePqMetric(spark: SparkSession, dir: String,
+                            metric: Knn.Metric): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, PqMetricMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((metricName(metric) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def checkPqMetric(spark: SparkSession, indexPath: String,
+                            metric: Knn.Metric): Unit = {
+    val p = new org.apache.hadoop.fs.Path(resolve(spark, indexPath),
+      PqMetricMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      require(stored == metricName(metric),
+        s"IVF-ADC index $indexPath was built for metric $stored; " +
+          s"serving/appending it as ${metricName(metric)} would screen " +
+          "in the wrong space — pass the build metric")
+    }
+  }
+
   /** (table with the bound-space column, its name): `vecCol` itself for
     * L2, a transient normalized companion for cosine. */
   private def boundSide(df: DataFrame, vecCol: String, metric: Knn.Metric)
@@ -328,6 +374,7 @@ object Ivf {
                       files: Int = 1,
                       metric: Knn.Metric = Knn.L2): Unit = {
     requirePqMetric(m, metric)
+    checkPqMetric(df.sparkSession, path, metric)
     val (bound, bcol) = boundSide(df, vecCol, metric)
     val assigned = assign(bound, bcol, m)
       .withColumn("ivf_res", residualCol(col(bcol), col("ivf_cluster"), m))
@@ -349,6 +396,7 @@ object Ivf {
                refine: Int = 32,
                metric: Knn.Metric = Knn.L2): DataFrame = {
     requirePqMetric(m, metric)
+    checkPqMetric(spark, indexPath, metric)
     val table = spark.read.parquet(resolve(spark, indexPath))
     val coarse = coarseIdsPq(table, m, pq, idCol, query, nprobe, k * refine,
       metric)
@@ -482,6 +530,7 @@ object Ivf {
                 k: Int, nprobe: Int, refine: Int = 32,
                 metric: Knn.Metric = Knn.L2): DataFrame = {
     requirePqMetric(m, metric)
+    checkPqMetric(spark, indexPath, metric)
     require(nprobe >= 1 && nprobe <= m.nlist,
       s"nprobe $nprobe out of [1, ${m.nlist}]")
     require(qIdCol != cIdCol,
@@ -587,16 +636,13 @@ object Ivf {
           val bq = if (met == Knn.Cosine) normalizeQuery(qv) else qv
           probesOf(bq, centsB.value).iterator.map(l => (l, (qid, bq)))
         }.partitionBy(part)
-        // probed-list union for the file-prune: ≤ nlist ints, one pass
-        // over the SAME persisted projection the assignment reads
-        val probed = qRdd.mapPartitions { it =>
-          val cents = centsB.value
-          val set = scala.collection.mutable.Set.empty[Int]
-          it.foreach { case (_, qv) =>
-            set ++= probesOf(
-              if (met == Knn.Cosine) normalizeQuery(qv) else qv, cents) }
-          Iterator.single(set.toSet)
-        }.fold(Set.empty[Int])(_ ++ _).toArray.sorted.map(_.toLong)
+        // probed-list union for the file-prune: derived FROM the shuffled
+        // assignment (≤ nlist ints), so each query's centroid distances
+        // are evaluated exactly once (review r17-7) — this job
+        // materializes the shuffle, which the zip below then reuses
+        val probed = qAssign.keys.mapPartitions(
+            it => Iterator.single(it.toSet))
+          .fold(Set.empty[Int])(_ ++ _).toArray.sorted.map(_.toLong)
         val codesByList = prunedCodes(probed.toSeq).rdd
           .map { case (cid, cl, codes) => (cl, (cid, codes)) }
           .repartitionAndSortWithinPartitions(part)

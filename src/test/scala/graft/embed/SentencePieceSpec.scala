@@ -56,6 +56,13 @@ class SentencePieceSpec extends AnyFunSuite {
       """{"model":{"type":"BPE","vocab":[]}}"""))
     intercept[IllegalArgumentException](SentencePiece.parseTokenizerJson(
       """{"model":{"type":"Unigram","vocab":[["a",-1],["a",-2]]}}"""))
+    // the Decoder loader consults this before parsing: a BPE-type
+    // tokenizer.json beside decoder weights must FALL BACK, not abort
+    // the checkpoint (review r17-1)
+    assert(!SentencePiece.isUnigramJson("""{"model":{"type":"BPE"}}"""))
+    assert(!SentencePiece.isUnigramJson("not json at all"))
+    assert(SentencePiece.isUnigramJson(
+      """{"model":{"type":"Unigram","vocab":[["a",-1]]}}"""))
   }
 
   test("a tokenizer.json beside decoder weights flips tokenization to unigram") {

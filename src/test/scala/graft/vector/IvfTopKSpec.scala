@@ -237,6 +237,17 @@ class IvfTopKSpec extends AnyFunSuite {
     SparkT.spark.conf.set("spark.graft.knnJoin.maxQueryBatch", "4")
     try assert(joinRows(go) === exactJoin)
     finally SparkT.spark.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+    // the serving metric is part of the on-disk identity: an L2-default
+    // search/append against the cosine-built index fails LOUDLY instead
+    // of screening raw-space queries against normalized-space codes
+    // (review r17-2)
+    val eL2 = intercept[IllegalArgumentException](
+      Ivf.searchPq(SparkT.spark, d, m, pq, "vec_id", "embedding",
+        queryVec, k = 10, nprobe = m.nlist))
+    assert(eL2.getMessage.contains("built for metric Cosine"))
+    val eApp = intercept[IllegalArgumentException](
+      Ivf.appendToIndexPq(df.limit(1), "embedding", m, pq, d))
+    assert(eApp.getMessage.contains("built for metric Cosine"))
   }
 
   test("grouped top-k Aggregator matches the window-function reference") {
