@@ -863,6 +863,23 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // I9 OPTIMIZE gate for the IVF-ADC layout (r17 — the family's
+    // lifecycle completes: build → frozen-model append → compactPq):
+    // the OPTIMIZE re-encodes the residual codes into a NEW manifest
+    // generation (the metric marker rides along) and searchPq serves
+    // through the committed generation exactly. Frozen-model compact
+    // here (models re-derive deterministically from the build split, the
+    // ivfPqSegIndex convention); the RETRAIN path — codes must become
+    // residuals of the NEW centroids — is spec-pinned in IvfCompactSpec.
+    "q_knn_ivf_pq_compact" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqCompactIndex(s, d)
+        Ivf.searchPq(s, path, m, pq, "vec_id", "embedding",
+            queryVec(s, d), k = 10, nprobe = m.nlist, refine = 32)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
+
     // K4 for the composite IVF-ADC layout (r16 — the EIGHTH family of
     // the automatic dispatch; the reference's CreateIterator serves
     // whatever index type the column has, knn/knn.cpp:600-610): the coded
@@ -1630,6 +1647,41 @@ object VectorQueries {
           Quantize.trainPq(assigned, "ivf_res", "vec_id")
         }
       (m, pq, path)
+    })
+
+  // Memoized COMPACTED IVF-ADC index per sfDir: build(90%), frozen-model
+  // append(10%), then compactPq (no retrain — both models are
+  // deterministic functions of the BUILD split, so a later process
+  // re-derives them; the retrain arm is IvfCompactSpec's job).
+  private val ivfPqCompactCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Ivf.Model, Quantize.PqModel, String)]
+
+  private def ivfPqCompactIndex(s: SparkSession, d: String)
+      : (Ivf.Model, Quantize.PqModel, String) =
+    ivfPqCompactCache.getOrElseUpdate(d, {
+      val parent = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivfpqcomp"
+      val path = s"$parent/embeddings"
+      val marker = new java.io.File(parent, "_GRAFT_COMPACT_OK")
+      val (build, append) = segSplit(t(s, d, "embeddings"))
+      val m0 = Ivf.train(build, "embedding", nlist = 8)
+      val pq0 =
+        if (marker.isFile) {
+          // deterministic re-derivation from the build split (the
+          // ivfPqSegIndex rationale: id-ordered sample, driver Lloyd)
+          val assigned = Ivf.assign(build, "embedding", m0)
+            .withColumn("ivf_res",
+              Ivf.residualCol(col("embedding"), col("ivf_cluster"), m0))
+          Quantize.trainPq(assigned, "ivf_res", "vec_id")
+        } else {
+          fsDelete(s, parent)
+          val p0 = Ivf.buildIndexPq(build, "embedding", "vec_id", m0, path)
+          Ivf.appendToIndexPq(append, "embedding", m0, p0, path)
+          val (_, p1) = Ivf.compactPq(s, path, "embedding", "vec_id",
+            m0, p0)
+          marker.createNewFile()
+          p1
+        }
+      (m0, pq0, path)
     })
 
   // IVF-ADC segment-lifecycle index: built over a 90% split, the held-out

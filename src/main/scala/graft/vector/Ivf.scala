@@ -191,6 +191,13 @@ object Ivf {
     val next = s"${indexPath}__g$nextVersion"
     fs.delete(new org.apache.hadoop.fs.Path(next), true) // crashed attempt
     val corpus = spark.read.parquet(cur).drop("ivf_cluster")
+    // an IVF-ADC table must compact through [[compactPq]]: this path
+    // would carry the ivf_pq column VERBATIM through a retrain, leaving
+    // codes that are residuals of the SUPERSEDED centroids — silently
+    // wrong screens (r17 audit)
+    require(!corpus.columns.contains("ivf_pq"),
+      s"$indexPath carries IVF-ADC codes (ivf_pq): compact it with " +
+        "Ivf.compactPq, which re-encodes the residual codes in-generation")
     val m2 = if (retrain) train(corpus, vecCol, m.nlist, metric = m.metric)
              else m
     graft.tables.Writer.write(assign(corpus, vecCol, m2), next,
@@ -198,10 +205,23 @@ object Ivf {
     // COMMIT: one new immutable manifest object
     graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
       new org.apache.hadoop.fs.Path(next).getName)
-    // sweep stale dirs by name (orphans from a crash between a past
-    // commit and its cleanup included), RETAINING the generation that was
-    // live until this commit for one cycle (in-flight readers that
-    // resolved it pre-commit finish on a consistent snapshot)
+    sweepGenerations(spark, indexPath, nextVersion, cur)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
+    m2
+  }
+
+  /** The post-commit generation sweep shared by [[compact]] and
+    * [[compactPq]]: delete stale dirs by name (orphans from a crash
+    * between a past commit and its cleanup included), RETAINING the
+    * generation that was live until this commit for one cycle
+    * (in-flight readers that resolved it pre-commit finish on a
+    * consistent snapshot), and mark a retained legacy base dir
+    * superseded so a later manifest loss fails loudly. */
+  private def sweepGenerations(spark: SparkSession, indexPath: String,
+                               nextVersion: Long, cur: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(conf)
     val baseName = base.getName
     val retained = new org.apache.hadoop.fs.Path(cur).getName
     if (fs.exists(base.getParent)) {
@@ -222,8 +242,6 @@ object Ivf {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally mk.close()
     }
-    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
-    m2
   }
 
   /** Top-k search probing the `nprobe` lists closest to the query.
@@ -384,6 +402,57 @@ object Ivf {
       .sortWithinPartitions(col("ivf_cluster"))
       .write.mode("append").parquet(resolve(df.sparkSession, path))
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
+  }
+
+  /** I9 OPTIMIZE for the IVF-ADC index (r17 — completes the family's
+    * lifecycle beside [[appendToIndexPq]]): the manifest-commit shape of
+    * [[compact]], with the codes RE-ENCODED in-generation — coarse
+    * re-assignment (optionally retraining the coarse model on the full
+    * corpus) followed by residual re-encoding (optionally retraining the
+    * codebooks), so the committed generation's ivf_pq codes are always
+    * residuals of ITS centroids. The serving-metric marker rides into
+    * the new generation (appends and searches keep checking it).
+    * Returns the serving (coarse model, codebooks) — the caller
+    * re-registers the automatic route with them. */
+  def compactPq(spark: SparkSession, indexPath: String, vecCol: String,
+                idCol: String, m: Model, pq: Quantize.PqModel,
+                retrain: Boolean = false,
+                subM: Int = 8, codeK: Int = 16, files: Int = 4,
+                metric: Knn.Metric = Knn.L2): (Model, Quantize.PqModel) = {
+    requirePqMetric(m, metric)
+    checkPqMetric(spark, indexPath, metric)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(conf)
+    val cur = resolve(spark, indexPath)
+    val curVersion = graft.index.SecondaryIndex.manifestVersions(fs, indexPath)
+      .headOption.map(_._1).getOrElse(0L)
+    val nextVersion = curVersion + 1
+    val next = s"${indexPath}__g$nextVersion"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true) // crashed attempt
+    val corpus = spark.read.parquet(cur).drop("ivf_cluster", "ivf_pq")
+    val (bound, bcol) = boundSide(corpus, vecCol, metric)
+    val m2 = if (retrain) train(bound, bcol, m.nlist, metric = Knn.L2)
+             else m
+    val assigned = assign(bound, bcol, m2)
+      .withColumn("ivf_res", residualCol(col(bcol), col("ivf_cluster"), m2))
+    // the residual space moved with the centroids, so a coarse retrain
+    // implies fresh codebooks even when `retrain` asked only for the
+    // coarse model — stale codebooks would decode against the old space
+    val pq2 = if (retrain) Quantize.trainPq(assigned, "ivf_res",
+                idCol, subM, codeK)
+              else pq
+    val coded = Quantize.quantizePqTable(assigned, "ivf_res", "ivf_pq", pq2)
+      .drop("ivf_res", BoundCol)
+    graft.tables.Writer.write(coded, next,
+      sortBy = Seq("ivf_cluster"), files = files)
+    writePqMetric(spark, next, metric)
+    // COMMIT: one new immutable manifest object (the [[compact]] scheme)
+    graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
+      new org.apache.hadoop.fs.Path(next).getName)
+    sweepGenerations(spark, indexPath, nextVersion, cur)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
+    (m2, pq2)
   }
 
   /** Top-k IVF-ADC search: probe `nprobe` lists, screen by per-list ADC

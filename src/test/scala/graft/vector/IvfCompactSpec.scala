@@ -109,4 +109,36 @@ class IvfCompactSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("manifest-managed"), e.getMessage)
   }
+
+  test("IVF-ADC compactPq: re-encodes residual codes through retrain; plain compact refuses (r17)") {
+    val d = Files.createTempDirectory("graft-ivfpqc").resolve("i").toString
+    val df = base.toDF("vec_id", "embedding")
+    val m0 = Ivf.train(df, "embedding", nlist = 8)
+    val pq0 = Ivf.buildIndexPq(df, "embedding", "vec_id", m0, d)
+    def servedPq(m: Ivf.Model, pq: Quantize.PqModel): Seq[(Long, Double)] =
+      Ivf.searchPq(spark, d, m, pq, "vec_id", "embedding", q, 10,
+          nprobe = m.nlist, refine = 32)
+        .as[(Long, Double)].collect().toSeq
+    assert(servedPq(m0, pq0) === brute(base))
+    // append drifted rows under the frozen models, then OPTIMIZE with
+    // retrain: the committed generation's codes must be residuals of the
+    // NEW centroids (searchPq exact against the full corpus)
+    Ivf.appendToIndexPq(extra.toDF("vec_id", "embedding"), "embedding",
+      m0, pq0, d)
+    val (m1, pq1) = Ivf.compactPq(spark, d, "embedding", "vec_id", m0, pq0,
+      retrain = true)
+    assert(SecondaryIndex.resolve(spark, d) !== d) // generation committed
+    assert(servedPq(m1, pq1) === brute(base ++ extra))
+    // the metric marker rode into the new generation: an L2-default call
+    // still passes, and the guard machinery still sees the marker
+    Ivf.checkPqMetric(spark, d, Knn.L2)
+    // a SECOND compact cycle keeps serving exactly (sweep + re-commit)
+    val (m2, pq2) = Ivf.compactPq(spark, d, "embedding", "vec_id", m1, pq1)
+    assert(servedPq(m2, pq2) === brute(base ++ extra))
+    // the PLAIN compact refuses an ADC-coded table instead of carrying
+    // stale codes through a retrain
+    val e = intercept[IllegalArgumentException](
+      Ivf.compact(spark, d, "embedding", m2, retrain = true))
+    assert(e.getMessage.contains("compactPq"))
+  }
 }
