@@ -430,7 +430,13 @@ object Ivf {
     val nextVersion = curVersion + 1
     val next = s"${indexPath}__g$nextVersion"
     fs.delete(new org.apache.hadoop.fs.Path(next), true) // crashed attempt
-    val corpus = spark.read.parquet(cur).drop("ivf_cluster", "ivf_pq")
+    val coded0 = spark.read.parquet(cur)
+    // refuse a PLAIN IVF index: compactPq would silently "upgrade" it to
+    // the ADC layout — the caller almost certainly passed the wrong path
+    require(coded0.columns.contains("ivf_pq"),
+      s"$indexPath carries no IVF-ADC codes (ivf_pq): compact it with " +
+        "Ivf.compact, or build the ADC layout with buildIndexPq first")
+    val corpus = coded0.drop("ivf_cluster", "ivf_pq")
     val (bound, bcol) = boundSide(corpus, vecCol, metric)
     val m2 = if (retrain) train(bound, bcol, m.nlist, metric = Knn.L2)
              else m
@@ -691,7 +697,8 @@ object Ivf {
         val qRdd = Knn.persistedQueryRdd(queries, qIdCol, qVecCol)
         val centsB = spark.sparkContext.broadcast(m.centroids.toArray)
         val part = new Knn.ModPartitioner(math.min(m.nlist, math.max(1,
-          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)))
+          spark.conf.get("spark.sql.shuffle.partitions", "32")
+            .toIntOption.getOrElse(32))))
         val met = metric
         def probesOf(qv: Array[Float], cents: Array[Array[Float]])
             : Array[Int] =
