@@ -597,7 +597,19 @@ object Ivf {
     * nprobe = nlist with the [[searchPq]] refine margin is the
     * oracle-exact configuration; smaller nprobe is the usual
     * clustered-recall economy knob. Output contract matches every join
-    * leg: (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
+    * leg: (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id).
+    *
+    * Arm economics note (BENCH_SF1 `adc_batch_join_budget`): at the
+    * local bench's 20k-row batch the distributed arm measured 0.41× the
+    * broadcast arm — NOT because it does less work (both screen each
+    * probed code against exactly its list's probing queries) but because
+    * the list shuffle manufactures partition balance the pruned LOCAL
+    * scan lacks (few files → few splits). At production scale the pruned
+    * scan spans many files and the broadcast arm's zero-shuffle shape is
+    * the right small-batch default; a deployment whose batches hover
+    * near the budget can simply lower
+    * `spark.graft.knnJoin.maxQueryBatch` to prefer the distributed
+    * arm. */
   def knnJoinPq(spark: SparkSession, indexPath: String, m: Model,
                 pq: Quantize.PqModel,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
