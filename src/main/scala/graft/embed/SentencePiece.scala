@@ -43,13 +43,18 @@ object SentencePiece {
     require(pieces.nonEmpty, "empty unigram vocab")
     require(unkId >= 0 && unkId < pieces.length,
       s"unk_id $unkId out of [0, ${pieces.length})")
+    // the unk piece is an ID, not matchable text (SentencePiece treats
+    // UNKNOWN-type pieces the same way): a document containing the
+    // literal "<unk>" string must segment through chars/unk arcs, never
+    // match the piece — its score (often 0.0, the best in the vocab)
+    // would otherwise hijack the Viterbi (review r17-2-1)
     @transient private lazy val ids: Map[String, Int] =
-      pieces.zipWithIndex.toMap
+      pieces.zipWithIndex.filter(_._2 != unkId).toMap
     @transient private lazy val maxPieceLen: Int =
       pieces.iterator.map(_.length).max
     /** Largest piece id — [[Decoder]]'s embedding-row bound check. */
     def maxId: Int = pieces.length - 1
-    // unknown-character arc: below every real piece (the SentencePiece
+    // unknown-CODEPOINT arc: below every real piece (the SentencePiece
     // unk penalty), so a known covering always wins when one exists
     @transient private lazy val unkScore: Double = scores.min - 10.0
 
@@ -72,24 +77,34 @@ object SentencePiece {
       best(0) = 0.0
       var i = 1
       while (i <= n) {
-        // longest piece first: on equal score the longer piece wins
-        var j = math.max(0, i - maxPieceLen)
-        while (j < i) {
-          if (best(j) != Double.NegativeInfinity) {
-            ids.get(marked.substring(j, i)) match {
-              case Some(pid) =>
-                val s = best(j) + scores(pid)
-                if (s > best(i)) { best(i) = s; back(i) = j; piece(i) = pid }
-              case None =>
+        // a position splitting a surrogate pair is not a codepoint
+        // boundary: no arc may end there (review r17-2-2 — a non-BMP
+        // char must become ONE unk token, not one per UTF-16 half)
+        val midPair = i < n && Character.isHighSurrogate(marked.charAt(i - 1)) &&
+          Character.isLowSurrogate(marked.charAt(i))
+        if (!midPair) {
+          // longest piece first: on equal score the longer piece wins
+          var j = math.max(0, i - maxPieceLen)
+          while (j < i) {
+            if (best(j) != Double.NegativeInfinity) {
+              ids.get(marked.substring(j, i)) match {
+                case Some(pid) =>
+                  val s = best(j) + scores(pid)
+                  if (s > best(i)) { best(i) = s; back(i) = j; piece(i) = pid }
+                case None =>
+              }
             }
+            j += 1
           }
-          j += 1
-        }
-        if (best(i) == Double.NegativeInfinity) {
-          // no piece ends here: the unk single-char arc keeps decoding
-          best(i) = best(i - 1) + unkScore
-          back(i) = i - 1
-          piece(i) = unkId
+          if (best(i) == Double.NegativeInfinity) {
+            // no piece ends here: one unk arc per CODEPOINT keeps
+            // decoding (two units when a surrogate pair ends at i)
+            val w = if (i >= 2 && Character.isLowSurrogate(marked.charAt(i - 1)) &&
+              Character.isHighSurrogate(marked.charAt(i - 2))) 2 else 1
+            best(i) = best(i - w) + unkScore
+            back(i) = i - w
+            piece(i) = unkId
+          }
         }
         i += 1
       }

@@ -707,22 +707,22 @@ object Ivf {
         // OVER BUDGET: distributed list assignment + co-partitioned zip
         Knn.distributedScreens.incrementAndGet()
         val qRdd = Knn.persistedQueryRdd(queries, qIdCol, qVecCol)
-        val centsB = spark.sparkContext.broadcast(m.centroids.toArray)
+        // broadcast the MODEL, not bare centroids: the per-row probe
+        // selection is Model.probeOrder itself (one exactness-bearing
+        // definition shared with the in-budget arm and searchPq —
+        // review r17-2-4)
+        val mB = spark.sparkContext.broadcast(m)
         val part = new Knn.ModPartitioner(math.min(m.nlist, math.max(1,
           spark.conf.get("spark.sql.shuffle.partitions", "32")
             .toIntOption.getOrElse(32))))
         val met = metric
-        def probesOf(qv: Array[Float], cents: Array[Array[Float]])
-            : Array[Int] =
-          cents.indices
-            .map(i => (scalarDist(Knn.L2, qv, cents(i)), i))
-            .sorted.take(nprobe).map(_._2).toArray
         // the assignment carries the BOUND-space vector (normalized for
         // cosine — what the ADC tables consume); the rescore reads the
         // raw one back from the same persisted projection
         val qAssign = qRdd.flatMap { case (qid, qv) =>
           val bq = if (met == Knn.Cosine) normalizeQuery(qv) else qv
-          probesOf(bq, centsB.value).iterator.map(l => (l, (qid, bq)))
+          mB.value.probeOrder(bq).take(nprobe).iterator
+            .map(l => (l, (qid, bq)))
         }.partitionBy(part)
         // probed-list union for the file-prune: derived FROM the shuffled
         // assignment (≤ nlist ints), so each query's centroid distances
@@ -739,7 +739,7 @@ object Ivf {
           val byList: Map[Int, Array[(Long, Array[Float])]] = qit.toArray
             .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
           if (byList.isEmpty) Iterator.empty
-          else screenCodes(byList, centsB.value,
+          else screenCodes(byList, mB.value.centroids.toArray,
             cit.map { case (cl, (cid, codes)) => (cid, cl, codes) })
         }
         val coarse = spark.createDataset(coarseRdd)

@@ -98,8 +98,13 @@ object Knn {
     * and the rescore consume IDENTICAL rows even from a nondeterministic
     * query source (ADVICE r16 — the in-budget arms already get this from
     * the collected batch; MEMORY_AND_DISK so eviction spills instead of
-    * triggering a recompute that could diverge). Freed by the
-    * ContextCleaner once the plan is unreachable. */
+    * triggering a recompute that could diverge). Lifetime is a
+    * deliberate trade: the returned join is LAZY, so there is no point
+    * at which an eager unpersist would be safe (the r16 slice loop could
+    * unpersist in a finally only because it checkpointed each slice
+    * eagerly) — the ContextCleaner unpersists when the plan becomes
+    * unreachable, and a session holding many dead over-budget plans
+    * holds their projections until then. */
   private[vector] def persistedQueryRdd(queries: DataFrame, qIdCol: String,
                                         qVecCol: String)
       : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {

@@ -32,6 +32,13 @@ class SentencePieceSpec extends AnyFunSuite {
     // 'z' has no piece: ▁ + unk + a
     assert(m.segment("▁za").toSeq === Seq(3, 0, 4))
     assert(m.encode("z").toSeq === Seq(3, 0))
+    // the unk piece is an ID, not matchable text: a literal "<unk>"
+    // substring segments through chars/unk arcs — its (best-in-vocab)
+    // score 0.0 must never hijack the DP (review r17)
+    assert(m.segment("▁<unk>").toSeq === Seq(3, 0, 0, 0, 0, 0))
+    // one unk token per CODEPOINT: a non-BMP char (2 UTF-16 units) is
+    // ONE token, matching SentencePiece's codepoint semantics
+    assert(m.encode("a\uD83D\uDE00b").toSeq === Seq(3, 4, 0, 5))
   }
 
   test("encode marks every whitespace word; empty text yields no tokens") {

@@ -562,6 +562,39 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, idx)
   }
 
+  test("cosine IVF-ADC route ENGAGES: the 1-cosine_sim sort key splices the screen (r17)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val tmp = Files.createTempDirectory("graft-annroute-ivfpqcos")
+    val df = vectors.toDF("vec_id", "embedding", "label")
+    def joins(d: DataFrame) =
+      d.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val idx = tmp.resolve("ivfpqcos").toString
+    val normed = df.withColumn("embn",
+      graft.vector.Ivf.normalized($"embedding"))
+    val m = graft.vector.Ivf.train(normed, "embn", nlist = 4)
+    val pq = graft.vector.Ivf.buildIndexPq(df, "embedding", "vec_id", m,
+      idx, subM = 4, codeK = 16, metric = Knn.Cosine)
+    AnnRouting.registerIvfPq(SparkT.spark, idx, idx, m, pq,
+      vecCol = "embedding", idCol = "vec_id", nprobe = m.nlist,
+      refine = 40, metric = Knn.Cosine)
+    // STRUCTURAL: a plain exact cosine scan would also return oracle
+    // rows — the route regressing silently is exactly what this guards
+    // (review r17-2-5), so assert the splice is IN the plan
+    val rp = Knn.knn(SparkT.spark.read.parquet(idx),
+      "embedding", "vec_id", query, 10, Knn.Cosine)
+    assert(joins(rp).nonEmpty, rp.queryExecution.optimizedPlan.toString)
+    val wantCos = vectors
+      .map { case (id, v, _) => (graft.vector.Ivf.scalarDist(
+        Knn.Cosine, v, query), id) }
+      .sortBy(identity).take(10).map(_._2)
+    assert(rp.select("vec_id").as[Long].collect().toSeq === wantCos)
+    // an L2 sort key must NOT route through the cosine registration
+    val l2q = Knn.knn(SparkT.spark.read.parquet(idx),
+      "embedding", "vec_id", query, 10, Knn.L2)
+    assert(joins(l2q).isEmpty, l2q.queryExecution.optimizedPlan.toString)
+    AnnRouting.unregister(SparkT.spark, idx)
+  }
+
   test("quantized graph family routes: code-space leaf, consumed filter, epoch drop (r15)") {
     val tmp = Files.createTempDirectory("graft-annroute-qgraph")
     val baseQ = tmp.resolve("baseq").toString
