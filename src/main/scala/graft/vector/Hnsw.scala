@@ -1552,7 +1552,7 @@ object Hnsw {
     }
     val perPart =
       Knn.boundedQueryBatch(queries, qIdCol, qVecCol,
-        Knn.maxQueryBatch(spark)) match {
+        Knn.maxQueryBatch(spark, rts.head._2.length)) match {
         case Some(qRows) =>
           // IN-BUDGET: driver-side pid assignment (nprobe nearest
           // centroids per query, distances in the bound space), broadcast
@@ -1988,7 +1988,7 @@ object Hnsw {
     // (rescore query side, (qid, coarse-survivor-cid) rows)
     val (qDf, perPart) =
       Knn.boundedQueryBatch(queries, qIdCol, qVecCol,
-        Knn.maxQueryBatch(spark)) match {
+        Knn.maxQueryBatch(spark, qm.dim)) match {
         case Some(qRows) =>
           val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
             .flatMap { case (qid, qv) =>

@@ -356,21 +356,40 @@ object Ivf {
     try out.write((metricName(metric) + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    pqMetricCache.remove(dir) // a same-dir rebuild must re-read
   }
+
+  // (resolved generation dir → stored metric name, None = no marker):
+  // the marker is immutable within a generation, so the exists+open+read
+  // — 2-3 metadata round-trips on an object store — happens once per JVM
+  // per generation instead of on EVERY searchPq/knnJoinPq/append call
+  // (ADVICE r17). Invalidation: compactPq writes into a NEW generation
+  // dir (natural cache miss); a rebuild at the same dir goes through
+  // [[writePqMetric]], which drops its entry; and every index mutation
+  // clears the whole (tiny) map via [[invalidatePqMetricCache]] from
+  // [[graft.plans.AnnRouting.onIndexMutated]] — belt and braces.
+  private val pqMetricCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+
+  private[graft] def invalidatePqMetricCache(): Unit = pqMetricCache.clear()
 
   private[graft] def checkPqMetric(spark: SparkSession, indexPath: String,
                             metric: Knn.Metric): Unit = {
-    val p = new org.apache.hadoop.fs.Path(resolve(spark, indexPath),
-      PqMetricMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+    val dir = resolve(spark, indexPath)
+    val stored = pqMetricCache.getOrElseUpdate(dir, {
+      val p = new org.apache.hadoop.fs.Path(dir, PqMetricMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
         finally in.close()
-      require(stored == metricName(metric),
-        s"IVF-ADC index $indexPath was built for metric $stored; " +
+      }
+    })
+    stored.foreach { s =>
+      require(s == metricName(metric),
+        s"IVF-ADC index $indexPath was built for metric $s; " +
           s"serving/appending it as ${metricName(metric)} would screen " +
           "in the wrong space — pass the build metric")
     }
@@ -554,7 +573,8 @@ object Ivf {
       .select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"),
         explode(probeIds).as("__probe"))
     val q =
-      if (Knn.fitsBudget(queries, Knn.maxQueryBatch(spark))) broadcast(qSel)
+      if (Knn.fitsBudget(queries, Knn.maxQueryBatch(spark,
+          m.centroids.head.length))) broadcast(qSel)
       else qSel
     val scored = spark.read.parquet(resolve(spark, indexPath))
       .select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"),
@@ -625,13 +645,15 @@ object Ivf {
     import spark.implicits._
     val keep = k * refine
     val table = spark.read.parquet(resolve(spark, indexPath))
-    // the shared kernel of both arms: stream (cid, list, codes) rows —
-    // LIST-CONTIGUOUS — against `byList` (list → its probing queries),
-    // building each list's per-query ADC tables at the boundary from the
-    // query residuals vs the list centroid (exactly searchPq's table) and
-    // keeping a bounded k·refine heap per query.
-    def screenCodes(byList: Map[Int, Array[(Long, Array[Float])]],
-                    cents: Array[Array[Float]],
+    // the shared kernel of both arms: stream (cid, key, codes) rows —
+    // KEY-CONTIGUOUS, where the key is the list id (in-budget and plain
+    // distributed arms) or the salted (list, salt) encoding (skewed
+    // distributed arm, r18) — against `byKey` (key → its probing
+    // queries), building each key's per-query ADC tables at the boundary
+    // from the query residuals vs `centOf(key)` (exactly searchPq's
+    // table) and keeping a bounded k·refine heap per query.
+    def screenCodes(byKey: Map[Int, Array[(Long, Array[Float])]],
+                    centOf: Int => Array[Float],
                     it: Iterator[(Long, Int, Array[Byte])])
         : Iterator[(Long, Long, Double)] = {
       val heaps = new java.util.HashMap[Long, Quantize.BoundedTopK]()
@@ -640,9 +662,9 @@ object Ivf {
       it.foreach { case (cid, cl, codes) =>
         if (cl != curList) {
           curList = cl
-          curTables = byList.getOrElse(cl, Array.empty[(Long, Array[Float])])
+          curTables = byKey.getOrElse(cl, Array.empty[(Long, Array[Float])])
             .map { case (qid, qv) =>
-              val cent = cents(cl)
+              val cent = centOf(cl)
               val res = Array.tabulate(qv.length)(i => qv(i) - cent(i))
               (qid, pq.adcTable(res))
             }
@@ -681,8 +703,8 @@ object Ivf {
             .cast("double").as("__dist"))
       TopK.topKPairs(scored, qIdCol, cIdCol, k)
     }
-    Knn.boundedQueryBatch(queries, qIdCol, qVecCol,
-      Knn.maxQueryBatch(spark)) match {
+    val maxRows = Knn.maxQueryBatch(spark, m.centroids.head.length)
+    Knn.boundedQueryBatch(queries, qIdCol, qVecCol, maxRows) match {
       case Some(qRows) =>
         // IN BUDGET: driver-side probe assignment, broadcast tables map,
         // pruned scan (rows arrive list-contiguous from the clustered
@@ -698,7 +720,7 @@ object Ivf {
         val coarse = prunedCodes(byList.keys.toArray.sorted.map(_.toLong))
           .mapPartitions { it =>
             val (bl, cents) = bc.value
-            screenCodes(bl, cents, it)
+            screenCodes(bl, cents(_), it)
           }
           .toDF("__qid", "__cid", "__dist")
         val qDf = qRows.toSeq.toDF("__qid", "__qvec")
@@ -724,23 +746,94 @@ object Ivf {
           mB.value.probeOrder(bq).take(nprobe).iterator
             .map(l => (l, (qid, bq)))
         }.partitionBy(part)
-        // probed-list union for the file-prune: derived FROM the shuffled
-        // assignment (≤ nlist ints), so each query's centroid distances
-        // are evaluated exactly once (review r17-7) — this job
-        // materializes the shuffle, which the zip below then reuses
-        val probed = qAssign.keys.mapPartitions(
-            it => Iterator.single(it.toSet))
-          .fold(Set.empty[Int])(_ ++ _).toArray.sorted.map(_.toLong)
-        val codesByList = prunedCodes(probed.toSeq).rdd
-          .map { case (cid, cl, codes) => (cl, (cid, codes)) }
-          .repartitionAndSortWithinPartitions(part)
-        val coarseRdd = codesByList.zipPartitions(qAssign,
-          preservesPartitioning = false) { (cit, qit) =>
-          val byList: Map[Int, Array[(Long, Array[Float])]] = qit.toArray
-            .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
-          if (byList.isEmpty) Iterator.empty
-          else screenCodes(byList, mB.value.centroids.toArray,
-            cit.map { case (cl, (cid, codes)) => (cid, cl, codes) })
+        // per-list assigned-query COUNTS (≤ nlist small rows to the
+        // driver): one job that both derives the probed-list union for
+        // the file-prune AND detects probe skew — derived FROM the
+        // shuffled assignment, so each query's centroid distances are
+        // evaluated exactly once (review r17-7); this job materializes
+        // the shuffle, which every consumer below then reuses
+        val listCounts: Map[Int, Long] = qAssign.keys
+          .mapPartitions { it =>
+            val acc = scala.collection.mutable.HashMap.empty[Int, Long]
+            it.foreach(l => acc.update(l, acc.getOrElse(l, 0L) + 1L))
+            Iterator.single(acc)
+          }
+          .fold(scala.collection.mutable.HashMap.empty[Int, Long]) {
+            (a, b) =>
+              b.foreach { case (l, c) =>
+                a.update(l, a.getOrElse(l, 0L) + c) }
+              a
+          }.toMap
+        val probed = listCounts.keys.toArray.sorted.map(_.toLong)
+        // SKEW (r18, VERDICT r17 #5): a zipfian probe distribution keys
+        // most queries to the same few lists and the plain list-keyed
+        // shuffle serializes the screen into those partitions. When any
+        // list's assigned-query count exceeds the batch budget, SALT it:
+        // split the hot list's queries into ceil(count/budget) groups
+        // (deterministic qid-mod — a bounded per-group row count, not a
+        // hash approximation) and replicate that list's CODES to each
+        // group (codes are M+16 bytes/row — the cheap side; query
+        // vectors are 4·dim). Keys encode (list, salt) injectively as
+        // list·saltCap + salt, so the zip stays one sorted
+        // key-contiguous stream per partition and the heap kernel is
+        // unchanged; per-query results merge in the SAME global cut
+        // (each query still screens every probed code exactly once —
+        // identical rows, re-balanced partitions).
+        val saltCap0 = listCounts.values.foldLeft(1L) { (acc, c) =>
+          math.max(acc, (c + maxRows - 1) / maxRows)
+        }
+        // no point splitting finer than the shuffle width; keep the
+        // encoded key within Int
+        val saltCap = math.min(math.min(saltCap0,
+          part.numPartitions.toLong),
+          Int.MaxValue.toLong / math.max(1, m.nlist)).toInt.max(1)
+        val coarseRdd = if (saltCap <= 1) {
+          val codesByList = prunedCodes(probed.toSeq).rdd
+            .map { case (cid, cl, codes) => (cl, (cid, codes)) }
+            .repartitionAndSortWithinPartitions(part)
+          codesByList.zipPartitions(qAssign,
+            preservesPartitioning = false) { (cit, qit) =>
+            val byList: Map[Int, Array[(Long, Array[Float])]] = qit.toArray
+              .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+            if (byList.isEmpty) Iterator.empty
+            else {
+              val ca = mB.value.centroids.toArray
+              screenCodes(byList, ca(_),
+                cit.map { case (cl, (cid, codes)) => (cid, cl, codes) })
+            }
+          }
+        } else {
+          saltedScreens.incrementAndGet()
+          val salts: Map[Int, Int] = listCounts.map { case (l, c) =>
+            l -> math.min(saltCap.toLong,
+              (c + maxRows - 1) / maxRows).toInt.max(1)
+          }
+          val saltsB = spark.sparkContext.broadcast(salts)
+          val sPart = new Knn.ModPartitioner(part.numPartitions)
+          // queries re-key from the ALREADY-SHUFFLED assignment (stage
+          // reuse — probeOrder still runs once per query)
+          val qSalted = qAssign.map { case (l, (qid, bq)) =>
+            val s = saltsB.value.getOrElse(l, 1)
+            val salt = (((qid % s) + s) % s).toInt
+            (l * saltCap + salt, (qid, bq))
+          }.partitionBy(sPart)
+          val codesSalted = prunedCodes(probed.toSeq).rdd
+            .flatMap { case (cid, cl, codes) =>
+              Iterator.range(0, saltsB.value.getOrElse(cl, 1))
+                .map(s => (cl * saltCap + s, (cid, codes)))
+            }
+            .repartitionAndSortWithinPartitions(sPart)
+          codesSalted.zipPartitions(qSalted,
+            preservesPartitioning = false) { (cit, qit) =>
+            val byKey: Map[Int, Array[(Long, Array[Float])]] = qit.toArray
+              .groupBy(_._1).map { case (kk, xs) => kk -> xs.map(_._2) }
+            if (byKey.isEmpty) Iterator.empty
+            else {
+              val ca = mB.value.centroids.toArray
+              screenCodes(byKey, kk => ca(kk / saltCap),
+                cit.map { case (kk, (cid, codes)) => (cid, kk, codes) })
+            }
+          }
         }
         val coarse = spark.createDataset(coarseRdd)
           .toDF("__qid", "__cid", "__dist")
@@ -748,6 +841,10 @@ object Ivf {
         rescored(globalCut(coarse).join(qDf, "__qid"))
     }
   }
+
+  /** Over-budget ADC joins that engaged the salted de-skew arm — spec
+    * instrumentation only (meaningful in local mode). */
+  val saltedScreens = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Per-list radius (max L2 distance of a member to its centroid) — the
     * metadata early termination needs; one aggregation over the index. */

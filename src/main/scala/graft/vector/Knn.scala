@@ -34,10 +34,47 @@ object Knn {
     * joins, a non-broadcast join for the exact/IVF legs — so the query
     * side NEVER materializes unbounded on the driver. The reference's
     * host consumes batches through a rowid-stream iterator for the same
-    * reason (knn/iterator.cpp:27-146 — never materialize-all). */
-  def maxQueryBatch(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption("spark.graft.knnJoin.maxQueryBatch")
+    * reason (knn/iterator.cpp:27-146 — never materialize-all).
+    *
+    * BYTE-AWARE (r18, VERDICT r17 #1): the budget is denominated in ROWS
+    * for the arm machinery (slice widths, bounded collects) but DERIVED
+    * from bytes — a row-only budget sized for dim≈128 vectors (~34 MB per
+    * 64k-row slice) silently becomes ~400 MB per slice/broadcast at the
+    * dim-1536 embeddings the engine's own provider catalog advertises.
+    * rows = maxQueryBatchBytes / (16 + 4·dim) — 16 B of per-row id +
+    * array overhead, 4 B per float32 element — capped by the row conf,
+    * so BOTH the arm decision and the slice width track vector width.
+    * `dim` comes from the caller's model/registration (every quantized
+    * family knows its dim) or one first-row peek ([[queryDim]]); dim ≤ 0
+    * (unknowable: empty batch) applies the row cap alone — an empty
+    * batch fits any budget. */
+  def maxQueryBatch(spark: org.apache.spark.sql.SparkSession,
+                    dim: Int = -1): Int = {
+    val rowCap = spark.conf.getOption("spark.graft.knnJoin.maxQueryBatch")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1 << 16)
+    if (dim <= 0) rowCap
+    else {
+      val byteRows = maxQueryBatchBytes(spark) / (16L + 4L * dim)
+      math.min(rowCap.toLong, math.max(1L, byteRows)).toInt
+    }
+  }
+
+  /** Byte budget behind [[maxQueryBatch]]'s derived row budget (r18).
+    * Default 256 MB: at the bench's dim≈128 the derived cap (~508k rows)
+    * sits above the 64k row conf — small-dim behavior is unchanged —
+    * while at dim 1536 it binds at ~43k rows, keeping every slice array
+    * and query broadcast bounded in BYTES regardless of vector width. */
+  def maxQueryBatchBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.knnJoin.maxQueryBatchBytes")
+      .flatMap(_.toLongOption).filter(_ >= 1L).getOrElse(256L << 20)
+
+  /** Vector width of a query batch from ONE bounded first-row peek — the
+    * dim source for legs with no model/registration to read it from
+    * (the exact fullscan join). 0 for an empty batch (which fits any
+    * budget trivially). */
+  def queryDim(queries: DataFrame, qVecCol: String): Int =
+    queries.select(col(qVecCol)).limit(1).collect()
+      .headOption.map(_.getSeq[Float](0).length).getOrElse(0)
 
   /** Joins that engaged an over-budget scale arm — spec instrumentation
     * only (meaningful in local mode, like
@@ -98,20 +135,106 @@ object Knn {
     * and the rescore consume IDENTICAL rows even from a nondeterministic
     * query source (ADVICE r16 — the in-budget arms already get this from
     * the collected batch; MEMORY_AND_DISK so eviction spills instead of
-    * triggering a recompute that could diverge). Lifetime is a
-    * deliberate trade: the returned join is LAZY, so there is no point
-    * at which an eager unpersist would be safe (the r16 slice loop could
-    * unpersist in a finally only because it checkpointed each slice
-    * eagerly) — the ContextCleaner unpersists when the plan becomes
-    * unreachable, and a session holding many dead over-budget plans
-    * holds their projections until then. */
+    * triggering a recompute that could diverge).
+    *
+    * Lifetime (r18, VERDICT r17 #3 — the r17 form left release to the
+    * ContextCleaner, so a long-lived session issuing many over-budget
+    * joins accumulated dead projections until GC): the returned join is
+    * LAZY, so release hangs on the TERMINAL ACTION instead — a
+    * session-wide [[QueryReleaseListener]] fires after every
+    * DataFrame action, walks the executed query's RDD lineage, and
+    * eagerly unpersists any live projection it consumed. A bounded
+    * retained set ([[maxLivePersisted]], FIFO evict) caps the worst case
+    * where a caller never runs an action at all. After release, a
+    * RE-EXECUTION of the same retained plan recomputes the projection per
+    * consumer — identical rows for the deterministic sources every gate
+    * uses; a caller re-running an over-budget join over a
+    * NONDETERMINISTIC source should persist/checkpoint its result (or
+    * its query input) before the second action. */
   private[vector] def persistedQueryRdd(queries: DataFrame, qIdCol: String,
                                         qVecCol: String)
       : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {
     import queries.sparkSession.implicits._
-    queries.select(col(qIdCol).cast("long"), col(qVecCol))
+    val rdd = queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(queries.sparkSession, rdd)
+    rdd
+  }
+
+  /** Retained-projection cap: joins beyond this many un-actioned
+    * over-budget plans evict (unpersist) the oldest projection. */
+  private def maxLivePersisted(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.knnJoin.maxPersistedQueryProjections")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(8)
+
+  // insertion-ordered so the no-action worst case evicts oldest-first
+  private val livePersisted =
+    new java.util.LinkedHashMap[Int, org.apache.spark.rdd.RDD[_]]()
+
+  /** Live retained projections — spec instrumentation (release pinning). */
+  def livePersistedCount: Int = livePersisted.synchronized {
+    livePersisted.size
+  }
+
+  private val listenerSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.lang.Boolean]())
+
+  private def track(spark: org.apache.spark.sql.SparkSession,
+                    rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    if (listenerSessions.put(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(QueryReleaseListener)
+    val cap = maxLivePersisted(spark)
+    val evicted = livePersisted.synchronized {
+      livePersisted.put(rdd.id, rdd)
+      if (livePersisted.size > cap) {
+        val it = livePersisted.entrySet().iterator()
+        val oldest = it.next().getValue
+        it.remove()
+        Some(oldest)
+      } else None
+    }
+    evicted.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Post-action release: walk the executed plan's analyzed tree for the
+    * RDD-backed leaves the over-budget arms inject
+    * (`spark.createDataset(rdd)` → ExternalRDD / LogicalRDD), follow
+    * each RDD's dependency lineage, and unpersist every live projection
+    * found — the screen side reaches the projection through the
+    * cartesian/zip lineage, the rescore side holds it directly, so ONE
+    * action on the join releases it. Listener callbacks are async on the
+    * listener bus; specs poll [[livePersistedCount]]. */
+  private object QueryReleaseListener
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           durationNs: Long): Unit = release(qe)
+    override def onFailure(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           exception: Exception): Unit = release(qe)
+    private def release(
+        qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+      if (livePersisted.synchronized(livePersisted.isEmpty)) return
+      val roots = try qe.analyzed.collect {
+        case r: org.apache.spark.sql.execution.ExternalRDD[_] => r.rdd
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      } catch { case _: Exception => return }
+      if (roots.isEmpty) return
+      val seen = scala.collection.mutable.HashSet.empty[Int]
+      val found = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[_]]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (seen.add(r.id)) {
+          livePersisted.synchronized {
+            Option(livePersisted.remove(r.id))
+          }.foreach(found += _)
+          r.dependencies.foreach(d => walk(d.rdd))
+        }
+      roots.foreach(walk)
+      found.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** The over-budget query batch as an RDD of STRICTLY ≤max-row slices,
@@ -189,7 +312,8 @@ object Knn {
     val qSel = queries.select(col(qIdCol).cast("long").as("__qid"),
       col(qVecCol).as("__qv"))
     val q =
-      if (fitsBudget(queries, maxQueryBatch(queries.sparkSession)))
+      if (fitsBudget(queries, maxQueryBatch(queries.sparkSession,
+          queryDim(queries, qVecCol))))
         broadcast(qSel)
       else qSel
     val scored = corpus

@@ -21,13 +21,47 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
   */
 object Quantize {
 
-  final case class QModel(mins: Array[Float], maxs: Array[Float]) {
+  /** The SERVING-metric contract shared by all four flat quantized
+    * models (r18, VERDICT r17 #2 — the reference serves L2/IP/cosine on
+    * every quantized index, knn/knn.h:32-37: cosine = IP over normalized;
+    * the quantizer applies to all spaces, knn/quantizer.cpp:45-700): a
+    * model carries the metric it was TRAINED for. L2 models train/encode/
+    * screen raw vectors; COSINE models live entirely in the
+    * unit-normalized companion space — training stats come from the
+    * normalized copy, [[QModel.quantize]]/[[BModel.binarize]]/
+    * [[PqModel.encode]] normalize each input before coding (so appends
+    * through the existing append/streaming paths encode correctly with
+    * zero caller changes), and the coarse screens score against the
+    * NORMALIZED query (normalized-L2 order == cosine order: cosine
+    * distance of a unit pair is half its squared L2 — the r15
+    * quantized-graph / r17 IVF-ADC construction). The exact rescore
+    * always runs the metric kernel on the RAW float column. */
+  private[vector] def requireFlatMetric(trained: Knn.Metric,
+                                        serving: Knn.Metric): Unit = {
+    require(serving == Knn.L2 || serving == Knn.Cosine,
+      "the flat quantized families serve L2 or cosine (cosine through " +
+        "the normalized companion space)")
+    require(trained == serving,
+      s"this model was trained for $trained but is being served as " +
+        s"$serving — codes live in the trained metric's space (train " +
+        "with the serving metric)")
+  }
+
+  /** The screen-space copy of a query for a model's metric: the
+    * unit-normalized companion for cosine (where the codes live), the
+    * raw query for L2. */
+  private def boundQ(metric: Knn.Metric, q: Array[Float]): Array[Float] =
+    if (metric == Knn.Cosine) Ivf.normalizeQuery(q) else q
+
+  final case class QModel(mins: Array[Float], maxs: Array[Float],
+                          metric: Knn.Metric = Knn.L2) {
     def dim: Int = mins.length
     def scale(i: Int): Float = {
       val r = maxs(i) - mins(i)
       if (r == 0.0f) 1.0f else r / 255.0f
     }
-    def quantize(v: Array[Float]): Array[Byte] = {
+    def quantize(v0: Array[Float]): Array[Byte] = {
+      val v = boundQ(metric, v0) // cosine codes live in normalized space
       val out = new Array[Byte](dim)
       var i = 0
       while (i < dim) {
@@ -72,15 +106,24 @@ object Quantize {
     }
   }
 
+  /** The training-side column in the model's space: the raw vectors for
+    * L2, the unit-normalized companion (one codegen expression, no stored
+    * column) for cosine. */
+  private def boundTrainCol(vecCol: String, metric: Knn.Metric) =
+    if (metric == Knn.Cosine) Ivf.normalized(col(vecCol)) else col(vecCol)
+
   /** Train per-dimension min/max: ONE pass with per-partition array
     * accumulators — the shuffle-free shape (a posexplode would multiply the
     * row count by `dim` — a 64-1024× shuffle blowup at 100 TB — to compute
     * the same 2×dim floats). Each partition emits one (mins, maxs) pair;
     * the driver folds numPartitions pairs. min/max are order-independent,
-    * so the model is bit-reproducible across partitionings. */
-  def train(df: DataFrame, vecCol: String): QModel = {
+    * so the model is bit-reproducible across partitionings.
+    * `metric = Cosine` trains over the unit-normalized companion — the
+    * space the model's codes then live in ([[requireFlatMetric]]). */
+  def train(df: DataFrame, vecCol: String,
+            metric: Knn.Metric = Knn.L2): QModel = {
     import df.sparkSession.implicits._
-    val partials = df.select(col(vecCol)).as[Seq[Float]]
+    val partials = df.select(boundTrainCol(vecCol, metric)).as[Seq[Float]]
       .mapPartitions { it =>
         var mn: Array[Float] = null
         var mx: Array[Float] = null
@@ -103,7 +146,7 @@ object Quantize {
       Array.tabulate(a.length)(i => math.min(a(i), b(i))) }
     val maxs = partials.map(_._2).reduce { (a, b) =>
       Array.tabulate(a.length)(i => math.max(a(i), b(i))) }
-    QModel(mins, maxs)
+    QModel(mins, maxs, metric)
   }
 
   /** Append `qCol: binary` with the int8 codes. */
@@ -122,11 +165,14 @@ object Quantize {
   /** The coarse-screen candidate ids: top-`n` by int8-code L2 distance —
     * a declarative sub-plan (typed map + TakeOrdered), shared by
     * [[searchRescore]] and [[graft.plans.AnnRoutingRule]]'s automatic
-    * quantized route (which splices it under the original Sort/Limit). */
+    * quantized route (which splices it under the original Sort/Limit).
+    * `query` is RAW; a cosine model screens against its normalized copy
+    * (the space the codes live in). */
   def coarseIds(qdf: DataFrame, qCol: String, idCol: String, m: QModel,
                 query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
-    val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
+    val qB = qdf.sparkSession.sparkContext
+      .broadcast((m, boundQ(m.metric, query)))
     qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .map { case (id, codes) =>
@@ -141,10 +187,14 @@ object Quantize {
 
   /** Top-k search: coarse pass on the quantized codes (k·refine survivors),
     * exact rescore on the float vectors. Returns (idCol, dist) best-first,
-    * ties by id — same contract as [[Knn.knn]]. */
+    * ties by id — same contract as [[Knn.knn]]. `metric` must match the
+    * model's trained metric ([[requireFlatMetric]]); cosine screens in the
+    * normalized code space and rescores with the exact cosine kernel on
+    * the raw floats. */
   def searchRescore(qdf: DataFrame, vecCol: String, qCol: String,
                     idCol: String, m: QModel, query: Array[Float], k: Int,
                     metric: Knn.Metric = Knn.L2, refine: Int = 8): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     val survivors = qdf.join(
       coarseIds(qdf, qCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
@@ -158,14 +208,16 @@ object Quantize {
     * coarse-precision tradeoff. Same coarse + exact-rescore contract as
     * the int8 path.
     */
-  final case class Q4Model(mins: Array[Float], maxs: Array[Float]) {
+  final case class Q4Model(mins: Array[Float], maxs: Array[Float],
+                           metric: Knn.Metric = Knn.L2) {
     def dim: Int = mins.length
     def bytes: Int = (dim + 1) >> 1
     def scale(i: Int): Float = {
       val r = maxs(i) - mins(i)
       if (r == 0.0f) 1.0f else r / 15.0f
     }
-    def quantize(v: Array[Float]): Array[Byte] = {
+    def quantize(v0: Array[Float]): Array[Byte] = {
+      val v = boundQ(metric, v0)
       val out = new Array[Byte](bytes)
       var i = 0
       while (i < dim) {
@@ -196,10 +248,11 @@ object Quantize {
   }
 
   /** Train per-dimension min/max (one distributed pass — shared stats shape
-    * with the int8 trainer). */
-  def train4(df: DataFrame, vecCol: String): Q4Model = {
-    val m = train(df, vecCol)
-    Q4Model(m.mins, m.maxs)
+    * with the int8 trainer; cosine trains over the normalized companion). */
+  def train4(df: DataFrame, vecCol: String,
+             metric: Knn.Metric = Knn.L2): Q4Model = {
+    val m = train(df, vecCol, metric)
+    Q4Model(m.mins, m.maxs, metric)
   }
 
   /** Append `qCol: binary` with the packed 4-bit codes (2 dims/byte). */
@@ -226,7 +279,8 @@ object Quantize {
   def coarseIds4(qdf: DataFrame, qCol: String, idCol: String, m: Q4Model,
                  query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
-    val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
+    val qB = qdf.sparkSession.sparkContext
+      .broadcast((m, boundQ(m.metric, query)))
     qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .map { case (id, codes) =>
@@ -242,6 +296,7 @@ object Quantize {
   def searchRescore4(qdf: DataFrame, vecCol: String, qCol: String,
                      idCol: String, m: Q4Model, query: Array[Float], k: Int,
                      metric: Knn.Metric = Knn.L2, refine: Int = 12): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     val survivors = qdf.join(
       coarseIds4(qdf, qCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
@@ -254,10 +309,12 @@ object Quantize {
     * 100 TB of vectors the Hamming screen scans ~1.6 TB of codes, and
     * XOR+popcount is the cheapest distance kernel there is.
     */
-  final case class BModel(thresholds: Array[Float]) {
+  final case class BModel(thresholds: Array[Float],
+                          metric: Knn.Metric = Knn.L2) {
     def dim: Int = thresholds.length
     def words: Int = (dim + 63) >> 6
-    def binarize(v: Array[Float]): Array[Long] = {
+    def binarize(v0: Array[Float]): Array[Long] = {
+      val v = boundQ(metric, v0) // cosine bits live in normalized space
       val out = new Array[Long](words)
       var i = 0
       while (i < dim) {
@@ -282,7 +339,8 @@ object Quantize {
       * `norm = ‖r‖` and `scale = Σ|rᵢ|/d` — the LEAST-SQUARES coefficient
       * of the rank-1 model `r ≈ scale·sign(r)` (argmin_c ‖r − c·sgn‖ =
       * ⟨r,sgn⟩/d = mean |rᵢ|), where r = v − thresholds. */
-    def residualFactors(v: Array[Float]): (Float, Float) = {
+    def residualFactors(v0: Array[Float]): (Float, Float) = {
+      val v = boundQ(metric, v0) // the residual lives where the bits do
       var s2 = 0.0
       var s1 = 0.0
       var i = 0
@@ -332,9 +390,10 @@ object Quantize {
   /** Train per-dimension mean thresholds: per-partition (sum, count) array
     * accumulators, folded on the driver in partition order (deterministic
     * for a fixed partitioning; same shuffle-free rationale as [[train]]). */
-  def trainBinary(df: DataFrame, vecCol: String): BModel = {
+  def trainBinary(df: DataFrame, vecCol: String,
+                  metric: Knn.Metric = Knn.L2): BModel = {
     import df.sparkSession.implicits._
-    val partials = df.select(col(vecCol)).as[Seq[Float]]
+    val partials = df.select(boundTrainCol(vecCol, metric)).as[Seq[Float]]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var sums: Array[Double] = null
@@ -355,7 +414,7 @@ object Quantize {
       while (i < dim) { total(i) += s(i); i += 1 }
     }
     val n = partials.map(_._3).sum
-    BModel(total.map(s => (s / n).toFloat))
+    BModel(total.map(s => (s / n).toFloat), metric)
   }
 
   /** Append `bCol: array<bigint>` with the packed sign bits. */
@@ -381,6 +440,7 @@ object Quantize {
   def coarseIdsBinary(bdf: DataFrame, bCol: String, idCol: String, m: BModel,
                       query: Array[Float], n: Int): DataFrame = {
     import bdf.sparkSession.implicits._
+    // binarize normalizes internally for a cosine model
     val qB = bdf.sparkSession.sparkContext.broadcast((m, m.binarize(query)))
     bdf.select(col(idCol).cast("long").as("cid"), col(bCol))
       .as[(Long, Seq[Long])]
@@ -398,6 +458,7 @@ object Quantize {
                            idCol: String, m: BModel, query: Array[Float],
                            k: Int, metric: Knn.Metric = Knn.L2,
                            refine: Int = 16): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     val survivors = bdf.join(
       coarseIdsBinary(bdf, bCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
@@ -438,12 +499,15 @@ object Quantize {
                               idCol: String, m: BModel, query: Array[Float],
                               n: Int): DataFrame = {
     import bdf.sparkSession.implicits._
+    // the estimator lives in the trained space: normalized for a cosine
+    // model (where normalized-L2² order == cosine order), raw for L2
+    val bq = boundQ(m.metric, query)
     val qr = new Array[Double](m.dim)
     var qnorm2 = 0.0
     var sumQr = 0.0
     var i = 0
     while (i < m.dim) {
-      qr(i) = query(i).toDouble - m.thresholds(i)
+      qr(i) = bq(i).toDouble - m.thresholds(i)
       qnorm2 += qr(i) * qr(i)
       sumQr += qr(i)
       i += 1
@@ -472,11 +536,13 @@ object Quantize {
   def searchHammingRescoreResidual(bdf: DataFrame, vecCol: String,
                                    bCol: String, rCol: String, idCol: String,
                                    m: BModel, query: Array[Float], k: Int,
-                                   refine: Int = 16): DataFrame = {
+                                   refine: Int = 16,
+                                   metric: Knn.Metric = Knn.L2): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     val survivors = bdf.join(
       coarseIdsBinaryResidual(bdf, bCol, rCol, idCol, m, query, k * refine),
       Seq(idCol))
-    Knn.knn(survivors, vecCol, idCol, query, k, Knn.L2)
+    Knn.knn(survivors, vecCol, idCol, query, k, metric)
   }
 
   // ───── I9 for the quantized families: segment maintenance ─────
@@ -513,15 +579,21 @@ object Quantize {
   // math — the model is bit-reproducible across partitionings.
   // ------------------------------------------------------------------
 
-  /** codebooks(s)(c) = centroid c of subspace s (length dim/M each). */
-  final case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+  /** codebooks(s)(c) = centroid c of subspace s (length dim/M each).
+    * `metric` is the flat-family serving metric ([[requireFlatMetric]]);
+    * the IVF-ADC family trains its codebooks on residuals and keeps the
+    * default L2 here — its serving metric rides the index's marker
+    * ([[graft.vector.Ivf]]), not this field. */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]],
+                           metric: Knn.Metric = Knn.L2) {
     def m: Int = codebooks.length
     def k: Int = codebooks(0).length
     def subDim: Int = codebooks(0)(0).length
     def dim: Int = m * subDim
 
     /** Nearest codebook entry per subspace (ties → lowest index). */
-    def encode(v: Array[Float]): Array[Byte] = {
+    def encode(v0: Array[Float]): Array[Byte] = {
+      val v = boundQ(metric, v0)
       val out = new Array[Byte](m)
       var s = 0
       while (s < m) {
@@ -581,12 +653,13 @@ object Quantize {
     * rounds with lowest-index ties and empty clusters keeping their old
     * centroid. Requires dim % m == 0 and at least one training row. */
   def trainPq(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
-              k: Int = 16, sample: Int = 2048, iters: Int = 10): PqModel = {
+              k: Int = 16, sample: Int = 2048, iters: Int = 10,
+              metric: Knn.Metric = Knn.L2): PqModel = {
     import df.sparkSession.implicits._
     val rows = df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
       .orderBy(col(idCol)).limit(sample)
-      .collect().map(_._2.toArray)
+      .collect().map(r => boundQ(metric, r._2.toArray))
     require(rows.nonEmpty, "cannot train PQ on an empty table")
     val dim = rows(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -624,7 +697,7 @@ object Quantize {
       }
       cents
     }
-    PqModel(books)
+    PqModel(books, metric)
   }
 
   /** Append `qCol: binary` with the M-byte PQ codes. */
@@ -647,7 +720,8 @@ object Quantize {
   def coarseIdsPq(qdf: DataFrame, qCol: String, idCol: String, m: PqModel,
                   query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
-    val qB = qdf.sparkSession.sparkContext.broadcast((m, query))
+    val qB = qdf.sparkSession.sparkContext
+      .broadcast((m, boundQ(m.metric, query)))
     qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -667,6 +741,7 @@ object Quantize {
                       idCol: String, m: PqModel, query: Array[Float], k: Int,
                       metric: Knn.Metric = Knn.L2,
                       refine: Int = 8): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     val survivors = qdf.join(
       coarseIdsPq(qdf, qCol, idCol, m, query, k * refine), Seq(idCol))
     Knn.knn(survivors, vecCol, idCol, query, k, metric)
@@ -712,7 +787,9 @@ object Quantize {
               vecCol: String, qCol: String, sortBy: Seq[String],
               m: QModel, retrain: Boolean = false): QModel =
     compactImpl(spark, quantPath, qCol, sortBy) { base =>
-      val m2 = if (retrain) train(base, vecCol) else m
+      // retrain preserves the serving metric (cosine retrains over the
+      // normalized companion, exactly like the original training)
+      val m2 = if (retrain) train(base, vecCol, m.metric) else m
       (quantizeTable(base, vecCol, qCol, m2), m2)
     }
 
@@ -721,7 +798,7 @@ object Quantize {
                vecCol: String, qCol: String, sortBy: Seq[String],
                m: Q4Model, retrain: Boolean = false): Q4Model =
     compactImpl(spark, quantPath, qCol, sortBy) { base =>
-      val m2 = if (retrain) train4(base, vecCol) else m
+      val m2 = if (retrain) train4(base, vecCol, m.metric) else m
       (quantize4Table(base, vecCol, qCol, m2), m2)
     }
 
@@ -733,7 +810,7 @@ object Quantize {
                     sortBy: Seq[String], m: BModel,
                     retrain: Boolean = false): BModel =
     compactImpl(spark, quantPath, bCol, sortBy) { base =>
-      val m2 = if (retrain) trainBinary(base, vecCol) else m
+      val m2 = if (retrain) trainBinary(base, vecCol, m.metric) else m
       (binarizeTable(base, vecCol, bCol, m2), m2)
     }
 
@@ -844,7 +921,7 @@ object Quantize {
                            codeCols: Seq[String],
                            queries: DataFrame, qIdCol: String,
                            qVecCol: String, cIdCol: String, k: Int,
-                           metric: Knn.Metric, refine: Int,
+                           metric: Knn.Metric, refine: Int, dim: Int,
                            prep: Array[Float] => AnyRef,
                            extract: Row => AnyRef,
                            score: (AnyRef, AnyRef) => Double): DataFrame = {
@@ -908,7 +985,9 @@ object Quantize {
     // distributed equi-join against the SAME persisted query projection
     // the slices were cut from (ADVICE r16: a nondeterministic query
     // source must feed the screen and the rescore identical rows).
-    val max = Knn.maxQueryBatch(spark)
+    // byte-aware row budget (r18): the model's dim sizes both the arm
+    // decision and the over-budget slice width
+    val max = Knn.maxQueryBatch(spark, dim)
     Knn.boundedQueryBatch(queries, qIdCol, qVecCol, max) match {
       case Some(qRows) =>
         val qB = spark.sparkContext.broadcast(qRows)
@@ -946,13 +1025,15 @@ object Quantize {
                    idCol: String, m: QModel,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
                    cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
-                   refine: Int = 8): DataFrame =
+                   refine: Int = 8): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
-      cIdCol, k, metric, refine,
-      prep = q => q,
+      cIdCol, k, metric, refine, m.dim,
+      prep = q => boundQ(m.metric, q),
       extract = r => r.getAs[Array[Byte]](1),
       score = (c, p) =>
         m.l2(c.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Float]]))
+  }
 
   /** [[knnJoinQuant]] for the 4-bit family (packed nibbles, 8× smaller
     * screen bytes; refine default matches [[searchRescore4]]'s). */
@@ -960,13 +1041,15 @@ object Quantize {
                     idCol: String, m: Q4Model,
                     queries: DataFrame, qIdCol: String, qVecCol: String,
                     cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
-                    refine: Int = 12): DataFrame =
+                    refine: Int = 12): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
-      cIdCol, k, metric, refine,
-      prep = q => q,
+      cIdCol, k, metric, refine, m.dim,
+      prep = q => boundQ(m.metric, q),
       extract = r => r.getAs[Array[Byte]](1),
       score = (c, p) =>
         m.l2(c.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Float]]))
+  }
 
   /** [[knnJoinQuant]] for the binary family: Hamming screen over the
     * packed sign bits, or — with `rCol` naming the stored residual-factor
@@ -979,22 +1062,26 @@ object Quantize {
                     queries: DataFrame, qIdCol: String, qVecCol: String,
                     cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
                     refine: Int = 16,
-                    rCol: Option[String] = None): DataFrame =
+                    rCol: Option[String] = None): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     rCol match {
       case None =>
         screenedJoin(bdf, vecCol, idCol, Seq(bCol), queries, qIdCol,
-          qVecCol, cIdCol, k, metric, refine,
-          prep = q => m.binarize(q),
+          qVecCol, cIdCol, k, metric, refine, m.dim,
+          prep = q => m.binarize(q), // binarize bounds internally
           extract = r => r.getSeq[Long](1).toArray,
           score = (c, p) => m.hamming(c.asInstanceOf[Array[Long]],
             p.asInstanceOf[Array[Long]]).toDouble)
       case Some(rc) =>
-        require(metric == Knn.L2,
-          "the residual-corrected screen is an L2 estimator")
+        // the residual estimator is an L2² construction in the TRAINED
+        // space: raw for L2, normalized for cosine (where normalized-L2²
+        // order == cosine order) — requireFlatMetric above already pinned
+        // metric == m.metric
         screenedJoin(bdf, vecCol, idCol,
           Seq(bCol, s"$rc.norm", s"$rc.scale"), queries, qIdCol, qVecCol,
-          cIdCol, k, metric, refine,
-          prep = q => {
+          cIdCol, k, metric, refine, m.dim,
+          prep = q0 => {
+            val q = boundQ(m.metric, q0)
             val qr = new Array[Double](m.dim)
             var qn2 = 0.0
             var sq = 0.0
@@ -1017,6 +1104,7 @@ object Quantize {
             m.estimateL2(code, rn, rs, qr, qn2, sq)
           })
     }
+  }
 
   /** [[knnJoinQuant]] for the PQ family: one M×K ADC table per query per
     * partition, M byte-lookups per (row, query) — 32× fewer screen bytes
@@ -1027,11 +1115,13 @@ object Quantize {
                 idCol: String, m: PqModel,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
                 cIdCol: String, k: Int, metric: Knn.Metric = Knn.L2,
-                refine: Int = 32): DataFrame =
+                refine: Int = 32): DataFrame = {
+    requireFlatMetric(m.metric, metric)
     screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
-      cIdCol, k, metric, refine,
-      prep = q => m.adcTable(q),
+      cIdCol, k, metric, refine, m.dim,
+      prep = q => m.adcTable(boundQ(m.metric, q)),
       extract = r => r.getAs[Array[Byte]](1),
       score = (c, p) => m.adc(c.asInstanceOf[Array[Byte]],
         p.asInstanceOf[Array[Double]]))
+  }
 }

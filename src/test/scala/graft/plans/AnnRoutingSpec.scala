@@ -804,4 +804,106 @@ class AnnRoutingSpec extends AnyFunSuite {
       queriesDf, "query_id", "embedding", "corpus_id", 4), "quant leg")
     AnnRouting.unregister(SparkT.spark, qt)
   }
+
+  test("cosine flat families route the 1-cosine_sim sort key; L2 keys refuse them (r18)") {
+    import graft.vector.Quantize
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = vectors.toDF("vec_id", "embedding", "label")
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val wantCos = vectors.map { case (id, v, _) => (cosDist(v, query), id) }
+      .sorted.take(10).map(_._2)
+    def joins(d: DataFrame) = d.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    // int8 cosine model: the cosine top-k routes through the screen splice
+    val tmp = Files.createTempDirectory("graft-annroute-cos")
+    val qt = tmp.resolve("qcos").toString
+    val m = Quantize.train(df, "embedding", Knn.Cosine)
+    Writer.write(Quantize.quantizeTable(df, "embedding", "qvec", m),
+      qt, sortBy = Seq("vec_id"))
+    AnnRouting.registerQuant(SparkT.spark, qt, qt, m,
+      vecCol = "embedding", idCol = "vec_id", refine = 16)
+    val routed = Knn.knn(SparkT.spark.read.parquet(qt),
+      "embedding", "vec_id", query, 10, Knn.Cosine)
+    assert(joins(routed).nonEmpty,
+      routed.queryExecution.optimizedPlan.toString)
+    assert(routed.select("vec_id").as[Long].collect().toSeq === wantCos)
+    // an L2 sort key over the cosine registration must NOT route
+    val l2q = Knn.knn(SparkT.spark.read.parquet(qt),
+      "embedding", "vec_id", query, 10, Knn.L2)
+    assert(joins(l2q).isEmpty)
+    AnnRouting.unregister(SparkT.spark, qt)
+    // binary residual cosine model: same dispatch contract
+    val bt = tmp.resolve("bcos").toString
+    val mb = Quantize.trainBinary(df, "embedding", Knn.Cosine)
+    Writer.write(Quantize.binarizeTableResidual(df, "embedding", "bvec",
+      "rfac", mb), bt, sortBy = Seq("vec_id"))
+    AnnRouting.registerBinary(SparkT.spark, bt, bt, mb,
+      vecCol = "embedding", idCol = "vec_id", refine = 48,
+      rCol = Some("rfac"))
+    val routedB = Knn.knn(SparkT.spark.read.parquet(bt),
+      "embedding", "vec_id", query, 10, Knn.Cosine)
+    assert(joins(routedB).nonEmpty)
+    assert(routedB.select("vec_id").as[Long].collect().toSeq === wantCos)
+    AnnRouting.unregister(SparkT.spark, bt)
+    // the L2-model registration (the shared r10 fixture behavior) keeps
+    // refusing cosine keys — familyMetric now reads the model
+    val qtL2 = tmp.resolve("ql2").toString
+    val mL2 = Quantize.train(df, "embedding")
+    Writer.write(Quantize.quantizeTable(df, "embedding", "qvec", mL2),
+      qtL2, sortBy = Seq("vec_id"))
+    AnnRouting.registerQuant(SparkT.spark, qtL2, qtL2, mL2,
+      vecCol = "embedding", idCol = "vec_id")
+    val cosOverL2 = Knn.knn(SparkT.spark.read.parquet(qtL2),
+      "embedding", "vec_id", query, 10, Knn.Cosine)
+    assert(joins(cosOverL2).isEmpty)
+    AnnRouting.unregister(SparkT.spark, qtL2)
+  }
+
+  test("unregistered batch join past the product threshold warns; registered/small ones do not (r18)") {
+    val queriesDf = vectors.take(5).map(v => (v._1, v._2))
+      .toDF("query_id", "embedding")
+    val un = Files.createTempDirectory("graft-annguard").resolve("u").toString
+    SparkT.spark.read.parquet(baseDir).write.parquet(un)
+    // 5 queries x 300 corpus rows = 1500 pairs: over a threshold of 1000
+    SparkT.spark.conf
+      .set("spark.graft.knnJoin.unindexedProductWarn", "1000")
+    try {
+      val before = AnnRouting.unindexedJoinWarnings.get()
+      AnnRouting.knnJoin(SparkT.spark, un, "embedding", "vec_id",
+        queriesDf, "query_id", "embedding", "corpus_id", 4)
+      assert(AnnRouting.unindexedJoinWarnings.get() > before,
+        "an unregistered join past the threshold must warn")
+      // the REGISTERED base never consults the guard (indexed leg)
+      val beforeReg = AnnRouting.unindexedJoinWarnings.get()
+      AnnRouting.knnJoin(SparkT.spark, baseDir, "embedding", "vec_id",
+        queriesDf, "query_id", "embedding", "corpus_id", 4)
+      assert(AnnRouting.unindexedJoinWarnings.get() === beforeReg)
+      // a small product stays silent
+      SparkT.spark.conf
+        .set("spark.graft.knnJoin.unindexedProductWarn", "1e7")
+      val beforeSmall = AnnRouting.unindexedJoinWarnings.get()
+      AnnRouting.knnJoin(SparkT.spark, un, "embedding", "vec_id",
+        queriesDf, "query_id", "embedding", "corpus_id", 4)
+      assert(AnnRouting.unindexedJoinWarnings.get() === beforeSmall)
+      // strict mode refuses outright
+      SparkT.spark.conf
+        .set("spark.graft.knnJoin.unindexedProductWarn", "1000")
+      SparkT.spark.conf.set("spark.graft.knnJoin.unindexedStrict", "true")
+      assertThrows[IllegalStateException] {
+        AnnRouting.knnJoin(SparkT.spark, un, "embedding", "vec_id",
+          queriesDf, "query_id", "embedding", "corpus_id", 4)
+      }
+    } finally {
+      SparkT.spark.conf.unset("spark.graft.knnJoin.unindexedProductWarn")
+      SparkT.spark.conf.unset("spark.graft.knnJoin.unindexedStrict")
+    }
+  }
 }

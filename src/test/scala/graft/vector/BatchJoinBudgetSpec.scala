@@ -157,6 +157,123 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
     assert(overBudget(gop, distributed = true) === basep)
   }
 
+  // ───────────── byte-aware budget (r18, VERDICT r17 #1) ─────────────
+
+  test("byte budget derives the row budget from dim: rows = bytes/(16+4*dim), row conf still caps") {
+    val s = SparkT.spark
+    s.conf.set("spark.graft.knnJoin.maxQueryBatchBytes", (1L << 20).toString)
+    try {
+      // narrow vectors: many rows fit a MB
+      assert(Knn.maxQueryBatch(s, 8) === (1 << 20) / (16 + 4 * 8))
+      // dim-1536 embeddings (the engine's own provider catalog): the SAME
+      // byte budget derives a ~128x smaller row budget
+      assert(Knn.maxQueryBatch(s, 1536) === (1 << 20) / (16 + 4 * 1536))
+      // unknown dim (empty batch): the row cap alone applies
+      assert(Knn.maxQueryBatch(s) === (1 << 16))
+      // the row conf is an additional cap, never raised by bytes
+      s.conf.set("spark.graft.knnJoin.maxQueryBatch", "100")
+      assert(Knn.maxQueryBatch(s, 8) === 100)
+      // a derived budget never drops below one row
+      s.conf.set("spark.graft.knnJoin.maxQueryBatchBytes", "1")
+      s.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+      assert(Knn.maxQueryBatch(s, 1536) === 1)
+    } finally {
+      s.conf.unset("spark.graft.knnJoin.maxQueryBatchBytes")
+      s.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+    }
+  }
+
+  test("arm engagement flips on byte pressure ALONE: row conf untouched, identical rows") {
+    val m = Quantize.train(emb, "embedding")
+    val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", m)
+    val q2 = queries.withColumnRenamed("qvec", "qvec2")
+    def go = Quantize.knnJoinQuant(qdf, "embedding", "qvec", "vec_id", m,
+      q2, "qid", "qvec2", "vec_id", k = 5)
+    val base = rows(go)
+    assert(base.nonEmpty)
+    // dim 64 → 272 B/row → 1100 B derives a 4-row budget; the 20-row
+    // batch is decisively over on BYTES while the row conf stays default
+    SparkT.spark.conf.set("spark.graft.knnJoin.maxQueryBatchBytes", "1100")
+    try {
+      val before = Knn.overBudgetJoins.get()
+      val beforeD = Knn.distributedScreens.get()
+      assert(rows(go) === base)
+      assert(Knn.overBudgetJoins.get() > before,
+        "byte pressure alone must engage the scale arm")
+      assert(Knn.distributedScreens.get() > beforeD)
+    } finally
+      SparkT.spark.conf.unset("spark.graft.knnJoin.maxQueryBatchBytes")
+  }
+
+  // ───────── deterministic projection release (r18, VERDICT r17 #3) ─────────
+
+  /** Poll until the listener bus delivers the post-action release. */
+  private def awaitDrained(): Unit = {
+    val deadline = System.currentTimeMillis + 30000
+    while (Knn.livePersistedCount > 0 &&
+           System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(Knn.livePersistedCount === 0,
+      "persisted query projections must release after the terminal action")
+  }
+
+  test("over-budget projections unpersist after the terminal action on every persisted leg") {
+    val q2 = queries.withColumnRenamed("qvec", "qvec2")
+    // flat screened leg
+    val m = Quantize.train(emb, "embedding")
+    val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", m)
+    val base = rows(Quantize.knnJoinQuant(qdf, "embedding", "qvec",
+      "vec_id", m, q2, "qid", "qvec2", "vec_id", k = 5))
+    withBudget(4) {
+      // screen/rescore row identity is preserved THROUGH the release
+      // machinery (the persist exists for identity; release must not
+      // break it within one action)
+      assert(rows(Quantize.knnJoinQuant(qdf, "embedding", "qvec", "vec_id",
+        m, q2, "qid", "qvec2", "vec_id", k = 5)) === base)
+      awaitDrained()
+    }
+    // IVF-ADC leg
+    val dir = Files.createTempDirectory("graft-rel-pq").resolve("i").toString
+    val im = Ivf.train(emb, "embedding", nlist = 4)
+    val pq = Ivf.buildIndexPq(emb, "embedding", "vec_id", im, dir)
+    withBudget(4) {
+      assert(Ivf.knnJoinPq(SparkT.spark, dir, im, pq, q2, "qid", "qvec2",
+        "vec_id", "vec_id", "embedding", k = 5, nprobe = 4,
+        refine = 160).count() > 0)
+      awaitDrained()
+    }
+    // quantized-graph leg
+    val gd = Files.createTempDirectory("graft-rel-qg").resolve("g").toString
+    Hnsw.buildIndexClusteredQuantized(emb, "embedding", "vec_id", gd,
+      Params(m = 8, efC = 64, partitions = 4))
+    withBudget(4) {
+      assert(Hnsw.knnJoinQuantized(SparkT.spark, gd, emb, "vec_id",
+        "embedding", q2, "qid", "qvec2", "vec_id", k = 5,
+        ef = 1 << 20).count() > 0)
+      awaitDrained()
+    }
+  }
+
+  test("a never-actioned over-budget plan is bounded by the retained cap") {
+    val m = Quantize.train(emb, "embedding")
+    val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", m)
+    val q2 = queries.withColumnRenamed("qvec", "qvec2")
+    SparkT.spark.conf
+      .set("spark.graft.knnJoin.maxPersistedQueryProjections", "2")
+    try withBudget(4) {
+      // build (never act on) several over-budget joins: the FIFO cap
+      // unpersists the oldest, so retained projections never exceed it
+      (1 to 5).foreach { _ =>
+        Quantize.knnJoinQuant(qdf, "embedding", "qvec", "vec_id", m,
+          q2, "qid", "qvec2", "vec_id", k = 5)
+      }
+      assert(Knn.livePersistedCount <= 2)
+      // an action on a FRESH join still drains everything it consumed
+      assert(rows(Quantize.knnJoinQuant(qdf, "embedding", "qvec", "vec_id",
+        m, q2, "qid", "qvec2", "vec_id", k = 5)).nonEmpty)
+    } finally SparkT.spark.conf
+      .unset("spark.graft.knnJoin.maxPersistedQueryProjections")
+  }
+
   private def Params(m: Int, efC: Int, partitions: Int) =
     Hnsw.Params(m, efC, partitions)
 }

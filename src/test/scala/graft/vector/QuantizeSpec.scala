@@ -333,6 +333,110 @@ class QuantizeSpec extends AnyFunSuite {
       "pq")
   }
 
+  // ─────── cosine serving for the flat families (r18, VERDICT r17 #2) ───────
+
+  test("cosine: every flat family's screen+rescore equals the exact cosine top-k") {
+    val q = emb.where($"vec_id" === 3).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10, Knn.Cosine)
+      .select("vec_id").as[Long].collect().toSeq
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").as[Long].collect().toSeq
+    // int8: normalized-companion codes, exact cosine rescore on raw floats
+    val m8 = Quantize.train(emb, "embedding", Knn.Cosine)
+    val q8 = Quantize.quantizeTable(emb, "embedding", "qvec", m8)
+    assert(ids(Quantize.searchRescore(q8, "embedding", "qvec", "vec_id",
+      m8, q, 10, Knn.Cosine)) === exact, "int8")
+    // 4-bit
+    val m4 = Quantize.train4(emb, "embedding", Knn.Cosine)
+    val q4 = Quantize.quantize4Table(emb, "embedding", "q4vec", m4)
+    assert(ids(Quantize.searchRescore4(q4, "embedding", "q4vec", "vec_id",
+      m4, q, 10, Knn.Cosine, refine = 24)) === exact, "4-bit")
+    // binary (plain Hamming screen over normalized-space sign bits)
+    val mb = Quantize.trainBinary(emb, "embedding", Knn.Cosine)
+    val bdf = Quantize.binarizeTable(emb, "embedding", "bvec", mb)
+    assert(ids(Quantize.searchHammingRescore(bdf, "embedding", "bvec",
+      "vec_id", mb, q, 10, Knn.Cosine, refine = 24)) === exact, "binary")
+    // binary residual-corrected: the L2² estimator lives in the
+    // normalized space, where its order IS the cosine order
+    val rdf = Quantize.binarizeTableResidual(emb, "embedding", "bvec",
+      "rfac", mb)
+    assert(ids(Quantize.searchHammingRescoreResidual(rdf, "embedding",
+      "bvec", "rfac", "vec_id", mb, q, 10, refine = 16,
+      metric = Knn.Cosine)) === exact, "binary residual")
+    // flat PQ
+    val mpq = Quantize.trainPq(emb, "embedding", "vec_id",
+      metric = Knn.Cosine)
+    val qpq = Quantize.quantizePqTable(emb, "embedding", "pqvec", mpq)
+    assert(ids(Quantize.searchRescorePq(qpq, "embedding", "pqvec",
+      "vec_id", mpq, q, 10, Knn.Cosine, refine = 24)) === exact, "pq")
+  }
+
+  test("cosine: screened batch joins equal the exact cosine knn join") {
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queriesDf = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Knn.knnJoin(queriesDf,
+        corpus.select($"vec_id".as("corpus_id"), $"embedding"),
+        "query_id", "embedding", "corpus_id", "embedding", k = 5,
+        Knn.Cosine)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    def run(got: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val s = got.select("query_id", "corpus_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(s === exact, label)
+    }
+    val m8 = Quantize.train(corpus, "embedding", Knn.Cosine)
+    val q8 = Quantize.quantizeTable(corpus, "embedding", "qvec", m8)
+    run(Quantize.knnJoinQuant(q8, "embedding", "qvec", "vec_id", m8,
+      queriesDf, "query_id", "embedding", "corpus_id", 5, Knn.Cosine,
+      refine = 48), "int8 cosine")
+    val mb = Quantize.trainBinary(corpus, "embedding", Knn.Cosine)
+    val rdf = Quantize.binarizeTableResidual(corpus, "embedding", "bvec",
+      "rfac", mb)
+    run(Quantize.knnJoinBinary(rdf, "embedding", "bvec", "vec_id", mb,
+      queriesDf, "query_id", "embedding", "corpus_id", 5, Knn.Cosine,
+      refine = 48, rCol = Some("rfac")), "binary residual cosine")
+  }
+
+  test("cosine: metric mismatch between model and serving call is rejected") {
+    val mL2 = Quantize.train(emb, "embedding")
+    val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", mL2)
+    val q = Array.fill(64)(0.1f)
+    // an L2-trained model cannot serve cosine (codes live in raw space)
+    assertThrows[IllegalArgumentException] {
+      Quantize.searchRescore(qdf, "embedding", "qvec", "vec_id", mL2, q,
+        5, Knn.Cosine)
+    }
+    // a cosine-trained model cannot serve L2 either
+    val mCos = Quantize.train(emb, "embedding", Knn.Cosine)
+    assertThrows[IllegalArgumentException] {
+      Quantize.searchRescore(qdf, "embedding", "qvec", "vec_id", mCos, q,
+        5, Knn.L2)
+    }
+    // IP stays out of the flat families (serve it as cosine over a
+    // normalized corpus, the reference's own equivalence)
+    assertThrows[IllegalArgumentException] {
+      Quantize.knnJoinQuant(qdf, "embedding", "qvec", "vec_id", mL2,
+        emb.select($"vec_id".as("qid"), $"embedding".as("qv")),
+        "qid", "qv", "vec_id", 5, Knn.IP)
+    }
+  }
+
+  test("cosine: append with the frozen cosine model encodes in the normalized space (I9)") {
+    // the appended batch rides the SAME quantize() the build used — the
+    // internal normalization means drifted RAW magnitudes cannot move a
+    // cosine code (scale invariance carries into the codes)
+    val m8 = Quantize.train(emb, "embedding", Knn.Cosine)
+    val v = emb.where($"vec_id" === 7).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val scaled = v.map(_ * 37.5f)
+    assert(m8.quantize(v).toSeq === m8.quantize(scaled).toSeq)
+    val mb = Quantize.trainBinary(emb, "embedding", Knn.Cosine)
+    assert(mb.binarize(v).toSeq === mb.binarize(scaled).toSeq)
+  }
+
   test("screened join at low refine: coarse economy keeps high recall (r15)") {
     // The accuracy/cost knob: a tight refine screens far fewer candidates
     // into the rescore; on the fixture the int8 coarse ranking is close
