@@ -760,6 +760,59 @@ object BenchScale {
       }
       allOk &&= deepOk
       fl.put("deep_scale_ok", deepOk)
+      // r18 (VERDICT r17 #7): routed-graph RECALL at the second scaling
+      // decade — the 10x block pins recall@10 >= 0.95 at serving ef=64;
+      // this row extends the index-economics claim to the 25x corpus at
+      // the same beam width and protocol (tie-inclusive: replica jitter
+      // lands near-neighbors within ~1e-9).
+      locally {
+        import graft.vector.{Hnsw, Knn}
+        val embPath = s"$dst25/embeddings.parquet"
+        val idxPath = s"$dst25/hnswc_recall64"
+        val done = new org.apache.hadoop.fs.Path(
+          Hnsw.routePath(idxPath), "_SUCCESS")
+        val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(done))
+          // partitions scale with the corpus so per-sub-graph rows match
+          // the 10x index's (~6k): the recall point isolates CORPUS scale,
+          // not sub-graph-size drift
+          Hnsw.buildIndexClustered(spark.read.parquet(embPath), "embedding",
+            "vec_id", idxPath, Hnsw.Params(m = 8, efC = 64, partitions = 80))
+        val emb = spark.read.parquet(embPath)
+        import spark.implicits._
+        val qs = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val k = 10
+        var recSum = 0.0
+        var probedSum = 0L
+        qs.foreach { case (_, qv) =>
+          val q = qv.toArray
+          val nn = Knn.knn(emb, "embedding", "vec_id", q, 20 * k)
+            .select(col("vec_id"), col("dist")).as[(Long, Double)].collect()
+          val dk = nn(k - 1)._2
+          val tieSet = nn.iterator.filter(_._2 <= dk + 1e-9).map(_._1).toSet
+          val (routedDf, probed) = Hnsw.searchRouted(spark, idxPath,
+            "vec_id", q, k, ef = 64)
+          val got = routedDf.select(col("vec_id")).as[Long].collect().toSet
+          recSum += got.count(tieSet.contains).toDouble / k
+          probedSum += probed
+        }
+        val meanRecall = recSum / qs.length
+        val meanProbed = probedSum.toDouble / qs.length
+        val subGraphs = spark.read.parquet(Hnsw.routePath(idxPath)).count()
+        val floorOk = meanRecall >= 0.95
+        allOk &&= floorOk
+        val g = root.putObject("graph_recall_25x")
+        g.put("factor", factor25)
+        g.put("ef", 64); g.put("k", k); g.put("queries", qs.length)
+        g.put("mean_recall", math.round(meanRecall * 1e4) / 1e4)
+        g.put("mean_probed_subgraphs", math.round(meanProbed * 100) / 100.0)
+        g.put("total_subgraphs", subGraphs)
+        g.put("floor_ok", floorOk)
+        println(f"graph recall@10 ef=64 AT 25x: $meanRecall%.4f  " +
+          f"probed $meanProbed%.1f/$subGraphs sub-graphs  ok=$floorOk")
+      }
     }
     root.put("loadavg_end", loadavg())
     root.put("all_linear_ok", allOk)

@@ -9,16 +9,31 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   * (`{"model": {"type": "Unigram", "unk_id": N, "vocab": [[piece,
   * logprob], ...]}}` — piece id = position in the vocab array):
   *
-  *  1. pre-tokenize on whitespace and mark each word with the ▁ (U+2581)
-  *     word-boundary prefix (SentencePiece's `add_dummy_prefix` +
-  *     whitespace-delimited treatment — pieces never span a word
-  *     boundary because ▁ appears only word-initially);
+  *  1. pre-tokenize on UNICODE whitespace (r18 — `(?U)\s+`, so U+00A0 /
+  *     U+3000-separated text splits like ASCII-spaced text) and mark each
+  *     word with the ▁ (U+2581) word-boundary prefix (SentencePiece's
+  *     `add_dummy_prefix` + whitespace-delimited treatment — pieces never
+  *     span a word boundary because ▁ appears only word-initially);
   *  2. VITERBI-segment each marked word: the piece sequence maximizing
   *     the sum of piece log-probs (the unigram decode — exact dynamic
   *     program, not greedy longest-match);
-  *  3. a character no piece covers becomes one `unk_id` token at a score
-  *     below every real piece (SentencePiece's unk penalty), so decoding
-  *     always completes.
+  *  3. a character no piece covers falls back to its UTF-8 BYTE pieces
+  *     when the vocab ships them (`<0xNN>` — the Llama-family
+  *     `byte_fallback` layout; byte pieces score at their vocab
+  *     log-probs and, like the unk piece, are never matchable as literal
+  *     text), else to one `unk_id` token at a score below every real
+  *     piece (SentencePiece's unk penalty). A model with NO unk piece
+  *     (`unk_id: null` — legal in the HF layout) and no byte coverage
+  *     REJECTS un-coverable text loudly instead of mis-tokenizing it.
+  *
+  * SUPPORTED SUBSET (documented per ADVICE r17): whitespace runs are
+  * treated as ONE boundary — pieces containing INTERNAL ▁ (multi-space /
+  * indentation pieces, e.g. "▁▁" in code-tuned vocabs, or cross-word
+  * pieces like "▁of▁the") can never match under the word-split
+  * architecture. Checkpoints relying on those pieces tokenize correctly
+  * but sub-optimally (their words segment through the remaining vocab);
+  * single-boundary text — the gates' corpus class — reproduces the
+  * checkpoint segmentation exactly.
   *
   * This closes the tokenizer gap behind the RoPE decoder
   * ([[Decoder]] — the GPT-NeoX/LLaMA checkpoint family tokenizes with
@@ -38,18 +53,37 @@ object SentencePiece {
     * BLOCK). */
   val WordBoundary: Char = '▁'
 
+  /** `unkId = -1` = the model ships NO unk piece (`unk_id: null` in the
+    * HF layout, ADVICE r17): no unk arc exists, and text neither the
+    * vocab nor the byte pieces cover is REJECTED — defaulting it to
+    * piece 0 would silently mark that piece unmatchable and change the
+    * segmentation of any text containing its literal string. */
   final case class Model(pieces: Array[String], scores: Array[Double],
                          unkId: Int) {
     require(pieces.nonEmpty, "empty unigram vocab")
-    require(unkId >= 0 && unkId < pieces.length,
-      s"unk_id $unkId out of [0, ${pieces.length})")
+    require(unkId == -1 || (unkId >= 0 && unkId < pieces.length),
+      s"unk_id $unkId out of [0, ${pieces.length}) (or -1 = none)")
+    // byte-fallback pieces (<0xNN> — the Llama-family layout): byte
+    // value → piece id. Like the unk piece they are IDs, not matchable
+    // text (SentencePiece types them BYTE, never TEXT).
+    @transient private lazy val byteIds: Map[Int, Int] = {
+      val re = "^<0x([0-9A-Fa-f]{2})>$".r
+      pieces.zipWithIndex.flatMap {
+        case (re(h), i) => Some(Integer.parseInt(h, 16) -> i)
+        case _ => None
+      }.toMap
+    }
     // the unk piece is an ID, not matchable text (SentencePiece treats
     // UNKNOWN-type pieces the same way): a document containing the
     // literal "<unk>" string must segment through chars/unk arcs, never
     // match the piece — its score (often 0.0, the best in the vocab)
     // would otherwise hijack the Viterbi (review r17-2-1)
-    @transient private lazy val ids: Map[String, Int] =
-      pieces.zipWithIndex.filter(_._2 != unkId).toMap
+    @transient private lazy val ids: Map[String, Int] = {
+      val excluded = byteIds.values.toSet
+      pieces.zipWithIndex
+        .filter { case (_, i) => i != unkId && !excluded.contains(i) }
+        .toMap
+    }
     @transient private lazy val maxPieceLen: Int =
       pieces.iterator.map(_.length).max
     /** Largest piece id — [[Decoder]]'s embedding-row bound check. */
@@ -66,7 +100,11 @@ object SentencePiece {
 
     /** Exact unigram Viterbi over one ▁-marked word: best[i] = max score
       * covering the prefix of length i; arcs are vocab pieces ending at i
-      * (longest-first on ties) plus the single-char unk arc. */
+      * (longest-first on ties) plus — for a codepoint no piece covers —
+      * its UTF-8 byte-piece arc (when the vocab ships <0xNN> pieces,
+      * scored at their vocab log-probs) or the single-codepoint unk arc.
+      * A model with neither (unk_id: null, no byte pieces) rejects
+      * un-coverable text. */
     def segment(marked: String): Array[Int] = {
       val cached = cache.get(marked)
       if (cached != null) return cached
@@ -74,6 +112,8 @@ object SentencePiece {
       val best = Array.fill(n + 1)(Double.NegativeInfinity)
       val back = new Array[Int](n + 1) // arc start
       val piece = new Array[Int](n + 1) // arc piece id (unkId for unk arc)
+      // byte-fallback arcs emit SEVERAL ids per arc — parallel store
+      var fb: Array[Array[Int]] = null
       best(0) = 0.0
       var i = 1
       while (i <= n) {
@@ -97,39 +137,68 @@ object SentencePiece {
             j += 1
           }
           if (best(i) == Double.NegativeInfinity) {
-            // no piece ends here: one unk arc per CODEPOINT keeps
-            // decoding (two units when a surrogate pair ends at i)
+            // no piece ends here: cover the codepoint ending at i (two
+            // UTF-16 units for a surrogate pair) through byte pieces
+            // when available (the SentencePiece byte_fallback contract),
+            // else one unk arc. −inf propagates through either (a
+            // position only a longer piece can span stays unreachable
+            // until that piece's end).
             val w = if (i >= 2 && Character.isLowSurrogate(marked.charAt(i - 1)) &&
               Character.isHighSurrogate(marked.charAt(i - 2))) 2 else 1
-            best(i) = best(i - w) + unkScore
-            back(i) = i - w
-            piece(i) = unkId
+            val bytes =
+              if (byteIds.isEmpty) null
+              else marked.substring(i - w, i)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (bytes != null && bytes.forall(b => byteIds.contains(b & 0xff))) {
+              var s = best(i - w)
+              val arcIds = new Array[Int](bytes.length)
+              var bi = 0
+              while (bi < bytes.length) {
+                val pid = byteIds(bytes(bi) & 0xff)
+                s += scores(pid); arcIds(bi) = pid; bi += 1
+              }
+              best(i) = s; back(i) = i - w
+              if (fb == null) fb = new Array[Array[Int]](n + 1)
+              fb(i) = arcIds
+            } else if (unkId >= 0) {
+              best(i) = best(i - w) + unkScore
+              back(i) = i - w
+              piece(i) = unkId
+            }
           }
         }
         i += 1
       }
+      require(n == 0 || best(n) != Double.NegativeInfinity,
+        s"unigram model cannot cover '$marked': the vocab lacks pieces " +
+          "for some characters and the model has neither byte-fallback " +
+          "pieces (<0xNN>) nor an unk_id")
       val out = Array.newBuilder[Int]
-      val rev = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val rev = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       var p = n
-      while (p > 0) { rev += piece(p); p = back(p) }
-      rev.reverseIterator.foreach(out += _)
+      while (p > 0) {
+        rev += (if (fb != null && fb(p) != null) fb(p) else Array(piece(p)))
+        p = back(p)
+      }
+      rev.reverseIterator.foreach(out ++= _)
       val arr = out.result()
       if (cache.size >= CacheCap) cache.clear()
       cache.put(marked, arr)
       arr
     }
 
-    /** Token ids of `text`: whitespace words, each ▁-marked and
+    /** Token ids of `text`: UNICODE-whitespace words ((?U)\s — NBSP,
+      * ideographic space, NEL all split; r18 ADVICE), each ▁-marked and
       * Viterbi-segmented. Empty/whitespace-only text → no tokens. */
     def encode(text: String): Array[Int] =
-      Option(text).getOrElse("").trim.split("\\s+").iterator
+      Option(text).getOrElse("").strip.split("(?U)\\s+").iterator
         .filter(_.nonEmpty)
         .flatMap(w => segment(WordBoundary + w))
         .toArray
 
     def countTokens(text: String): Int = {
       var n = 0
-      Option(text).getOrElse("").trim.split("\\s+").iterator
+      Option(text).getOrElse("").strip.split("(?U)\\s+").iterator
         .filter(_.nonEmpty)
         .foreach(w => n += segment(WordBoundary + w).length)
       n
@@ -180,7 +249,13 @@ object SentencePiece {
     val ps = pieces.result()
     require(ps.toSet.size == ps.length,
       "tokenizer.json vocab has duplicate pieces")
-    val unkId = Option(model.get("unk_id")).map(_.asInt()).getOrElse(0)
+    // HF allows unk_id: null (and absence) — that means NO unk piece
+    // (sentinel -1, no unk arc), NOT piece 0: defaulting to 0 would
+    // silently mark piece 0 unmatchable and change the segmentation of
+    // text containing its literal string (ADVICE r17)
+    val unkNode = model.get("unk_id")
+    val unkId =
+      if (unkNode == null || unkNode.isNull) -1 else unkNode.asInt()
     Model(ps, scores.result(), unkId)
   }
 
@@ -208,7 +283,8 @@ object SentencePiece {
     val root = om.createObjectNode()
     val model = root.putObject("model")
     model.put("type", "Unigram")
-    model.put("unk_id", unkId)
+    if (unkId == -1) model.putNull("unk_id") // the no-unk-piece layout
+    else model.put("unk_id", unkId)
     val arr = model.putArray("vocab")
     vocab.foreach { case (p, s) =>
       val e = arr.addArray(); e.add(p); e.add(s)

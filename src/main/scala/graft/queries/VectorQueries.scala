@@ -1064,6 +1064,43 @@ object VectorQueries {
       },
       Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)"))),
 
+    // K6 COSINE on the flat int8 family (r18, VERDICT r17 #2 — the
+    // reference serves cosine on every quantized index, knn/knn.h:32-37:
+    // cosine = IP over normalized; the quantizer applies to all spaces,
+    // knn/quantizer.cpp:45-700): the model trains over the
+    // unit-normalized companion, codes live in that space
+    // (normalized-L2 order == cosine order), the exact rescore runs the
+    // cosine kernel on raw floats. AUTOMATICALLY ROUTED: the model's
+    // trained metric dispatches the `1 - cosine_sim` sort key through
+    // the coarse screen splice — shares the cosine fullscan oracle.
+    "q_knn_quant_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantCosIndex(s, d)
+        graft.plans.AnnRouting.registerQuant(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", qCol = "qvec",
+          refine = 16)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
+    // K6 COSINE on the residual-corrected binary family (r18): sign bits
+    // + residual factors all live in the normalized space, where the
+    // magnitude-aware L2² estimate orders as cosine; the routed plan's
+    // untouched Sort/Limit is the exact cosine rescore on raw floats.
+    "q_knn_binary_res_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = binResCosIndex(s, d)
+        graft.plans.AnnRouting.registerBinary(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", bCol = "bvec",
+          refine = 40, rCol = Some("bres"))
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
     // I9+K4 on the GRAPH family (r10 VERDICT #1 — the reference's RT flow
     // rebuilds per-segment KNN indexes incrementally, knn/knn.cpp:638-786,
     // knn/knn.h:135-144): the index is built clustered on ~90% of the
@@ -1758,6 +1795,42 @@ object VectorQueries {
     binResCache.getOrElseUpdate(d, {
       val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/binr_embeddings"
       val m = Quantize.trainBinary(t(s, d, "embeddings"), "embedding")
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val bdf = Quantize.binarizeTableResidual(t(s, d, "embeddings"),
+          "embedding", "bvec", "bres", m)
+        graft.tables.Writer.write(bdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // COSINE int8 table (r18): the model trains over the unit-normalized
+  // companion and quantize() binds each row into that space internally —
+  // same deterministic derivation contract as quantIndex.
+  private val quantCosCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.QModel, String)]
+
+  private def quantCosIndex(s: SparkSession, d: String): (Quantize.QModel, String) =
+    quantCosCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quant_cos_embeddings"
+      val m = Quantize.train(t(s, d, "embeddings"), "embedding", Knn.Cosine)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantizeTable(t(s, d, "embeddings"), "embedding",
+          "qvec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // COSINE residual-factor binary table (r18): bits + factors in the
+  // normalized space.
+  private val binResCosCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.BModel, String)]
+
+  private def binResCosIndex(s: SparkSession, d: String): (Quantize.BModel, String) =
+    binResCosCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/binr_cos_embeddings"
+      val m = Quantize.trainBinary(t(s, d, "embeddings"), "embedding",
+        Knn.Cosine)
       if (!new java.io.File(path, "_SUCCESS").isFile) {
         val bdf = Quantize.binarizeTableResidual(t(s, d, "embeddings"),
           "embedding", "bvec", "bres", m)

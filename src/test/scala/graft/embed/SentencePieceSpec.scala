@@ -90,4 +90,56 @@ class SentencePieceSpec extends AnyFunSuite {
     assert(out(1)._2 === Seq.empty && out(1)._3 === 0)
     assert(out(2)._2 === Seq(3, 0, 0, 0) && out(2)._3 === 4)
   }
+
+  // ───────────────────── r18 (ADVICE r17) fidelity fixes ─────────────────────
+
+  test("byte-fallback pieces cover uncovered chars at their vocab scores (Llama layout)") {
+    // 'é' = UTF-8 0xC3 0xA9; '€' = 0xE2 0x82 0xAC — no text piece covers
+    // either, but the vocab ships their byte pieces, so they segment to
+    // byte ids instead of unk (ids 12.. appended to the shared vocab)
+    val v2 = vocab ++ Seq("<0xC3>" -> -20.0, "<0xA9>" -> -20.0,
+      "<0xE2>" -> -21.0, "<0x82>" -> -21.0, "<0xAC>" -> -21.0)
+    val mb = SentencePiece.Model(
+      v2.map(_._1).toArray, v2.map(_._2).toArray, unkId = 0)
+    assert(mb.segment("▁é").toSeq === Seq(3, 12, 13))
+    assert(mb.encode("a€b").toSeq === Seq(3, 4, 14, 15, 16, 5))
+    // a char whose bytes the vocab only PARTIALLY covers still unks
+    // ('ü' = 0xC3 0xBC — 0xBC is missing)
+    assert(mb.segment("▁ü").toSeq === Seq(3, 0))
+    // byte pieces are IDs, not matchable text: the literal string
+    // "<0xC3>" segments through chars/unk, never matches the piece
+    assert(!mb.segment("▁<0xC3>").contains(12))
+    // real text pieces still beat byte arcs (fallback only fires when
+    // NO piece ends at the position)
+    assert(mb.segment("▁the").toSeq === Seq(1))
+  }
+
+  test("unk_id null/absent means NO unk piece — piece 0 stays matchable, uncoverable text rejects") {
+    // null unk_id: piece 0 is an ordinary matchable piece
+    val m0 = SentencePiece.parseTokenizerJson(
+      """{"model":{"type":"Unigram","unk_id":null,""" +
+        """"vocab":[["ab",-1.0],["a",-2.0],["b",-2.0]]}}""")
+    assert(m0.unkId === -1)
+    assert(m0.segment("ab").toSeq === Seq(0)) // piece 0 matches its text
+    // absent unk_id behaves the same
+    val m1 = SentencePiece.parseTokenizerJson(
+      """{"model":{"type":"Unigram","vocab":[["ab",-1.0],["a",-2.0]]}}""")
+    assert(m1.unkId === -1)
+    // with no unk arc and no byte pieces, uncoverable text REJECTS
+    // loudly instead of silently mis-tokenizing
+    intercept[IllegalArgumentException](m0.segment("az"))
+    // writeModel round-trips the sentinel as a JSON null
+    val dir = Files.createTempDirectory("graft-spm-null").toString
+    SentencePiece.writeModel(dir, Seq("ab" -> -1.0, "a" -> -2.0), unkId = -1)
+    assert(SentencePiece.load(dir).unkId === -1)
+  }
+
+  test("unicode whitespace pre-tokenizes like ASCII whitespace") {
+    // NBSP (U+00A0), ideographic space (U+3000), NEL (U+0085): all split
+    val want = m.encode("the of").toSeq
+    assert(m.encode("the\u00A0of").toSeq === want)
+    assert(m.encode("the\u3000of").toSeq === want)
+    assert(m.encode("the\u0085of").toSeq === want)
+    assert(m.encode("\u3000 the \u00A0 of \u3000").toSeq === want)
+  }
 }

