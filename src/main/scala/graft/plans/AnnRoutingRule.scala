@@ -333,8 +333,6 @@ object AnnRouting {
                     vecCol: String, idCol: String, nprobe: Int,
                     refine: Int = 32,
                     metric: Knn.Metric = Knn.L2): Unit = {
-    require(metric == Knn.L2 || metric == Knn.Cosine,
-      "IVF-ADC serves L2 or cosine")
     require(model.metric == Knn.L2,
       "the IVF-ADC coarse model binds the L2 screen space")
     require(nprobe >= 1 && nprobe <= model.nlist,
@@ -370,10 +368,13 @@ object AnnRouting {
     *
     * `vecCol`/`idCol` describe the base table for the unregistered
     * fallback; a registration's own column bindings win when present.
-    * `metric` governs the fallback and the quantized-family rescores;
-    * the graph/IVF families serve the metric their index was built with
-    * (their registration pinned it). Output contract matches every join
-    * leg: (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
+    * `metric` governs the unregistered fallback; the graph/IVF families
+    * serve the metric their index was built with (their registration
+    * pinned it), and the flat quantized families REQUIRE `metric` to
+    * match their model's trained metric (r18 — their codes live in that
+    * metric's space; a mismatch is a loud error, never a
+    * wrong-space screen). Output contract matches every join leg:
+    * (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
   def knnJoin(spark: SparkSession, basePath: String,
               vecCol: String, idCol: String,
               queries: DataFrame,

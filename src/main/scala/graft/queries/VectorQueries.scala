@@ -916,6 +916,31 @@ object VectorQueries {
       },
       Some(oracleFor(s"1.0 - $cosSim"))),
 
+    // The IVF-ADC family under INNER PRODUCT (r18 — completing its
+    // metric matrix beside L2/cosine, knn/knn.h:32-37): the coarse model
+    // trains L2 over the MIPS→L2 augmented companion ([v, √(M²−‖v‖²)],
+    // Bachrach et al. 2014 — M rides the index marker so appends bind
+    // with the build's bound), assignment/residual codes/ADC tables all
+    // live in that space (augmented-L2 order is EXACTLY monotone in the
+    // inner product), and the k·refine survivors rescore with the exact
+    // 1−dot kernel on raw floats. nprobe = nlist + the refine margin ⇒
+    // exact — shares the IP fullscan oracle.
+    "q_knn_ivf_pq_ip" -> QueryDef(
+      (s, d) => {
+        val (m, pq, path) = ivfPqIpIndex(s, d)
+        // refine = 128: the augmented coordinate absorbs the norm spread,
+        // so within-list residual-ADC ranks of the true IP top-10 sit
+        // deeper than the L2 family's (at sf0.1, refine = 32 left 3 of
+        // the true top-10 outside the 320-candidate coarse set; 128 —
+        // 1280 candidates of 20k — covers them with margin)
+        Ivf.searchPq(s, path, m, pq, "vec_id", "embedding",
+            queryVec(s, d), k = 10, nprobe = m.nlist, refine = 128,
+            metric = Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
     // K4 for the cosine IVF-ADC layout: registerIvfPq(metric = Cosine)
     // routes the PLAIN `1 - cosine_sim` top-k through the normalized-space
     // probe-pruned ADC screen; the untouched Sort/Limit above is the
@@ -1079,6 +1104,59 @@ object VectorQueries {
         graft.plans.AnnRouting.registerQuant(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", qCol = "qvec",
           refine = 16)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
+    // K6 INNER-PRODUCT on the flat int8 family (r18 — completing the
+    // reference's metric matrix, knn/knn.h:32-37: L2/IP/cosine on every
+    // quantized index): MIPS serves through the published MIPS→L2
+    // augmentation (Bachrach et al. 2014 — corpus [v, √(M²−‖v‖²)],
+    // query [q, 0]; augmented-L2 order is EXACTLY monotone in the inner
+    // product), so the same L2 code screen serves IP with an exact
+    // 1−dot rescore on raw floats. AUTOMATICALLY ROUTED on the
+    // `1 - ip_score` sort key — shares the IP fullscan oracle.
+    "q_knn_quant_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quantIpIndex(s, d)
+        graft.plans.AnnRouting.registerQuant(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", qCol = "qvec",
+          refine = 16)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
+    // K6 COSINE on the 4-bit family (r18): packed-nibble codes of the
+    // normalized companion, same routed dispatch and exact cosine
+    // rescore — all four flat families now serve cosine, matching the
+    // reference's any-metric quantizer (knn/quantizer.cpp:45-700).
+    "q_knn_quant4_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quant4CosIndex(s, d)
+        graft.plans.AnnRouting.registerQuant4(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", qCol = "q4vec",
+          refine = 24)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.Cosine)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"1.0 - $cosSim"))),
+
+    // K6 COSINE on the flat-PQ family (r18): codebooks trained on the
+    // normalized sample, M-byte codes of normalized vectors, ADC tables
+    // from the normalized query — ADC order tracks cosine order, exact
+    // cosine rescore of the k·refine survivors.
+    "q_knn_pq_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = pqCosIndex(s, d)
+        graft.plans.AnnRouting.registerPq(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", qCol = "pqvec",
+          refine = 48)
         Knn.knn(s.read.parquet(path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.Cosine)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
@@ -1816,6 +1894,84 @@ object VectorQueries {
       if (!new java.io.File(path, "_SUCCESS").isFile) {
         val qdf = Quantize.quantizeTable(t(s, d, "embeddings"), "embedding",
           "qvec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // INNER-PRODUCT IVF-ADC index (r18): coarse model trained L2 over the
+  // augmented companion, residual codes in that space, M in the marker.
+  private val ivfPqIpCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Ivf.Model, Quantize.PqModel, String)]
+
+  private def ivfPqIpIndex(s: SparkSession, d: String)
+      : (Ivf.Model, Quantize.PqModel, String) =
+    ivfPqIpCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivfpq_ip_embeddings"
+      val aug = Ivf.ipAugmentedCompanion(t(s, d, "embeddings"),
+        "embedding", "embaug")
+      val m = Ivf.train(aug, "embaug", nlist = 8)
+      // the augmented dim is 64 + 1 = 65 = 5·13 → subM = 5 (the
+      // augmentation adds one coordinate, so subM must divide dim + 1)
+      val pq =
+        if (!new java.io.File(path, "_SUCCESS").isFile)
+          Ivf.buildIndexPq(t(s, d, "embeddings"), "embedding", "vec_id",
+            m, path, subM = 5, metric = Knn.IP)
+        else {
+          // deterministic re-derivation (the ivfPqCosIndex rationale),
+          // in the augmented space the stored codes were written in
+          val assigned = Ivf.assign(aug, "embaug", m)
+            .withColumn("ivf_res",
+              Ivf.residualCol(col("embaug"), col("ivf_cluster"), m))
+          Quantize.trainPq(assigned, "ivf_res", "vec_id", m = 5)
+        }
+      (m, pq, path)
+    })
+
+  // INNER-PRODUCT int8 table (r18): codes in the MIPS→L2 augmented space.
+  private val quantIpCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.QModel, String)]
+
+  private def quantIpIndex(s: SparkSession, d: String): (Quantize.QModel, String) =
+    quantIpCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quant_ip_embeddings"
+      val m = Quantize.train(t(s, d, "embeddings"), "embedding", Knn.IP)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantizeTable(t(s, d, "embeddings"), "embedding",
+          "qvec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // COSINE 4-bit table (r18): packed nibbles of the normalized companion.
+  private val quant4CosCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.Q4Model, String)]
+
+  private def quant4CosIndex(s: SparkSession, d: String): (Quantize.Q4Model, String) =
+    quant4CosCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quant4_cos_embeddings"
+      val m = Quantize.train4(t(s, d, "embeddings"), "embedding", Knn.Cosine)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantize4Table(t(s, d, "embeddings"), "embedding",
+          "q4vec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // COSINE flat-PQ table (r18): codebooks + codes in the normalized space.
+  private val pqCosCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.PqModel, String)]
+
+  private def pqCosIndex(s: SparkSession, d: String): (Quantize.PqModel, String) =
+    pqCosCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/pq_cos_embeddings"
+      val m = Quantize.trainPq(t(s, d, "embeddings"), "embedding", "vec_id",
+        metric = Knn.Cosine)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantizePqTable(t(s, d, "embeddings"), "embedding",
+          "pqvec", m)
         graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
       }
       (m, path)

@@ -305,7 +305,8 @@ object Ivf {
                    metric: Knn.Metric = Knn.L2): Quantize.PqModel = {
     requirePqMetric(m, metric)
     graft.index.SecondaryIndex.requireNotManifestManaged(df.sparkSession, path)
-    val (bound, bcol) = boundSide(df, vecCol, metric)
+    val ipM2 = if (metric == Knn.IP) maxSumsq(df, vecCol) else 0.0
+    val (bound, bcol) = boundSide(df, vecCol, metric, ipM2)
     val assigned = assign(bound, bcol, m)
       .withColumn("ivf_res", residualCol(col(bcol), col("ivf_cluster"), m))
     val pq = Quantize.trainPq(assigned, "ivf_res", idCol, subM, codeK)
@@ -313,20 +314,24 @@ object Ivf {
       .drop("ivf_res", BoundCol)
     graft.tables.Writer.write(coded, path,
       sortBy = Seq("ivf_cluster"), files = files)
-    writePqMetric(df.sparkSession, path, metric)
+    writePqMetric(df.sparkSession, path, metric, math.sqrt(ipM2))
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     pq
   }
 
   /** The one metric contract of the ADC family: the screen space is
-    * always L2 (`m` trained L2 — over normalized vectors for cosine);
-    * the serving metric picks raw (L2) vs normalized (cosine) binding. */
+    * always L2 (`m` trained L2 — over the normalized companion for
+    * cosine, the MIPS→L2 augmented companion for IP); the serving metric
+    * picks the binding (r18 adds IP through the Bachrach et al. 2014
+    * augmentation, the [[Quantize.FlatMetricModel]] construction —
+    * corpus [v, √(M²−‖v‖²)], query [q, 0], augmented-L2 order exactly
+    * monotone in the inner product; M rides the index's metric marker so
+    * appends bind with the BUILD's bound, never a re-estimate). */
   private def requirePqMetric(m: Model, metric: Knn.Metric): Unit = {
-    require(metric == Knn.L2 || metric == Knn.Cosine,
-      "IVF-ADC serves L2 or cosine (cosine through the normalized space)")
     require(m.metric == Knn.L2,
       "the IVF-ADC coarse model binds the L2 screen space (train it L2 — " +
-        "over the unit-normalized vectors for cosine serving)")
+        "over the unit-normalized vectors for cosine serving, the " +
+        "augmented vectors for IP serving)")
   }
 
   private val BoundCol = "__ivf_bvec"
@@ -348,60 +353,123 @@ object Ivf {
     case Knn.Cosine => "Cosine"
   }
 
+  /** Marker layout: line 1 = metric name; line 2 (IP only) = the
+    * augmentation bound M (max corpus norm at build/compact) — appends
+    * must bind new rows with the BUILD's M, never a batch-local
+    * re-estimate (codes of different M values would live in different
+    * spaces). */
   private def writePqMetric(spark: SparkSession, dir: String,
-                            metric: Knn.Metric): Unit = {
+                            metric: Knn.Metric,
+                            ipMaxNorm: Double = 0.0): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, PqMetricMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write((metricName(metric) + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val body = metricName(metric) +
+      (if (metric == Knn.IP) s"\n$ipMaxNorm" else "") + "\n"
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     pqMetricCache.remove(dir) // a same-dir rebuild must re-read
   }
 
-  // (resolved generation dir → stored metric name, None = no marker):
-  // the marker is immutable within a generation, so the exists+open+read
-  // — 2-3 metadata round-trips on an object store — happens once per JVM
-  // per generation instead of on EVERY searchPq/knnJoinPq/append call
-  // (ADVICE r17). Invalidation: compactPq writes into a NEW generation
-  // dir (natural cache miss); a rebuild at the same dir goes through
-  // [[writePqMetric]], which drops its entry; and every index mutation
-  // clears the whole (tiny) map via [[invalidatePqMetricCache]] from
+  // (resolved generation dir → stored (metric name, IP bound M)), None =
+  // no marker: the marker is immutable within a generation, so the
+  // exists+open+read — 2-3 metadata round-trips on an object store —
+  // happens once per JVM per generation instead of on EVERY
+  // searchPq/knnJoinPq/append call (ADVICE r17). Invalidation: compactPq
+  // writes into a NEW generation dir (natural cache miss); a rebuild at
+  // the same dir goes through [[writePqMetric]], which drops its entry;
+  // and every index mutation clears the whole (tiny) map via
+  // [[invalidatePqMetricCache]] from
   // [[graft.plans.AnnRouting.onIndexMutated]] — belt and braces.
   private val pqMetricCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+    scala.collection.concurrent.TrieMap.empty[String, Option[(String, Double)]]
 
   private[graft] def invalidatePqMetricCache(): Unit = pqMetricCache.clear()
 
-  private[graft] def checkPqMetric(spark: SparkSession, indexPath: String,
-                            metric: Knn.Metric): Unit = {
+  private def pqMeta(spark: SparkSession, indexPath: String)
+      : Option[(String, Double)] = {
     val dir = resolve(spark, indexPath)
-    val stored = pqMetricCache.getOrElseUpdate(dir, {
+    pqMetricCache.getOrElseUpdate(dir, {
       val p = new org.apache.hadoop.fs.Path(dir, PqMetricMarker)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-        finally in.close()
+        val lines =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+            .split("\n").toSeq
+          finally in.close()
+        Some((lines.head.trim,
+          lines.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(0.0)))
       }
     })
-    stored.foreach { s =>
+  }
+
+  private[graft] def checkPqMetric(spark: SparkSession, indexPath: String,
+                            metric: Knn.Metric): Unit =
+    pqMeta(spark, indexPath).foreach { case (s, _) =>
       require(s == metricName(metric),
         s"IVF-ADC index $indexPath was built for metric $s; " +
           s"serving/appending it as ${metricName(metric)} would screen " +
           "in the wrong space — pass the build metric")
     }
-  }
+
+  /** The stored IP augmentation bound M of an IP-built index (0 for
+    * non-IP / pre-marker indexes). */
+  private def pqStoredMaxNorm(spark: SparkSession, indexPath: String): Double =
+    pqMeta(spark, indexPath).map(_._2).getOrElse(0.0)
 
   /** (table with the bound-space column, its name): `vecCol` itself for
-    * L2, a transient normalized companion for cosine. */
-  private def boundSide(df: DataFrame, vecCol: String, metric: Knn.Metric)
-      : (DataFrame, String) =
-    if (metric == Knn.Cosine)
-      (df.withColumn(BoundCol, normalized(col(vecCol))), BoundCol)
-    else (df, vecCol)
+    * L2, a transient normalized companion for cosine, the transient
+    * MIPS→L2 augmented companion [v, √(M²−‖v‖²)] for IP (`ipM2` = M² —
+    * from a build-time max-agg or the stored marker; r18). */
+  private def boundSide(df: DataFrame, vecCol: String, metric: Knn.Metric,
+                        ipM2: Double = 0.0): (DataFrame, String) =
+    metric match {
+      case Knn.Cosine =>
+        (df.withColumn(BoundCol, normalized(col(vecCol))), BoundCol)
+      case Knn.IP =>
+        val sumsq = aggregate(col(vecCol), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))
+        (df.withColumn(BoundCol, concat(col(vecCol),
+          array(sqrt(greatest(lit(0.0), lit(ipM2) - sumsq))
+            .cast("float")))), BoundCol)
+      case _ => (df, vecCol)
+    }
+
+  /** Transient MIPS→L2 augmented companion of `vecCol` as `augCol`
+    * (r18): [v, √(M²−‖v‖²)] with M = the table's max norm — the column
+    * an IP-served IVF-ADC coarse model trains over (the cosine analog is
+    * [[normalized]]); the SAME deterministic max-agg [[buildIndexPq]]
+    * runs, so a model trained here pairs with the codes it writes. */
+  def ipAugmentedCompanion(df: DataFrame, vecCol: String,
+                           augCol: String): DataFrame = {
+    val (bound, bcol) = boundSide(df, vecCol, Knn.IP,
+      maxSumsq(df, vecCol))
+    bound.withColumnRenamed(bcol, augCol)
+  }
+
+  /** Max corpus ‖v‖² — the IP augmentation bound (one distributed
+    * max-agg; 0 on an empty table). */
+  private def maxSumsq(df: DataFrame, vecCol: String): Double = {
+    val sumsq = aggregate(col(vecCol), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    df.select(max(sumsq)).head() match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+  }
+
+  /** Query-side screen-space binding for the ADC family: normalized for
+    * cosine, zero-augmented for IP ([q, 0] — M never enters the query
+    * side), raw for L2. */
+  private def bindPqQuery(metric: Knn.Metric, q: Array[Float]): Array[Float] =
+    metric match {
+      case Knn.Cosine => normalizeQuery(q)
+      case Knn.IP => q :+ 0.0f
+      case _ => q
+    }
 
   /** I9 append for the IVF-ADC index: assign + encode the new batch with
     * the EXISTING coarse model and codebooks (the RT flow — neither
@@ -412,7 +480,12 @@ object Ivf {
                       metric: Knn.Metric = Knn.L2): Unit = {
     requirePqMetric(m, metric)
     checkPqMetric(df.sparkSession, path, metric)
-    val (bound, bcol) = boundSide(df, vecCol, metric)
+    // IP binds with the BUILD's stored M (the frozen-model contract — a
+    // batch-local re-estimate would encode a different space)
+    val ipM2 = if (metric == Knn.IP) {
+      val mn = pqStoredMaxNorm(df.sparkSession, path); mn * mn
+    } else 0.0
+    val (bound, bcol) = boundSide(df, vecCol, metric, ipM2)
     val assigned = assign(bound, bcol, m)
       .withColumn("ivf_res", residualCol(col(bcol), col("ivf_cluster"), m))
     Quantize.quantizePqTable(assigned, "ivf_res", "ivf_pq", pq)
@@ -456,7 +529,14 @@ object Ivf {
       s"$indexPath carries no IVF-ADC codes (ivf_pq): compact it with " +
         "Ivf.compact, or build the ADC layout with buildIndexPq first")
     val corpus = coded0.drop("ivf_cluster", "ivf_pq")
-    val (bound, bcol) = boundSide(corpus, vecCol, metric)
+    // IP: a retrain refreshes the augmentation bound from the full
+    // corpus (drifted appends regain their exact screen order); a
+    // frozen-model compact keeps the stored M (its codes re-cluster but
+    // stay in the same space)
+    val ipM2 = if (metric != Knn.IP) 0.0
+      else if (retrain) maxSumsq(corpus, vecCol)
+      else { val mn = pqStoredMaxNorm(spark, indexPath); mn * mn }
+    val (bound, bcol) = boundSide(corpus, vecCol, metric, ipM2)
     val m2 = if (retrain) train(bound, bcol, m.nlist, metric = Knn.L2)
              else m
     val assigned = assign(bound, bcol, m2)
@@ -471,7 +551,7 @@ object Ivf {
       .drop("ivf_res", BoundCol)
     graft.tables.Writer.write(coded, next,
       sortBy = Seq("ivf_cluster"), files = files)
-    writePqMetric(spark, next, metric)
+    writePqMetric(spark, next, metric, math.sqrt(ipM2))
     // COMMIT: one new immutable manifest object (the [[compact]] scheme)
     graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
       new org.apache.hadoop.fs.Path(next).getName)
@@ -512,7 +592,7 @@ object Ivf {
     import qdf.sparkSession.implicits._
     // cosine: probe/screen in the normalized space the codes live in
     // (normalized-L2 order == cosine order for the rescore's cut)
-    val bq = if (metric == Knn.Cosine) normalizeQuery(query) else query
+    val bq = bindPqQuery(metric, query)
     val probes = m.probeOrder(bq).take(nprobe).map(_.toLong)
     val tables: Map[Long, Array[Double]] = probes.map { l =>
       val cent = m.centroids(l.toInt)
@@ -713,7 +793,7 @@ object Ivf {
         // the codes live in); the rescore below reads the raw one
         val byList: Map[Int, Array[(Long, Array[Float])]] = qRows
           .flatMap { case (qid, qv) =>
-            val bq = if (metric == Knn.Cosine) normalizeQuery(qv) else qv
+            val bq = bindPqQuery(metric, qv)
             m.probeOrder(bq).take(nprobe).map(l => (l, (qid, bq))) }
           .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
         val bc = spark.sparkContext.broadcast((byList, m.centroids.toArray))
@@ -742,7 +822,7 @@ object Ivf {
         // cosine — what the ADC tables consume); the rescore reads the
         // raw one back from the same persisted projection
         val qAssign = qRdd.flatMap { case (qid, qv) =>
-          val bq = if (met == Knn.Cosine) normalizeQuery(qv) else qv
+          val bq = bindPqQuery(met, qv)
           mB.value.probeOrder(bq).take(nprobe).iterator
             .map(l => (l, (qid, bq)))
         }.partitionBy(part)

@@ -23,45 +23,79 @@ object Quantize {
 
   /** The SERVING-metric contract shared by all four flat quantized
     * models (r18, VERDICT r17 #2 — the reference serves L2/IP/cosine on
-    * every quantized index, knn/knn.h:32-37: cosine = IP over normalized;
-    * the quantizer applies to all spaces, knn/quantizer.cpp:45-700): a
-    * model carries the metric it was TRAINED for. L2 models train/encode/
-    * screen raw vectors; COSINE models live entirely in the
-    * unit-normalized companion space — training stats come from the
-    * normalized copy, [[QModel.quantize]]/[[BModel.binarize]]/
-    * [[PqModel.encode]] normalize each input before coding (so appends
-    * through the existing append/streaming paths encode correctly with
-    * zero caller changes), and the coarse screens score against the
-    * NORMALIZED query (normalized-L2 order == cosine order: cosine
-    * distance of a unit pair is half its squared L2 — the r15
-    * quantized-graph / r17 IVF-ADC construction). The exact rescore
-    * always runs the metric kernel on the RAW float column. */
+    * every quantized index, knn/knn.h:32-37; the quantizer applies to
+    * all spaces, knn/quantizer.cpp:45-700): a model carries the metric
+    * it was TRAINED for, and codes live in that metric's SCREEN SPACE —
+    * an L2 construction where coarse-L2 order tracks the metric's order:
+    *
+    *  - L2: the raw vectors;
+    *  - COSINE: the unit-normalized companion (cosine distance of a unit
+    *    pair is half its squared L2 — the r15 quantized-graph / r17
+    *    IVF-ADC construction);
+    *  - IP: the published MIPS→L2 augmentation (Bachrach et al. 2014,
+    *    "Speeding Up the Xbox Recommender System Using a Euclidean
+    *    Transformation for Inner-Product Spaces"): corpus rows bind to
+    *    x' = [x, √(M² − ‖x‖²)] with M = max corpus norm (a train-time
+    *    stat the model carries), queries to q' = [q, 0] — then
+    *    ‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩, EXACTLY monotone in the inner
+    *    product, so the L2 screens serve MIPS with no new kernel.
+    *
+    * [[QModel.quantize]]/[[BModel.binarize]]/[[PqModel.encode]] bind each
+    * CORPUS input internally (appends through the existing append/
+    * streaming paths encode correctly with zero caller changes); screens
+    * bind the QUERY side via [[FlatMetricModel.bindQuery]]. The exact
+    * rescore always runs the metric kernel on the RAW float column.
+    * IP drift caveat (same contract as the min/max clamp): an appended
+    * row with ‖v‖ > the trained M clamps its augmented coordinate to 0 —
+    * screen-only misranking risk for that row until a retraining compact
+    * refreshes M. */
   private[vector] def requireFlatMetric(trained: Knn.Metric,
-                                        serving: Knn.Metric): Unit = {
-    require(serving == Knn.L2 || serving == Knn.Cosine,
-      "the flat quantized families serve L2 or cosine (cosine through " +
-        "the normalized companion space)")
+                                        serving: Knn.Metric): Unit =
     require(trained == serving,
       s"this model was trained for $trained but is being served as " +
-        s"$serving — codes live in the trained metric's space (train " +
-        "with the serving metric)")
+        s"$serving — codes live in the trained metric's screen space " +
+        "(train with the serving metric)")
+
+  /** Trained-metric space binding shared by the four flat models. */
+  sealed trait FlatMetricModel {
+    def metric: Knn.Metric
+    /** Max corpus L2 norm at training (IP models only — the augmentation
+      * bound M; 0 otherwise). */
+    def ipMaxNorm: Float
+    /** Corpus-side binding into the screen space (encode path). */
+    private[vector] final def bindCorpus(v: Array[Float]): Array[Float] =
+      metric match {
+        case Knn.Cosine => Ivf.normalizeQuery(v)
+        case Knn.IP =>
+          val out = new Array[Float](v.length + 1)
+          System.arraycopy(v, 0, out, 0, v.length)
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+          val m2 = ipMaxNorm.toDouble * ipMaxNorm
+          out(v.length) = math.sqrt(math.max(0.0, m2 - n2)).toFloat
+          out
+        case _ => v
+      }
+    /** Query-side binding into the screen space (screen path). */
+    private[vector] final def bindQuery(q: Array[Float]): Array[Float] =
+      metric match {
+        case Knn.Cosine => Ivf.normalizeQuery(q)
+        case Knn.IP => q :+ 0.0f
+        case _ => q
+      }
   }
 
-  /** The screen-space copy of a query for a model's metric: the
-    * unit-normalized companion for cosine (where the codes live), the
-    * raw query for L2. */
-  private def boundQ(metric: Knn.Metric, q: Array[Float]): Array[Float] =
-    if (metric == Knn.Cosine) Ivf.normalizeQuery(q) else q
-
   final case class QModel(mins: Array[Float], maxs: Array[Float],
-                          metric: Knn.Metric = Knn.L2) {
+                          metric: Knn.Metric = Knn.L2,
+                          ipMaxNorm: Float = 0.0f) extends FlatMetricModel {
     def dim: Int = mins.length
     def scale(i: Int): Float = {
       val r = maxs(i) - mins(i)
       if (r == 0.0f) 1.0f else r / 255.0f
     }
     def quantize(v0: Array[Float]): Array[Byte] = {
-      val v = boundQ(metric, v0) // cosine codes live in normalized space
+      val v = bindCorpus(v0) // codes live in the metric's screen space
       val out = new Array[Byte](dim)
       var i = 0
       while (i < dim) {
@@ -106,11 +140,27 @@ object Quantize {
     }
   }
 
-  /** The training-side column in the model's space: the raw vectors for
-    * L2, the unit-normalized companion (one codegen expression, no stored
-    * column) for cosine. */
-  private def boundTrainCol(vecCol: String, metric: Knn.Metric) =
-    if (metric == Knn.Cosine) Ivf.normalized(col(vecCol)) else col(vecCol)
+  /** The training-side column in the model's screen space (one codegen
+    * expression, no stored column) plus the IP augmentation bound M (max
+    * corpus norm — ONE distributed max-agg for IP, 0 otherwise): raw for
+    * L2, the unit-normalized companion for cosine, [v, √(M²−‖v‖²)] for
+    * IP. */
+  private def boundTrain(df: DataFrame, vecCol: String,
+                         metric: Knn.Metric)
+      : (org.apache.spark.sql.Column, Float) = metric match {
+    case Knn.Cosine => (Ivf.normalized(col(vecCol)), 0.0f)
+    case Knn.IP =>
+      val sumsq = aggregate(col(vecCol), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      val m2 = df.select(max(sumsq)).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+      (concat(col(vecCol),
+        array(sqrt(greatest(lit(0.0), lit(m2) - sumsq)).cast("float"))),
+        math.sqrt(m2).toFloat)
+    case _ => (col(vecCol), 0.0f)
+  }
 
   /** Train per-dimension min/max: ONE pass with per-partition array
     * accumulators — the shuffle-free shape (a posexplode would multiply the
@@ -123,7 +173,8 @@ object Quantize {
   def train(df: DataFrame, vecCol: String,
             metric: Knn.Metric = Knn.L2): QModel = {
     import df.sparkSession.implicits._
-    val partials = df.select(boundTrainCol(vecCol, metric)).as[Seq[Float]]
+    val (bcol, mNorm) = boundTrain(df, vecCol, metric)
+    val partials = df.select(bcol).as[Seq[Float]]
       .mapPartitions { it =>
         var mn: Array[Float] = null
         var mx: Array[Float] = null
@@ -146,7 +197,7 @@ object Quantize {
       Array.tabulate(a.length)(i => math.min(a(i), b(i))) }
     val maxs = partials.map(_._2).reduce { (a, b) =>
       Array.tabulate(a.length)(i => math.max(a(i), b(i))) }
-    QModel(mins, maxs, metric)
+    QModel(mins, maxs, metric, mNorm)
   }
 
   /** Append `qCol: binary` with the int8 codes. */
@@ -172,7 +223,7 @@ object Quantize {
                 query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
     val qB = qdf.sparkSession.sparkContext
-      .broadcast((m, boundQ(m.metric, query)))
+      .broadcast((m, m.bindQuery(query)))
     qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .map { case (id, codes) =>
@@ -209,7 +260,8 @@ object Quantize {
     * the int8 path.
     */
   final case class Q4Model(mins: Array[Float], maxs: Array[Float],
-                           metric: Knn.Metric = Knn.L2) {
+                           metric: Knn.Metric = Knn.L2,
+                           ipMaxNorm: Float = 0.0f) extends FlatMetricModel {
     def dim: Int = mins.length
     def bytes: Int = (dim + 1) >> 1
     def scale(i: Int): Float = {
@@ -217,7 +269,7 @@ object Quantize {
       if (r == 0.0f) 1.0f else r / 15.0f
     }
     def quantize(v0: Array[Float]): Array[Byte] = {
-      val v = boundQ(metric, v0)
+      val v = bindCorpus(v0)
       val out = new Array[Byte](bytes)
       var i = 0
       while (i < dim) {
@@ -252,7 +304,7 @@ object Quantize {
   def train4(df: DataFrame, vecCol: String,
              metric: Knn.Metric = Knn.L2): Q4Model = {
     val m = train(df, vecCol, metric)
-    Q4Model(m.mins, m.maxs, metric)
+    Q4Model(m.mins, m.maxs, metric, m.ipMaxNorm)
   }
 
   /** Append `qCol: binary` with the packed 4-bit codes (2 dims/byte). */
@@ -280,7 +332,7 @@ object Quantize {
                  query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
     val qB = qdf.sparkSession.sparkContext
-      .broadcast((m, boundQ(m.metric, query)))
+      .broadcast((m, m.bindQuery(query)))
     qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .map { case (id, codes) =>
@@ -310,11 +362,18 @@ object Quantize {
     * XOR+popcount is the cheapest distance kernel there is.
     */
   final case class BModel(thresholds: Array[Float],
-                          metric: Knn.Metric = Knn.L2) {
+                          metric: Knn.Metric = Knn.L2,
+                          ipMaxNorm: Float = 0.0f) extends FlatMetricModel {
     def dim: Int = thresholds.length
     def words: Int = (dim + 63) >> 6
-    def binarize(v0: Array[Float]): Array[Long] = {
-      val v = boundQ(metric, v0) // cosine bits live in normalized space
+    /** Sign bits of a CORPUS row (bound into the screen space). */
+    def binarize(v0: Array[Float]): Array[Long] =
+      binarizeBound(bindCorpus(v0))
+    /** Sign bits of a QUERY (query-side binding — for IP the augmented
+      * coordinate is 0, not the corpus residual). */
+    def binarizeQuery(q: Array[Float]): Array[Long] =
+      binarizeBound(bindQuery(q))
+    private def binarizeBound(v: Array[Float]): Array[Long] = {
       val out = new Array[Long](words)
       var i = 0
       while (i < dim) {
@@ -340,7 +399,7 @@ object Quantize {
       * of the rank-1 model `r ≈ scale·sign(r)` (argmin_c ‖r − c·sgn‖ =
       * ⟨r,sgn⟩/d = mean |rᵢ|), where r = v − thresholds. */
     def residualFactors(v0: Array[Float]): (Float, Float) = {
-      val v = boundQ(metric, v0) // the residual lives where the bits do
+      val v = bindCorpus(v0) // the residual lives where the bits do
       var s2 = 0.0
       var s1 = 0.0
       var i = 0
@@ -393,7 +452,8 @@ object Quantize {
   def trainBinary(df: DataFrame, vecCol: String,
                   metric: Knn.Metric = Knn.L2): BModel = {
     import df.sparkSession.implicits._
-    val partials = df.select(boundTrainCol(vecCol, metric)).as[Seq[Float]]
+    val (bcol, mNorm) = boundTrain(df, vecCol, metric)
+    val partials = df.select(bcol).as[Seq[Float]]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var sums: Array[Double] = null
@@ -414,7 +474,7 @@ object Quantize {
       while (i < dim) { total(i) += s(i); i += 1 }
     }
     val n = partials.map(_._3).sum
-    BModel(total.map(s => (s / n).toFloat), metric)
+    BModel(total.map(s => (s / n).toFloat), metric, mNorm)
   }
 
   /** Append `bCol: array<bigint>` with the packed sign bits. */
@@ -441,7 +501,7 @@ object Quantize {
                       query: Array[Float], n: Int): DataFrame = {
     import bdf.sparkSession.implicits._
     // binarize normalizes internally for a cosine model
-    val qB = bdf.sparkSession.sparkContext.broadcast((m, m.binarize(query)))
+    val qB = bdf.sparkSession.sparkContext.broadcast((m, m.binarizeQuery(query)))
     bdf.select(col(idCol).cast("long").as("cid"), col(bCol))
       .as[(Long, Seq[Long])]
       .map { case (id, code) =>
@@ -501,7 +561,7 @@ object Quantize {
     import bdf.sparkSession.implicits._
     // the estimator lives in the trained space: normalized for a cosine
     // model (where normalized-L2² order == cosine order), raw for L2
-    val bq = boundQ(m.metric, query)
+    val bq = m.bindQuery(query)
     val qr = new Array[Double](m.dim)
     var qnorm2 = 0.0
     var sumQr = 0.0
@@ -585,7 +645,8 @@ object Quantize {
     * default L2 here — its serving metric rides the index's marker
     * ([[graft.vector.Ivf]]), not this field. */
   final case class PqModel(codebooks: Array[Array[Array[Float]]],
-                           metric: Knn.Metric = Knn.L2) {
+                           metric: Knn.Metric = Knn.L2,
+                           ipMaxNorm: Float = 0.0f) extends FlatMetricModel {
     def m: Int = codebooks.length
     def k: Int = codebooks(0).length
     def subDim: Int = codebooks(0)(0).length
@@ -593,7 +654,7 @@ object Quantize {
 
     /** Nearest codebook entry per subspace (ties → lowest index). */
     def encode(v0: Array[Float]): Array[Byte] = {
-      val v = boundQ(metric, v0)
+      val v = bindCorpus(v0)
       val out = new Array[Byte](m)
       var s = 0
       while (s < m) {
@@ -656,10 +717,14 @@ object Quantize {
               k: Int = 16, sample: Int = 2048, iters: Int = 10,
               metric: Knn.Metric = Knn.L2): PqModel = {
     import df.sparkSession.implicits._
-    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+    // the IP augmentation bound comes from the FULL corpus (one max-agg),
+    // never the sample — a sample under-estimate would clamp the largest-
+    // norm rows, exactly the rows MIPS ranks highest
+    val (bcol, mNorm) = boundTrain(df, vecCol, metric)
+    val rows = df.select(col(idCol).cast("long"), bcol.as("__bv"))
       .as[(Long, Seq[Float])]
       .orderBy(col(idCol)).limit(sample)
-      .collect().map(r => boundQ(metric, r._2.toArray))
+      .collect().map(_._2.toArray)
     require(rows.nonEmpty, "cannot train PQ on an empty table")
     val dim = rows(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -697,7 +762,7 @@ object Quantize {
       }
       cents
     }
-    PqModel(books, metric)
+    PqModel(books, metric, mNorm)
   }
 
   /** Append `qCol: binary` with the M-byte PQ codes. */
@@ -721,7 +786,7 @@ object Quantize {
                   query: Array[Float], n: Int): DataFrame = {
     import qdf.sparkSession.implicits._
     val qB = qdf.sparkSession.sparkContext
-      .broadcast((m, boundQ(m.metric, query)))
+      .broadcast((m, m.bindQuery(query)))
     qdf.select(col(idCol).cast("long").as("cid"), col(qCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -1029,7 +1094,7 @@ object Quantize {
     requireFlatMetric(m.metric, metric)
     screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
       cIdCol, k, metric, refine, m.dim,
-      prep = q => boundQ(m.metric, q),
+      prep = q => m.bindQuery(q),
       extract = r => r.getAs[Array[Byte]](1),
       score = (c, p) =>
         m.l2(c.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Float]]))
@@ -1045,7 +1110,7 @@ object Quantize {
     requireFlatMetric(m.metric, metric)
     screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
       cIdCol, k, metric, refine, m.dim,
-      prep = q => boundQ(m.metric, q),
+      prep = q => m.bindQuery(q),
       extract = r => r.getAs[Array[Byte]](1),
       score = (c, p) =>
         m.l2(c.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Float]]))
@@ -1068,7 +1133,7 @@ object Quantize {
       case None =>
         screenedJoin(bdf, vecCol, idCol, Seq(bCol), queries, qIdCol,
           qVecCol, cIdCol, k, metric, refine, m.dim,
-          prep = q => m.binarize(q), // binarize bounds internally
+          prep = q => m.binarizeQuery(q), // query-side space binding
           extract = r => r.getSeq[Long](1).toArray,
           score = (c, p) => m.hamming(c.asInstanceOf[Array[Long]],
             p.asInstanceOf[Array[Long]]).toDouble)
@@ -1081,7 +1146,7 @@ object Quantize {
           Seq(bCol, s"$rc.norm", s"$rc.scale"), queries, qIdCol, qVecCol,
           cIdCol, k, metric, refine, m.dim,
           prep = q0 => {
-            val q = boundQ(m.metric, q0)
+            val q = m.bindQuery(q0)
             val qr = new Array[Double](m.dim)
             var qn2 = 0.0
             var sq = 0.0
@@ -1119,7 +1184,7 @@ object Quantize {
     requireFlatMetric(m.metric, metric)
     screenedJoin(qdf, vecCol, idCol, Seq(qCol), queries, qIdCol, qVecCol,
       cIdCol, k, metric, refine, m.dim,
-      prep = q => m.adcTable(boundQ(m.metric, q)),
+      prep = q => m.adcTable(m.bindQuery(q)),
       extract = r => r.getAs[Array[Byte]](1),
       score = (c, p) => m.adc(c.asInstanceOf[Array[Byte]],
         p.asInstanceOf[Array[Double]]))

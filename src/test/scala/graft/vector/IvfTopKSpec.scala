@@ -250,6 +250,55 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(eApp.getMessage.contains("built for metric Cosine"))
   }
 
+  test("IP IVF-ADC: augmented-space searchPq/knnJoinPq exact vs the IP fullscan; append binds with the stored M (r18)") {
+    val d = Files.createTempDirectory("graft-ivfpq-ip").resolve("i").toString
+    // dim 16 → augmented 17 (prime): subM = 17 gives scalar subspaces —
+    // mathematically fine for the exactness pin
+    val aug = Ivf.ipAugmentedCompanion(df, "embedding", "embaug")
+    val m = Ivf.train(aug, "embaug", nlist = 8)
+    val pq = Ivf.buildIndexPq(df, "embedding", "vec_id", m, d,
+      subM = 17, codeK = 16, metric = Knn.IP)
+    def searched = Ivf.searchPq(SparkT.spark, d, m, pq, "vec_id",
+        "embedding", queryVec, k = 10, nprobe = m.nlist, refine = 32,
+        metric = Knn.IP)
+      .as[(Long, Double)].collect().toSeq
+    def exactTop(corpus: org.apache.spark.sql.DataFrame) =
+      Knn.knn(corpus, "embedding", "vec_id", queryVec, 10, Knn.IP)
+        .as[(Long, Double)].collect().toSeq
+    assert(searched === exactTop(df))
+    // APPEND: a down-scaled batch (norms strictly INSIDE the stored M —
+    // the frozen-space contract; over-M drift is the documented clamp
+    // caveat) encodes with the marker's bound, search exact over the
+    // union immediately
+    val extras = df.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    Ivf.appendToIndexPq(extras, "embedding", m, pq, d, metric = Knn.IP)
+    assert(searched === exactTop(df.unionByName(extras)))
+    // batch join, both budget arms, ≡ the exact IP join
+    val queries = df.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def joinRows(f: => org.apache.spark.sql.DataFrame) =
+      f.select($"qid".cast("long"), $"vec_id".cast("long"),
+          $"dist".cast("double"), $"rn".cast("long"))
+        .as[(Long, Long, Double, Long)].collect().sortBy(t => (t._1, t._4))
+    def go = Ivf.knnJoinPq(SparkT.spark, d, m, pq, queries, "qid", "qvec",
+      "vec_id", "vec_id", "embedding", k = 5, nprobe = m.nlist,
+      refine = 64, metric = Knn.IP)
+    val exactJoin = joinRows(Knn.knnJoin(queries, df, "qid", "qvec",
+      "vec_id", "embedding", k = 5, Knn.IP))
+    assert(joinRows(go) === exactJoin)
+    SparkT.spark.conf.set("spark.graft.knnJoin.maxQueryBatch", "4")
+    try assert(joinRows(go) === exactJoin)
+    finally SparkT.spark.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+    // metric identity: L2/cosine serving against the IP-built index
+    // fails loudly
+    val eL2 = intercept[IllegalArgumentException](
+      Ivf.searchPq(SparkT.spark, d, m, pq, "vec_id", "embedding",
+        queryVec, k = 10, nprobe = m.nlist))
+    assert(eL2.getMessage.contains("built for metric IP"))
+  }
+
   test("grouped top-k Aggregator matches the window-function reference") {
     val data = (1 to 500).map(i =>
       (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))

@@ -400,6 +400,93 @@ class QuantizeSpec extends AnyFunSuite {
       refine = 48, rCol = Some("rfac")), "binary residual cosine")
   }
 
+  // ───── inner-product serving via the MIPS→L2 augmentation (r18) ─────
+
+  test("inner-product: every flat family screens through the augmented space and matches the exact IP top-k") {
+    val q = emb.where($"vec_id" === 5).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val exact = Knn.knn(emb, "embedding", "vec_id", q, 10, Knn.IP)
+      .select("vec_id").as[Long].collect().toSeq
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").as[Long].collect().toSeq
+    // int8: stats/codes live in the (dim+1)-wide augmented space
+    val m8 = Quantize.train(emb, "embedding", Knn.IP)
+    assert(m8.dim === 65 && m8.ipMaxNorm > 0.0f)
+    val q8 = Quantize.quantizeTable(emb, "embedding", "qvec", m8)
+    assert(ids(Quantize.searchRescore(q8, "embedding", "qvec", "vec_id",
+      m8, q, 10, Knn.IP, refine = 16)) === exact, "int8")
+    // 4-bit
+    val m4 = Quantize.train4(emb, "embedding", Knn.IP)
+    val q4 = Quantize.quantize4Table(emb, "embedding", "q4vec", m4)
+    assert(ids(Quantize.searchRescore4(q4, "embedding", "q4vec", "vec_id",
+      m4, q, 10, Knn.IP, refine = 24)) === exact, "4-bit")
+    // binary plain + residual-corrected (the L2² estimate in the
+    // augmented space is monotone in the inner product per query)
+    val mb = Quantize.trainBinary(emb, "embedding", Knn.IP)
+    val bdf = Quantize.binarizeTable(emb, "embedding", "bvec", mb)
+    assert(ids(Quantize.searchHammingRescore(bdf, "embedding", "bvec",
+      "vec_id", mb, q, 10, Knn.IP, refine = 32)) === exact, "binary")
+    val rdf = Quantize.binarizeTableResidual(emb, "embedding", "bvec",
+      "rfac", mb)
+    assert(ids(Quantize.searchHammingRescoreResidual(rdf, "embedding",
+      "bvec", "rfac", "vec_id", mb, q, 10, refine = 16,
+      metric = Knn.IP)) === exact, "binary residual")
+    // flat PQ: the augmented dim (65) picks a compatible subspace count
+    val mpq = Quantize.trainPq(emb, "embedding", "vec_id", m = 5,
+      metric = Knn.IP)
+    val qpq = Quantize.quantizePqTable(emb, "embedding", "pqvec", mpq)
+    assert(ids(Quantize.searchRescorePq(qpq, "embedding", "pqvec",
+      "vec_id", mpq, q, 10, Knn.IP, refine = 24)) === exact, "pq")
+  }
+
+  test("inner-product: augmentation geometry — max-norm row binds to zero, order is exactly monotone") {
+    val m8 = Quantize.train(emb, "embedding", Knn.IP)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+    def norm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val maxRow = rows.maxBy(r => norm(r._2))._2
+    assert(math.abs(norm(maxRow) - m8.ipMaxNorm) < 1e-4)
+    // the max-norm row's augmented coordinate is (near) zero; every
+    // bound row has norm (near) M — the isometry onto the sphere
+    rows.take(50).foreach { case (_, v) =>
+      val b = m8.bindCorpus(v)
+      assert(b.length === v.length + 1)
+      assert(math.abs(norm(b) - m8.ipMaxNorm) <= 1e-3 * m8.ipMaxNorm)
+    }
+    // exact order equivalence: augmented-L2 rank == IP rank for a query
+    val q = rows.find(_._1 == 9L).get._2
+    val bq = m8.bindQuery(q)
+    def l2(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.indices.map(i => (a(i).toDouble - b(i)) *
+        (a(i).toDouble - b(i))).sum)
+    def ip(a: Array[Float], b: Array[Float]) =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    val byL2 = rows.map { case (id, v) => (l2(m8.bindCorpus(v), bq), id) }
+      .sortBy(t => (t._1, t._2)).map(_._2).take(20)
+    val byIp = rows.map { case (id, v) => (1.0 - ip(v, q), id) }
+      .sortBy(t => (t._1, t._2)).map(_._2).take(20)
+    assert(byL2 === byIp)
+  }
+
+  test("inner-product: screened batch join equals the exact IP knn join") {
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queriesDf = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Knn.knnJoin(queriesDf,
+        corpus.select($"vec_id".as("corpus_id"), $"embedding"),
+        "query_id", "embedding", "corpus_id", "embedding", k = 5, Knn.IP)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val m8 = Quantize.train(corpus, "embedding", Knn.IP)
+    val q8 = Quantize.quantizeTable(corpus, "embedding", "qvec", m8)
+    val got = Quantize.knnJoinQuant(q8, "embedding", "qvec", "vec_id", m8,
+        queriesDf, "query_id", "embedding", "corpus_id", 5, Knn.IP,
+        refine = 48)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === exact)
+  }
+
   test("cosine: metric mismatch between model and serving call is rejected") {
     val mL2 = Quantize.train(emb, "embedding")
     val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", mL2)
@@ -415,8 +502,8 @@ class QuantizeSpec extends AnyFunSuite {
       Quantize.searchRescore(qdf, "embedding", "qvec", "vec_id", mCos, q,
         5, Knn.L2)
     }
-    // IP stays out of the flat families (serve it as cosine over a
-    // normalized corpus, the reference's own equivalence)
+    // IP over an L2 model is a mismatch too (IP serves through its own
+    // augmented-space model — train with metric = IP)
     assertThrows[IllegalArgumentException] {
       Quantize.knnJoinQuant(qdf, "embedding", "qvec", "vec_id", mL2,
         emb.select($"vec_id".as("qid"), $"embedding".as("qv")),
