@@ -147,6 +147,13 @@ object SentencePiece {
               Character.isHighSurrogate(marked.charAt(i - 2))) 2 else 1
             val bytes =
               if (byteIds.isEmpty) null
+              // a LONE surrogate (malformed upstream decode) must become
+              // the U+FFFD replacement bytes — String.getBytes(UTF_8)
+              // substitutes '?' (0x3F) for unmappable chars, which would
+              // silently tokenize garbage as a literal question mark;
+              // real SentencePiece works on UTF-8 and emits EF BF BD
+              else if (w == 1 && Character.isSurrogate(marked.charAt(i - 1)))
+                Array(0xEF.toByte, 0xBF.toByte, 0xBD.toByte)
               else marked.substring(i - w, i)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             if (bytes != null && bytes.forall(b => byteIds.contains(b & 0xff))) {

@@ -418,11 +418,11 @@ object AnnRouting {
       }
       case None =>
         import org.apache.spark.sql.functions.col
-        guardUnindexedJoin(spark, basePath, queries)
-        Knn.knnJoin(queries,
+        val fits = guardUnindexedJoin(spark, basePath, queries, qVecCol)
+        Knn.knnJoinArm(queries,
           spark.read.parquet(basePath)
             .select(col(idCol).as(cIdCol), col(vecCol)),
-          qIdCol, qVecCol, cIdCol, vecCol, k, metric)
+          qIdCol, qVecCol, cIdCol, vecCol, k, metric, fits)
     }
   }
 
@@ -440,21 +440,35 @@ object AnnRouting {
     * of distance kernels on one node), log a registration
     * recommendation; with `spark.graft.knnJoin.unindexedStrict = true`
     * refuse outright. |C| comes from Parquet footers (no scan); |Q| from
-    * one BOUNDED count (capped at the rows that would already cross the
-    * threshold — never a full count of a huge query table). */
+    * one BOUNDED count that ALSO answers [[Knn.knnJoinArm]]'s broadcast
+    * decision (the returned `fits`) — one column-free count job + one
+    * first-row dim peek, instead of the guard, the dim peek, and the
+    * budget probe each re-evaluating the query plan. The count cap is
+    * the LESSER of the threshold-crossing rowcount and a fixed
+    * de-pathologizing bound (a 10-row corpus would otherwise make the
+    * "bounded" count scan ~1e9 query rows just to decide a log line; a
+    * query side past the fixed bound with a corpus small enough to keep
+    * the product under `warnAt` dodges the warning — the honest trade
+    * for never scanning unbounded query rows in a guard). */
   private def guardUnindexedJoin(spark: SparkSession, basePath: String,
-                                 queries: DataFrame): Unit = {
+                                 queries: DataFrame,
+                                 qVecCol: String): Boolean = {
+    val budget = Knn.maxQueryBatch(spark, Knn.queryDim(queries, qVecCol))
     val warnAt = spark.conf
       .getOption("spark.graft.knnJoin.unindexedProductWarn")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(1e10)
     val corpusRows = try graft.stats.Stats.rowCount(basePath,
       spark.sparkContext.hadoopConfiguration)
-    catch { case _: Exception => return } // unreadable: the join will say so
-    if (corpusRows <= 0) return
-    val qCross = math.min((warnAt / corpusRows).toLong + 1,
-      Int.MaxValue.toLong - 2)
-    val qRows = queries.limit(qCross.toInt + 1).count()
-    if (qRows.toDouble * corpusRows > warnAt) {
+    catch { case _: Exception => -1L } // unreadable: the join will say so
+    val qCross =
+      if (corpusRows <= 0) 0L
+      else math.min(math.min((warnAt / corpusRows).toLong + 1,
+        Int.MaxValue.toLong - 2), 1L << 26)
+    val scanCap = math.max(qCross, budget.toLong + 1)
+    val qRows = queries.limit(scanCap.toInt).count()
+    val fits = qRows <= budget
+    if (!fits) Knn.overBudgetJoins.incrementAndGet()
+    if (corpusRows > 0 && qRows.toDouble * corpusRows > warnAt) {
       unindexedJoinWarnings.incrementAndGet()
       val msg = s"AnnRouting.knnJoin: $basePath has no registered ANN " +
         s"index — the fallback is an EXACT distributed cartesian of " +
@@ -467,6 +481,7 @@ object AnnRouting {
         throw new IllegalStateException(msg)
       log.warn(msg)
     }
+    fits
   }
 
   private lazy val log =

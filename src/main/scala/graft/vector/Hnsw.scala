@@ -124,7 +124,13 @@ object Hnsw {
     /** `counters`, when non-null, receives walk telemetry: counters(0) +=
       * nodes EXPANDED (dequeued with their adjacency scanned — the "hops"
       * a walk takes), counters(1) += distances scored. Measurement only;
-      * never changes the walk. */
+      * never changes the walk. This is the engine's analog of the
+      * reference's opt-in per-search stats (knn/knn.h:76-79
+      * SearchStats_t::m_iDistanceComputations, collected when
+      * CreateIterator's bCollectMetrics is set, knn/iterator.cpp:35):
+      * callers pass a `scoredAcc` LongAccumulator to the public search
+      * entry points and read distances-scored across the distributed
+      * walk the way the host reads Iterator_i::GetStats(). */
     /** `entry` is the layer-0 start node — node 0 (the lowest id, the flat
       * NSW convention) unless a hierarchy descent ([[descend]]) supplies a
       * closer one. At ef >= upTo the walk is exhaustive either way (chain

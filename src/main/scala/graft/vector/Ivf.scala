@@ -381,13 +381,13 @@ object Ivf {
   // and every index mutation clears the whole (tiny) map via
   // [[invalidatePqMetricCache]] from
   // [[graft.plans.AnnRouting.onIndexMutated]] — belt and braces.
-  private val pqMetricCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[(String, Double)]]
+  private val pqMetricCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[(String, Option[Double])]]
 
   private[graft] def invalidatePqMetricCache(): Unit = pqMetricCache.clear()
 
   private def pqMeta(spark: SparkSession, indexPath: String)
-      : Option[(String, Double)] = {
+      : Option[(String, Option[Double])] = {
     val dir = resolve(spark, indexPath)
     pqMetricCache.getOrElseUpdate(dir, {
       val p = new org.apache.hadoop.fs.Path(dir, PqMetricMarker)
@@ -400,8 +400,11 @@ object Ivf {
             java.nio.charset.StandardCharsets.UTF_8).trim
             .split("\n").toSeq
           finally in.close()
+        // a missing/garbled M line stays None — conflating it with an
+        // explicit 0.0 would let an IP append silently bind a different
+        // screen space than the build's codes ([[requireStoredMaxNorm]])
         Some((lines.head.trim,
-          lines.lift(1).flatMap(_.trim.toDoubleOption).getOrElse(0.0)))
+          lines.lift(1).flatMap(_.trim.toDoubleOption)))
       }
     })
   }
@@ -415,27 +418,37 @@ object Ivf {
           "in the wrong space — pass the build metric")
     }
 
-  /** The stored IP augmentation bound M of an IP-built index (0 for
-    * non-IP / pre-marker indexes). */
-  private def pqStoredMaxNorm(spark: SparkSession, indexPath: String): Double =
-    pqMeta(spark, indexPath).map(_._2).getOrElse(0.0)
+  /** The stored IP augmentation bound M of an IP-built index, REQUIRED
+    * present (may legitimately be 0.0 for an all-zero corpus): a lost or
+    * truncated marker on an IP index must fail LOUDLY before an append/
+    * frozen-compact binds new rows — encoding with a defaulted M=0 would
+    * put them in a DIFFERENT screen space than the build's codes and
+    * silently misrank them (the wrong-space contract [[checkPqMetric]]
+    * enforces for the metric name applies to the bound too). */
+  private def requireStoredMaxNorm(spark: SparkSession,
+                                   indexPath: String): Double =
+    pqMeta(spark, indexPath).flatMap(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"IVF-ADC index $indexPath is bound as IP but its metric marker " +
+          "is missing or carries no augmentation bound M — rebuild with " +
+          "buildIndexPq (which writes the marker) or restore the marker " +
+          "before appending/compacting; binding new rows with a default " +
+          "M would encode a different screen space than the existing " +
+          "codes"))
 
   /** (table with the bound-space column, its name): `vecCol` itself for
     * L2, a transient normalized companion for cosine, the transient
     * MIPS→L2 augmented companion [v, √(M²−‖v‖²)] for IP (`ipM2` = M² —
-    * from a build-time max-agg or the stored marker; r18). */
+    * from a build-time max-agg or the stored marker; r18). The binding
+    * expression is [[Quantize.boundSpaceCol]] — the ONE shared
+    * construction the flat families' codes use, so the two families can
+    * never drift into different augmented spaces. */
   private def boundSide(df: DataFrame, vecCol: String, metric: Knn.Metric,
                         ipM2: Double = 0.0): (DataFrame, String) =
     metric match {
-      case Knn.Cosine =>
-        (df.withColumn(BoundCol, normalized(col(vecCol))), BoundCol)
-      case Knn.IP =>
-        val sumsq = aggregate(col(vecCol), lit(0.0),
-          (a, x) => a + x.cast("double") * x.cast("double"))
-        (df.withColumn(BoundCol, concat(col(vecCol),
-          array(sqrt(greatest(lit(0.0), lit(ipM2) - sumsq))
-            .cast("float")))), BoundCol)
-      case _ => (df, vecCol)
+      case Knn.L2 => (df, vecCol)
+      case _ => (df.withColumn(BoundCol,
+        Quantize.boundSpaceCol(metric, col(vecCol), ipM2)), BoundCol)
     }
 
   /** Transient MIPS→L2 augmented companion of `vecCol` as `augCol`
@@ -451,8 +464,9 @@ object Ivf {
   }
 
   /** Max corpus ‖v‖² — the IP augmentation bound (one distributed
-    * max-agg; 0 on an empty table). */
-  private def maxSumsq(df: DataFrame, vecCol: String): Double = {
+    * max-agg; 0 on an empty table). Shared with [[Quantize]]'s flat-model
+    * training — ONE definition of the bound estimate. */
+  private[vector] def maxSumsq(df: DataFrame, vecCol: String): Double = {
     val sumsq = aggregate(col(vecCol), lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double"))
     df.select(max(sumsq)).head() match {
@@ -461,15 +475,11 @@ object Ivf {
     }
   }
 
-  /** Query-side screen-space binding for the ADC family: normalized for
-    * cosine, zero-augmented for IP ([q, 0] — M never enters the query
-    * side), raw for L2. */
+  /** Query-side screen-space binding for the ADC family — delegates to
+    * the flat families' [[Quantize.bindQuerySide]] (one definition of
+    * the metric transport on BOTH sides). */
   private def bindPqQuery(metric: Knn.Metric, q: Array[Float]): Array[Float] =
-    metric match {
-      case Knn.Cosine => normalizeQuery(q)
-      case Knn.IP => q :+ 0.0f
-      case _ => q
-    }
+    Quantize.bindQuerySide(metric, q)
 
   /** I9 append for the IVF-ADC index: assign + encode the new batch with
     * the EXISTING coarse model and codebooks (the RT flow — neither
@@ -483,7 +493,7 @@ object Ivf {
     // IP binds with the BUILD's stored M (the frozen-model contract — a
     // batch-local re-estimate would encode a different space)
     val ipM2 = if (metric == Knn.IP) {
-      val mn = pqStoredMaxNorm(df.sparkSession, path); mn * mn
+      val mn = requireStoredMaxNorm(df.sparkSession, path); mn * mn
     } else 0.0
     val (bound, bcol) = boundSide(df, vecCol, metric, ipM2)
     val assigned = assign(bound, bcol, m)
@@ -535,7 +545,7 @@ object Ivf {
     // stay in the same space)
     val ipM2 = if (metric != Knn.IP) 0.0
       else if (retrain) maxSumsq(corpus, vecCol)
-      else { val mn = pqStoredMaxNorm(spark, indexPath); mn * mn }
+      else { val mn = requireStoredMaxNorm(spark, indexPath); mn * mn }
     val (bound, bcol) = boundSide(corpus, vecCol, metric, ipM2)
     val m2 = if (retrain) train(bound, bcol, m.nlist, metric = Knn.L2)
              else m

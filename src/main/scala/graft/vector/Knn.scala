@@ -147,10 +147,14 @@ object Knn {
     * retained set ([[maxLivePersisted]], FIFO evict) caps the worst case
     * where a caller never runs an action at all. After release, a
     * RE-EXECUTION of the same retained plan recomputes the projection per
-    * consumer — identical rows for the deterministic sources every gate
-    * uses; a caller re-running an over-budget join over a
-    * NONDETERMINISTIC source should persist/checkpoint its result (or
-    * its query input) before the second action. */
+    * consumer — identical rows ONLY for a deterministic query plan, so
+    * eager release (listener AND cap eviction) is gated on
+    * [[deterministicPlan]]: a NONDETERMINISTIC source (rand/uuid/shuffle
+    * expressions, Sample) keeps the r17 contract — persisted until the
+    * ContextCleaner collects the unreachable RDD, never unpersisted
+    * while a caller could still re-run the plan — because an eager
+    * unpersist would let the screen and the rescore recompute DIFFERENT
+    * query rows (silently wrong joins, not just extra work). */
   private[vector] def persistedQueryRdd(queries: DataFrame, qIdCol: String,
                                         qVecCol: String)
       : org.apache.spark.rdd.RDD[(Long, Array[Float])] = {
@@ -158,8 +162,22 @@ object Knn {
     val rdd = queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    track(queries.sparkSession, rdd)
+    if (deterministicPlan(queries)) track(queries.sparkSession, rdd)
     rdd
+  }
+
+  /** Whether a plan re-executes to IDENTICAL rows — the eager-release
+    * precondition: no nondeterministic expression anywhere in the
+    * analyzed tree (Expression.deterministic is recursive per node) and
+    * no Sample node (sampling re-draws under recompute of re-shuffled
+    * input). Conservative by construction: a false negative only means
+    * the projection waits for the ContextCleaner instead. */
+  private def deterministicPlan(queries: DataFrame): Boolean = {
+    val plan = queries.queryExecution.analyzed
+    plan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+      case p if p.expressions.exists(!_.deterministic) => p
+    }.isEmpty
   }
 
   /** Retained-projection cap: joins beyond this many un-actioned
@@ -303,7 +321,23 @@ object Knn {
   def knnJoin(queries: DataFrame, corpus: DataFrame,
               qIdCol: String, qVecCol: String,
               cIdCol: String, cVecCol: String,
-              k: Int, metric: Metric = L2): DataFrame = {
+              k: Int, metric: Metric = L2): DataFrame =
+    knnJoinArm(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol, k, metric,
+      fits = fitsBudget(queries, maxQueryBatch(queries.sparkSession,
+        queryDim(queries, qVecCol))))
+
+  /** [[knnJoin]] with the broadcast-budget decision PRECOMPUTED — the
+    * seam for callers that already ran a bounded probe over the query
+    * side (AnnRouting's unregistered-table fallback answers the
+    * cartesian-guard count, the dim peek, and this decision from ONE
+    * bounded job instead of three). `fits = true` must only be passed
+    * when the query rowcount is known ≤ the byte-derived
+    * [[maxQueryBatch]]. */
+  private[graft] def knnJoinArm(queries: DataFrame, corpus: DataFrame,
+                                qIdCol: String, qVecCol: String,
+                                cIdCol: String, cVecCol: String,
+                                k: Int, metric: Metric,
+                                fits: Boolean): DataFrame = {
     require(qIdCol != cIdCol,
       s"query and corpus id columns must have distinct names ($qIdCol)")
     // over [[maxQueryBatch]] the broadcast hint drops and the cross join
@@ -311,11 +345,7 @@ object Knn {
     // exact join), but never a driver/broadcast OOM (r15 VERDICT #1)
     val qSel = queries.select(col(qIdCol).cast("long").as("__qid"),
       col(qVecCol).as("__qv"))
-    val q =
-      if (fitsBudget(queries, maxQueryBatch(queries.sparkSession,
-          queryDim(queries, qVecCol))))
-        broadcast(qSel)
-      else qSel
+    val q = if (fits) broadcast(qSel) else qSel
     val scored = corpus
       .select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
       .crossJoin(q)

@@ -56,6 +56,54 @@ object Quantize {
         s"$serving — codes live in the trained metric's screen space " +
         "(train with the serving metric)")
 
+  /** Corpus-side screen-space binding — ONE definition shared by the four
+    * flat models AND the IVF-ADC family (the exactness of the MIPS→L2
+    * trick depends on every corpus side using the exact same
+    * construction): identity for L2, unit-normalize for cosine,
+    * [v, √(M²−‖v‖²)] for IP with `ipMaxNorm` = the trained bound M. */
+  private[vector] def bindCorpusSide(metric: Knn.Metric, ipMaxNorm: Float,
+                                     v: Array[Float]): Array[Float] =
+    metric match {
+      case Knn.Cosine => Ivf.normalizeQuery(v)
+      case Knn.IP =>
+        val out = new Array[Float](v.length + 1)
+        System.arraycopy(v, 0, out, 0, v.length)
+        var n2 = 0.0
+        var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        val m2 = ipMaxNorm.toDouble * ipMaxNorm
+        out(v.length) = math.sqrt(math.max(0.0, m2 - n2)).toFloat
+        out
+      case _ => v
+    }
+
+  /** Query-side screen-space binding, paired with [[bindCorpusSide]]:
+    * identity for L2, unit-normalize for cosine, [q, 0] for IP (M never
+    * enters the query side — ‖q'−v'‖² = ‖q‖² + M² − 2⟨q,v⟩ already). */
+  private[vector] def bindQuerySide(metric: Knn.Metric,
+                                    q: Array[Float]): Array[Float] =
+    metric match {
+      case Knn.Cosine => Ivf.normalizeQuery(q)
+      case Knn.IP => q :+ 0.0f
+      case _ => q
+    }
+
+  /** COLUMN form of [[bindCorpusSide]] (one codegen expression, no stored
+    * column) — the training/encode-side binding for whole tables; `ipM2`
+    * = M² from the caller's max-agg or stored marker. */
+  private[vector] def boundSpaceCol(metric: Knn.Metric,
+                                    vec: org.apache.spark.sql.Column,
+                                    ipM2: Double): org.apache.spark.sql.Column =
+    metric match {
+      case Knn.Cosine => Ivf.normalized(vec)
+      case Knn.IP =>
+        val sumsq = aggregate(vec, lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))
+        concat(vec, array(sqrt(greatest(lit(0.0), lit(ipM2) - sumsq))
+          .cast("float")))
+      case _ => vec
+    }
+
   /** Trained-metric space binding shared by the four flat models. */
   sealed trait FlatMetricModel {
     def metric: Knn.Metric
@@ -64,26 +112,16 @@ object Quantize {
     def ipMaxNorm: Float
     /** Corpus-side binding into the screen space (encode path). */
     private[vector] final def bindCorpus(v: Array[Float]): Array[Float] =
-      metric match {
-        case Knn.Cosine => Ivf.normalizeQuery(v)
-        case Knn.IP =>
-          val out = new Array[Float](v.length + 1)
-          System.arraycopy(v, 0, out, 0, v.length)
-          var n2 = 0.0
-          var i = 0
-          while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
-          val m2 = ipMaxNorm.toDouble * ipMaxNorm
-          out(v.length) = math.sqrt(math.max(0.0, m2 - n2)).toFloat
-          out
-        case _ => v
-      }
+      bindCorpusSide(metric, ipMaxNorm, v)
     /** Query-side binding into the screen space (screen path). */
     private[vector] final def bindQuery(q: Array[Float]): Array[Float] =
-      metric match {
-        case Knn.Cosine => Ivf.normalizeQuery(q)
-        case Knn.IP => q :+ 0.0f
-        case _ => q
-      }
+      bindQuerySide(metric, q)
+    /** Expected RAW stored-vector length for a code/threshold width of
+      * `codeDim`: the IP augmentation adds one code dimension that never
+      * exists in the stored float column (integrity checks compare raw
+      * rows against this, not against the augmented dim). */
+    private[vector] final def rawDim(codeDim: Int): Int =
+      if (metric == Knn.IP) codeDim - 1 else codeDim
   }
 
   final case class QModel(mins: Array[Float], maxs: Array[Float],
@@ -147,19 +185,9 @@ object Quantize {
     * IP. */
   private def boundTrain(df: DataFrame, vecCol: String,
                          metric: Knn.Metric)
-      : (org.apache.spark.sql.Column, Float) = metric match {
-    case Knn.Cosine => (Ivf.normalized(col(vecCol)), 0.0f)
-    case Knn.IP =>
-      val sumsq = aggregate(col(vecCol), lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double"))
-      val m2 = df.select(max(sumsq)).head() match {
-        case r if r.isNullAt(0) => 0.0
-        case r => r.getDouble(0)
-      }
-      (concat(col(vecCol),
-        array(sqrt(greatest(lit(0.0), lit(m2) - sumsq)).cast("float"))),
-        math.sqrt(m2).toFloat)
-    case _ => (col(vecCol), 0.0f)
+      : (org.apache.spark.sql.Column, Float) = {
+    val m2 = if (metric == Knn.IP) Ivf.maxSumsq(df, vecCol) else 0.0
+    (boundSpaceCol(metric, col(vecCol), m2), math.sqrt(m2).toFloat)
   }
 
   /** Train per-dimension min/max: ONE pass with per-partition array
@@ -373,7 +401,7 @@ object Quantize {
       * coordinate is 0, not the corpus residual). */
     def binarizeQuery(q: Array[Float]): Array[Long] =
       binarizeBound(bindQuery(q))
-    private def binarizeBound(v: Array[Float]): Array[Long] = {
+    private[vector] def binarizeBound(v: Array[Float]): Array[Long] = {
       val out = new Array[Long](words)
       var i = 0
       while (i < dim) {
@@ -398,8 +426,9 @@ object Quantize {
       * `norm = ‖r‖` and `scale = Σ|rᵢ|/d` — the LEAST-SQUARES coefficient
       * of the rank-1 model `r ≈ scale·sign(r)` (argmin_c ‖r − c·sgn‖ =
       * ⟨r,sgn⟩/d = mean |rᵢ|), where r = v − thresholds. */
-    def residualFactors(v0: Array[Float]): (Float, Float) = {
-      val v = bindCorpus(v0) // the residual lives where the bits do
+    def residualFactors(v0: Array[Float]): (Float, Float) =
+      residualFactorsBound(bindCorpus(v0)) // the residual lives where the bits do
+    private[vector] def residualFactorsBound(v: Array[Float]): (Float, Float) = {
       var s2 = 0.0
       var s1 = 0.0
       var i = 0
@@ -540,9 +569,11 @@ object Quantize {
     val vecIdx = df.schema.fieldIndex(vecCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val v = r.getSeq[Float](vecIdx).toArray
-        val (rn, rs) = m.residualFactors(v)
-        Row.fromSeq(r.toSeq :+ (m.binarize(v).toSeq: Seq[Long]) :+
+        // bind ONCE into the screen space — factors and bits share it
+        // (the r15-2 encode-once contract)
+        val bv = m.bindCorpus(r.getSeq[Float](vecIdx).toArray)
+        val (rn, rs) = m.residualFactorsBound(bv)
+        Row.fromSeq(r.toSeq :+ (m.binarizeBound(bv).toSeq: Seq[Long]) :+
           Row(rn, rs))
       }
     }(Encoders.row(schema))

@@ -381,7 +381,9 @@ object VectorIndexCheck {
         .as[(Long, Seq[Float], Array[Byte])]
         .flatMap { case (id, v, codes) =>
           val mm = mb.value
-          val ok = v.length == mm.dim &&
+          // an IP model's code dim is the AUGMENTED dim+1; stored rows
+          // stay raw-width (rawDim)
+          val ok = v.length == mm.rawDim(mm.dim) &&
             java.util.Arrays.equals(codes, mm.quantize(v.toArray))
           if (ok) None else Some(id)
         }
@@ -398,7 +400,9 @@ object VectorIndexCheck {
         .as[(Long, Seq[Float], Array[Byte])]
         .flatMap { case (id, v, codes) =>
           val mm = mb.value
-          val ok = v.length == mm.dim &&
+          // an IP model's code dim is the AUGMENTED dim+1; stored rows
+          // stay raw-width (rawDim)
+          val ok = v.length == mm.rawDim(mm.dim) &&
             java.util.Arrays.equals(codes, mm.quantize(v.toArray))
           if (ok) None else Some(id)
         }
@@ -415,7 +419,7 @@ object VectorIndexCheck {
         .as[(Long, Seq[Float], Seq[Long])]
         .flatMap { case (id, v, words) =>
           val mm = mb.value
-          val ok = v.length == mm.dim &&
+          val ok = v.length == mm.rawDim(mm.dim) &&
             words == mm.binarize(v.toArray).toSeq
           if (ok) None else Some(id)
         }

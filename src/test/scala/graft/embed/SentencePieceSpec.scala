@@ -142,4 +142,29 @@ class SentencePieceSpec extends AnyFunSuite {
     assert(m.encode("the\u0085of").toSeq === want)
     assert(m.encode("\u3000 the \u00A0 of \u3000").toSeq === want)
   }
+
+  test("a lone surrogate byte-falls-back to U+FFFD replacement bytes, " +
+      "never the literal '?' piece (r18 review)") {
+    // String.getBytes(UTF_8) substitutes '?' (0x3F) for an unpaired
+    // surrogate -- with a <0x3F> piece in the vocab, garbage would
+    // silently tokenize as a question mark; real SentencePiece works on
+    // UTF-8 and emits the U+FFFD bytes EF BF BD
+    val v2 = vocab ++ Seq("<0x3F>" -> -20.0,
+      "<0xEF>" -> -21.0, "<0xBF>" -> -21.0, "<0xBD>" -> -21.0)
+    val n = vocab.length
+    val mb = SentencePiece.Model(
+      v2.map(_._1).toArray, v2.map(_._2).toArray, unkId = 0)
+    val lone = "\uD800" // unpaired high surrogate
+    val got = mb.segment("\u2581" + lone).toSeq
+    assert(got.drop(1) === Seq(n + 1, n + 2, n + 3), got) // EF BF BD pieces
+    assert(!got.contains(n), got) // never the '?' piece
+    // a REAL '?' still takes the <0x3F> byte arc (no text piece covers it)
+    assert(mb.segment("\u2581?").toSeq.contains(n))
+    // with the replacement bytes NOT in the vocab, the lone surrogate
+    // unks instead of matching <0x3F>
+    val v3 = vocab ++ Seq("<0x3F>" -> -20.0)
+    val m3 = SentencePiece.Model(
+      v3.map(_._1).toArray, v3.map(_._2).toArray, unkId = 0)
+    assert(m3.segment("\u2581" + lone).toSeq.drop(1) === Seq(0))
+  }
 }

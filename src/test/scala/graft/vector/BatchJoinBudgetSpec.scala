@@ -274,6 +274,35 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
       .unset("spark.graft.knnJoin.maxPersistedQueryProjections")
   }
 
+  test("a NONDETERMINISTIC query source is never eager-released: screen " +
+      "and rescore stay identical across repeated actions (r18 review)") {
+    val m = Quantize.train(emb, "embedding")
+    val qdf = Quantize.quantizeTable(emb, "embedding", "qvec", m)
+    // rand() makes the filtered query set nondeterministic under
+    // recompute -- eager release (cap eviction or post-action) would let
+    // the screen and the rescore see DIFFERENT rows; such plans skip the
+    // eager-release set (ContextCleaner handles them, the r17 contract)
+    import org.apache.spark.sql.functions.rand
+    val qNondet = emb.filter(rand(7) < 0.2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec2"))
+    withBudget(4) {
+      val before = Knn.livePersistedCount
+      val j = Quantize.knnJoinQuant(qdf, "embedding", "qvec", "vec_id", m,
+        qNondet, "qid", "qvec2", "vec_id", k = 5)
+      assert(Knn.livePersistedCount === before,
+        "nondeterministic projections must not enter the eager-release set")
+      // repeated actions on the SAME join agree (the persisted
+      // projection survives the first action)
+      val r1 = rows(j)
+      assert(rows(j) === r1)
+      assert(r1.nonEmpty)
+      // every (screen-survivor) pair carries a distance consistent with
+      // ONE query row set: rescore rows match screen rows exactly by
+      // construction when both read the same persisted projection
+      assert(Knn.livePersistedCount === before)
+    }
+  }
+
   private def Params(m: Int, efC: Int, partitions: Int) =
     Hnsw.Params(m, efC, partitions)
 }

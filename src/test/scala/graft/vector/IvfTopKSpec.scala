@@ -299,6 +299,30 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(eL2.getMessage.contains("built for metric IP"))
   }
 
+  test("IP IVF-ADC: a lost/truncated metric marker fails appends LOUDLY " +
+      "instead of binding a default-M space (r18 review)") {
+    val d = Files.createTempDirectory("graft-ivfpq-ipm").resolve("i").toString
+    val aug = Ivf.ipAugmentedCompanion(df, "embedding", "embaug")
+    val m = Ivf.train(aug, "embaug", nlist = 4)
+    val pq = Ivf.buildIndexPq(df, "embedding", "vec_id", m, d,
+      subM = 17, codeK = 16, metric = Knn.IP)
+    val extras = df.limit(3)
+      .select(($"vec_id" + 2000).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    // marker truncated to the metric name alone (the crash-window /
+    // bit-rot shape): the metric check still passes, but the bound M is
+    // gone -- the append must refuse, never encode with M=0
+    val mp = new org.apache.hadoop.fs.Path(d, "_GRAFT_IVFPQ_METRIC")
+    val fs = mp.getFileSystem(SparkT.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write("IP\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    Ivf.invalidatePqMetricCache()
+    val e = intercept[IllegalStateException](
+      Ivf.appendToIndexPq(extras, "embedding", m, pq, d, metric = Knn.IP))
+    assert(e.getMessage.contains("augmentation bound M"))
+  }
+
   test("grouped top-k Aggregator matches the window-function reference") {
     val data = (1 to 500).map(i =>
       (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))

@@ -306,4 +306,33 @@ class VectorIndexCheckSpec extends AnyFunSuite {
     assert(VectorIndexCheck.checkLayers(SparkT.spark, lvl0)
       .issues.exists(_.contains("level < 1")), lvl0)
   }
+
+  test("IP-trained families: healthy passes (raw rows vs augmented code " +
+      "dim), drift still caught") {
+    // an IP model's code dim is dim+1 (the MIPS->L2 augmented coordinate)
+    // while stored rows stay raw-width -- the check must compare against
+    // rawDim, not flag every row (review r18-2)
+    val mq = Quantize.train(emb, "embedding", Knn.IP)
+    val qp = writeTable(Quantize.quantizeTable(emb, "embedding", "qvec", mq))
+    val okQ = VectorIndexCheck.checkQuant(SparkT.spark, qp, "embedding",
+      "qvec", "vec_id", mq, fact = Some((emb, "vec_id")))
+    assert(okQ.ok, okQ.issues.mkString("; "))
+    assert(okQ.rows === 500)
+    val badQ = writeTable(flipByte(SparkT.spark.read.parquet(qp), "qvec"))
+    assert(VectorIndexCheck.checkQuant(SparkT.spark, badQ, "embedding",
+      "qvec", "vec_id", mq).issues
+      .exists(_.contains("disagree with the model re-encode")))
+
+    val m4 = Quantize.train4(emb, "embedding", Knn.IP)
+    val p4 = writeTable(Quantize.quantize4Table(emb, "embedding", "q4vec", m4))
+    val ok4 = VectorIndexCheck.checkQuant4(SparkT.spark, p4, "embedding",
+      "q4vec", "vec_id", m4)
+    assert(ok4.ok, ok4.issues.mkString("; "))
+
+    val mb = Quantize.trainBinary(emb, "embedding", Knn.IP)
+    val pb = writeTable(Quantize.binarizeTable(emb, "embedding", "bvec", mb))
+    val okB = VectorIndexCheck.checkBinary(SparkT.spark, pb, "embedding",
+      "bvec", "vec_id", mb)
+    assert(okB.ok, okB.issues.mkString("; "))
+  }
 }
