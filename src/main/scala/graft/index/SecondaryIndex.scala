@@ -51,23 +51,21 @@ object SecondaryIndex {
     * secondary/builder.cpp:43-44). */
   val RowidsPerChunk = 1024L
 
-  /** Build the index table for `valueCol` with postings of `keyCol`
-    * (the fact table's join key — the reference's implicit dense rowid;
-    * Parquet tables have no stable physical rowid, so the engine indexes
-    * the logical key instead). `keyCol` must uniquely identify rows of
-    * `df`, exactly as the reference's rowid does — otherwise the semi-join
-    * widens the result to all rows sharing a key, and the <=1024 chunk
-    * bound no longer holds. */
   /** Chunked-postings aggregation shared by [[build]] and
     * [[appendSegment]]. */
   private def postings(df: DataFrame, valueCol: String,
                        keyCol: String): DataFrame = {
     val key = col(keyCol).cast("long")
+    // floor division via (k - pmod(k, W)) / W — exact in long arithmetic,
+    // so negative keys chunk correctly (for non-negative keys this is
+    // plain `div`). Built from Column ops, never a SQL string: a
+    // reserved-word or special-character keyCol ("order", "key-id") must
+    // build like any other column (review r18-3).
+    val w = lit(RowidsPerChunk)
     df.select(col(valueCol).as("value"), key.as("k"),
-        // floor division (exact in long arithmetic) so negative keys chunk
-        // correctly; for the common non-negative key this is `div`.
-        expr(s"(CAST($keyCol AS BIGINT) - pmod(CAST($keyCol AS BIGINT), $RowidsPerChunk)) div $RowidsPerChunk")
-          .as("chunk"))
+        // `div` (integral divide) keeps LONG semantics — `/` would go
+        // through double and lose exactness above 2^53
+        call_function("div", key - pmod(key, w), w).as("chunk"))
       .groupBy(col("value"), col("chunk"))
       .agg(count(lit(1)).as("cnt"),
         sort_array(collect_list(col("k"))).as("rowids"),
@@ -75,6 +73,13 @@ object SecondaryIndex {
         max(col("k")).as("chunk_max"))
   }
 
+  /** Build the index table for `valueCol` with postings of `keyCol`
+    * (the fact table's join key — the reference's implicit dense rowid;
+    * Parquet tables have no stable physical rowid, so the engine indexes
+    * the logical key instead). `keyCol` must uniquely identify rows of
+    * `df`, exactly as the reference's rowid does — otherwise the semi-join
+    * widens the result to all rows sharing a key, and the <=1024 chunk
+    * bound no longer holds. */
   def build(df: DataFrame, valueCol: String, keyCol: String,
             path: String, files: Int = 1): Unit = {
     requireNotManifestManaged(df.sparkSession, path)

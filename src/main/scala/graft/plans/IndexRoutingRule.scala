@@ -204,8 +204,15 @@ object IndexRouting {
     }
   }
 
-  def unregister(spark: SparkSession, basePath: String): Unit =
-    reg.remove(qualify(spark, basePath))
+  def unregister(spark: SparkSession, basePath: String): Unit = {
+    val q = qualify(spark, basePath)
+    reg.remove(q)
+    // also purge the maintenance replay memos for this base — otherwise a
+    // later reregisterDropped() would RESURRECT a registration the user
+    // explicitly invalidated (e.g. after rewriting the fact table) and
+    // route queries to an index that no longer covers it (review r18-3)
+    droppedKeys.keys.filter(_._1 == q).foreach(droppedKeys.remove)
+  }
 
   def clear(): Unit = { reg.clear(); droppedKeys.clear() }
 
@@ -226,12 +233,24 @@ object IndexRouting {
     * replayed keys race mutations through the same epoch guard as any
     * register, and a key whose replay is beaten by a newer mutation is
     * simply re-dropped (and re-remembered) by that mutation. */
-  def reregisterDropped(spark: SparkSession): Unit =
+  def reregisterDropped(spark: SparkSession): Unit = {
+    var firstFailure: Throwable = null
     droppedKeys.keys.toSeq.foreach { k =>
-      droppedKeys.remove(k).foreach { case (b, i, v, kc, mva) =>
-        register(spark, b, i, v, kc, mva = mva)
+      droppedKeys.remove(k).foreach { case memo @ (b, i, v, kc, mva) =>
+        // a TRANSIENT register failure (object-store throttle, executor
+        // loss during the stats jobs) must not lose the replay memo or
+        // abort the remaining keys — restore the memo (unless a newer
+        // mutation already re-remembered the key) and keep going, so the
+        // next maintenance tick retries (review r18-3)
+        try register(spark, b, i, v, kc, mva = mva)
+        catch { case e: Exception =>
+          droppedKeys.putIfAbsent(k, memo)
+          if (firstFailure == null) firstFailure = e
+        }
       }
     }
+    if (firstFailure != null) throw firstFailure
+  }
 
   /** Invalidation hook for index MAINTENANCE ([[graft.index.SecondaryIndex]]
     * calls this from build / appendSegment / compact / compactManifest):
@@ -395,23 +414,8 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           lr.output.exists(a => a.name == g.name && a.semanticEquals(g)))
         .sortBy(_.idxRows).headOption // fewest index rows when several serve
         .flatMap { r =>
-          val idxPlan = freshIndexPlan(r)
-          for {
-            idxValue <- idxPlan.output.find(_.name == "value")
-            cnt <- idxPlan.output.find(_.name == "cnt")
-            v <- lr.output.find(_.name == r.valueCol)
-            // a filter under the facet must be fully servable by this index
-            idxChild <- inner match {
-              case None => Some(idxPlan)
-              case Some(cond) =>
-                val conjuncts = splitConjuncts(cond)
-                if (conjuncts.forall(servable(_, v)))
-                  Some(Filter(
-                    conjuncts.map(substitute(_, v, idxValue)).reduce(And),
-                    idxPlan): LogicalPlan)
-                else None
-            }
-          } yield {
+          // a filter under the facet must be fully servable by this index
+          servableIndexChild(r, lr, inner).map { case (idxChild, idxValue, cnt) =>
             val sum = Coalesce(Seq(
               Sum(cnt).toAggregateExpression(), Literal(0L)))
             // keep the original output ORDER and exprIds
@@ -427,6 +431,39 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           }
         }
     }
+  }
+
+  /** The servable-filter skeleton shared by the facet / count-distinct /
+    * col-agg routes (ONE definition — review r18-3: the block was
+    * triplicated, so a guard added to one copy silently missed the
+    * others): the fresh index plan for `r`, its (value, cnt) attributes —
+    * `value` TYPE-GUARDED against the fact column, because the rewrites
+    * swap attributes under KEPT exprIds and substitute `value` into the
+    * fact-side comparisons, so a drifted value type (fact column widened
+    * after the index build, mis-registration) would hand downstream
+    * operators the wrong physical type — and the index-side Filter when
+    * the fact predicate is fully servable (None = no route). */
+  private def servableIndexChild(r: Registered, lr: LogicalPlan,
+                                 inner: Option[Expression])
+      : Option[(LogicalPlan, Attribute, Attribute)] = {
+    val idxPlan = freshIndexPlan(r)
+    for {
+      idxValue <- idxPlan.output.find(_.name == "value")
+      if lr.output.find(_.name == r.valueCol)
+        .exists(_.dataType == idxValue.dataType)
+      cnt <- idxPlan.output.find(_.name == "cnt")
+      v <- lr.output.find(_.name == r.valueCol)
+      idxChild <- inner match {
+        case None => Some(idxPlan: LogicalPlan)
+        case Some(cond) =>
+          val conjuncts = splitConjuncts(cond)
+          if (conjuncts.forall(servable(_, v)))
+            Some(Filter(
+              conjuncts.map(substitute(_, v, idxValue)).reduce(And),
+              idxPlan): LogicalPlan)
+          else None
+      }
+    } yield (idxChild, idxValue, cnt)
   }
 
   private def isCountStar(ae: AggregateExpression): Boolean =
@@ -463,24 +500,12 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           lr.output.exists(o => o.semanticEquals(target)))
         .sortBy(_.idxRows).headOption // fewest index rows when several serve
         .flatMap { r =>
-          val idxPlan = freshIndexPlan(r)
-          for {
-            idxValue <- idxPlan.output.find(_.name == "value")
-            v <- lr.output.find(_.name == r.valueCol)
-            idxChild <- inner match {
-              case None => Some(idxPlan)
-              case Some(cond) =>
-                val conjuncts = splitConjuncts(cond)
-                if (conjuncts.forall(servable(_, v)))
-                  Some(Filter(
-                    conjuncts.map(substitute(_, v, idxValue)).reduce(And),
-                    idxPlan): LogicalPlan)
-                else None
-            }
-          } yield Aggregate(Nil,
-            Seq(Alias(Count(idxValue).toAggregateExpression(
-              isDistinct = true), a.name)(exprId = a.exprId)),
-            idxChild, None)
+          servableIndexChild(r, lr, inner).map { case (idxChild, idxValue, _) =>
+            Aggregate(Nil,
+              Seq(Alias(Count(idxValue).toAggregateExpression(
+                isDistinct = true), a.name)(exprId = a.exprId)),
+              idxChild, None)
+          }
         }
     }
   }
@@ -547,25 +572,9 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           lr.output.exists(o => o.semanticEquals(target)))
         .sortBy(_.idxRows).headOption // fewest index rows when several serve
         .flatMap { r =>
-          val idxPlan = freshIndexPlan(r)
-          for {
-            idxValue <- idxPlan.output.find(_.name == "value")
-              // the rewrite swaps the aggregate's input attribute, so the
-              // output type must be preserved exactly
-              .filter(_.dataType == target.dataType)
-            cnt <- idxPlan.output.find(_.name == "cnt")
-            v <- lr.output.find(_.name == r.valueCol)
-            idxChild <- inner match {
-              case None => Some(idxPlan)
-              case Some(cond) =>
-                val conjuncts = splitConjuncts(cond)
-                if (conjuncts.forall(servable(_, v)))
-                  Some(Filter(
-                    conjuncts.map(substitute(_, v, idxValue)).reduce(And),
-                    idxPlan): LogicalPlan)
-                else None
-            }
-          } yield {
+          // servableIndexChild's type guard also preserves the rewritten
+          // aggregates' exact output types (target IS the fact column)
+          servableIndexChild(r, lr, inner).map { case (idxChild, idxValue, cnt) =>
             def rewriteAe(ae: AggregateExpression): Expression =
               ae.aggregateFunction match {
                 case _: Min => Min(idxValue).toAggregateExpression()
@@ -610,7 +619,6 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peel column-pruning Projects (attribute-only) off a subtree. */
   /** Index-served sorted retrieval — `ORDER BY valueCol [, keyCol] LIMIT k`
     * over a registered base relation (the one query shape the index's own
     * ordering serves: postings are value-sorted by construction — the
@@ -745,6 +753,7 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Peel column-pruning Projects (attribute-only) off a subtree. */
   private def stripPrune(p: LogicalPlan): LogicalPlan = p match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       stripPrune(c)
@@ -940,13 +949,27 @@ class IndexRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                        hi: Option[Literal]): Option[Double] = {
     val loN = lo.map(numLit)
     val hiN = hi.map(numLit)
-    val numeric =
-      if (loN.exists(_.isEmpty) || hiN.exists(_.isEmpty)) None
-      else spanFrac(r, loN.flatten.getOrElse(-Double.MaxValue),
-        hiN.flatten.getOrElse(Double.MaxValue))
-    numeric match {
-      case Some(0.0) => Some(0.0)
-      case sp => histFrac(r, lo, hi).orElse(sp)
+    if (loN.exists(_.isEmpty) || hiN.exists(_.isEmpty))
+      return histFrac(r, lo, hi)
+    val loV = loN.flatten.getOrElse(-Double.MaxValue)
+    val hiV = hiN.flatten.getOrElse(Double.MaxValue)
+    // exact-zero ONLY on provable disjointness from [vMin, vMax] — a
+    // zero-width IN-BOUNDS span (v BETWEEN 5 AND 5, or v >= vMax) is a
+    // point predicate, not emptiness: the uniform-span formula's 0.0
+    // would route a hot value's whole postings list past the gate the
+    // histogram exists to enforce (review r18-3)
+    val disjoint = (r.vMin, r.vMax) match {
+      case (Some(mn), Some(mx)) => hiV < mn || loV > mx
+      case _ => false
+    }
+    if (disjoint) Some(0.0)
+    else {
+      val span = spanFrac(r, loV, hiV).map { f =>
+        if (hiV == loV)
+          math.max(f, math.min(1.0, 1.0 / r.ndv) * nonNullFrac(r))
+        else f
+      }
+      histFrac(r, lo, hi).orElse(span)
     }
   }
 

@@ -362,4 +362,19 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(got.count() === 50)
     assert(got.filter(col("value") =!= "sparse").count() === 0)
   }
+
+  test("reserved-word / special-character column names build and serve " +
+      "(r18 review: the chunk expression is Column ops, not a SQL string)") {
+    val d = Files.createTempDirectory("graft-sidx-rsv").resolve("idx").toString
+    // "order" is a SQL reserved word; "key-id" cannot appear unquoted in
+    // an expr() string -- both must build like any other column
+    val base = (0L until 300L).map(i => (i % 3, i))
+      .toDF("select", "order")
+      .withColumn("key-id", col("order"))
+    SecondaryIndex.build(base.select(col("select"), col("key-id")),
+      "select", "key-id", d)
+    val keys = SecondaryIndex.lookupKeys(SparkT.spark, d, Seq(1L))
+    assert(keys.as[Long].collect().toSet ===
+      (0L until 300L).filter(_ % 3 == 1).toSet)
+  }
 }

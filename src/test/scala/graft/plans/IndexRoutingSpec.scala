@@ -1163,4 +1163,82 @@ class IndexRoutingSpec extends AnyFunSuite {
       assert(routed.as[Long].collect().toSet === want)
     } finally IndexRouting.clear()
   }
+
+  test("unregister purges the maintenance replay memos: reregisterDropped " +
+      "cannot resurrect an explicitly-invalidated registration (r18 review)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-unreg")
+    val ub = tmp.resolve("ub").toString
+    val ui = tmp.resolve("ui").toString
+    val r1 = (0L until 1000L).map(i => (i, i % 500))
+    Writer.write(r1.toDF("id", "v"), ub, sortBy = Seq("id"))
+    SecondaryIndex.build(SparkT.spark.read.parquet(ub), "v", "id", ui)
+    IndexRouting.register(SparkT.spark, ub, ui, "v", "id")
+    def q = SparkT.spark.read.parquet(ub).filter($"v" === 10L).select($"id")
+    assert(semiJoins(q) == 1)
+    // maintenance drop (remembers the key for replay)...
+    val r2 = (1000L until 1100L).map(i => (i, i % 500))
+    SecondaryIndex.appendSegment(r2.toDF("id", "v"), "v", "id", ui)
+    assert(semiJoins(q) == 0)
+    // ...then the USER invalidates (e.g. the fact table was rewritten):
+    // the memo must go too, or the next maintenance tick would route
+    // queries to an index that no longer covers the table
+    IndexRouting.unregister(SparkT.spark, ub)
+    IndexRouting.reregisterDropped(SparkT.spark)
+    assert(semiJoins(q) == 0,
+      "reregisterDropped resurrected an unregistered entry")
+  }
+
+  test("a zero-width IN-BOUNDS range estimates as a point, not emptiness " +
+      "(r18 review)") {
+    // the uniform-span formula computes width 0 for lo==hi; the old
+    // exact-zero short-circuit made `v BETWEEN x AND x` (and `v >= vMax`)
+    // claim PROVABLE EMPTINESS -- routing past ANY threshold while the
+    // equality spelling of the same predicate obeys the estimator. Pin:
+    // under a threshold tighter than the point estimate (1/ndv = 0.002),
+    // both spellings refuse; a genuinely disjoint range still
+    // short-circuits to the route.
+    // an earlier test's clear() may have wiped the suite fixture's
+    // registrations — restore the v index this test routes through
+    IndexRouting.register(SparkT.spark, baseDir, idxVDir, "v", "id")
+    SparkT.spark.conf.set("spark.graft.index.routeThreshold", "0.001")
+    try {
+      def eq = base.filter($"v" === 10L).select($"id")
+      def between = base.filter($"v" >= 10L && $"v" <= 10L).select($"id")
+      def atMax = base.filter($"v" >= 499L).select($"id")
+      def disjoint = base.filter($"v" >= 10000L && $"v" <= 10001L)
+        .select($"id")
+      assert(semiJoins(eq) == 0)
+      assert(semiJoins(between) == 0,
+        "zero-width range must estimate like its equality spelling")
+      assert(semiJoins(atMax) == 0,
+        "a bound AT vMax matches every vMax row -- not emptiness")
+      assert(between.as[Long].collect().toSet ===
+        eq.as[Long].collect().toSet)
+      assert(atMax.as[Long].collect().toSet === Set(998L, 999L))
+      assert(semiJoins(disjoint) == 1) // provably empty: route freely
+      assert(disjoint.count() === 0L)
+    } finally SparkT.spark.conf.unset("spark.graft.index.routeThreshold")
+  }
+
+  test("a drifted index value type refuses the agg routes instead of " +
+      "rewiring exprIds to the wrong physical type (r18 review)") {
+    val tmp = Files.createTempDirectory("graft-idxroute-drift")
+    val db = tmp.resolve("db").toString
+    val di = tmp.resolve("di").toString
+    val df = (0L until 1000L).map(i => (i, (i % 50).toInt)).toDF("id", "v")
+    Writer.write(df, db, sortBy = Seq("id"))
+    // index built from a WIDENED copy (long) of the int fact column --
+    // the mis-registration shape the type guard exists for
+    SecondaryIndex.build(df.withColumn("v", $"v".cast("long")), "v", "id", di)
+    IndexRouting.register(SparkT.spark, db, di, "v", "id")
+    try {
+      val facet = SparkT.spark.read.parquet(db).groupBy($"v").count()
+      assert(scanPaths(facet).exists(_.contains("db")),
+        "drifted type must stand down to the fact scan")
+      assert(facet.count() === 50L)
+      val agg = SparkT.spark.read.parquet(db)
+        .agg(sum($"v").as("s")).as[Long].head()
+      assert(agg === (0 until 1000).map(_ % 50).sum.toLong)
+    } finally IndexRouting.unregister(SparkT.spark, db)
+  }
 }
