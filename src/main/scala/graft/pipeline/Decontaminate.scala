@@ -54,10 +54,16 @@ object Decontaminate {
 
     import corpus.sparkSession.implicits._
 
+    // localCheckpoint: the shingle HOF (interpreted lambdas — the wall
+    // clock on the eval side) otherwise re-runs over the whole eval set
+    // for the postings AND the sizes branch (review r18-6); the
+    // checkpointed frame is eval-set-sized (small by contract) and
+    // lineage-free.
     val evalSh = evalSet
       .select(col(evalIdCol).cast("long").as("eval_id"),
         TextFunctions.shingles(col(evalTextCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .localCheckpoint(true)
 
     // Both eval-side frames broadcast (by default): the exploded postings
     // feed the map-side probe; the sizes join resolves containment after

@@ -202,11 +202,7 @@ object Dedup {
     // The pipeline is materialized eagerly (localCheckpoint) so the
     // intermediates can be freed here — the returned pairs frame is small
     // (candidates that survived exact verification).
-    val withSh = df
-      .select(col(idCol).cast("long").as(idCol), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, shinglesScala(t, shingleN)) }
-      .toDF(idCol, "sh")
+    val withSh = shingleFrame(df, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one materializing job fills BOTH caches (banded reads withSh);
     // downstream stages then only ever hit cache
@@ -498,7 +494,14 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("sid"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, t) => (id, simhash64Scala(shinglesScala(t, shingleN))) }
+      // a sub-shingleN doc has NO shingles; the majority-vote tie rule
+      // would give every such doc the identical all-ones fingerprint and
+      // pair them all as hamming-0 duplicates (review r18-4) — rows with
+      // empty shingle sets never pair, the bandedFrame contract
+      .flatMap { case (id, t) =>
+        val sh = shinglesScala(t, shingleN)
+        if (sh.isEmpty) None else Some((id, simhash64Scala(sh)))
+      }
       .toDF("sid", "fp")
     hammingPairs(withFp, (0 until 4).map(c => 0xFFFFL << (c * 16)), maxHamming)
   }
@@ -534,7 +537,11 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("sid"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, t) => (id, simhash30Scala(shinglesScala(t, shingleN))) }
+      // empty shingle sets never pair (see simhashPairs)
+      .flatMap { case (id, t) =>
+        val sh = shinglesScala(t, shingleN)
+        if (sh.isEmpty) None else Some((id, simhash30Scala(sh)))
+      }
       .toDF("sid", "fp")
     hammingPairs(withFp,
       Seq(0xFFL, 0xFF00L, 0xFF0000L, 0x3F000000L), maxHamming)
@@ -573,14 +580,23 @@ object Dedup {
                          dim: Int, threshold: Double,
                          planes: Int = 128, bands: Int = 16,
                          seed: Long = 42L): DataFrame = {
-    val cands = embedCandidates(df, idCol, vecCol, dim, planes, bands, seed)
-    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
-    cands.join(va, "a").join(vb, "b")
-      .withColumn("cos", graft.vector.distances.cosineSim(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"),
-        floor(col("cos") * 1000000).cast("long").as("cos_micros"))
+    // ONE materialized (id, vec) projection feeds the banding pass AND
+    // both verify-join sides — without it the caller's lineage (often an
+    // expensive strip/embed chain) re-runs three times per call, the
+    // exact shape the nearPairs persist fixed (VERDICT r4 #4 /
+    // review r18-4)
+    val proj = materialized(df.select(col(idCol), col(vecCol)))
+    val cands = embedCandidates(proj, idCol, vecCol, dim, planes, bands, seed)
+    val va = proj.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = proj.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    eagerly(
+      cands.join(va, "a").join(vb, "b")
+        .withColumn("cos",
+          graft.vector.distances.cosineSim(col("va"), col("vb")))
+        .filter(col("cos") >= threshold)
+        .select(col("a"), col("b"),
+          floor(col("cos") * 1000000).cast("long").as("cos_micros")),
+      proj)
   }
 
   /** Metadata-only row estimate for dispatch decisions: the optimizer's
@@ -594,7 +610,8 @@ object Dedup {
     * Order-of-magnitude accuracy is enough for a log₂ dispatch rule; scale
     * callers with a catalog should pass [[graft.stats.Stats.rowCount]]
     * explicitly instead. */
-  private[pipeline] def estimatedRows(df: DataFrame): Option[Long] = {
+  private[pipeline] def estimatedRows(df: DataFrame,
+                                      widthHint: Long = -1L): Option[Long] = {
     val st = df.queryExecution.optimizedPlan.stats
     st.rowCount match {
       case Some(rc) =>
@@ -603,8 +620,15 @@ object Dedup {
       case None if st.sizeInBytes >= BigInt(Long.MaxValue) / 4 =>
         None // the unknown-stats sentinel (or a propagated product of it)
       case None =>
-        val width = math.max(8L,
-          df.schema.map(_.dataType.defaultSize.toLong).sum)
+        // defaultSize counts an ARRAY column as ONE element (4 bytes for
+        // array<float>) — dividing by that inflates the row estimate
+        // 10-1000x for embedding frames, and an over-estimate raises the
+        // dispatch floor toward the O(n²) exact branch it exists to
+        // avoid (review r18-4). Callers that know the real row width
+        // (cosinePairs knows dim) pass it via `widthHint`.
+        val width =
+          if (widthHint > 0) widthHint
+          else math.max(8L, df.schema.map(_.dataType.defaultSize.toLong).sum)
         Some(math.max(1L, (st.sizeInBytes / width).toLong))
     }
   }
@@ -682,7 +706,9 @@ object Dedup {
     // asymmetric: blocked on a tiny corpus is merely slower (banding
     // overhead), exact on a big one is O(n²) — so uncertainty must never
     // pick exact (review r15).
-    val n = estRows.orElse(estimatedRows(df))
+    // 16 B id+overhead, 4 B per float32 element — the vec column
+    // dominates; the schema-default width would under-count it ~dim-fold
+    val n = estRows.orElse(estimatedRows(df, widthHint = 16L + 4L * dim))
     val floor =
       if (minDim >= 0) minDim
       else n.map(r => math.max(16, 2 * ceilLog2(r))).getOrElse(16)
@@ -782,8 +808,15 @@ object Dedup {
     * on gram_hash — co-partitioned with [[boilerplateGrams]]'s aggregate. */
   private def coveredPositions(grams: DataFrame, minDocs: Int,
                                n: Int): DataFrame =
+    coveredFrom(grams, boilerplateGrams(grams, minDocs), n)
+
+  /** Shared covered-(mid, tok_pos) derivation: window starts whose gram
+    * hash is in `flags` expand to their n token positions (ONE definition
+    * for the corpus and store paths — review r18-4). */
+  private def coveredFrom(grams: DataFrame, flags: DataFrame,
+                          n: Int): DataFrame =
     grams.withColumn("gram_hash", xxhash64(col("gram")))
-      .join(boilerplateGrams(grams, minDocs), "gram_hash")
+      .join(flags, "gram_hash")
       .select(col("mid"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
       .distinct()
@@ -908,11 +941,7 @@ object Dedup {
     * equi-join on gram_hash — the batch never touches corpus text). */
   private def coveredAgainstStore(grams: DataFrame, path: String,
                                   minDocs: Int, n: Int): DataFrame =
-    grams.withColumn("gram_hash", xxhash64(col("gram")))
-      .join(storeFlags(grams.sparkSession, path, minDocs), "gram_hash")
-      .select(col("mid"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
-      .distinct()
+    coveredFrom(grams, storeFlags(grams.sparkSession, path, minDocs), n)
 
   /** [[spanCoverage]] of a new batch against a persisted gram store:
     * same output contract, corpus-frequency flags, no corpus rescan. */
@@ -948,6 +977,21 @@ object Dedup {
       s"bits per band must pack into a long: ${planes / bands} > 64")
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.{Encoders, Row}
+    // fail LOUDLY on a dim/type mismatch at plan time: a dim smaller than
+    // the vectors silently bands on a PREFIX (missed candidates the exact
+    // verify can't recover); larger crashes per row; array<double>
+    // class-casts mid-job (review r18-4)
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) =>
+      case other => throw new IllegalArgumentException(
+        s"embedCandidates: $vecCol is $other, need array<float>")
+    }
+    df.select(col(vecCol)).limit(1).collect().headOption.foreach { r =>
+      val len = r.getSeq[Float](0).length
+      require(len == dim,
+        s"embedCandidates: dim=$dim but $vecCol rows are $len-wide — " +
+          "banding a prefix would silently miss candidates")
+    }
     val hpB = df.sparkSession.sparkContext.broadcast(
       hyperplanes(dim, planes, seed))
     // Row-encoded mapPartitions so the id keeps its ORIGINAL type (string

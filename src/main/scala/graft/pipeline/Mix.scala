@@ -30,9 +30,15 @@ object Mix {
   /** Resolution of the rate space: rates quantize to 1/2^20 ≈ 1e-6. */
   val Resolution: Long = 1L << 20
 
-  /** The scaled hash of a row id: uniform over [0, 2^20). */
+  /** The scaled hash of a row id: uniform over [0, 2^20). The id reduces
+    * mod 2^20 BEFORE the LCG multiply — mod distributes over ·, so the
+    * result is bit-identical to the direct form, but the product stays
+    * ≤ (2^20−1)·69069 ≈ 7.2e10: the direct `id * 69069` overflows long
+    * (and under ANSI mode THROWS) for any id ≥ 2^63/69069 ≈ 1.3e14 —
+    * snowflake-style and xxhash64-derived 64-bit ids (review r18-4). */
   def hashScaled(id: Column): Column =
-    pmod(id * lit(69069L) + lit(12345L), lit(Resolution))
+    pmod(pmod(id, lit(Resolution)) * lit(69069L) + lit(12345L),
+      lit(Resolution))
 
   /** Keep each row of `df` whose `srcCol` is listed in `rates` with the
     * listed probability (deterministic in `idCol`). Sources absent from

@@ -79,11 +79,16 @@ object Multimodal {
     * all arithmetic runs in Long before any index is trusted, so the
     * "malformed → NULL, never a crash" contract holds against adversarial
     * bytes, not just truncated ones (review r12-3). */
-  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+  /** (pixel offset, width, |height|, stride, topDown): a NEGATIVE stored
+    * height means rows are stored top-first (review r18-6 -- discarding
+    * the sign made the resizer vertically flip top-down BMPs; the
+    * decoder's mean is order-invariant so only resizing cares). */
+  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val off = le32(b, 10)
     val w = le32(b, 18)
-    val h = math.abs(le32(b, 22))
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     // cap dimensions so stride/pixel arithmetic cannot overflow Int
@@ -91,7 +96,18 @@ object Multimodal {
         w <= 0 || w > (1 << 20) || h <= 0 || h > (1 << 20)) return None
     val stride = ((w.toLong * 3 + 3) / 4) * 4
     if (off.toLong + stride * h > b.length) None
-    else Some((off, w, h, stride.toInt))
+    else Some((off, w, h, stride.toInt, hRaw < 0))
+  }
+
+  /** The standard 54-byte bottom-up 24-bpp BMP header -- ONE definition
+    * for the generator and the resizer (review r18-6). */
+  private def putBmpHeader(bb: java.nio.ByteBuffer, w: Int, h: Int,
+                           stride: Int): Unit = {
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+    bb.putInt(0).putInt(0)
   }
 
   object BmpDecoder extends BlobDecoder {
@@ -103,7 +119,7 @@ object Multimodal {
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
       parseBmp(b) match {
         case None => Row(null, null, null, null)
-        case Some((off, w, h, stride)) =>
+        case Some((off, w, h, stride, _)) =>
           var sum = 0L
           var row = 0
           while (row < h) {
@@ -128,10 +144,7 @@ object Multimodal {
     val size = 54 + stride * h
     val b = java.nio.ByteBuffer.allocate(size)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
-    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-    b.putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
-    b.putInt(0).putInt(0)
+    putBmpHeader(b, w, h, stride)
     var row = 0
     while (row < h) {
       var i = 0
@@ -151,6 +164,35 @@ object Multimodal {
     * as [[BmpDecoder]]). Malformed/unsupported payloads → NULL features,
     * never a task failure. Pixel loop reads via getRGB (sRGB ints), so
     * indexed/gray sources normalize to the same 3-channel stats. */
+  /** Pixel-area cap for JDK image decodes (decompression-bomb guard,
+    * review r18-6): a kilobyte PNG declaring 50000x50000 in its header
+    * would make ImageIO.read allocate ~10 GB and kill the task with an
+    * OutOfMemoryError NonFatal never catches. The header dimensions are
+    * read BEFORE pixel allocation; oversized images decode to NULL rows
+    * / pass through the resizer. ~64M pixels = ~256 MB INT_RGB. */
+  val MaxDecodePixels: Long = 64L << 20
+
+  /** ImageIO read with the [[MaxDecodePixels]] header pre-check; None =
+    * unreadable or over the cap. */
+  private def boundedImageRead(
+      b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val rd = readers.next()
+      try {
+        rd.setInput(in)
+        val w = rd.getWidth(0)
+        val h = rd.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+        else Option(rd.read(0))
+      } finally rd.dispose()
+    } finally if (in != null) in.close()
+  }
+
   object ImageIoDecoder extends BlobDecoder {
     val featureSchema: StructType = StructType(Seq(
       StructField("width", IntegerType),
@@ -162,10 +204,9 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       payloads.map { b =>
         try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b))
-          if (img == null) NullRow
-          else {
+          boundedImageRead(b) match {
+            case None => NullRow
+            case Some(img) =>
             val w = img.getWidth
             val h = img.getHeight
             var sum = 0L
@@ -183,6 +224,7 @@ object Multimodal {
           }
         } catch { case scala.util.control.NonFatal(_) => NullRow }
       }
+      // (bounded read: header dims checked before any pixel allocation)
     }
   }
 
@@ -323,7 +365,10 @@ object Multimodal {
         var dataOff = -1L; var dataLen = -1L
         while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
           val id = tag(b, o.toInt); val len = le32(b, o.toInt + 4).toLong
-          if (id == "fmt " && o + 24 <= b.length) {
+          // the fmt fields span 16 declared bytes -- a truncated fmt chunk
+          // (len < 16) would read the NEXT chunk's bytes as rate/bits and
+          // emit plausible garbage instead of NULL (review r18-6)
+          if (id == "fmt " && len >= 16 && o + 24 <= b.length) {
             if (le16(b, o.toInt + 8) == 1) { // PCM only
               ch = le16(b, o.toInt + 10); rate = le32(b, o.toInt + 12)
               byteRate = le32(b, o.toInt + 16); bits = le16(b, o.toInt + 22)
@@ -373,10 +418,16 @@ object Multimodal {
   // meta=1; meta: format=0, width=1, height=2, size_bytes=3): rows built
   // inside a stage (plain GenericRow) carry no schema, so chained stages
   // must not rely on name lookup.
+  // NULL-safe (review r18-6): a null blob struct (outer-join output, raw
+  // ingest) must flow as an empty payload / pass-through row, never an
+  // NPE that kills the task -- the one-bad-blob contract covers null
+  // structs, not just malformed bytes.
   private def payloadOf(blob: Row): Array[Byte] =
-    Option(blob.get(0)).map(_.asInstanceOf[Array[Byte]])
+    if (blob == null) Array.empty[Byte]
+    else Option(blob.get(0)).map(_.asInstanceOf[Array[Byte]])
       .getOrElse(Array.empty[Byte])
-  private def metaOf(blob: Row): Row = blob.getStruct(1)
+  private def metaOf(blob: Row): Row =
+    if (blob == null) null else blob.getStruct(1)
 
   /** Resizer contract (the brief's resize stage): payload + old meta →
     * resized payload + new (width, height). Real deployments plug an image
@@ -412,21 +463,19 @@ object Multimodal {
     def resize(payload: Array[Byte], width: Int,
                height: Int): (Array[Byte], Int, Int) = {
       val b = payload
-      val (off, w, h, stride) = parseBmp(b) match {
+      val (off, w, h, stride, topDown) = parseBmp(b) match {
         case None => return (payload, width, height)
         case Some(g) => g
       }
       val newStride = ((targetW * 3 + 3) / 4) * 4
       val out = java.nio.ByteBuffer.allocate(54 + newStride * targetH)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      out.put('B'.toByte).put('M'.toByte).putInt(54 + newStride * targetH)
-        .putInt(0).putInt(54)
-      out.putInt(40).putInt(targetW).putInt(targetH).putShort(1).putShort(24)
-      out.putInt(0).putInt(newStride * targetH).putInt(2835).putInt(2835)
-      out.putInt(0).putInt(0)
+      putBmpHeader(out, targetW, targetH, newStride)
       var y = 0
       while (y < targetH) {
-        val sy = (y.toLong * h / targetH).toInt
+        val syUp = (y.toLong * h / targetH).toInt
+        // output is bottom-up: a top-down source's stored rows mirror
+        val sy = if (topDown) h - 1 - syUp else syUp
         var x = 0
         while (x < targetW) {
           val sx = (x.toLong * w / targetW).toInt
@@ -455,10 +504,12 @@ object Multimodal {
     def resize(payload: Array[Byte], width: Int,
                height: Int): (Array[Byte], Int, Int) = {
       try {
-        javax.imageio.ImageIO.setUseCache(false)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        if (img == null) return (payload, width, height)
+        // bounded read: the decompression-bomb guard applies to the
+        // resizer's decode too (review r18-6)
+        val img = boundedImageRead(payload) match {
+          case None => return (payload, width, height)
+          case Some(i) => i
+        }
         val out = new java.awt.image.BufferedImage(targetW, targetH,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
@@ -492,10 +543,16 @@ object Multimodal {
       it.map { r =>
         val blob = r.getStruct(blobIdx)
         val meta = metaOf(blob)
-        val (p2, w2, h2) = resizer.resize(payloadOf(blob),
-          meta.getInt(1), meta.getInt(2))
-        val newBlob = Row(p2, Row(meta.getString(0), w2, h2, p2.length.toLong))
-        Row.fromSeq(r.toSeq.updated(blobIdx, newBlob))
+        // a null blob/meta or null dimensions passes through untouched
+        // (the one-bad-blob contract; inventing dimensions would be worse)
+        if (meta == null || meta.isNullAt(1) || meta.isNullAt(2)) r
+        else {
+          val (p2, w2, h2) = resizer.resize(payloadOf(blob),
+            meta.getInt(1), meta.getInt(2))
+          val newBlob = Row(p2,
+            Row(meta.getString(0), w2, h2, p2.length.toLong))
+          Row.fromSeq(r.toSeq.updated(blobIdx, newBlob))
+        }
       }
     }(Encoders.row(df.schema))
   }

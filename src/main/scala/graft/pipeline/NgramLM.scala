@@ -94,7 +94,13 @@ object NgramLM {
     val dflt = df.sparkSession.range(1)
       .select(lit("d").as("kind"), lit(0L).as("key"),
         costMicros(lit(1), lit(v)).as("cost_micros"))
-    grams.unionByName(ctxs).unionByName(dflt)
+    // kind 'n' records the model's n: scoring with a mismatched n would
+    // hash different gram/ctx strings, miss EVERY key, and silently score
+    // the whole corpus at the uniform default (review r18-4)
+    val meta = df.sparkSession.range(1)
+      .select(lit("n").as("kind"), lit(n.toLong).as("key"),
+        lit(0L).as("cost_micros"))
+    grams.unionByName(ctxs).unionByName(dflt).unionByName(meta)
   }
 
   /** Score every document against a trained model table: returns
@@ -112,6 +118,16 @@ object NgramLM {
     // rather than persist: the checkpoint is vocabulary-sized, lineage-free,
     // and ContextCleaner-GC'd with the returned frame (no unpersist to leak).
     val m = model.localCheckpoint(true)
+    // a model trained with a different n would miss every gram/ctx hash
+    // and silently emit the uniform default for 100% of grams — fail
+    // loudly when the model records its n (stores written before the
+    // kind-'n' row skip the check)
+    m.filter(col("kind") === "n").select(col("key"))
+      .collect().headOption.map(_.getLong(0)).foreach { sn =>
+        require(sn == n.toLong,
+          s"NgramLM: model was trained with n=$sn but is being scored " +
+            s"with n=$n — every probe would miss and fall to the default")
+      }
     val dflt = m.filter(col("kind") === "d")
       .select(col("cost_micros")).first().getLong(0)
     val g = m.filter(col("kind") === "g")

@@ -167,7 +167,14 @@ object Pack {
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     val h = Mix.hashScaled(col(idCol))
-    val w = Window.partitionBy(col("shard")).orderBy(h, col(idCol))
+    // full-width tiebreak (review r18-4): h ties exactly when ids are
+    // equal mod 2^20, so past ~2^20/nShards rows per shard the order
+    // would degenerate to RUNS of ascending raw ids — original
+    // corpus/crawl order, the opposite of a shuffle. A second LCG round
+    // over the HIGH id bits decorrelates the tied runs; ties surviving
+    // both (ids equal mod 2^40) fall back to id.
+    val h2 = Mix.hashScaled(shiftright(col(idCol).cast("long"), 20))
+    val w = Window.partitionBy(col("shard")).orderBy(h, h2, col(idCol))
     df.withColumn("shard", pmod(h, lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }

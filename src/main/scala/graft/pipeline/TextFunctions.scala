@@ -61,7 +61,12 @@ object TextFunctions {
     val s = langMarkers.map { case (lang, ms) =>
       lang -> size(array_intersect(w, lit(ms.toArray)))
     }.toMap
-    when(s.values.map(_ === 0).reduce(_ && _), lit("und"))
+    // NULL text first: every marker count is NULL, so all the when
+    // conditions below are NULL (treated false) and the case would fall
+    // through to the "es" otherwise — labeling null rows Spanish
+    // (review r18-6)
+    when(c.isNull, lit("und"))
+      .when(s.values.map(_ === 0).reduce(_ && _), lit("und"))
       .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), lit("en"))
       .when(s("de") >= s("fr") && s("de") >= s("es"), lit("de"))
       .when(s("fr") >= s("es"), lit("fr"))

@@ -150,7 +150,8 @@ object DedupQueries {
         "fp AS (SELECT doc_id, list_sum([CASE WHEN " +
         "2*len(list_filter(hl, h -> ((h >> j) & 1) = 1)) >= len(hl) " +
         "THEN (1::BIGINT << j) ELSE 0 END " +
-        "for j in generate_series(0, 29)])::BIGINT f FROM hs) " +
+        "for j in generate_series(0, 29)])::BIGINT f FROM hs " +
+        "WHERE len(hl) > 0) " +
         "SELECT a.doc_id AS a, b.doc_id AS b, " +
         "bit_count(xor(a.f, b.f))::INT AS hamming " +
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id " +

@@ -793,11 +793,15 @@ object PipelineQueries {
       (s, d) => graft.pipeline.Pack.shuffleShards(
           t(s, d, "documents"), "doc_id", nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos")),
-      Some(s"SELECT doc_id, ((doc_id*69069+12345) % ${graft.pipeline.Mix.Resolution}) % 8 AS shard, " +
-        "row_number() OVER (PARTITION BY " +
-        s"((doc_id*69069+12345) % ${graft.pipeline.Mix.Resolution}) % 8 " +
-        s"ORDER BY (doc_id*69069+12345) % ${graft.pipeline.Mix.Resolution}, doc_id) - 1 AS pos " +
-        "FROM documents")),
+      Some({
+        val m = graft.pipeline.Mix.Resolution
+        s"SELECT doc_id, ((doc_id*69069+12345) % $m) % 8 AS shard, " +
+          "row_number() OVER (PARTITION BY " +
+          s"((doc_id*69069+12345) % $m) % 8 " +
+          s"ORDER BY (doc_id*69069+12345) % $m, " +
+          s"(((doc_id >> 20)*69069+12345) % $m), doc_id) - 1 AS pos " +
+          "FROM documents"
+      })),
 
     // TOKEN-BUDGET selection (r12): per source, the best documents by
     // quality score (ties broken by id) until a 2000-char budget fills —

@@ -103,11 +103,21 @@ object AsofJoin {
     // silently null it out, quietly destroying the documented deterministic
     // tie resolution instead of erroring (ADVICE r4).
     val ridType = right.schema(rightId).dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(ridType),
+    require(EventTime.integral(ridType),
       s"rightId '$rightId' must be an integral column, found $ridType")
+    // Fail fast on output-name collisions (review r18-5): a payload column
+    // named `rightTs` (both would emit asof_ts) or a left input already
+    // holding an asof_* output name would surface later as an ambiguous-
+    // column AnalysisException far from the misuse site.
+    val outNames = "asof_ts" +: payload.map(c => s"asof_$c")
+    require(outNames.distinct.size == outNames.size,
+      s"as-of payload would emit duplicate output columns: $outNames — " +
+        s"a payload column named '$rightTs' collides with the asof_ts " +
+        "match-timestamp output")
+    val collide = left.columns.toSet.intersect(outNames.toSet)
+    require(collide.isEmpty,
+      s"left input already carries as-of output name(s) $collide — " +
+        "rename them before the join")
     val leftCols = left.columns.toSeq
     val payStruct = struct(
       col(rightTs).as("asof_ts") +: payload.map(c => col(c).as(s"asof_$c")): _*)

@@ -27,7 +27,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object EventTime {
 
-  private def integral(dt: DataType): Boolean = dt match {
+  private[relational] def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
@@ -38,16 +38,30 @@ object EventTime {
         s"integral epoch column, found $dt")
 
   /** Exact epoch-nanoseconds long. Timestamps carry micros precision, so
-    * `unix_micros * 1000` is exact; integral columns pass through in their
-    * own unit (callers state widths/frames in that unit). */
+    * `unix_micros * 1000` is exact — SATURATING at ±Long range: Spark
+    * timestamps reach year 294247 but nanos-long only 2262, and the
+    * unchecked multiply silently wrapped an open-interval sentinel like
+    * TIMESTAMP '9999-12-31' NEGATIVE, dropping every interval it closed
+    * (review r18-5). The clamp is monotone, so comparisons/buckets built
+    * on it stay order-correct; instants beyond ±2262 collapse to the
+    * same extreme (indistinguishable from each other, correctly beyond
+    * every physical instant). Integral columns pass through in their own
+    * unit (callers state widths/frames in that unit). */
   def epochNanos(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
-      case TimestampType => unix_micros(col(c)) * lit(1000L)
+      case TimestampType => microsToNanosSat(unix_micros(col(c)))
       case TimestampNTZType =>
-        unix_micros(col(c).cast(TimestampType)) * lit(1000L)
+        microsToNanosSat(unix_micros(col(c).cast(TimestampType)))
       case dt if integral(dt) => col(c).cast(LongType)
       case dt => unsupported(c, dt)
     }
+
+  private def microsToNanosSat(us: Column): Column = {
+    val maxUs = Long.MaxValue / 1000L
+    when(us > lit(maxUs), lit(Long.MaxValue))
+      .when(us < lit(-maxUs), lit(Long.MinValue))
+      .otherwise(us * lit(1000L))
+  }
 
   /** Integral nanos → micros by FLOOR division (never float). Spark's
     * `div` TRUNCATES (rounds toward zero), which for a PRE-EPOCH

@@ -73,6 +73,9 @@ object Funnel {
                  withinMicros: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    // same fail-fast as earliestChain (review r18-5): a non-positive
+    // window would silently report 0 completions instead of erroring
+    withinMicros.foreach(w => require(w > 0, s"window must be positive: $w"))
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(userCol).as("__u"),
@@ -117,11 +120,13 @@ object Funnel {
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // true FLOOR division (the `div`-only form truncates toward zero and
     // cohorts a pre-1970 instant to the wrong day — the RangeJoin bucket
-    // lesson, review r12-3): __tus - pmod is an exact multiple of the day.
+    // lesson, review r12-3), in the subtraction-free truncate-then-correct
+    // shape that cannot overflow near Long.MinValue (review r18-5).
     val base = df.select(col(userCol).as("__u"),
         EventTime.epochMicros(df, tsCol).as("__tus"))
       .withColumn("__day",
-        expr(s"(__tus - pmod(__tus, $DayMicros)) div $DayMicros"))
+        expr(s"(__tus div $DayMicros) + " +
+          s"(CASE WHEN __tus % $DayMicros < 0 THEN -1 ELSE 0 END)"))
       .drop("__tus")
     val cohorts = base.groupBy(col("__u"))
       .agg(min(col("__day")).as("cohort_day"))

@@ -25,12 +25,17 @@ import org.apache.spark.sql.DataFrame
   */
 object RangeJoin {
 
-  /** True floor-division bucket, exact in long arithmetic: `ts - pmod` is an
-    * exact multiple of `width`, so truncating `div` on it IS floor division —
-    * negative timestamps bucket correctly (plain `div` truncates toward zero,
-    * which made bucket 0 double-width around the origin — ADVICE r4). */
-  private def bucket(ts: String, width: Long): org.apache.spark.sql.Column =
-    expr(s"($ts - pmod($ts, $width)) div $width")
+  /** True floor-division bucket, exact in long arithmetic: truncating
+    * `div` corrected by one when a negative value had a remainder —
+    * negative timestamps bucket correctly (plain `div` truncates toward
+    * zero, which made bucket 0 double-width around the origin — ADVICE
+    * r4), and unlike the earlier `(ts - pmod(ts, w)) div w` form the
+    * subtraction-free shape cannot overflow near Long.MinValue (the
+    * saturated sentinel EventTime.epochNanos now emits — review r18-5;
+    * the same truncate-then-correct EventTime.nanosToMicros uses). */
+  private[relational] def bucket(ts: String,
+                                 width: Long): org.apache.spark.sql.Column =
+    expr(s"($ts div $width) + (CASE WHEN $ts % $width < 0 THEN -1 ELSE 0 END)")
 
   /** Join rows of `left` and `right` whose `tsL`/`tsR` lie within `width`
     * of each other. Output = left columns + right columns; callers ensure
@@ -62,6 +67,12 @@ object RangeJoin {
     * proportionally more explode rows, it is never silently missed. Size
     * `typicalLen` near the common interval length (≈2 rows per
     * interval); empty/negative intervals (`hi < lo`) match nothing.
+    * Interval bucket ranges are CLAMPED to the points' observed bucket
+    * range first (one column-pruned min/max job over the points — exact,
+    * since no point exists outside it; review r18-5): an OPEN interval
+    * ending at a far-future sentinel like TIMESTAMP '9999-12-31' would
+    * otherwise explode to ~10^15 bucket rows, and before the epochNanos
+    * saturation fix it silently wrapped negative and dropped instead.
     * Event-time columns may be any [[EventTime]] representation;
     * `typicalLen` is nanos for timestamps, the column's own unit for
     * integral inputs. Callers ensure point/interval column names are
@@ -77,12 +88,23 @@ object RangeJoin {
     val p = points
       .withColumn("__pns", EventTime.epochNanos(points, pointTs))
       .withColumn("__pb", bucket("__pns", typicalLen))
+    // the points' bucket range (one column-pruned min/max job): clamping
+    // each interval's bucket explode to it is EXACT — no point exists
+    // outside — and bounds the fanout of open/sentinel intervals
+    val bounds = p.agg(min(col("__pb")), max(col("__pb"))).head()
+    if (bounds.isNullAt(0))
+      return p.join(intervals.limit(0), lit(false))
+        .drop("__pns", "__pb")
+    val (pbLo, pbHi) = (bounds.getLong(0), bounds.getLong(1))
     val iv = intervals
       .withColumn("__lons", EventTime.epochNanos(intervals, loCol))
       .withColumn("__hins", EventTime.epochNanos(intervals, hiCol))
       .filter(col("__hins") >= col("__lons"))
-      .withColumn("__b", explode(sequence(
-        bucket("__lons", typicalLen), bucket("__hins", typicalLen))))
+      .withColumn("__blo", greatest(bucket("__lons", typicalLen), lit(pbLo)))
+      .withColumn("__bhi", least(bucket("__hins", typicalLen), lit(pbHi)))
+      .filter(col("__blo") <= col("__bhi")) // no overlap with any point
+      .withColumn("__b", explode(sequence(col("__blo"), col("__bhi"))))
+      .drop("__blo", "__bhi")
     val cond = p("__pb") === iv("__b") &&
       p("__pns") >= iv("__lons") && p("__pns") <= iv("__hins") &&
       pointKey.map(k => p(k) === iv(intervalKey.get)).getOrElse(lit(true))

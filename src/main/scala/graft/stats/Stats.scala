@@ -29,6 +29,8 @@ import scala.jdk.CollectionConverters._
   */
 object Stats {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(Stats.getClass)
+
   final case class ColStats(min: Option[Any], max: Option[Any],
                             nulls: Option[Long])
   final case class FileStats(path: String, rows: Long, bytes: Long,
@@ -102,10 +104,27 @@ object Stats {
     if (!fs.exists(p)) return Seq.empty
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq((st.getPath, st.getLen))
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map(s => (s.getPath, s.getLen))
+    else {
+      // RECURSE into subdirectories (review r18-5): the engine's own
+      // Writer.writePartitioned lays files out as col=value/part-*.parquet
+      // — a one-level listing would see only directories, report 0 rows,
+      // and tell earlyReject the table is skippable while it holds
+      // matching rows. Hidden dirs/files (_SUCCESS, _index manifests,
+      // .crc) are skipped like Spark's own listing.
+      def visible(n: String): Boolean =
+        !n.startsWith("_") && !n.startsWith(".")
+      val out = Seq.newBuilder[(Path, Long)]
+      def walk(d: Path): Unit =
+        fs.listStatus(d).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isFile) {
+            if (n.endsWith(".parquet") && visible(n))
+              out += ((s.getPath, s.getLen))
+          } else if (visible(n)) walk(s.getPath)
+        }
+      walk(p)
+      out.result().sortBy(_._1.toString)
+    }
   }
 
   private def normalize(v: Any): Any = v match {
@@ -131,17 +150,26 @@ object Stats {
         b.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
           val st = cc.getStatistics
-          if (st != null && st.hasNonNullValue) {
-            val cmp = st.comparator.asInstanceOf[java.util.Comparator[AnyRef]]
+          // an ALL-NULL chunk has stats with hasNonNullValue=false but a
+          // real null count — skipping it entirely under-counted nulls
+          // and made an everywhere-null column vanish from the map
+          // (review r18-5): fold the nulls always, min/max only when a
+          // non-null value exists
+          if (st != null && (st.hasNonNullValue || st.isNumNullsSet)) {
             val (mn, mx, nl) = cols.getOrElse(name, (None, None, 0L))
-            val nmn = mn match {
-              case Some(m) if cmp.compare(m.asInstanceOf[AnyRef], st.genericGetMin.asInstanceOf[AnyRef]) <= 0 => mn
-              case _ => Some(st.genericGetMin)
-            }
-            val nmx = mx match {
-              case Some(m) if cmp.compare(m.asInstanceOf[AnyRef], st.genericGetMax.asInstanceOf[AnyRef]) >= 0 => mx
-              case _ => Some(st.genericGetMax)
-            }
+            val (nmn, nmx) =
+              if (!st.hasNonNullValue) (mn, mx)
+              else {
+                val cmp = st.comparator.asInstanceOf[java.util.Comparator[AnyRef]]
+                (mn match {
+                  case Some(m) if cmp.compare(m.asInstanceOf[AnyRef], st.genericGetMin.asInstanceOf[AnyRef]) <= 0 => mn
+                  case _ => Some(st.genericGetMin)
+                },
+                mx match {
+                  case Some(m) if cmp.compare(m.asInstanceOf[AnyRef], st.genericGetMax.asInstanceOf[AnyRef]) >= 0 => mx
+                  case _ => Some(st.genericGetMax)
+                })
+              }
             cols(name) = (nmn, nmx, nl + (if (st.isNumNullsSet) st.getNumNulls else 0L))
           }
         }
@@ -359,7 +387,15 @@ object Stats {
             case _ => None
           }
         }
-      } catch { case _: Exception => Nil }
+      } catch { case e: Exception =>
+        // "not clustered" is the CONSERVATIVE answer (routing falls back
+        // to the always-correct shapes), but an IO/credential/corrupt-
+        // footer failure must not be INVISIBLE — it silently degrades
+        // every routing decision for the table (review r18-5)
+        log.warn(s"clusteredBy($path, $column): footer sweep failed, " +
+          s"treating as not clustered: ${e.getMessage}")
+        Nil
+      }
     if (rs.size < 2 || rs.exists(_.isEmpty)) return false
     val ranges = rs.flatten
     if (ranges.map(_._1.getClass).distinct.size != 1 ||

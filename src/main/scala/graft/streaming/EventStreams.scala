@@ -25,6 +25,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object EventStreams {
 
+  /** Exact event-time micros from a java.sql.Timestamp: getTime is MILLIS
+    * — sorting on it would reorder same-millisecond events and diverge
+    * from the batch operator (review r12-3). ONE definition for both
+    * funnel variants (review r18-5). */
+  private def micros(e: TypedEvent): Long =
+    e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
+
+
   private def norm(df: DataFrame, c: String = "ts"): DataFrame =
     graft.relational.EventTime.normalized(df, c)
 
@@ -139,11 +147,6 @@ object EventStreams {
         (uid: Long, batch: Iterator[TypedEvent], state: GroupState[Seq[Long]]) =>
           var chain = state.getOption.getOrElse(Seq.empty[Long])
           val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
-          // exact micros from Timestamp (getTime is MILLIS — sorting on it
-          // would reorder same-millisecond events and diverge from the
-          // batch operator, review r12-3)
-          def micros(e: TypedEvent): Long =
-            e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
           batch.toSeq
             .filter(e => stepIdx.contains(e.event_type))
             .sortBy(e => (micros(e), e.event_type))
@@ -168,13 +171,15 @@ object EventStreams {
   /** STREAMING funnel under OUT-OF-ORDER delivery (r13 VERDICT #6): real
     * streams are not in-order, and [[funnelState]]'s consume-irrevocably
     * relaxation lets a late step event miss its chain. This variant
-    * BUFFERS the step events per user (bounded: the earliest `maxPerStep`
-    * distinct times per step carry across batches, trimmed only AFTER the
-    * batch's epochs consume — enough for every chain the retained set can
-    * resolve; only a user cycling through more than maxPerStep
-    * completions inside one watermark window can lose later re-entry
-    * chains) and RE-RESOLVES the batch operator's greedy
-    * earliest-completion chain over the buffer each micro-batch.
+    * BUFFERS the step events per user (bounded: events inside the
+    * lateness window all carry — their population is capped by the
+    * watermark delay SLA × arrival rate, the stream-stream-join state
+    * model — while WATERMARK-SEALED events keep only the earliest
+    * `maxPerStep` per non-final step, trimmed only AFTER the batch's
+    * epochs consume; only a user cycling through more than maxPerStep
+    * SEALED same-step events can lose later re-entry chains) and
+    * RE-RESOLVES the batch operator's greedy earliest-completion chain
+    * over the buffer each micro-batch.
     *
     * A completed chain is emitted only once it is WATERMARK-SEALED
     * (completion time ≤ current watermark): any event still admissible
@@ -219,14 +224,22 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[TypedEvent],
          state: GroupState[Seq[(Int, Long)]]) =>
-          def micros(e: TypedEvent): Long =
-            e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
           var buf = state.getOption.getOrElse(Seq.empty[(Int, Long)])
           batch.foreach { e =>
             stepIdx.get(e.event_type).foreach(si => buf = buf :+ (si -> micros(e)))
           }
           buf = buf.distinct
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // BATCH execution strips the watermark node entirely
+          // (EliminateEventTimeWatermark), and getCurrentWatermarkMs
+          // throws without one — a backfill replay over a batch Dataset
+          // must behave as "everything delivered, everything sealed"
+          // (watermark = +inf), not crash (review r18-5). The huge-but-
+          // not-MaxValue seal keeps the *1000 and TTL sums overflow-free.
+          val wmMs =
+            try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException =>
+              Long.MaxValue / 4000L }
+          val wmUs = wmMs * 1000L
           // the batch operator's greedy chain over the buffered events
           def resolve(): Option[Vector[Long]] = {
             var chain = Vector.empty[Long]
@@ -260,15 +273,26 @@ object EventStreams {
           }
           // Bound the CARRIED state only AFTER this batch's epochs have
           // consumed (trimming first would throw away events a
-          // just-resolved epoch's successor needs). The earliest
-          // maxPerStep distinct times per step are sufficient for every
-          // chain resolvable from the retained set; a user who cycles
-          // through MORE than maxPerStep completions inside one watermark
-          // window can lose later re-entry chains — the documented
-          // bounded-state relaxation (the batch operator emits one chain
-          // per user, so batch parity is unaffected).
-          buf = buf.groupBy(_._1).iterator.flatMap { case (_, es) =>
-            es.sortBy(_._2).take(maxPerStep)
+          // just-resolved epoch's successor needs). Events INSIDE the
+          // lateness window (ts > watermark) are never count-trimmed —
+          // a late-arriving earlier-step anchor may still need ANY of
+          // them (review r18-5: the old uniform earliest-maxPerStep trim
+          // dropped in-window later-step events a late anchor needed,
+          // losing genuine completions); their population is bounded by
+          // the watermark delay SLA x arrival rate, the same state model
+          // as a stream-stream join. SEALED events (ts <= watermark):
+          // last-step ones are provably dead (their predecessors would
+          // need ts < watermark — no longer admissible — and resolve()
+          // already consumed every sealed chain), the rest keep the
+          // earliest maxPerStep per step — a user cycling through more
+          // than maxPerStep sealed same-step events can lose later
+          // re-entry chains, the documented bounded-state relaxation.
+          buf = buf.groupBy(_._1).iterator.flatMap { case (si, es) =>
+            val (sealed0, fresh) = es.partition(_._2 <= wmUs)
+            val sealedKept =
+              if (si == k - 1) Nil
+              else sealed0.sortBy(_._2).take(maxPerStep)
+            sealedKept ++ fresh
           }.toSeq
           // TTL: a user who stalls mid-funnel would otherwise keep state
           // resident forever. Once the watermark is idleTtlMicros past the

@@ -29,8 +29,22 @@ object Derived {
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def sfKey(sfDir: String): String =
-    new java.io.File(sfDir).getName // "sf0.01" etc.
+  /** Cache/layout key for a scale dir: the basename for readability PLUS
+    * a short hash of the FULL canonical path — two dirs sharing a leaf
+    * name ("/data/v1/sf1" vs "/data/v2/sf1") must never collide on one
+    * memo entry / on-disk build and silently serve each other's derived
+    * tables (review r18-6). */
+  private def sfKey(sfDir: String): String = {
+    val canonical =
+      try new java.io.File(sfDir).getCanonicalPath
+      catch { case _: Exception => sfDir }
+    val bytes = canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = java.lang.Long.toHexString(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L))
+    s"${new java.io.File(sfDir).getName}-${h.take(8)}"
+  }
 
   /** Path of derived table `name` for `sfDir`, building it if absent or
     * built under an older layout version. Existence/marker checks go

@@ -20,6 +20,10 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String,
                  parts: Int): DataFrame = {
+    // parts <= 0 would silently EMPTY the join (explode of an empty salt
+    // array eliminates every small-side row) or divide by zero under
+    // ANSI -- refuse loudly (review r18-6)
+    require(parts >= 1, s"salt partitions must be >= 1: $parts")
     // Salt must vary PER ROW (a key-derived salt would send the whole hot
     // key to one partition again); correctness is independent of the salt
     // value, only its range matters.

@@ -99,6 +99,13 @@ object Writer {
                     format: String = "parquet"): Unit = {
     require(zCols.size >= 2, "z-ordering needs at least two columns")
     require(zBits >= 1 && zBits <= 16, s"zBits out of range: $zBits")
+    // the Morton interleave packs bit j of column i at position j*d+i in
+    // ONE long; past bit 62 the shift would wrap mod 64 (colliding
+    // columns on the same bit) or set the SIGN bit (reversing the range
+    // sort) -- silently wrong clustering, so refuse loudly (review r18-6)
+    require(zCols.size * zBits <= 62,
+      s"z-value needs ${zCols.size}*$zBits = ${zCols.size * zBits} bits; " +
+        "at most 62 fit a signed long -- lower zBits or drop columns")
     val buckets = 1 << zBits
     zCols.foreach { c =>
       val dt = df.schema(c).dataType

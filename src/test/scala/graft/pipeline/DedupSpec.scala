@@ -474,4 +474,56 @@ class DedupSpec extends AnyFunSuite {
       Dedup.lshParams(0.5, 1L << 30)
     }
   }
+
+  test("sub-shingleN docs never simhash-pair: empty shingle sets have no " +
+      "fingerprint (r18 review)") {
+    // with < shingleN tokens the shingle set is empty; the majority-vote
+    // tie rule would give EVERY such doc the identical all-ones
+    // fingerprint and pair all of them at hamming 0
+    val df = Seq((1L, "foo bar"), (2L, "baz qux"), (3L, ""),
+      (4L, "one long enough document with plenty of words in it"),
+      (5L, "one long enough document with plenty of words in it"))
+      .toDF("doc_id", "text")
+    val p64 = Dedup.simhashPairs(df, "doc_id", "text", shingleN = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p64 === Set((4L, 5L)), p64)
+    val p30 = Dedup.simhashPairsRolling(df, "doc_id", "text", shingleN = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p30 === Set((4L, 5L)), p30)
+  }
+
+  test("estimatedRows widthHint sizes array columns honestly; blocked " +
+      "verify reads one materialized projection (r18 review)") {
+    // schema-default width counts array<float> as 4 bytes -- a dim-64
+    // frame would estimate ~20x too many rows and push the dispatcher
+    // toward the O(n^2) exact branch
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-est").toString
+    df.write.mode("overwrite").parquet(dir)
+    val rd = SparkT.spark.read.parquet(dir)
+    val plain = Dedup.estimatedRows(rd).get
+    val hinted = Dedup.estimatedRows(rd, widthHint = 16L + 4L * dim).get
+    assert(hinted < plain / 4,
+      s"width hint must deflate the array under-count: $hinted vs $plain")
+    // the hinted estimate is within ~4x of the true row count
+    assert(hinted >= 50 && hinted <= 800, s"est $hinted for 200 rows")
+  }
+
+  test("embedCandidates fails loudly on a dim/type mismatch (r18 review)") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 20).map(i =>
+        (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Dedup.embedCandidates(df, "vec_id", "embedding", dim = 16))
+    assert(e.getMessage.contains("16"))
+    val dd = df.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    intercept[IllegalArgumentException](
+      Dedup.embedCandidates(dd, "vec_id", "embedding", dim = 32))
+  }
 }

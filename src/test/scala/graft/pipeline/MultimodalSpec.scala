@@ -238,4 +238,85 @@ class MultimodalSpec extends AnyFunSuite {
       assert((0 until 5).forall(r.get(_) == null))
     }
   }
+
+  test("NULL blob structs flow through decode/resize/frame stages, never " +
+      "an NPE (r18 review)") {
+    val df = Seq((1L, Some("abc")), (2L, None)).toDF("id", "text")
+      .withColumn("blob",
+        when($"text".isNotNull, Multimodal.packBlob(
+          $"text".cast("binary"), lit("txt"), length($"text"), lit(1))))
+    val dec = Multimodal.decodeStage(df, "blob", "feat",
+        Multimodal.ByteStatsDecoder)
+      .select($"id", $"feat.byte_sum").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(dec(1L) === Some(294L))
+    assert(dec(2L) === Some(0L)) // empty payload, not a crash
+    val rs = Multimodal.resizeStage(df, "blob", Multimodal.StrideResizer(2))
+    assert(rs.count() === 2) // null row passes through untouched
+    assert(rs.filter($"id" === 2 && $"blob".isNull).count() === 1)
+    val fr = Multimodal.frameSampleStage(df, "blob", "frames", 2, 1)
+    assert(fr.filter($"id" === 2).select(size($"frames"))
+      .head().getInt(0) === 0)
+  }
+
+  test("top-down BMPs (negative height) resize without a vertical flip " +
+      "(r18 review)") {
+    // two-row image: top row 200s, bottom row 50s, stored TOP-DOWN
+    // (negative height). A correct 1x2 resize keeps top=200 / bottom=50.
+    val w = 4; val h = 2
+    val bottomUp = Multimodal.syntheticBmp(w, h, 0)
+    // hand-build: patch height to -2 and write rows top-first
+    val stride = ((w * 3 + 3) / 4) * 4
+    val b = bottomUp.clone()
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h)
+    var i = 0
+    while (i < w * 3) { b(54 + i) = 200.toByte; i += 1 }          // stored row 0 = TOP
+    i = 0
+    while (i < w * 3) { b(54 + stride + i) = 50.toByte; i += 1 }  // stored row 1 = BOTTOM
+    val rows = Seq((1L, b)).toDF("id", "payload")
+      .withColumn("blob", Multimodal.packBlob(
+        $"payload", lit("bmp"), lit(w), lit(h)))
+    val out = Multimodal.resizeStage(rows, "blob",
+        Multimodal.BmpNearestResizer(1, 2))
+      .select($"blob.payload").head().getAs[Array[Byte]](0)
+    // output is bottom-up: stored row 0 = BOTTOM (50), row 1 = TOP (200)
+    val outStride = 4 // 1*3 padded to 4
+    assert((out(54) & 0xFF) === 50, "bottom row must stay the 50s row")
+    assert((out(54 + outStride) & 0xFF) === 200, "top row must stay 200s")
+  }
+
+  test("a truncated fmt chunk (declared len < 16) decodes to NULL, not " +
+      "garbage fields (r18 review)") {
+    // RIFF/WAVE with a fmt chunk declaring len=8: the rate/bits offsets
+    // would fall inside the NEXT chunk's bytes
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(8)
+      .putShort(1).putShort(1).putInt(8000) // only 8 declared bytes
+    bb.put("data".getBytes).putInt(4).putInt(0)
+    val rows = Seq((1L, bb.array())).toDF("id", "payload")
+      .withColumn("blob", Multimodal.packBlob(
+        $"payload", lit("wav"), lit(0), lit(0)))
+    val got = Multimodal.decodeStage(rows, "blob", "au", Multimodal.WavDecoder)
+      .select($"au.sample_rate").head()
+    assert(got.isNullAt(0), got)
+  }
+
+  test("oversized declared image dimensions decode to NULL under the " +
+      "pixel-area cap (r18 review)") {
+    // a valid small BMP whose header claims 100000x100000: the bounded
+    // reader must refuse from the header alone (decompression-bomb guard)
+    val b = Multimodal.syntheticBmp(4, 4, 10).clone()
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 100000); bb.putInt(22, 100000)
+    val rows = Seq((1L, b)).toDF("id", "payload")
+      .withColumn("blob", Multimodal.packBlob(
+        $"payload", lit("bmp"), lit(4), lit(4)))
+    val got = Multimodal.decodeStage(rows, "blob", "img",
+        Multimodal.ImageIoDecoder)
+      .select($"img.width").head()
+    assert(got.isNullAt(0), got)
+  }
 }

@@ -117,4 +117,17 @@ class NgramLMSpec extends AnyFunSuite {
     }.toMap
     assert(got === brute)
   }
+
+  test("a model scored with a mismatched n fails loudly instead of " +
+      "silently defaulting every gram (r18 review)") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "c d e f g h i j"))
+      .toDF("id", "text")
+    val m = NgramLM.train(docs, "text", n = 4)
+    val e = intercept[IllegalArgumentException](
+      NgramLM.scoreDocs(docs, "id", "text", m, n = 3).collect())
+    assert(e.getMessage.contains("n=4"))
+    // matching n still scores; the metadata row never reaches outputs
+    val ok = NgramLM.scoreDocs(docs, "id", "text", m, n = 4)
+    assert(ok.count() === 2)
+  }
 }

@@ -332,4 +332,44 @@ class PackMixSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Mix.stratified(docs, "id", "grp", 7, minGroupRows = Some(0L)))
   }
+
+  test("hashScaled is overflow-safe at 64-bit ids and bit-identical to " +
+      "the direct LCG where it fits (r18 review)") {
+    // direct id*69069 overflows (ANSI: throws) past ~1.3e14; the
+    // mod-first form is bit-identical by ring arithmetic
+    val ids = Seq(0L, 1L, 12345L, (1L << 19) - 1, 1L << 20,
+      987654321987654321L, Long.MaxValue, -5L, Long.MinValue + 1)
+    val got = ids.toDF("id")
+      .select(Mix.hashScaled(col("id")).as("h")).as[Long].collect()
+    ids.zip(got).foreach { case (id, h) =>
+      val m = Mix.Resolution
+      val expect = java.math.BigInteger.valueOf(id)
+        .multiply(java.math.BigInteger.valueOf(69069L))
+        .add(java.math.BigInteger.valueOf(12345L))
+        .mod(java.math.BigInteger.valueOf(m)).longValueExact()
+      assert(h === expect, s"id $id")
+      assert(h >= 0 && h < m)
+    }
+    // bySource survives snowflake-scale ids end-to-end
+    val big = Seq((987654321987654321L, "web"), (987654321987654322L, "web"))
+      .toDF("id", "source")
+    assert(Mix.bySource(big, "id", "source", Map("web" -> 1.0)).count() === 2)
+  }
+
+  test("shuffleShards within-shard order does not degenerate to ascending " +
+      "ids when the 2^20 hash space ties (r18 review)") {
+    // ids equal mod 2^20 share h -- the old (h, id) order fell back to
+    // RAW ascending ids (original corpus order); the high-bits tiebreak
+    // must decorrelate them
+    val ids = (0 until 64).map(i => 7L + i.toLong * (1L << 20))
+    val out = Pack.shuffleShards(ids.toDF("id"), "id", nShards = 1)
+      .orderBy("pos").select("id").as[Long].collect().toSeq
+    assert(out.toSet === ids.toSet)
+    assert(out !== ids.sorted,
+      "tied hash runs must not keep original ascending-id order")
+    // still deterministic
+    val again = Pack.shuffleShards(ids.toDF("id").repartition(5), "id", 1)
+      .orderBy("pos").select("id").as[Long].collect().toSeq
+    assert(again === out)
+  }
 }

@@ -139,4 +139,14 @@ class TextFunctionsSpec extends AnyFunSuite {
     // the long case actually passes; the short ones fail
     assert(got(2L)._7 && !got(1L)._7 && !got(0L)._7)
   }
+
+  test("langId labels NULL text und, never a marker language (r18 review)") {
+    val df = Seq((1L, Some("the of and to a house")), (2L, None))
+      .toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "und")
+  }
 }

@@ -125,4 +125,15 @@ class FunnelSpec extends AnyFunSuite {
     assert(plan.contains("Join Inner"), plan)
     assert("Aggregate \\[".r.findAllIn(plan).size === 2, plan)
   }
+
+  test("conversion rejects a non-positive window like earliestChain (r18 review)") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"))
+      .toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException](
+      Funnel.conversion(df, "user_id", "ts", "event_type", Seq("a", "b"),
+        withinMicros = Some(-1L)))
+    intercept[IllegalArgumentException](
+      Funnel.conversion(df, "user_id", "ts", "event_type", Seq("a", "b"),
+        withinMicros = Some(0L)))
+  }
 }

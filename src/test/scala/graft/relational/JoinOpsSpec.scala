@@ -167,4 +167,61 @@ class JoinOpsSpec extends AnyFunSuite with GenCheck {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("open intervals ending at a far-future TIMESTAMP sentinel join " +
+      "exactly, bounded by the points' range (r18 review)") {
+    // valid_to = 9999-12-31: pre-fix the micros*1000 wrapped NEGATIVE and
+    // the interval silently dropped; with saturation alone the bucket
+    // explode would generate ~1e15 rows -- the points-range clamp keeps
+    // it exact AND bounded
+    val ts = java.sql.Timestamp.valueOf("2026-01-15 12:00:00")
+    val points = Seq((1L, ts),
+      (2L, java.sql.Timestamp.valueOf("2026-06-01 00:00:00")))
+      .toDF("id", "ts")
+    val ivs = Seq(
+      (10L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("9999-12-31 00:00:00")), // open
+      (11L, java.sql.Timestamp.valueOf("2026-05-01 00:00:00"),
+        java.sql.Timestamp.valueOf("9999-12-31 00:00:00")), // open, later
+      (12L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))) // closed, misses
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(points, ivs, "ts", "lo", "hi",
+        typicalLen = 24L * 3600 * 1000000000L) // 1-day buckets
+      .select($"id", $"iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 11L)))
+    // pre-epoch + sentinel lo: clamped below too
+    val ivs2 = Seq((20L, java.sql.Timestamp.valueOf("1677-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("9999-12-31 00:00:00"))).toDF("iid", "lo", "hi")
+    val got2 = RangeJoin.intervalJoin(points, ivs2, "ts", "lo", "hi",
+        typicalLen = 24L * 3600 * 1000000000L)
+      .select($"id", $"iid").as[(Long, Long)].collect().toSet
+    assert(got2 === Set((1L, 20L), (2L, 20L)))
+  }
+
+  test("bucket floors exactly at the Long extremes (no subtraction " +
+      "overflow, r18 review)") {
+    val w = 1000L
+    val vals = Seq(Long.MinValue, Long.MinValue + 1, -1001L, -1000L, -1L,
+      0L, 999L, Long.MaxValue)
+    val got = vals.toDF("v")
+      .select(RangeJoin.bucket("v", w).as("b")).as[Long].collect().toSeq
+    assert(got === vals.map(v => Math.floorDiv(v, w)))
+  }
+
+  test("asof fails fast on output-name collisions (r18 review)") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "asof_note")
+    val right = Seq((1L, 5L, 100L, "p")).toDF("k", "ts", "rid", "note")
+    // left already carries an asof_* output name
+    val e1 = intercept[IllegalArgumentException](
+      AsofJoin.backward(left, right, "k", "k", "ts", "ts", "rid",
+        payload = Seq("note")))
+    assert(e1.getMessage.contains("asof_note"))
+    // payload column named like the right ts -> duplicate asof_ts
+    val l2 = Seq((1L, 10L)).toDF("k", "lts")
+    val e2 = intercept[IllegalArgumentException](
+      AsofJoin.backward(l2, right, "k", "k", "lts", "ts", "rid",
+        payload = Seq("ts")))
+    assert(e2.getMessage.contains("asof_ts"))
+  }
 }

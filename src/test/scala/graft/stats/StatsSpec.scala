@@ -199,4 +199,34 @@ class StatsSpec extends AnyFunSuite {
     val approx = Stats.approxNdv(df, "v")
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
+
+  test("hive-partitioned layouts list recursively: rowCount/earlyReject see " +
+      "files under col=value/ subdirectories (r18 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-part").toString
+    val df = (0L until 100L).map(i => (i, s"d${i % 3}", i * 2))
+      .toDF("id", "date", "v")
+    graft.tables.Writer.writePartitioned(df, dir, Seq("date"))
+    val conf = SparkT.spark.sparkContext.hadoopConfiguration
+    // one-level listing saw only date=*/ directories -> 0 rows and a
+    // false "skip this table" earlyReject
+    assert(Stats.rowCount(dir, conf) === 100L)
+    assert(!Stats.earlyReject(dir, "v", 10.0, 20.0),
+      "matching rows exist: earlyReject must not claim the table is skippable")
+    assert(Stats.earlyReject(dir, "v", 1000.0, 2000.0))
+  }
+
+  test("an ALL-NULL column chunk still counts its nulls and keeps the " +
+      "column visible in file stats (r18 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-nulls")
+      .resolve("t").toString
+    val df = (0L until 50L).map(i => (i, null: java.lang.Long))
+      .toDF("id", "all_null").coalesce(1)
+    df.write.parquet(dir)
+    val fs = Stats.fileStats(dir,
+      SparkT.spark.sparkContext.hadoopConfiguration)
+    val cs = fs.head.cols.get("all_null")
+    assert(cs.isDefined, "everywhere-null column must not vanish from stats")
+    assert(cs.get.nulls === Some(50L), cs)
+    assert(cs.get.min.isEmpty && cs.get.max.isEmpty)
+  }
 }

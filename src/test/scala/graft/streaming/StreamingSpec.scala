@@ -904,4 +904,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Set((1L, ts(1)))) // user 2's view and ts(20) excluded
     } finally q.stop()
   }
+
+  test("buffered funnel: a late earlier-step anchor still chains through " +
+      "a burst of in-window later-step events (r18 review)") {
+    import graft.streaming.EventStreams.TypedEvent
+    def ev(u: Long, us: Long, et: String) =
+      TypedEvent(u, new java.sql.Timestamp(us / 1000), et)
+    // batch 1: 40 'b' events (>> maxPerStep=8), NO 'a' yet; batch 2: the
+    // out-of-order 'a' anchor at t between the later 'b's. The old
+    // uniform earliest-maxPerStep trim dropped b@29000.. and lost the
+    // completion; in-window events must never be count-trimmed.
+    val bs = (0 until 40).map(i => ev(9, 1000 + i * 1000, "b"))
+    val in = MemoryStream[TypedEvent]
+    val q = graft.streaming.EventStreams.funnelStateBuffered(in.toDS(),
+        Seq("a", "b"), delay = "10 minutes", maxPerStep = 8)
+      .writeStream.format("memory").queryName("funnellate")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData(new scala.util.Random(3).shuffle(bs): _*)
+      q.processAllAvailable()
+      in.addData(ev(9, 28500, "a")) // late anchor (ev floors to 28000us)
+      q.processAllAvailable()
+      // seal: advance the watermark far past every chain
+      in.addData(ev(999, 100000000000L, "a")); q.processAllAvailable()
+      in.addData(ev(999, 100100000000L, "a")); q.processAllAvailable()
+      val got = SparkT.spark.table("funnellate")
+        .as[graft.streaming.EventStreams.FunnelHit]
+        .collect().map(h => (h.user_id, h.step_us)).toSet
+      assert(got === Set((9L, Seq(28000L, 29000L))), got)
+    } finally q.stop()
+  }
+
+  test("buffered funnel runs on a BATCH Dataset (backfill replay) and " +
+      "matches the batch operator (r18 review)") {
+    import graft.streaming.EventStreams.TypedEvent
+    def ev(u: Long, us: Long, et: String) =
+      TypedEvent(u, new java.sql.Timestamp(us / 1000), et)
+    val logical = Seq(
+      ev(1, 10000, "a"), ev(1, 20000, "b"),
+      ev(2, 11000, "b"), ev(2, 21000, "a"), ev(2, 22000, "b"),
+      ev(3, 12000, "a"))
+    // no watermark node exists in batch execution -- the operator must
+    // treat everything as delivered-and-sealed, not crash
+    val got = graft.streaming.EventStreams.funnelStateBuffered(
+        logical.toDS(), Seq("a", "b"), delay = "1 second")
+      .collect().map(h => (h.user_id, h.step_us)).toSet
+    val all = logical.map(e => (e.user_id, e.ts, e.event_type))
+      .toDF("user_id", "ts", "event_type")
+    val viaBatch = graft.relational.Funnel.earliestChain(all, "user_id",
+        "ts", "event_type", Seq("a", "b"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, t1, t2) => (u, Seq(t1, t2)) }.toSet
+    assert(got === viaBatch)
+    assert(got === Set((1L, Seq(10000L, 20000L)), (2L, Seq(21000L, 22000L))))
+  }
 }

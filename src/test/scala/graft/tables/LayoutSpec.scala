@@ -151,4 +151,24 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Writer.writePartitioned(df, tmp.resolve("bad2").toString, Nil))
   }
+
+  test("zOrder refuses a bit budget past a signed long; saltedJoin refuses " +
+      "non-positive parts (r18 review)") {
+    val df = (0L until 10L).map(i => (i, i, i, i, i, i, i, i))
+      .toDF("a", "b", "c", "d", "e", "f", "g", "h")
+    val dir = java.nio.file.Files.createTempDirectory("layout-z").toString
+    // 8 cols x 8 bits = 64 > 62: bit 63 is the SIGN bit (range sort
+    // reversed) -- must refuse loudly, not cluster wrong
+    intercept[IllegalArgumentException](
+      Writer.writeZOrdered(df, dir, df.columns.toSeq, zBits = 8))
+    // 4 x 15 = 60 fits
+    Writer.writeZOrdered(df.select("a", "b", "c", "d"), dir,
+      Seq("a", "b", "c", "d"), zBits = 15)
+    val big = (0L until 100L).map(i => (i, i % 3)).toDF("id", "k")
+    val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("sk", "v")
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big, small, "k", "sk", parts = 0))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big, small, "k", "sk", parts = -4))
+  }
 }
