@@ -36,10 +36,15 @@ package graft.embed
   *
   * POSITIONS: learned table (GPT-2, the default) or ROTARY
   * (`"position_embedding_type": "rotary"` — the GPT-NeoX/LLaMA mechanism,
-  * Su et al. RoFormer): no wpe tensor; each head's (2d, 2d+1) Q/K pair
-  * rotates by angle pos·10000^(-2d/headDim) right after the projections,
-  * so relative positions enter attention as rotation differences and the
-  * position cap is config-only (`n_positions`), not a table length.
+  * Su et al. RoFormer): no wpe tensor; each head's Q/K pairs rotate by
+  * angle pos·10000^(-2d/headDim) right after the projections, so relative
+  * positions enter attention as rotation differences and the position cap
+  * is config-only (`n_positions`), not a table length. The PAIRING is the
+  * config's `rope_style`: `"interleaved"` (default — the paper's
+  * (2d, 2d+1) pairs) or `"half"` (the HuggingFace GPT-NeoX/LLaMA
+  * rotate-half convention, pairs (d, d+headDim/2)); a checkpoint
+  * converted from an HF rotary export must declare `"half"` or its
+  * embeddings are silently wrong.
   *
   * Forward (the published GPT-2 block, pre-LN):
   * {{{
@@ -75,7 +80,8 @@ object Decoder {
   final case class Model(wte: Array[Array[Float]], wpe: Array[Array[Float]],
                          blocks: Array[Block], lnF: Norm,
                          heads: Int, eps: Double, meanPool: Boolean,
-                         rope: Boolean = false, maxPos: Int = 0) {
+                         rope: Boolean = false, maxPos: Int = 0,
+                         ropeHalf: Boolean = false) {
     val hidden: Int = wte.headOption.map(_.length).getOrElse(0)
     def vocabRows: Int = wte.length
     def maxPositions: Int = if (rope) maxPos else wpe.length
@@ -100,24 +106,13 @@ object Decoder {
       else throw new IllegalStateException(
         s"$weightsFile has no wte.weight — not a GPT-2-layout decoder " +
           s"checkpoint (tensors: ${ts.keys.toSeq.sorted.take(8).mkString(", ")}…)")
-    def tensor(name: String): Safetensors.Tensor =
-      ts.getOrElse(prefix + name, throw new IllegalStateException(
-        s"$weightsFile: missing tensor '$prefix$name'"))
-    def mat(name: String): Array[Array[Float]] = {
-      val t = tensor(name)
-      require(t.shape.length == 2,
-        s"tensor '$name' has shape ${t.shape}, expected a matrix")
-      val (r, c) = (t.shape(0), t.shape(1))
-      Array.tabulate(r)(i =>
-        java.util.Arrays.copyOfRange(t.data, i * c, (i + 1) * c))
+    val rd = new Safetensors.CheckpointReader(weightsFile.toString, ts, prefix)
+    def mat(name: String): Array[Array[Float]] = rd.mat(name)
+    def vec(name: String): Array[Float] = rd.vec(name)
+    // gamma/beta tolerance now matches the Transformer loader (r18-7)
+    def norm(base: String): Norm = {
+      val (w, b) = rd.normPair(base); Norm(w, b)
     }
-    def vec(name: String): Array[Float] = {
-      val t = tensor(name)
-      require(t.shape.length == 1,
-        s"tensor '$name' has shape ${t.shape}, expected a vector")
-      t.data
-    }
-    def norm(base: String): Norm = Norm(vec(base + ".weight"), vec(base + ".bias"))
     // Conv1D [in, out] → Linear [out][in]
     def transposed(m: Array[Array[Float]]): Array[Array[Float]] =
       Array.tabulate(m.head.length, m.length)((o, i) => m(i)(o))
@@ -183,17 +178,31 @@ object Decoder {
     // config (n_positions), defaulting to the tokenizer-budget default
     val maxPos = cfg._5.getOrElse(
       graft.embed.ModelRegistry.LocalDefaultMaxInputLen)
+    // PAIRING convention (review r18-7): the paper (Su et al.) rotates
+    // the INTERLEAVED pairs (2d, 2d+1) -- this layout's default -- while
+    // HuggingFace GPT-NeoX/LLaMA exports are trained for ROTATE-HALF
+    // pairs (d, d + headDim/2); serving an HF-converted checkpoint with
+    // the wrong pairing produces silently-wrong embeddings, so the
+    // convention is an explicit config field, not a guess
+    val ropeHalf = cfg._6 match {
+      case Some("half") => true
+      case Some("interleaved") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown rope_style '$other' (expected 'interleaved' or 'half')")
+    }
+    if (!rope) require(cfg._6.isEmpty,
+      "rope_style is only meaningful with position_embedding_type rotary")
     Model(wte, wpe, blocks, norm("ln_f"), heads, eps, meanPool,
-      rope = rope, maxPos = maxPos)
+      rope = rope, maxPos = maxPos, ropeHalf = ropeHalf)
   }
 
   /** (heads, eps, pooling, position type, n_positions) from config.json —
     * the GPT-2 key names with the HF-generic fallbacks. */
   private def readDecoderConfig(dir: java.io.File)
       : (Option[Int], Option[Double], Option[String], Option[String],
-         Option[Int]) = {
+         Option[Int], Option[String]) = {
     val f = new java.io.File(dir, "config.json")
-    if (!f.isFile) return (None, None, None, None, None)
+    if (!f.isFile) return (None, None, None, None, None, None)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(java.nio.file.Files.readAllBytes(f.toPath))
     def num(k: String): Option[Double] =
@@ -205,7 +214,7 @@ object Decoder {
     val posType = str("position_embedding_type")
     val nPos = num("n_positions").orElse(num("max_position_embeddings"))
       .map(_.toInt)
-    (heads, eps, str("pooling"), posType, nPos)
+    (heads, eps, str("pooling"), posType, nPos, str("rope_style"))
   }
 
   // ------------------------------------------------------------- forward
@@ -261,12 +270,18 @@ object Decoder {
         var head = 0
         while (head < m.heads) {
           val off = head * headDim
+          val half = headDim / 2
           var d = 0
-          while (d * 2 < headDim) {
+          while (d < half) {
             val c = cs(d); val s = sn(d)
-            val a0 = r(off + 2 * d); val a1 = r(off + 2 * d + 1)
-            r(off + 2 * d) = a0 * c - a1 * s
-            r(off + 2 * d + 1) = a0 * s + a1 * c
+            // interleaved (paper): pair (2d, 2d+1); rotate-half (the HF
+            // GPT-NeoX/LLaMA convention): pair (d, d + headDim/2) --
+            // both at angle pos*10000^(-2d/headDim)
+            val i0 = if (m.ropeHalf) off + d else off + 2 * d
+            val i1 = if (m.ropeHalf) off + half + d else off + 2 * d + 1
+            val a0 = r(i0); val a1 = r(i1)
+            r(i0) = a0 * c - a1 * s
+            r(i1) = a0 * s + a1 * c
             d += 1
           }
           head += 1
@@ -384,11 +399,21 @@ object Decoder {
     * `vocab.txt` flips to real WordPiece WITHOUT the [CLS]/[SEP] wrap
     * (decoders have no special-token sandwich); absent both, the
     * whitespace hash-bucket tokenizer addresses wte rows directly. */
+  // default pooling per checkpoint dir (tiny config read, memoized) --
+  // the cache key below uses the EFFECTIVE pooling so "decoder:/m#last"
+  // and "decoder:/m" (config default last) share ONE resident copy of
+  // the weights instead of loading the checkpoint twice (review r18-7)
+  private val poolDefaults =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private[embed] def sharedModel(path: String,
-                                 pool: Option[String]): Loaded =
-    shared.computeIfAbsent(s"$path#${pool.getOrElse("")}", _ => {
+                                 pool: Option[String]): Loaded = {
+    val eff = pool.getOrElse(poolDefaults.getOrElseUpdate(path,
+      readDecoderConfig(Transformer.resolveLayout(path)._2)._3
+        .getOrElse("last")))
+    shared.computeIfAbsent(s"$path#$eff", _ => {
       loadCount.incrementAndGet()
-      val m = load(path, poolOverride = pool)
+      val m = load(path, poolOverride = Some(eff))
       val dir = Transformer.resolveLayout(path)._2
       val tj = new java.io.File(dir, "tokenizer.json")
       // a NON-Unigram tokenizer.json (BPE-type is common beside GPT-2
@@ -413,6 +438,7 @@ object Decoder {
           s"reach ${v.maxId}"))
       Loaded(m, vocab, spm)
     })
+  }
 
   def evictShared(path: String): Boolean = {
     val keys = shared.keySet().iterator()

@@ -47,6 +47,31 @@ object Embeddings {
   /** Deterministic offline provider: feature-hashed token counts.
     * `normalize=false` keeps exact integer counts (oracle-comparable);
     * `normalize=true` gives unit vectors (similarity-ready). */
+  /** In-place L2 normalization (no-op on the zero vector) — ONE
+    * definition for every float-array provider (review r18-7; the
+    * double-pooled analog lives in pooledToFloat). */
+  private def l2NormalizeInPlace(v: Array[Float]): Unit = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n > 0) {
+      var i = 0
+      while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 }
+    }
+  }
+
+  /** The bag-of-buckets x projection kernel shared by the local-matrix
+    * providers (review r18-7): weighted sum of the counted rows. */
+  private def projectCounts(w: Array[Array[Float]], dim: Int,
+                            counts: scala.collection.mutable.LongMap[Int])
+      : Array[Float] = {
+    val v = new Array[Float](dim)
+    counts.foreach { case (b, c) =>
+      val row = w(b.toInt)
+      var i = 0
+      while (i < dim) { v(i) += c * row(i); i += 1 }
+    }
+    v
+  }
+
   final case class HashingProvider(dim: Int, normalize: Boolean = true)
       extends TextToEmbeddings {
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
@@ -54,10 +79,7 @@ object Embeddings {
       t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
         v(hashBucket(tok, dim)) += 1.0f
       }
-      if (normalize) {
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
-      }
+      if (normalize) l2NormalizeInPlace(v)
       v
     }
   }
@@ -92,10 +114,7 @@ object Embeddings {
         var i = 0
         while (i < dim) { v(i) += c * row(i); i += 1 }
       }
-      if (normalize) {
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
-      }
+      if (normalize) l2NormalizeInPlace(v)
       v
     }
   }
@@ -372,16 +391,8 @@ object Embeddings {
           val b = hashBucket(tok, vocabDim)
           counts(b) = counts.getOrElse(b.toLong, 0) + 1
         }
-        val v = new Array[Float](dim)
-        counts.foreach { case (b, c) =>
-          val row = w(b.toInt)
-          var i = 0
-          while (i < dim) { v(i) += c * row(i); i += 1 }
-        }
-        if (normalize) {
-          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-          if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
-        }
+        val v = projectCounts(w, dim, counts)
+        if (normalize) l2NormalizeInPlace(v)
         v
       }
     }
@@ -437,16 +448,8 @@ object Embeddings {
               counts(b) = counts.getOrElse(b.toLong, 0) + 1
             }
         }
-        val v = new Array[Float](dim)
-        counts.foreach { case (b, c) =>
-          val row = w(b.toInt)
-          var i = 0
-          while (i < dim) { v(i) += c * row(i); i += 1 }
-        }
-        if (normalize) {
-          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-          if (n > 0) (0 until dim).foreach(i => v(i) = (v(i) / n).toFloat)
-        }
+        val v = projectCounts(w, dim, counts)
+        if (normalize) l2NormalizeInPlace(v)
         v
       }
     }
@@ -585,6 +588,13 @@ object Embeddings {
       it.grouped(batchSize).flatMap { batch =>
         val vecs = p.embedBatch(batch.map(r =>
           Option(r.getString(textIdx)).getOrElse("")))
+        // a provider returning the wrong count must fail LOUDLY: lazyZip
+        // truncates to the shorter side, silently dropping the trailing
+        // rows of every batch (review r18-7; HttpProvider self-validates,
+        // the trait is public)
+        require(vecs.size == batch.size,
+          s"embedBatch returned ${vecs.size} vectors for ${batch.size} " +
+            "texts -- a provider must emit exactly one vector per input")
         batch.lazyZip(vecs).map { (r, v) =>
           Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float]))
         }

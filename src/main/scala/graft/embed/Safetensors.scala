@@ -44,6 +44,13 @@ object Safetensors {
       off += n * 4L
     }
     val headerBytes = om.writeValueAsBytes(header)
+    // off.toInt past 2 GiB would wrap (negative -> allocate throws, or a
+    // small positive -> BufferOverflow mid-write) -- refuse LOUDLY; the
+    // writer serves fixture/gate checkpoints, real multi-GiB exports
+    // shard across files (review r18-7)
+    require(off <= Int.MaxValue.toLong - 8 - headerBytes.length,
+      s"safetensors write of ${off} tensor bytes exceeds the single-file " +
+        "2 GiB buffer -- shard the checkpoint")
     val buf = ByteBuffer.allocate(8 + headerBytes.length + off.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.putLong(headerBytes.length.toLong).put(headerBytes)
@@ -53,22 +60,71 @@ object Safetensors {
     java.nio.file.Files.write(f.toPath, buf.array())
   }
 
-  /** Every tensor name in the file (checkpoint introspection — e.g. how
-    * many encoder layers a BERT export carries). */
-  def tensorNames(path: String): Seq[String] =
-    namesOf(path,
-      java.nio.file.Files.readAllBytes(new java.io.File(path).toPath))
+  /** Prefix-aware accessors over a parsed checkpoint — the tensor/
+    * matrix/vector/LayerNorm loader helpers shared by the Transformer
+    * and Decoder loaders (review r18-7: the two verbatim copies had
+    * already diverged — only one tolerated legacy gamma/beta LayerNorm
+    * names). */
+  final class CheckpointReader(file: String, ts: Map[String, Tensor],
+                               prefix: String) {
+    def has(name: String): Boolean = ts.contains(prefix + name)
+    def tensor(name: String): Tensor =
+      ts.getOrElse(prefix + name, throw new IllegalStateException(
+        s"$file: missing tensor '$prefix$name'"))
+    def mat(name: String): Array[Array[Float]] = {
+      val t = tensor(name)
+      require(t.shape.length == 2,
+        s"tensor '$name' has shape ${t.shape}, expected a matrix")
+      val (r, c) = (t.shape(0), t.shape(1))
+      Array.tabulate(r)(i =>
+        java.util.Arrays.copyOfRange(t.data, i * c, (i + 1) * c))
+    }
+    def vec(name: String): Array[Float] = {
+      val t = tensor(name)
+      require(t.shape.length == 1,
+        s"tensor '$name' has shape ${t.shape}, expected a vector")
+      t.data
+    }
+    /** LayerNorm (weight, bias), tolerating legacy gamma/beta names. */
+    def normPair(base: String): (Array[Float], Array[Float]) = {
+      def pick(a: String, b: String) =
+        if (has(base + a)) base + a else base + b
+      (vec(pick(".weight", ".gamma")), vec(pick(".bias", ".beta")))
+    }
+  }
 
-  private def namesOf(path: String, all: Array[Byte]): Seq[String] = {
-    require(all.length >= 8, s"$path: not a safetensors file (too short)")
-    val bb = ByteBuffer.wrap(all).order(ByteOrder.LITTLE_ENDIAN)
-    val headerLen = bb.getLong()
-    require(headerLen > 0 && headerLen <= all.length - 8,
-      s"$path: corrupt safetensors header length $headerLen")
-    val headerJson = new String(all, 8, headerLen.toInt, StandardCharsets.UTF_8)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Every tensor name in the file (checkpoint introspection — e.g. how
+    * many encoder layers a BERT export carries). Reads ONLY the 8-byte
+    * length prefix + the JSON header — listing names of a multi-GB
+    * checkpoint must not pull its tensor data into memory
+    * (review r18-7). */
+  def tensorNames(path: String): Seq[String] = {
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(path).toPath,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val fileLen = ch.size()
+      require(fileLen >= 8, s"$path: not a safetensors file (too short)")
+      val lenBuf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      while (lenBuf.hasRemaining && ch.read(lenBuf) >= 0) {}
+      lenBuf.flip()
+      val headerLen = lenBuf.getLong()
+      require(headerLen > 0 && headerLen <= fileLen - 8,
+        s"$path: corrupt safetensors header length $headerLen")
+      val hBuf = ByteBuffer.allocate(headerLen.toInt)
+      while (hBuf.hasRemaining && ch.read(hBuf) >= 0) {}
+      val headerJson = new String(hBuf.array(), StandardCharsets.UTF_8)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      headerNames(om.readTree(headerJson))
+    } finally ch.close()
+  }
+
+  /** Non-metadata field names of a parsed header — the ONE definition of
+    * the listing loop (review r18-7). */
+  private def headerNames(
+      header: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    om.readTree(headerJson).fieldNames().forEachRemaining(n =>
+    header.fieldNames().forEachRemaining(n =>
       if (n != "__metadata__") names += n)
     names.toSeq
   }
@@ -81,10 +137,7 @@ object Safetensors {
   def readAll(path: String): Map[String, Tensor] = {
     val all = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
     val (header, headerLen) = parsedHeader(path, all)
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    header.fieldNames().forEachRemaining(n =>
-      if (n != "__metadata__") names += n)
-    names.iterator
+    headerNames(header).iterator
       .map(n => n -> decodeEntry(path, all, header, headerLen, n)).toMap
   }
 
@@ -117,12 +170,8 @@ object Safetensors {
                           header: com.fasterxml.jackson.databind.JsonNode,
                           headerLen: Long, name: String): Tensor = {
     val node = header.get(name)
-    require(node != null && node.isObject, {
-      val names = scala.collection.mutable.ArrayBuffer.empty[String]
-      header.fieldNames().forEachRemaining(n =>
-        if (n != "__metadata__") names += n)
-      s"$path: no tensor '$name' (has: ${names.mkString(", ")})"
-    })
+    require(node != null && node.isObject,
+      s"$path: no tensor '$name' (has: ${headerNames(header).mkString(", ")})")
     // every header field is UNTRUSTED bytes: missing/mistyped fields,
     // negative or overflowing dims, and crafted offsets must all reject
     // with a typed message, never NPE or wrap (ArtifactFuzzSpec)

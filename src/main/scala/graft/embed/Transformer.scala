@@ -163,30 +163,13 @@ object Transformer {
       else throw new IllegalStateException(
         s"$weightsFile has no embeddings.word_embeddings.weight " +
           s"(tensors: ${ts.keys.toSeq.sorted.take(8).mkString(", ")}…)")
-    def tensor(name: String): Safetensors.Tensor =
-      ts.getOrElse(prefix + name, throw new IllegalStateException(
-        s"$weightsFile: missing tensor '$prefix$name'"))
-    def mat(name: String): Array[Array[Float]] = {
-      val t = tensor(name)
-      require(t.shape.length == 2,
-        s"tensor '$name' has shape ${t.shape}, expected a matrix")
-      val (r, c) = (t.shape(0), t.shape(1))
-      Array.tabulate(r)(i =>
-        java.util.Arrays.copyOfRange(t.data, i * c, (i + 1) * c))
-    }
-    def vec(name: String): Array[Float] = {
-      val t = tensor(name)
-      require(t.shape.length == 1,
-        s"tensor '$name' has shape ${t.shape}, expected a vector")
-      t.data
-    }
-    // legacy exports name LayerNorm params gamma/beta instead of weight/bias
+    val rd = new Safetensors.CheckpointReader(weightsFile.toString, ts, prefix)
+    def mat(name: String): Array[Array[Float]] = rd.mat(name)
     def norm(base: String): Norm = {
-      def pick(a: String, b: String) =
-        if (ts.contains(prefix + base + a)) base + a else base + b
-      Norm(vec(pick(".weight", ".gamma")), vec(pick(".bias", ".beta")))
+      val (w, b) = rd.normPair(base); Norm(w, b)
     }
-    def linear(base: String) = Linear(mat(base + ".weight"), vec(base + ".bias"))
+    def linear(base: String) =
+      Linear(rd.mat(base + ".weight"), rd.vec(base + ".bias"))
 
     val word = mat("embeddings.word_embeddings.weight")
     val pos = mat("embeddings.position_embeddings.weight")

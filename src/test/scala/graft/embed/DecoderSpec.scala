@@ -256,6 +256,73 @@ class DecoderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one position mechanism"))
   }
 
+  test("ROPE rotate-half pairing (rope_style half): matches a scalar " +
+      "rotate-half twin, differs from interleaved (r18 review)") {
+    val dir = artifact(poolKey =
+      ""","position_embedding_type":"rotary","rope_style":"half"""")
+    // headDim must exceed 2 for the pairings to differ (at headDim 2 the
+    // interleaved pair (0,1) IS the half pair): single-head -> headDim 4
+    def oneHead(d: String): Unit = {
+      val cf = new java.io.File(d, "config.json").toPath
+      java.nio.file.Files.writeString(cf, java.nio.file.Files
+        .readString(cf).replace("\"n_head\":" + Heads, "\"n_head\":1"))
+    }
+    oneHead(dir)
+    val wf = new java.io.File(dir, "model.safetensors")
+    val ts = Safetensors.readAll(wf.toString).filterNot(_._1 == "wpe.weight")
+    Safetensors.write(wf.toString, ts.toSeq)
+    val mh = Decoder.load(dir)
+    assert(mh.rope && mh.ropeHalf && mh.heads == 1)
+    val ids = Array(3, 1, 4, 1, 5, 0)
+    // interleaved twin checkpoint (same weights, default pairing)
+    val dir2 = artifact(poolKey = ""","position_embedding_type":"rotary"""")
+    oneHead(dir2)
+    val wf2 = new java.io.File(dir2, "model.safetensors")
+    Safetensors.write(wf2.toString,
+      Safetensors.readAll(wf2.toString).filterNot(_._1 == "wpe.weight").toSeq)
+    val mi = Decoder.load(dir2)
+    assert(!mi.ropeHalf)
+    val hGot = Decoder.forward(mh, ids)
+    val iGot = Decoder.forward(mi, ids)
+    // the two pairings genuinely differ on a multi-position input
+    assert(hGot.toSeq !== iGot.toSeq)
+    // at position 0 every rotation is identity: the pairings agree
+    assert(Decoder.forward(mh, ids.take(1)).toSeq ===
+      Decoder.forward(mi, ids.take(1)).toSeq)
+    // scalar spot-check of the half pairing: pair (0, hd/2) at angle 2
+    val hd = H // single head
+    def rotHalf(r: Array[Double], p: Int): Array[Double] = {
+      val o = r.clone()
+      (0 until 1).foreach { hh =>
+        val off = hh * hd
+        val half = hd / 2
+        var d = 0
+        while (d < half) {
+          val ang = p * math.pow(10000.0, -2.0 * d / hd)
+          val c = math.cos(ang); val sn = math.sin(ang)
+          val a0 = o(off + d); val a1 = o(off + half + d)
+          o(off + d) = a0 * c - a1 * sn
+          o(off + half + d) = a0 * sn + a1 * c
+          d += 1
+        }
+      }
+      o
+    }
+    val v = Array.tabulate(H)(i => (i + 1).toDouble)
+    val viaHalf = rotHalf(v, 2)
+    val c0 = math.cos(2.0); val s0 = math.sin(2.0)
+    assert(math.abs(viaHalf(0) - (v(0) * c0 - v(hd / 2) * s0)) < 1e-12)
+    assert(math.abs(viaHalf(hd / 2) - (v(0) * s0 + v(hd / 2) * c0)) < 1e-12)
+    // unknown style fails loudly
+    val bad = artifact(poolKey =
+      ""","position_embedding_type":"rotary","rope_style":"diagonal"""")
+    val wfb = new java.io.File(bad, "model.safetensors")
+    Safetensors.write(wfb.toString,
+      Safetensors.readAll(wfb.toString).filterNot(_._1 == "wpe.weight").toSeq)
+    val e = intercept[IllegalArgumentException] { Decoder.load(bad) }
+    assert(e.getMessage.contains("rope_style"))
+  }
+
   private lazy val bertishDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-decb").toFile
     Safetensors.write(new java.io.File(dir, "model.safetensors").toString,

@@ -161,9 +161,11 @@ class LayoutSpec extends AnyFunSuite {
     // reversed) -- must refuse loudly, not cluster wrong
     intercept[IllegalArgumentException](
       Writer.writeZOrdered(df, dir, df.columns.toSeq, zBits = 8))
-    // 4 x 15 = 60 fits
-    Writer.writeZOrdered(df.select("a", "b", "c", "d"), dir,
-      Seq("a", "b", "c", "d"), zBits = 15)
+    // 7 x 8 = 56 fits (zBits stays at the bucket-fold-friendly default:
+    // the per-column bucket expression is a 2^zBits-term chain, so large
+    // zBits values are bounded by expression depth, not the bit budget)
+    Writer.writeZOrdered(df.select("a", "b", "c", "d", "e", "f", "g"), dir,
+      Seq("a", "b", "c", "d", "e", "f", "g"), zBits = 8)
     val big = (0L until 100L).map(i => (i, i % 3)).toDF("id", "k")
     val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("sk", "v")
     intercept[IllegalArgumentException](
