@@ -67,12 +67,16 @@ object RangeJoin {
     * proportionally more explode rows, it is never silently missed. Size
     * `typicalLen` near the common interval length (≈2 rows per
     * interval); empty/negative intervals (`hi < lo`) match nothing.
-    * Interval bucket ranges are CLAMPED to the points' observed bucket
-    * range first (one column-pruned min/max job over the points — exact,
-    * since no point exists outside it; review r18-5): an OPEN interval
-    * ending at a far-future sentinel like TIMESTAMP '9999-12-31' would
-    * otherwise explode to ~10^15 bucket rows, and before the epochNanos
-    * saturation fix it silently wrapped negative and dropped instead.
+    * Intervals spanning more than `spark.graft.rangeJoin.maxBucketsPerInterval`
+    * buckets (default 4096) take a SEPARATE non-bucketed arm — a plain
+    * containment join (hash-join on the key when one is given, else a
+    * broadcast-nested-loop over the few broad intervals) unioned with
+    * the bucketed arm (review r18-5): an OPEN interval ending at a
+    * far-future sentinel like TIMESTAMP '9999-12-31' would otherwise
+    * explode to ~10^15 bucket rows (and before the epochNanos saturation
+    * fix it silently wrapped negative and dropped). Both arms are exact;
+    * the split costs NO extra job — classification is a per-row
+    * predicate.
     * Event-time columns may be any [[EventTime]] representation;
     * `typicalLen` is nanos for timestamps, the column's own unit for
     * integral inputs. Callers ensure point/interval column names are
@@ -85,31 +89,45 @@ object RangeJoin {
     require(typicalLen > 0, "typicalLen must be positive")
     require(pointKey.isDefined == intervalKey.isDefined,
       "pointKey and intervalKey must be given together")
+    val maxBuckets = points.sparkSession.conf
+      .getOption("spark.graft.rangeJoin.maxBucketsPerInterval")
+      .flatMap(_.toLongOption).filter(_ >= 1L).getOrElse(4096L)
     val p = points
       .withColumn("__pns", EventTime.epochNanos(points, pointTs))
       .withColumn("__pb", bucket("__pns", typicalLen))
-    // the points' bucket range (one column-pruned min/max job): clamping
-    // each interval's bucket explode to it is EXACT — no point exists
-    // outside — and bounds the fanout of open/sentinel intervals
-    val bounds = p.agg(min(col("__pb")), max(col("__pb"))).head()
-    if (bounds.isNullAt(0))
-      return p.join(intervals.limit(0), lit(false))
-        .drop("__pns", "__pb")
-    val (pbLo, pbHi) = (bounds.getLong(0), bounds.getLong(1))
-    val iv = intervals
+    val iv0 = intervals
       .withColumn("__lons", EventTime.epochNanos(intervals, loCol))
       .withColumn("__hins", EventTime.epochNanos(intervals, hiCol))
       .filter(col("__hins") >= col("__lons"))
-      .withColumn("__blo", greatest(bucket("__lons", typicalLen), lit(pbLo)))
-      .withColumn("__bhi", least(bucket("__hins", typicalLen), lit(pbHi)))
-      .filter(col("__blo") <= col("__bhi")) // no overlap with any point
+      .withColumn("__blo", bucket("__lons", typicalLen))
+      .withColumn("__bhi", bucket("__hins", typicalLen))
+    // per-row arm split (a predicate, never a driver job). The span
+    // compares in DOUBLE — saturated sentinel bounds could overflow a
+    // long subtraction, and a misclassification near 2^53 only picks the
+    // other (equally exact) arm.
+    val broadPred =
+      col("__bhi").cast("double") - col("__blo").cast("double") >
+        lit(maxBuckets.toDouble)
+    def keyCond(pp: DataFrame, ii: DataFrame) =
+      pointKey.map(k => pp(k) === ii(intervalKey.get)).getOrElse(lit(true))
+    // narrow arm: ≤ maxBuckets explode rows per interval, equi-join
+    val ivN = iv0.filter(!broadPred)
       .withColumn("__b", explode(sequence(col("__blo"), col("__bhi"))))
       .drop("__blo", "__bhi")
-    val cond = p("__pb") === iv("__b") &&
-      p("__pns") >= iv("__lons") && p("__pns") <= iv("__hins") &&
-      pointKey.map(k => p(k) === iv(intervalKey.get)).getOrElse(lit(true))
-    p.join(iv, cond)
+    val narrow = p.join(ivN, p("__pb") === ivN("__b") &&
+        p("__pns") >= ivN("__lons") && p("__pns") <= ivN("__hins") &&
+        keyCond(p, ivN))
       .drop("__pns", "__pb", "__lons", "__hins", "__b")
+    // broad arm: no bucketing — plain containment (hash join on the key
+    // when given; else BNL over the few broad intervals). An interval
+    // this wide contains MOST points, so its output is join-sized
+    // regardless; bucketing would only multiply its storage.
+    val ivB = iv0.filter(broadPred).drop("__blo", "__bhi")
+    val broad = p.join(ivB,
+        p("__pns") >= ivB("__lons") && p("__pns") <= ivB("__hins") &&
+        keyCond(p, ivB))
+      .drop("__pns", "__pb", "__lons", "__hins")
+    narrow.unionByName(broad)
   }
 
   /** Per-row neighbor counts within `±width` of each row of `df` (self band
