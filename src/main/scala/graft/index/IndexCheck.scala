@@ -125,8 +125,14 @@ object IndexCheck {
       val total = flagged.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
       val keys =
         if (mva)
+          // struct-wrapped so the NULL-value posting group still counts:
+          // count_distinct(value, k) excludes NULL-value rows per SQL
+          // semantics while sum(cnt) includes them, falsely flagging a
+          // healthy index whose arrays contain null elements (review
+          // r18-8; a struct with a null field is itself non-null)
           flagged.select(col("value"), explode(col("rowids")).as("k"))
-            .agg(count_distinct(col("value"), col("k"))).head.getLong(0)
+            .agg(count_distinct(struct(col("value"), col("k"))))
+            .head.getLong(0)
         else
           flagged.select(explode(col("rowids")).as("k"))
             .agg(count_distinct(col("k"))).head.getLong(0)

@@ -24,9 +24,23 @@ import org.apache.spark.sql.types.{LongType, StringType}
   */
 object HashCompanionRule extends Rule[LogicalPlan] {
 
-  private def companionOf(a: Attribute, plan: LogicalPlan): Option[Attribute] =
-    plan.output.find(o => o.name == a.name + graft.tables.Writer.HashSuffix
-      && o.dataType == LongType)
+  private def companionOf(a: Attribute, plan: LogicalPlan): Option[Attribute] = {
+    // the companion must come from the SAME relation as the filtered
+    // attribute (matched through the leaf OWNING a's exprId): resolving
+    // by name over the whole child output could, above a join of two
+    // tables sharing the column name, pick the OTHER side's companion
+    // and silently filter the wrong table's rows (review r18-8). The
+    // companion must ALSO still be in the child's output (not pruned),
+    // or the added predicate would reference an unavailable attribute.
+    for {
+      owner <- plan.collectLeaves()
+        .find(_.output.exists(_.exprId == a.exprId))
+      comp <- owner.output.find(o =>
+        o.name == a.name + graft.tables.Writer.HashSuffix &&
+          o.dataType == LongType)
+      avail <- plan.output.find(_.exprId == comp.exprId)
+    } yield avail
+  }
 
   private def hashLit(s: Any): Literal = s match {
     case u: org.apache.spark.unsafe.types.UTF8String if u.numBytes == 0 =>

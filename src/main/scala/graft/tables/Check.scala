@@ -53,7 +53,13 @@ object Check {
             if (deeper.isEmpty) ss else ss ++ walk(deeper)
           }
           walk(fs.listStatus(root))
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+              // Spark's read path skips '_'/'.'-prefixed files (leftover
+              // hidden temp files, markers) — counting their footers
+              // here would report a scan/footer mismatch on a healthy
+              // table (review r18-8)
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
             .sortBy(_.getPath.toString).map(_.getPath)
         }
       } catch {

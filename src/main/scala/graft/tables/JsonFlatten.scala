@@ -37,13 +37,12 @@ object JsonFlatten {
     * yield NULL siblings — the same contract as query-time `from_json`. */
   def flatten(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
     val parsedCol = s"__${jsonCol}_parsed"
-    schema.fields
-      .foldLeft(df.withColumn(parsedCol, from_json(col(jsonCol), schema))) {
-        (d, f) =>
-          d.withColumn(flatColName(jsonCol, f.name),
-            col(parsedCol).getField(f.name))
-      }
-      .drop(parsedCol)
+    // ONE select emitting every sibling (review r18-8): a per-field
+    // withColumn fold stacks one Project per field, and analysis cost
+    // over the growing plan is O(fields^2) for wide JSON schemas
+    val parsed = df.withColumn(parsedCol, from_json(col(jsonCol), schema))
+    parsed.select(df.columns.map(col) ++ schema.fields.map(f =>
+      col(parsedCol).getField(f.name).as(flatColName(jsonCol, f.name))): _*)
   }
 
   /** Convenience: single-field flatten from a (name, type) pair. */

@@ -42,9 +42,38 @@ abstract class FloatVecBinary extends BinaryExpression {
     if (an != bn) throw new IllegalArgumentException(
       s"vector dimensions differ: $an vs $bn")
 
+  // NULL elements would silently read as 0.0 (toFloatArray and the
+  // codegen getFloat both ignore the null bitmap), yielding plausible
+  // but wrong distances — the loud-contract analog of the dim check
+  // (review r18-8). The check is generated ONLY when a child's schema
+  // admits null elements (containsNull), so engine-written
+  // containsNull=false columns pay nothing; when generated it is a
+  // separate bitmap pre-pass, keeping the compute loop branch-free.
+  private lazy val mayHaveNullElems: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+      case _ => true
+    })
+
+  private def requireNoNulls(a: ArrayData, side: String): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"null vector element at index $i ($side input) — distances over " +
+          "vectors with null elements are undefined")
+      i += 1
+    }
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toFloatArray()
-    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    if (mayHaveNullElems) {
+      requireNoNulls(la, "left"); requireNoNulls(ra, "right")
+    }
+    val a = la.toFloatArray()
+    val b = ra.toFloatArray()
     checkDims(a.length, b.length)
     compute(a, b)
   }
@@ -64,6 +93,14 @@ abstract class FloatVecBinary extends BinaryExpression {
          |  throw new IllegalArgumentException(
          |    "vector dimensions differ: " + $n + " vs " + $r.numElements());
          |}
+         |${if (mayHaveNullElems) s"""
+         |for (int z = 0; z < $n; z++) {
+         |  if ($l.isNullAt(z) || $r.isNullAt(z)) {
+         |    throw new IllegalArgumentException(
+         |      "null vector element at index " + z +
+         |      " — distances over vectors with null elements are undefined");
+         |  }
+         |}""".stripMargin else ""}
          |${genLoop(l, r, n, ev.value.toString)}
          |}
        """.stripMargin

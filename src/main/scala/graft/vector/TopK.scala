@@ -26,7 +26,12 @@ object TopK {
       extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
     require(k > 0, s"top-k needs k > 0, got $k") // k=0 would hit Nil.last
     private val ord = Ordering[(Double, Long)]
-    override def zero: Seq[(Double, Long)] = Nil
+    // Vector, not List (review r18-8): the reject path reads b.size and
+    // b.last per input row, which on a List are O(k) traversals — the
+    // documented O(1) reject was two list walks. Vector (and the
+    // array-backed Seq a deserialized shuffle buffer comes back as)
+    // answers both in effectively constant time.
+    override def zero: Seq[(Double, Long)] = Vector.empty
     /** Insert into a sorted bounded buffer: O(1) reject, O(k) insert. */
     override def reduce(b: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] = {
       val item = (a._2, a._1)
@@ -64,6 +69,13 @@ object TopK {
     * tiebreak. */
   private[vector] def topKPairs(scored: DataFrame, qIdCol: String,
                                 cIdCol: String, k: Int): DataFrame = {
+    // the result carries fixed (dist, rn) columns and builds through
+    // (pos, pair) intermediates: caller-chosen id names colliding with
+    // them would emit duplicate/ambiguous output columns (review r18-8)
+    val reserved = Set("pos", "pair", "dist", "rn")
+    require(!reserved.contains(qIdCol) && !reserved.contains(cIdCol),
+      s"id column names must avoid ${reserved.mkString("/")}: " +
+        s"got ($qIdCol, $cIdCol)")
     import scored.sparkSession.implicits._
     val agg = new TopKAgg(k).toColumn
     scored.select(col("__qid"), col("__cid"), col("__dist"))
@@ -83,6 +95,12 @@ object TopK {
     * Aggregator itself is type-agnostic over its (id, value) input. */
   def perGroup(df: DataFrame, groupCol: String, idCol: String,
                valueCol: String, k: Int): DataFrame = {
+    // "g"/"topk" are safe: they are renamed away before the final select
+    val reserved = Set("pos", "pair", "rn")
+    val names = Seq(groupCol, idCol, valueCol)
+    require(names.distinct.size == 3 && !names.exists(reserved.contains),
+      s"perGroup column names must be distinct and avoid " +
+        s"${reserved.mkString("/")}: got $names")
     import df.sparkSession.implicits._
     val agg = new TopKAgg(k).toColumn
     df.select(col(groupCol).cast("string").as("g"),

@@ -93,4 +93,17 @@ class IndexCheckSpec extends AnyFunSuite {
     val r = IndexCheck.check(SparkT.spark, notIdx)
     assert(r.issues.exists(_.contains("missing index columns")), r.issues)
   }
+
+  test("an MVA index over arrays containing NULL elements passes invariant " +
+      "6 (the NULL-value posting group counts, r18 review)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-icknull")
+      .resolve("idx").toString
+    val df = Seq(
+      (1L, Seq[java.lang.Long](10L, null)),
+      (2L, Seq[java.lang.Long](10L, 20L)),
+      (3L, Seq[java.lang.Long](null))).toDF("id", "vals")
+    SecondaryIndex.buildMva(df, "vals", "id", d)
+    val r = IndexCheck.check(SparkT.spark, d, mva = true)
+    assert(r.ok, r.issues.mkString("; "))
+  }
 }

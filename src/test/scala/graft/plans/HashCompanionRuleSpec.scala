@@ -79,4 +79,31 @@ class HashCompanionRuleSpec extends AnyFunSuite {
     assert("seg__hash#\\d+L? = ".r.findAllIn(plan).size === 1, plan)
     assert(df.count() === 500)
   }
+
+  test("a filter on a join's companion-less side never earns the OTHER " +
+      "side's hash predicate (r18 review)") {
+    // t1 has seg + seg__hash; t2 shares the column NAME but has no
+    // companion. A filter on t2.seg resolving the companion by name over
+    // the join output would add t1.seg__hash = hash('x') and silently
+    // drop rows where the two sides disagree.
+    val d2 = java.nio.file.Files.createTempDirectory("graft-hc2")
+      .resolve("t2").toString
+    (1 to 100).map(i => (i.toLong, Seq("alpha", "beta")(i % 2)))
+      .toDF("id2", "seg").write.parquet(d2)
+    val t1 = SparkT.spark.read.parquet(dir)
+      .select($"id", $"seg".as("seg"), $"seg__hash")
+    val t2 = SparkT.spark.read.parquet(d2)
+    // full-outer join keeps the t2 filter ABOVE the join (not pushable
+    // to t2 alone through the null-extending side in all plans); alias
+    // the columns apart except the shared name on t2's side
+    val joined = t1.withColumnRenamed("seg", "seg1")
+      .join(t2, $"id" === $"id2", "full_outer")
+    val q = joined.filter($"seg" === "alpha").select($"id2")
+    // exactness: every t2 alpha row survives regardless of t1's value
+    assert(q.count() === 50)
+    // and the plan carries NO hash predicate sourced from t1
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("seg__hash = "),
+      s"wrong-side companion predicate injected:\n$opt")
+  }
 }

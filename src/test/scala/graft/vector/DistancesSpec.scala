@@ -127,4 +127,28 @@ class DistancesSpec extends AnyFunSuite with graft.GenCheck {
       SparkT.spark.sql("SELECT l2_dist(a) FROM vecs_sqlfn").head
     }
   }
+
+  test("a NULL vector element fails loudly instead of reading as 0.0 " +
+      "(r18 review)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)))
+    val df = SparkT.spark.createDataFrame(rows, schema)
+    val e = intercept[Exception](
+      df.select(distances.l2Dist(col("a"), col("b"))).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null vector element")), msgs(e))
+    // clean nullable-typed vectors still compute (the check is a
+    // pre-pass, not a behavior change)
+    val ok = java.util.Arrays.asList(
+      Row(Seq[java.lang.Float](3.0f, 4.0f), Seq[java.lang.Float](0.0f, 0.0f)))
+    val got = SparkT.spark.createDataFrame(ok, schema)
+      .select(distances.l2Dist(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 5.0) < 1e-12)
+  }
 }

@@ -50,4 +50,14 @@ class TopKSpec extends AnyFunSuite with GenCheck {
       .as[(String, Long, Double, Int)].collect().toSet
     assert(got === want)
   }
+
+  test("reserved output/intermediate names are refused (r18 review)") {
+    val q = Seq((1L, Array(1.0f))).toDF("dist", "qvec")
+    val c = Seq((2L, Array(1.0f))).toDF("cid", "cvec")
+    intercept[IllegalArgumentException](
+      graft.vector.Knn.knnJoin(q, c, "dist", "qvec", "cid", "cvec", 1))
+    intercept[IllegalArgumentException](
+      TopK.perGroup(Seq(("g", 1L, 1.0)).toDF("grp", "id", "rn"),
+        "grp", "id", "rn", 1))
+  }
 }
