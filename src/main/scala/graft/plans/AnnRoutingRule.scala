@@ -103,18 +103,21 @@ object AnnRouting {
     * logical composition, no custom exec. */
   final case class QuantFamily(model: graft.vector.Quantize.QModel,
                                qCol: String, idCol: String,
-                               refine: Int) extends Family
+                               refine: Int,
+                               indexPlan: LogicalPlan) extends Family
   /** 4-bit quantized table ([[graft.vector.Quantize.quantize4Table]]):
     * same splice as int8 with the packed-nibble coarse screen. */
   final case class Quant4Family(model: graft.vector.Quantize.Q4Model,
                                 qCol: String, idCol: String,
-                                refine: Int) extends Family
+                                refine: Int,
+                               indexPlan: LogicalPlan) extends Family
   /** Product-quantized table ([[graft.vector.Quantize.quantizePqTable]]):
     * same splice with the ADC coarse screen (one M×K exact
     * query-subvector table per query, M byte-lookups per row). */
   final case class PqFamily(model: graft.vector.Quantize.PqModel,
                             qCol: String, idCol: String,
-                            refine: Int) extends Family
+                            refine: Int,
+                               indexPlan: LogicalPlan) extends Family
   /** Binary (1-bit) quantized table
     * ([[graft.vector.Quantize.binarizeTable]]): same splice with the
     * Hamming (XOR+popcount) coarse screen. `rCol`, when set, names the
@@ -125,6 +128,7 @@ object AnnRouting {
   final case class BinaryFamily(model: graft.vector.Quantize.BModel,
                                 bCol: String, idCol: String,
                                 refine: Int,
+                                indexPlan: LogicalPlan,
                                 rCol: Option[String] = None) extends Family
   /** Composite IVF-ADC index ([[graft.vector.Ivf.buildIndexPq]] — coarse
     * lists + residual PQ codes, r16): same splice as the flat quantized
@@ -137,13 +141,22 @@ object AnnRouting {
                                pq: graft.vector.Quantize.PqModel,
                                idCol: String, nprobe: Int,
                                refine: Int,
-                               metric: Knn.Metric = Knn.L2) extends Family
+                               metric: Knn.Metric = Knn.L2,
+                              indexPlan: LogicalPlan) extends Family
 
   final case class Registered(basePath: String, indexPath: String,
-                              vecCol: String, rows: Long, family: Family)
+                              vecCol: String, rows: Long, family: Family,
+                              vecNulls: Option[Long] = None)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Registered]
+
+  /** Analyze the index table ONCE at registration (file listing +
+    * schema inference) — plan time then touches no storage
+    * (review r18-9: the flat families re-listed the index per
+    * optimization pass, contradicting the file's own 100 TB note). */
+  private def analyzedPlan(spark: SparkSession, path: String): LogicalPlan =
+    spark.read.parquet(path).queryExecution.analyzed
 
   private def qualify(spark: SparkSession, p: String): String = {
     val path = new org.apache.hadoop.fs.Path(p)
@@ -255,7 +268,8 @@ object AnnRouting {
       spark.sparkContext.hadoopConfiguration)
     putUnlessMutated(spark, quantPath, epoch0, q,
       Registered(q, quantPath, vecCol, rows,
-        QuantFamily(model, qCol, idCol, refine)))
+        QuantFamily(model, qCol, idCol, refine,
+          analyzedPlan(spark, quantPath))))
   }
 
   /** Register a 4-BIT quantized table — the automatic route serves
@@ -272,7 +286,8 @@ object AnnRouting {
       spark.sparkContext.hadoopConfiguration)
     putUnlessMutated(spark, quantPath, epoch0, q,
       Registered(q, quantPath, vecCol, rows,
-        Quant4Family(model, qCol, idCol, refine)))
+        Quant4Family(model, qCol, idCol, refine,
+          analyzedPlan(spark, quantPath))))
   }
 
   /** Register a PRODUCT-QUANTIZED table
@@ -295,7 +310,8 @@ object AnnRouting {
       spark.sparkContext.hadoopConfiguration)
     putUnlessMutated(spark, quantPath, epoch0, q,
       Registered(q, quantPath, vecCol, rows,
-        PqFamily(model, qCol, idCol, refine)))
+        PqFamily(model, qCol, idCol, refine,
+          analyzedPlan(spark, quantPath))))
   }
 
   /** Register a BINARY quantized table — the Hamming screen is the
@@ -312,7 +328,8 @@ object AnnRouting {
       spark.sparkContext.hadoopConfiguration)
     putUnlessMutated(spark, binPath, epoch0, q,
       Registered(q, binPath, vecCol, rows,
-        BinaryFamily(model, bCol, idCol, refine, rCol)))
+        BinaryFamily(model, bCol, idCol, refine,
+          analyzedPlan(spark, binPath), rCol)))
   }
 
   /** Register a composite IVF-ADC index
@@ -344,7 +361,9 @@ object AnnRouting {
       spark.sparkContext.hadoopConfiguration)
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
-        IvfPqFamily(model, pq, idCol, nprobe, refine, metric)))
+        IvfPqFamily(model, pq, idCol, nprobe, refine, metric,
+          analyzedPlan(spark,
+            graft.index.SecondaryIndex.resolve(spark, indexPath)))))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -395,23 +414,28 @@ object AnnRouting {
             spark.read.parquet(r.basePath), gIdCol, r.vecCol,
             queries, qIdCol, qVecCol, cIdCol, k, ef, refine, hier = hier,
             hierMin = hmin)
-        case QuantFamily(model, qCol, fIdCol, refine) =>
+        case f @ QuantFamily(_, _, _, _, _) =>
+          val (model, qCol, fIdCol, refine) = (f.model, f.qCol, f.idCol, f.refine)
           Quantize.knnJoinQuant(spark.read.parquet(r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine)
-        case Quant4Family(model, qCol, fIdCol, refine) =>
+        case f @ Quant4Family(_, _, _, _, _) =>
+          val (model, qCol, fIdCol, refine) = (f.model, f.qCol, f.idCol, f.refine)
           Quantize.knnJoinQuant4(spark.read.parquet(r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine)
-        case PqFamily(model, qCol, fIdCol, refine) =>
+        case f @ PqFamily(_, _, _, _, _) =>
+          val (model, qCol, fIdCol, refine) = (f.model, f.qCol, f.idCol, f.refine)
           Quantize.knnJoinPq(spark.read.parquet(r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine)
-        case BinaryFamily(model, bCol, fIdCol, refine, rCol) =>
+        case f @ BinaryFamily(_, _, _, _, _, _) =>
+          val (model, bCol, fIdCol, refine, rCol) = (f.model, f.bCol, f.idCol, f.refine, f.rCol)
           Quantize.knnJoinBinary(spark.read.parquet(r.indexPath), r.vecCol,
             bCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine, rCol)
-        case IvfPqFamily(model, pq, fIdCol, nprobe, refine, met) =>
+        case f @ IvfPqFamily(_, _, _, _, _, _, _) =>
+          val (model, pq, fIdCol, nprobe, refine, met) = (f.model, f.pq, f.idCol, f.nprobe, f.refine, f.metric)
           Ivf.knnJoinPq(spark, r.indexPath, model, pq, queries,
             qIdCol, qVecCol, cIdCol, fIdCol, r.vecCol, k, nprobe, refine,
             met)
@@ -519,12 +543,39 @@ object AnnRouting {
                                epoch0: Long, base: String,
                                entry: Registered): Unit = {
     val qIdx = qualify(spark, indexPath)
+    // footer-stats null count of the vec column (metadata-only): routed
+    // plans emit only non-null-vector rows, while the exact plan's ASC
+    // NULLS FIRST would surface null-distance rows at the top — routing
+    // is gated on this being provably zero (review r18-9)
+    val enriched = entry.copy(
+      vecNulls = vecNullCount(spark, entry.basePath, entry.vecCol))
     reg.synchronized {
       if (epochs.getOrElse(qIdx, 0L) != epoch0) return // mutated mid-snapshot
       selCache.keys.filter(_._1 == base).foreach(selCache.remove) // refresh
-      reg.put(base, entry)
+      reg.put(base, enriched)
     }
   }
+
+  /** Null-vector rows of the base table's vec column from footer stats
+    * alone: the list element path's null_count upper-bounds null rows
+    * (definition levels count null LISTS there too), so 0 proves no null
+    * vectors. None = stats absent/unreadable (treated as may-have-nulls
+    * — routing then needs NULLS LAST or an IsNotNull filter). */
+  private def vecNullCount(spark: SparkSession, basePath: String,
+                           vecCol: String): Option[Long] =
+    try {
+      val per = graft.stats.Stats.fileStats(basePath,
+        spark.sparkContext.hadoopConfiguration)
+      if (per.isEmpty) None
+      else {
+        val counts = per.map(_.cols.collectFirst {
+          case (name, cs)
+              if name == vecCol || name.startsWith(vecCol + ".") =>
+            cs.nulls
+        }.flatten)
+        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      }
+    } catch { case _: Exception => None }
 
   private[plans] def lookup(qualifiedPath: String): Option[Registered] =
     reg.get(qualifiedPath)
@@ -573,7 +624,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       stripProjects(body) match {
         case Sort(order, true, child, _)
             if order.nonEmpty && order.head.direction == Ascending =>
-          tryRoute(gl, k, order.head.child, child).getOrElse(gl)
+          tryRoute(gl, k, order, child).getOrElse(gl)
         case _ => gl
       }
   }
@@ -583,8 +634,22 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
     case o => o
   }
 
-  private def tryRoute(gl: LogicalPlan, k: Int, sortExpr: Expression,
+  private def tryRoute(gl: LogicalPlan, k: Int, order: Seq[SortOrder],
                        child: LogicalPlan): Option[LogicalPlan] = {
+    val sortExpr = order.head.child
+    // ONLY Project/Filter may sit between the Sort and the scanned
+    // relation (review r18-9): an interposed Limit/Sample/Join/Aggregate
+    // changes which rows are ELIGIBLE before the top-k, and swapping the
+    // scan for a truncating candidate leaf would silently answer the
+    // global top-k instead of the top-k of the restricted input.
+    def pfOnly(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case Project(_, c) => pfOnly(c)
+      case Filter(_, c) => pfOnly(c)
+      case a: SubqueryAlias => pfOnly(a.child)
+      case _ => false
+    }
+    if (!pfOnly(child)) return None
     // exactly one parquet relation under the sort, with a registered index
     val rels = child.collect { case lr: LogicalRelation => lr }
     if (rels.size != 1) return None
@@ -606,10 +671,42 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
           aliases.get(ar.exprId).map(resolve(_, depth + 1)).getOrElse(ar)
         case other => other
       }
+      // the candidate leaves truncate to k (or k*refine) rows with ties
+      // broken by id ASC, and they emit only NON-NULL-vector rows, so the
+      // routed plan is exact only when (review r18-9):
+      //  - any secondary sort keys are exactly (id ASC) — a DESC or
+      //    foreign secondary key could pick different rows among ties at
+      //    the kth-distance boundary than the truncated candidate set
+      //    retained;
+      //  - null vectors provably cannot reach the sort's top under ASC
+      //    NULLS FIRST: footer stats count zero null vectors (the
+      //    registration records this), the sort asks NULLS LAST, the
+      //    column is non-nullable, or a conjunct filters IsNotNull(vec).
+      def secondaryOk: Boolean = familyIdColName(r) match {
+        // the IVF leaf swap truncates nothing — the Sort above sees every
+        // probed row, so any secondary keys keep their exact semantics
+        case None => true
+        case Some(idc) => order.tail.forall(so =>
+          so.direction == Ascending && (so.child match {
+            case ar: AttributeReference => ar.name == idc
+            case _ => false
+          }))
+      }
+      def nullSafeOk(vecAttr: AttributeReference): Boolean =
+        r.vecNulls.contains(0L) ||
+          order.head.nullOrdering == NullsLast ||
+          !vecAttr.nullable ||
+          child.collect { case Filter(c, _) => splitConj(c) }.flatten
+            .exists {
+              case IsNotNull(a: AttributeReference) =>
+                a.semanticEquals(vecAttr)
+              case _ => false
+            }
       matchDist(resolve(sortExpr)) match {
         case Some((metric, vecAttr, qvec))
             if metric == familyMetric(r) && r.rows > 0 &&
-              vecAttr.name == r.vecCol && lr.outputSet.contains(vecAttr) =>
+              vecAttr.name == r.vecCol && lr.outputSet.contains(vecAttr) &&
+              secondaryOk && nullSafeOk(vecAttr) =>
           r.family match {
             case ivf: AnnRouting.IvfFamily if shouldRoute(child, r, ivf, k) =>
               buildRouted(gl, lr, ivf, qvec)
@@ -638,17 +735,17 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
               buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
                 (df, n) => graft.vector.Quantize.coarseIds(
                   df, qf.qCol, qf.idCol, qf.model, qvec, n),
-                k, child.collect { case f: Filter => f })
+                k, child.collect { case f: Filter => f }, qf.indexPlan)
             case qf: AnnRouting.Quant4Family =>
               buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
                 (df, n) => graft.vector.Quantize.coarseIds4(
                   df, qf.qCol, qf.idCol, qf.model, qvec, n),
-                k, child.collect { case f: Filter => f })
+                k, child.collect { case f: Filter => f }, qf.indexPlan)
             case qf: AnnRouting.PqFamily =>
               buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
                 (df, n) => graft.vector.Quantize.coarseIdsPq(
                   df, qf.qCol, qf.idCol, qf.model, qvec, n),
-                k, child.collect { case f: Filter => f })
+                k, child.collect { case f: Filter => f }, qf.indexPlan)
             case qf: AnnRouting.BinaryFamily =>
               buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
                 (df, n) => qf.rCol match {
@@ -657,7 +754,7 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                   case None => graft.vector.Quantize.coarseIdsBinary(
                     df, qf.bCol, qf.idCol, qf.model, qvec, n)
                 },
-                k, child.collect { case f: Filter => f })
+                k, child.collect { case f: Filter => f }, qf.indexPlan)
             // composite IVF-ADC (r16): the probe-pruned per-list ADC
             // screen — consumed filters ride inside it, so its survivors
             // come from the filtered corpus like the flat families'
@@ -665,12 +762,31 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
               buildQuantRouted(gl, lr, r, qf.idCol, qf.refine,
                 (df, n) => Ivf.coarseIdsPq(df, qf.model, qf.pq, qf.idCol,
                   qvec, qf.nprobe, n, qf.metric),
-                k, child.collect { case f: Filter => f })
+                k, child.collect { case f: Filter => f }, qf.indexPlan)
             case _ => None // IVF whose bypass gate chose the fullscan
           }
         case _ => None
       }
     }
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** The id column a family's candidate leaf tie-breaks on (None for the
+    * IVF leaf swap, which truncates nothing — but the uniform secondary-
+    * key gate keeps the exactness argument one sentence). */
+  private def familyIdColName(r: Registered): Option[String] = r.family match {
+    case g: AnnRouting.GraphFamily => Some(g.idCol)
+    case qg: AnnRouting.QGraphFamily => Some(qg.idCol)
+    case qf: AnnRouting.QuantFamily => Some(qf.idCol)
+    case qf: AnnRouting.Quant4Family => Some(qf.idCol)
+    case qf: AnnRouting.PqFamily => Some(qf.idCol)
+    case qf: AnnRouting.BinaryFamily => Some(qf.idCol)
+    case qf: AnnRouting.IvfPqFamily => Some(qf.idCol)
+    case _: AnnRouting.IvfFamily => None
   }
 
   private def familyMetric(r: Registered): Knn.Metric = r.family match {
@@ -1064,14 +1180,22 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
                                coarse: (org.apache.spark.sql.DataFrame, Int) =>
                                  org.apache.spark.sql.DataFrame,
                                k: Int,
-                               filters: Seq[Filter]): Option[LogicalPlan] = {
+                               filters: Seq[Filter],
+                               cachedPlan: LogicalPlan): Option[LogicalPlan] = {
     val screenCond = if (filters.isEmpty) None else {
       consumableCond(filters, lr) match {
         case Some(c) => Some(c)
         case None => return None
       }
     }
-    val qdf = try session.read.parquet(r.indexPath)
+    // the index plan was analyzed at registration — plan time touches no
+    // storage; fresh exprIds per injection (the IvfFamily pattern)
+    val fresh = cachedPlan match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case pl => pl
+    }
+    val qdf = try org.apache.spark.sql.graftbridge.Bridge.ofRows(session, fresh)
       catch { case _: Exception => return None }
     val cols = qdf.columns.toSet
     if (!lr.output.forall(a => cols.contains(a.name))) return None
@@ -1082,7 +1206,10 @@ class AnnRoutingRule(session: SparkSession) extends Rule[LogicalPlan] {
       .map(c => qdf.filter(org.apache.spark.sql.functions.expr(c.sql)))
       .getOrElse(qdf)
     catch { case _: Exception => return None }
-    val survivors = qdf.join(coarse(screenBase, k * refine), Seq(idCol))
+    // k * refine in LONG: the Int product wraps for bulk-scale k and a
+    // negative keep silently empties the screen (review r18-9)
+    val keep = math.min(k.toLong * refine, Int.MaxValue.toLong).toInt
+    val survivors = qdf.join(coarse(screenBase, keep), Seq(idCol))
     val plan = survivors.queryExecution.analyzed
     val byName = plan.output.map(a => a.name -> a).toMap
     val mapped = Project(

@@ -172,17 +172,15 @@ final case class GraphCandidatesExec(node: GraphCandidates)
         // leaving them to the ContextCleaner (review r10-2)
         finally allowedB.foreach(_.destroy())
     }
-    val byName = rows.map { case (id, _, vec) =>
-      Map[String, Any](node.idName -> id, node.vecName -> vec)
-    }
-    val schema = node.output.map(_.dataType).toArray
+    // direct projection by column name — no per-row Map indirection
+    // (review r18-9): up to k·refine rows each allocated a Map + closure
+    // only to be matched back out by the two known keys
     val names = node.output.map(_.name)
-    val data = byName.map { m =>
+    val data = rows.map { case (id, _, vec) =>
       InternalRow.fromSeq(names.map {
-        case n if n == node.idName => m(node.idName)
+        case n if n == node.idName => id
         case n if n == node.vecName =>
-          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-            m(node.vecName).asInstanceOf[Array[Float]])
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vec)
         // unreferenced base columns (the route refuses otherwise): null
         case _ => null
       })

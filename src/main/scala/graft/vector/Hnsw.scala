@@ -874,10 +874,15 @@ object Hnsw {
     * kth-best once k hits are held (they can never re-enter — the kth best
     * only improves), stop when none remain. `probeFn` runs one probe round
     * over a pid set and returns its (id, dist, vec) candidates. */
+  // k >= 1 at the schedule head (review r18-9): k = 0 reached
+  // bestK.last on an empty Seq (and cands(k-1) = cands(-1) in the coarse
+  // screen) — crash instead of an empty result; SQL LIMIT 0 never gets
+  // here only because OptimizeLimitZero removes the plan first.
   private def routedSchedule(spark: SparkSession, indexPath: String,
                              query: Array[Float], k: Int, eps: Double,
                              probeFn: Set[Int] => Array[(Long, Double, Array[Float])])
       : (Array[(Long, Double, Array[Float])], Int) = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
     val (metric, rts) = routes(spark, indexPath)
     val boundQ =
       if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
@@ -1661,11 +1666,17 @@ object Hnsw {
     require(graft.index.SecondaryIndex.manifestVersions(fsQ, path).isEmpty,
       s"$path is manifest-managed: use compactQuantized, not a rebuild " +
         "at the base path (readers resolve through the manifest)")
+    // sweep stale sidecars BEFORE the new graph lands (the
+    // buildIndexClustered crash-ordering contract, review r18-9: a crash
+    // AFTER the graph write but before a post-write delete would pair
+    // the NEW graph with the OLD build's layer rows — hasHierarchy still
+    // true, every hier walk stale; old _qerr rows would likewise inflate
+    // the new model's prune slack). Delete-first leaves every crash
+    // interleaving either old-consistent or loudly sidecar-less.
+    fsQ.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
+    fsQ.delete(new org.apache.hadoop.fs.Path(qerrPath(path)), true)
     val out = buildQuantizedTo(df, vecCol, idCol, path, routePath(path),
       qmodelPath(path), p, metric)
-    // sweep a prior hierarchy sidecar — stale against the new build
-    // (same reasoning as buildIndexClustered's sweep)
-    fsQ.delete(new org.apache.hadoop.fs.Path(layersPath(path)), true)
     invalidateQuantized(path)
     graft.plans.AnnRouting.onIndexMutated(df.sparkSession, path)
     out
@@ -1884,8 +1895,11 @@ object Hnsw {
       if (hier) Some(loadLayers(spark, indexPath, graph.getNumPartitions))
       else None
     val f = allowed.getOrElse((_: Long) => true)
+    require(k >= 1, s"top-k needs k >= 1, got $k")
     val qB = spark.sparkContext.broadcast((qm, bq, f))
-    val keep = k * refine
+    // LONG product: Int k*refine wraps for bulk-scale k and a negative
+    // keep silently empties the screen (review r18-9)
+    val keep = math.min(k.toLong * refine, Int.MaxValue.toLong).toInt
     val efEff = ef
     val hmin = if (hierMin >= 0) hierMin else hierMinRows(spark)
     // the shared per-partition code-space walk; `lt` carries the layer

@@ -906,4 +906,105 @@ class AnnRoutingSpec extends AnyFunSuite {
       SparkT.spark.conf.unset("spark.graft.knnJoin.unindexedStrict")
     }
   }
+
+  test("semantics-changing operators between Sort and scan refuse the " +
+      "route; hostile sort shapes refuse too (r18 review)") {
+    val rd = SparkT.spark.read.parquet(baseDir)
+    import graft.vector.distances
+    val d = distances.l2Dist(col("embedding"), typedLit(query))
+    // inner limit restricts ELIGIBLE rows before the top-k: routing
+    // through a truncating leaf would answer the GLOBAL top-10
+    val innerLimited = rd.orderBy(col("vec_id")).limit(40)
+      .orderBy(d.asc).limit(10).select(col("vec_id"))
+    assert(scanPaths(innerLimited).exists(_.contains("base")),
+      "inner limit must refuse the route")
+    val got = innerLimited.as[Long].collect().toSet
+    val want = vectors.sortBy(_._1).take(40)
+      .map { case (id, v, _) => (l2(v, query), id) }
+      .sorted.take(10).map(_._2).toSet
+    assert(got === want)
+    // the IVF leaf swap truncates nothing: ANY secondary keys keep exact
+    // semantics through the Sort, so even a DESC tiebreak routes (and at
+    // nprobe = nlist stays exact)
+    val descTie = rd.orderBy(d.asc, col("vec_id").desc).limit(10)
+      .select(col("vec_id"))
+    assert(scanPaths(descTie).exists(_.contains("idx")))
+    assert(descTie.as[Long].collect().toSet === exactTop10.toSet)
+    // a TRUNCATING family (clustered graph) must refuse a DESC secondary
+    // -- ties at the kth-distance boundary could resolve differently than
+    // the k-row candidate set retained -- while (id ASC), the leaf's own
+    // tiebreak, still routes
+    val tmpG = java.nio.file.Files.createTempDirectory("graft-anntie")
+    val gb = tmpG.resolve("gb").toString
+    val gi = tmpG.resolve("gi").toString
+    Writer.write(vectors.toDF("vec_id", "embedding", "label"), gb,
+      sortBy = Seq("vec_id"))
+    graft.vector.Hnsw.buildIndexClustered(
+      SparkT.spark.read.parquet(gb), "embedding", "vec_id", gi,
+      graft.vector.Hnsw.Params(m = 4, efC = 16, partitions = 2))
+    AnnRouting.registerGraph(SparkT.spark, gb, gi, "embedding", "vec_id")
+    try {
+      val grd = SparkT.spark.read.parquet(gb)
+      val gD = distances.l2Dist(col("embedding"), typedLit(query))
+      val gDesc = grd.orderBy(gD.asc, col("vec_id").desc).limit(10)
+        .select(col("vec_id"))
+      assert(scanPaths(gDesc).exists(_.contains("gb")),
+        "graph family must refuse a DESC secondary tiebreak")
+      val gAsc = grd.orderBy(gD.asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      assert(scanPaths(gAsc).isEmpty, // candidates leaf: no parquet scan
+        "the (dist, id ASC) shape must still route on the graph family")
+      assert(gAsc.as[Long].collect().toSeq === exactTop10)
+    } finally AnnRouting.unregister(SparkT.spark, gb)
+  }
+
+  test("a table holding NULL vectors refuses the route (exact NULLS FIRST " +
+      "semantics); IsNotNull restores it (r18 review)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annnull")
+    val base = tmp.resolve("b").toString
+    val idx = tmp.resolve("i").toString
+    val withNull = vectors.map { case (id, v, l) => (id, v, l) }
+      .toDF("vec_id", "embedding", "label")
+      .unionByName(Seq((9999L, null.asInstanceOf[Array[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    Writer.write(withNull, base, sortBy = Seq("vec_id"))
+    val rd0 = SparkT.spark.read.parquet(base)
+    val m = Ivf.train(rd0.filter(col("embedding").isNotNull), "embedding",
+      nlist = 6)
+    Ivf.buildIndex(rd0.filter(col("embedding").isNotNull), "embedding", m, idx)
+    AnnRouting.register(SparkT.spark, base, idx, m,
+      vecCol = "embedding", nprobe = m.nlist)
+    try {
+      import graft.vector.distances
+      val d = distances.l2Dist(col("embedding"), typedLit(query))
+      val rd = SparkT.spark.read.parquet(base)
+      // bare sort: ASC NULLS FIRST puts the null-vec row on top of the
+      // exact result -- the routed leaf could never emit it, so the
+      // route must stand down
+      val bare = rd.orderBy(d.asc).limit(3).select(col("vec_id"))
+      assert(scanPaths(bare).exists(_.contains("/b")),
+        "null vectors present: must refuse the route")
+      assert(bare.as[Long].collect().contains(9999L),
+        "the exact plan surfaces the null-distance row first")
+      // NULLS LAST pushes null distances to the bottom -- the routed
+      // plan's candidate set is then exact, so the route is restored
+      val nl = rd.orderBy(d.asc_nulls_last).limit(10).select(col("vec_id"))
+      assert(scanPaths(nl).exists(_.contains("/i")),
+        "NULLS LAST must restore routing")
+      assert(nl.as[Long].collect().toSeq === exactTop10)
+    } finally AnnRouting.unregister(SparkT.spark, base)
+  }
+
+  test("k = 0 routed searches refuse loudly instead of crashing (r18 review)") {
+    // build a tiny clustered graph to reach routedSchedule
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annk0")
+    val g = tmp.resolve("g").toString
+    graft.vector.Hnsw.buildIndexClustered(
+      vectors.toDF("vec_id", "embedding", "label"), "embedding", "vec_id",
+      g, graft.vector.Hnsw.Params(m = 4, efC = 16, partitions = 2))
+    val e = intercept[IllegalArgumentException](
+      graft.vector.Hnsw.searchRouted(SparkT.spark, g, "vec_id", query,
+        k = 0, ef = 16))
+    assert(e.getMessage.contains("k >= 1"))
+  }
 }
