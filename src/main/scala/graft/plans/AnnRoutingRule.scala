@@ -178,8 +178,7 @@ object AnnRouting {
                ef: Int = 64): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     // resolve: a compact-managed index's live data sits in the committed
     // generation dir — register must analyze THAT listing
     val idxPlan = spark.read.parquet(
@@ -205,8 +204,7 @@ object AnnRouting {
                     hierarchy: Boolean = false): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
     require(!hierarchy || graft.vector.Hnsw.hasHierarchy(spark, indexPath),
       s"registerGraph(hierarchy = true): $indexPath has no layer sidecar " +
@@ -237,8 +235,7 @@ object AnnRouting {
                              hierarchy: Boolean = false): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     val metric = graft.vector.Hnsw.indexMetric(spark, indexPath)
     require(!hierarchy || graft.vector.Hnsw.hasHierarchy(spark, indexPath),
       s"registerGraphQuantized(hierarchy = true): $indexPath has no layer " +
@@ -264,8 +261,7 @@ object AnnRouting {
                     refine: Int = 8): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, quantPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     putUnlessMutated(spark, quantPath, epoch0, q,
       Registered(q, quantPath, vecCol, rows,
         QuantFamily(model, qCol, idCol, refine,
@@ -282,8 +278,7 @@ object AnnRouting {
                      refine: Int = 12): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, quantPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     putUnlessMutated(spark, quantPath, epoch0, q,
       Registered(q, quantPath, vecCol, rows,
         Quant4Family(model, qCol, idCol, refine,
@@ -306,8 +301,7 @@ object AnnRouting {
                  refine: Int = 32): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, quantPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     putUnlessMutated(spark, quantPath, epoch0, q,
       Registered(q, quantPath, vecCol, rows,
         PqFamily(model, qCol, idCol, refine,
@@ -324,8 +318,7 @@ object AnnRouting {
                      rCol: Option[String] = None): Unit = {
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, binPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     putUnlessMutated(spark, binPath, epoch0, q,
       Registered(q, binPath, vecCol, rows,
         BinaryFamily(model, bCol, idCol, refine,
@@ -357,8 +350,7 @@ object AnnRouting {
     Ivf.checkPqMetric(spark, indexPath, metric)
     val q = qualify(spark, basePath)
     val epoch0 = epochOf(spark, indexPath)
-    val rows = graft.stats.Stats.rowCount(basePath,
-      spark.sparkContext.hadoopConfiguration)
+    val rows = -1L // filled by putUnlessMutated's single footer sweep
     putUnlessMutated(spark, indexPath, epoch0, q,
       Registered(q, indexPath, vecCol, rows,
         IvfPqFamily(model, pq, idCol, nprobe, refine, metric,
@@ -543,12 +535,16 @@ object AnnRouting {
                                epoch0: Long, base: String,
                                entry: Registered): Unit = {
     val qIdx = qualify(spark, indexPath)
-    // footer-stats null count of the vec column (metadata-only): routed
+    // ONE footer sweep fills BOTH the row count and the vec column's
+    // null count (metadata-only; the null count gates routing — routed
     // plans emit only non-null-vector rows, while the exact plan's ASC
-    // NULLS FIRST would surface null-distance rows at the top — routing
-    // is gated on this being provably zero (review r18-9)
-    val enriched = entry.copy(
-      vecNulls = vecNullCount(spark, entry.basePath, entry.vecCol))
+    // NULLS FIRST would surface null-distance rows at the top, review
+    // r18-9). The register sites no longer run their own rowCount sweep:
+    // at a million-file table each sweep is a full driver-side footer
+    // pass, so registration pays it exactly once.
+    val (rows, vecNulls) = baseFooterStats(spark, entry.basePath,
+      entry.vecCol)
+    val enriched = entry.copy(rows = rows, vecNulls = vecNulls)
     reg.synchronized {
       if (epochs.getOrElse(qIdx, 0L) != epoch0) return // mutated mid-snapshot
       selCache.keys.filter(_._1 == base).foreach(selCache.remove) // refresh
@@ -556,26 +552,29 @@ object AnnRouting {
     }
   }
 
-  /** Null-vector rows of the base table's vec column from footer stats
-    * alone: the list element path's null_count upper-bounds null rows
-    * (definition levels count null LISTS there too), so 0 proves no null
-    * vectors. None = stats absent/unreadable (treated as may-have-nulls
-    * — routing then needs NULLS LAST or an IsNotNull filter). */
-  private def vecNullCount(spark: SparkSession, basePath: String,
-                           vecCol: String): Option[Long] =
+  /** (row count, null-vector count) of the base table from ONE footer
+    * sweep. The vec column's list-element-path null_count upper-bounds
+    * null rows (definition levels count null LISTS there too), so
+    * Some(0) proves no null vectors; None = stats absent/unreadable
+    * (treated as may-have-nulls — routing then needs NULLS LAST or an
+    * IsNotNull filter). */
+  private def baseFooterStats(spark: SparkSession, basePath: String,
+                              vecCol: String): (Long, Option[Long]) =
     try {
       val per = graft.stats.Stats.fileStats(basePath,
         spark.sparkContext.hadoopConfiguration)
-      if (per.isEmpty) None
+      val rows = per.map(_.rows).sum
+      if (per.isEmpty) (rows, None)
       else {
         val counts = per.map(_.cols.collectFirst {
           case (name, cs)
               if name == vecCol || name.startsWith(vecCol + ".") =>
             cs.nulls
         }.flatten)
-        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+        (rows,
+          if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum))
       }
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => (0L, None) }
 
   private[plans] def lookup(qualifiedPath: String): Option[Registered] =
     reg.get(qualifiedPath)
