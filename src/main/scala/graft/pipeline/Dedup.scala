@@ -986,12 +986,15 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"embedCandidates: $vecCol is $other, need array<float>")
     }
-    df.select(col(vecCol)).limit(1).collect().headOption.foreach { r =>
-      val len = r.getSeq[Float](0).length
-      require(len == dim,
-        s"embedCandidates: dim=$dim but $vecCol rows are $len-wide — " +
-          "banding a prefix would silently miss candidates")
-    }
+    // Peek a NON-NULL row: a leading NULL vector would NPE here with a
+    // useless message instead of the loud dim mismatch (ADVICE r18)
+    df.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(1).collect().headOption.foreach { r =>
+        val len = r.getSeq[Float](0).length
+        require(len == dim,
+          s"embedCandidates: dim=$dim but $vecCol rows are $len-wide — " +
+            "banding a prefix would silently miss candidates")
+      }
     val hpB = df.sparkSession.sparkContext.broadcast(
       hyperplanes(dim, planes, seed))
     // Row-encoded mapPartitions so the id keeps its ORIGINAL type (string

@@ -1179,6 +1179,123 @@ object VectorQueries {
       },
       Some(oracleFor(s"1.0 - $cosSim"))),
 
+    // K6 INNER PRODUCT on the 4-bit family (r19 — IP's routed gate
+    // evidence now matches cosine's four): packed-nibble codes of the
+    // MIPS→L2 augmented companion, routed on the `1 - ip_score` sort key,
+    // exact 1−dot rescore. Shares the IP fullscan oracle.
+    "q_knn_quant4_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quant4IpIndex(s, d)
+        graft.plans.AnnRouting.registerQuant4(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", qCol = "q4vec",
+          refine = 24)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
+    // K6 INNER PRODUCT on the flat-PQ family (r19): ADC tables from the
+    // [q, 0]-bound query over augmented-space codebooks — augmented-L2
+    // ADC order tracks IP order exactly; exact 1−dot rescore. refine =
+    // 128 for the same reason as q_knn_ivf_pq_ip: the augmented
+    // coordinate absorbs the norm spread, so coarse ranks of the true
+    // top-10 sit deeper than the L2 family's.
+    "q_knn_pq_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = pqIpIndex(s, d)
+        graft.plans.AnnRouting.registerPq(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", qCol = "pqvec",
+          refine = 128)
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
+    // K6 INNER PRODUCT on the residual-binary family (r19): sign bits +
+    // magnitude factors of the augmented companion, corrected-Hamming
+    // screen in the augmented space, exact 1−dot rescore.
+    "q_knn_binary_res_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = binResIpIndex(s, d)
+        graft.plans.AnnRouting.registerBinary(s, path, path, m,
+          vecCol = "embedding", idCol = "vec_id", bCol = "bvec",
+          refine = 40, rCol = Some("bres"))
+        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
+    // K1 INNER PRODUCT on the plain graph family (r19 — the one hole the
+    // r18 metric matrix left: the reference's headline HNSW serves IP
+    // natively, knn/knn.h:32-37, knn/knn.cpp:105-135 hands hnswlib an
+    // InnerProductSpace): sub-graphs build and walk the raw 1−dot kernel
+    // (hnswlib's shape); ef >= sub-graph size is an exhaustive walk, so
+    // the gate shares the IP fullscan oracle.
+    "q_knn_graph_ip" -> QueryDef(
+      (s, d) => {
+        val path = hnswIpIndex(s, d)
+        Hnsw.search(s, path, "vec_id", queryVec(s, d), k = 10, ef = 1 << 20,
+            metric = Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
+    // K4 INNER PRODUCT through the ROUTED graph (r19): the sidecar stores
+    // augmented-space centroids/radii + the build's M, the schedule
+    // converts the augmented-L2 triangle bound into an exact 1−dot bound
+    // (Ivf.ipLowerBound), probed sub-graphs walk raw 1−dot, and the
+    // automatic route rewrites the plain `1 - ip_score` top-k. Exact at
+    // full ef — shares the IP fullscan oracle.
+    "q_knn_graph_routed_ip" -> QueryDef(
+      (s, d) => {
+        val path = hnswcIpIndex(s, d)
+        graft.plans.AnnRouting.registerGraph(s, s"$d/embeddings.parquet",
+          path, vecCol = "embedding", idCol = "vec_id", ef = 1 << 20)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
+    // K6 ∘ K4 INNER PRODUCT on the QUANTIZED graph (r19): int8 codes,
+    // centroids, radii and the error slack all live in one augmented-L2
+    // geometry (the cosine construction verbatim), the code walk screens
+    // k·refine survivors, and the exact 1−dot kernel rescores raw floats.
+    "q_knn_graph_quant_ip" -> QueryDef(
+      (s, d) => {
+        val path = hnswqIpIndex(s, d)
+        val (df, _) = Hnsw.searchQuantized(s, path, t(s, d, "embeddings"),
+          "embedding", "vec_id", queryVec(s, d), k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
+    // K4 INNER PRODUCT on plain IVF (r19): k-means in the augmented space
+    // (Ivf.train metric=IP — raw 1−dot k-means is degenerate, every point
+    // gravitates to the largest-norm centroid), probe order by
+    // augmented-L2 with the [q, 0]-bound query, nprobe = nlist ⇒ exact.
+    // Routes automatically on the `1 - ip_score` sort key.
+    "q_knn_ivf_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfIpRouteIndex(s, d)
+        graft.plans.AnnRouting.register(s, s"$d/embeddings.parquet", path, m,
+          vecCol = "embedding", nprobe = m.nlist)
+        Knn.knn(t(s, d, "embeddings"), "embedding", "vec_id",
+            queryVec(s, d), 10, Knn.IP)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(
+        s"1.0 - list_inner_product(embedding::DOUBLE[], $qSub)"))),
+
     // I9+K4 on the GRAPH family (r10 VERDICT #1 — the reference's RT flow
     // rebuilds per-segment KNN indexes incrementally, knn/knn.cpp:638-786,
     // knn/knn.h:135-144): the index is built clustered on ~90% of the
@@ -1992,6 +2109,110 @@ object VectorQueries {
           "embedding", "bvec", "bres", m)
         graft.tables.Writer.write(bdf, path, sortBy = Seq("vec_id"))
       }
+      (m, path)
+    })
+
+  // ---- INNER-PRODUCT fixtures (r19): every index family's codes /
+  // centroids / radii live in the MIPS→L2 augmented space; raw vectors
+  // and walk distances stay 1−dot (metric matrix completion vs
+  // knn/knn.h:32-37 — hnswlib serves IP natively, knn/knn.cpp:105-135).
+
+  // IP 4-bit table: packed nibbles of the augmented companion.
+  private val quant4IpCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.Q4Model, String)]
+
+  private def quant4IpIndex(s: SparkSession, d: String): (Quantize.Q4Model, String) =
+    quant4IpCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/quant4_ip_embeddings"
+      val m = Quantize.train4(t(s, d, "embeddings"), "embedding", Knn.IP)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantize4Table(t(s, d, "embeddings"), "embedding",
+          "q4vec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // IP flat-PQ table: codebooks + codes in the augmented space.
+  private val pqIpCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.PqModel, String)]
+
+  private def pqIpIndex(s: SparkSession, d: String): (Quantize.PqModel, String) =
+    pqIpCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/pq_ip_embeddings"
+      // augmented dim 64 + 1 = 65 = 5·13 → m = 5 (subvector count must
+      // divide dim + 1, the ivfPqIpIndex rationale)
+      val m = Quantize.trainPq(t(s, d, "embeddings"), "embedding", "vec_id",
+        m = 5, metric = Knn.IP)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val qdf = Quantize.quantizePqTable(t(s, d, "embeddings"), "embedding",
+          "pqvec", m)
+        graft.tables.Writer.write(qdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // IP residual-factor binary table: bits + factors in the augmented space.
+  private val binResIpCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Quantize.BModel, String)]
+
+  private def binResIpIndex(s: SparkSession, d: String): (Quantize.BModel, String) =
+    binResIpCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/binr_ip_embeddings"
+      val m = Quantize.trainBinary(t(s, d, "embeddings"), "embedding",
+        Knn.IP)
+      if (!new java.io.File(path, "_SUCCESS").isFile) {
+        val bdf = Quantize.binarizeTableResidual(t(s, d, "embeddings"),
+          "embedding", "bvec", "bres", m)
+        graft.tables.Writer.write(bdf, path, sortBy = Seq("vec_id"))
+      }
+      (m, path)
+    })
+
+  // IP plain (id-mod) NSW graph: sub-graphs built and walked under the
+  // raw 1−dot kernel — hnswlib's InnerProductSpace shape.
+  private def hnswIpIndex(s: SparkSession, d: String): String =
+    hnswCache.getOrElseUpdate(d + "#ip", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnsw_embeddings_ip"
+      if (!new java.io.File(path, "_SUCCESS").isFile)
+        Hnsw.buildIndex(t(s, d, "embeddings"), "embedding", "vec_id", path,
+          metric = Knn.IP)
+      path
+    })
+
+  // IP clustered graph: routing sidecar (centroids/radii/M) in the
+  // augmented space, sub-graphs walk raw 1−dot.
+  private def hnswcIpIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#ipc", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_embeddings_ip"
+      if (!new java.io.File(Hnsw.routePath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding", "vec_id",
+          path, Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.IP)
+      path
+    })
+
+  // IP quantized clustered graph: int8 codes of the augmented companion.
+  private def hnswqIpIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quantip", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswq_embeddings_ip"
+      if (!new java.io.File(Hnsw.qmodelPath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClusteredQuantized(t(s, d, "embeddings"), "embedding",
+          "vec_id", path, Hnsw.Params(m = 8, efC = 64, partitions = 8),
+          Knn.IP)
+      path
+    })
+
+  // IP-metric IVF index for the automatic route: k-means in the augmented
+  // space (Ivf.train metric=IP), lists clustered over the raw rows.
+  private val ivfIpRouteCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Ivf.Model, String)]
+
+  private def ivfIpRouteIndex(s: SparkSession, d: String): (Ivf.Model, String) =
+    ivfIpRouteCache.getOrElseUpdate(d, {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings_ipr"
+      val m = Ivf.train(t(s, d, "embeddings"), "embedding", nlist = 16,
+        metric = Knn.IP)
+      Ivf.buildIndex(t(s, d, "embeddings"), "embedding", m, path)
       (m, path)
     })
 }

@@ -451,10 +451,71 @@ object Stats {
           if (per.isEmpty) (c, Double.NaN, Double.NaN)
           else (c, per.map(_._1).min, per.map(_._2).max)
         }
+        // Null counts use the FIRST leaf under the requested path (array
+        // columns live at `c.list.element`) — the same match
+        // AnnRouting.baseFooterStats applies, so a catalog answers the
+        // registration's null question identically to the footer sweep.
+        // -1L = unknown (any block missing isNumNullsSet poisons the file);
+        // consumers must treat a negative as "stats absent".
+        val nulls = colsB.value.map { c =>
+          val perBlock = blocks.map(_.getColumns.asScala.collectFirst {
+            case cc if cc.getPath.toDotString == c ||
+                cc.getPath.toDotString.startsWith(c + ".") =>
+              val st = cc.getStatistics
+              if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
+          }.getOrElse(-1L))
+          c -> (if (perBlock.exists(_ < 0L)) -1L else perBlock.sum)
+        }.toMap
         (p, nRows, stats.map { case (c, mn, _) => c -> mn }.toMap,
-          stats.map { case (c, _, mx) => c -> mx }.toMap)
+          stats.map { case (c, _, mx) => c -> mx }.toMap, nulls)
       }
-    rows.toDF("file", "rows", "col_min", "col_max")
+    rows.toDF("file", "rows", "col_min", "col_max", "col_nulls")
+  }
+
+  /** (row count, null count for `column` — Some(0) proves no nulls, None =
+    * stats absent → treat as may-have-nulls) for index REGISTRATION.
+    * Catalog-first (zero footer IO when one is registered — VERDICT r18
+    * #1), then a driver footer sweep under `driverMaxFiles` files, then
+    * the DISTRIBUTED [[buildCatalog]] read (the million-file path: a
+    * serial driver footer pass there is an hours-long register call).
+    * IO failures THROW — the old silent (0, None) left a permanently dead
+    * ANN route with no signal (ADVICE r18); callers log-and-degrade. */
+  def rowsAndNulls(spark: SparkSession, path: String, column: String,
+                   driverMaxFiles: Int = 64): (Long, Option[Long]) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fromCatalog(cat: DataFrame): (Long, Option[Long]) = {
+      val n = element_at(col("col_nulls"), column)
+      val r = cat.agg(
+        coalesce(sum(col("rows")), lit(0L)),
+        sum(when(n >= 0L, n)),
+        count(when(n.isNull || n < 0L, lit(1))),
+        count(lit(1))).head
+      val nulls =
+        if (r.getLong(3) == 0L || r.getLong(2) > 0L) None
+        else Some(r.getLong(1))
+      (r.getLong(0), nulls)
+    }
+    catalogFor(path, hconf) match {
+      case Some(cat) if cat.columns.contains("col_nulls") => fromCatalog(cat)
+      case Some(cat) => // pre-r19 catalog without null counts: rows only
+        (cat.agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0), None)
+      case None =>
+        if (parquetFiles(path, hconf).size <= driverMaxFiles) {
+          val per = fileStatsWith(path, hconf)
+          val rows = per.map(_.rows).sum
+          if (per.isEmpty) (rows, None)
+          else {
+            val counts = per.map(_.cols.collectFirst {
+              case (name, cs)
+                  if name == column || name.startsWith(column + ".") =>
+                cs.nulls
+            }.flatten)
+            (rows,
+              if (counts.exists(_.isEmpty)) None
+              else Some(counts.flatten.sum))
+          }
+        } else fromCatalog(buildCatalog(spark, path, Seq(column)))
+    }
   }
 
   /** Consult the catalog: files that may contain rows with col in [lo, hi].

@@ -41,7 +41,12 @@ object JsonFlatten {
     // withColumn fold stacks one Project per field, and analysis cost
     // over the growing plan is O(fields^2) for wide JSON schemas
     val parsed = df.withColumn(parsedCol, from_json(col(jsonCol), schema))
-    parsed.select(df.columns.map(col) ++ schema.fields.map(f =>
+    // The old withColumn fold REPLACED a pre-existing column of the same
+    // name; a bare select would emit it twice (ambiguous downstream), so
+    // drop colliding originals first to keep the replace contract
+    val flatNames = schema.fields.map(f => flatColName(jsonCol, f.name)).toSet
+    val kept = df.columns.filterNot(flatNames.contains)
+    parsed.select(kept.map(col) ++ schema.fields.map(f =>
       col(parsedCol).getField(f.name).as(flatColName(jsonCol, f.name))): _*)
   }
 

@@ -360,15 +360,17 @@ object Hnsw {
   private def buildClusteredTo(df: DataFrame, vecCol: String, idCol: String,
                                graphDir: String, routeDir: String, p: Params,
                                metric: Knn.Metric): Ivf.Model = {
-    require(metric == Knn.L2 || metric == Knn.Cosine,
-      "routed graph indexes bound through L2 or cosine (IP over a " +
-        "normalized corpus IS cosine — build with Cosine)")
     // The routing bound lives in an L2 space: raw vectors for L2, the
     // unit-normalized companion for cosine (cosDist of a unit pair is half
-    // its squared L2 distance — same move as Ivf.searchAdaptiveCosine).
-    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    // its squared L2 distance — same move as Ivf.searchAdaptiveCosine),
+    // the MIPS→L2 augmented companion [v, √(M²−‖v‖²)] for IP (r19 —
+    // Bachrach et al. 2014; augmented-L2 order is exactly monotone in
+    // ⟨q,v⟩, so the triangle bound converts to an exact 1−dot bound).
+    val ipM2 = if (metric == Knn.IP) Ivf.maxSumsq(df, vecCol) else 0.0
+    val boundCol = if (metric == Knn.L2) vecCol else "__vbound"
     val base = if (metric == Knn.L2) df
-               else df.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+               else df.withColumn(boundCol,
+                 Quantize.boundSpaceCol(metric, col(vecCol), ipM2))
     val m = Ivf.train(base, boundCol, nlist = p.partitions, metric = Knn.L2)
     // persisted: the graph write and the radius aggregation are separate
     // actions, and the assignment (normalize + nearest-of-nlist per row)
@@ -377,9 +379,12 @@ object Hnsw {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // sub-graphs store and beam-search the RAW vectors under `metric`
+      // (for IP the walk's 1−dot values order exactly as augmented L2,
+      // and hnswlib builds its IP graphs over the raw ip distance too —
+      // knn/knn.cpp:105-135 hands hnswlib an InnerProductSpace)
       writeGraph(assigned, col("ivf_cluster"), vecCol, idCol, graphDir, p, metric)
-      writeRouteSidecar(assigned, boundCol, m, routeDir,
-        if (metric == Knn.L2) "l2" else "cosine")
+      writeRouteSidecar(assigned, boundCol, m, routeDir, metric,
+        if (metric == Knn.IP) Some(math.sqrt(ipM2)) else None)
       m
     } finally assigned.unpersist(false)
   }
@@ -388,7 +393,8 @@ object Hnsw {
     * builds: per-pid (centroid, max bound-space L2 radius, metric). */
   private def writeRouteSidecar(assigned: DataFrame, boundCol: String,
                                 m: Ivf.Model, routeDir: String,
-                                metricName: String): Unit = {
+                                metric: Knn.Metric,
+                                ipMaxNorm: Option[Double]): Unit = {
     val cents = typedLit(m.centroids.map(_.toSeq))
     val route = assigned
       .select(col("ivf_cluster").cast("int").as("pid"),
@@ -398,7 +404,11 @@ object Hnsw {
       .groupBy("pid").agg(max(col("d")).as("radius"))
       .withColumn("centroid",
         element_at(cents, col("pid") + 1).cast("array<float>"))
-      .withColumn("metric", lit(metricName))
+      .withColumn("metric", lit(metricName(metric)))
+      // the IP augmentation bound M rides every row (the graph family's
+      // metric marker — Ivf's ADC family stores its M the same way)
+      .withColumn("max_norm",
+        ipMaxNorm.map(lit(_)).getOrElse(lit(null)).cast("double"))
     graft.tables.Writer.write(route, routeDir, sortBy = Seq("pid"))
   }
 
@@ -407,7 +417,8 @@ object Hnsw {
     * sidecar row shape, next to [[writeRouteSidecar]]'s). */
   private def appendRouteRows(assigned: DataFrame, boundCol: String,
                               cents: Seq[Array[Float]], offset: Int,
-                              metric: Knn.Metric, routeDir: String): Unit = {
+                              metric: Knn.Metric, routeDir: String,
+                              ipMaxNorm: Option[Double]): Unit = {
     val centsLit = typedLit(cents.map(_.toSeq))
     val route = assigned
       .select((col("ivf_cluster").cast("int") + offset).as("pid"),
@@ -417,7 +428,11 @@ object Hnsw {
       .groupBy("pid").agg(max(col("d")).as("radius"))
       .withColumn("centroid",
         element_at(centsLit, col("pid") - offset + 1).cast("array<float>"))
-      .withColumn("metric", lit(if (metric == Knn.L2) "l2" else "cosine"))
+      .withColumn("metric", lit(metricName(metric)))
+      // appends carry the BUILD's M verbatim — a batch-local re-estimate
+      // would put the segment in a different augmented space
+      .withColumn("max_norm",
+        ipMaxNorm.map(lit(_)).getOrElse(lit(null)).cast("double"))
     route.write.mode("append").parquet(routeDir)
   }
 
@@ -481,7 +496,8 @@ object Hnsw {
                     indexPath: String, p: Params = Params()): Unit = {
     val spark = newRows.sparkSession
     val (graphDir, routeDir) = resolveDirs(spark, indexPath)
-    val (metric, rts) = routes(spark, indexPath)
+    val ri = routeInfo(spark, indexPath)
+    val (metric, rts) = (ri.metric, ri.rts)
     require(rts.nonEmpty,
       s"no route sidecar rows at $routeDir — appendSegment maintains a " +
         "buildIndexClustered index")
@@ -501,9 +517,16 @@ object Hnsw {
     val cents: Seq[Array[Float]] =
       rts.map(_._2.toSeq).distinct.map(_.toArray)
     val model = Ivf.Model(cents, Knn.L2)
-    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    // IP binds with the BUILD's stored M (routeInfo fails loudly on a
+    // lost marker) — a batch-local re-estimate would assign/bound the
+    // segment in a DIFFERENT augmented space than the existing pids'
+    val ipM2 = if (metric == Knn.IP) {
+      val mn = ri.ipMaxNorm.get; mn * mn
+    } else 0.0
+    val boundCol = if (metric == Knn.L2) vecCol else "__vbound"
     val base = if (metric == Knn.L2) newRows
-               else newRows.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+               else newRows.withColumn(boundCol,
+                 Quantize.boundSpaceCol(metric, col(vecCol), ipM2))
     val assigned = Ivf.assign(base, boundCol, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -523,7 +546,8 @@ object Hnsw {
       spark.createDataFrame(rowRdd, graphSchema)
         .write.mode("append").parquet(graphDir)
       // route rows for the new pids — same column order as the sidecar
-      appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir)
+      appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir,
+        ri.ipMaxNorm)
       // hierarchy follows ingest: extend the layers sidecar to the new
       // pids when the index has one (crash before this = flat fallback)
       if (hasHierarchy(spark, indexPath))
@@ -761,20 +785,28 @@ object Hnsw {
       .orderBy(col("dist").asc, col(idCol).asc).limit(k)
   }
 
-  // Memoized routing sidecars: metric + (pid, centroid, radius) per
-  // sub-graph — a few rows per index, read once per session.
-  private val routeCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Knn.Metric, Array[(Int, Array[Float], Double)])]
+  // Memoized routing sidecars: metric + IP augmentation bound M +
+  // (pid, centroid, radius) per sub-graph — a few rows per index, read
+  // once per session.
+  private final case class RouteInfo(metric: Knn.Metric,
+                                     ipMaxNorm: Option[Double],
+                                     rts: Array[(Int, Array[Float], Double)])
 
-  private def routes(spark: SparkSession,
-                     indexPath: String): (Knn.Metric, Array[(Int, Array[Float], Double)]) =
+  private val routeCache =
+    scala.collection.concurrent.TrieMap.empty[String, RouteInfo]
+
+  private def routeInfo(spark: SparkSession, indexPath: String): RouteInfo =
     routeCache.getOrElseUpdate(indexPath, {
       val raw = spark.read.parquet(resolveDirs(spark, indexPath)._2)
       // sidecars written before the metric column default to L2
       val withMetric = if (raw.columns.contains("metric")) raw
                        else raw.withColumn("metric", lit("l2"))
-      val rows = withMetric
-        .select(col("pid"), col("centroid"), col("radius"), col("metric"))
+      val withNorm = if (withMetric.columns.contains("max_norm")) withMetric
+                     else withMetric.withColumn("max_norm",
+                       lit(null).cast("double"))
+      val rows = withNorm
+        .select(col("pid"), col("centroid"), col("radius"), col("metric"),
+          col("max_norm"))
         .collect()
       // a mixed-metric sidecar is corrupt: collect() order is undefined, so
       // inferring from "the first row" would silently pick an arbitrary
@@ -785,12 +817,40 @@ object Hnsw {
           s"mixed metrics ${metrics.mkString(", ")}")
       val metric = metrics.headOption match {
         case Some("cosine") => Knn.Cosine
+        case Some("ip")     => Knn.IP
         case _              => Knn.L2
       }
-      (metric,
+      val norms = rows.filterNot(_.isNullAt(4)).map(_.getDouble(4)).distinct
+      require(norms.length <= 1,
+        s"corrupt route sidecar at ${routePath(indexPath)}: " +
+          s"mixed IP bounds M ${norms.mkString(", ")} — segment rows must " +
+          "carry the BUILD's M (an append that re-estimated M binds a " +
+          "different augmented space)")
+      // an IP sidecar that lost its M must fail LOUDLY before a route/
+      // append binds the wrong augmented space (the
+      // Ivf.requireStoredMaxNorm contract; M may legitimately be 0.0 for
+      // an all-zero corpus — null is the corrupt case, not 0)
+      if (metric == Knn.IP)
+        require(norms.length == 1,
+          s"route sidecar at ${routePath(indexPath)} is metric=ip but " +
+            "carries no augmentation bound max_norm — rebuild with " +
+            "buildIndexClustered (which writes it) or restore the sidecar")
+      RouteInfo(metric, norms.headOption,
         rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
           .sortBy(_._1))
     })
+
+  private def routes(spark: SparkSession, indexPath: String)
+      : (Knn.Metric, Array[(Int, Array[Float], Double)]) = {
+    val ri = routeInfo(spark, indexPath)
+    (ri.metric, ri.rts)
+  }
+
+  private def metricName(m: Knn.Metric): String = m match {
+    case Knn.L2     => "l2"
+    case Knn.Cosine => "cosine"
+    case Knn.IP     => "ip"
+  }
 
   /** ROUTED top-k over a [[buildIndexClustered]] index — the partitioned
     * analog of the reference's routed HNSW descent (knn/knn.cpp:455-537
@@ -883,14 +943,20 @@ object Hnsw {
                              probeFn: Set[Int] => Array[(Long, Double, Array[Float])])
       : (Array[(Long, Double, Array[Float])], Int) = {
     require(k >= 1, s"top-k needs k >= 1, got $k")
-    val (metric, rts) = routes(spark, indexPath)
-    val boundQ =
-      if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
+    val ri = routeInfo(spark, indexPath)
+    val (metric, rts) = (ri.metric, ri.rts)
+    val boundQ = Quantize.bindQuerySide(metric, query)
     val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, boundQ, r._2)).toMap
     val radius = rts.map(r => r._1 -> r._3).toMap
     val order = rts.map(_._1).sortBy(centDist)
+    // the walk's dist values are 1−dot for IP, so the prune converts the
+    // augmented-L2 triangle bound into a 1−dot bound (Ivf.ipLowerBound)
+    val qSumsq = query.map(x => x.toDouble * x).sum
+    val ipM2 = ri.ipMaxNorm.map(m => m * m).getOrElse(0.0)
     def bound(pid: Int): Double = metric match {
       case Knn.Cosine => Ivf.cosineLowerBound(centDist(pid), radius(pid), eps)
+      case Knn.IP =>
+        Ivf.ipLowerBound(centDist(pid), radius(pid), qSumsq, ipM2, eps)
       case _ => centDist(pid) - radius(pid)
     }
     var remaining: Seq[Int] = order.toSeq
@@ -973,7 +1039,7 @@ object Hnsw {
       : Array[(Int, Int, Long, Long)] = {
     val (metric, _) = routes(spark, indexPath)
     val qm = qmodel(spark, indexPath)
-    val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
+    val bq = Quantize.bindQuerySide(metric, query)
     val graph = loadQuantizedGraph(spark, indexPath)
     val qB = spark.sparkContext.broadcast((qm, bq))
     val efEff = math.max(ef, k)
@@ -1357,7 +1423,7 @@ object Hnsw {
       rts.map(r => (r._1, r._2)).toArray)
     qRdd
       .flatMap { case (qid, qv) =>
-        val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv) else qv
+        val bq = Quantize.bindQuerySide(metric, qv)
         val carry = if (carryBound) bq else qv
         rtsB.value.iterator
           .map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
@@ -1570,8 +1636,7 @@ object Hnsw {
           // map, ZERO tasks for unprobed sub-graphs
           val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
             .flatMap { case (qid, qv) =>
-              val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv)
-                       else qv
+              val bq = Quantize.bindQuerySide(metric, qv)
               rts.map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
                 .sortBy(identity).take(nprobe)
                 .map { case (_, pid) => (pid, (qid, qv)) }
@@ -1691,12 +1756,17 @@ object Hnsw {
                                metric: Knn.Metric)
       : (Ivf.Model, Quantize.QModel) = {
     import df.sparkSession.implicits._
-    require(metric == Knn.L2 || metric == Knn.Cosine,
-      "quantized graph indexes bound through L2 or cosine (IP over a " +
-        "normalized corpus IS cosine — build with Cosine)")
-    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    // IP (r19): codes, centroids and radii all live in the MIPS→L2
+    // augmented space — the code-space walk, the triangle bound, AND the
+    // quantization-error slack share one L2 geometry (the cosine
+    // construction verbatim, with the augmented companion as the bound
+    // space); the final rescore applies the exact 1−dot kernel to raw
+    // floats.
+    val ipM2 = if (metric == Knn.IP) Ivf.maxSumsq(df, vecCol) else 0.0
+    val boundCol = if (metric == Knn.L2) vecCol else "__vbound"
     val base = if (metric == Knn.L2) df
-               else df.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+               else df.withColumn(boundCol,
+                 Quantize.boundSpaceCol(metric, col(vecCol), ipM2))
     val qm = Quantize.train(base, boundCol)
     val m = Ivf.train(base, boundCol, nlist = p.partitions, metric = Knn.L2)
     val assigned = Ivf.assign(base, boundCol, m)
@@ -1726,9 +1796,9 @@ object Hnsw {
       graft.tables.Writer.write(graph, graphDir, sortBy = Seq("pid", "id"),
         files = p.partitions)
       // route sidecar: bound-space radii (the triangle bound's space —
-      // raw for L2, normalized for cosine)
-      writeRouteSidecar(assigned, boundCol, m, routeDir,
-        if (metric == Knn.L2) "l2" else "cosine")
+      // raw for L2, normalized for cosine, augmented for IP)
+      writeRouteSidecar(assigned, boundCol, m, routeDir, metric,
+        if (metric == Knn.IP) Some(math.sqrt(ipM2)) else None)
       val sidecar = Seq((qm.mins.toSeq, qm.maxs.toSeq)).toDF("mins", "maxs")
       graft.tables.Writer.write(sidecar, qmodelDir, sortBy = Seq())
       (m, qm)
@@ -1879,13 +1949,11 @@ object Hnsw {
                             hierMin: Int = -1)
       : (Seq[Long], Int) = {
     val (metric, rts) = routes(spark, indexPath)
-    require(metric == Knn.L2 || metric == Knn.Cosine,
-      "quantized graph indexes bound through L2 or cosine")
     val qm = qmodel(spark, indexPath)
     val err = qerrBound(spark, indexPath, qm)
     // the bound-space query: raw for L2, unit-normalized for cosine (the
     // space the codes, centroids, and radii were all built in)
-    val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(query) else query
+    val bq = Quantize.bindQuerySide(metric, query)
     val centDist = rts.map(r => r._1 -> Ivf.scalarDist(Knn.L2, bq, r._2)).toMap
     val radius = rts.map(r => r._1 -> r._3).toMap
     val order = rts.map(_._1).sortBy(centDist)
@@ -2012,8 +2080,7 @@ object Hnsw {
         case Some(qRows) =>
           val byPid: Map[Int, Array[(Long, Array[Float])]] = qRows
             .flatMap { case (qid, qv) =>
-              val bq = if (metric == Knn.Cosine) Ivf.normalizeQuery(qv)
-                       else qv
+              val bq = Quantize.bindQuerySide(metric, qv)
               rts.map(r => (Ivf.scalarDist(Knn.L2, bq, r._2), r._1))
                 .sortBy(identity).take(nprobe)
                 .map { case (_, pid) => (pid, (qid, bq)) }
@@ -2053,6 +2120,8 @@ object Hnsw {
     val dist = metric match {
       case Knn.Cosine =>
         lit(1.0) - distances.cosineSim(col("__qvec"), col("__cvec"))
+      case Knn.IP =>
+        lit(1.0) - distances.ipScore(col("__qvec"), col("__cvec"))
       case _ => distances.l2Dist(col("__qvec"), col("__cvec"))
     }
     val scored = cands.join(qDf, "__qid").join(rawSel, "__cid")
@@ -2087,15 +2156,22 @@ object Hnsw {
     import spark.implicits._
     val (graphDir, routeDir, _, qerrDir) =
       resolveQuantizedDirs(spark, indexPath)
-    val (metric, rts) = routes(spark, indexPath)
+    val ri = routeInfo(spark, indexPath)
+    val (metric, rts) = (ri.metric, ri.rts)
     require(rts.nonEmpty,
       s"no route sidecar rows at $routeDir — " +
         "appendSegmentQuantized maintains a buildIndexClusteredQuantized index")
     val qm = qmodel(spark, indexPath)
     val qmB = spark.sparkContext.broadcast(qm)
-    val boundCol = if (metric == Knn.L2) vecCol else "__vecn"
+    // IP binds with the BUILD's stored M (frozen-model contract — the
+    // codes were trained in that augmented space)
+    val ipM2 = if (metric == Knn.IP) {
+      val mn = ri.ipMaxNorm.get; mn * mn
+    } else 0.0
+    val boundCol = if (metric == Knn.L2) vecCol else "__vbound"
     val base = if (metric == Knn.L2) newRows
-               else newRows.withColumn(boundCol, Ivf.normalized(col(vecCol)))
+               else newRows.withColumn(boundCol,
+                 Quantize.boundSpaceCol(metric, col(vecCol), ipM2))
     // next free pid from both the sidecar and the graph files (same
     // crash-orphan reasoning as the raw appendSegment)
     val maxPid = math.max(
@@ -2149,7 +2225,8 @@ object Hnsw {
       }
       spark.createDataFrame(rowRdd, qgraphSchema)
         .write.mode("append").parquet(graphDir)
-      appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir)
+      appendRouteRows(assigned, boundCol, cents, offset, metric, routeDir,
+        ri.ipMaxNorm)
       // hierarchy follows ingest — CODE-space layers for the new pids
       if (hasHierarchy(spark, indexPath))
         appendSegmentLayers(spark, keyed, offset, new CodeSpace(qm),

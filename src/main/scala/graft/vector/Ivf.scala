@@ -26,13 +26,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Ivf {
 
-  final case class Model(centroids: Seq[Array[Float]], metric: Knn.Metric) {
+  /** `ipMaxNorm` is the MIPS→L2 augmentation bound M (r19): an IP-metric
+    * model's centroids live in the AUGMENTED space [v, √(M²−‖v‖²)] —
+    * k-means under raw 1−dot is degenerate (every point gravitates to the
+    * largest-norm centroid), while augmented-L2 k-means is the published
+    * reduction (Bachrach et al. 2014) and gives probe order a true metric
+    * geometry. 0 for L2/cosine models. */
+  final case class Model(centroids: Seq[Array[Float]], metric: Knn.Metric,
+                         ipMaxNorm: Float = 0.0f) {
     def nlist: Int = centroids.size
-    /** Driver-side centroid distances for a query (nlist is small). */
-    def probeOrder(q: Array[Float]): Seq[Int] =
+    /** Driver-side centroid distances for a query (nlist is small). IP
+      * orders by augmented-space L2 — queries bind as [q, 0], so the
+      * order is the geometry the lists were clustered in. */
+    def probeOrder(q: Array[Float]): Seq[Int] = {
+      val (bq, met) =
+        if (metric == Knn.IP) (Quantize.bindQuerySide(Knn.IP, q), Knn.L2)
+        else (q, metric)
       centroids.zipWithIndex.map { case (c, i) =>
-        (Ivf.scalarDist(metric, q, c), i)
+        (Ivf.scalarDist(met, bq, c), i)
       }.sortBy(_._1).map(_._2)
+    }
   }
 
   private[graft] def scalarDist(metric: Knn.Metric, a: Array[Float],
@@ -56,12 +69,31 @@ object Ivf {
   }
 
   /** Distance from a vector column to each centroid (expression tree over a
-    * broadcast literal centroid table). */
+    * broadcast literal centroid table). An IP model's centroids live in
+    * the augmented space, so rows bind corpus-side and distances are L2
+    * there (the space the lists were clustered in). */
   private def distArray(vec: org.apache.spark.sql.Column, m: Model) = {
     val cents = typedLit(m.centroids.map(_.toSeq))
+    val (bvec, met) =
+      if (m.metric == Knn.IP)
+        (Quantize.boundSpaceCol(Knn.IP, vec,
+          m.ipMaxNorm.toDouble * m.ipMaxNorm), Knn.L2)
+      else (vec, m.metric)
     transform(sequence(lit(1), lit(m.nlist)), i =>
-      Knn.distCol(m.metric, vec, element_at(cents, i).cast("array<float>")))
+      Knn.distCol(met, bvec, element_at(cents, i).cast("array<float>")))
   }
+
+  /** QUERY-side [[distArray]]: identical for L2/cosine, but an IP model's
+    * queries bind as [q, 0] (never [q, √(M²−‖q‖²)] — the corpus-side
+    * augmentation; [[Quantize.bindQuerySide]] is the scalar twin). */
+  private def distArrayQuery(vec: org.apache.spark.sql.Column, m: Model) =
+    if (m.metric != Knn.IP) distArray(vec, m)
+    else {
+      val cents = typedLit(m.centroids.map(_.toSeq))
+      val bvec = concat(vec, array(lit(0.0f)))
+      transform(sequence(lit(1), lit(m.nlist)), i =>
+        Knn.distCol(Knn.L2, bvec, element_at(cents, i).cast("array<float>")))
+    }
 
   /** Nearest-centroid id (0-based) for each row. */
   def assign(df: DataFrame, vecCol: String, m: Model): DataFrame = {
@@ -78,6 +110,18 @@ object Ivf {
     * n×dim rows (a 64-1024× blowup at 100 TB) per iteration. */
   def train(df: DataFrame, vecCol: String, nlist: Int,
             metric: Knn.Metric = Knn.L2, iters: Int = 2): Model = {
+    // IP (r19): k-means in the MIPS→L2 augmented space — one max-agg for
+    // M, then the L2 training loop verbatim over the bound column; the
+    // returned model carries metric=IP + M so assign/probeOrder bind
+    // rows/queries into the same space internally.
+    if (metric == Knn.IP) {
+      val m2 = maxSumsq(df, vecCol)
+      val bcol = "__vaug_train"
+      val bound = df.withColumn(bcol,
+        Quantize.boundSpaceCol(Knn.IP, col(vecCol), m2))
+      val l2 = train(bound, bcol, nlist, Knn.L2, iters)
+      return Model(l2.centroids, Knn.IP, math.sqrt(m2).toFloat)
+    }
     import df.sparkSession.implicits._
     val seeds = df.select(col(vecCol)).orderBy(xxhash64(col(vecCol)))
       .limit(nlist).collect().map(_.getSeq[Float](0).toArray).toSeq
@@ -650,7 +694,7 @@ object Ivf {
     // into the per-centroid lambda would re-evaluate the whole centroid
     // table per element — the shingles lesson), structs sorted by
     // (distance, id), prefix sliced, ids extracted
-    val probeIds = element_at(transform(array(distArray(col(qVecCol), m)),
+    val probeIds = element_at(transform(array(distArrayQuery(col(qVecCol), m)),
       arr => transform(
         slice(array_sort(transform(sequence(lit(0), lit(m.nlist - 1)),
           i => struct(element_at(arr, i + 1).as("d"), i.as("i")))),
@@ -1069,6 +1113,19 @@ object Ivf {
                                        eps: Double): Double = {
     val b = centDist - radius - eps
     if (b <= 0.0) 0.0 else b * b / 2.0
+  }
+
+  /** IP-distance (1−⟨q,v⟩) lower bound for a list/sub-graph from its
+    * AUGMENTED-space L2 centroid distance and radius (r19): every member
+    * v has ‖[q,0]−v'‖ ≥ b = max(0, d−r−ε), and ‖[q,0]−v'‖² =
+    * ‖q‖² + M² − 2⟨q,v⟩ exactly (‖v'‖ = M for every corpus row), so
+    * 1−⟨q,v⟩ ≥ 1 − (‖q‖² + M² − b²)/2. Exactness-bearing — keep the
+    * single copy beside [[cosineLowerBound]]. */
+  private[vector] def ipLowerBound(centDist: Double, radius: Double,
+                                   qSumsq: Double, m2: Double,
+                                   eps: Double): Double = {
+    val b = math.max(0.0, centDist - radius - eps)
+    1.0 - (qSumsq + m2 - b * b) / 2.0
   }
 
   /** Shared early-termination loop: probe lists in `order`, doubling the

@@ -105,8 +105,21 @@ object VectorIndexCheck {
     val metrics = route.map(_.getString(3)).distinct
     if (metrics.length > 1)
       issues += s"mixed sidecar metrics: ${metrics.mkString(", ")}"
-    if (metrics.exists(m => m != "l2" && m != "cosine"))
+    if (metrics.exists(m => m != "l2" && m != "cosine" && m != "ip"))
       issues += s"unknown sidecar metric: ${metrics.mkString(", ")}"
+    // an IP sidecar must carry its augmentation bound M (one value on
+    // every row) — the bound space is [v, √(M²−‖v‖²)] and a lost/mixed M
+    // makes pass 4 unverifiable (the routeInfo loader refuses it too)
+    val ipNorms =
+      if (!metrics.contains("ip")) Array.empty[Double]
+      else if (!routeRaw.columns.contains("max_norm")) Array.empty[Double]
+      else routeRaw.filter(col("max_norm").isNotNull)
+        .select(col("max_norm").cast("double")).distinct()
+        .as[Double].collect()
+    if (metrics.contains("ip") && ipNorms.length != 1)
+      issues += (if (ipNorms.isEmpty)
+        "metric=ip sidecar carries no augmentation bound max_norm"
+      else s"metric=ip sidecar carries mixed bounds M: ${sample(ipNorms.sorted)}")
     val dupPids = route.groupBy(_.getInt(0)).filter(_._2.length > 1).keys.toArray
     if (dupPids.nonEmpty)
       issues += s"duplicate sidecar pids: ${sample(dupPids.sorted)}"
@@ -129,19 +142,29 @@ object VectorIndexCheck {
     val dims = g.select(size(col("vec")).as("d")).distinct().as[Int].collect()
     if (dims.length > 1)
       issues += s"inconsistent vector dims: ${sample(dims.sorted)}"
+    // IP centroids live in the augmented space — one extra component
+    val ip = metrics.headOption.contains("ip")
+    val expCentDim = if (ip) dims.headOption.map(_ + 1) else dims.headOption
     val centDims = route.map(_.getSeq[Float](2).size).distinct
-    if (dims.length == 1 && centDims.exists(_ != dims.head))
-      issues += s"centroid dim ${centDims.mkString(",")} != vector dim ${dims.head}"
+    if (dims.length == 1 && centDims.exists(d => !expCentDim.contains(d)))
+      issues += s"centroid dim ${centDims.mkString(",")} != expected " +
+        s"${expCentDim.mkString(",")} (vector dim ${dims.head}" +
+        (if (ip) " + 1 augmented)" else ")")
 
-    val dimsOk = dims.length == 1 && centDims.forall(_ == dims.head)
-    if (metrics.length <= 1 && dupPids.isEmpty && dimsOk) {
+    val dimsOk = dims.length == 1 && centDims.forall(expCentDim.contains)
+    if (metrics.length <= 1 && dupPids.isEmpty && dimsOk &&
+        (!ip || ipNorms.length == 1)) {
       // 4. radius covers members, in the metric's bound space (skipped —
       // it would crash mid-task on l2Dist — when pass 3 already found
       // dimension drift; the report carries the drift issue instead)
       val cosine = metrics.headOption.contains("cosine")
       val routeDf = route.map(r => (r.getInt(0), r.getSeq[Float](2), r.getDouble(1)))
         .toSeq.toDF("pid", "centroid", "radius")
-      val boundVec = if (cosine) Ivf.normalized(col("vec")) else col("vec")
+      val boundVec =
+        if (cosine) Ivf.normalized(col("vec"))
+        else if (ip) Quantize.boundSpaceCol(Knn.IP, col("vec"),
+          ipNorms.head * ipNorms.head)
+        else col("vec")
       val outside = g.join(broadcast(routeDf), Seq("pid"))
         .withColumn("d", distances.l2Dist(boundVec,
           col("centroid").cast("array<float>")))

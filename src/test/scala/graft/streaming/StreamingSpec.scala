@@ -604,6 +604,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FLAT-QUANTIZED ingest: per-batch appendSegment keeps the rescored search exact (r19)") {
+    // The flat int8 leg of the RT-ingest flow (VERDICT r18 #7 — the batch
+    // q_knn_quant_seg gate's micro-batch twin): each batch encodes with
+    // the FROZEN model (appended vectors may clamp outside the trained
+    // box — the refine margin covers the fixture's drift, the same
+    // contract the batch gate carries) and appends to the quantized
+    // table; searchRescore spans all segments immediately.
+    import graft.vector.{Knn, Quantize}
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-quant")
+    val d = root.resolve("q").toString
+    val emb = graft.engine.Graft.table(SparkT.spark,
+      "/root/testdata/sf0.001", "embeddings").select($"vec_id", $"embedding")
+    val build = emb.filter($"vec_id" < 400)
+    val m = Quantize.train(build, "embedding")
+    graft.tables.Writer.write(
+      Quantize.quantizeTable(build, "embedding", "qvec", m), d,
+      sortBy = Seq("vec_id"))
+    val streamed = emb.filter($"vec_id" >= 400)
+      .as[(Long, Array[Float])].collect().map(VecRow.tupled.apply)
+    val in = MemoryStream[VecRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Quantize.appendSegment(batch, "embedding", "qvec", d, m)
+      }
+      .start()
+    try {
+      def exactTop(upTo: Long, query: Array[Float]): Seq[(Long, Double)] =
+        Knn.knn(emb.filter($"vec_id" < upTo), "embedding", "vec_id",
+          query, 10).select("vec_id", "dist").as[(Long, Double)]
+          .collect().toSeq
+      def searched(query: Array[Float]): Seq[(Long, Double)] =
+        Quantize.searchRescore(SparkT.spark.read.parquet(d), "embedding",
+            "qvec", "vec_id", m, query, 10, refine = 16)
+          .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val qv = streamed.find(_.vec_id == 450L).get.embedding
+      in.addData(streamed.filter(_.vec_id < 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(searched(qv) === exactTop(450L, qv))
+      in.addData(streamed.filter(_.vec_id >= 450L).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = searched(qv)
+      assert(got === exactTop(500L, qv))
+      assert(got.head._1 === 450L && got.head._2 === 0.0)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: each batch probes the signature store, then joins it") {
     // The crawl-ingest loop end-to-end: per micro-batch, (1) dedup the
     // batch against everything ingested so far via the signature store,

@@ -442,6 +442,123 @@ class HnswSpec extends AnyFunSuite {
     assert(probedTotal <= 3 * 3, s"probed $probedTotal of 24 sub-graphs")
   }
 
+  test("routed search under the INNER-PRODUCT metric is exact, prunes, and returns exact 1-dot (r19)") {
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    // clusters separated in direction AND scale: MIPS favors aligned
+    // high-norm rows, and the augmented-space geometry must still prune
+    val rows = for {
+      c <- 0 until 8
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * (2 + c))
+      i <- 0 until 50
+    } yield ((c * 50 + i).toLong,
+      center.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswrip").resolve("g").toString
+    Hnsw.buildIndexClustered(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.IP)
+    var probedTotal = 0
+    Seq(7L, 152L, 333L).foreach { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10, Knn.IP)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, probed) = Hnsw.searchRouted(SparkT.spark, d, "vec_id",
+        q, 10, ef = 1 << 20)
+      val got = res.as[(Long, Double)].collect().toSeq
+      assert(got === exact, s"query $qid")
+      // metric identity: the walk's dist IS 1 - <q, v> on the raw floats
+      val byId = rows.map(r => r._1 -> r._2).toMap
+      got.foreach { case (id, dist) =>
+        val v = byId(id)
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += q(i).toDouble * v(i); i += 1 }
+        assert(math.abs(dist - (1.0 - dot)) < 1e-6, s"id $id dist $dist")
+      }
+      probedTotal += probed
+    }
+    // the ipLowerBound prune must engage on scale-separated clusters
+    assert(probedTotal < 3 * 8,
+      s"IP routing probed $probedTotal of 24 sub-graphs — no pruning")
+  }
+
+  test("quantized-space graph under INNER PRODUCT: exact at full ef (r19)") {
+    val rnd = new scala.util.Random(37)
+    val dim = 32
+    val rows = for {
+      c <- 0 until 16
+      center = Array.fill(dim)(rnd.nextGaussian().toFloat * (2 + c % 5))
+      i <- 0 until 25
+    } yield ((c * 25 + i).toLong,
+      center.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Files.createTempDirectory("graft-hnswqip").resolve("g").toString
+    Hnsw.buildIndexClusteredQuantized(df, "embedding", "vec_id", d,
+      Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.IP)
+    Seq(3L, 117L, 284L, 351L).foreach { qid =>
+      val q = rows(qid.toInt)._2
+      val exact = Knn.knn(df, "embedding", "vec_id", q, 10, Knn.IP)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val (res, _) = Hnsw.searchQuantized(SparkT.spark, d, df,
+        "embedding", "vec_id", q, 10, ef = 1 << 20)
+      assert(res.select("vec_id", "dist").as[(Long, Double)]
+        .collect().toSeq === exact, s"query $qid")
+    }
+  }
+
+  test("appendSegment under IP binds with the BUILD's stored M; a lost marker fails loudly (r19)") {
+    val tmp = Files.createTempDirectory("graft-hnswsegip")
+    val d = tmp.resolve("g").toString
+    Hnsw.buildIndexClustered(emb.filter($"vec_id" % 10 =!= 7),
+      "embedding", "vec_id", d, Hnsw.Params(m = 8, efC = 64, partitions = 4),
+      Knn.IP)
+    Hnsw.appendSegment(emb.filter($"vec_id" % 10 === 7),
+      "embedding", "vec_id", d)
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10, Knn.IP)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (mid, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id", queryVec,
+      10, ef = 1 << 20)
+    assert(mid.as[(Long, Double)].collect().toSeq === exact)
+    // every route row (original + appended segment) carries the SAME M —
+    // a segment that re-estimated M would bind a different augmented space
+    val norms = SparkT.spark.read.parquet(Hnsw.routePath(d))
+      .select("max_norm").distinct().as[Double].collect()
+    assert(norms.length === 1, s"mixed/missing M: ${norms.toSeq}")
+    // marker loss: an ip sidecar without max_norm must refuse loudly
+    // (the wrong-space contract), never default to a fresh M
+    val stripped = SparkT.spark.read.parquet(Hnsw.routePath(d))
+      .drop("max_norm").collect()
+    val schema = SparkT.spark.read.parquet(Hnsw.routePath(d))
+      .drop("max_norm").schema
+    val d2 = tmp.resolve("g2").toString
+    Hnsw.buildIndexClustered(emb.filter($"vec_id" % 10 =!= 7),
+      "embedding", "vec_id", d2, Hnsw.Params(m = 8, efC = 64, partitions = 4),
+      Knn.IP)
+    // overwrite d2's sidecar with the M-less rows and drop the memo
+    SparkT.spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(stripped: _*)), schema)
+      .write.mode("overwrite").parquet(Hnsw.routePath(d2))
+    Hnsw.invalidate(d2)
+    val ex = intercept[IllegalArgumentException] {
+      Hnsw.searchRouted(SparkT.spark, d2, "vec_id", queryVec, 10,
+        ef = 1 << 20)
+    }
+    assert(ex.getMessage.contains("max_norm"), ex.getMessage)
+  }
+
+  test("IP hierarchy walk: descent + beam exact at full ef (r19)") {
+    val tmp = Files.createTempDirectory("graft-hnswhip")
+    val d = tmp.resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 64, partitions = 4)
+    Hnsw.buildIndexClustered(emb, "embedding", "vec_id", d, p, Knn.IP)
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    val exact = Knn.knn(emb, "embedding", "vec_id", queryVec, 10, Knn.IP)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (res, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+      queryVec, 10, ef = 1 << 20, hierMin = 0)
+    assert(res.as[(Long, Double)].collect().toSeq === exact)
+  }
+
   test("appendSegment: routed search exact mid-segment; compactClustered swaps generations with one-cycle retention (I9 r11)") {
     val tmp = Files.createTempDirectory("graft-hnswseg")
     val d = tmp.resolve("g").toString
