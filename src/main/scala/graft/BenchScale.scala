@@ -727,6 +727,108 @@ object BenchScale {
       println(f"ADC batch-join budget: broadcast $secBroadcast%.2fs vs " +
         f"distributed $secDistributed%.2fs (ratio $ratio%.2f) ok=$bjOk")
     }
+    // r19 (r18 VERDICT #6): IP deep-scale telemetry — the MIPS serving
+    // claim with the same measured evidence the L2 rows carry. Two
+    // numbers: (1) routed-graph INNER-PRODUCT recall@10 at serving ef=64
+    // on the 10x corpus (floor-pinned like graph_recall — the sidecar
+    // bounds in the augmented space, the walk scores raw 1-dot), and
+    // (2) the augmented-space IVF-ADC batch join's broadcast-vs-
+    // distributed arm contrast at 10x (the adc_batch_join_budget shape
+    // under metric=IP).
+    locally {
+      import graft.vector.{Hnsw, Ivf, Knn}
+      val embPath = s"$dst/embeddings.parquet"
+      val emb = spark.read.parquet(embPath)
+      import spark.implicits._
+      val ipBlock = root.putObject("ip_deep_scale")
+      // --- routed graph IP recall@10 at ef=64 ---
+      val gIdx = s"$dst/hnswc_ip_recall64"
+      val gDone = new org.apache.hadoop.fs.Path(Hnsw.routePath(gIdx), "_SUCCESS")
+      val gFs = gDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!gFs.exists(gDone))
+        Hnsw.buildIndexClustered(emb, "embedding", "vec_id", gIdx,
+          Hnsw.Params(m = 8, efC = 64, partitions = 32), Knn.IP)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val k = 10
+      var recSum = 0.0
+      var probedSum = 0L
+      qs.foreach { case (_, qv) =>
+        val q = qv.toArray
+        // tie-inclusive exact IP top-k (replica jitter ⇒ near-ties)
+        val nn = Knn.knn(emb, "embedding", "vec_id", q, 20 * k, Knn.IP)
+          .select(col("vec_id"), col("dist")).as[(Long, Double)].collect()
+        val dk = nn(k - 1)._2
+        val tieSet = nn.iterator.filter(_._2 <= dk + 1e-9).map(_._1).toSet
+        val (routedDf, probed) = Hnsw.searchRouted(spark, gIdx,
+          "vec_id", q, k, ef = 64)
+        val got = routedDf.select(col("vec_id")).as[Long].collect().toSet
+        recSum += got.count(tieSet.contains).toDouble / k
+        probedSum += probed
+      }
+      val meanRecall = recSum / qs.length
+      val meanProbed = probedSum.toDouble / qs.length
+      val subGraphs = spark.read.parquet(Hnsw.routePath(gIdx)).count()
+      val floorOk = meanRecall >= 0.95
+      allOk &&= floorOk
+      ipBlock.put("graph_ef", 64); ipBlock.put("k", k)
+      ipBlock.put("queries", qs.length)
+      ipBlock.put("graph_mean_recall", math.round(meanRecall * 1e4) / 1e4)
+      ipBlock.put("graph_mean_probed_subgraphs",
+        math.round(meanProbed * 100) / 100.0)
+      ipBlock.put("graph_total_subgraphs", subGraphs)
+      ipBlock.put("graph_floor_ok", floorOk)
+      println(f"IP graph recall@10 ef=64: $meanRecall%.4f  " +
+        f"probed $meanProbed%.1f/$subGraphs sub-graphs  ok=$floorOk")
+      // --- augmented-space ADC batch join, broadcast vs distributed ---
+      val aIdx = s"$dst/ivfpq_ip_budget"
+      // coarse model L2 over the augmented companion (the IP ADC layout);
+      // dim 64 + 1 = 65 = 5·13 → subM = 5
+      val aug = Ivf.ipAugmentedCompanion(emb, "embedding", "embaug")
+      val am = Ivf.train(aug, "embaug", nlist = 32)
+      val aDone = new org.apache.hadoop.fs.Path(aIdx, "_SUCCESS")
+      val aFs = aDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val apq =
+        if (!aFs.exists(aDone))
+          Ivf.buildIndexPq(emb, "embedding", "vec_id", am, aIdx,
+            subM = 5, metric = Knn.IP)
+        else {
+          val assigned = Ivf.assign(aug, "embaug", am)
+            .withColumn("ivf_res",
+              Ivf.residualCol(col("embaug"), col("ivf_cluster"), am))
+          graft.vector.Quantize.trainPq(assigned, "ivf_res", "vec_id", m = 5)
+        }
+      val aQueries = emb.selectExpr("vec_id as qid", "embedding as qvec")
+      def runIp(): Double = {
+        val t0 = System.nanoTime()
+        materialize(Ivf.knnJoinPq(spark, aIdx, am, apq, aQueries,
+          "qid", "qvec", "cid", "vec_id", "embedding",
+          k = 5, nprobe = 4, refine = 32, metric = Knn.IP))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ipBroadcast = { runIp(); runIp() }
+      spark.conf.set("spark.graft.knnJoin.maxQueryBatch", "2048")
+      val ipBefore = graft.vector.Knn.overBudgetJoins.get()
+      val ipDistributed =
+        try { runIp(); runIp() }
+        finally spark.conf.unset("spark.graft.knnJoin.maxQueryBatch")
+      val ipEngaged = graft.vector.Knn.overBudgetJoins.get() > ipBefore
+      val ipRatio = ipDistributed / math.max(ipBroadcast, 1e-9)
+      allOk &&= ipEngaged
+      val ipJoinOk = ipEngaged && ipRatio <= 3.0
+      perfOk &&= ipJoinOk
+      ipBlock.put("adc_query_rows", 20000)
+      ipBlock.put("adc_budget", 2048)
+      ipBlock.put("adc_nprobe", 4)
+      ipBlock.put("adc_sec_broadcast_arm", math.round(ipBroadcast * 100) / 100.0)
+      ipBlock.put("adc_sec_distributed_arm", math.round(ipDistributed * 100) / 100.0)
+      ipBlock.put("adc_ratio", math.round(ipRatio * 100) / 100.0)
+      ipBlock.put("adc_distributed_engaged", ipEngaged)
+      ipBlock.put("adc_distributed_arm_ok", ipJoinOk)
+      println(f"IP ADC batch-join: broadcast $ipBroadcast%.2fs vs " +
+        f"distributed $ipDistributed%.2fs (ratio $ipRatio%.2f) ok=$ipJoinOk")
+    }
     // r17 (r16 VERDICT #6): a SECOND scaling decade for the two most
     // composite flagships — 25x backs the 100 TB extrapolation with a
     // point beyond the 10x everything else rides (same linear bound,

@@ -100,7 +100,11 @@ object NgramLM {
     val meta = df.sparkSession.range(1)
       .select(lit("n").as("kind"), lit(n.toLong).as("key"),
         lit(0L).as("cost_micros"))
-    grams.unionByName(ctxs).unionByName(dflt).unionByName(meta)
+    // scalar rows FIRST: scoreDocs fetches 'n' and 'd' with bounded
+    // incremental collects, and a partition-0 placement makes each a
+    // one-task job instead of a sweep over the vocabulary-sized tail
+    // (r19 — the r18 n-check's full-model collect cost ~0.2s per call)
+    meta.unionByName(dflt).unionByName(grams).unionByName(ctxs)
   }
 
   /** Score every document against a trained model table: returns
@@ -118,18 +122,28 @@ object NgramLM {
     // rather than persist: the checkpoint is vocabulary-sized, lineage-free,
     // and ContextCleaner-GC'd with the returned frame (no unpersist to leak).
     val m = model.localCheckpoint(true)
-    // a model trained with a different n would miss every gram/ctx hash
+    // ONE bounded fetch serves the n-mismatch check AND the default cost
+    // (the scalar rows sit in the model's leading partitions — train()
+    // orders them first — so the incremental limit scan is 1-2 one-task
+    // jobs, never a sweep of the vocabulary-sized gram partitions).
+    // A model trained with a different n would miss every gram/ctx hash
     // and silently emit the uniform default for 100% of grams — fail
     // loudly when the model records its n (stores written before the
-    // kind-'n' row skip the check)
-    m.filter(col("kind") === "n").select(col("key"))
-      .collect().headOption.map(_.getLong(0)).foreach { sn =>
-        require(sn == n.toLong,
-          s"NgramLM: model was trained with n=$sn but is being scored " +
-            s"with n=$n — every probe would miss and fall to the default")
-      }
-    val dflt = m.filter(col("kind") === "d")
-      .select(col("cost_micros")).first().getLong(0)
+    // kind-'n' row skip the check).
+    val scalars = m.filter(col("kind").isin("n", "d"))
+      .select(col("kind"), col("key"), col("cost_micros"))
+      .limit(2).collect()
+    scalars.find(_.getString(0) == "n").map(_.getLong(1)).foreach { sn =>
+      require(sn == n.toLong,
+        s"NgramLM: model was trained with n=$sn but is being scored " +
+          s"with n=$n — every probe would miss and fall to the default")
+    }
+    val dflt = scalars.find(_.getString(0) == "d") match {
+      case Some(r) => r.getLong(2)
+      case None => throw new IllegalStateException(
+        "NgramLM: model table has no kind='d' default row — not a " +
+          "train()/writeLM output")
+    }
     val g = m.filter(col("kind") === "g")
       .select(col("key").as("g_key"), col("cost_micros").as("g_cost"))
     val c = m.filter(col("kind") === "c")

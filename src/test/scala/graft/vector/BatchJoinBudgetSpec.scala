@@ -78,6 +78,92 @@ class BatchJoinBudgetSpec extends AnyFunSuite {
     assert(overBudget(go) === base)
   }
 
+  test("IVF join over budget under ZIPFIAN probes: AQE splits the skewed list, identical rows (r19)") {
+    // VERDICT r18 #2: the non-PQ IVF over-budget arm is a DataFrame
+    // shuffle equi-join on the list id (no explicit salting — unlike the
+    // RDD-based ADC leg, which salts deterministically); the skew
+    // guarantee is AQE's skew-join split, and this pins it actually
+    // engaging on a zipfian probe distribution (thresholds scaled down to
+    // fixture bytes; at production sizes the defaults fire the same way).
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec}
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    def near(c: Int): Array[Float] =
+      Array.tabulate(dim)(j => (c * 40).toFloat + j +
+        0.1f * rnd.nextGaussian().toFloat)
+    val corpus = (0 until 4).flatMap(c =>
+      (0 until 200).map(i => ((c * 200 + i).toLong, near(c))))
+      .toDF("vec_id", "embedding")
+    // zipfian queries: ~97% probe list 0's neighborhood, STORED as a
+    // multi-file parquet table — AQE's skew split works at mapper
+    // granularity, and a single-mapper local relation (the
+    // LocalTableScan a tiny fixture would otherwise produce — even an
+    // explicit repartition gets pruned as redundant under the join's
+    // shuffle) is unsplittable no matter how skewed; production query
+    // sides are many-file scans by construction.
+    val qdir = Files.createTempDirectory("graft-bb-skewq").resolve("q").toString
+    graft.tables.Writer.write(
+      ((0 until 2000).map(i => (10000L + i, near(0))) ++
+        (0 until 60).map(i => (20000L + i, near(1 + i % 3))))
+        .toDF("qid", "qvec"),
+      qdir, sortBy = Seq("qid"), files = 8)
+    val zipf = SparkT.spark.read.parquet(qdir)
+    val d = Files.createTempDirectory("graft-bb-skew").resolve("i").toString
+    val m = Ivf.train(corpus, "embedding", nlist = 4)
+    Ivf.buildIndex(corpus, "embedding", m, d)
+    // nprobe = 1 concentrates the join key (nprobe = nlist would
+    // replicate every query onto every key — uniform by construction)
+    def go = Ivf.knnJoin(SparkT.spark, d, m, zipf, "qid", "qvec",
+      "vec_id", "embedding", k = 5, nprobe = 1)
+    val base = rows(go) // in-budget broadcast arm
+    assert(base.nonEmpty)
+    val conf = SparkT.spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
+    // 4 reduce partitions put the fixture's median at one real list's
+    // bytes, so the default factor-5 gate needs production-scale spread
+    // to clear — the pin is the MECHANISM engaging on this join shape
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      withBudget(4) {
+        val before = Knn.overBudgetJoins.get()
+        // inspect the SAME DataFrame that executed — an un-executed
+        // AdaptiveSparkPlanExec reports its initial plan, no AQE reads
+        val sel = go.select($"qid".cast("long"), $"vec_id".cast("long"),
+          $"dist".cast("double"), $"rn".cast("long"))
+        // collect Rows from `sel` ITSELF (.as[T] would wrap a fresh
+        // QueryExecution and leave sel's adaptive plan un-executed)
+        val got = sel.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+        assert(got === base)
+        assert(Knn.overBudgetJoins.get() > before,
+          "expected the over-budget scale arm to engage")
+        // AdaptiveSparkPlanExec and QueryStageExec are LEAVES whose
+        // materialized plans are not children — descend through both or
+        // the AQE reads are invisible to collect
+        def skewReads(p: org.apache.spark.sql.execution.SparkPlan): Int =
+          p.collect {
+            case r: AQEShuffleReadExec if r.hasSkewedPartition => 1
+            case a: AdaptiveSparkPlanExec => skewReads(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              skewReads(qs.plan)
+          }.sum
+        val root = sel.queryExecution.executedPlan
+        assert(skewReads(root) > 0,
+          s"AQE skew split did not engage on the zipfian join " +
+            s"(root ${root.getClass.getSimpleName}):\n$root")
+      }
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    }
+  }
+
   test("routed graph join over budget: distributed pid assignment, identical rows (flat + hier)") {
     val d = Files.createTempDirectory("graft-bb-g").resolve("g").toString
     val p = Params(m = 8, efC = 64, partitions = 4)
