@@ -950,13 +950,31 @@ object Hnsw {
     val radius = rts.map(r => r._1 -> r._3).toMap
     val order = rts.map(_._1).sortBy(centDist)
     // the walk's dist values are 1−dot for IP, so the prune converts the
-    // augmented-L2 triangle bound into a 1−dot bound (Ivf.ipLowerBound)
+    // augmented-L2 triangle bound into a 1−dot bound (Ivf.ipLowerBound) —
+    // AND takes the Cauchy–Schwarz bound in RAW space as a second lower
+    // bound (r19 telemetry: the sphere bound alone probed 32/32 at 10× —
+    // the augmented radius absorbs the corpus NORM spread, while C-S only
+    // pays the directional spread): ⟨q,v⟩ ≤ ⟨q,c⟩ + ‖q‖·‖v−c‖_raw and
+    // ‖v−c‖_raw ≤ the stored augmented radius (the extra coordinate only
+    // adds), so 1−⟨q,v⟩ ≥ 1−⟨q,c⟩−‖q‖·r for every member. The raw
+    // centroid is the augmented centroid's PREFIX (Lloyd means commute
+    // with projection). Both bounds are true lower bounds — max is too.
     val qSumsq = query.map(x => x.toDouble * x).sum
+    val qNorm = math.sqrt(qSumsq)
     val ipM2 = ri.ipMaxNorm.map(m => m * m).getOrElse(0.0)
+    val dotQC: Map[Int, Double] =
+      if (metric != Knn.IP) Map.empty
+      else rts.map { r =>
+        var dot = 0.0; var i = 0
+        while (i < query.length) { dot += query(i).toDouble * r._2(i); i += 1 }
+        r._1 -> dot
+      }.toMap
     def bound(pid: Int): Double = metric match {
       case Knn.Cosine => Ivf.cosineLowerBound(centDist(pid), radius(pid), eps)
       case Knn.IP =>
-        Ivf.ipLowerBound(centDist(pid), radius(pid), qSumsq, ipM2, eps)
+        math.max(
+          Ivf.ipLowerBound(centDist(pid), radius(pid), qSumsq, ipM2, eps),
+          1.0 - dotQC(pid) - qNorm * (radius(pid) + eps))
       case _ => centDist(pid) - radius(pid)
     }
     var remaining: Seq[Int] = order.toSeq
