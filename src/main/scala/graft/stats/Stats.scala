@@ -140,7 +140,15 @@ object Stats {
   }
 
   private def fileStatsWith(path: String, conf: Configuration): Seq[FileStats] =
-    parquetFiles(path, conf).map { case (f, len) =>
+    fileStatsFor(parquetFiles(path, conf), conf)
+
+  /** [[fileStatsWith]] over a pre-computed listing — lets callers that
+    * already listed the table (the [[rowsAndNulls]] threshold gate) avoid
+    * a second recursive FileSystem walk (on object stores the LIST calls
+    * dominate small-table registration latency). */
+  private def fileStatsFor(files: Seq[(Path, Long)],
+                           conf: Configuration): Seq[FileStats] =
+    files.map { case (f, len) =>
       val fmd = footer(f, conf)
       val blocks = fmd.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
@@ -497,11 +505,19 @@ object Stats {
     }
     catalogFor(path, hconf) match {
       case Some(cat) if cat.columns.contains("col_nulls") => fromCatalog(cat)
-      case Some(cat) => // pre-r19 catalog without null counts: rows only
-        (cat.agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0), None)
-      case None =>
-        if (parquetFiles(path, hconf).size <= driverMaxFiles) {
-          val per = fileStatsWith(path, hconf)
+      case legacy =>
+        // a pre-r19 catalog (no col_nulls) cannot answer the null
+        // question — falling back to the footer path keeps the r18
+        // behavior (nulls proven, routes stay live) instead of silently
+        // degrading every registration to may-have-nulls until the user
+        // rebuilds the catalog (r19 review)
+        if (legacy.isDefined)
+          log.info(s"rowsAndNulls: catalog for $path predates col_nulls — " +
+            "answering from footers; rebuild the catalog with " +
+            "Stats.buildCatalog to restore the zero-IO registration path")
+        val files = parquetFiles(path, hconf)
+        if (files.size <= driverMaxFiles) {
+          val per = fileStatsFor(files, hconf) // ONE listing, reused
           val rows = per.map(_.rows).sum
           if (per.isEmpty) (rows, None)
           else {

@@ -519,9 +519,17 @@ object Hnsw {
     val model = Ivf.Model(cents, Knn.L2)
     // IP binds with the BUILD's stored M (routeInfo fails loudly on a
     // lost marker) — a batch-local re-estimate would assign/bound the
-    // segment in a DIFFERENT augmented space than the existing pids'
+    // segment in a DIFFERENT augmented space than the existing pids'.
+    // And the batch must FIT under M: the routed schedule's sphere bound
+    // assumes ‖v'‖ = M for every row, so a clamped over-M append would
+    // let the prune drop the sub-graph holding the true top-1 — the
+    // exact-at-full-ef contract breaks SILENTLY (r19 review). The ADC
+    // family tolerates drift because its screen carries a refine margin;
+    // the raw routed graph's bound is exactness-bearing, so refuse.
     val ipM2 = if (metric == Knn.IP) {
-      val mn = ri.ipMaxNorm.get; mn * mn
+      val mn = ri.ipMaxNorm.get
+      requireBatchUnderM(newRows, vecCol, mn, indexPath)
+      mn * mn
     } else 0.0
     val boundCol = if (metric == Knn.L2) vecCol else "__vbound"
     val base = if (metric == Knn.L2) newRows
@@ -850,6 +858,26 @@ object Hnsw {
     case Knn.L2     => "l2"
     case Knn.Cosine => "cosine"
     case Knn.IP     => "ip"
+  }
+
+  /** An IP segment append must fit under the build's augmentation bound M
+    * — over-M rows clamp their augmented coordinate to 0, breaking the
+    * ‖v'‖ = M identity the exactness-bearing prune bounds assume. One
+    * max-agg over the batch (the cost of the check is one pass over rows
+    * the append reads anyway); 1e-6 relative slack absorbs float32
+    * round-trip of the stored M. The recovery is the retraining compact
+    * (compactClustered / compactQuantized re-estimate M over the full
+    * corpus). */
+  private def requireBatchUnderM(newRows: DataFrame, vecCol: String,
+                                 storedM: Double, indexPath: String): Unit = {
+    val batchM2 = Ivf.maxSumsq(newRows, vecCol)
+    require(batchM2 <= storedM * storedM * (1.0 + 1e-6),
+      f"appendSegment: batch max norm ${math.sqrt(batchM2)}%.6g exceeds " +
+        f"the IP index's stored augmentation bound M = $storedM%.6g " +
+        s"($indexPath) — appending would clamp those rows' augmented " +
+        "coordinate and silently break the routed prune's exactness; " +
+        "compact the index (which retrains M over the full corpus) and " +
+        "retry the append")
   }
 
   /** ROUTED top-k over a [[buildIndexClustered]] index — the partitioned
@@ -2182,9 +2210,15 @@ object Hnsw {
     val qm = qmodel(spark, indexPath)
     val qmB = spark.sparkContext.broadcast(qm)
     // IP binds with the BUILD's stored M (frozen-model contract — the
-    // codes were trained in that augmented space)
+    // codes were trained in that augmented space). Over-M rows clamp,
+    // and in the CODE family a clamp breaks the augmented-L2 == IP-order
+    // identity for those rows — the refine margin cannot bound the
+    // misranking (unlike the trained-box drift _qerr covers), so refuse
+    // loudly; compactQuantized re-estimates M (r19 review).
     val ipM2 = if (metric == Knn.IP) {
-      val mn = ri.ipMaxNorm.get; mn * mn
+      val mn = ri.ipMaxNorm.get
+      requireBatchUnderM(newRows, vecCol, mn, indexPath)
+      mn * mn
     } else 0.0
     val boundCol = if (metric == Knn.L2) vecCol else "__vbound"
     val base = if (metric == Knn.L2) newRows

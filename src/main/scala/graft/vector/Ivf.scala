@@ -1125,7 +1125,11 @@ object Ivf {
                                    qSumsq: Double, m2: Double,
                                    eps: Double): Double = {
     val b = math.max(0.0, centDist - radius - eps)
-    1.0 - (qSumsq + m2 - b * b) / 2.0
+    // the ‖v'‖ = M identity holds only to float32 rounding of the stored
+    // augmented coordinate (~1.2e-7·M² in ‖v'‖² terms), so the slack must
+    // SCALE with M² — a fixed 1e-4 is swamped at M ~ hundreds (r19
+    // review); over-slack only over-probes, exactness is one-sided
+    1.0 - (qSumsq + m2 - b * b) / 2.0 - eps * math.max(1.0, m2)
   }
 
   /** Shared early-termination loop: probe lists in `order`, doubling the

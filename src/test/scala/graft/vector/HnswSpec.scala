@@ -544,6 +544,17 @@ class HnswSpec extends AnyFunSuite {
         ef = 1 << 20)
     }
     assert(ex.getMessage.contains("max_norm"), ex.getMessage)
+    // an OVER-M batch must refuse loudly (r19 review): the clamped
+    // augmented coordinate breaks the ‖v'‖ = M identity the routed
+    // prune's exactness rests on — the recovery is a retraining compact
+    val dim = emb.select(
+      org.apache.spark.sql.functions.size($"embedding")).head.getInt(0)
+    val big = Seq((999999L, Array.fill(dim)(1e3f)))
+      .toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Hnsw.appendSegment(big, "embedding", "vec_id", d)
+    }
+    assert(ex2.getMessage.contains("exceeds"), ex2.getMessage)
   }
 
   test("IP hierarchy walk: descent + beam exact at full ef (r19)") {
