@@ -53,6 +53,11 @@ object SentencePiece {
     * BLOCK). */
   val WordBoundary: Char = '▁'
 
+  /** Compiled once: `String.split(regex)` re-compiles its Pattern on
+    * every call for multi-char regexes — per-document, that is one
+    * Pattern.compile per row (r19 bench). */
+  private val UnicodeWs = java.util.regex.Pattern.compile("(?U)\\s+")
+
   /** `unkId = -1` = the model ships NO unk piece (`unk_id: null` in the
     * HF layout, ADVICE r17): no unk arc exists, and text neither the
     * vocab nor the byte pieces cover is REJECTED — defaulting it to
@@ -198,14 +203,14 @@ object SentencePiece {
       * ideographic space, NEL all split; r18 ADVICE), each ▁-marked and
       * Viterbi-segmented. Empty/whitespace-only text → no tokens. */
     def encode(text: String): Array[Int] =
-      Option(text).getOrElse("").strip.split("(?U)\\s+").iterator
+      UnicodeWs.split(Option(text).getOrElse("").strip).iterator
         .filter(_.nonEmpty)
         .flatMap(w => segment(WordBoundary + w))
         .toArray
 
     def countTokens(text: String): Int = {
       var n = 0
-      Option(text).getOrElse("").strip.split("(?U)\\s+").iterator
+      UnicodeWs.split(Option(text).getOrElse("").strip).iterator
         .filter(_.nonEmpty)
         .foreach(w => n += segment(WordBoundary + w).length)
       n

@@ -11,6 +11,11 @@ import graft.pipeline.Multimodal
   */
 object PipelineQueries {
 
+  // Oracle-assumption pins proven once per (immutable) corpus dir — the
+  // per-run scan was pure steady-state overhead (r19 bench).
+  private val spmOracleChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   val defs: Map[String, QueryDef] = Map(
 
     // FLAGSHIP composition — the canonical training-data curation pipeline
@@ -341,23 +346,27 @@ object PipelineQueries {
       (s, d) => {
         val dir = decoderSpmArtifact()
         val docs = t(s, d, "documents")
-        val stats0 = docs.select(
-          max(octet_length(col("text").cast("binary"))),
-          max(array_max(transform(split(col("text"), ""), c => ascii(c)))),
-          min(array_min(transform(split(col("text"), ""), c => ascii(c)))))
-          .head()
-        require(stats0.getInt(0) < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
-          s"q_embed_decoder_spm oracle assumes no pre-truncation; corpus " +
-            s"has a ${stats0.getInt(0)}-byte document >= ${Dtf.MaxPos * 8}")
         // the oracle replays char ids via codepoints; a char outside the
         // fixture vocab maps to unk on the engine side (review r17-3 —
         // assert the assumption loudly, like the truncation pin).
         // Deliberately over-strict (whitespace other than ' ' would
         // actually tokenize identically): a failure asks to extend the
-        // oracle instead of surfacing as a hash mismatch.
-        require(stats0.getInt(1) <= 126 && stats0.getInt(2) >= 32,
-          s"q_embed_decoder_spm oracle assumes printable-ASCII text; " +
-            s"corpus codepoints span [${stats0.getInt(2)}, ${stats0.getInt(1)}]")
+        // oracle instead of surfacing as a hash mismatch. Proven ONCE per
+        // immutable corpus dir with an early-exit regex, not a per-run
+        // per-char array per doc (r19 bench).
+        spmOracleChecked.getOrElseUpdate(d, {
+          val maxBytes = docs.select(
+            max(octet_length(col("text").cast("binary")))).head().getInt(0)
+          require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+            s"q_embed_decoder_spm oracle assumes no pre-truncation; corpus " +
+              s"has a $maxBytes-byte document >= ${Dtf.MaxPos * 8}")
+          val bad = docs.filter(col("text").rlike("[^ -~]")).limit(1)
+            .select(col("doc_id")).collect()
+          require(bad.isEmpty,
+            s"q_embed_decoder_spm oracle assumes printable-ASCII text; " +
+              s"doc ${bad.headOption.map(_.get(0)).orNull} carries " +
+              "codepoints outside [32, 126]")
+        })
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"decoder:$dir"))
         emb.select(col("doc_id") +:

@@ -12,6 +12,11 @@ object TextQueries {
 
   private val stopList = "['the','a','of','and','to','in','is']"
 
+  // Oracle-assumption pins proven once per (immutable) corpus dir — the
+  // per-run scan was pure steady-state overhead (r19 bench).
+  private val asciiChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   /** Shared oracle replay of the CCNet-style trigram-LM scorer
     * ([[graft.pipeline.NgramLM]]): train add-one-smoothed trigram costs on
     * the corpus split (doc_id % 5 <> 0), score the batch split. Costs are
@@ -267,13 +272,19 @@ object TextQueries {
         // codepoints (and DuckDB len() counts codepoints where the
         // engine's Viterbi walks UTF-16 units) — pin the printable-ASCII
         // assumption loudly (review r17-3), like the decoder-spm gate
-        val cp = t(s, d, "documents").select(
-          max(array_max(transform(split(col("text"), ""), c => ascii(c)))),
-          min(array_min(transform(split(col("text"), ""), c => ascii(c)))))
-          .head()
-        require(cp.getInt(0) <= 126 && cp.getInt(1) >= 32,
-          s"q_text_spm oracle assumes printable-ASCII text; corpus " +
-            s"codepoints span [${cp.getInt(1)}, ${cp.getInt(0)}]")
+        // one early-exit regex scan, MEMOIZED per corpus dir (r19 bench:
+        // the old per-run split("")+ascii transform was ~60% of the
+        // gate; the corpus is immutable, so proving the assumption once
+        // per session is the same pin)
+        asciiChecked.getOrElseUpdate(d, {
+          val bad = t(s, d, "documents")
+            .filter(col("text").rlike("[^ -~]")).limit(1)
+            .select(col("doc_id")).collect()
+          require(bad.isEmpty,
+            s"q_text_spm oracle assumes printable-ASCII text; doc " +
+              s"${bad.headOption.map(_.get(0)).orNull} carries " +
+              "codepoints outside [32, 126]")
+        })
         graft.embed.SentencePiece.tokenizeStage(
             t(s, d, "documents").select(col("doc_id"), col("text")),
             "text", dir, idsCol = "ids", countCol = "n")
