@@ -81,10 +81,17 @@ object AsofJoin {
     // distances compare in epochNanos: exact for timestamps (micros×1000)
     // AND for integral columns, which pass through in their own unit —
     // epochMicros would integer-divide an integral (nanos-contract) column
-    // by 1000 and collapse sub-microsecond distances into false ties
-    val lNs = EventTime.epochNanos(joined, leftTs)
-    def dist(c: String) = when(col(c).isNull, lit(Long.MaxValue))
-      .otherwise(abs(EventTime.epochNanos(joined, c) - lNs))
+    // by 1000 and collapse sub-microsecond distances into false ties.
+    // DECIMAL(38,0) arithmetic: a long subtraction wraps when the two
+    // sides straddle the saturated/sentinel extremes (e.g. a MaxValue
+    // open-interval sentinel vs a pre-1970 instant), silently electing
+    // the far side (r19 review); the no-match sentinel is decimal-max,
+    // above any real distance (≤ ~1.9e19)
+    val lNs = EventTime.epochNanos(joined, leftTs).cast("decimal(38,0)")
+    val farSentinel = lit(new java.math.BigDecimal("9" * 38))
+    def dist(c: String) = when(col(c).isNull, farSentinel)
+      .otherwise(abs(
+        EventTime.epochNanos(joined, c).cast("decimal(38,0)") - lNs))
     val useB = dist("asof_ts") <= dist("__f_asof_ts")
     val out = joined
       .select((left.columns.map(col) ++ asofCols.map(c =>
@@ -129,10 +136,17 @@ object AsofJoin {
       col(leftKey).as("__k"), col(leftTs).as("__t"),
       lit(1).as("__side"), lit(null).cast("long").as("__rid"),
       lStruct.as("__l"), lit(null).cast(payType).as("__p"))
-    val r = right.select(
-      col(rightKey).as("__k"), col(rightTs).as("__t"),
-      lit(0).as("__side"), col(rightId).cast("long").as("__rid"),
-      lit(null).cast(lType).as("__l"), payStruct.as("__p"))
+    // a NULL-timestamp right row can never be an as-of match, but the
+    // window ordering would park it at a partition END (asc = nulls
+    // first, desc = nulls last) where `last(__p, ignoreNulls)` hands its
+    // payload to left rows with NO real match — drop such rows up front
+    // (r19 review)
+    val r = right
+      .filter(col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTs).as("__t"),
+        lit(0).as("__side"), col(rightId).cast("long").as("__rid"),
+        lit(null).cast(lType).as("__l"), payStruct.as("__p"))
 
     // Right rows order before left rows at equal ts (asc on __side), giving
     // inclusive match on both directions; among equal-ts right rows the
@@ -143,7 +157,12 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
-      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      // a NULL-timestamp LEFT row has no as-of position either — under
+      // desc (forward) ordering it would sort after every right row and
+      // inherit the last payload as a phantom match (r19 review)
+      .withColumn("__asof",
+        when(col("__t").isNull, lit(null).cast(payType))
+          .otherwise(last(col("__p"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select(col("__l.*"), col("__asof.*"))
   }

@@ -118,15 +118,12 @@ object Funnel {
     * Output: `(cohort_day, day_offset, n_users)` — cohort_day in epoch
     * days, exact long math end to end. */
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    // true FLOOR division (the `div`-only form truncates toward zero and
-    // cohorts a pre-1970 instant to the wrong day — the RangeJoin bucket
-    // lesson, review r12-3), in the subtraction-free truncate-then-correct
-    // shape that cannot overflow near Long.MinValue (review r18-5).
+    // true FLOOR division via the ONE shared truncate-then-correct bucket
+    // (RangeJoin.bucket — r19 review: a third inline copy of the idiom
+    // would drift from any future fix to the other two)
     val base = df.select(col(userCol).as("__u"),
         EventTime.epochMicros(df, tsCol).as("__tus"))
-      .withColumn("__day",
-        expr(s"(__tus div $DayMicros) + " +
-          s"(CASE WHEN __tus % $DayMicros < 0 THEN -1 ELSE 0 END)"))
+      .withColumn("__day", RangeJoin.bucket("__tus", DayMicros))
       .drop("__tus")
     val cohorts = base.groupBy(col("__u"))
       .agg(min(col("__day")).as("cohort_day"))

@@ -73,12 +73,22 @@ object EventStreams {
     * (re-deliveries arrive within the horizon); a backfill additionally
     * collapses late duplicates the live stream could not have caught. */
   def dedupWithinWatermark(events: DataFrame, watermark: String,
-                           keys: Seq[String]): DataFrame =
+                           keys: Seq[String]): DataFrame = {
+    // empty keys crashed the streaming arm with a bare NoSuchElement and
+    // silently whole-row-deduped the batch arm — same invalid input, two
+    // behaviors (r19 review)
+    require(keys.nonEmpty,
+      "dedupWithinWatermark needs at least one key column")
     if (events.isStreaming)
       norm(events)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
-    else events.dropDuplicates(keys)
+    else
+      // norm() on BOTH arms: a backfill must emit the same ts type/values
+      // as the live stream (an integral nanos or NTZ ts column otherwise
+      // appends a conflicting schema to the same sink — r19 review)
+      norm(events).dropDuplicates(keys)
+  }
 
   /** Event-time-bounded stream-stream inner join: each purchase pairs with
     * the same user's views inside [p_ts - lookback, p_ts]. Both sides are
@@ -139,6 +149,9 @@ object EventStreams {
                   withinMicros: Option[Long] = None): Dataset[FunnelHit] = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    // the batch operators' r18-5 fail-fast, mirrored (r19 review): a
+    // non-positive window silently reports zero completions forever
+    withinMicros.foreach(w => require(w > 0, s"window must be positive: $w"))
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     events.groupByKey(_.user_id)
@@ -215,6 +228,7 @@ object EventStreams {
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     require(maxPerStep >= 1, s"maxPerStep must be >= 1: $maxPerStep")
     require(idleTtlMicros > 0, s"idleTtlMicros must be > 0: $idleTtlMicros")
+    withinMicros.foreach(w => require(w > 0, s"window must be positive: $w"))
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
@@ -224,10 +238,16 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[TypedEvent],
          state: GroupState[Seq[(Int, Long)]]) =>
-          var buf = state.getOption.getOrElse(Seq.empty[(Int, Long)])
+          // ArrayBuffer accumulation: per-event `Seq :+` on the default
+          // List is O(n) — O(n²) per micro-batch for a hot user near the
+          // state bound (r19 review); one distinct pass stays
+          val acc = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long)]
+          acc ++= state.getOption.getOrElse(Seq.empty[(Int, Long)])
           batch.foreach { e =>
-            stepIdx.get(e.event_type).foreach(si => buf = buf :+ (si -> micros(e)))
+            stepIdx.get(e.event_type).foreach(si => acc += (si -> micros(e)))
           }
+          var buf: Seq[(Int, Long)] = acc.toSeq
           buf = buf.distinct
           // BATCH execution strips the watermark node entirely
           // (EliminateEventTimeWatermark), and getCurrentWatermarkMs
@@ -235,10 +255,10 @@ object EventStreams {
           // must behave as "everything delivered, everything sealed"
           // (watermark = +inf), not crash (review r18-5). The huge-but-
           // not-MaxValue seal keeps the *1000 and TTL sums overflow-free.
-          val wmMs =
-            try state.getCurrentWatermarkMs()
+          val (wmMs, isBatch) =
+            try (state.getCurrentWatermarkMs(), false)
             catch { case _: UnsupportedOperationException =>
-              Long.MaxValue / 4000L }
+              (Long.MaxValue / 4000L, true) }
           val wmUs = wmMs * 1000L
           // the batch operator's greedy chain over the buffered events
           def resolve(): Option[Vector[Long]] = {
@@ -309,11 +329,17 @@ object EventStreams {
             // needing another event from this user).
             // single division AFTER the sum: two independent floors could
             // land the timer ~1 ms before the horizon, firing a wake-up
-            // whose expiry check then fails (review r14)
-            val targetMs = pendingTimeoutMs
-              .getOrElse((lastUs + idleTtlMicros) / 1000L + 1L)
-            state.setTimeoutTimestamp(
-              math.max(targetMs, state.getCurrentWatermarkMs() + 1L))
+            // whose expiry check then fails (review r14).
+            // NOT in batch: the one-shot replay has no timers, and BOTH
+            // getCurrentWatermarkMs and setTimeoutTimestamp throw without
+            // a watermark — reachable whenever a backfill leaves
+            // unexpired state, e.g. a raised idleTtlMicros (r19 review;
+            // the wmMs fallback above already knows the mode)
+            if (!isBatch)
+              state.setTimeoutTimestamp(math.max(
+                pendingTimeoutMs
+                  .getOrElse((lastUs + idleTtlMicros) / 1000L + 1L),
+                wmMs + 1L))
           } else state.remove()
           hits.iterator
       }

@@ -209,6 +209,56 @@ class JoinOpsSpec extends AnyFunSuite with GenCheck {
     assert(got === vals.map(v => Math.floorDiv(v, w)))
   }
 
+  test("asof NULL timestamps: null-ts right rows never phantom-match, null-ts left rows emit null (r19 review)") {
+    // right row id=7 has a NULL ts — under asc (backward) ordering it
+    // sorted to the partition HEAD and last(ignoreNulls) handed its
+    // payload to left rows with no real match
+    val left = Seq((1L, 0L, Option(5L), 10L), (2L, 0L, Option(100L), 11L),
+        (3L, 0L, Option.empty[Long], 12L))
+      .toDF("id", "key", "ts", "v")
+    val right = Seq((7L, 0L, Option.empty[Long], 777L),
+        (8L, 0L, Option(50L), 888L))
+      .toDF("id", "key", "ts", "v")
+    val b = AsofJoin.backward(left, right, "key", "key", "ts", "ts", "id",
+        payload = Seq("v"))
+      .select("id", "asof_ts", "asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(2)))).toMap
+    assert(b(1L) === None, "left ts=5 precedes every real right row")
+    assert(b(2L) === Some(888L))
+    assert(b(3L) === None, "a null-ts left row has no as-of position")
+    // forward: desc ordering sorted the null-ts LEFT row to the END,
+    // where it inherited the last payload as a phantom match
+    val f = AsofJoin.forward(left, right, "key", "key", "ts", "ts", "id",
+        payload = Seq("v"))
+      .select("id", "asof_ts", "asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(2)))).toMap
+    assert(f(1L) === Some(888L))
+    assert(f(2L) === None, "left ts=100 follows every real right row")
+    assert(f(3L) === None)
+    val n = AsofJoin.nearest(left, right, "key", "key", "ts", "ts", "id",
+        "id", payload = Seq("v"))
+      .select("id", "asof_ts", "asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(2)))).toMap
+    assert(n(1L) === Some(888L) && n(2L) === Some(888L) && n(3L) === None)
+  }
+
+  test("asof nearest: sentinel-extreme timestamps cannot overflow the distance compare (r19 review)") {
+    // right holds a genuine match at ts=0 and a far-future open-interval
+    // sentinel; the left instant is negative, so a raw long subtraction
+    // MaxValue - (-1000) wraps negative and the sentinel would win
+    val left = Seq((1L, 0L, -1000L, 0L)).toDF("id", "key", "ts", "v")
+    val right = Seq((10L, 0L, 0L, 111L), (11L, 0L, Long.MaxValue, 222L))
+      .toDF("id", "key", "ts", "v")
+    val got = AsofJoin.nearest(left, right, "key", "key", "ts", "ts",
+        "id", "id", payload = Seq("v"))
+      .select("asof_v").head()
+    assert(got.getLong(0) === 111L,
+      "the ts=0 row is 1000 nanos away; the sentinel is ~2^63")
+  }
+
   test("asof fails fast on output-name collisions (r18 review)") {
     val left = Seq((1L, 10L, "x")).toDF("k", "ts", "asof_note")
     val right = Seq((1L, 5L, 100L, "p")).toDF("k", "ts", "rid", "note")

@@ -1004,5 +1004,46 @@ class StreamingSpec extends AnyFunSuite {
       .map { case (u, t1, t2) => (u, Seq(t1, t2)) }.toSet
     assert(got === viaBatch)
     assert(got === Set((1L, Seq(10000L, 20000L)), (2L, Seq(21000L, 22000L))))
+    // a raised TTL leaves user 3's partial chain UNEXPIRED in batch —
+    // the timeout arming must not touch the (absent) watermark APIs
+    // (r19 review: getCurrentWatermarkMs/setTimeoutTimestamp both throw
+    // in batch execution, so a backfill with the scaladoc's own
+    // effectively-unbounded TTL crashed)
+    val gotTtl = graft.streaming.EventStreams.funnelStateBuffered(
+        logical.toDS(), Seq("a", "b"), delay = "1 second",
+        idleTtlMicros = Long.MaxValue / 2)
+      .collect().map(h => (h.user_id, h.step_us)).toSet
+    assert(gotTtl === got)
+  }
+
+  test("streaming guards mirror the batch operators' fail-fasts (r19 review)") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.TypedEvent
+    val ds = Seq(TypedEvent(1L, new java.sql.Timestamp(1L), "a")).toDS()
+    // non-positive completion window: silent zero conversions otherwise
+    assertThrows[IllegalArgumentException] {
+      EventStreams.funnelState(ds, Seq("a", "b"), withinMicros = Some(0L))
+    }
+    assertThrows[IllegalArgumentException] {
+      EventStreams.funnelStateBuffered(ds, Seq("a", "b"),
+        withinMicros = Some(-5L))
+    }
+    // empty key list: crashed streaming with a bare NoSuchElement,
+    // silently whole-row-deduped batch
+    assertThrows[IllegalArgumentException] {
+      EventStreams.dedupWithinWatermark(
+        Seq((1L, 1L)).toDF("user_id", "ts"), "1 second", Nil)
+    }
+    // batch arm normalizes event time exactly like the streaming arm: an
+    // integral nanos ts column must come back as a TIMESTAMP, not leak
+    // the raw long into the backfill sink (r19 review)
+    val nanos = Seq((1L, 1000000000L), (1L, 1000000000L), (2L, 2000000000L))
+      .toDF("user_id", "ts")
+    val deduped = EventStreams.dedupWithinWatermark(nanos, "1 second",
+      Seq("user_id", "ts"))
+    assert(deduped.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType,
+      deduped.schema.treeString)
+    assert(deduped.count() === 2)
   }
 }
