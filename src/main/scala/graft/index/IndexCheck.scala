@@ -102,11 +102,16 @@ object IndexCheck {
         .foreach { case (flag, msg) =>
           val bad = flagged.filter(col(flag))
             .select(col("value").cast("string"), col("chunk"))
-            .take(SampleN + 1)
+            .take(SampleN)
           if (bad.nonEmpty) {
             val n = flagged.filter(col(flag)).count()
-            val sample = bad.take(SampleN)
-              .map(r => s"(${r.getString(0)}, ${r.getLong(1)})").mkString(" ")
+            // null-safe rendering: the checker must REPORT a null chunk
+            // (one corruption class it exists for), not NPE on it
+            // (r19 review)
+            val sample = bad
+              .map(r => "(" + r.getString(0) + ", " +
+                (if (r.isNullAt(1)) "null" else r.getLong(1).toString) + ")")
+              .mkString(" ")
             issues += s"$msg: $n chunk(s), e.g. $sample"
           }
         }

@@ -55,7 +55,15 @@ object SecondaryIndex {
     * [[appendSegment]]. */
   private def postings(df: DataFrame, valueCol: String,
                        keyCol: String): DataFrame = {
-    val key = col(keyCol).cast("long")
+    // a NULL rowid key silently corrupts the index (cnt counts the row,
+    // collect_list drops it — calcCount then disagrees with what lookups
+    // can ever return); fail loudly per offending row, zero cost on the
+    // non-null path (r19 review). NULL VALUES are legitimate — the facet
+    // route must carry the null group exactly as groupBy(col) does.
+    val key = when(col(keyCol).isNull, raise_error(lit(
+        s"secondary index build: NULL $keyCol — the rowid key must " +
+          "identify every row; filter or repair null-key rows first")))
+      .otherwise(col(keyCol)).cast("long")
     // floor division via (k - pmod(k, W)) / W — exact in long arithmetic,
     // so negative keys chunk correctly (for non-negative keys this is
     // plain `div`). Built from Column ops, never a SQL string: a

@@ -51,7 +51,10 @@ object Derived {
     * through the Hadoop FileSystem API, so a derived root on HDFS/S3A
     * works the same as the local default. */
   def tablePath(spark: SparkSession, sfDir: String, name: String): String =
-    built.getOrElseUpdate(s"${sfKey(sfDir)}/$name", {
+    // root is part of the memo key: a test that repoints
+    // graft.derived.root mid-JVM must not be served paths built under
+    // the previous root (r19 review)
+    built.getOrElseUpdate(s"$root/${sfKey(sfDir)}/$name", {
       val path = s"$root/${sfKey(sfDir)}/$name"
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -66,7 +66,11 @@ object Writer {
       d.withColumn(name + HashSuffix, companionHash(col(name)))
     }
     val clustered =
-      if (sortBy.isEmpty) withHashes.coalesce(files)
+      // repartition, not coalesce (r19 review): coalesce cannot RAISE the
+      // file count and, being a narrow dependency, collapses the whole
+      // upstream computation into `files` tasks — a files=1 write of an
+      // expensive frame would serialize the entire job
+      if (sortBy.isEmpty) withHashes.repartition(files)
       else withHashes
         .repartitionByRange(files, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
@@ -98,7 +102,15 @@ object Writer {
                     files: Int = 16, zBits: Int = 8,
                     format: String = "parquet"): Unit = {
     require(zCols.size >= 2, "z-ordering needs at least two columns")
-    require(zBits >= 1 && zBits <= 16, s"zBits out of range: $zBits")
+    // 10 is an EXECUTABILITY cap, not just a range check (r19 review):
+    // bucketOf builds a 2^zBits-term comparison chain per column, so
+    // zBits=16 meant a ~2M-node expression tree (driver StackOverflow /
+    // Janino limits) and a 65535-boundary approxQuantile sketch; 1024
+    // equi-depth buckets per dimension already out-resolves any
+    // file-level clustering target by orders of magnitude
+    require(zBits >= 1 && zBits <= 10, s"zBits out of range [1, 10]: " +
+      s"$zBits (2^zBits comparison terms per column must stay " +
+      "codegen-sized; 1024 buckets/dim out-resolves file-level clustering)")
     // the Morton interleave packs bit j of column i at position j*d+i in
     // ONE long; past bit 62 the shift would wrap mod 64 (colliding
     // columns on the same bit) or set the SIGN bit (reversing the range
@@ -134,7 +146,11 @@ object Writer {
     }
     // Morton interleave: bit j of column i lands at position j*d + i —
     // all shift amounts are Scala literals, so this stays one codegen'd
-    // arithmetic expression per row
+    // arithmetic expression per row. bucketOf(c) is INLINED per bit term
+    // deliberately: codegen's subexpression elimination emits the
+    // 2^zBits-term chain once per column (a named-column rewrite was
+    // measured to defeat the method splitting and blow Janino's 64 KB
+    // limit at zBits = 8 — r19); the zBits cap above bounds the tree
     val d = zCols.size
     val z = zCols.zipWithIndex.map { case (c, i) =>
       val b = bucketOf(c)

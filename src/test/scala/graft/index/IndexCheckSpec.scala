@@ -36,6 +36,29 @@ class IndexCheckSpec extends AnyFunSuite {
     assert(r.chunks > 0)
   }
 
+  test("a NULL-chunk posting row is REPORTED, not an NPE; null-key builds refuse (r19 review)") {
+    // a null chunk is exactly the shape a null-rowid build used to
+    // produce — the checker must render it in the sample, not crash
+    val bad = corrupt(df => df.unionByName(
+      df.limit(1).select(lit("vX").as("value"),
+        lit(null).cast("long").as("chunk"), lit(3L).as("cnt"),
+        expr("array()").cast("array<long>").as("rowids"),
+        lit(null).cast("long").as("chunk_min"),
+        lit(null).cast("long").as("chunk_max"))))
+    val r = IndexCheck.check(SparkT.spark, bad)
+    assert(!r.ok)
+    assert(r.issues.exists(_.contains("null")), r.issues)
+    // and the build path now refuses the null key up front
+    val d2 = Files.createTempDirectory("graft-icheck-nk").resolve("i").toString
+    val nullKey = Seq(("v0", Option(1L)), ("v1", Option.empty[Long]))
+      .toDF("value", "key")
+    val ex = intercept[Exception] {
+      SecondaryIndex.build(nullKey, "value", "key", d2)
+    }
+    assert(ex.getMessage != null && (ex.getMessage.contains("NULL key") ||
+      ex.getMessage.contains("NULL")), ex.getMessage)
+  }
+
   test("cnt != len(rowids) is caught") {
     val bad = corrupt(_.withColumn("cnt",
       when(col("chunk") === 0 && col("value") === "v0", col("cnt") + 1)

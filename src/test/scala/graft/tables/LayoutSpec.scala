@@ -172,5 +172,15 @@ class LayoutSpec extends AnyFunSuite {
       Skew.saltedJoin(big, small, "k", "sk", parts = 0))
     intercept[IllegalArgumentException](
       Skew.saltedJoin(big, small, "k", "sk", parts = -4))
+    // the admitted MAX must actually execute (r19 review: the range check
+    // admitted zBits=16 whose 2M-node expression tree the implementation
+    // could never compile) — codegen.fallback=false in tests makes any
+    // Janino failure here fatal, so this pins executability at the cap
+    val dir10 = java.nio.file.Files.createTempDirectory("layout-z10").toString
+    Writer.writeZOrdered((0L until 200L).map(i => (i, i % 7, i % 11))
+      .toDF("id", "x", "y"), dir10, Seq("x", "y"), zBits = 10, files = 2)
+    assert(SparkT.spark.read.parquet(dir10).count() === 200)
+    intercept[IllegalArgumentException](
+      Writer.writeZOrdered(big, dir10, Seq("id", "k"), zBits = 11))
   }
 }
