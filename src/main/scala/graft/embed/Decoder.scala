@@ -446,6 +446,11 @@ object Decoder {
     while (keys.hasNext) {
       if (keys.next().startsWith(path + "#")) { keys.remove(); removed = true }
     }
+    // the default-pooling memo is part of the checkpoint's identity: a
+    // hot-swapped artifact whose config.json changes pooling would
+    // otherwise reload under the STALE default and silently pool wrong
+    // (r19 review)
+    poolDefaults.remove(path)
     removed
   }
 }

@@ -98,22 +98,18 @@ object Embeddings {
                                             seed: Long = 42L,
                                             normalize: Boolean = true)
       extends TextToEmbeddings {
-    @transient private lazy val proj: Array[Array[Float]] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(vocabDim)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    }
+    // ONE definition of each kernel: the matrix is LocalModel's Gaussian
+    // init and the projection is the shared bag-of-buckets kernel — a fix
+    // to either must not miss this provider (r19 review)
+    @transient private lazy val proj: Array[Array[Float]] =
+      LocalModel.gaussianWeights(vocabDim, dim, seed)
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
       val counts = scala.collection.mutable.LongMap.empty[Int]
       t.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
         val b = hashBucket(tok, vocabDim)
         counts(b) = counts.getOrElse(b.toLong, 0) + 1
       }
-      val v = new Array[Float](dim)
-      counts.foreach { case (b, c) =>
-        val row = proj(b.toInt)
-        var i = 0
-        while (i < dim) { v(i) += c * row(i); i += 1 }
-      }
+      val v = projectCounts(proj, dim, counts)
       if (normalize) l2NormalizeInPlace(v)
       v
     }

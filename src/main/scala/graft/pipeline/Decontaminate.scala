@@ -82,6 +82,10 @@ object Decontaminate {
     val corpusPostings = corpus
       .select(col(corpusIdCol).cast("long").as("corpus_id"),
         col(corpusTextCol).as("__text"))
+      // a null (or non-castable) corpus id crashes the non-nullable tuple
+      // encoder; the eval side and clean()'s anti-join tolerate nulls, so
+      // the kernel side must too (r19 review)
+      .filter(col("corpus_id").isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         Dedup.shinglesScala(text, shingleN).map(s => (id, s))

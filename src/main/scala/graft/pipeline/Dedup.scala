@@ -125,6 +125,7 @@ object Dedup {
     df.filter(size(col(shingleCol)) > 0)
       .repartition(width)
       .select(col(idCol).cast("long").as("mid"), col(shingleCol).as("sh"))
+      .filter(col("mid").isNotNull) // null id would crash the encoder
       .as[(Long, Seq[String])]
       .flatMap { case (id, sh) =>
         bandKeysScala(sh, k, bands).iterator.zipWithIndex
@@ -228,7 +229,11 @@ object Dedup {
   private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int): DataFrame = {
     import df.sparkSession.implicits._
+    // null (or non-castable) ids crash the non-nullable tuple encoder —
+    // filter them like clusters() does (r19 review; the expression-tree
+    // twins tolerate nulls, so the kernels must too)
     df.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .filter(col(idCol).isNotNull)
       .as[(Long, String)]
       .map { case (id, t) => (id, shinglesScala(t, shingleN)) }
       .toDF(idCol, "sh")
@@ -493,6 +498,7 @@ object Dedup {
     val withFp = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("sid"), col(textCol))
+      .filter(col("sid").isNotNull) // null id would crash the encoder
       .as[(Long, String)]
       // a sub-shingleN doc has NO shingles; the majority-vote tie rule
       // would give every such doc the identical all-ones fingerprint and
@@ -536,6 +542,7 @@ object Dedup {
     val withFp = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("sid"), col(textCol))
+      .filter(col("sid").isNotNull) // null id would crash the encoder
       .as[(Long, String)]
       // empty shingle sets never pair (see simhashPairs)
       .flatMap { case (id, t) =>
@@ -617,8 +624,14 @@ object Dedup {
       case Some(rc) =>
         Some(if (rc > BigInt(Long.MaxValue)) Long.MaxValue
              else math.max(1L, rc.toLong))
-      case None if st.sizeInBytes >= BigInt(Long.MaxValue) / 4 =>
-        None // the unknown-stats sentinel (or a propagated product of it)
+      case None if st.sizeInBytes >= BigInt(1L << 50) =>
+        // the unknown-stats sentinel, OR any scaled product of it: a
+        // Project above a stats-less leaf multiplies Long.MaxValue by its
+        // width ratio, so a fixed MaxValue/4 cut was defeated by any
+        // >=4x column pruning (r19 review). 2^50 bytes = 1 PiB per
+        // DataFrame — beyond it the estimate is an artifact, and the
+        // dispatcher's conservative blocked branch is the right answer.
+        None
       case None =>
         // defaultSize counts an ARRAY column as ONE element (4 bytes for
         // array<float>) — dividing by that inflates the row estimate
@@ -1007,7 +1020,12 @@ object Dedup {
     // Persist across the self-join: the `planes` hyperplane dot products
     // per row otherwise evaluate once per join side.
     val banded = materialized(
+      // NULL vectors never band: the exact branch's CosineSimilarity is
+      // nullSafeEval (null pairs simply filter out), and the kernel
+      // dereferencing a null row would kill the job — behavior must not
+      // flip with the dispatch (r19 review)
       df.select(col(idCol).as("mid"), col(vecCol))
+        .filter(col(vecCol).isNotNull)
         .mapPartitions { it =>
           val hp = hpB.value
           it.flatMap { r =>

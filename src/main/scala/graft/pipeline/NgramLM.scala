@@ -233,8 +233,16 @@ object NgramLM {
   def writeLM(df: DataFrame, textCol: String, path: String,
               n: Int = 3): Unit =
     train(df, textCol, n)
-      .repartitionByRange(col("kind"), col("key"))
-      .sortWithinPartitions(col("kind"), col("key"))
+      // scalar rows ('n', 'd') must sort FIRST in the store too: plain
+      // kind order is c < d < g < n, which parks them behind the whole
+      // vocabulary and turns scoreDocs' bounded limit-2 fetch into a
+      // near-full store sweep per scoring call (r19 review)
+      .withColumn("__rank",
+        when(col("kind") === "n", 0).when(col("kind") === "d", 1)
+          .when(col("kind") === "c", 2).otherwise(3))
+      .repartitionByRange(col("__rank"), col("key"))
+      .sortWithinPartitions(col("__rank"), col("key"))
+      .drop("__rank")
       .write.mode("overwrite").parquet(path)
 
   /** [[scoreDocs]] against a persisted model — the crawl-ingest flow: the
