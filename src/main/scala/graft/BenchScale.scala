@@ -783,21 +783,32 @@ object BenchScale {
         f"probed $meanProbed%.1f/$subGraphs sub-graphs  ok=$floorOk")
       // --- augmented-space ADC batch join, broadcast vs distributed ---
       val aIdx = s"$dst/ivfpq_ip_budget"
-      // coarse model L2 over the augmented companion (the IP ADC layout);
-      // dim 64 + 1 = 65 = 5·13 → subM = 5
-      val aug = Ivf.ipAugmentedCompanion(emb, "embedding", "embaug")
-      val am = Ivf.train(aug, "embaug", nlist = 32)
       val aDone = new org.apache.hadoop.fs.Path(aIdx, "_SUCCESS")
       val aFs = aDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val apq =
-        if (!aFs.exists(aDone))
-          Ivf.buildIndexPq(emb, "embedding", "vec_id", am, aIdx,
+      // the trained (coarse, pq) pair persists BESIDE the index it coded
+      // (ADVICE r19): distributed float k-means is not bitwise
+      // reproducible across runs, so a reuse branch that retrains would
+      // pair fresh models with a PREVIOUS run's codes and skew the
+      // broadcast-vs-distributed telemetry; a sidecar-less index (older
+      // layout) rebuilds rather than guesses
+      val aModels = new org.apache.hadoop.fs.Path(aIdx, "_GRAFT_BENCH_MODELS")
+      val (am, apq) =
+        if (!aFs.exists(aDone) || !aFs.exists(aModels)) {
+          // coarse model L2 over the augmented companion (the IP ADC
+          // layout); dim 64 + 1 = 65 = 5·13 → subM = 5
+          val aug = Ivf.ipAugmentedCompanion(emb, "embedding", "embaug")
+          val am0 = Ivf.train(aug, "embaug", nlist = 32)
+          val apq0 = Ivf.buildIndexPq(emb, "embedding", "vec_id", am0, aIdx,
             subM = 5, metric = Knn.IP)
-        else {
-          val assigned = Ivf.assign(aug, "embaug", am)
-            .withColumn("ivf_res",
-              Ivf.residualCol(col("embaug"), col("ivf_cluster"), am))
-          graft.vector.Quantize.trainPq(assigned, "ivf_res", "vec_id", m = 5)
+          val oos = new java.io.ObjectOutputStream(aFs.create(aModels, true))
+          try { oos.writeObject(am0); oos.writeObject(apq0) }
+          finally oos.close()
+          (am0, apq0)
+        } else {
+          val ois = new java.io.ObjectInputStream(aFs.open(aModels))
+          try (ois.readObject().asInstanceOf[Ivf.Model],
+            ois.readObject().asInstanceOf[graft.vector.Quantize.PqModel])
+          finally ois.close()
         }
       val aQueries = emb.selectExpr("vec_id as qid", "embedding as qvec")
       def runIp(): Double = {

@@ -58,12 +58,22 @@ object SecondaryIndex {
     // a NULL rowid key silently corrupts the index (cnt counts the row,
     // collect_list drops it — calcCount then disagrees with what lookups
     // can ever return); fail loudly per offending row, zero cost on the
-    // non-null path (r19 review). NULL VALUES are legitimate — the facet
-    // route must carry the null group exactly as groupBy(col) does.
+    // non-null path (r19 review). The guard sits on the POST-cast value
+    // (ADVICE r19): under non-ANSI casting a garbage string key casts to
+    // NULL, which a pre-cast guard waves through into the exact
+    // corruption it exists to stop — try_cast keeps that path reachable
+    // (and loud) even when ANSI mode would itself have thrown. NULL
+    // VALUES are legitimate — the facet route must carry the null group
+    // exactly as groupBy(col) does.
+    val casted = col(keyCol).try_cast("long")
     val key = when(col(keyCol).isNull, raise_error(lit(
         s"secondary index build: NULL $keyCol — the rowid key must " +
           "identify every row; filter or repair null-key rows first")))
-      .otherwise(col(keyCol)).cast("long")
+      .when(casted.isNull, raise_error(concat(lit(
+        s"secondary index build: non-castable $keyCol value '"),
+        col(keyCol).cast("string"),
+        lit("' — the rowid key must cast to LONG for every row"))))
+      .otherwise(casted)
     // floor division via (k - pmod(k, W)) / W — exact in long arithmetic,
     // so negative keys chunk correctly (for non-negative keys this is
     // plain `div`). Built from Column ops, never a SQL string: a

@@ -66,11 +66,25 @@ object Writer {
       d.withColumn(name + HashSuffix, companionHash(col(name)))
     }
     val clustered =
-      // repartition, not coalesce (r19 review): coalesce cannot RAISE the
-      // file count and, being a narrow dependency, collapses the whole
-      // upstream computation into `files` tasks — a files=1 write of an
-      // expensive frame would serialize the entire job
-      if (sortBy.isEmpty) withHashes.repartition(files)
+      // only shuffle when the layout demands it (ADVICE r19): a frame
+      // already at `files` partitions writes as-is; raising the count
+      // needs repartition (coalesce cannot raise, and its narrow
+      // dependency would collapse upstream compute into `files` tasks —
+      // the r19 files=1 serialization hazard); shrinking defaults to the
+      // shuffle-free coalesce (the writer's common case is a cheap
+      // scan/projection frame, and the write itself is `files` tasks
+      // either way), with `spark.graft.write.shuffleShrink=true` opting
+      // an EXPENSIVE upstream frame into repartition so its compute
+      // keeps its parallelism and only the writes narrow
+      if (sortBy.isEmpty) {
+        val cur = withHashes.rdd.getNumPartitions
+        if (cur == files) withHashes
+        else if (cur < files) withHashes.repartition(files)
+        else if (df.sparkSession.conf
+            .getOption("spark.graft.write.shuffleShrink")
+            .exists(_.toBoolean)) withHashes.repartition(files)
+        else withHashes.coalesce(files)
+      }
       else withHashes
         .repartitionByRange(files, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)

@@ -57,6 +57,17 @@ class IndexCheckSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null && (ex.getMessage.contains("NULL key") ||
       ex.getMessage.contains("NULL")), ex.getMessage)
+    // a NON-CASTABLE key (garbage string) try_casts to null — the
+    // post-cast guard must refuse it too instead of silently building a
+    // corrupt index (ADVICE r19: the pre-cast guard waved it through)
+    val d3 = Files.createTempDirectory("graft-icheck-gk").resolve("i").toString
+    val garbageKey = Seq(("v0", "1"), ("v1", "not-a-number"))
+      .toDF("value", "key")
+    val ex2 = intercept[Exception] {
+      SecondaryIndex.build(garbageKey, "value", "key", d3)
+    }
+    assert(ex2.getMessage != null &&
+      ex2.getMessage.contains("non-castable"), ex2.getMessage)
   }
 
   test("cnt != len(rowids) is caught") {

@@ -28,6 +28,32 @@ class TablesSpec extends AnyFunSuite {
     assert(keys.toSeq === keys.sorted.toSeq)
   }
 
+  test("unsorted write shuffles only when the file count must change (ADVICE r19)") {
+    val df = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    def parts(dir: String): Int =
+      SparkT.spark.read.parquet(dir)
+        .select(input_file_name()).distinct().count().toInt
+    // raise: 2 -> 4 needs repartition (coalesce cannot raise)
+    val up = tmpDir().resolve("up").toString
+    Writer.write(df.repartition(2), up, sortBy = Nil, files = 4)
+    assert(parts(up) === 4)
+    // equal: 4 -> 4 writes as-is, no reshape
+    val eq = tmpDir().resolve("eq").toString
+    Writer.write(df.repartition(4), eq, sortBy = Nil, files = 4)
+    assert(parts(eq) === 4)
+    // shrink: 8 -> 2 is the shuffle-free coalesce by default, and the
+    // repartition opt-in for expensive frames lands the same layout
+    val down = tmpDir().resolve("down").toString
+    Writer.write(df.repartition(8), down, sortBy = Nil, files = 2)
+    assert(parts(down) === 2)
+    SparkT.spark.conf.set("spark.graft.write.shuffleShrink", "true")
+    try {
+      val down2 = tmpDir().resolve("down2").toString
+      Writer.write(df.repartition(8), down2, sortBy = Nil, files = 2)
+      assert(parts(down2) === 2)
+    } finally SparkT.spark.conf.unset("spark.graft.write.shuffleShrink")
+  }
+
   test("hash companion column: xxhash64, empty string = 0, NULL stays NULL") {
     val dir = tmpDir().resolve("t2").toString
     val df = Seq(Some("abc"), Some(""), None).toDF("s")
