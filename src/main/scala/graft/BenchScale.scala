@@ -754,6 +754,17 @@ object BenchScale {
       val k = 10
       var recSum = 0.0
       var probedSum = 0L
+      // r20 (VERDICT r19): JOBS-PER-ROUTED-SEARCH — each round of the
+      // doubling probe schedule is one driver job launch (~100 ms of
+      // scheduling on a real cluster); at the default probeBatch=1 the
+      // round count is bounded by log2(probed)+1, and a deployment sizes
+      // spark.graft.graph.probeBatch toward its expected probe count to
+      // collapse rounds toward 1 (HnswSpec pins identical rows in fewer
+      // jobs). The pin here records the bound holds per search.
+      var roundsSum = 0L
+      var roundsBoundOk = true
+      def log2floor(x: Long): Long =
+        63L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
       qs.foreach { case (_, qv) =>
         val q = qv.toArray
         // tie-inclusive exact IP top-k (replica jitter ⇒ near-ties)
@@ -761,8 +772,12 @@ object BenchScale {
           .select(col("vec_id"), col("dist")).as[(Long, Double)].collect()
         val dk = nn(k - 1)._2
         val tieSet = nn.iterator.filter(_._2 <= dk + 1e-9).map(_._1).toSet
+        val r0 = Hnsw.probeRounds.get()
         val (routedDf, probed) = Hnsw.searchRouted(spark, gIdx,
           "vec_id", q, k, ef = 64)
+        val rounds = Hnsw.probeRounds.get() - r0
+        roundsSum += rounds
+        roundsBoundOk &&= rounds <= log2floor(probed) + 1
         val got = routedDf.select(col("vec_id")).as[Long].collect().toSet
         recSum += got.count(tieSet.contains).toDouble / k
         probedSum += probed
@@ -772,6 +787,7 @@ object BenchScale {
       val subGraphs = spark.read.parquet(Hnsw.routePath(gIdx)).count()
       val floorOk = meanRecall >= 0.95
       allOk &&= floorOk
+      allOk &&= roundsBoundOk
       ipBlock.put("graph_ef", 64); ipBlock.put("k", k)
       ipBlock.put("queries", qs.length)
       ipBlock.put("graph_mean_recall", math.round(meanRecall * 1e4) / 1e4)
@@ -779,8 +795,14 @@ object BenchScale {
         math.round(meanProbed * 100) / 100.0)
       ipBlock.put("graph_total_subgraphs", subGraphs)
       ipBlock.put("graph_floor_ok", floorOk)
+      ipBlock.put("mean_probe_rounds",
+        math.round(roundsSum * 100.0 / qs.length) / 100.0)
+      ipBlock.put("probe_batch", 1)
+      ipBlock.put("probe_rounds_bound_ok", roundsBoundOk)
       println(f"IP graph recall@10 ef=64: $meanRecall%.4f  " +
-        f"probed $meanProbed%.1f/$subGraphs sub-graphs  ok=$floorOk")
+        f"probed $meanProbed%.1f/$subGraphs sub-graphs  " +
+        f"rounds ${roundsSum.toDouble / qs.length}%.1f (bound ok=" +
+        f"$roundsBoundOk)  ok=$floorOk")
       // --- augmented-space ADC batch join, broadcast vs distributed ---
       val aIdx = s"$dst/ivfpq_ip_budget"
       val aDone = new org.apache.hadoop.fs.Path(aIdx, "_SUCCESS")
@@ -925,6 +947,72 @@ object BenchScale {
         g.put("floor_ok", floorOk)
         println(f"graph recall@10 ef=64 AT 25x: $meanRecall%.4f  " +
           f"probed $meanProbed%.1f/$subGraphs sub-graphs  ok=$floorOk")
+      }
+      // r20 (VERDICT r19 #3): IP recall at the SECOND scaling decade —
+      // the 10x ip_deep_scale block pins the routed-IP floor at 32
+      // sub-graphs; this row re-measures the Cauchy–Schwarz + sphere
+      // bound pair's probe economy where the schedule widens to 80, same
+      // beam width and tie-inclusive protocol.
+      locally {
+        import graft.vector.{Hnsw, Knn}
+        val embPath = s"$dst25/embeddings.parquet"
+        val idxPath = s"$dst25/hnswc_ip_recall64"
+        val done = new org.apache.hadoop.fs.Path(
+          Hnsw.routePath(idxPath), "_SUCCESS")
+        val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(done))
+          // partitions scale with the corpus (the graph_recall_25x
+          // rationale): per-sub-graph rows match the 10x IP index's
+          Hnsw.buildIndexClustered(spark.read.parquet(embPath), "embedding",
+            "vec_id", idxPath, Hnsw.Params(m = 8, efC = 64, partitions = 80),
+            Knn.IP)
+        val emb = spark.read.parquet(embPath)
+        import spark.implicits._
+        val qs = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val k = 10
+        var recSum = 0.0
+        var probedSum = 0L
+        var roundsSum = 0L
+        var roundsBoundOk = true
+        def log2floor(x: Long): Long =
+          63L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+        qs.foreach { case (_, qv) =>
+          val q = qv.toArray
+          val nn = Knn.knn(emb, "embedding", "vec_id", q, 20 * k, Knn.IP)
+            .select(col("vec_id"), col("dist")).as[(Long, Double)].collect()
+          val dk = nn(k - 1)._2
+          val tieSet = nn.iterator.filter(_._2 <= dk + 1e-9).map(_._1).toSet
+          val r0 = Hnsw.probeRounds.get()
+          val (routedDf, probed) = Hnsw.searchRouted(spark, idxPath,
+            "vec_id", q, k, ef = 64)
+          val rounds = Hnsw.probeRounds.get() - r0
+          roundsSum += rounds
+          roundsBoundOk &&= rounds <= log2floor(probed) + 1
+          val got = routedDf.select(col("vec_id")).as[Long].collect().toSet
+          recSum += got.count(tieSet.contains).toDouble / k
+          probedSum += probed
+        }
+        val meanRecall = recSum / qs.length
+        val meanProbed = probedSum.toDouble / qs.length
+        val subGraphs = spark.read.parquet(Hnsw.routePath(idxPath)).count()
+        val floorOk = meanRecall >= 0.95
+        allOk &&= floorOk
+        allOk &&= roundsBoundOk
+        val g = root.putObject("ip_recall_25x")
+        g.put("factor", factor25)
+        g.put("ef", 64); g.put("k", k); g.put("queries", qs.length)
+        g.put("mean_recall", math.round(meanRecall * 1e4) / 1e4)
+        g.put("mean_probed_subgraphs", math.round(meanProbed * 100) / 100.0)
+        g.put("total_subgraphs", subGraphs)
+        g.put("floor_ok", floorOk)
+        g.put("mean_probe_rounds",
+          math.round(roundsSum * 100.0 / qs.length) / 100.0)
+        g.put("probe_rounds_bound_ok", roundsBoundOk)
+        println(f"IP graph recall@10 ef=64 AT 25x: $meanRecall%.4f  " +
+          f"probed $meanProbed%.1f/$subGraphs sub-graphs  " +
+          f"rounds ${roundsSum.toDouble / qs.length}%.1f  ok=$floorOk")
       }
     }
     root.put("loadavg_end", loadavg())

@@ -170,7 +170,49 @@ object SecondaryIndex {
     * index. The backup is removed only after the new layout is in place.
     * After compaction [[IndexCheck]]'s full invariant set (incl. (value,
     * chunk) uniqueness and cross-file clustering) holds again. */
-  def compact(spark: SparkSession, indexPath: String, files: Int = 1): Unit = {
+  def compact(spark: SparkSession, indexPath: String, files: Int = 1): Unit =
+    rewriteInPlace(spark, indexPath, files)(identity)
+
+  /** Row-DELETION maintenance (the reference invalidates and re-derives
+    * affected secondary indexes when rows mutate,
+    * secondary/secondary.cpp:414-434; DELETE is the flow this engine
+    * serves directly): subtract the deleted rowids from the postings IN
+    * PLACE. The index re-derives from its OWN exploded postings minus
+    * the deleted keys — one anti-join plus the canonical re-aggregation
+    * of INDEX rows; the fact table is never re-scanned (at 100 TB the
+    * index is orders of magnitude smaller than its fact). Correct on
+    * scalar AND MVA layouts: subtraction is by KEY, so a deleted row's
+    * postings vanish under every value it was posted under, and on
+    * segmented indexes every segment row drops its own copies (keys are
+    * unique per layout invariant 6). Same rename-swap crash protocol as
+    * [[compact]] — a crash leaves the old index intact at `<path>_old`
+    * — and the same onIndexMutated invalidation (re-register to resume
+    * routing). The caller owns the FACT side: rewrite/filter the fact
+    * table first, then delete its keys here ([[IndexCheck]]'s fact
+    * reconciliation catches the stale window in between).
+    *
+    * `deletedKeys` is any one-column-compatible frame; `keyCol` names
+    * the key column in it. NULL keys are ignored (they can never match
+    * a posting — builds refuse null rowids). */
+  def deleteKeys(spark: SparkSession, indexPath: String,
+                 deletedKeys: DataFrame, keyCol: String,
+                 files: Int = 1): Unit = {
+    val del = deletedKeys.select(col(keyCol).cast("long").as("__delkey"))
+      .filter(col("__delkey").isNotNull).distinct()
+    rewriteInPlace(spark, indexPath, files)(exploded =>
+      exploded.join(del, exploded("k") === del("__delkey"), "left_anti"))
+  }
+
+  /** Shared rewrite-and-swap body of [[compact]] and [[deleteKeys]]:
+    * explode the live postings to (value, k), apply `transform`,
+    * re-aggregate into a sibling dir, then swap via rename-to-backup +
+    * rename-in. The swap is two renames, not one atomic op, but the
+    * index data exists at SOME path at every instant: a crash between
+    * the renames leaves the old index intact at `<path>_old` (manual
+    * recovery = rename it back), never a destroyed index. */
+  private def rewriteInPlace(spark: SparkSession, indexPath: String,
+                             files: Int)
+                            (transform: DataFrame => DataFrame): Unit = {
     val tmp = indexPath + "_compacting"
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(indexPath)
@@ -181,14 +223,14 @@ object SecondaryIndex {
       s"$indexPath is manifest-managed (${manifestDir(indexPath)} exists): " +
         "use compactManifest — mixing the rename and manifest commit " +
         "schemes would strand readers on a stale generation")
-    // self-heal from a crash between the two renames of a prior compact:
+    // self-heal from a crash between the two renames of a prior rewrite:
     // the index then lives at _old and dst is missing — restore first
     if (!fs.exists(dst) && fs.exists(bak) && !fs.rename(bak, dst))
       throw new java.io.IOException(
         s"index missing at $indexPath and backup restore from $bak failed")
     val exploded = spark.read.parquet(indexPath)
       .select(col("value"), explode(col("rowids")).as("k"))
-    build(exploded, "value", "k", tmp, files)
+    build(transform(exploded), "value", "k", tmp, files)
     fs.delete(bak, true) // leftover backup from an interrupted prior swap
     if (!fs.rename(dst, bak))
       throw new java.io.IOException(s"could not back up $indexPath for swap")

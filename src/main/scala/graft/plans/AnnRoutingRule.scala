@@ -379,12 +379,15 @@ object AnnRouting {
     *
     * `vecCol`/`idCol` describe the base table for the unregistered
     * fallback; a registration's own column bindings win when present.
-    * `metric` governs the unregistered fallback; the graph/IVF families
-    * serve the metric their index was built with (their registration
-    * pinned it), and the flat quantized families REQUIRE `metric` to
-    * match their model's trained metric (r18 — their codes live in that
-    * metric's space; a mismatch is a loud error, never a
-    * wrong-space screen). Output contract matches every join leg:
+    * `metric` is the REQUESTED metric and dispatches exactly like the
+    * single-query route (r20 — `1−ip_score` keys route only to
+    * matching-metric registrations): a registration whose index was
+    * built for a DIFFERENT metric does not serve the join — the batch
+    * takes the same exact fullscan fallback an unregistered table does
+    * (previously the flat families crashed on the mismatch and the
+    * graph/IVF families silently served their own metric — the batch
+    * analog of the wrong-space screen the single-query dispatch
+    * refuses). Output contract matches every join leg:
     * (qIdCol, cIdCol, dist, rn), rn 1..k by (dist, id). */
   def knnJoin(spark: SparkSession, basePath: String,
               vecCol: String, idCol: String,
@@ -394,7 +397,7 @@ object AnnRouting {
     def renamed(df: DataFrame, from: String): DataFrame =
       if (from == cIdCol) df else df.withColumnRenamed(from, cIdCol)
     reg.get(qualify(spark, basePath)) match {
-      case Some(r) => r.family match {
+      case Some(r) if servingMetric(r.family) == metric => r.family match {
         case IvfFamily(model, nprobe, _, _) =>
           renamed(Ivf.knnJoin(spark, r.indexPath, model, queries,
             qIdCol, qVecCol, idCol, r.vecCol, k, nprobe), idCol)
@@ -432,7 +435,7 @@ object AnnRouting {
             qIdCol, qVecCol, cIdCol, fIdCol, r.vecCol, k, nprobe, refine,
             met)
       }
-      case None =>
+      case _ =>
         import org.apache.spark.sql.functions.col
         val fits = guardUnindexedJoin(spark, basePath, queries, qVecCol)
         Knn.knnJoinArm(queries,
@@ -440,6 +443,21 @@ object AnnRouting {
             .select(col(idCol).as(cIdCol), col(vecCol)),
           qIdCol, qVecCol, cIdCol, vecCol, k, metric, fits)
     }
+  }
+
+  /** The metric a registration's index serves — the join dispatch's
+    * routing key (every family pinned its metric at registration: the
+    * flat models carry their trained metric, the graph families their
+    * sidecar's, IVF its coarse model's, IVF-ADC its explicit marker). */
+  private def servingMetric(f: Family): Knn.Metric = f match {
+    case x: IvfFamily => x.model.metric
+    case x: GraphFamily => x.metric
+    case x: QGraphFamily => x.metric
+    case x: QuantFamily => x.model.metric
+    case x: Quant4Family => x.model.metric
+    case x: PqFamily => x.model.metric
+    case x: BinaryFamily => x.model.metric
+    case x: IvfPqFamily => x.metric
   }
 
   /** Unregistered-table joins that crossed the product threshold — spec

@@ -24,6 +24,37 @@ object IndexQueries {
       Some("SELECT o_orderkey, o_orderpriority FROM orders " +
         "WHERE o_orderpriority IN ('1-URGENT','2-HIGH')")),
 
+    // I9 DELETE maintenance (r20, VERDICT r19 #6): the orders_del fixture
+    // deleted o_orderkey % 10 = 3 from the fact AND subtracted those keys
+    // from the index via SecondaryIndex.deleteKeys (postings subtraction —
+    // never a fact re-scan); the lookup serves post-delete state exactly,
+    // and the oracle replays the delete predicate over the base table.
+    "q_index_delete" -> QueryDef(
+      (s, d) => {
+        val base = Derived.tablePath(s, d, "orders_del")
+        val keys = SecondaryIndex.lookupKeys(s, base + "_idx",
+          Seq("1-URGENT", "2-HIGH"))
+        SecondaryIndex.semiJoin(Derived.table(s, d, "orders_del"),
+            "o_orderkey", keys)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+      },
+      Some("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "AND o_orderkey % 10 <> 3")),
+
+    // I6 over the deleted index: CalcCount's stored per-chunk counts
+    // reflect the subtraction (cnt decrements rode the re-aggregation) —
+    // index-only, zero fact IO.
+    "q_index_delete_count" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val base = Derived.tablePath(s, d, "orders_del")
+        Seq(SecondaryIndex.calcCount(s, base + "_idx", Seq("3-MEDIUM")))
+          .toDF("cnt")
+      },
+      Some("SELECT count(*) AS cnt FROM orders " +
+        "WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 10 <> 3")),
+
     // I2/I3: rowid-window range probe — the per-chunk (chunk_min, chunk_max)
     // stats skip whole posting chunks before exploding anything (the
     // reference's block-level seek, secondary/blockreader.h:82-89).

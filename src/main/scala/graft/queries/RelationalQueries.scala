@@ -92,13 +92,18 @@ object RelationalQueries {
         "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')")),
 
     // F8/I5 analog at the relational level: anti join = inverted bitmap.
+    // r20 review: the anti side is restricted to BIG orders so the gate
+    // is NON-VACUOUS at every fixture SF (1/11/108 surviving customers
+    // at sf0.001/0.01/0.1) — the prior full-orders form matched zero
+    // rows, a pin an always-empty bug would have passed.
     "q_join_anti" -> QueryDef(
       (s, d) => t(s, d, "customer")
-        .join(t(s, d, "orders"),
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 250000.0),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey")),
       Some("SELECT c_custkey FROM customer c WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")),
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 250000.0)")),
 
     // H7 window: top-3 orders per customer (one shuffle on o_custkey,
     // deterministic via the o_orderkey tiebreak).
@@ -155,11 +160,15 @@ object RelationalQueries {
         "SELECT o_custkey AS key FROM orders " +
         "WHERE o_orderpriority = '1-URGENT'")),
 
+    // r20 review: same non-vacuous restriction as q_join_anti — the
+    // unrestricted form EXCEPTed to zero rows at every SF.
     "q_except" -> QueryDef(
       (s, d) => t(s, d, "customer").select(col("c_custkey").as("key"))
-        .except(t(s, d, "orders").select(col("o_custkey").as("key"))),
+        .except(t(s, d, "orders").filter(col("o_totalprice") > 250000.0)
+          .select(col("o_custkey").as("key"))),
       Some("SELECT c_custkey AS key FROM customer " +
-        "EXCEPT SELECT o_custkey AS key FROM orders")),
+        "EXCEPT SELECT o_custkey AS key FROM orders " +
+        "WHERE o_totalprice > 250000.0")),
 
     "q_intersect" -> QueryDef(
       (s, d) => t(s, d, "customer")

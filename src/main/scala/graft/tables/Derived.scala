@@ -139,6 +139,29 @@ object Derived {
     }, Seq(IndexMeta("", "orders", factIsDerived = false,
       "o_orderpriority", "o_orderkey"))),
 
+    // DELETE lifecycle fixture (r20, VERDICT r19 #6 — the reference
+    // invalidates and re-derives affected indexes when rows mutate,
+    // secondary/secondary.cpp:414-434): a fact copy of orders with a
+    // tenth of the keys DELETED, whose index was built over the FULL
+    // table first and then maintained through SecondaryIndex.deleteKeys
+    // — the subtraction path, never a fact re-scan. Every gate over this
+    // pair serves post-delete state, and the integrity sweep's fact
+    // reconciliation (IndexMeta below) proves the maintained index
+    // matches the rewritten fact exactly.
+    "orders_del" -> Entry((spark, sfDir, path) => {
+      val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      val deletePred = col("o_orderkey") % 10 === 3
+      // 1. the index exists over the pre-delete world
+      graft.index.SecondaryIndex.build(o, "o_orderpriority", "o_orderkey",
+        path + "_idx")
+      // 2. the fact rewrite deletes the rows
+      Writer.write(o.filter(!deletePred), path, sortBy = Seq("o_orderkey"))
+      // 3. the index subtracts exactly their keys (rename-swap commit)
+      graft.index.SecondaryIndex.deleteKeys(spark, path + "_idx",
+        o.filter(deletePred).select(col("o_orderkey")), "o_orderkey")
+    }, Seq(IndexMeta("_idx", "orders_del", factIsDerived = true,
+      "o_orderpriority", "o_orderkey"))),
+
     // Nullable derived table: last order timestamp per customer via LEFT
     // JOIN (NULL for the ~1/3 of TPC-H customers with no orders) — the
     // NOTNULL-via-index fixture — plus its index sibling on last_odate

@@ -962,6 +962,17 @@ object Hnsw {
     * kth-best once k hits are held (they can never re-enter — the kth best
     * only improves), stop when none remain. `probeFn` runs one probe round
     * over a pid set and returns its (id, dist, vec) candidates. */
+  /** Driver-side PROBE-ROUND counter across the flat and quantized
+    * routed schedules (r20 telemetry, VERDICT r19: each round of the
+    * doubling schedule is one driver job launch — ~1 ms locally, ~100 ms
+    * of scheduling on a real cluster. BENCH_SF1's `probe_rounds` block
+    * pins rounds ≤ log₂(probed)+1 per search at the default
+    * probeBatch=1; a deployment sizes `spark.graft.graph.probeBatch`
+    * toward its expected probe count to collapse the rounds toward 1 —
+    * exactness is unaffected, over-probing only wastes walk work the
+    * triangle-bound stop rule tolerates). */
+  val probeRounds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // k >= 1 at the schedule head (review r18-9): k = 0 reached
   // bestK.last on an empty Seq (and cands(k-1) = cands(-1) in the coarse
   // screen) — crash instead of an empty result; SQL LIMIT 0 never gets
@@ -1032,6 +1043,7 @@ object Hnsw {
       // sortBy (dist, id): the vector slot has no ordering
       bestK = (bestK ++ rows).sortBy(t => (t._1, t._2)).take(k)
       probed += probes.size
+      probeRounds.incrementAndGet()
       remaining = remaining.drop(batch)
       batch *= 2
     }
@@ -2051,6 +2063,7 @@ object Hnsw {
       val rows = prunedWalk(graph, layersOpt, probes.contains)(walk).collect()
       cands = (cands ++ rows).sortBy(identity).take(keep)
       probed += probes.size
+      probeRounds.incrementAndGet()
       remaining = remaining.drop(batch)
       batch *= 2
     }

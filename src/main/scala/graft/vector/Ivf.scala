@@ -254,6 +254,53 @@ object Ivf {
     m2
   }
 
+  /** Row-DELETION maintenance for the IVF families (the ANN analog of
+    * [[graft.index.SecondaryIndex.deleteKeys]]; the reference re-derives
+    * KNN indexes when their rows mutate — the RT segment flow,
+    * knn/knn.cpp:638-786): rewrite the clustered table WITHOUT the rows
+    * matching `pred` into a NEW manifest-committed generation. Survivor
+    * rows carry their cluster assignment (and, on an IVF-ADC table,
+    * their residual codes — both are per-row and deletion moves
+    * nothing), so the cost is ONE filtered rewrite of index rows: the
+    * coarse model never retrains, no distances recompute, and the fact
+    * side is the caller's (delete there first — [[VectorIndexCheck]]'s
+    * reconciliation catches the stale window). Probe order and
+    * exactness are unaffected: probes simply see fewer rows. The commit
+    * + generation sweep mirror [[compact]]'s, so readers never observe
+    * a half-deleted index; on an ADC table the serving-metric marker
+    * rides into the new generation. */
+  def deleteFromIndex(spark: SparkSession, indexPath: String,
+                      pred: org.apache.spark.sql.Column,
+                      files: Int = 4): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(conf)
+    val cur = resolve(spark, indexPath)
+    val curVersion = graft.index.SecondaryIndex.manifestVersions(fs, indexPath)
+      .headOption.map(_._1).getOrElse(0L)
+    val nextVersion = curVersion + 1
+    val next = s"${indexPath}__g$nextVersion"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true) // crashed attempt
+    graft.tables.Writer.write(
+      spark.read.parquet(cur).filter(!pred), next,
+      sortBy = Seq("ivf_cluster"), files = files)
+    // an ADC generation carries its serving-metric marker (searchPq and
+    // appends check it at the RESOLVED dir — a markerless IP generation
+    // would fail requireStoredMaxNorm loudly)
+    val mk = new org.apache.hadoop.fs.Path(cur, PqMetricMarker)
+    if (fs.exists(mk)) {
+      val in = fs.open(mk)
+      val body = try in.readAllBytes() finally in.close()
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(next, PqMetricMarker), true)
+      try out.write(body) finally out.close()
+    }
+    graft.index.SecondaryIndex.writeManifest(fs, indexPath, nextVersion,
+      new org.apache.hadoop.fs.Path(next).getName)
+    sweepGenerations(spark, indexPath, nextVersion, cur)
+    graft.plans.AnnRouting.onIndexMutated(spark, indexPath)
+  }
+
   /** The post-commit generation sweep shared by [[compact]] and
     * [[compactPq]]: delete stale dirs by name (orphans from a crash
     * between a past commit and its cleanup included), RETAINING the

@@ -70,6 +70,35 @@ class IndexCheckSpec extends AnyFunSuite {
       ex2.getMessage.contains("non-castable"), ex2.getMessage)
   }
 
+  test("DELETE flow: stale index caught by reconciliation, green and exact after deleteKeys (r20)") {
+    val base = Files.createTempDirectory("graft-icheck-del")
+    val idx = base.resolve("i").toString
+    val factAll = (0L until 4000L).map(k => (s"v${k % 4}", k))
+      .toDF("value", "key")
+    SecondaryIndex.build(factAll, "value", "key", idx)
+    val kept = factAll.filter(col("key") % 10 =!= 3)
+    // the fact rewrite deleted a tenth of the rows; the untouched index
+    // still posts their keys — reconciliation must flag the window
+    val stale = IndexCheck.check(SparkT.spark, idx,
+      fact = Some((kept, "value", "key")))
+    assert(!stale.ok, "stale index passed reconciliation")
+    // maintain: subtract exactly the deleted keys (postings subtraction,
+    // rename-swap committed — never a fact re-scan)
+    SecondaryIndex.deleteKeys(SparkT.spark, idx,
+      factAll.filter(col("key") % 10 === 3).select(col("key")), "key")
+    val after = IndexCheck.check(SparkT.spark, idx,
+      fact = Some((kept, "value", "key")))
+    assert(after.ok, after.issues.mkString("; "))
+    // lookups and index-only counts serve exactly the survivors
+    val got = SecondaryIndex.lookupKeys(SparkT.spark, idx, Seq("v1"))
+      .as[Long].collect().toSet
+    val want = kept.filter(col("value") === "v1").select(col("key"))
+      .as[Long].collect().toSet
+    assert(got === want)
+    assert(SecondaryIndex.calcCount(SparkT.spark, idx, Seq("v1")) ===
+      want.size.toLong)
+  }
+
   test("cnt != len(rowids) is caught") {
     val bad = corrupt(_.withColumn("cnt",
       when(col("chunk") === 0 && col("value") === "v0", col("cnt") + 1)

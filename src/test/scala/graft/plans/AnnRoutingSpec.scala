@@ -805,6 +805,64 @@ class AnnRoutingSpec extends AnyFunSuite {
     AnnRouting.unregister(SparkT.spark, qt)
   }
 
+  test("batch-join dispatch is metric-aware: matching registrations serve, mismatches fall back exact (r20)") {
+    import graft.vector.Quantize
+    val df = vectors.toDF("vec_id", "embedding", "label")
+    val queriesDf = vectors.take(5).map(v => (v._1, v._2))
+      .toDF("query_id", "embedding")
+    def exact(metric: Knn.Metric): Set[(Long, Long, Int)] =
+      Knn.knnJoin(queriesDf,
+          df.select($"vec_id".as("corpus_id"), $"embedding"),
+          "query_id", "embedding", "corpus_id", "embedding", k = 4, metric)
+        .select("query_id", "corpus_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet
+    def rows(d: DataFrame): Set[(Long, Long, Int)] =
+      d.select("query_id", "corpus_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet
+    // the executed plan's ReadSchema is column-pruned: the screened leg
+    // reads the code column, the exact fallback never does
+    def readsCodes(d: DataFrame): Boolean =
+      d.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("ReadSchema"))
+        .exists(_.contains("qvec"))
+    // an IP-trained int8 table registered as its own base
+    val m = Quantize.train(df, "embedding", Knn.IP)
+    val tmp = Files.createTempDirectory("graft-annjoin-metric")
+    val qt = tmp.resolve("qip").toString
+    Writer.write(Quantize.quantizeTable(df, "embedding", "qvec", m),
+      qt, sortBy = Seq("vec_id"))
+    AnnRouting.registerQuant(SparkT.spark, qt, qt, m,
+      vecCol = "embedding", idCol = "vec_id", refine = 64)
+    // matching metric (IP): the screened leg serves — the plan reads the
+    // code column — and equals the exact IP cross join
+    val served = AnnRouting.knnJoin(SparkT.spark, qt, "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 4, Knn.IP)
+    assert(readsCodes(served), "matching-metric join did not route")
+    assert(rows(served) === exact(Knn.IP), "routed IP join != exact IP")
+    // mismatched metric (cosine requested of the IP registration): the
+    // join takes the exact fullscan fallback — no code read, cosine-exact
+    // (pre-r20 this CRASHED in requireFlatMetric)
+    val fell = AnnRouting.knnJoin(SparkT.spark, qt, "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 4, Knn.Cosine)
+    assert(!readsCodes(fell), "mismatched-metric join touched the codes")
+    assert(rows(fell) === exact(Knn.Cosine), "fallback != exact cosine")
+    AnnRouting.unregister(SparkT.spark, qt)
+    // graph family: the shared L2 IVF fixture registration must NOT serve
+    // an IP batch join (pre-r20 it silently served L2 order) — the
+    // fallback is IP-exact over the base table
+    val viaBase = AnnRouting.knnJoin(SparkT.spark, baseDir,
+      "embedding", "vec_id",
+      queriesDf, "query_id", "embedding", "corpus_id", 4, Knn.IP)
+    val exactBase = Knn.knnJoin(queriesDf,
+        SparkT.spark.read.parquet(baseDir)
+          .select($"vec_id".as("corpus_id"), $"embedding"),
+        "query_id", "embedding", "corpus_id", "embedding", k = 4, Knn.IP)
+      .select("query_id", "corpus_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows(viaBase) === exactBase,
+      "IP join through an L2 registration did not fall back exact")
+  }
+
   test("cosine flat families route the 1-cosine_sim sort key; L2 keys refuse them (r18)") {
     import graft.vector.Quantize
     import org.apache.spark.sql.catalyst.plans.logical.Join

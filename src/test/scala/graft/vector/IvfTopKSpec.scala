@@ -40,6 +40,42 @@ class IvfTopKSpec extends AnyFunSuite {
     assert(viaIndex === exact)
   }
 
+  test("deleteFromIndex: stale index caught by reconciliation, committed generation exact after (r20)") {
+    val m = Ivf.train(df, "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("graft-ivfdel").resolve("ix").toString
+    Ivf.buildIndex(df, "embedding", m, dir)
+    val pred = col("vec_id") % 5 === 2
+    val kept = df.filter(!pred)
+    // fact rewritten (rows deleted) while the index is untouched — the
+    // checker's fact reconciliation flags the extra index ids
+    val stale = VectorIndexCheck.checkIvf(SparkT.spark, dir, "embedding",
+      "vec_id", m, fact = Some((kept, "vec_id")))
+    assert(!stale.ok, "stale index passed reconciliation")
+    assert(stale.issues.exists(_.contains("absent from the fact")),
+      stale.issues)
+    // maintain: the manifest-committed survivors-only rewrite
+    Ivf.deleteFromIndex(SparkT.spark, dir, pred)
+    assert(graft.index.SecondaryIndex.resolve(SparkT.spark, dir)
+      .contains("__g"), "delete did not commit a new generation")
+    val after = VectorIndexCheck.checkIvf(SparkT.spark, dir, "embedding",
+      "vec_id", m, fact = Some((kept, "vec_id")))
+    assert(after.ok, after.issues.mkString("; "))
+    // search serves exactly the survivors' top-k
+    val exact = Knn.knn(kept, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaIndex = Ivf.search(SparkT.spark, dir, m, "vec_id", "embedding",
+      queryVec, 10, nprobe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex === exact)
+    // a second delete commits the NEXT generation (the lifecycle composes)
+    Ivf.deleteFromIndex(SparkT.spark, dir, col("vec_id") % 7 === 1)
+    val kept2 = kept.filter(col("vec_id") % 7 =!= 1)
+    val exact2 = Knn.knn(kept2, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val via2 = Ivf.search(SparkT.spark, dir, m, "vec_id", "embedding",
+      queryVec, 10, nprobe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(via2 === exact2)
+  }
+
   test("IVF knnJoin: exact at nprobe=nlist, high recall at nprobe=1 on clustered data") {
     val m = Ivf.train(df, "embedding", nlist = 8)
     val dir = Files.createTempDirectory("graft-ivfj").resolve("ix").toString
