@@ -814,23 +814,30 @@ object BenchScale {
       // broadcast-vs-distributed telemetry; a sidecar-less index (older
       // layout) rebuilds rather than guesses
       val aModels = new org.apache.hadoop.fs.Path(aIdx, "_GRAFT_BENCH_MODELS")
+      def buildIpAdc(): (Ivf.Model, graft.vector.Quantize.PqModel) = {
+        // coarse model L2 over the augmented companion (the IP ADC
+        // layout); dim 64 + 1 = 65 = 5·13 → subM = 5
+        val aug = Ivf.ipAugmentedCompanion(emb, "embedding", "embaug")
+        val am0 = Ivf.train(aug, "embaug", nlist = 32)
+        val apq0 = Ivf.buildIndexPq(emb, "embedding", "vec_id", am0, aIdx,
+          subM = 5, metric = Knn.IP)
+        val oos = new java.io.ObjectOutputStream(aFs.create(aModels, true))
+        try { oos.writeObject(am0); oos.writeObject(apq0) }
+        finally oos.close()
+        (am0, apq0)
+      }
       val (am, apq) =
-        if (!aFs.exists(aDone) || !aFs.exists(aModels)) {
-          // coarse model L2 over the augmented companion (the IP ADC
-          // layout); dim 64 + 1 = 65 = 5·13 → subM = 5
-          val aug = Ivf.ipAugmentedCompanion(emb, "embedding", "embaug")
-          val am0 = Ivf.train(aug, "embaug", nlist = 32)
-          val apq0 = Ivf.buildIndexPq(emb, "embedding", "vec_id", am0, aIdx,
-            subM = 5, metric = Knn.IP)
-          val oos = new java.io.ObjectOutputStream(aFs.create(aModels, true))
-          try { oos.writeObject(am0); oos.writeObject(apq0) }
-          finally oos.close()
-          (am0, apq0)
-        } else {
+        if (!aFs.exists(aDone) || !aFs.exists(aModels)) buildIpAdc()
+        else try {
           val ois = new java.io.ObjectInputStream(aFs.open(aModels))
           try (ois.readObject().asInstanceOf[Ivf.Model],
             ois.readObject().asInstanceOf[graft.vector.Quantize.PqModel])
           finally ois.close()
+        } catch {
+          // a model-class evolution (or truncated sidecar) rebuilds the
+          // pair rather than crashing the bench — codes and models must
+          // come from the SAME run either way
+          case _: Exception => buildIpAdc()
         }
       val aQueries = emb.selectExpr("vec_id as qid", "embedding as qvec")
       def runIp(): Double = {
