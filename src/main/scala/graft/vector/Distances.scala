@@ -35,8 +35,15 @@ abstract class FloatVecBinary extends BinaryExpression {
   protected def compute(a: Array[Float], b: Array[Float]): Double
 
   /** Java loop body for codegen: given array vars `a`,`b`,`n`, set `ev` (a
-    * declared double). */
-  protected def genLoop(a: String, b: String, n: String, ev: String): String
+    * declared double). Every local the body declares MUST come from
+    * `ctx.freshName` — Janino rejects shadowing an outer generated local
+    * ("Redefinition of local variable"), and Spark's surrounding consume
+    * code routinely holds `i`/`value`-style names in scope (r20: the
+    * braced block protected against SIBLING distance expressions but not
+    * against the ENCLOSING scope; the fixed-name `i` fell back to
+    * interpreted eval in whole plans). */
+  protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                        n: String, ev: String): String
 
   protected def checkDims(an: Int, bn: Int): Unit =
     if (an != bn) throw new IllegalArgumentException(
@@ -81,10 +88,12 @@ abstract class FloatVecBinary extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val n = ctx.freshName("n")
-      // The whole block is braced: in the non-nullable path nullSafeCodeGen
-      // emits this code unwrapped into the enclosing scope, so two distance
-      // expressions in one projection would otherwise redeclare genLoop's
-      // fixed-name locals (acc/dot/…) and break Janino compilation.
+      val z = ctx.freshName("z")
+      // Braces keep sibling distance expressions in one projection from
+      // colliding; freshName-d locals (here AND in genLoop) keep the body
+      // from shadowing the ENCLOSING generated scope — Java forbids local
+      // shadowing, so a fixed name that merely NESTS inside an outer `i`
+      // still fails compilation and drops the plan to interpreted eval.
       // ev.value is declared outside, so assigning it inside braces is fine.
       s"""
          |{
@@ -94,14 +103,14 @@ abstract class FloatVecBinary extends BinaryExpression {
          |    "vector dimensions differ: " + $n + " vs " + $r.numElements());
          |}
          |${if (mayHaveNullElems) s"""
-         |for (int z = 0; z < $n; z++) {
-         |  if ($l.isNullAt(z) || $r.isNullAt(z)) {
+         |for (int $z = 0; $z < $n; $z++) {
+         |  if ($l.isNullAt($z) || $r.isNullAt($z)) {
          |    throw new IllegalArgumentException(
-         |      "null vector element at index " + z +
+         |      "null vector element at index " + $z +
          |      " — distances over vectors with null elements are undefined");
          |  }
          |}""".stripMargin else ""}
-         |${genLoop(l, r, n, ev.value.toString)}
+         |${genLoop(ctx, l, r, n, ev.value.toString)}
          |}
        """.stripMargin
     })
@@ -118,15 +127,20 @@ case class L2Distance(left: Expression, right: Expression) extends FloatVecBinar
     }
     math.sqrt(acc)
   }
-  protected def genLoop(a: String, b: String, n: String, ev: String): String =
+  protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                        n: String, ev: String): String = {
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
     s"""
-       |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double d = (double)$a.getFloat(i) - (double)$b.getFloat(i);
-       |  acc += d * d;
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
+       |  $acc += $d * $d;
        |}
-       |$ev = Math.sqrt(acc);
+       |$ev = Math.sqrt($acc);
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -140,14 +154,18 @@ case class InnerProduct(left: Expression, right: Expression) extends FloatVecBin
     while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
-  protected def genLoop(a: String, b: String, n: String, ev: String): String =
+  protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                        n: String, ev: String): String = {
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     s"""
-       |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  acc += (double)$a.getFloat(i) * (double)$b.getFloat(i);
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
        |}
-       |$ev = acc;
+       |$ev = $acc;
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -166,17 +184,26 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
-  protected def genLoop(a: String, b: String, n: String, ev: String): String =
+  protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                        n: String, ev: String): String = {
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
+    val denom = ctx.freshName("denom")
     s"""
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double x = (double)$a.getFloat(i);
-       |  double y = (double)$b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double)$a.getFloat($i);
+       |  double $y = (double)$b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |double denom = Math.sqrt(na) * Math.sqrt(nb);
-       |$ev = (denom == 0.0) ? 0.0 : dot / denom;
+       |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+       |$ev = ($denom == 0.0) ? 0.0 : $dot / $denom;
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -128,6 +128,32 @@ class DistancesSpec extends AnyFunSuite with graft.GenCheck {
     }
   }
 
+  test("distance codegen never shadows enclosing locals: sort-key projection over an array literal compiles (r20)") {
+    // the q_knn_sql shape: an inline array literal + ORDER BY the distance
+    // expression + LIMIT puts the kernel inside TakeOrderedAndProject's
+    // sort-key UnsafeProjection, whose generated scope already declares
+    // `i` — the pre-r20 fixed-name loop local shadowed it, Janino refused
+    // (Java forbids local shadowing even across nested blocks), and the
+    // whole projection fell back to interpreted eval in every bench run
+    // of q_knn_sql. SparkT's codegen.fallback=false makes that fatal here.
+    val rows = Seq((1L, Array(1f, 2f, 3f, 4f)), (2L, Array(4f, 3f, 2f, 1f)),
+      (3L, Array(0f, 0f, 1f, 0f)))
+    rows.toDF("id", "v").createOrReplaceTempView("vecs_shadow")
+    val vecSql = (1 to 4).map(f => s"CAST($f AS FLOAT)")
+      .mkString("array(", ",", ")")
+    val got = SparkT.spark.sql(
+      s"SELECT id, round(l2_dist(v, $vecSql), 6) AS dist FROM vecs_shadow " +
+        s"ORDER BY l2_dist(v, $vecSql) ASC, id ASC LIMIT 2")
+      .as[(Long, Double)].collect().toSeq
+    val q = Array(1f, 2f, 3f, 4f)
+    val want = rows.map { case (id, v) => (id, scalarL2(v, q)) }
+      .sortBy { case (id, d) => (d, id) }.take(2)
+      .map { case (id, d) =>
+        (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) }
+    assert(got === want)
+  }
+
   test("a NULL vector element fails loudly instead of reading as 0.0 " +
       "(r18 review)") {
     import org.apache.spark.sql.Row
