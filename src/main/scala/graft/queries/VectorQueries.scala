@@ -385,6 +385,170 @@ object VectorQueries {
       },
       Some(knnJoinOracleCos)),
 
+    // r20 — the REST of the batch-join metric matrix (the reference
+    // serves every metric through every index for any access pattern,
+    // knn/knn.h:32-37, knn/knn.cpp:600-610): quant4 / flat-PQ /
+    // residual-binary / quantized-graph / plain-IVF joins under IP and
+    // cosine. Every leg reuses the gated single-query index fixture (or
+    // the corpus-split twin) and its kernel's metric transport; refine
+    // margins verified equal to the exact cross join at sf0.01, sf0.1,
+    // and the 10x corpus (the augmented-space screens' coarse ranks sit
+    // deeper than L2's — the q_knn_ivf_pq_ip rationale).
+    "q_knn_join_quant4_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quant4IpIndex(s, d)
+        Quantize.knnJoinQuant4(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "q4vec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, metric = Knn.IP,
+          refine = 96)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleIp)),
+
+    "q_knn_join_quant4_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = quant4CosIndex(s, d)
+        Quantize.knnJoinQuant4(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "q4vec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, metric = Knn.Cosine,
+          refine = 96)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleCos)),
+
+    "q_knn_join_pq_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = pqIpIndex(s, d)
+        Quantize.knnJoinPq(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "pqvec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, metric = Knn.IP,
+          refine = 512)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleIp)),
+
+    "q_knn_join_pq_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = pqCosIndex(s, d)
+        Quantize.knnJoinPq(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "pqvec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, metric = Knn.Cosine,
+          refine = 512)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleCos)),
+
+    // residual-corrected binary screens (the magnitude-aware estimate —
+    // several-fold tighter than raw Hamming, so the refine matches the
+    // plain binary join's despite the coarser bit screen)
+    "q_knn_join_binary_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = binResIpIndex(s, d)
+        Quantize.knnJoinBinary(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "bvec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, metric = Knn.IP,
+          refine = 320, rCol = Some("bres"))
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleIp)),
+
+    "q_knn_join_binary_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = binResCosIndex(s, d)
+        Quantize.knnJoinBinary(
+          s.read.parquet(path).filter(col("vec_id") >= 20),
+          "embedding", "bvec", "vec_id", m,
+          s.read.parquet(path).filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, metric = Knn.Cosine,
+          refine = 320, rCol = Some("bres"))
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleCos)),
+
+    // quantized-graph joins: one CODE-graph rehydration per sub-graph
+    // serves the batch, exact metric rescore on raw floats; probes=all
+    // at full ef with the refine margin ⇒ exact
+    "q_knn_join_graph_quant_ip" -> QueryDef(
+      (s, d) => {
+        val path = hnswqJoinIpIndex(s, d)
+        Hnsw.knnJoinQuantized(s, path,
+          t(s, d, "embeddings").filter(col("vec_id") >= 20),
+          "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, ef = 1 << 20,
+          refine = 64)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleIp)),
+
+    "q_knn_join_graph_quant_cos" -> QueryDef(
+      (s, d) => {
+        val path = hnswqJoinCosIndex(s, d)
+        Hnsw.knnJoinQuantized(s, path,
+          t(s, d, "embeddings").filter(col("vec_id") >= 20),
+          "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", k = 3, ef = 1 << 20,
+          refine = 64)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleCos)),
+
+    // plain-IVF joins: probe assignment in the metric's bound space
+    // (augmented / normalized centroids), list equi-join, exact metric
+    // kernel on raw floats; nprobe = nlist ⇒ exact
+    "q_knn_join_ivf_ip" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfJoinIpIndex(s, d)
+        Ivf.knnJoin(s, path, m,
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "vec_id", "embedding",
+          k = 3, nprobe = m.nlist)
+          .select(col("query_id"), col("vec_id").as("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleIp)),
+
+    "q_knn_join_ivf_cos" -> QueryDef(
+      (s, d) => {
+        val (m, path) = ivfJoinCosIndex(s, d)
+        Ivf.knnJoin(s, path, m,
+          t(s, d, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", "vec_id", "embedding",
+          k = 3, nprobe = m.nlist)
+          .select(col("query_id"), col("vec_id").as("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleCos)),
+
     // K2 inner-product metric (distance = 1 - dot, hnswlib convention)
     "q_knn_ip" -> QueryDef(
       (s, d) => topK(s, d, Knn.IP),
@@ -1726,6 +1890,27 @@ object VectorQueries {
       (m, path)
     })
 
+  // IP / COSINE corpus-split IVF indexes (r20 — the plain-IVF legs of the
+  // batch-join metric matrix): k-means in the metric's bound space
+  // (augmented / normalized), lists clustered over the raw corpus rows.
+  private def ivfJoinIpIndex(s: SparkSession, d: String): (Ivf.Model, String) =
+    ivfJoinCache.getOrElseUpdate(d + "#ip", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings_corpus_ip"
+      val corpus = t(s, d, "embeddings").filter(col("vec_id") >= 20)
+      val m = Ivf.train(corpus, "embedding", nlist = 16, metric = Knn.IP)
+      Ivf.buildIndex(corpus, "embedding", m, path)
+      (m, path)
+    })
+
+  private def ivfJoinCosIndex(s: SparkSession, d: String): (Ivf.Model, String) =
+    ivfJoinCache.getOrElseUpdate(d + "#cos", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/ivf_embeddings_corpus_cos"
+      val corpus = t(s, d, "embeddings").filter(col("vec_id") >= 20)
+      val m = Ivf.train(corpus, "embedding", nlist = 16, metric = Knn.Cosine)
+      Ivf.buildIndex(corpus, "embedding", m, path)
+      (m, path)
+    })
+
   // Memoized CLUSTERED graph index per sfDir (routed search); the sidecar
   // is written last, so its _SUCCESS implies the graph table completed.
   private val hnswcCache =
@@ -1793,6 +1978,32 @@ object VectorQueries {
           t(s, d, "embeddings").filter(col("vec_id") >= 20),
           "embedding", "vec_id", path,
           Hnsw.Params(m = 8, efC = 64, partitions = 8))
+      path
+    })
+
+  // IP / COSINE quantized join-corpus graphs (r20 — the quantized-graph
+  // legs of the batch-join metric matrix; same vec_id>=20 split, codes/
+  // centroids/radii in the metric's bound space, knnJoinQuantized reads
+  // the metric from the _qmodel sidecar).
+  private def hnswqJoinIpIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quantjoinip", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswq_embeddings_corpus_ip"
+      if (!new java.io.File(Hnsw.qmodelPath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClusteredQuantized(
+          t(s, d, "embeddings").filter(col("vec_id") >= 20),
+          "embedding", "vec_id", path,
+          Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.IP)
+      path
+    })
+
+  private def hnswqJoinCosIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#quantjoincos", {
+      val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswq_embeddings_corpus_cos"
+      if (!new java.io.File(Hnsw.qmodelPath(path), "_SUCCESS").isFile)
+        Hnsw.buildIndexClusteredQuantized(
+          t(s, d, "embeddings").filter(col("vec_id") >= 20),
+          "embedding", "vec_id", path,
+          Hnsw.Params(m = 8, efC = 64, partitions = 8), Knn.Cosine)
       path
     })
 
