@@ -1643,6 +1643,21 @@ object VectorQueries {
     // a model re-fit to it. The automatic route registers against the
     // resolved generation (the base dir is superseded) and nprobe = nlist
     // keeps the routed scan exact — shared fullscan oracle.
+    // I9 DELETE on the clustered GRAPH family (r20 — the delete flow's
+    // second ANN family): the fixture deleted vec_id % 7 = 3 through the
+    // manifest-committed generation rebuild; the routed walk at full ef
+    // over the committed survivors is exact — the oracle replays the
+    // delete predicate.
+    "q_knn_graph_delete" -> QueryDef(
+      (s, d) => {
+        val path = hnswDelIndex(s, d)
+        val (df, _) = Hnsw.searchRouted(s, path, "vec_id", queryVec(s, d),
+          k = 10, ef = 1 << 20)
+        df.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(oracleFor(s"list_distance(embedding::DOUBLE[], $qSub)",
+        "WHERE vec_id % 7 <> 3 "))),
+
     // I9 DELETE on the IVF family (r20, VERDICT r19 #6 — the reference's
     // RT flow removes rows and re-derives the segment's KNN index,
     // knn/knn.cpp:638-786; this engine rewrites the clustered generation
@@ -1781,6 +1796,30 @@ object VectorQueries {
   // for any model; model identity only moves probe economy.
   private val ivfCompactCache =
     scala.collection.concurrent.TrieMap.empty[String, (Ivf.Model, String)]
+
+  // DELETE lifecycle fixture for the clustered GRAPH family (r20 — the
+  // second ANN family in the delete flow): built over the full corpus,
+  // then a seventh of the rows deleted through Hnsw.deleteFromClustered
+  // (a generation REBUILD — adjacency references neighbors positionally,
+  // so deletion must re-link; the reference's mutation flow likewise
+  // drops and re-derives the segment index, knn/knn.cpp:638-786).
+  private def hnswDelIndex(s: SparkSession, d: String): String =
+    hnswcCache.getOrElseUpdate(d + "#del", {
+      val parent = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswdel"
+      val path = s"$parent/embeddings"
+      val marker = new java.io.File(parent, "_GRAFT_DELETE_OK")
+      if (!marker.isFile) {
+        fsDelete(s, parent)
+        val p = Hnsw.Params(m = 8, efC = 64, partitions = 8)
+        Hnsw.buildIndexClustered(t(s, d, "embeddings"), "embedding",
+          "vec_id", path, p)
+        Hnsw.deleteFromClustered(s, path,
+          t(s, d, "embeddings").filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id")), "vec_id", p)
+        marker.createNewFile()
+      }
+      path
+    })
 
   // DELETE lifecycle fixture for the IVF family (r20, VERDICT r19 #6):
   // index built over the FULL corpus, then a seventh of the rows deleted

@@ -580,7 +580,39 @@ object Hnsw {
     * superseded marker so a later manifest-dir loss fails loudly instead
     * of silently serving stale data; the next compact sweeps it. */
   def compactClustered(spark: SparkSession, indexPath: String,
-                       p: Params = Params()): Unit = {
+                       p: Params = Params()): Unit =
+    rebuildClustered(spark, indexPath, p)(identity)
+
+  /** Row-DELETION maintenance for the clustered graph family (the ANN
+    * analog of [[graft.index.SecondaryIndex.deleteKeys]] beside
+    * [[Ivf.deleteFromIndex]]): rebuild the index from its OWN graph
+    * table's (id, vec) rows MINUS the deleted ids into a new
+    * manifest-committed generation. Unlike the IVF families — where
+    * cluster assignments and codes are per-row, so deletion is one
+    * filtered rewrite — sub-graph adjacency references neighbors
+    * positionally, so deletion must re-link; this matches the
+    * reference's own mutation flow, which drops and re-derives a
+    * segment's KNN index rather than patching the graph
+    * (knn/knn.cpp:638-786). Hierarchy sidecars rebuild inside the same
+    * uncommitted generation (the [[compactClustered]] contract), routes
+    * re-derive over the survivors, and readers never observe a
+    * half-deleted index. NULL ids in `deletedKeys` are ignored (builds
+    * refuse null ids, so they can never match). */
+  def deleteFromClustered(spark: SparkSession, indexPath: String,
+                          deletedKeys: DataFrame, keyCol: String,
+                          p: Params = Params()): Unit = {
+    val del = deletedKeys.select(col(keyCol).cast("long").as("__delkey"))
+      .filter(col("__delkey").isNotNull).distinct()
+    rebuildClustered(spark, indexPath, p)(corpus =>
+      corpus.join(del, corpus("id") === del("__delkey"), "left_anti"))
+  }
+
+  /** Shared generation-rebuild body of [[compactClustered]] and
+    * [[deleteFromClustered]]: re-cluster + re-link the (transformed)
+    * corpus read back from the live graph, then manifest-commit. */
+  private def rebuildClustered(spark: SparkSession, indexPath: String,
+                               p: Params)
+                              (transform: DataFrame => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(indexPath)
     val fs = base.getFileSystem(conf)
@@ -591,7 +623,8 @@ object Hnsw {
     val nextVersion = curVersion + 1
     val nextPath = new org.apache.hadoop.fs.Path(s"${indexPath}__g$nextVersion")
     fs.delete(nextPath, true) // a crashed prior attempt at this version
-    val corpus = spark.read.parquet(graphDir).select(col("id"), col("vec"))
+    val corpus = transform(
+      spark.read.parquet(graphDir).select(col("id"), col("vec")))
     buildClusteredTo(corpus, "vec", "id",
       new org.apache.hadoop.fs.Path(nextPath, "graph").toString,
       new org.apache.hadoop.fs.Path(nextPath, "route").toString, p, metric)

@@ -30,6 +30,43 @@ class HnswSpec extends AnyFunSuite {
     assert(graph === exact)
   }
 
+  test("deleteFromClustered: stale caught, committed rebuild exact, hierarchy survives (r20)") {
+    val d = Files.createTempDirectory("graft-hnswdel").resolve("g").toString
+    val p = Hnsw.Params(m = 8, efC = 32, partitions = 4)
+    Hnsw.buildIndexClustered(emb, "embedding", "vec_id", d, p)
+    Hnsw.buildHierarchy(SparkT.spark, d, p)
+    val pred = $"vec_id" % 5 === 2
+    val kept = emb.filter(!pred)
+    // fact rewritten, index untouched: reconciliation flags extra graph ids
+    val stale = VectorIndexCheck.checkGraph(SparkT.spark, d,
+      fact = Some((kept, "vec_id")))
+    assert(!stale.ok, "stale graph passed reconciliation")
+    // maintain: the manifest-committed generation rebuild
+    Hnsw.deleteFromClustered(SparkT.spark, d,
+      emb.filter(pred).select($"vec_id"), "vec_id", p)
+    assert(graft.index.SecondaryIndex.manifestVersions(
+      new org.apache.hadoop.fs.Path(d).getFileSystem(
+        SparkT.spark.sparkContext.hadoopConfiguration), d).nonEmpty,
+      "delete did not commit a generation")
+    val after = VectorIndexCheck.checkGraph(SparkT.spark, d,
+      fact = Some((kept, "vec_id")))
+    assert(after.ok, after.issues.mkString("; "))
+    // routed search serves exactly the survivors' top-k ...
+    val exact = Knn.knn(kept, "embedding", "vec_id", queryVec, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val (routed, _) = Hnsw.searchRouted(SparkT.spark, d, "vec_id", queryVec,
+      10, ef = 1 << 20)
+    assert(routed.as[(Long, Double)].collect().toSeq === exact)
+    // ... and the hierarchy sidecar rebuilt INSIDE the committed
+    // generation (the compactClustered survival contract): the descent
+    // runs and stays exact
+    val d0 = Hnsw.descents.get()
+    val (hier, _) = Hnsw.searchRoutedHier(SparkT.spark, d, "vec_id",
+      queryVec, 10, ef = 1 << 20, hierMin = 0)
+    assert(hier.as[(Long, Double)].collect().toSeq === exact)
+    assert(Hnsw.descents.get() > d0, "post-delete hier walk never descended")
+  }
+
   test("recall@10 >= 0.95 at small ef on clustered vectors") {
     val rnd = new scala.util.Random(13)
     val dim = 32
