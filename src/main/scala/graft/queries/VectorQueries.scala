@@ -385,6 +385,42 @@ object VectorQueries {
       },
       Some(knnJoinOracleCos)),
 
+    // Exact batch joins under IP and cosine (r20 — the exact-fullscan
+    // row of the batch-join metric matrix; also the kernel every
+    // index-leg probe and the metric-dispatch fallback ride): broadcast
+    // queries, codegen metric kernel per corpus partition, grouped
+    // top-k merge. Exact by construction — the windowed cross-join
+    // oracle in the same metric.
+    "q_knn_join_ip" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Knn.knnJoin(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          emb.filter(col("vec_id") >= 20)
+            .select(col("vec_id").as("corpus_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", "embedding", k = 3,
+          metric = Knn.IP)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleIp)),
+
+    "q_knn_join_cos" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Knn.knnJoin(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          emb.filter(col("vec_id") >= 20)
+            .select(col("vec_id").as("corpus_id"), col("embedding")),
+          "query_id", "embedding", "corpus_id", "embedding", k = 3,
+          metric = Knn.Cosine)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("dist"), 6).as("dist"), col("rn").cast("long").as("rn"))
+      },
+      Some(knnJoinOracleCos)),
+
     // r20 — the REST of the batch-join metric matrix (the reference
     // serves every metric through every index for any access pattern,
     // knn/knn.h:32-37, knn/knn.cpp:600-610): quant4 / flat-PQ /
