@@ -55,7 +55,24 @@ object Graft {
   /** Storage location of one star-schema table in a scale-factor dir. */
   def tablePath(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  // Analyzed-plan cache for the IMMUTABLE base fixtures (r21 measurement
+  // fix, guide §1/§6): every `spark.read.parquet(path)` call re-lists the
+  // directory and re-reads a footer for schema inference — pure driver-side
+  // metadata work repeated on EVERY query invocation (the bench times each
+  // query 3+ times; a 253-query corpus paid this ~1000×). The scale-factor
+  // fixtures are read-only by contract (the engine never writes under
+  // SPARK_GRAFT_SF_DIR), so the DataFrame — logical plan + file index, NO
+  // row data — is reusable for the life of the session. This is the same
+  // catalog-first philosophy as IndexRouting's registration (metadata held
+  // once, zero per-query footer IO); data is still read from parquet on
+  // every execution. Keyed by session so a restarted session (tests) never
+  // serves plans bound to a stopped context.
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Load one table of the star schema from a scale-factor directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(tablePath(dir, name))
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = tablePath(dir, name)
+    tableCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
+  }
 }

@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions._
   * tokenization, n-gram shingles, language ID, quality scoring, and a
   * rolling-hash document fingerprint.
   *
-  * All functions are pure Catalyst expression trees (functions.* only — no
-  * UDFs), so they stay inside whole-stage codegen and scale linearly with
-  * executors; every one has an exactly-equivalent DuckDB SQL form used by
-  * the oracle gate (TextQueries).
+  * All functions are Catalyst expression trees; as of r21 the hot ones are
+  * kernel-backed CODEGEN expressions ([[TextKernels]], the
+  * [[graft.vector.Distances]] pattern): the original
+  * higher-order-function forms are CodegenFallback in Spark — every element
+  * evaluation walks an interpreted tree (~µs per element), which dominated
+  * the corpus-sweep queries — while the kernel forms make ONE static JIT'd
+  * call per row inside whole-stage codegen. Each original tree lives on as
+  * a `*Tree` twin; TextKernelsSpec pins kernel == tree bit-for-bit
+  * (including null/empty/whitespace/unicode edges), and every function
+  * keeps an exactly-equivalent DuckDB SQL form used by the oracle gates.
   *
   * Determinism conventions: float scores are emitted as floor(score * 1e6)
   * micro-units (floor of identical IEEE doubles is engine-stable, unlike
@@ -22,8 +28,11 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens of the trimmed text. Empty/whitespace-only text
-    * yields an empty array (the raw split would yield [""]). */
-  def tokens(c: Column): Column =
+    * yields an empty array (the raw split would yield [""]); null → null. */
+  def tokens(c: Column): Column = textKernels.tokens(c)
+
+  /** The original expression tree of [[tokens]] (spec twin). */
+  private[pipeline] def tokensTree(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
 
   /** BPE-ish lexer tokens: alphanumeric runs or single punctuation marks. */
@@ -31,15 +40,20 @@ object TextFunctions {
     regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Distinct word n-gram shingles (the MinHash input). Documents shorter
-    * than n tokens yield an empty array.
+    * than n tokens — and null documents — yield an empty array. */
+  def shingles(c: Column, n: Int): Column =
+    coalesce(textKernels.shingles(c, n),
+      lit(Array.empty[String]).cast("array<string>"))
+
+  /** The original expression tree of [[shingles]] (spec twin).
     *
     * The token array is BOUND to a lambda variable (transform over a
     * 1-element array) so tokenization runs once per row — naively
     * referencing `tokens(c)` inside the per-shingle lambda would re-inline
     * the split() subtree into every element evaluation (measured 20x+ cost
     * on the shingle corpus query). */
-  def shingles(c: Column, n: Int): Column =
-    element_at(transform(array(tokens(c)), w =>
+  private[pipeline] def shinglesTree(c: Column, n: Int): Column =
+    element_at(transform(array(tokensTree(c)), w =>
       when(size(w) >= n,
         array_distinct(transform(sequence(lit(0), size(w) - n), i =>
           concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))))
@@ -55,20 +69,21 @@ object TextFunctions {
   )
 
   /** Predicted language: argmax of marker hits over distinct tokens with a
-    * fixed tie order (en > de > fr > es), 'und' when nothing matches. */
-  def langId(c: Column): Column = {
-    val w = array_distinct(tokens(c))
+    * fixed tie order (en > de > fr > es), 'und' when nothing matches.
+    * NULL text → 'und' (the tree's otherwise-arm semantics, here an
+    * explicit branch over the null-safe kernel). */
+  def langId(c: Column): Column =
+    when(c.isNull, lit("und")).otherwise(textKernels.langId(c))
+
+  /** The original expression tree of [[langId]] (spec twin). */
+  private[pipeline] def langIdTree(c: Column): Column = {
+    val w = array_distinct(tokensTree(c))
     val s = langMarkers.map { case (lang, ms) =>
       lang -> size(array_intersect(w, lit(ms.toArray)))
     }.toMap
     // NULL text: every marker count is NULL, so every when condition is
     // NULL (treated false) and evaluation falls through to the otherwise
-    // — which must NOT label null rows Spanish (review r18-6). The null
-    // check lives INSIDE the otherwise arm, not as a leading branch: a
-    // prepended when(c.isNull, …) demotes the marker counts from
-    // guaranteed to conditional evaluation, which disables codegen
-    // common-subexpression elimination of the shared token array and
-    // re-tokenizes per branch (measured ~40% on the pipeline chains).
+    // — which must NOT label null rows Spanish (review r18-6).
     when(s.values.map(_ === 0).reduce(_ && _), lit("und"))
       .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), lit("en"))
       .when(s("de") >= s("fr") && s("de") >= s("es"), lit("de"))
@@ -79,10 +94,21 @@ object TextFunctions {
   /** English stopword set used by the quality score. */
   val stopwords: Seq[String] = langMarkers.head._2
 
+  /** [[stopwords]] as a set for the JIT'd kernel. */
+  private[pipeline] val stopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
   /** Heuristic quality score in [0,1] scaled to micro-units:
-    * 0.4·stopword-ratio + 0.4·alpha-char-ratio + 0.2·min(tokens/100, 1). */
-  def qualityMicros(c: Column): Column = {
-    val w = tokens(c)
+    * 0.4·stopword-ratio + 0.4·alpha-char-ratio + 0.2·min(tokens/100, 1).
+    * Empty/whitespace-only → 0; null → null. */
+  def qualityMicros(c: Column): Column = textKernels.qualityMicros(c)
+
+  /** The original expression tree of [[qualityMicros]] (spec twin). */
+  private[pipeline] def qualityMicrosTree(c: Column): Column = {
+    val w = tokensTree(c)
     val stopRatio = size(filter(w, t => array_contains(lit(stopwords.toArray), t)))
       .cast("double") / size(w)
     val alphaRatio = length(regexp_replace(c, "[^A-Za-z]", ""))
@@ -97,9 +123,13 @@ object TextFunctions {
 
   /** Rolling polynomial hash over characters, mod 1e9+7 per step:
     * fp = fold(chars, 0, (acc, ch) -> (acc*31 + codepoint(ch)) mod p).
-    * The per-step mod keeps the accumulator ANSI-safe and matches the
-    * DuckDB list_reduce form exactly. */
-  def fingerprint(c: Column): Column = {
+    * Empty text → 0; null → null. Kernel-backed ([[fingerprintScala]] is
+    * the arithmetic; TextFunctionsSpec pins it equal to the tree incl.
+    * non-ASCII). */
+  def fingerprint(c: Column): Column = textKernels.fingerprint(c)
+
+  /** The original expression tree of [[fingerprint]] (spec twin). */
+  private[pipeline] def fingerprintTree(c: Column): Column = {
     val codes = transform(sequence(lit(1), length(c)), i =>
       ascii(c.substr(i, lit(1))).cast("long"))
     // Empty text is pinned to 0: Spark's sequence(1,0) would run DESCENDING
@@ -111,10 +141,15 @@ object TextFunctions {
   /** Exact token count (whitespace). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** ALL word n-grams (with repeats — [[shingles]] is the deduped set).
-    * Shares the bind-tokens-once trick; < n tokens → empty array. */
+  /** ALL word n-grams (with repeats — [[shingles]] is the deduped set);
+    * < n tokens (and null) → empty array. */
   private[pipeline] def allNgrams(c: Column, n: Int): Column =
-    element_at(transform(array(tokens(c)), w =>
+    coalesce(textKernels.allNgrams(c, n),
+      lit(Array.empty[String]).cast("array<string>"))
+
+  /** The original expression tree of [[allNgrams]] (spec twin). */
+  private[pipeline] def allNgramsTree(c: Column, n: Int): Column =
+    element_at(transform(array(tokensTree(c)), w =>
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n), i =>
           concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
@@ -124,22 +159,28 @@ object TextFunctions {
     * document's word n-grams — the Gopher/RefinedWeb repetition filter
     * (boilerplate and template spam score high; clean prose near 0).
     * Exact rational arithmetic only (integer counts, one IEEE division),
-    * so the DuckDB oracle reproduces every bit; < n tokens → 0. */
-  def dupNgramRatioMicros(c: Column, n: Int): Column = {
-    val bound = element_at(transform(array(allNgrams(c, n)), g =>
+    * so the DuckDB oracle reproduces every bit; < n tokens (and null) → 0. */
+  def dupNgramRatioMicros(c: Column, n: Int): Column =
+    coalesce(textKernels.dupNgramRatioMicros(c, n), lit(0L))
+
+  /** The original expression tree of [[dupNgramRatioMicros]] (spec twin). */
+  private[pipeline] def dupNgramRatioMicrosTree(c: Column, n: Int): Column =
+    element_at(transform(array(allNgramsTree(c, n)), g =>
       when(size(g) === 0, lit(0L))
         .otherwise(floor((lit(1.0) -
           size(array_distinct(g)).cast("double") / size(g)) * 1000000)
           .cast("long"))), 1)
-    bound
-  }
 
-  /** Both repetition metrics from ONE bound n-gram array — the corpus-sweep
-    * form ([[dupNgramRatioMicros]] + [[topNgramRatioMicros]] as separate
-    * columns would tokenize and build the n-gram list twice per row).
-    * Returns struct(dup_micros, top_micros). */
+  /** Both repetition metrics from ONE n-gram build — the corpus-sweep form.
+    * Returns struct(dup_micros, top_micros); < n tokens (and null) →
+    * struct(0, 0). */
   def repetitionMicros(c: Column, n: Int): Column =
-    element_at(transform(array(allNgrams(c, n)), g =>
+    coalesce(textKernels.repetitionMicros(c, n),
+      struct(lit(0L).as("dup_micros"), lit(0L).as("top_micros")))
+
+  /** The original expression tree of [[repetitionMicros]] (spec twin). */
+  private[pipeline] def repetitionMicrosTree(c: Column, n: Int): Column =
+    element_at(transform(array(allNgramsTree(c, n)), g =>
       struct(
         when(size(g) === 0, lit(0L))
           .otherwise(floor((lit(1.0) -
@@ -153,10 +194,14 @@ object TextFunctions {
 
   /** Most-frequent-n-gram fraction in micro-units: count of the modal
     * n-gram over the total — high when one phrase dominates the document
-    * (the other half of the repetition rule family). O(distinct × total)
-    * per row, all inside codegen; < n tokens → 0. */
+    * (the other half of the repetition rule family); < n tokens (and
+    * null) → 0. */
   def topNgramRatioMicros(c: Column, n: Int): Column =
-    element_at(transform(array(allNgrams(c, n)), g =>
+    coalesce(textKernels.topNgramRatioMicros(c, n), lit(0L))
+
+  /** The original expression tree of [[topNgramRatioMicros]] (spec twin). */
+  private[pipeline] def topNgramRatioMicrosTree(c: Column, n: Int): Column =
+    element_at(transform(array(allNgramsTree(c, n)), g =>
       when(size(g) === 0, lit(0L))
         .otherwise(floor(
           array_max(transform(array_distinct(g), d =>
@@ -190,11 +235,22 @@ object TextFunctions {
     * ratio (micro — the COUNT of `#` and `...` occurrences divided by the
     * word count, the published definition, not the fraction of words
     * containing one), fraction of words with an alphabetic character
-    * (micro), and how many of the required stopwords appear. One codegen
-    * expression tree — the downstream rules read the struct, so the stats
-    * compute once per document. */
-  def gopherStats(c: Column): Column = {
-    val w = tokens(c)
+    * (micro), and how many of the required stopwords appear. One JIT'd
+    * kernel call per document — the downstream rules read the struct, so
+    * the stats compute once. NULL text → a struct of NULL fields (the
+    * tree's arithmetic-over-null semantics). */
+  def gopherStats(c: Column): Column =
+    when(c.isNull, struct(
+      lit(null).cast("long").as("n_words"),
+      lit(null).cast("long").as("mean_word_len_milli"),
+      lit(null).cast("long").as("symbol_ratio_micros"),
+      lit(null).cast("long").as("alpha_frac_micros"),
+      lit(null).cast("long").as("stop_hits")))
+      .otherwise(textKernels.gopherStats(c))
+
+  /** The original expression tree of [[gopherStats]] (spec twin). */
+  private[pipeline] def gopherStatsTree(c: Column): Column = {
+    val w = tokensTree(c)
     val n = size(w)
     val totalLen = aggregate(w, lit(0L), (a, t) => a + length(t))
     val alphaWords = size(filter(w, t => t.rlike("[A-Za-z]")))

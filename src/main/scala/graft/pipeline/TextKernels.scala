@@ -1,0 +1,386 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JIT'd kernels behind the [[TextFunctions]] surface (r21 optimization —
+  * guide §1.2 "per-task work" / the brief's "eliminate non-codegen
+  * Expressions in the hot path").
+  *
+  * The original [[TextFunctions]] bodies are higher-order-function
+  * expression trees (`transform`/`filter`/`aggregate`); those are
+  * CodegenFallback in Spark — every ELEMENT evaluation walks an interpreted
+  * expression tree (~µs per element, boxing + InternalRow per lambda call).
+  * A corpus pass that builds n-grams paid that per gram per document; the
+  * profile of the r21 baseline showed the gram/token stages of
+  * q_text_ppl*, q_dedup_spans/strip and the pipeline flagships burning
+  * 5-8 s of task time on ~500 k interpreted element evaluations.
+  *
+  * The fix is the same one [[graft.vector.Distances]] applies to the
+  * distance loops: a custom Catalyst `Expression` whose `doGenCode` stays
+  * inside whole-stage codegen and calls ONE static JIT'd method per row —
+  * no per-element interpretation, no UDF/serialization boundary, and the
+  * plan shape is unchanged (still an expression over the string column, so
+  * pushdown/pruning behave identically).
+  *
+  * Every kernel reproduces its expression twin BIT-FOR-BIT (same token
+  * split, same IEEE double operation order, same floor/cast points —
+  * TextKernelsSpec pins kernel == tree on the corpus plus adversarial
+  * edges). The twins live on as `*Tree` methods in [[TextFunctions]].
+  */
+object TextKernels {
+
+  // `\s+` of the expression form (java.util.regex on the decoded string —
+  // the same engine Spark's StringSplit uses). The expression's trim(' ')
+  // is provably redundant under split+filter: ' ' is \s, so edge spaces
+  // only ever produce empty fragments the nonEmpty filter drops.
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Whitespace tokens — the [[TextFunctions.tokens]] contract. */
+  def tokens(s: String): Array[String] = {
+    if (s.isEmpty) return Array.empty
+    val parts = WS.split(s, -1)
+    var keep = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) keep += 1; i += 1 }
+    if (keep == parts.length) parts
+    else {
+      val out = new Array[String](keep)
+      var j = 0; i = 0
+      while (i < parts.length) {
+        if (parts(i).nonEmpty) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** ALL word n-grams with repeats (space-joined windows); < n tokens →
+    * empty. */
+  def allNgrams(s: String, n: Int): Array[String] = {
+    val w = tokens(s)
+    if (w.length < n) return Array.empty
+    val out = new Array[String](w.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(w(i + k)); k += 1 }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct n-grams in first-occurrence order ([[TextFunctions.shingles]]
+    * == array_distinct(allNgrams)). */
+  def shingles(s: String, n: Int): Array[String] = {
+    val g = allNgrams(s, n)
+    if (g.length <= 1) return g
+    val seen = new java.util.LinkedHashSet[String](g.length * 2)
+    var i = 0
+    while (i < g.length) { seen.add(g(i)); i += 1 }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  // number of code points (Spark's length() semantics)
+  private def numChars(s: String): Int = s.codePointCount(0, s.length)
+
+  /** langId over NON-NULL text (the Column wrapper supplies the null →
+    * 'und' arm): argmax of distinct-token marker hits, tie order
+    * en > de > fr > es, 'und' when all zero. */
+  def langId(s: String): String = {
+    val w = tokens(s)
+    val distinct = new java.util.HashSet[String](w.length * 2)
+    var i = 0
+    while (i < w.length) { distinct.add(w(i)); i += 1 }
+    def hits(markers: Seq[String]): Int = {
+      var c = 0
+      markers.foreach(m => if (distinct.contains(m)) c += 1)
+      c
+    }
+    val en = hits(TextFunctions.langMarkers(0)._2)
+    val de = hits(TextFunctions.langMarkers(1)._2)
+    val fr = hits(TextFunctions.langMarkers(2)._2)
+    val es = hits(TextFunctions.langMarkers(3)._2)
+    if (en == 0 && de == 0 && fr == 0 && es == 0) "und"
+    else if (en >= de && en >= fr && en >= es) "en"
+    else if (de >= fr && de >= es) "de"
+    else if (fr >= es) "fr"
+    else "es"
+  }
+
+  /** qualityMicros — identical IEEE operation order to the tree:
+    * floor(((0.4*stopRatio + 0.4*alphaRatio) + 0.2*lenNorm) * 1e6). */
+  def qualityMicros(s: String): Long = {
+    val total = numChars(s)
+    val w = tokens(s)
+    if (total == 0 || w.length == 0) return 0L
+    var stop = 0
+    var i = 0
+    while (i < w.length) {
+      if (TextFunctions.stopwordSet.contains(w(i))) stop += 1
+      i += 1
+    }
+    var alpha = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+      ci += Character.charCount(cp)
+    }
+    val n = w.length
+    val stopRatio = stop.toDouble / n.toDouble
+    val alphaRatio = alpha.toDouble / total.toDouble
+    val lenNorm = math.min(n.toDouble / 100.0, 1.0)
+    math.floor((0.4 * stopRatio + 0.4 * alphaRatio + 0.2 * lenNorm)
+      * 1000000.0).toLong
+  }
+
+  /** Duplicate-n-gram fraction: floor((1.0 - distinct/total) * 1e6);
+    * no grams → 0. */
+  def dupNgramRatioMicros(s: String, n: Int): Long = {
+    val g = allNgrams(s, n)
+    if (g.length == 0) return 0L
+    val set = new java.util.HashSet[String](g.length * 2)
+    var i = 0
+    while (i < g.length) { set.add(g(i)); i += 1 }
+    math.floor((1.0 - set.size.toDouble / g.length.toDouble) * 1000000.0)
+      .toLong
+  }
+
+  /** (dup_micros, top_micros) from one n-gram build — the
+    * [[TextFunctions.repetitionMicros]] struct. */
+  def repetitionMicros(s: String, n: Int): InternalRow = {
+    val g = allNgrams(s, n)
+    if (g.length == 0) return InternalRow(0L, 0L)
+    val counts = new java.util.HashMap[String, Int](g.length * 2)
+    var i = 0
+    while (i < g.length) { counts.merge(g(i), 1, Integer.sum); i += 1 }
+    var maxC = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > maxC) maxC = c }
+    val total = g.length
+    val dup = math.floor(
+      (1.0 - counts.size.toDouble / total.toDouble) * 1000000.0).toLong
+    val top = math.floor(
+      maxC.toDouble / total.toDouble * 1000000.0).toLong
+    InternalRow(dup, top)
+  }
+
+  /** topNgramRatioMicros alone (spec twin of the struct's second field). */
+  def topNgramRatioMicros(s: String, n: Int): Long =
+    repetitionMicros(s, n).getLong(1)
+
+  /** gopherStats — the five exact-integer MassiveText filter inputs. */
+  def gopherStats(s: String): InternalRow = {
+    val w = tokens(s)
+    val n = w.length
+    var totalLen = 0L
+    var alphaWords = 0L
+    var symbolWords = 0L
+    val distinct = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = w(i)
+      totalLen += numChars(t)
+      var hasAlpha = false
+      var hashes = 0L
+      var ci = 0
+      while (ci < t.length) {
+        val cp = t.codePointAt(ci)
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z'))
+          hasAlpha = true
+        if (cp == '#') hashes += 1
+        ci += Character.charCount(cp)
+      }
+      if (hasAlpha) alphaWords += 1
+      // non-overlapping '...' occurrences, left-to-right (replace()
+      // semantics: each removed match is exactly 3 chars)
+      var from = 0
+      var dots = 0L
+      while ({ from = t.indexOf("...", from); from >= 0 }) {
+        dots += 1; from += 3
+      }
+      symbolWords += hashes + dots
+      distinct.add(t)
+      i += 1
+    }
+    var stopHits = 0L
+    TextFunctions.gopherStopwords.foreach(sw =>
+      if (distinct.contains(sw)) stopHits += 1)
+    if (n == 0) InternalRow(0L, 0L, 0L, 0L, stopHits)
+    else InternalRow(
+      n.toLong,
+      math.floor(1000.0 * totalLen.toDouble / n.toDouble).toLong,
+      math.floor(1000000.0 * symbolWords.toDouble / n.toDouble).toLong,
+      math.floor(1000000.0 * alphaWords.toDouble / n.toDouble).toLong,
+      stopHits)
+  }
+
+  private def toArrayData(a: Array[String]): ArrayData = {
+    val out = new Array[AnyRef](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = UTF8String.fromString(a(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  // Java-side entry points for generated code (UTF8String in, catalyst out)
+  def tokensU(s: UTF8String): ArrayData = toArrayData(tokens(s.toString))
+  def allNgramsU(s: UTF8String, n: Int): ArrayData =
+    toArrayData(allNgrams(s.toString, n))
+  def shinglesU(s: UTF8String, n: Int): ArrayData =
+    toArrayData(shingles(s.toString, n))
+  def langIdU(s: UTF8String): UTF8String =
+    UTF8String.fromString(langId(s.toString))
+  def qualityMicrosU(s: UTF8String): Long = qualityMicros(s.toString)
+  def fingerprintU(s: UTF8String): Long =
+    TextFunctions.fingerprintScala(s.toString)
+  def dupNgramRatioMicrosU(s: UTF8String, n: Int): Long =
+    dupNgramRatioMicros(s.toString, n)
+  def repetitionMicrosU(s: UTF8String, n: Int): InternalRow =
+    repetitionMicros(s.toString, n)
+  def topNgramRatioMicrosU(s: UTF8String, n: Int): Long =
+    topNgramRatioMicros(s.toString, n)
+  def gopherStatsU(s: UTF8String): InternalRow = gopherStats(s.toString)
+}
+
+/** Null-safe unary string-kernel expression: one static JIT'd call per row,
+  * inside whole-stage codegen (the [[graft.vector.FloatVecBinary]] pattern;
+  * no generated locals, so no shadowing surface at all). */
+abstract class TextKernelExpr extends UnaryExpression {
+  /** Fully-qualified static call over the generated child value var. */
+  protected def staticCall(c: String): String
+  protected def kernel(s: UTF8String): Any
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+}
+
+private object TK { val O = "graft.pipeline.TextKernels" }
+
+case class TokensKernel(child: Expression) extends TextKernelExpr {
+  override def prettyName: String = "tokens_k"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  protected def staticCall(c: String): String = s"${TK.O}.tokensU($c)"
+  protected def kernel(s: UTF8String): Any = TextKernels.tokensU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class AllNgramsKernel(child: Expression, n: Int) extends TextKernelExpr {
+  override def prettyName: String = "all_ngrams_k"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  protected def staticCall(c: String): String = s"${TK.O}.allNgramsU($c, $n)"
+  protected def kernel(s: UTF8String): Any = TextKernels.allNgramsU(s, n)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ShinglesKernel(child: Expression, n: Int) extends TextKernelExpr {
+  override def prettyName: String = "shingles_k"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  protected def staticCall(c: String): String = s"${TK.O}.shinglesU($c, $n)"
+  protected def kernel(s: UTF8String): Any = TextKernels.shinglesU(s, n)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class LangIdKernel(child: Expression) extends TextKernelExpr {
+  override def prettyName: String = "lang_id_k"
+  override def dataType: DataType = StringType
+  protected def staticCall(c: String): String = s"${TK.O}.langIdU($c)"
+  protected def kernel(s: UTF8String): Any = TextKernels.langIdU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class QualityMicrosKernel(child: Expression) extends TextKernelExpr {
+  override def prettyName: String = "quality_micros_k"
+  override def dataType: DataType = LongType
+  protected def staticCall(c: String): String = s"${TK.O}.qualityMicrosU($c)"
+  protected def kernel(s: UTF8String): Any = TextKernels.qualityMicrosU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class FingerprintKernel(child: Expression) extends TextKernelExpr {
+  override def prettyName: String = "fingerprint_k"
+  override def dataType: DataType = LongType
+  protected def staticCall(c: String): String = s"${TK.O}.fingerprintU($c)"
+  protected def kernel(s: UTF8String): Any = TextKernels.fingerprintU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class DupNgramRatioKernel(child: Expression, n: Int)
+  extends TextKernelExpr {
+  override def prettyName: String = "dup_ngram_ratio_k"
+  override def dataType: DataType = LongType
+  protected def staticCall(c: String): String =
+    s"${TK.O}.dupNgramRatioMicrosU($c, $n)"
+  protected def kernel(s: UTF8String): Any =
+    TextKernels.dupNgramRatioMicrosU(s, n)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class TopNgramRatioKernel(child: Expression, n: Int)
+  extends TextKernelExpr {
+  override def prettyName: String = "top_ngram_ratio_k"
+  override def dataType: DataType = LongType
+  protected def staticCall(c: String): String =
+    s"${TK.O}.topNgramRatioMicrosU($c, $n)"
+  protected def kernel(s: UTF8String): Any =
+    TextKernels.topNgramRatioMicrosU(s, n)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class RepetitionMicrosKernel(child: Expression, n: Int)
+  extends TextKernelExpr {
+  override def prettyName: String = "repetition_micros_k"
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_micros", LongType, nullable = false),
+    StructField("top_micros", LongType, nullable = false)))
+  protected def staticCall(c: String): String =
+    s"${TK.O}.repetitionMicrosU($c, $n)"
+  protected def kernel(s: UTF8String): Any =
+    TextKernels.repetitionMicrosU(s, n)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class GopherStatsKernel(child: Expression) extends TextKernelExpr {
+  override def prettyName: String = "gopher_stats_k"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("mean_word_len_milli", LongType, nullable = false),
+    StructField("symbol_ratio_micros", LongType, nullable = false),
+    StructField("alpha_frac_micros", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  protected def staticCall(c: String): String = s"${TK.O}.gopherStatsU($c)"
+  protected def kernel(s: UTF8String): Any = TextKernels.gopherStatsU(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column builders for the kernels (null semantics matched to the original
+  * trees at this level — see each [[TextFunctions]] method). */
+object textKernels {
+  def tokens(c: Column): Column = Bridge.column(TokensKernel(Bridge.expression(c)))
+  def allNgrams(c: Column, n: Int): Column =
+    Bridge.column(AllNgramsKernel(Bridge.expression(c), n))
+  def shingles(c: Column, n: Int): Column =
+    Bridge.column(ShinglesKernel(Bridge.expression(c), n))
+  def langId(c: Column): Column = Bridge.column(LangIdKernel(Bridge.expression(c)))
+  def qualityMicros(c: Column): Column =
+    Bridge.column(QualityMicrosKernel(Bridge.expression(c)))
+  def fingerprint(c: Column): Column =
+    Bridge.column(FingerprintKernel(Bridge.expression(c)))
+  def dupNgramRatioMicros(c: Column, n: Int): Column =
+    Bridge.column(DupNgramRatioKernel(Bridge.expression(c), n))
+  def topNgramRatioMicros(c: Column, n: Int): Column =
+    Bridge.column(TopNgramRatioKernel(Bridge.expression(c), n))
+  def repetitionMicros(c: Column, n: Int): Column =
+    Bridge.column(RepetitionMicrosKernel(Bridge.expression(c), n))
+  def gopherStats(c: Column): Column =
+    Bridge.column(GopherStatsKernel(Bridge.expression(c)))
+}

@@ -16,6 +16,18 @@ object PipelineQueries {
   private val spmOracleChecked =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  // Same memoization for the other truncation pins (r21, guide §1.4: the
+  // pin is a property of the IMMUTABLE corpus directory, not of the query's
+  // computation — q_embed_transformer/_wp, q_embed_decoder/_rope,
+  // q_pipeline_v4 and q_semantic_transformer each ran a full corpus scan +
+  // driver collect per TIMED invocation just to re-prove it). The check
+  // still runs on first touch of each (gate, dir) pair, so a corpus change
+  // fails loudly exactly as before.
+  private val oraclePinChecked =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+  private def pinOnce(gate: String, dir: String)(check: => Unit): Unit =
+    oraclePinChecked.getOrElseUpdate((gate, dir), check)
+
   val defs: Map[String, QueryDef] = Map(
 
     // FLAGSHIP composition — the canonical training-data curation pipeline
@@ -241,11 +253,13 @@ object PipelineQueries {
         // reaches it. PIN the invariant loudly instead of assuming the
         // fixture: a corpus change that could make the two sides diverge
         // fails here, not as a silent hash mismatch.
-        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
-          .head().getInt(0)
-        require(maxBytes < Tf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
-          s"q_embed_transformer oracle assumes no pre-truncation; corpus has " +
-            s"a $maxBytes-byte document >= ${Tf.MaxPos * 8} — extend the oracle")
+        pinOnce("q_embed_transformer", d) {
+          val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
+            .head().getInt(0)
+          require(maxBytes < Tf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+            s"q_embed_transformer oracle assumes no pre-truncation; corpus has " +
+              s"a $maxBytes-byte document >= ${Tf.MaxPos * 8} — extend the oracle")
+        }
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
         emb.select(col("doc_id") +:
@@ -265,14 +279,16 @@ object PipelineQueries {
         val docs = t(s, d, "documents")
         // same byte-cap pin as the hash gate, plus the [CLS]/[SEP] content
         // budget (cap − 2): the oracle replays NO truncation
-        val stats = docs.select(
-          max(octet_length(col("text").cast("binary"))),
-          max(size(split(trim(col("text")), "\\s+")))).head()
-        require(stats.getInt(0) < Tf.MaxPos *
-            graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
-            stats.getInt(1) <= Tf.MaxPos - 2,
-          s"q_embed_transformer_wp oracle assumes no truncation; corpus " +
-            s"has ${stats.getInt(0)} bytes / ${stats.getInt(1)} words max")
+        pinOnce("q_embed_transformer_wp", d) {
+          val stats = docs.select(
+            max(octet_length(col("text").cast("binary"))),
+            max(size(split(trim(col("text")), "\\s+")))).head()
+          require(stats.getInt(0) < Tf.MaxPos *
+              graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
+              stats.getInt(1) <= Tf.MaxPos - 2,
+            s"q_embed_transformer_wp oracle assumes no truncation; corpus " +
+              s"has ${stats.getInt(0)} bytes / ${stats.getInt(1)} words max")
+        }
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
         emb.select(col("doc_id") +:
@@ -298,11 +314,13 @@ object PipelineQueries {
         val dir = decoderArtifact()
         val docs = t(s, d, "documents")
         // same no-pre-truncation pin as q_embed_transformer
-        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
-          .head().getInt(0)
-        require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
-          s"q_embed_decoder oracle assumes no pre-truncation; corpus has " +
-            s"a $maxBytes-byte document >= ${Dtf.MaxPos * 8} — extend the oracle")
+        pinOnce("q_embed_decoder", d) {
+          val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
+            .head().getInt(0)
+          require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+            s"q_embed_decoder oracle assumes no pre-truncation; corpus has " +
+              s"a $maxBytes-byte document >= ${Dtf.MaxPos * 8} — extend the oracle")
+        }
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"decoder:$dir"))
         emb.select(col("doc_id") +:
@@ -322,11 +340,13 @@ object PipelineQueries {
       (s, d) => {
         val dir = decoderRopeArtifact()
         val docs = t(s, d, "documents")
-        val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
-          .head().getInt(0)
-        require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
-          s"q_embed_decoder_rope oracle assumes no pre-truncation; corpus " +
-            s"has a $maxBytes-byte document >= ${Dtf.MaxPos * 8}")
+        pinOnce("q_embed_decoder_rope", d) {
+          val maxBytes = docs.select(max(octet_length(col("text").cast("binary"))))
+            .head().getInt(0)
+          require(maxBytes < Dtf.MaxPos * graft.embed.ModelRegistry.BytesPerTokenUpperBound,
+            s"q_embed_decoder_rope oracle assumes no pre-truncation; corpus " +
+              s"has a $maxBytes-byte document >= ${Dtf.MaxPos * 8}")
+        }
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"decoder:$dir"))
         emb.select(col("doc_id") +:
@@ -400,13 +420,15 @@ object PipelineQueries {
       (s, d) => {
         val dir = transformerArtifactWp()
         val docs = t(s, d, "documents")
-        val stats0 = docs.select(
-          max(octet_length(col("text").cast("binary"))),
-          max(size(split(trim(col("text")), "\\s+")))).head()
-        require(stats0.getInt(0) < Tf.MaxPos *
-            graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
-            stats0.getInt(1) <= Tf.MaxPos - 2,
-          "q_pipeline_v4 oracle assumes no truncation")
+        pinOnce("q_pipeline_v4", d) {
+          val stats0 = docs.select(
+            max(octet_length(col("text").cast("binary"))),
+            max(size(split(trim(col("text")), "\\s+")))).head()
+          require(stats0.getInt(0) < Tf.MaxPos *
+              graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
+              stats0.getInt(1) <= Tf.MaxPos - 2,
+            "q_pipeline_v4 oracle assumes no truncation")
+        }
         val counted = graft.embed.Bpe.tokenizeStage(
           docs.select(col("doc_id"), col("source"), col("text")),
           "text", bpeArtifact(), countCol = "n_bpe")
@@ -455,14 +477,16 @@ object PipelineQueries {
         val docs = t(s, d, "documents")
         // same no-truncation pin as q_embed_transformer_wp: the oracle
         // replays the untruncated token list
-        val stats0 = docs.select(
-          max(octet_length(col("text").cast("binary"))),
-          max(size(split(trim(col("text")), "\\s+")))).head()
-        require(stats0.getInt(0) < Tf.MaxPos *
-            graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
-            stats0.getInt(1) <= Tf.MaxPos - 2,
-          s"q_semantic_transformer oracle assumes no truncation; corpus " +
-            s"has ${stats0.getInt(0)} bytes / ${stats0.getInt(1)} words max")
+        pinOnce("q_semantic_transformer", d) {
+          val stats0 = docs.select(
+            max(octet_length(col("text").cast("binary"))),
+            max(size(split(trim(col("text")), "\\s+")))).head()
+          require(stats0.getInt(0) < Tf.MaxPos *
+              graft.embed.ModelRegistry.BytesPerTokenUpperBound &&
+              stats0.getInt(1) <= Tf.MaxPos - 2,
+            s"q_semantic_transformer oracle assumes no truncation; corpus " +
+              s"has ${stats0.getInt(0)} bytes / ${stats0.getInt(1)} words max")
+        }
         val emb = Embeddings.embedStage(docs, "text", "emb",
           () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
         val qtext = docs.filter(col("doc_id") === 0)

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import graft.SparkT
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel/tree twin equality for the r21 codegen text kernels: every
+  * kernel-backed [[TextFunctions]] surface must be BIT-equal to its
+  * original higher-order-expression tree (the `*Tree` twins) — on the real
+  * corpus AND on adversarial edges (null, empty, whitespace-only, tabs,
+  * multi-space runs, unicode incl. supplementary plane, sub-n docs,
+  * marker ties, symbol runs). SparkT runs with codegen.fallback=false, so
+  * a Janino defect in the kernels' generated call is a hard failure here.
+  */
+class TextKernelsSpec extends AnyFunSuite {
+
+  import SparkT.spark.implicits._
+
+  private val edges: Seq[Option[String]] = Seq(
+    None,                       // null text
+    Some(""),                   // empty
+    Some(" "), Some("   "),     // whitespace-only
+    Some("\t\n x \t"),          // non-space whitespace at the edges
+    Some("a"), Some("a b"),     // sub-n token counts
+    Some("the"),                // lone marker token
+    Some("the  a   of and to in is"),   // multi-space runs, all stopwords
+    Some("der und ist le et el y es"),  // marker ties across languages
+    Some("le les et est"), Some("el los y es"),
+    Some("héllo wörld café"),   // non-ASCII letters (NOT [A-Za-z])
+    Some("中文 text 混合 the"),  // CJK + markers
+    Some("𝒜 b 𝒜 b"), // supplementary-plane codepoints
+    Some("### #a# ... .... ..#.."),     // symbol counting edges
+    Some("spam spam spam spam"),        // maximal repetition
+    Some("x" * 300),                    // one long token
+    Some(("the quick brown fox jumps over the lazy dog " * 12).trim),
+    Some("a b c"))         // NBSP is not \s: stays inside one token
+
+  private lazy val corpus = graft.engine.Graft
+    .table(SparkT.spark, "/root/testdata/sf0.01", "documents")
+    .select(col("text")).as[String].collect().toSeq.map(Option(_))
+
+  private def df(rows: Seq[Option[String]]) =
+    rows.zipWithIndex.map { case (t, i) => (i.toLong, t.orNull) }
+      .toDF("id", "text")
+
+  private def assertEqual(name: String,
+                          tree: org.apache.spark.sql.Column,
+                          kernel: org.apache.spark.sql.Column): Unit = {
+    val rows = df(edges ++ corpus)
+      .select(col("id"), tree.as("tree"), kernel.as("kernel"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"$name diverges at row ${r.getLong(0)}: tree=${r.get(1)} " +
+          s"kernel=${r.get(2)}")
+    }
+  }
+
+  test("tokens kernel == tree") {
+    assertEqual("tokens",
+      TextFunctions.tokensTree(col("text")), TextFunctions.tokens(col("text")))
+  }
+
+  test("shingles kernel == tree (n=3)") {
+    assertEqual("shingles",
+      TextFunctions.shinglesTree(col("text"), 3),
+      TextFunctions.shingles(col("text"), 3))
+  }
+
+  test("allNgrams kernel == tree (n=2 and n=4)") {
+    assertEqual("allNgrams2",
+      TextFunctions.allNgramsTree(col("text"), 2),
+      TextFunctions.allNgrams(col("text"), 2))
+    assertEqual("allNgrams4",
+      TextFunctions.allNgramsTree(col("text"), 4),
+      TextFunctions.allNgrams(col("text"), 4))
+  }
+
+  test("langId kernel == tree") {
+    assertEqual("langId",
+      TextFunctions.langIdTree(col("text")), TextFunctions.langId(col("text")))
+  }
+
+  test("qualityMicros kernel == tree") {
+    assertEqual("qualityMicros",
+      TextFunctions.qualityMicrosTree(col("text")),
+      TextFunctions.qualityMicros(col("text")))
+  }
+
+  test("fingerprint kernel == tree") {
+    assertEqual("fingerprint",
+      TextFunctions.fingerprintTree(col("text")),
+      TextFunctions.fingerprint(col("text")))
+  }
+
+  test("dup/top/repetition kernels == trees (n=2)") {
+    assertEqual("dupNgramRatioMicros",
+      TextFunctions.dupNgramRatioMicrosTree(col("text"), 2),
+      TextFunctions.dupNgramRatioMicros(col("text"), 2))
+    assertEqual("topNgramRatioMicros",
+      TextFunctions.topNgramRatioMicrosTree(col("text"), 2),
+      TextFunctions.topNgramRatioMicros(col("text"), 2))
+    assertEqual("repetitionMicros",
+      TextFunctions.repetitionMicrosTree(col("text"), 2),
+      TextFunctions.repetitionMicros(col("text"), 2))
+  }
+
+  test("gopherStats kernel == tree") {
+    assertEqual("gopherStats",
+      TextFunctions.gopherStatsTree(col("text")),
+      TextFunctions.gopherStats(col("text")))
+    // and the pass rule composes identically over both forms
+    assertEqual("gopherPass",
+      TextFunctions.gopherPass(TextFunctions.gopherStatsTree(col("text"))),
+      TextFunctions.gopherPass(TextFunctions.gopherStats(col("text"))))
+  }
+}
