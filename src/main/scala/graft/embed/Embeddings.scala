@@ -579,7 +579,22 @@ object Embeddings {
                  batchSize: Int = 64): DataFrame = {
     val schema = df.schema.add(StructField(outCol, ArrayType(FloatType)))
     val textIdx = df.schema.fieldIndex(textCol)
-    df.mapPartitions { it =>
+    // Width must come from cores, not from however few splits the input
+    // had (the bandedFrame rule, guide §2): the forward pass is the
+    // compute-bound kernel of every transformer/decoder gate, and the
+    // sf0.1 documents scan yields 5 splits — the r21 probe measured the
+    // decoder-spm forward at 3.6 s wall on 5 tasks (3.7 s task-time sum)
+    // on a 32-core box. Round-robin also balances document-length skew.
+    // At cluster scale the input partition count normally exceeds
+    // defaultParallelism and the repartition is a cheap rebalance of the
+    // rows being embedded anyway (they cross the wire once, before the
+    // expensive stage — guide §8's "move heavy bytes once" is preserved:
+    // the embedding column doesn't exist yet). Streaming micro-batches
+    // keep their stateless per-batch shape (no shuffle injected).
+    val batchDf =
+      if (df.isStreaming) df
+      else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    batchDf.mapPartitions { it =>
       val p = provider() // one model handle per partition
       it.grouped(batchSize).flatMap { batch =>
         val vecs = p.embedBatch(batch.map(r =>

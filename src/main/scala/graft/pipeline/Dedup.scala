@@ -561,6 +561,14 @@ object Dedup {
     */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
+    // CALLER NOTE (r21): the inequality join plans as a nested-loop /
+    // cartesian whose inner side re-evaluates its lineage PER
+    // PARTITION-PAIR. A caller handing in an expensive chain must cut it
+    // first (q_pipeline_v4 checkpoints its BPE+transformer frame — the
+    // r21 probe measured ~32 re-runs of the forward, 49 s of task time,
+    // without the cut); a plain table scan re-reads cheaply and needs
+    // nothing. The operator itself stays lazy: its plan (and the
+    // dispatcher's branch choice) is part of the spec surface.
     // The streamed side of the nested-loop join sets the parallelism.
     val a = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("a"), col(vecCol).as("va"))
@@ -807,6 +815,18 @@ object Dedup {
       posexplode(TextFunctions.allNgrams(col(textCol), n))
         .as(Seq("pos", "gram")))
 
+  /** Hash-only positional n-grams — (mid, pos, gram_hash) with
+    * gram_hash = xxhash64(gram) computed INSIDE the gram kernel (r21):
+    * every consumer in this file groups or joins on the hash, never the
+    * string, so carrying the gram text to a shuffle/cache only to hash it
+    * there was pure width. TextKernelsSpec pins the kernel hash equal to
+    * xxhash64 over the gram strings. */
+  private def positionalGramHashes(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("mid"),
+      posexplode(textKernels.allNgramHashes(col(textCol), n))
+        .as(Seq("pos", "gram_hash")))
+
   /** Gram doc-frequency filter: xxhash64 keys of grams that occur in at
     * least `minDocs` DISTINCT documents. Grouping on the 8-byte hash (not
     * the gram string) keeps the shuffle narrow — same 2^-64 collision bet
@@ -816,20 +836,27 @@ object Dedup {
       .agg(countDistinct(col("mid")).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
 
+  /** [[boilerplateGrams]] over the hash-only gram frame. */
+  private def boilerplateGramsHashed(gramHashes: DataFrame,
+                                     minDocs: Int): DataFrame =
+    gramHashes.groupBy(col("gram_hash"))
+      .agg(countDistinct(col("mid")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+
   /** Distinct covered token positions per doc: the union of all flagged
     * windows [pos, pos+n). The join back to the flag set is an equi-join
-    * on gram_hash — co-partitioned with [[boilerplateGrams]]'s aggregate. */
-  private def coveredPositions(grams: DataFrame, minDocs: Int,
+    * on gram_hash — co-partitioned with the doc-frequency aggregate. */
+  private def coveredPositions(gramHashes: DataFrame, minDocs: Int,
                                n: Int): DataFrame =
-    coveredFrom(grams, boilerplateGrams(grams, minDocs), n)
+    coveredFrom(gramHashes, boilerplateGramsHashed(gramHashes, minDocs), n)
 
   /** Shared covered-(mid, tok_pos) derivation: window starts whose gram
     * hash is in `flags` expand to their n token positions (ONE definition
-    * for the corpus and store paths — review r18-4). */
-  private def coveredFrom(grams: DataFrame, flags: DataFrame,
+    * for the corpus and store paths — review r18-4). Input is the
+    * hash-only gram frame. */
+  private def coveredFrom(gramHashes: DataFrame, flags: DataFrame,
                           n: Int): DataFrame =
-    grams.withColumn("gram_hash", xxhash64(col("gram")))
-      .join(flags, "gram_hash")
+    gramHashes.join(flags, "gram_hash")
       .select(col("mid"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
       .distinct()
@@ -854,26 +881,33 @@ object Dedup {
   }
 
   /** Shared tail of the strip operators: drop covered positions and
-    * rebuild each doc's text (see [[stripSpans]] for the plan argument). */
+    * rebuild each doc's text. r21 shape (guide §2.3 "shuffle keys and
+    * metadata instead of payloads"): the covered positions aggregate to
+    * ONE sorted int array per flagged doc (the compact set — tiny next to
+    * the corpus), join the docs by id, and a JIT'd kernel walks tokens
+    * against the sorted positions per row. The previous form posexploded
+    * EVERY token of EVERY doc through an anti-join and a sorted-collect
+    * aggregate — two full-corpus-token shuffles to rebuild strings the
+    * kernel now never takes apart row-locally. Results are identical
+    * (DedupSpec's randomized brute-force twin pins exact clean_text
+    * strings); the null-id row keeps its ("", 0) emission — the
+    * equality-join artifact the old tail had. */
   private def stripFrom(df: DataFrame, idCol: String, textCol: String,
                         covered: DataFrame): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("mid"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tpos", "tok")))
-    val kept = toks.join(covered,
-      toks("mid") === covered("mid") && toks("tpos") === covered("tok_pos"),
-      "left_anti")
-    val rebuilt = kept.groupBy("mid")
-      .agg(sort_array(collect_list(struct(col("tpos"), col("tok"))))
-        .as("ordered"))
-      .select(col("mid"),
-        array_join(transform(col("ordered"), x => x("tok")), " ")
-          .as("clean"),
-        size(col("ordered")).cast("long").as("kept"))
-    df.select(col(idCol).cast("long").as("mid")).distinct()
-      .join(rebuilt, Seq("mid"), "left")
+    val covArr = covered.groupBy(col("mid"))
+      .agg(sort_array(collect_list(col("tok_pos"))).as("__cov"))
+    val stripped = textKernels.stripTokens(
+      coalesce(col("__t"), lit("")),
+      coalesce(col("__cov"), lit(Array.empty[Int]).cast("array<int>")))
+    df.select(col(idCol).cast("long").as("mid"), col(textCol).as("__t"))
+      .join(covArr, Seq("mid"), "left")
+      .withColumn("__s",
+        when(col("mid").isNull,
+          struct(lit("").as("clean_text"), lit(0L).as("kept_tokens")))
+          .otherwise(stripped))
       .select(col("mid").as(idCol),
-        coalesce(col("clean"), lit("")).as("clean_text"),
-        coalesce(col("kept"), lit(0L)).as("kept_tokens"))
+        col("__s.clean_text").as("clean_text"),
+        col("__s.kept_tokens").as("kept_tokens"))
   }
 
   /** Per-document cross-corpus duplicate-span coverage: how much of each
@@ -883,14 +917,17 @@ object Dedup {
     * one floored IEEE division — engine-stable. */
   def spanCoverage(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minDocs: Int = 2): DataFrame = {
-    val grams = materialized(positionalNgrams(df, idCol, textCol, n))
-    // Checkpoint the COMPACT covered-position set (two longs per covered
-    // token), not the per-doc result: the eager cut is only needed so the
-    // grams persist can be freed, and the corpus-sized tail stays lazy —
-    // it streams to the caller's sink instead of copying the corpus into
-    // executor storage.
-    val covered = eagerly(coveredPositions(grams, minDocs, n), grams)
-    coverageFrom(df, idCol, textCol, covered)
+    // ONE lazy plan (r21): the gram stage is the JIT'd hash kernel now, so
+    // recomputing it once per consumer (the doc-frequency aggregate and
+    // the covered join read it independently) is cheaper than the
+    // persist+count+checkpoint job chain that used to free it — guide §5:
+    // cache only when recompute costs more than the memory pressure. At
+    // corpus scale this trades a second columnar text scan for not
+    // holding a corpus-token-sized (mid, pos, hash) frame in executor
+    // storage.
+    coverageFrom(df, idCol, textCol,
+      coveredPositions(positionalGramHashes(df, idCol, textCol, n),
+        minDocs, n))
   }
 
   /** Strip the covered spans: rebuild each doc's text from the tokens NOT
@@ -903,13 +940,11 @@ object Dedup {
     * is bounded by the doc's own length (inherent to emitting a text
     * column). */
   def stripSpans(df: DataFrame, idCol: String, textCol: String,
-                 n: Int, minDocs: Int = 2): DataFrame = {
-    val grams = materialized(positionalNgrams(df, idCol, textCol, n))
-    // Same shape as [[spanCoverage]]: only the compact covered set is
-    // checkpointed; the rebuilt-text tail (full corpus strings) is lazy.
-    val covered = eagerly(coveredPositions(grams, minDocs, n), grams)
-    stripFrom(df, idCol, textCol, covered)
-  }
+                 n: Int, minDocs: Int = 2): DataFrame =
+    // Same one-lazy-plan shape as [[spanCoverage]].
+    stripFrom(df, idCol, textCol,
+      coveredPositions(positionalGramHashes(df, idCol, textCol, n),
+        minDocs, n))
 
   // ---- Incremental span dedup: the gram doc-frequency STORE ----
   // The crawl-ingest flow: the corpus's gram frequencies persist once as
@@ -926,7 +961,8 @@ object Dedup {
     * distinct gram, corpus text never persists. */
   def writeGramStore(df: DataFrame, idCol: String, textCol: String,
                      path: String, n: Int): Unit =
-    boilerplateGrams(positionalNgrams(df, idCol, textCol, n), minDocs = 1)
+    boilerplateGramsHashed(positionalGramHashes(df, idCol, textCol, n),
+        minDocs = 1)
       .repartitionByRange(col("gram_hash"))
       .sortWithinPartitions(col("gram_hash"))
       .write.mode("overwrite").parquet(path)
@@ -937,7 +973,8 @@ object Dedup {
     * by both the corpus and the batch counts both contributions. */
   def appendGramStore(df: DataFrame, idCol: String, textCol: String,
                       path: String, n: Int): Unit =
-    boilerplateGrams(positionalNgrams(df, idCol, textCol, n), minDocs = 1)
+    boilerplateGramsHashed(positionalGramHashes(df, idCol, textCol, n),
+        minDocs = 1)
       .repartitionByRange(col("gram_hash"))
       .sortWithinPartitions(col("gram_hash"))
       .write.mode("append").parquet(path)
@@ -952,30 +989,29 @@ object Dedup {
 
   /** Covered positions of `newDf`'s docs against the STORE's flags (an
     * equi-join on gram_hash — the batch never touches corpus text). */
-  private def coveredAgainstStore(grams: DataFrame, path: String,
+  private def coveredAgainstStore(gramHashes: DataFrame, path: String,
                                   minDocs: Int, n: Int): DataFrame =
-    coveredFrom(grams, storeFlags(grams.sparkSession, path, minDocs), n)
+    coveredFrom(gramHashes,
+      storeFlags(gramHashes.sparkSession, path, minDocs), n)
 
   /** [[spanCoverage]] of a new batch against a persisted gram store:
-    * same output contract, corpus-frequency flags, no corpus rescan. */
+    * same output contract, corpus-frequency flags, no corpus rescan.
+    * One lazy plan — the batch gram kernel runs once (single consumer:
+    * the store join). */
   def spanCoverageAgainstStore(newDf: DataFrame, storePath: String,
                                idCol: String, textCol: String,
-                               n: Int, minDocs: Int = 2): DataFrame = {
-    val grams = materialized(positionalNgrams(newDf, idCol, textCol, n))
-    val covered = eagerly(coveredAgainstStore(grams, storePath, minDocs, n),
-      grams)
-    coverageFrom(newDf, idCol, textCol, covered)
-  }
+                               n: Int, minDocs: Int = 2): DataFrame =
+    coverageFrom(newDf, idCol, textCol,
+      coveredAgainstStore(positionalGramHashes(newDf, idCol, textCol, n),
+        storePath, minDocs, n))
 
   /** [[stripSpans]] of a new batch against a persisted gram store. */
   def stripSpansAgainstStore(newDf: DataFrame, storePath: String,
                              idCol: String, textCol: String,
-                             n: Int, minDocs: Int = 2): DataFrame = {
-    val grams = materialized(positionalNgrams(newDf, idCol, textCol, n))
-    val covered = eagerly(coveredAgainstStore(grams, storePath, minDocs, n),
-      grams)
-    stripFrom(newDf, idCol, textCol, covered)
-  }
+                             n: Int, minDocs: Int = 2): DataFrame =
+    stripFrom(newDf, idCol, textCol,
+      coveredAgainstStore(positionalGramHashes(newDf, idCol, textCol, n),
+        storePath, minDocs, n))
 
   /** Candidate pairs from embedding LSH banding (scale path; recall depends
     * on the cosine gap — verify with [[cosinePairsExact]]'s predicate).

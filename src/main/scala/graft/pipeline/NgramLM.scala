@@ -67,9 +67,12 @@ object NgramLM {
     * All counts resolve at train time; probing never recomputes counts. */
   def train(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 2, s"NgramLM: n must be >= 2, got $n")
+    // gram/ctx hashes from ONE kernel pass (r21): every consumer keys on
+    // xxhash64, so exploding gram STRINGS and hashing them downstream was
+    // pure width + interpreted per-element cost. Bit-equal to the string
+    // route (TextKernelsSpec pins the kernel hashes).
     val gc = df
-      .select(explode(TextFunctions.allNgrams(col(textCol), n)).as("gram"))
-      .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
+      .select(explode(textKernels.ngramCtxHashes(col(textCol), n)).as("h"))
     // Vocabulary size: one scalar off a distinct-count aggregate (bounded
     // driver fetch — a single long).
     val v = df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
@@ -80,8 +83,8 @@ object NgramLM {
     // garbage instead of surfacing the empty training corpus.
     require(v > 0, "NgramLM.train: empty training corpus (vocabulary = 0)")
     val gramCounts = gc
-      .groupBy(xxhash64(col("gram")).as("gram_hash"),
-        xxhash64(col("ctx")).as("ctx_hash"))
+      .groupBy(col("h.gram_hash").as("gram_hash"),
+        col("h.ctx_hash").as("ctx_hash"))
       .agg(count(lit(1)).as("c"))
     val ctxCounts = gramCounts.groupBy("ctx_hash")
       .agg(sum(col("c")).as("cc"))
@@ -148,9 +151,11 @@ object NgramLM {
       .select(col("key").as("g_key"), col("cost_micros").as("g_cost"))
     val c = m.filter(col("kind") === "c")
       .select(col("key").as("c_key"), col("cost_micros").as("c_cost"))
-    val probes = gramCtx(df, idCol, textCol, n)
-      .select(col("mid"), xxhash64(col("gram")).as("gram_hash"),
-        xxhash64(col("ctx")).as("ctx_hash"))
+    val probes = df
+      .select(col(idCol).cast("long").as("mid"),
+        explode(textKernels.ngramCtxHashes(col(textCol), n)).as("h"))
+      .select(col("mid"), col("h.gram_hash").as("gram_hash"),
+        col("h.ctx_hash").as("ctx_hash"))
     val costs = probes
       .join(g, probes("gram_hash") === g("g_key"), "left")
       .join(c, probes("ctx_hash") === c("c_key"), "left")

@@ -224,6 +224,81 @@ object TextKernels {
       stopHits)
   }
 
+  /** xxhash64 (seed 42) of each n-gram's UTF-8 bytes — bit-equal to
+    * `transform(allNgrams(c, n), g => xxhash64(g))` (Spark's XxHash64 over
+    * a string column is XXH64.hashUnsafeBytes of its UTF-8 bytes, seed 42;
+    * [[Dedup.shingleHash]] makes the same bet and DedupSpec pins it). */
+  def allNgramHashes(s: String, n: Int): Array[Long] = {
+    val g = allNgrams(s, n)
+    val out = new Array[Long](g.length)
+    var i = 0
+    while (i < g.length) {
+      val b = g(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      i += 1
+    }
+    out
+  }
+
+  /** (xxhash64(gram), xxhash64(ctx)) per n-gram window, where ctx is the
+    * gram's first n-1 tokens space-joined — the [[NgramLM]] probe keys,
+    * computed in one pass without exploding gram STRINGS (bit-equal to
+    * xxhash64 over the string forms; the ctx re-hashes the same prefix
+    * bytes the gram shares). */
+  def ngramCtxHashes(s: String, n: Int): Array[InternalRow] = {
+    val w = tokens(s)
+    if (w.length < n) return Array.empty
+    val out = new Array[InternalRow](w.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var k = 1
+      while (k < n - 1) { sb.append(' ').append(w(i + k)); k += 1 }
+      val ctx = sb.toString
+      val cb = ctx.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ctxHash = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(cb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          cb.length, 42L)
+      sb.append(' ').append(w(i + n - 1))
+      val gb = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val gramHash = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(gb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          gb.length, 42L)
+      out(i) = InternalRow(gramHash, ctxHash)
+      i += 1
+    }
+    out
+  }
+
+  /** Rebuild a document's text from the tokens NOT at any covered 0-based
+    * position (`cov` sorted ascending, distinct) — the strip-rebuild
+    * kernel: returns (clean_text, kept_tokens). Replaces the
+    * posexplode → anti-join → sorted-collect rebuild of the span-strip
+    * operators (every surviving token used to cross two shuffles; here
+    * only the compact covered set moves, and the rebuild is one JIT'd
+    * walk per row). */
+  def stripTokens(s: String, cov: ArrayData): InternalRow = {
+    val w = tokens(s)
+    if (w.length == 0) return InternalRow(UTF8String.EMPTY_UTF8, 0L)
+    val nCov = cov.numElements()
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var ci = 0
+    var i = 0
+    while (i < w.length) {
+      while (ci < nCov && cov.getInt(ci) < i) ci += 1
+      val covered = ci < nCov && cov.getInt(ci) == i
+      if (!covered) {
+        if (kept > 0) sb.append(' ')
+        sb.append(w(i))
+        kept += 1
+      }
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), kept)
+  }
+
   private def toArrayData(a: Array[String]): ArrayData = {
     val out = new Array[AnyRef](a.length)
     var i = 0
@@ -233,6 +308,13 @@ object TextKernels {
 
   // Java-side entry points for generated code (UTF8String in, catalyst out)
   def tokensU(s: UTF8String): ArrayData = toArrayData(tokens(s.toString))
+  def allNgramHashesU(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(allNgramHashes(s.toString, n))
+  def ngramCtxHashesU(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      ngramCtxHashes(s.toString, n).asInstanceOf[Array[Any]])
+  def stripTokensU(s: UTF8String, cov: ArrayData): InternalRow =
+    stripTokens(s.toString, cov)
   def allNgramsU(s: UTF8String, n: Int): ArrayData =
     toArrayData(allNgrams(s.toString, n))
   def shinglesU(s: UTF8String, n: Int): ArrayData =
@@ -349,6 +431,51 @@ case class RepetitionMicrosKernel(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class AllNgramHashesKernel(child: Expression, n: Int)
+  extends TextKernelExpr {
+  override def prettyName: String = "all_ngram_hashes_k"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def staticCall(c: String): String =
+    s"${TK.O}.allNgramHashesU($c, $n)"
+  protected def kernel(s: UTF8String): Any = TextKernels.allNgramHashesU(s, n)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class NgramCtxHashesKernel(child: Expression, n: Int)
+  extends TextKernelExpr {
+  override def prettyName: String = "ngram_ctx_hashes_k"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram_hash", LongType, nullable = false),
+    StructField("ctx_hash", LongType, nullable = false))),
+    containsNull = false)
+  protected def staticCall(c: String): String =
+    s"${TK.O}.ngramCtxHashesU($c, $n)"
+  protected def kernel(s: UTF8String): Any = TextKernels.ngramCtxHashesU(s, n)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Strip-rebuild kernel: (text, sorted covered positions) →
+  * struct(clean_text, kept_tokens). Children are made non-null at the
+  * Column level (coalesce), so the null-safe codegen path never skips. */
+case class StripTokensKernel(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "strip_tokens_k"
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("kept_tokens", LongType, nullable = false)))
+  override def nullSafeEval(t: Any, c: Any): Any =
+    TextKernels.stripTokensU(t.asInstanceOf[UTF8String],
+      c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c) => s"${TK.O}.stripTokensU($t, $c)")
+  override protected def withNewChildrenInternal(l: Expression,
+                                                 r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class GopherStatsKernel(child: Expression) extends TextKernelExpr {
   override def prettyName: String = "gopher_stats_k"
   override def dataType: DataType = StructType(Seq(
@@ -383,4 +510,11 @@ object textKernels {
     Bridge.column(RepetitionMicrosKernel(Bridge.expression(c), n))
   def gopherStats(c: Column): Column =
     Bridge.column(GopherStatsKernel(Bridge.expression(c)))
+  def allNgramHashes(c: Column, n: Int): Column =
+    Bridge.column(AllNgramHashesKernel(Bridge.expression(c), n))
+  def ngramCtxHashes(c: Column, n: Int): Column =
+    Bridge.column(NgramCtxHashesKernel(Bridge.expression(c), n))
+  def stripTokens(text: Column, cov: Column): Column =
+    Bridge.column(StripTokensKernel(Bridge.expression(text),
+      Bridge.expression(cov)))
 }

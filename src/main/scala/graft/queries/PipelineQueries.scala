@@ -432,8 +432,18 @@ object PipelineQueries {
         val counted = graft.embed.Bpe.tokenizeStage(
           docs.select(col("doc_id"), col("source"), col("text")),
           "text", bpeArtifact(), countCol = "n_bpe")
+        // The embedded frame feeds FOUR consumers (the pair stage and the
+        // anti-join, plus the stratified sampler's prefilter and rescue
+        // reads) — checkpoint the BPE+forward chain once instead of
+        // re-running the full transformer per consumer (r21; the same
+        // many-consumer cut q_pipeline_v6 applies to its strip output —
+        // the r21 probe measured ~5 forward re-runs, ~95 s of task time,
+        // without it). The text column is dropped first: the checkpoint
+        // carries (ids, counts, vectors), never the corpus text.
         val emb = Embeddings.embedStage(counted, "text", "emb",
-          () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
+            () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
+          .drop("text")
+          .localCheckpoint(true)
         val pairs = graft.pipeline.Dedup.cosinePairs(
           emb, "doc_id", "emb", dim = Tf.H, threshold = 0.9999)
         val dropIds = pairs.select(col("b").as("doc_id")).distinct()

@@ -105,6 +105,59 @@ class TextKernelsSpec extends AnyFunSuite {
       TextFunctions.repetitionMicros(col("text"), 2))
   }
 
+  test("allNgramHashes kernel == xxhash64 over the gram-string tree (n=4)") {
+    assertEqual("allNgramHashes",
+      transform(TextFunctions.allNgramsTree(col("text"), 4),
+        g => xxhash64(g)),
+      coalesce(graft.pipeline.textKernels.allNgramHashes(col("text"), 4),
+        lit(Array.empty[Long])))
+  }
+
+  test("ngramCtxHashes kernel == xxhash64 over the gram/ctx string trees (n=3)") {
+    val tree = transform(TextFunctions.allNgramsTree(col("text"), 3), g =>
+      struct(xxhash64(g).as("gram_hash"),
+        xxhash64(substring_index(g, " ", 2)).as("ctx_hash")))
+    assertEqual("ngramCtxHashes",
+      tree,
+      coalesce(graft.pipeline.textKernels.ngramCtxHashes(col("text"), 3),
+        tree))  // null text: tree yields [], kernel null — compare via fallback
+  }
+
+  test("stripTokens kernel rebuilds exactly (brute-force twin)") {
+    // covered sets crafted per row: empty, full, interior runs, edges
+    def brute(t: String, cov: Seq[Int]): (String, Long) = {
+      val w = Option(t).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+      val kept = w.zipWithIndex.collect {
+        case (tok, i) if !cov.contains(i) => tok
+      }
+      (kept.mkString(" "), kept.length.toLong)
+    }
+    val rows = Seq(
+      ("a b c d e", Seq(1, 2)),
+      ("a b c d e", Seq.empty[Int]),
+      ("a b c d e", Seq(0, 1, 2, 3, 4)),
+      ("a b c d e", Seq(0, 4)),
+      ("  x   y  ", Seq(1)),
+      ("single", Seq(0)),
+      ("", Seq.empty[Int]),
+      ("héllo wörld 𝒜 end", Seq(2)))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = SparkT.spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.map { case (t, c) => Row(t, c) }).asJava),
+      StructType(Seq(StructField("text", StringType),
+        StructField("cov", ArrayType(IntegerType)))))
+    val got = df.select(graft.pipeline.textKernels.stripTokens(
+        col("text"), col("cov")).as("s"))
+      .select(col("s.clean_text"), col("s.kept_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.zip(got).foreach { case ((t, c), g) =>
+      assert(g === brute(t, c.sorted), s"text='$t' cov=$c")
+    }
+  }
+
   test("gopherStats kernel == tree") {
     assertEqual("gopherStats",
       TextFunctions.gopherStatsTree(col("text")),
