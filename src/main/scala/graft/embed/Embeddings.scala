@@ -590,9 +590,17 @@ object Embeddings {
     // rows being embedded anyway (they cross the wire once, before the
     // expensive stage — guide §8's "move heavy bytes once" is preserved:
     // the embedding column doesn't exist yet). Streaming micro-batches
-    // keep their stateless per-batch shape (no shuffle injected).
+    // keep their stateless per-batch shape (no shuffle injected), and a
+    // caller that repartitioned explicitly anywhere upstream has expressed
+    // a layout opinion the stage must respect (logical-plan check only —
+    // no execution).
+    val callerPartitioned = df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionByExpression => r
+    }.isDefined
     val batchDf =
-      if (df.isStreaming) df
+      if (df.isStreaming || callerPartitioned) df
       else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     batchDf.mapPartitions { it =>
       val p = provider() // one model handle per partition

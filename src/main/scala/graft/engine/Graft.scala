@@ -75,4 +75,48 @@ object Graft {
     val path = tablePath(dir, name)
     tableCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
   }
+
+  // Signature-guarded analyzed-plan cache for ENGINE-WRITTEN directories
+  // (r21; same rationale as [[tableCache]], but these dirs can mutate —
+  // append segments, rename-swap rewrites, generation commits). The cache
+  // key carries a cheap content signature (direct children's name, mtime,
+  // length from ONE listStatus — every engine writer adds/renames/removes
+  // files in the served dir, so any mutation changes it); a hit skips the
+  // recursive listing + footer schema inference spark.read repeats per
+  // call, a miss reads fresh. Generation-managed dirs are additionally
+  // safe by construction: a commit changes the RESOLVED dir path itself.
+  private val dirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (String, DataFrame)]
+
+  private def dirSignature(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val kids = fs.listStatus(p)
+      java.util.Arrays.sort(kids, (a: org.apache.hadoop.fs.FileStatus,
+                                   b: org.apache.hadoop.fs.FileStatus) =>
+        a.getPath.getName.compareTo(b.getPath.getName))
+      val sb = new java.lang.StringBuilder
+      kids.foreach { k =>
+        sb.append(k.getPath.getName).append(':')
+          .append(k.getModificationTime).append(':')
+          .append(k.getLen).append(';')
+      }
+      sb.toString
+    } catch { case _: Exception => "" } // unreadable → never cache
+
+  /** Read an engine-written parquet/orc dir through the signature cache. */
+  def cachedRead(spark: SparkSession, path: String,
+                 format: String = "parquet"): DataFrame = {
+    val sig = dirSignature(spark, path)
+    if (sig.isEmpty) return spark.read.format(format).load(path)
+    val key = (spark, path, format)
+    dirCache.get(key) match {
+      case Some((s, df)) if s == sig => df
+      case _ =>
+        val df = spark.read.format(format).load(path)
+        dirCache(key) = (sig, df)
+        df
+    }
+  }
 }

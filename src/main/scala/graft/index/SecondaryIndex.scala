@@ -466,7 +466,7 @@ object SecondaryIndex {
 
   /** Open the index table for reading through [[resolve]]. */
   private def openIndex(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(resolve(spark, indexPath))
+    graft.engine.Graft.cachedRead(spark, resolve(spark, indexPath))
 
   /** Index-table predicate for a value interval; None = open bound (the
     * reference's half-open RANGE forms, common/filter.h LeftUnbounded /

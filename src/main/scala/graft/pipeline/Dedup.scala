@@ -288,7 +288,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one materializing job fills BOTH caches (banded reads newSh)
     val newBanded = materialized(bandedFrame(newSh, idCol, "sh", k, bands))
-    val store = spark.read.parquet(storePath)
+    val store = graft.engine.Graft.cachedRead(spark, storePath)
     // persisted: cands feeds BOTH the candidate-id fetch and the final
     // verify join — unpersisted, the store join would run twice
     val cands = materialized(store.as("s").join(newBanded.as("n"),
@@ -983,7 +983,7 @@ object Dedup {
     * per gram_hash, then filtered. */
   private def storeFlags(spark: org.apache.spark.sql.SparkSession,
                          path: String, minDocs: Int): DataFrame =
-    spark.read.parquet(path)
+    graft.engine.Graft.cachedRead(spark, path)
       .groupBy("gram_hash").agg(sum("doc_freq").as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
 

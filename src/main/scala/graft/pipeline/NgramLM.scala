@@ -255,5 +255,5 @@ object NgramLM {
   def scoreAgainstStore(newDf: DataFrame, storePath: String, idCol: String,
                         textCol: String, n: Int = 3): DataFrame =
     scoreDocs(newDf, idCol, textCol,
-      newDf.sparkSession.read.parquet(storePath), n)
+      graft.engine.Graft.cachedRead(newDf.sparkSession, storePath), n)
 }

@@ -406,27 +406,27 @@ object AnnRouting {
             qIdCol, qVecCol, cIdCol, k, ef, hier = hier, hierMin = hmin)
         case QGraphFamily(gIdCol, ef, _, refine, _, hier, hmin) =>
           Hnsw.knnJoinQuantized(spark, r.indexPath,
-            spark.read.parquet(r.basePath), gIdCol, r.vecCol,
+            graft.engine.Graft.cachedRead(spark, r.basePath), gIdCol, r.vecCol,
             queries, qIdCol, qVecCol, cIdCol, k, ef, refine, hier = hier,
             hierMin = hmin)
         case f @ QuantFamily(_, _, _, _, _) =>
           val (model, qCol, fIdCol, refine) = (f.model, f.qCol, f.idCol, f.refine)
-          Quantize.knnJoinQuant(spark.read.parquet(r.indexPath), r.vecCol,
+          Quantize.knnJoinQuant(graft.engine.Graft.cachedRead(spark, r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine)
         case f @ Quant4Family(_, _, _, _, _) =>
           val (model, qCol, fIdCol, refine) = (f.model, f.qCol, f.idCol, f.refine)
-          Quantize.knnJoinQuant4(spark.read.parquet(r.indexPath), r.vecCol,
+          Quantize.knnJoinQuant4(graft.engine.Graft.cachedRead(spark, r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine)
         case f @ PqFamily(_, _, _, _, _) =>
           val (model, qCol, fIdCol, refine) = (f.model, f.qCol, f.idCol, f.refine)
-          Quantize.knnJoinPq(spark.read.parquet(r.indexPath), r.vecCol,
+          Quantize.knnJoinPq(graft.engine.Graft.cachedRead(spark, r.indexPath), r.vecCol,
             qCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine)
         case f @ BinaryFamily(_, _, _, _, _, _) =>
           val (model, bCol, fIdCol, refine, rCol) = (f.model, f.bCol, f.idCol, f.refine, f.rCol)
-          Quantize.knnJoinBinary(spark.read.parquet(r.indexPath), r.vecCol,
+          Quantize.knnJoinBinary(graft.engine.Graft.cachedRead(spark, r.indexPath), r.vecCol,
             bCol, fIdCol, model, queries, qIdCol, qVecCol, cIdCol, k,
             metric, refine, rCol)
         case f @ IvfPqFamily(_, _, _, _, _, _, _) =>
@@ -439,7 +439,7 @@ object AnnRouting {
         import org.apache.spark.sql.functions.col
         val fits = guardUnindexedJoin(spark, basePath, queries, qVecCol)
         Knn.knnJoinArm(queries,
-          spark.read.parquet(basePath)
+          graft.engine.Graft.cachedRead(spark, basePath)
             .select(col(idCol).as(cIdCol), col(vecCol)),
           qIdCol, qVecCol, cIdCol, vecCol, k, metric, fits)
     }

@@ -87,7 +87,7 @@ final case class GraphCandidatesExec(node: GraphCandidates)
     // (id, filter columns) — never the vectors. NULL ids are dropped, not
     // NPE'd: such rows cannot be graph nodes anyway (review r10-2).
     val filteredBase = node.filterSql.map { sql =>
-      spark.read.parquet(node.basePath.get)
+      graft.engine.Graft.cachedRead(spark, node.basePath.get)
         .filter(expr(sql))
         .filter(col(node.idName).isNotNull)
     }
@@ -149,7 +149,7 @@ final case class GraphCandidatesExec(node: GraphCandidates)
               node.refine, allowed = allowed, hier = node.hier,
               hierMin = node.hierMin)._1
             if (ids.isEmpty) Array.empty[(Long, Double, Array[Float])]
-            else spark.read.parquet(node.basePath.get)
+            else graft.engine.Graft.cachedRead(spark, node.basePath.get)
               .filter(col(node.idName).isin(ids: _*))
               .filter(col(node.vecName).isNotNull)
               .select(col(node.idName), col(node.vecName))

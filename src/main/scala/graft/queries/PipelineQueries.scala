@@ -1926,7 +1926,7 @@ object PipelineQueries {
       val semPath = graft.tables.Derived.tablePath(s, d, "documents_sem")
       val path = s"${graft.tables.Derived.root}/${new java.io.File(d).getName}/hnswc_documents_sem"
       if (!new java.io.File(graft.vector.Hnsw.routePath(path), "_SUCCESS").isFile)
-        graft.vector.Hnsw.buildIndexClustered(s.read.parquet(semPath),
+        graft.vector.Hnsw.buildIndexClustered(graft.engine.Graft.cachedRead(s, semPath),
           "emb", "doc_id", path,
           graft.vector.Hnsw.Params(m = 8, efC = 64, partitions = 8))
       path
@@ -1959,7 +1959,7 @@ object PipelineQueries {
       val p = graft.vector.Hnsw.Params(m = 8, efC = 64, partitions = 8)
       if (!new java.io.File(graft.vector.Hnsw.layersPath(path), "_SUCCESS").isFile) {
         graft.vector.Hnsw.buildIndexClustered(
-          s.read.parquet(semPath).filter(col("doc_id") % 10 =!= 7),
+          graft.engine.Graft.cachedRead(s, semPath).filter(col("doc_id") % 10 =!= 7),
           "emb", "doc_id", path, p)
         graft.vector.Hnsw.buildHierarchy(s, path, p)
       }

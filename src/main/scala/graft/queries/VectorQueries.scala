@@ -192,9 +192,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = quantIndex(s, d)
         Quantize.knnJoinQuant(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "qvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, refine = 32)
           .select(col("query_id"), col("corpus_id"),
@@ -220,9 +220,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = quant4Index(s, d)
         Quantize.knnJoinQuant4(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "q4vec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, refine = 32)
           .select(col("query_id"), col("corpus_id"),
@@ -240,9 +240,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = binIndex(s, d)
         Quantize.knnJoinBinary(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "bvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, refine = 320)
           .select(col("query_id"), col("corpus_id"),
@@ -261,9 +261,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = pqIndex(s, d)
         Quantize.knnJoinPq(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "pqvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, refine = 128)
           .select(col("query_id"), col("corpus_id"),
@@ -356,9 +356,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = quantIpIndex(s, d)
         Quantize.knnJoinQuant(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "qvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.IP,
           refine = 64)
@@ -374,9 +374,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = quantCosIndex(s, d)
         Quantize.knnJoinQuant(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "qvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.Cosine,
           refine = 64)
@@ -434,9 +434,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = quant4IpIndex(s, d)
         Quantize.knnJoinQuant4(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "q4vec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.IP,
           refine = 96)
@@ -449,9 +449,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = quant4CosIndex(s, d)
         Quantize.knnJoinQuant4(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "q4vec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.Cosine,
           refine = 96)
@@ -464,9 +464,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = pqIpIndex(s, d)
         Quantize.knnJoinPq(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "pqvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.IP,
           refine = 512)
@@ -479,9 +479,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = pqCosIndex(s, d)
         Quantize.knnJoinPq(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "pqvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.Cosine,
           refine = 512)
@@ -497,9 +497,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = binResIpIndex(s, d)
         Quantize.knnJoinBinary(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "bvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.IP,
           refine = 320, rCol = Some("bres"))
@@ -512,9 +512,9 @@ object VectorQueries {
       (s, d) => {
         val (m, path) = binResCosIndex(s, d)
         Quantize.knnJoinBinary(
-          s.read.parquet(path).filter(col("vec_id") >= 20),
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") >= 20),
           "embedding", "bvec", "vec_id", m,
-          s.read.parquet(path).filter(col("vec_id") < 20)
+          graft.engine.Graft.cachedRead(s, path).filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", "corpus_id", k = 3, metric = Knn.Cosine,
           refine = 320, rCol = Some("bres"))
@@ -668,7 +668,7 @@ object VectorQueries {
         val (m, path) = quantIndex(s, d)
         graft.plans.AnnRouting.registerQuant(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id")
-        Knn.knn(s.read.parquet(path).filter(col("label") === 3),
+        Knn.knn(graft.engine.Graft.cachedRead(s, path).filter(col("label") === 3),
             "embedding", "vec_id", queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1045,7 +1045,7 @@ object VectorQueries {
     "q_knn_quant" -> QueryDef(
       (s, d) => {
         val (m, path) = quantIndex(s, d)
-        Quantize.searchRescore(s.read.parquet(path), "embedding", "qvec",
+        Quantize.searchRescore(graft.engine.Graft.cachedRead(s, path), "embedding", "qvec",
             "vec_id", m, queryVec(s, d), k = 10)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1061,7 +1061,7 @@ object VectorQueries {
     "q_knn_pq" -> QueryDef(
       (s, d) => {
         val (m, path) = pqIndex(s, d)
-        Quantize.searchRescorePq(s.read.parquet(path), "embedding", "pqvec",
+        Quantize.searchRescorePq(graft.engine.Graft.cachedRead(s, path), "embedding", "pqvec",
             "vec_id", m, queryVec(s, d), k = 10, refine = 32)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1210,7 +1210,7 @@ object VectorQueries {
         val (m, pq, path) = ivfPqIndex(s, d)
         graft.plans.AnnRouting.registerIvfPq(s, path, path, m, pq,
           vecCol = "embedding", idCol = "vec_id", nprobe = m.nlist)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1269,7 +1269,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerIvfPq(s, path, path, m, pq,
           vecCol = "embedding", idCol = "vec_id", nprobe = m.nlist,
           metric = Knn.Cosine)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.Cosine)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1289,7 +1289,7 @@ object VectorQueries {
         val (m, path) = pqIndex(s, d)
         graft.plans.AnnRouting.registerPq(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id")
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1304,7 +1304,7 @@ object VectorQueries {
         val (m, path) = pqIndex(s, d)
         graft.plans.AnnRouting.registerPq(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id")
-        Knn.knn(s.read.parquet(path).filter(col("label") === 3),
+        Knn.knn(graft.engine.Graft.cachedRead(s, path).filter(col("label") === 3),
             "embedding", "vec_id", queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1318,7 +1318,7 @@ object VectorQueries {
     "q_knn_pq_seg" -> QueryDef(
       (s, d) => {
         val (m, path) = pqSegIndex(s, d)
-        Quantize.searchRescorePq(s.read.parquet(path), "embedding", "pqvec",
+        Quantize.searchRescorePq(graft.engine.Graft.cachedRead(s, path), "embedding", "pqvec",
             "vec_id", m, queryVec(s, d), k = 10, refine = 32)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1338,7 +1338,7 @@ object VectorQueries {
         val (m, path) = quantIndex(s, d)
         graft.plans.AnnRouting.registerQuant(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id")
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1359,7 +1359,7 @@ object VectorQueries {
         val (m, path) = quant4Index(s, d)
         graft.plans.AnnRouting.registerQuant4(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id")
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1379,7 +1379,7 @@ object VectorQueries {
         val (m, path) = binIndex(s, d)
         graft.plans.AnnRouting.registerBinary(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", refine = 40)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1401,7 +1401,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerBinary(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", refine = 40,
           rCol = Some("bres"))
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1422,7 +1422,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerQuant(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", qCol = "qvec",
           refine = 16)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.Cosine)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1442,7 +1442,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerQuant(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", qCol = "qvec",
           refine = 16)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.IP)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1459,7 +1459,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerQuant4(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", qCol = "q4vec",
           refine = 24)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.Cosine)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1475,7 +1475,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerPq(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", qCol = "pqvec",
           refine = 48)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.Cosine)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1491,7 +1491,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerBinary(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", bCol = "bvec",
           refine = 40, rCol = Some("bres"))
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.Cosine)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1507,7 +1507,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerQuant4(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", qCol = "q4vec",
           refine = 24)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.IP)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1526,7 +1526,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerPq(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", qCol = "pqvec",
           refine = 128)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.IP)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1542,7 +1542,7 @@ object VectorQueries {
         graft.plans.AnnRouting.registerBinary(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", bCol = "bvec",
           refine = 40, rCol = Some("bres"))
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.IP)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1649,7 +1649,7 @@ object VectorQueries {
         val (m, path) = quantSegIndex(s, d)
         graft.plans.AnnRouting.registerQuant(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id", refine = 16)
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1732,7 +1732,7 @@ object VectorQueries {
         val (m, path) = quantCompactIndex(s, d)
         graft.plans.AnnRouting.registerQuant(s, path, path, m,
           vecCol = "embedding", idCol = "vec_id")
-        Knn.knn(s.read.parquet(path), "embedding", "vec_id",
+        Knn.knn(graft.engine.Graft.cachedRead(s, path), "embedding", "vec_id",
             queryVec(s, d), 10, Knn.L2)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       },
@@ -1890,7 +1890,7 @@ object VectorQueries {
       val m =
         if (marker.isFile) {
           // deterministic re-derivation: same corpus, same training path
-          val corpus = s.read.parquet(
+          val corpus = graft.engine.Graft.cachedRead(s,
             graft.index.SecondaryIndex.resolve(s, path)).drop("ivf_cluster")
           Ivf.train(corpus, "embedding", nlist = 16)
         } else {
@@ -1922,7 +1922,7 @@ object VectorQueries {
       val marker = new java.io.File(parent, "_GRAFT_COMPACT_OK")
       val m =
         if (marker.isFile)
-          Quantize.train(s.read.parquet(path).drop("qvec"), "embedding")
+          Quantize.train(graft.engine.Graft.cachedRead(s, path).drop("qvec"), "embedding")
         else {
           fsDelete(s, parent)
           val (build, append) = segSplit(t(s, d, "embeddings"))

@@ -79,8 +79,8 @@ object Derived {
   /** Read derived table `name` in its declared format, building it on
     * first access. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.format(builders(name).format)
-      .load(tablePath(spark, sfDir, name))
+    graft.engine.Graft.cachedRead(spark, tablePath(spark, sfDir, name),
+      builders(name).format)
 
   // ---- derivations ----
 

@@ -341,7 +341,7 @@ object Ivf {
              idCol: String, vecCol: String, query: Array[Float],
              k: Int, nprobe: Int): DataFrame = {
     val probes = m.probeOrder(query).take(nprobe).map(_.toLong)
-    val scanned = spark.read.parquet(resolve(spark, indexPath))
+    val scanned = graft.engine.Graft.cachedRead(spark, resolve(spark, indexPath))
       .filter(col("ivf_cluster").isin(probes: _*))
     Knn.knn(scanned, vecCol, idCol, query, k, m.metric)
   }
@@ -672,7 +672,7 @@ object Ivf {
                metric: Knn.Metric = Knn.L2): DataFrame = {
     requirePqMetric(m, metric)
     checkPqMetric(spark, indexPath, metric)
-    val table = spark.read.parquet(resolve(spark, indexPath))
+    val table = graft.engine.Graft.cachedRead(spark, resolve(spark, indexPath))
     val coarse = coarseIdsPq(table, m, pq, idCol, query, nprobe, k * refine,
       metric)
     Knn.knn(table.join(coarse, Seq(idCol)), vecCol, idCol, query, k,
@@ -757,7 +757,7 @@ object Ivf {
       if (Knn.fitsBudget(queries, Knn.maxQueryBatch(spark,
           m.centroids.head.length))) broadcast(qSel)
       else qSel
-    val scored = spark.read.parquet(resolve(spark, indexPath))
+    val scored = graft.engine.Graft.cachedRead(spark, resolve(spark, indexPath))
       .select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"),
         col("ivf_cluster"))
       .join(q, col("ivf_cluster") === col("__probe"))
@@ -825,7 +825,7 @@ object Ivf {
       s"query and corpus id columns must have distinct names ($qIdCol)")
     import spark.implicits._
     val keep = k * refine
-    val table = spark.read.parquet(resolve(spark, indexPath))
+    val table = graft.engine.Graft.cachedRead(spark, resolve(spark, indexPath))
     // the shared kernel of both arms: stream (cid, key, codes) rows —
     // KEY-CONTIGUOUS, where the key is the list id (in-budget and plain
     // distributed arms) or the salted (list, salt) encoding (skewed
@@ -1032,7 +1032,7 @@ object Ivf {
   def listRadii(spark: SparkSession, indexPath: String, m: Model,
                 vecCol: String): Map[Long, Double] = {
     val cents = typedLit(m.centroids.map(_.toSeq))
-    spark.read.parquet(resolve(spark, indexPath))
+    graft.engine.Graft.cachedRead(spark, resolve(spark, indexPath))
       .select(col("ivf_cluster"),
         distances.l2Dist(col(vecCol),
           element_at(cents, col("ivf_cluster").cast("int") + 1)
@@ -1134,7 +1134,7 @@ object Ivf {
       case None => true
     }
     if (fullscan) {
-      val scanned = spark.read.parquet(resolve(spark, indexPath)).filter(pred)
+      val scanned = graft.engine.Graft.cachedRead(spark, resolve(spark, indexPath)).filter(pred)
       (Knn.knn(scanned, vecCol, idCol, query, k, m.metric), m.nlist, false)
     } else {
       val (df, probed) = searchAdaptive(spark, indexPath, m, radii, idCol,
@@ -1212,7 +1212,7 @@ object Ivf {
       remaining.nonEmpty
     }) {
       val probes = remaining.take(batch).map(_.toLong)
-      val base = spark.read.parquet(dataPath)
+      val base = graft.engine.Graft.cachedRead(spark, dataPath)
         .filter(col("ivf_cluster").isin(probes: _*))
       // K3: the attribute predicate rides INSIDE the probe scan (the
       // reference's in-traversal filter callback, knn/knn.h:87-94); if a
