@@ -114,9 +114,31 @@ object Graft {
     dirCache.get(key) match {
       case Some((s, df)) if s == sig => df
       case _ =>
+        // bound the cache (r22, VERDICT r21 #6): entries hold a logical
+        // plan + InMemoryFileIndex each — small, but a long-lived session
+        // touching many store generations would accumulate them without
+        // limit. Eviction is a full clear past the cap: the cache is a
+        // metadata memo, so a clear only costs one re-listing per live dir.
+        if (dirCache.size >= 512) dirCache.clear()
         val df = spark.read.format(format).load(path)
         dirCache(key) = (sig, df)
         df
     }
   }
+
+  /** Drop every cached analyzed plan for `path` — called by the engine's
+    * write paths after committing files there (r22, VERDICT r21 #5). The
+    * signature re-check in [[cachedRead]] already catches every real
+    * writer today (all add/rename/remove direct children), but the
+    * signature is (name, mtime-ms, length) of direct children only: a
+    * rewrite that preserves names and lengths and lands within the same
+    * millisecond, or a mutation confined to nested subdirectories, would
+    * serve a stale plan. The explicit invalidate closes that hole at the
+    * writer — one refactor can no longer turn it into a silent
+    * wrong-result bug. */
+  def invalidate(path: String): Unit =
+    // prefix match: one invalidate at an index's base path also drops its
+    // generation subdirs and sidecar dirs (`<path>/gen-*`, `<path>_route`,
+    // `<path>_layers`, …) — over-invalidation only ever costs a re-listing
+    dirCache.keys.filter(_._2.startsWith(path)).foreach(dirCache.remove)
 }

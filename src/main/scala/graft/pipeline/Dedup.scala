@@ -251,6 +251,7 @@ object Dedup {
       .repartitionByRange(col("band"), col("key"))
       .sortWithinPartitions(col("band"), col("key"))
       .write.mode("overwrite").parquet(path)
+    graft.engine.Graft.invalidate(path)
   }
 
   /** Append a new batch's banded frame to an existing store — segment
@@ -265,6 +266,7 @@ object Dedup {
       .repartitionByRange(col("band"), col("key"))
       .sortWithinPartitions(col("band"), col("key"))
       .write.mode("append").parquet(path)
+    graft.engine.Graft.invalidate(path)
   }
 
   /** Near-duplicates of `newDf` against the corpus behind a signature
@@ -843,31 +845,34 @@ object Dedup {
       .agg(countDistinct(col("mid")).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
 
-  /** Distinct covered token positions per doc: the union of all flagged
-    * windows [pos, pos+n). The join back to the flag set is an equi-join
-    * on gram_hash — co-partitioned with the doc-frequency aggregate. */
-  private def coveredPositions(gramHashes: DataFrame, minDocs: Int,
-                               n: Int): DataFrame =
-    coveredFrom(gramHashes, boilerplateGramsHashed(gramHashes, minDocs), n)
+  /** Flagged window starts per doc: one (mid, pos) row per window whose
+    * gram occurs in >= minDocs docs. The join back to the flag set is an
+    * equi-join on gram_hash — co-partitioned with the doc-frequency
+    * aggregate. */
+  private def coveredPositions(gramHashes: DataFrame, minDocs: Int): DataFrame =
+    coveredFrom(gramHashes, boilerplateGramsHashed(gramHashes, minDocs))
 
-  /** Shared covered-(mid, tok_pos) derivation: window starts whose gram
-    * hash is in `flags` expand to their n token positions (ONE definition
-    * for the corpus and store paths — review r18-4). Input is the
-    * hash-only gram frame. */
-  private def coveredFrom(gramHashes: DataFrame, flags: DataFrame,
-                          n: Int): DataFrame =
+  /** Shared flagged-(mid, pos) START derivation (ONE definition for the
+    * corpus and store paths — review r18-4). Input is the hash-only gram
+    * frame. r22 (guide §2.3/§2.4): the starts are already UNIQUE per
+    * (mid, pos) — the flag set is an aggregate, so the join cannot
+    * duplicate — and every consumer only needs the per-doc covered SET,
+    * so the old explode(sequence(pos, pos+n-1)) + distinct (two extra
+    * exchanges, ~n× the rows) is folded into the downstream per-doc
+    * aggregate: shuffle the starts, expand row-locally in a JIT'd kernel
+    * ([[TextKernels.coveredLen]] / [[TextKernels.stripTokensStarts]]). */
+  private def coveredFrom(gramHashes: DataFrame, flags: DataFrame): DataFrame =
     gramHashes.join(flags, "gram_hash")
-      .select(col("mid"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
-      .distinct()
+      .select(col("mid"), col("pos"))
 
-  /** Shared tail of the coverage scorers: join the distinct covered
-    * (mid, tok_pos) set back to per-doc totals and emit the ratio row for
-    * EVERY input doc. */
+  /** Shared tail of the coverage scorers: aggregate the flagged starts to
+    * a per-doc interval-union length and emit the ratio row for EVERY
+    * input doc. */
   private def coverageFrom(df: DataFrame, idCol: String, textCol: String,
-                           covered: DataFrame): DataFrame = {
-    val perDoc = covered
-      .groupBy("mid").agg(count(lit(1)).as("covered_tokens"))
+                           starts: DataFrame, n: Int): DataFrame = {
+    val perDoc = starts.groupBy("mid")
+      .agg(textKernels.coveredLen(sort_array(collect_list(col("pos"))), n)
+        .as("covered_tokens"))
     val totals = df.select(col(idCol).cast("long").as("mid"),
       TextFunctions.tokenCount(col(textCol)).as("total_tokens"))
     totals.join(perDoc, Seq("mid"), "left")
@@ -893,12 +898,12 @@ object Dedup {
     * strings); the null-id row keeps its ("", 0) emission — the
     * equality-join artifact the old tail had. */
   private def stripFrom(df: DataFrame, idCol: String, textCol: String,
-                        covered: DataFrame): DataFrame = {
-    val covArr = covered.groupBy(col("mid"))
-      .agg(sort_array(collect_list(col("tok_pos"))).as("__cov"))
-    val stripped = textKernels.stripTokens(
+                        starts: DataFrame, n: Int): DataFrame = {
+    val covArr = starts.groupBy(col("mid"))
+      .agg(sort_array(collect_list(col("pos"))).as("__cov"))
+    val stripped = textKernels.stripTokensStarts(
       coalesce(col("__t"), lit("")),
-      coalesce(col("__cov"), lit(Array.empty[Int]).cast("array<int>")))
+      coalesce(col("__cov"), lit(Array.empty[Int]).cast("array<int>")), n)
     df.select(col(idCol).cast("long").as("mid"), col(textCol).as("__t"))
       .join(covArr, Seq("mid"), "left")
       .withColumn("__s",
@@ -927,7 +932,7 @@ object Dedup {
     // storage.
     coverageFrom(df, idCol, textCol,
       coveredPositions(positionalGramHashes(df, idCol, textCol, n),
-        minDocs, n))
+        minDocs), n)
   }
 
   /** Strip the covered spans: rebuild each doc's text from the tokens NOT
@@ -944,7 +949,7 @@ object Dedup {
     // Same one-lazy-plan shape as [[spanCoverage]].
     stripFrom(df, idCol, textCol,
       coveredPositions(positionalGramHashes(df, idCol, textCol, n),
-        minDocs, n))
+        minDocs), n)
 
   // ---- Incremental span dedup: the gram doc-frequency STORE ----
   // The crawl-ingest flow: the corpus's gram frequencies persist once as
@@ -960,24 +965,28 @@ object Dedup {
     * so one store serves any threshold); the store is 16 bytes per
     * distinct gram, corpus text never persists. */
   def writeGramStore(df: DataFrame, idCol: String, textCol: String,
-                     path: String, n: Int): Unit =
+                     path: String, n: Int): Unit = {
     boilerplateGramsHashed(positionalGramHashes(df, idCol, textCol, n),
         minDocs = 1)
       .repartitionByRange(col("gram_hash"))
       .sortWithinPartitions(col("gram_hash"))
       .write.mode("overwrite").parquet(path)
+    graft.engine.Graft.invalidate(path)
+  }
 
   /** Segment-append a new batch's gram frequencies (new files only;
     * resident files untouched — the store serves correctly immediately).
     * Readers SUM doc_freq per gram_hash across segments, so a gram seen
     * by both the corpus and the batch counts both contributions. */
   def appendGramStore(df: DataFrame, idCol: String, textCol: String,
-                      path: String, n: Int): Unit =
+                      path: String, n: Int): Unit = {
     boilerplateGramsHashed(positionalGramHashes(df, idCol, textCol, n),
         minDocs = 1)
       .repartitionByRange(col("gram_hash"))
       .sortWithinPartitions(col("gram_hash"))
       .write.mode("append").parquet(path)
+    graft.engine.Graft.invalidate(path)
+  }
 
   /** The store's flag set at a probe-time threshold: segments re-summed
     * per gram_hash, then filtered. */
@@ -987,12 +996,12 @@ object Dedup {
       .groupBy("gram_hash").agg(sum("doc_freq").as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
 
-  /** Covered positions of `newDf`'s docs against the STORE's flags (an
+  /** Flagged window starts of `newDf`'s docs against the STORE's flags (an
     * equi-join on gram_hash — the batch never touches corpus text). */
   private def coveredAgainstStore(gramHashes: DataFrame, path: String,
-                                  minDocs: Int, n: Int): DataFrame =
+                                  minDocs: Int): DataFrame =
     coveredFrom(gramHashes,
-      storeFlags(gramHashes.sparkSession, path, minDocs), n)
+      storeFlags(gramHashes.sparkSession, path, minDocs))
 
   /** [[spanCoverage]] of a new batch against a persisted gram store:
     * same output contract, corpus-frequency flags, no corpus rescan.
@@ -1003,7 +1012,7 @@ object Dedup {
                                n: Int, minDocs: Int = 2): DataFrame =
     coverageFrom(newDf, idCol, textCol,
       coveredAgainstStore(positionalGramHashes(newDf, idCol, textCol, n),
-        storePath, minDocs, n))
+        storePath, minDocs), n)
 
   /** [[stripSpans]] of a new batch against a persisted gram store. */
   def stripSpansAgainstStore(newDf: DataFrame, storePath: String,
@@ -1011,7 +1020,7 @@ object Dedup {
                              n: Int, minDocs: Int = 2): DataFrame =
     stripFrom(newDf, idCol, textCol,
       coveredAgainstStore(positionalGramHashes(newDf, idCol, textCol, n),
-        storePath, minDocs, n))
+        storePath, minDocs), n)
 
   /** Candidate pairs from embedding LSH banding (scale path; recall depends
     * on the cosine gap — verify with [[cosinePairsExact]]'s predicate).

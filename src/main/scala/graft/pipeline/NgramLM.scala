@@ -124,7 +124,17 @@ object NgramLM {
     // so cut the lineage eagerly first (ADVICE r14). localCheckpoint
     // rather than persist: the checkpoint is vocabulary-sized, lineage-free,
     // and ContextCleaner-GC'd with the returned frame (no unpersist to leak).
-    val m = model.localCheckpoint(true)
+    scoreWith(df, idCol, textCol, model.localCheckpoint(true), n)
+  }
+
+  /** Scoring tail shared by [[scoreDocs]] (which cuts a train() DAG's
+    * lineage first) and [[scoreAgainstStore]] (whose model is a parquet
+    * store — already materialized on disk, so an eager checkpoint would
+    * only copy the vocabulary-sized table into block storage per call,
+    * r22: that copy was a 32-task job on every timed run). `m` must be
+    * cheap to read repeatedly (a checkpoint or a store scan). */
+  private def scoreWith(df: DataFrame, idCol: String, textCol: String,
+                        m: DataFrame, n: Int): DataFrame = {
     // ONE bounded fetch serves the n-mismatch check AND the default cost
     // (the scalar rows sit in the model's leading partitions — train()
     // orders them first — so the incremental limit scan is 1-2 one-task
@@ -188,8 +198,6 @@ object NgramLM {
   def pplBuckets(scored: DataFrame, idCol: String,
                  buckets: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = scored.sparkSession
-    val nParts = spark.sessionState.conf.numShufflePartitions
     // The scored frame is read TWICE (the per-score aggregate and the
     // final bucket join). Its lineage is the whole scoring chain — at the
     // flagship-v6 composition that is strip + LM probe — so cut it once:
@@ -202,31 +210,43 @@ object NgramLM {
     // the block writes, which costs more than the dedicated pass saves;
     // persist adds the columnar InMemoryRelation build on top).
     val sc = scored.localCheckpoint(true)
-    // RangePartitioner assigns ascending key ranges to ascending partition
-    // ids, so (pid asc, score asc) IS the global score order. The frame is
-    // distinct-score-sized and read twice (per-partition totals + the
-    // prefix-sum branch), so cut the aggregate eagerly too.
+    // r22 (VERDICT r21 #3): the cumulative "docs with strictly smaller
+    // score" no longer round-trips through the driver (the r21 shape was
+    // range-partition + spark_partition_id + an eager checkpoint + a
+    // driver collect of per-partition offsets — 3 serialized jobs). It is
+    // now ONE plan, two-phase over a COARSE score key:
+    //   ck = score >> 14 (arithmetic shift — monotone in the score), so
+    //   cum(score) = Σ cnt over smaller coarse buckets (the global prefix)
+    //              + Σ cnt over smaller scores within the bucket.
+    // The within-bucket Window partitions by ck (≤ 2^14 distinct scores
+    // per partition — task-sized). The ONLY global-ordered Window runs
+    // over the per-bucket totals, whose cardinality is bounded by the
+    // SCORE RANGE, not the corpus: costs are floor(1e6·float32(-ln p)) ≤
+    // ~1e6·ln(cc+V) ≈ 28e6 micros even at a 10^12 vocabulary, so the
+    // bucket-totals frame is ≤ ~1.7k rows at ANY corpus size — a
+    // data-independent bound, unlike the doc- or distinct-score-sized
+    // frames r14 VERDICT #8 banned from global windows.
     val parts = sc.groupBy(col("avg_cost_micros"))
       .agg(count(lit(1)).as("cnt"))
-      .repartitionByRange(nParts, col("avg_cost_micros"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    // ≤ nParts rows: the partition start offsets and the grand total
-    // resolve driver-side — no single-partition Window anywhere.
-    val psums = parts.groupBy(col("pid")).agg(sum(col("cnt")).as("psum"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val total = math.max(1L, psums.map(_._2).sum) // 0 rows → plan is empty
-    val offMap: Map[Int, Long] =
-      psums.map(_._1).zip(psums.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val withinW = Window.partitionBy(col("pid"))
+      .withColumn("ck", shiftright(col("avg_cost_micros"), 14))
+    val ckW = Window.orderBy(col("ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy(col("ck")).agg(sum(col("cnt")).as("ck_cnt"))
+      .withColumn("ck_off", coalesce(sum(col("ck_cnt")).over(ckW), lit(0L)))
+      .select(col("ck"), col("ck_off"))
+    // grand total as a 1-row broadcast (empty input → null → the join
+    // below is empty anyway; coalesce keeps the division defined)
+    val total = parts.agg(coalesce(sum(col("cnt")), lit(1L)).as("total"))
+    val withinW = Window.partitionBy(col("ck"))
       .orderBy(col("avg_cost_micros"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val assigned = parts
-      .withColumn("cum",
-        coalesce(sum(col("cnt")).over(withinW), lit(0L)) +
-          element_at(typedLit(offMap), col("pid")))
+      .withColumn("within", coalesce(sum(col("cnt")).over(withinW), lit(0L)))
+      .join(offs, Seq("ck"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum", col("within") + col("ck_off"))
       .select(col("avg_cost_micros").as("score_key"),
-        (lit(1) + expr(s"(cum * $buckets) div $total")).cast("long")
+        (lit(1) + expr(s"(cum * $buckets) div total")).cast("long")
           .as("bucket"))
     sc.join(assigned, sc("avg_cost_micros") === col("score_key"))
       .select(col(idCol), col("avg_cost_micros"), col("bucket"))
@@ -236,7 +256,7 @@ object NgramLM {
     * kind — 17 bytes per distinct gram/context, corpus text never
     * persists). */
   def writeLM(df: DataFrame, textCol: String, path: String,
-              n: Int = 3): Unit =
+              n: Int = 3): Unit = {
     train(df, textCol, n)
       // scalar rows ('n', 'd') must sort FIRST in the store too: plain
       // kind order is c < d < g < n, which parks them behind the whole
@@ -249,11 +269,16 @@ object NgramLM {
       .sortWithinPartitions(col("__rank"), col("key"))
       .drop("__rank")
       .write.mode("overwrite").parquet(path)
+    graft.engine.Graft.invalidate(path)
+  }
 
   /** [[scoreDocs]] against a persisted model — the crawl-ingest flow: the
-    * batch never touches the training corpus. */
+    * batch never touches the training corpus. The store scan feeds
+    * [[scoreWith]] directly (no eager checkpoint: the model is already
+    * materialized parquet; re-reading it per join branch is one
+    * metadata-cached scan, not a recomputation). */
   def scoreAgainstStore(newDf: DataFrame, storePath: String, idCol: String,
                         textCol: String, n: Int = 3): DataFrame =
-    scoreDocs(newDf, idCol, textCol,
+    scoreWith(newDf, idCol, textCol,
       graft.engine.Graft.cachedRead(newDf.sparkSession, storePath), n)
 }

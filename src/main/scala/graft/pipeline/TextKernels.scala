@@ -299,6 +299,54 @@ object TextKernels {
     InternalRow(UTF8String.fromString(sb.toString), kept)
   }
 
+  /** Union length of the token intervals [s, s+n) over SORTED ascending
+    * distinct window starts — the covered-token count of the span
+    * operators, computed from the flagged window STARTS instead of the
+    * exploded position set (r22: the positions were only ever exploded to
+    * be deduplicated and counted/walked; starts are unique per (doc, pos)
+    * by construction, so shuffling them and expanding row-locally removes
+    * the distinct's exchanges and ~n× of the shuffle rows). */
+  def coveredLen(starts: ArrayData, n: Int): Long = {
+    val m = starts.numElements()
+    var covered = 0L
+    var end = Int.MinValue
+    var i = 0
+    while (i < m) {
+      val s = starts.getInt(i)
+      covered += (if (s >= end) n else s + n - end)
+      end = s + n
+      i += 1
+    }
+    covered
+  }
+
+  /** [[stripTokens]] from SORTED ascending window starts: a token at
+    * position i is covered iff some start s has s <= i < s + n. Same
+    * output contract — (clean_text, kept_tokens). */
+  def stripTokensStarts(s: String, starts: ArrayData, n: Int): InternalRow = {
+    val w = tokens(s)
+    if (w.length == 0) return InternalRow(UTF8String.EMPTY_UTF8, 0L)
+    val m = starts.numElements()
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var si = 0
+    var coveredUntil = -1 // inclusive last covered position so far
+    var i = 0
+    while (i < w.length) {
+      while (si < m && starts.getInt(si) <= i) {
+        coveredUntil = starts.getInt(si) + n - 1 // starts ascending → max
+        si += 1
+      }
+      if (i > coveredUntil) {
+        if (kept > 0) sb.append(' ')
+        sb.append(w(i))
+        kept += 1
+      }
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), kept)
+  }
+
   private def toArrayData(a: Array[String]): ArrayData = {
     val out = new Array[AnyRef](a.length)
     var i = 0
@@ -315,6 +363,9 @@ object TextKernels {
       ngramCtxHashes(s.toString, n).asInstanceOf[Array[Any]])
   def stripTokensU(s: UTF8String, cov: ArrayData): InternalRow =
     stripTokens(s.toString, cov)
+  def stripTokensStartsU(s: UTF8String, starts: ArrayData,
+                         n: Int): InternalRow =
+    stripTokensStarts(s.toString, starts, n)
   def allNgramsU(s: UTF8String, n: Int): ArrayData =
     toArrayData(allNgrams(s.toString, n))
   def shinglesU(s: UTF8String, n: Int): ArrayData =
@@ -476,6 +527,42 @@ case class StripTokensKernel(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Covered-token count from sorted window starts: array<int> → long.
+  * The child is made non-null at the Column level (coalesce). */
+case class CoveredLenKernel(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def prettyName: String = "covered_len_k"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(st: Any): Any =
+    TextKernels.coveredLen(st.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, st => s"${TK.O}.coveredLen($st, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Strip-rebuild from sorted window starts: (text, starts) →
+  * struct(clean_text, kept_tokens). Children made non-null at the Column
+  * level, as [[StripTokensKernel]]. */
+case class StripTokensStartsKernel(left: Expression, right: Expression,
+                                   n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "strip_tokens_starts_k"
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("kept_tokens", LongType, nullable = false)))
+  override def nullSafeEval(t: Any, st: Any): Any =
+    TextKernels.stripTokensStartsU(t.asInstanceOf[UTF8String],
+      st.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, st) => s"${TK.O}.stripTokensStartsU($t, $st, $n)")
+  override protected def withNewChildrenInternal(l: Expression,
+                                                 r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class GopherStatsKernel(child: Expression) extends TextKernelExpr {
   override def prettyName: String = "gopher_stats_k"
   override def dataType: DataType = StructType(Seq(
@@ -517,4 +604,9 @@ object textKernels {
   def stripTokens(text: Column, cov: Column): Column =
     Bridge.column(StripTokensKernel(Bridge.expression(text),
       Bridge.expression(cov)))
+  def coveredLen(starts: Column, n: Int): Column =
+    Bridge.column(CoveredLenKernel(Bridge.expression(starts), n))
+  def stripTokensStarts(text: Column, starts: Column, n: Int): Column =
+    Bridge.column(StripTokensStartsKernel(Bridge.expression(text),
+      Bridge.expression(starts), n))
 }

@@ -535,6 +535,10 @@ object AnnRouting {
     // the per-JVM (generation dir → ADC metric) cache rides index
     // lifetimes — drop it wholesale on any mutation (tiny map, rare event)
     Ivf.invalidatePqMetricCache()
+    // drop any signature-cached analyzed plans under the index (r22,
+    // VERDICT r21 #5 — explicit invalidate on every write path; prefix
+    // covers generation subdirs and the _route/_layers sidecars)
+    graft.engine.Graft.invalidate(indexPath)
     reg.synchronized {
       epochs.put(q, epochs.getOrElse(q, 0L) + 1L)
       reg.filter(e => qualify(spark, e._2.indexPath) == q)

@@ -268,6 +268,9 @@ object IndexRouting {
     * listing). */
   def onIndexMutated(spark: SparkSession, indexPath: String): Unit = {
     val q = qualify(spark, indexPath)
+    // drop any signature-cached analyzed plans under the index (r22,
+    // VERDICT r21 #5 — explicit invalidate on every write path)
+    graft.engine.Graft.invalidate(indexPath)
     reg.synchronized {
       epochs.put(q, epochs.getOrElse(q, 0L) + 1L)
       reg.foreach { case (base, entries) =>

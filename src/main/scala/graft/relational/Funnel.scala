@@ -65,9 +65,24 @@ object Funnel {
     * whose chain reaches at least that step (within the window when one
     * is given — the window gates only FULL completions, so intermediate
     * steps count unconditionally, matching the batch operator's
-    * semantics). The chain builds ONCE: each stage persists, counts, and
-    * feeds the next — k step-aggregations total, not the k² a
-    * run-per-prefix formulation would cost (review r12-3). */
+    * semantics).
+    *
+    * r22 shape (VERDICT r21 #4): ONE linear plan instead of k sequential
+    * persist+count driver round-trips. The chain still builds once — each
+    * stage is one aggregate of only that step's events plus a user-keyed
+    * join, exactly [[earliestChain]]'s 100 TB shape — but the joins are
+    * LEFT joins carrying every step-1 user forward with NULL step times
+    * where the chain stalls (the strict `ts > t_prev` predicate is
+    * null-rejecting, so a stalled user simply never matches). All k
+    * counts then read off one final aggregate: `count(t_j)` counts the
+    * users whose chain reached step j. The carried non-converters add at
+    * most |step-1 users| narrow rows per stage — metadata next to the
+    * event volume — and the k driver barriers plus the k cached
+    * intermediates are gone (guide §2.6 job-chain latency, §5 cache only
+    * when recompute costs more). Results are identical: the per-user
+    * greedy mins are the same aggregates, and `count` of a NULLable step
+    * time equals the old inner-join row count (FunnelSpec pins the
+    * values; the oracle replays every prefix). */
   def conversion(df: DataFrame, userCol: String, tsCol: String,
                  typeCol: String, steps: Seq[String],
                  withinMicros: Option[Long] = None): DataFrame = {
@@ -76,37 +91,39 @@ object Funnel {
     // same fail-fast as earliestChain (review r18-5): a non-positive
     // window would silently report 0 completions instead of erroring
     withinMicros.foreach(w => require(w > 0, s"window must be positive: $w"))
-    val spark = df.sparkSession
-    import spark.implicits._
     val base = df.select(col(userCol).as("__u"),
       EventTime.epochMicros(df, tsCol).as("__tus"),
       col(typeCol).as("__et"))
-    val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var cur = base.filter(col("__et") === steps.head)
       .groupBy(col("__u")).agg(min(col("__tus")).as("t1_us"))
-      .persist()
-    counts += ((1, steps.head, cur.count()))
     steps.tail.zipWithIndex.foreach { case (st, i) =>
       val prev = s"t${i + 1}_us"
       val keep: Seq[Column] = col("__u") +:
         (1 to i + 1).map(j => col(s"t${j}_us"))
-      val next = base.filter(col("__et") === st)
-        .join(cur, "__u")
-        .filter(col("__tus") > col(prev))
+      val ev = base.filter(col("__et") === st)
+        .select(col("__u").as("__eu"), col("__tus"))
+      cur = cur.join(ev,
+          col("__eu") === col("__u") && col("__tus") > col(prev), "left")
         .groupBy(keep: _*)
         .agg(min(col("__tus")).as(s"t${i + 2}_us"))
-        .persist()
-      val n =
-        if (i == steps.size - 2)
-          withinMicros.fold(next.count())(w =>
-            next.filter(col(s"t${steps.size}_us") - col("t1_us") <= w).count())
-        else next.count()
-      counts += ((i + 2, st, n))
-      cur.unpersist(false)
-      cur = next
     }
-    cur.unpersist(false)
-    counts.toSeq.toDF("step", "step_name", "n_users")
+    val last = s"t${steps.size}_us"
+    val cnts = (1 to steps.size).map { j =>
+      val t = col(s"t${j}_us")
+      val gated =
+        if (j == steps.size)
+          withinMicros.fold(t)(w => when(col(last) - col("t1_us") <= w, t))
+        else t
+      count(gated).as(s"__c$j")
+    }
+    val agg = cur.agg(cnts.head, cnts.tail: _*)
+    val rows = steps.zipWithIndex.map { case (nm, i) =>
+      struct(lit(i + 1).as("step"), lit(nm).as("step_name"),
+        col(s"__c${i + 1}").as("n_users"))
+    }
+    agg.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.step").as("step"), col("__r.step_name").as("step_name"),
+        col("__r.n_users").as("n_users"))
   }
 
   private val DayMicros = 86400000000L

@@ -93,6 +93,7 @@ object Writer {
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.save(path)
+    graft.engine.Graft.invalidate(path)
   }
 
   /** Z-ORDER (Morton-curve) clustered write: interleave the bit-planes of
@@ -177,6 +178,7 @@ object Writer {
       .sortWithinPartitions(col(ZCol))
       .drop(ZCol)
       .write.mode("overwrite").format(format).save(path)
+    graft.engine.Graft.invalidate(path)
   }
 
   /** Internal z-value column name (dropped before the write). */
@@ -232,5 +234,6 @@ object Writer {
       .write.mode("overwrite").format(format)
       .partitionBy(partitionCols: _*)
       .save(path)
+    graft.engine.Graft.invalidate(path)
   }
 }

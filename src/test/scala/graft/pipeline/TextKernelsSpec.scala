@@ -158,6 +158,49 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("starts-form kernels == expanded-positions forms (r22 span shapes)") {
+    // the span operators now shuffle flagged window STARTS and expand
+    // row-locally: stripTokensStarts(text, starts, n) must equal
+    // stripTokens(text, distinct-sorted expansion of [s, s+n)), and
+    // coveredLen(starts, n) must equal that expansion's size — including
+    // overlapping, touching, duplicated-coverage and out-of-range starts
+    def expand(starts: Seq[Int], n: Int): Seq[Int] =
+      starts.flatMap(s => s until s + n).distinct.sorted
+    val n = 4
+    val cases = Seq(
+      ("a b c d e f g h i j", Seq.empty[Int]),
+      ("a b c d e f g h i j", Seq(0)),
+      ("a b c d e f g h i j", Seq(0, 1)),        // overlap
+      ("a b c d e f g h i j", Seq(0, 4)),        // touching
+      ("a b c d e f g h i j", Seq(0, 6)),        // gap
+      ("a b c d e f g h i j", Seq(0, 2, 3, 6)),  // mixed
+      ("a b c d", Seq(0)),                       // full coverage
+      ("", Seq.empty[Int]),
+      ("x y", Seq(0)))                           // starts past sub-n doc
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = SparkT.spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          cases.map { case (t, s) => Row(t, s, expand(s, n)) }).asJava),
+      StructType(Seq(StructField("text", StringType),
+        StructField("starts", ArrayType(IntegerType)),
+        StructField("cov", ArrayType(IntegerType)))))
+    val got = df.select(
+        graft.pipeline.textKernels.stripTokensStarts(
+          col("text"), col("starts"), n).as("sn"),
+        graft.pipeline.textKernels.stripTokens(
+          col("text"), col("cov")).as("sp"),
+        graft.pipeline.textKernels.coveredLen(col("starts"), n).as("cl"),
+        size(col("cov")).as("ce"))
+      .collect()
+    cases.zip(got).foreach { case ((t, s), r) =>
+      assert(r.get(0) === r.get(1), s"strip diverges: text='$t' starts=$s")
+      assert(r.getLong(2) === r.getInt(3).toLong,
+        s"coveredLen diverges: text='$t' starts=$s")
+    }
+  }
+
   test("gopherStats kernel == tree") {
     assertEqual("gopherStats",
       TextFunctions.gopherStatsTree(col("text")),
