@@ -562,7 +562,8 @@ object Dedup {
     * DedupSpec's clustered-recall test) and verifies with the same cosine.
     */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       broadcastInner: Boolean = false): DataFrame = {
     // CALLER NOTE (r21): the inequality join plans as a nested-loop /
     // cartesian whose inner side re-evaluates its lineage PER
     // PARTITION-PAIR. A caller handing in an expensive chain must cut it
@@ -572,9 +573,20 @@ object Dedup {
     // nothing. The operator itself stays lazy: its plan (and the
     // dispatcher's branch choice) is part of the spec surface.
     // The streamed side of the nested-loop join sets the parallelism.
+    //
+    // `broadcastInner` (r22): a checkpoint-backed input reports NO size
+    // stats, so Catalyst plans the raw CartesianProduct — streamed-parts ×
+    // inner-parts tasks, each re-fetching the inner side's blocks (the v4
+    // probe measured 224 such tasks for a corpus that fits in one
+    // broadcast). A caller that KNOWS the corpus is broadcast-small (the
+    // dispatcher checks n·rowWidth against a 64 MB cap) flips the plan to
+    // BroadcastNestedLoopJoin: one fetch of the inner side, one task per
+    // streamed partition. Same join, same rows — plans over stats-known
+    // inputs already made this choice automatically.
     val a = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val b0 = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val b = if (broadcastInner) broadcast(b0) else b0
     a.join(b, col("a") < col("b"))
       .withColumn("cos", graft.vector.distances.cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
@@ -735,7 +747,11 @@ object Dedup {
     val floor =
       if (minDim >= 0) minDim
       else n.map(r => math.max(16, 2 * ceilLog2(r))).getOrElse(16)
-    if (dim < floor) cosinePairsExact(df, idCol, vecCol, threshold)
+    if (dim < floor)
+      // broadcast the inner side when the corpus provably fits (64 MB at
+      // 16 B overhead + 4 B/float element) — see the cosinePairsExact note
+      cosinePairsExact(df, idCol, vecCol, threshold,
+        broadcastInner = n.exists(r => r * (16L + 4L * dim) <= (64L << 20)))
     else {
       val (pl, bd) =
         if (planes >= 1) (planes, bands)

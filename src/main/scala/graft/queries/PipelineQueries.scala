@@ -444,9 +444,21 @@ object PipelineQueries {
             () => graft.embed.ModelRegistry.create(s"transformer:$dir"))
           .drop("text")
           .localCheckpoint(true)
+        // estRows from the parquet footers (no job): the checkpoint above
+        // erased emb's size stats, which otherwise forces the exact pair
+        // join into a raw CartesianProduct instead of broadcasting the
+        // provably-small inner side (r22; one embedding row per document)
         val pairs = graft.pipeline.Dedup.cosinePairs(
-          emb, "doc_id", "emb", dim = Tf.H, threshold = 0.9999)
+          emb, "doc_id", "emb", dim = Tf.H, threshold = 0.9999,
+          estRows = Some(graft.stats.Stats.rowCount(
+            graft.engine.Graft.tablePath(d, "documents"),
+            s.sparkContext.hadoopConfiguration)))
+        // the pair join feeds THREE downstream consumers through surv
+        // (the sampler's prefilter, its rescue pass, and the group-size
+        // probe) — cut it at the tiny id set so it runs once (r22; the
+        // ids are a handful of longs, the cheapest possible checkpoint)
         val dropIds = pairs.select(col("b").as("doc_id")).distinct()
+          .localCheckpoint(true)
         val surv = emb.join(dropIds, Seq("doc_id"), "left_anti")
         graft.pipeline.Mix.stratified(surv, "doc_id", "source", 3,
             minGroupRows = Some(50L))

@@ -259,6 +259,15 @@ class DedupSpec extends AnyFunSuite {
         0.9, minDim = dim + 1)
       .as[(Long, Long, Long)].collect().toSet
     assert(viaDispatch === exact && viaExactBranch === exact)
+    // r22: the broadcast-inner exact form (used when the caller proves the
+    // corpus broadcast-small — a checkpoint-backed input has no stats for
+    // Catalyst to decide itself) returns identical rows and plans as a
+    // broadcast nested-loop, not a raw cartesian
+    val bcast = Dedup.cosinePairsExact(df, "vec_id", "embedding", 0.9,
+      broadcastInner = true)
+    assert(bcast.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoop"), "expected a broadcast join")
+    assert(bcast.as[(Long, Long, Long)].collect().toSet === exact)
   }
 
   /** Brute-force twin of the cross-doc span pipeline: n-gram windows,
