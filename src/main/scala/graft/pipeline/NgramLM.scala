@@ -210,6 +210,10 @@ object NgramLM {
     // the block writes, which costs more than the dedicated pass saves;
     // persist adds the columnar InMemoryRelation build on top).
     val sc = scored.localCheckpoint(true)
+    // (A non-eager `sc` was re-A/B'd in r22 after the offset fusion below
+    // — the two consumers now share ONE action, but the scoring chain
+    // still recomputes per consumer without the cut: 4.8-6.1 s vs ~2.4 s
+    // probed at sf0.1. The r15 eager-checkpoint finding stands.)
     // r22 (VERDICT r21 #3): the cumulative "docs with strictly smaller
     // score" no longer round-trips through the driver (the r21 shape was
     // range-partition + spark_partition_id + an eager checkpoint + a
