@@ -417,31 +417,6 @@ object Dedup {
       labels, edges)
   }
 
-  /** [[nearPairs]] + [[clusters]] fused (r22, VERDICT r21 #6): the
-    * standalone composition materializes the verified pair set TWICE —
-    * nearPairs' eager checkpoint, then clusters' bounded collect reading
-    * it back. Here the verify plan stays lazy and clusters' single
-    * bounded collect IS the materialization (the LSH persists underneath
-    * still pin the signature kernel to once per document; they are freed
-    * after the clustering settles). Identical output to
-    * `clusters(nearPairs(...))` — DedupSpec pins it. */
-  def nearPairClusters(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int = 3, threshold: Double = 0.8,
-                       k: Int = 128, bands: Int = 32,
-                       idOut: String = "doc_id",
-                       clusterOut: String = "cluster_id"): DataFrame = {
-    val withSh = shingleFrame(df, idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = materialized(bandedFrame(withSh, idCol, "sh", k, bands))
-    val pairs = jaccardVerify(bandSelfJoin(banded), withSh, idCol, "sh",
-      threshold)
-    // clusters() materializes `pairs` exactly once on its fast path (the
-    // bounded collect); the distributed fallback re-reads it through the
-    // persisted LSH frames, so the kernel still runs once per document
-    try clusters(pairs, idOut = idOut, clusterOut = clusterOut)
-    finally { banded.unpersist(false); withSh.unpersist(false) }
-  }
-
   /** 64-bit SimHash over a shingle set: bit j is the sign of the sum over
     * shingles of ±1 depending on bit j of xxhash64(shingle). Single pass:
     * an array-of-counters accumulator zipped per shingle. */

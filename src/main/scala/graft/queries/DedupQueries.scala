@@ -163,11 +163,11 @@ object DedupQueries {
     // join+min-aggregate per round over the PAIR set. Oracle: recursive-CTE
     // transitive closure with min over the reachable set.
     "q_dedup_clusters" -> QueryDef(
-      // fused composition (r22): the verified pair set materializes ONCE
-      // (clusters' bounded collect) instead of nearPairs' checkpoint plus
-      // a second read — identical rows, DedupSpec pins the equivalence
-      (s, d) => Dedup.nearPairClusters(t(s, d, "documents"), "doc_id",
-        "text", shingleN = 3, threshold = 0.8),
+      (s, d) => {
+        val pairs = Dedup.nearPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        Dedup.clusters(pairs)
+      },
       Some(shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         ", pr AS (SELECT a.doc_id AS a, b.doc_id AS b " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +

@@ -89,34 +89,6 @@ class DedupSpec extends AnyFunSuite {
     assert(gotN === Map(30L -> 30L, 31L -> 30L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("nearPairClusters == clusters(nearPairs(...)) on both driver paths (r22)") {
-    // planted near-dup chains over a small corpus: the fused form (one
-    // bounded collect materializes the verified pairs) must cluster
-    // identically to the standalone composition, fast and distributed
-    val docs = (0 until 40).map { i =>
-      val fam = i % 7
-      val base = s"alpha$fam beta$fam gamma$fam delta$fam epsilon$fam " +
-        s"zeta$fam eta$fam theta$fam iota$fam kappa$fam"
-      (i.toLong, if (i < 7) base else base + s" tail${i % 3}")
-    }.toDF("doc_id", "text")
-    val viaStandalone = Dedup.clusters(
-        Dedup.nearPairs(docs, "doc_id", "text", shingleN = 3,
-          threshold = 0.6))
-      .as[(Long, Long)].collect().toMap
-    val fused = Dedup.nearPairClusters(docs, "doc_id", "text",
-        shingleN = 3, threshold = 0.6)
-      .as[(Long, Long)].collect().toMap
-    assert(fused === viaStandalone)
-    assert(fused.nonEmpty, "fixture must actually produce near-dup pairs")
-    Dedup.clusterDriverCap = 0L
-    try {
-      val fusedDist = Dedup.nearPairClusters(docs, "doc_id", "text",
-          shingleN = 3, threshold = 0.6)
-        .as[(Long, Long)].collect().toMap
-      assert(fusedDist === viaStandalone)
-    } finally Dedup.clusterDriverCap = 100000L
-  }
-
   test("incremental dedup: store probe equals direct cross-set dedup; appends extend the corpus") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
     val other = "completely different words about databases and storage engines " * 6
